@@ -1,0 +1,73 @@
+"""SparkSession factory.
+
+The reference builds its session with ``SparkSession.builder.appName(...)
+.getOrCreate()`` (hudi/hudi_scd_script.py:6) and pushes all tuning through
+EMR job submission confs (hudi/hudi_submit_cow.sh:21-28). Locally we fold
+the equivalent settings into one factory and design for multi-executor
+behavior through partition counts + AQE.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and necessary) to apply at runtime to a session we
+# did not build — e.g. the driver harness's session. All are SQL confs,
+# settable post-startup.
+RUNTIME_CONFS: dict[str, str] = {
+    # Deterministic timestamp rendering; all engine timestamps are NTZ but
+    # UTC keeps any stray TIMESTAMP_LTZ stable too.
+    "spark.sql.session.timeZone": "UTC",
+    # The events table stores parquet TIMESTAMP(NANOS), which Spark's
+    # parquet reader rejects by default; read as long and convert (io.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Runtime re-planning: partition coalescing + skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every Python<->JVM columnar hop (pandas UDFs, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply RUNTIME_CONFS to an existing session (driver harness entry)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-modifiable in this deployment; proceed with defaults
+    return spark
+
+
+def get_spark(
+    app_name: str = "emr-on-eks-hudi-iceberg-delta-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build the engine's SparkSession.
+
+    shuffle_partitions defaults to the core count: on local[32] test runs a
+    32-way shuffle keeps every core busy without tiny-partition overhead; on
+    a real cluster the caller passes (2-3 x total cores) and AQE coalesces.
+    """
+    cores = default_parallelism()
+    builder = (
+        SparkSession.builder.master(master or f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return configure(spark)

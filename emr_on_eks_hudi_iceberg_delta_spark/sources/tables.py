@@ -1,0 +1,110 @@
+"""Versioned table store — the lake-format write surface, on plain parquet.
+
+Reproduces the write capabilities the reference gets from format plugins:
+
+* bulk insert / overwrite  (Hudi ``operation=insert`` + ``mode("overwrite")``,
+  hudi/hudi_scd_script.py:66-70; Delta overwrite, delta/delta_scd_script.py:37-39)
+* keyed upsert with precombine dedup  (Hudi ``operation=upsert`` with record
+  key ``id,checksum`` and precombine field ``ts``, hudi/hudi_scd_script.py:32-36,
+  115-119)
+* create-or-replace via DataFrameWriterV2 semantics (iceberg_scd_script.py:34-37)
+* catalog registration (Glue hive-sync, hudi/hudi_scd_script.py:37-40 —
+  locally a temp/catalog view)
+
+Copy-on-write semantics: every commit rewrites the table directory into a
+fresh snapshot dir and flips a pointer file, so readers never observe a
+half-written table and old snapshots remain for time travel (the parquet
+analog of a Hudi CoW commit / Iceberg snapshot / Delta log entry). This is
+single-writer by design — the reference's DynamoDB OCC lock
+(hudi/hudi_scd_script.py:41-48) is multi-writer infrastructure out of local
+scope (SURVEY.md §7).
+
+Scale note: upsert rewrites are shuffle-on-key operations; at 100 TB the
+key columns should be the table's partition/bucket columns so the
+row_number window and the final write share one exchange.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_POINTER = "_current_snapshot.json"
+
+
+class VersionedTable:
+    """A snapshot-versioned parquet table with keyed-upsert support."""
+
+    def __init__(self, spark: SparkSession, location: str, name: str | None = None):
+        self.spark = spark
+        self.location = location.rstrip("/")
+        self.name = name
+
+    # -- snapshot plumbing ------------------------------------------------
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.location, _POINTER)
+
+    def _snapshots(self) -> list[dict]:
+        if not os.path.exists(self._pointer_path()):
+            return []
+        with open(self._pointer_path()) as f:
+            return json.load(f)["snapshots"]
+
+    def current_snapshot_dir(self) -> str | None:
+        snaps = self._snapshots()
+        return snaps[-1]["dir"] if snaps else None
+
+    def _commit(self, df: DataFrame) -> None:
+        snaps = self._snapshots()
+        version = (snaps[-1]["version"] + 1) if snaps else 0
+        snap_dir = os.path.join(self.location, f"snapshot-{version:05d}")
+        df.write.mode("overwrite").parquet(snap_dir)
+        snaps.append({"version": version, "dir": snap_dir, "committed_at": time.time()})
+        os.makedirs(self.location, exist_ok=True)
+        tmp = self._pointer_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"snapshots": snaps}, f)
+        os.replace(tmp, self._pointer_path())  # atomic pointer flip
+        if self.name:
+            self.read().createOrReplaceTempView(self.name)
+
+    # -- public write surface ---------------------------------------------
+
+    def overwrite(self, df: DataFrame) -> "VersionedTable":
+        """Bulk insert/overwrite (S6/S9) — a fresh snapshot of ``df``."""
+        self._commit(df)
+        return self
+
+    create_or_replace = overwrite  # DataFrameWriterV2 semantics (S8)
+
+    def upsert(self, updates: DataFrame, key_cols: list[str], precombine_col: str) -> "VersionedTable":
+        """Hudi-style keyed upsert (S7): union target with incoming rows,
+        keep the max-``precombine_col`` row per key, rewrite (CoW).
+        """
+        from ..operators.merge import upsert_by_key
+
+        target = self.read()
+        self._commit(upsert_by_key(target, updates, key_cols, precombine_col))
+        return self
+
+    # -- read surface -------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot scan (S2); ``version`` gives time travel."""
+        snaps = self._snapshots()
+        if not snaps:
+            raise FileNotFoundError(f"no snapshot at {self.location}")
+        if version is None:
+            return self.spark.read.parquet(snaps[-1]["dir"])
+        for s in snaps:
+            if s["version"] == version:
+                return self.spark.read.parquet(s["dir"])
+        raise ValueError(f"version {version} not found at {self.location}")
+
+    def history(self) -> list[dict]:
+        return self._snapshots()

@@ -1,0 +1,99 @@
+"""SCD2 golden test — the §2.11 convergent invariant on reference-shaped
+fixtures (FIXTURES.md §1): 1000 initial rows; update batch of 1100 =
+908 unchanged + 92 changed + 100 new. After the incremental merge, every
+variant must hold 1192 rows: 1100 current, 92 expired with
+``valid_to = update batch valid_from``.
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from emr_on_eks_hudi_iceberg_delta_spark.functions.scd2 import with_scd2_columns
+from emr_on_eks_hudi_iceberg_delta_spark.operators.merge import (
+    scd2_merge_delta_style,
+    scd2_merge_hudi_style,
+    scd2_merge_iceberg_style,
+    upsert_by_key,
+)
+
+T1 = "2024-01-01 00:00:00"
+T2 = "2024-02-01 00:00:00"
+CHECKSUM_COLS = ["name", "email", "state"]
+STATES = ["CA", "NY", "TX", "WA", "GA", "IL", "FL", "OH", "PA", "MI"]
+
+
+def _contact(i, changed=False):
+    return Row(
+        id=i,
+        name=f"name{i}",
+        email=f"user{i}@{'new' if changed else 'example'}.com",
+        state=STATES[(i + (3 if changed else 0)) % len(STATES)],
+    )
+
+
+@pytest.fixture(scope="module")
+def batches(spark):
+    initial = spark.createDataFrame([_contact(i) for i in range(1, 1001)])
+    update = spark.createDataFrame(
+        # 92 changed (ids 1..92), 908 unchanged, 100 new (1001..1100)
+        [_contact(i, changed=i <= 92) for i in range(1, 1101)]
+    )
+    return initial, update
+
+
+def _assert_invariant(result, update_count=1100, changed_count=92):
+    rows = result.count()
+    assert rows == update_count + changed_count, f"total rows {rows}"
+    current = result.filter(F.col("iscurrent") == 1)
+    expired = result.filter(F.col("iscurrent") == 0)
+    assert current.count() == update_count
+    assert expired.count() == changed_count
+    # every expired row's valid_to equals the update batch's valid_from (T2)
+    bad = expired.filter(F.col("valid_to") != F.lit(T2).cast("timestamp_ntz")).count()
+    assert bad == 0
+    # exactly one current row per live id
+    dup = current.groupBy("id").count().filter("count > 1").count()
+    assert dup == 0
+    # point lookup (P6 analog): a changed id has full history
+    hist = result.filter(F.col("id") == 50).orderBy("iscurrent").collect()
+    assert len(hist) == 2
+    assert hist[0]["iscurrent"] == 0 and hist[1]["iscurrent"] == 1
+
+
+@pytest.mark.parametrize("variant", ["hudi", "iceberg", "delta"])
+def test_scd2_merge_invariant(spark, batches, variant):
+    initial, update = batches
+    target = with_scd2_columns(
+        initial, CHECKSUM_COLS, as_of=T1, include_ts=(variant != "delta")
+    )
+    fn = {
+        "hudi": scd2_merge_hudi_style,
+        "iceberg": scd2_merge_iceberg_style,
+        "delta": scd2_merge_delta_style,
+    }[variant]
+    result = fn(target, update, "id", CHECKSUM_COLS, as_of=T2)
+    _assert_invariant(result)
+
+    if variant == "delta":
+        # unchanged rows keep their original (T1) timestamps — the Delta
+        # pipeline's conditional MATCHED clause preserves them
+        unchanged_cur = result.filter((F.col("iscurrent") == 1) & (F.col("id") == 500))
+        assert unchanged_cur.collect()[0]["valid_from"].isoformat() == "2024-01-01T00:00:00"
+    else:
+        # hudi/iceberg variants rewrite unchanged rows at T2
+        unchanged_cur = result.filter((F.col("iscurrent") == 1) & (F.col("id") == 500))
+        assert unchanged_cur.collect()[0]["valid_from"].isoformat() == "2024-02-01T00:00:00"
+
+
+def test_upsert_by_key_precombine(spark):
+    target = spark.createDataFrame(
+        [Row(id=1, checksum="a", ts="2024-01-01", v="old"),
+         Row(id=2, checksum="b", ts="2024-01-01", v="keep")]
+    )
+    updates = spark.createDataFrame(
+        [Row(id=1, checksum="a", ts="2024-02-01", v="new"),
+         Row(id=3, checksum="c", ts="2024-02-01", v="ins")]
+    )
+    out = {r["id"]: r["v"] for r in upsert_by_key(target, updates, ["id", "checksum"], "ts").collect()}
+    assert out == {1: "new", 2: "keep", 3: "ins"}
