@@ -1,0 +1,834 @@
+"""Query registry — every operator from SURVEY.md §2 (and the capability
+extensions) as a named (Spark callable, DuckDB oracle SQL) pair.
+
+Contract (driver harness, __spark_entry__.py): each Spark callable takes
+``(spark, sf_dir)`` and returns a DataFrame; the oracle is ANSI SQL DuckDB
+runs over the same parquet tables. Results are compared by row count +
+schema + order-insensitive value hash, so:
+
+* every computed column is aliased identically on both sides;
+* float aggregates are summed as DECIMAL (exact, order-independent) and
+  cast back to DOUBLE — bit-identical across engines, no rounding-boundary
+  risk;
+* all timestamps are TIMESTAMP_NTZ / naive TIMESTAMP;
+* rankings order by the measure plus a unique tie-break key.
+
+SCD2 queries use a deterministic derived update batch over ``customer``
+(the ``contacts`` analog, FIXTURES.md §2): every 13th key changes its
+``c_mktsegment``, every 17th key reappears as a brand-new key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.scd2 import with_scd2_columns
+from .operators.merge import (
+    MergeIntoBuilder,
+    scd2_merge_delta_style,
+    scd2_merge_hudi_style,
+    scd2_merge_iceberg_style,
+    upsert_by_key,
+)
+from .session import configure
+from .sources.parquet import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    tags: tuple[str, ...] = field(default=())
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            configure(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = f"query_{name}"
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = QuerySpec(wrapped, oracle, tags)
+        return wrapped
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# shared SCD2 fixtures: deterministic timestamps + derived update batch
+# --------------------------------------------------------------------------
+
+T1 = "2024-01-01 00:00:00"
+T2 = "2024-02-01 00:00:00"
+CHECKSUM_COLS = ["c_name", "c_mktsegment"]
+
+# derived update batch (Spark) — every 13th key changes segment, every 17th
+# key cloned as a new key
+def customer_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    changed = cust.withColumn(
+        "c_mktsegment",
+        F.when(
+            F.col("c_custkey") % 13 == 0, F.concat(F.col("c_mktsegment"), F.lit("_v2"))
+        ).otherwise(F.col("c_mktsegment")),
+    )
+    new = cust.filter(F.col("c_custkey") % 17 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(1000000)
+    )
+    return changed.unionByName(new)
+
+
+def scd2_target(spark: SparkSession, sf_dir: str, include_ts: bool = True) -> DataFrame:
+    return with_scd2_columns(
+        _t(spark, sf_dir, "customer"), CHECKSUM_COLS, as_of=T1, include_ts=include_ts
+    )
+
+
+# the same fixtures in DuckDB SQL (used inside oracle CTEs)
+_SQL_UPDATES = """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+           CASE WHEN c_custkey % 13 = 0 THEN c_mktsegment || '_v2'
+                ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+    UNION ALL
+    SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 17 = 0
+"""
+
+
+def _sql_envelope(src: str, ts_lit: str, include_ts: bool = True) -> str:
+    ts_col = f"TIMESTAMP '{ts_lit}' AS ts," if include_ts else ""
+    return f"""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           {ts_col}
+           TIMESTAMP '{ts_lit}' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to,
+           CAST(1 AS INTEGER) AS iscurrent,
+           md5(c_name || c_mktsegment) AS checksum
+    FROM ({src})
+    """
+
+
+_SQL_TGT9 = _sql_envelope("SELECT * FROM customer", T1)
+_SQL_UPD9 = _sql_envelope(_SQL_UPDATES, T2)
+_SQL_TGT8 = _sql_envelope("SELECT * FROM customer", T1, include_ts=False)
+_SQL_UPD8 = _sql_envelope(_SQL_UPDATES, T2, include_ts=False)
+
+
+# --------------------------------------------------------------------------
+# S-series: scans / sources / sinks
+# --------------------------------------------------------------------------
+
+@register(
+    "point_lookup",
+    oracle="SELECT * FROM orders WHERE o_orderkey = 103",
+    tags=("P6", "scan"),
+)
+def point_lookup(spark, sf_dir):
+    """Point lookup (P6): the reference's consumption query
+    ``select * from <tbl> where id=103`` (README.md:153). The filter is
+    pushed to the parquet scan (PushedFilters in .explain)."""
+    return _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") == 103)
+
+
+@register(
+    "temp_view_sql",
+    oracle="SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus",
+    tags=("S5", "S3"),
+)
+def temp_view_sql(spark, sf_dir):
+    """Temp-view registration bridging DataFrame->SQL (S5,
+    iceberg/iceberg_scd_script.py:51) + catalog-table scan in SQL (S3/S4)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql("SELECT o_orderstatus, COUNT(*) AS n FROM orders_v GROUP BY o_orderstatus")
+
+
+# --------------------------------------------------------------------------
+# P-series: projections / filters
+# --------------------------------------------------------------------------
+
+@register(
+    "projection_rename",
+    oracle="""SELECT c_custkey AS id, c_name AS name, c_acctbal AS balance
+              FROM customer""",
+    tags=("P2", "F7"),
+)
+def projection_rename(spark, sf_dir):
+    """Qualified multi-column projection + rename (P2,
+    hudi/hudi_scd_script.py:98-106)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        c.c_custkey.alias("id"), c.c_name.alias("name"), c.c_acctbal.alias("balance")
+    )
+
+
+@register(
+    "filter_predicates",
+    oracle="""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+              WHERE l_returnflag <> l_linestatus AND l_linenumber = 1""",
+    tags=("P5",),
+)
+def filter_predicates(spark, sf_dir):
+    """Conjunctive filter predicates (P5): ``checksum != checksum AND
+    iscurrent = 1`` shape (iceberg/iceberg_scd_script.py:60-61)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") != F.col("l_linestatus")) & (F.col("l_linenumber") == F.lit(1))
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register(
+    "constant_projection",
+    oracle="""SELECT CAST(NULL AS BIGINT) AS mergeKey, c_custkey, c_name
+              FROM customer WHERE c_custkey % 13 = 0""",
+    tags=("P3", "P4"),
+)
+def constant_projection(spark, sf_dir):
+    """NULL constant projection (P3): ``SELECT NULL AS mergeKey, source.*``
+    (delta/delta_scd_script.py:77)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 13 == 0)
+    return c.select(
+        F.lit(None).cast("bigint").alias("mergeKey"), "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# J-series: joins
+# --------------------------------------------------------------------------
+
+@register(
+    "join_mixed_condition",
+    oracle=f"""
+    WITH tgt AS ({_SQL_TGT9}), upd AS ({_SQL_UPD9})
+    SELECT t.c_custkey, t.c_mktsegment AS old_segment, u.c_mktsegment AS new_segment
+    FROM tgt t JOIN upd u
+      ON t.c_custkey = u.c_custkey AND t.checksum <> u.checksum AND t.iscurrent = 1
+    """,
+    tags=("J1",),
+)
+def join_mixed_condition(spark, sf_dir):
+    """Inner join with mixed equi + theta + literal condition list (J1,
+    hudi/hudi_scd_script.py:94-97). Catalyst plans the equi key as the join
+    key and the rest as join filters."""
+    t = scd2_target(spark, sf_dir).alias("t")
+    u = with_scd2_columns(customer_updates(spark, sf_dir), CHECKSUM_COLS, as_of=T2).alias("u")
+    cond = (
+        (F.col("t.c_custkey") == F.col("u.c_custkey"))
+        & (F.col("t.checksum") != F.col("u.checksum"))
+        & (F.col("t.iscurrent") == F.lit(1))
+    )
+    return t.join(u, cond, "inner").select(
+        F.col("t.c_custkey").alias("c_custkey"),
+        F.col("t.c_mktsegment").alias("old_segment"),
+        F.col("u.c_mktsegment").alias("new_segment"),
+    )
+
+
+@register(
+    "join_equi_sql",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_totalprice > 400000
+    """,
+    tags=("J2",),
+)
+def join_equi_sql(spark, sf_dir):
+    """Inner equi join with WHERE (J2, iceberg/iceberg_scd_script.py:58-61)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "inner").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+# --------------------------------------------------------------------------
+# W-series: windows
+# --------------------------------------------------------------------------
+
+@register(
+    "lead_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS next_order_date
+    FROM orders
+    """,
+    tags=("W1",),
+)
+def lead_window(spark, sf_dir):
+    """LEAD over partition (W1, iceberg/iceberg_scd_script.py:65) — the
+    load-bearing analytic of the Iceberg pipeline, re-grounded on orders
+    (next order date per customer). Unique tie-break key keeps it
+    deterministic."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lead("o_orderdate").over(w).alias("next_order_date"),
+    )
+
+
+@register(
+    "top_n_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer) t
+    WHERE rn <= 3
+    """,
+    tags=("window", "extension"),
+)
+def top_n_per_group(spark, sf_dir):
+    """Top-N per group via ranked window — the standard Spark idiom the
+    reference's LEAD pattern generalizes to."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+    )
+
+
+# --------------------------------------------------------------------------
+# O-series: set operations
+# --------------------------------------------------------------------------
+
+@register(
+    "union_by_name",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderstatus
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    tags=("O1",),
+)
+def union_by_name(spark, sf_dir):
+    """Schema-tolerant union by name (O1): ``unionByName(...,
+    allowMissingColumns=True)`` null-fills missing columns
+    (hudi/hudi_scd_script.py:111)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    b = o.filter(F.col("o_orderkey") % 2 == 1).select("o_orderkey", "o_orderstatus")
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@register(
+    "union_distinct",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment FROM customer WHERE c_acctbal > 0
+    UNION
+    SELECT c_nationkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 0
+    """,
+    tags=("O2",),
+)
+def union_distinct(spark, sf_dir):
+    """SQL UNION = deduplicating union (O2, iceberg/iceberg_scd_script.py:62)
+    — ``union().distinct()``, NOT bare ``union()`` (which is UNION ALL)."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 0).select("c_nationkey", "c_mktsegment")
+    b = c.filter(F.col("c_custkey") % 2 == 0).select("c_nationkey", "c_mktsegment")
+    return a.union(b).distinct()
+
+
+# --------------------------------------------------------------------------
+# A-series: aggregations (the reference has only count; we add the standard
+# shapes a complete engine needs, each with an exact oracle)
+# --------------------------------------------------------------------------
+
+@register(
+    "count_star",
+    oracle="SELECT COUNT(*) AS n_rows FROM lineitem",
+    tags=("A1",),
+)
+def count_star(spark, sf_dir):
+    """Full-table count (A1, hudi/hudi_scd_script.py:77,90,110,112)."""
+    return _t(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _dsum(col, scale: int = 4):
+    """Order-independent float sum: exact DECIMAL accumulation, DOUBLE out."""
+    c = F.expr(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+@register("q1_pricing_summary", oracle=_Q1_ORACLE, tags=("agg", "bench"))
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the headline scan+aggregate benchmark query.
+    Partial (map-side) aggregation + single shuffle on the 6-value group
+    key; decimal accumulation keeps results order-independent."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    )
+    disc_price = F.expr("l_extendedprice * (1 - l_discount)")
+    charge = F.expr("l_extendedprice * (1 - l_discount) * (1 + l_tax)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity").alias("sum_qty"),
+        _dsum("l_extendedprice").alias("sum_base_price"),
+        _dsum(disc_price, 6).alias("sum_disc_price"),
+        _dsum(charge, 6).alias("sum_charge"),
+        (_dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+        (_dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
+        (_dsum("l_discount", 6) / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey, o_orderdate, o_orderpriority, revenue FROM (
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        ROW_NUMBER() OVER (
+          ORDER BY CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) DESC,
+                   l_orderkey) AS rn
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority) t
+    WHERE rn <= 10
+    """,
+    tags=("join", "agg", "bench"),
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dimension filter -> fact join -> top-10.
+    customer is small relative to lineitem — AQE broadcasts it; the top-k
+    uses a ranked window with a unique tie-break, not a global sort."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    joined = (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        _dsum(F.expr("l_extendedprice * (1 - l_discount)"), 6).alias("revenue")
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("l_orderkey", "o_orderdate", "o_orderpriority", "revenue")
+    )
+
+
+@register(
+    "q5_local_supplier",
+    oracle="""
+    SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    tags=("join", "agg", "bench"),
+)
+def q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way star join + group-agg. Dimension tables
+    (region/nation/supplier/customer) broadcast; the only large shuffle is
+    the lineitem<->orders equi join."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        _dsum(F.expr("l_extendedprice * (1 - l_discount)"), 6).alias("revenue")
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("agg", "bench"),
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan + selective filter + scalar agg — all
+    predicates push to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(_dsum(F.expr("l_extendedprice * l_discount"), 6).alias("revenue"))
+
+
+@register(
+    "rollup_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def rollup_agg(spark, sf_dir):
+    """Hierarchical ROLLUP aggregate (engine-completeness beyond A1)."""
+    return _t(spark, sf_dir, "lineitem").rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), _dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "distinct_agg",
+    oracle="""
+    SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def distinct_agg(spark, sf_dir):
+    """Multi distinct-aggregate (expand-based plan in Spark)."""
+    return _t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SCD2 composite operators (§2.11) — the reference-defining capability
+# --------------------------------------------------------------------------
+
+@register(
+    "scd2_envelope",
+    oracle=_SQL_TGT9,
+    tags=("P1", "F1-F10"),
+)
+def scd2_envelope(spark, sf_dir):
+    """SCD2 envelope derivation (P1 + F1-F10): ts/valid_from/valid_to/
+    iscurrent/checksum over the customer dimension, deterministic as-of
+    timestamp (hudi/hudi_scd_script.py:59-63)."""
+    return scd2_target(spark, sf_dir)
+
+
+# Final-state oracle for the hudi-style merge: expired copies of changed
+# rows (ts = batch T2, wins precombine) UNION ALL every update row current
+# at T2. All stored rows collide on the (key, checksum) record key.
+_SQL_MERGE_HUDI = f"""
+WITH tgt AS ({_SQL_TGT9}), upd AS ({_SQL_UPD9})
+SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal, t.c_mktsegment,
+       u.ts AS ts, t.valid_from AS valid_from, u.valid_from AS valid_to,
+       CAST(0 AS INTEGER) AS iscurrent, t.checksum AS checksum
+FROM tgt t JOIN upd u
+  ON t.c_custkey = u.c_custkey AND t.checksum <> u.checksum AND t.iscurrent = 1
+UNION ALL
+SELECT * FROM upd
+"""
+
+
+@register("scd2_merge_hudi", oracle=_SQL_MERGE_HUDI, tags=("S7", "scd2", "bench"))
+def q_scd2_merge_hudi(spark, sf_dir):
+    """SCD2 merge, Hudi variant: join-expire-union-upsert
+    (hudi/hudi_scd_script.py:93-119). Unchanged rows rewritten at T2."""
+    return scd2_merge_hudi_style(
+        scd2_target(spark, sf_dir),
+        customer_updates(spark, sf_dir),
+        "c_custkey",
+        CHECKSUM_COLS,
+        as_of=T2,
+    )
+
+
+# Iceberg variant differs from Hudi only in the expired copies' ts: the
+# MERGE updates the stored row in place, so ts stays T1.
+_SQL_MERGE_ICEBERG = f"""
+WITH tgt AS ({_SQL_TGT9}), upd AS ({_SQL_UPD9})
+SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal, t.c_mktsegment,
+       t.ts AS ts, t.valid_from AS valid_from, u.valid_from AS valid_to,
+       CAST(0 AS INTEGER) AS iscurrent, t.checksum AS checksum
+FROM tgt t JOIN upd u
+  ON t.c_custkey = u.c_custkey AND t.checksum <> u.checksum AND t.iscurrent = 1
+UNION ALL
+SELECT * FROM upd
+"""
+
+
+@register("scd2_merge_iceberg", oracle=_SQL_MERGE_ICEBERG, tags=("S10", "scd2"))
+def q_scd2_merge_iceberg(spark, sf_dir):
+    """SCD2 merge, Iceberg variant: union-distinct + LEAD window + 2-key
+    MERGE (iceberg/iceberg_scd_script.py:54-82)."""
+    return scd2_merge_iceberg_style(
+        scd2_target(spark, sf_dir),
+        customer_updates(spark, sf_dir),
+        "c_custkey",
+        CHECKSUM_COLS,
+        as_of=T2,
+    )
+
+
+# Delta variant: 8-column envelope (no ts); unchanged target rows preserved
+# at T1; changed rows expired in place; inserts = changed new versions + new keys.
+_SQL_MERGE_DELTA = f"""
+WITH tgt AS ({_SQL_TGT8}), upd AS ({_SQL_UPD8})
+SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal, t.c_mktsegment,
+       t.valid_from AS valid_from, u.valid_from AS valid_to,
+       CAST(0 AS INTEGER) AS iscurrent, t.checksum AS checksum
+FROM tgt t JOIN upd u
+  ON t.c_custkey = u.c_custkey AND t.checksum <> u.checksum AND t.iscurrent = 1
+UNION ALL
+SELECT t.* FROM tgt t
+WHERE NOT EXISTS (SELECT 1 FROM upd u
+                  WHERE u.c_custkey = t.c_custkey AND u.checksum <> t.checksum
+                    AND t.iscurrent = 1)
+UNION ALL
+SELECT u.* FROM upd u JOIN tgt t
+  ON t.c_custkey = u.c_custkey AND t.checksum <> u.checksum AND t.iscurrent = 1
+UNION ALL
+SELECT u.* FROM upd u WHERE NOT EXISTS
+  (SELECT 1 FROM tgt t WHERE t.c_custkey = u.c_custkey)
+"""
+
+
+@register("scd2_merge_delta", oracle=_SQL_MERGE_DELTA, tags=("S11", "J4", "scd2"))
+def q_scd2_merge_delta(spark, sf_dir):
+    """SCD2 merge, Delta variant: NULL-mergeKey dual-row MERGE decomposition
+    (delta/delta_scd_script.py:76-95). Unchanged rows keep T1 timestamps."""
+    return scd2_merge_delta_style(
+        scd2_target(spark, sf_dir, include_ts=False),
+        customer_updates(spark, sf_dir),
+        "c_custkey",
+        CHECKSUM_COLS,
+        as_of=T2,
+    )
+
+
+@register(
+    "upsert_by_key",
+    oracle=f"""
+    WITH tgt AS ({_SQL_TGT9}), upd AS ({_SQL_UPD9}),
+    unioned AS (SELECT * FROM tgt UNION ALL SELECT * FROM upd)
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           ts, valid_from, valid_to, iscurrent, checksum
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey, checksum
+                                       ORDER BY ts DESC) AS rn
+          FROM unioned) t
+    WHERE rn = 1
+    """,
+    tags=("S7",),
+)
+def q_upsert_by_key(spark, sf_dir):
+    """Keyed upsert with precombine dedup (S7): record key (key, checksum),
+    precombine ts — Hudi writer semantics (hudi/hudi_scd_script.py:32-36)."""
+    return upsert_by_key(
+        scd2_target(spark, sf_dir),
+        with_scd2_columns(customer_updates(spark, sf_dir), CHECKSUM_COLS, as_of=T2),
+        ["c_custkey", "checksum"],
+        "ts",
+    )
+
+
+@register(
+    "merge_into_generic",
+    oracle="""
+    WITH src AS (
+      SELECT n_nationkey, n_name || '_x' AS n_name, n_regionkey
+      FROM nation WHERE n_nationkey % 3 = 0
+      UNION ALL
+      SELECT n_nationkey + 100, n_name, n_regionkey FROM nation)
+    SELECT t.n_nationkey, COALESCE(s.n_name, t.n_name) AS n_name, t.n_regionkey
+    FROM nation t LEFT JOIN src s ON t.n_nationkey = s.n_nationkey
+    UNION ALL
+    SELECT s.n_nationkey, s.n_name, s.n_regionkey
+    FROM src s WHERE NOT EXISTS
+      (SELECT 1 FROM nation t WHERE t.n_nationkey = s.n_nationkey)
+    """,
+    tags=("S10", "S11"),
+)
+def merge_into_generic(spark, sf_dir):
+    """Generic MERGE INTO via MergeIntoBuilder (S10/S11 without the format
+    plugin): WHEN MATCHED UPDATE SET / WHEN NOT MATCHED INSERT *."""
+    n = _t(spark, sf_dir, "nation")
+    src = (
+        n.filter(F.col("n_nationkey") % 3 == 0)
+        .withColumn("n_name", F.concat(F.col("n_name"), F.lit("_x")))
+        .unionByName(n.withColumn("n_nationkey", F.col("n_nationkey") + 100))
+    )
+    return (
+        MergeIntoBuilder(n, src, F.col("t.n_nationkey") == F.col("s.n_nationkey"))
+        .when_matched_update(set={"n_name": F.col("s.n_name")})
+        .when_not_matched_insert_all()
+        .execute()
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-time queries (batch equivalents of the streaming module — §2.9 is
+# empty in the reference; these are the capability extension)
+# --------------------------------------------------------------------------
+
+_EV_SQL = "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events"
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL})
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM ev GROUP BY 1, 2
+    """,
+    tags=("events", "streaming", "bench"),
+)
+def events_tumbling_hourly(spark, sf_dir):
+    """Tumbling event-time window aggregate (F.window) — the batch twin of
+    the Structured Streaming windowed agg in streaming/events.py."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), _dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
+@register(
+    "events_sliding_windows",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    ex AS (
+      SELECT TIMESTAMP '1970-01-01 00:00:00'
+             + to_seconds(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS ws, value
+      FROM ev
+      UNION ALL
+      SELECT TIMESTAMP '1970-01-01 00:00:00'
+             + to_seconds(CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT)) AS ws, value
+      FROM ev)
+    SELECT ws AS window_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM ex GROUP BY ws
+    """,
+    tags=("events", "streaming"),
+)
+def events_sliding_windows(spark, sf_dir):
+    """Sliding window (1 h length, 30 min slide): every event lands in two
+    overlapping windows — F.window handles the expansion."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), _dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    g AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS new_sess
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts,
+        CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM g)
+    SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+    tags=("events", "streaming"),
+)
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min inactivity): lag -> new-session flag
+    -> running sum, all window functions — one shuffle on user_id shared by
+    both windows and the final aggregate."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__us", F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_us = F.lag("__us").over(w)
+    new_sess = F.when(
+        lag_us.isNull() | (F.col("__us") - lag_us > 1800 * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
