@@ -1,0 +1,224 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup, MinHash+LSH near-dup, n-gram Jaccard verification, SimHash —
+each designed for the 100 TB regime:
+
+* exact dedup is one hash-groupBy (single shuffle on the digest);
+* MinHash signatures are per-row maps (no shuffle); LSH banding turns the
+  O(n^2) pair problem into a shuffle on band keys, so cost is driven by
+  bucket sizes, not corpus size;
+* Jaccard verification runs only on LSH candidate pairs;
+* SimHash is a vectorized Arrow/pandas UDF (the one operator where 64-bit
+  bit-twiddling beats nested SQL).
+
+Hashes are md5-derived (functions/hashing.py) so Spark results hash-match
+the DuckDB oracles exactly; swap in ``F.xxhash64`` for raw speed when
+cross-engine reproducibility is not required.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import shingle_expr
+from .text import tokens_expr
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: group by content digest, keep the lowest id as the
+    canonical row. Returns (digest, keep_id, dup_count)."""
+    digest = F.md5(F.concat_ws("\x1f", *content_cols))
+    return (
+        df.withColumn("digest", digest)
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("bigint").alias("dup_count"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: token ``shingle_n``-gram shingles,
+    ``num_hashes`` seeded min-hashes as columns h0..h{k-1}.
+
+    Pure column expressions (split -> transform/slice shingles -> array_min
+    over seeded hashes): per-row map, scan-speed, no shuffle. Documents with
+    fewer than ``shingle_n`` tokens are dropped (no signature).
+    """
+    df = df.withColumn("__tokens", tokens_expr(text_col)).filter(
+        F.size("__tokens") >= shingle_n
+    )
+    df = df.withColumn("__shingles", shingle_expr("__tokens", shingle_n))
+    for i in range(num_hashes):
+        prefix = f"seed{i}:" if i else ""
+        df = df.withColumn(
+            f"h{i}",
+            F.array_min(
+                F.expr(
+                    f"transform(__shingles, s -> "
+                    f"cast(conv(substr(md5(concat('{prefix}', s)), 1, 15), 16, 10) as bigint))"
+                )
+            ),
+        )
+    return df.select(id_col, *[f"h{i}" for i in range(num_hashes)])
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands, bucket by the
+    band digest, emit distinct candidate pairs (a < b) sharing any bucket.
+
+    The explode+self-join shuffles on (band index, band digest) — this is
+    the step that makes near-dup detection sub-quadratic at 100 TB. Skewed
+    buckets (boilerplate-heavy corpora) are handled by AQE skew-join.
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *cols)).alias("key"))
+        )
+    buckets = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification over candidate pairs: the
+    verify stage after LSH. Returns (id_a, id_b, jaccard) above threshold.
+
+    Shingle sets are small relative to documents, so the pair join carries
+    only (id, shingle_set) — broadcast-able when the candidate set is small.
+    """
+    shingles = (
+        df.withColumn("__tokens", tokens_expr(text_col))
+        .filter(F.size("__tokens") >= shingle_n)
+        .select(
+            F.col(id_col),
+            F.array_distinct(shingle_expr("__tokens", shingle_n)).alias("sh"),
+        )
+    )
+    j = (
+        candidates.join(
+            shingles.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            shingles.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn("__inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("__inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("__inter")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """SimHash document fingerprints via a vectorized Arrow UDF.
+
+    Per token: a stable 64-bit hash (md5-derived, matching
+    functions/hashing.py); per document: sign of the per-bit weighted sum.
+    Near-dups differ in few bits (Hamming distance). mapInPandas keeps the
+    Python hop Arrow-batched; deterministic across runs and partitionings.
+    """
+    out_schema = f"{id_col} bigint, simhash bigint"
+
+    def compute(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                acc = [0] * bits
+                for tok in str(text).split():
+                    h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                    for b in range(bits):
+                        acc[b] += 1 if (h >> (b % 60)) & 1 else -1
+                sig = 0
+                for b in range(bits):
+                    if acc[b] > 0:
+                        sig |= 1 << b
+                # keep within signed int64
+                out.append((doc_id, sig - (1 << 64) if sig >= (1 << 63) else sig))
+            yield pd.DataFrame(out, columns=[id_col, "simhash"])
+
+    return df.select(id_col, text_col).mapInPandas(compute, schema=out_schema)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Exact embedding near-dup: all pairs with cosine >= threshold.
+
+    Brute-force O(n^2) — the correctness baseline. The scale path is
+    similarity.lsh_ann_pairs (random-hyperplane bucketing). Cosine is
+    decomposed as dot/(sqrt(dot_aa)*sqrt(dot_bb)) with left-to-right double
+    folds, bit-identical to the DuckDB oracle's list_dot_product.
+    """
+    from .similarity import _with_double_vec
+
+    e = _with_double_vec(emb, id_col, vec_col)
+    a = e.select(F.col(id_col).alias("id_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = e.select(F.col(id_col).alias("id_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+    return pairs
+
+
+def dedup_keep_canonical(pairs: DataFrame, all_ids: DataFrame, id_col: str) -> DataFrame:
+    """Given near-dup pairs (id_a < id_b), drop every id that appears as the
+    higher member of a pair — single-pass canonicalization (the lowest id of
+    each dup cluster survives; transitive chains collapse to their min via
+    repeated application or a connected-components pass for exactness)."""
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return all_ids.join(dropped, id_col, "left_anti")

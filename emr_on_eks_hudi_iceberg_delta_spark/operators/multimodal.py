@@ -1,0 +1,117 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed through Arrow-batched pandas UDFs.
+
+The decode step is STUBBED (no image/audio libraries in this container):
+``decode_image_stub`` derives deterministic fake dimensions from the
+payload digest, and clearly marked ``NotImplementedError`` hooks show where
+PIL/torchaudio/ffmpeg would plug in. Everything Spark-side — schemas,
+mapInPandas batching, partition sizing — is real and tested.
+
+Scale notes: binary payloads dominate row size; keep
+``spark.sql.files.maxPartitionBytes`` low enough that a batch of payloads
+fits executor memory, and select the binary column as late as possible so
+metadata-only stages never move the bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Build a binary payload column (here: UTF-8 bytes of the text — the
+    stand-in for real image/audio bytes) plus typed metadata."""
+    return df.withColumn("payload", F.col(text_col).cast("binary")).withColumn(
+        "media_type", F.lit("application/octet-stream")
+    )
+
+
+def extract_binary_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads: byte length +
+    content digest. The real plumbing for any decode/feature step — swap the
+    body for image decode, keep the batching."""
+
+    def feats(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "n_bytes": pdf[payload_col].map(len).astype("int64"),
+                    "content_md5": pdf[payload_col].map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        feats, schema=f"{id_col} bigint, n_bytes bigint, content_md5 string"
+    )
+
+
+def decode_image_stub(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """STUB image decode: deterministic fake (width, height, channels)
+    derived from the payload digest. Replace the marked block with
+    ``PIL.Image.open(io.BytesIO(b))`` when an imaging library is present;
+    schema and batch shape stay identical."""
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                digest = hashlib.md5(bytes(payload)).digest()
+                # --- real decode would start here ---------------------
+                # img = PIL.Image.open(io.BytesIO(bytes(payload)))
+                # width, height, channels = img.width, img.height, len(img.getbands())
+                width = 64 + digest[0] % 192
+                height = 64 + digest[1] % 192
+                channels = 1 + digest[2] % 3
+                # --- real decode would end here ------------------------
+                rows.append((doc_id, width, height, channels))
+            yield pd.DataFrame(rows, columns=[id_col, "width", "height", "channels"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        decode, schema=f"{id_col} bigint, width int, height int, channels int"
+    )
+
+
+def sample_frames_stub(
+    df: DataFrame,
+    every_n: int = 10,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """STUB video frame sampling: emits one row per sampled "frame" (byte
+    offset stride over the payload — the explode shape of real frame
+    extraction). Replace the marked block with an ffmpeg/av decode."""
+
+    def sample(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                # --- real frame decode would start here ----------------
+                for frame_idx, off in enumerate(range(0, len(b), every_n)):
+                    rows.append((doc_id, frame_idx, b[off]))
+                # --- real frame decode would end here -------------------
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame_byte"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        sample, schema=f"{id_col} bigint, frame_idx int, frame_byte int"
+    )
+
+
+def audio_features_stub(*_args, **_kwargs):
+    """Hook for audio feature extraction — not implementable in this
+    container (no torchaudio/librosa)."""
+    raise NotImplementedError(
+        "audio decode requires torchaudio/librosa; container has neither. "
+        "Use extract_binary_features for the generic binary path."
+    )

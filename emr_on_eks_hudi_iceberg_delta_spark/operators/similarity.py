@@ -1,0 +1,202 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+* ``cosine_topk`` — exact brute-force top-k: the correctness baseline and
+  the right choice when the query set is small (broadcast queries, one
+  scan of the corpus, per-partition top-k then global top-k).
+* ``lsh_ann_pairs`` / ``lsh_ann_topk`` — random-hyperplane LSH: the scale
+  path. Signatures are per-row maps; candidate generation shuffles on the
+  bucket key only. Recall < 1 by construction (approximate).
+
+Dot products use built-in ``zip_with``+``aggregate`` (sequential double
+fold) — bit-identical to DuckDB's ``list_dot_product``, which keeps exact
+oracles possible. For very wide vectors a Pandas-UDF BLAS path wins; the
+plumbing is the same.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _with_double_vec(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Cast to array<double> once and precompute the L2 norm."""
+    e = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(e, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    return df.select(F.col(id_col), e.alias("e"), nrm.alias("nrm"))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is broadcast (small by assumption); the corpus is scanned
+    once; ranking is a window over (query, cosine desc, neighbor id) — the
+    tie-break keeps results deterministic.
+    """
+    corpus = _with_double_vec(emb, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("e").alias("ec"), F.col("nrm").alias("nc")
+    )
+    qs = _with_double_vec(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("e").alias("eq"), F.col("nrm").alias("nq")
+    )
+    dot = F.aggregate(
+        F.zip_with("eq", "ec", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = (
+        F.broadcast(qs)
+        .join(corpus, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", dot / (F.col("nq") * F.col("nc")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_signatures(
+    emb: DataFrame,
+    n_planes: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) LSH signature per vector.
+
+    Hyperplanes come from a seeded RNG so signatures are deterministic.
+    Vectorized pandas UDF: one matmul per Arrow batch (NumPy BLAS), no
+    per-row Python.
+    """
+
+    def sign_batches(batches):
+        rng = np.random.RandomState(seed)
+        planes = rng.randn(dim, n_planes)
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            bits = (mat @ planes) > 0
+            sig = np.zeros(len(pdf), dtype=np.int64)
+            for j in range(n_planes):
+                sig |= bits[:, j].astype(np.int64) << j
+            yield pd.DataFrame({id_col: pdf[id_col].values, "signature": sig})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        sign_batches, schema=f"{id_col} bigint, signature bigint"
+    )
+
+
+def lsh_ann_pairs(
+    emb: DataFrame,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate near-neighbor candidate pairs: band the hyperplane
+    signature, self-join on (band, band-bits). Sub-quadratic: the shuffle
+    is on bucket keys, and bucket sizes bound the pair blow-up."""
+    bits_per_band = n_planes // bands
+    sig = hyperplane_signatures(emb, n_planes, dim, seed, id_col, vec_col)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("signature"), b * bits_per_band)
+            .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+            .alias("key"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: restrict exact cosine scoring to LSH bucket
+    co-occupants of each query. The IVF-style pattern: probe buckets, score
+    candidates exactly, rank."""
+    bits_per_band = n_planes // bands
+
+    def bucketize(df, name):
+        sig = hyperplane_signatures(df, n_planes, dim, seed, id_col, vec_col)
+        bandc = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("signature"), b * bits_per_band)
+                .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                .alias("key"),
+            )
+            for b in range(bands)
+        ]
+        return sig.select(
+            F.col(id_col).alias(name), F.explode(F.array(*bandc)).alias("bk")
+        ).select(name, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    qb = bucketize(queries, "query_id")
+    cb = bucketize(emb, "neighbor_id")
+    cand = (
+        F.broadcast(qb)
+        .join(cb, ["band", "key"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = _with_double_vec(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("e").alias("eq"), F.col("nrm").alias("nq")
+    )
+    cv = _with_double_vec(emb, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("e").alias("ec"), F.col("nrm").alias("nc")
+    )
+    dot = F.aggregate(
+        F.zip_with("eq", "ec", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine", dot / (F.col("nq") * F.col("nc")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

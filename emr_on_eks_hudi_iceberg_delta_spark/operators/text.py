@@ -1,0 +1,128 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs. Hashing goes through md5 so every
+operator carries an exact cross-engine oracle (functions/hashing.py).
+
+Scale notes: all operators here are embarrassingly parallel per-row maps —
+no shuffle at all; they run at scan speed and scale linearly to 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_hash64
+
+# BPE-ish token pattern: letter runs, digit runs, single punctuation —
+# the shape of a byte-pair pre-tokenizer split (valid in both Java regex
+# and RE2 so Spark and DuckDB agree).
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# language -> distinctive stopwords for the n-gram-free heuristic
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "nicht"),
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "los", "que", "y"),
+    "fr": ("le", "les", "et", "une"),
+    "zh": ("de5", "shi4", "le5", "bu4"),  # pinyin-romanized placeholders
+}
+
+
+def tokens_expr(text_col: str = "text") -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: lengths, token stats, punctuation ratio,
+    stopword density — the standard pre-training quality filters."""
+    toks = tokens_expr(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col)).cast("bigint")
+    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]")).cast("bigint")
+    n_stop = F.regexp_count(F.col(text_col), F.lit(r"\b(the|a|of|and|in|to)\b")).cast(
+        "bigint"
+    )
+    return (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_tokens", n_tokens.cast("bigint"))
+        .withColumn(
+            "avg_token_len",
+            F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(
+                F.lit(None).cast("double")
+            ),
+        )
+        .withColumn("punct_ratio", n_punct / n_chars)
+        .withColumn("stopword_ratio", n_stop / n_tokens)
+        .withColumn(
+            "quality_ok",
+            ((n_tokens >= 5) & (n_chars >= 20) & (n_punct / n_chars < 0.3)).cast("int"),
+        )
+    )
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting two ways: whitespace tokens and BPE-ish regex tokens
+    (the pre-tokenizer's upper bound on BPE token count)."""
+    return df.withColumn(
+        "ws_tokens", F.size(tokens_expr(text_col)).cast("bigint")
+    ).withColumn(
+        "bpe_tokens",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_PATTERN), F.lit(0))).cast(
+            "bigint"
+        ),
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: per-language distinctive-stopword hit counts,
+    argmax with fixed tie-break order (sorted language code). Deterministic
+    and SQL-expressible — not a production model, but the right plumbing
+    shape (pure column expressions, zero shuffle)."""
+    scores = {}
+    for lang, words in LANG_STOPWORDS.items():
+        pat = r"\b(" + "|".join(words) + r")\b"
+        scores[lang] = F.regexp_count(F.col(text_col), F.lit(pat))
+        df = df.withColumn(f"score_{lang}", scores[lang].cast("bigint"))
+    langs = sorted(LANG_STOPWORDS)  # tie-break: first lexicographic max
+    pred = None
+    for lang in langs:
+        cond = F.lit(True)
+        for other in langs:
+            if other != lang:
+                op = (
+                    scores[lang] >= scores[other]
+                    if langs.index(other) > langs.index(lang)
+                    else scores[lang] > scores[other]
+                )
+                cond = cond & op
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return df.withColumn("predicted_lang", F.coalesce(pred, F.lit(langs[0])))
+
+
+def normalized_text_expr(text_col: str = "text") -> Column:
+    return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+
+
+def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprinting: md5 of normalized text (exact) and a
+    min-shingle rolling fingerprint (min 64-bit hash over character
+    5-grams — the 1-min-sketch special case of winnowing)."""
+    norm = normalized_text_expr(text_col)
+    df = df.withColumn("__norm", norm)
+    rolling = F.array_min(
+        F.expr(
+            "transform(sequence(1, length(__norm) - 4), "
+            "i -> cast(conv(substr(md5(substr(__norm, i, 5)), 1, 15), 16, 10) as bigint))"
+        )
+    )
+    return (
+        df.withColumn("content_fingerprint", F.md5(F.col("__norm")))
+        .withColumn(
+            "rolling_fingerprint",
+            F.when(F.length("__norm") >= 5, rolling).otherwise(F.lit(None).cast("bigint")),
+        )
+        .drop("__norm")
+    )

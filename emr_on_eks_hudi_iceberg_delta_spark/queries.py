@@ -832,3 +832,335 @@ def events_sessionize(spark, sf_dir):
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline extensions: dedup / similarity / text / multimodal
+# --------------------------------------------------------------------------
+
+from .operators.dedup import (  # noqa: E402
+    embedding_near_dup_pairs,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .operators.multimodal import (  # noqa: E402
+    attach_binary_payload,
+    decode_image_stub,
+    extract_binary_features,
+    sample_frames_stub,
+)
+from .operators.similarity import cosine_topk, lsh_ann_pairs, lsh_ann_topk  # noqa: E402
+from .operators.text import (  # noqa: E402
+    LANG_STOPWORDS,
+    with_fingerprints,
+    with_lang_id,
+    with_text_stats,
+    with_token_count,
+)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS digest, MIN(doc_id) AS keep_id,
+           COUNT(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+    tags=("dedup", "extension", "bench"),
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the content digest, lowest id wins."""
+    return exact_dedup(_t(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+# MinHash signature SQL shared by the minhash/LSH/jaccard oracles
+_SQL_MINHASH = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    shng AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - 1),
+                            i -> array_to_string(t[i:i+2], ' ')) AS s
+      FROM toks WHERE len(t) >= 3),
+    sig AS (
+      SELECT doc_id,
+""" + ",\n".join(
+    "        list_min(list_transform(s, x -> CAST(concat('0x', "
+    + (
+        f"substr(md5(concat('seed{i}:', x)), 1, 15)"
+        if i
+        else "substr(md5(x), 1, 15)"
+    )
+    + f") AS BIGINT))) AS h{i}"
+    for i in range(8)
+) + """
+      FROM shng)
+"""
+
+
+@register(
+    "minhash_signatures",
+    oracle=_SQL_MINHASH + "SELECT * FROM sig",
+    tags=("dedup", "extension", "bench"),
+)
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (8 seeded hashes over token 3-gram shingles) —
+    per-row map at scan speed, exact cross-engine oracle via md5 hashing."""
+    return minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+_SQL_LSH_BANDS = _SQL_MINHASH + """,
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(concat_ws('_', h0, h1)) AS key FROM sig
+      UNION ALL SELECT doc_id, 1, md5(concat_ws('_', h2, h3)) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(concat_ws('_', h4, h5)) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(concat_ws('_', h6, h7)) FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+"""
+
+
+@register(
+    "lsh_candidate_pairs",
+    oracle=_SQL_LSH_BANDS + "SELECT id_a, id_b FROM cand",
+    tags=("dedup", "extension"),
+)
+def q_lsh_candidate_pairs(spark, sf_dir):
+    """MinHash-LSH banding (4 bands x 2 hashes): candidate near-dup pairs
+    sharing any band bucket — the sub-quadratic shuffle-on-bucket-key step."""
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents"))
+    return lsh_candidate_pairs(sigs)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=_SQL_LSH_BANDS + """,
+    shd AS (SELECT doc_id, list_distinct(s) AS sh FROM shng),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(a.sh, b.sh)) /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      FROM cand c
+      JOIN shd a ON a.doc_id = c.id_a
+      JOIN shd b ON b.doc_id = c.id_b)
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+    """,
+    tags=("dedup", "extension"),
+)
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard verification over the LSH candidates — the
+    find->verify near-dup pipeline end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = lsh_candidate_pairs(minhash_signatures(docs))
+    return ngram_jaccard_pairs(docs, cands, threshold=0.5)
+
+
+@register("simhash_fingerprints", oracle=None, tags=("dedup", "extension", "udf"))
+def q_simhash(spark, sf_dir):
+    """SimHash fingerprints via Arrow-batched pandas UDF (rows-only check:
+    64-bit bit-twiddling is the one spot SQL can't express cleanly)."""
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+_SQL_EMB_NORM = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+"""
+
+
+@register(
+    "embedding_topk",
+    oracle=_SQL_EMB_NORM + """
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+                        c.vec_id) AS INTEGER) AS rank
+      FROM n q JOIN n c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10) t
+    WHERE rank <= 5
+    """,
+    tags=("similarity", "extension", "bench"),
+)
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k (exact ANN baseline): broadcast queries,
+    one corpus scan, ranked window with deterministic tie-break."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "embedding_near_dup",
+    oracle=_SQL_EMB_NORM + """
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+      FROM n a JOIN n b ON a.vec_id < b.vec_id) t
+    WHERE cosine >= 0.35
+    """,
+    tags=("similarity", "dedup", "extension"),
+)
+def q_embedding_near_dup(spark, sf_dir):
+    """Exact embedding near-dup pairs (cosine >= 0.35) — correctness
+    baseline for the LSH scale path."""
+    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+@register("embedding_ann_lsh_pairs", oracle=None, tags=("similarity", "extension"))
+def q_embedding_ann_lsh(spark, sf_dir):
+    """Random-hyperplane LSH candidate pairs — the sub-quadratic ANN path
+    (approximate by construction: rows-only check)."""
+    return lsh_ann_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+@register("embedding_ann_lsh_topk", oracle=None, tags=("similarity", "extension"))
+def q_embedding_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k: probe buckets, exact-score
+    candidates only (IVF-style)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "text_quality_stats",
+    oracle="""
+    SELECT doc_id, lang, source,
+      CAST(length(text) AS BIGINT) AS n_chars,
+      CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+      (CAST(length(text) AS BIGINT) - (len(string_split_regex(trim(text), '\\s+')) - 1))
+        / len(string_split_regex(trim(text), '\\s+')) AS avg_token_len,
+      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+        / CAST(length(text) AS BIGINT) AS punct_ratio,
+      CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|in|to)\\b')) AS BIGINT)
+        / CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS stopword_ratio,
+      CAST(len(string_split_regex(trim(text), '\\s+')) >= 5 AND length(text) >= 20
+           AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+               / CAST(length(text) AS BIGINT) < 0.3 AS INTEGER) AS quality_ok
+    FROM documents
+    """,
+    tags=("text", "extension", "bench"),
+)
+def q_text_quality_stats(spark, sf_dir):
+    """Quality-scoring features (length/token/punctuation/stopword ratios)
+    — pure column expressions, zero shuffle, scan-speed at 100 TB."""
+    return with_text_stats(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source", "n_chars", "n_tokens", "avg_token_len",
+        "punct_ratio", "stopword_ratio", "quality_ok",
+    )
+
+
+def _lang_id_oracle() -> str:
+    langs = sorted(LANG_STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        pat = "\\b(" + "|".join(LANG_STOPWORDS[lang]) + ")\\b"
+        score_cols.append(
+            f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS score_{lang}"
+        )
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = []
+        for j, other in enumerate(langs):
+            if i == j:
+                continue
+            op = ">=" if j > i else ">"
+            conds.append(f"score_{lang} {op} score_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {', '.join(score_cols)} FROM documents)
+    SELECT doc_id, lang, {', '.join('score_' + l for l in langs)},
+           COALESCE(CASE {' '.join(cases)} END, '{langs[0]}') AS predicted_lang
+    FROM scored
+    """
+
+
+@register("lang_id", oracle=_lang_id_oracle(), tags=("text", "extension"))
+def q_lang_id(spark, sf_dir):
+    """Heuristic language ID (distinctive-stopword argmax, deterministic
+    tie-break) — the n-gram-free classifier shape."""
+    return with_lang_id(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang",
+        *[f"score_{lang}" for lang in sorted(LANG_STOPWORDS)],
+        "predicted_lang",
+    )
+
+
+@register(
+    "token_count",
+    oracle="""
+    SELECT doc_id,
+      CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+        AS bpe_tokens
+    FROM documents
+    """,
+    tags=("text", "extension"),
+)
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace and BPE-ish regex pre-tokenizer counts."""
+    return with_token_count(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "ws_tokens", "bpe_tokens"
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nrm
+      FROM documents)
+    SELECT doc_id, md5(nrm) AS content_fingerprint,
+      CASE WHEN length(nrm) >= 5 THEN
+        list_min(list_transform(range(1, length(nrm) - 3),
+          i -> CAST(concat('0x', substr(md5(substr(nrm, i, 5)), 1, 15)) AS BIGINT)))
+      ELSE NULL END AS rolling_fingerprint
+    FROM n
+    """,
+    tags=("text", "extension"),
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprints: exact md5 of normalized text + min-shingle
+    rolling hash (1-min-sketch winnowing)."""
+    return with_fingerprints(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "content_fingerprint", "rolling_fingerprint"
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    tags=("multimodal", "extension", "udf"),
+)
+def q_multimodal_features(spark, sf_dir):
+    """Binary-column plumbing: payload attach + Arrow-batched pandas-UDF
+    feature extraction (byte length, content digest) — the real decode
+    pipeline shape with an exact oracle."""
+    docs = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return extract_binary_features(docs)
+
+
+@register("multimodal_decode_stub", oracle=None, tags=("multimodal", "extension", "udf"))
+def q_multimodal_decode(spark, sf_dir):
+    """STUB image decode over binary payloads (deterministic fake dims;
+    rows-only check — no imaging library in this container)."""
+    docs = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return decode_image_stub(docs)
+
+
+@register("multimodal_frame_sample", oracle=None, tags=("multimodal", "extension", "udf"))
+def q_multimodal_frames(spark, sf_dir):
+    """STUB video frame sampling (explode-shaped mapInPandas; rows-only)."""
+    docs = attach_binary_payload(_t(spark, sf_dir, "documents")).limit(50)
+    return sample_frames_stub(docs)
