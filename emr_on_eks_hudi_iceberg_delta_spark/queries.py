@@ -1164,3 +1164,83 @@ def q_multimodal_frames(spark, sf_dir):
     """STUB video frame sampling (explode-shaped mapInPandas; rows-only)."""
     docs = attach_binary_payload(_t(spark, sf_dir, "documents")).limit(50)
     return sample_frames_stub(docs)
+
+
+# --------------------------------------------------------------------------
+# Structured Streaming (replayed via file source + AvailableNow; the
+# streaming twins of the events_* batch queries)
+# --------------------------------------------------------------------------
+
+import tempfile  # noqa: E402
+
+from .streaming.events import (  # noqa: E402
+    run_stream_to_memory,
+    stage_events_as_stream_source,
+    stream_distinct_users,
+    stream_session_windows,
+    stream_tumbling_counts,
+    stream_user_running_totals,
+)
+
+
+def _events_stream(spark, sf_dir):
+    return stage_events_as_stream_source(
+        spark, sf_dir, tempfile.mkdtemp(prefix="evstream_")
+    )
+
+
+@register(
+    "streaming_tumbling_hourly",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL})
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM ev GROUP BY 1, 2
+    """,
+    tags=("streaming", "extension"),
+)
+def q_streaming_tumbling(spark, sf_dir):
+    """Structured Streaming tumbling window (complete mode, AvailableNow
+    replay) — exact-matches the batch oracle: same code path serves batch
+    backfill and live ingestion."""
+    return run_stream_to_memory(stream_tumbling_counts(_events_stream(spark, sf_dir)))
+
+
+@register(
+    "streaming_distinct_users",
+    oracle="SELECT DISTINCT user_id FROM events",
+    tags=("streaming", "extension"),
+)
+def q_streaming_distinct_users(spark, sf_dir):
+    """Streaming dedup (dropDuplicates state per key, append mode)."""
+    return run_stream_to_memory(
+        stream_distinct_users(_events_stream(spark, sf_dir)), output_mode="append"
+    )
+
+
+@register("streaming_session_windows", oracle=None, tags=("streaming", "extension"))
+def q_streaming_session_windows(spark, sf_dir):
+    """Native streaming session windows with watermark (append mode) —
+    rows-only: append mode correctly withholds sessions the final watermark
+    has not closed, so the batch oracle is a superset by design."""
+    return run_stream_to_memory(
+        stream_session_windows(_events_stream(spark, sf_dir)), output_mode="append"
+    )
+
+
+@register(
+    "streaming_user_running_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "extension", "udf"),
+)
+def q_streaming_running_totals(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    (count, max) in explicit GroupState — single-batch replay makes the
+    final emission equal the batch aggregate."""
+    return run_stream_to_memory(
+        stream_user_running_totals(_events_stream(spark, sf_dir)), output_mode="update"
+    )

@@ -1,0 +1,154 @@
+"""Structured Streaming operators over the events stream.
+
+The reference is batch-only (SURVEY.md §2.9) — "incremental" there means a
+second batch job. This module adds the real streaming surface a 100 TB
+pipeline needs: event-time tumbling/sliding windows, session windows,
+streaming dedup, and a custom stateful operator via
+``applyInPandasWithState``.
+
+Every operator is a function DataFrame->DataFrame that works on a streaming
+input (``readStream``), so the same code path serves batch backfill and
+live ingestion — the classic kappa pattern. Tests replay the deterministic
+events table through a file source with ``Trigger.AvailableNow`` and
+compare against the batch oracles.
+
+Scale notes: watermarks bound state size (without one, windowed state grows
+forever); session windows and stateful ops shuffle on the grouping key once;
+``spark.sql.shuffle.partitions`` sizes the state store instance count —
+pick it for the steady-state key cardinality, not the data volume.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def stage_events_as_stream_source(
+    spark: SparkSession, sf_dir: str, stage_dir: str, single_file: bool = True
+) -> DataFrame:
+    """Replay the batch events table as a file-source stream: stage the
+    (ns-normalized) parquet into ``stage_dir`` and open a readStream over
+    it. ``single_file`` keeps replay to one micro-batch so stateful
+    operators emit one deterministic result set."""
+    from ..sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    writer = ev.coalesce(1) if single_file else ev
+    writer.write.mode("overwrite").parquet(stage_dir)
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(stage_dir)
+
+
+def stream_tumbling_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window aggregate — streaming twin of the batch
+    ``events_tumbling_hourly`` query (identical results in complete mode)."""
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def stream_sliding_counts(
+    events: DataFrame, window: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def stream_session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Native session windows (``F.session_window``): window end = last
+    event + gap. The watermark lets Spark finalize sessions and evict state
+    — required in append mode, and the knob that bounds state at scale.
+
+    Watermarks only accept TIMESTAMP (not NTZ), so event time converts at
+    the boundary (session timezone is pinned to UTC by session.configure,
+    so wall-clock values are preserved) and back on output."""
+    return (
+        events.withColumn("__ts", F.col("ts").cast("timestamp"))
+        .withWatermark("__ts", watermark)
+        .groupBy("user_id", F.session_window("__ts", gap).alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_distinct_users(events: DataFrame) -> DataFrame:
+    """Streaming dedup: first-arrival keep per user_id. State = one entry
+    per key; pair with a watermark + dropDuplicatesWithinWatermark when keys
+    are unbounded."""
+    return events.dropDuplicates(["user_id"]).select("user_id")
+
+
+def stream_user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, max(value)) kept in explicit GroupState — the escape
+    hatch for aggregations Spark's built-in windowed state can't express.
+    Emits the updated stats each micro-batch. (count/max rather than sum so
+    results are exactly comparable against a SQL oracle — float sums are
+    accumulation-order-dependent.)"""
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        n, mx = state.get if state.exists else (0, None)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            batch_max = float(pdf["value"].max()) if len(pdf) else None
+            if batch_max is not None:
+                mx = batch_max if mx is None else max(mx, batch_max)
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "max_value": [mx]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, max_value double",
+        stateStructType="n bigint, mx double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_memory(
+    sdf: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (AvailableNow) into a memory
+    sink and return the result as a batch DataFrame."""
+    name = name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join("/tmp", f"ckpt_{name}"))
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
