@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries (registry tag "bench") at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "bench_total_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": "..."}
+
+Each query is fully materialized through the ``noop`` sink (computes every
+output column — ``count()`` would let Catalyst prune the work away).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from emr_on_eks_hudi_iceberg_delta_spark.queries import REGISTRY
+from emr_on_eks_hudi_iceberg_delta_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    bench_queries = [n for n, s in sorted(REGISTRY.items()) if "bench" in s.tags]
+
+    # warm up the JVM/codegen on a trivial plan so q1 doesn't pay startup
+    materialize(spark.range(1000).selectExpr("sum(id) as s"))
+
+    timings: dict[str, float] = {}
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        materialize(REGISTRY[name].fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
