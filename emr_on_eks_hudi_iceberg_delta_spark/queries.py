@@ -1244,3 +1244,237 @@ def q_streaming_running_totals(spark, sf_dir):
     return run_stream_to_memory(
         stream_user_running_totals(_events_stream(spark, sf_dir)), output_mode="update"
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 2: CSV source (S1), reference golden pipeline, write-path roundtrip,
+# join-type completeness, more window/pivot shapes
+# --------------------------------------------------------------------------
+
+import os  # noqa: E402
+
+from pyspark.sql.types import (  # noqa: E402
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .sources.csv import read_csv_with_schema  # noqa: E402
+
+_FIXTURES = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
+)
+_CONTACTS_SCHEMA = StructType(
+    [
+        StructField("id", IntegerType(), True),
+        StructField("name", StringType(), True),
+        StructField("email", StringType(), True),
+        StructField("state", StringType(), True),
+    ]
+)
+_SQL_CONTACTS_COLS = "columns={'id':'INTEGER','name':'VARCHAR','email':'VARCHAR','state':'VARCHAR'}"
+_SQL_READ_INITIAL = (
+    f"SELECT * FROM read_csv('{_FIXTURES}/initial_contacts.csv', header=false, "
+    f"{_SQL_CONTACTS_COLS})"
+)
+_SQL_READ_UPDATE = (
+    f"SELECT * FROM read_csv('{_FIXTURES}/update_contacts.csv', header=false, "
+    f"{_SQL_CONTACTS_COLS})"
+)
+
+
+@register("csv_scan_schema", oracle=_SQL_READ_INITIAL, tags=("S1",))
+def q_csv_scan_schema(spark, sf_dir):
+    """Schema-declared headerless CSV scan (S1): the reference's input path
+    (hudi/hudi_scd_script.py:55-58), on a checked-in fixture mirroring
+    data/initial_contacts.csv."""
+    return read_csv_with_schema(
+        spark, f"{_FIXTURES}/initial_contacts.csv", _CONTACTS_SCHEMA
+    )
+
+
+def _sql_contact_envelope(src: str, ts_lit: str) -> str:
+    return f"""
+    SELECT id, name, email, state,
+           TIMESTAMP '{ts_lit}' AS ts, TIMESTAMP '{ts_lit}' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to, CAST(1 AS INTEGER) AS iscurrent,
+           md5(name || email || state) AS checksum
+    FROM ({src})
+    """
+
+
+@register(
+    "scd2_contacts_golden",
+    oracle=f"""
+    WITH tgt AS ({_sql_contact_envelope(_SQL_READ_INITIAL, T1)}),
+         upd AS ({_sql_contact_envelope(_SQL_READ_UPDATE, T2)})
+    SELECT t.id, t.name, t.email, t.state, u.ts AS ts, t.valid_from AS valid_from,
+           u.valid_from AS valid_to, CAST(0 AS INTEGER) AS iscurrent,
+           t.checksum AS checksum
+    FROM tgt t JOIN upd u
+      ON t.id = u.id AND t.checksum <> u.checksum AND t.iscurrent = 1
+    UNION ALL
+    SELECT * FROM upd
+    """,
+    tags=("scd2", "S1", "S7", "golden"),
+)
+def q_scd2_contacts_golden(spark, sf_dir):
+    """The reference pipeline end-to-end on reference-shaped CSV fixtures:
+    CSV scan -> SCD2 envelope (checksum over name/email/state, exactly
+    hudi/hudi_scd_script.py:63) -> incremental hudi-style merge. Satisfies
+    the §2.11 golden invariant: 1192 rows = 1100 current + 92 expired with
+    valid_to = the update batch's valid_from."""
+    initial = read_csv_with_schema(
+        spark, f"{_FIXTURES}/initial_contacts.csv", _CONTACTS_SCHEMA
+    )
+    update = read_csv_with_schema(
+        spark, f"{_FIXTURES}/update_contacts.csv", _CONTACTS_SCHEMA
+    )
+    target = with_scd2_columns(initial, ["name", "email", "state"], as_of=T1)
+    return scd2_merge_hudi_style(target, update, "id", ["name", "email", "state"], as_of=T2)
+
+
+@register(
+    "versioned_table_upsert",
+    oracle=f"""
+    WITH tgt AS ({_SQL_TGT9}), upd AS ({_SQL_UPD9}),
+    unioned AS (SELECT * FROM tgt UNION ALL SELECT * FROM upd)
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           ts, valid_from, valid_to, iscurrent, checksum
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey, checksum
+                                       ORDER BY ts DESC) AS rn
+          FROM unioned) t
+    WHERE rn = 1
+    """,
+    tags=("S2", "S6", "S7", "sink"),
+)
+def q_versioned_table_upsert(spark, sf_dir):
+    """Write path end-to-end: bulk overwrite (S6) into a snapshot-versioned
+    parquet table, keyed upsert commit (S7), snapshot scan back (S2) — the
+    lake-format write/read cycle on plain parquet."""
+    import tempfile
+
+    from .sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_q_"))
+    vt.overwrite(scd2_target(spark, sf_dir))
+    vt.upsert(
+        with_scd2_columns(customer_updates(spark, sf_dir), CHECKSUM_COLS, as_of=T2),
+        ["c_custkey", "checksum"],
+        "ts",
+    )
+    return vt.read()
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+    tags=("join",),
+)
+def q_join_left_outer(spark, sf_dir):
+    """Left outer join + count (engine completeness: the reference has no
+    outer joins — SURVEY.md §2.3 note)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    tags=("join",),
+)
+def q_join_left_semi(spark, sf_dir):
+    """Left semi join (EXISTS) — the matched-branch primitive our merge
+    decomposition uses (SURVEY.md J4 fallback)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def q_join_left_anti(spark, sf_dir):
+    """Left anti join (NOT EXISTS) — the not-matched-branch primitive of the
+    merge decomposition."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "running_total_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+    tags=("window",),
+)
+def q_running_total_window(spark, sf_dir):
+    """Running total per key (rows frame, unique tie-break) — decimal
+    accumulation keeps every prefix exact across engines."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+@register(
+    "pivot_status_by_year",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS O,
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS F,
+      CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS P
+    FROM orders GROUP BY 1
+    """,
+    tags=("agg",),
+)
+def q_pivot_status_by_year(spark, sf_dir):
+    """Pivot aggregate (groupBy().pivot() with explicit value list — avoids
+    the extra distinct-values job at scale)."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    return (
+        o.groupBy("order_year")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"))
+    )

@@ -1,0 +1,72 @@
+"""Physical-plan shape tests — the 100 TB design contract.
+
+Results being right is necessary; these pin that the plans are the ones we
+designed: pushdown reaching scans, column pruning, broadcast joins for
+small dimensions, bounded shuffle counts.
+"""
+
+from pyspark.sql import functions as F
+
+from emr_on_eks_hudi_iceberg_delta_spark.plans import (
+    broadcast_join_count,
+    has_pushed_filter,
+    scan_read_columns,
+    shuffle_count,
+)
+from emr_on_eks_hudi_iceberg_delta_spark.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_point_lookup_pushes_filter(spark):
+    df = REGISTRY["point_lookup"].fn(spark, SF_DIR)
+    assert has_pushed_filter(df, "EqualTo(o_orderkey,103)")
+
+
+def test_q1_pushdown_and_pruning(spark):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR)
+    assert has_pushed_filter(df, "LessThanOrEqual(l_shipdate")
+    (cols,) = scan_read_columns(df)
+    # 7 of 11 lineitem columns read — projection pruned to what q1 needs
+    assert cols == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }
+    # single shuffle: the group-by exchange
+    assert shuffle_count(df) == 1
+
+
+def test_q3_broadcasts_dimensions(spark):
+    df = REGISTRY["q3_shipping_priority"].fn(spark, SF_DIR)
+    assert broadcast_join_count(df) >= 1
+    assert has_pushed_filter(df, "EqualTo(c_mktsegment,BUILDING)")
+
+
+def test_q5_single_shuffle(spark):
+    df = REGISTRY["q5_local_supplier"].fn(spark, SF_DIR)
+    # all five dimension joins broadcast at this SF; the only exchange is
+    # the final group-by
+    assert broadcast_join_count(df) == 5
+    assert shuffle_count(df) <= 2
+
+
+def test_text_stats_no_shuffle(spark):
+    df = REGISTRY["text_quality_stats"].fn(spark, SF_DIR)
+    assert shuffle_count(df) == 0  # pure per-row map: scan-speed at 100 TB
+
+
+def test_minhash_no_shuffle(spark):
+    df = REGISTRY["minhash_signatures"].fn(spark, SF_DIR)
+    assert shuffle_count(df) == 0
+
+
+def test_topk_broadcasts_queries(spark):
+    df = REGISTRY["embedding_topk"].fn(spark, SF_DIR)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_scd2_merge_bounded_shuffles(spark):
+    df = REGISTRY["scd2_merge_hudi"].fn(spark, SF_DIR)
+    # change-detection join + upsert window; must not blow up into many
+    # exchanges of the big side
+    assert shuffle_count(df) <= 4
