@@ -60,16 +60,22 @@ def minhash_signatures(
         F.size("__tokens") >= shingle_n
     )
     df = df.withColumn("__shingles", shingle_expr("__tokens", shingle_n))
+    # Carter-Wegman family: two md5-derived base hashes per shingle, then
+    # h_i = (a + i*b) mod p — 2 md5 calls per shingle instead of num_hashes.
+    # p = 2^31-1 keeps a + i*b well inside int64.
+    p = (1 << 31) - 1
+    df = df.withColumn(
+        "__ab",
+        F.expr(
+            "transform(__shingles, s -> struct("
+            f"cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint) % {p} as a, "
+            f"cast(conv(substr(md5(concat('b:', s)), 1, 15), 16, 10) as bigint) % {p} as b))"
+        ),
+    )
     for i in range(num_hashes):
-        prefix = f"seed{i}:" if i else ""
         df = df.withColumn(
             f"h{i}",
-            F.array_min(
-                F.expr(
-                    f"transform(__shingles, s -> "
-                    f"cast(conv(substr(md5(concat('{prefix}', s)), 1, 15), 16, 10) as bigint))"
-                )
-            ),
+            F.array_min(F.expr(f"transform(__ab, x -> (x.a + {i} * x.b) % {p})")),
         )
     return df.select(id_col, *[f"h{i}" for i in range(num_hashes)])
 

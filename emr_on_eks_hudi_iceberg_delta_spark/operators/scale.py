@@ -1,0 +1,72 @@
+"""Skew- and scale-management operators.
+
+AQE's skew-join splitting handles most skew at runtime
+(``spark.sql.adaptive.skewJoin.enabled``, on in session.py); these
+operators are the explicit versions for the cases AQE can't fix:
+
+* ``salted_join`` — a hot key on the probe side explodes one straggler
+  task. Salting replicates the build side R ways and scatters the probe
+  side across the replicas, trading R x build-side duplication for even
+  task sizes. Results are exactly equal to the plain join.
+* ``two_phase_agg`` — high-cardinality groupBy with a few giant groups:
+  pre-aggregate on (key, salt), then combine. Exact for algebraic
+  aggregates (count/sum/min/max).
+
+Both are pure DataFrame compositions — deterministic salts (id-derived,
+not random) so results are reproducible and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi join with salted keys: ``left`` (large, possibly skewed) gets a
+    deterministic salt from its own row content; ``right`` is exploded once
+    per salt value. Output equals ``left.join(right, key, how)`` exactly.
+    """
+    # salt derived from the full row hash: deterministic across runs and
+    # partitionings (monotonically_increasing_id would not be)
+    salted_left = left.withColumn(
+        "__salt", F.abs(F.xxhash64(*left.columns)) % salt_buckets
+    )
+    exploded_right = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    joined = salted_left.join(exploded_right, [key, "__salt"], how)
+    return joined.drop("__salt")
+
+
+def two_phase_agg(
+    df: DataFrame,
+    key: str,
+    agg_exprs: dict[str, tuple[str, Column]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation: partial agg on (key, salt) then final combine.
+
+    ``agg_exprs`` maps output name -> (combine_fn_name, partial_expr), e.g.
+    ``{"n": ("sum", F.count("*")), "mx": ("max", F.max("value"))}``.
+    Exact for algebraic aggregates; a straight win when single keys carry
+    billions of rows (the partial shuffle spreads each key over
+    ``salt_buckets`` reducers).
+    """
+    salted = df.withColumn("__salt", F.abs(F.xxhash64(*df.columns)) % salt_buckets)
+    partial = salted.groupBy(key, "__salt").agg(
+        *[expr.alias(f"__p_{name}") for name, (_, expr) in agg_exprs.items()]
+    )
+    final = partial.groupBy(key).agg(
+        *[
+            getattr(F, fn)(f"__p_{name}").alias(name)
+            for name, (fn, _) in agg_exprs.items()
+        ]
+    )
+    return final

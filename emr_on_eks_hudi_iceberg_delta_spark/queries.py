@@ -877,7 +877,11 @@ def q_dedup_exact(spark, sf_dir):
 
 
 # MinHash signature SQL shared by the minhash/LSH/jaccard oracles
-_SQL_MINHASH = """
+# Carter-Wegman minhash family mirrored in SQL: h_i = (a + i*b) mod p with
+# a, b md5-derived per shingle (must stay in lockstep with
+# operators.dedup.minhash_signatures).
+_MINHASH_P = (1 << 31) - 1
+_SQL_MINHASH = f"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
     shng AS (
@@ -885,19 +889,18 @@ _SQL_MINHASH = """
              list_transform(range(1, len(t) - 1),
                             i -> array_to_string(t[i:i+2], ' ')) AS s
       FROM toks WHERE len(t) >= 3),
+    ab AS (
+      SELECT doc_id, list_transform(s, x -> struct_pack(
+        a := CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % {_MINHASH_P},
+        b := CAST(concat('0x', substr(md5(concat('b:', x)), 1, 15)) AS BIGINT) % {_MINHASH_P}
+      )) AS ab FROM shng),
     sig AS (
       SELECT doc_id,
 """ + ",\n".join(
-    "        list_min(list_transform(s, x -> CAST(concat('0x', "
-    + (
-        f"substr(md5(concat('seed{i}:', x)), 1, 15)"
-        if i
-        else "substr(md5(x), 1, 15)"
-    )
-    + f") AS BIGINT))) AS h{i}"
+    f"        list_min(list_transform(ab, x -> (x.a + {i} * x.b) % {_MINHASH_P})) AS h{i}"
     for i in range(8)
 ) + """
-      FROM shng)
+      FROM ab)
 """
 
 
@@ -1477,4 +1480,233 @@ def q_pivot_status_by_year(spark, sf_dir):
         o.groupBy("order_year")
         .pivot("o_orderstatus", ["O", "F", "P"])
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Batch 3: scalar-function breadth (strings, datetime, JSON, arrays),
+# quantiles, conditional aggregates, skew-handling scale operators
+# --------------------------------------------------------------------------
+
+from .operators.scale import salted_join, two_phase_agg  # noqa: E402
+
+
+@register(
+    "string_functions",
+    oracle="""
+    SELECT c_custkey,
+      upper(c_name) AS name_upper,
+      lower(c_mktsegment) AS seg_lower,
+      substr(c_name, 1, 8) AS name_prefix,
+      replace(c_name, '#', '-') AS name_clean,
+      lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+      concat_ws('|', c_name, c_mktsegment) AS name_seg,
+      CAST(length(c_name) AS INTEGER) AS name_len,
+      CAST(c_name LIKE '%0%' AS INTEGER) AS has_zero
+    FROM customer
+    """,
+    tags=("functions",),
+)
+def q_string_functions(spark, sf_dir):
+    """Scalar string-function surface (F-series breadth): upper/lower/
+    substr/replace/lpad/concat_ws/length/like — all codegen built-ins."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_clean"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("name_seg"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.col("c_name").like("%0%").cast("int").alias("has_zero"),
+    )
+
+
+@register(
+    "datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+      CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+      CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS order_month,
+      CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS order_day,
+      CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS order_quarter,
+      CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS order_dow,
+      date_trunc('month', o_orderdate) AS month_start,
+      o_orderdate + INTERVAL 30 DAY AS due_date,
+      CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER)
+        AS days_since_epoch_start
+    FROM orders
+    """,
+    tags=("functions",),
+)
+def q_datetime_functions(spark, sf_dir):
+    """Datetime-function surface: extract fields, truncation, interval
+    arithmetic, day difference. (DuckDB dayofweek is 0=Sunday while Spark
+    dayofweek is 1=Sunday — the oracle aligns explicitly.)"""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+        F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+        F.dayofweek("o_orderdate").cast("int").alias("order_dow"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.expr("o_orderdate + INTERVAL 30 DAY").alias("due_date"),
+        F.expr(
+            "timestampdiff(DAY, TIMESTAMP_NTZ '1995-01-01 00:00:00', o_orderdate)"
+        ).cast("int").alias("days_since_epoch_start"),
+    )
+
+
+@register(
+    "json_extract",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+    tags=("functions", "extension"),
+)
+def q_json_extract(spark, sf_dir):
+    """JSON field extraction from the events props column
+    (get_json_object — the semi-structured column surface)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+
+
+@register(
+    "collect_sorted_arrays",
+    oracle="""
+    SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys,
+           CAST(len(list(o_orderkey)) AS INTEGER) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+    tags=("agg", "functions"),
+)
+def q_collect_sorted_arrays(spark, sf_dir):
+    """Array aggregation: collect_list + sort_array (sorted so the result
+    is deterministic under any partitioning — bare collect_list is not)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.count("o_orderkey").cast("int").alias("n_orders"),
+    )
+
+
+@register(
+    "explode_array",
+    oracle="""
+    WITH arrs AS (
+      SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys
+      FROM orders GROUP BY o_custkey)
+    SELECT o_custkey, unnest(order_keys) AS o_orderkey FROM arrs
+    """,
+    tags=("functions",),
+)
+def q_explode_array(spark, sf_dir):
+    """explode / unnest round trip of the collected arrays (lateral view
+    shape)."""
+    o = _t(spark, sf_dir, "orders")
+    arrs = o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys")
+    )
+    return arrs.select("o_custkey", F.explode("order_keys").alias("o_orderkey"))
+
+
+@register(
+    "conditional_agg",
+    oracle="""
+    SELECT o_custkey,
+      COUNT(*) AS n_orders,
+      COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+      CAST(SUM(CASE WHEN o_totalprice > 200000
+                    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
+        AS big_order_total
+    FROM orders GROUP BY o_custkey
+    """,
+    tags=("agg",),
+)
+def q_conditional_agg(spark, sf_dir):
+    """Conditional aggregation (count_if / filtered sum) — one pass instead
+    of self-joins."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.sum(
+            F.when(
+                F.col("o_totalprice") > 200000,
+                F.col("o_totalprice").cast("decimal(18,4)"),
+            )
+        ).cast("double").alias("big_order_total"),
+    )
+
+
+@register(
+    "exact_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+      quantile_cont(l_quantity, 0.5) AS median_qty,
+      quantile_cont(l_quantity, 0.9) AS p90_qty,
+      MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def q_exact_quantiles(spark, sf_dir):
+    """Exact quantiles per group (median/p90, linear interpolation — the
+    same definition in Spark percentile and DuckDB quantile_cont). At
+    100 TB swap for approx_percentile and accept the epsilon."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@register(
+    "salted_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    tags=("scale", "join"),
+)
+def q_salted_join(spark, sf_dir):
+    """Skew-handling salted join: build side replicated per salt bucket,
+    probe side scattered — result exactly equals the plain join (the oracle
+    IS the plain join)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    return salted_join(o, c, "o_custkey", salt_buckets=8).select(
+        "o_orderkey", "o_custkey", "c_name"
+    )
+
+
+@register(
+    "two_phase_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events, MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("scale", "agg"),
+)
+def q_two_phase_agg(spark, sf_dir):
+    """Skew-handling two-phase aggregate on a low-cardinality hot key
+    (event_type: 5 values across everything) — partial agg on (key, salt)
+    spreads each hot key over 16 reducers; exact for algebraic aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    return two_phase_agg(
+        ev.select("event_type", "value"),
+        "event_type",
+        {"n_events": ("sum", F.count("*")), "max_value": ("max", F.max("value"))},
     )

@@ -29,6 +29,14 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every Python<->JVM columnar hop (pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Local test data ships as one ~10 MB parquet per table; the 128 MB
+    # default split maps whole tables to single tasks and idles 31 of 32
+    # cores. 8 MB splits restore scan parallelism here. On a real cluster
+    # against 100 TB (many ~128 MB-row-group files) leave this at default —
+    # override via SPARK_GRAFT_MAX_PARTITION_BYTES.
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"
+    ),
 }
 
 

@@ -34,6 +34,15 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         s = df[c]
+        if s.dtype == object and s.map(
+            lambda x: isinstance(x, (list, tuple)) or hasattr(x, "tolist")
+        ).any():
+            df[c] = s.map(
+                lambda x: tuple(x.tolist() if hasattr(x, "tolist") else x)
+                if x is not None
+                else None
+            )
+            continue
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.astype("datetime64[us]")
         elif pd.api.types.is_integer_dtype(s) or s.dtype == object and s.map(
