@@ -1710,3 +1710,149 @@ def q_two_phase_agg(spark, sf_dir):
         "event_type",
         {"n_events": ("sum", F.count("*")), "max_value": ("max", F.max("value"))},
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 4: more TPC-H-shaped join/agg benchmarks + partitioned-write pruning
+# --------------------------------------------------------------------------
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        AS revenue,
+      n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    """,
+    tags=("join", "agg", "bench"),
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: who returned goods last quarter — selective fact
+    filter, 4-way join, customer-grain aggregate."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_dsum(F.expr("l_extendedprice * (1 - l_discount)"), 6).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+@register(
+    "q14_promo_effect",
+    oracle="""
+    SELECT
+      100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) END)
+               AS DOUBLE)
+            / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+               AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    """,
+    tags=("join", "agg", "bench"),
+)
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share — broadcast dimension join +
+    conditional aggregate in one pass."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = _t(spark, sf_dir, "part")
+    disc = F.expr("l_extendedprice * (1 - l_discount)")
+    promo = F.when(F.col("p_type").like("PROMO%"), disc.cast("decimal(18,6)"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(disc.cast("decimal(18,6)")).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150)
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    """,
+    tags=("join", "agg", "bench"),
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume orders — aggregate-derived semi-join
+    filter (HAVING subquery) then re-aggregate at order grain."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_dsum("l_quantity").alias("total_qty"))
+    )
+
+
+@register(
+    "partitioned_write_prune",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) = 1997
+    """,
+    tags=("sink", "scale"),
+)
+def q_partitioned_write_prune(spark, sf_dir):
+    """Hive-style partitioned write + partition-pruned read: orders written
+    partitionBy(order_year), read back with a partition filter — the scan
+    touches one directory (PartitionFilters in .explain), the 100 TB layout
+    discipline the reference never set up (SURVEY.md §4: unpartitioned)."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="part_orders_")
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    o.select("o_orderkey", "o_totalprice", "order_year").write.mode(
+        "overwrite"
+    ).partitionBy("order_year").parquet(out)
+    return spark.read.parquet(out).filter(F.col("order_year") == 1997).select(
+        "o_orderkey", "o_totalprice", "order_year"
+    )

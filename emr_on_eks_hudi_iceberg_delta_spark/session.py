@@ -10,6 +10,7 @@ behavior through partition counts + AQE.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -73,6 +74,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # fresh managed-table warehouse per session: saveAsTable/bucketBy
+        # tests never collide with a previous run's directories
+        .config(
+            "spark.sql.warehouse.dir",
+            tempfile.mkdtemp(prefix="spark_warehouse_"),
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -70,3 +70,33 @@ def test_scd2_merge_bounded_shuffles(spark):
     # change-detection join + upsert window; must not blow up into many
     # exchanges of the big side
     assert shuffle_count(df) <= 4
+
+
+def test_bucketed_join_no_shuffle(spark):
+    """Bucketed tables co-locate join keys: the SMJ needs no exchange —
+    the 100 TB co-located-join discipline (SURVEY.md §2.1 S7 scale note)."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
+
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_name")
+    o.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode("overwrite").saveAsTable("orders_bkt")
+    c.write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode("overwrite").saveAsTable("customer_bkt")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("orders_bkt").join(
+            spark.table("customer_bkt"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        assert shuffle_count(j) == 0
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_partitioned_write_prunes(spark):
+    df = REGISTRY["partitioned_write_prune"].fn(spark, SF_DIR)
+    plan = __import__(
+        "emr_on_eks_hudi_iceberg_delta_spark.plans.explain", fromlist=["formatted_plan"]
+    ).formatted_plan(df)
+    assert "PartitionFilters" in plan and "order_year" in plan
