@@ -1856,3 +1856,59 @@ def q_partitioned_write_prune(spark, sf_dir):
     return spark.read.parquet(out).filter(F.col("order_year") == 1997).select(
         "o_orderkey", "o_totalprice", "order_year"
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 5: streaming SCD2 ingestion + time travel in the gate
+# --------------------------------------------------------------------------
+
+@register(
+    "streaming_scd2_ingest",
+    oracle=_SQL_MERGE_HUDI,
+    tags=("streaming", "scd2", "extension"),
+)
+def q_streaming_scd2_ingest(spark, sf_dir):
+    """Streaming SCD2 ingestion: the update batch replayed through a file
+    stream, merged into the versioned table via foreachBatch — final table
+    state must equal the batch merge exactly (same oracle)."""
+    from .sources.tables import VersionedTable
+    from .streaming.scd2_stream import stream_scd2_into
+
+    stage = tempfile.mkdtemp(prefix="scd2_ingest_")
+    upd = customer_updates(spark, sf_dir)
+    upd.coalesce(1).write.mode("overwrite").parquet(stage)
+
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_ingest_"))
+    vt.overwrite(scd2_target(spark, sf_dir))
+    stream = spark.readStream.schema(upd.schema).parquet(stage)
+    q = stream_scd2_into(
+        vt,
+        stream,
+        "c_custkey",
+        CHECKSUM_COLS,
+        tempfile.mkdtemp(prefix="ckpt_ingest_"),
+        as_of_fn=lambda bid: T2,
+    )
+    q.awaitTermination()
+    return vt.read()
+
+
+@register(
+    "time_travel_snapshot",
+    oracle=_SQL_TGT9,
+    tags=("S2", "extension"),
+)
+def q_time_travel_snapshot(spark, sf_dir):
+    """Snapshot time travel: after an incremental merge commit, reading
+    version 0 still returns the exact initial load (the Hudi-timeline /
+    Iceberg-snapshot / Delta-version capability on plain parquet)."""
+    from .sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_tt_"))
+    vt.overwrite(scd2_target(spark, sf_dir))
+    vt.overwrite(
+        scd2_merge_hudi_style(
+            vt.read(), customer_updates(spark, sf_dir), "c_custkey", CHECKSUM_COLS, as_of=T2
+        )
+    )
+    return vt.read(version=0)

@@ -100,3 +100,23 @@ def test_partitioned_write_prunes(spark):
         "emr_on_eks_hudi_iceberg_delta_spark.plans.explain", fromlist=["formatted_plan"]
     ).formatted_plan(df)
     assert "PartitionFilters" in plan and "order_year" in plan
+
+
+def test_dsv2_write_to_create(spark):
+    """S8: DataFrameWriterV2 against the session catalog
+    (iceberg/iceberg_scd_script.py:34-37 shape). The stock V1 session
+    catalog supports CTAS (`create`) but not atomic RTAS
+    (`createOrReplace`) — that capability is exactly what the reference's
+    Iceberg/Delta catalog plugins add; our VersionedTable.create_or_replace
+    provides the equivalent atomic swap on plain parquet."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
+
+    n = load_table(spark, SF_DIR, "nation")
+    spark.sql("DROP TABLE IF EXISTS nation_v2")
+    n.writeTo("nation_v2").using("parquet").create()
+    assert spark.table("nation_v2").count() == n.count()
+    # replace = drop + recreate on the V1 catalog (non-atomic; the atomic
+    # path is VersionedTable.create_or_replace's pointer flip)
+    spark.sql("DROP TABLE nation_v2")
+    n.select("n_nationkey", "n_name").writeTo("nation_v2").using("parquet").create()
+    assert len(spark.table("nation_v2").columns) == 2
