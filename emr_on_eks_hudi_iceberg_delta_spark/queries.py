@@ -1912,3 +1912,29 @@ def q_time_travel_snapshot(spark, sf_dir):
         )
     )
     return vt.read(version=0)
+
+
+@register(
+    "table_changes_cdc",
+    oracle=f"""
+    WITH t AS ({_SQL_TGT9}), m AS ({_SQL_MERGE_HUDI})
+    SELECT *, 'insert' AS _change_type FROM (SELECT * FROM m EXCEPT SELECT * FROM t)
+    UNION ALL
+    SELECT *, 'delete' AS _change_type FROM (SELECT * FROM t EXCEPT SELECT * FROM m)
+    """,
+    tags=("S2", "extension", "cdc"),
+)
+def q_table_changes_cdc(spark, sf_dir):
+    """Incremental/CDC read between snapshots (Hudi incremental view /
+    Delta CDF analog): after a merge commit, ``changes(v0, v1)`` yields the
+    inserted and deleted row images."""
+    from .sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_cdc_"))
+    vt.overwrite(scd2_target(spark, sf_dir))
+    vt.overwrite(
+        scd2_merge_hudi_style(
+            vt.read(), customer_updates(spark, sf_dir), "c_custkey", CHECKSUM_COLS, as_of=T2
+        )
+    )
+    return vt.changes(0, 1)

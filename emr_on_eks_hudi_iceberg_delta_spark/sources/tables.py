@@ -106,5 +106,60 @@ class VersionedTable:
                 return self.spark.read.parquet(s["dir"])
         raise ValueError(f"version {version} not found at {self.location}")
 
+    def changes(self, from_version: int, to_version: int) -> DataFrame:
+        """Incremental read: row-level changes between two snapshots
+        (Hudi incremental view / Delta CDF capability on plain parquet)."""
+        return table_changes(
+            self.spark,
+            self.read(version=from_version),
+            self.read(version=to_version),
+            key_cols=[],
+        )
+
+    def compact(self, target_partitions: int = 1) -> "VersionedTable":
+        """OPTIMIZE/compaction: rewrite the current snapshot into
+        ``target_partitions`` files (small-file compaction — the Hudi
+        compaction / Delta OPTIMIZE capability). Data is unchanged; the
+        commit is a new snapshot so readers stay consistent."""
+        self._commit(self.read().coalesce(target_partitions))
+        return self
+
+    def vacuum(self, keep_last: int = 1) -> "VersionedTable":
+        """Drop all but the last ``keep_last`` snapshots and delete their
+        directories (Delta VACUUM / Hudi cleaner). Time travel to vacuumed
+        versions stops working, matching lake-format semantics."""
+        import shutil
+
+        snaps = self._snapshots()
+        keep = snaps[-keep_last:]
+        for s in snaps[:-keep_last] if keep_last else snaps:
+            shutil.rmtree(s["dir"], ignore_errors=True)
+        tmp = self._pointer_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"snapshots": keep}, f)
+        os.replace(tmp, self._pointer_path())
+        return self
+
     def history(self) -> list[dict]:
         return self._snapshots()
+
+
+def table_changes(
+    spark, old: DataFrame, new: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """CDC between two snapshots (Delta CDF / Hudi incremental-query
+    analog): per (key) tuple, classify rows as inserted / deleted /
+    unchanged-or-updated based on full-row membership.
+
+    Returns new-or-changed rows tagged ``_change_type`` in
+    {'insert', 'delete'} — an 'update' appears as delete(old)+insert(new),
+    the same convention Delta CDF uses for its pre/post images.
+    """
+    all_cols = [c for c in new.columns]
+    inserted = new.join(old, on=all_cols, how="left_anti").withColumn(
+        "_change_type", F.lit("insert")
+    )
+    deleted = old.join(new, on=all_cols, how="left_anti").withColumn(
+        "_change_type", F.lit("delete")
+    )
+    return inserted.unionByName(deleted)

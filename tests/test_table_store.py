@@ -1,0 +1,46 @@
+"""VersionedTable lake-format capabilities: compaction, vacuum, CDC."""
+
+import glob
+import tempfile
+
+from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
+from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_compact_reduces_files_keeps_data(spark):
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_c_"))
+    df = load_table(spark, SF_DIR, "orders").repartition(16)
+    vt.overwrite(df)
+    n_before = len(glob.glob(vt.current_snapshot_dir() + "/*.parquet"))
+    assert n_before >= 16
+    vt.compact(target_partitions=2)
+    n_after = len(glob.glob(vt.current_snapshot_dir() + "/*.parquet"))
+    assert n_after <= 2
+    assert vt.read().count() == df.count()
+    assert [s["version"] for s in vt.history()] == [0, 1]
+
+
+def test_vacuum_drops_old_snapshots(spark):
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_v_"))
+    vt.overwrite(spark.range(10).toDF("id"))
+    vt.overwrite(spark.range(20).toDF("id"))
+    vt.overwrite(spark.range(30).toDF("id"))
+    vt.vacuum(keep_last=1)
+    assert [s["version"] for s in vt.history()] == [2]
+    assert vt.read().count() == 30
+    try:
+        vt.read(version=0)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
+
+
+def test_cdc_changes(spark):
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_cdc_"))
+    vt.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"))
+    vt.overwrite(spark.createDataFrame([(1, "a"), (2, "b2"), (3, "c")], "id int, v string"))
+    ch = {(r["id"], r["v"], r["_change_type"]) for r in vt.changes(0, 1).collect()}
+    assert ch == {(2, "b2", "insert"), (3, "c", "insert"), (2, "b", "delete")}
