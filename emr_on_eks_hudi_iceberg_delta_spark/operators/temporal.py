@@ -1,0 +1,113 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range join.
+
+Both are implemented as compositions of existing DataFrame operators (the
+(a) strategy from the build rules — no UDF, no mapPartitions):
+
+* ``asof_join`` — union-and-window: tag both sides, union by name, sort
+  within the partition key by (ts, side-priority), carry the right side's
+  last non-null values forward, keep left rows. ONE shuffle on the key,
+  no range explosion, no per-row binary search — the scale-correct shape
+  (a naive ``t1.ts >= t2.ts`` theta join explodes quadratically).
+* ``range_join_binned`` — equi-join on coarse time bins + exact residual
+  filter: turns an interval-containment theta join (nested-loop in Spark)
+  into a hash join whose fan-out is bounded by interval length / bin size.
+
+DuckDB has native ASOF JOIN, which gives the as-of operator an exact SQL
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` within the same ``on`` key (backward as-of,
+    inclusive — DuckDB/pandas ``merge_asof`` default).
+
+    Union-and-window implementation: right rows sort before left rows at
+    equal timestamps (side priority 0 < 1) so an exactly-equal right row is
+    visible to the left row. ``last(..., ignorenulls)`` carries the right
+    values forward within the key partition.
+    """
+    right_value_cols = right_value_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rt = (
+        right.select(
+            F.col(on),
+            F.col(right_ts).alias("__rts"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
+        )
+        .withColumn("__side", F.lit(0))
+        .withColumn("__ts", F.col("__rts"))
+    )
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"__o_{c}")
+            for c in right_value_cols
+        ],
+        F.last("__rts", ignorenulls=True).over(w).alias(f"__o_{right_ts}"),
+    )
+    return (
+        carried.filter(F.col("__side") == 1)
+        .drop("__side", "__ts", "__rts", *[f"{c}{suffix}" for c in right_value_cols])
+        .withColumnsRenamed(
+            {f"__o_{c}": f"{c}{suffix}" for c in right_value_cols}
+            | {f"__o_{right_ts}": f"{right_ts}{suffix}"}
+        )
+    )
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Join points to intervals containing them (``start <= ts < end``)
+    without a nested-loop: both sides are keyed by coarse time bins (an
+    interval lands in every bin it overlaps via sequence+explode), the join
+    is a plain equi hash join on the bin, and the exact predicate filters
+    residuals. Shuffle volume scales with interval length / bin size, not
+    |points| x |intervals|.
+    """
+    us = 1_000_000 * bin_seconds
+    p = points.withColumn(
+        "__bin",
+        (F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {point_ts})") / us).cast("bigint"),
+    )
+    i = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                (F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {start_col})") / us).cast("bigint"),
+                (F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {end_col})") / us).cast("bigint"),
+            )
+        ),
+    )
+    return (
+        p.join(i, "__bin")
+        .filter((F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col)))
+        .drop("__bin")
+    )

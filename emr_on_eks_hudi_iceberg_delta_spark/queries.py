@@ -1938,3 +1938,69 @@ def q_table_changes_cdc(spark, sf_dir):
         )
     )
     return vt.changes(0, 1)
+
+
+# --------------------------------------------------------------------------
+# Batch 6: temporal joins (as-of, range) — custom operators composed from
+# built-ins (operators/temporal.py)
+# --------------------------------------------------------------------------
+
+from .operators.temporal import asof_join, range_join_binned  # noqa: E402
+
+
+@register(
+    "asof_join_events",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    purchases AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'purchase')
+    SELECT e.event_id, e.user_id, e.ts,
+           p.ts AS ts_asof, p.value AS value_asof
+    FROM ev e ASOF LEFT JOIN purchases p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    tags=("temporal", "extension"),
+)
+def q_asof_join_events(spark, sf_dir):
+    """Backward as-of join: every event picks up the user's most recent
+    purchase (ts + value) at or before it. Union-and-window implementation:
+    one shuffle on user_id, no range explosion — oracle is DuckDB's native
+    ASOF JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["value"],
+    ).select("event_id", "user_id", "ts", "ts_asof", "value_asof")
+
+
+@register(
+    "range_join_events",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    iv AS (SELECT event_id AS interval_id, ts AS start_ts,
+                  ts + INTERVAL 2 HOUR AS end_ts
+           FROM ev WHERE event_type = 'purchase')
+    SELECT e.event_id, i.interval_id
+    FROM ev e JOIN iv i ON e.ts >= i.start_ts AND e.ts < i.end_ts
+    """,
+    tags=("temporal", "extension"),
+)
+def q_range_join_events(spark, sf_dir):
+    """Range (interval-containment) join: events falling inside the 2-hour
+    window after each purchase. Binned equi-join + residual filter — a hash
+    join instead of the nested-loop Spark would otherwise plan."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start_ts"),
+        F.expr("ts + INTERVAL 2 HOUR").alias("end_ts"),
+    )
+    return range_join_binned(
+        ev.select("event_id", "ts"), iv, "ts", "start_ts", "end_ts"
+    ).select("event_id", "interval_id")

@@ -44,3 +44,38 @@ def test_cdc_changes(spark):
     vt.overwrite(spark.createDataFrame([(1, "a"), (2, "b2"), (3, "c")], "id int, v string"))
     ch = {(r["id"], r["v"], r["_change_type"]) for r in vt.changes(0, 1).collect()}
     assert ch == {(2, "b2", "insert"), (3, "c", "insert"), (2, "b", "delete")}
+
+
+def test_asof_join_no_prior_match_is_null(spark):
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00"), (2, "2024-01-01 10:00:00")],
+        "k int, ts string",
+    ).selectExpr("k", "cast(ts as timestamp_ntz) ts")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 11:00:00", 5.0), (1, "2024-01-01 09:00:00", 3.0)],
+        "k int, ts string, v double",
+    ).selectExpr("k", "cast(ts as timestamp_ntz) ts", "v")
+    out = {
+        (r["k"], r["ts"].isoformat()): r["v_asof"]
+        for r in asof_join(left, right, on="k").collect()
+    }
+    assert out == {
+        (1, "2024-01-01T10:00:00"): 3.0,   # prior purchase only
+        (1, "2024-01-01T12:00:00"): 5.0,   # latest prior wins
+        (2, "2024-01-01T10:00:00"): None,  # key with no right rows
+    }
+
+
+def test_asof_join_inclusive_equal_ts(spark):
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "k int, ts string"
+    ).selectExpr("k", "cast(ts as timestamp_ntz) ts")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7.0)], "k int, ts string, v double"
+    ).selectExpr("k", "cast(ts as timestamp_ntz) ts", "v")
+    (row,) = asof_join(left, right, on="k").collect()
+    assert row["v_asof"] == 7.0  # equal timestamps match (inclusive)
