@@ -2004,3 +2004,70 @@ def q_range_join_events(spark, sf_dir):
     return range_join_binned(
         ev.select("event_id", "ts"), iv, "ts", "start_ts", "end_ts"
     ).select("event_id", "interval_id")
+
+
+# --------------------------------------------------------------------------
+# Batch 7: global sort/limit (§2.6), canonical near-dup dedup, approx stats
+# --------------------------------------------------------------------------
+
+@register(
+    "global_topk_sort",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    tags=("sort",),
+)
+def q_global_topk_sort(spark, sf_dir):
+    """Global ORDER BY + LIMIT (§2.6 — absent from the reference): Catalyst
+    plans TakeOrderedAndProject (per-partition top-k + driver merge), never
+    a full global sort."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "dedup_near_keep_canonical",
+    oracle=_SQL_LSH_BANDS + """,
+    shd AS (SELECT doc_id, list_distinct(s) AS sh FROM shng),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(a.sh, b.sh)) /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      FROM cand c
+      JOIN shd a ON a.doc_id = c.id_a
+      JOIN shd b ON b.doc_id = c.id_b),
+    dropped AS (SELECT DISTINCT id_b FROM scored WHERE jaccard >= 0.5)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+    """,
+    tags=("dedup", "extension"),
+)
+def q_dedup_near_keep_canonical(spark, sf_dir):
+    """The full near-dup dedup pipeline end-to-end: MinHash -> LSH ->
+    Jaccard verify -> drop the higher id of every surviving pair (lowest id
+    canonical). The surviving document set is what a training-data pipeline
+    actually ships."""
+    from .operators.dedup import dedup_keep_canonical
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = lsh_candidate_pairs(minhash_signatures(docs))
+    pairs = ngram_jaccard_pairs(docs, cands, threshold=0.5)
+    return dedup_keep_canonical(pairs, docs.select("doc_id"), "doc_id")
+
+
+@register("approx_stats", oracle=None, tags=("agg", "scale", "extension"))
+def q_approx_stats(spark, sf_dir):
+    """The 100 TB-realistic approximate variants of the exact aggregates:
+    HLL distinct counts + approximate percentiles (rows-only check — sketch
+    results are engine-specific by design; exact twins are distinct_agg and
+    exact_quantiles)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+        F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+    )
