@@ -2071,3 +2071,40 @@ def q_approx_stats(spark, sf_dir):
         F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
         F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
     )
+
+
+@register(
+    "partitioned_upsert",
+    oracle=f"""
+    WITH tgt AS ({_SQL_TGT9}), upd AS ({_SQL_UPD9}),
+    unioned AS (SELECT * FROM tgt UNION ALL SELECT * FROM upd)
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           ts, valid_from, valid_to, iscurrent, checksum
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey, checksum
+                                       ORDER BY ts DESC) AS rn
+          FROM unioned) t
+    WHERE rn = 1
+    """,
+    tags=("S7", "scale", "sink"),
+)
+def q_partitioned_upsert(spark, sf_dir):
+    """Partition-scoped CoW upsert (sources/partitioned.py): the update
+    batch rewrites only the hive partitions it touches — the scan/write
+    cost that makes 100 TB SCD2 feasible. Final state must equal the
+    full-table upsert exactly (same oracle as upsert_by_key; keys never
+    move partitions here)."""
+    from .sources.partitioned import PartitionedTable
+
+    pt = PartitionedTable(
+        spark, tempfile.mkdtemp(prefix="pt_q_"), partition_col="c_nationkey"
+    )
+    pt.overwrite(scd2_target(spark, sf_dir))
+    pt.upsert(
+        with_scd2_columns(customer_updates(spark, sf_dir), CHECKSUM_COLS, as_of=T2),
+        ["c_custkey", "checksum"],
+        "ts",
+    )
+    return pt.read().select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+        "ts", "valid_from", "valid_to", "iscurrent", "checksum",
+    )

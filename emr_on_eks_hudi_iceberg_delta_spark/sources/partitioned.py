@@ -1,0 +1,175 @@
+"""Partition-scoped versioned table — the 100 TB CoW write path.
+
+``VersionedTable`` rewrites the whole table per commit (fine locally,
+matching the reference's table sizes). At 100 TB a CoW upsert must rewrite
+only the partitions the update batch touches — this is exactly what
+Hudi/Iceberg/Delta do with file-level manifests; here the unit of rewrite
+is a hive partition.
+
+Layout::
+
+    <location>/files/commit-<n>/<pcol>=<val>/*.parquet
+    <location>/_manifest.json        # versions: {pval: commit_id}
+
+Each commit writes ONLY the touched partitions under a fresh ``commit-<n>``
+dir (``partitionBy`` write), then publishes a new manifest mapping every
+live partition value to the commit that last rewrote it. Reads group the
+manifest by commit dir — one parquet scan per referenced commit (bounded by
+history depth, not partition count), each with ``basePath`` so the
+partition column and partition pruning work natively. Old manifests remain
+readable: snapshot isolation + time travel at partition granularity.
+
+The scan cost of an upsert is |touched partitions|, not |table| — the
+property that makes SCD2 ingestion feasible when the dimension is 100 TB
+and the daily batch touches 0.1% of keys.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST = "_manifest.json"
+
+
+class PartitionedTable:
+    def __init__(self, spark: SparkSession, location: str, partition_col: str):
+        self.spark = spark
+        self.location = location.rstrip("/")
+        self.partition_col = partition_col
+
+    # -- manifest plumbing --------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.location, _MANIFEST)
+
+    def _versions(self) -> list[dict]:
+        if not os.path.exists(self._manifest_path()):
+            return []
+        with open(self._manifest_path()) as f:
+            return json.load(f)["versions"]
+
+    def _publish(self, partitions: dict[str, int]) -> None:
+        versions = self._versions()
+        version = (versions[-1]["version"] + 1) if versions else 0
+        versions.append(
+            {"version": version, "partitions": partitions, "committed_at": time.time()}
+        )
+        os.makedirs(self.location, exist_ok=True)
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"versions": versions}, f)
+        os.replace(tmp, self._manifest_path())  # atomic manifest flip
+
+    def _commit_dir(self, commit_id: int) -> str:
+        return os.path.join(self.location, "files", f"commit-{commit_id}")
+
+    def _write_commit(self, df: DataFrame, commit_id: int) -> None:
+        df.write.mode("overwrite").partitionBy(self.partition_col).parquet(
+            self._commit_dir(commit_id)
+        )
+
+    # -- write surface ------------------------------------------------------
+
+    def overwrite(self, df: DataFrame) -> "PartitionedTable":
+        """Full overwrite: every live partition points at the new commit."""
+        versions = self._versions()
+        commit_id = (versions[-1]["version"] + 1) if versions else 0
+        self._write_commit(df, commit_id)
+        pvals = [
+            str(r[0])
+            for r in df.select(self.partition_col).distinct().collect()
+        ]
+        self._publish({v: commit_id for v in pvals})
+        return self
+
+    def upsert(
+        self, updates: DataFrame, key_cols: list[str], precombine_col: str
+    ) -> "PartitionedTable":
+        """Partition-scoped keyed upsert: read ONLY the partitions the
+        update batch touches, merge, rewrite those partitions; untouched
+        partitions keep pointing at their previous commit dirs.
+
+        Constraint (same as Hudi's default non-global index): a key must
+        not change its partition value — an update that moves a key leaves
+        the old row in the old partition. Moving keys requires a global
+        key->partition index or a delete-in-old-partition pass.
+        """
+        from ..operators.merge import upsert_by_key
+
+        versions = self._versions()
+        if not versions:
+            return self.overwrite(updates)
+        current = versions[-1]["partitions"]
+        commit_id = versions[-1]["version"] + 1
+
+        touched = [
+            str(r[0]) for r in updates.select(self.partition_col).distinct().collect()
+        ]
+        existing_touched = [v for v in touched if v in current]
+        target = (
+            self._read_partitions(current, existing_touched)
+            if existing_touched
+            else None
+        )
+        merged = (
+            upsert_by_key(target, updates, key_cols, precombine_col)
+            if target is not None
+            else updates
+        )
+        self._write_commit(merged, commit_id)
+        new_partitions = dict(current)
+        for v in touched:
+            new_partitions[v] = commit_id
+        self._publish(new_partitions)
+        return self
+
+    # -- read surface --------------------------------------------------------
+
+    def _read_partitions(
+        self, partitions: dict[str, int], pvals: list[str] | None = None
+    ) -> DataFrame:
+        """One scan per referenced commit dir (basePath keeps the partition
+        column + pruning), unioned. Scan count is bounded by history depth."""
+        wanted = partitions if pvals is None else {v: partitions[v] for v in pvals}
+        by_commit: dict[int, list[str]] = {}
+        for pval, cid in wanted.items():
+            by_commit.setdefault(cid, []).append(pval)
+        scans = []
+        for cid, vals in sorted(by_commit.items()):
+            base = self._commit_dir(cid)
+            paths = [os.path.join(base, f"{self.partition_col}={v}") for v in vals]
+            scans.append(self.spark.read.option("basePath", base).parquet(*paths))
+        return reduce(lambda a, b: a.unionByName(b), scans)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        versions = self._versions()
+        if not versions:
+            raise FileNotFoundError(f"no commit at {self.location}")
+        if version is None:
+            return self._read_partitions(versions[-1]["partitions"])
+        for v in versions:
+            if v["version"] == version:
+                return self._read_partitions(v["partitions"])
+        raise ValueError(f"version {version} not found at {self.location}")
+
+    def read_partition(self, pval) -> DataFrame:
+        current = self._versions()[-1]["partitions"]
+        return self._read_partitions(current, [str(pval)])
+
+    def history(self) -> list[dict]:
+        return self._versions()
+
+    def touched_partition_counts(self) -> list[tuple[int, int]]:
+        """(version, number of partitions rewritten by that commit) — the
+        observable proof that upserts rewrite only what they touch."""
+        out = []
+        for v in self._versions():
+            n = sum(1 for cid in v["partitions"].values() if cid == v["version"])
+            out.append((v["version"], n))
+        return out

@@ -1,0 +1,71 @@
+"""Partition-scoped CoW upserts: only touched partitions rewrite, results
+equal the full-table upsert, old versions stay readable."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from emr_on_eks_hudi_iceberg_delta_spark.functions.scd2 import with_scd2_columns
+from emr_on_eks_hudi_iceberg_delta_spark.operators.merge import upsert_by_key
+from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
+from emr_on_eks_hudi_iceberg_delta_spark.sources.partitioned import PartitionedTable
+
+SF_DIR = "/root/testdata/sf0.001"
+T1, T2 = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+
+
+def _target(spark):
+    cust = load_table(spark, SF_DIR, "customer")
+    return with_scd2_columns(cust, ["c_name", "c_mktsegment"], as_of=T1)
+
+
+def _updates(spark):
+    # touch only nations 0-4: mutate segment for every key there
+    cust = load_table(spark, SF_DIR, "customer").filter(F.col("c_nationkey") < 5)
+    upd = cust.withColumn(
+        "c_mktsegment", F.concat(F.col("c_mktsegment"), F.lit("_v2"))
+    )
+    return with_scd2_columns(upd, ["c_name", "c_mktsegment"], as_of=T2)
+
+
+def test_partition_scoped_upsert_matches_full_upsert(spark):
+    pt = PartitionedTable(
+        spark, tempfile.mkdtemp(prefix="pt_"), partition_col="c_nationkey"
+    )
+    target = _target(spark)
+    updates = _updates(spark)
+    pt.overwrite(target)
+    pt.upsert(updates, ["c_custkey", "checksum"], "ts")
+
+    expected = upsert_by_key(target, updates, ["c_custkey", "checksum"], "ts")
+    got = pt.read()
+    key = ["c_custkey", "checksum"]
+    assert got.count() == expected.count()
+    assert got.join(expected, on=key, how="left_anti").count() == 0
+    assert expected.join(got, on=key, how="left_anti").count() == 0
+
+    # only the 5 touched partitions were rewritten by commit 1
+    counts = dict(pt.touched_partition_counts())
+    assert counts[1] == 5
+    n_partitions = target.select("c_nationkey").distinct().count()
+    assert counts[0] == n_partitions
+
+    # time travel: version 0 is the untouched initial load
+    assert pt.read(version=0).count() == target.count()
+    assert pt.read(version=0).filter("iscurrent = 0").count() == 0
+
+    # partition pruning: single-partition read only sees nation 3
+    p3 = pt.read_partition(3)
+    assert p3.filter("c_nationkey <> 3").count() == 0
+
+
+def test_upsert_creates_new_partition(spark):
+    pt = PartitionedTable(
+        spark, tempfile.mkdtemp(prefix="pt_new_"), partition_col="c_nationkey"
+    )
+    target = _target(spark)
+    pt.overwrite(target)
+    newrows = _updates(spark).withColumn("c_nationkey", F.lit(99))
+    pt.upsert(newrows, ["c_custkey", "checksum"], "ts")
+    assert pt.read_partition(99).count() == newrows.count()
+    assert pt.read().count() == target.count() + newrows.count()
