@@ -2108,3 +2108,277 @@ def q_partitioned_upsert(spark, sf_dir):
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
         "ts", "valid_from", "valid_to", "iscurrent", "checksum",
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 8: adapted TPC-H depth — EXISTS aggregates, nation-pair volumes,
+# market share, distributions, scalar-subquery filters, disjunctive
+# predicates, anti-join analytics (schema-adapted: no partsupp/shipmode)
+# --------------------------------------------------------------------------
+
+@register(
+    "q4_priority_check",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "agg"),
+)
+def q4_priority_check(spark, sf_dir):
+    """TPC-H Q4 shape: orders with any late-shipped line (EXISTS ->
+    left-semi join on a correlated date predicate), counted by priority."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 90 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "q7_nation_volume",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+      CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        AS volume
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE ((cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+        OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1'))
+    GROUP BY cn.n_name, sn.n_name, 3
+    """,
+    tags=("join", "agg"),
+)
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations per year
+    — double nation join with a disjunctive pair filter."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(
+            (
+                (F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2")
+            )
+            | (
+                (F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1")
+            )
+        )
+    )
+    return joined.groupBy(
+        "cust_nation", "supp_nation", F.year("l_shipdate").cast("int").alias("ship_year")
+    ).agg(_dsum(F.expr("l_extendedprice * (1 - l_discount)"), 6).alias("volume"))
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+        CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS v,
+        sn.n_name AS supp_nation
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'ASIA')
+    SELECT order_year,
+      CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN v END) AS DOUBLE)
+        / CAST(SUM(v) AS DOUBLE) AS mkt_share
+    FROM vol GROUP BY order_year
+    """,
+    tags=("join", "agg"),
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one supplier nation's share of a region's customer
+    volume per year — conditional share-of-total in a single aggregate."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    v = F.expr("l_extendedprice * (1 - l_discount)").cast("decimal(18,6)")
+    vol = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            v.alias("v"),
+            "supp_nation",
+        )
+    )
+    return vol.groupBy("order_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("v"))).cast("double")
+            / F.sum("v").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q13_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey) t
+    GROUP BY c_count
+    """,
+    tags=("join", "agg"),
+)
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: customer-order-count histogram — outer join with a
+    join-side filter, then a second aggregate over the first."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q17_small_quantity",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+      AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN (SELECT l_partkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*) AS avg_qty
+          FROM lineitem GROUP BY l_partkey) a
+      ON l.l_partkey = a.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < 0.5 * a.avg_qty
+    """,
+    tags=("join", "agg"),
+)
+def q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: below-half-average-quantity revenue — correlated
+    per-group scalar (avg per part) expressed as an aggregate join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_q = li.groupBy("l_partkey").agg(
+        (_dsum("l_quantity") / F.count("*")).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_q, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg((_dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q19_disjunctive",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+      AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+    tags=("join", "agg"),
+)
+def q19_disjunctive(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-conjunctions across both join sides — the
+    predicate shape that stresses filter pushdown through a join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(_dsum(F.expr("l_extendedprice * (1 - l_discount)"), 6).alias("revenue"))
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_nationkey, COUNT(*) AS numcust,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+    tags=("join", "agg"),
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: rich customers who never ordered — global scalar
+    subquery (broadcast 1-row cross join) + anti join + aggregate."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (_dsum("c_acctbal") / F.count("*")).alias("a")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            _dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
