@@ -200,3 +200,92 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: deterministic seed centroids (the first
+    ``n_centroids`` vectors by id — swap for k-means|| offline at scale),
+    one assignment pass (broadcast centroids, argmin L2). Returns
+    (assignments(id, cell), centroids(cell, vector))."""
+    e = _with_double_vec(emb, id_col, vec_col)
+    cents = (
+        e.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("__seed_id"), F.col("e").alias("ce"))
+    )
+    w = Window.partitionBy(id_col).orderBy("dist", "__seed_id")
+    dist = F.aggregate(
+        F.zip_with("e", "ce", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("dist", dist)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col("__seed_id").alias("cell"))
+    )
+    centroids = cents.select(F.col("__seed_id").alias("cell"), F.col("ce"))
+    return assigned, centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus bucketed by nearest centroid; each
+    query probes its ``nprobe`` nearest cells and exact-scores only those
+    candidates. Cost ~ (nprobe / n_centroids) of brute force; recall < 1
+    (vectors outside probed cells are invisible)."""
+    assigned, centroids = ivf_assign(emb, n_centroids, id_col, vec_col)
+    qv = _with_double_vec(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("e").alias("eq"), F.col("nrm").alias("nq")
+    )
+    dist = F.aggregate(
+        F.zip_with("eq", "ce", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy("dist", "cell")
+    probes = (
+        qv.crossJoin(F.broadcast(centroids))
+        .withColumn("dist", dist)
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "cell")
+    )
+    cv = _with_double_vec(emb, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("e").alias("ec"), F.col("nrm").alias("nc")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assigned.withColumnRenamed(id_col, "neighbor_id"), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    dot = F.aggregate(
+        F.zip_with("eq", "ec", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine", dot / (F.col("nq") * F.col("nc")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -2382,3 +2382,77 @@ def q22_global_sales_opportunity(spark, sf_dir):
             _dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+@register("embedding_ann_ivf_topk", oracle=None, tags=("similarity", "extension"))
+def q_embedding_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (coarse quantizer + nprobe cells + exact
+    rescore) — the inverted-file ANN pattern beside the LSH one
+    (rows-only: approximate by construction)."""
+    from .operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "events_funnel",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    s1 AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+           FROM ev GROUP BY user_id),
+    s2 AS (SELECT e.user_id, s1.t_view,
+                  MIN(CASE WHEN e.event_type = 'click' AND e.ts > s1.t_view
+                           THEN e.ts END) AS t_click
+           FROM ev e JOIN s1 ON e.user_id = s1.user_id
+           GROUP BY e.user_id, s1.t_view),
+    s3 AS (SELECT e.user_id, s2.t_view, s2.t_click,
+                  MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t_click
+                           THEN e.ts END) AS t_purchase
+           FROM ev e JOIN s2 ON e.user_id = s2.user_id
+           GROUP BY e.user_id, s2.t_view, s2.t_click)
+    SELECT COUNT(t_view) AS n_viewed,
+           COUNT(t_click) AS n_clicked_after_view,
+           COUNT(t_purchase) AS n_purchased_after_click
+    FROM s3
+    """,
+    tags=("events", "agg", "extension"),
+)
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase): per-user first-event
+    chaining via conditional MIN aggregates — three grouped passes sharing
+    one user_id partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    s2 = (
+        ev.join(s1, "user_id")
+        .groupBy("user_id", "t_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_click")
+        )
+    )
+    s3 = (
+        ev.join(s2, "user_id")
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    return s3.agg(
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked_after_view"),
+        F.count("t_purchase").alias("n_purchased_after_click"),
+    )
