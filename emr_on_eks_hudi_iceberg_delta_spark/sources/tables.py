@@ -36,6 +36,12 @@ from pyspark.sql import functions as F
 _POINTER = "_current_snapshot.json"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed between this writer's read and its commit
+    (the local analog of a failed Hudi/Iceberg OCC lock acquisition —
+    hudi/hudi_scd_script.py:42-48 uses DynamoDB for the same check)."""
+
+
 class VersionedTable:
     """A snapshot-versioned parquet table with keyed-upsert support."""
 
@@ -59,8 +65,17 @@ class VersionedTable:
         snaps = self._snapshots()
         return snaps[-1]["dir"] if snaps else None
 
-    def _commit(self, df: DataFrame) -> None:
+    def _commit(self, df: DataFrame, expected_version: int | None = None) -> None:
+        """Write a snapshot and flip the pointer. ``expected_version`` is
+        the optimistic-concurrency check: if another writer committed since
+        this writer read that version, raise instead of silently clobbering
+        (compare-and-swap on the snapshot version)."""
         snaps = self._snapshots()
+        current = snaps[-1]["version"] if snaps else None
+        if expected_version is not None and current != expected_version:
+            raise ConcurrentCommitError(
+                f"expected version {expected_version} but table is at {current}"
+            )
         version = (snaps[-1]["version"] + 1) if snaps else 0
         snap_dir = os.path.join(self.location, f"snapshot-{version:05d}")
         df.write.mode("overwrite").parquet(snap_dir)
@@ -82,15 +97,35 @@ class VersionedTable:
 
     create_or_replace = overwrite  # DataFrameWriterV2 semantics (S8)
 
-    def upsert(self, updates: DataFrame, key_cols: list[str], precombine_col: str) -> "VersionedTable":
+    def upsert(
+        self,
+        updates: DataFrame,
+        key_cols: list[str],
+        precombine_col: str,
+        max_retries: int = 3,
+    ) -> "VersionedTable":
         """Hudi-style keyed upsert (S7): union target with incoming rows,
         keep the max-``precombine_col`` row per key, rewrite (CoW).
+
+        Optimistically concurrent: the commit CAS-checks the version read;
+        on conflict the merge re-derives from the new current snapshot and
+        retries (lazy retry, the same recovery the reference configures via
+        ``hoodie.cleaner.policy.failed.writes=LAZY`` + DynamoDB locks).
         """
         from ..operators.merge import upsert_by_key
 
-        target = self.read()
-        self._commit(upsert_by_key(target, updates, key_cols, precombine_col))
-        return self
+        last_err: ConcurrentCommitError | None = None
+        for _ in range(max_retries + 1):
+            snaps = self._snapshots()
+            base_version = snaps[-1]["version"] if snaps else None
+            target = self.read()
+            merged = upsert_by_key(target, updates, key_cols, precombine_col)
+            try:
+                self._commit(merged, expected_version=base_version)
+                return self
+            except ConcurrentCommitError as e:
+                last_err = e
+        raise last_err
 
     # -- read surface -------------------------------------------------------
 

@@ -67,3 +67,65 @@ def test_stream_stateful_running_totals(spark, events_stream):
     got = got.sort_values("user_id").reset_index(drop=True)
     exp = exp.sort_values("user_id").reset_index(drop=True)
     assert got.equals(exp[got.columns])
+
+
+def test_watermark_drops_late_data(spark):
+    """Append-mode tumbling windows with a 1-hour watermark: an event
+    arriving in batch 2 with event time far behind batch 1's max is
+    dropped; an on-time event is counted. Pins the late-data semantics a
+    100 TB stream relies on to bound state."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    stage = _tf.mkdtemp(prefix="late_")
+    mk = lambda rows: spark.createDataFrame(rows, "event_id bigint, ts string").select(
+        "event_id", F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
+    # batch 0: events across hours 00-10 -> watermark will advance to 09:15
+    batch0 = mk([(i, f"2024-06-01 {h:02d}:15:00") for i, h in enumerate(range(11))])
+    # batch 1: on-time progress (watermark commit batch — Spark applies a
+    # new watermark to input filtering one batch after computing it)
+    batch1 = mk([(50, "2024-06-01 10:30:00")])
+    # batch 2: one hopelessly late event (01:30, far behind the in-force
+    # 09:15 watermark) + one on-time event
+    batch2 = mk([(100, "2024-06-01 01:30:00"), (101, "2024-06-01 11:30:00")])
+    # the file source processes oldest-mtime first; pin mtimes so batch
+    # order is guaranteed (write order alone is not)
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    for idx, b in enumerate([batch0, batch1, batch2]):
+        tmp = _tf.mkdtemp(prefix="late_b_")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = f"{stage}/batch-{idx}.parquet"
+        (src,) = _glob.glob(tmp + "/part-*.parquet")
+        _shutil.copy(src, dst)
+        _os.utime(dst, (_time.time() - 1000 + idx * 300,) * 2)
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    agg = (
+        stream.withColumn("__ts", F.col("ts").cast("timestamp"))
+        .withWatermark("__ts", "1 hour")
+        .groupBy(F.window("__ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("ws"), "n")
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.streaming import run_stream_to_memory
+
+    result = {
+        r["ws"].isoformat(): r["n"]
+        for r in run_stream_to_memory(agg, output_mode="append").collect()
+    }
+    # hour 01 window closed with only the on-time batch-1 event: the late
+    # arrival (01:30, behind the watermark) was dropped
+    assert result.get("2024-06-01T01:00:00") == 1
+    # every batch-1 hour window emitted exactly once
+    for h in range(9):
+        assert result.get(f"2024-06-01T{h:02d}:00:00") == 1

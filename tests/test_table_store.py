@@ -111,3 +111,32 @@ def test_ann_paths_structural(spark):
         # random 64-dim embeddings: approximate recall is inherently modest;
         # assert it is nonzero and the plumbing returns full result sets
         assert hits > 0, name
+
+
+def test_occ_conflict_detection_and_retry(spark):
+    """Optimistic concurrency: a commit with a stale expected version
+    raises; upsert() re-derives from the new snapshot and retries, so no
+    committed update is lost."""
+    import pytest as _pytest
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import (
+        ConcurrentCommitError,
+    )
+
+    loc = tempfile.mkdtemp(prefix="vt_occ_")
+    writer_a = VersionedTable(spark, loc)
+    writer_b = VersionedTable(spark, loc)
+    writer_a.overwrite(
+        spark.createDataFrame([(1, "a", 1)], "id int, v string, ts int")
+    )
+
+    # writer B reads v0, writer A commits v1 in between -> B's CAS fails
+    df_b = spark.createDataFrame([(2, "b", 2)], "id int, v string, ts int")
+    writer_a.overwrite(spark.createDataFrame([(1, "a2", 2)], "id int, v string, ts int"))
+    with _pytest.raises(ConcurrentCommitError):
+        writer_b._commit(df_b, expected_version=0)
+
+    # the retrying upsert succeeds despite racing writers and loses nothing
+    writer_b.upsert(df_b, ["id"], "ts")
+    rows = {r["id"]: r["v"] for r in writer_b.read().collect()}
+    assert rows == {1: "a2", 2: "b"}
