@@ -28,6 +28,17 @@ from ..functions.hashing import shingle_expr
 from .text import tokens_expr
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Per-row-heavy operators (md5 shingling, signatures) need all cores
+    even when the input is one small parquet file (single split). At scale
+    input splits >> cores and this is a no-op; locally it trades one tiny
+    shuffle for full parallelism."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """Exact dedup: group by content digest, keep the lowest id as the
     canonical row. Returns (digest, keep_id, dup_count)."""
@@ -56,6 +67,7 @@ def minhash_signatures(
     over seeded hashes): per-row map, scan-speed, no shuffle. Documents with
     fewer than ``shingle_n`` tokens are dropped (no signature).
     """
+    df = _ensure_parallelism(df)
     df = df.withColumn("__tokens", tokens_expr(text_col)).filter(
         F.size("__tokens") >= shingle_n
     )

@@ -2456,3 +2456,37 @@ def q_events_funnel(spark, sf_dir):
         F.count("t_click").alias("n_clicked_after_view"),
         F.count("t_purchase").alias("n_purchased_after_click"),
     )
+
+
+@register(
+    "mor_realtime_view",
+    oracle=f"""
+    WITH tgt AS ({_SQL_TGT9}), upd AS ({_SQL_UPD9}),
+    unioned AS (SELECT * FROM tgt UNION ALL SELECT * FROM upd)
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           ts, valid_from, valid_to, iscurrent, checksum
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey, checksum
+                                       ORDER BY ts DESC) AS rn
+          FROM unioned) t
+    WHERE rn = 1
+    """,
+    tags=("S2", "S7", "mor", "extension"),
+)
+def q_mor_realtime_view(spark, sf_dir):
+    """Hudi MERGE_ON_READ emulation in the gate: bootstrap base, append the
+    update batch as a log (no base rewrite), read the real-time view —
+    precombine merge at read time must equal the CoW upsert exactly
+    (hudi_scd_script.py:33 MoR table type; README.md:157-160 _rt query)."""
+    from .sources.mor import MorTable
+
+    mor = MorTable(
+        spark, tempfile.mkdtemp(prefix="mor_q_"), ["c_custkey", "checksum"], "ts"
+    )
+    mor.bootstrap(scd2_target(spark, sf_dir))
+    mor.append_log(
+        with_scd2_columns(customer_updates(spark, sf_dir), CHECKSUM_COLS, as_of=T2)
+    )
+    return mor.read_realtime().select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+        "ts", "valid_from", "valid_to", "iscurrent", "checksum",
+    )
