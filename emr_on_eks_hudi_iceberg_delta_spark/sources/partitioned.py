@@ -89,16 +89,27 @@ class PartitionedTable:
         return self
 
     def upsert(
-        self, updates: DataFrame, key_cols: list[str], precombine_col: str
+        self,
+        updates: DataFrame,
+        key_cols: list[str],
+        precombine_col: str,
+        global_index: bool = False,
     ) -> "PartitionedTable":
         """Partition-scoped keyed upsert: read ONLY the partitions the
         update batch touches, merge, rewrite those partitions; untouched
         partitions keep pointing at their previous commit dirs.
 
-        Constraint (same as Hudi's default non-global index): a key must
-        not change its partition value — an update that moves a key leaves
-        the old row in the old partition. Moving keys requires a global
-        key->partition index or a delete-in-old-partition pass.
+        ``global_index=False`` (default) is Hudi's non-global-index
+        behavior: a key must not change its partition value — an update
+        that moves a key would leave the old row behind.
+
+        ``global_index=True`` maintains a key->partition index
+        (``<location>/index/commit-<n>``): updates join the index to find
+        keys whose partition changed; the moved keys' OLD partitions join
+        the touched set, the merge drops their old rows there, and the
+        index is rewritten. The Hudi GLOBAL_BLOOM/GLOBAL_SIMPLE trade:
+        correct cross-partition moves for an index-maintenance cost per
+        commit.
         """
         from ..operators.merge import upsert_by_key
 
@@ -108,25 +119,80 @@ class PartitionedTable:
         current = versions[-1]["partitions"]
         commit_id = versions[-1]["version"] + 1
 
-        touched = [
+        touched = {
             str(r[0]) for r in updates.select(self.partition_col).distinct().collect()
-        ]
+        }
+        if global_index:
+            idx = self._read_index(versions[-1]["version"])
+            if idx is not None:
+                moved = (
+                    updates.select(*key_cols, self.partition_col)
+                    .join(
+                        idx.withColumnRenamed(self.partition_col, "__old_p"),
+                        key_cols,
+                    )
+                    .filter(F.col(self.partition_col).cast("string") != F.col("__old_p"))
+                    .select("__old_p")
+                    .distinct()
+                )
+                touched |= {str(r[0]) for r in moved.collect()}
+
         existing_touched = [v for v in touched if v in current]
         target = (
             self._read_partitions(current, existing_touched)
             if existing_touched
             else None
         )
-        merged = (
-            upsert_by_key(target, updates, key_cols, precombine_col)
-            if target is not None
-            else updates
-        )
+        if target is not None:
+            merged = upsert_by_key(target, updates, key_cols, precombine_col)
+            if global_index:
+                # a moved key's old-partition row shares the record key with
+                # its update row, so precombine already replaced it; what
+                # remains is rows now carrying a partition OUTSIDE the old
+                # set — partitionBy routes them to their new partition and
+                # the old partition's rewrite simply no longer contains them.
+                pass
+        else:
+            merged = updates
         self._write_commit(merged, commit_id)
         new_partitions = dict(current)
         for v in touched:
-            new_partitions[v] = commit_id
+            # a touched partition that ends up with zero rows (every key
+            # moved away) produces no dir in the commit — drop it from the
+            # manifest instead of pointing at a missing path
+            if os.path.exists(
+                os.path.join(self._commit_dir(commit_id), f"{self.partition_col}={v}")
+            ):
+                new_partitions[v] = commit_id
+            else:
+                new_partitions.pop(v, None)
         self._publish(new_partitions)
+        if global_index:
+            self._write_index(commit_id, key_cols)
+        return self
+
+    # -- global index --------------------------------------------------------
+
+    def _index_dir(self, commit_id: int) -> str:
+        return os.path.join(self.location, "index", f"commit-{commit_id}")
+
+    def _write_index(self, commit_id: int, key_cols: list[str]) -> None:
+        """Full key->partition index snapshot (at 100 TB: partition the
+        index by key hash and rewrite incrementally; full rewrite here)."""
+        idx = self.read().select(
+            *key_cols, F.col(self.partition_col).cast("string").alias(self.partition_col)
+        )
+        idx.write.mode("overwrite").parquet(self._index_dir(commit_id))
+
+    def _read_index(self, commit_id: int):
+        path = self._index_dir(commit_id)
+        if not os.path.exists(path):
+            return None
+        return self.spark.read.parquet(path)
+
+    def build_index(self, key_cols: list[str]) -> "PartitionedTable":
+        """Bootstrap the global index from the current table state."""
+        self._write_index(self._versions()[-1]["version"], key_cols)
         return self
 
     # -- read surface --------------------------------------------------------

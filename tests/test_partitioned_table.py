@@ -69,3 +69,35 @@ def test_upsert_creates_new_partition(spark):
     pt.upsert(newrows, ["c_custkey", "checksum"], "ts")
     assert pt.read_partition(99).count() == newrows.count()
     assert pt.read().count() == target.count() + newrows.count()
+
+
+def test_global_index_handles_partition_move(spark):
+    """A key whose partition value changes: with global_index=True the old
+    partition's row disappears and the key lives only in its new partition."""
+    pt = PartitionedTable(
+        spark, tempfile.mkdtemp(prefix="pt_gi_"), partition_col="c_nationkey"
+    )
+    target = _target(spark)
+    pt.overwrite(target)
+    pt.build_index(["c_custkey", "checksum"])
+
+    # move every customer of nation 2 to nation 77 (same record key: the
+    # checksum covers name+segment, untouched)
+    movers = target.filter(F.col("c_nationkey") == 2)
+    n_movers = movers.count()
+    assert n_movers > 0
+    moved = movers.withColumn("c_nationkey", F.lit(77)).withColumn(
+        "ts", F.lit("2024-02-01 00:00:00").cast("timestamp_ntz")
+    )
+    pt.upsert(moved, ["c_custkey", "checksum"], "ts", global_index=True)
+
+    assert pt.read_partition(77).count() == n_movers
+    # the emptied partition is dropped from the manifest entirely
+    assert "2" not in pt.history()[-1]["partitions"]
+    assert pt.read().filter(F.col("c_nationkey") == 2).count() == 0
+    assert pt.read().count() == target.count()
+    # exactly one row per record key survives
+    dup = (
+        pt.read().groupBy("c_custkey", "checksum").count().filter("count > 1").count()
+    )
+    assert dup == 0
