@@ -150,28 +150,40 @@ def lsh_ann_topk(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: restrict exact cosine scoring to LSH bucket
     co-occupants of each query. The IVF-style pattern: probe buckets, score
-    candidates exactly, rank."""
+    candidates exactly, rank.
+
+    ``multi_probe=True`` additionally probes every bucket one bit-flip away
+    from each query band key (the classic multi-probe LSH recall boost:
+    bits_per_band extra probes per band on the tiny query side only — the
+    corpus bucketing is untouched)."""
     bits_per_band = n_planes // bands
 
-    def bucketize(df, name):
+    def bucketize(df, name, probe: bool = False):
         sig = hyperplane_signatures(df, n_planes, dim, seed, id_col, vec_col)
-        bandc = [
-            F.struct(
-                F.lit(b).alias("band"),
+        bandc = []
+        for b in range(bands):
+            key = (
                 F.shiftrightunsigned(F.col("signature"), b * bits_per_band)
                 .bitwiseAND(F.lit((1 << bits_per_band) - 1))
-                .alias("key"),
             )
-            for b in range(bands)
-        ]
+            bandc.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+            if probe:
+                for j in range(bits_per_band):
+                    bandc.append(
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            key.bitwiseXOR(F.lit(1 << j)).alias("key"),
+                        )
+                    )
         return sig.select(
             F.col(id_col).alias(name), F.explode(F.array(*bandc)).alias("bk")
         ).select(name, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    qb = bucketize(queries, "query_id")
+    qb = bucketize(queries, "query_id", probe=multi_probe).distinct()
     cb = bucketize(emb, "neighbor_id")
     cand = (
         F.broadcast(qb)
