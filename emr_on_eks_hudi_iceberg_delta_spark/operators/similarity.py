@@ -219,32 +219,52 @@ def ivf_assign(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: deterministic seed centroids (the first
-    ``n_centroids`` vectors by id — swap for k-means|| offline at scale),
-    one assignment pass (broadcast centroids, argmin L2). Returns
-    (assignments(id, cell), centroids(cell, vector))."""
+    ``n_centroids`` vectors by id), optional Lloyd refinement iterations
+    (per-cell mean via posexplode + grouped avg — all built-ins), final
+    assignment pass (broadcast centroids, argmin L2). Returns
+    (assignments(id, cell), centroids(cell, vector)). At 100 TB run the
+    refinement on a sample — the assignment pass is the only full scan."""
     e = _with_double_vec(emb, id_col, vec_col)
-    cents = (
-        e.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("__seed_id"), F.col("e").alias("ce"))
-    )
-    w = Window.partitionBy(id_col).orderBy("dist", "__seed_id")
     dist = F.aggregate(
         F.zip_with("e", "ce", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("dist", dist)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(F.col(id_col), F.col("__seed_id").alias("cell"))
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        w = Window.partitionBy(id_col).orderBy("dist", "cell")
+        return (
+            e.crossJoin(F.broadcast(centroids))
+            .withColumn("dist", dist)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col(id_col), F.col("cell"))
+        )
+
+    centroids = (
+        e.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cell"), F.col("e").alias("ce"))
     )
-    centroids = cents.select(F.col("__seed_id").alias("cell"), F.col("ce"))
-    return assigned, centroids
+    for _ in range(refine_iters):
+        members = assign(centroids).join(e, id_col)
+        means = (
+            members.select("cell", F.posexplode("e").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m,
+                ).alias("ce")
+            )
+        )
+        centroids = means  # cells that lost all members drop out (k shrinks)
+    return assign(centroids), centroids
 
 
 def ivf_topk(
@@ -255,12 +275,13 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: corpus bucketed by nearest centroid; each
     query probes its ``nprobe`` nearest cells and exact-scores only those
     candidates. Cost ~ (nprobe / n_centroids) of brute force; recall < 1
     (vectors outside probed cells are invisible)."""
-    assigned, centroids = ivf_assign(emb, n_centroids, id_col, vec_col)
+    assigned, centroids = ivf_assign(emb, n_centroids, id_col, vec_col, refine_iters)
     qv = _with_double_vec(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("e").alias("eq"), F.col("nrm").alias("nq")
     )
