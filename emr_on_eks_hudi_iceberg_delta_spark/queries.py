@@ -2491,3 +2491,147 @@ def q_mor_realtime_view(spark, sf_dir):
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
         "ts", "valid_from", "valid_to", "iscurrent", "checksum",
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 9: cube/grouping sets, null-safe join, window-function breadth,
+# exact moment statistics
+# --------------------------------------------------------------------------
+
+@register(
+    "cube_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def q_cube_agg(spark, sf_dir):
+    """CUBE aggregate (all grouping-set combinations)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "grouping_sets_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("agg",),
+)
+def q_grouping_sets_agg(spark, sf_dir):
+    """Explicit GROUPING SETS (subset of cube, via SQL — the DataFrame API
+    gains groupingSets in 4.x but SQL is the portable surface)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "null_safe_join",
+    oracle="""
+    WITH a AS (SELECT event_id, CASE WHEN event_id % 3 = 0 THEN NULL
+                                     ELSE event_id % 7 END AS k FROM events),
+         b AS (SELECT CASE WHEN event_id % 5 = 0 THEN NULL
+                           ELSE event_id % 7 END AS k,
+                      COUNT(*) AS n FROM events GROUP BY 1)
+    SELECT a.event_id, a.k, b.n
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    tags=("join",),
+)
+def q_null_safe_join(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other — the opposite of the J4 never-match semantics, both
+    of which a complete merge engine needs."""
+    ev = _t(spark, sf_dir, "events")
+    k_a = F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(
+        F.col("event_id") % 7
+    )
+    k_b = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+        F.col("event_id") % 7
+    )
+    a = ev.select("event_id", k_a.alias("k"))
+    b = ev.select(k_b.alias("k")).groupBy("k").agg(F.count("*").alias("n"))
+    return a.join(b, a.k.eqNullSafe(b.k)).select(a.event_id, a.k, b.n)
+
+
+@register(
+    "window_function_breadth",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+      FIRST_VALUE(o_orderkey) OVER w AS first_key,
+      LAST_VALUE(o_orderkey) OVER w AS last_key_so_far,
+      NTH_VALUE(o_orderkey, 2) OVER w AS second_key,
+      LAG(o_orderkey, 1) OVER w AS prev_key,
+      CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+      CAST(RANK() OVER w AS BIGINT) AS rnk,
+      CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window",),
+)
+def q_window_function_breadth(spark, sf_dir):
+    """first/last/nth value, lag, ntile, rank, dense_rank over an explicit
+    ROWS frame with a unique tie-break ordering (the frame and tie-break
+    are what make every one of these deterministic)."""
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    framed = base.rowsBetween(Window.unboundedPreceding, 0)
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(framed).alias("first_key"),
+        F.last("o_orderkey").over(framed).alias("last_key_so_far"),
+        F.nth_value("o_orderkey", 2).over(framed).alias("second_key"),
+        F.lag("o_orderkey", 1).over(base).alias("prev_key"),
+        F.ntile(4).over(base).cast("int").alias("quartile"),
+        F.rank().over(base).alias("rnk"),
+        F.dense_rank().over(base).alias("drnk"),
+    )
+
+
+@register(
+    "exact_moment_stats",
+    oracle="""
+    SELECT l_returnflag,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+      CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS s2,
+      (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE)
+       - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+         * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+      / (COUNT(*) - 1) AS variance_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def q_exact_moment_stats(spark, sf_dir):
+    """Order-independent variance: exact decimal moments (sum, sum of
+    squares) combined in one deterministic double expression — built-in
+    stddev/var use merge formulas whose float error depends on partitioning,
+    so they can never be bit-reproducible across engines; this is."""
+    li = _t(spark, sf_dir, "lineitem")
+    s1 = F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+    s2 = F.sum(
+        (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(28,8)")
+    ).cast("double")
+    n = F.count("*")
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+        ((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("variance_qty"),
+    )
