@@ -129,17 +129,40 @@ class VersionedTable:
 
     # -- read surface -------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot scan (S2); ``version`` gives time travel."""
+    def read(self, version: int | None = None, with_meta: bool = False) -> DataFrame:
+        """Snapshot scan (S2); ``version`` gives time travel.
+
+        ``with_meta=True`` adds commit-lineage columns ``_commit_version``
+        and ``_commit_time`` — the engine's analog of Hudi's ``_hoodie_*``
+        metadata columns (the reason the reference needs
+        ``unionByName(allowMissingColumns=True)`` at
+        hudi/hudi_scd_script.py:111; SURVEY.md §7 hard-point 4)."""
         snaps = self._snapshots()
         if not snaps:
             raise FileNotFoundError(f"no snapshot at {self.location}")
+        snap = None
         if version is None:
-            return self.spark.read.parquet(snaps[-1]["dir"])
-        for s in snaps:
-            if s["version"] == version:
-                return self.spark.read.parquet(s["dir"])
-        raise ValueError(f"version {version} not found at {self.location}")
+            snap = snaps[-1]
+        else:
+            for s in snaps:
+                if s["version"] == version:
+                    snap = s
+                    break
+        if snap is None:
+            raise ValueError(f"version {version} not found at {self.location}")
+        df = self.spark.read.parquet(snap["dir"])
+        if with_meta:
+            df = df.withColumn(
+                "_commit_version", F.lit(snap["version"]).cast("int")
+            ).withColumn(
+                "_commit_time",
+                F.lit(
+                    time.strftime(
+                        "%Y-%m-%d %H:%M:%S", time.gmtime(snap["committed_at"])
+                    )
+                ).cast("timestamp_ntz"),
+            )
+        return df
 
     def changes(self, from_version: int, to_version: int) -> DataFrame:
         """Incremental read: row-level changes between two snapshots

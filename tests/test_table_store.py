@@ -140,3 +140,22 @@ def test_occ_conflict_detection_and_retry(spark):
     writer_b.upsert(df_b, ["id"], "ts")
     rows = {r["id"]: r["v"] for r in writer_b.read().collect()}
     assert rows == {1: "a2", 2: "b"}
+
+
+def test_meta_columns_lineage(spark):
+    """Commit-lineage columns (_commit_version/_commit_time) — the
+    _hoodie_* metadata analog; schema-tolerant merges still work against
+    meta-bearing frames via unionByName(allowMissingColumns=True)."""
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_meta_"))
+    vt.overwrite(spark.createDataFrame([(1, "a")], "id int, v string"))
+    vt.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"))
+    df = vt.read(with_meta=True)
+    assert set(df.columns) == {"id", "v", "_commit_version", "_commit_time"}
+    assert df.select("_commit_version").distinct().collect()[0][0] == 1
+    v0 = vt.read(version=0, with_meta=True)
+    assert v0.select("_commit_version").distinct().collect()[0][0] == 0
+    # schema-tolerant union against a meta-less frame (O1 semantics)
+    plain = spark.createDataFrame([(3, "c")], "id int, v string")
+    u = df.unionByName(plain, allowMissingColumns=True)
+    assert u.count() == 3
+    assert u.filter("_commit_version IS NULL").count() == 1
