@@ -308,3 +308,34 @@ class MergeIntoBuilder:
             ]
             out = out.unionByName(ins.select(*proj))
         return out
+
+
+def scd2_apply_deletes(
+    target: DataFrame,
+    delete_keys: DataFrame,
+    key_col: str,
+    as_of: str | None = None,
+) -> DataFrame:
+    """SCD2 soft delete: expire the current version of every key in
+    ``delete_keys`` (set ``valid_to`` to the batch timestamp, ``iscurrent``
+    to 0) without inserting a successor. History rows are untouched; the
+    key simply stops having a current version — the retention-friendly
+    delete the reference's pipelines lack (their MERGE has no
+    WHEN MATCHED DELETE clause).
+    """
+    ts = load_timestamp(as_of)
+    keys = delete_keys.select(key_col).distinct()
+    is_target = (F.col("iscurrent") == 1) & F.col("__del").isNotNull()
+    marked = target.join(
+        F.broadcast(keys.withColumn("__del", F.lit(1))), on=key_col, how="left"
+    )
+    return (
+        marked.withColumn(
+            "valid_to", F.when(is_target, ts).otherwise(F.col("valid_to"))
+        )
+        .withColumn(
+            "iscurrent",
+            F.when(is_target, F.lit(0)).otherwise(F.col("iscurrent")).cast("int"),
+        )
+        .drop("__del")
+    )

@@ -2635,3 +2635,31 @@ def q_exact_moment_stats(spark, sf_dir):
         s2.alias("s2"),
         ((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("variance_qty"),
     )
+
+
+@register(
+    "scd2_soft_delete",
+    oracle=f"""
+    WITH tgt AS ({_SQL_TGT9}),
+    dk AS (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 19 = 0)
+    SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal, t.c_mktsegment,
+           t.ts,
+           t.valid_from,
+           CASE WHEN t.iscurrent = 1 AND dk.c_custkey IS NOT NULL
+                THEN TIMESTAMP '{T2}' ELSE t.valid_to END AS valid_to,
+           CAST(CASE WHEN t.iscurrent = 1 AND dk.c_custkey IS NOT NULL
+                     THEN 0 ELSE t.iscurrent END AS INTEGER) AS iscurrent,
+           t.checksum
+    FROM tgt t LEFT JOIN dk ON t.c_custkey = dk.c_custkey
+    """,
+    tags=("scd2", "extension"),
+)
+def q_scd2_soft_delete(spark, sf_dir):
+    """SCD2 soft delete: expire current versions of a key set without
+    successors — the WHEN MATCHED DELETE capability the reference's merges
+    lack, history-preserving."""
+    from .operators.merge import scd2_apply_deletes
+
+    target = scd2_target(spark, sf_dir)
+    dk = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 19 == 0)
+    return scd2_apply_deletes(target, dk, "c_custkey", as_of=T2)

@@ -159,3 +159,17 @@ def test_meta_columns_lineage(spark):
     u = df.unionByName(plain, allowMissingColumns=True)
     assert u.count() == 3
     assert u.filter("_commit_version IS NULL").count() == 1
+
+
+def test_schema_evolution_upsert(spark):
+    """Schema evolution: an update batch carrying a NEW column upserts
+    cleanly; prior rows read NULL for it (unionByName allowMissingColumns
+    inside upsert_by_key — the Hudi/Delta mergeSchema behavior)."""
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_evo_"))
+    vt.overwrite(spark.createDataFrame([(1, "a", 1)], "id int, v string, ts int"))
+    evolved = spark.createDataFrame(
+        [(2, "b", 2, "extra")], "id int, v string, ts int, note string"
+    )
+    vt.upsert(evolved, ["id"], "ts")
+    rows = {r["id"]: r["note"] for r in vt.read().collect()}
+    assert rows == {1: None, 2: "extra"}
