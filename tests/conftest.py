@@ -13,6 +13,10 @@ SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark("tests", master="local[8]", shuffle_partitions=8)
+    # cores/shuffle-partitions are env-tunable so the suite can prove
+    # results are partitioning-independent (decimal sums, tie-broken ranks)
+    cores = int(os.environ.get("SPARK_GRAFT_TEST_CORES", "8"))
+    shuffle = int(os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", str(cores)))
+    spark = get_spark("tests", master=f"local[{cores}]", shuffle_partitions=shuffle)
     yield spark
     spark.stop()
