@@ -1,12 +1,18 @@
 from .csv import read_csv_with_schema
+from .mor import MorTable
 from .parquet import TABLES, load_table, load_tables, register_views
-from .tables import VersionedTable
+from .partitioned import PartitionedTable
+from .tables import ConcurrentCommitError, VersionedTable, table_changes
 
 __all__ = [
-    "read_csv_with_schema",
+    "ConcurrentCommitError",
+    "MorTable",
+    "PartitionedTable",
     "TABLES",
+    "VersionedTable",
     "load_table",
     "load_tables",
+    "read_csv_with_schema",
     "register_views",
-    "VersionedTable",
+    "table_changes",
 ]
