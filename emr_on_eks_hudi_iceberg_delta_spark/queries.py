@@ -2663,3 +2663,34 @@ def q_scd2_soft_delete(spark, sf_dir):
     target = scd2_target(spark, sf_dir)
     dk = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 19 == 0)
     return scd2_apply_deletes(target, dk, "c_custkey", as_of=T2)
+
+
+@register(
+    "streaming_stream_join",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+          FROM ev WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id,
+                 value AS purchase_value
+          FROM ev WHERE event_type = 'purchase')
+    SELECT c.user_id, c.click_ts, p.purchase_ts, c.click_id, p.purchase_id,
+           p.purchase_value
+    FROM c JOIN p ON c.user_id = p.user_id
+                 AND p.purchase_ts >= c.click_ts
+                 AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "join", "extension"),
+)
+def q_streaming_stream_join(spark, sf_dir):
+    """Stream-stream interval join (click -> purchase attribution within
+    1 h, watermarked on both sides for bounded state) — replayed via
+    AvailableNow, exact-matches the batch interval join."""
+    from .streaming.events import stream_stream_join
+
+    ev = _events_stream(spark, sf_dir)
+    out = stream_stream_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    return run_stream_to_memory(out, output_mode="append")

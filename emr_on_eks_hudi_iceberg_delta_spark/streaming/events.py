@@ -152,3 +152,47 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return sdf.sparkSession.table(name)
+
+
+def stream_stream_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "INTERVAL 1 HOUR",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to a prior click by
+    the same user within ``within``. Both sides carry watermarks and the
+    join condition bounds event-time distance — the two requirements that
+    let Spark evict join state (unbounded otherwise; the knob that keeps
+    a 100 TB/day dual-stream join feasible).
+    """
+    c = (
+        clicks.select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        ).withWatermark("click_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        ).withWatermark("purchase_ts", watermark)
+    )
+    return c.join(
+        p,
+        F.expr(
+            f"c_user = p_user AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + {within}"
+        ),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "click_id",
+        "purchase_id",
+        "purchase_value",
+    )

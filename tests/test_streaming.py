@@ -129,3 +129,33 @@ def test_watermark_drops_late_data(spark):
     # every batch-1 hour window emitted exactly once
     for h in range(9):
         assert result.get(f"2024-06-01T{h:02d}:00:00") == 1
+
+
+def test_stream_stream_join_matches_batch(spark, events_stream):
+    """Stream-stream interval join (click -> purchase attribution within
+    1 h) equals the equivalent batch join."""
+    from emr_on_eks_hudi_iceberg_delta_spark.streaming.events import (
+        stream_stream_join,
+    )
+
+    clicks = events_stream.filter(F.col("event_type") == "click")
+    purchases = events_stream.filter(F.col("event_type") == "purchase")
+    got = run_stream_to_memory(
+        stream_stream_join(clicks, purchases), output_mode="append"
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    bc = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    bp = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    exp = bc.join(bp, "u").filter(
+        (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.expr("cts + INTERVAL 1 HOUR"))
+    )
+    assert got.count() == exp.count()
+    g = {(r["click_id"], r["purchase_id"]) for r in got.collect()}
+    e = {(r["cid"], r["pid"]) for r in exp.collect()}
+    assert g == e
