@@ -2665,6 +2665,376 @@ def q_scd2_soft_delete(spark, sf_dir):
     return scd2_apply_deletes(target, dk, "c_custkey", as_of=T2)
 
 
+# --------------------------------------------------------------------------
+# Batch 10: the remaining TPC-H shapes (q2/q9/q11/q12/q15/q16/q20/q21),
+# schema-adapted — lineitem stands in for partsupp as the part<->supplier
+# relation (no partsupp table), l_linestatus for l_shipmode, and
+# shipdate-vs-orderdate lag for the missing commit/receipt dates.
+# With batch 8 this completes all 22 TPC-H query shapes.
+# --------------------------------------------------------------------------
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH rs AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'),
+    cost AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem JOIN rs ON l_suppkey = rs.s_suppkey
+      GROUP BY l_partkey, l_suppkey),
+    best AS (SELECT l_partkey, MIN(unit_cost) AS min_cost FROM cost GROUP BY 1)
+    SELECT p_partkey, p_name, s_name, n_name, s_acctbal,
+           cost.unit_cost AS supply_cost
+    FROM part
+    JOIN cost ON p_partkey = cost.l_partkey
+    JOIN best ON cost.l_partkey = best.l_partkey
+             AND cost.unit_cost = best.min_cost
+    JOIN rs ON cost.l_suppkey = rs.s_suppkey
+    WHERE p_size = 5 AND p_type = 'STANDARD'
+    """,
+    tags=("join", "agg"),
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: cheapest regional supplier per part — correlated
+    MIN subquery (min unit cost per part over one region's suppliers)
+    joined back on equality. lineitem plays partsupp; unit cost =
+    min(extendedprice/quantity) per (part, supplier). MIN over doubles is
+    order-independent, so the equality join is engine-exact."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rs = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cost = (
+        li.join(F.broadcast(rs.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 5) & (F.col("p_type") == "STANDARD")
+    )
+    return (
+        cost.join(best.hint("broadcast"), ["l_partkey"])
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(rs), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name", "s_acctbal",
+            F.col("unit_cost").alias("supply_cost"),
+        )
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT n_name AS nation,
+      CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    - 0.6 * p_retailprice * l_quantity
+               AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+    """,
+    tags=("join", "agg"),
+)
+def q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation and order year for one
+    product line — 5-way join with an arithmetic profit expression
+    (supply cost proxied by 0.6 * p_retailprice, no partsupp table).
+    Dimension sides broadcast; the lineitem<->orders join is the only
+    large shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    amount = F.expr(
+        "l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity"
+    )
+    joined = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    ).agg(_dsum(amount, 6).alias("sum_profit"))
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH nat AS (
+      SELECT l_partkey,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS value
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_1'
+      GROUP BY l_partkey)
+    SELECT l_partkey, value FROM nat
+    WHERE value > (SELECT SUM(value) * 0.001 FROM nat)
+    """,
+    tags=("join", "agg"),
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose one-nation inventory value exceeds a
+    fraction of the nation's total — grouped aggregate reused both as the
+    output and (re-aggregated) as a broadcast scalar threshold. DECIMAL
+    per-part sums make both the values and the total engine-exact; only
+    the final fraction multiply is float, identically on both sides."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    nat = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(_dsum("l_extendedprice").alias("value"))
+    )
+    total = nat.agg((F.sum("value") * F.lit(0.001)).alias("threshold"))
+    return (
+        nat.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", "value")
+    )
+
+
+@register(
+    "q12_shipping_delay",
+    oracle="""
+    SELECT l_linestatus,
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate <  o_orderdate + INTERVAL 120 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+    tags=("join", "agg"),
+)
+def q12_shipping_delay(spark, sf_dir):
+    """TPC-H Q12 shape: late-shipment priority split — join with a
+    cross-table date-lag predicate and two conditional counts.
+    l_linestatus stands in for the missing l_shipmode; shipdate-vs-
+    orderdate lag for the missing commit/receipt dates."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(
+            (F.col("l_shipdate") >= F.expr("o_orderdate + INTERVAL 30 DAY"))
+            & (F.col("l_shipdate") < F.expr("o_orderdate + INTERVAL 120 DAY"))
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+             AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    tags=("join", "agg"),
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the quarter's top-revenue supplier — a grouped
+    revenue view consumed twice: once re-aggregated to a broadcast scalar
+    MAX, once equality-filtered against it. DECIMAL revenue sums make the
+    MAX-equality engine-exact."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _dsum(F.expr("l_extendedprice * (1 - l_discount)"), 6).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q16_supplier_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("join", "agg"),
+)
+def q16_supplier_count(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute combo,
+    excluding a supplier denylist — NOT IN over non-null keys is a
+    left-anti join (negative s_acctbal plays the 'customer complaints'
+    exclusion). lineitem plays partsupp."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'red%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 50.0)
+    """,
+    tags=("join", "agg"),
+)
+def q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 shape: one nation's suppliers who moved enough of a
+    promoted part line — nested aggregate-HAVING subquery consumed through
+    a left-semi join (the IN). DECIMAL quantity sums make the HAVING
+    threshold engine-exact."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    qualified = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(_dsum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50.0)
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(qualified.hint("broadcast"), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+@register(
+    "q21_late_shippers",
+    oracle="""
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders ON l1.l_orderkey = o_orderkey
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_1'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    """,
+    tags=("join", "agg"),
+)
+def q21_late_shippers(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the sole late shipper on a
+    multi-supplier finished order — EXISTS (left-semi self-join) plus
+    NOT EXISTS (left-anti against a precomputed late-lines set), both on
+    the order key with a supplier-inequality residual. Late = shipped
+    more than 60 days after order date (no commit/receipt dates in this
+    schema)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    l1 = (
+        li.join(o.filter(F.col("o_orderstatus") == "F"), li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("k2")
+    )
+    l3 = late.select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("k3"))
+    return (
+        l1.join(
+            l2, (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.k2), "left_semi"
+        )
+        .join(l3, (l1.l_orderkey == l3.o3) & (l1.l_suppkey != l3.k3), "left_anti")
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
 @register(
     "streaming_stream_join",
     oracle=f"""
