@@ -106,6 +106,31 @@ def test_partitioned_write_prunes(spark):
     assert "PartitionFilters" in plan and "order_year" in plan
 
 
+def test_q9_broadcasts_all_dimensions(spark):
+    """Batch-10 TPC-H: q9's four dimension joins (part/supplier/nation and
+    the revenue-side orders join stays shuffled) must broadcast — lineitem
+    is the only 100 TB-sized input, so it must never be exchanged for a
+    dimension join."""
+    df = REGISTRY["q9_product_type_profit"].fn(spark, SF_DIR)
+    assert broadcast_join_count(df) >= 3
+    assert has_pushed_filter(df, "StringContains(p_name,red)")
+
+
+def test_q16_anti_join_broadcasts(spark):
+    """q16's NOT IN denylist is a broadcast left-anti join (never a
+    shuffled anti join of the fact table against 6 rows)."""
+    df = REGISTRY["q16_supplier_count"].fn(spark, SF_DIR)
+    assert broadcast_join_count(df) >= 2
+
+
+def test_q15_single_fact_shuffle(spark):
+    """q15 reads lineitem once: one group-by exchange; the scalar MAX and
+    the supplier join are broadcasts."""
+    df = REGISTRY["q15_top_supplier"].fn(spark, SF_DIR)
+    assert has_pushed_filter(df, "GreaterThanOrEqual(l_shipdate")
+    assert broadcast_join_count(df) >= 2
+
+
 def test_dsv2_write_to_create(spark):
     """S8: DataFrameWriterV2 against the session catalog
     (iceberg/iceberg_scd_script.py:34-37 shape). The stock V1 session
