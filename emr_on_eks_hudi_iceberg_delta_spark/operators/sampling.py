@@ -1,0 +1,90 @@
+"""Deterministic sampling and dataset-splitting operators.
+
+Training-data pipelines need *reproducible* sampling: the same row must land
+in the same split on every run, on any cluster layout, even as the table
+grows. ``df.sample()`` can't promise that (seeded per-partition RNG changes
+with repartitioning), so everything here derives the decision from a
+portable content hash (functions/hashing.py) — a pure per-row map, zero
+shuffle, scan-speed at 100 TB, and exactly reproducible in any engine that
+has md5 (the DuckDB oracles prove it).
+
+Reference scope note: the reference has no sampling surface at all; these
+are capability extensions for the LLM-pipeline north star (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_hash64
+
+#: modulus for hash-bucket decisions — 10_000 gives 0.01 % rate granularity
+BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Stable bucket in [0, BUCKETS) from a key column. ``salt`` decouples
+    independent sampling decisions made from the same key (sampling for
+    eval vs. sampling for dedup must not correlate)."""
+    keyed = F.concat(F.lit(salt), key.cast("string")) if salt else key.cast("string")
+    return (md5_hash64(keyed) % BUCKETS).cast("int")
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``rate`` of rows, decided by key hash — reproducible across
+    runs, cluster layouts, and engines (unlike ``df.sample``)."""
+    return df.filter(hash_bucket(F.col(key_col), salt) < int(rate * BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: Mapping[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Label every row with a split name by hash range; fractions must sum
+    to <= 1 (any remainder is labelled with the last split). Rows with the
+    same key always land in the same split — the leakage-safe train/test
+    split for grouped data."""
+    bucket = hash_bucket(F.col(key_col), salt)
+    expr = None
+    edge = 0
+    names = list(splits)
+    for name in names[:-1]:
+        edge += int(splits[name] * BUCKETS)
+        expr = (
+            F.when(bucket < edge, F.lit(name))
+            if expr is None
+            else expr.when(bucket < edge, F.lit(name))
+        )
+    label = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(split_col, label)
+
+
+def stratified_sample(
+    df: DataFrame, key_col: str, strata_col: str, rates: Mapping[str, float],
+    default_rate: float = 0.0, salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. keep 80 % of English docs
+    but 100 % of low-resource languages) — the language-rebalancing
+    primitive. Strata absent from ``rates`` get ``default_rate``."""
+    threshold = None
+    for stratum, rate in sorted(rates.items()):
+        t = F.lit(int(rate * BUCKETS))
+        threshold = (
+            F.when(F.col(strata_col) == stratum, t)
+            if threshold is None
+            else threshold.when(F.col(strata_col) == stratum, t)
+        )
+    threshold = (
+        F.lit(int(default_rate * BUCKETS))
+        if threshold is None
+        else threshold.otherwise(F.lit(int(default_rate * BUCKETS)))
+    )
+    return df.filter(hash_bucket(F.col(key_col), salt) < threshold)

@@ -102,6 +102,57 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("predicted_lang", F.coalesce(pred, F.lit(langs[0])))
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Split documents into overlapping character chunks (chunk_size window,
+    stride step) — the context-window chunking step before embedding or
+    tokenization. Pure built-ins: sequence + posexplode stays in codegen and
+    multiplies rows ~len/stride×, which is why stride is a parameter — at
+    100 TB you pick stride == chunk_size (no overlap) unless retrieval
+    recall demands it. One row per chunk; chunk 0 starts at offset 1."""
+    starts = F.expr(
+        f"sequence(0, cast(floor((greatest(length({text_col}), 1) - 1) / {stride}) as int))"
+    )
+    return df.select(
+        "*", F.posexplode(starts).alias("chunk_idx", "__start")
+    ).select(
+        df["*"],
+        F.col("chunk_idx").cast("int").alias("chunk_id"),
+        F.expr(f"substr({text_col}, 1 + chunk_idx * {stride}, {chunk_size})").alias(
+            "chunk"
+        ),
+    ).drop("chunk_idx")
+
+
+def pack_documents(
+    df: DataFrame,
+    size_col: str,
+    capacity: int,
+    partition_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Assign documents to fixed-capacity sequential bins (~capacity units
+    per bin, per partition) — the sequence-packing step that batches
+    variable-length documents into training context windows. Bin id =
+    exclusive-prefix-sum(size) / capacity: a single window cumsum, one
+    shuffle on the partition key, deterministic given the ordering. (True
+    optimal bin packing is inherently sequential; fixed-capacity cumsum
+    binning is the scalable approximation every large pipeline uses.)"""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return df.withColumn("bin", F.floor(before / F.lit(capacity)).cast("bigint"))
+
+
 def normalized_text_expr(text_col: str = "text") -> Column:
     return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
 

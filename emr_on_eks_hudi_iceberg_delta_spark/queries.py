@@ -3064,3 +3064,144 @@ def q_streaming_stream_join(spark, sf_dir):
         ev.filter(F.col("event_type") == "purchase"),
     )
     return run_stream_to_memory(out, output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# Batch 11: deterministic sampling / splitting / chunking / packing — the
+# reproducible-dataset-construction layer of a training-data pipeline.
+# Sampling decisions are md5-hash-derived (operators/sampling.py), so the
+# same row lands in the same split on any cluster layout AND in DuckDB —
+# every query here has an exact oracle despite being "random" sampling.
+# --------------------------------------------------------------------------
+
+# the hash-bucket expression shared by the sampling oracles
+_SQL_BUCKET = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " % 10000"
+)
+
+
+@register(
+    "deterministic_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE {_SQL_BUCKET} < 500
+    """,
+    tags=("sampling", "extension"),
+)
+def q_deterministic_sample(spark, sf_dir):
+    """Reproducible 5% sample by content-hash bucket — unlike df.sample(),
+    the decision is a pure function of the key: stable across runs,
+    repartitioning, and engines (zero shuffle, scan-speed at 100 TB)."""
+    from .operators.sampling import deterministic_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", 0.05).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@register(
+    "train_test_split",
+    oracle=f"""
+    SELECT CASE WHEN {_SQL_BUCKET} < 8000 THEN 'train'
+                WHEN {_SQL_BUCKET} < 9000 THEN 'valid'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY split
+    """,
+    tags=("sampling", "agg", "extension"),
+)
+def q_train_test_split(spark, sf_dir):
+    """Leakage-safe 80/10/10 train/valid/test split by key hash range —
+    the same doc_id always lands in the same split, even across dataset
+    versions; summarized per split."""
+    from .operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1})
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_sampled FROM documents
+    WHERE {_SQL_BUCKET} < CASE lang WHEN 'en' THEN 2000
+                                    WHEN 'de' THEN 5000
+                                    ELSE 10000 END
+    GROUP BY lang
+    """,
+    tags=("sampling", "agg", "extension"),
+)
+def q_stratified_sample(spark, sf_dir):
+    """Language-rebalancing stratified sample: keep 20% of English, 50% of
+    German, 100% of everything else — per-stratum hash thresholds, counted
+    per language."""
+    from .operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, "doc_id", "lang", {"en": 0.2, "de": 0.5},
+                          default_rate=1.0)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+
+
+@register(
+    "doc_chunking",
+    oracle="""
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+           substr(text, 1 + CAST(i AS INTEGER) * 150, 200) AS chunk
+    FROM documents,
+         UNNEST(generate_series(0,
+                CAST(floor((greatest(length(text), 1) - 1) / 150) AS INTEGER)))
+           AS t(i)
+    """,
+    tags=("text", "extension"),
+)
+def q_doc_chunking(spark, sf_dir):
+    """Overlapping character chunking (200-char window, 150-char stride) —
+    the context-window split before embedding; sequence+posexplode, pure
+    codegen, one output row per chunk."""
+    from .operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=200, stride=150).select(
+        "doc_id", "chunk_id", "chunk"
+    )
+
+
+@register(
+    "token_packing",
+    oracle="""
+    WITH cum AS (
+      SELECT source, doc_id, n_chars,
+             COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM documents)
+    SELECT source, CAST(FLOOR(before / 4000) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS bin_chars
+    FROM cum GROUP BY source, bin
+    """,
+    tags=("text", "agg", "window", "extension"),
+)
+def q_token_packing(spark, sf_dir):
+    """Sequence packing: assign docs to ~4000-char sequential bins per
+    source (exclusive prefix-sum / capacity) — the batching step that fills
+    training context windows; one shuffle on the partition key."""
+    from .operators.text import pack_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_documents(docs, "n_chars", 4000, "source", "doc_id")
+    return packed.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("bin_chars"),
+    )

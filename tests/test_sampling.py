@@ -1,0 +1,115 @@
+"""Invariants for the deterministic sampling / splitting / chunking /
+packing operators (batch 11) — properties the oracle parity test can't
+see: nestedness, disjointness, reconstruction, capacity bounds, and
+layout-independence.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from emr_on_eks_hudi_iceberg_delta_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+    stratified_sample,
+)
+from emr_on_eks_hudi_iceberg_delta_spark.operators.text import (
+    chunk_documents,
+    pack_documents,
+)
+from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+def test_sample_rates_are_nested(docs):
+    """A hash-threshold sample at a lower rate is a strict subset of the
+    same-salt sample at a higher rate — lets a pipeline grow its sample
+    without resampling everything."""
+    small = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.05).collect()}
+    large = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.20).collect()}
+    assert small and small < large
+
+
+def test_sample_salt_decorrelates(docs):
+    a = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.2, salt="a").collect()}
+    b = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.2, salt="b").collect()}
+    n = docs.count()
+    overlap = len(a & b)
+    # independent 20% samples overlap ~4%; same-salt would overlap 100%
+    assert overlap < 0.12 * n
+
+
+def test_sample_is_layout_independent(docs):
+    base = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.1).collect()}
+    shuffled = {
+        r.doc_id
+        for r in deterministic_sample(docs.repartition(17), "doc_id", 0.1).collect()
+    }
+    assert base == shuffled
+
+
+def test_hash_split_partitions_every_row(docs):
+    split = hash_split(docs, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = docs.count()
+    assert sum(counts.values()) == n  # total partition, no row lost
+    assert set(counts) == {"train", "valid", "test"}
+    assert counts["train"] > counts["valid"] and counts["train"] > counts["test"]
+    # rates hold to within a few points at n≈1e3
+    assert abs(counts["train"] / n - 0.8) < 0.08
+
+
+def test_stratified_keeps_default_strata_whole(docs):
+    sampled = stratified_sample(docs, "doc_id", "lang", {"en": 0.2}, default_rate=1.0)
+    full = docs.filter(F.col("lang") != "en").count()
+    kept = sampled.filter(F.col("lang") != "en").count()
+    assert kept == full
+    en_full = docs.filter(F.col("lang") == "en").count()
+    en_kept = sampled.filter(F.col("lang") == "en").count()
+    assert 0 < en_kept < en_full
+
+
+def test_chunks_reconstruct_document(docs):
+    """With stride == chunk_size (no overlap), concatenating chunks in
+    order rebuilds the exact document text."""
+    chunks = chunk_documents(docs, chunk_size=100, stride=100)
+    rebuilt = chunks.groupBy("doc_id").agg(
+        F.concat_ws(
+            "", F.transform(F.array_sort(F.collect_list(F.struct("chunk_id", "chunk"))),
+                            lambda s: s.chunk)
+        ).alias("rebuilt")
+    )
+    joined = docs.join(rebuilt, "doc_id")
+    assert joined.filter(F.col("text") != F.col("rebuilt")).count() == 0
+
+
+def test_chunk_overlap_and_bounds(docs):
+    chunks = chunk_documents(docs, chunk_size=200, stride=150)
+    assert chunks.filter(F.length("chunk") > 200).count() == 0
+    assert chunks.filter(F.length("chunk") < 1).count() == 0
+    # every doc yields ceil(max(len,1)/150) chunks — the last one starts
+    # within the text
+    per_doc = chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    expected = docs.select(
+        "doc_id",
+        (F.floor((F.greatest(F.length("text"), F.lit(1)) - 1) / 150) + 1).alias("want"),
+    )
+    assert per_doc.join(expected, "doc_id").filter(
+        F.col("n_chunks") != F.col("want")
+    ).count() == 0
+
+
+def test_packing_respects_capacity_slack(docs):
+    """Cumsum binning: a bin's content is < capacity + the size of its one
+    straddling document; bin ids per source are dense from 0."""
+    packed = pack_documents(docs, "n_chars", 4000, "source", "doc_id")
+    max_doc = docs.agg(F.max("n_chars")).collect()[0][0]
+    bins = packed.groupBy("source", "bin").agg(F.sum("n_chars").alias("sz"))
+    assert bins.filter(F.col("sz") >= 4000 + max_doc).count() == 0
+    firsts = packed.groupBy("source").agg(F.min("bin").alias("b0"))
+    assert firsts.filter(F.col("b0") != 0).count() == 0
