@@ -3205,3 +3205,71 @@ def q_token_packing(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("bin_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 12: source-format breadth (sources/formats.py) — ORC and JSON-lines
+# round-trips. The reference's only file source is headerless CSV (S1);
+# these prove the other in-box formats preserve values end-to-end through
+# a write+schema-declared-read+aggregate pipeline.
+# --------------------------------------------------------------------------
+
+@register(
+    "orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+      CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_order
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("source", "extension"),
+)
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC write -> schema-declared read -> aggregate: values (including
+    NTZ timestamps) survive the other columnar format bit-exactly; same
+    pushdown/pruning path as parquet."""
+    from .sources.formats import read_orc, write_orc
+
+    o = _t(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="orc_q_")
+    write_orc(o, path)
+    back = read_orc(spark, path, o.schema)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        _dsum("o_totalprice").alias("total"),
+        F.min("o_orderdate").alias("first_order"),
+    )
+
+
+@register(
+    "json_lines_roundtrip",
+    oracle="""
+    SELECT lang, COUNT(*) AS n,
+      CAST(SUM(n_chars) AS BIGINT) AS chars,
+      md5(string_agg(text, '' ORDER BY doc_id)) AS content_md5
+    FROM documents GROUP BY lang
+    """,
+    tags=("source", "extension"),
+)
+def q_json_lines_roundtrip(spark, sf_dir):
+    """JSON-lines write -> schema-declared read -> per-language content
+    digest: unicode text survives JSON escaping exactly (md5 over the
+    doc_id-ordered concatenation proves byte fidelity, not just counts)."""
+    from .sources.formats import read_json_lines, write_json_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="jsonl_q_")
+    write_json_lines(docs, path)
+    back = read_json_lines(spark, path, docs.schema)
+    ordered_concat = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+            lambda s: s.text,
+        ),
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+        F.md5(ordered_concat).alias("content_md5"),
+    )

@@ -1,4 +1,5 @@
 from .csv import read_csv_with_schema
+from .formats import read_json_lines, read_orc, write_json_lines, write_orc
 from .mor import MorTable
 from .parquet import TABLES, load_table, load_tables, register_views
 from .partitioned import PartitionedTable
@@ -13,6 +14,10 @@ __all__ = [
     "load_table",
     "load_tables",
     "read_csv_with_schema",
+    "read_json_lines",
+    "read_orc",
     "register_views",
     "table_changes",
+    "write_json_lines",
+    "write_orc",
 ]

@@ -1,0 +1,46 @@
+"""Columnar/row format breadth beyond the reference's CSV+parquet surface.
+
+The reference's only file source is headerless CSV (S1); its sinks are the
+three lake formats over parquet. A complete engine also speaks the other
+formats Spark ships in-box — ORC (the other splittable columnar format,
+with the same predicate-pushdown/column-pruning path as parquet) and
+JSON-lines (the interchange format most raw crawl/training dumps arrive
+in; schema-declared so the reader skips the inference scan).
+
+Everything here is the stock DataFrameReader/Writer — the point of these
+helpers is pinning the scale discipline (explicit schema, no inference
+pass, timestamp handling) and giving the round-trips a test surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — splittable, predicate-pushdown-capable, zlib by default."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """ORC scan; pass the schema to skip footer merging across many files."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line — the splittable JSON layout;
+    never write a single JSON array, it cannot be split across executors)."""
+    df.write.mode(mode).json(path)
+
+
+def read_json_lines(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """Schema-declared JSON-lines scan. The explicit schema matters twice at
+    100 TB: it skips the inference pre-scan, and it makes absent keys typed
+    NULLs instead of schema-merge conflicts."""
+    return spark.read.schema(schema).json(path)
