@@ -1811,22 +1811,27 @@ def q14_promo_effect(spark, sf_dir):
 )
 def q18_large_orders(spark, sf_dir):
     """TPC-H Q18 shape: large-volume orders — aggregate-derived semi-join
-    filter (HAVING subquery) then re-aggregate at order grain."""
+    filter (HAVING subquery) then order-grain totals. The HAVING aggregate
+    already holds the per-order quantity sum, so it is joined back directly
+    instead of re-joining + re-aggregating raw lineitem: one lineitem
+    shuffle instead of two — the dominant cost at 100 TB (the naive
+    IN-subquery plan scans/shuffles the fact table twice)."""
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q"))
         .filter(F.col("q") > 150)
-        .select("l_orderkey")
+        .select("l_orderkey", F.col("q").cast("double").alias("total_qty"))
     )
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     return (
-        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        o.join(big, o.o_orderkey == big.l_orderkey)
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(_dsum("l_quantity").alias("total_qty"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            "total_qty",
+        )
     )
 
 
