@@ -131,6 +131,54 @@ def test_q15_single_fact_shuffle(spark):
     assert broadcast_join_count(df) >= 2
 
 
+def test_join_strategy_hints_are_honored(spark):
+    """The three physical join strategies are selectable per join-side
+    hint — the control surface for overriding AQE when runtime stats
+    mislead (tiny-but-exploding build side, known-skewed probe side)."""
+    from emr_on_eks_hudi_iceberg_delta_spark.plans.explain import formatted_plan
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    cond = o.o_custkey == c.c_custkey
+    assert "SortMergeJoin" in formatted_plan(o.join(c.hint("merge"), cond))
+    assert "ShuffledHashJoin" in formatted_plan(o.join(c.hint("shuffle_hash"), cond))
+    assert "BroadcastHashJoin" in formatted_plan(o.join(c.hint("broadcast"), cond))
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """Spark's runtime-filter rule plants a bloom filter from a selective
+    dimension side into the fact scan — the 100 TB substitute for static
+    partition pruning when the filter column isn't the layout column.
+    Thresholds are lowered to fire at test scale; at real scale the
+    defaults (10 MB creation side) take over."""
+    from emr_on_eks_hudi_iceberg_delta_spark.plans.explain import formatted_plan
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        assert "bloom_filter_agg" in formatted_plan(j).lower() or "BloomFilter" in formatted_plan(j)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_dsv2_write_to_create(spark):
     """S8: DataFrameWriterV2 against the session catalog
     (iceberg/iceberg_scd_script.py:34-37 shape). The stock V1 session
