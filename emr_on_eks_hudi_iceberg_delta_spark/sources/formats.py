@@ -38,9 +38,31 @@ def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def read_json_lines(
-    spark: SparkSession, path: str, schema: StructType
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    mode: str = "FAILFAST",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """Schema-declared JSON-lines scan. The explicit schema matters twice at
     100 TB: it skips the inference pre-scan, and it makes absent keys typed
-    NULLs instead of schema-merge conflicts."""
-    return spark.read.schema(schema).json(path)
+    NULLs instead of schema-merge conflicts.
+
+    ``mode`` is FAILFAST by default — at pipeline scale a silent NULL from a
+    malformed record is worse than a failed job. For quarantine flows pass
+    ``mode="PERMISSIVE"`` with ``corrupt_col``: malformed lines land intact
+    in that column (all data fields NULL) so they can be filtered into a
+    dead-letter sink instead of corrupting the batch."""
+    if corrupt_col is not None:
+        from pyspark.sql.types import StringType, StructField
+
+        schema = StructType(
+            list(schema.fields) + [StructField(corrupt_col, StringType(), True)]
+        )
+        return (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", corrupt_col)
+            .json(path)
+        )
+    return spark.read.schema(schema).option("mode", mode).json(path)
