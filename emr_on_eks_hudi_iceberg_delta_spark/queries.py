@@ -2726,8 +2726,12 @@ def q2_min_cost_supplier(spark, sf_dir):
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_size") == 5) & (F.col("p_type") == "STANDARD")
     )
+    # cost and best share hash-partitioning on l_partkey from their
+    # groupBys — the join reuses it (no new exchange, and best is never
+    # broadcast: it has one row per part, dimension-scale only in TPC-H,
+    # fact-scale in a 100 TB catalog)
     return (
-        cost.join(best.hint("broadcast"), ["l_partkey"])
+        cost.join(best, ["l_partkey"])
         .filter(F.col("unit_cost") == F.col("min_cost"))
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(rs), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -2770,9 +2774,12 @@ def q9_product_type_profit(spark, sf_dir):
     amount = F.expr(
         "l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity"
     )
+    # part/supplier are NOT force-broadcast: at TPC-H ratios part is
+    # lineitem/30 — fact-scale at 100 TB. AQE broadcasts them when runtime
+    # sizes actually allow (they do at test SFs); nation is always tiny.
     joined = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
     )
@@ -2928,9 +2935,11 @@ def q16_supplier_count(spark, sf_dir):
     bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
         "s_suppkey"
     )
+    # the denylist (a handful of suppliers) is force-broadcast; the part
+    # side is size-filtered but still ~13% of part — AQE decides
     return (
         li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
     )
@@ -2964,7 +2973,7 @@ def q20_potential_promotion(spark, sf_dir):
     )
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
     qualified = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(_dsum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 50.0)
