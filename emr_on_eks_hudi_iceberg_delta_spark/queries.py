@@ -3287,3 +3287,87 @@ def q_json_lines_roundtrip(spark, sf_dir):
         F.sum("n_chars").cast("bigint").alias("chars"),
         F.md5(ordered_concat).alias("content_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 13: set-operation and reshape completeness — INTERSECT / EXCEPT
+# (the §2.7 family beyond UNION) and UNPIVOT (wide->long reshape).
+# --------------------------------------------------------------------------
+
+@register(
+    "intersect_except_customers",
+    oracle="""
+    SELECT 'both_years' AS cohort, o_custkey FROM (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      INTERSECT
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+    UNION ALL
+    SELECT 'only_1996' AS cohort, o_custkey FROM (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      EXCEPT
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+    """,
+    tags=("setop",),
+)
+def q_intersect_except_customers(spark, sf_dir):
+    """INTERSECT / EXCEPT (distinct set semantics — Catalyst plans both as
+    aggregated semi/anti joins): customers active in both 1996 and 1997 vs
+    only-1996, tagged and unioned."""
+    o = _t(spark, sf_dir, "orders")
+
+    def active(year: int):
+        return o.filter(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01 00:00:00").cast("timestamp_ntz"))
+        ).select("o_custkey")
+
+    both = active(1996).intersect(active(1997)).select(
+        F.lit("both_years").alias("cohort"), "o_custkey"
+    )
+    only96 = active(1996).subtract(active(1997)).select(
+        F.lit("only_1996").alias("cohort"), "o_custkey"
+    )
+    return both.unionByName(only96)
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_returnflag, 'sum_qty' AS measure,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS value
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 'sum_base_price' AS measure,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS value
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 'sum_tax' AS measure,
+      CAST(SUM(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) AS value
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "setop"),
+)
+def q_unpivot_measures(spark, sf_dir):
+    """UNPIVOT (melt): one grouped pass computes three measures wide, then
+    unpivot reshapes to (group, measure, value) long form — one scan +
+    one shuffle vs the oracle's three (the reshape is why)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        _dsum("l_quantity").alias("sum_qty"),
+        _dsum("l_extendedprice").alias("sum_base_price"),
+        _dsum("l_tax").alias("sum_tax"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_base_price", "sum_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
