@@ -3371,3 +3371,22 @@ def q_unpivot_measures(spark, sf_dir):
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+    tags=("streaming", "dedup", "extension"),
+)
+def q_streaming_dedup_within_watermark(spark, sf_dir):
+    """Bounded-state streaming dedup: the stream is unioned with itself
+    (every event duplicated — the at-least-once-delivery case), then
+    dropDuplicatesWithinWatermark collapses the duplicates while evicting
+    state past the watermark; exact-matches each event appearing once."""
+    from .streaming.events import stream_dedup_within_watermark
+
+    ev = _events_stream(spark, sf_dir)
+    duplicated = ev.union(ev)
+    return run_stream_to_memory(
+        stream_dedup_within_watermark(duplicated), output_mode="append"
+    )

@@ -106,6 +106,24 @@ def stream_distinct_users(events: DataFrame) -> DataFrame:
     return events.dropDuplicates(["user_id"]).select("user_id")
 
 
+def stream_dedup_within_watermark(
+    events: DataFrame, delay: str = "2 hours"
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state: ``dropDuplicatesWithinWatermark``
+    evicts a key's dedup state once event time passes the watermark — the
+    unbounded-key-space companion to ``stream_distinct_users`` (whose state
+    grows one entry per key forever). Semantics: exact dedup for duplicates
+    arriving within ``delay`` of each other — precisely the at-least-once
+    source-retry case it exists for. Same NTZ boundary conversion as
+    session windows."""
+    return (
+        events.withColumn("__ts", F.col("ts").cast("timestamp"))
+        .withWatermark("__ts", delay)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+
+
 def stream_user_running_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running (count, max(value)) kept in explicit GroupState — the escape
