@@ -1,4 +1,5 @@
 from .dedup import (
+    connected_components,
     dedup_keep_canonical,
     embedding_near_dup_pairs,
     exact_dedup,
@@ -45,6 +46,7 @@ __all__ = [
     "asof_join",
     "attach_binary_payload",
     "chunk_documents",
+    "connected_components",
     "cosine_topk",
     "decode_image_stub",
     "dedup_keep_canonical",

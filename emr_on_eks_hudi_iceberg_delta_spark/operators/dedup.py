@@ -233,6 +233,58 @@ def embedding_near_dup_pairs(
     return pairs
 
 
+def connected_components(
+    pairs: DataFrame, all_ids: DataFrame, id_col: str, max_iters: int = 50
+) -> DataFrame:
+    """Connected components over near-dup pairs by iterative min-label
+    propagation: every node repeatedly adopts the minimum label among
+    itself and its neighbors until fixpoint. Returns (id, component) where
+    component = the cluster's minimum id — the EXACT canonicalization that
+    ``dedup_keep_canonical``'s single pass approximates (that pass keeps
+    every local minimum; this keeps one representative per transitive
+    cluster).
+
+    Scale shape: one shuffle per iteration (join on the edge key), and
+    iterations = graph diameter — near-dup clusters are shallow (dozens of
+    hops at worst), so this converges in a handful of rounds at 100 TB.
+    ``localCheckpoint`` truncates the growing loop lineage each round; the
+    convergence check is one count per round. (GraphFrames' alternating
+    large-star/small-star halves the rounds; plain propagation keeps this
+    dependency-free.)
+    """
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    und = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = all_ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    for _ in range(max_iters):
+        neighbor_min = (
+            und.join(labels, und.a == labels.id)
+            .groupBy(und.b.alias("nid"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == F.col("nid"), "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("component"))
+
+
 def dedup_keep_canonical(pairs: DataFrame, all_ids: DataFrame, id_col: str) -> DataFrame:
     """Given near-dup pairs (id_a < id_b), drop every id that appears as the
     higher member of a pair — single-pass canonicalization (the lowest id of

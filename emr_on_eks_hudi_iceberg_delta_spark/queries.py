@@ -3390,3 +3390,42 @@ def q_streaming_dedup_within_watermark(spark, sf_dir):
     return run_stream_to_memory(
         stream_dedup_within_watermark(duplicated), output_mode="append"
     )
+
+
+_SQL_CC = _SQL_LSH_BANDS.replace("WITH toks", "WITH RECURSIVE toks", 1) + """,
+    shd AS (SELECT doc_id, list_distinct(s) AS sh FROM shng),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(a.sh, b.sh)) /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      FROM cand c
+      JOIN shd a ON a.doc_id = c.id_a
+      JOIN shd b ON b.doc_id = c.id_b),
+    und AS (SELECT id_a AS a, id_b AS b FROM scored WHERE jaccard >= 0.5
+            UNION SELECT id_b, id_a FROM scored WHERE jaccard >= 0.5),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.id
+      WHERE r.label < u.b)
+    SELECT id AS doc_id, MIN(label) AS component FROM reach GROUP BY id
+"""
+
+
+@register(
+    "dedup_connected_components",
+    oracle=_SQL_CC,
+    tags=("dedup", "extension"),
+)
+def q_dedup_connected_components(spark, sf_dir):
+    """Exact transitive near-dup clustering: MinHash -> LSH -> Jaccard
+    pairs, then connected components by iterative min-label propagation
+    (one shuffle per round, rounds = cluster diameter). component = the
+    cluster's min doc_id; oracle is a recursive CTE over the same pairs —
+    the one iterative algorithm in the registry with an exact oracle."""
+    from .operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = lsh_candidate_pairs(minhash_signatures(docs))
+    pairs = ngram_jaccard_pairs(docs, cands, threshold=0.5)
+    return connected_components(pairs, docs.select("doc_id"), "doc_id")

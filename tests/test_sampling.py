@@ -113,3 +113,19 @@ def test_packing_respects_capacity_slack(docs):
     assert bins.filter(F.col("sz") >= 4000 + max_doc).count() == 0
     firsts = packed.groupBy("source").agg(F.min("bin").alias("b0"))
     assert firsts.filter(F.col("b0") != 0).count() == 0
+
+
+def test_connected_components_transitive_exactness(spark):
+    """Edges (1,3),(2,3): single-pass canonical keeps both 1 and 2 (local
+    minima); connected components collapses the whole cluster to min=1."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.dedup import (
+        connected_components,
+        dedup_keep_canonical,
+    )
+
+    pairs = spark.createDataFrame([(1, 3), (2, 3), (10, 11)], ["id_a", "id_b"])
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 99]], ["doc_id"])
+    cc = {r.doc_id: r.component for r in connected_components(pairs, ids, "doc_id").collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+    survivors = {r.doc_id for r in dedup_keep_canonical(pairs, ids, "doc_id").collect()}
+    assert survivors == {1, 2, 10, 99}  # the documented over-retention
