@@ -131,6 +131,19 @@ def test_q15_single_fact_shuffle(spark):
     assert broadcast_join_count(df) >= 2
 
 
+def test_sampling_and_chunking_zero_shuffle(spark):
+    """Hash-bucket sampling is a per-row filter and chunking a per-row
+    flatMap — both must stay in the scan stage (scan-speed at 100 TB)."""
+    assert shuffle_count(REGISTRY["deterministic_sample"].fn(spark, SF_DIR)) == 0
+    assert shuffle_count(REGISTRY["doc_chunking"].fn(spark, SF_DIR)) == 0
+
+
+def test_packing_bounded_shuffles(spark):
+    """Sequence packing: the window cumsum exchanges on the pack key; the
+    bin rollup reuses at most one more exchange."""
+    assert shuffle_count(REGISTRY["token_packing"].fn(spark, SF_DIR)) <= 2
+
+
 def test_join_strategy_hints_are_honored(spark):
     """The three physical join strategies are selectable per join-side
     hint — the control surface for overriding AQE when runtime stats
