@@ -3429,3 +3429,64 @@ def q_dedup_connected_components(spark, sf_dir):
     cands = lsh_candidate_pairs(minhash_signatures(docs))
     pairs = ngram_jaccard_pairs(docs, cands, threshold=0.5)
     return connected_components(pairs, docs.select("doc_id"), "doc_id")
+
+
+@register(
+    "grouped_regression_slope",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    pts AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS x,
+             CAST(floor(value * 100) AS BIGINT) AS y
+      FROM ev),
+    sums AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
+      FROM pts GROUP BY user_id)
+    SELECT user_id, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+    FROM sums WHERE n >= 2 AND n * sxx - sx * sx != 0
+    """,
+    tags=("udf", "agg", "extension"),
+)
+def q_grouped_regression_slope(spark, sf_dir):
+    """Custom grouped-map UDAF via batch applyInPandas (the guide's
+    fallback path for operators Spark lacks): per-user OLS slope of value
+    cents over event time. All moments accumulate as arbitrary-precision
+    Python ints (order-independent, overflow-free), mirrored by HUGEINT
+    sums in the oracle — so even this Python-side operator is engine-exact.
+    One shuffle on the group key; Arrow-batched, never row-at-a-time."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("x"),
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+    )
+
+    def slope(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        xs = [int(v) for v in pdf["x"]]
+        ys = [int(v) for v in pdf["y"]]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        den = n * sxx - sx * sx
+        if n < 2 or den == 0:
+            return pd.DataFrame(columns=["user_id", "n", "slope"])
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n": [n],
+                "slope": [float(n * sxy - sx * sy) / float(den)],
+            }
+        )
+
+    return pts.groupBy("user_id").applyInPandas(
+        slope, schema="user_id bigint, n bigint, slope double"
+    )
