@@ -963,10 +963,36 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(docs, cands, threshold=0.5)
 
 
-@register("simhash_fingerprints", oracle=None, tags=("dedup", "extension", "udf"))
+_SQL_SIMHASH = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents),
+    h AS (SELECT doc_id,
+                 CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS hv
+          FROM toks),
+    acc AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (hv >> (b % 60)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, UNNEST(generate_series(0, 63)) AS t(b)
+      GROUP BY doc_id, b),
+    unsigned_sig AS (
+      SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN CAST(1 AS HUGEINT) << b ELSE 0 END) AS u
+      FROM acc GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(CASE WHEN u >= CAST(1 AS HUGEINT) << 63
+                     THEN u - (CAST(1 AS HUGEINT) << 64)
+                     ELSE u END AS BIGINT) AS simhash
+    FROM unsigned_sig
+"""
+
+
+@register("simhash_fingerprints", oracle=_SQL_SIMHASH, tags=("dedup", "extension", "udf"))
 def q_simhash(spark, sf_dir):
-    """SimHash fingerprints via Arrow-batched pandas UDF (rows-only check:
-    64-bit bit-twiddling is the one spot SQL can't express cleanly)."""
+    """SimHash fingerprints via Arrow-batched pandas UDF — exact oracle:
+    the md5-derived per-token 60-bit hash and sign-of-weighted-sum bit
+    logic are replayed in SQL (per-bit lateral sum + HUGEINT bit
+    assembly), so even the bit-twiddling UDF is engine-verified."""
     return simhash(_t(spark, sf_dir, "documents"))
 
 
