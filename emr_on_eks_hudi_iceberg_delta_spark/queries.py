@@ -1181,18 +1181,51 @@ def q_multimodal_features(spark, sf_dir):
     return extract_binary_features(docs)
 
 
-@register("multimodal_decode_stub", oracle=None, tags=("multimodal", "extension", "udf"))
+@register(
+    "multimodal_decode_stub",
+    oracle="""
+    SELECT doc_id,
+      64 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) % 192 AS width,
+      64 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER) % 192 AS height,
+      1 + CAST(concat('0x', substr(md5(text), 5, 2)) AS INTEGER) % 3 AS channels
+    FROM documents
+    """,
+    tags=("multimodal", "extension", "udf"),
+)
 def q_multimodal_decode(spark, sf_dir):
-    """STUB image decode over binary payloads (deterministic fake dims;
-    rows-only check — no imaging library in this container)."""
+    """STUB image decode over binary payloads (no imaging library in this
+    container): fake dims derive from the payload's md5 digest bytes, so
+    the oracle replays them in SQL — the mapInPandas plumbing (schema,
+    batching, select-late) is verified exactly; swapping in PIL changes
+    only the marked block."""
     docs = attach_binary_payload(_t(spark, sf_dir, "documents"))
     return decode_image_stub(docs)
 
 
-@register("multimodal_frame_sample", oracle=None, tags=("multimodal", "extension", "udf"))
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS hs,
+             octet_length(encode(text)) AS nb
+      FROM documents WHERE doc_id < 50)
+    SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+      CAST(concat('0x', substr(hs, CAST(i AS INTEGER) * 20 + 1, 2))
+        AS INTEGER) AS frame_byte
+    FROM hx,
+         UNNEST(generate_series(0,
+           CAST(floor((nb - 1) / 10.0) AS INTEGER))) AS t(i)
+    """,
+    tags=("multimodal", "extension", "udf"),
+)
 def q_multimodal_frames(spark, sf_dir):
-    """STUB video frame sampling (explode-shaped mapInPandas; rows-only)."""
-    docs = attach_binary_payload(_t(spark, sf_dir, "documents")).limit(50)
+    """STUB video frame sampling (explode-shaped mapInPandas, one row per
+    10-byte stride): frame bytes are payload bytes at the stride offsets,
+    replayed exactly in SQL over the UTF-8 encoding. Deterministic doc
+    subset (doc_id < 50, not LIMIT — a bare limit is layout-dependent)."""
+    docs = attach_binary_payload(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    )
     return sample_frames_stub(docs)
 
 
