@@ -3549,3 +3549,72 @@ def q_grouped_regression_slope(spark, sf_dir):
     return pts.groupBy("user_id").applyInPandas(
         slope, schema="user_id bigint, n bigint, slope double"
     )
+
+
+@register(
+    "training_pipeline_end_to_end",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE len(string_split_regex(trim(text), '\s+')) >= 5
+        AND length(text) >= 20
+        AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT)
+            / CAST(length(text) AS BIGINT) < 0.3),
+    s AS (
+      SELECT * FROM q
+      WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 10000
+            < CASE lang WHEN 'en' THEN 5000 ELSE 10000 END),
+    d AS (
+      SELECT * FROM s WHERE doc_id IN
+        (SELECT MIN(doc_id) FROM s GROUP BY md5(text))),
+    ch AS (
+      SELECT doc_id, lang, CAST(i AS INTEGER) AS chunk_id,
+             CAST(length(substr(text, 1 + CAST(i AS INTEGER) * 200, 200))
+                  AS INTEGER) AS chunk_chars
+      FROM d,
+           UNNEST(generate_series(0,
+             CAST(floor((greatest(length(text), 1) - 1) / 200) AS INTEGER)))
+             AS t(i)),
+    p AS (
+      SELECT lang, chunk_chars,
+             COALESCE(SUM(chunk_chars) OVER (
+               PARTITION BY lang ORDER BY doc_id * 1000 + chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM ch)
+    SELECT lang, CAST(FLOOR(before / 2000) AS BIGINT) AS bin,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(chunk_chars) AS BIGINT) AS bin_chars
+    FROM p GROUP BY lang, bin
+    """,
+    tags=("text", "sampling", "dedup", "extension"),
+)
+def q_training_pipeline_end_to_end(spark, sf_dir):
+    """The capstone composition: quality filter -> language-stratified
+    sample -> exact dedup -> chunk -> pack, in ONE lazy DAG with ONE exact
+    oracle. Catalyst fuses the per-row stages (filter/sample/chunk) into
+    the scan; the only shuffles are the dedup groupBy and the pack window
+    — the whole training-data preprocessing pipeline is two exchanges."""
+    from .operators.dedup import exact_dedup
+    from .operators.sampling import stratified_sample
+    from .operators.text import chunk_documents, pack_documents, with_text_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    quality = with_text_stats(docs).filter(F.col("quality_ok") == 1).select(
+        "doc_id", "lang", "text"
+    )
+    sampled = stratified_sample(quality, "doc_id", "lang", {"en": 0.5},
+                                default_rate=1.0)
+    # keep-set cardinality ~= unique docs: never broadcast — the semi join
+    # shuffles on doc_id (AQE may still broadcast at small SFs)
+    keep = exact_dedup(sampled, ["text"], "doc_id").select("keep_id")
+    deduped = sampled.join(keep, sampled.doc_id == keep.keep_id, "left_semi")
+    chunks = chunk_documents(deduped, chunk_size=200, stride=200).select(
+        "doc_id", "lang", "chunk_id", F.length("chunk").alias("chunk_chars"),
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("ord"),
+    )
+    packed = pack_documents(chunks, "chunk_chars", 2000, "lang", "ord")
+    return packed.groupBy("lang", "bin").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("chunk_chars").cast("bigint").alias("bin_chars"),
+    )
