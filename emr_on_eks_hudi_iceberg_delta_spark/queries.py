@@ -3618,3 +3618,28 @@ def q_training_pipeline_end_to_end(spark, sf_dir):
         F.count("*").alias("n_chunks"),
         F.sum("chunk_chars").cast("bigint").alias("bin_chars"),
     )
+
+
+@register(
+    "label_centroids",
+    oracle="""
+    SELECT label, CAST(i AS INTEGER) AS pos,
+           CAST(SUM(CAST(CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE)
+                         AS DECIMAL(18,8))) AS DOUBLE)
+             / COUNT(*) AS c
+    FROM embeddings, UNNEST(generate_series(0, 63)) AS t(i)
+    GROUP BY label, pos
+    """,
+    tags=("similarity", "agg", "extension"),
+)
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids position-wise (posexplode + grouped
+    decimal mean) — the scalable vector-aggregation pattern: no
+    collect_list of whole vectors, state per group is one scalar per
+    dimension; one shuffle on (label, pos). Feeds IVF seeding and
+    class-prototype similarity."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return ex.groupBy("label", "pos").agg(
+        (_dsum(F.col("v").cast("double"), 8) / F.count("*")).alias("c")
+    )
