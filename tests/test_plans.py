@@ -144,6 +144,13 @@ def test_packing_bounded_shuffles(spark):
     assert shuffle_count(REGISTRY["token_packing"].fn(spark, SF_DIR)) <= 2
 
 
+def test_pipeline_composition_fuses_per_row_stages(spark):
+    """The capstone pipeline (quality->sample->dedup->chunk->pack) must
+    not cost more than its stateful members: dedup groupBy + pack window
+    (+1 semi-join exchange when the keep-set is too big to broadcast)."""
+    assert shuffle_count(REGISTRY["training_pipeline_end_to_end"].fn(spark, SF_DIR)) <= 3
+
+
 def test_join_strategy_hints_are_honored(spark):
     """The three physical join strategies are selectable per join-side
     hint — the control surface for overriding AQE when runtime stats
