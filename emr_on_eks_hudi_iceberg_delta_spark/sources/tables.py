@@ -174,12 +174,29 @@ class VersionedTable:
             key_cols=[],
         )
 
-    def compact(self, target_partitions: int = 1) -> "VersionedTable":
+    def compact(
+        self, target_partitions: int = 1, cluster_by: list[str] | None = None
+    ) -> "VersionedTable":
         """OPTIMIZE/compaction: rewrite the current snapshot into
         ``target_partitions`` files (small-file compaction — the Hudi
         compaction / Delta OPTIMIZE capability). Data is unchanged; the
-        commit is a new snapshot so readers stay consistent."""
-        self._commit(self.read().coalesce(target_partitions))
+        commit is a new snapshot so readers stay consistent.
+
+        ``cluster_by`` sort-clusters the rewrite (Delta ``OPTIMIZE ZORDER``
+        analog, single-dimension flavor): rows are range-partitioned then
+        sorted within files on the given columns, so parquet row-group
+        min/max statistics become selective and point/range scans skip
+        most of the table — the data-skipping layout lever that partition
+        directories are too coarse for."""
+        df = self.read()
+        if cluster_by:
+            cols = [F.col(c) for c in cluster_by]
+            df = df.repartitionByRange(target_partitions, *cols).sortWithinPartitions(
+                *cols
+            )
+        else:
+            df = df.coalesce(target_partitions)
+        self._commit(df)
         return self
 
     def vacuum(self, keep_last: int = 1) -> "VersionedTable":

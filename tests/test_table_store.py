@@ -173,3 +173,26 @@ def test_schema_evolution_upsert(spark):
     vt.upsert(evolved, ["id"], "ts")
     rows = {r["id"]: r["note"] for r in vt.read().collect()}
     assert rows == {1: None, 2: "extra"}
+
+
+def test_compact_cluster_by_sorts_and_ranges(spark):
+    """Sort-clustered compaction (OPTIMIZE ZORDER analog): files carry
+    disjoint key ranges and rows are sorted within each — the layout that
+    makes parquet row-group min/max stats selective for data skipping."""
+    import pandas as pd
+
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_z_"))
+    orders = load_table(spark, SF_DIR, "orders").repartition(8)
+    vt.overwrite(orders)
+    vt.compact(target_partitions=4, cluster_by=["o_custkey"])
+    files = sorted(glob.glob(vt.current_snapshot_dir() + "/*.parquet"))
+    assert 1 < len(files) <= 4
+    ranges = []
+    for f in files:
+        pdf = pd.read_parquet(f, columns=["o_custkey"])
+        assert (pdf["o_custkey"].diff().dropna() >= 0).all()  # sorted within file
+        ranges.append((pdf["o_custkey"].min(), pdf["o_custkey"].max()))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo  # disjoint (touching at most) key ranges across files
+    assert vt.read().count() == orders.count()
