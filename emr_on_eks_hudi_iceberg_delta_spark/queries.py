@@ -3643,3 +3643,50 @@ def q_label_centroids(spark, sf_dir):
     return ex.groupBy("label", "pos").agg(
         (_dsum(F.col("v").cast("double"), 8) / F.count("*")).alias("c")
     )
+
+
+@register(
+    "table_delete_where",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE NOT COALESCE(c_acctbal < 0, FALSE)
+    """,
+    tags=("sink", "dml", "extension"),
+)
+def q_table_delete_where(spark, sf_dir):
+    """Delta DELETE analog: CoW rewrite dropping matching rows as a new
+    snapshot (time travel keeps the old one). SQL NULL semantics: only
+    predicate-TRUE rows are deleted."""
+    from .sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_del_"))
+    vt.overwrite(_t(spark, sf_dir, "customer"))
+    vt.delete_where(F.col("c_acctbal") < 0)
+    return vt.read()
+
+
+@register(
+    "table_update_where",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+                ELSE c_acctbal END AS c_acctbal,
+           CASE WHEN c_custkey % 10 = 0 THEN 'PROMOTED'
+                ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+    """,
+    tags=("sink", "dml", "extension"),
+)
+def q_table_update_where(spark, sf_dir):
+    """Delta UPDATE analog: conditional multi-column rewrite (CASE WHEN
+    per assignment), full CoW snapshot commit; non-matching rows pass
+    through byte-identical."""
+    from .sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_upd_"))
+    vt.overwrite(_t(spark, sf_dir, "customer"))
+    vt.update_where(
+        F.col("c_custkey") % 10 == 0,
+        {"c_acctbal": F.col("c_acctbal") + 100.0, "c_mktsegment": F.lit("PROMOTED")},
+    )
+    return vt.read()

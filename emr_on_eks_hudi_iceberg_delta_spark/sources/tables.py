@@ -199,6 +199,32 @@ class VersionedTable:
         self._commit(df)
         return self
 
+    def delete_where(self, condition) -> "VersionedTable":
+        """Delta ``DELETE FROM t WHERE cond`` analog: copy-on-write rewrite
+        of the current snapshot without the matching rows, committed as a
+        new snapshot (time travel still sees them; ``vacuum`` reclaims).
+        SQL semantics: only rows where the predicate is TRUE are deleted —
+        NULL-predicate rows are kept (a bare ``filter(~cond)`` would drop
+        them)."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        keep = ~F.coalesce(cond.cast("boolean"), F.lit(False))
+        self._commit(self.read().filter(keep))
+        return self
+
+    def update_where(self, condition, assignments: dict) -> "VersionedTable":
+        """Delta ``UPDATE t SET ... WHERE cond`` analog: conditional
+        column rewrite (CASE WHEN per assigned column), full CoW snapshot
+        commit. ``assignments`` maps column name -> Column or SQL string;
+        non-matching rows pass through byte-identical."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        hit = F.coalesce(cond.cast("boolean"), F.lit(False))
+        df = self.read()
+        for name, value in assignments.items():
+            expr = F.expr(value) if isinstance(value, str) else value
+            df = df.withColumn(name, F.when(hit, expr).otherwise(F.col(name)))
+        self._commit(df)
+        return self
+
     def vacuum(self, keep_last: int = 1) -> "VersionedTable":
         """Drop all but the last ``keep_last`` snapshots and delete their
         directories (Delta VACUUM / Hudi cleaner). Time travel to vacuumed

@@ -196,3 +196,25 @@ def test_compact_cluster_by_sorts_and_ranges(spark):
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo  # disjoint (touching at most) key ranges across files
     assert vt.read().count() == orders.count()
+
+
+def test_delete_where_null_predicate_keeps_rows(spark):
+    """DELETE only removes predicate-TRUE rows; NULL-predicate rows stay
+    (SQL three-valued logic) — and time travel still sees the deleted."""
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_del_"))
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -3.0), (3, None)], ["id", "bal"]
+    )
+    vt.overwrite(df)
+    vt.delete_where("bal < 0")
+    assert {r.id for r in vt.read().collect()} == {1, 3}  # NULL row kept
+    assert vt.read(version=0).count() == 3  # time travel pre-delete
+
+
+def test_update_where_untouched_rows_identical(spark):
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_upd_"))
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (20, "c")], ["id", "v"])
+    vt.overwrite(df)
+    vt.update_where("id >= 10", {"v": "upper(v)"})
+    got = {r.id: r.v for r in vt.read().collect()}
+    assert got == {1: "a", 2: "b", 20: "C"}
