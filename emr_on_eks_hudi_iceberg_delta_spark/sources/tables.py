@@ -225,6 +225,23 @@ class VersionedTable:
         self._commit(df)
         return self
 
+    def restore(self, version: int) -> "VersionedTable":
+        """Delta ``RESTORE TABLE ... TO VERSION AS OF`` analog: re-commit
+        an old snapshot's data as the NEW current version — a roll-forward
+        rollback, so history is never rewritten and concurrent readers of
+        the bad version stay consistent."""
+        self._commit(self.read(version=version))
+        return self
+
+    def clone(self, target_location: str) -> "VersionedTable":
+        """Deep clone (Delta ``CREATE TABLE ... CLONE`` analog): copy the
+        current snapshot's data into a fresh single-version table at
+        ``target_location``. Writers on the clone never touch the source
+        (dev/test forks of production tables)."""
+        out = VersionedTable(self.spark, target_location, name=None)
+        out.overwrite(self.read())
+        return out
+
     def vacuum(self, keep_last: int = 1) -> "VersionedTable":
         """Drop all but the last ``keep_last`` snapshots and delete their
         directories (Delta VACUUM / Hudi cleaner). Time travel to vacuumed

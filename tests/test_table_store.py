@@ -218,3 +218,25 @@ def test_update_where_untouched_rows_identical(spark):
     vt.update_where("id >= 10", {"v": "upper(v)"})
     got = {r.id: r.v for r in vt.read().collect()}
     assert got == {1: "a", 2: "b", 20: "C"}
+
+
+def test_restore_rolls_forward(spark):
+    """RESTORE re-commits an old snapshot as a NEW version — history is
+    append-only, never rewritten."""
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_r_"))
+    vt.overwrite(spark.range(10).toDF("id"))
+    vt.overwrite(spark.range(99).toDF("id"))  # the "bad" write
+    vt.restore(version=0)
+    assert vt.read().count() == 10
+    assert [s["version"] for s in vt.history()] == [0, 1, 2]
+    assert vt.read(version=1).count() == 99  # bad version still reachable
+
+
+def test_clone_is_independent(spark):
+    src = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_s_"))
+    src.overwrite(spark.range(5).toDF("id"))
+    dst = src.clone(tempfile.mkdtemp(prefix="vt_d_"))
+    dst.overwrite(spark.range(50).toDF("id"))
+    assert src.read().count() == 5  # source untouched by clone writes
+    assert dst.read().count() == 50
+    assert [s["version"] for s in dst.history()] == [0, 1]
