@@ -241,6 +241,8 @@ class MergeIntoBuilder:
         self._matched_delete: Column | None = None
         self._insert_all = False
         self._insert_cond: Column | None = None
+        self._by_source_update: tuple[Column | None, dict[str, Column]] | None = None
+        self._by_source_delete: Column | None = None
         self._check_cardinality = True
 
     def when_matched_update(self, set: dict[str, Column], condition: Column | None = None):
@@ -256,6 +258,22 @@ class MergeIntoBuilder:
         self._insert_cond = condition
         return self
 
+    def when_not_matched_by_source_update(
+        self, set: dict[str, Column], condition: Column | None = None
+    ):
+        """Delta 2.3+ surface: rewrite target rows with NO source match —
+        the full-snapshot-sync clause (mark/expire rows that disappeared
+        from the source feed)."""
+        self._by_source_update = (condition, set)
+        return self
+
+    def when_not_matched_by_source_delete(self, condition: Column | None = None):
+        """Delete target rows with no source match (full-sync semantics).
+        Applied after the by-source update clause, Delta-style first-
+        applicable-clause ordering."""
+        self._by_source_delete = condition if condition is not None else F.lit(True)
+        return self
+
     def execute(self) -> DataFrame:
         t = self.target.alias("t")
         s = self.source.alias("s")
@@ -267,8 +285,34 @@ class MergeIntoBuilder:
             # row per target row; detect via count over the target row id.
             pass  # enforced in execute_checked(); skipped on the hot path
 
-        # target rows with no source match pass through untouched
+        # target rows with no source match: by-source clauses route them
+        # (first applicable: update, then delete); default is pass-through
         untouched = t.join(s, self.on, "left_anti").select(*[F.col(c) for c in tcols])
+        if self._by_source_update is not None:
+            cond, set_map = self._by_source_update
+            hit = (
+                F.coalesce(cond.cast("boolean"), F.lit(False))
+                if cond is not None
+                else F.lit(True)
+            )
+            proj = [
+                F.when(hit, set_map[c]).otherwise(F.col(c)).alias(c)
+                if c in set_map
+                else F.col(c)
+                for c in tcols
+            ]
+            # rows taken by the update clause are not eligible for delete
+            taken = untouched.filter(hit).select(*proj)
+            rest = untouched.filter(~hit)
+            if self._by_source_delete is not None:
+                rest = rest.filter(
+                    ~F.coalesce(self._by_source_delete.cast("boolean"), F.lit(False))
+                )
+            untouched = taken.unionByName(rest)
+        elif self._by_source_delete is not None:
+            untouched = untouched.filter(
+                ~F.coalesce(self._by_source_delete.cast("boolean"), F.lit(False))
+            )
 
         out = untouched
         if self._matched_update is not None:

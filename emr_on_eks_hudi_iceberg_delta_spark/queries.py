@@ -3690,3 +3690,40 @@ def q_table_update_where(spark, sf_dir):
         {"c_acctbal": F.col("c_acctbal") + 100.0, "c_mktsegment": F.lit("PROMOTED")},
     )
     return vt.read()
+
+
+@register(
+    "merge_full_sync",
+    oracle="""
+    WITH src AS (SELECT * FROM customer WHERE c_custkey % 3 <> 0)
+    SELECT c.c_custkey, c.c_name, c.c_nationkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                ELSE c.c_acctbal END AS c_acctbal,
+           CASE WHEN s.c_custkey IS NOT NULL THEN c.c_mktsegment
+                WHEN c.c_acctbal >= 5000 THEN 'DORMANT'
+                ELSE NULL END AS c_mktsegment
+    FROM customer c LEFT JOIN src s ON c.c_custkey = s.c_custkey
+    WHERE s.c_custkey IS NOT NULL
+       OR c.c_acctbal >= 5000
+    """,
+    tags=("S10", "S11", "join", "dml", "extension"),
+)
+def q_merge_full_sync(spark, sf_dir):
+    """Full-snapshot-sync MERGE (the Delta 2.3+ WHEN NOT MATCHED BY SOURCE
+    surface the reference's merges predate): matched rows refresh from the
+    source, disappeared high-value rows are marked DORMANT, the remaining
+    disappeared rows are deleted — one merge, three fates."""
+    c = _t(spark, sf_dir, "customer")
+    src = c.filter(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_custkey").alias("s_key"), F.col("c_acctbal").alias("s_bal")
+    )
+    return (
+        MergeIntoBuilder(c, src, on=F.col("t.c_custkey") == F.col("s.s_key"))
+        .when_matched_update(set={"c_acctbal": F.col("s.s_bal")})
+        .when_not_matched_by_source_update(
+            condition=F.col("c_acctbal") >= 5000,
+            set={"c_mktsegment": F.lit("DORMANT")},
+        )
+        .when_not_matched_by_source_delete()
+        .execute()
+    )
