@@ -65,11 +65,30 @@ class VersionedTable:
         snaps = self._snapshots()
         return snaps[-1]["dir"] if snaps else None
 
-    def _commit(self, df: DataFrame, expected_version: int | None = None) -> None:
+    def txn_version(self, app_id: str) -> int:
+        """Highest transaction version committed by ``app_id`` (-1 if
+        none) — the Delta ``txnVersion`` lookup an idempotent writer checks
+        before re-applying a batch."""
+        best = -1
+        for s in self._snapshots():
+            txn = s.get("txn")
+            if txn and txn["app_id"] == app_id:
+                best = max(best, txn["version"])
+        return best
+
+    def _commit(
+        self,
+        df: DataFrame,
+        expected_version: int | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> None:
         """Write a snapshot and flip the pointer. ``expected_version`` is
         the optimistic-concurrency check: if another writer committed since
         this writer read that version, raise instead of silently clobbering
-        (compare-and-swap on the snapshot version)."""
+        (compare-and-swap on the snapshot version). ``txn`` is the Delta
+        ``txnAppId``/``txnVersion`` idempotent-writer pattern: the
+        (app_id, txn_version) pair is recorded in the commit so a replayed
+        write can be detected and skipped (see ``txn_version``)."""
         snaps = self._snapshots()
         current = snaps[-1]["version"] if snaps else None
         if expected_version is not None and current != expected_version:
@@ -79,7 +98,10 @@ class VersionedTable:
         version = (snaps[-1]["version"] + 1) if snaps else 0
         snap_dir = os.path.join(self.location, f"snapshot-{version:05d}")
         df.write.mode("overwrite").parquet(snap_dir)
-        snaps.append({"version": version, "dir": snap_dir, "committed_at": time.time()})
+        entry = {"version": version, "dir": snap_dir, "committed_at": time.time()}
+        if txn is not None:
+            entry["txn"] = {"app_id": txn[0], "version": txn[1]}
+        snaps.append(entry)
         os.makedirs(self.location, exist_ok=True)
         tmp = self._pointer_path() + ".tmp"
         with open(tmp, "w") as f:

@@ -38,17 +38,23 @@ def stream_scd2_into(
     Returns the StreamingQuery (caller awaits termination).
     """
 
+    app_id = f"scd2_stream:{checkpoint_dir}"
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
+            return
+        # foreachBatch replays a batch when the stream restarts after a
+        # commit succeeded but the checkpoint write did not. The Delta
+        # txnAppId/txnVersion pattern makes the sink exactly-once: the
+        # batch id is recorded in the commit, and an already-applied id
+        # is skipped instead of re-merged.
+        if batch_id <= table.txn_version(app_id):
             return
         as_of = as_of_fn(batch_id) if as_of_fn else None
         merged = scd2_merge_hudi_style(
             table.read(), batch_df, key_col, checksum_cols, as_of=as_of
         )
-        # foreachBatch may retry a batch on failure; the snapshot commit is
-        # atomic (pointer flip), so a retry re-derives from the last
-        # committed snapshot — effectively exactly-once table state.
-        table.overwrite(merged)
+        table._commit(merged, txn=(app_id, batch_id))
 
     return (
         updates_stream.writeStream.foreachBatch(apply_batch)

@@ -240,3 +240,22 @@ def test_clone_is_independent(spark):
     assert src.read().count() == 5  # source untouched by clone writes
     assert dst.read().count() == 50
     assert [s["version"] for s in dst.history()] == [0, 1]
+
+
+def test_txn_version_makes_writes_idempotent(spark):
+    """Delta txnAppId/txnVersion pattern: a replayed batch id is visible
+    via txn_version so the writer skips it instead of re-applying."""
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_txn_"))
+    vt.overwrite(spark.range(5).toDF("id"))
+    assert vt.txn_version("app") == -1
+    vt._commit(spark.range(6).toDF("id"), txn=("app", 0))
+    vt._commit(spark.range(7).toDF("id"), txn=("app", 1))
+    vt._commit(spark.range(8).toDF("id"), txn=("other", 9))
+    assert vt.txn_version("app") == 1
+    assert vt.txn_version("other") == 9
+    # the writer-side guard: replaying batch 1 is a no-op
+    if 1 <= vt.txn_version("app"):
+        pass  # skip path taken
+    else:
+        raise AssertionError("replay would have re-applied")
+    assert vt.read().count() == 8
