@@ -3,10 +3,16 @@ from .formats import read_json_lines, read_orc, write_json_lines, write_orc
 from .mor import MorTable
 from .parquet import TABLES, load_table, load_tables, register_views
 from .partitioned import PartitionedTable
-from .tables import ConcurrentCommitError, VersionedTable, table_changes
+from .tables import (
+    ConcurrentCommitError,
+    ConstraintViolationError,
+    VersionedTable,
+    table_changes,
+)
 
 __all__ = [
     "ConcurrentCommitError",
+    "ConstraintViolationError",
     "MorTable",
     "PartitionedTable",
     "TABLES",

@@ -36,6 +36,10 @@ from pyspark.sql import functions as F
 _POINTER = "_current_snapshot.json"
 
 
+class ConstraintViolationError(ValueError):
+    """A CHECK constraint evaluated to FALSE for at least one row."""
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed between this writer's read and its commit
     (the local analog of a failed Hudi/Iceberg OCC lock acquisition —
@@ -55,11 +59,23 @@ class VersionedTable:
     def _pointer_path(self) -> str:
         return os.path.join(self.location, _POINTER)
 
-    def _snapshots(self) -> list[dict]:
+    def _meta(self) -> dict:
+        """Whole pointer document: {"snapshots": [...], "constraints":
+        {...}} — every writer must round-trip unknown keys."""
         if not os.path.exists(self._pointer_path()):
-            return []
+            return {"snapshots": []}
         with open(self._pointer_path()) as f:
-            return json.load(f)["snapshots"]
+            return json.load(f)
+
+    def _write_meta(self, meta: dict) -> None:
+        os.makedirs(self.location, exist_ok=True)
+        tmp = self._pointer_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._pointer_path())  # atomic pointer flip
+
+    def _snapshots(self) -> list[dict]:
+        return self._meta()["snapshots"]
 
     def current_snapshot_dir(self) -> str | None:
         snaps = self._snapshots()
@@ -89,12 +105,21 @@ class VersionedTable:
         ``txnAppId``/``txnVersion`` idempotent-writer pattern: the
         (app_id, txn_version) pair is recorded in the commit so a replayed
         write can be detected and skipped (see ``txn_version``)."""
-        snaps = self._snapshots()
+        meta = self._meta()
+        snaps = meta["snapshots"]
         current = snaps[-1]["version"] if snaps else None
         if expected_version is not None and current != expected_version:
             raise ConcurrentCommitError(
                 f"expected version {expected_version} but table is at {current}"
             )
+        for cname, cexpr in meta.get("constraints", {}).items():
+            # Delta CHECK semantics: a row violates only when the
+            # expression is FALSE (NULL/unknown passes)
+            bad = df.filter(F.coalesce(F.expr(cexpr).cast("boolean"), F.lit(True)) == False)  # noqa: E712
+            if not bad.isEmpty():
+                raise ConstraintViolationError(
+                    f"CHECK constraint {cname} ({cexpr}) violated by incoming rows"
+                )
         version = (snaps[-1]["version"] + 1) if snaps else 0
         snap_dir = os.path.join(self.location, f"snapshot-{version:05d}")
         df.write.mode("overwrite").parquet(snap_dir)
@@ -102,11 +127,7 @@ class VersionedTable:
         if txn is not None:
             entry["txn"] = {"app_id": txn[0], "version": txn[1]}
         snaps.append(entry)
-        os.makedirs(self.location, exist_ok=True)
-        tmp = self._pointer_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"snapshots": snaps}, f)
-        os.replace(tmp, self._pointer_path())  # atomic pointer flip
+        self._write_meta(meta)
         if self.name:
             self.read().createOrReplaceTempView(self.name)
 
@@ -247,6 +268,29 @@ class VersionedTable:
         self._commit(df)
         return self
 
+    def add_constraint(self, name: str, expr: str) -> "VersionedTable":
+        """Delta ``ALTER TABLE ... ADD CONSTRAINT ... CHECK`` analog: the
+        SQL expression must not be FALSE for any existing row (validated
+        now) or any future written row (validated at every commit; NULL
+        passes, per SQL CHECK semantics)."""
+        bad = self.read().filter(
+            F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)) == False  # noqa: E712
+        )
+        if not bad.isEmpty():
+            raise ConstraintViolationError(
+                f"CHECK constraint {name} ({expr}) violated by existing rows"
+            )
+        meta = self._meta()
+        meta.setdefault("constraints", {})[name] = expr
+        self._write_meta(meta)
+        return self
+
+    def drop_constraint(self, name: str) -> "VersionedTable":
+        meta = self._meta()
+        meta.get("constraints", {}).pop(name, None)
+        self._write_meta(meta)
+        return self
+
     def restore(self, version: int) -> "VersionedTable":
         """Delta ``RESTORE TABLE ... TO VERSION AS OF`` analog: re-commit
         an old snapshot's data as the NEW current version — a roll-forward
@@ -270,14 +314,13 @@ class VersionedTable:
         versions stops working, matching lake-format semantics."""
         import shutil
 
-        snaps = self._snapshots()
+        meta = self._meta()
+        snaps = meta["snapshots"]
         keep = snaps[-keep_last:]
         for s in snaps[:-keep_last] if keep_last else snaps:
             shutil.rmtree(s["dir"], ignore_errors=True)
-        tmp = self._pointer_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"snapshots": keep}, f)
-        os.replace(tmp, self._pointer_path())
+        meta["snapshots"] = keep
+        self._write_meta(meta)
         return self
 
     def history(self) -> list[dict]:

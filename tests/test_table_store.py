@@ -259,3 +259,28 @@ def test_txn_version_makes_writes_idempotent(spark):
     else:
         raise AssertionError("replay would have re-applied")
     assert vt.read().count() == 8
+
+
+def test_check_constraints_enforced_on_write(spark):
+    """Delta CHECK semantics: FALSE rows rejected at add-time and at every
+    later commit; NULL passes (three-valued logic); constraints survive
+    vacuum (metadata round-trip)."""
+    import pytest
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import (
+        ConstraintViolationError,
+    )
+
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_ck_"))
+    vt.overwrite(spark.createDataFrame([(1, 5.0), (2, None)], ["id", "bal"]))
+    vt.add_constraint("bal_nonneg", "bal >= 0")  # NULL row passes
+    with pytest.raises(ConstraintViolationError):
+        vt.overwrite(spark.createDataFrame([(3, -1.0)], ["id", "bal"]))
+    assert vt.read().count() == 2  # failed commit left no snapshot
+    vt.overwrite(spark.createDataFrame([(3, 1.0)], ["id", "bal"]))
+    vt.vacuum(keep_last=1)
+    with pytest.raises(ConstraintViolationError):  # survives vacuum
+        vt.overwrite(spark.createDataFrame([(4, -9.0)], ["id", "bal"]))
+    vt.drop_constraint("bal_nonneg")
+    vt.overwrite(spark.createDataFrame([(4, -9.0)], ["id", "bal"]))
+    assert vt.read().count() == 1
