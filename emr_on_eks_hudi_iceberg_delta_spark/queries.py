@@ -3727,3 +3727,35 @@ def q_merge_full_sync(spark, sf_dir):
         .when_not_matched_by_source_delete()
         .execute()
     )
+
+
+@register(
+    "string_distance_and_redaction",
+    oracle=r"""
+    SELECT doc_id,
+           levenshtein(substr(text, 1, 20), 'the quick brown fox') AS edit_dist,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g'),
+             '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
+    FROM (SELECT doc_id, text FROM documents)
+    """,
+    tags=("text", "functions", "extension"),
+)
+def q_string_distance_and_redaction(spark, sf_dir):
+    """Edit distance (fuzzy matching primitive) + PII redaction (email and
+    phone regexp_replace — the scrubbing pass every training pipeline runs
+    before shipping text). Both built-in JVM expressions, zero shuffle;
+    patterns chosen to parse identically in Java and RE2 regex dialects."""
+    docs = _t(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"
+    return docs.select(
+        "doc_id",
+        F.levenshtein(
+            F.substring("text", 1, 20), F.lit("the quick brown fox")
+        ).alias("edit_dist"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("redacted"),
+    )
