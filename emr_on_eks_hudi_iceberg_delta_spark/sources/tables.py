@@ -326,6 +326,35 @@ class VersionedTable:
     def history(self) -> list[dict]:
         return self._snapshots()
 
+    def files(self, version: int | None = None) -> list[dict]:
+        """Data files of a snapshot (Delta ``DESCRIBE DETAIL`` / Iceberg
+        ``.files`` metadata-table analog): path + size per parquet file —
+        what compaction planners and vacuum audits read."""
+        import glob as _glob
+
+        snaps = self._snapshots()
+        snap = snaps[-1] if version is None else next(
+            s for s in snaps if s["version"] == version
+        )
+        return [
+            {"path": p, "size_bytes": os.path.getsize(p)}
+            for p in sorted(_glob.glob(os.path.join(snap["dir"], "*.parquet")))
+        ]
+
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL: location, version, file count/bytes,
+        constraints — the operational summary."""
+        snaps = self._snapshots()
+        fs = self.files() if snaps else []
+        return {
+            "location": self.location,
+            "version": snaps[-1]["version"] if snaps else None,
+            "num_snapshots": len(snaps),
+            "num_files": len(fs),
+            "size_bytes": sum(f["size_bytes"] for f in fs),
+            "constraints": dict(self._meta().get("constraints", {})),
+        }
+
 
 def table_changes(
     spark, old: DataFrame, new: DataFrame, key_cols: list[str]

@@ -284,3 +284,15 @@ def test_check_constraints_enforced_on_write(spark):
     vt.drop_constraint("bal_nonneg")
     vt.overwrite(spark.createDataFrame([(4, -9.0)], ["id", "bal"]))
     assert vt.read().count() == 1
+
+
+def test_files_and_detail_metadata(spark):
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_md_"))
+    vt.overwrite(spark.range(100).toDF("id").repartition(4))
+    vt.add_constraint("id_nonneg", "id >= 0")
+    d = vt.detail()
+    assert d["version"] == 0 and d["num_files"] >= 4 and d["size_bytes"] > 0
+    assert d["constraints"] == {"id_nonneg": "id >= 0"}
+    vt.compact(target_partitions=1)
+    assert len(vt.files()) == 1
+    assert len(vt.files(version=0)) >= 4  # old snapshot's files still listed
