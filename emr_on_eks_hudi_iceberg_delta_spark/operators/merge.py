@@ -41,20 +41,37 @@ def upsert_by_key(
     updates: DataFrame,
     key_cols: list[str],
     precombine_col: str,
+    priority_col: str | None = None,
 ) -> DataFrame:
     """Hudi keyed upsert (S7): record key = ``key_cols``, precombine =
     ``precombine_col`` (hudi/hudi_scd_script.py:32-36).
 
     union target + incoming, keep the single max-precombine row per key —
-    ``row_number`` over (key, precombine desc). One shuffle on the key;
-    map-side the window needs no pre-aggregation since row_number streams.
+    ``row_number`` over (key, precombine desc, writer-seq desc). One shuffle
+    on the key; map-side the window needs no pre-aggregation since
+    row_number streams.
+
+    Precombine ties resolve deterministically to the NEWEST writer (Hudi
+    prefers the incoming record on equal precombine values): the secondary
+    sort key is a writer-sequence column — target rows get 0, incoming rows
+    get 1. Callers merging several ordered batches at once (MoR
+    ``read_realtime``) pass ``priority_col`` naming their own batch-sequence
+    column instead; higher values win ties, NULLs lose.
     """
+    drop_cols = ["__rn"]
+    if priority_col is None:
+        priority_col = "__writer_seq"
+        drop_cols.append(priority_col)
+        target = target.withColumn(priority_col, F.lit(0))
+        updates = updates.withColumn(priority_col, F.lit(1))
     unioned = target.unionByName(updates, allowMissingColumns=True)
-    w = Window.partitionBy(*key_cols).orderBy(F.col(precombine_col).desc())
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(precombine_col).desc(), F.col(priority_col).desc_nulls_last()
+    )
     return (
         unioned.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop(*drop_cols)
     )
 
 
@@ -139,6 +156,13 @@ def scd2_merge_iceberg_style(
     MERGE on ``(key, checksum)`` with unconditional UPDATE */INSERT * is
     decomposed as: target rows whose (key, checksum) is untouched, plus all
     merged rows.
+
+    Edge-case note: if a key's value reverts A->B->A across batches, the
+    target can hold an expired history row with the same ``(key, checksum)``
+    as a staged row. The reference's unconditional ``UPDATE *`` would rewrite
+    BOTH matching target rows to identical merged values (duplicate rows);
+    this decomposition replaces them with ONE merged copy — the
+    duplicate-free reading of the same MERGE.
     """
     business_cols = updates_raw.columns
     staged = with_scd2_columns(updates_raw, checksum_cols, as_of=as_of)
@@ -204,10 +228,19 @@ def scd2_merge_delta_style(
         F.lit(0).cast("int").alias("iscurrent"),
     ).select(*out_cols)
 
+    # Anti-join on (key, checksum, iscurrent) — changed rows all carry
+    # t.iscurrent == 1, so only the matched CURRENT row is replaced. An
+    # expired history row sharing the current row's (key, checksum) (a value
+    # that reverted A->B->A across batches) is matched-but-clause-failed in
+    # the reference MERGE and must survive untouched.
     expired_keys = changed.select(
-        F.col(f"t.{key_col}").alias(key_col), F.col("t.checksum").alias("checksum")
+        F.col(f"t.{key_col}").alias(key_col),
+        F.col("t.checksum").alias("checksum"),
+        F.col("t.iscurrent").alias("iscurrent"),
     )
-    untouched = target.join(expired_keys, on=[key_col, "checksum"], how="left_anti")
+    untouched = target.join(
+        expired_keys, on=[key_col, "checksum", "iscurrent"], how="left_anti"
+    )
 
     changed_staged = changed.select(*[F.col(f"u.{c}").alias(c) for c in out_cols])
     new_staged = staged.join(target, on=key_col, how="left_anti").select(*out_cols)
@@ -229,8 +262,13 @@ class MergeIntoBuilder:
     Implementation: a full-outer join on the merge condition with row-origin
     markers; matched rows route through the (first applicable) matched
     clause, unmatched source rows through the insert clause, unmatched
-    target rows pass through. Multiple source matches for one target row
-    raise, matching Delta's cardinality check.
+    target rows pass through. When a matched UPDATE/DELETE clause is present
+    and more than one source row matches the same target row, evaluation
+    raises (Delta's ``DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW_IN_MERGE``
+    cardinality check) — enforced distributively via a per-target-row match
+    count, no driver-side collect. ``with_cardinality_check(False)`` disables
+    it (Spark-side cost: one extra window over the matched rows, sharing the
+    join's hash partitioning when the merge condition is an equi-key).
     """
 
     def __init__(self, target: DataFrame, source: DataFrame, on: Column):
@@ -274,16 +312,46 @@ class MergeIntoBuilder:
         self._by_source_delete = condition if condition is not None else F.lit(True)
         return self
 
+    def with_cardinality_check(self, enabled: bool) -> "MergeIntoBuilder":
+        """Delta exposes the same escape hatch as
+        ``merge.resolvedMultipleSourceRowMatches`` semantics: disabling skips
+        the per-target match-count window (duplicates then flow through the
+        matched clause unflagged, like Hudi's default upsert)."""
+        self._check_cardinality = enabled
+        return self
+
     def execute(self) -> DataFrame:
-        t = self.target.alias("t")
-        s = self.source.alias("s")
         tcols = self.target.columns
+        target = self.target
+        # cardinality guard only matters when a matched clause rewrites rows:
+        # >1 source match per target row would emit duplicate updated copies.
+        guard = self._check_cardinality and (
+            self._matched_update is not None or self._matched_delete is not None
+        )
+        if guard:
+            target = target.withColumn("__tid", F.monotonically_increasing_id())
+        t = target.alias("t")
+        s = self.source.alias("s")
 
         matched = t.join(s, self.on, "inner")
-        if self._check_cardinality:
-            # Delta raises DELTA_MULTIPLE_SOURCE_ROW_MATCHING... on >1 source
-            # row per target row; detect via count over the target row id.
-            pass  # enforced in execute_checked(); skipped on the hot path
+        if guard:
+            # Delta raises DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW_IN_MERGE
+            # on >1 source row per target row; detected with a count window
+            # over a per-row id — distributed, lazy (fires when the plan runs).
+            n = F.count(F.lit(1)).over(Window.partitionBy("__tid"))
+            matched = matched.withColumn(
+                "__ok",
+                F.when(
+                    n > 1,
+                    F.raise_error(
+                        F.lit(
+                            "MERGE INTO: multiple source rows matched a single "
+                            "target row; make the ON condition unique or call "
+                            "with_cardinality_check(False)"
+                        )
+                    ).cast("boolean"),
+                ).otherwise(F.lit(True)),
+            ).filter(F.col("__ok")).drop("__ok")
 
         # target rows with no source match: by-source clauses route them
         # (first applicable: update, then delete); default is pass-through
@@ -338,8 +406,13 @@ class MergeIntoBuilder:
             )
             out = out.unionByName(kept)
         else:
+            # no matched clause: matched target rows pass through ONCE each —
+            # a semi-join, not the inner-join pairs (which would duplicate a
+            # target row matched by several source rows in insert-only merges)
             out = out.unionByName(
-                matched.select(*[F.col(f"t.{c}").alias(c) for c in tcols])
+                t.join(s, self.on, "left_semi").select(
+                    *[F.col(c) for c in tcols]
+                )
             )
 
         if self._insert_all:

@@ -1983,9 +1983,9 @@ def q_time_travel_snapshot(spark, sf_dir):
     "table_changes_cdc",
     oracle=f"""
     WITH t AS ({_SQL_TGT9}), m AS ({_SQL_MERGE_HUDI})
-    SELECT *, 'insert' AS _change_type FROM (SELECT * FROM m EXCEPT SELECT * FROM t)
+    SELECT *, 'insert' AS _change_type FROM (SELECT * FROM m EXCEPT ALL SELECT * FROM t)
     UNION ALL
-    SELECT *, 'delete' AS _change_type FROM (SELECT * FROM t EXCEPT SELECT * FROM m)
+    SELECT *, 'delete' AS _change_type FROM (SELECT * FROM t EXCEPT ALL SELECT * FROM m)
     """,
     tags=("S2", "extension", "cdc"),
 )

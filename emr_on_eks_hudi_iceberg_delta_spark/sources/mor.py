@@ -30,6 +30,7 @@ import time
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.merge import upsert_by_key
 
@@ -111,16 +112,32 @@ class MorTable:
 
     def read_realtime(self) -> DataFrame:
         """The ``_rt`` view: base ∪ logs with precombine dedup per record
-        key — current upsert semantics without write amplification."""
+        key — current upsert semantics without write amplification.
+
+        Precombine ties resolve to the LATEST log batch (base=0, log i=i+1
+        as the writer-sequence passed to ``upsert_by_key``) — Hudi's
+        deterministic newest-writer-wins, independent of partition layout.
+        """
         meta = self._meta()
         base = self.read_optimized()
         if not meta["logs"]:
             return base
         logs = reduce(
             lambda a, b: a.unionByName(b),
-            [self.spark.read.parquet(entry["dir"]) for entry in meta["logs"]],
+            [
+                self.spark.read.parquet(entry["dir"]).withColumn(
+                    "__writer_seq", F.lit(i + 1)
+                )
+                for i, entry in enumerate(meta["logs"])
+            ],
         )
-        return upsert_by_key(base, logs, self.key_cols, self.precombine_col)
+        return upsert_by_key(
+            base.withColumn("__writer_seq", F.lit(0)),
+            logs,
+            self.key_cols,
+            self.precombine_col,
+            priority_col="__writer_seq",
+        ).drop("__writer_seq")
 
     def log_depth(self) -> int:
         return len(self._meta()["logs"])

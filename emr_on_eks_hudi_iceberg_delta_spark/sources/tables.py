@@ -214,7 +214,6 @@ class VersionedTable:
             self.spark,
             self.read(version=from_version),
             self.read(version=to_version),
-            key_cols=[],
         )
 
     def compact(
@@ -311,14 +310,22 @@ class VersionedTable:
     def vacuum(self, keep_last: int = 1) -> "VersionedTable":
         """Drop all but the last ``keep_last`` snapshots and delete their
         directories (Delta VACUUM / Hudi cleaner). Time travel to vacuumed
-        versions stops working, matching lake-format semantics."""
+        versions stops working, matching lake-format semantics.
+
+        ``keep_last <= 0`` empties the table (metadata and directories stay
+        consistent: every snapshot entry removed, every directory deleted) —
+        Python's ``snaps[-0:]`` is the WHOLE list, so the keep-list must be
+        special-cased rather than sliced.
+        """
         import shutil
 
         meta = self._meta()
         snaps = meta["snapshots"]
-        keep = snaps[-keep_last:]
-        for s in snaps[:-keep_last] if keep_last else snaps:
-            shutil.rmtree(s["dir"], ignore_errors=True)
+        keep = snaps[-keep_last:] if keep_last > 0 else []
+        keep_dirs = {s["dir"] for s in keep}
+        for s in snaps:
+            if s["dir"] not in keep_dirs:
+                shutil.rmtree(s["dir"], ignore_errors=True)
         meta["snapshots"] = keep
         self._write_meta(meta)
         return self
@@ -356,22 +363,41 @@ class VersionedTable:
         }
 
 
-def table_changes(
-    spark, old: DataFrame, new: DataFrame, key_cols: list[str]
-) -> DataFrame:
+def table_changes(spark, old: DataFrame, new: DataFrame) -> DataFrame:
     """CDC between two snapshots (Delta CDF / Hudi incremental-query
-    analog): per (key) tuple, classify rows as inserted / deleted /
-    unchanged-or-updated based on full-row membership.
+    analog): MULTISET row diff — rows are compared with per-row counts
+    (``EXCEPT ALL`` semantics), so duplicate-row multiplicity changes are
+    reported row-level, matching Delta CDF (a plain anti-join would be
+    set-semantics and miss e.g. 2 identical old rows collapsing to 1).
 
     Returns new-or-changed rows tagged ``_change_type`` in
     {'insert', 'delete'} — an 'update' appears as delete(old)+insert(new),
     the same convention Delta CDF uses for its pre/post images.
+
+    Scale: one shuffle per side (groupBy all columns — a hash of already-
+    distinct snapshot rows, so partial aggregation collapses nothing but
+    costs nothing extra) + one shuffle-join on the row tuple; count deltas
+    re-explode to row-level without a driver round-trip.
     """
-    all_cols = [c for c in new.columns]
-    inserted = new.join(old, on=all_cols, how="left_anti").withColumn(
-        "_change_type", F.lit("insert")
+    all_cols = list(new.columns)
+    old_n = old.groupBy(*all_cols).agg(F.count(F.lit(1)).alias("__old_n"))
+    new_n = new.groupBy(*all_cols).agg(F.count(F.lit(1)).alias("__new_n"))
+    joined = old_n.join(new_n, on=all_cols, how="full_outer").select(
+        *all_cols,
+        (
+            F.coalesce("__new_n", F.lit(0)) - F.coalesce("__old_n", F.lit(0))
+        ).alias("__delta"),
     )
-    deleted = old.join(new, on=all_cols, how="left_anti").withColumn(
-        "_change_type", F.lit("delete")
+    inserted = (
+        joined.filter(F.col("__delta") > 0)
+        .withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__delta"))))
+        .select(*all_cols)
+        .withColumn("_change_type", F.lit("insert"))
+    )
+    deleted = (
+        joined.filter(F.col("__delta") < 0)
+        .withColumn("__i", F.explode(F.sequence(F.lit(1), -F.col("__delta"))))
+        .select(*all_cols)
+        .withColumn("_change_type", F.lit("delete"))
     )
     return inserted.unionByName(deleted)

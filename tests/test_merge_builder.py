@@ -78,3 +78,48 @@ def test_null_merge_key_never_matches(spark):
     )
     vals = sorted(r["v"] for r in out.collect())
     assert vals == ["dup-of-1", "match-1"]
+
+
+def test_multiple_source_matches_raise(spark):
+    """Delta's MERGE cardinality check: >1 source row matching one target
+    row raises instead of silently emitting duplicate updated copies
+    (ADVICE r1: execute() previously skipped the docstring's promised check)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    t = spark.createDataFrame([(1, "a")], "id int, v string")
+    s = spark.createDataFrame([(1, "x"), (1, "y")], "id int, v string")
+    out = (
+        MergeIntoBuilder(t, s, F.col("t.id") == F.col("s.id"))
+        .when_matched_update(set={"v": F.col("s.v")})
+        .execute()
+    )
+    with pytest.raises(Exception) as ei:
+        out.collect()
+    assert "multiple source rows" in str(ei.value)
+
+
+def test_cardinality_check_disabled_passes_duplicates(spark):
+    t = spark.createDataFrame([(1, "a")], "id int, v string")
+    s = spark.createDataFrame([(1, "x"), (1, "y")], "id int, v string")
+    out = (
+        MergeIntoBuilder(t, s, F.col("t.id") == F.col("s.id"))
+        .when_matched_update(set={"v": F.col("s.v")})
+        .with_cardinality_check(False)
+        .execute()
+    )
+    assert sorted(r["v"] for r in out.collect()) == ["x", "y"]
+
+
+def test_insert_only_merge_skips_cardinality_guard(spark):
+    """No matched clause -> duplicates cannot corrupt the target; the guard
+    (and its extra window shuffle) must not fire."""
+    t = spark.createDataFrame([(1, "a")], "id int, v string")
+    s = spark.createDataFrame([(1, "x"), (1, "y"), (2, "n")], "id int, v string")
+    out = (
+        MergeIntoBuilder(t, s, F.col("t.id") == F.col("s.id"))
+        .when_not_matched_insert_all()
+        .execute()
+    )
+    rows = sorted((r["id"], r["v"]) for r in out.collect())
+    assert rows == [(1, "a"), (2, "n")]

@@ -54,3 +54,17 @@ def test_mor_views_and_compaction(spark):
     ro = mor.read_optimized()
     assert ro.count() == expected.count()
     assert ro.join(expected, on=KEYS, how="left_anti").count() == 0
+
+
+def test_mor_precombine_tie_latest_log_wins(spark):
+    """ADVICE r1: with equal precombine values across base and log batches,
+    the survivor used to be partition-order dependent. The _rt view now
+    passes the log-batch index as writer sequence: latest batch wins."""
+    mk = lambda v: spark.createDataFrame([(1, "k", "2024-01-01", v)], "id int, checksum string, ts string, v string")
+    mor = MorTable(spark, tempfile.mkdtemp(prefix="mor_tie_"), ["id", "checksum"], "ts")
+    mor.bootstrap(mk("base"))
+    mor.append_log(mk("log1"))
+    mor.append_log(mk("log2"))
+    for _ in range(3):
+        assert [r["v"] for r in mor.read_realtime().collect()] == ["log2"]
+    assert "__writer_seq" not in mor.read_realtime().columns

@@ -97,3 +97,41 @@ def test_upsert_by_key_precombine(spark):
     )
     out = {r["id"]: r["v"] for r in upsert_by_key(target, updates, ["id", "checksum"], "ts").collect()}
     assert out == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_upsert_by_key_tie_prefers_incoming(spark):
+    """ADVICE r1: equal precombine values used to resolve by partition
+    order. Hudi deterministically prefers the incoming record on ties —
+    now enforced via the writer-sequence secondary sort."""
+    target = spark.createDataFrame(
+        [Row(id=1, checksum="a", ts="2024-01-01", v="stored")]
+    )
+    updates = spark.createDataFrame(
+        [Row(id=1, checksum="a", ts="2024-01-01", v="incoming")]
+    )
+    for _ in range(3):  # stable across repeated plans, not partition-lucky
+        out = upsert_by_key(target, updates, ["id", "checksum"], "ts").collect()
+        assert [r["v"] for r in out] == ["incoming"]
+
+
+def test_scd2_delta_keeps_reverted_history_row(spark):
+    """ADVICE r1: a value reverting A->B->A leaves an EXPIRED history row
+    with the same (key, checksum) as the current row. The reference MERGE's
+    matched-but-clause-failed branch keeps it; the anti-join used to delete
+    it silently."""
+    T3 = "2024-03-01 00:00:00"
+    base = spark.createDataFrame([Row(id=1, name="n", email="A@x.com", state="CA")])
+    to_b = spark.createDataFrame([Row(id=1, name="n", email="B@x.com", state="CA")])
+    back_to_a = spark.createDataFrame([Row(id=1, name="n", email="A@x.com", state="CA")])
+
+    t0 = with_scd2_columns(base, CHECKSUM_COLS, as_of=T1, include_ts=False)
+    t1 = scd2_merge_delta_style(t0, to_b, "id", CHECKSUM_COLS, as_of=T2)
+    t2 = scd2_merge_delta_style(t1, back_to_a, "id", CHECKSUM_COLS, as_of=T3)
+    # A(expired) + B(expired) + A(current) = 3 rows; the expired A row and
+    # the new current A row share (id, checksum)
+    rows = sorted(t2.collect(), key=lambda r: (r["iscurrent"], str(r["valid_from"])))
+    assert len(rows) == 3
+    assert [r["iscurrent"] for r in rows] == [0, 0, 1]
+    assert rows[0]["email"] == "A@x.com" and rows[0]["valid_to"].isoformat() == "2024-02-01T00:00:00"
+    assert rows[1]["email"] == "B@x.com" and rows[1]["valid_to"].isoformat() == "2024-03-01T00:00:00"
+    assert rows[2]["email"] == "A@x.com" and rows[2]["valid_to"] is None

@@ -296,3 +296,36 @@ def test_files_and_detail_metadata(spark):
     vt.compact(target_partitions=1)
     assert len(vt.files()) == 1
     assert len(vt.files(version=0)) >= 4  # old snapshot's files still listed
+
+
+def test_vacuum_keep_zero_empties_table_consistently(spark):
+    """ADVICE r1: vacuum(keep_last=0) used to rmtree every snapshot dir yet
+    keep all metadata entries (snaps[-0:] == whole list) — pointers into
+    deleted dirs. Now metadata and disk agree: zero snapshots."""
+    import pytest
+
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_v0_"))
+    vt.overwrite(spark.range(10).toDF("id"))
+    vt.overwrite(spark.range(20).toDF("id"))
+    vt.vacuum(keep_last=0)
+    assert vt.history() == []
+    with pytest.raises(FileNotFoundError):
+        vt.read()
+    # table remains writable after the wipe
+    vt.overwrite(spark.range(5).toDF("id"))
+    assert vt.read().count() == 5
+
+
+def test_cdc_changes_multiplicity_aware(spark):
+    """ADVICE r1: set-semantics anti-joins missed duplicate-row multiplicity
+    changes (2 identical old rows -> 1 new row reported nothing). Multiset
+    diff reports the dropped copy as a delete and an added copy as insert."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import table_changes
+
+    old = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "id int, v string")
+    new = spark.createDataFrame([(1, "a"), (2, "b"), (2, "b"), (2, "b")], "id int, v string")
+    ch = sorted(
+        (r["id"], r["v"], r["_change_type"])
+        for r in table_changes(spark, old, new).collect()
+    )
+    assert ch == [(1, "a", "delete"), (2, "b", "insert"), (2, "b", "insert")]
