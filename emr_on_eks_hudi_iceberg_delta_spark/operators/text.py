@@ -153,6 +153,131 @@ def pack_documents(
     return df.withColumn("bin", F.floor(before / F.lit(capacity)).cast("bigint"))
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 1,
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF — the corpus-level keyword/
+    topic-signal extraction step of a training-data pipeline.
+
+    IDF uses the raw smoothed ratio ``(N + 1) / (df + 1)`` rather than its
+    log: log() is not correctly-rounded and differs across libm
+    implementations, while +, * and / are IEEE-exact — so the score is
+    bit-identical cross-engine (same ranking either way: log is monotonic).
+
+    Scale: term-frequency aggregates shuffle on (doc, term) with map-side
+    partial combine; document frequency is a second aggregate over the
+    (already-collapsed) tf rows; the vocabulary (df table) and the one-row
+    corpus count broadcast back — no re-shuffle of the big side. Top-k is
+    one window shuffle on the document id. Ties break alphabetically, so
+    results are deterministic.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("__n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * ((F.col("__n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("term_rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "term_rank")
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Within-document repetition ratio: the fraction of duplicate token
+    ``shingle_n``-grams (Gopher/C4-style quality filter — boilerplate and
+    looping generations score high). Pure per-row column expressions
+    (shingle + array_distinct), zero shuffle, scan-speed at any scale.
+    Documents with fewer than ``shingle_n`` tokens are dropped, matching
+    the MinHash shingle domain."""
+    from ..functions.hashing import shingle_expr
+
+    out = (
+        df.withColumn("__t", tokens_expr(text_col))
+        .filter(F.size("__t") >= shingle_n)
+        .withColumn("__s", shingle_expr("__t", shingle_n))
+    )
+    n_sh = F.size("__s").cast("bigint")
+    n_uniq = F.size(F.array_distinct("__s")).cast("bigint")
+    return out.select(
+        F.col(id_col),
+        n_sh.alias("n_shingles"),
+        n_uniq.alias("n_distinct"),
+        (F.lit(1.0) - n_uniq.cast("double") / n_sh).alias("dup_ratio"),
+    )
+
+
+def contamination_overlap(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: for every training document, the fraction
+    of its distinct token ``shingle_n``-grams that appear anywhere in the
+    benchmark set — the standard eval-leakage check run before training.
+
+    Scale: the benchmark shingle set is tiny next to the corpus (evals are
+    thousands of documents, the corpus is billions) — it is deduped and
+    broadcast, so the corpus side is a single scan + one aggregate shuffle
+    on the document id; no corpus-vs-corpus join ever happens.
+    """
+    from ..functions.hashing import shingle_expr
+
+    def distinct_shingles(d: DataFrame) -> DataFrame:
+        return (
+            d.withColumn("__t", tokens_expr(text_col))
+            .filter(F.size("__t") >= shingle_n)
+            .select(
+                F.col(id_col),
+                F.explode(F.array_distinct(shingle_expr("__t", shingle_n))).alias(
+                    "sh"
+                ),
+            )
+        )
+
+    doc_sh = distinct_shingles(df)
+    bench_sh = (
+        distinct_shingles(benchmark).select("sh").distinct().withColumn(
+            "__hit", F.lit(1)
+        )
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), on="sh", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination",
+            F.col("n_contaminated").cast("double") / F.col("n_shingles"),
+        )
+    )
+
+
 def normalized_text_expr(text_col: str = "text") -> Column:
     return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
 

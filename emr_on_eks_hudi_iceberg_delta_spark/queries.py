@@ -3759,3 +3759,100 @@ def q_string_distance_and_redaction(spark, sf_dir):
             F.regexp_replace(F.col("text"), email, "<EMAIL>"), phone, "<PHONE>"
         ).alias("redacted"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 12 (round 2): corpus-level text analysis — TF-IDF keywords,
+# repetition quality filter, benchmark decontamination (operators/text.py)
+# --------------------------------------------------------------------------
+
+_SQL_TOKS = r"""
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    shng AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - 1),
+                            i -> array_to_string(t[i:i+2], ' ')) AS s
+      FROM toks WHERE len(t) >= 3)
+"""
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             CAST(t.tf AS DOUBLE) * ((n.n_docs + 1.0) / (d.df + 1.0)) AS tfidf
+      FROM tf t JOIN dfreq d USING (term) CROSS JOIN n),
+    r AS (SELECT *, CAST(row_number() OVER (
+              PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INT)
+              AS term_rank
+          FROM scored)
+    SELECT doc_id, term, tf, df, tfidf, term_rank FROM r WHERE term_rank <= 1
+    """,
+    tags=("text", "extension", "corpus"),
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top TF-IDF term (corpus keyword extraction). IDF is the
+    smoothed RATIO (N+1)/(df+1), not its log — same ranking (log is
+    monotonic) but bit-identical cross-engine (+,*,/ are IEEE-exact;
+    libm log is not). tf shuffle has map-side combine; the vocabulary
+    (df) and corpus count broadcast back; top-1 is one doc_id window."""
+    from .operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=1)
+
+
+@register(
+    "repetition_stats",
+    oracle="WITH " + _SQL_TOKS + """
+    SELECT doc_id, len(s) AS n_shingles, len(list_distinct(s)) AS n_distinct,
+           1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s) AS dup_ratio
+    FROM shng
+    """,
+    tags=("text", "extension", "corpus"),
+)
+def q_repetition_stats(spark, sf_dir):
+    """Within-document duplicate-3-gram ratio (Gopher/C4 repetition quality
+    filter): boilerplate and looping text score high. Zero shuffle —
+    per-row shingle + array_distinct at scan speed."""
+    from .operators.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle="WITH " + _SQL_TOKS + """,
+    docsh AS (SELECT doc_id, unnest(list_distinct(s)) AS sh FROM shng),
+    bench AS (SELECT DISTINCT sh FROM docsh WHERE doc_id % 97 = 0),
+    train AS (SELECT * FROM docsh WHERE doc_id % 97 <> 0)
+    SELECT t.doc_id, count(*) AS n_shingles,
+           CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS contamination
+    FROM train t LEFT JOIN bench b USING (sh)
+    GROUP BY t.doc_id
+    """,
+    tags=("text", "extension", "corpus"),
+)
+def q_contamination_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination: per training document, the fraction of its
+    distinct 3-gram shingles appearing anywhere in the benchmark split
+    (doc_id % 97 == 0 as the deterministic pseudo-benchmark). The deduped
+    benchmark shingle set broadcasts; the corpus side is one scan + one
+    doc_id aggregate — no corpus-vs-corpus join at any scale."""
+    from .operators.text import contamination_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_overlap(train, bench)
