@@ -1282,11 +1282,45 @@ def q_streaming_distinct_users(spark, sf_dir):
     )
 
 
-@register("streaming_session_windows", oracle=None, tags=("streaming", "extension"))
+@register(
+    "streaming_session_windows",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    g AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+             THEN 1 ELSE 0 END AS new_sess
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts,
+        CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM g),
+    sess AS (
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             COUNT(*) AS n_events
+      FROM s GROUP BY user_id, sid),
+    wm AS (SELECT make_timestamp(epoch_ms(MAX(ts)) * 1000) - INTERVAL 1 HOUR AS w
+           FROM ev)
+    SELECT user_id, session_start, session_end, n_events FROM sess, wm
+    WHERE session_end <= wm.w
+    """,
+    tags=("streaming", "extension"),
+)
 def q_streaming_session_windows(spark, sf_dir):
-    """Native streaming session windows with watermark (append mode) —
-    rows-only: append mode correctly withholds sessions the final watermark
-    has not closed, so the batch oracle is a superset by design."""
+    """Native streaming session windows with watermark (append mode).
+
+    EXACT oracle (upgraded from rows-only in round 2) by replaying Spark's
+    append-mode semantics in SQL: (1) session split at inactivity >= gap
+    (``session_window`` intervals are half-open ``[start, last+gap)``, so an
+    event landing exactly at the previous end opens a NEW session — note the
+    batch ``events_sessionize`` splits at > gap, the other defensible
+    convention); (2) ``session_end = last event + gap``; (3) append mode
+    emits only sessions the final watermark closed:
+    ``session_end <= floor_ms(max event time) - delay`` (Spark tracks event
+    time for watermarks at millisecond precision)."""
     return run_stream_to_memory(
         stream_session_windows(_events_stream(spark, sf_dir)), output_mode="append"
     )
