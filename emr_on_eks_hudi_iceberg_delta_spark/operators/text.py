@@ -173,6 +173,15 @@ def tfidf_top_terms(
     corpus count broadcast back — no re-shuffle of the big side. Top-k is
     one window shuffle on the document id. Ties break alphabetically, so
     results are deterministic.
+
+    Deliberate trade: in one lazy plan the tf subtree is evaluated twice
+    (once as the join probe, once inside the vocabulary derivation) —
+    Catalyst does not reuse the exchange across the differing aggregates.
+    The skew-safe alternative (count() window over the term partition)
+    would put every (doc, hot-term) row in one partition, which is worse at
+    corpus scale; production pipelines checkpoint/persist the tf relation
+    between the two aggregates instead, which callers can do around this
+    operator.
     """
     from pyspark.sql import Window
 

@@ -217,3 +217,33 @@ def test_dsv2_write_to_create(spark):
     spark.sql("DROP TABLE nation_v2")
     n.select("n_nationkey", "n_name").writeTo("nation_v2").using("parquet").create()
     assert len(spark.table("nation_v2").columns) == 2
+
+
+def test_tfidf_bounded_shuffles_and_broadcasts(spark):
+    """The vocabulary (df) and the one-row corpus count must come back as
+    broadcasts — the corpus-sized tf side is never re-shuffled for a join
+    (no SortMergeJoin anywhere). Every aggregate is partial-combine first
+    (skew-safe on hot terms: a window count over term would hot-spot).
+    The tf subtree is recomputed for the vocabulary derivation (<= 5
+    exchanges); at 100 TB you checkpoint tf instead — see the operator
+    docstring."""
+    from emr_on_eks_hudi_iceberg_delta_spark.plans import formatted_plan
+
+    df = REGISTRY["tfidf_top_terms"].fn(spark, SF_DIR)
+    assert broadcast_join_count(df) >= 2
+    assert "SortMergeJoin" not in formatted_plan(df)
+    assert shuffle_count(df) <= 5
+
+
+def test_repetition_stats_no_shuffle(spark):
+    df = REGISTRY["repetition_stats"].fn(spark, SF_DIR)
+    assert shuffle_count(df) == 0  # per-row shingle map: scan speed
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The benchmark shingle set must broadcast; the corpus side gets one
+    aggregate exchange on doc_id. Benchmark-side dedup may shuffle the
+    (tiny) benchmark only."""
+    df = REGISTRY["contamination_ngram_overlap"].fn(spark, SF_DIR)
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_count(df) <= 3
