@@ -3890,3 +3890,32 @@ def q_contamination_ngram_overlap(spark, sf_dir):
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
     return contamination_overlap(train, bench)
+
+
+@register(
+    "table_stats_pruned_read",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_custkey <= 150 AND o_orderkey <= 1500
+    """,
+    tags=("S2", "extension", "lake", "skipping"),
+)
+def q_table_stats_pruned_read(spark, sf_dir):
+    """Data-skipping scan end-to-end (Delta stats / Iceberg manifest-metrics
+    analog): Z-order-compact orders on (o_custkey, o_orderkey), collect
+    per-file min/max into the snapshot metadata, then serve a conjunctive
+    range predicate via ``read_pruned`` — files whose stats exclude the
+    predicate are never opened, and the residual row-level filter makes the
+    result EXACTLY the filtered table (the oracle is the plain WHERE)."""
+    from .sources.tables import VersionedTable
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_skip_"))
+    vt.overwrite(_t(spark, sf_dir, "orders").select(*cols).repartition(16))
+    vt.compact(target_partitions=16, zorder_by=["o_custkey", "o_orderkey"])
+    vt.compute_stats(["o_custkey", "o_orderkey"])
+    return vt.read_pruned(
+        [("o_custkey", "<=", 150), ("o_orderkey", "<=", 1500)]
+    ).select(*cols)

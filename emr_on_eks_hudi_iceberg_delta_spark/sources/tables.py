@@ -217,21 +217,45 @@ class VersionedTable:
         )
 
     def compact(
-        self, target_partitions: int = 1, cluster_by: list[str] | None = None
+        self,
+        target_partitions: int = 1,
+        cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        zorder_buckets: int = 16,
     ) -> "VersionedTable":
         """OPTIMIZE/compaction: rewrite the current snapshot into
         ``target_partitions`` files (small-file compaction — the Hudi
         compaction / Delta OPTIMIZE capability). Data is unchanged; the
         commit is a new snapshot so readers stay consistent.
 
-        ``cluster_by`` sort-clusters the rewrite (Delta ``OPTIMIZE ZORDER``
-        analog, single-dimension flavor): rows are range-partitioned then
-        sorted within files on the given columns, so parquet row-group
-        min/max statistics become selective and point/range scans skip
-        most of the table — the data-skipping layout lever that partition
-        directories are too coarse for."""
+        ``cluster_by`` sort-clusters the rewrite on a column list
+        (lexicographic): perfect file-level min/max selectivity on the
+        FIRST column, none on later ones.
+
+        ``zorder_by`` interleaves the columns on a Z-curve instead (Delta
+        ``OPTIMIZE ZORDER`` analog): each column is bucketed by its
+        approx-quantile boundaries (skew-proof — equal-population buckets,
+        the same sampling approach Delta uses), the bucket ids'
+        bits are interleaved into one sort key, and files get a compact
+        hyper-rectangle of EVERY dimension — so min/max skipping works for
+        predicates on any Z-column, at the cost of coarser first-column
+        clustering. The interleave is pure column arithmetic (shift/or),
+        JVM-side.
+
+        Scale: either layout costs one range-exchange + in-partition sort
+        of the snapshot — exactly what any OPTIMIZE rewrite costs; the
+        quantile pass for Z-order is a sampled aggregate, not a full sort.
+        """
         df = self.read()
-        if cluster_by:
+        if zorder_by:
+            zkey = self._zorder_key(df, zorder_by, zorder_buckets)
+            df = (
+                df.withColumn("__zkey", zkey)
+                .repartitionByRange(target_partitions, F.col("__zkey"))
+                .sortWithinPartitions("__zkey")
+                .drop("__zkey")
+            )
+        elif cluster_by:
             cols = [F.col(c) for c in cluster_by]
             df = df.repartitionByRange(target_partitions, *cols).sortWithinPartitions(
                 *cols
@@ -240,6 +264,151 @@ class VersionedTable:
             df = df.coalesce(target_partitions)
         self._commit(df)
         return self
+
+    @staticmethod
+    def _zorder_key(df: DataFrame, cols: list[str], buckets: int):
+        """Z-curve key: per-column approx-quantile bucket ids, bits
+        interleaved. ``buckets`` must be a power of two."""
+        bits = max(1, (buckets - 1).bit_length())
+        n = len(cols)
+        key = F.lit(0).cast("bigint")
+        for i, c in enumerate(cols):
+            qs = [j / buckets for j in range(1, buckets)]
+            bounds = df.stat.approxQuantile(c, qs, 0.001)
+            bucket = F.lit(0)
+            for b, bound in enumerate(bounds):
+                bucket = F.when(F.col(c) > F.lit(bound), F.lit(b + 1)).otherwise(bucket)
+            # NULLs sort first (bucket 0), matching NULLS FIRST ordering
+            bucket = F.coalesce(bucket, F.lit(0)).cast("bigint")
+            for j in range(bits):
+                key = key + (
+                    F.shiftright(bucket, j).bitwiseAND(F.lit(1))
+                    * F.lit(1 << (j * n + i)).cast("bigint")
+                )
+        return key
+
+    # -- file statistics + data skipping ------------------------------------
+
+    @staticmethod
+    def _stat_value(v):
+        """JSON-safe stat encoding. Timestamps/dates serialize to ISO
+        strings — fixed-width, so lexicographic compare == temporal
+        compare and pruning stays correct after a metadata round-trip."""
+        import datetime
+
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        return v
+
+    def compute_stats(self, cols: list[str]) -> "VersionedTable":
+        """Collect per-FILE min/max for ``cols`` on the current snapshot and
+        record them in the snapshot entry — the Delta ``stats`` / Iceberg
+        manifest-metrics analog, and the input ``read_pruned`` skips files
+        with.
+
+        One distributed aggregate keyed by ``input_file_name()`` (as many
+        groups as files — trivially small); no driver-side row data.
+        """
+        snaps = self._snapshots()
+        if not snaps:
+            raise FileNotFoundError(f"no snapshot at {self.location}")
+        snap = snaps[-1]
+        df = self.spark.read.parquet(snap["dir"])
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+        rows = (
+            df.withColumn("__file", F.input_file_name())
+            .groupBy("__file")
+            .agg(*aggs)
+            .collect()
+        )
+        stats = {}
+        for r in rows:
+            # input_file_name returns a file URI; files() paths are plain
+            path = r["__file"].removeprefix("file://").removeprefix("file:")
+            stats[path] = {
+                c: [
+                    self._stat_value(r[f"__mn_{c}"]),
+                    self._stat_value(r[f"__mx_{c}"]),
+                ]
+                for c in cols
+            }
+        meta = self._meta()
+        meta["snapshots"][-1]["stats"] = stats
+        meta["snapshots"][-1]["stats_cols"] = list(cols)
+        self._write_meta(meta)
+        return self
+
+    @staticmethod
+    def _file_may_match(bounds, op: str, value) -> bool:
+        """Can any row in a file with [min, max] = bounds satisfy
+        ``col op value``? min/max ignore NULLs, so an all-NULL file has
+        NULL bounds and no row can satisfy a comparison — prune it
+        (same rule Delta data skipping applies)."""
+        mn, mx = bounds
+        if mn is None and mx is None:
+            return False
+        if op == "=":
+            return mn <= value <= mx
+        if op == "<":
+            return mn < value
+        if op == "<=":
+            return mn <= value
+        if op == ">":
+            return mx > value
+        if op == ">=":
+            return mx >= value
+        raise ValueError(f"unsupported pruning operator {op!r}")
+
+    def pruned_files(self, filters: list[tuple]) -> list[str]:
+        """Files of the current snapshot that survive min/max skipping for
+        a conjunction of ``(col, op, value)`` filters (op in
+        <, <=, =, >=, >). Columns without collected stats never prune."""
+        snaps = self._snapshots()
+        snap = snaps[-1]
+        stats = snap.get("stats", {})
+        all_files = [f["path"] for f in self.files()]
+        out = []
+        for path in all_files:
+            fstats = stats.get(path)
+            keep = True
+            if fstats is not None:
+                for col, op, value in filters:
+                    if col in fstats and not self._file_may_match(
+                        fstats[col], op, self._stat_value(value)
+                    ):
+                        keep = False
+                        break
+            if keep:
+                out.append(path)
+        return out
+
+    def read_pruned(self, filters: list[tuple]) -> DataFrame:
+        """Data-skipping scan: open only the files whose min/max admit the
+        conjunctive ``(col, op, value)`` filters, then apply the full
+        residual predicate row-level — so results are EXACTLY the filtered
+        table regardless of how coarse the stats are. This is the scan-side
+        payoff of clustering (``compact(cluster_by=...)`` / Z-order): at
+        100 TB the pointer metadata eliminates whole files before the
+        scheduler ever sees them, the same mechanism as Delta/Iceberg
+        data skipping."""
+        files = self.pruned_files(filters)
+        ops = {
+            "=": lambda c, v: F.col(c) == v,
+            "<": lambda c, v: F.col(c) < v,
+            "<=": lambda c, v: F.col(c) <= v,
+            ">": lambda c, v: F.col(c) > v,
+            ">=": lambda c, v: F.col(c) >= v,
+        }
+        residual = F.lit(True)
+        for col, op, value in filters:
+            residual = residual & ops[op](col, value)
+        if not files:
+            # empty result, full snapshot schema
+            return self.read().filter(F.lit(False))
+        return self.spark.read.parquet(*files).filter(residual)
 
     def delete_where(self, condition) -> "VersionedTable":
         """Delta ``DELETE FROM t WHERE cond`` analog: copy-on-write rewrite

@@ -1,0 +1,92 @@
+"""File-level min/max statistics, data-skipping reads, Z-order clustering —
+the Delta stats / OPTIMIZE ZORDER analog on VersionedTable."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
+from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _orders_table(spark, n_files=8, **compact_kw):
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_stats_"))
+    vt.overwrite(load_table(spark, SF_DIR, "orders").repartition(n_files))
+    vt.compact(target_partitions=n_files, **compact_kw)
+    return vt
+
+
+def test_stats_recorded_per_file(spark):
+    vt = _orders_table(spark, cluster_by=["o_orderkey"])
+    vt.compute_stats(["o_orderkey", "o_orderdate"])
+    snap = vt.history()[-1]
+    files = vt.files()
+    assert set(snap["stats"].keys()) == {f["path"] for f in files}
+    # clustered on o_orderkey -> file ranges are disjoint and ordered
+    ranges = sorted(
+        tuple(s["o_orderkey"]) for s in snap["stats"].values()
+    )
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert lo1 <= hi1 < lo2
+
+
+def test_pruned_read_correct_and_skips_files(spark):
+    vt = _orders_table(spark, cluster_by=["o_orderkey"]).compute_stats(["o_orderkey"])
+    filters = [("o_orderkey", "<=", 600)]
+    pruned = vt.pruned_files(filters)
+    assert 0 < len(pruned) < len(vt.files())  # skipping actually happened
+    got = vt.read_pruned(filters)
+    want = vt.read().filter(F.col("o_orderkey") <= 600)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_prune_timestamp_survives_json_roundtrip(spark):
+    vt = _orders_table(spark, cluster_by=["o_orderdate"]).compute_stats(["o_orderdate"])
+    import datetime
+
+    cut = datetime.datetime(1997, 1, 1)  # inside this table's 1995-2001 range
+    filters = [("o_orderdate", "<", cut)]
+    assert 0 < len(vt.pruned_files(filters)) < len(vt.files())
+    got = vt.read_pruned(filters)
+    want = vt.read().filter(F.col("o_orderdate") < F.lit(cut))
+    assert got.count() == want.count()
+
+
+def test_zorder_prunes_on_both_dimensions(spark):
+    """Lexicographic clustering on (custkey) gives col-2 predicates nothing
+    to skip; the Z-curve layout lets min/max stats prune on EITHER column."""
+    stat_cols = ["o_custkey", "o_orderkey"]
+    linear = _orders_table(spark, n_files=16, cluster_by=["o_custkey"]).compute_stats(
+        stat_cols
+    )
+    zorder = _orders_table(spark, n_files=16, zorder_by=stat_cols).compute_stats(
+        stat_cols
+    )
+    n = len(zorder.files())
+    # narrow predicate on each dimension (~1/8 of the value range:
+    # o_custkey spans 0-149, o_orderkey 0-1499 in this table)
+    f_ck = [("o_custkey", "<=", 18)]
+    f_ok = [("o_orderkey", "<=", 187)]
+    # first dimension: both layouts skip
+    assert len(linear.pruned_files(f_ck)) < n
+    assert len(zorder.pruned_files(f_ck)) < n
+    # second dimension: only the Z-order layout skips
+    assert len(linear.pruned_files(f_ok)) == n
+    assert len(zorder.pruned_files(f_ok)) < n
+    # and results stay exact either way
+    got = zorder.read_pruned(f_ok)
+    want = zorder.read().filter(F.col("o_orderkey") <= 187)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_unstatted_column_never_prunes(spark):
+    vt = _orders_table(spark, cluster_by=["o_orderkey"]).compute_stats(["o_orderkey"])
+    # no stats for o_custkey -> every file kept, residual filter still exact
+    assert len(vt.pruned_files([("o_custkey", "<=", 5)])) == len(vt.files())
+    got = vt.read_pruned([("o_custkey", "<=", 5)])
+    want = vt.read().filter(F.col("o_custkey") <= 5)
+    assert got.count() == want.count()
