@@ -322,3 +322,37 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector scalar quantization (the int8 compression step
+    of a scale ANN index — 4x smaller vectors, integer dot products):
+    ``scale = max|v| / qmax``, ``q_i = floor(v_i / scale + 0.5)``, plus the
+    per-vector max absolute reconstruction error.
+
+    floor(x + 0.5) rather than round(): round-half-even vs half-up differs
+    between engines, floor is exact everywhere — and /, *, abs are
+    IEEE-exact, so quantized vectors are bit-identical cross-engine.
+    Pure per-row column arithmetic: zero shuffle, scan speed at any scale.
+    """
+    qmax = float((1 << (bits - 1)) - 1)
+    e = F.col(vec_col).cast("array<double>")
+    mx = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    scale = F.when(mx > 0, mx / F.lit(qmax)).otherwise(F.lit(1.0))
+    qvec = F.transform(e, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    err = F.array_max(
+        F.transform(
+            e, lambda x: F.abs(x - F.floor(x / scale + F.lit(0.5)) * scale)
+        )
+    )
+    return emb.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        qvec.alias("qvec"),
+        err.alias("max_abs_err"),
+    )

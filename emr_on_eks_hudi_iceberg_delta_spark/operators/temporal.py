@@ -111,3 +111,71 @@ def range_join_binned(
         .filter((F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col)))
         .drop("__bin")
     )
+
+
+def resample_ffill(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_col: str,
+    step_minutes: int = 60,
+) -> DataFrame:
+    """Resample an event stream onto a fixed time grid with forward-fill
+    (pandas ``resample().ffill()`` / time-series feature-grid semantics):
+    one row per (key, grid step) carrying the latest ``value_col`` at or
+    before the grid instant — NULL before the key's first event.
+
+    Implementation is the union-and-window idiom (no range-explosion join):
+    grid rows (one per key x step, value NULL) union the real events; a
+    single ``last(value, ignorenulls=True)`` running window ordered by
+    (ts, is_grid, order_col) fills every grid row from the newest event at
+    or before it. Ties at the same timestamp resolve events-before-grid,
+    then by ``order_col`` — fully deterministic.
+
+    Scale: ONE shuffle on the key (the window); the grid is keys x steps —
+    generated, never materialized on the driver. A 1000-executor run
+    partitions by key exactly like any sessionization.
+    """
+    t0t1 = events.agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("__t0"),
+        F.max(ts_col).alias("__t1"),
+    )
+    keys = events.select(key_col).distinct()
+    grid = keys.crossJoin(F.broadcast(t0t1)).select(
+        F.col(key_col),
+        F.explode(
+            F.sequence(
+                F.col("__t0"), F.col("__t1"), F.expr(f"INTERVAL {step_minutes} MINUTES")
+            )
+        ).alias("__ts"),
+    )
+    ev = events.select(
+        F.col(key_col),
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).alias("__v"),
+        F.lit(0).alias("__is_grid"),
+        F.col(order_col).alias("__ord"),
+    )
+    g = grid.select(
+        F.col(key_col),
+        F.col("__ts"),
+        F.lit(None).cast(ev.schema["__v"].dataType).alias("__v"),
+        F.lit(1).alias("__is_grid"),
+        F.lit(None).cast(ev.schema["__ord"].dataType).alias("__ord"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("__ts"), F.col("__is_grid"), F.col("__ord").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.unionByName(g)
+        .withColumn("__fill", F.last("__v", ignorenulls=True).over(w))
+        .filter(F.col("__is_grid") == 1)
+        .select(
+            F.col(key_col),
+            F.col("__ts").alias("grid_ts"),
+            F.col("__fill").alias("value_ffill"),
+        )
+    )

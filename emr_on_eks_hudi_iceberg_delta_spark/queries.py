@@ -3919,3 +3919,72 @@ def q_table_stats_pruned_read(spark, sf_dir):
     return vt.read_pruned(
         [("o_custkey", "<=", 150), ("o_orderkey", "<=", 1500)]
     ).select(*cols)
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                  THEN list_max(list_transform(v, x -> abs(x))) / 127.0
+                  ELSE 1.0 END AS scale
+      FROM e)
+    SELECT vec_id, scale,
+           list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS qvec,
+           list_max(list_transform(
+             v, x -> abs(x - floor(x / scale + 0.5) * scale))) AS max_abs_err
+    FROM s
+    """,
+    tags=("similarity", "extension", "scale"),
+)
+def q_embedding_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding table (the
+    compression step of a scale ANN index): scale, quantized vector, max
+    reconstruction error — floor(x+0.5) rounding so the ints are
+    bit-identical cross-engine. Zero shuffle."""
+    from .operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "events_resample_ffill",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    b AS (SELECT date_trunc('hour', MIN(ts)) AS t0, MAX(ts) AS t1 FROM ev),
+    k AS (SELECT DISTINCT user_id FROM ev),
+    grid AS (
+      SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 60 MINUTE)) AS ts
+      FROM k, b),
+    u AS (
+      SELECT user_id, ts, value AS v, 0 AS is_grid, event_id FROM ev
+      UNION ALL
+      SELECT user_id, ts, NULL, 1, NULL FROM grid),
+    f AS (
+      SELECT user_id, ts, is_grid,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, is_grid, event_id ASC NULLS FIRST
+               ROWS UNBOUNDED PRECEDING) AS value_ffill
+      FROM u)
+    SELECT user_id, ts AS grid_ts, value_ffill FROM f WHERE is_grid = 1
+    """,
+    tags=("temporal", "events", "extension"),
+)
+def q_events_resample_ffill(spark, sf_dir):
+    """Hourly resample + forward-fill of each user's event value (time-series
+    feature grid): one row per user per hour carrying the newest value at or
+    before the grid instant, NULL before the first event. Union-and-window —
+    one shuffle on user_id, no range join."""
+    from .operators.temporal import resample_ffill
+
+    return resample_ffill(
+        _t(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        order_col="event_id",
+        step_minutes=60,
+    )

@@ -247,3 +247,16 @@ def test_contamination_broadcasts_benchmark(spark):
     df = REGISTRY["contamination_ngram_overlap"].fn(spark, SF_DIR)
     assert broadcast_join_count(df) >= 1
     assert shuffle_count(df) <= 3
+
+
+def test_quantize_no_shuffle(spark):
+    df = REGISTRY["embedding_quantize_int8"].fn(spark, SF_DIR)
+    assert shuffle_count(df) == 0  # per-row arithmetic at scan speed
+
+
+def test_resample_single_key_shuffle(spark):
+    """Grid generation broadcasts bounds; the only corpus-sized exchange is
+    the key window (plus the tiny distinct-keys aggregate)."""
+    df = REGISTRY["events_resample_ffill"].fn(spark, SF_DIR)
+    assert shuffle_count(df) <= 3
+    assert broadcast_join_count(df) >= 1
