@@ -88,3 +88,36 @@ def stratified_sample(
         else threshold.otherwise(F.lit(int(default_rate * BUCKETS)))
     )
     return df.filter(hash_bucket(F.col(key_col), salt) < threshold)
+
+
+def sample_to_mixture(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    weights: Mapping[str, float],
+    total_rows: int,
+    salt: str = "",
+) -> DataFrame:
+    """Domain mixing: downsample each stratum so the output approximates
+    ``total_rows`` distributed by ``weights`` (e.g. 50 % web / 30 % code /
+    20 % wiki) — the mixture-rebalancing step in front of training.
+
+    Per-stratum keep rate = min(1, total_rows * weight / stratum_count):
+    a stratum smaller than its target keeps everything (the standard
+    behavior — upsampling is a separate epoch-repeat concern). Counting is
+    one tiny aggregate (rows-per-stratum, collected driver-side — k rows
+    for k strata); the sampling pass itself is the zero-shuffle
+    deterministic hash filter, so the whole operator costs one scan + one
+    k-row aggregate at any scale. Strata missing from ``weights`` are
+    dropped (weight 0).
+    """
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rates = {
+        s: min(1.0, total_rows * w / counts[s]) for s, w in weights.items() if s in counts
+    }
+    return stratified_sample(
+        df, key_col, strata_col, rates, default_rate=0.0, salt=salt
+    )

@@ -3988,3 +3988,36 @@ def q_events_resample_ffill(spark, sf_dir):
         order_col="event_id",
         step_minutes=60,
     )
+
+
+@register(
+    "mixture_sample",
+    oracle=f"""
+    WITH n AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    w AS (SELECT * FROM (VALUES
+            ('src0', CAST(0.5 AS DOUBLE)),
+            ('src1', CAST(0.3 AS DOUBLE)),
+            ('src2', CAST(0.2 AS DOUBLE))) AS t(source, wt)),
+    th AS (SELECT n.source,
+                  CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE), (40 * wt) / n) * 10000)
+                       AS INT) AS thr
+           FROM n JOIN w USING (source))
+    SELECT d.doc_id, d.source FROM documents d
+    JOIN th ON d.source = th.source
+    WHERE {_SQL_BUCKET} < th.thr
+    """,
+    tags=("sampling", "extension", "corpus"),
+)
+def q_mixture_sample(spark, sf_dir):
+    """Domain mixing: downsample sources toward a 50/30/20 target mixture
+    with a 40-row budget (sources outside the mixture drop to weight 0).
+    Per-source keep rates derive from one k-row count aggregate; the
+    sampling pass is the zero-shuffle deterministic hash filter, so the
+    oracle reproduces the 'random' sample exactly."""
+    from .operators.sampling import sample_to_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_to_mixture(
+        docs, "doc_id", "source",
+        weights={"src0": 0.5, "src1": 0.3, "src2": 0.2}, total_rows=40,
+    ).select("doc_id", "source")
