@@ -436,6 +436,35 @@ class VersionedTable:
         self._commit(df)
         return self
 
+    # -- schema evolution DDL ----------------------------------------------
+
+    def add_column(
+        self, name: str, dtype: str, default=None
+    ) -> "VersionedTable":
+        """Delta ``ALTER TABLE ... ADD COLUMNS`` analog: commit a new
+        snapshot with the column appended (``default`` backfills existing
+        rows; NULL otherwise). Time travel still serves the old schema from
+        old snapshots — schema is per-snapshot, like Delta's per-version
+        metadata."""
+        value = F.lit(default).cast(dtype)
+        self._commit(self.read().withColumn(name, value))
+        return self
+
+    def rename_column(self, old: str, new: str) -> "VersionedTable":
+        """Delta ``RENAME COLUMN`` (column-mapping) analog, realized as a
+        CoW projection rewrite — data unchanged, one snapshot commit."""
+        df = self.read()
+        self._commit(
+            df.select(*[F.col(c).alias(new) if c == old else F.col(c) for c in df.columns])
+        )
+        return self
+
+    def drop_column(self, name: str) -> "VersionedTable":
+        """Delta ``DROP COLUMN`` analog: CoW rewrite without the column;
+        historical snapshots keep it for time travel."""
+        self._commit(self.read().drop(name))
+        return self
+
     def add_constraint(self, name: str, expr: str) -> "VersionedTable":
         """Delta ``ALTER TABLE ... ADD CONSTRAINT ... CHECK`` analog: the
         SQL expression must not be FALSE for any existing row (validated

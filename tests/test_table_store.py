@@ -329,3 +329,23 @@ def test_cdc_changes_multiplicity_aware(spark):
         for r in table_changes(spark, old, new).collect()
     )
     assert ch == [(1, "a", "delete"), (2, "b", "insert"), (2, "b", "insert")]
+
+
+def test_schema_evolution_ddl(spark):
+    """ADD/RENAME/DROP column are snapshot commits: the live schema
+    changes, history keeps every older schema for time travel."""
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_ddl_"))
+    vt.overwrite(spark.createDataFrame([(1, "a")], "id int, v string"))
+    vt.add_column("score", "double", default=0.5)
+    assert vt.read().columns == ["id", "v", "score"]
+    assert vt.read().collect()[0]["score"] == 0.5
+    vt.rename_column("v", "label")
+    assert vt.read().columns == ["id", "label", "score"]
+    assert vt.read().collect()[0]["label"] == "a"
+    vt.drop_column("score")
+    assert vt.read().columns == ["id", "label"]
+    # time travel serves each historical schema unchanged
+    assert vt.read(version=0).columns == ["id", "v"]
+    assert vt.read(version=1).columns == ["id", "v", "score"]
+    assert vt.read(version=2).columns == ["id", "label", "score"]
+    assert [s["version"] for s in vt.history()] == [0, 1, 2, 3]
