@@ -259,10 +259,11 @@ class MergeIntoBuilder:
                   .when_not_matched_insert_all()
                   .execute())
 
-    Implementation: a full-outer join on the merge condition with row-origin
-    markers; matched rows route through the (first applicable) matched
-    clause, unmatched source rows through the insert clause, unmatched
-    target rows pass through. When a matched UPDATE/DELETE clause is present
+    Implementation: the MERGE decomposes into per-branch joins on the merge
+    condition — inner (matched clauses, first-applicable ordering:
+    UPDATE, then DELETE for rows failing the update condition), left-anti
+    both ways (unmatched target rows / the insert clause), left-semi
+    (matched pass-through when no matched clause is given). When a matched UPDATE/DELETE clause is present
     and more than one source row matches the same target row, evaluation
     raises (Delta's ``DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW_IN_MERGE``
     cardinality check) — enforced distributively via a per-target-row match
@@ -393,11 +394,19 @@ class MergeIntoBuilder:
                 for c in tcols
             ]
             updated = upd.select(*proj)
-            # matched rows failing the clause condition also pass through
+            # Delta first-applicable-clause ordering: rows failing the
+            # update condition fall through to a chained matched DELETE
+            # (removed when ITS condition passes), and only rows failing
+            # every matched clause pass through unchanged. With an
+            # unconditional update the later delete is unreachable,
+            # exactly as in Delta.
             if cond is not None:
-                kept = matched.filter(~F.coalesce(cond, F.lit(False))).select(
-                    *[F.col(f"t.{c}").alias(c) for c in tcols]
-                )
+                rest = matched.filter(~F.coalesce(cond, F.lit(False)))
+                if self._matched_delete is not None:
+                    rest = rest.filter(
+                        ~F.coalesce(self._matched_delete, F.lit(False))
+                    )
+                kept = rest.select(*[F.col(f"t.{c}").alias(c) for c in tcols])
                 updated = updated.unionByName(kept)
             out = out.unionByName(updated)
         elif self._matched_delete is not None:

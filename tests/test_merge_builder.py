@@ -123,3 +123,23 @@ def test_insert_only_merge_skips_cardinality_guard(spark):
     )
     rows = sorted((r["id"], r["v"]) for r in out.collect())
     assert rows == [(1, "a"), (2, "n")]
+
+
+def test_chained_matched_update_then_delete(spark):
+    """Delta first-applicable-clause ordering: matched rows failing the
+    UPDATE condition fall through to the chained DELETE; rows failing both
+    conditions pass through unchanged. (The delete clause used to be
+    silently ignored when an update clause was present.)"""
+    t = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 0), (3, "c", 2)], "id int, v string, cur int"
+    )
+    s = spark.createDataFrame([(1, "u"), (2, "u"), (3, "u")], "id int, v string")
+    out = (
+        MergeIntoBuilder(t, s, F.col("t.id") == F.col("s.id"))
+        .when_matched_update(condition=F.col("t.cur") == 1, set={"v": F.col("s.v")})
+        .when_matched_delete(condition=F.col("t.cur") == 0)
+        .execute()
+    )
+    rows = sorted((r["id"], r["v"]) for r in out.collect())
+    # id=1 updated; id=2 deleted; id=3 fails both -> kept unchanged
+    assert rows == [(1, "u"), (3, "c")]
