@@ -4021,3 +4021,73 @@ def q_mixture_sample(spark, sf_dir):
         docs, "doc_id", "source",
         weights={"src0": 0.5, "src1": 0.3, "src2": 0.2}, total_rows=40,
     ).select("doc_id", "source")
+
+
+@register(
+    "events_trailing_hour_window",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL})
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+           MAX(value) OVER w AS max_trailing,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_trailing
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "events", "extension"),
+)
+def q_events_trailing_hour_window(spark, sf_dir):
+    """Trailing-1h sliding aggregate per event (RANGE interval frame — the
+    event-level feature window, distinct from bucketed tumbling/sliding
+    windows): every event sees the count/max/decimal-exact sum of its
+    user's events in the preceding hour. The frame is value-based
+    (epoch microseconds), so results are independent of tie order; one
+    shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__us", F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.max("value").over(w).alias("max_trailing"),
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("sum_trailing"),
+    )
+
+
+@register(
+    "higher_order_array_functions",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(t, x -> length(x) > 4)) AS INT) AS n_long_tokens,
+           CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS total_token_chars,
+           list_contains(t, 'the') AS has_the,
+           list_sort(list_transform(t, x -> CAST(length(x) AS INT)))[1:3] AS shortest3_lens
+    FROM toks
+    """,
+    tags=("functions", "text", "extension"),
+)
+def q_higher_order_array_functions(spark, sf_dir):
+    """Higher-order array function surface (transform / filter / exists /
+    aggregate + sort/slice) — all codegen'd JVM lambdas, zero shuffle,
+    mirrored by DuckDB's list_* family for the exact oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(t, lambda x: F.length(x) > 4)).cast("int").alias("n_long_tokens"),
+        F.aggregate(
+            t, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("total_token_chars"),
+        F.exists(t, lambda x: x == F.lit("the")).alias("has_the"),
+        F.slice(
+            F.sort_array(F.transform(t, lambda x: F.length(x).cast("int"))), 1, 3
+        ).alias("shortest3_lens"),
+    )
