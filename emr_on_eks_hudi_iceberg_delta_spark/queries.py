@@ -4091,3 +4091,36 @@ def q_higher_order_array_functions(spark, sf_dir):
             F.sort_array(F.transform(t, lambda x: F.length(x).cast("int"))), 1, 3
         ).alias("shortest3_lens"),
     )
+
+
+@register(
+    "quality_gate_percentile",
+    oracle="""
+    WITH q AS (
+      SELECT quantile_cont(n_chars, 0.05) AS p05,
+             quantile_cont(n_chars, 0.95) AS p95
+      FROM documents)
+    SELECT d.doc_id, d.n_chars, d.source
+    FROM documents d, q
+    WHERE d.n_chars >= q.p05 AND d.n_chars <= q.p95
+    """,
+    tags=("text", "sampling", "extension", "corpus"),
+)
+def q_quality_gate_percentile(spark, sf_dir):
+    """Corpus-relative quality gate: keep documents inside the [p05, p95]
+    length band (outlier trimming by corpus distribution, not fixed
+    thresholds — the filter adapts as the corpus shifts). Exact percentile
+    (linear interpolation, identical in Spark percentile and DuckDB
+    quantile_cont); the two-row threshold aggregate broadcasts back, so
+    the corpus side is one scan + one tiny agg. At 100 TB swap in
+    approx_percentile and accept the epsilon."""
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.agg(
+        F.percentile("n_chars", 0.05).alias("p05"),
+        F.percentile("n_chars", 0.95).alias("p95"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(q))
+        .filter((F.col("n_chars") >= F.col("p05")) & (F.col("n_chars") <= F.col("p95")))
+        .select("doc_id", "n_chars", "source")
+    )

@@ -260,3 +260,23 @@ def test_resample_single_key_shuffle(spark):
     df = REGISTRY["events_resample_ffill"].fn(spark, SF_DIR)
     assert shuffle_count(df) <= 3
     assert broadcast_join_count(df) >= 1
+
+
+def test_trailing_window_single_shuffle(spark):
+    df = REGISTRY["events_trailing_hour_window"].fn(spark, SF_DIR)
+    assert shuffle_count(df) == 1  # the user_id window exchange only
+
+
+def test_higher_order_functions_no_shuffle(spark):
+    df = REGISTRY["higher_order_array_functions"].fn(spark, SF_DIR)
+    assert shuffle_count(df) == 0
+
+
+def test_quality_gate_broadcasts_thresholds(spark):
+    """The two-value percentile aggregate must broadcast back; the corpus
+    is scanned, never re-shuffled for the threshold join."""
+    df = REGISTRY["quality_gate_percentile"].fn(spark, SF_DIR)
+    assert broadcast_join_count(df) >= 1
+    from emr_on_eks_hudi_iceberg_delta_spark.plans import formatted_plan
+
+    assert "SortMergeJoin" not in formatted_plan(df)
