@@ -90,3 +90,54 @@ def test_unstatted_column_never_prunes(spark):
     got = vt.read_pruned([("o_custkey", "<=", 5)])
     want = vt.read().filter(F.col("o_custkey") <= 5)
     assert got.count() == want.count()
+
+
+def test_lake_lifecycle_end_to_end(spark):
+    """The full maintenance loop a production table lives through:
+    bulk load -> keyed upsert -> Z-order OPTIMIZE -> stats -> pruned read
+    -> schema evolution -> vacuum. Every step commits a snapshot; reads
+    stay exact throughout."""
+    from emr_on_eks_hudi_iceberg_delta_spark.functions.scd2 import with_scd2_columns
+
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_life_"))
+    cust = load_table(spark, SF_DIR, "customer")
+    t0 = with_scd2_columns(cust, ["c_name", "c_mktsegment"], as_of="2024-01-01 00:00:00")
+    vt.overwrite(t0.repartition(8))
+    n0 = vt.read().count()
+
+    # upsert a mutated batch (every 10th key changes segment)
+    upd = with_scd2_columns(
+        cust.withColumn(
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 10 == 0, F.lit("MUTATED")).otherwise(
+                F.col("c_mktsegment")
+            ),
+        ),
+        ["c_name", "c_mktsegment"],
+        as_of="2024-02-01 00:00:00",
+    )
+    vt.upsert(upd, ["c_custkey", "checksum"], "ts")
+    n_mutated = cust.filter(F.col("c_custkey") % 10 == 0).count()
+    n1 = vt.read().count()
+    # (key, checksum) record key: a mutated row is a NEW pair, the old
+    # version stays (Hudi record-key semantics) — growth = mutated keys
+    assert n1 == n0 + n_mutated
+
+    vt.compact(target_partitions=8, zorder_by=["c_custkey", "c_nationkey"])
+    assert vt.read().count() == n1
+    vt.compute_stats(["c_custkey", "c_nationkey"])
+    pruned = vt.read_pruned([("c_custkey", "<=", 20)])
+    want = vt.read().filter(F.col("c_custkey") <= 20)
+    assert pruned.count() == want.count()
+    assert len(vt.pruned_files([("c_custkey", "<=", 20)])) < len(vt.files())
+
+    vt.add_column("tier", "string", default="std")
+    assert vt.read().filter(F.col("tier") == "std").count() == n1
+
+    versions_before = len(vt.history())
+    vt.vacuum(keep_last=1)
+    assert len(vt.history()) == 1
+    assert vt.read().count() == n1  # current snapshot intact after vacuum
+    # load, upsert, compact, add_column commit; compute_stats only
+    # annotates the current snapshot's metadata
+    assert versions_before == 4
