@@ -41,30 +41,72 @@ class PartitionedTable:
     def __init__(self, spark: SparkSession, location: str, partition_col: str):
         self.spark = spark
         self.location = location.rstrip("/")
-        self.partition_col = partition_col
+        self._initial_partition_col = partition_col
 
     # -- manifest plumbing --------------------------------------------------
 
     def _manifest_path(self) -> str:
         return os.path.join(self.location, _MANIFEST)
 
-    def _versions(self) -> list[dict]:
+    def _doc(self) -> dict:
         if not os.path.exists(self._manifest_path()):
-            return []
+            return {"versions": [], "commit_specs": {}}
         with open(self._manifest_path()) as f:
-            return json.load(f)["versions"]
+            doc = json.load(f)
+        doc.setdefault("commit_specs", {})
+        return doc
 
-    def _publish(self, partitions: dict[str, int]) -> None:
-        versions = self._versions()
+    def _versions(self) -> list[dict]:
+        return self._doc()["versions"]
+
+    @property
+    def partition_col(self) -> str:
+        """The CURRENT partition spec — new commits partition by this.
+        Older commits keep the spec they were written under (recorded in
+        the manifest's ``commit_specs``), Iceberg partition-evolution
+        style."""
+        return self._doc().get("spec", self._initial_partition_col)
+
+    def _commit_spec(self, commit_id: int) -> str:
+        return self._doc()["commit_specs"].get(
+            str(commit_id), self._initial_partition_col
+        )
+
+    def evolve_partition_spec(self, new_col: str) -> "PartitionedTable":
+        """Iceberg-style partition evolution: commits from now on partition
+        by ``new_col``; data already written stays in its old layout and
+        remains readable (each commit records its own spec). No rewrite
+        happens here — with ``upsert(..., global_index=True)`` old keys
+        migrate to the new layout lazily as their partitions are touched.
+
+        Caveat (documented limitation): the manifest keys partitions by
+        string value, so the old and new partition columns must not share
+        value strings (e.g. evolving between two small-int columns) —
+        colliding values would alias in the manifest. Iceberg avoids this
+        with per-spec manifests; the fix here would be (spec_id, value)
+        keys."""
+        doc = self._doc()
+        doc["spec"] = new_col
+        self._write_doc(doc)
+        return self
+
+    def _write_doc(self, doc: dict) -> None:
+        os.makedirs(self.location, exist_ok=True)
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, self._manifest_path())  # atomic manifest flip
+
+    def _publish(self, partitions: dict[str, int], commit_id: int | None = None) -> None:
+        doc = self._doc()
+        versions = doc["versions"]
         version = (versions[-1]["version"] + 1) if versions else 0
         versions.append(
             {"version": version, "partitions": partitions, "committed_at": time.time()}
         )
-        os.makedirs(self.location, exist_ok=True)
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"versions": versions}, f)
-        os.replace(tmp, self._manifest_path())  # atomic manifest flip
+        if commit_id is not None:
+            doc["commit_specs"][str(commit_id)] = self.partition_col
+        self._write_doc(doc)
 
     def _commit_dir(self, commit_id: int) -> str:
         return os.path.join(self.location, "files", f"commit-{commit_id}")
@@ -85,7 +127,7 @@ class PartitionedTable:
             str(r[0])
             for r in df.select(self.partition_col).distinct().collect()
         ]
-        self._publish({v: commit_id for v in pvals})
+        self._publish({v: commit_id for v in pvals}, commit_id=commit_id)
         return self
 
     def upsert(
@@ -125,14 +167,18 @@ class PartitionedTable:
         if global_index:
             idx = self._read_index(versions[-1]["version"])
             if idx is not None:
+                # the index stores the partition value under the fixed name
+                # __part, so it survives partition-spec evolution (after an
+                # evolve, every indexed key reads as "moved" — its old-spec
+                # partition joins the touched set and the key migrates to
+                # the new layout: lazy Iceberg-style migration)
                 moved = (
                     updates.select(*key_cols, self.partition_col)
-                    .join(
-                        idx.withColumnRenamed(self.partition_col, "__old_p"),
-                        key_cols,
+                    .join(idx, key_cols)
+                    .filter(
+                        F.col(self.partition_col).cast("string") != F.col("__part")
                     )
-                    .filter(F.col(self.partition_col).cast("string") != F.col("__old_p"))
-                    .select("__old_p")
+                    .select("__part")
                     .distinct()
                 )
                 touched |= {str(r[0]) for r in moved.collect()}
@@ -166,7 +212,7 @@ class PartitionedTable:
                 new_partitions[v] = commit_id
             else:
                 new_partitions.pop(v, None)
-        self._publish(new_partitions)
+        self._publish(new_partitions, commit_id=commit_id)
         if global_index:
             self._write_index(commit_id, key_cols)
         return self
@@ -177,10 +223,11 @@ class PartitionedTable:
         return os.path.join(self.location, "index", f"commit-{commit_id}")
 
     def _write_index(self, commit_id: int, key_cols: list[str]) -> None:
-        """Full key->partition index snapshot (at 100 TB: partition the
-        index by key hash and rewrite incrementally; full rewrite here)."""
+        """Full key->partition index snapshot, partition value under the
+        spec-independent name ``__part`` (at 100 TB: partition the index by
+        key hash and rewrite incrementally; full rewrite here)."""
         idx = self.read().select(
-            *key_cols, F.col(self.partition_col).cast("string").alias(self.partition_col)
+            *key_cols, F.col(self.partition_col).cast("string").alias("__part")
         )
         idx.write.mode("overwrite").parquet(self._index_dir(commit_id))
 
@@ -208,10 +255,15 @@ class PartitionedTable:
             by_commit.setdefault(cid, []).append(pval)
         scans = []
         for cid, vals in sorted(by_commit.items()):
+            # each commit resolves paths under ITS OWN partition spec —
+            # the mixed-layout read that partition evolution requires
             base = self._commit_dir(cid)
-            paths = [os.path.join(base, f"{self.partition_col}={v}") for v in vals]
+            spec = self._commit_spec(cid)
+            paths = [os.path.join(base, f"{spec}={v}") for v in vals]
             scans.append(self.spark.read.option("basePath", base).parquet(*paths))
-        return reduce(lambda a, b: a.unionByName(b), scans)
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=False), scans
+        )
 
     def read(self, version: int | None = None) -> DataFrame:
         versions = self._versions()

@@ -101,3 +101,42 @@ def test_global_index_handles_partition_move(spark):
         pt.read().groupBy("c_custkey", "checksum").count().filter("count > 1").count()
     )
     assert dup == 0
+
+
+def test_partition_evolution_mixed_layout_reads(spark):
+    """Iceberg-style partition evolution: after evolve_partition_spec,
+    new commits land in the new layout while untouched old partitions
+    stay in the old one; reads union both layouts transparently and the
+    global index lazily migrates touched keys to the new spec."""
+    pt = PartitionedTable(
+        spark, tempfile.mkdtemp(prefix="pt_ev_"), partition_col="c_nationkey"
+    )
+    target = _target(spark)
+    pt.overwrite(target)
+    pt.build_index(["c_custkey", "checksum"])
+    n0 = pt.read().count()
+
+    pt.evolve_partition_spec("c_mktsegment")
+    assert pt.partition_col == "c_mktsegment"
+    # read before any new commit still serves the old layout
+    assert pt.read().count() == n0
+
+    updates = _updates(spark)
+    pt.upsert(updates, ["c_custkey", "checksum"], "ts", global_index=True)
+
+    expected = upsert_by_key(target, updates, ["c_custkey", "checksum"], "ts")
+    got = pt.read()
+    key = ["c_custkey", "checksum"]
+    assert got.count() == expected.count()
+    assert got.join(expected, on=key, how="left_anti").count() == 0
+    assert expected.join(got, on=key, how="left_anti").count() == 0
+
+    # manifest now mixes specs: new-spec partition values are segments,
+    # untouched ones remain nation keys — each resolved via its commit
+    live = pt.history()[-1]["partitions"]
+    segs = {v for v, cid in live.items() if cid == pt.history()[-1]["version"]}
+    assert any(not s.isdigit() for s in segs)  # segment-valued partitions
+    assert any(v.isdigit() for v in live)      # old nation partitions remain
+
+    # time travel across the evolution boundary still works
+    assert pt.read(version=0).count() == n0
