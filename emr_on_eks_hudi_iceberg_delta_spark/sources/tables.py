@@ -193,7 +193,7 @@ class VersionedTable:
                     break
         if snap is None:
             raise ValueError(f"version {version} not found at {self.location}")
-        df = self.spark.read.parquet(snap["dir"])
+        df = self._apply_tombstones(self.spark.read.parquet(snap["dir"]), snap)
         if with_meta:
             df = df.withColumn(
                 "_commit_version", F.lit(snap["version"]).cast("int")
@@ -408,7 +408,55 @@ class VersionedTable:
         if not files:
             # empty result, full snapshot schema
             return self.read().filter(F.lit(False))
-        return self.spark.read.parquet(*files).filter(residual)
+        return self._apply_tombstones(
+            self.spark.read.parquet(*files), self._snapshots()[-1]
+        ).filter(residual)
+
+    def _apply_tombstones(self, df: DataFrame, snap: dict) -> DataFrame:
+        """Anti-join any tombstone files recorded on the snapshot — the
+        read-side half of merge-on-read deletes."""
+        for t in snap.get("tombstones", []):
+            keys = self.spark.read.parquet(t["dir"])
+            df = df.join(keys, on=t["key_cols"], how="left_anti")
+        return df
+
+    def delete_where_deferred(self, condition, key_cols: list[str]) -> "VersionedTable":
+        """Merge-on-read DELETE (Delta deletion-vector / Hudi delete-log
+        analog, keyed rather than positional): instead of a CoW rewrite of
+        every touched file, commit a small tombstone file holding the
+        matching record keys; reads anti-join it, and the next
+        ``compact()``/``overwrite()`` materializes the deletion and clears
+        the tombstones (read() already applies them, so any rewrite path
+        materializes for free).
+
+        Write cost is O(matched keys) — the reason deletion vectors exist:
+        a 100 TB table takes a GDPR delete of one key without rewriting a
+        single data file. Read cost is one broadcast-sized anti-join per
+        tombstone batch until compaction folds them. SQL NULL semantics:
+        only rows where the predicate is TRUE are deleted."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        hit = F.coalesce(cond.cast("boolean"), F.lit(False))
+        meta = self._meta()
+        snaps = meta["snapshots"]
+        if not snaps:
+            raise FileNotFoundError(f"no snapshot at {self.location}")
+        cur = snaps[-1]
+        version = cur["version"] + 1
+        ts_dir = os.path.join(self.location, f"tombstones-{version:05d}")
+        self.read().filter(hit).select(*key_cols).distinct().write.mode(
+            "overwrite"
+        ).parquet(ts_dir)
+        snaps.append(
+            {
+                "version": version,
+                "dir": cur["dir"],  # metadata-only commit: data files shared
+                "committed_at": time.time(),
+                "tombstones": cur.get("tombstones", [])
+                + [{"dir": ts_dir, "key_cols": list(key_cols)}],
+            }
+        )
+        self._write_meta(meta)
+        return self
 
     def delete_where(self, condition) -> "VersionedTable":
         """Delta ``DELETE FROM t WHERE cond`` analog: copy-on-write rewrite

@@ -349,3 +349,48 @@ def test_schema_evolution_ddl(spark):
     assert vt.read(version=1).columns == ["id", "v", "score"]
     assert vt.read(version=2).columns == ["id", "label", "score"]
     assert [s["version"] for s in vt.history()] == [0, 1, 2, 3]
+
+
+def test_deferred_delete_tombstones(spark):
+    """Merge-on-read delete: tombstone commit instead of file rewrite —
+    reads apply it, time travel sees pre-delete state, compaction
+    materializes and clears it."""
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_dv_"))
+    vt.overwrite(
+        spark.createDataFrame(
+            [(i, "keep" if i % 3 else "drop") for i in range(30)], "id int, v string"
+        )
+    )
+    data_dir_v0 = vt.history()[0]["dir"]
+    vt.delete_where_deferred("v = 'drop'", key_cols=["id"])
+    # metadata-only commit: same data dir, one tombstone batch
+    assert vt.history()[-1]["dir"] == data_dir_v0
+    assert len(vt.history()[-1]["tombstones"]) == 1
+    assert vt.read().count() == 20
+    assert vt.read().filter("v = 'drop'").count() == 0
+    # time travel: version 0 still sees all 30 rows
+    assert vt.read(version=0).count() == 30
+
+    # a second deferred delete stacks
+    vt.delete_where_deferred("id < 3", key_cols=["id"])
+    assert len(vt.history()[-1]["tombstones"]) == 2
+    assert vt.read().count() == 18  # ids 1, 2 removed (0 already dropped)
+
+    # NULL-predicate rows are kept (SQL semantics)
+    vt2 = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_dv2_"))
+    vt2.overwrite(spark.createDataFrame([(1, None), (2, "x")], "id int, v string"))
+    vt2.delete_where_deferred("v = 'x'", key_cols=["id"])
+    assert vt2.read().count() == 1
+
+    # compaction materializes: new snapshot, no tombstones, same rows
+    vt.compact(target_partitions=1)
+    assert "tombstones" not in vt.history()[-1] or not vt.history()[-1]["tombstones"]
+    assert vt.read().count() == 18
+
+    # stats + pruned reads respect pending tombstones too
+    vt3 = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_dv3_"))
+    vt3.overwrite(spark.range(100).toDF("id"))
+    vt3.compact(target_partitions=4, cluster_by=["id"]).compute_stats(["id"])
+    vt3.delete_where_deferred("id % 2 = 0", key_cols=["id"])
+    got = vt3.read_pruned([("id", "<", 50)])
+    assert got.count() == 25  # odd ids below 50
