@@ -185,7 +185,15 @@ class VersionedTable:
             raise FileNotFoundError(f"no snapshot at {self.location}")
         snap = None
         if version is None:
-            snap = snaps[-1]
+            # staged (write-audit-publish) snapshots are invisible until
+            # published; current = newest non-staged entry
+            snap = next(
+                (s for s in reversed(snaps) if not s.get("staged")), None
+            )
+            if snap is None:
+                raise FileNotFoundError(
+                    f"only staged snapshots at {self.location}"
+                )
         else:
             for s in snaps:
                 if s["version"] == version:
@@ -575,6 +583,84 @@ class VersionedTable:
         meta["snapshots"] = keep
         self._write_meta(meta)
         return self
+
+    # -- tags + write-audit-publish -----------------------------------------
+
+    def tag(self, name: str, version: int | None = None) -> "VersionedTable":
+        """Iceberg tag analog: a named pointer to a snapshot version
+        (defaults to current). Tags survive later commits — 'the exact
+        table state training run X read' stays addressable forever
+        (vacuum permitting)."""
+        meta = self._meta()
+        snaps = meta["snapshots"]
+        if not snaps:
+            raise FileNotFoundError(f"no snapshot at {self.location}")
+        v = snaps[-1]["version"] if version is None else version
+        if not any(s["version"] == v for s in snaps):
+            raise ValueError(f"version {v} not found at {self.location}")
+        meta.setdefault("tags", {})[name] = v
+        self._write_meta(meta)
+        return self
+
+    def read_tag(self, name: str) -> DataFrame:
+        tags = self._meta().get("tags", {})
+        if name not in tags:
+            raise ValueError(f"tag {name!r} not found at {self.location}")
+        return self.read(version=tags[name])
+
+    def stage(self, df: DataFrame) -> int:
+        """Write-audit-publish, step 1 (Iceberg WAP analog): write ``df``
+        as a STAGED snapshot — durable and readable by version for audit
+        queries, but invisible to ``read()`` until published. Returns the
+        staged version id."""
+        meta = self._meta()
+        snaps = meta["snapshots"]
+        version = (snaps[-1]["version"] + 1) if snaps else 0
+        snap_dir = os.path.join(self.location, f"snapshot-{version:05d}")
+        df.write.mode("overwrite").parquet(snap_dir)
+        snaps.append(
+            {
+                "version": version,
+                "dir": snap_dir,
+                "committed_at": time.time(),
+                "staged": True,
+            }
+        )
+        self._write_meta(meta)
+        return version
+
+    def publish(self, version: int) -> "VersionedTable":
+        """WAP step 3 (after auditing with ``read(version=...)``): make the
+        staged snapshot current by re-committing it at the head — readers
+        that never audited cannot observe unvalidated data."""
+        meta = self._meta()
+        for s in meta["snapshots"]:
+            if s["version"] == version and s.get("staged"):
+                s["staged"] = False
+                # move to head so read() serves it
+                meta["snapshots"].remove(s)
+                meta["snapshots"].append(s)
+                # head ordering must keep version ids monotonic
+                if len(meta["snapshots"]) > 1 and (
+                    meta["snapshots"][-2]["version"] > version
+                ):
+                    s["version"] = meta["snapshots"][-2]["version"] + 1
+                self._write_meta(meta)
+                return self
+        raise ValueError(f"no staged snapshot {version} at {self.location}")
+
+    def drop_staged(self, version: int) -> "VersionedTable":
+        """WAP abort: discard a staged snapshot that failed its audit."""
+        import shutil
+
+        meta = self._meta()
+        for s in list(meta["snapshots"]):
+            if s["version"] == version and s.get("staged"):
+                meta["snapshots"].remove(s)
+                shutil.rmtree(s["dir"], ignore_errors=True)
+                self._write_meta(meta)
+                return self
+        raise ValueError(f"no staged snapshot {version} at {self.location}")
 
     def history(self) -> list[dict]:
         return self._snapshots()

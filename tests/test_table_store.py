@@ -394,3 +394,36 @@ def test_deferred_delete_tombstones(spark):
     vt3.delete_where_deferred("id % 2 = 0", key_cols=["id"])
     got = vt3.read_pruned([("id", "<", 50)])
     assert got.count() == 25  # odd ids below 50
+
+
+def test_tags_and_write_audit_publish(spark):
+    """Iceberg tags + the WAP workflow: staged snapshots are auditable by
+    version but invisible to read() until published; failed audits drop
+    cleanly; tags pin historical states by name."""
+    import pytest
+
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_wap_"))
+    vt.overwrite(spark.range(10).toDF("id"))
+    vt.tag("train-run-1")
+
+    # stage a bad batch, audit, reject
+    bad = vt.stage(spark.range(0).toDF("id"))
+    assert vt.read().count() == 10  # invisible to readers
+    assert vt.read(version=bad).count() == 0  # auditable by version
+    vt.drop_staged(bad)
+    assert all(not s.get("staged") for s in vt.history())
+
+    # stage a good batch, audit, publish
+    good = vt.stage(spark.range(25).toDF("id"))
+    assert vt.read().count() == 10
+    assert vt.read(version=good).count() == 25
+    vt.publish(good)
+    assert vt.read().count() == 25
+
+    # the tag still serves the pre-publish state; publishing again fails
+    assert vt.read_tag("train-run-1").count() == 10
+    with pytest.raises(ValueError):
+        vt.publish(good)
+    # normal commits continue cleanly after WAP traffic
+    vt.overwrite(spark.range(3).toDF("id"))
+    assert vt.read().count() == 3
