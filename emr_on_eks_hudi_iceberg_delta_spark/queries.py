@@ -4124,3 +4124,27 @@ def q_quality_gate_percentile(spark, sf_dir):
         .filter((F.col("n_chars") >= F.col("p05")) & (F.col("n_chars") <= F.col("p95")))
         .select("doc_id", "n_chars", "source")
     )
+
+
+@register(
+    "table_deferred_delete",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
+    """,
+    tags=("S2", "extension", "lake"),
+)
+def q_table_deferred_delete(spark, sf_dir):
+    """Merge-on-read DELETE end-to-end (deletion-vector analog): commit a
+    tombstone of matching keys instead of rewriting files; the read-side
+    anti-join must equal the plain CoW WHERE NOT — O(matched keys) write
+    cost at any table size."""
+    from .sources.tables import VersionedTable
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_dd_"))
+    vt.overwrite(_t(spark, sf_dir, "orders").select(*cols))
+    vt.delete_where_deferred(
+        "o_orderstatus = 'F' AND o_totalprice < 100000", key_cols=["o_orderkey"]
+    )
+    return vt.read().select(*cols)
