@@ -584,6 +584,32 @@ class VersionedTable:
         self._write_meta(meta)
         return self
 
+    def auto_compact(
+        self,
+        max_files: int = 64,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        max_tombstone_batches: int = 4,
+    ) -> bool:
+        """Compaction POLICY (Hudi inline-compaction / Delta auto-optimize
+        analog): rewrite only when the small-file problem is real — file
+        count over ``max_files``, or pending deletion-vector batches over
+        ``max_tombstone_batches``. Target partition count = total bytes /
+        ``target_file_bytes`` (the 128 MB default matches parquet split
+        size, so post-compaction scans get full-split parallelism).
+        Returns True when a compaction ran — callers loop this after
+        streaming/batch commits instead of compacting blindly."""
+        snaps = self._snapshots()
+        if not snaps:
+            return False
+        fs = self.files()
+        n_tomb = len(snaps[-1].get("tombstones", []))
+        if len(fs) <= max_files and n_tomb <= max_tombstone_batches:
+            return False
+        total = sum(f["size_bytes"] for f in fs)
+        parts = max(1, -(-total // target_file_bytes))  # ceil div
+        self.compact(target_partitions=int(parts))
+        return True
+
     # -- tags + write-audit-publish -----------------------------------------
 
     def tag(self, name: str, version: int | None = None) -> "VersionedTable":

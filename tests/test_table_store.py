@@ -427,3 +427,24 @@ def test_tags_and_write_audit_publish(spark):
     # normal commits continue cleanly after WAP traffic
     vt.overwrite(spark.range(3).toDF("id"))
     assert vt.read().count() == 3
+
+
+def test_auto_compact_policy(spark):
+    """auto_compact fires only when the small-file (or tombstone-debt)
+    problem is real, and sizes the rewrite by bytes/target."""
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_ac_"))
+    vt.overwrite(spark.range(1000).toDF("id").repartition(40))
+    assert len(vt.files()) >= 40
+    # under thresholds: no-op
+    assert vt.auto_compact(max_files=64) is False
+    assert len(vt.history()) == 1
+    # over file threshold: compacts (tiny table -> 1 file)
+    assert vt.auto_compact(max_files=16) is True
+    assert len(vt.files()) == 1
+    assert vt.read().count() == 1000
+    # tombstone debt triggers even under the file threshold
+    for i in range(3):
+        vt.delete_where_deferred(f"id = {i}", key_cols=["id"])
+    assert vt.auto_compact(max_files=64, max_tombstone_batches=2) is True
+    assert not vt.history()[-1].get("tombstones")
+    assert vt.read().count() == 997
