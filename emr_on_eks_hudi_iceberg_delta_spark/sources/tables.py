@@ -691,6 +691,48 @@ class VersionedTable:
     def history(self) -> list[dict]:
         return self._snapshots()
 
+    def read_as_of(self, timestamp: str) -> DataFrame:
+        """Delta ``TIMESTAMP AS OF`` / Hudi commit-time query analog: read
+        the newest snapshot committed at or before ``timestamp``
+        ('YYYY-MM-DD HH:MM:SS', UTC)."""
+        import calendar
+
+        cut = calendar.timegm(time.strptime(timestamp, "%Y-%m-%d %H:%M:%S"))
+        eligible = [
+            s
+            for s in self._snapshots()
+            if s["committed_at"] <= cut and not s.get("staged")
+        ]
+        if not eligible:
+            raise ValueError(
+                f"no snapshot at or before {timestamp} at {self.location}"
+            )
+        return self.read(version=eligible[-1]["version"])
+
+    def history_df(self) -> DataFrame:
+        """The history as a queryable DataFrame (Iceberg ``.history`` /
+        Delta ``DESCRIBE HISTORY`` metadata-table analog)."""
+        rows = [
+            (
+                s["version"],
+                s["dir"],
+                float(s["committed_at"]),
+                bool(s.get("staged", False)),
+                len(s.get("tombstones", [])),
+            )
+            for s in self._snapshots()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version int, dir string, committed_at double, staged boolean, "
+            "n_tombstone_batches int",
+        )
+
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """The file list as a queryable DataFrame (Iceberg ``.files``)."""
+        rows = [(f["path"], f["size_bytes"]) for f in self.files(version)]
+        return self.spark.createDataFrame(rows, "path string, size_bytes long")
+
     def files(self, version: int | None = None) -> list[dict]:
         """Data files of a snapshot (Delta ``DESCRIBE DETAIL`` / Iceberg
         ``.files`` metadata-table analog): path + size per parquet file —

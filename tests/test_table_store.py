@@ -448,3 +448,31 @@ def test_auto_compact_policy(spark):
     assert vt.auto_compact(max_files=64, max_tombstone_batches=2) is True
     assert not vt.history()[-1].get("tombstones")
     assert vt.read().count() == 997
+
+
+def test_read_as_of_timestamp_and_metadata_tables(spark):
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_asof_"))
+    vt.overwrite(spark.range(5).toDF("id"))
+    t_between = _time.gmtime(vt.history()[-1]["committed_at"] + 1.5)
+    _time.sleep(2.2)
+    vt.overwrite(spark.range(50).toDF("id"))
+
+    stamp = _time.strftime("%Y-%m-%d %H:%M:%S", t_between)
+    assert vt.read_as_of(stamp).count() == 5  # newest commit at/before stamp
+    future = _time.strftime("%Y-%m-%d %H:%M:%S", _time.gmtime(_time.time() + 60))
+    assert vt.read_as_of(future).count() == 50
+    import pytest
+
+    with pytest.raises(ValueError):
+        vt.read_as_of("2000-01-01 00:00:00")
+
+    h = vt.history_df()
+    assert h.count() == 2
+    assert {r["version"] for r in h.collect()} == {0, 1}
+    f = vt.files_df()
+    assert f.count() >= 1
+    assert f.agg(F.sum("size_bytes")).collect()[0][0] > 0
