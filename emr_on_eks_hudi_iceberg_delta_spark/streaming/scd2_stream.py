@@ -62,3 +62,38 @@ def stream_scd2_into(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_upsert_partitioned(
+    table,
+    updates_stream: DataFrame,
+    key_cols: list[str],
+    precombine_col: str,
+    checkpoint_dir: str,
+):
+    """Streaming keyed upsert into a ``PartitionedTable`` — the 100 TB
+    streaming write path: each micro-batch rewrites ONLY the partitions it
+    touches (partition-scoped CoW), so sink cost tracks batch size, not
+    table size. The batch-id guard in the manifest makes replays
+    idempotent after checkpoint races (same exactly-once pattern as
+    ``stream_scd2_into``)."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        versions = table.history()
+        applied = versions[-1].get("txn_batch", -1) if versions else -1
+        if batch_id <= applied:
+            return
+        table.upsert(batch_df, key_cols, precombine_col)
+        # record the applied batch id on the new manifest version
+        doc = table._doc()
+        doc["versions"][-1]["txn_batch"] = batch_id
+        table._write_doc(doc)
+
+    return (
+        updates_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
