@@ -79,12 +79,10 @@ class PartitionedTable:
         happens here — with ``upsert(..., global_index=True)`` old keys
         migrate to the new layout lazily as their partitions are touched.
 
-        Caveat (documented limitation): the manifest keys partitions by
-        string value, so the old and new partition columns must not share
-        value strings (e.g. evolving between two small-int columns) —
-        colliding values would alias in the manifest. Iceberg avoids this
-        with per-spec manifests; the fix here would be (spec_id, value)
-        keys."""
+        Manifest keys are composite "<spec column>=<value>" strings, so
+        specs never collide in the manifest even when their value domains
+        overlap (the per-spec-manifest property Iceberg gets from spec
+        ids)."""
         doc = self._doc()
         doc["spec"] = new_col
         self._write_doc(doc)
@@ -123,9 +121,10 @@ class PartitionedTable:
         versions = self._versions()
         commit_id = (versions[-1]["version"] + 1) if versions else 0
         self._write_commit(df, commit_id)
+        spec = self.partition_col
         pvals = [
-            str(r[0])
-            for r in df.select(self.partition_col).distinct().collect()
+            f"{spec}={r[0]}"
+            for r in df.select(spec).distinct().collect()
         ]
         self._publish({v: commit_id for v in pvals}, commit_id=commit_id)
         return self
@@ -161,8 +160,12 @@ class PartitionedTable:
         current = versions[-1]["partitions"]
         commit_id = versions[-1]["version"] + 1
 
+        spec = self.partition_col
+        # manifest keys are composite "<spec column>=<value>" — unambiguous
+        # across partition-spec evolution (no value-domain collisions) and
+        # identical to the hive directory name under the commit dir
         touched = {
-            str(r[0]) for r in updates.select(self.partition_col).distinct().collect()
+            f"{spec}={r[0]}" for r in updates.select(spec).distinct().collect()
         }
         if global_index:
             idx = self._read_index(versions[-1]["version"])
@@ -176,7 +179,11 @@ class PartitionedTable:
                     updates.select(*key_cols, self.partition_col)
                     .join(idx, key_cols)
                     .filter(
-                        F.col(self.partition_col).cast("string") != F.col("__part")
+                        F.concat(
+                            F.lit(f"{spec}="),
+                            F.col(self.partition_col).cast("string"),
+                        )
+                        != F.col("__part")
                     )
                     .select("__part")
                     .distinct()
@@ -206,9 +213,7 @@ class PartitionedTable:
             # a touched partition that ends up with zero rows (every key
             # moved away) produces no dir in the commit — drop it from the
             # manifest instead of pointing at a missing path
-            if os.path.exists(
-                os.path.join(self._commit_dir(commit_id), f"{self.partition_col}={v}")
-            ):
+            if os.path.exists(os.path.join(self._commit_dir(commit_id), v)):
                 new_partitions[v] = commit_id
             else:
                 new_partitions.pop(v, None)
@@ -227,7 +232,11 @@ class PartitionedTable:
         spec-independent name ``__part`` (at 100 TB: partition the index by
         key hash and rewrite incrementally; full rewrite here)."""
         idx = self.read().select(
-            *key_cols, F.col(self.partition_col).cast("string").alias("__part")
+            *key_cols,
+            F.concat(
+                F.lit(f"{self.partition_col}="),
+                F.col(self.partition_col).cast("string"),
+            ).alias("__part"),
         )
         idx.write.mode("overwrite").parquet(self._index_dir(commit_id))
 
@@ -255,11 +264,10 @@ class PartitionedTable:
             by_commit.setdefault(cid, []).append(pval)
         scans = []
         for cid, vals in sorted(by_commit.items()):
-            # each commit resolves paths under ITS OWN partition spec —
-            # the mixed-layout read that partition evolution requires
+            # composite manifest keys ARE the hive dir names, so mixed-
+            # layout reads (partition evolution) need no spec lookup
             base = self._commit_dir(cid)
-            spec = self._commit_spec(cid)
-            paths = [os.path.join(base, f"{spec}={v}") for v in vals]
+            paths = [os.path.join(base, v) for v in vals]
             scans.append(self.spark.read.option("basePath", base).parquet(*paths))
         return reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=False), scans
@@ -278,7 +286,7 @@ class PartitionedTable:
 
     def read_partition(self, pval) -> DataFrame:
         current = self._versions()[-1]["partitions"]
-        return self._read_partitions(current, [str(pval)])
+        return self._read_partitions(current, [f"{self.partition_col}={pval}"])
 
     def history(self) -> list[dict]:
         return self._versions()

@@ -131,12 +131,15 @@ def test_partition_evolution_mixed_layout_reads(spark):
     assert got.join(expected, on=key, how="left_anti").count() == 0
     assert expected.join(got, on=key, how="left_anti").count() == 0
 
-    # manifest now mixes specs: new-spec partition values are segments,
-    # untouched ones remain nation keys — each resolved via its commit
+    # manifest now mixes specs via composite "<spec>=<value>" keys:
+    # rewritten partitions live under the new spec, untouched ones remain
+    # under the old one — collision-free even with overlapping values
     live = pt.history()[-1]["partitions"]
-    segs = {v for v, cid in live.items() if cid == pt.history()[-1]["version"]}
-    assert any(not s.isdigit() for s in segs)  # segment-valued partitions
-    assert any(v.isdigit() for v in live)      # old nation partitions remain
+    head = pt.history()[-1]["version"]
+    assert any(
+        v.startswith("c_mktsegment=") for v, cid in live.items() if cid == head
+    )
+    assert any(v.startswith("c_nationkey=") for v in live)
 
     # time travel across the evolution boundary still works
     assert pt.read(version=0).count() == n0
