@@ -349,6 +349,66 @@ class VersionedTable:
         self._write_meta(meta)
         return self
 
+    _BLOOM_BITS = 4096
+
+    @staticmethod
+    def _bloom_positions(value, bits: int = _BLOOM_BITS) -> list[int]:
+        """Two md5-derived bit positions per value — the driver-side twin
+        of the distributed expression in ``compute_bloom`` (same
+        ``md5_hash64`` semantics: first 15 md5 hex digits as int)."""
+        import hashlib
+
+        out = []
+        for salt in ("b1:", "b2:"):
+            h = hashlib.md5((salt + str(value)).encode()).hexdigest()
+            out.append(int(h[:15], 16) % bits)
+        return out
+
+    def compute_bloom(self, cols: list[str]) -> "VersionedTable":
+        """Per-file Bloom filters for equality skipping (Hudi bloom-index /
+        parquet bloom-filter analog): min/max stats cannot prune a point
+        lookup on a column the files are NOT clustered by; a 4096-bit
+        2-hash bloom per (file, column) can. Stored as sorted bit-position
+        lists in the snapshot pointer — the set saturates at 4096 entries,
+        so metadata stays bounded no matter the file's cardinality.
+
+        One distributed aggregate keyed by file (collect_set of positions
+        — bounded by the bit width); false positives only ever KEEP a file
+        (correctness never depends on the bloom)."""
+        snaps = self._snapshots()
+        if not snaps:
+            raise FileNotFoundError(f"no snapshot at {self.location}")
+        snap = snaps[-1]
+        from ..functions.hashing import md5_hash64
+
+        df = self.spark.read.parquet(snap["dir"]).withColumn(
+            "__file", F.input_file_name()
+        )
+        aggs = []
+        for c in cols:
+            for salt in ("b1:", "b2:"):
+                pos = (
+                    md5_hash64(F.concat(F.lit(salt), F.col(c).cast("string")))
+                    % self._BLOOM_BITS
+                )
+                aggs.append(
+                    F.collect_set(pos).alias(f"__{salt[:-1]}_{c}")
+                )
+        rows = df.groupBy("__file").agg(*aggs).collect()
+        bloom = {}
+        for r in rows:
+            path = r["__file"].removeprefix("file://").removeprefix("file:")
+            bloom[path] = {
+                c: sorted(
+                    set(r[f"__b1_{c}"] or []) | set(r[f"__b2_{c}"] or [])
+                )
+                for c in cols
+            }
+        meta = self._meta()
+        meta["snapshots"][-1]["bloom"] = bloom
+        self._write_meta(meta)
+        return self
+
     @staticmethod
     def _file_may_match(bounds, op: str, value) -> bool:
         """Can any row in a file with [min, max] = bounds satisfy
@@ -377,15 +437,29 @@ class VersionedTable:
         snaps = self._snapshots()
         snap = snaps[-1]
         stats = snap.get("stats", {})
+        bloom = snap.get("bloom", {})
         all_files = [f["path"] for f in self.files()]
         out = []
         for path in all_files:
             fstats = stats.get(path)
+            fbloom = bloom.get(path)
             keep = True
-            if fstats is not None:
-                for col, op, value in filters:
-                    if col in fstats and not self._file_may_match(
+            for col, op, value in filters:
+                if (
+                    fstats is not None
+                    and col in fstats
+                    and not self._file_may_match(
                         fstats[col], op, self._stat_value(value)
+                    )
+                ):
+                    keep = False
+                    break
+                # equality predicates additionally consult the bloom —
+                # the skip path for point lookups on non-clustered columns
+                if op == "=" and fbloom is not None and col in fbloom:
+                    positions = set(fbloom[col])
+                    if not all(
+                        p in positions for p in self._bloom_positions(value)
                     ):
                         keep = False
                         break

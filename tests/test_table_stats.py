@@ -141,3 +141,31 @@ def test_lake_lifecycle_end_to_end(spark):
     # load, upsert, compact, add_column commit; compute_stats only
     # annotates the current snapshot's metadata
     assert versions_before == 4
+
+
+def test_bloom_equality_skipping(spark):
+    """Point lookup on a NON-clustered column: min/max stats cannot prune
+    (every file spans the full key range) but the per-file bloom can; the
+    residual filter keeps results exact either way."""
+    vt = _orders_table(spark, n_files=8, cluster_by=["o_custkey"])
+    vt.compute_stats(["o_orderkey"]).compute_bloom(["o_orderkey"])
+    target = 777
+    # stats alone: o_orderkey spans ~the full range in every custkey-
+    # clustered file -> no pruning from min/max
+    stats_only = [
+        p
+        for p in (f["path"] for f in vt.files())
+        if vt._file_may_match(
+            vt.history()[-1]["stats"][p]["o_orderkey"], "=", target
+        )
+    ]
+    assert len(stats_only) == len(vt.files())
+    # bloom: all but the true file (plus rare false positives) prune
+    pruned = vt.pruned_files([("o_orderkey", "=", target)])
+    assert len(pruned) < len(vt.files())
+    got = vt.read_pruned([("o_orderkey", "=", target)])
+    want = vt.read().filter(F.col("o_orderkey") == target)
+    assert got.count() == want.count() == 1
+    assert got.collect()[0]["o_orderkey"] == target
+    # a value that exists nowhere prunes everything (no false "hit" path)
+    assert vt.read_pruned([("o_orderkey", "=", 10**9)]).count() == 0
