@@ -17,7 +17,6 @@ plumbing is the same.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -70,6 +69,15 @@ def cosine_topk(
     )
 
 
+def hyperplane_matrix(n_planes: int = 16, dim: int = 64, seed: int = 7) -> np.ndarray:
+    """Seeded random hyperplanes, shape (dim, n_planes). Generated once on
+    the driver and embedded as literal arrays — both in the Spark plan and
+    in the DuckDB oracle SQL (``signature_sql``) — so the two engines see
+    bit-identical plane coefficients."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(dim, n_planes)
+
+
 def hyperplane_signatures(
     emb: DataFrame,
     n_planes: int = 16,
@@ -80,24 +88,81 @@ def hyperplane_signatures(
 ) -> DataFrame:
     """Random-hyperplane (SimHash-for-vectors) LSH signature per vector.
 
-    Hyperplanes come from a seeded RNG so signatures are deterministic.
-    Vectorized pandas UDF: one matmul per Arrow batch (NumPy BLAS), no
-    per-row Python.
+    Pure column expressions: each sign bit is a sequential
+    ``zip_with``+``aggregate`` double fold against a literal plane array —
+    zero Python in the hot path, whole-stage codegen, and IEEE-exact
+    left-to-right accumulation that DuckDB's ``list_dot_product`` replays
+    bit-identically (see ``signature_sql``), making LSH output
+    oracle-checkable despite the RNG-derived planes.
     """
+    planes = hyperplane_matrix(n_planes, dim, seed)
+    e = F.col(vec_col).cast("array<double>")
+    sig = F.lit(0).cast("bigint")
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(float(planes[i, j])) for i in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(e, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return emb.select(F.col(id_col), sig.alias("signature"))
 
-    def sign_batches(batches):
-        rng = np.random.RandomState(seed)
-        planes = rng.randn(dim, n_planes)
-        for pdf in batches:
-            mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
-            bits = (mat @ planes) > 0
-            sig = np.zeros(len(pdf), dtype=np.int64)
-            for j in range(n_planes):
-                sig |= bits[:, j].astype(np.int64) << j
-            yield pd.DataFrame({id_col: pdf[id_col].values, "signature": sig})
 
-    return emb.select(id_col, vec_col).mapInPandas(
-        sign_batches, schema=f"{id_col} bigint, signature bigint"
+def signature_sql(
+    vec_expr: str = "CAST(embedding AS DOUBLE[])",
+    n_planes: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+) -> str:
+    """The DuckDB expression computing the exact same signature as
+    ``hyperplane_signatures`` — plane coefficients inlined via shortest
+    round-trip ``repr`` (exact for binary64), dot product via
+    ``list_dot_product`` (same sequential fold as the Spark side)."""
+    planes = hyperplane_matrix(n_planes, dim, seed)
+    terms = []
+    for j in range(n_planes):
+        lit = "[" + ",".join(repr(float(planes[i, j])) for i in range(dim)) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, CAST({lit} AS DOUBLE[])) > 0 "
+            f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def cap_buckets(
+    buckets: DataFrame, max_bucket_size: int | None, keys: tuple[str, ...] = ("band", "key")
+) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket_size`` — the guard against
+    the O(b^2) pair blow-up a degenerate bucket causes (boilerplate-heavy
+    corpora put thousands of rows behind one band digest; AQE skew-join
+    splits the shuffle but not the pair count). Oversized buckets carry
+    almost no dedup signal, so dropping them is standard practice. The
+    window count rides the same (band, key) exchange the self-join needs,
+    so the cap adds no extra shuffle. ``lsh_bucket_stats`` reports what a
+    given cap would drop."""
+    if max_bucket_size is None:
+        return buckets
+    w = Window.partitionBy(*keys)
+    return (
+        buckets.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+
+
+def lsh_bucket_stats(
+    buckets: DataFrame, max_bucket_size: int, keys: tuple[str, ...] = ("band", "key")
+) -> DataFrame:
+    """Per-bucket sizes for buckets above the cap: (band, key, n_rows) —
+    the observability side of ``cap_buckets`` (run it to log how much a
+    cap drops before committing to one)."""
+    return (
+        buckets.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > max_bucket_size)
     )
 
 
@@ -109,10 +174,12 @@ def lsh_ann_pairs(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Approximate near-neighbor candidate pairs: band the hyperplane
     signature, self-join on (band, band-bits). Sub-quadratic: the shuffle
-    is on bucket keys, and bucket sizes bound the pair blow-up."""
+    is on bucket keys, and bucket sizes bound the pair blow-up — buckets
+    above ``max_bucket_size`` are dropped (see ``cap_buckets``)."""
     bits_per_band = n_planes // bands
     sig = hyperplane_signatures(emb, n_planes, dim, seed, id_col, vec_col)
     band_structs = [
@@ -127,6 +194,7 @@ def lsh_ann_pairs(
     buckets = sig.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    buckets = cap_buckets(buckets, max_bucket_size)
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -151,6 +219,7 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multi_probe: bool = False,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Approximate top-k: restrict exact cosine scoring to LSH bucket
     co-occupants of each query. The IVF-style pattern: probe buckets, score
@@ -159,7 +228,9 @@ def lsh_ann_topk(
     ``multi_probe=True`` additionally probes every bucket one bit-flip away
     from each query band key (the classic multi-probe LSH recall boost:
     bits_per_band extra probes per band on the tiny query side only — the
-    corpus bucketing is untouched)."""
+    corpus bucketing is untouched). Corpus buckets above
+    ``max_bucket_size`` are dropped (``cap_buckets``) — a degenerate bucket
+    would otherwise dominate every probing query's candidate set."""
     bits_per_band = n_planes // bands
 
     def bucketize(df, name, probe: bool = False):
@@ -184,7 +255,7 @@ def lsh_ann_topk(
         ).select(name, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     qb = bucketize(queries, "query_id", probe=multi_probe).distinct()
-    cb = bucketize(emb, "neighbor_id")
+    cb = cap_buckets(bucketize(emb, "neighbor_id"), max_bucket_size)
     cand = (
         F.broadcast(qb)
         .join(cb, ["band", "key"])

@@ -916,11 +916,16 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 _SQL_LSH_BANDS = _SQL_MINHASH + """,
-    bands AS (
+    bands0 AS (
       SELECT doc_id, 0 AS band, md5(concat_ws('_', h0, h1)) AS key FROM sig
       UNION ALL SELECT doc_id, 1, md5(concat_ws('_', h2, h3)) FROM sig
       UNION ALL SELECT doc_id, 2, md5(concat_ws('_', h4, h5)) FROM sig
       UNION ALL SELECT doc_id, 3, md5(concat_ws('_', h6, h7)) FROM sig),
+    bands AS (
+      SELECT doc_id, band, key FROM (
+        SELECT doc_id, band, key, COUNT(*) OVER (PARTITION BY band, key) AS bsz
+        FROM bands0) t
+      WHERE bsz <= 10000),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
@@ -1042,18 +1047,87 @@ def q_embedding_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
-@register("embedding_ann_lsh_pairs", oracle=None, tags=("similarity", "extension"))
+from .operators.similarity import signature_sql as _signature_sql  # noqa: E402
+
+# Shared CTE prefix replaying hyperplane_signatures + banding + the bucket
+# cap in DuckDB: signature = sum over planes of (list_dot_product(v, plane)
+# > 0) << j with the plane coefficients inlined as exact binary64 literals
+# — the same sequential fold Spark's zip_with+aggregate performs, so sign
+# bits (and therefore every LSH bucket) are bit-identical cross-engine.
+_SQL_LSH_BUCKETS = (
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    sig AS (SELECT vec_id, """
+    + _signature_sql("v")
+    + """ AS signature FROM e),
+    bands(band) AS (VALUES (0), (1), (2), (3)),
+    buckets0 AS (
+      SELECT vec_id, band, (signature >> (band * 4)) & 15 AS key
+      FROM sig CROSS JOIN bands),
+    buckets AS (
+      SELECT vec_id, band, key FROM (
+        SELECT vec_id, band, key,
+               COUNT(*) OVER (PARTITION BY band, key) AS bsz
+        FROM buckets0) t
+      WHERE bsz <= 10000)
+"""
+)
+
+
+@register(
+    "embedding_ann_lsh_pairs",
+    oracle=_SQL_LSH_BUCKETS
+    + """
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+    """,
+    tags=("similarity", "extension"),
+)
 def q_embedding_ann_lsh(spark, sf_dir):
-    """Random-hyperplane LSH candidate pairs — the sub-quadratic ANN path
-    (approximate by construction: rows-only check)."""
+    """Random-hyperplane LSH candidate pairs — the sub-quadratic ANN path.
+    Exact oracle: the literal-plane sequential-fold signature (see
+    operators/similarity.signature_sql) makes every bucket — and therefore
+    the candidate pair set — DuckDB-replayable bit-for-bit."""
     return lsh_ann_pairs(_t(spark, sf_dir, "embeddings"))
 
 
-@register("embedding_ann_lsh_topk", oracle=None, tags=("similarity", "extension"))
+@register(
+    "embedding_ann_lsh_topk",
+    oracle=_SQL_LSH_BUCKETS
+    + """
+    , qb0 AS (
+      SELECT vec_id AS query_id, band, (signature >> (band * 4)) & 15 AS key
+      FROM sig CROSS JOIN bands WHERE vec_id < 10),
+    probes AS (
+      SELECT query_id, band, key FROM qb0
+      UNION
+      SELECT query_id, band, xor(key, 1 << f.j) AS key
+      FROM qb0 CROSS JOIN (VALUES (0), (1), (2), (3)) AS f(j)),
+    cand AS (
+      SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+      FROM probes p JOIN buckets c ON p.band = c.band AND p.key = c.key
+      WHERE p.query_id <> c.vec_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY cand.query_id
+               ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+                        cand.neighbor_id) AS INTEGER) AS rank
+      FROM cand
+      JOIN n q ON q.vec_id = cand.query_id
+      JOIN n c ON c.vec_id = cand.neighbor_id) t
+    WHERE rank <= 5
+    """,
+    tags=("similarity", "extension"),
+)
 def q_embedding_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k with multi-probe (1-bit-flip
     neighbor buckets on the query side: measured recall 0.92 vs 0.46
-    single-probe at sf0.01), exact rescoring of candidates only."""
+    single-probe at sf0.01), exact rescoring of candidates only. Exact
+    oracle via the literal-plane signature replay (signature_sql)."""
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, multi_probe=True)
 

@@ -1,0 +1,93 @@
+"""Bucket-cap guard for the LSH paths (dedup + ANN).
+
+A degenerate corpus (boilerplate: thousands of identical documents or
+vectors) puts every copy behind the same band digest; the self-join then
+produces O(b^2) pairs inside one bucket — AQE skew-join splits the shuffle
+but not the pair blow-up. ``cap_buckets`` drops buckets above
+``max_bucket_size``; these tests prove the pair count is bounded under a
+synthetic degenerate corpus and that ``lsh_bucket_stats`` reports what the
+cap drops.
+"""
+
+import pyspark.sql.functions as F
+
+from emr_on_eks_hudi_iceberg_delta_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from emr_on_eks_hudi_iceberg_delta_spark.operators.similarity import (
+    hyperplane_signatures,
+    lsh_ann_pairs,
+    lsh_bucket_stats,
+)
+
+N_DUP = 200  # identical rows — the degenerate bucket
+CAP = 50
+
+
+def _degenerate_embeddings(spark):
+    """200 identical vectors + 10 distinct ones (different directions)."""
+    base = [1.0] * 64
+    rows = [(i, base) for i in range(N_DUP)]
+    for j in range(10):
+        v = [0.0] * 64
+        v[j] = 1.0
+        v[(j + 17) % 64] = -1.0
+        rows.append((N_DUP + j, v))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def _degenerate_documents(spark):
+    """200 identical documents + 10 distinct ones."""
+    boiler = "terms of service apply to all users of this site"
+    rows = [(i, boiler) for i in range(N_DUP)]
+    for j in range(10):
+        rows.append((N_DUP + j, f"unique document number {j} about topic {j * 31}"))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_ann_pairs_bounded_under_degenerate_corpus(spark):
+    emb = _degenerate_embeddings(spark)
+    uncapped = lsh_ann_pairs(emb, max_bucket_size=None).count()
+    capped = lsh_ann_pairs(emb, max_bucket_size=CAP).count()
+    # every identical pair co-occupies all 4 band buckets: >= C(200,2) pairs
+    assert uncapped >= N_DUP * (N_DUP - 1) // 2
+    # with the cap the degenerate buckets are dropped entirely; only the
+    # small distinct-vector buckets can pair
+    assert capped <= 10 * 9 // 2
+    assert capped < uncapped
+
+
+def test_minhash_lsh_pairs_bounded_under_degenerate_corpus(spark):
+    docs = _degenerate_documents(spark)
+    sigs = minhash_signatures(docs)
+    uncapped = lsh_candidate_pairs(sigs, max_bucket_size=None).count()
+    capped = lsh_candidate_pairs(sigs, max_bucket_size=CAP).count()
+    assert uncapped >= N_DUP * (N_DUP - 1) // 2
+    assert capped <= 10 * 9 // 2
+    assert capped < uncapped
+
+
+def test_bucket_stats_reports_dropped_buckets(spark):
+    emb = _degenerate_embeddings(spark)
+    sig = hyperplane_signatures(emb)
+    buckets = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("signature"), b * 4)
+                        .bitwiseAND(F.lit(15))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "bk.band", "bk.key")
+    oversized = lsh_bucket_stats(buckets, CAP).collect()
+    # the identical group occupies one bucket per band, all above the cap
+    assert len(oversized) >= 4
+    assert all(r["n_rows"] >= N_DUP for r in oversized)
