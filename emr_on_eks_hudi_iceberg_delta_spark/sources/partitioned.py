@@ -190,33 +190,53 @@ class PartitionedTable:
                 )
                 touched |= {str(r[0]) for r in moved.collect()}
 
-        existing_touched = [v for v in touched if v in current]
-        target = (
-            self._read_partitions(current, existing_touched)
-            if existing_touched
-            else None
-        )
-        if target is not None:
-            merged = upsert_by_key(target, updates, key_cols, precombine_col)
-            if global_index:
-                # a moved key's old-partition row shares the record key with
-                # its update row, so precombine already replaced it; what
-                # remains is rows now carrying a partition OUTSIDE the old
-                # set — partitionBy routes them to their new partition and
-                # the old partition's rewrite simply no longer contains them.
-                pass
-        else:
-            merged = updates
+        def merge_touched(touched_set: set[str]) -> DataFrame:
+            existing = [v for v in touched_set if v in current]
+            if not existing:
+                return updates
+            target = self._read_partitions(current, existing)
+            # a moved key's old-partition row shares the record key with
+            # its update row, so precombine already replaced it; what
+            # remains is rows now carrying a partition OUTSIDE the old
+            # set — partitionBy routes them to their new partition and
+            # the old partition's rewrite simply no longer contains them.
+            return upsert_by_key(target, updates, key_cols, precombine_col)
+
+        merged = merge_touched(touched)
+        # Under partition evolution, rewriting an old-spec partition
+        # migrates ALL its co-located rows to the new spec; their
+        # destination partitions can (a) already exist under the new spec
+        # without being in the touched set — those must be read-merged too,
+        # or publishing would orphan their prior rows — and (b) be brand
+        # new. One expansion converges: the extra partitions' own rows are
+        # already in their final new-spec partitions.
+        dest = {
+            f"{spec}={r[0]}" for r in merged.select(spec).distinct().collect()
+        }
+        extra = {v for v in dest if v in current} - touched
+        if extra:
+            touched |= extra
+            merged = merge_touched(touched)
         self._write_commit(merged, commit_id)
+        # Manifest entries come from the hive dirs the commit ACTUALLY
+        # wrote (not the touched set): under partition evolution the
+        # rewrite emits new-spec dirs for every co-located row of a touched
+        # old-spec partition — dirs the touched set never names, whose rows
+        # would otherwise silently vanish from read().
+        commit_dir = self._commit_dir(commit_id)
+        written = {
+            d
+            for d in os.listdir(commit_dir)
+            if "=" in d and not d.startswith((".", "_"))
+        }
         new_partitions = dict(current)
-        for v in touched:
-            # a touched partition that ends up with zero rows (every key
-            # moved away) produces no dir in the commit — drop it from the
-            # manifest instead of pointing at a missing path
-            if os.path.exists(os.path.join(self._commit_dir(commit_id), v)):
-                new_partitions[v] = commit_id
-            else:
-                new_partitions.pop(v, None)
+        for v in written:
+            new_partitions[v] = commit_id
+        for v in touched - written:
+            # a touched partition with zero surviving rows (every key moved
+            # away, or all rows migrated to the new spec) produces no dir —
+            # drop it from the manifest instead of pointing at a missing path
+            new_partitions.pop(v, None)
         self._publish(new_partitions, commit_id=commit_id)
         if global_index:
             self._write_index(commit_id, key_cols)
@@ -230,14 +250,33 @@ class PartitionedTable:
     def _write_index(self, commit_id: int, key_cols: list[str]) -> None:
         """Full key->partition index snapshot, partition value under the
         spec-independent name ``__part`` (at 100 TB: partition the index by
-        key hash and rewrite incrementally; full rewrite here)."""
-        idx = self.read().select(
-            *key_cols,
-            F.concat(
-                F.lit(f"{self.partition_col}="),
-                F.col(self.partition_col).cast("string"),
-            ).alias("__part"),
-        )
+        key hash and rewrite incrementally; full rewrite here).
+
+        ``__part`` must record where each row ACTUALLY lives — under mixed
+        layouts (partition evolution) that is the spec of the commit that
+        wrote the row, not the table's current spec. Projecting every row
+        through the current spec would mark un-migrated old-layout keys as
+        already living in their new-spec partition, so a later update would
+        not read (and expire) their old-partition rows — duplicate keys."""
+        current = self._versions()[-1]["partitions"]
+        by_commit: dict[int, list[str]] = {}
+        for pval, cid in current.items():
+            by_commit.setdefault(cid, []).append(pval)
+        scans = []
+        for cid, vals in sorted(by_commit.items()):
+            spec = self._commit_spec(cid)
+            base = self._commit_dir(cid)
+            paths = [os.path.join(base, v) for v in vals]
+            scan = self.spark.read.option("basePath", base).parquet(*paths)
+            scans.append(
+                scan.select(
+                    *key_cols,
+                    F.concat(
+                        F.lit(f"{spec}="), F.col(spec).cast("string")
+                    ).alias("__part"),
+                )
+            )
+        idx = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=False), scans)
         idx.write.mode("overwrite").parquet(self._index_dir(commit_id))
 
     def _read_index(self, commit_id: int):

@@ -143,3 +143,128 @@ def test_partition_evolution_mixed_layout_reads(spark):
 
     # time travel across the evolution boundary still works
     assert pt.read(version=0).count() == n0
+
+
+def _nation_with_two_segments(target):
+    """(nationkey, segment) where the nation holds >= 2 distinct segments;
+    the returned segment is the nation's most common one."""
+    rows = (
+        target.groupBy("c_nationkey", "c_mktsegment")
+        .count()
+        .orderBy(F.col("count").desc(), "c_nationkey", "c_mktsegment")
+        .collect()
+    )
+    from collections import Counter
+
+    nations = Counter(r["c_nationkey"] for r in rows)
+    for r in rows:
+        if nations[r["c_nationkey"]] >= 2:
+            return r["c_nationkey"], r["c_mktsegment"]
+    raise AssertionError("no nation with two segments in fixture")
+
+
+def test_evolution_migration_preserves_colocated_rows(spark):
+    """Upserting an EXISTING record key after evolve_partition_spec (the
+    lazy-migration path): the key's whole old-spec partition rewrites under
+    the new spec, including co-located rows whose new-spec value is absent
+    from the update batch — those dirs must still land in the manifest, or
+    they silently vanish from read()."""
+    pt = PartitionedTable(
+        spark, tempfile.mkdtemp(prefix="pt_mig_"), partition_col="c_nationkey"
+    )
+    target = _target(spark)
+    pt.overwrite(target)
+    pt.build_index(["c_custkey", "checksum"])
+    n0 = pt.read().count()
+
+    pt.evolve_partition_spec("c_mktsegment")
+    # pick a nation with >= 2 segments and update only ONE segment's keys,
+    # keeping name+segment (and so the record key) intact — an index match
+    # that triggers migration of the whole nation partition, whose
+    # other-segment rows are NOT in the batch
+    nation, seg = _nation_with_two_segments(target)
+    updates = (
+        target.filter(
+            (F.col("c_nationkey") == nation) & (F.col("c_mktsegment") == seg)
+        )
+        .withColumn("c_acctbal", F.col("c_acctbal") + 1000)
+        .withColumn("ts", F.lit(T2).cast("timestamp_ntz"))
+    )
+    n_upd = updates.count()
+    assert n_upd > 0
+    other_segments = target.filter(
+        (F.col("c_nationkey") == nation) & (F.col("c_mktsegment") != seg)
+    ).count()
+    assert other_segments > 0  # the co-located rows at risk
+    pt.upsert(updates, ["c_custkey", "checksum"], "ts", global_index=True)
+
+    got = pt.read()
+    assert got.count() == n0  # no rows disappeared
+    # the nation fully migrated: no old-spec dir remains for it
+    assert f"c_nationkey={nation}" not in pt.history()[-1]["partitions"]
+    assert got.filter(F.col("c_nationkey") == nation).count() == target.filter(
+        F.col("c_nationkey") == nation
+    ).count()
+    # the update itself applied
+    assert (
+        got.filter(
+            (F.col("c_nationkey") == nation) & (F.col("c_mktsegment") == seg)
+        )
+        .filter(F.col("ts") == F.lit(T2).cast("timestamp_ntz"))
+        .count()
+        == n_upd
+    )
+
+
+def test_evolution_migration_merges_existing_destination_partition(spark):
+    """Migrated rows landing in a new-spec partition that ALREADY exists
+    must read-merge it — otherwise pointing its manifest entry at the new
+    commit orphans the rows the earlier commit wrote there."""
+    pt = PartitionedTable(
+        spark, tempfile.mkdtemp(prefix="pt_dest_"), partition_col="c_nationkey"
+    )
+    target = _target(spark)
+    pt.overwrite(target)
+    pt.build_index(["c_custkey", "checksum"])
+    pt.evolve_partition_spec("c_mktsegment")
+
+    nation, seg = _nation_with_two_segments(target)
+    other_seg = (
+        target.filter(
+            (F.col("c_nationkey") == nation) & (F.col("c_mktsegment") != seg)
+        )
+        .select("c_mktsegment")
+        .first()[0]
+    )
+
+    # commit 1: brand-new keys establish the new-spec partition for
+    # other_seg — the nation's other_seg customers will migrate there later
+    fresh = (
+        target.filter(F.col("c_mktsegment") == other_seg)
+        .limit(5)
+        .withColumn("c_custkey", F.col("c_custkey") + 500000)
+        .withColumn("ts", F.lit(T2).cast("timestamp_ntz"))
+    )
+    n_fresh = fresh.count()
+    pt.upsert(fresh, ["c_custkey", "checksum"], "ts", global_index=True)
+    n1 = pt.read().count()
+    assert n1 == target.count() + n_fresh
+
+    # commit 2: index-matched update of the nation's `seg` keys migrates the
+    # whole nation — its other_seg rows land in the EXISTING new-spec dir
+    updates = (
+        target.filter(
+            (F.col("c_nationkey") == nation) & (F.col("c_mktsegment") == seg)
+        )
+        .withColumn("c_acctbal", F.col("c_acctbal") + 1000)
+        .withColumn("ts", F.lit(T2).cast("timestamp_ntz"))
+    )
+    pt.upsert(updates, ["c_custkey", "checksum"], "ts", global_index=True)
+
+    got = pt.read()
+    assert got.count() == n1  # commit-1 rows in the shared dir survived
+    assert got.filter(F.col("c_custkey") >= 500000).count() == n_fresh
+    dup = (
+        got.groupBy("c_custkey", "checksum").count().filter("count > 1").count()
+    )
+    assert dup == 0
