@@ -77,9 +77,35 @@ class VersionedTable:
     def _snapshots(self) -> list[dict]:
         return self._meta()["snapshots"]
 
+    def _current_snapshot(self, snaps: list[dict] | None = None) -> dict:
+        """The newest NON-staged snapshot — the head ``read()`` serves.
+
+        Every maintenance/read-side path (stats, bloom, file pruning,
+        deferred deletes, auto-compaction, file listings, tagging) resolves
+        the head through this helper, so a staged write-audit-publish
+        snapshot can never leak unaudited data into them (mirror of
+        Iceberg WAP semantics — a staged snapshot is durable and
+        addressable by version, but is not the table until published)."""
+        snaps = self._snapshots() if snaps is None else snaps
+        snap = next((s for s in reversed(snaps) if not s.get("staged")), None)
+        if snap is None:
+            raise FileNotFoundError(
+                f"no published snapshot at {self.location}"
+            )
+        return snap
+
+    @staticmethod
+    def _next_version(snaps: list[dict]) -> int:
+        """Next free version id. max+1, NOT ``snaps[-1]+1``: ``publish()``
+        keeps staged ids stable and only reorders the list, so the tail
+        entry's version need not be the largest ever allocated."""
+        return (max(s["version"] for s in snaps) + 1) if snaps else 0
+
     def current_snapshot_dir(self) -> str | None:
         snaps = self._snapshots()
-        return snaps[-1]["dir"] if snaps else None
+        if not snaps:
+            return None
+        return self._current_snapshot(snaps)["dir"]
 
     def txn_version(self, app_id: str) -> int:
         """Highest transaction version committed by ``app_id`` (-1 if
@@ -120,7 +146,7 @@ class VersionedTable:
                 raise ConstraintViolationError(
                     f"CHECK constraint {cname} ({cexpr}) violated by incoming rows"
                 )
-        version = (snaps[-1]["version"] + 1) if snaps else 0
+        version = self._next_version(snaps)
         snap_dir = os.path.join(self.location, f"snapshot-{version:05d}")
         df.write.mode("overwrite").parquet(snap_dir)
         entry = {"version": version, "dir": snap_dir, "committed_at": time.time()}
@@ -187,13 +213,7 @@ class VersionedTable:
         if version is None:
             # staged (write-audit-publish) snapshots are invisible until
             # published; current = newest non-staged entry
-            snap = next(
-                (s for s in reversed(snaps) if not s.get("staged")), None
-            )
-            if snap is None:
-                raise FileNotFoundError(
-                    f"only staged snapshots at {self.location}"
-                )
+            snap = self._current_snapshot(snaps)
         else:
             for s in snaps:
                 if s["version"] == version:
@@ -317,10 +337,7 @@ class VersionedTable:
         One distributed aggregate keyed by ``input_file_name()`` (as many
         groups as files — trivially small); no driver-side row data.
         """
-        snaps = self._snapshots()
-        if not snaps:
-            raise FileNotFoundError(f"no snapshot at {self.location}")
-        snap = snaps[-1]
+        snap = self._current_snapshot()
         df = self.spark.read.parquet(snap["dir"])
         aggs = []
         for c in cols:
@@ -344,18 +361,30 @@ class VersionedTable:
                 for c in cols
             }
         meta = self._meta()
-        meta["snapshots"][-1]["stats"] = stats
-        meta["snapshots"][-1]["stats_cols"] = list(cols)
+        entry = next(
+            s for s in meta["snapshots"] if s["version"] == snap["version"]
+        )
+        entry["stats"] = stats
+        entry["stats_cols"] = list(cols)
         self._write_meta(meta)
         return self
 
     _BLOOM_BITS = 4096
 
+    # Bloom skipping is restricted to types whose Python ``str(value)``
+    # probe is byte-identical to Spark's ``CAST(col AS STRING)`` build:
+    # strings and integrals. double/float/decimal/boolean representations
+    # diverge ('1.0E-7'/'true' JVM-side vs '1e-07'/'True' Python-side), so
+    # a probe could miss a set bit and PRUNE a file that contains the
+    # value — violating the "false positives only ever KEEP" invariant.
+    _BLOOM_TYPES = ("string", "tinyint", "smallint", "int", "bigint")
+
     @staticmethod
     def _bloom_positions(value, bits: int = _BLOOM_BITS) -> list[int]:
         """Two md5-derived bit positions per value — the driver-side twin
         of the distributed expression in ``compute_bloom`` (same
-        ``md5_hash64`` semantics: first 15 md5 hex digits as int)."""
+        ``md5_hash64`` semantics: first 15 md5 hex digits as int).
+        Only called for str/int probes (see ``_BLOOM_TYPES``)."""
         import hashlib
 
         out = []
@@ -363,6 +392,12 @@ class VersionedTable:
             h = hashlib.md5((salt + str(value)).encode()).hexdigest()
             out.append(int(h[:15], 16) % bits)
         return out
+
+    @staticmethod
+    def _bloom_probe_ok(value) -> bool:
+        """True when ``str(value)`` is guaranteed to match the JVM cast
+        used at build time (bool is an int subclass — excluded first)."""
+        return not isinstance(value, bool) and isinstance(value, (str, int))
 
     def compute_bloom(self, cols: list[str]) -> "VersionedTable":
         """Per-file Bloom filters for equality skipping (Hudi bloom-index /
@@ -374,16 +409,24 @@ class VersionedTable:
 
         One distributed aggregate keyed by file (collect_set of positions
         — bounded by the bit width); false positives only ever KEEP a file
-        (correctness never depends on the bloom)."""
-        snaps = self._snapshots()
-        if not snaps:
-            raise FileNotFoundError(f"no snapshot at {self.location}")
-        snap = snaps[-1]
+        (correctness never depends on the bloom). Restricted to
+        string/integral columns (``_BLOOM_TYPES``) — the only types whose
+        probe-side ``str(value)`` matches the build-side JVM string cast
+        bit-for-bit."""
+        snap = self._current_snapshot()
         from ..functions.hashing import md5_hash64
 
         df = self.spark.read.parquet(snap["dir"]).withColumn(
             "__file", F.input_file_name()
         )
+        dtypes = dict(df.dtypes)
+        for c in cols:
+            if dtypes.get(c) not in self._BLOOM_TYPES:
+                raise ValueError(
+                    f"bloom skipping requires a string/integral column; "
+                    f"{c!r} is {dtypes.get(c)!r} (float/decimal/boolean "
+                    f"string forms differ between probe and build sides)"
+                )
         aggs = []
         for c in cols:
             for salt in ("b1:", "b2:"):
@@ -405,7 +448,10 @@ class VersionedTable:
                 for c in cols
             }
         meta = self._meta()
-        meta["snapshots"][-1]["bloom"] = bloom
+        entry = next(
+            s for s in meta["snapshots"] if s["version"] == snap["version"]
+        )
+        entry["bloom"] = bloom
         self._write_meta(meta)
         return self
 
@@ -434,8 +480,7 @@ class VersionedTable:
         """Files of the current snapshot that survive min/max skipping for
         a conjunction of ``(col, op, value)`` filters (op in
         <, <=, =, >=, >). Columns without collected stats never prune."""
-        snaps = self._snapshots()
-        snap = snaps[-1]
+        snap = self._current_snapshot()
         stats = snap.get("stats", {})
         bloom = snap.get("bloom", {})
         all_files = [f["path"] for f in self.files()]
@@ -456,7 +501,14 @@ class VersionedTable:
                     break
                 # equality predicates additionally consult the bloom —
                 # the skip path for point lookups on non-clustered columns
-                if op == "=" and fbloom is not None and col in fbloom:
+                # (str/int probes only; other types' string forms are not
+                # probe-safe, see _BLOOM_TYPES)
+                if (
+                    op == "="
+                    and fbloom is not None
+                    and col in fbloom
+                    and self._bloom_probe_ok(value)
+                ):
                     positions = set(fbloom[col])
                     if not all(
                         p in positions for p in self._bloom_positions(value)
@@ -491,7 +543,7 @@ class VersionedTable:
             # empty result, full snapshot schema
             return self.read().filter(F.lit(False))
         return self._apply_tombstones(
-            self.spark.read.parquet(*files), self._snapshots()[-1]
+            self.spark.read.parquet(*files), self._current_snapshot()
         ).filter(residual)
 
     def _apply_tombstones(self, df: DataFrame, snap: dict) -> DataFrame:
@@ -522,8 +574,10 @@ class VersionedTable:
         snaps = meta["snapshots"]
         if not snaps:
             raise FileNotFoundError(f"no snapshot at {self.location}")
-        cur = snaps[-1]
-        version = cur["version"] + 1
+        # chain off the published head, never a staged snapshot — a
+        # deferred delete must not make unaudited staged data readable
+        cur = self._current_snapshot(snaps)
+        version = self._next_version(snaps)
         ts_dir = os.path.join(self.location, f"tombstones-{version:05d}")
         self.read().filter(hit).select(*key_cols).distinct().write.mode(
             "overwrite"
@@ -676,7 +730,7 @@ class VersionedTable:
         if not snaps:
             return False
         fs = self.files()
-        n_tomb = len(snaps[-1].get("tombstones", []))
+        n_tomb = len(self._current_snapshot(snaps).get("tombstones", []))
         if len(fs) <= max_files and n_tomb <= max_tombstone_batches:
             return False
         total = sum(f["size_bytes"] for f in fs)
@@ -695,7 +749,13 @@ class VersionedTable:
         snaps = meta["snapshots"]
         if not snaps:
             raise FileNotFoundError(f"no snapshot at {self.location}")
-        v = snaps[-1]["version"] if version is None else version
+        # default = published head; an explicit version may tag a staged
+        # snapshot (pinning the audit input is legitimate WAP practice)
+        v = (
+            self._current_snapshot(snaps)["version"]
+            if version is None
+            else version
+        )
         if not any(s["version"] == v for s in snaps):
             raise ValueError(f"version {v} not found at {self.location}")
         meta.setdefault("tags", {})[name] = v
@@ -715,7 +775,7 @@ class VersionedTable:
         staged version id."""
         meta = self._meta()
         snaps = meta["snapshots"]
-        version = (snaps[-1]["version"] + 1) if snaps else 0
+        version = self._next_version(snaps)
         snap_dir = os.path.join(self.location, f"snapshot-{version:05d}")
         df.write.mode("overwrite").parquet(snap_dir)
         snaps.append(
@@ -731,20 +791,23 @@ class VersionedTable:
 
     def publish(self, version: int) -> "VersionedTable":
         """WAP step 3 (after auditing with ``read(version=...)``): make the
-        staged snapshot current by re-committing it at the head — readers
-        that never audited cannot observe unvalidated data."""
+        staged snapshot current by moving it to the head — readers that
+        never audited cannot observe unvalidated data.
+
+        The staged version id is STABLE across publish: the id returned by
+        ``stage()`` (and any tag pointing at it) keeps addressing the same
+        data afterwards. List position, not version id, defines recency —
+        which is why ``_next_version`` allocates max+1, and why
+        ``committed_at`` is refreshed here so ``read_as_of`` sees the
+        publish time, not the stage time."""
         meta = self._meta()
         for s in meta["snapshots"]:
             if s["version"] == version and s.get("staged"):
                 s["staged"] = False
-                # move to head so read() serves it
+                s["committed_at"] = time.time()
+                # move to head so read() serves it; id unchanged
                 meta["snapshots"].remove(s)
                 meta["snapshots"].append(s)
-                # head ordering must keep version ids monotonic
-                if len(meta["snapshots"]) > 1 and (
-                    meta["snapshots"][-2]["version"] > version
-                ):
-                    s["version"] = meta["snapshots"][-2]["version"] + 1
                 self._write_meta(meta)
                 return self
         raise ValueError(f"no staged snapshot {version} at {self.location}")
@@ -814,7 +877,7 @@ class VersionedTable:
         import glob as _glob
 
         snaps = self._snapshots()
-        snap = snaps[-1] if version is None else next(
+        snap = self._current_snapshot(snaps) if version is None else next(
             s for s in snaps if s["version"] == version
         )
         return [
@@ -829,7 +892,7 @@ class VersionedTable:
         fs = self.files() if snaps else []
         return {
             "location": self.location,
-            "version": snaps[-1]["version"] if snaps else None,
+            "version": self._current_snapshot(snaps)["version"] if snaps else None,
             "num_snapshots": len(snaps),
             "num_files": len(fs),
             "size_bytes": sum(f["size_bytes"] for f in fs),

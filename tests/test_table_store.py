@@ -3,6 +3,8 @@
 import glob
 import tempfile
 
+from pyspark.sql import functions as F
+
 from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
 from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
 
@@ -476,3 +478,117 @@ def test_read_as_of_timestamp_and_metadata_tables(spark):
     f = vt.files_df()
     assert f.count() >= 1
     assert f.agg(F.sum("size_bytes")).collect()[0][0] > 0
+
+
+def test_wap_staged_snapshot_never_leaks_into_maintenance(spark):
+    """The staged (write-audit-publish) head-resolution invariant: after
+    stage(), EVERY maintenance/read path — compute_stats, compute_bloom,
+    pruned_files/read_pruned, delete_where_deferred, auto_compact, files,
+    detail, tag — must operate on the newest PUBLISHED snapshot, never the
+    staged one (mirror of Iceberg WAP: staged data is invisible until
+    audited and published)."""
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_wapiso_"))
+    vt.overwrite(spark.range(100).toDF("id"))  # published head: ids 0..99
+    published_dir = vt.current_snapshot_dir()
+
+    # stage unaudited data with a disjoint id range and MORE files
+    staged = vt.stage(
+        spark.range(1000, 1200).toDF("id").repartition(8)
+    )
+
+    # file listing + detail describe the published head
+    assert all(f["path"].startswith(published_dir) for f in vt.files())
+    assert vt.detail()["version"] == 0
+    assert vt.current_snapshot_dir() == published_dir
+
+    # stats/bloom are computed on (and attached to) the published head
+    vt.compute_stats(["id"]).compute_bloom(["id"])
+    head = next(s for s in vt.history() if s["version"] == 0)
+    stag = next(s for s in vt.history() if s["version"] == staged)
+    assert "stats" in head and "bloom" in head
+    assert "stats" not in stag and "bloom" not in stag
+
+    # pruning scans only published files; staged rows are invisible
+    assert vt.read_pruned([("id", ">=", 0)]).count() == 100
+    assert vt.read_pruned([("id", "=", 1100)]).count() == 0
+    for p in vt.pruned_files([("id", ">=", 0)]):
+        assert p.startswith(published_dir)
+
+    # a deferred delete chains off the published head, not the staged dir
+    vt.delete_where_deferred("id >= 50", key_cols=["id"])
+    assert vt.read().count() == 50
+    assert vt.read().agg(F.max("id")).collect()[0][0] == 49
+    new_head = vt.history()[-1]
+    assert not new_head.get("staged")
+    assert new_head["dir"] == published_dir  # metadata-only commit
+
+    # the staged snapshot is still intact and auditable
+    assert vt.read(version=staged).count() == 200
+
+    # auto_compact consults the published head's tombstone debt
+    assert vt.auto_compact(max_files=10_000, max_tombstone_batches=0) is True
+    assert vt.read().count() == 50
+
+    # tag() default pins the published head, not the staged entry
+    vt.tag("after-compact")
+    assert vt.read_tag("after-compact").count() == 50
+
+
+def test_publish_keeps_version_id_and_tags_stable(spark):
+    """publish() must not renumber: the id returned by stage() — and any
+    tag pointing at it — keeps addressing the same data after publish,
+    and later commits never collide with existing version ids."""
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_pubstable_"))
+    vt.overwrite(spark.range(10).toDF("id"))      # v0
+    v = vt.stage(spark.range(25).toDF("id"))      # v1 staged
+    vt.overwrite(spark.range(40).toDF("id"))      # v2 published over it
+    vt.tag("audited", v)
+
+    vt.publish(v)
+    # the staged id is stable: direct read, tag read, and read() all agree
+    assert vt.read(version=v).count() == 25
+    assert vt.read_tag("audited").count() == 25
+    assert vt.read().count() == 25
+    assert vt.detail()["version"] == v
+
+    # a later commit allocates a FRESH id (max+1), no collision
+    vt.overwrite(spark.range(7).toDF("id"))
+    versions = [s["version"] for s in vt.history()]
+    assert len(versions) == len(set(versions))
+    assert vt.read().count() == 7
+    # time travel across the whole history still resolves
+    assert vt.read(version=0).count() == 10
+    assert vt.read(version=2).count() == 40
+
+
+def test_bloom_probe_type_safety(spark):
+    """Bloom skipping may only ever KEEP extra files, never drop one that
+    contains the probed value. Build-side hashes Spark's CAST(col AS
+    STRING); probe-side hashes Python str(value) — so bloom is (a)
+    restricted to string/integral columns at build time and (b) bypassed
+    for non-str/int probe values (bool str forms diverge: 'True' vs '1')."""
+    import pytest
+
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_bloomty_"))
+    df = spark.range(10).toDF("id").withColumn(
+        "price", F.col("id").cast("double") * 1e-7
+    ).withColumn("flag", (F.col("id") % 2 == 0))
+    vt.overwrite(df)
+
+    # double/boolean columns are rejected at build time
+    with pytest.raises(ValueError):
+        vt.compute_bloom(["price"])
+    with pytest.raises(ValueError):
+        vt.compute_bloom(["flag"])
+
+    # int build + bool probe: True's Python str is 'True', the build-side
+    # strings are '0'/'1' — before the guard this wrongly pruned the file
+    vt.compute_bloom(["id"])
+    assert vt.pruned_files([("id", "=", True)]) == [
+        f["path"] for f in vt.files()
+    ]
+    # well-typed probes still prune: a value present is always kept, a
+    # value absent may be (and here is) pruned
+    assert len(vt.pruned_files([("id", "=", 5)])) >= 1
+    assert vt.read_pruned([("id", "=", 5)]).count() == 1
+    assert vt.pruned_files([("id", "=", 12345)]) == []
