@@ -36,6 +36,10 @@ from pyspark.sql import functions as F
 
 _MANIFEST = "_manifest.json"
 
+# hive's directory name for a NULL partition value — partitionBy writes
+# null-keyed rows under it, so manifest keys must use the same sentinel
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
 
 class PartitionedTable:
     def __init__(self, spark: SparkSession, location: str, partition_col: str):
@@ -109,6 +113,24 @@ class PartitionedTable:
     def _commit_dir(self, commit_id: int) -> str:
         return os.path.join(self.location, "files", f"commit-{commit_id}")
 
+    @staticmethod
+    def _pkey(spec: str, value) -> str:
+        """Composite manifest key ``<spec>=<value>`` for a COLLECTED
+        partition value. A NULL value uses hive's
+        ``__HIVE_DEFAULT_PARTITION__`` sentinel so the key is always
+        byte-identical to the hive dir name ``partitionBy`` writes —
+        a bare f-string would render ``spec=None`` and never match,
+        orphaning the null partition's prior rows on upsert."""
+        return f"{spec}={_HIVE_NULL if value is None else value}"
+
+    @staticmethod
+    def _pkey_col(spec: str):
+        """Column-expression twin of ``_pkey`` (same NULL sentinel)."""
+        return F.concat(
+            F.lit(f"{spec}="),
+            F.coalesce(F.col(spec).cast("string"), F.lit(_HIVE_NULL)),
+        )
+
     def _write_commit(self, df: DataFrame, commit_id: int) -> None:
         df.write.mode("overwrite").partitionBy(self.partition_col).parquet(
             self._commit_dir(commit_id)
@@ -123,7 +145,7 @@ class PartitionedTable:
         self._write_commit(df, commit_id)
         spec = self.partition_col
         pvals = [
-            f"{spec}={r[0]}"
+            self._pkey(spec, r[0])
             for r in df.select(spec).distinct().collect()
         ]
         self._publish({v: commit_id for v in pvals}, commit_id=commit_id)
@@ -165,7 +187,8 @@ class PartitionedTable:
         # across partition-spec evolution (no value-domain collisions) and
         # identical to the hive directory name under the commit dir
         touched = {
-            f"{spec}={r[0]}" for r in updates.select(spec).distinct().collect()
+            self._pkey(spec, r[0])
+            for r in updates.select(spec).distinct().collect()
         }
         if global_index:
             idx = self._read_index(versions[-1]["version"])
@@ -178,13 +201,7 @@ class PartitionedTable:
                 moved = (
                     updates.select(*key_cols, self.partition_col)
                     .join(idx, key_cols)
-                    .filter(
-                        F.concat(
-                            F.lit(f"{spec}="),
-                            F.col(self.partition_col).cast("string"),
-                        )
-                        != F.col("__part")
-                    )
+                    .filter(self._pkey_col(spec) != F.col("__part"))
                     .select("__part")
                     .distinct()
                 )
@@ -211,7 +228,8 @@ class PartitionedTable:
         # new. One expansion converges: the extra partitions' own rows are
         # already in their final new-spec partitions.
         dest = {
-            f"{spec}={r[0]}" for r in merged.select(spec).distinct().collect()
+            self._pkey(spec, r[0])
+            for r in merged.select(spec).distinct().collect()
         }
         extra = {v for v in dest if v in current} - touched
         if extra:
@@ -269,14 +287,19 @@ class PartitionedTable:
             paths = [os.path.join(base, v) for v in vals]
             scan = self.spark.read.option("basePath", base).parquet(*paths)
             scans.append(
-                scan.select(
-                    *key_cols,
-                    F.concat(
-                        F.lit(f"{spec}="), F.col(spec).cast("string")
-                    ).alias("__part"),
-                )
+                scan.select(*key_cols, self._pkey_col(spec).alias("__part"))
             )
-        idx = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=False), scans)
+        if scans:
+            idx = reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=False), scans
+            )
+        else:
+            # every partition was dropped (all keys moved/migrated away in
+            # a prior upsert): write an EMPTY index with the right schema
+            # instead of crashing reduce() on an empty list
+            idx = self._read_partitions(current).select(
+                *key_cols, F.lit(None).cast("string").alias("__part")
+            )
         idx.write.mode("overwrite").parquet(self._index_dir(commit_id))
 
     def _read_index(self, commit_id: int):
@@ -298,6 +321,26 @@ class PartitionedTable:
         """One scan per referenced commit dir (basePath keeps the partition
         column + pruning), unioned. Scan count is bounded by history depth."""
         wanted = partitions if pvals is None else {v: partitions[v] for v in pvals}
+        if not wanted:
+            # empty table state (every partition dropped): recover the
+            # schema from any surviving commit dir and return zero rows
+            files_root = os.path.join(self.location, "files")
+            commits = (
+                sorted(os.listdir(files_root), reverse=True)
+                if os.path.isdir(files_root)
+                else []
+            )
+            for d in commits:
+                base = os.path.join(files_root, d)
+                try:
+                    return (
+                        self.spark.read.option("basePath", base)
+                        .parquet(base)
+                        .filter(F.lit(False))
+                    )
+                except Exception:
+                    continue
+            raise FileNotFoundError(f"no data files at {self.location}")
         by_commit: dict[int, list[str]] = {}
         for pval, cid in wanted.items():
             by_commit.setdefault(cid, []).append(pval)
@@ -325,7 +368,9 @@ class PartitionedTable:
 
     def read_partition(self, pval) -> DataFrame:
         current = self._versions()[-1]["partitions"]
-        return self._read_partitions(current, [f"{self.partition_col}={pval}"])
+        return self._read_partitions(
+            current, [self._pkey(self.partition_col, pval)]
+        )
 
     def history(self) -> list[dict]:
         return self._versions()

@@ -268,3 +268,70 @@ def test_evolution_migration_merges_existing_destination_partition(spark):
         got.groupBy("c_custkey", "checksum").count().filter("count > 1").count()
     )
     assert dup == 0
+
+
+def test_null_partition_value_upsert_preserves_prior_rows(spark):
+    """NULL partition values live in hive's __HIVE_DEFAULT_PARTITION__
+    dir; manifest keys must use the same sentinel. Before the fix the key
+    rendered as 'spec=None', never matched the dir name, and an upsert
+    into the null partition skipped the read-merge — orphaning its prior
+    rows."""
+    pt = PartitionedTable(
+        spark, tempfile.mkdtemp(prefix="pt_null_"), partition_col="grp"
+    )
+    base = spark.createDataFrame(
+        [(1, None, 10), (2, None, 20), (3, "a", 30)],
+        "id int, grp string, v int",
+    )
+    pt.overwrite(base)
+    assert pt.read().count() == 3
+
+    # upsert a new key into the NULL partition: rows 1 and 2 must survive
+    upd = spark.createDataFrame([(4, None, 40)], "id int, grp string, v int")
+    pt.upsert(upd, key_cols=["id"], precombine_col="v")
+    got = {(r["id"], r["grp"], r["v"]) for r in pt.read().collect()}
+    assert got == {(1, None, 10), (2, None, 20), (3, "a", 30), (4, None, 40)}
+
+    # update an existing null-partition key: precombine replaces in place
+    upd2 = spark.createDataFrame([(1, None, 99)], "id int, grp string, v int")
+    pt.upsert(upd2, key_cols=["id"], precombine_col="v")
+    got = {(r["id"], r["v"]) for r in pt.read().filter("grp IS NULL").collect()}
+    assert got == {(1, 99), (2, 20), (4, 40)}
+
+    # read_partition(None) addresses the null partition directly
+    assert pt.read_partition(None).count() == 3
+
+    # global index round-trips the sentinel: a key moving OUT of the null
+    # partition has its old row expired there
+    pt.build_index(["id"])
+    mv = spark.createDataFrame([(2, "a", 21)], "id int, grp string, v int")
+    pt.upsert(mv, key_cols=["id"], precombine_col="v", global_index=True)
+    assert pt.read().filter("id = 2").count() == 1
+    assert pt.read().filter("id = 2").collect()[0]["grp"] == "a"
+
+
+def test_empty_partitions_state_reads_and_indexes(spark):
+    """A manifest version whose partitions dict is empty (every partition
+    dropped by prior upserts) must read back as ZERO rows with the table
+    schema and must not crash index maintenance — reduce() over an empty
+    scan list used to raise TypeError."""
+    pt = PartitionedTable(
+        spark, tempfile.mkdtemp(prefix="pt_empty_"), partition_col="grp"
+    )
+    pt.overwrite(
+        spark.createDataFrame([(1, "a", 10)], "id int, grp string, v int")
+    )
+    # publish an empty-partition version (the state a key-draining upsert
+    # leaves behind)
+    pt._publish({}, commit_id=1)
+
+    empty = pt.read()
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "grp", "v"}
+
+    # index write over the empty state succeeds and is readable
+    pt.build_index(["id"])
+    idx = pt._read_index(pt.history()[-1]["version"])
+    assert idx is not None
+    assert idx.count() == 0
+    assert set(idx.columns) == {"id", "__part"}
