@@ -2557,11 +2557,70 @@ def q22_global_sales_opportunity(spark, sf_dir):
     )
 
 
-@register("embedding_ann_ivf_topk", oracle=None, tags=("similarity", "extension"))
+def _l2_sql(a: str, b: str, dim: int = 64) -> str:
+    """Explicit left-associated sum of squared differences — replays
+    Spark's ``aggregate(zip_with(e, ce, (x,y)->(x-y)*(x-y)), 0.0, +)``
+    sequential fold bit-for-bit in DuckDB (SQL ``+`` is left-assoc, the
+    0.0 seed is exact for non-negative terms), without leaning on
+    ``list_dot_product``'s fold order for the distance."""
+    terms = [
+        f"(({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}]))" for i in range(1, dim + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# IVF at refine_iters=0 is fully deterministic: seed centroids are the
+# first n_centroids vectors by id and assignment is argmin sequential-fold
+# L2 (ties broken by cell id) — so the whole pipeline, not just the final
+# rescore, replays exactly in DuckDB.
+_SQL_IVF_TOPK = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    cents AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_l2_sql('e.v', 'c.cv')}, c.cell) AS rn
+        FROM e CROSS JOIN cents c) t
+      WHERE rn = 1),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_l2_sql('q.v', 'c.cv')}, c.cell) AS rn
+        FROM e q CROSS JOIN cents c WHERE q.vec_id < 10) t
+      WHERE rn <= 4),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN asg a ON a.cell = p.cell
+      WHERE p.query_id <> a.vec_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY cand.query_id
+               ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+                        cand.neighbor_id) AS INTEGER) AS rank
+      FROM cand
+      JOIN n q ON q.vec_id = cand.query_id
+      JOIN n c ON c.vec_id = cand.neighbor_id) t
+    WHERE rank <= 5
+    """
+
+
+@register(
+    "embedding_ann_ivf_topk", oracle=_SQL_IVF_TOPK, tags=("similarity", "extension")
+)
 def q_embedding_ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k (coarse quantizer + nprobe cells + exact
-    rescore) — the inverted-file ANN pattern beside the LSH one
-    (rows-only: approximate by construction)."""
+    rescore) — the inverted-file ANN pattern beside the LSH one. EXACT
+    oracle at refine_iters=0: centroids are the first 16 vectors by id,
+    assignment/probing replay as argmin over an explicit left-assoc
+    squared-difference sum (_l2_sql), rescore via list_dot_product —
+    the same cross-engine fold convention as the LSH oracles."""
     from .operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
