@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import shingle_expr
+from .similarity import DEFAULT_MAX_BUCKET_SIZE
 from .text import tokens_expr
 
 
@@ -97,7 +98,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     bands: int = 4,
-    max_bucket_size: int | None = 10_000,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands, bucket by the
     band digest, emit distinct candidate pairs (a < b) sharing any bucket.

@@ -1,17 +1,23 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two paths:
+Three paths:
 * ``cosine_topk`` — exact brute-force top-k: the correctness baseline and
   the right choice when the query set is small (broadcast queries, one
   scan of the corpus, per-partition top-k then global top-k).
-* ``lsh_ann_pairs`` / ``lsh_ann_topk`` — random-hyperplane LSH: the scale
-  path. Signatures are per-row maps; candidate generation shuffles on the
-  bucket key only. Recall < 1 by construction (approximate).
-
-Dot products use built-in ``zip_with``+``aggregate`` (sequential double
-fold) — bit-identical to DuckDB's ``list_dot_product``, which keeps exact
-oracles possible. For very wide vectors a Pandas-UDF BLAS path wins; the
-plumbing is the same.
+* ``lsh_ann_pairs`` / ``lsh_ann_topk`` — random-hyperplane LSH with
+  literal-plane sequential folds: the ORACLE-PARITY path. Dot products
+  use ``zip_with``+``aggregate`` (sequential double fold) — bit-identical
+  to DuckDB's ``list_dot_product``, which keeps exact oracles possible.
+  Caveat: higher-order functions are CodegenFallback in Spark (interpreted
+  per row, not whole-stage-codegen), and the plan embeds n_planes x dim
+  literal nodes — right for test dims (16x64), wrong for production dims.
+* ``lsh_ann_pairs_blas`` / ``hyperplane_band_keys_blas`` — the PRODUCTION
+  path for wide vectors / many planes: one BLAS matmul per Arrow batch
+  inside ``mapInPandas``; planes are regenerated from the seed on each
+  executor, so plan size is O(1) in (n_planes, dim). Same banding, same
+  bucket-join, same cap — only signature computation differs (matmul
+  accumulation order != sequential fold, so near-zero dots may flip a
+  bit vs the literal path: rows-only checked, not oracle-exact).
 """
 
 from __future__ import annotations
@@ -90,10 +96,17 @@ def hyperplane_signatures(
 
     Pure column expressions: each sign bit is a sequential
     ``zip_with``+``aggregate`` double fold against a literal plane array —
-    zero Python in the hot path, whole-stage codegen, and IEEE-exact
-    left-to-right accumulation that DuckDB's ``list_dot_product`` replays
-    bit-identically (see ``signature_sql``), making LSH output
-    oracle-checkable despite the RNG-derived planes.
+    zero Python in the hot path, and IEEE-exact left-to-right accumulation
+    that DuckDB's ``list_dot_product`` replays bit-identically (see
+    ``signature_sql``), making LSH output oracle-checkable despite the
+    RNG-derived planes.
+
+    Scale caveats (why this is the oracle path, not the production path):
+    higher-order functions (``zip_with``/``aggregate``) are CodegenFallback
+    in Spark — evaluated interpreted, outside whole-stage codegen — and the
+    plan carries n_planes x dim literal expression nodes (100k+ at 128
+    planes x 768 dims: a driver-side planning bottleneck). For production
+    dims use ``hyperplane_band_keys_blas`` / ``lsh_ann_pairs_blas``.
     """
     planes = hyperplane_matrix(n_planes, dim, seed)
     e = F.col(vec_col).cast("array<double>")
@@ -130,6 +143,12 @@ def signature_sql(
             f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+# single source of truth for the LSH bucket cap — interpolated into the
+# DuckDB oracle SQL strings (queries.py) AND used as the operator default,
+# so changing it cannot silently desynchronize oracle and engine
+DEFAULT_MAX_BUCKET_SIZE = 10_000
 
 
 def cap_buckets(
@@ -174,7 +193,7 @@ def lsh_ann_pairs(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_bucket_size: int | None = 10_000,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Approximate near-neighbor candidate pairs: band the hyperplane
     signature, self-join on (band, band-bits). Sub-quadratic: the shuffle
@@ -219,7 +238,7 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multi_probe: bool = False,
-    max_bucket_size: int | None = 10_000,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Approximate top-k: restrict exact cosine scoring to LSH bucket
     co-occupants of each query. The IVF-style pattern: probe buckets, score
@@ -282,6 +301,132 @@ def lsh_ann_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def recommended_lsh_params(
+    corpus_size: int,
+    bands: int = 8,
+    target_bucket_size: int = 1_000,
+    min_bits: int = 4,
+    max_bits: int = 62,
+) -> dict:
+    """Corpus-size-aware LSH parameterization. With random sign bits a
+    band key spreads the corpus over ~2^bits buckets, so expected bucket
+    size is corpus_size / 2^bits: bits = ceil(log2(corpus / target)).
+
+    Why this matters at 100 TB: the test-default 4-bit band keys give only
+    16 buckets per band — past ~10^5 vectors EVERY bucket exceeds a 10k
+    cap and the capped pipeline silently returns zero candidates. At 10^9
+    vectors with target 1k this picks 20-bit keys (~1M buckets/band,
+    n_planes = bands x 20 = 160 — BLAS-path territory)."""
+    import math
+
+    bits = math.ceil(math.log2(max(2, corpus_size) / target_bucket_size))
+    bits = max(min_bits, min(max_bits, bits))
+    return {
+        "n_planes": bands * bits,
+        "bands": bands,
+        "bits_per_band": bits,
+        "expected_bucket_size": corpus_size / (1 << bits),
+    }
+
+
+def hyperplane_band_keys_blas(
+    emb: DataFrame,
+    n_planes: int = 64,
+    bands: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production-dim hyperplane band keys: one BLAS matmul per Arrow
+    batch instead of n_planes literal-array folds.
+
+    Returns (id, band, key) — the same bucket shape the literal path
+    bands into, computed as ``sign(V @ P)`` over the whole batch matrix.
+    The planes are REGENERATED from the seed inside each task (numpy
+    RandomState is deterministic cross-platform), so the Spark plan
+    carries zero plane literals: plan size is O(1) in (n_planes, dim)
+    where the literal-fold path is O(n_planes x dim) expression nodes —
+    the difference between planning milliseconds and planning minutes at
+    128 planes x 768+ dims. Matmul accumulation order differs from the
+    sequential fold, so near-zero dots may land in a different bucket
+    than the literal path: this is the rows-only production path, while
+    the literal path keeps oracle parity at test dims.
+
+    Scale: mapInPandas is a scan-speed map (no shuffle); the banded
+    explode that follows is JVM-side posexplode.
+    """
+    if n_planes % bands:
+        raise ValueError("n_planes must be divisible by bands")
+    bits_per_band = n_planes // bands
+    if bits_per_band > 62:
+        raise ValueError("band key must fit in a signed 64-bit int")
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_field = emb.schema[id_col]
+    schema = T.StructType(
+        [id_field, T.StructField("keys", T.ArrayType(T.LongType()))]
+    )
+
+    def make_keys(batches):
+        planes = None
+        weights = 1 << np.arange(bits_per_band, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if planes is None:
+                planes = hyperplane_matrix(n_planes, V.shape[1], seed)
+            bits = (V @ planes) > 0  # (n, n_planes) — ONE gemm per batch
+            keys = np.empty((len(pdf), bands), dtype=np.int64)
+            for b in range(bands):
+                keys[:, b] = (
+                    bits[:, b * bits_per_band : (b + 1) * bits_per_band]
+                    @ weights
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "keys": list(keys)})
+
+    return (
+        emb.select(id_col, vec_col)
+        .mapInPandas(make_keys, schema)
+        .select(F.col(id_col), F.posexplode("keys").alias("band", "key"))
+    )
+
+
+def lsh_ann_pairs_blas(
+    emb: DataFrame,
+    n_planes: int = 64,
+    bands: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """ANN candidate pairs on the BLAS signature path — identical banding,
+    bucket cap, and self-join to ``lsh_ann_pairs``; only the signature
+    computation differs (see ``hyperplane_band_keys_blas``). This is the
+    default to reach for past ~10^5 vectors or ~128 dims; pick parameters
+    with ``recommended_lsh_params``."""
+    buckets = cap_buckets(
+        hyperplane_band_keys_blas(emb, n_planes, bands, seed, id_col, vec_col),
+        max_bucket_size,
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
     )
 
 

@@ -852,7 +852,12 @@ from .operators.multimodal import (  # noqa: E402
     extract_binary_features,
     sample_frames_stub,
 )
-from .operators.similarity import cosine_topk, lsh_ann_pairs, lsh_ann_topk  # noqa: E402
+from .operators.similarity import (  # noqa: E402
+    DEFAULT_MAX_BUCKET_SIZE,
+    cosine_topk,
+    lsh_ann_pairs,
+    lsh_ann_topk,
+)
 from .operators.text import (  # noqa: E402
     LANG_STOPWORDS,
     with_fingerprints,
@@ -915,7 +920,9 @@ def q_minhash_signatures(spark, sf_dir):
     return minhash_signatures(_t(spark, sf_dir, "documents"))
 
 
-_SQL_LSH_BANDS = _SQL_MINHASH + """,
+# bucket cap interpolated from the shared operator-default constant —
+# changing DEFAULT_MAX_BUCKET_SIZE keeps oracle and engine in lockstep
+_SQL_LSH_BANDS = _SQL_MINHASH + f""",
     bands0 AS (
       SELECT doc_id, 0 AS band, md5(concat_ws('_', h0, h1)) AS key FROM sig
       UNION ALL SELECT doc_id, 1, md5(concat_ws('_', h2, h3)) FROM sig
@@ -925,7 +932,7 @@ _SQL_LSH_BANDS = _SQL_MINHASH + """,
       SELECT doc_id, band, key FROM (
         SELECT doc_id, band, key, COUNT(*) OVER (PARTITION BY band, key) AS bsz
         FROM bands0) t
-      WHERE bsz <= 10000),
+      WHERE bsz <= {DEFAULT_MAX_BUCKET_SIZE}),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
@@ -1060,7 +1067,7 @@ _SQL_LSH_BUCKETS = (
     n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
     sig AS (SELECT vec_id, """
     + _signature_sql("v")
-    + """ AS signature FROM e),
+    + f""" AS signature FROM e),
     bands(band) AS (VALUES (0), (1), (2), (3)),
     buckets0 AS (
       SELECT vec_id, band, (signature >> (band * 4)) & 15 AS key
@@ -1070,7 +1077,7 @@ _SQL_LSH_BUCKETS = (
         SELECT vec_id, band, key,
                COUNT(*) OVER (PARTITION BY band, key) AS bsz
         FROM buckets0) t
-      WHERE bsz <= 10000)
+      WHERE bsz <= {DEFAULT_MAX_BUCKET_SIZE})
 """
 )
 
@@ -1130,6 +1137,32 @@ def q_embedding_ann_lsh_topk(spark, sf_dir):
     oracle via the literal-plane signature replay (signature_sql)."""
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, multi_probe=True)
+
+
+@register(
+    "embedding_ann_lsh_blas_pairs", oracle=None, tags=("similarity", "extension")
+)
+def q_embedding_ann_lsh_blas_pairs(spark, sf_dir):
+    """Production-dim ANN path: BLAS (one-matmul-per-Arrow-batch)
+    hyperplane band keys at n_planes=64 x 8 bands over a widened 256-dim
+    embedding — the parameterization recommended_lsh_params picks for
+    large corpora, where the literal-fold path's O(n_planes x dim) plan
+    would be a driver bottleneck. Rows-only: matmul accumulation order is
+    not the sequential fold, so bits near zero are not oracle-replayable
+    (the literal-fold queries above keep exact parity at test dims)."""
+    from .operators.similarity import lsh_ann_pairs_blas
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    # widen 64 -> 256 dims with rotations: permutations of the same vector
+    # stay unit-scale and decorrelate under independent random planes (a
+    # constant-shifted widening would point every vector the same way and
+    # collapse all rows into one bucket)
+    rot = lambda k: F.concat(F.slice(e, k + 1, 64 - k), F.slice(e, 1, k))  # noqa: E731
+    wide = emb.select(
+        "vec_id", F.concat(e, rot(16), rot(32), rot(48)).alias("embedding")
+    )
+    return lsh_ann_pairs_blas(wide, n_planes=64, bands=8)
 
 
 @register(

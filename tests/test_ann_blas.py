@@ -1,0 +1,134 @@
+"""Production-dim ANN path (BLAS band keys) + the cross-engine fold
+canary the literal-path oracles depend on."""
+
+import io
+import contextlib
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from emr_on_eks_hudi_iceberg_delta_spark.operators.similarity import (
+    DEFAULT_MAX_BUCKET_SIZE,
+    hyperplane_band_keys_blas,
+    hyperplane_signatures,
+    lsh_ann_pairs,
+    lsh_ann_pairs_blas,
+    recommended_lsh_params,
+    signature_sql,
+)
+from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_duckdb_fold_order_canary(spark):
+    """The LSH/IVF exact oracles assume DuckDB's list_dot_product is a
+    left-to-right non-FMA sequential fold — an empirical property of the
+    current DuckDB build. This canary compares Spark's literal-fold
+    signature against the DuckDB replay on real vectors so a DuckDB
+    upgrade that changes fold order fails HERE with a clear message, not
+    deep inside an oracle hash mismatch."""
+    emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 8)
+    got_spark = {
+        r["vec_id"]: r["signature"]
+        for r in hyperplane_signatures(emb).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet') WHERE vec_id < 8"
+    )
+    got_duck = dict(
+        con.execute(
+            "SELECT vec_id, "
+            + signature_sql("CAST(embedding AS DOUBLE[])")
+            + " FROM embeddings"
+        ).fetchall()
+    )
+    assert got_spark == got_duck, (
+        "DuckDB list_dot_product no longer replays Spark's sequential "
+        "zip_with+aggregate fold bit-for-bit (fold order or FMA change in "
+        "this DuckDB build?). The embedding_ann_lsh_* and "
+        "embedding_ann_ivf_topk exact oracles rest on this property — "
+        f"duckdb version: {duckdb.__version__}"
+    )
+
+
+def test_blas_band_keys_match_literal_fold(spark):
+    """At test dims the BLAS matmul and the sequential fold agree on every
+    sign bit for these embeddings (dots are far from zero), so the two
+    paths produce identical buckets — the structural guarantee that
+    swapping in the production path changes performance, not semantics."""
+    emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 200)
+    n_planes, bands = 16, 4
+    bpb = n_planes // bands
+
+    sig = hyperplane_signatures(emb, n_planes=n_planes)
+    literal = {
+        (r["vec_id"], b): (r["signature"] >> (b * bpb)) & ((1 << bpb) - 1)
+        for r in sig.collect()
+        for b in range(bands)
+    }
+    blas = {
+        (r["vec_id"], r["band"]): r["key"]
+        for r in hyperplane_band_keys_blas(
+            emb, n_planes=n_planes, bands=bands
+        ).collect()
+    }
+    assert blas == literal
+
+    # and therefore identical candidate pairs end-to-end
+    p_lit = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_ann_pairs(emb, n_planes=n_planes, bands=bands).collect()
+    }
+    p_blas = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_ann_pairs_blas(
+            emb, n_planes=n_planes, bands=bands
+        ).collect()
+    }
+    assert p_blas == p_lit
+
+
+def test_blas_plan_size_bounded_at_production_dims(spark):
+    """The point of the BLAS path: plan size is O(1) in (n_planes, dim).
+    At 128 planes x 256 dims the literal-fold path would embed ~33k
+    literal nodes; the BLAS plan must stay small and contain NO
+    higher-order aggregate folds (CodegenFallback) at all."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    wide = emb.select(
+        "vec_id",
+        F.flatten(F.array(e, F.reverse(e), e, F.reverse(e))).alias("embedding"),
+    )
+    keys = hyperplane_band_keys_blas(wide, n_planes=128, bands=16)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        keys.explain(True)
+    plan = buf.getvalue()
+    assert len(plan) < 20_000, (
+        f"BLAS band-key plan grew to {len(plan)} chars — plane literals "
+        "leaking into the plan?"
+    )
+    assert "aggregate(" not in plan  # no interpreted higher-order folds
+
+    # and it actually runs at those parameters
+    rows = keys.limit(64).collect()
+    assert {r["band"] for r in rows} <= set(range(16))
+    assert all(0 <= r["key"] < (1 << 8) for r in rows)
+
+
+def test_recommended_lsh_params_scales_with_corpus():
+    """Band-key width must grow with the corpus: 4-bit keys (16 buckets)
+    collapse past ~10^5 vectors under a 10k cap."""
+    small = recommended_lsh_params(10_000)
+    big = recommended_lsh_params(1_000_000_000)
+    assert small["bits_per_band"] == 4  # floor keeps test-dim defaults
+    assert big["bits_per_band"] == 20
+    assert big["n_planes"] == 8 * 20
+    assert big["expected_bucket_size"] < DEFAULT_MAX_BUCKET_SIZE
+    with pytest.raises(ValueError):
+        hyperplane_band_keys_blas(None, n_planes=63, bands=8)
