@@ -4,11 +4,18 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line:
 
     {"metric": "bench_total_sec", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": "..."}
+     "queries": {name: sec, ...}, "sf": "...", "iters": K,
+     "round_totals": [...]}
 
 Each query is fully materialized through the ``noop`` sink (computes every
 output column — ``count()`` would let Catalyst prune the work away).
-"""
+
+Per-query times are MEDIANS over $SPARK_GRAFT_BENCH_ITERS rounds (default
+5), run round-robin so environment drift spreads evenly across queries
+instead of biasing whichever ran last; ``value`` is the sum of medians and
+``round_totals`` exposes the raw per-round spread (rounds 1-3 totals drifted
+9.95 -> 10.19 -> 10.90 s on IDENTICAL query code — single-shot timings were
+the problem, not the plans)."""
 
 from __future__ import annotations
 
@@ -24,6 +31,7 @@ from emr_on_eks_hudi_iceberg_delta_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
 
 
 def materialize(df) -> None:
@@ -47,12 +55,21 @@ def main() -> None:
     for name in bench_queries:
         materialize(REGISTRY[name].fn(spark, SF_DIR))
 
-    timings: dict[str, float] = {}
-    for name in bench_queries:
-        t0 = time.perf_counter()
-        materialize(REGISTRY[name].fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    from statistics import median
 
+    samples: dict[str, list[float]] = {n: [] for n in bench_queries}
+    round_totals: list[float] = []
+    for _ in range(ITERS):
+        rt = 0.0
+        for name in bench_queries:
+            t0 = time.perf_counter()
+            materialize(REGISTRY[name].fn(spark, SF_DIR))
+            dt = time.perf_counter() - t0
+            samples[name].append(dt)
+            rt += dt
+        round_totals.append(round(rt, 3))
+
+    timings = {n: round(median(ts), 3) for n, ts in samples.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -62,6 +79,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                "iters": ITERS,
+                "round_totals": round_totals,
             }
         )
     )
