@@ -4314,3 +4314,26 @@ def q_table_deferred_delete(spark, sf_dir):
         "o_orderstatus = 'F' AND o_totalprice < 100000", key_cols=["o_orderkey"]
     )
     return vt.read().select(*cols)
+
+
+@register(
+    "positional_delete_vectors",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
+    """,
+    tags=("S2", "extension", "lake"),
+)
+def q_positional_delete_vectors(spark, sf_dir):
+    """POSITIONAL merge-on-read DELETE (the true Delta deletion-vector /
+    Iceberg positional-delete analog): tombstones are (file, row-index)
+    pairs from parquet's ``_metadata`` hidden column — no record key
+    required, O(matched rows) write cost, one broadcast anti-join at read
+    until compaction materializes. Must equal the plain CoW WHERE NOT."""
+    from .sources.tables import VersionedTable
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_pdv_"))
+    vt.overwrite(_t(spark, sf_dir, "orders").select(*cols))
+    vt.delete_where_positional("o_orderstatus = 'F' AND o_totalprice < 100000")
+    return vt.read().select(*cols)

@@ -548,11 +548,78 @@ class VersionedTable:
 
     def _apply_tombstones(self, df: DataFrame, snap: dict) -> DataFrame:
         """Anti-join any tombstone files recorded on the snapshot — the
-        read-side half of merge-on-read deletes."""
+        read-side half of merge-on-read deletes. Two flavors:
+        keyed (``tombstones``: record-key batches) and positional
+        (``dv``: (file, row-index) batches, Delta deletion-vector /
+        Iceberg positional-delete analog)."""
         for t in snap.get("tombstones", []):
             keys = self.spark.read.parquet(t["dir"])
             df = df.join(keys, on=t["key_cols"], how="left_anti")
+        dvs = snap.get("dv", [])
+        if dvs:
+            dv = self.spark.read.parquet(*[d["dir"] for d in dvs])
+            df = (
+                df.withColumn("__file", F.col("_metadata.file_path"))
+                .withColumn("__pos", F.col("_metadata.row_index"))
+                .join(F.broadcast(dv), on=["__file", "__pos"], how="left_anti")
+                .drop("__file", "__pos")
+            )
         return df
+
+    def delete_where_positional(self, condition) -> "VersionedTable":
+        """Positional merge-on-read DELETE — the true Delta deletion-vector
+        / Iceberg positional-delete analog: tombstones are (file,
+        row-index) pairs from the parquet ``_metadata`` hidden column, so
+        it works on tables with NO record key (the keyed variant,
+        ``delete_where_deferred``, needs one). Parquet files are immutable,
+        so (file_path, row_index) is a stable row id until a rewrite —
+        and any rewrite (``compact``/``overwrite``) materializes the
+        deletes first because ``read()`` applies them.
+
+        Write cost O(matched rows), zero data files rewritten; read cost
+        one broadcast anti-join on (file, pos) until compaction folds it.
+        SQL NULL semantics: only predicate-TRUE rows are deleted."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        hit = F.coalesce(cond.cast("boolean"), F.lit(False))
+        meta = self._meta()
+        snaps = meta["snapshots"]
+        if not snaps:
+            raise FileNotFoundError(f"no snapshot at {self.location}")
+        cur = self._current_snapshot(snaps)
+        version = self._next_version(snaps)
+        dv_dir = os.path.join(self.location, f"dv-{version:05d}")
+        # _metadata is only resolvable on the file-scan relation itself, so
+        # project (file, pos) FIRST, then replay the head's existing
+        # tombstones/DVs on top — already-deleted rows can't re-match, so
+        # re-deleting is a no-op, not a duplicate position
+        scan = self.spark.read.parquet(cur["dir"]).select(
+            "*",
+            F.col("_metadata.file_path").alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        for t in cur.get("tombstones", []):
+            keys = self.spark.read.parquet(t["dir"])
+            scan = scan.join(keys, on=t["key_cols"], how="left_anti")
+        dvs = cur.get("dv", [])
+        if dvs:
+            dv = self.spark.read.parquet(*[d["dir"] for d in dvs])
+            scan = scan.join(
+                F.broadcast(dv), on=["__file", "__pos"], how="left_anti"
+            )
+        scan.filter(hit).select("__file", "__pos").write.mode(
+            "overwrite"
+        ).parquet(dv_dir)
+        snaps.append(
+            {
+                "version": version,
+                "dir": cur["dir"],  # metadata-only commit: data files shared
+                "committed_at": time.time(),
+                "tombstones": cur.get("tombstones", []),
+                "dv": cur.get("dv", []) + [{"dir": dv_dir}],
+            }
+        )
+        self._write_meta(meta)
+        return self
 
     def delete_where_deferred(self, condition, key_cols: list[str]) -> "VersionedTable":
         """Merge-on-read DELETE (Delta deletion-vector / Hudi delete-log
@@ -730,7 +797,9 @@ class VersionedTable:
         if not snaps:
             return False
         fs = self.files()
-        n_tomb = len(self._current_snapshot(snaps).get("tombstones", []))
+        head = self._current_snapshot(snaps)
+        # keyed and positional tombstone batches both count as MoR debt
+        n_tomb = len(head.get("tombstones", [])) + len(head.get("dv", []))
         if len(fs) <= max_files and n_tomb <= max_tombstone_batches:
             return False
         total = sum(f["size_bytes"] for f in fs)

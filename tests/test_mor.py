@@ -68,3 +68,50 @@ def test_mor_precombine_tie_latest_log_wins(spark):
     for _ in range(3):
         assert [r["v"] for r in mor.read_realtime().collect()] == ["log2"]
     assert "__writer_seq" not in mor.read_realtime().columns
+
+
+def test_positional_deletion_vectors(spark):
+    """Positional (file, row-index) deletion vectors: batches chain, rows
+    already deleted never re-match, time travel sees pre-delete states,
+    and compaction materializes + clears the vectors. Works with NO
+    record key (the point vs delete_where_deferred)."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_pdv_"))
+    vt.overwrite(spark.range(100).toDF("id").repartition(4))
+
+    vt.delete_where_positional("id % 2 = 0")
+    assert vt.read().count() == 50
+    # no data file was rewritten: metadata-only commit shares the dir
+    h = vt.history()
+    assert h[-1]["dir"] == h[-2]["dir"]
+    assert len(h[-1]["dv"]) == 1
+
+    # second batch chains; overlap with batch 1 is a no-op, not a dup
+    vt.delete_where_positional("id < 20")
+    assert vt.read().count() == 40  # odd ids in [21, 99]
+    assert vt.read().agg(F.min("id")).collect()[0][0] == 21
+    assert len(vt.history()[-1]["dv"]) == 2
+
+    # time travel: each version reflects its own DV debt
+    assert vt.read(version=0).count() == 100
+    assert vt.read(version=1).count() == 50
+
+    # DV debt triggers auto_compact; the rewrite materializes the deletes
+    assert vt.auto_compact(max_files=10_000, max_tombstone_batches=1) is True
+    head = vt.history()[-1]
+    assert "dv" not in head and vt.read().count() == 40
+
+    # SQL NULL semantics: predicate-NULL rows are KEPT
+    vt2 = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_pdv2_"))
+    vt2.overwrite(
+        spark.range(10).toDF("id").withColumn(
+            "v", F.when(F.col("id") < 5, F.col("id"))
+        )
+    )
+    vt2.delete_where_positional("v > 2")  # only v=3,4 are TRUE
+    assert vt2.read().count() == 8
+
+    # read_pruned applies DVs too (stats computed on the published head)
+    vt.compute_stats(["id"])
+    assert vt.read_pruned([("id", ">=", 0)]).count() == 40
