@@ -158,6 +158,7 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 1,
+    persist_tf: bool = False,
 ) -> DataFrame:
     """Per-document top-k terms by TF-IDF — the corpus-level keyword/
     topic-signal extraction step of a training-data pipeline.
@@ -179,9 +180,11 @@ def tfidf_top_terms(
     Catalyst does not reuse the exchange across the differing aggregates.
     The skew-safe alternative (count() window over the term partition)
     would put every (doc, hot-term) row in one partition, which is worse at
-    corpus scale; production pipelines checkpoint/persist the tf relation
-    between the two aggregates instead, which callers can do around this
-    operator.
+    corpus scale. ``persist_tf=True`` caches the tf relation so both
+    aggregates read one materialization (both plan references share the
+    same InMemoryRelation; computed once, MEMORY_AND_DISK so wide corpora
+    spill instead of OOMing) — the production setting; the default stays
+    False so the single-pass oracle-checked plan is unchanged.
     """
     from pyspark.sql import Window
 
@@ -189,6 +192,10 @@ def tfidf_top_terms(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    if persist_tf:
+        from pyspark import StorageLevel
+
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.count(F.lit(1)).alias("__n_docs"))
     scored = (
@@ -284,6 +291,78 @@ def contamination_overlap(
             "contamination",
             F.col("n_contaminated").cast("double") / F.col("n_shingles"),
         )
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 4,
+    max_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level repeated-span removal — the scalable approximation of
+    exact-substring deduplication (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): boilerplate spans that recur across
+    many documents (headers, license blocks, templates) are cut from every
+    document while the surrounding unique text is kept.
+
+    Each document is segmented into non-overlapping ``span_tokens``-token
+    spans (position-tagged so order survives the shuffle); a corpus-wide
+    aggregate counts how many DISTINCT documents each span occurs in; spans
+    present in more than ``max_docs`` documents are dropped; the surviving
+    spans are reassembled in original order. Documents whose every span was
+    boilerplate come back with empty ``cleaned_text`` (not silently lost).
+
+    Scale: two shuffles on the span key (distinct + count) and one back on
+    the document id for reassembly — all key-partitioned, nothing collected
+    to the driver. The span-frequency table is NOT broadcast (it is
+    corpus-sized); the spans↔frequency join is a plain shuffle join on the
+    span hash. The window-over-span alternative would put every copy of a
+    hot boilerplate span in one partition — exactly the skew this shape
+    avoids. True suffix-array substring dedup is inherently sequential;
+    fixed-width span counting is the standard distributed approximation.
+
+    Returns ``(id_col, cleaned_text, n_spans, n_kept)``.
+    """
+    base = df.select(F.col(id_col), tokens_expr(text_col).alias("__toks")).withColumn(
+        "__nsp",
+        F.ceil(F.size("__toks") / F.lit(span_tokens)).cast("int"),
+    )
+    spans = base.filter(F.col("__nsp") > 0).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__nsp") - 1),
+                lambda i: F.array_join(
+                    F.slice("__toks", i * span_tokens + 1, span_tokens), " "
+                ),
+            )
+        ).alias("pos", "span"),
+    )
+    freq = (
+        spans.select("span", id_col)
+        .distinct()
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("span_docs"))
+    )
+    kept = spans.join(freq, on="span").filter(F.col("span_docs") <= max_docs)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("span")))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    return totals.join(rebuilt, on=id_col, how="left").select(
+        F.col(id_col),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        F.col("n_spans"),
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
     )
 
 

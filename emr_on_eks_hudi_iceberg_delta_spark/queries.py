@@ -4059,6 +4059,50 @@ def q_contamination_ngram_overlap(spark, sf_dir):
 
 
 @register(
+    "repeated_span_removal",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents),
+    ix AS (
+      SELECT doc_id, toks,
+             unnest(range(0, CAST(ceil(len(toks) / 4.0) AS BIGINT))) AS i
+      FROM tk),
+    sp AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(toks[i * 4 + 1 : i * 4 + 4], ' ') AS span
+      FROM ix),
+    freq AS (
+      SELECT span, count(DISTINCT doc_id) AS span_docs FROM sp GROUP BY span),
+    kept AS (
+      SELECT sp.doc_id, sp.pos, sp.span FROM sp JOIN freq USING (span)
+      WHERE span_docs <= 2),
+    reb AS (
+      SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS cleaned_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id)
+    SELECT tot.doc_id, coalesce(cleaned_text, '') AS cleaned_text,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+    FROM tot LEFT JOIN reb USING (doc_id)
+    """,
+    tags=("dedup", "extension", "corpus"),
+)
+def q_repeated_span_removal(spark, sf_dir):
+    """Corpus-level repeated-span removal (Lee et al. 2022 exact-substring
+    dedup, approximated by non-overlapping 4-token spans): spans occurring
+    in more than 2 distinct documents are boilerplate and get cut; each
+    document is reassembled from its surviving spans in original order.
+    Two span-key shuffles (distinct doc-frequency) + one doc-id shuffle to
+    reassemble — no broadcast of the corpus-sized frequency table, no skewed
+    window over hot spans."""
+    from .operators.text import remove_repeated_spans
+
+    return remove_repeated_spans(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "table_stats_pruned_read",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
