@@ -4304,6 +4304,81 @@ def q_higher_order_array_functions(spark, sf_dir):
 
 
 @register(
+    "map_column_functions",
+    oracle="""
+    WITH per AS (
+      SELECT c_mktsegment, CAST(c_nationkey AS VARCHAR) AS map_key,
+             count(*) AS cnt
+      FROM customer GROUP BY 1, 2),
+    tot AS (
+      SELECT c_mktsegment, CAST(SUM(cnt) AS BIGINT) AS total
+      FROM per GROUP BY 1),
+    big AS (
+      SELECT c_mktsegment, map_key, CAST(cnt * 2 AS BIGINT) AS map_value
+      FROM per WHERE cnt >= 10),
+    nbig AS (SELECT c_mktsegment, count(*) AS n_big FROM big GROUP BY 1),
+    un AS (
+      SELECT * FROM big
+      UNION ALL
+      SELECT c_mktsegment, '__total', total FROM tot)
+    SELECT un.c_mktsegment, map_key, map_value,
+           CAST(coalesce(n_big, 0) + 1 AS INT) AS n_keys
+    FROM un LEFT JOIN nbig USING (c_mktsegment)
+    """,
+    tags=("functions", "extension"),
+)
+def q_map_column_functions(spark, sf_dir):
+    """Map-typed column surface: per market segment, build a nationkey ->
+    customer-count map (map_from_entries over sorted collected entries),
+    then map_filter (keep counts >= 10), transform_values (double them),
+    map_concat (append a '__total' entry computed by aggregate() over
+    map_values of the ORIGINAL map), size(), and explode() back to rows.
+    All map lambdas are JVM-side; the exploded row output is what makes the
+    exact relational oracle possible (cross-engine map comparison is the
+    blocker QUERIES.md used to note — exploding sidesteps it). Per-segment
+    maps are nation-cardinality-sized (bounded metadata, not data), so
+    collect_list here is safe at any corpus scale."""
+    per = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m = per.groupBy("c_mktsegment").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("c_nationkey").cast("string").alias("k"),
+                        F.col("cnt").alias("v"),
+                    )
+                )
+            )
+        ).alias("m")
+    )
+    m = (
+        m.withColumn("m_big", F.map_filter("m", lambda _k, v: v >= 10))
+        .withColumn("m_scaled", F.transform_values("m_big", lambda _k, v: v * 2))
+        .withColumn(
+            "m_all",
+            F.map_concat(
+                "m_scaled",
+                F.create_map(
+                    F.lit("__total"),
+                    F.aggregate(
+                        F.map_values("m"), F.lit(0).cast("bigint"), lambda a, x: a + x
+                    ),
+                ),
+            ),
+        )
+    )
+    return m.select(
+        "c_mktsegment",
+        F.explode("m_all").alias("map_key", "map_value"),
+        F.size(F.col("m_all")).cast("int").alias("n_keys"),
+    )
+
+
+@register(
     "quality_gate_percentile",
     oracle="""
     WITH q AS (
