@@ -4132,6 +4132,44 @@ def q_table_stats_pruned_read(spark, sf_dir):
 
 
 @register(
+    "table_restore_vacuum",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'O'
+                THEN o_totalprice + CAST(10.0 AS DOUBLE)
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey <= 3000
+    """,
+    tags=("S2", "extension", "lake", "lifecycle"),
+)
+def q_table_restore_vacuum(spark, sf_dir):
+    """Rollback + retention lifecycle end-to-end (Delta RESTORE + VACUUM /
+    Hudi cleaner analog): load, legitimate UPDATE, then a bad DELETE that is
+    rolled back by ``restore`` — a roll-forward re-commit of the good
+    version, so history is never rewritten and concurrent readers of the
+    bad snapshot stay consistent — then ``vacuum(keep_last=2)`` reclaims
+    every pre-rollback snapshot's files. The final read must serve exactly
+    the post-UPDATE state (the oracle), proving vacuum never touches the
+    live snapshot's files."""
+    from .sources.tables import VersionedTable
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_life_"))
+    vt.overwrite(
+        _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000).select(*cols)
+    )
+    vt.update_where(
+        F.col("o_orderstatus") == "O",
+        {"o_totalprice": F.col("o_totalprice") + F.lit(10.0)},
+    )
+    good = vt.history()[-1]["version"]
+    vt.delete_where(F.col("o_orderkey") % 7 == 0)  # the bad write
+    vt.restore(good)  # roll-forward rollback
+    vt.vacuum(keep_last=2)  # reclaim everything before the rollback
+    return vt.read().select(*cols)
+
+
+@register(
     "embedding_quantize_int8",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
