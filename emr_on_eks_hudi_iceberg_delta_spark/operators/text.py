@@ -300,6 +300,7 @@ def remove_repeated_spans(
     text_col: str = "text",
     span_tokens: int = 4,
     max_docs: int = 2,
+    persist_spans: bool = False,
 ) -> DataFrame:
     """Corpus-level repeated-span removal — the scalable approximation of
     exact-substring deduplication (Lee et al. 2022, "Deduplicating Training
@@ -316,12 +317,19 @@ def remove_repeated_spans(
 
     Scale: two shuffles on the span key (distinct + count) and one back on
     the document id for reassembly — all key-partitioned, nothing collected
-    to the driver. The span-frequency table is NOT broadcast (it is
+    to the driver. The span-frequency table is NOT force-broadcast (it is
     corpus-sized); the spans↔frequency join is a plain shuffle join on the
-    span hash. The window-over-span alternative would put every copy of a
-    hot boilerplate span in one partition — exactly the skew this shape
-    avoids. True suffix-array substring dedup is inherently sequential;
-    fixed-width span counting is the standard distributed approximation.
+    span hash (AQE may still broadcast it at small scale). The
+    window-over-span alternative would put every copy of a hot boilerplate
+    span in one partition — exactly the skew this shape avoids. Per-doc
+    span totals come straight off the base scan (``ceil(size/span_tokens)``)
+    — no third explode of the corpus. The span relation is referenced twice
+    (frequency + reassembly); ``persist_spans=True`` caches it so the
+    corpus is tokenized once (MEMORY_AND_DISK — spills, never OOMs) — the
+    production setting, left off by default so the oracle-checked plan is
+    the pure single-pass one. True suffix-array substring dedup is
+    inherently sequential; fixed-width span counting is the standard
+    distributed approximation.
 
     Returns ``(id_col, cleaned_text, n_spans, n_kept)``.
     """
@@ -340,6 +348,10 @@ def remove_repeated_spans(
             )
         ).alias("pos", "span"),
     )
+    if persist_spans:
+        from pyspark import StorageLevel
+
+        spans = spans.persist(StorageLevel.MEMORY_AND_DISK)
     freq = (
         spans.select("span", id_col)
         .distinct()
@@ -357,7 +369,9 @@ def remove_repeated_spans(
         ).alias("cleaned_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    totals = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    totals = base.filter(F.col("__nsp") > 0).select(
+        F.col(id_col), F.col("__nsp").cast("bigint").alias("n_spans")
+    )
     return totals.join(rebuilt, on=id_col, how="left").select(
         F.col(id_col),
         F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
