@@ -280,3 +280,31 @@ def test_quality_gate_broadcasts_thresholds(spark):
     from emr_on_eks_hudi_iceberg_delta_spark.plans import formatted_plan
 
     assert "SortMergeJoin" not in formatted_plan(df)
+
+def test_map_functions_two_shuffles_pruned_scan(spark):
+    """map_column_functions: two aggregate exchanges (segment+nation, then
+    segment) and a scan pruned to exactly the two grouping columns — the
+    map construction itself is JVM lambdas on bounded per-segment state."""
+    df = REGISTRY["map_column_functions"].fn(spark, SF_DIR)
+    assert shuffle_count(df) == 2
+    (cols,) = scan_read_columns(df)
+    assert cols == {"c_mktsegment", "c_nationkey"}
+
+
+def test_repeated_span_removal_no_forced_broadcast(spark):
+    """repeated_span_removal: the span-frequency relation is corpus-sized,
+    so the operator must not FORCE a broadcast (AQE may still choose one at
+    tiny SF); span totals come off the base scan without a third explode."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.text import (
+        remove_repeated_spans,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
+
+    df = remove_repeated_spans(load_table(spark, SF_DIR, "documents"))
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # no ResolvedHint/broadcast hint in the logical plan (AQE physical
+    # broadcasts are fine and scale-dependent; a hard hint would not be)
+    assert "broadcast" not in plan.lower()
+    # exactly two Generate (posexplode) nodes: frequency + reassembly
+    # sides; the totals side must not re-explode
+    assert plan.count("Generate ") <= 2
