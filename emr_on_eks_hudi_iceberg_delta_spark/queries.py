@@ -4132,6 +4132,49 @@ def q_table_stats_pruned_read(spark, sf_dir):
 
 
 @register(
+    "binary_file_scan",
+    oracle="""
+    SELECT concat('doc_', lpad(CAST(doc_id AS VARCHAR), 6, '0'), '.bin')
+             AS file_name,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < 200
+    """,
+    tags=("S1", "sources", "extension", "multimodal"),
+)
+def q_binary_file_scan(spark, sf_dir):
+    """``binaryFile`` ingest — the entry point of the multimodal pipeline:
+    scan a directory of opaque payload files into (path, length, content)
+    rows, derive file name / byte size / content digest. The fixture stages
+    the first 200 documents as .bin files (driver-side, metadata-sized test
+    plumbing — production points the same reader at object storage);
+    pathGlobFilter prunes non-matching files at listing time. One file =
+    one task input, so the oracle-checked digest proves payload bytes
+    survive the source unmodified — the property every downstream decode
+    step (multimodal_decode_stub) relies on."""
+    import os
+
+    from .sources.formats import read_binary_files
+
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+        .collect()
+    )
+    d = tempfile.mkdtemp(prefix="binfiles_")
+    for r in rows:
+        with open(os.path.join(d, f"doc_{r['doc_id']:06d}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    bf = read_binary_files(spark, d, glob="*.bin")
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+@register(
     "table_restore_vacuum",
     oracle="""
     SELECT o_orderkey, o_orderstatus,

@@ -66,3 +66,25 @@ def read_json_lines(
             .json(path)
         )
     return spark.read.schema(schema).option("mode", mode).json(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """``binaryFile`` scan — Spark's in-box source for raw image/audio/
+    video/document payloads (the ingest edge of the multimodal pipeline,
+    operators/multimodal.py): one row per file with ``path``,
+    ``modificationTime``, ``length`` and the whole ``content`` as a binary
+    column.
+
+    Scale discipline: files are the split unit (one file = one task input —
+    the source cannot split inside a file), so shard collections into many
+    objects and lean on ``pathGlobFilter`` + partition-directory layout for
+    pruning; cap per-task memory via
+    ``spark.sql.sources.binaryFile.maxLength``. Decode happens AFTER this
+    scan in Arrow-batched mapInPandas (multimodal.decode_image_stub), never
+    in the source."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
