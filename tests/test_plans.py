@@ -308,3 +308,63 @@ def test_repeated_span_removal_no_forced_broadcast(spark):
     # exactly two Generate (posexplode) nodes: frequency + reassembly
     # sides; the totals side must not re-explode
     assert plan.count("Generate ") <= 2
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The runtime half of the skew story (operators/scale.py salting is
+    the manual half): with AQE skew-join on, a hot key whose partition
+    dwarfs the advisory size is split into parallel sub-partitions instead
+    of serializing one reducer — the mechanism that absorbs power-law keys
+    at 100 TB. Thresholds are lowered so the test corpus trips the same
+    code path production sizes would."""
+    keys = [
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    old = {}
+    for k in keys:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "131072"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = (
+            spark.range(0, 300_000)
+            .withColumn(
+                "k",
+                F.when(F.col("id") % 100 < 99, F.lit(0)).otherwise(
+                    F.col("id") % 1000
+                ),
+            )
+            .withColumn("pad", F.md5(F.col("id").cast("string")))
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k2"), F.md5(F.col("id").cast("string")).alias("val")
+        )
+        j = left.join(right, F.col("k") == F.col("k2"))
+        # execute j's own plan (count() would spawn a separate QueryExecution
+        # and leave this one un-finalized)
+        assert len(j.collect()) == 300_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
