@@ -279,6 +279,7 @@ class MergeIntoBuilder:
         self._matched_update: tuple[Column | None, dict[str, Column]] | None = None
         self._matched_delete: Column | None = None
         self._insert_all = False
+        self._insert_values: dict[str, Column] | None = None
         self._insert_cond: Column | None = None
         self._by_source_update: tuple[Column | None, dict[str, Column]] | None = None
         self._by_source_delete: Column | None = None
@@ -294,6 +295,17 @@ class MergeIntoBuilder:
 
     def when_not_matched_insert_all(self, condition: Column | None = None):
         self._insert_all = True
+        self._insert_cond = condition
+        return self
+
+    def when_not_matched_insert(
+        self, values: dict[str, Column], condition: Column | None = None
+    ):
+        """Delta ``whenNotMatchedInsert(values=...)`` surface — explicit
+        ``INSERT (cols) VALUES (exprs)``: each expression is evaluated over
+        the unmatched SOURCE row; target columns absent from ``values`` get
+        typed NULLs."""
+        self._insert_values = values
         self._insert_cond = condition
         return self
 
@@ -424,14 +436,24 @@ class MergeIntoBuilder:
                 )
             )
 
-        if self._insert_all:
+        if self._insert_all or self._insert_values is not None:
             ins = s.join(t, self.on, "left_anti")
             if self._insert_cond is not None:
                 ins = ins.filter(self._insert_cond)
-            scols = set(self.source.columns)
-            proj = [
-                (F.col(c) if c in scols else F.lit(None)).alias(c) for c in tcols
-            ]
+            if self._insert_values is not None:
+                proj = [
+                    (
+                        self._insert_values[c]
+                        if c in self._insert_values
+                        else F.lit(None)
+                    ).alias(c)
+                    for c in tcols
+                ]
+            else:
+                scols = set(self.source.columns)
+                proj = [
+                    (F.col(c) if c in scols else F.lit(None)).alias(c) for c in tcols
+                ]
             out = out.unionByName(ins.select(*proj))
         return out
 

@@ -728,6 +728,109 @@ def merge_into_generic(spark, sf_dir):
     )
 
 
+@register(
+    "merge_into_sql_star",
+    oracle="""
+    WITH src AS (
+      SELECT n_nationkey, n_name || '_u' AS n_name,
+             n_regionkey + 1 AS n_regionkey
+      FROM nation WHERE n_nationkey % 4 = 0
+      UNION ALL
+      SELECT n_nationkey + 200, n_name, n_regionkey
+      FROM nation WHERE n_nationkey % 5 = 0)
+    SELECT t.n_nationkey,
+           CASE WHEN s.n_nationkey IS NOT NULL THEN s.n_name
+                ELSE t.n_name END AS n_name,
+           CASE WHEN s.n_nationkey IS NOT NULL THEN s.n_regionkey
+                ELSE t.n_regionkey END AS n_regionkey
+    FROM nation t LEFT JOIN src s USING (n_nationkey)
+    UNION ALL
+    SELECT s.n_nationkey, s.n_name, s.n_regionkey FROM src s
+    WHERE NOT EXISTS
+      (SELECT 1 FROM nation t WHERE t.n_nationkey = s.n_nationkey)
+    """,
+    tags=("S10", "S11", "extension"),
+)
+def q_merge_into_sql_star(spark, sf_dir):
+    """SQL MERGE front-end replaying the reference's Iceberg statement
+    shape verbatim (iceberg_scd_script.py:76-82 — ``USING (<subquery>) src
+    ... UPDATE SET * ... INSERT *``): parsed by operators/merge_sql.py and
+    lowered onto the oracle-proven MergeIntoBuilder join decomposition, so
+    a reference user's MERGE string runs unchanged on plain DataFrames."""
+    from .operators.merge_sql import merge_into_sql
+
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    n.createOrReplaceTempView("merge_sql_nation")
+    return merge_into_sql(
+        spark,
+        """
+        MERGE INTO merge_sql_nation tgt
+        USING (SELECT n_nationkey, n_name || '_u' AS n_name,
+                      n_regionkey + 1 AS n_regionkey
+               FROM merge_sql_nation WHERE n_nationkey % 4 = 0
+               UNION ALL
+               SELECT n_nationkey + 200, n_name, n_regionkey
+               FROM merge_sql_nation WHERE n_nationkey % 5 = 0) src
+        ON tgt.n_nationkey = src.n_nationkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+    )
+
+
+@register(
+    "merge_into_sql_conditional",
+    oracle="""
+    WITH src AS (
+      SELECT n_nationkey, n_name, (n_regionkey + 2) % 5 AS n_regionkey
+      FROM nation WHERE n_nationkey % 3 = 0
+      UNION ALL
+      SELECT n_nationkey + 300, n_name, n_regionkey
+      FROM nation WHERE n_nationkey % 7 = 0)
+    SELECT t.n_nationkey, t.n_name,
+           CASE WHEN s.n_nationkey IS NOT NULL
+                     AND s.n_regionkey <> t.n_regionkey
+                THEN s.n_regionkey ELSE t.n_regionkey END AS n_regionkey
+    FROM nation t LEFT JOIN src s USING (n_nationkey)
+    UNION ALL
+    SELECT s.n_nationkey, lower(s.n_name) AS n_name, s.n_regionkey
+    FROM src s
+    WHERE NOT EXISTS
+      (SELECT 1 FROM nation t WHERE t.n_nationkey = s.n_nationkey)
+    """,
+    tags=("S11", "extension"),
+)
+def q_merge_into_sql_conditional(spark, sf_dir):
+    """SQL MERGE front-end, Delta statement shape
+    (delta_scd_script.py:89-95 — conditional ``WHEN MATCHED AND <cond>
+    THEN UPDATE SET col = expr``) plus the explicit
+    ``INSERT (cols) VALUES (exprs)`` surface: insert expressions evaluate
+    over the unmatched source row (lower() here), matched rows update only
+    when the condition holds."""
+    from .operators.merge_sql import merge_into_sql
+
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    n.createOrReplaceTempView("merge_sql_nation2")
+    return merge_into_sql(
+        spark,
+        """
+        MERGE INTO merge_sql_nation2 tgt
+        USING (SELECT n_nationkey, n_name,
+                      (n_regionkey + 2) % 5 AS n_regionkey
+               FROM merge_sql_nation2 WHERE n_nationkey % 3 = 0
+               UNION ALL
+               SELECT n_nationkey + 300, n_name, n_regionkey
+               FROM merge_sql_nation2 WHERE n_nationkey % 7 = 0) src
+        ON tgt.n_nationkey = src.n_nationkey
+        WHEN MATCHED AND src.n_regionkey <> tgt.n_regionkey
+          THEN UPDATE SET n_regionkey = src.n_regionkey
+        WHEN NOT MATCHED THEN
+          INSERT (n_nationkey, n_name, n_regionkey)
+          VALUES (src.n_nationkey, lower(src.n_name), src.n_regionkey)
+        """,
+    )
+
+
 # --------------------------------------------------------------------------
 # Event-time queries (batch equivalents of the streaming module — §2.9 is
 # empty in the reference; these are the capability extension)

@@ -1,0 +1,193 @@
+"""SQL MERGE INTO front-end: grammar pins + execution equivalence with the
+programmatic MergeIntoBuilder (which is itself oracle-proven)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from emr_on_eks_hudi_iceberg_delta_spark.operators.merge import MergeIntoBuilder
+from emr_on_eks_hudi_iceberg_delta_spark.operators.merge_sql import (
+    merge_into_sql,
+    parse_merge,
+)
+
+# ----------------------------------------------------------------- parser
+
+
+def test_parse_reference_iceberg_shape():
+    # iceberg/iceberg_scd_script.py:76-82 verbatim structure
+    spec = parse_merge("""
+        MERGE INTO glue_catalog.default.iceberg_contact tgt
+        USING (SELECT * FROM updates WHERE checksum IS NOT NULL) src
+        ON tgt.id = src.id
+        AND tgt.checksum = src.checksum
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert spec["target"] == "glue_catalog.default.iceberg_contact"
+    assert spec["target_alias"] == "tgt" and spec["source_alias"] == "src"
+    assert spec["source_sql"].startswith("SELECT * FROM updates")
+    assert "tgt.checksum = src.checksum" in spec["on"]
+    assert [c["kind"] for c in spec["clauses"]] == ["MATCHED", "NOT MATCHED"]
+    assert spec["clauses"][0]["action"] == "UPDATE SET *"
+
+
+def test_parse_reference_delta_shape():
+    # delta/delta_scd_script.py:89-95 verbatim structure
+    spec = parse_merge("""
+        MERGE INTO delta_table_contact tgt
+        USING (SELECT * FROM u) src
+        ON tgt.id = src.mergeKey
+        WHEN MATCHED AND src.checksum != tgt.checksum AND tgt.iscurrent = 1
+          THEN UPDATE SET valid_to = src.valid_from, iscurrent = 0
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    cl = spec["clauses"][0]
+    assert cl["kind"] == "MATCHED"
+    assert "src.checksum != tgt.checksum" in cl["condition"]
+    assert cl["action"].startswith("UPDATE SET valid_to")
+
+
+def test_parse_keywords_inside_subquery_are_ignored():
+    # ON / WHEN / USING inside the source subquery must not split the
+    # statement — only top-level keywords count
+    spec = parse_merge("""
+        MERGE INTO t
+        USING (SELECT a, CASE WHEN b ON_ERROR THEN 1 END AS c
+               FROM x JOIN y ON x.k = y.k) s
+        ON t.a = s.a
+        WHEN NOT MATCHED THEN INSERT *
+    """.replace("ON_ERROR", "> 0"))
+    assert spec["source_sql"].count("JOIN") == 1
+    assert spec["on"] == "t.a = s.a"
+
+
+@pytest.mark.parametrize(
+    "sql,msg",
+    [
+        ("SELECT 1", "must start with MERGE INTO"),
+        ("MERGE INTO t USING s ON t.k = s.k", "WHEN clause is required"),
+        (
+            "MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN TRUNCATE",
+            "unsupported action",
+        ),
+        (
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN MATCHED THEN DELETE WHEN MATCHED THEN UPDATE SET a = 1",
+            "must precede matched DELETE",
+        ),
+        (
+            "MERGE INTO t USING s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (a, b) VALUES (1)",
+            "2 columns but 1 values",
+        ),
+    ],
+)
+def test_parse_rejects_out_of_subset(spark, sql, msg):
+    with pytest.raises(ValueError, match=msg):
+        spec_or_df = merge_into_sql(
+            spark, sql, tables={"t": spark.range(1), "s": spark.range(1)}
+        )
+
+
+# ------------------------------------------------------------- execution
+
+
+def _nation_fixture(spark):
+    t = spark.createDataFrame(
+        [(1, "alpha", 10), (2, "beta", 20), (3, "gamma", 30)],
+        ["k", "name", "v"],
+    )
+    s = spark.createDataFrame(
+        [(2, "BETA", 21), (4, "delta", 40)], ["k", "name", "v"]
+    )
+    return t, s
+
+
+def test_sql_update_star_insert_star_matches_builder(spark):
+    t, s = _nation_fixture(spark)
+    got = merge_into_sql(
+        spark,
+        """MERGE INTO tgt USING src ON tgt.k = src.k
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+        tables={"tgt": t, "src": s},
+    )
+    want = (
+        MergeIntoBuilder(t, s, F.expr("t.k = s.k"))
+        .when_matched_update(set={c: F.col(f"s.{c}") for c in t.columns})
+        .when_not_matched_insert_all()
+        .execute()
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    rows = dict((r["k"], (r["name"], r["v"])) for r in got.collect())
+    assert rows == {
+        1: ("alpha", 10),
+        2: ("BETA", 21),
+        3: ("gamma", 30),
+        4: ("delta", 40),
+    }
+
+
+def test_sql_conditional_update_and_explicit_insert(spark):
+    t, s = _nation_fixture(spark)
+    got = merge_into_sql(
+        spark,
+        """MERGE INTO tgt USING src ON tgt.k = src.k
+           WHEN MATCHED AND src.v <> tgt.v THEN UPDATE SET v = src.v
+           WHEN NOT MATCHED THEN
+             INSERT (k, name, v) VALUES (src.k, lower(src.name), src.v + 1)""",
+        tables={"tgt": t, "src": s},
+    )
+    rows = dict((r["k"], (r["name"], r["v"])) for r in got.collect())
+    # matched conditional update keeps the target name, takes the new v;
+    # explicit insert evaluates expressions over the source row
+    assert rows == {
+        1: ("alpha", 10),
+        2: ("beta", 21),
+        3: ("gamma", 30),
+        4: ("delta", 41),
+    }
+
+
+def test_sql_full_sync_by_source(spark):
+    t, s = _nation_fixture(spark)
+    got = merge_into_sql(
+        spark,
+        """MERGE INTO tgt USING src ON tgt.k = src.k
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *
+           WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+        tables={"tgt": t, "src": s},
+    )
+    assert sorted(r["k"] for r in got.collect()) == [2, 4]
+
+
+def test_sql_subquery_source_and_views(spark):
+    t, s = _nation_fixture(spark)
+    s.createOrReplaceTempView("merge_sql_updates")
+    t.createOrReplaceTempView("merge_sql_target")
+    got = merge_into_sql(
+        spark,
+        """MERGE INTO merge_sql_target tgt
+           USING (SELECT k, upper(name) AS name, v
+                  FROM merge_sql_updates WHERE v < 30) src
+           ON tgt.k = src.k
+           WHEN MATCHED THEN UPDATE SET name = src.name
+           WHEN NOT MATCHED THEN INSERT *""",
+        tables={},
+    )
+    rows = dict((r["k"], r["name"]) for r in got.collect())
+    assert rows == {1: "alpha", 2: "BETA", 3: "gamma"}
+
+
+def test_sql_cardinality_check_fires(spark):
+    t = spark.createDataFrame([(1, "a")], ["k", "name"])
+    s = spark.createDataFrame([(1, "x"), (1, "y")], ["k", "name"])
+    df = merge_into_sql(
+        spark,
+        """MERGE INTO tgt USING src ON tgt.k = src.k
+           WHEN MATCHED THEN UPDATE SET *""",
+        tables={"tgt": t, "src": s},
+    )
+    with pytest.raises(Exception, match="multiple source rows"):
+        df.collect()
