@@ -135,3 +135,104 @@ def test_scd2_delta_keeps_reverted_history_row(spark):
     assert rows[0]["email"] == "A@x.com" and rows[0]["valid_to"].isoformat() == "2024-02-01T00:00:00"
     assert rows[1]["email"] == "B@x.com" and rows[1]["valid_to"].isoformat() == "2024-03-01T00:00:00"
     assert rows[2]["email"] == "A@x.com" and rows[2]["valid_to"] is None
+
+
+# ---------------------------------------------------------------------------
+# The reference's OWN MERGE statements, replayed through the SQL front-end
+# (operators/merge_sql.py) — text verbatim up to catalog names and the
+# engine's TIMESTAMP_NTZ convention. Proves a reference user's statements
+# run unchanged and still converge to the golden invariant.
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_delta_via_reference_sql(spark, batches):
+    """delta/delta_scd_script.py:66-95 — NULL-mergeKey dual-row source +
+    conditional expire UPDATE + INSERT *."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.merge_sql import (
+        merge_into_sql,
+    )
+
+    initial, update = batches
+    with_scd2_columns(
+        initial, CHECKSUM_COLS, as_of=T1, include_ts=False
+    ).createOrReplaceTempView("delta_table_contact")
+    with_scd2_columns(
+        update, CHECKSUM_COLS, as_of=T2, include_ts=False
+    ).createOrReplaceTempView("staged_update")
+    contact_update_qry = """
+        SELECT NULL AS mergeKey, source.*
+        FROM delta_table_contact AS target
+        INNER JOIN staged_update as source
+        ON target.id = source.id
+        WHERE target.checksum != source.checksum
+          AND target.iscurrent = 1
+      UNION
+        SELECT id AS mergeKey, *
+        FROM staged_update
+    """
+    result = merge_into_sql(
+        spark,
+        f"""
+        MERGE INTO delta_table_contact tgt
+        USING ({contact_update_qry}) src
+        ON tgt.id = src.mergeKey
+        WHEN MATCHED AND src.checksum != tgt.checksum AND tgt.iscurrent = 1
+          THEN UPDATE SET valid_to = src.valid_from, iscurrent = 0
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+    )
+    _assert_invariant(result)
+    # unchanged current rows pass through with their original T1 envelope
+    row = result.filter((F.col("iscurrent") == 1) & (F.col("id") == 500)).collect()[0]
+    assert row["valid_from"].isoformat() == "2024-01-01T00:00:00"
+
+
+def test_scd2_iceberg_via_reference_sql(spark, batches):
+    """iceberg/iceberg_scd_script.py:54-82 — union + LEAD window source,
+    compound (id, checksum) merge key, UPDATE SET * / INSERT *."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.merge_sql import (
+        merge_into_sql,
+    )
+
+    initial, update = batches
+    with_scd2_columns(
+        initial, CHECKSUM_COLS, as_of=T1, include_ts=True
+    ).createOrReplaceTempView("iceberg_contact")
+    with_scd2_columns(
+        update, CHECKSUM_COLS, as_of=T2, include_ts=True
+    ).createOrReplaceTempView("iceberg_contact_update")
+    contact_update_qry = """
+        WITH contact_to_update AS (
+              SELECT target.*
+              FROM iceberg_contact AS target
+              JOIN iceberg_contact_update AS source
+              ON target.id = source.id
+              WHERE target.checksum != source.checksum
+                AND target.iscurrent = 1
+            UNION
+              SELECT * FROM iceberg_contact_update
+        ),contact_updated AS (
+            SELECT *, LEAD(valid_from) OVER (PARTITION BY id ORDER BY valid_from) AS eff_from
+            FROM contact_to_update
+        )
+        SELECT id,name,email,state,ts,valid_from,
+            CAST(COALESCE(eff_from, null) AS TIMESTAMP_NTZ) AS valid_to,
+            CASE WHEN eff_from IS NULL THEN 1 ELSE 0 END AS iscurrent,
+            checksum
+        FROM contact_updated
+    """
+    result = merge_into_sql(
+        spark,
+        f"""
+        MERGE INTO iceberg_contact tgt
+        USING ({contact_update_qry}) src
+        ON tgt.id = src.id
+        AND tgt.checksum = src.checksum
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+    )
+    _assert_invariant(result)
+    # hudi/iceberg variants rewrite unchanged rows at T2
+    row = result.filter((F.col("iscurrent") == 1) & (F.col("id") == 500)).collect()[0]
+    assert row["valid_from"].isoformat() == "2024-02-01T00:00:00"
