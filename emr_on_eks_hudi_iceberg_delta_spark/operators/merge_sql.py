@@ -214,7 +214,14 @@ def parse_merge(sql: str) -> dict:
         source_sql = None
         source_name, salias = _ident_and_alias(using_frag, "source")
 
-    when_pos = _top_positions(after_on, "WHEN")
+    # a clause-opening WHEN is followed by MATCHED / NOT MATCHED — this is
+    # what keeps an unparenthesized CASE WHEN inside the ON condition (or a
+    # clause condition) from splitting the statement early
+    when_pos = [
+        p
+        for p in _top_positions(after_on, "WHEN")
+        if re.match(r"\s*(NOT\s+)?MATCHED\b", after_on[p + 4 :], re.I)
+    ]
     if not when_pos:
         raise ValueError("MERGE: at least one WHEN clause is required")
     on_cond = after_on[: when_pos[0]].strip()
@@ -249,7 +256,15 @@ def parse_merge(sql: str) -> dict:
         rest_c = cm.group("rest").strip()
         cond = None
         if rest_c.upper().startswith("AND"):
-            then_pos = _top_positions(rest_c, "THEN")
+            # the clause-closing THEN is followed by an action keyword,
+            # which disambiguates it from a CASE ... THEN in the condition
+            then_pos = [
+                p
+                for p in _top_positions(rest_c, "THEN")
+                if re.match(
+                    r"\s*(UPDATE|DELETE|INSERT)\b", rest_c[p + 4 :], re.I
+                )
+            ]
             if not then_pos:
                 raise ValueError(f"MERGE: WHEN clause missing THEN: {clause!r}")
             cond = rest_c[3 : then_pos[0]].strip()

@@ -191,3 +191,15 @@ def test_sql_cardinality_check_fires(spark):
     )
     with pytest.raises(Exception, match="multiple source rows"):
         df.collect()
+
+
+def test_parse_case_when_inside_conditions():
+    spec = parse_merge("""
+        MERGE INTO t USING s ON t.k = s.k
+        WHEN MATCHED AND CASE WHEN s.v > t.v THEN true ELSE false END
+          THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert len(spec["clauses"]) == 2
+    assert "CASE WHEN s.v > t.v THEN true ELSE false END" in spec["clauses"][0]["condition"]
+    assert spec["clauses"][0]["action"].startswith("UPDATE SET")
