@@ -276,6 +276,69 @@ def parse_merge(sql: str) -> dict:
     return spec
 
 
+def run_dml(spark: SparkSession, sql: str, tables: dict) -> None:
+    """Execute a non-MERGE DML statement against a ``VersionedTable`` —
+    the other three statements a lake user runs as SQL strings
+    (Delta / Iceberg DML surface)::
+
+        DELETE FROM t WHERE <cond>
+        UPDATE t SET c = e[, ...] [WHERE <cond>]
+        INSERT INTO t SELECT ...  |  INSERT INTO t VALUES (...), (...)
+
+    ``tables`` maps statement table names to VersionedTable instances; each
+    statement commits one new snapshot through the table's own CoW path
+    (``delete_where`` / ``update_where`` / ``append``), so OCC, constraints,
+    and time travel all apply exactly as for the programmatic API.
+    Conditions and assignment expressions are passed through to Spark's
+    expression parser untouched — unqualified column references, as is
+    standard for single-table DML.
+    """
+    s = sql.strip().rstrip(";")
+
+    def _table(name: str):
+        key = name if name in tables else name.split(".")[-1]
+        if key not in tables:
+            raise ValueError(f"DML: unknown table {name!r}")
+        return tables[key]
+
+    m = re.match(r"\s*DELETE\s+FROM\s+(?P<t>[\w.]+)\s+WHERE\s+(?P<c>.+)$", s, re.I | re.S)
+    if m:
+        _table(m.group("t")).delete_where(m.group("c").strip())
+        return
+    m = re.match(r"\s*UPDATE\s+(?P<t>[\w.]+)\s+SET\s+(?P<rest>.+)$", s, re.I | re.S)
+    if m:
+        rest = m.group("rest")
+        where_pos = _top_positions(rest, "WHERE")
+        if where_pos:
+            body, cond = rest[: where_pos[0]], rest[where_pos[0] + 5 :].strip()
+        else:
+            body, cond = rest, "true"
+        assignments = {}
+        for part in _split_top_commas(body):
+            i = _find_top_eq(part)
+            lhs, rhs = part[:i].strip(), part[i + 1 :].strip()
+            if not _WORD.fullmatch(lhs):
+                raise ValueError(f"DML: bad SET column in {part!r}")
+            assignments[lhs] = rhs
+        _table(m.group("t")).update_where(cond, assignments)
+        return
+    m = re.match(r"\s*INSERT\s+INTO\s+(?P<t>[\w.]+)\s+(?P<rest>.+)$", s, re.I | re.S)
+    if m:
+        vt = _table(m.group("t"))
+        rest = m.group("rest").strip()
+        if rest.startswith("(") and _scan_balanced(rest, 0) == len(rest):
+            rest = rest[1:-1].strip()
+        if rest.upper().startswith("VALUES"):
+            df = spark.sql(rest).toDF(*vt.read().columns)
+        elif rest.upper().startswith(("SELECT", "WITH")):
+            df = spark.sql(rest)
+        else:
+            raise ValueError(f"DML: cannot parse INSERT source {rest!r}")
+        vt.append(df)
+        return
+    raise ValueError(f"DML: unsupported statement {s[:60]!r}")
+
+
 def merge_into_sql(
     spark: SparkSession,
     sql: str,

@@ -4235,6 +4235,58 @@ def q_table_stats_pruned_read(spark, sf_dir):
 
 
 @register(
+    "table_dml_sql",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey <= 2000),
+    upd AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'F'
+                  THEN o_totalprice + CAST(5.0 AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM base),
+    del AS (SELECT * FROM upd WHERE NOT (o_orderkey % 10 = 0))
+    SELECT * FROM del
+    UNION ALL
+    SELECT o_orderkey + 1000000 AS o_orderkey, o_orderstatus, o_totalprice
+    FROM del WHERE o_orderkey <= 100
+    """,
+    tags=("S2", "extension", "lake", "dml"),
+)
+def q_table_dml_sql(spark, sf_dir):
+    """SQL DML strings end-to-end on a VersionedTable (the Delta/Iceberg
+    DML surface as literal statements): UPDATE ... SET ... WHERE, DELETE
+    FROM ... WHERE, INSERT INTO ... SELECT — each parsed by
+    operators/merge_sql.run_dml and committed through the table's own CoW
+    path, so every statement is one time-travelable snapshot (4 versions
+    after this sequence)."""
+    from .operators.merge_sql import run_dml
+    from .sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_dml_"))
+    vt.overwrite(
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    run_dml(
+        spark,
+        "UPDATE t SET o_totalprice = o_totalprice + 5.0 WHERE o_orderstatus = 'F'",
+        {"t": vt},
+    )
+    run_dml(spark, "DELETE FROM t WHERE o_orderkey % 10 = 0", {"t": vt})
+    vt.read().filter("o_orderkey <= 100").createOrReplaceTempView("dml_tail_src")
+    run_dml(
+        spark,
+        "INSERT INTO t SELECT o_orderkey + 1000000 AS o_orderkey, "
+        "o_orderstatus, o_totalprice FROM dml_tail_src",
+        {"t": vt},
+    )
+    return vt.read()
+
+
+@register(
     "binary_file_scan",
     oracle="""
     SELECT concat('doc_', lpad(CAST(doc_id AS VARCHAR), 6, '0'), '.bin')

@@ -164,6 +164,13 @@ class VersionedTable:
         self._commit(df)
         return self
 
+    def append(self, df: DataFrame) -> "VersionedTable":
+        """Delta ``INSERT INTO`` analog: commit current ∪ incoming as a new
+        snapshot (by-name column resolution, no dedup — appends are appends;
+        use ``upsert`` for keyed semantics)."""
+        self._commit(self.read().unionByName(df))
+        return self
+
     create_or_replace = overwrite  # DataFrameWriterV2 semantics (S8)
 
     def upsert(

@@ -203,3 +203,56 @@ def test_parse_case_when_inside_conditions():
     assert len(spec["clauses"]) == 2
     assert "CASE WHEN s.v > t.v THEN true ELSE false END" in spec["clauses"][0]["condition"]
     assert spec["clauses"][0]["action"].startswith("UPDATE SET")
+
+
+# ------------------------------------------------------------- DML strings
+
+
+def test_run_dml_update_delete_insert(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.merge_sql import run_dml
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "dml_vt"))
+    vt.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "name", "v"]
+        )
+    )
+    run_dml(spark, "UPDATE dml_vt SET v = v + 1 WHERE k >= 2", {"dml_vt": vt})
+    run_dml(spark, "DELETE FROM dml_vt WHERE k = 1", {"dml_vt": vt})
+    run_dml(
+        spark,
+        "INSERT INTO dml_vt VALUES (4, 'd', 40), (5, 'e', 50)",
+        {"dml_vt": vt},
+    )
+    rows = {r["k"]: (r["name"], r["v"]) for r in vt.read().collect()}
+    assert rows == {2: ("b", 21), 3: ("c", 31), 4: ("d", 40), 5: ("e", 50)}
+    # each statement committed one snapshot -> time travel sees all 4 states
+    assert len(vt.history()) == 4
+    assert vt.read(version=vt.history()[0]["version"]).count() == 3
+
+
+def test_run_dml_insert_select(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.merge_sql import run_dml
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "dml_vt2"))
+    vt.overwrite(spark.createDataFrame([(1, "a")], ["k", "name"]))
+    spark.createDataFrame([(2, "b"), (3, "c")], ["k", "name"]).createOrReplaceTempView(
+        "dml_src_view"
+    )
+    run_dml(
+        spark,
+        "INSERT INTO dml_vt2 SELECT k, upper(name) AS name FROM dml_src_view",
+        {"dml_vt2": vt},
+    )
+    assert {r["name"] for r in vt.read().collect()} == {"a", "B", "C"}
+
+
+def test_run_dml_rejects_unknown(spark):
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.merge_sql import run_dml
+
+    with pytest.raises(ValueError, match="unknown table"):
+        run_dml(spark, "DELETE FROM nope WHERE 1=1", {})
+    with pytest.raises(ValueError, match="unsupported statement"):
+        run_dml(spark, "TRUNCATE TABLE x", {"x": None})
