@@ -276,22 +276,27 @@ def parse_merge(sql: str) -> dict:
     return spec
 
 
-def run_dml(spark: SparkSession, sql: str, tables: dict) -> None:
-    """Execute a non-MERGE DML statement against a ``VersionedTable`` —
-    the other three statements a lake user runs as SQL strings
-    (Delta / Iceberg DML surface)::
+def run_dml(spark: SparkSession, sql: str, tables: dict):
+    """Execute a non-MERGE DML or utility statement against a
+    ``VersionedTable`` — the rest of the statement surface a lake user runs
+    as SQL strings (Delta / Iceberg DML + utility SQL)::
 
         DELETE FROM t WHERE <cond>
         UPDATE t SET c = e[, ...] [WHERE <cond>]
         INSERT INTO t SELECT ...  |  INSERT INTO t VALUES (...), (...)
+        RESTORE TABLE t TO VERSION AS OF <n>
+        VACUUM t [RETAIN <n> VERSIONS]
+        OPTIMIZE t [ZORDER BY (c, ...)]
+        DESCRIBE HISTORY t            -- returns the history DataFrame
 
     ``tables`` maps statement table names to VersionedTable instances; each
-    statement commits one new snapshot through the table's own CoW path
-    (``delete_where`` / ``update_where`` / ``append``), so OCC, constraints,
-    and time travel all apply exactly as for the programmatic API.
-    Conditions and assignment expressions are passed through to Spark's
-    expression parser untouched — unqualified column references, as is
-    standard for single-table DML.
+    mutating statement commits one new snapshot through the table's own CoW
+    path (``delete_where`` / ``update_where`` / ``append`` / ``restore`` /
+    ``compact``), so OCC, constraints, and time travel all apply exactly as
+    for the programmatic API. Conditions and assignment expressions are
+    passed through to Spark's expression parser untouched — unqualified
+    column references, as is standard for single-table DML. Returns a
+    DataFrame for DESCRIBE HISTORY, else None.
     """
     s = sql.strip().rstrip(";")
 
@@ -336,6 +341,34 @@ def run_dml(spark: SparkSession, sql: str, tables: dict) -> None:
             raise ValueError(f"DML: cannot parse INSERT source {rest!r}")
         vt.append(df)
         return
+    m = re.match(
+        r"\s*RESTORE\s+TABLE\s+(?P<t>[\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)\s*$",
+        s,
+        re.I,
+    )
+    if m:
+        _table(m.group("t")).restore(int(m.group("v")))
+        return
+    m = re.match(
+        r"\s*VACUUM\s+(?P<t>[\w.]+)(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?\s*$", s, re.I
+    )
+    if m:
+        _table(m.group("t")).vacuum(keep_last=int(m.group("n") or 1))
+        return
+    m = re.match(
+        r"\s*OPTIMIZE\s+(?P<t>[\w.]+)(?:\s+ZORDER\s+BY\s*\((?P<cols>[^)]+)\))?\s*$",
+        s,
+        re.I,
+    )
+    if m:
+        cols = (
+            [c.strip() for c in m.group("cols").split(",")] if m.group("cols") else None
+        )
+        _table(m.group("t")).compact(zorder_by=cols)
+        return
+    m = re.match(r"\s*DESCRIBE\s+HISTORY\s+(?P<t>[\w.]+)\s*$", s, re.I)
+    if m:
+        return _table(m.group("t")).history_df()
     raise ValueError(f"DML: unsupported statement {s[:60]!r}")
 
 

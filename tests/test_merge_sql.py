@@ -256,3 +256,21 @@ def test_run_dml_rejects_unknown(spark):
         run_dml(spark, "DELETE FROM nope WHERE 1=1", {})
     with pytest.raises(ValueError, match="unsupported statement"):
         run_dml(spark, "TRUNCATE TABLE x", {"x": None})
+
+
+def test_run_dml_utility_statements(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.merge_sql import run_dml
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "util_vt"))
+    vt.overwrite(spark.createDataFrame([(i, i * 10) for i in range(20)], ["k", "v"]))
+    run_dml(spark, "DELETE FROM t WHERE k >= 10", {"t": vt})
+    good = vt.history()[0]["version"]
+    run_dml(spark, f"RESTORE TABLE t TO VERSION AS OF {good}", {"t": vt})
+    assert vt.read().count() == 20
+    run_dml(spark, "OPTIMIZE t ZORDER BY (k, v)", {"t": vt})
+    assert vt.read().count() == 20
+    hist = run_dml(spark, "DESCRIBE HISTORY t", {"t": vt})
+    assert hist.count() == 4  # load, delete, restore, optimize
+    run_dml(spark, "VACUUM t RETAIN 1 VERSIONS", {"t": vt})
+    assert len(vt.history()) == 1 and vt.read().count() == 20
