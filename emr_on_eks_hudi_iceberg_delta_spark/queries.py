@@ -4368,6 +4368,50 @@ def q_table_restore_vacuum(spark, sf_dir):
 
 
 @register(
+    "schema_evolution_append",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
+    FROM customer WHERE c_custkey <= 500
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer WHERE c_custkey > 500 AND c_custkey <= 1000
+    UNION ALL
+    SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name, c_acctbal
+    FROM customer WHERE c_custkey > 1000 AND c_custkey <= 1200
+    """,
+    tags=("S2", "extension", "lake", "lifecycle"),
+)
+def q_schema_evolution_append(spark, sf_dir):
+    """Schema evolution on write (Delta ``mergeSchema`` / Iceberg schema
+    update analog): the table starts with 2 columns, a later append carries
+    a NEW column (``c_acctbal`` — existing rows backfill NULL), and a third
+    append OMITS an existing column (``c_name`` — incoming rows fill NULL).
+    Default behavior without ``merge_schema=True`` stays strict Delta-style
+    enforcement (mismatch raises — pytest-covered). Evolution is a pure
+    by-name union at commit time, so at 100 TB it adds no shuffle and no
+    rewrite beyond the append's own CoW snapshot; prior snapshots keep their
+    original schema for time travel."""
+    from .sources.tables import VersionedTable
+
+    cust = _t(spark, sf_dir, "customer")
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_evo_"))
+    vt.overwrite(
+        cust.filter(F.col("c_custkey") <= 500).select("c_custkey", "c_name")
+    )
+    vt.append(
+        cust.filter((F.col("c_custkey") > 500) & (F.col("c_custkey") <= 1000))
+        .select("c_custkey", "c_name", "c_acctbal"),
+        merge_schema=True,
+    )
+    vt.append(
+        cust.filter((F.col("c_custkey") > 1000) & (F.col("c_custkey") <= 1200))
+        .select("c_custkey", "c_acctbal"),
+        merge_schema=True,
+    )
+    return vt.read()
+
+
+@register(
     "embedding_quantize_int8",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -164,11 +164,22 @@ class VersionedTable:
         self._commit(df)
         return self
 
-    def append(self, df: DataFrame) -> "VersionedTable":
+    def append(self, df: DataFrame, merge_schema: bool = False) -> "VersionedTable":
         """Delta ``INSERT INTO`` analog: commit current ∪ incoming as a new
         snapshot (by-name column resolution, no dedup — appends are appends;
-        use ``upsert`` for keyed semantics)."""
-        self._commit(self.read().unionByName(df))
+        use ``upsert`` for keyed semantics).
+
+        ``merge_schema=True`` is Delta's ``mergeSchema`` write option: the
+        committed schema is the by-name union of the current and incoming
+        schemas — columns new to the table backfill existing rows with NULL,
+        columns the batch omits fill incoming rows with NULL, and columns
+        present on both sides widen to the common Spark union type
+        (int→bigint etc.). Without it a schema mismatch raises, matching
+        Delta's default schema enforcement. Prior snapshots keep their
+        original schema for time travel; evolution is metadata-free here
+        because every snapshot is a full CoW rewrite."""
+        current = self.read()
+        self._commit(current.unionByName(df, allowMissingColumns=merge_schema))
         return self
 
     create_or_replace = overwrite  # DataFrameWriterV2 semantics (S8)

@@ -177,6 +177,33 @@ def test_schema_evolution_upsert(spark):
     assert rows == {1: None, 2: "extra"}
 
 
+def test_schema_evolution_append_merge_schema(spark):
+    """append(merge_schema=True) = Delta mergeSchema: new columns backfill
+    NULL for existing rows, omitted columns fill NULL for incoming rows,
+    shared columns widen to the union type (int -> bigint). Default append
+    keeps Delta's strict enforcement (mismatch raises), and the prior
+    snapshot keeps its original schema for time travel."""
+    import pytest
+
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_ms_"))
+    vt.overwrite(spark.createDataFrame([(1, "a")], "id int, v string"))
+
+    widened = spark.createDataFrame(
+        [(2 ** 40, "b", 9.5)], "id bigint, v string, score double"
+    )
+    with pytest.raises(Exception):
+        vt.append(widened)  # strict by default, like Delta
+    vt.append(widened, merge_schema=True)
+    vt.append(
+        spark.createDataFrame([(3,)], "id int"), merge_schema=True
+    )  # omitted columns fill NULL
+
+    got = {r["id"]: (r["v"], r["score"]) for r in vt.read().collect()}
+    assert got == {1: ("a", None), 2 ** 40: ("b", 9.5), 3: (None, None)}
+    assert dict(vt.read().dtypes)["id"] == "bigint"  # widened
+    assert vt.read(version=0).columns == ["id", "v"]  # time travel keeps old schema
+
+
 def test_compact_cluster_by_sorts_and_ranges(spark):
     """Sort-clustered compaction (OPTIMIZE ZORDER analog): files carry
     disjoint key ranges and rows are sorted within each — the layout that
