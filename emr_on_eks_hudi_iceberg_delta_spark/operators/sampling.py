@@ -90,6 +90,48 @@ def stratified_sample(
     return df.filter(hash_bucket(F.col(key_col), salt) < threshold)
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    target_rows: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weight-proportional (Poisson) sampling: each row is
+    kept independently with probability ``min(1, target_rows * w / W)``
+    where ``W = SUM(w)`` — so the expected sample size is ``target_rows``
+    and inclusion probability is proportional to weight (the standard
+    quality-weighted document selection step in training-data curation).
+
+    The keep decision is the portable hash, not an RNG: row kept iff
+    ``h * W < target_rows * w * 2^60`` with ``h = md5_hash64(key)`` in
+    ``[0, 2^60)``. Both sides evaluate as two IEEE-double products of
+    identical inputs, so the decision is bit-reproducible across runs,
+    cluster layouts, and engines (the DuckDB oracle replays it verbatim).
+    ``weight_col`` must be integral and non-negative so ``W`` is an exact
+    bigint aggregate on every engine.
+
+    Scale: one scalar aggregate (broadcast back as a literal-sized scalar
+    join) + one scan-speed filter — no shuffle of the data itself.
+    """
+    total = df.agg(F.sum(F.col(weight_col)).cast("bigint").alias("__w_total"))
+    h = md5_hash64(
+        F.concat(F.lit(salt), F.col(key_col).cast("string"))
+        if salt
+        else F.col(key_col).cast("string")
+    )
+    return (
+        df.crossJoin(F.broadcast(total))
+        .filter(
+            h.cast("double") * F.col("__w_total").cast("double")
+            < F.lit(float(target_rows))
+            * F.col(weight_col).cast("double")
+            * F.lit(float(1 << 60))
+        )
+        .drop("__w_total")
+    )
+
+
 def sample_to_mixture(
     df: DataFrame,
     key_col: str,

@@ -4736,3 +4736,165 @@ def q_positional_delete_vectors(spark, sf_dir):
     vt.overwrite(_t(spark, sf_dir, "orders").select(*cols))
     vt.delete_where_positional("o_orderstatus = 'F' AND o_totalprice < 100000")
     return vt.read().select(*cols)
+
+
+# --------------------------------------------------------------------------
+# Batch 12 (round 4, second half): cohort retention, event transition
+# matrix, weighted sampling, incremental materialized-view maintenance
+# --------------------------------------------------------------------------
+
+@register(
+    "events_retention_cohorts",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    first_seen AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+                   FROM ev GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS act_day FROM ev)
+    SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.act_day) AS INTEGER)
+             AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM act a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("events", "agg", "extension"),
+)
+def q_events_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen day, counted on each
+    later active day as an offset from the cohort day — the standard
+    product-analytics retention triangle.
+
+    Scale shape: both the first-seen aggregate and the distinct-activity
+    projection shuffle on ``user_id`` (one exchange reused across the
+    join), then one final aggregate on the small (cohort, offset) key
+    space. No driver-side data."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    act = ev.select("user_id", F.to_date("ts").alias("act_day")).distinct()
+    return (
+        act.join(first_seen, "user_id")
+        .groupBy(
+            # DATE round-trips inconsistently across engines' pandas
+            # bridges; the repo-wide convention is naive TIMESTAMP output
+            F.col("cohort_day").cast("timestamp_ntz").alias("cohort_day"),
+            F.datediff("act_day", "cohort_day").cast("int").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "events_transition_matrix",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    pairs AS (SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_type,
+                     event_type AS next_type
+              FROM ev),
+    counts AS (SELECT prev_type, next_type, COUNT(*) AS n_transitions
+               FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+    SELECT prev_type, next_type, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+             / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE)
+             AS p_transition
+    FROM counts
+    """,
+    tags=("events", "window", "extension"),
+)
+def q_events_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences:
+    LAG pairs each event with its predecessor (deterministic (ts, event_id)
+    ordering), then transition counts normalize to row-stochastic
+    probabilities via a windowed sum — session-flow analysis.
+
+    Scale shape: one shuffle on ``user_id`` for the sequence window, one
+    tiny aggregate on the (prev, next) type pairs (bounded by the event
+    vocabulary squared), and the normalizing window runs on that tiny
+    relation. Integer counts divide as doubles — deterministic IEEE
+    division, oracle-exact."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select("prev_type", F.col("event_type").alias("next_type"))
+    )
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.withColumn(
+        "p_transition",
+        F.col("n_transitions").cast("double")
+        / F.sum("n_transitions").over(wp).cast("double"),
+    )
+
+
+@register(
+    "weighted_sample_docs",
+    oracle="""
+    WITH w AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS w_total FROM documents)
+    SELECT doc_id, source, n_chars
+    FROM documents, w
+    WHERE CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS DOUBLE)
+          * CAST(w_total AS DOUBLE)
+        < 100.0 * CAST(n_chars AS DOUBLE) * 1152921504606846976.0
+    """,
+    tags=("sampling", "extension", "corpus"),
+)
+def q_weighted_sample_docs(spark, sf_dir):
+    """Weight-proportional (Poisson) document sampling, weight = n_chars:
+    each doc kept with probability min(1, k*w/W) — the quality/length-
+    weighted selection step in corpus curation. The keep decision is a
+    portable md5 hash compared in exactly-replayable IEEE-double
+    arithmetic, so the sample is identical across runs, layouts, and
+    engines (no RNG). One scalar aggregate + one scan-speed filter."""
+    from .operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", target_rows=100).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@register(
+    "materialized_view_refresh",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY 1
+    """,
+    tags=("agg", "lake", "extension"),
+)
+def q_materialized_view_refresh(spark, sf_dir):
+    """Incremental materialized-view maintenance: build a COUNT+SUM view on
+    a stale table state (every 3rd order carries a doubled price), diff the
+    states with the CDC operator (``table_changes``), and fold the
+    insert/delete delta into the stored view — refresh cost O(changed
+    rows), not O(table). The refreshed view must equal a from-scratch
+    aggregate of the current state bit-for-bit (DECIMAL accumulation),
+    which is exactly what the oracle computes — exercising both the add
+    (insert) and subtract (delete) maintenance paths."""
+    from .operators.materialized import aggregate_view, refresh_aggregate_view
+    from .sources.tables import table_changes
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    stale_mod = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    old = orders.filter(F.col("o_orderkey") % 3 != 0).unionByName(stale_mod)
+    mv0 = aggregate_view(old, ["o_orderstatus"], {"sum_price": "o_totalprice"})
+    changes = table_changes(spark, old, orders)
+    mv1 = refresh_aggregate_view(
+        mv0, changes, ["o_orderstatus"], {"sum_price": "o_totalprice"}
+    )
+    return mv1.select(
+        "o_orderstatus",
+        F.col("mv_n").alias("n_orders"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+    )

@@ -129,3 +129,50 @@ def test_connected_components_transitive_exactness(spark):
     assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
     survivors = {r.doc_id for r in dedup_keep_canonical(pairs, ids, "doc_id").collect()}
     assert survivors == {1, 2, 10, 99}  # the documented over-retention
+
+
+# -- weighted (Poisson) sampling -------------------------------------------
+
+
+def test_weighted_sample_is_deterministic_and_layout_independent(docs):
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    a = {r.doc_id for r in weighted_sample(docs, "doc_id", "n_chars", 100).collect()}
+    b = {
+        r.doc_id
+        for r in weighted_sample(
+            docs.repartition(7), "doc_id", "n_chars", 100
+        ).collect()
+    }
+    assert a == b and a  # same sample under any partitioning
+
+
+def test_weighted_sample_expected_size_and_weight_bias(docs):
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    n_total = docs.count()
+    sampled = weighted_sample(docs, "doc_id", "n_chars", 100)
+    n = sampled.count()
+    # expected size = 100; Poisson spread at n=100 is ~±30 at 3 sigma
+    assert 60 <= n <= 140
+    # weight-proportional: the sample's mean weight exceeds the corpus mean
+    mean_all = docs.agg(F.avg("n_chars")).first()[0]
+    mean_sample = sampled.agg(F.avg("n_chars")).first()[0]
+    assert mean_sample > mean_all
+    assert n < n_total
+
+
+def test_weighted_sample_zero_weight_never_kept(spark):
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 0 if i % 2 == 0 else 1000) for i in range(200)], "id long, w long"
+    )
+    kept = weighted_sample(df, "id", "w", target_rows=50)
+    assert kept.filter(F.col("w") == 0).count() == 0
