@@ -368,3 +368,28 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_weighted_sample_scan_speed(spark):
+    """Weighted sampling must be a broadcast scalar + per-row filter —
+    the data itself never shuffles (the 100 TB contract)."""
+    df = REGISTRY["weighted_sample_docs"].fn(spark, SF_DIR)
+    assert broadcast_join_count(df) >= 1
+    # the only exchange feeds the single-row SUM(w) aggregate, never the
+    # document rows themselves
+    assert shuffle_count(df) <= 2
+
+
+def test_retention_bounded_shuffles(spark):
+    """Cohort retention: first-seen agg + distinct-day agg + final agg —
+    all keyed, no data explosion beyond the user_id exchanges."""
+    df = REGISTRY["events_retention_cohorts"].fn(spark, SF_DIR)
+    assert shuffle_count(df) <= 4
+
+
+def test_transition_matrix_single_sequence_shuffle(spark):
+    """The event stream shuffles once on user_id for the LAG window; the
+    (prev,next) aggregate and the normalizing window run on a relation
+    bounded by the event-type vocabulary squared."""
+    df = REGISTRY["events_transition_matrix"].fn(spark, SF_DIR)
+    assert shuffle_count(df) <= 3
