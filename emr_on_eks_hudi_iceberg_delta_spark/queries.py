@@ -4898,3 +4898,50 @@ def q_materialized_view_refresh(spark, sf_dir):
         F.col("mv_n").alias("n_orders"),
         F.col("sum_price").cast("double").alias("sum_price"),
     )
+
+
+@register(
+    "streaming_mv_refresh",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL})
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM ev GROUP BY 1
+    """,
+    tags=("streaming", "lake", "agg", "extension"),
+)
+def q_streaming_mv_refresh(spark, sf_dir):
+    """Streaming materialized-view maintenance: the events table replays as
+    a 4-file stream (maxFilesPerTrigger=1, so FOUR separate micro-batches),
+    and ``foreachBatch`` folds each batch's partial aggregate into a stored
+    COUNT+SUM ``VersionedTable`` — exactly-once via the txn pattern. After
+    the replay, the incrementally-maintained view must equal a from-scratch
+    batch aggregate of the whole table bit-for-bit (DECIMAL folds) — the
+    multi-generation streaming twin of ``materialized_view_refresh``."""
+    from .sources.tables import VersionedTable
+    from .streaming.scd2_stream import stream_incremental_mv
+
+    stage_dir = tempfile.mkdtemp(prefix="mvstream_")
+    ev = _t(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(stage_dir)
+    from .streaming.events import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    mv = VersionedTable(spark, tempfile.mkdtemp(prefix="mvtbl_"))
+    q = stream_incremental_mv(
+        stream,
+        mv,
+        ["event_type"],
+        {"sum_value": "value"},
+        tempfile.mkdtemp(prefix="mvckpt_"),
+    )
+    q.awaitTermination()
+    return mv.read().select(
+        "event_type",
+        F.col("mv_n").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )

@@ -15,6 +15,7 @@ engine cannot express as incremental state.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..operators.merge import scd2_merge_hudi_style
 from ..sources.tables import VersionedTable
@@ -90,6 +91,58 @@ def stream_upsert_partitioned(
         doc = table._doc()
         doc["versions"][-1]["txn_batch"] = batch_id
         table._write_doc(doc)
+
+    return (
+        updates_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_incremental_mv(
+    updates_stream: DataFrame,
+    mv_table: VersionedTable,
+    group_cols: list[str],
+    sum_specs: dict[str, str],
+    checkpoint_dir: str,
+):
+    """Streaming materialized-view maintenance: fold each micro-batch of an
+    append-only stream into a stored COUNT+SUM aggregate table — the
+    streaming twin of ``operators.materialized.refresh_aggregate_view``.
+
+    Each batch is a pure insert delta (append-only source), so the fold
+    adds the batch's partial aggregate to the stored view; DECIMAL
+    accumulation keeps the result bit-identical to a from-scratch batch
+    aggregate of everything ingested, after any number of micro-batches.
+    The Delta txnAppId/txnVersion pattern (``txn_version``) makes replayed
+    batches no-ops, so the sink is exactly-once under restart races.
+
+    Scale: per batch, one aggregate of the batch on the view key + one
+    key-partitioned join against the stored view — refresh cost tracks
+    batch size, never total ingested volume. That is the entire reason to
+    maintain the view incrementally instead of recomputing it."""
+    from ..operators.materialized import aggregate_view, refresh_aggregate_view
+
+    app_id = f"mv_stream:{checkpoint_dir}"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if batch_id <= mv_table.txn_version(app_id):
+            return
+        try:
+            mv = mv_table.read()
+        except FileNotFoundError:
+            mv = None
+        if mv is None:
+            refreshed = aggregate_view(batch_df, group_cols, sum_specs)
+        else:
+            delta = batch_df.withColumn(
+                "_change_type", F.lit("insert")
+            )
+            refreshed = refresh_aggregate_view(mv, delta, group_cols, sum_specs)
+        mv_table._commit(refreshed, txn=(app_id, batch_id))
 
     return (
         updates_stream.writeStream.foreachBatch(apply_batch)

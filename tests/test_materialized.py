@@ -78,3 +78,43 @@ def test_multi_generation_refresh_chain(spark, base):
         )
         assert _rows(mv) == _rows(aggregate_view(new, ["grp"], {"sum_val": "val"}))
     assert mv.count() == 0
+
+
+def test_streaming_mv_refresh_is_multi_generation(spark):
+    """The streaming MV query must actually exercise multiple incremental
+    folds (4 micro-batches -> 4 view snapshots), not collapse into one
+    batch — and a second identical replay must be a no-op (txn guard)."""
+    import tempfile
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+    from emr_on_eks_hudi_iceberg_delta_spark.streaming.events import EVENTS_SCHEMA
+    from emr_on_eks_hudi_iceberg_delta_spark.streaming.scd2_stream import (
+        stream_incremental_mv,
+    )
+
+    stage = tempfile.mkdtemp(prefix="mvs_")
+    load_table(spark, "/root/testdata/sf0.001", "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    mv = VersionedTable(spark, tempfile.mkdtemp(prefix="mvt_"))
+    ckpt = tempfile.mkdtemp(prefix="mvc_")
+
+    def replay():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        stream_incremental_mv(
+            stream, mv, ["event_type"], {"sum_value": "value"}, ckpt
+        ).awaitTermination()
+
+    replay()
+    n_snaps = len(mv.history())
+    assert n_snaps == 4  # one fold per micro-batch
+    total = mv.read().agg(F.sum("mv_n")).first()[0]
+    assert total == load_table(spark, "/root/testdata/sf0.001", "events").count()
+    # restart replay over the same checkpoint: nothing new, no extra commits
+    replay()
+    assert len(mv.history()) == n_snaps
