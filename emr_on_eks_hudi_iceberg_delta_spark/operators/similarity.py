@@ -572,3 +572,118 @@ def quantize_embeddings(
         qvec.alias("qvec"),
         err.alias("max_abs_err"),
     )
+
+
+def pq_encode(
+    emb: DataFrame,
+    m: int = 4,
+    k_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Product-quantization encoder: split each vector into ``m`` subspaces
+    and store, per subspace, the 1-based index of the nearest codeword —
+    ``m`` small ints instead of ``dim`` floats (compression the third ANN
+    family, beside LSH and IVF, rests on).
+
+    Codebooks are DETERMINISTIC: subspace slices of the first ``k_codes``
+    vectors by id (the same zero-iteration seeding as ``ivf_assign``), so
+    the whole encode replays exactly in SQL. Codebooks collect to the
+    driver (k_codes x dim doubles — metadata-sized, like IVF centroids)
+    and embed as literal arrays, making the encode a pure per-row
+    expression: argmin is ``array_position(dists, array_min(dists))`` —
+    first-minimum tie-break, matching ORDER BY (dist, codeword) replay —
+    with ZERO shuffle at any corpus size.
+
+    Plan size is O(m * k_codes * dim/m) literals; for production dims the
+    same mapInPandas BLAS swap as ``hyperplane_band_keys_blas`` applies —
+    the plumbing (codes schema, downstream ADC) is unchanged.
+
+    Returns (codes DataFrame with ``code_0..code_{m-1}``, codebooks as
+    nested Python lists ``[subspace][codeword][component]``).
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    e = _with_double_vec(emb, id_col, vec_col)
+    seeds = e.orderBy(id_col).limit(k_codes).select(id_col, "e").collect()
+    codebooks = [
+        [list(r["e"][j * sub : (j + 1) * sub]) for r in seeds] for j in range(m)
+    ]
+    out = [F.col(id_col), F.col("e")]
+    for j, cb in enumerate(codebooks):
+        cblit = F.array(*[F.array(*[F.lit(float(x)) for x in cw]) for cw in cb])
+        subv = F.slice("e", j * sub + 1, sub)
+        dists = F.transform(
+            cblit,
+            lambda cw: F.aggregate(
+                F.zip_with(subv, cw, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        out.append(
+            F.array_position(dists, F.array_min(dists)).cast("int").alias(f"code_{j}")
+        )
+    return e.select(*out), codebooks
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    k_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ approximate top-k via asymmetric distance computation (ADC):
+    corpus vectors are replaced by their codebook reconstructions (concat
+    of the ``m`` chosen codewords), queries stay full-precision, and every
+    (query, code) pair scores with the exact sequential-fold L2 — so the
+    scan touches ``m`` ints per corpus vector plus the shared codebooks
+    instead of ``dim`` floats. Recall < 1 (quantization error); the
+    compression ratio is the point at 100 TB.
+
+    Scale shape: queries broadcast; the corpus side is one scan of the
+    codes (zero-shuffle encode, see ``pq_encode``) + the per-query top-k
+    window — identical to ``cosine_topk``'s shape but on 8x-32x smaller
+    data. Deterministic end-to-end, replayed exactly by the DuckDB oracle.
+    """
+    codes, codebooks = pq_encode(emb, m, k_codes, dim, id_col, vec_col)
+    rec = F.concat(
+        *[
+            F.element_at(
+                F.array(
+                    *[
+                        F.array(*[F.lit(float(x)) for x in cw])
+                        for cw in codebooks[j]
+                    ]
+                ),
+                F.col(f"code_{j}"),
+            )
+            for j in range(m)
+        ]
+    )
+    corpus = codes.select(
+        F.col(id_col).alias("neighbor_id"), rec.alias("r")
+    )
+    qv = _with_double_vec(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("e").alias("eq")
+    )
+    adc = F.aggregate(
+        F.zip_with("eq", "r", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        corpus.crossJoin(F.broadcast(qv))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_dist", adc)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

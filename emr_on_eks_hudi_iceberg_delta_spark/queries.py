@@ -4945,3 +4945,79 @@ def q_streaming_mv_refresh(spark, sf_dir):
         F.col("mv_n").alias("n_events"),
         F.col("sum_value").cast("double").alias("sum_value"),
     )
+
+
+def _l2_off_sql(a: str, off: int, b: str, sub: int = 16) -> str:
+    """Subspace variant of ``_l2_sql``: left-assoc sum of squared diffs of
+    ``a[off+1..off+sub]`` against ``b[1..sub]`` — replays the Spark
+    ``slice`` + ``zip_with`` + sequential-fold subspace distance."""
+    terms = [
+        f"(({a}[{off + i}]-{b}[{i}])*({a}[{off + i}]-{b}[{i}]))"
+        for i in range(1, sub + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# PQ is fully deterministic end-to-end: codebooks are subspace slices of
+# the first 16 vectors by id, per-subspace assignment is first-minimum
+# argmin over sequential-fold L2 (ties -> lowest codeword position,
+# matching Spark's array_position-of-array_min), and ADC scores the
+# 64-dim fold against the concatenated reconstruction.
+_PQ_CB = "\n".join(
+    f"    cb{j} AS (SELECT pos, v[{j * 16 + 1}:{(j + 1) * 16}] AS cw FROM seeds),"
+    for j in range(4)
+)
+_PQ_ASG = "\n".join(
+    f"""    asg{j} AS (
+      SELECT vec_id, pos AS code FROM (
+        SELECT e.vec_id, c.pos,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_l2_off_sql('e.v', j * 16, 'c.cw')}, c.pos) AS rn
+        FROM e CROSS JOIN cb{j} c) t
+      WHERE rn = 1),"""
+    for j in range(4)
+)
+_SQL_PQ_TOPK = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS pos
+              FROM e ORDER BY vec_id LIMIT 16),
+{_PQ_CB}
+{_PQ_ASG}
+    rec AS (
+      SELECT a0.vec_id, cb0.cw || cb1.cw || cb2.cw || cb3.cw AS r
+      FROM asg0 a0
+      JOIN asg1 a1 ON a1.vec_id = a0.vec_id
+      JOIN asg2 a2 ON a2.vec_id = a0.vec_id
+      JOIN asg3 a3 ON a3.vec_id = a0.vec_id
+      JOIN cb0 ON cb0.pos = a0.code
+      JOIN cb1 ON cb1.pos = a1.code
+      JOIN cb2 ON cb2.pos = a2.code
+      JOIN cb3 ON cb3.pos = a3.code)
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+      SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+             {_l2_sql('q.v', 'r.r')} AS adc_dist,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_l2_sql('q.v', 'r.r')}, r.vec_id) AS INTEGER) AS rank
+      FROM e q CROSS JOIN rec r
+      WHERE q.vec_id < 10 AND r.vec_id <> q.vec_id) t
+    WHERE rank <= 5
+    """
+
+
+@register(
+    "embedding_pq_topk", oracle=_SQL_PQ_TOPK, tags=("similarity", "extension")
+)
+def q_embedding_pq_topk(spark, sf_dir):
+    """Product-quantization ANN top-k (the third ANN family beside
+    hyperplane LSH and IVF): vectors compress to 4 subspace codeword ids
+    (16 ints -> 4 bytes against 64 doubles), queries score against codebook
+    reconstructions with asymmetric distance (ADC). Deterministic seed
+    codebooks (first 16 vectors by id, zero k-means iterations) make the
+    whole pipeline — encode, argmin tie-breaks, ADC folds — replay
+    bit-for-bit in DuckDB, the same convention as the IVF/LSH oracles."""
+    from .operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)

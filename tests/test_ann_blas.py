@@ -132,3 +132,45 @@ def test_recommended_lsh_params_scales_with_corpus():
     assert big["expected_bucket_size"] < DEFAULT_MAX_BUCKET_SIZE
     with pytest.raises(ValueError):
         hyperplane_band_keys_blas(None, n_planes=63, bands=8)
+
+
+# -- product quantization ---------------------------------------------------
+
+
+def test_pq_seed_vectors_encode_to_themselves(spark):
+    """A codebook seed's subvector IS a codeword, so each of the first 16
+    vectors must encode to its own codebook position in every subspace —
+    and its ADC reconstruction error must be exactly zero."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.similarity import pq_encode
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    codes, codebooks = pq_encode(emb)
+    rows = {r["vec_id"]: r for r in codes.filter(F.col("vec_id") < 16).collect()}
+    ids = sorted(rows)
+    for pos, vid in enumerate(ids, start=1):
+        r = rows[vid]
+        for j in range(4):
+            assert r[f"code_{j}"] == pos, (vid, j, r[f"code_{j}"])
+        # reconstruction from its own codewords is the vector itself
+        rec = sum((codebooks[j][pos - 1] for j in range(4)), [])
+        assert list(r["e"]) == rec
+
+
+def test_pq_codes_in_range_and_recall_sane(spark):
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.similarity import (
+        cosine_topk,
+        pq_topk,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = pq_topk(emb, q, k=5).collect()
+    assert len(approx) == 50
+    # sanity recall: PQ@5 should recover a decent share of the exact top-5
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, q, k=5).collect()
+    }
+    hits = sum((r["query_id"], r["neighbor_id"]) in exact for r in approx)
+    assert hits >= 10  # >=20% overlap — loose, catches a broken encode

@@ -393,3 +393,12 @@ def test_transition_matrix_single_sequence_shuffle(spark):
     bounded by the event-type vocabulary squared."""
     df = REGISTRY["events_transition_matrix"].fn(spark, SF_DIR)
     assert shuffle_count(df) <= 3
+
+
+def test_pq_topk_zero_shuffle_scoring(spark):
+    """PQ: encode is a per-row literal-codebook expression and queries are
+    broadcast, so the only exchange is the per-query top-k window — the
+    corpus rows shuffle once at most."""
+    df = REGISTRY["embedding_pq_topk"].fn(spark, SF_DIR)
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_count(df) <= 2
