@@ -2976,8 +2976,10 @@ def q_window_function_breadth(spark, sf_dir):
     SELECT l_returnflag,
       COUNT(*) AS n,
       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s1,
-      CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS s2,
-      (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE)
+      CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8)))
+                AS DECIMAL(28,2)) AS DOUBLE) AS s2,
+      (CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8)))
+            AS DECIMAL(28,2)) AS DOUBLE)
        - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
          * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
       / (COUNT(*) - 1) AS variance_qty
@@ -2992,9 +2994,15 @@ def q_exact_moment_stats(spark, sf_dir):
     so they can never be bit-reproducible across engines; this is."""
     li = _t(spark, sf_dir, "lineitem")
     s1 = F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
-    s2 = F.sum(
-        (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(28,8)")
-    ).cast("double")
+    # narrow the sum to scale 2 (exact — quantities are integral, so the
+    # squares carry no decimals) before the double cast: keeps the scaled
+    # mantissa under 2^53, where DuckDB's decimal->double double-rounding
+    # can otherwise land 1 ulp off Spark's correctly-rounded cast
+    s2 = (
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(28,8)"))
+        .cast("decimal(28,2)")
+        .cast("double")
+    )
     n = F.count("*")
     return li.groupBy("l_returnflag").agg(
         n.alias("n"),
@@ -5021,3 +5029,133 @@ def q_embedding_pq_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "hierarchy_subtree_rollup",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT c_custkey AS node, c_custkey // 2 AS parent
+      FROM customer WHERE c_custkey > 1),
+    a(node, anc, depth) AS (
+      SELECT node, parent, 1 FROM edges
+      UNION ALL
+      SELECT a.node, e.parent, a.depth + 1
+      FROM a JOIN edges e ON e.node = a.anc)
+    SELECT a.anc AS c_custkey,
+           COUNT(*) AS n_descendants,
+           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DECIMAL(28,4))
+                AS DOUBLE) AS sum_acctbal
+    FROM a JOIN customer c ON c.c_custkey = a.node
+    GROUP BY a.anc
+    """,
+    tags=("recursive", "agg", "extension"),
+)
+def q_hierarchy_subtree_rollup(spark, sf_dir):
+    """Recursive-CTE capability: per-ancestor subtree rollup over the
+    implicit binary tree ``parent(k) = k DIV 2`` on customer keys. Spark
+    has no WITH RECURSIVE, so the closure is the iterative self-join loop
+    (``operators/hierarchy.py`` — log-depth rounds, shrinking frontier);
+    the oracle runs the textbook recursive CTE, pinning the loop against
+    real recursive semantics."""
+    from .operators.hierarchy import ancestor_closure, subtree_rollup
+
+    cust = _t(spark, sf_dir, "customer")
+    edges = cust.filter(F.col("c_custkey") > 1).select(
+        F.col("c_custkey").alias("node"),
+        F.expr("c_custkey DIV 2").alias("parent"),
+    )
+    closure = ancestor_closure(edges)
+    roll = subtree_rollup(cust, closure, "c_custkey", "c_acctbal")
+    return roll.select(
+        "c_custkey",
+        "n_descendants",
+        F.col("sum_value").cast("double").alias("sum_acctbal"),
+    )
+
+
+@register(
+    "zscore_normalize",
+    oracle="""
+    WITH m AS (
+      SELECT c_nationkey,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))
+                           * CAST(c_acctbal AS DECIMAL(18,4)))
+                       AS DECIMAL(28,4)) AS DOUBLE) AS sx2
+      FROM customer GROUP BY c_nationkey)
+    SELECT c.c_custkey, c.c_nationkey,
+           (c.c_acctbal - m.sx / m.n)
+             / sqrt((m.sx2 - m.sx * (m.sx / m.n)) / (m.n - 1)) AS zscore
+    FROM customer c JOIN m ON m.c_nationkey = c.c_nationkey
+    WHERE m.n > 1
+    """,
+    tags=("agg", "functions", "extension", "corpus"),
+)
+def q_zscore_normalize(spark, sf_dir):
+    """Per-group z-score feature normalization — the standardization step
+    in front of ML features. Moments accumulate as exact DECIMAL sums
+    (order-independent — a naive double SUM would be partition-order
+    dependent and engine-divergent), then the normalization arithmetic is
+    a fixed IEEE expression tree replayed verbatim by the oracle. One
+    grouped aggregate + one broadcastable join back to rows.
+
+    The sum of squares re-casts to DECIMAL(28,4) BEFORE the double cast:
+    the values carry only 4 real decimal digits, so the narrowing is
+    exact, and it keeps the scaled mantissa under 2^53 — above that,
+    DuckDB's decimal->double conversion (int128 mantissa to double, then
+    a 10^-scale divide) double-rounds and can land 1 ulp away from
+    Spark's correctly-rounded BigDecimal cast."""
+    cust = _t(spark, sf_dir, "customer")
+    dec = F.col("c_acctbal").cast("decimal(18,4)")
+    m = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("sx"),
+        F.sum(dec * dec).cast("decimal(28,4)").cast("double").alias("sx2"),
+    )
+    j = cust.join(F.broadcast(m), "c_nationkey").filter(F.col("n") > 1)
+    mean = F.col("sx") / F.col("n")
+    var = (F.col("sx2") - F.col("sx") * mean) / (F.col("n") - 1)
+    return j.select(
+        "c_custkey",
+        "c_nationkey",
+        ((F.col("c_acctbal") - mean) / F.sqrt(var)).alias("zscore"),
+    )
+
+
+@register(
+    "histogram_binned",
+    oracle="""
+    WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+    SELECT CAST(LEAST(19, CAST(FLOOR((e.value - b.lo)
+                                     / ((b.hi - b.lo) / 20.0)) AS BIGINT))
+                AS INTEGER) AS bin,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events e, b
+    GROUP BY 1
+    """,
+    tags=("agg", "extension"),
+)
+def q_histogram_binned(spark, sf_dir):
+    """Equi-width histogram with data-derived bounds: one scalar min/max
+    aggregate broadcast back, then per-row binning (floor arithmetic —
+    deterministic IEEE, unlike round()) and a 20-group aggregate. The
+    top edge folds into the last bin (LEAST), matching width_bucket
+    conventions. Scan + two tiny exchanges at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(20.0)
+    bin_ = F.least(
+        F.lit(19).cast("bigint"),
+        F.floor((F.col("value") - F.col("lo")) / width),
+    ).cast("int")
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
