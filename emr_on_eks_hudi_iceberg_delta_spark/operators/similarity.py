@@ -687,3 +687,92 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def pq_reconstruct_expr(codebooks: list) -> "F.Column":
+    """Column expression rebuilding a vector from its ``code_j`` columns:
+    concat of the chosen codeword per subspace (literal codebooks — the
+    same metadata-sized driver collect as ``pq_encode``)."""
+    return F.concat(
+        *[
+            F.element_at(
+                F.array(*[F.array(*[F.lit(float(x)) for x in cw]) for cw in cb]),
+                F.col(f"code_{j}"),
+            )
+            for j, cb in enumerate(codebooks)
+        ]
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    k_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the two approximations composed the way production ANN
+    indexes (FAISS IVFPQ) do — the coarse quantizer prunes the corpus to
+    ``nprobe`` cells per query, and only those candidates score, against
+    PQ reconstructions via asymmetric distance instead of raw vectors.
+    Cost ~ (nprobe/n_centroids) of a scan x (m ints instead of dim floats)
+    per candidate — the two savings multiply, which is why the combination
+    is the standard billion-scale layout.
+
+    This is the no-residual variant (PQ codes the raw vectors, not
+    centroid residuals): every stage stays deterministic — seed centroids
+    AND seed codebooks are the first vectors by id — so the full pipeline
+    replays exactly in the DuckDB oracle, like each piece alone.
+
+    Scale shape: centroids and codebooks are metadata-sized broadcasts;
+    the corpus side is one zero-shuffle encode + one shuffle on the cell
+    key for candidate generation + the per-query top-k window.
+    """
+    assigned, centroids = ivf_assign(emb, n_centroids, id_col, vec_col)
+    qv = _with_double_vec(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("e").alias("eq")
+    )
+    cdist = F.aggregate(
+        F.zip_with("eq", "ce", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy("dist", "cell")
+    probes = (
+        qv.crossJoin(F.broadcast(centroids))
+        .withColumn("dist", cdist)
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "cell")
+    )
+    codes, codebooks = pq_encode(emb, m, k_codes, dim, id_col, vec_col)
+    corpus = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_reconstruct_expr(codebooks).alias("r"),
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assigned.withColumnRenamed(id_col, "neighbor_id"), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    adc = F.aggregate(
+        F.zip_with("eq", "r", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(corpus, "neighbor_id")
+        .withColumn("adc_dist", adc)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

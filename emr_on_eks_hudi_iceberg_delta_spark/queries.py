@@ -5159,3 +5159,68 @@ def q_histogram_binned(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
         )
     )
+
+
+_SQL_IVFPQ_TOPK = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS pos
+              FROM e ORDER BY vec_id LIMIT 16),
+{_PQ_CB}
+{_PQ_ASG}
+    rec AS (
+      SELECT a0.vec_id, cb0.cw || cb1.cw || cb2.cw || cb3.cw AS r
+      FROM asg0 a0
+      JOIN asg1 a1 ON a1.vec_id = a0.vec_id
+      JOIN asg2 a2 ON a2.vec_id = a0.vec_id
+      JOIN asg3 a3 ON a3.vec_id = a0.vec_id
+      JOIN cb0 ON cb0.pos = a0.code
+      JOIN cb1 ON cb1.pos = a1.code
+      JOIN cb2 ON cb2.pos = a2.code
+      JOIN cb3 ON cb3.pos = a3.code),
+    cents AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+    iasg AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_l2_sql('e.v', 'c.cv')}, c.cell) AS rn
+        FROM e CROSS JOIN cents c) t
+      WHERE rn = 1),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_l2_sql('q.v', 'c.cv')}, c.cell) AS rn
+        FROM e q CROSS JOIN cents c WHERE q.vec_id < 10) t
+      WHERE rn <= 4),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN iasg a ON a.cell = p.cell
+      WHERE p.query_id <> a.vec_id)
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+      SELECT c.query_id, c.neighbor_id,
+             {_l2_sql('q.v', 'r.r')} AS adc_dist,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY c.query_id
+               ORDER BY {_l2_sql('q.v', 'r.r')}, c.neighbor_id) AS INTEGER) AS rank
+      FROM cand c
+      JOIN e q ON q.vec_id = c.query_id
+      JOIN rec r ON r.vec_id = c.neighbor_id) t
+    WHERE rank <= 5
+    """
+
+
+@register(
+    "embedding_ann_ivfpq_topk", oracle=_SQL_IVFPQ_TOPK, tags=("similarity", "extension")
+)
+def q_embedding_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composed index (the FAISS IVFPQ layout, no-residual variant):
+    coarse cells prune candidates, PQ reconstructions score them via ADC —
+    the two approximations' savings multiply. Deterministic seed centroids
+    and codebooks keep the whole composition oracle-exact, same convention
+    as the standalone IVF and PQ queries."""
+    from .operators.similarity import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
