@@ -5224,3 +5224,83 @@ def q_embedding_ann_ivfpq_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "chi_square_contingency",
+    oracle="""
+    WITH cells AS (SELECT c_mktsegment, c_nationkey, COUNT(*) AS o
+                   FROM customer GROUP BY 1, 2),
+    rt AS (SELECT c_mktsegment, COUNT(*) AS r FROM customer GROUP BY 1),
+    ct AS (SELECT c_nationkey, COUNT(*) AS c FROM customer GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM customer)
+    SELECT cells.c_mktsegment, cells.c_nationkey, cells.o AS observed,
+           CAST(rt.r AS DOUBLE) * ct.c / n.n AS expected,
+           (cells.o - CAST(rt.r AS DOUBLE) * ct.c / n.n)
+             * (cells.o - CAST(rt.r AS DOUBLE) * ct.c / n.n)
+             / (CAST(rt.r AS DOUBLE) * ct.c / n.n) AS contribution
+    FROM cells
+    JOIN rt ON rt.c_mktsegment = cells.c_mktsegment
+    JOIN ct ON ct.c_nationkey = cells.c_nationkey
+    CROSS JOIN n
+    """,
+    tags=("agg", "extension"),
+)
+def q_chi_square_contingency(spark, sf_dir):
+    """Chi-square contingency analysis (segment x nation): per-cell
+    observed vs expected counts and chi-square contributions. Emitted
+    PER CELL deliberately — a global SUM of double contributions would be
+    accumulation-order dependent and never cross-engine exact; the caller
+    sums the tiny cell relation however it likes. Counts are integers, so
+    every double op here is a fixed deterministic expression. Three small
+    aggregates (cells, row totals, column totals) + one scalar, all
+    broadcast-sized."""
+    cust = _t(spark, sf_dir, "customer")
+    cells = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    rt = cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("r"))
+    ct = cust.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("c"))
+    n = cust.agg(F.count(F.lit(1)).alias("n"))
+    expected = F.col("r").cast("double") * F.col("c") / F.col("n")
+    return (
+        cells.join(F.broadcast(rt), "c_mktsegment")
+        .join(F.broadcast(ct), "c_nationkey")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "observed",
+            expected.alias("expected"),
+            (
+                (F.col("observed") - expected)
+                * (F.col("observed") - expected)
+                / expected
+            ).alias("contribution"),
+        )
+    )
+
+
+@register(
+    "decile_bucketing",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id) AS INTEGER) AS decile
+    FROM documents
+    """,
+    tags=("window", "extension", "corpus"),
+)
+def q_decile_bucketing(spark, sf_dir):
+    """Decile bucketing of documents by length — the percentile-bin
+    labeling step of quality stratification. NTILE over a TOTAL order
+    (tie-break on doc_id) is deterministic and engine-portable; without
+    the tie-break, equal-length docs could land in different deciles per
+    engine. One global sort — at 100 TB swap NTILE for the histogram/
+    approx-quantile bin edges (``histogram_binned``) to avoid the
+    single-ordering bottleneck; this is the exact small-to-mid-scale
+    form."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id", "n_chars", F.ntile(10).over(w).cast("int").alias("decile")
+    )
