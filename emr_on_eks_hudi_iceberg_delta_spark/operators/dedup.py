@@ -93,6 +93,29 @@ def minhash_signatures(
     return df.select(id_col, *[f"h{i}" for i in range(num_hashes)])
 
 
+def lsh_band_buckets(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Band-bucket rows (id, band, key) from a MinHash signature frame:
+    the signature splits into ``bands`` bands of ``num_hashes/bands``
+    hashes, each digested to a bucket key. Pure per-row map (explode of a
+    literal-size array) — the shared front half of the self-join and
+    cross-corpus LSH paths."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *cols)).alias("key"))
+        )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -114,17 +137,9 @@ def lsh_candidate_pairs(
     """
     from .similarity import cap_buckets
 
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *cols)).alias("key"))
-        )
-    buckets = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    buckets = cap_buckets(buckets, max_bucket_size)
+    buckets = cap_buckets(
+        lsh_band_buckets(signatures, id_col, num_hashes, bands), max_bucket_size
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -340,3 +355,75 @@ def dedup_keep_canonical(pairs: DataFrame, all_ids: DataFrame, id_col: str) -> D
     repeated application or a connected-components pass for exactness)."""
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return all_ids.join(dropped, id_col, "left_anti")
+
+
+def dedup_against_corpus(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Incremental dedup: filter a NEW ingestion batch against an EXISTING
+    corpus — the shape continuous corpus building actually runs (the
+    historical corpus is never re-deduplicated; each batch is screened
+    against it). Ids must be distinct across the two inputs.
+
+    Two screens, same find->verify discipline as the batch pipeline:
+
+    1. exact: the batch row's content digest already exists in the corpus
+       (anti-join on md5(text) — one shuffle on the digest);
+    2. near: an LSH candidate pairing with ANY corpus doc verifies at
+       n-gram Jaccard >= ``threshold``. Buckets are computed over the
+       union (so the cap sees true bucket sizes) but only NEW x OLD pairs
+       are generated and verified — within-batch and within-corpus pairs
+       are other operators' jobs.
+
+    Returns the surviving new-batch rows, all columns intact.
+
+    Scale: corpus-side signatures/digests are O(corpus) per batch as
+    written; a production loop persists them once (they are pure per-row
+    maps, so the stored form is identical) and the per-batch cost drops to
+    O(batch + matched buckets) — the plumbing here is unchanged either
+    way. The bucket join shuffles on (band, key); the verify stage touches
+    candidates only.
+    """
+    from .similarity import cap_buckets
+
+    dg = F.md5(F.col(text_col))
+    old_digests = corpus.select(dg.alias("__dg")).distinct()
+    bn = lsh_band_buckets(
+        minhash_signatures(new_batch, text_col, id_col, num_hashes, shingle_n),
+        id_col, num_hashes, bands,
+    ).withColumn("__side", F.lit("new"))
+    bo = lsh_band_buckets(
+        minhash_signatures(corpus, text_col, id_col, num_hashes, shingle_n),
+        id_col, num_hashes, bands,
+    ).withColumn("__side", F.lit("old"))
+    buckets = cap_buckets(bn.unionByName(bo), max_bucket_size)
+    pairs = (
+        buckets.filter(F.col("__side") == "new")
+        .select(F.col(id_col).alias("id_a"), "band", "key")
+        .join(
+            buckets.filter(F.col("__side") == "old").select(
+                F.col(id_col).alias("id_b"), "band", "key"
+            ),
+            ["band", "key"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    near = ngram_jaccard_pairs(
+        new_batch.unionByName(corpus), pairs, text_col, id_col, shingle_n, threshold
+    )
+    near_ids = near.select(F.col("id_a").alias(id_col)).distinct()
+    return (
+        new_batch.withColumn("__dg", dg)
+        .join(old_digests, "__dg", "left_anti")
+        .drop("__dg")
+        .join(near_ids, id_col, "left_anti")
+    )

@@ -5304,3 +5304,51 @@ def q_decile_bucketing(spark, sf_dir):
     return docs.select(
         "doc_id", "n_chars", F.ntile(10).over(w).cast("int").alias("decile")
     )
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=_SQL_LSH_BANDS.replace(
+        "    cand AS (\n"
+        "      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b\n"
+        "      FROM bands a JOIN bands b\n"
+        "        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)\n",
+        "    cand AS (\n"
+        "      SELECT DISTINCT n.doc_id AS id_a, o.doc_id AS id_b\n"
+        "      FROM bands n JOIN bands o\n"
+        "        ON n.band = o.band AND n.key = o.key\n"
+        "      WHERE n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0)\n",
+    )
+    + """,
+    shd AS (SELECT doc_id, list_distinct(s) AS sh FROM shng),
+    near AS (
+      SELECT DISTINCT c.id_a AS doc_id FROM cand c
+      JOIN shd a ON a.doc_id = c.id_a
+      JOIN shd b ON b.doc_id = c.id_b
+      WHERE len(list_intersect(a.sh, b.sh))
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+    old_dg AS (SELECT DISTINCT md5(text) AS dg FROM documents
+               WHERE doc_id % 3 <> 0)
+    SELECT d.doc_id, d.source, d.n_chars FROM documents d
+    WHERE d.doc_id % 3 = 0
+      AND md5(d.text) NOT IN (SELECT dg FROM old_dg)
+      AND d.doc_id NOT IN (SELECT doc_id FROM near)
+    """,
+    tags=("dedup", "extension", "corpus"),
+)
+def q_dedup_incremental_batch(spark, sf_dir):
+    """Incremental ingestion dedup: the new batch (every 3rd doc) screens
+    against the existing corpus (the rest) — exact digest anti-join plus
+    LSH-candidate + Jaccard-verified near-dup kill, NEW x OLD pairs only.
+    The continuous-corpus-building shape: the historical corpus is never
+    re-deduplicated, per-batch cost tracks batch size (see
+    ``dedup_against_corpus`` scale notes on persisting corpus
+    signatures)."""
+    from .operators.dedup import dedup_against_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    return dedup_against_corpus(new_batch, corpus).select(
+        "doc_id", "source", "n_chars"
+    )

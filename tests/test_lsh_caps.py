@@ -91,3 +91,32 @@ def test_bucket_stats_reports_dropped_buckets(spark):
     # the identical group occupies one bucket per band, all above the cap
     assert len(oversized) >= 4
     assert all(r["n_rows"] >= N_DUP for r in oversized)
+
+
+def test_dedup_against_corpus_invariants(spark):
+    """Cross-corpus screening: an exact copy of a corpus doc is killed, a
+    disjoint doc survives, and corpus rows are never returned."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.dedup import (
+        dedup_against_corpus,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " * 3 + f"tail{i}")
+         for i in range(100, 110)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # verbatim copy of corpus doc 100 -> exact kill
+            (1, "alpha beta gamma delta epsilon zeta " * 3 + "tail100"),
+            # near-copy of corpus doc 101 (one token changed) -> near kill
+            (2, "alpha beta gamma delta epsilon zeta " * 3 + "tailX"),
+            # unrelated -> survives
+            (3, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in dedup_against_corpus(new, corpus).collect()}
+    assert 1 not in kept
+    assert 2 not in kept
+    assert kept == {3}
