@@ -6,6 +6,10 @@ self-joins with a convergence check, the same shape as
 ``dedup.connected_components``. The DuckDB oracles use a real recursive CTE,
 so correctness of the iteration is pinned against the textbook semantics.
 
+Reference scope note: the reference has no recursive-query surface (its
+three scripts are flat SCD2 pipelines); this is a capability extension per
+SURVEY.md §2, same footing as the streaming and training-data operators.
+
 The test hierarchy is the implicit binary tree ``parent(k) = k DIV 2`` over
 any positive integer key — deterministic, derivable from every table, depth
 ``log2(max key)``, which keeps the iteration count logarithmic (the property
