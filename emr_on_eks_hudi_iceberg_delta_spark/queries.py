@@ -5352,3 +5352,37 @@ def q_dedup_incremental_batch(spark, sf_dir):
     return dedup_against_corpus(new_batch, corpus).select(
         "doc_id", "source", "n_chars"
     )
+
+
+@register(
+    "table_generated_column_clone",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus))
+             AS checksum
+    FROM orders
+    """,
+    tags=("S2", "lake", "extension"),
+)
+def q_table_generated_column_clone(spark, sf_dir):
+    """Generated column + shallow clone end-to-end: a checksum column
+    GENERATED ALWAYS AS md5(key|status) — the reference's own
+    change-detection idiom (hudi/hudi_scd_script.py:63) enforced by the
+    table instead of each writer — is backfilled on the initial 2/3 of
+    orders, computed automatically for an appended batch that omits it,
+    and finally read through a METADATA-ONLY shallow clone (zero data
+    copied; the clone's snapshot marks the source dir external so clone
+    vacuum can never reclaim it). Result must equal projecting the
+    expression over all orders."""
+    from .sources.tables import VersionedTable
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_gen_"))
+    vt.overwrite(orders.filter(F.col("o_orderkey") % 3 != 0))
+    vt.add_generated_column(
+        "checksum",
+        "md5(concat_ws('|', CAST(o_orderkey AS STRING), o_orderstatus))",
+    )
+    vt.append(orders.filter(F.col("o_orderkey") % 3 == 0))
+    clone = vt.shallow_clone(tempfile.mkdtemp(prefix="vt_genclone_"))
+    return clone.read().select("o_orderkey", "o_orderstatus", "checksum")

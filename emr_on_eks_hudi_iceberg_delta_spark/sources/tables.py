@@ -146,6 +146,19 @@ class VersionedTable:
                 raise ConstraintViolationError(
                     f"CHECK constraint {cname} ({cexpr}) violated by incoming rows"
                 )
+        for gname, gexpr in meta.get("generated", {}).items():
+            # Delta generated-column semantics: an omitted column is
+            # computed from its expression; a supplied one must MATCH the
+            # expression (null-safe), else the commit is rejected
+            if gname not in df.columns:
+                df = df.withColumn(gname, F.expr(gexpr))
+            else:
+                bad = df.filter(~F.col(gname).eqNullSafe(F.expr(gexpr)))
+                if not bad.isEmpty():
+                    raise ConstraintViolationError(
+                        f"generated column {gname} ({gexpr}) supplied with "
+                        f"non-matching values"
+                    )
         version = self._next_version(snaps)
         snap_dir = os.path.join(self.location, f"snapshot-{version:05d}")
         df.write.mode("overwrite").parquet(snap_dir)
@@ -178,6 +191,12 @@ class VersionedTable:
         Delta's default schema enforcement. Prior snapshots keep their
         original schema for time travel; evolution is metadata-free here
         because every snapshot is a full CoW rewrite."""
+        # generated columns a batch omits are computed per-row BEFORE the
+        # union (the committed table always carries them; _commit still
+        # validates any batch that supplies its own values)
+        for gname, gexpr in self._meta().get("generated", {}).items():
+            if gname not in df.columns:
+                df = df.withColumn(gname, F.expr(gexpr))
         current = self.read()
         self._commit(current.unionByName(df, allowMissingColumns=merge_schema))
         return self
@@ -757,6 +776,61 @@ class VersionedTable:
         self._write_meta(meta)
         return self
 
+    def add_generated_column(self, name: str, expr: str) -> "VersionedTable":
+        """Delta generated-column analog (``GENERATED ALWAYS AS (expr)``):
+        the column's value is defined by a SQL expression over the row's
+        other columns. Registered in table metadata and enforced at EVERY
+        commit — writers that omit the column get it computed; writers
+        that supply it must supply matching values (null-safe compare),
+        mirroring Delta's validate-on-write. Existing rows backfill via
+        one CoW commit. Derived partition keys (date from timestamp) are
+        the canonical use."""
+        meta = self._meta()
+        meta.setdefault("generated", {})[name] = expr
+        self._write_meta(meta)
+        df = self.read()
+        if name in df.columns:
+            df = df.drop(name)
+        self._commit(df)  # _commit computes the column
+        return self
+
+    def drop_generated_column(self, name: str) -> "VersionedTable":
+        """Remove the generation rule (the column itself stays, now
+        freely writable — same as Delta dropping the generation
+        expression via column replacement)."""
+        meta = self._meta()
+        meta.get("generated", {}).pop(name, None)
+        self._write_meta(meta)
+        return self
+
+    def shallow_clone(self, target_location: str) -> "VersionedTable":
+        """Shallow clone (Delta ``CREATE TABLE ... SHALLOW CLONE`` analog):
+        a METADATA-ONLY fork — the clone's v0 references the source's
+        current snapshot directory (and inherits its pending tombstones /
+        deletion vectors), zero data copied. Writes to the clone are CoW
+        commits under the clone's own location, so the source is never
+        touched; the snapshot entry is marked ``external`` so the clone's
+        ``vacuum`` will never delete source-owned files. The instant
+        dev/test fork for 100 TB tables — ``clone`` is the deep copy."""
+        snaps = self._snapshots()
+        cur = self._current_snapshot(snaps)
+        out = VersionedTable(self.spark, target_location, name=None)
+        out._write_meta(
+            {
+                "snapshots": [
+                    {
+                        "version": 0,
+                        "dir": cur["dir"],
+                        "committed_at": time.time(),
+                        "external": True,
+                        "tombstones": cur.get("tombstones", []),
+                        "dv": cur.get("dv", []),
+                    }
+                ]
+            }
+        )
+        return out
+
     def restore(self, version: int) -> "VersionedTable":
         """Delta ``RESTORE TABLE ... TO VERSION AS OF`` analog: re-commit
         an old snapshot's data as the NEW current version — a roll-forward
@@ -791,7 +865,9 @@ class VersionedTable:
         keep = snaps[-keep_last:] if keep_last > 0 else []
         keep_dirs = {s["dir"] for s in keep}
         for s in snaps:
-            if s["dir"] not in keep_dirs:
+            # external dirs belong to another table (shallow_clone source)
+            # — never reclaim them from the clone side
+            if s["dir"] not in keep_dirs and not s.get("external"):
                 shutil.rmtree(s["dir"], ignore_errors=True)
         meta["snapshots"] = keep
         self._write_meta(meta)

@@ -3,6 +3,8 @@
 import glob
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
@@ -619,3 +621,71 @@ def test_bloom_probe_type_safety(spark):
     assert len(vt.pruned_files([("id", "=", 5)])) >= 1
     assert vt.read_pruned([("id", "=", 5)]).count() == 1
     assert vt.pruned_files([("id", "=", 12345)]) == []
+
+
+# -- generated columns + shallow clone (round 4) ----------------------------
+
+
+def test_generated_column_computed_and_validated(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import (
+        ConstraintViolationError,
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "gen"))
+    vt.overwrite(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, amount double")
+    )
+    vt.add_generated_column("amount_cents", "CAST(amount * 100 AS BIGINT)")
+    # backfilled on existing rows
+    assert {r.amount_cents for r in vt.read().collect()} == {1000, 2000}
+    # an append omitting the column gets it computed
+    vt.append(spark.createDataFrame([(3, 30.0)], "id long, amount double"))
+    got = {r.id: r.amount_cents for r in vt.read().collect()}
+    assert got == {1: 1000, 2: 2000, 3: 3000}
+    # supplying a NON-matching value is rejected
+    bad = spark.createDataFrame(
+        [(4, 40.0, 9999)], "id long, amount double, amount_cents long"
+    )
+    with pytest.raises(ConstraintViolationError, match="generated column"):
+        vt.append(bad)
+    # supplying the MATCHING value passes
+    ok = spark.createDataFrame(
+        [(4, 40.0, 4000)], "id long, amount double, amount_cents long"
+    )
+    vt.append(ok)
+    assert vt.read().count() == 4
+    # dropping the rule makes the column freely writable again
+    vt.drop_generated_column("amount_cents")
+    vt.append(bad)
+    assert vt.read().count() == 5
+
+
+def test_shallow_clone_is_metadata_only_and_isolated(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.overwrite(spark.createDataFrame([(i, i * 2) for i in range(20)], "id long, v long"))
+    clone = src.shallow_clone(str(tmp_path / "clone"))
+    assert clone.read().count() == 20
+    # no data files under the clone location yet (metadata only)
+    import glob
+
+    assert not glob.glob(str(tmp_path / "clone" / "snapshot-*" / "*.parquet"))
+    # clone writes are CoW under the clone; source unaffected
+    clone.delete_where("id < 10")
+    assert clone.read().count() == 10
+    assert src.read().count() == 20
+    # vacuum on the clone must NOT reclaim the source-owned directory
+    clone.vacuum(keep_last=1)
+    assert src.read().count() == 20
+
+
+def test_shallow_clone_inherits_pending_tombstones(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    src = VersionedTable(spark, str(tmp_path / "src2"))
+    src.overwrite(spark.createDataFrame([(i, i) for i in range(10)], "id long, v long"))
+    src.delete_where_deferred("id >= 8", key_cols=["id"])
+    clone = src.shallow_clone(str(tmp_path / "clone2"))
+    assert clone.read().count() == 8  # MoR deletes visible through the clone
