@@ -5386,3 +5386,39 @@ def q_table_generated_column_clone(spark, sf_dir):
     vt.append(orders.filter(F.col("o_orderkey") % 3 == 0))
     clone = vt.shallow_clone(tempfile.mkdtemp(prefix="vt_genclone_"))
     return clone.read().select("o_orderkey", "o_orderstatus", "checksum")
+
+
+@register(
+    "table_identity_column",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           ROW_NUMBER() OVER (ORDER BY o_orderkey) AS row_id
+    FROM orders
+    """,
+    tags=("S2", "lake", "extension"),
+)
+def q_table_identity_column(spark, sf_dir):
+    """Identity column (GENERATED ALWAYS AS IDENTITY analog) across two
+    append batches: dense bigint ids continue from the table's MAX,
+    assigned in an explicit total order so the result is deterministic
+    (Delta documents its identity as non-reproducible; this variant
+    trades gap-freedom under concurrency for exact replayability). The
+    two batches (orders split 2/3-1/3 by key thirds, appended in key
+    order) must reproduce ROW_NUMBER over the whole table."""
+    from .sources.tables import VersionedTable
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    n = orders.count()
+    cut = orders.orderBy("o_orderkey").limit(2 * n // 3).agg(
+        F.max("o_orderkey")
+    ).first()[0]
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_ident_"))
+    vt.append_with_identity(
+        orders.filter(F.col("o_orderkey") <= cut), "row_id", ["o_orderkey"]
+    )
+    vt.append_with_identity(
+        orders.filter(F.col("o_orderkey") > cut), "row_id", ["o_orderkey"]
+    )
+    return vt.read().select(
+        "o_orderkey", "o_orderstatus", F.col("row_id").cast("bigint").alias("row_id")
+    )

@@ -201,6 +201,38 @@ class VersionedTable:
         self._commit(current.unionByName(df, allowMissingColumns=merge_schema))
         return self
 
+    def append_with_identity(
+        self, df: DataFrame, id_col: str, order_by: list[str]
+    ) -> "VersionedTable":
+        """Delta ``GENERATED ALWAYS AS IDENTITY`` analog: the batch gets
+        dense ids continuing from the table's current MAX(id) + 1,
+        assigned in ``order_by`` order (an explicit total order makes the
+        assignment deterministic and replayable — engines that hand out
+        identity values by task order are not reproducible, which is why
+        Delta documents identity as non-deterministic; this variant
+        trades that for exactness). First append on an id-less table
+        starts at 1.
+
+        Scale: one scalar MAX + one global sort of the BATCH (not the
+        table) — identity assignment is inherently a sequential contract,
+        so the batch-sized sort is the honest minimum."""
+        snaps = self._snapshots()
+        if snaps and id_col in self.read().columns:
+            start = self.read().agg(F.max(id_col)).first()[0] or 0
+            current = self.read()
+        else:
+            start = 0
+            current = None
+        w = Window.orderBy(*[F.col(c) for c in order_by])
+        new = df.withColumn(
+            id_col, (F.row_number().over(w) + F.lit(int(start))).cast("bigint")
+        )
+        if current is None:
+            self._commit(new)
+        else:
+            self._commit(current.unionByName(new))
+        return self
+
     create_or_replace = overwrite  # DataFrameWriterV2 semantics (S8)
 
     def upsert(

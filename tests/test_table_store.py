@@ -689,3 +689,20 @@ def test_shallow_clone_inherits_pending_tombstones(spark, tmp_path):
     src.delete_where_deferred("id >= 8", key_cols=["id"])
     clone = src.shallow_clone(str(tmp_path / "clone2"))
     assert clone.read().count() == 8  # MoR deletes visible through the clone
+
+
+def test_identity_column_continues_across_batches(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "ident"))
+    b1 = spark.createDataFrame([("c",), ("a",), ("b",)], "name string")
+    b2 = spark.createDataFrame([("e",), ("d",)], "name string")
+    vt.append_with_identity(b1, "row_id", ["name"])
+    vt.append_with_identity(b2, "row_id", ["name"])
+    got = {r.name: r.row_id for r in vt.read().collect()}
+    # batch 1 ordered a,b,c -> 1,2,3; batch 2 ordered d,e -> 4,5
+    assert got == {"a": 1, "b": 2, "c": 3, "d": 4, "e": 5}
+    # layout independence: same ids regardless of input partitioning
+    vt2 = VersionedTable(spark, str(tmp_path / "ident2"))
+    vt2.append_with_identity(b1.repartition(3), "row_id", ["name"])
+    assert {r.name: r.row_id for r in vt2.read().collect()} == {"a": 1, "b": 2, "c": 3}
