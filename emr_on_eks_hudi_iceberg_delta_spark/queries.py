@@ -5422,3 +5422,31 @@ def q_table_identity_column(spark, sf_dir):
     return vt.read().select(
         "o_orderkey", "o_orderstatus", F.col("row_id").cast("bigint").alias("row_id")
     )
+
+
+@register(
+    "table_branch_workflow",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
+    """,
+    tags=("S2", "lake", "extension"),
+)
+def q_table_branch_workflow(spark, sf_dir):
+    """Iceberg-branch write-audit-publish at branch granularity: fork a
+    writable branch (metadata-only shallow clone), run the cleanup DELETE
+    on the branch while main stays untouched, then fast-forward main to
+    the audited branch state — the multi-commit generalization of the
+    single-snapshot stage/publish WAP (iceberg_scd_script.py:36 format-v2
+    being the reference's audit-capable table). Result must equal the
+    plain CoW DELETE applied directly."""
+    from .sources.tables import VersionedTable
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_br_"))
+    vt.overwrite(_t(spark, sf_dir, "orders").select(*cols))
+    audit = vt.create_branch("audit")
+    audit.delete_where("o_orderstatus = 'F' AND o_totalprice < 50000")
+    vt.fast_forward("audit")
+    vt.drop_branch("audit")
+    return vt.read().select(*cols)

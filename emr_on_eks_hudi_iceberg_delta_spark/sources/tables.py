@@ -896,6 +896,16 @@ class VersionedTable:
         snaps = meta["snapshots"]
         keep = snaps[-keep_last:] if keep_last > 0 else []
         keep_dirs = {s["dir"] for s in keep}
+        # live branches may still reference main-owned dirs through their
+        # shallow-clone v0 entries — those stay protected until the branch
+        # is dropped (the lake-format rule: retention never breaks a ref)
+        for loc in meta.get("branches", {}).values():
+            try:
+                keep_dirs |= {
+                    s["dir"] for s in VersionedTable(self.spark, loc)._snapshots()
+                }
+            except FileNotFoundError:
+                pass
         for s in snaps:
             # external dirs belong to another table (shallow_clone source)
             # — never reclaim them from the clone side
@@ -1019,6 +1029,64 @@ class VersionedTable:
                 self._write_meta(meta)
                 return self
         raise ValueError(f"no staged snapshot {version} at {self.location}")
+
+    # -- branches (Iceberg branch / audit-branch WAP analog) ----------------
+
+    def create_branch(self, name: str) -> "VersionedTable":
+        """Iceberg branch analog: a named WRITABLE fork of the current
+        table state (tags are the read-only flavor). Starts as a shallow
+        clone under ``<location>/branches/<name>`` — metadata-only, zero
+        data copied — then accumulates its own snapshot lineage; main
+        never sees branch commits until ``fast_forward``. The
+        write-audit-publish pattern at branch granularity (multi-commit
+        audits, vs ``stage()``'s single-snapshot WAP)."""
+        if "/" in name:
+            raise ValueError(f"invalid branch name {name!r}")
+        meta = self._meta()
+        branches = meta.setdefault("branches", {})
+        if name in branches:
+            raise ValueError(f"branch {name!r} already exists")
+        loc = os.path.join(self.location, "branches", name)
+        self.shallow_clone(loc)
+        branches[name] = loc
+        self._write_meta(meta)
+        return self.branch(name)
+
+    def branch(self, name: str) -> "VersionedTable":
+        branches = self._meta().get("branches", {})
+        if name not in branches:
+            raise ValueError(f"branch {name!r} not found at {self.location}")
+        return VersionedTable(self.spark, branches[name], name=None)
+
+    def fast_forward(self, name: str) -> "VersionedTable":
+        """Publish a branch back to main: commit the branch's current
+        state as main's next snapshot (a CoW rewrite — data files stay
+        single-owner, so branch and main lifecycles never entangle; the
+        rewrite is the price of that simplicity, and any audit fixes the
+        branch accumulated are folded in atomically)."""
+        self._commit(self.branch(name).read())
+        return self
+
+    def drop_branch(self, name: str) -> "VersionedTable":
+        """Delete a branch and its (branch-owned) snapshots. Safe at any
+        point: branch dirs hold only branch-committed data — the v0
+        shallow-clone entry references main's files, which the external
+        marker protects from the branch's own vacuum, and ``fast_forward``
+        copies rather than adopts."""
+        import shutil
+
+        meta = self._meta()
+        loc = meta.get("branches", {}).pop(name, None)
+        if loc is None:
+            raise ValueError(f"branch {name!r} not found at {self.location}")
+        # only remove branch-owned snapshot dirs (v0 is external/main-owned)
+        b = VersionedTable(self.spark, loc)
+        for s in b._snapshots():
+            if not s.get("external"):
+                shutil.rmtree(s["dir"], ignore_errors=True)
+        shutil.rmtree(loc, ignore_errors=True)
+        self._write_meta(meta)
+        return self
 
     def history(self) -> list[dict]:
         return self._snapshots()

@@ -706,3 +706,47 @@ def test_identity_column_continues_across_batches(spark, tmp_path):
     vt2 = VersionedTable(spark, str(tmp_path / "ident2"))
     vt2.append_with_identity(b1.repartition(3), "row_id", ["name"])
     assert {r.name: r.row_id for r in vt2.read().collect()} == {"a": 1, "b": 2, "c": 3}
+
+
+def test_branch_write_audit_publish_lifecycle(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "br"))
+    vt.overwrite(spark.createDataFrame([(i, "x") for i in range(10)], "id long, v string"))
+    dev = vt.create_branch("dev")
+    # branch sees main's state without copying data
+    assert dev.read().count() == 10
+    # branch commits are invisible to main
+    dev.delete_where("id >= 8")
+    dev.append(spark.createDataFrame([(100, "new")], "id long, v string"))
+    assert dev.read().count() == 9
+    assert vt.read().count() == 10
+    # fast-forward publishes the branch state atomically
+    vt.fast_forward("dev")
+    assert vt.read().count() == 9
+    assert {r.id for r in vt.read().collect()} == set(range(8)) | {100}
+    # dropping the branch never harms main (including time travel)
+    vt.drop_branch("dev")
+    assert vt.read().count() == 9
+    assert vt.read(version=0).count() == 10
+    with pytest.raises(ValueError, match="not found"):
+        vt.branch("dev")
+
+
+def test_branch_name_collision_and_main_vacuum_safety(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "br2"))
+    vt.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    dev = vt.create_branch("dev")
+    with pytest.raises(ValueError, match="already exists"):
+        vt.create_branch("dev")
+    # main moves on and vacuums aggressively — the dir the branch's v0
+    # references must survive (retention never breaks a live ref)
+    vt.overwrite(spark.createDataFrame([(2, "b")], "id long, v string"))
+    vt.vacuum(keep_last=1)
+    assert dev.read().count() == 1
+    assert {r.id for r in dev.read().collect()} == {1}
+    vt.drop_branch("dev")
+    assert vt.read().count() == 1
+    assert {r.id for r in vt.read().collect()} == {2}
