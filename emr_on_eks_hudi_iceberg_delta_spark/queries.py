@@ -5450,3 +5450,33 @@ def q_table_branch_workflow(spark, sf_dir):
     vt.fast_forward("audit")
     vt.drop_branch("audit")
     return vt.read().select(*cols)
+
+
+@register(
+    "vtable_datasource_scan",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders
+    """,
+    tags=("S2", "sources", "extension"),
+)
+def q_vtable_datasource_scan(spark, sf_dir):
+    """Spark 4 Python DataSource surface: the versioned table store read
+    through ``spark.read.format("vtable")`` — the format-name integration
+    the reference gets from its plugin DataSources
+    (hudi/hudi_scd_script.py:66-70 ``format("hudi")``). Arrow-batched
+    (pyarrow iter_batches into Spark's Arrow ingestion, one partition per
+    file, zero per-row Python); serves raw snapshot files only and
+    REFUSES pending MoR state rather than mis-reading it. Must round-trip
+    orders exactly, timestamps included."""
+    from .sources.datasource import register_vtable_source
+    from .sources.tables import VersionedTable
+
+    register_vtable_source(spark)
+    loc = tempfile.mkdtemp(prefix="vt_dsq_")
+    VersionedTable(spark, loc).overwrite(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+        )
+    )
+    return spark.read.format("vtable").option("location", loc).load()

@@ -53,3 +53,49 @@ def test_json_corrupt_records_quarantined(spark):
     assert good.count() == d.count()
     # the malformed line is preserved verbatim for the dead-letter sink
     assert "not-a-number" in bad.collect()[0]["_corrupt"]
+
+
+# -- Spark 4 Python DataSource (vtable format) ------------------------------
+
+
+def test_vtable_datasource_reads_head_and_versions(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.datasource import (
+        register_vtable_source,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    register_vtable_source(spark)
+    loc = str(tmp_path / "vt")
+    vt = VersionedTable(spark, loc)
+    vt.overwrite(spark.range(30).selectExpr("id", "id * 2 AS v"))
+    vt.overwrite(spark.range(10).selectExpr("id", "id * 3 AS v"))
+    head = spark.read.format("vtable").option("location", loc).load()
+    assert head.count() == 10
+    assert head.schema.simpleString() == "struct<id:bigint,v:bigint>"
+    v0 = (
+        spark.read.format("vtable")
+        .option("location", loc)
+        .option("version", 0)
+        .load()
+    )
+    assert v0.count() == 30
+
+
+def test_vtable_datasource_refuses_pending_mor_state(spark, tmp_path):
+    import pytest
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.datasource import (
+        register_vtable_source,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    register_vtable_source(spark)
+    loc = str(tmp_path / "vt_mor")
+    vt = VersionedTable(spark, loc)
+    vt.overwrite(spark.range(20).selectExpr("id", "id AS v"))
+    vt.delete_where_deferred("id >= 10", key_cols=["id"])
+    with pytest.raises(Exception, match="merge-on-read"):
+        spark.read.format("vtable").option("location", loc).load().count()
+    # compaction folds the tombstones; the source works again
+    vt.compact()
+    assert spark.read.format("vtable").option("location", loc).load().count() == 10
