@@ -74,12 +74,86 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
+def _pruned_files(snap: dict, filters: list[tuple]) -> list[str]:
+    """File paths of ``snap`` surviving min/max + bloom skipping for a
+    conjunction of ``(col, op, value)`` filters — the same skipping rules
+    as ``VersionedTable.pruned_files`` (whose static helpers this reuses),
+    resolved purely from the pointer metadata."""
+    from .tables import VersionedTable as _VT
+
+    files = sorted(glob.glob(os.path.join(snap["dir"], "*.parquet")))
+    stats = snap.get("stats", {})
+    bloom = snap.get("bloom", {})
+    if not filters or not (stats or bloom):
+        return files
+    out = []
+    for path in files:
+        fstats = stats.get(path)
+        fbloom = bloom.get(path)
+        keep = True
+        for col, op, value in filters:
+            if (
+                fstats is not None
+                and col in fstats
+                and not _VT._file_may_match(
+                    fstats[col], op, _VT._stat_value(value)
+                )
+            ):
+                keep = False
+                break
+            if (
+                op == "="
+                and fbloom is not None
+                and col in fbloom
+                and _VT._bloom_probe_ok(value)
+            ):
+                positions = set(fbloom[col])
+                if not all(
+                    p in positions for p in _VT._bloom_positions(value)
+                ):
+                    keep = False
+                    break
+        if keep:
+            out.append(path)
+    return out
+
+
 class VersionedTableReader(DataSourceReader):
     def __init__(self, options: dict):
         self.snap = _resolve_snapshot(options)
+        self._skip_filters: list[tuple] = []
+
+    def pushFilters(self, filters):
+        """File-skipping pushdown: comparison filters on columns with
+        collected stats (``compute_stats`` / ``compute_bloom``) prune
+        whole files before Spark ever schedules them — the Delta/Iceberg
+        data-skipping mechanism surfaced through the source API. EVERY
+        filter is also returned to Spark for row-level evaluation, so
+        results are exact no matter how coarse the stats are (skipping
+        only ever removes files that cannot match)."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {
+            EqualTo: "=",
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+        }
+        for f in filters:
+            op = ops.get(type(f))
+            if op is not None and len(f.attribute) == 1:
+                self._skip_filters.append((f.attribute[0], op, f.value))
+        return filters  # Spark re-applies all filters row-level
 
     def partitions(self):
-        files = sorted(glob.glob(os.path.join(self.snap["dir"], "*.parquet")))
+        files = _pruned_files(self.snap, self._skip_filters)
         # an empty snapshot still needs >= 1 partition to emit 0 rows
         return [_FilePartition(p) for p in files] or [_FilePartition("")]
 
@@ -115,7 +189,10 @@ class VersionedTableDataSource(DataSource):
 
 
 def register_vtable_source(spark) -> None:
-    """Idempotently register the ``vtable`` format on a session."""
+    """Idempotently register the ``vtable`` format on a session (and
+    enable Python-source filter pushdown, which Spark gates off by
+    default — runtime-settable SQL conf)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
         spark.dataSource.register(VersionedTableDataSource)
     except Exception:

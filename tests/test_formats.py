@@ -99,3 +99,37 @@ def test_vtable_datasource_refuses_pending_mor_state(spark, tmp_path):
     # compaction folds the tombstones; the source works again
     vt.compact()
     assert spark.read.format("vtable").option("location", loc).load().count() == 10
+
+
+def test_vtable_datasource_prunes_files_via_stats(spark, tmp_path):
+    """Filter pushdown through the Python DataSource: with collected
+    min/max stats and range-clustered files, a comparison filter prunes
+    whole files at planning time — and results stay exact because Spark
+    re-applies every filter row-level."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.datasource import (
+        _pruned_files,
+        _resolve_snapshot,
+        register_vtable_source,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    register_vtable_source(spark)
+    loc = str(tmp_path / "vt_prune")
+    vt = VersionedTable(spark, loc)
+    vt.overwrite(spark.range(1000).selectExpr("id", "id % 7 AS v"))
+    vt.compact(target_partitions=8, cluster_by=["id"])
+    vt.compute_stats(["id"])
+    snap = _resolve_snapshot({"location": loc})
+    all_files = _pruned_files(snap, [])
+    hit_files = _pruned_files(snap, [("id", ">=", 900)])
+    assert len(all_files) == 8
+    assert len(hit_files) < len(all_files)  # pruning actually happened
+    # end-to-end: pushed filter + exact results
+    df = (
+        spark.read.format("vtable")
+        .option("location", loc)
+        .load()
+        .filter("id >= 900")
+    )
+    assert df.count() == 100
+    assert df.agg({"id": "min"}).first()[0] == 900
