@@ -5480,3 +5480,35 @@ def q_vtable_datasource_scan(spark, sf_dir):
         )
     )
     return spark.read.format("vtable").option("location", loc).load()
+
+
+@register(
+    "vtable_datasource_write_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    """,
+    tags=("S6", "sources", "lake", "extension"),
+)
+def q_vtable_datasource_write_roundtrip(spark, sf_dir):
+    """Writer half of the Spark 4 Python DataSource: orders lands through
+    ``df.write.format("vtable")`` — an overwrite commit (2/3 of rows) then
+    an append commit (hard-linking prior files, zero copy) — and reads
+    back through the same format. Per-task Arrow->parquet staging + one
+    atomic driver-side pointer flip = the CoW commit protocol expressed
+    through Spark's writer API (the reference's ``format(...).save()``
+    write path, hudi/hudi_scd_script.py:66-70, re-expressed natively).
+    Must round-trip all orders exactly."""
+    from .sources.datasource import register_vtable_source
+
+    register_vtable_source(spark)
+    loc = tempfile.mkdtemp(prefix="vt_dsw_")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.filter(F.col("o_orderkey") % 3 != 0).write.format("vtable").option(
+        "location", loc
+    ).mode("overwrite").save()
+    orders.filter(F.col("o_orderkey") % 3 == 0).write.format("vtable").option(
+        "location", loc
+    ).mode("append").save()
+    return spark.read.format("vtable").option("location", loc).load()

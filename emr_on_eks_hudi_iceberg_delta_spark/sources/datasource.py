@@ -187,6 +187,9 @@ class VersionedTableDataSource(DataSource):
     def reader(self, schema):
         return VersionedTableReader(dict(self.options))
 
+    def writer(self, schema, overwrite: bool):
+        return VersionedTableWriter(dict(self.options), overwrite)
+
 
 def register_vtable_source(spark) -> None:
     """Idempotently register the ``vtable`` format on a session (and
@@ -197,3 +200,133 @@ def register_vtable_source(spark) -> None:
         spark.dataSource.register(VersionedTableDataSource)
     except Exception:
         pass  # already registered on this session
+
+
+# -- write path -------------------------------------------------------------
+
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceArrowWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _WroteFile(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class VersionedTableWriter(DataSourceArrowWriter):
+    """``df.write.format("vtable")`` — the CoW commit protocol expressed
+    through Spark's writer API, which maps onto it exactly: every task
+    writes its Arrow batches to ONE parquet file in a staging dir
+    (returning the path as its commit message), and the driver-side
+    ``commit`` publishes them as the next snapshot with the same atomic
+    pointer flip ``VersionedTable._commit`` uses — a failed/partial job
+    leaves only an unreferenced staging dir (``abort`` clears it), never
+    a half-visible table.
+
+    ``mode("append")`` is metadata-cheap: the new snapshot hard-links the
+    previous snapshot's files (zero copy — the store is local-fs by
+    design: pointer file + ``os.replace``; hard links share that scope)
+    and adds the staged files beside them. ``vacuum`` stays correct:
+    removing a snapshot dir unlinks names, inodes live while any other
+    snapshot still links them. Single-writer, like the table store."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        import uuid
+
+        location = options.get("location")
+        if not location:
+            raise ValueError("vtable sink requires option 'location'")
+        self.location = location.rstrip("/")
+        self.overwrite = overwrite
+        self.staging = os.path.join(
+            self.location, f"_staging-{uuid.uuid4().hex[:12]}"
+        )
+        if not overwrite:
+            # fail at planning, before any task runs: appending onto
+            # pending merge-on-read state would resurrect deleted rows
+            snaps = self._meta()["snapshots"]
+            prev = next(
+                (s for s in reversed(snaps) if not s.get("staged")), None
+            )
+            if prev is not None and (
+                prev.get("tombstones") or prev.get("dv")
+            ):
+                raise ValueError(
+                    "append through the vtable sink onto pending merge-on-"
+                    "read state would resurrect deleted rows — compact() "
+                    "first, or use VersionedTable.append()"
+                )
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.staging, exist_ok=True)
+        path = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.parquet")
+        writer = None
+        rows = 0
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(path, batch.schema)
+            writer.write_batch(batch)
+            rows += batch.num_rows
+        if writer is None:
+            # Spark requires a WriterCommitMessage even from empty tasks
+            return _WroteFile(path="", rows=0)
+        writer.close()
+        return _WroteFile(path=path, rows=rows)
+
+    def _meta(self) -> dict:
+        import json
+
+        pointer = os.path.join(self.location, "_current_snapshot.json")
+        if not os.path.exists(pointer):
+            return {"snapshots": []}
+        with open(pointer) as f:
+            return json.load(f)
+
+    def commit(self, messages):
+        import json
+        import shutil
+        import time
+
+        meta = self._meta()
+        snaps = meta["snapshots"]
+        version = (max(s["version"] for s in snaps) + 1) if snaps else 0
+        snap_dir = os.path.join(self.location, f"snapshot-{version:05d}")
+        os.makedirs(snap_dir, exist_ok=True)
+        if not self.overwrite and snaps:
+            prev = next(s for s in reversed(snaps) if not s.get("staged"))
+            if prev.get("tombstones") or prev.get("dv"):
+                raise ValueError(
+                    "append through the vtable sink onto pending merge-on-"
+                    "read state would resurrect deleted rows — compact() "
+                    "first, or use VersionedTable.append()"
+                )
+            for p in sorted(glob.glob(os.path.join(prev["dir"], "*.parquet"))):
+                os.link(p, os.path.join(snap_dir, os.path.basename(p)))
+        for m in messages:
+            if m is not None and m.path:
+                os.rename(
+                    m.path, os.path.join(snap_dir, os.path.basename(m.path))
+                )
+        shutil.rmtree(self.staging, ignore_errors=True)
+        snaps.append(
+            {"version": version, "dir": snap_dir, "committed_at": time.time()}
+        )
+        pointer = os.path.join(self.location, "_current_snapshot.json")
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, pointer)  # the same atomic flip as VersionedTable
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)

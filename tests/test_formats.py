@@ -133,3 +133,55 @@ def test_vtable_datasource_prunes_files_via_stats(spark, tmp_path):
     )
     assert df.count() == 100
     assert df.agg({"id": "min"}).first()[0] == 900
+
+
+def test_vtable_datasource_write_roundtrip_and_append(spark, tmp_path):
+    """df.write.format("vtable"): overwrite creates snapshot v0, append
+    hard-links prior files + adds staged ones (new snapshot, zero copy),
+    and both states stay addressable by version through the reader AND
+    through VersionedTable (one shared commit protocol)."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.datasource import (
+        register_vtable_source,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    register_vtable_source(spark)
+    loc = str(tmp_path / "vtw")
+    spark.range(100).selectExpr("id", "id * 2 AS v").write.format(
+        "vtable"
+    ).option("location", loc).mode("overwrite").save()
+    spark.range(100, 130).selectExpr("id", "id * 2 AS v").write.format(
+        "vtable"
+    ).option("location", loc).mode("append").save()
+    head = spark.read.format("vtable").option("location", loc).load()
+    assert head.count() == 130
+    assert (
+        spark.read.format("vtable").option("location", loc).option("version", 0).load().count()
+        == 100
+    )
+    # interoperable with the table store API (same pointer protocol)
+    vt = VersionedTable(spark, loc)
+    assert vt.read().count() == 130
+    assert len(vt.history()) == 2
+    # vacuum with hard-linked files: dropping v0 must not corrupt v1
+    vt.vacuum(keep_last=1)
+    assert vt.read().count() == 130
+
+
+def test_vtable_writer_append_refuses_pending_mor(spark, tmp_path):
+    import pytest
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.datasource import (
+        register_vtable_source,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    register_vtable_source(spark)
+    loc = str(tmp_path / "vtw_mor")
+    vt = VersionedTable(spark, loc)
+    vt.overwrite(spark.range(20).selectExpr("id", "id AS v"))
+    vt.delete_where_deferred("id >= 10", key_cols=["id"])
+    with pytest.raises(Exception, match="merge-on-read"):
+        spark.range(5).selectExpr("id", "id AS v").write.format(
+            "vtable"
+        ).option("location", loc).mode("append").save()
