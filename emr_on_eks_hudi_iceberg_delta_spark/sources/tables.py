@@ -899,10 +899,13 @@ class VersionedTable:
         # live branches may still reference main-owned dirs through their
         # shallow-clone v0 entries — those stay protected until the branch
         # is dropped (the lake-format rule: retention never breaks a ref)
-        for loc in meta.get("branches", {}).values():
+        for entry in meta.get("branches", {}).values():
             try:
                 keep_dirs |= {
-                    s["dir"] for s in VersionedTable(self.spark, loc)._snapshots()
+                    s["dir"]
+                    for s in VersionedTable(
+                        self.spark, entry["location"]
+                    )._snapshots()
                 }
             except FileNotFoundError:
                 pass
@@ -1048,7 +1051,11 @@ class VersionedTable:
             raise ValueError(f"branch {name!r} already exists")
         loc = os.path.join(self.location, "branches", name)
         self.shallow_clone(loc)
-        branches[name] = loc
+        branches[name] = {
+            "location": loc,
+            # the fork point: fast_forward refuses if main moved past it
+            "forked_at": self._current_snapshot()["version"],
+        }
         self._write_meta(meta)
         return self.branch(name)
 
@@ -1056,14 +1063,30 @@ class VersionedTable:
         branches = self._meta().get("branches", {})
         if name not in branches:
             raise ValueError(f"branch {name!r} not found at {self.location}")
-        return VersionedTable(self.spark, branches[name], name=None)
+        return VersionedTable(self.spark, branches[name]["location"], name=None)
 
     def fast_forward(self, name: str) -> "VersionedTable":
         """Publish a branch back to main: commit the branch's current
         state as main's next snapshot (a CoW rewrite — data files stay
         single-owner, so branch and main lifecycles never entangle; the
         rewrite is the price of that simplicity, and any audit fixes the
-        branch accumulated are folded in atomically)."""
+        branch accumulated are folded in atomically).
+
+        TRUE fast-forward semantics (the Iceberg contract): if main has
+        advanced past the branch's fork point, the publish is refused —
+        silently clobbering main's newer commits would be a merge, and
+        merging divergent table histories needs a human (rebase the
+        branch: fork anew and replay)."""
+        entry = self._meta().get("branches", {}).get(name)
+        if entry is None:
+            raise ValueError(f"branch {name!r} not found at {self.location}")
+        head = self._current_snapshot()["version"]
+        if head != entry["forked_at"]:
+            raise ConcurrentCommitError(
+                f"main advanced (v{entry['forked_at']} -> v{head}) since "
+                f"branch {name!r} forked; fast-forward would discard those "
+                f"commits — re-fork and replay the branch instead"
+            )
         self._commit(self.branch(name).read())
         return self
 
@@ -1076,9 +1099,10 @@ class VersionedTable:
         import shutil
 
         meta = self._meta()
-        loc = meta.get("branches", {}).pop(name, None)
-        if loc is None:
+        entry = meta.get("branches", {}).pop(name, None)
+        if entry is None:
             raise ValueError(f"branch {name!r} not found at {self.location}")
+        loc = entry["location"]
         # only remove branch-owned snapshot dirs (v0 is external/main-owned)
         b = VersionedTable(self.spark, loc)
         for s in b._snapshots():

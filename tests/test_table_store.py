@@ -750,3 +750,22 @@ def test_branch_name_collision_and_main_vacuum_safety(spark, tmp_path):
     vt.drop_branch("dev")
     assert vt.read().count() == 1
     assert {r.id for r in vt.read().collect()} == {2}
+
+
+def test_fast_forward_refuses_diverged_main(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import (
+        ConcurrentCommitError,
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "br3"))
+    vt.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    dev = vt.create_branch("dev")
+    dev.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    # main moves on independently -> histories diverged
+    vt.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    with pytest.raises(ConcurrentCommitError, match="advanced"):
+        vt.fast_forward("dev")
+    # main's commit survives; the branch is still readable for rebase
+    assert {r.id for r in vt.read().collect()} == {1, 3}
+    assert {r.id for r in dev.read().collect()} == {1, 2}
