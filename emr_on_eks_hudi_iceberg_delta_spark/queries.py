@@ -5512,3 +5512,50 @@ def q_vtable_datasource_write_roundtrip(spark, sf_dir):
         "location", loc
     ).mode("append").save()
     return spark.read.format("vtable").option("location", loc).load()
+
+
+@register(
+    "vtable_stream_source",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    """,
+    tags=("streaming", "sources", "lake", "extension"),
+)
+def q_vtable_stream_source(spark, sf_dir):
+    """Streaming half of the Python DataSource: orders lands in the table
+    store across THREE commits (overwrite + two hard-link appends), then
+    ``spark.readStream.format("vtable")`` replays them — offsets are
+    snapshot versions, each commit's batch is exactly its added files
+    (observable because appends hard-link prior files), and non-append
+    commits are refused rather than mis-streamed. Drained with
+    AvailableNow into a parquet sink; the result must equal the batch
+    table exactly — the kappa-architecture contract (same table, batch
+    or stream)."""
+    from .sources.datasource import register_vtable_source
+
+    register_vtable_source(spark)
+    loc = tempfile.mkdtemp(prefix="vt_ss_")
+    out = tempfile.mkdtemp(prefix="vt_ss_out_")
+    ckpt = tempfile.mkdtemp(prefix="vt_ss_ckpt_")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.filter(F.col("o_orderkey") % 3 == 0).write.format("vtable").option(
+        "location", loc
+    ).mode("overwrite").save()
+    for r in (1, 2):
+        orders.filter(F.col("o_orderkey") % 3 == r).write.format(
+            "vtable"
+        ).option("location", loc).mode("append").save()
+    q = (
+        spark.readStream.format("vtable")
+        .option("location", loc)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)

@@ -190,6 +190,9 @@ class VersionedTableDataSource(DataSource):
     def writer(self, schema, overwrite: bool):
         return VersionedTableWriter(dict(self.options), overwrite)
 
+    def streamReader(self, schema):
+        return VersionedTableStreamReader(dict(self.options))
+
 
 def register_vtable_source(spark) -> None:
     """Idempotently register the ``vtable`` format on a session (and
@@ -330,3 +333,109 @@ class VersionedTableWriter(DataSourceArrowWriter):
         import shutil
 
         shutil.rmtree(self.staging, ignore_errors=True)
+
+
+# -- streaming source -------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
+
+
+class VersionedTableStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("vtable")`` — commits of an APPEND-ONLY
+    versioned table as a stream, one micro-batch per commit range.
+    Offsets are snapshot version ids (checkpointable, replayable); a
+    batch's rows are exactly the files a commit ADDED, which hard-link
+    appends make directly observable: an append keeps every prior file's
+    basename and adds new ones, so ``added = basenames(v) -
+    basenames(v-1)``.
+
+    The append-only contract is ENFORCED, not assumed: a commit that
+    rewrites or drops files (overwrite, CoW delete, compaction) raises —
+    its row-level delta cannot be derived from files alone, and a silent
+    wrong answer is worse than a loud stop. This is the same restriction
+    Delta's CDF-less streaming source has (it errors on non-append
+    commits unless told to ignore them).
+
+    Scale: offset resolution reads only the pointer json; each batch
+    schedules one partition per added file, Arrow-batched like the batch
+    reader."""
+
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        self.location = self.options.get("location", "").rstrip("/")
+        if not self.location:
+            raise ValueError("vtable stream source requires option 'location'")
+
+    def _published(self) -> list[dict]:
+        import json
+
+        pointer = os.path.join(self.location, "_current_snapshot.json")
+        if not os.path.exists(pointer):
+            raise FileNotFoundError(f"no versioned table at {self.location}")
+        with open(pointer) as f:
+            snaps = json.load(f)["snapshots"]
+        return [s for s in snaps if not s.get("staged")]
+
+    def initialOffset(self) -> dict:
+        # start BEFORE the first published snapshot so the initial batch
+        # replays the table's full current contents
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        snaps = self._published()
+        return {"version": snaps[-1]["version"] if snaps else -1}
+
+    def _files(self, snap: dict) -> dict:
+        return {
+            os.path.basename(p): p
+            for p in glob.glob(os.path.join(snap["dir"], "*.parquet"))
+        }
+
+    def partitions(self, start: dict, end: dict):
+        snaps = [
+            s
+            for s in self._published()
+            if start["version"] < s["version"] <= end["version"]
+        ]
+        out = []
+        prev = next(
+            (
+                s
+                for s in reversed(self._published())
+                if s["version"] <= start["version"]
+            ),
+            None,
+        )
+        prev_files = set(self._files(prev)) if prev is not None else set()
+        for s in snaps:
+            if s.get("tombstones") or s.get("dv"):
+                raise ValueError(
+                    f"snapshot v{s['version']} carries merge-on-read deletes"
+                    " — not an append; the vtable stream serves append-only"
+                    " tables"
+                )
+            files = self._files(s)
+            if not prev_files <= set(files):
+                raise ValueError(
+                    f"snapshot v{s['version']} rewrote or dropped files —"
+                    " not an append; the vtable stream serves append-only"
+                    " tables"
+                )
+            out.extend(
+                _FilePartition(p)
+                for name, p in sorted(files.items())
+                if name not in prev_files
+            )
+            prev_files = set(files)
+        return out or [_FilePartition("")]
+
+    def read(self, partition):
+        if not partition.path:
+            return
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(partition.path)
+        yield from f.iter_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable table versions; nothing to clean up

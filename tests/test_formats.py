@@ -185,3 +185,78 @@ def test_vtable_writer_append_refuses_pending_mor(spark, tmp_path):
         spark.range(5).selectExpr("id", "id AS v").write.format(
             "vtable"
         ).option("location", loc).mode("append").save()
+
+
+def test_vtable_stream_source_replays_appends(spark, tmp_path):
+    """readStream.format("vtable"): each append commit becomes exactly one
+    micro-batch of its added rows; the initial batch replays the table;
+    restart from checkpoint picks up only new commits."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.datasource import (
+        register_vtable_source,
+    )
+
+    register_vtable_source(spark)
+    loc = str(tmp_path / "vts")
+    ckpt = str(tmp_path / "vts_ckpt")
+
+    def write(lo, hi, mode):
+        spark.range(lo, hi).selectExpr("id", "id * 2 AS v").write.format(
+            "vtable"
+        ).option("location", loc).mode(mode).save()
+
+    out = str(tmp_path / "vts_out")
+    write(0, 50, "overwrite")
+    write(50, 80, "append")
+
+    def drain():
+        q = (
+            spark.readStream.format("vtable")
+            .option("location", loc)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(out).count() == 80
+    # two more commits -> restart drains ONLY the new rows
+    write(80, 90, "append")
+    write(90, 95, "append")
+    drain()
+    assert spark.read.parquet(out).count() == 95
+    assert spark.read.parquet(out).select("id").distinct().count() == 95
+
+
+def test_vtable_stream_source_refuses_rewrites(spark, tmp_path):
+    import pytest
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.datasource import (
+        register_vtable_source,
+    )
+
+    register_vtable_source(spark)
+    loc = str(tmp_path / "vts_rw")
+
+    def write(lo, hi, mode):
+        spark.range(lo, hi).selectExpr("id", "id * 2 AS v").write.format(
+            "vtable"
+        ).option("location", loc).mode(mode).save()
+
+    write(0, 10, "overwrite")
+    write(0, 5, "overwrite")  # second overwrite = rewrite, not append
+    with pytest.raises(Exception, match="not an append"):
+        q = (
+            spark.readStream.format("vtable")
+            .option("location", loc)
+            .load()
+            .writeStream.format("memory")
+            .queryName("vts_rw_sink")
+            .option("checkpointLocation", str(tmp_path / "vts_rw_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
