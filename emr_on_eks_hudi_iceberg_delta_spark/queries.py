@@ -5559,3 +5559,45 @@ def q_vtable_stream_source(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.read.parquet(out)
+
+
+@register(
+    "vtable_stream_sink",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    """,
+    tags=("streaming", "sources", "lake", "extension"),
+)
+def q_vtable_stream_sink(spark, sf_dir):
+    """Streaming WRITER of the Python DataSource: orders replays as a
+    3-file stream and lands in the table store through
+    ``writeStream.format("vtable")`` — one hard-link append commit per
+    micro-batch, each carrying its exactly-once batch id (the Delta
+    txnAppId/txnVersion pattern at the sink API level). Reading the
+    resulting table back must equal the batch input — closing the kappa
+    loop entirely inside the format: stream in, versioned table out,
+    same rows."""
+    from .sources.datasource import register_vtable_source
+    from .sources.tables import VersionedTable
+
+    register_vtable_source(spark)
+    src = tempfile.mkdtemp(prefix="vt_sk_src_")
+    loc = tempfile.mkdtemp(prefix="vt_sk_")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.repartition(3).write.mode("overwrite").parquet(src)
+    q = (
+        spark.readStream.schema(
+            "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.format("vtable")
+        .option("location", loc)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="vt_sk_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return VersionedTable(spark, loc).read()

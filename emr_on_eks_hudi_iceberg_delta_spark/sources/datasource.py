@@ -193,6 +193,9 @@ class VersionedTableDataSource(DataSource):
     def streamReader(self, schema):
         return VersionedTableStreamReader(dict(self.options))
 
+    def streamWriter(self, schema, overwrite: bool):
+        return VersionedTableStreamWriter(dict(self.options))
+
 
 def register_vtable_source(spark) -> None:
     """Idempotently register the ``vtable`` format on a session (and
@@ -439,3 +442,88 @@ class VersionedTableStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable table versions; nothing to clean up
+
+
+from pyspark.sql.datasource import DataSourceStreamArrowWriter  # noqa: E402
+
+
+class VersionedTableStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("vtable")`` — every micro-batch becomes one
+    append commit (hard-linking prior files, same protocol as the batch
+    writer), with EXACTLY-ONCE semantics: the micro-batch id is recorded
+    on the snapshot (the Delta txnAppId/txnVersion pattern the
+    foreachBatch sinks use), so a batch replayed after a checkpoint race
+    is recognized and skipped instead of committed twice. Completes the
+    format quadrant: batch read/write + stream read/write on one commit
+    protocol — and a table written by this sink is itself streamable by
+    ``VersionedTableStreamReader`` (append-only by construction)."""
+
+    def __init__(self, options: dict):
+        import uuid
+
+        location = options.get("location")
+        if not location:
+            raise ValueError("vtable stream sink requires option 'location'")
+        self.location = location.rstrip("/")
+        self.staging = os.path.join(
+            self.location, f"_staging-{uuid.uuid4().hex[:12]}"
+        )
+
+    # reuse the batch writer's task-side file staging
+    write = VersionedTableWriter.write
+    _meta = VersionedTableWriter._meta
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import shutil
+        import time
+
+        meta = self._meta()
+        snaps = meta["snapshots"]
+        applied = max(
+            (
+                s["txn"]["version"]
+                for s in snaps
+                if s.get("txn", {}).get("app_id") == "vtable_stream_sink"
+            ),
+            default=-1,
+        )
+        if batchId <= applied:
+            shutil.rmtree(self.staging, ignore_errors=True)
+            return  # replayed batch: already committed, exactly-once skip
+        version = (max(s["version"] for s in snaps) + 1) if snaps else 0
+        snap_dir = os.path.join(self.location, f"snapshot-{version:05d}")
+        os.makedirs(snap_dir, exist_ok=True)
+        prev = next((s for s in reversed(snaps) if not s.get("staged")), None)
+        if prev is not None:
+            if prev.get("tombstones") or prev.get("dv"):
+                raise ValueError(
+                    "streaming append onto pending merge-on-read state —"
+                    " compact() the table first"
+                )
+            for p in sorted(glob.glob(os.path.join(prev["dir"], "*.parquet"))):
+                os.link(p, os.path.join(snap_dir, os.path.basename(p)))
+        for m in messages:
+            if m is not None and m.path:
+                os.rename(
+                    m.path, os.path.join(snap_dir, os.path.basename(m.path))
+                )
+        shutil.rmtree(self.staging, ignore_errors=True)
+        snaps.append(
+            {
+                "version": version,
+                "dir": snap_dir,
+                "committed_at": time.time(),
+                "txn": {"app_id": "vtable_stream_sink", "version": batchId},
+            }
+        )
+        pointer = os.path.join(self.location, "_current_snapshot.json")
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, pointer)
+
+    def abort(self, messages, batchId: int) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)

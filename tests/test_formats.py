@@ -260,3 +260,47 @@ def test_vtable_stream_source_refuses_rewrites(spark, tmp_path):
             .start()
         )
         q.awaitTermination()
+
+
+def test_vtable_stream_writer_end_to_end(spark, tmp_path):
+    """Full kappa loop inside the format: a file stream writes INTO a
+    vtable via writeStream (one append commit per micro-batch,
+    exactly-once batch ids), and the result equals the batch input; the
+    written table is itself streamable (append-only by construction)."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.datasource import (
+        register_vtable_source,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    register_vtable_source(spark)
+    src = str(tmp_path / "src")
+    loc = str(tmp_path / "sink_vt")
+    spark.range(200).selectExpr("id", "id % 5 AS v").repartition(3).write.parquet(src)
+    q = (
+        spark.readStream.schema("id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.format("vtable")
+        .option("location", loc)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    vt = VersionedTable(spark, loc)
+    assert vt.read().count() == 200
+    assert len(vt.history()) == 3  # one commit per micro-batch
+    # every commit carries its exactly-once batch id
+    assert [s["txn"]["version"] for s in vt.history()] == [0, 1, 2]
+    # the sink's output is itself a valid stream source
+    out = (
+        spark.readStream.format("vtable")
+        .option("location", loc)
+        .load()
+        .writeStream.format("memory")
+        .queryName("vtsw_roundtrip")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination()
+    assert spark.table("vtsw_roundtrip").count() == 200
