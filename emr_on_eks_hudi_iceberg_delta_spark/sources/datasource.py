@@ -7,7 +7,10 @@ registrations, e.g. ``hudi`` / ``iceberg`` / ``delta`` format names in
 ``hudi/hudi_scd_script.py:66-70``). Options:
 
 * ``location`` (required) — the table root;
-* ``version`` — time travel to a snapshot id (default: published head).
+* ``version`` — time travel to a snapshot id (default: published head);
+* ``timestamp`` — time travel to the newest snapshot committed at or
+  before 'YYYY-MM-DD HH:MM:SS' UTC (``read_as_of`` parity); mutually
+  exclusive with ``version``.
 
 Design constraints, stated honestly:
 
@@ -50,6 +53,24 @@ def _resolve_snapshot(options: dict) -> dict:
     with open(pointer) as f:
         snaps = json.load(f)["snapshots"]
     version = options.get("version")
+    timestamp = options.get("timestamp")
+    if version is not None and timestamp is not None:
+        raise ValueError("options 'version' and 'timestamp' are exclusive")
+    if timestamp is not None:
+        import calendar
+        import time as _time
+
+        cut = calendar.timegm(_time.strptime(timestamp, "%Y-%m-%d %H:%M:%S"))
+        eligible = [
+            s
+            for s in snaps
+            if s["committed_at"] <= cut and not s.get("staged")
+        ]
+        if not eligible:
+            raise ValueError(
+                f"no snapshot at or before {timestamp} at {location}"
+            )
+        version = eligible[-1]["version"]
     if version is not None:
         snap = next(
             (s for s in snaps if s["version"] == int(version)), None

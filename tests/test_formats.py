@@ -304,3 +304,30 @@ def test_vtable_stream_writer_end_to_end(spark, tmp_path):
     )
     out.awaitTermination()
     assert spark.table("vtsw_roundtrip").count() == 200
+
+
+def test_vtable_datasource_timestamp_time_travel(spark, tmp_path):
+    import time
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.datasource import (
+        register_vtable_source,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    register_vtable_source(spark)
+    loc = str(tmp_path / "vt_ts")
+    vt = VersionedTable(spark, loc)
+    vt.overwrite(spark.range(40).selectExpr("id"))
+    time.sleep(1.1)  # let the whole-second mark land after the commit
+    mark = time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime())
+    time.sleep(1.1)
+    vt.overwrite(spark.range(10).selectExpr("id"))
+    at = (
+        spark.read.format("vtable")
+        .option("location", loc)
+        .option("timestamp", mark)
+        .load()
+    )
+    assert at.count() == 40  # the pre-mark snapshot
+    head = spark.read.format("vtable").option("location", loc).load()
+    assert head.count() == 10
