@@ -1,4 +1,8 @@
 from .csv import read_csv_with_schema
+from .datasource import (
+    VersionedTableDataSource,
+    register_vtable_source,
+)
 from .formats import read_json_lines, read_orc, write_json_lines, write_orc
 from .mor import MorTable
 from .parquet import TABLES, load_table, load_tables, register_views
@@ -12,6 +16,8 @@ from .tables import (
 
 __all__ = [
     "ConcurrentCommitError",
+    "VersionedTableDataSource",
+    "register_vtable_source",
     "ConstraintViolationError",
     "MorTable",
     "PartitionedTable",
