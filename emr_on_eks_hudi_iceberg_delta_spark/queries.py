@@ -5601,3 +5601,39 @@ def q_vtable_stream_sink(spark, sf_dir):
     )
     q.awaitTermination()
     return VersionedTable(spark, loc).read()
+
+
+@register(
+    "catalog_table_sql",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price
+    FROM orders GROUP BY 1
+    """,
+    tags=("S3", "S4", "sources", "lake", "extension"),
+)
+def q_catalog_table_sql(spark, sf_dir):
+    """Catalog layer (Glue Data Catalog analog — hive-sync options
+    hudi/hudi_scd_script.py:37-40, GlueCatalog iceberg_submit.sh:33-34):
+    orders registers under a durable catalog name backed by a
+    VersionedTable, a second batch lands through the catalog handle (the
+    view stays fresh), and plain ``spark.sql`` aggregates it BY NAME —
+    the name-resolution path the reference's SQL statements depend on.
+    Must equal aggregating the raw table."""
+    from .sources.catalog import LakeCatalog
+
+    cat = LakeCatalog(spark, tempfile.mkdtemp(prefix="cat_"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cat.create_table("catalog_orders", orders.filter(F.col("o_orderkey") % 2 == 0))
+    cat.table("catalog_orders").append(orders.filter(F.col("o_orderkey") % 2 != 0))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_price
+        FROM catalog_orders GROUP BY o_orderstatus
+        """
+    )

@@ -1,3 +1,4 @@
+from .catalog import LakeCatalog
 from .csv import read_csv_with_schema
 from .datasource import (
     VersionedTableDataSource,
@@ -16,6 +17,7 @@ from .tables import (
 
 __all__ = [
     "ConcurrentCommitError",
+    "LakeCatalog",
     "VersionedTableDataSource",
     "register_vtable_source",
     "ConstraintViolationError",

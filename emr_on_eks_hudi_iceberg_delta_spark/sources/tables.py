@@ -170,6 +170,59 @@ class VersionedTable:
         if self.name:
             self.read().createOrReplaceTempView(self.name)
 
+    from contextlib import contextmanager as _contextmanager
+
+    @_contextmanager
+    def locked(
+        self,
+        timeout: float = 30.0,
+        poll: float = 0.05,
+        stale_after: float = 300.0,
+    ):
+        """Cross-PROCESS writer mutual exclusion — the local analog of
+        the reference's DynamoDB lock provider (hudi/hudi_scd_script.py:
+        41-48; iceberg_submit.sh:33-34 uses the same DynamoDB table):
+        an ``O_CREAT|O_EXCL`` lockfile under the table root, acquired
+        with bounded retry. Compose with the commit-level CAS
+        (``expected_version``): the lock serializes writers, the CAS
+        catches anyone who bypassed it.
+
+        ``with table.locked(): table.upsert(...)`` — on timeout raises
+        ``ConcurrentCommitError`` (the same failure a lost DynamoDB lock
+        race surfaces). Crash-staleness: a lock older than
+        ``stale_after`` seconds is broken and re-acquired, mirroring
+        lock-provider lease expiry — deliberately a SEPARATE, much longer
+        knob than the acquisition ``timeout`` (using one value would let
+        an impatient waiter break a live holder's lock)."""
+        path = os.path.join(self.location, "_writer.lock")
+        os.makedirs(self.location, exist_ok=True)
+        deadline = time.time() + timeout
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(path) > stale_after:
+                        os.unlink(path)  # stale holder: break the lease
+                        continue
+                except FileNotFoundError:
+                    continue  # holder released between check and stat
+                if time.time() > deadline:
+                    raise ConcurrentCommitError(
+                        f"writer lock at {path} held past {timeout}s"
+                    )
+                time.sleep(poll)
+        try:
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            yield self
+        finally:
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
+
     # -- public write surface ---------------------------------------------
 
     def overwrite(self, df: DataFrame) -> "VersionedTable":
