@@ -5637,3 +5637,41 @@ def q_catalog_table_sql(spark, sf_dir):
         FROM catalog_orders GROUP BY o_orderstatus
         """
     )
+
+
+@register(
+    "tpch_refresh_functions",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 11 <> 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, 'N', o_totalprice
+    FROM orders WHERE o_orderkey % 13 = 0
+    """,
+    tags=("S6", "S7", "lake", "extension"),
+)
+def q_tpch_refresh_functions(spark, sf_dir):
+    """TPC-H refresh functions over the versioned store: RF1 (new-sales
+    INSERT — every 13th order re-keyed as a fresh arrival, status 'N')
+    lands as an append commit, RF2 (old-sales DELETE — every 11th order)
+    as a CoW delete commit. The benchmark's ACID-maintenance pair, run
+    through the same snapshot/commit machinery as everything else; the
+    final state must equal set arithmetic over the base table, and both
+    intermediate states stay time-travelable."""
+    from .sources.tables import VersionedTable
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_rf_"))
+    vt.overwrite(orders)
+    rf1 = (
+        orders.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10000000))
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    vt.append(rf1)
+    # RF2 deletes a key LIST drawn from the original orders (the delete
+    # file) — the re-keyed RF1 arrivals are never in it
+    vt.delete_where("o_orderkey % 11 = 0 AND o_orderkey < 10000000")
+    return vt.read()
