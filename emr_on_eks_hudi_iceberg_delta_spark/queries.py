@@ -5675,3 +5675,49 @@ def q_tpch_refresh_functions(spark, sf_dir):
     # file) — the re-keyed RF1 arrivals are never in it
     vt.delete_where("o_orderkey % 11 = 0 AND o_orderkey < 10000000")
     return vt.read()
+
+
+# int8 quantization replay (the quantize_embeddings contract):
+# scale = max|v|/127 (1.0 when the vector is all zeros), q_i = floor(v/scale
+# + 0.5) — floor, not round: round-half-even vs half-up differs between
+# engines. Integer dot products then rescale by the two scales.
+_SQL_QUANT_TOPK = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qz AS (
+      SELECT vec_id,
+             CASE WHEN mx > 0 THEN mx / 127.0 ELSE 1.0 END AS scale,
+             list_transform(
+               v, x -> CAST(floor(x / (CASE WHEN mx > 0 THEN mx / 127.0
+                                            ELSE 1.0 END) + 0.5) AS BIGINT)
+             ) AS q
+      FROM (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS mx FROM e) t)
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_dot_product(q.q, c.q) AS DOUBLE) * q.scale * c.scale
+               AS score,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY CAST(list_dot_product(q.q, c.q) AS DOUBLE)
+                        * q.scale * c.scale DESC,
+                        c.vec_id) AS INTEGER) AS rank
+      FROM qz q CROSS JOIN qz c
+      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) t
+    WHERE rank <= 5
+    """
+
+
+@register(
+    "embedding_quantized_topk", oracle=_SQL_QUANT_TOPK, tags=("similarity", "extension")
+)
+def q_embedding_quantized_topk(spark, sf_dir):
+    """Quantized-serving retrieval: top-k scored on int8 codes with
+    EXACT int64 dot products (no float accumulation anywhere in the
+    score), rescaled by the two per-vector scales — the memory-bound
+    serving path quantization exists for, and the only ANN scoring that
+    is bit-reproducible by construction. Integer dots replay in DuckDB
+    via list_dot_product over BIGINT lists (exact, order-free)."""
+    from .operators.similarity import quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
