@@ -5721,3 +5721,83 @@ def q_embedding_quantized_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return quantized_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "grouped_quantiles",
+    oracle="""
+    SELECT source,
+           quantile_cont(n_chars, 0.25) AS p25,
+           quantile_cont(n_chars, 0.50) AS p50,
+           quantile_cont(n_chars, 0.75) AS p75
+    FROM documents GROUP BY source
+    """,
+    tags=("agg", "extension", "corpus"),
+)
+def q_grouped_quantiles(spark, sf_dir):
+    """Per-group exact quantiles (quartiles of document length by
+    source): Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+    linear-interpolation definition, so grouped medians are cross-engine
+    exact. One shuffle on the group key; at 100 TB swap for
+    approx_percentile and accept the documented epsilon (the bound-check
+    test pins how much)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.percentile("n_chars", 0.25).alias("p25"),
+        F.percentile("n_chars", 0.50).alias("p50"),
+        F.percentile("n_chars", 0.75).alias("p75"),
+    )
+
+
+@register(
+    "events_rolling_anomaly",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    w AS (
+      SELECT event_id, user_id, ts, value,
+             COUNT(*) OVER win AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER win AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))
+                           * CAST(value AS DECIMAL(18,4))) OVER win
+                       AS DECIMAL(28,4)) AS DOUBLE) AS sx2
+      FROM ev
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING))
+    SELECT event_id, user_id, value,
+           (value - sx / n)
+             / sqrt((sx2 - sx * (sx / n)) / (n - 1)) AS rolling_z
+    FROM w WHERE n >= 5
+    """,
+    tags=("events", "window", "extension"),
+)
+def q_events_rolling_anomaly(spark, sf_dir):
+    """Rolling anomaly score: each event's value standardized against the
+    user's PRECEDING 19 events (the window excludes the current row — a
+    point must not influence its own baseline). Rolling moments
+    accumulate as DECIMAL window sums (order-independent; a double
+    running sum would drift with partition order), then one fixed IEEE
+    expression — same 2^53-safe cast discipline as ``zscore_normalize``.
+    One shuffle on user_id shared by all three window aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, -1)
+    )
+    dec = F.col("value").cast("decimal(18,4)")
+    n = F.count(F.lit(1)).over(win)
+    sx = F.sum(dec).over(win).cast("double")
+    sx2 = F.sum(dec * dec).over(win).cast("decimal(28,4)").cast("double")
+    mean = sx / n
+    z = (F.col("value") - mean) / F.sqrt((sx2 - sx * mean) / (n - 1))
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "value",
+            n.alias("n"),
+            z.alias("rolling_z"),
+        )
+        .filter(F.col("n") >= 5)
+        .drop("n")
+    )
