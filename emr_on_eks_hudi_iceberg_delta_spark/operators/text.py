@@ -404,3 +404,102 @@ def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .drop("__norm")
     )
+
+
+def slice_token_divergence(
+    df: DataFrame, slice_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Total-variation distance between each corpus slice's unigram
+    distribution and the whole corpus — the drift/imbalance check a
+    training-data pipeline runs when mixing sources (is slice X's token
+    mix representative?). TVD = 0.5 * sum_t |p_slice(t) - p_corpus(t)|,
+    over the full corpus vocabulary (tokens absent from the slice count
+    at p_slice = 0).
+
+    Exactness design: probabilities are NEVER materialized as floats.
+    With c_s = slice count of a token, T_s = slice total, c_g = corpus
+    count, T_g = corpus total, each |p_s - p_g| term is
+    |c_s*T_g - c_g*T_s| / (T_s*T_g) — the numerators are exact BIGINT
+    products summed exactly, and only ONE final double division happens
+    per slice, so Spark and any ANSI engine agree bit-for-bit (the same
+    decimal-accumulate-then-cast convention as queries._dsum).
+
+    Scale: two token-level hash aggregates (slice x token, token) + a
+    vocab-sized join per slice — no row data ever reaches the driver; the
+    corpus-total scalar rides a broadcast cross join.
+    """
+    tok = df.select(
+        F.col(slice_col).alias("slice"),
+        F.explode(tokens_expr(text_col)).alias("tok"),
+    )
+    slice_tok = tok.groupBy("slice", "tok").agg(
+        F.count(F.lit(1)).alias("c_s")
+    )
+    corpus_tok = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c_g"))
+    slice_tot = tok.groupBy("slice").agg(F.count(F.lit(1)).alias("t_s"))
+    corpus_tot = tok.agg(F.count(F.lit(1)).alias("t_g"))
+    # full slice x vocab grid (zero-fill missing slice counts), then the
+    # exact integer numerator per term
+    grid = (
+        slice_tot.crossJoin(corpus_tok)
+        .join(slice_tok, on=["slice", "tok"], how="left")
+        .crossJoin(F.broadcast(corpus_tot))
+        .withColumn("c_s", F.coalesce("c_s", F.lit(0)))
+    )
+    num = F.abs(F.col("c_s") * F.col("t_g") - F.col("c_g") * F.col("t_s"))
+    return (
+        grid.withColumn("__num", num)
+        .groupBy("slice", "t_s", "t_g")
+        .agg(F.sum("__num").alias("__sum"))
+        .select(
+            "slice",
+            F.col("t_s").alias("n_tokens"),
+            (
+                F.col("__sum").cast("double")
+                / (F.lit(2) * F.col("t_s") * F.col("t_g")).cast("double")
+            ).alias("tv_distance"),
+        )
+    )
+
+
+def with_commonness_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document commonness score: the mean document-frequency of the
+    document's tokens, normalized by corpus size — a log-free exact proxy
+    for unigram-LM "perplexity" quality filters (rare-token-heavy docs
+    score low, boilerplate scores high). score = sum_t df(t) /
+    (n_tokens * n_docs), summing over the doc's tokens WITH multiplicity.
+
+    Exactness: df counts and token counts are BIGINT; the single closing
+    division of two exact integers is one IEEE double op — bit-identical
+    across engines (same convention as slice_token_divergence).
+
+    Scale: document-frequency is a distinct (doc, token) aggregate;
+    scoring is one token-level join against the df table (broadcastable
+    vocab) + one sum per doc. No driver-side data.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
+    dfreq = (
+        tok.distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    return (
+        tok.join(F.broadcast(dfreq), on="tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__df").alias("__sum_df"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (
+                F.col("__sum_df").cast("double")
+                / (F.col("n_tokens") * F.col("__n_docs")).cast("double")
+            ).alias("commonness"),
+        )
+    )

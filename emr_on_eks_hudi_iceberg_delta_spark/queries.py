@@ -5801,3 +5801,155 @@ def q_events_rolling_anomaly(spark, sf_dir):
         .filter(F.col("n") >= 5)
         .drop("n")
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence analytics: gaps-and-islands + sweep-line concurrency
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_activity_streaks",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM ev),
+    r AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INTEGER) AS island
+      FROM d)
+    SELECT user_id, MIN(day) AS streak_start, MAX(day) AS streak_end,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM r GROUP BY user_id, island
+    """,
+    tags=("events", "window", "extension"),
+)
+def q_events_activity_streaks(spark, sf_dir):
+    """Gaps-and-islands: maximal consecutive-active-day streaks per user
+    (operators/sequence.activity_streaks). The island key day-row_number
+    turns run detection into one window + one aggregate sharing a single
+    user_id exchange — no self-join, no iteration."""
+    from .operators.sequence import activity_streaks
+
+    return activity_streaks(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_peak_concurrency",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    g AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS new_sess
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts,
+        CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM g),
+    iv AS (
+      SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM s GROUP BY user_id, sid),
+    seg AS (
+      SELECT CAST(u.day AS DATE) AS day,
+             greatest(session_start, CAST(CAST(u.day AS DATE) AS TIMESTAMP)) AS seg_start,
+             least(session_end,
+                   CAST(CAST(u.day AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY) AS seg_end
+      FROM iv, unnest(generate_series(CAST(session_start AS DATE),
+                                      CAST(session_end AS DATE),
+                                      INTERVAL 1 DAY)) AS u(day)
+      ),
+    segs AS (SELECT * FROM seg WHERE seg_start < seg_end),
+    deltas AS (
+      SELECT day, seg_start AS t, 1 AS delta FROM segs
+      UNION ALL
+      SELECT day, seg_end AS t, -1 AS delta FROM segs),
+    sweep AS (
+      SELECT day,
+             SUM(delta) OVER (PARTITION BY day ORDER BY t, delta
+                              ROWS UNBOUNDED PRECEDING) AS open
+      FROM deltas)
+    SELECT day, CAST(MAX(open) AS BIGINT) AS peak_concurrency
+    FROM sweep GROUP BY day
+    """,
+    tags=("events", "window", "extension"),
+)
+def q_events_peak_concurrency(spark, sf_dir):
+    """Sweep-line concurrency: peak simultaneously-open sessions per day
+    (operators/sequence.daily_peak_concurrency over 30-min gap sessions).
+    Sessions are clipped to day segments so the running-sum window
+    partitions by day — the move that keeps a global-total-order sweep
+    parallelizable at 100 TB (module docstring has the full argument)."""
+    from .operators.sequence import daily_peak_concurrency, sessions_from_events
+
+    sessions = sessions_from_events(_t(spark, sf_dir, "events"))
+    return daily_peak_concurrency(sessions)
+
+
+# --------------------------------------------------------------------------
+# Corpus-level distribution analytics
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_slice_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source AS slice,
+             unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents),
+    st AS (SELECT slice, tok, CAST(COUNT(*) AS BIGINT) AS c_s
+           FROM tok GROUP BY slice, tok),
+    ct AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_g FROM tok GROUP BY tok),
+    stot AS (SELECT slice, CAST(COUNT(*) AS BIGINT) AS t_s FROM tok GROUP BY slice),
+    ctot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_g FROM tok),
+    grid AS (
+      SELECT stot.slice, stot.t_s, ct.tok, ct.c_g, COALESCE(st.c_s, 0) AS c_s
+      FROM stot CROSS JOIN ct
+      LEFT JOIN st ON st.slice = stot.slice AND st.tok = ct.tok)
+    SELECT g.slice, g.t_s AS n_tokens,
+           CAST(CAST(SUM(abs(g.c_s * ctot.t_g - g.c_g * g.t_s)) AS BIGINT) AS DOUBLE)
+             / CAST(2 * g.t_s * ctot.t_g AS DOUBLE) AS tv_distance
+    FROM grid g CROSS JOIN ctot
+    GROUP BY g.slice, g.t_s, ctot.t_g
+    """,
+    tags=("text", "corpus", "agg", "extension"),
+)
+def q_corpus_slice_divergence(spark, sf_dir):
+    """Unigram total-variation distance of each source slice vs the whole
+    corpus (operators/text.slice_token_divergence) — the source-mixing
+    drift check. Probabilities never materialize as floats: exact BIGINT
+    cross products, one closing IEEE division per slice."""
+    from .operators.text import slice_token_divergence
+
+    return slice_token_divergence(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_commonness_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents),
+    dfreq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+      FROM (SELECT DISTINCT doc_id, tok FROM tok) GROUP BY tok),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(CAST(SUM(f.df) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) * MAX(nd.n_docs) AS DOUBLE) AS commonness
+    FROM tok t JOIN dfreq f ON t.tok = f.tok CROSS JOIN nd
+    GROUP BY t.doc_id
+    """,
+    tags=("text", "corpus", "agg", "extension"),
+)
+def q_doc_commonness_score(spark, sf_dir):
+    """Per-document commonness (mean normalized document frequency of its
+    tokens, operators/text.with_commonness_score) — the log-free exact
+    stand-in for unigram-LM quality scoring: boilerplate scores high,
+    rare-token noise scores low."""
+    from .operators.text import with_commonness_score
+
+    return with_commonness_score(_t(spark, sf_dir, "documents"))

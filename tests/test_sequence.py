@@ -1,0 +1,94 @@
+"""Semantic tests for operators/sequence.py — hand-built edge cases the
+registry parity test (randomized events) can't pin down individually:
+cross-midnight clipping, back-to-back non-concurrency, gap detection.
+"""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from emr_on_eks_hudi_iceberg_delta_spark.operators.sequence import (
+    activity_streaks,
+    daily_peak_concurrency,
+    sessions_from_events,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, datetime.datetime.fromisoformat(ts), uid, "t", 0.0) for i, (uid, ts) in enumerate(rows)],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+    )
+
+
+def test_activity_streaks_splits_on_gap(spark):
+    ev = _events(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 23:00:00"),  # same day, no new streak day
+            (1, "2024-01-02 00:30:00"),
+            (1, "2024-01-03 09:00:00"),
+            (1, "2024-01-06 09:00:00"),  # gap of 2 days -> new streak
+            (2, "2024-01-05 12:00:00"),
+        ],
+    )
+    out = {
+        (r["user_id"], str(r["streak_start"])): (str(r["streak_end"]), r["n_days"])
+        for r in activity_streaks(ev).collect()
+    }
+    assert out == {
+        (1, "2024-01-01"): ("2024-01-03", 3),
+        (1, "2024-01-06"): ("2024-01-06", 1),
+        (2, "2024-01-05"): ("2024-01-05", 1),
+    }
+
+
+def test_peak_concurrency_back_to_back_not_concurrent(spark):
+    # two intervals where one STARTS exactly when the other ENDS: the
+    # half-open sweep (ends before starts at equal instants) counts 1
+    iv = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+            (2, "2024-01-01 11:00:00", "2024-01-01 12:00:00"),
+        ],
+        "user_id long, session_start string, session_end string",
+    ).select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+    )
+    rows = daily_peak_concurrency(iv).collect()
+    assert len(rows) == 1 and rows[0]["peak_concurrency"] == 1
+
+
+def test_peak_concurrency_overlap_and_cross_midnight(spark):
+    iv = spark.createDataFrame(
+        [
+            # overlapping pair on Jan 1 -> peak 2
+            (1, "2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+            (2, "2024-01-01 10:30:00", "2024-01-01 11:30:00"),
+            # cross-midnight session: contributes to Jan 2 AND Jan 3
+            (3, "2024-01-02 23:00:00", "2024-01-03 01:00:00"),
+        ],
+        "user_id long, session_start string, session_end string",
+    ).select(
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+    )
+    out = {str(r["day"]): r["peak_concurrency"] for r in daily_peak_concurrency(iv).collect()}
+    assert out == {"2024-01-01": 2, "2024-01-02": 1, "2024-01-03": 1}
+
+
+def test_sessions_from_events_gap_split(spark):
+    ev = _events(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:20:00"),  # within 30 min -> same session
+            (1, "2024-01-01 11:00:00"),  # 40 min gap -> new session
+        ],
+    )
+    sess = sessions_from_events(ev).orderBy("session_id").collect()
+    assert [r["session_id"] for r in sess] == [1, 2]
+    assert str(sess[0]["session_end"]) == "2024-01-01 10:20:00"
