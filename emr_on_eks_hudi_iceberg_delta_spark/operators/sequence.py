@@ -123,13 +123,22 @@ def daily_peak_concurrency(
         .withColumn("__seg_end", F.least(F.col(end_col), F.col("__day_end")))
         .filter(F.col("__seg_start") < F.col("__seg_end"))
     )
+    # one +1/-1 delta pair per segment via a single explode — a
+    # start-select UNION end-select would make Spark recompute the whole
+    # upstream (scan + sessionize windows) once per union branch
     deltas = segs.select(
-        "__day", F.col("__seg_start").alias("__t"), F.lit(1).alias("__delta")
-    ).unionByName(
-        segs.select(
-            "__day", F.col("__seg_end").alias("__t"), F.lit(-1).alias("__delta")
-        )
-    )
+        "__day",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("__seg_start").alias("__t"), F.lit(1).alias("__delta")
+                ),
+                F.struct(
+                    F.col("__seg_end").alias("__t"), F.lit(-1).alias("__delta")
+                ),
+            )
+        ).alias("__e"),
+    ).select("__day", F.col("__e.__t").alias("__t"), F.col("__e.__delta").alias("__delta"))
     w = (
         Window.partitionBy("__day")
         .orderBy("__t", "__delta")

@@ -407,7 +407,10 @@ def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def slice_token_divergence(
-    df: DataFrame, slice_col: str = "source", text_col: str = "text"
+    df: DataFrame,
+    slice_col: str = "source",
+    text_col: str = "text",
+    persist: bool = False,
 ) -> DataFrame:
     """Total-variation distance between each corpus slice's unigram
     distribution and the whole corpus — the drift/imbalance check a
@@ -424,41 +427,57 @@ def slice_token_divergence(
     per slice, so Spark and any ANSI engine agree bit-for-bit (the same
     decimal-accumulate-then-cast convention as queries._dsum).
 
-    Scale: two token-level hash aggregates (slice x token, token) + a
-    vocab-sized join per slice — no row data ever reaches the driver; the
-    corpus-total scalar rides a broadcast cross join.
+    Scale: ONE token-level hash aggregate (slice x token) is the only
+    heavy operation; everything else is windows and rollups OVER that
+    already-aggregated (slices x vocab)-sized relation. Tokens a slice is
+    missing never materialize as grid rows — their contribution collapses
+    algebraically to the closed form t_s * (t_g - sum of c_g over the
+    slice's PRESENT tokens), since |0*t_g - c_g*t_s| = c_g*t_s.
+    ``persist=True`` caches the (slice, token) counts so the derived
+    rollup branch does not recompute the explode (same knob as
+    ``tfidf_top_terms(persist_tf=...)``).
     """
     tok = df.select(
         F.col(slice_col).alias("slice"),
         F.explode(tokens_expr(text_col)).alias("tok"),
     )
-    slice_tok = tok.groupBy("slice", "tok").agg(
-        F.count(F.lit(1)).alias("c_s")
+    st = tok.groupBy("slice", "tok").agg(F.count(F.lit(1)).alias("c_s"))
+    if persist:
+        st = st.persist()
+    from pyspark.sql import Window
+
+    w_tok = Window.partitionBy("tok")
+    w_slice = Window.partitionBy("slice")
+    en = st.withColumn("c_g", F.sum("c_s").over(w_tok)).withColumn(
+        "t_s", F.sum("c_s").over(w_slice)
     )
-    corpus_tok = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c_g"))
-    slice_tot = tok.groupBy("slice").agg(F.count(F.lit(1)).alias("t_s"))
-    corpus_tot = tok.agg(F.count(F.lit(1)).alias("t_g"))
-    # full slice x vocab grid (zero-fill missing slice counts), then the
-    # exact integer numerator per term
-    grid = (
-        slice_tot.crossJoin(corpus_tok)
-        .join(slice_tok, on=["slice", "tok"], how="left")
-        .crossJoin(F.broadcast(corpus_tot))
-        .withColumn("c_s", F.coalesce("c_s", F.lit(0)))
+    # corpus total: rollup of the slices-sized per-slice totals (never a
+    # single-partition global window over row data)
+    t_g = (
+        st.groupBy("slice")
+        .agg(F.sum("c_s").alias("__t"))
+        .agg(F.sum("__t").alias("t_g"))
     )
-    num = F.abs(F.col("c_s") * F.col("t_g") - F.col("c_g") * F.col("t_s"))
-    return (
-        grid.withColumn("__num", num)
+    num_present = F.abs(F.col("c_s") * F.col("t_g") - F.col("c_g") * F.col("t_s"))
+    per_slice = (
+        en.crossJoin(F.broadcast(t_g))
+        .withColumn("__num", num_present)
         .groupBy("slice", "t_s", "t_g")
-        .agg(F.sum("__num").alias("__sum"))
-        .select(
-            "slice",
-            F.col("t_s").alias("n_tokens"),
-            (
-                F.col("__sum").cast("double")
-                / (F.lit(2) * F.col("t_s") * F.col("t_g")).cast("double")
-            ).alias("tv_distance"),
+        .agg(
+            F.sum("__num").alias("__present"),
+            F.sum("c_g").alias("__cg_present"),
         )
+    )
+    total = F.col("__present") + F.col("t_s") * (
+        F.col("t_g") - F.col("__cg_present")
+    )
+    return per_slice.select(
+        "slice",
+        F.col("t_s").alias("n_tokens"),
+        (
+            total.cast("double")
+            / (F.lit(2) * F.col("t_s") * F.col("t_g")).cast("double")
+        ).alias("tv_distance"),
     )
 
 
@@ -475,23 +494,26 @@ def with_commonness_score(
     division of two exact integers is one IEEE double op — bit-identical
     across engines (same convention as slice_token_divergence).
 
-    Scale: document-frequency is a distinct (doc, token) aggregate;
-    scoring is one token-level join against the df table (broadcastable
-    vocab) + one sum per doc. No driver-side data.
+    Scale: ONE token-level hash aggregate — per-document term frequencies
+    (doc, token, tf) — is the only pass over exploded tokens; document
+    frequency is a vocab-sized rollup OF that relation (count of docs per
+    token), joined back broadcast. sum_t df(t) over tokens with
+    multiplicity = sum over distinct doc terms of tf * df. No driver-side
+    data.
     """
-    tok = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
-    dfreq = (
-        tok.distinct()
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("__df"))
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("__tf"))
     )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
     return (
-        tok.join(F.broadcast(dfreq), on="tok")
+        tf.join(F.broadcast(dfreq), on="tok")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("__df").alias("__sum_df"),
+            F.sum("__tf").alias("n_tokens"),
+            F.sum(F.col("__tf") * F.col("__df")).alias("__sum_df"),
         )
         .crossJoin(F.broadcast(n_docs))
         .select(
