@@ -525,3 +525,51 @@ def with_commonness_score(
             ).alias("commonness"),
         )
     )
+
+
+def with_oov_rate(
+    df: DataFrame,
+    vocab_size: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary coverage: per-document out-of-vocabulary token rate
+    against the corpus's own top-``vocab_size`` tokens — the curation
+    check for "will this document mostly map to known tokens" (high OOV
+    = noise, non-target language, or encoding damage). Ties at the vocab
+    boundary break lexicographically so the vocabulary is deterministic.
+
+    Exactness: counts are BIGINT; ``oov_rate`` is the single closing
+    IEEE division (same convention as the other corpus operators).
+
+    Scale: one token-level aggregate for corpus counts; the top-K is a
+    distributed TakeOrdered over the vocab-sized count relation (NOT a
+    single-partition global window), and the vocabulary join back is a
+    broadcast. One more token-level aggregate scores the docs.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), on="tok", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_oov"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "n_oov",
+            (
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("oov_rate"),
+        )
+    )

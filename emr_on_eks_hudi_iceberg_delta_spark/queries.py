@@ -5953,3 +5953,33 @@ def q_doc_commonness_score(spark, sf_dir):
     from .operators.text import with_commonness_score
 
     return with_commonness_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "vocab_oov_rate",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents),
+    v AS (
+      SELECT tok FROM (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok)
+      ORDER BY cnt DESC, tok LIMIT 16)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+    FROM tok t LEFT JOIN v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+    tags=("text", "corpus", "agg", "extension"),
+)
+def q_vocab_oov_rate(spark, sf_dir):
+    """Per-document out-of-vocabulary rate against the corpus's own
+    deterministic top-16 vocabulary (operators/text.with_oov_rate) — the
+    tokenizer-coverage curation filter. Top-K vocab via distributed
+    TakeOrdered with a lexicographic tie-break, scoring via broadcast
+    left join."""
+    from .operators.text import with_oov_rate
+
+    return with_oov_rate(_t(spark, sf_dir, "documents"), vocab_size=16)
