@@ -402,3 +402,39 @@ def test_pq_topk_zero_shuffle_scoring(spark):
     df = REGISTRY["embedding_pq_topk"].fn(spark, SF_DIR)
     assert broadcast_join_count(df) >= 1
     assert shuffle_count(df) <= 2
+
+
+def test_peak_concurrency_two_exchanges_no_subtree_duplication(spark):
+    # one user_id exchange (sessionize) + one day exchange (sweep); the
+    # delta emission must be the single-explode form — a start/end
+    # self-union would duplicate the sessionize subtree (two user_id
+    # exchanges and two scans)
+    from emr_on_eks_hudi_iceberg_delta_spark.plans.explain import formatted_plan
+
+    df = REGISTRY["events_peak_concurrency"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert plan.count("hashpartitioning(__day") == 1
+
+
+def test_streaks_single_entity_exchange(spark):
+    from emr_on_eks_hudi_iceberg_delta_spark.plans.explain import formatted_plan
+
+    df = REGISTRY["events_activity_streaks"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    # distinct, island window, and streak aggregate all hash on user_id;
+    # AQE may stage them but no other partitioning key may appear
+    assert plan.count("hashpartitioning(__day") == 0
+
+
+def test_corpus_operators_single_token_aggregate_branch(spark):
+    # the token-level explode may appear at most twice in the TVD plan
+    # (main branch + the corpus-total rollup branch, documented; one with
+    # persist=True) and the vocab join in OOV must be broadcast
+    from emr_on_eks_hudi_iceberg_delta_spark.plans.explain import formatted_plan
+
+    tvd = formatted_plan(REGISTRY["corpus_slice_divergence"].fn(spark, SF_DIR))
+    assert tvd.count("explode") <= 2
+    oov = formatted_plan(REGISTRY["vocab_oov_rate"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in oov
+    assert "TakeOrderedAndProject" in oov  # distributed top-K vocab, not a global sort
