@@ -427,3 +427,57 @@ def dedup_against_corpus(
         .drop("__dg")
         .join(near_ids, id_col, "left_anti")
     )
+
+
+def cross_source_duplication(
+    df: DataFrame,
+    slice_col: str = "source",
+    text_col: str = "text",
+    fingerprint=None,
+) -> DataFrame:
+    """Inter-source exact-duplication matrix: for every ordered source
+    pair (a, b), how many of a's documents have a byte-identical twin in
+    b — the corpus-curation diagnostic for "which feeds re-host which"
+    (and, on the diagonal, each source's internal duplication). Rates are
+    per-document, duplicates counted with multiplicity on the a side.
+    ``fingerprint`` overrides the identity criterion (default exact
+    ``md5(text)``): pass e.g. an n-token-prefix fingerprint to catch
+    templated boilerplate that varies only in its tail.
+
+    Diagonal semantics: a document counts as self-source-duplicated only
+    when its source holds at least one OTHER copy (n >= 2).
+
+    Scale: one hash aggregate on (digest, source) collapses the corpus to
+    distinct-digest granularity BEFORE the digest self-join — the join
+    touches one row per (digest, source), never per document, so exact-dup
+    clusters cost their distinct size. One more shuffle on the digest for
+    the join; the output is |sources|^2 rows. The closing rate division is
+    the single IEEE op (same exactness convention as the corpus operators).
+    """
+    fp = F.md5(F.col(text_col)) if fingerprint is None else fingerprint
+    d = df.select(F.col(slice_col).alias("src"), fp.alias("__dg"))
+    per = d.groupBy("__dg", "src").agg(F.count(F.lit(1)).alias("n"))
+    totals = d.groupBy("src").agg(F.count(F.lit(1)).alias("total_docs"))
+    a = per.select(
+        F.col("__dg"), F.col("src").alias("src_a"), F.col("n").alias("n_a")
+    )
+    b = per.select(
+        F.col("__dg"), F.col("src").alias("src_b"), F.col("n").alias("n_b")
+    )
+    pairs = a.join(b, "__dg").filter(
+        (F.col("src_a") != F.col("src_b")) | (F.col("n_a") >= 2)
+    )
+    matrix = pairs.groupBy("src_a", "src_b").agg(
+        F.sum("n_a").alias("dup_docs")
+    )
+    return matrix.join(
+        F.broadcast(totals.withColumnRenamed("src", "src_a")), "src_a"
+    ).select(
+        "src_a",
+        "src_b",
+        "dup_docs",
+        "total_docs",
+        (
+            F.col("dup_docs").cast("double") / F.col("total_docs").cast("double")
+        ).alias("dup_rate"),
+    )

@@ -5983,3 +5983,43 @@ def q_vocab_oov_rate(spark, sf_dir):
     from .operators.text import with_oov_rate
 
     return with_oov_rate(_t(spark, sf_dir, "documents"), vocab_size=16)
+
+
+@register(
+    "cross_source_duplication",
+    oracle="""
+    WITH d AS (SELECT source AS src,
+                array_to_string(string_split_regex(trim(text), '\\s+')[1:8], ' ') AS dg
+           FROM documents),
+    per AS (SELECT dg, src, CAST(COUNT(*) AS BIGINT) AS n
+            FROM d GROUP BY dg, src),
+    totals AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS total_docs
+               FROM d GROUP BY src),
+    pairs AS (
+      SELECT a.src AS src_a, b.src AS src_b, a.n AS n_a
+      FROM per a JOIN per b ON a.dg = b.dg
+      WHERE a.src <> b.src OR a.n >= 2)
+    SELECT p.src_a, p.src_b,
+           CAST(SUM(p.n_a) AS BIGINT) AS dup_docs,
+           t.total_docs,
+           CAST(CAST(SUM(p.n_a) AS BIGINT) AS DOUBLE)
+             / CAST(t.total_docs AS DOUBLE) AS dup_rate
+    FROM pairs p JOIN totals t ON t.src = p.src_a
+    GROUP BY p.src_a, p.src_b, t.total_docs
+    """,
+    tags=("dedup", "corpus", "agg", "extension"),
+)
+def q_cross_source_duplication(spark, sf_dir):
+    """Inter-source duplication matrix (operators/dedup.
+    cross_source_duplication): per ordered source pair, the share of the
+    first source's documents whose fingerprint also appears in the second
+    (diagonal = internal duplication, n >= 2). The gate query fingerprints
+    on the 8-token prefix — the templated-boilerplate detector — since the
+    synthetic corpus has no byte-identical pairs; digest granularity
+    before the self-join keeps the join distinct-sized."""
+    from .operators.dedup import cross_source_duplication
+    from .operators.text import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    prefix_fp = F.array_join(F.slice(tokens_expr("text"), 1, 8), " ")
+    return cross_source_duplication(docs, fingerprint=prefix_fp)
