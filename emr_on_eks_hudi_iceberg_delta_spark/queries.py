@@ -6023,3 +6023,43 @@ def q_cross_source_duplication(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     prefix_fp = F.array_join(F.slice(tokens_expr("text"), 1, 8), " ")
     return cross_source_duplication(docs, fingerprint=prefix_fp)
+
+
+@register(
+    "symlink_manifest_roundtrip",
+    oracle=f"""
+    WITH tgt AS ({_SQL_TGT9}), upd AS ({_SQL_UPD9}),
+    unioned AS (SELECT * FROM tgt UNION ALL SELECT * FROM upd)
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           ts, valid_from, valid_to, iscurrent, checksum
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey, checksum
+                                       ORDER BY ts DESC) AS rn
+          FROM unioned) t
+    WHERE rn = 1
+    """,
+    tags=("S13", "S14", "lake", "sink"),
+)
+def q_symlink_manifest_roundtrip(spark, sf_dir):
+    """S13/S14 — symlink-format manifest interop
+    (delta/delta_scd_script.py:42-60): bulk load + keyed upsert into the
+    versioned store with the auto-manifest property enabled, then read the
+    table back EXCLUSIVELY through the manifest file list via a SQL view —
+    the local equivalent of Athena's SymlinkTextInputFormat external
+    table. Result must equal the versioned_table_upsert state, proving the
+    manifest alone reconstructs the published head."""
+    import tempfile
+
+    from .sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_symlink_"))
+    vt.overwrite(scd2_target(spark, sf_dir))
+    vt.enable_symlink_manifest()
+    vt.upsert(
+        with_scd2_columns(customer_updates(spark, sf_dir), CHECKSUM_COLS, as_of=T2),
+        ["c_custkey", "checksum"],
+        "ts",
+    )
+    # the "external engine" path: manifest -> file list -> parquet scan,
+    # exposed as a SQL-addressable view (the CREATE EXTERNAL TABLE analog)
+    vt.read_symlink_manifest().createOrReplaceTempView("symlink_contact_external")
+    return spark.sql("SELECT * FROM symlink_contact_external")

@@ -167,6 +167,10 @@ class VersionedTable:
             entry["txn"] = {"app_id": txn[0], "version": txn[1]}
         snaps.append(entry)
         self._write_meta(meta)
+        if meta.get("properties", {}).get("symlinkFormatManifest.enabled"):
+            # the table-property contract: every published commit refreshes
+            # the external-engine manifest (delta_scd_script.py:44)
+            self.generate_symlink_manifest()
         if self.name:
             self.read().createOrReplaceTempView(self.name)
 
@@ -703,6 +707,13 @@ class VersionedTable:
         SQL NULL semantics: only predicate-TRUE rows are deleted."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         hit = F.coalesce(cond.cast("boolean"), F.lit(False))
+        if self._symlink_autogen():
+            raise ValueError(
+                "merge-on-read deletes are incompatible with an enabled "
+                "symlink manifest (the file-list manifest would resurrect "
+                "deleted rows externally) — disable_symlink_manifest() or "
+                "use the CoW delete_where()"
+            )
         meta = self._meta()
         snaps = meta["snapshots"]
         if not snaps:
@@ -759,6 +770,13 @@ class VersionedTable:
         only rows where the predicate is TRUE are deleted."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         hit = F.coalesce(cond.cast("boolean"), F.lit(False))
+        if self._symlink_autogen():
+            raise ValueError(
+                "merge-on-read deletes are incompatible with an enabled "
+                "symlink manifest (the file-list manifest would resurrect "
+                "deleted rows externally) — disable_symlink_manifest() or "
+                "use the CoW delete_where()"
+            )
         meta = self._meta()
         snaps = meta["snapshots"]
         if not snaps:
@@ -1238,6 +1256,84 @@ class VersionedTable:
             "size_bytes": sum(f["size_bytes"] for f in fs),
             "constraints": dict(self._meta().get("constraints", {})),
         }
+
+    # -- symlink-format manifest (external-engine interop, S13/S14) ---------
+
+    _SYMLINK_DIR = "_symlink_format_manifest"
+
+    def generate_symlink_manifest(self) -> str:
+        """S14 — ``GENERATE symlink_format_manifest FOR TABLE`` analog
+        (delta/delta_scd_script.py:42): write a plain-text manifest listing
+        the published head's data files, one ``file:`` URI per line, under
+        ``<location>/_symlink_format_manifest/manifest``. That file is the
+        entire interop contract: any engine that can read a file list and
+        scan parquet (Hive/Trino/Athena's SymlinkTextInputFormat — the DDL
+        at delta_scd_script.py:47-60) can now serve the table without
+        understanding snapshot metadata. The write is tmp+rename atomic, so
+        an external reader never sees a half-written manifest.
+
+        Refuses while merge-on-read tombstones or deletion vectors are
+        pending: a file LIST cannot express row-level deletes, so a
+        manifest would resurrect deleted rows in the external engine (the
+        same reason Delta blocks symlink manifests on DV-enabled tables).
+        ``compact()`` first — it materializes the deletes.
+        """
+        snap = self._current_snapshot()
+        if snap.get("tombstones") or snap.get("dv"):
+            raise ValueError(
+                "symlink manifest cannot express pending merge-on-read "
+                "deletes (tombstones/deletion vectors) — run compact() to "
+                "materialize them first"
+            )
+        mdir = os.path.join(self.location, self._SYMLINK_DIR)
+        os.makedirs(mdir, exist_ok=True)
+        manifest = os.path.join(mdir, "manifest")
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            for entry in self.files():
+                f.write("file:" + entry["path"] + "\n")
+        os.replace(tmp, manifest)
+        return manifest
+
+    def read_symlink_manifest(self) -> DataFrame:
+        """Scan the table THROUGH the symlink manifest — exactly what the
+        external engine does (resolve the file list, scan those parquet
+        files, nothing else). Proves the manifest is sufficient to
+        reconstruct the published table state."""
+        manifest = os.path.join(self.location, self._SYMLINK_DIR, "manifest")
+        if not os.path.exists(manifest):
+            raise FileNotFoundError(f"no symlink manifest at {manifest}")
+        with open(manifest) as f:
+            paths = [line.strip().removeprefix("file:") for line in f if line.strip()]
+        if not paths:
+            return self.read().filter(F.lit(False))
+        return self.spark.read.parquet(*paths)
+
+    def enable_symlink_manifest(self) -> "VersionedTable":
+        """S13's table-property half —
+        ``delta.compatibility.symlinkFormatManifest.enabled=true``
+        (delta_scd_script.py:44): regenerate the manifest automatically on
+        every full-snapshot commit, so the external engine always sees the
+        latest published state. Merge-on-read deletes are refused while
+        enabled (they would silently strand the manifest on a stale file
+        list — the commit raises instead, mirroring Delta's DV/manifest
+        incompatibility)."""
+        meta = self._meta()
+        meta.setdefault("properties", {})["symlinkFormatManifest.enabled"] = True
+        self._write_meta(meta)
+        self.generate_symlink_manifest()
+        return self
+
+    def disable_symlink_manifest(self) -> "VersionedTable":
+        meta = self._meta()
+        meta.get("properties", {}).pop("symlinkFormatManifest.enabled", None)
+        self._write_meta(meta)
+        return self
+
+    def _symlink_autogen(self) -> bool:
+        return bool(
+            self._meta().get("properties", {}).get("symlinkFormatManifest.enabled")
+        )
 
 
 def table_changes(spark, old: DataFrame, new: DataFrame) -> DataFrame:

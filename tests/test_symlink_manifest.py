@@ -1,0 +1,75 @@
+"""Symlink-format manifest (S13/S14 — delta/delta_scd_script.py:42-60):
+manifest generation, the auto-regen table property, WAP/staged isolation,
+and the merge-on-read incompatibility guards."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+
+def _vt(spark, df):
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_symlink_t_"))
+    vt.overwrite(df)
+    return vt
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_manifest_reconstructs_table(spark):
+    vt = _vt(spark, spark.range(100).withColumn("v", F.col("id") * 2))
+    path = vt.generate_symlink_manifest()
+    assert os.path.exists(path)
+    with open(path) as f:
+        lines = [line.strip() for line in f if line.strip()]
+    assert lines and all(line.startswith("file:") for line in lines)
+    assert {line.removeprefix("file:") for line in lines} == {
+        e["path"] for e in vt.files()
+    }
+    assert _rows(vt.read_symlink_manifest()) == _rows(vt.read())
+
+
+def test_autogen_refreshes_on_commit_but_not_on_stage(spark):
+    vt = _vt(spark, spark.range(10).withColumn("v", F.lit(1)))
+    vt.enable_symlink_manifest()
+    before = _rows(vt.read_symlink_manifest())
+    # a staged (unpublished) snapshot must NOT reach the external engine
+    staged = vt.stage(spark.range(5).withColumn("v", F.lit(99)))
+    assert _rows(vt.read_symlink_manifest()) == before
+    # publishing is a pointer move, not a _commit — regenerate explicitly
+    vt.publish(staged)
+    vt.generate_symlink_manifest()
+    assert _rows(vt.read_symlink_manifest()) == _rows(vt.read())
+    # a regular commit regenerates automatically
+    vt.overwrite(spark.range(3).withColumn("v", F.lit(7)))
+    assert _rows(vt.read_symlink_manifest()) == _rows(vt.read())
+
+
+def test_mor_deletes_refused_while_enabled(spark):
+    vt = _vt(spark, spark.range(20).withColumn("v", F.col("id")))
+    vt.enable_symlink_manifest()
+    with pytest.raises(ValueError, match="symlink manifest"):
+        vt.delete_where_deferred("id < 5", ["id"])
+    with pytest.raises(ValueError, match="symlink manifest"):
+        vt.delete_where_positional("id < 5")
+    # CoW delete is fine and keeps the manifest current
+    vt.delete_where("id < 5")
+    assert _rows(vt.read_symlink_manifest()) == _rows(vt.read())
+    assert vt.read_symlink_manifest().count() == 15
+
+
+def test_generate_refused_with_pending_tombstones(spark):
+    vt = _vt(spark, spark.range(20).withColumn("v", F.col("id")))
+    vt.delete_where_deferred("id < 5", ["id"])
+    with pytest.raises(ValueError, match="compact"):
+        vt.generate_symlink_manifest()
+    # compaction materializes the deletes; manifest becomes expressible
+    vt.compact()
+    vt.generate_symlink_manifest()
+    assert vt.read_symlink_manifest().count() == 15
+    assert _rows(vt.read_symlink_manifest()) == _rows(vt.read())
