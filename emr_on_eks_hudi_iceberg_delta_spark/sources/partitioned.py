@@ -383,3 +383,77 @@ class PartitionedTable:
             n = sum(1 for cid in v["partitions"].values() if cid == v["version"])
             out.append((v["version"], n))
         return out
+
+
+    # -- symlink-format manifest (S13/S14, partitioned flavor) ---------------
+    # Delta generates ONE manifest per hive partition under
+    # _symlink_format_manifest/<pcol>=<val>/manifest, mirroring the
+    # partition directory layout so the external table's partition DDL maps
+    # one-to-one. The unpartitioned flavor lives on VersionedTable
+    # (sources/tables.py).
+
+    def generate_symlink_manifest(self) -> str:
+        """Write per-partition file-list manifests for the CURRENT version.
+        Each partition's manifest is tmp+rename atomic; stale partition
+        manifest dirs (partitions dropped since the last generation) are
+        removed afterwards, so a reader that lists partitions through the
+        manifest tree never resurrects a dropped partition."""
+        import glob as _glob
+        import shutil as _shutil
+
+        versions = self._versions()
+        if not versions:
+            raise FileNotFoundError(f"no commit at {self.location}")
+        parts = versions[-1]["partitions"]
+        mroot = os.path.join(self.location, "_symlink_format_manifest")
+        os.makedirs(mroot, exist_ok=True)
+        for pkey, cid in parts.items():
+            pdir = os.path.join(self._commit_dir(cid), pkey)
+            files = sorted(_glob.glob(os.path.join(pdir, "*.parquet")))
+            mdir = os.path.join(mroot, pkey)
+            os.makedirs(mdir, exist_ok=True)
+            manifest = os.path.join(mdir, "manifest")
+            tmp = manifest + ".tmp"
+            with open(tmp, "w") as f:
+                for path in files:
+                    f.write("file:" + path + "\n")
+            os.replace(tmp, manifest)
+        for d in os.listdir(mroot):
+            full = os.path.join(mroot, d)
+            if os.path.isdir(full) and d not in parts:
+                _shutil.rmtree(full, ignore_errors=True)
+        return mroot
+
+    def read_symlink_manifest(self) -> DataFrame:
+        """Scan the table exclusively through the manifest tree (what the
+        external engine does): resolve every partition's file list, then
+        scan per owning commit dir with ``basePath`` so the hive partition
+        column is reconstructed from the directory names — the same
+        mechanism the external table's partition mapping uses."""
+        import glob as _glob
+
+        mroot = os.path.join(self.location, "_symlink_format_manifest")
+        manifests = sorted(_glob.glob(os.path.join(mroot, "*", "manifest")))
+        if not manifests:
+            raise FileNotFoundError(f"no symlink manifests under {mroot}")
+        paths = []
+        for m in manifests:
+            with open(m) as f:
+                paths.extend(
+                    line.strip().removeprefix("file:")
+                    for line in f
+                    if line.strip()
+                )
+        # group by commit dir (files/commit-<n>/<pkey>/part.parquet) so
+        # each scan gets the right basePath for partition-column recovery
+        by_base: dict[str, list[str]] = {}
+        for p in paths:
+            base = os.path.dirname(os.path.dirname(p))
+            by_base.setdefault(base, []).append(p)
+        scans = [
+            self.spark.read.option("basePath", base).parquet(*sorted(ps))
+            for base, ps in sorted(by_base.items())
+        ]
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=False), scans
+        )

@@ -73,3 +73,55 @@ def test_generate_refused_with_pending_tombstones(spark):
     vt.generate_symlink_manifest()
     assert vt.read_symlink_manifest().count() == 15
     assert _rows(vt.read_symlink_manifest()) == _rows(vt.read())
+
+
+def test_partitioned_manifest_roundtrip_and_refresh(spark):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.partitioned import (
+        PartitionedTable,
+    )
+
+    pt = PartitionedTable(
+        spark, tempfile.mkdtemp(prefix="pt_symlink_t_"), partition_col="p"
+    )
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0), (4, "a", 40.0)],
+        "id long, p string, v double",
+    )
+    pt.overwrite(df)
+    mroot = pt.generate_symlink_manifest()
+    # one manifest dir per live partition, null under the hive sentinel
+    assert sorted(os.listdir(mroot)) == [
+        "p=__HIVE_DEFAULT_PARTITION__", "p=a", "p=b",
+    ]
+    assert _rows(pt.read_symlink_manifest()) == _rows(pt.read())
+    # partition-scoped upsert: regeneration reflects the touched partition
+    pt.upsert(
+        spark.createDataFrame([(1, "a", 99.0)], "id long, p string, v double"),
+        key_cols=["id"],
+        precombine_col="v",
+    )
+    pt.generate_symlink_manifest()
+    got = _rows(pt.read_symlink_manifest())
+    assert got == _rows(pt.read())
+    # partition col is reconstructed from the dir name, appended last
+    assert (1, 99.0, "a") in got
+
+
+def test_partitioned_manifest_drops_stale_partition_dirs(spark):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.partitioned import (
+        PartitionedTable,
+    )
+
+    pt = PartitionedTable(
+        spark, tempfile.mkdtemp(prefix="pt_symlink_d_"), partition_col="p"
+    )
+    pt.overwrite(
+        spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], "id long, p string, v double")
+    )
+    mroot = pt.generate_symlink_manifest()
+    assert sorted(os.listdir(mroot)) == ["p=a", "p=b"]
+    # overwrite shrinks the table to one partition; stale dir must go
+    pt.overwrite(spark.createDataFrame([(9, "a", 9.0)], "id long, p string, v double"))
+    pt.generate_symlink_manifest()
+    assert sorted(os.listdir(mroot)) == ["p=a"]
+    assert _rows(pt.read_symlink_manifest()) == [(9, 9.0, "a")]
