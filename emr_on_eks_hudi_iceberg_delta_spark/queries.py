@@ -6063,3 +6063,48 @@ def q_symlink_manifest_roundtrip(spark, sf_dir):
     # exposed as a SQL-addressable view (the CREATE EXTERNAL TABLE analog)
     vt.read_symlink_manifest().createOrReplaceTempView("symlink_contact_external")
     return spark.sql("SELECT * FROM symlink_contact_external")
+
+
+@register(
+    "mad_outliers",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM ev GROUP BY event_type),
+    mad AS (SELECT e.event_type,
+                   quantile_cont(abs(e.value - m.med), 0.5) AS mad
+            FROM ev e JOIN med m ON e.event_type = m.event_type
+            GROUP BY e.event_type)
+    SELECT e.event_id, e.event_type, e.value, m.med, d.mad,
+           abs(e.value - m.med) AS deviation
+    FROM ev e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad d ON e.event_type = d.event_type
+    WHERE abs(e.value - m.med) > 2 * d.mad
+    """,
+    tags=("events", "agg", "extension"),
+)
+def q_mad_outliers(spark, sf_dir):
+    """Robust outlier detection: events whose value deviates from their
+    type's MEDIAN by more than 2x the median absolute deviation — the
+    rank-based complement to the z-score queries (immune to the outliers
+    it hunts, unlike mean/stddev). Two grouped percentile passes (Spark
+    ``percentile`` == DuckDB ``quantile_cont`` interpolation, the
+    ``grouped_quantiles`` parity) + broadcast joins of the tiny per-type
+    stats back onto the stream; |value - med| and the 2*mad threshold are
+    single IEEE ops, so the filter is cross-engine exact."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad"))
+    )
+    dev = F.abs(F.col("value") - F.col("med"))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .withColumn("deviation", dev)
+        .filter(F.col("deviation") > F.lit(2) * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad", "deviation")
+    )
