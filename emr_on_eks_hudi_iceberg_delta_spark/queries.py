@@ -5818,7 +5818,8 @@ def q_events_rolling_anomaly(spark, sf_dir):
              day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
                         AS INTEGER) AS island
       FROM d)
-    SELECT user_id, MIN(day) AS streak_start, MAX(day) AS streak_end,
+    SELECT user_id, CAST(MIN(day) AS TIMESTAMP) AS streak_start,
+           CAST(MAX(day) AS TIMESTAMP) AS streak_end,
            CAST(COUNT(*) AS BIGINT) AS n_days
     FROM r GROUP BY user_id, island
     """,
@@ -5828,10 +5829,18 @@ def q_events_activity_streaks(spark, sf_dir):
     """Gaps-and-islands: maximal consecutive-active-day streaks per user
     (operators/sequence.activity_streaks). The island key day-row_number
     turns run detection into one window + one aggregate sharing a single
-    user_id exchange — no self-join, no iteration."""
+    user_id exchange — no self-join, no iteration. DATE round-trips
+    inconsistently across engines' pandas bridges, so the day columns go
+    out as naive TIMESTAMP (repo-wide convention)."""
     from .operators.sequence import activity_streaks
 
-    return activity_streaks(_t(spark, sf_dir, "events"))
+    out = activity_streaks(_t(spark, sf_dir, "events"))
+    return out.select(
+        "user_id",
+        F.col("streak_start").cast("timestamp_ntz").alias("streak_start"),
+        F.col("streak_end").cast("timestamp_ntz").alias("streak_end"),
+        "n_days",
+    )
 
 
 @register(
@@ -5871,7 +5880,8 @@ def q_events_activity_streaks(spark, sf_dir):
              SUM(delta) OVER (PARTITION BY day ORDER BY t, delta
                               ROWS UNBOUNDED PRECEDING) AS open
       FROM deltas)
-    SELECT day, CAST(MAX(open) AS BIGINT) AS peak_concurrency
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(MAX(open) AS BIGINT) AS peak_concurrency
     FROM sweep GROUP BY day
     """,
     tags=("events", "window", "extension"),
@@ -5881,11 +5891,15 @@ def q_events_peak_concurrency(spark, sf_dir):
     (operators/sequence.daily_peak_concurrency over 30-min gap sessions).
     Sessions are clipped to day segments so the running-sum window
     partitions by day — the move that keeps a global-total-order sweep
-    parallelizable at 100 TB (module docstring has the full argument)."""
+    parallelizable at 100 TB (module docstring has the full argument).
+    The day column goes out as naive TIMESTAMP (repo-wide DATE
+    convention)."""
     from .operators.sequence import daily_peak_concurrency, sessions_from_events
 
     sessions = sessions_from_events(_t(spark, sf_dir, "events"))
-    return daily_peak_concurrency(sessions)
+    return daily_peak_concurrency(sessions).select(
+        F.col("day").cast("timestamp_ntz").alias("day"), "peak_concurrency"
+    )
 
 
 # --------------------------------------------------------------------------
