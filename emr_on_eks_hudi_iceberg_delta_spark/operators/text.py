@@ -482,7 +482,10 @@ def slice_token_divergence(
 
 
 def with_commonness_score(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    persist: bool = False,
 ) -> DataFrame:
     """Per-document commonness score: the mean document-frequency of the
     document's tokens, normalized by corpus size — a log-free exact proxy
@@ -498,14 +501,19 @@ def with_commonness_score(
     (doc, token, tf) — is the only pass over exploded tokens; document
     frequency is a vocab-sized rollup OF that relation (count of docs per
     token), joined back broadcast. sum_t df(t) over tokens with
-    multiplicity = sum over distinct doc terms of tf * df. No driver-side
-    data.
+    multiplicity = sum over distinct doc terms of tf * df. In one lazy
+    plan the tf relation is referenced twice (document-frequency
+    derivation + scoring probe); ``persist=True`` caches it so the
+    explode runs once (same knob as ``tfidf_top_terms(persist_tf=...)``).
+    No driver-side data.
     """
     tf = (
         df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
+    if persist:
+        tf = tf.persist()
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
     return (
@@ -532,6 +540,7 @@ def with_oov_rate(
     vocab_size: int = 10_000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist: bool = False,
 ) -> DataFrame:
     """Vocabulary coverage: per-document out-of-vocabulary token rate
     against the corpus's own top-``vocab_size`` tokens — the curation
@@ -548,6 +557,11 @@ def with_oov_rate(
     broadcast. One more token-level aggregate scores the docs.
     """
     tok = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
+    if persist:
+        # the token relation is referenced twice (vocabulary derivation +
+        # scoring probe); persisting runs the explode once (same knob as
+        # tfidf_top_terms)
+        tok = tok.persist()
     vocab = (
         tok.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("__cnt"))
