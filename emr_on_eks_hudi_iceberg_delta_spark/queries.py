@@ -6122,3 +6122,70 @@ def q_mad_outliers(spark, sf_dir):
         .filter(F.col("deviation") > F.lit(2) * F.col("mad"))
         .select("event_id", "event_type", "value", "med", "mad", "deviation")
     )
+
+
+@register(
+    "trimmed_winsorized_means",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    bounds AS (SELECT event_type,
+                      quantile_cont(value, 0.05) AS p05,
+                      quantile_cont(value, 0.95) AS p95
+               FROM ev GROUP BY event_type),
+    j AS (SELECT e.event_type, e.value, b.p05, b.p95
+          FROM ev e JOIN bounds b ON e.event_type = b.event_type),
+    agg AS (
+      SELECT event_type, p05, p95,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value >= p05 AND value <= p95
+                           THEN CAST(value AS DECIMAL(18,4)) END)
+                  AS DOUBLE) AS tsum,
+             CAST(SUM(CASE WHEN value >= p05 AND value <= p95
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+             CAST(SUM(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             CAST(SUM(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT) AS na
+      FROM j GROUP BY event_type, p05, p95)
+    SELECT event_type, p05, p95, n,
+           tsum / tn AS trimmed_mean,
+           ((tsum + nb * p05) + na * p95) / n AS winsorized_mean
+    FROM agg
+    """,
+    tags=("events", "agg", "extension"),
+)
+def q_trimmed_winsorized_means(spark, sf_dir):
+    """Robust per-group location estimates: the mean of values inside the
+    [p05, p95] band (trimmed) and the mean with tail values clipped TO the
+    band edges (winsorized) — the standard outlier-resistant aggregates
+    for metric pipelines. Exactness discipline: the in-band sum
+    accumulates as DECIMAL (order-independent), the clipped tails enter as
+    count x boundary products, and the closing arithmetic is a FIXED
+    parenthesization of single IEEE ops — identical on any engine. One
+    grouped percentile pass + one broadcast-join + one conditional
+    aggregate; no row data leaves the executors."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    j = ev.join(F.broadcast(bounds), "event_type")
+    in_band = (F.col("value") >= F.col("p05")) & (F.col("value") <= F.col("p95"))
+    agg = j.groupBy("event_type", "p05", "p95").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(in_band, F.col("value").cast("decimal(18,4)")))
+        .cast("double")
+        .alias("tsum"),
+        F.sum(F.when(in_band, 1).otherwise(0)).alias("tn"),
+        F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0)).alias("na"),
+    )
+    return agg.select(
+        "event_type",
+        "p05",
+        "p95",
+        "n",
+        (F.col("tsum") / F.col("tn")).alias("trimmed_mean"),
+        (
+            ((F.col("tsum") + F.col("nb") * F.col("p05")) + F.col("na") * F.col("p95"))
+            / F.col("n")
+        ).alias("winsorized_mean"),
+    )
