@@ -989,6 +989,50 @@ class VersionedTable:
         self._write_meta(meta)
         return self
 
+    def vacuum_older_than(self, timestamp: str) -> "VersionedTable":
+        """Time-based retention (Delta ``VACUUM ... RETAIN n HOURS`` /
+        Iceberg ``expire_snapshots(older_than)`` analog): drop snapshots
+        committed strictly before ``timestamp`` ('YYYY-MM-DD HH:MM:SS',
+        UTC) and delete their directories. Three refs are NEVER expired,
+        matching the lake-format rule that retention cannot break a
+        reference: the published head, tag-referenced snapshots, and any
+        snapshot whose directory a live branch or a kept snapshot still
+        shares (metadata-only commits reuse their parent's data dir, so
+        directory deletion is keyed on the KEPT set's dirs, not the
+        dropped entries)."""
+        import calendar
+        import shutil
+
+        cut = calendar.timegm(time.strptime(timestamp, "%Y-%m-%d %H:%M:%S"))
+        meta = self._meta()
+        snaps = meta["snapshots"]
+        head = self._current_snapshot(snaps)
+        tagged = set(meta.get("tags", {}).values())
+        keep = [
+            s
+            for s in snaps
+            if s["committed_at"] >= cut
+            or s["version"] == head["version"]
+            or s["version"] in tagged
+        ]
+        keep_dirs = {s["dir"] for s in keep}
+        for entry in meta.get("branches", {}).values():
+            try:
+                keep_dirs |= {
+                    s["dir"]
+                    for s in VersionedTable(
+                        self.spark, entry["location"]
+                    )._snapshots()
+                }
+            except FileNotFoundError:
+                pass
+        for s in snaps:
+            if s["dir"] not in keep_dirs and not s.get("external"):
+                shutil.rmtree(s["dir"], ignore_errors=True)
+        meta["snapshots"] = keep
+        self._write_meta(meta)
+        return self
+
     def auto_compact(
         self,
         max_files: int = 64,

@@ -769,3 +769,50 @@ def test_fast_forward_refuses_diverged_main(spark, tmp_path):
     # main's commit survives; the branch is still readable for rebase
     assert {r.id for r in vt.read().collect()} == {1, 3}
     assert {r.id for r in dev.read().collect()} == {1, 2}
+
+
+def test_vacuum_older_than_protects_head_and_tags(spark, tmp_path):
+    """Time-based retention: snapshots older than the cut expire, but the
+    published head, tag-referenced snapshots, and shared data dirs
+    survive (retention never breaks a reference)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_retain"))
+    vt.overwrite(spark.range(10).withColumn("v", F.lit(0)))   # v0 (old)
+    vt.overwrite(spark.range(10).withColumn("v", F.lit(1)))   # v1 (old, tagged)
+    vt.tag("pinned", 1)
+    vt.overwrite(spark.range(10).withColumn("v", F.lit(2)))   # v2 head
+    # age the first two commits well past any cut
+    meta = vt._meta()
+    for s in meta["snapshots"]:
+        if s["version"] in (0, 1):
+            s["committed_at"] = 0.0
+    vt._write_meta(meta)
+    vt.vacuum_older_than("2000-01-01 00:00:00")
+    versions = {s["version"] for s in vt.history()}
+    assert versions == {1, 2}  # v0 expired; tagged v1 + head v2 kept
+    assert vt.read_tag("pinned").agg(F.max("v")).first()[0] == 1
+    assert vt.read().agg(F.max("v")).first()[0] == 2
+    # v0's directory is gone from disk
+    assert not any(
+        d.endswith("snapshot-00000") for d in os.listdir(vt.location)
+    )
+
+
+def test_vacuum_older_than_keeps_shared_dirs_of_metadata_commits(spark, tmp_path):
+    """A deferred-delete (metadata-only) commit shares its parent's data
+    dir; expiring the parent must not delete the dir the live head still
+    references."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_retain_mor"))
+    vt.overwrite(spark.range(20).withColumn("v", F.col("id")))  # v0
+    vt.delete_where_deferred("id < 5", ["id"])                  # v1 shares v0's dir
+    meta = vt._meta()
+    meta["snapshots"][0]["committed_at"] = 0.0
+    vt._write_meta(meta)
+    vt.vacuum_older_than("2000-01-01 00:00:00")
+    assert {s["version"] for s in vt.history()} == {1}
+    assert vt.read().count() == 15  # data dir survived, deletes applied
