@@ -123,6 +123,7 @@ class VersionedTable:
         df: DataFrame,
         expected_version: int | None = None,
         txn: tuple[str, int] | None = None,
+        op: str = "WRITE",
     ) -> None:
         """Write a snapshot and flip the pointer. ``expected_version`` is
         the optimistic-concurrency check: if another writer committed since
@@ -162,7 +163,12 @@ class VersionedTable:
         version = self._next_version(snaps)
         snap_dir = os.path.join(self.location, f"snapshot-{version:05d}")
         df.write.mode("overwrite").parquet(snap_dir)
-        entry = {"version": version, "dir": snap_dir, "committed_at": time.time()}
+        entry = {
+            "version": version,
+            "dir": snap_dir,
+            "committed_at": time.time(),
+            "operation": op,
+        }
         if txn is not None:
             entry["txn"] = {"app_id": txn[0], "version": txn[1]}
         snaps.append(entry)
@@ -316,7 +322,7 @@ class VersionedTable:
             target = self.read()
             merged = upsert_by_key(target, updates, key_cols, precombine_col)
             try:
-                self._commit(merged, expected_version=base_version)
+                self._commit(merged, expected_version=base_version, op="MERGE")
                 return self
             except ConcurrentCommitError as e:
                 last_err = e
@@ -416,7 +422,7 @@ class VersionedTable:
             )
         else:
             df = df.coalesce(target_partitions)
-        self._commit(df)
+        self._commit(df, op="OPTIMIZE")
         return self
 
     @staticmethod
@@ -747,6 +753,7 @@ class VersionedTable:
                 "version": version,
                 "dir": cur["dir"],  # metadata-only commit: data files shared
                 "committed_at": time.time(),
+                "operation": "DELETE",
                 "tombstones": cur.get("tombstones", []),
                 "dv": cur.get("dv", []) + [{"dir": dv_dir}],
             }
@@ -794,6 +801,7 @@ class VersionedTable:
                 "version": version,
                 "dir": cur["dir"],  # metadata-only commit: data files shared
                 "committed_at": time.time(),
+                "operation": "DELETE",
                 "tombstones": cur.get("tombstones", [])
                 + [{"dir": ts_dir, "key_cols": list(key_cols)}],
             }
@@ -810,7 +818,7 @@ class VersionedTable:
         them)."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         keep = ~F.coalesce(cond.cast("boolean"), F.lit(False))
-        self._commit(self.read().filter(keep))
+        self._commit(self.read().filter(keep), op="DELETE")
         return self
 
     def update_where(self, condition, assignments: dict) -> "VersionedTable":
@@ -824,7 +832,7 @@ class VersionedTable:
         for name, value in assignments.items():
             expr = F.expr(value) if isinstance(value, str) else value
             df = df.withColumn(name, F.when(hit, expr).otherwise(F.col(name)))
-        self._commit(df)
+        self._commit(df, op="UPDATE")
         return self
 
     # -- schema evolution DDL ----------------------------------------------
@@ -939,7 +947,7 @@ class VersionedTable:
         an old snapshot's data as the NEW current version — a roll-forward
         rollback, so history is never rewritten and concurrent readers of
         the bad version stay consistent."""
-        self._commit(self.read(version=version))
+        self._commit(self.read(version=version), op="RESTORE")
         return self
 
     def clone(self, target_location: str) -> "VersionedTable":
@@ -1106,6 +1114,7 @@ class VersionedTable:
                 "version": version,
                 "dir": snap_dir,
                 "committed_at": time.time(),
+                "operation": "STAGE",
                 "staged": True,
             }
         )
@@ -1128,6 +1137,7 @@ class VersionedTable:
             if s["version"] == version and s.get("staged"):
                 s["staged"] = False
                 s["committed_at"] = time.time()
+                s["operation"] = "PUBLISH"
                 # move to head so read() serves it; id unchanged
                 meta["snapshots"].remove(s)
                 meta["snapshots"].append(s)
@@ -1202,7 +1212,7 @@ class VersionedTable:
                 f"branch {name!r} forked; fast-forward would discard those "
                 f"commits — re-fork and replay the branch instead"
             )
-        self._commit(self.branch(name).read())
+        self._commit(self.branch(name).read(), op="FAST-FORWARD")
         return self
 
     def drop_branch(self, name: str) -> "VersionedTable":
@@ -1255,6 +1265,7 @@ class VersionedTable:
             (
                 s["version"],
                 s["dir"],
+                s.get("operation", "WRITE"),
                 float(s["committed_at"]),
                 bool(s.get("staged", False)),
                 len(s.get("tombstones", [])),
@@ -1263,8 +1274,8 @@ class VersionedTable:
         ]
         return self.spark.createDataFrame(
             rows,
-            "version int, dir string, committed_at double, staged boolean, "
-            "n_tombstone_batches int",
+            "version int, dir string, operation string, committed_at double, "
+            "staged boolean, n_tombstone_batches int",
         )
 
     def files_df(self, version: int | None = None) -> DataFrame:

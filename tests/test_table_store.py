@@ -816,3 +816,29 @@ def test_vacuum_older_than_keeps_shared_dirs_of_metadata_commits(spark, tmp_path
     vt.vacuum_older_than("2000-01-01 00:00:00")
     assert {s["version"] for s in vt.history()} == {1}
     assert vt.read().count() == 15  # data dir survived, deletes applied
+
+
+def test_history_records_operation_names(spark, tmp_path):
+    """DESCRIBE HISTORY parity: each commit path records its operation
+    (Delta's operation column); legacy entries default to WRITE."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_ops"))
+    vt.overwrite(spark.range(20).withColumn("v", F.col("id")))
+    vt.upsert(
+        spark.range(5).withColumn("v", F.lit(99)), key_cols=["id"], precombine_col="v"
+    )
+    vt.update_where("id = 1", {"v": "v + 1"})
+    vt.delete_where("id >= 15")
+    vt.compact()
+    good = vt.history()[0]["version"]
+    vt.restore(good)
+    staged = vt.stage(spark.range(3).withColumn("v", F.lit(0)))
+    vt.publish(staged)
+    ops = [s.get("operation") for s in vt.history()]
+    assert ops == [
+        "WRITE", "MERGE", "UPDATE", "DELETE", "OPTIMIZE", "RESTORE", "PUBLISH",
+    ]
+    hist = vt.history_df()
+    assert "operation" in hist.columns
+    assert hist.filter(F.col("operation") == "MERGE").count() == 1
