@@ -6189,3 +6189,44 @@ def q_trimmed_winsorized_means(spark, sf_dir):
             / F.col("n")
         ).alias("winsorized_mean"),
     )
+
+
+@register(
+    "corpus_bigram_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM tok WHERE len(t) >= 2)
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20
+    """,
+    tags=("text", "corpus", "agg", "extension"),
+)
+def q_corpus_bigram_topk(spark, sf_dir):
+    """Corpus-level top-20 token bigrams — the n-gram frequency table a
+    BPE-style tokenizer-training pass starts from. Bigrams materialize
+    inside codegen (transform over the token array, no UDF), one hash
+    aggregate on the bigram key with map-side partial combine, and the
+    top-K is a distributed TakeOrdered with a lexicographic tie-break —
+    never a global sort of the bigram table."""
+    from .operators.text import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents").withColumn("__t", tokens_expr("text"))
+    bg = docs.filter(F.size("__t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__t) - 1), "
+                "i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )
