@@ -422,8 +422,10 @@ def slice_token_divergence(
     Exactness design: probabilities are NEVER materialized as floats.
     With c_s = slice count of a token, T_s = slice total, c_g = corpus
     count, T_g = corpus total, each |p_s - p_g| term is
-    |c_s*T_g - c_g*T_s| / (T_s*T_g) — the numerators are exact BIGINT
-    products summed exactly, and only ONE final double division happens
+    |c_s*T_g - c_g*T_s| / (T_s*T_g) — the numerators are exact
+    DECIMAL(38,0) products summed exactly (BIGINT would wrap silently in
+    non-ANSI Spark at 100 TB corpus scale, where T_g ~ 1e13 makes
+    c_s*T_g exceed 2^63), and only ONE final double division happens
     per slice, so Spark and any ANSI engine agree bit-for-bit (the same
     decimal-accumulate-then-cast convention as queries._dsum).
 
@@ -458,7 +460,11 @@ def slice_token_divergence(
         .agg(F.sum("c_s").alias("__t"))
         .agg(F.sum("__t").alias("t_g"))
     )
-    num_present = F.abs(F.col("c_s") * F.col("t_g") - F.col("c_g") * F.col("t_s"))
+    dec = "decimal(38,0)"
+    num_present = F.abs(
+        F.col("c_s").cast(dec) * F.col("t_g")
+        - F.col("c_g").cast(dec) * F.col("t_s")
+    )
     per_slice = (
         en.crossJoin(F.broadcast(t_g))
         .withColumn("__num", num_present)
@@ -468,7 +474,7 @@ def slice_token_divergence(
             F.sum("c_g").alias("__cg_present"),
         )
     )
-    total = F.col("__present") + F.col("t_s") * (
+    total = F.col("__present") + F.col("t_s").cast(dec) * (
         F.col("t_g") - F.col("__cg_present")
     )
     return per_slice.select(
@@ -476,7 +482,9 @@ def slice_token_divergence(
         F.col("t_s").alias("n_tokens"),
         (
             total.cast("double")
-            / (F.lit(2) * F.col("t_s") * F.col("t_g")).cast("double")
+            / (
+                F.lit(2) * F.col("t_s").cast(dec) * F.col("t_g")
+            ).cast("double")
         ).alias("tv_distance"),
     )
 
@@ -493,7 +501,9 @@ def with_commonness_score(
     score low, boilerplate scores high). score = sum_t df(t) /
     (n_tokens * n_docs), summing over the doc's tokens WITH multiplicity.
 
-    Exactness: df counts and token counts are BIGINT; the single closing
+    Exactness: tf*df products and the n_tokens*n_docs denominator are
+    accumulated as DECIMAL(38,0) (BIGINT wraps silently in non-ANSI Spark
+    once corpus-scale counts multiply past 2^63); the single closing
     division of two exact integers is one IEEE double op — bit-identical
     across engines (same convention as slice_token_divergence).
 
@@ -521,7 +531,9 @@ def with_commonness_score(
         .groupBy(id_col)
         .agg(
             F.sum("__tf").alias("n_tokens"),
-            F.sum(F.col("__tf") * F.col("__df")).alias("__sum_df"),
+            F.sum(
+                F.col("__tf").cast("decimal(38,0)") * F.col("__df")
+            ).alias("__sum_df"),
         )
         .crossJoin(F.broadcast(n_docs))
         .select(
@@ -529,7 +541,10 @@ def with_commonness_score(
             F.col("n_tokens"),
             (
                 F.col("__sum_df").cast("double")
-                / (F.col("n_tokens") * F.col("__n_docs")).cast("double")
+                / (
+                    F.col("n_tokens").cast("decimal(38,0)")
+                    * F.col("__n_docs")
+                ).cast("double")
             ).alias("commonness"),
         )
     )

@@ -454,6 +454,12 @@ class PartitionedTable:
             self.spark.read.option("basePath", base).parquet(*sorted(ps))
             for base, ps in sorted(by_base.items())
         ]
+        if not scans:
+            # every partition manifest lists zero files (all partitions
+            # dropped since generation): mirror _read_partitions' empty-state
+            # contract — zero rows with the table schema recovered from a
+            # surviving commit dir — instead of a bare reduce() TypeError
+            return self._read_partitions({})
         return reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=False), scans
         )

@@ -684,18 +684,23 @@ class VersionedTable:
         keyed (``tombstones``: record-key batches) and positional
         (``dv``: (file, row-index) batches, Delta deletion-vector /
         Iceberg positional-delete analog)."""
+        dvs = snap.get("dv", [])
+        if dvs:
+            # _metadata is only resolvable on the file-scan relation
+            # itself, so project (file, pos) BEFORE any keyed anti-join
+            # reshapes the plan — a keyed tombstone followed by a
+            # positional delete is a legal commit sequence
+            df = df.withColumn(
+                "__file", F.col("_metadata.file_path")
+            ).withColumn("__pos", F.col("_metadata.row_index"))
         for t in snap.get("tombstones", []):
             keys = self.spark.read.parquet(t["dir"])
             df = df.join(keys, on=t["key_cols"], how="left_anti")
-        dvs = snap.get("dv", [])
         if dvs:
             dv = self.spark.read.parquet(*[d["dir"] for d in dvs])
-            df = (
-                df.withColumn("__file", F.col("_metadata.file_path"))
-                .withColumn("__pos", F.col("_metadata.row_index"))
-                .join(F.broadcast(dv), on=["__file", "__pos"], how="left_anti")
-                .drop("__file", "__pos")
-            )
+            df = df.join(
+                F.broadcast(dv), on=["__file", "__pos"], how="left_anti"
+            ).drop("__file", "__pos")
         return df
 
     def delete_where_positional(self, condition) -> "VersionedTable":
@@ -959,86 +964,122 @@ class VersionedTable:
         out.overwrite(self.read())
         return out
 
+    def _ref_protected_versions(self, meta: dict) -> set[int]:
+        """Snapshot versions that NO retention path may expire — the
+        lake-format rule that retention cannot break a reference:
+        tag-referenced snapshots (Iceberg ``expire_snapshots`` never drops
+        a tagged ref) and staged-but-unpublished WAP snapshots (expiring
+        one silently breaks the pending ``publish(version)``)."""
+        protected = set(meta.get("tags", {}).values())
+        protected |= {
+            s["version"] for s in meta["snapshots"] if s.get("staged")
+        }
+        return protected
+
+    def _reclaim_dropped(self, meta: dict, keep: list[dict]) -> None:
+        """Shared retention reclaim for both vacuum flavors: install
+        ``keep`` as the snapshot list and delete dropped snapshots' data
+        dirs AND their now-unreferenced tombstone / deletion-vector dirs.
+        Directory deletion is keyed on the KEPT set's dirs (metadata-only
+        commits share their parent's data dir, so dropped ENTRIES may
+        still reference live DIRS); live branches protect main-owned dirs
+        through their shallow-clone v0 entries; external dirs belong to
+        another table (shallow_clone source) and are never reclaimed from
+        the clone side."""
+        import shutil
+
+        snaps = meta["snapshots"]
+        keep_dirs = {s["dir"] for s in keep}
+        # tombstone/DV dirs still referenced by a kept snapshot must
+        # survive even when the commit that introduced them is dropped
+        keep_aux = {
+            d["dir"]
+            for s in keep
+            for d in s.get("tombstones", []) + s.get("dv", [])
+        }
+        for entry in meta.get("branches", {}).values():
+            try:
+                bsnaps = VersionedTable(
+                    self.spark, entry["location"]
+                )._snapshots()
+            except FileNotFoundError:
+                continue
+            keep_dirs |= {s["dir"] for s in bsnaps}
+            keep_aux |= {
+                d["dir"]
+                for s in bsnaps
+                for d in s.get("tombstones", []) + s.get("dv", [])
+            }
+        kept_versions = {s["version"] for s in keep}
+        for s in snaps:
+            if s["version"] in kept_versions:
+                continue
+            if s["dir"] not in keep_dirs and not s.get("external"):
+                shutil.rmtree(s["dir"], ignore_errors=True)
+            # dv/tombstone dirs referenced only by dropped metadata-only
+            # DELETE commits would otherwise leak on disk forever
+            for d in s.get("tombstones", []) + s.get("dv", []):
+                if d["dir"] not in keep_aux:
+                    shutil.rmtree(d["dir"], ignore_errors=True)
+        meta["snapshots"] = keep
+        self._write_meta(meta)
+
     def vacuum(self, keep_last: int = 1) -> "VersionedTable":
         """Drop all but the last ``keep_last`` snapshots and delete their
         directories (Delta VACUUM / Hudi cleaner). Time travel to vacuumed
         versions stops working, matching lake-format semantics.
 
-        ``keep_last <= 0`` empties the table (metadata and directories stay
-        consistent: every snapshot entry removed, every directory deleted) —
-        Python's ``snaps[-0:]`` is the WHOLE list, so the keep-list must be
-        special-cased rather than sliced.
-        """
-        import shutil
+        References are never broken, matching ``vacuum_older_than``'s
+        contract: tag-referenced and staged (pending-publish WAP)
+        snapshots survive even outside the keep window, and with
+        ``keep_last > 0`` the published head survives even when staged
+        entries occupy the positional tail.
 
+        ``keep_last <= 0`` empties the table — except ref-protected
+        snapshots — with metadata and directories consistent (every
+        dropped entry removed, every unreferenced directory deleted);
+        Python's ``snaps[-0:]`` is the WHOLE list, so the keep-list must
+        be special-cased rather than sliced.
+        """
         meta = self._meta()
         snaps = meta["snapshots"]
-        keep = snaps[-keep_last:] if keep_last > 0 else []
-        keep_dirs = {s["dir"] for s in keep}
-        # live branches may still reference main-owned dirs through their
-        # shallow-clone v0 entries — those stay protected until the branch
-        # is dropped (the lake-format rule: retention never breaks a ref)
-        for entry in meta.get("branches", {}).values():
-            try:
-                keep_dirs |= {
-                    s["dir"]
-                    for s in VersionedTable(
-                        self.spark, entry["location"]
-                    )._snapshots()
-                }
-            except FileNotFoundError:
-                pass
-        for s in snaps:
-            # external dirs belong to another table (shallow_clone source)
-            # — never reclaim them from the clone side
-            if s["dir"] not in keep_dirs and not s.get("external"):
-                shutil.rmtree(s["dir"], ignore_errors=True)
-        meta["snapshots"] = keep
-        self._write_meta(meta)
+        window = {s["version"] for s in (snaps[-keep_last:] if keep_last > 0 else [])}
+        protected = self._ref_protected_versions(meta)
+        if keep_last > 0 and snaps:
+            protected.add(self._current_snapshot(snaps)["version"])
+        keep = [
+            s
+            for s in snaps
+            if s["version"] in window or s["version"] in protected
+        ]
+        self._reclaim_dropped(meta, keep)
         return self
 
     def vacuum_older_than(self, timestamp: str) -> "VersionedTable":
         """Time-based retention (Delta ``VACUUM ... RETAIN n HOURS`` /
         Iceberg ``expire_snapshots(older_than)`` analog): drop snapshots
         committed strictly before ``timestamp`` ('YYYY-MM-DD HH:MM:SS',
-        UTC) and delete their directories. Three refs are NEVER expired,
+        UTC) and delete their directories. Refs are NEVER expired,
         matching the lake-format rule that retention cannot break a
-        reference: the published head, tag-referenced snapshots, and any
-        snapshot whose directory a live branch or a kept snapshot still
-        shares (metadata-only commits reuse their parent's data dir, so
-        directory deletion is keyed on the KEPT set's dirs, not the
-        dropped entries)."""
+        reference: the published head, tag-referenced snapshots, staged
+        (pending-publish WAP) snapshots, and any snapshot whose directory
+        a live branch or a kept snapshot still shares (metadata-only
+        commits reuse their parent's data dir, so directory deletion is
+        keyed on the KEPT set's dirs, not the dropped entries)."""
         import calendar
-        import shutil
 
         cut = calendar.timegm(time.strptime(timestamp, "%Y-%m-%d %H:%M:%S"))
         meta = self._meta()
         snaps = meta["snapshots"]
         head = self._current_snapshot(snaps)
-        tagged = set(meta.get("tags", {}).values())
+        protected = self._ref_protected_versions(meta)
+        protected.add(head["version"])
         keep = [
             s
             for s in snaps
-            if s["committed_at"] >= cut
-            or s["version"] == head["version"]
-            or s["version"] in tagged
+            if s["committed_at"] >= cut or s["version"] in protected
         ]
-        keep_dirs = {s["dir"] for s in keep}
-        for entry in meta.get("branches", {}).values():
-            try:
-                keep_dirs |= {
-                    s["dir"]
-                    for s in VersionedTable(
-                        self.spark, entry["location"]
-                    )._snapshots()
-                }
-            except FileNotFoundError:
-                pass
-        for s in snaps:
-            if s["dir"] not in keep_dirs and not s.get("external"):
-                shutil.rmtree(s["dir"], ignore_errors=True)
-        meta["snapshots"] = keep
-        self._write_meta(meta)
+        self._reclaim_dropped(meta, keep)
         return self
 
     def auto_compact(
@@ -1142,6 +1183,14 @@ class VersionedTable:
                 meta["snapshots"].remove(s)
                 meta["snapshots"].append(s)
                 self._write_meta(meta)
+                # publish changes the published head, so an enabled symlink
+                # manifest must follow it — otherwise the external engine
+                # silently keeps serving the pre-publish state. A staged
+                # snapshot is always a full snapshot (stage() writes data,
+                # never tombstones/DVs), so the MoR-pending refusal in
+                # generate_symlink_manifest cannot fire here.
+                if self._symlink_autogen():
+                    self.generate_symlink_manifest()
                 return self
         raise ValueError(f"no staged snapshot {version} at {self.location}")
 
@@ -1213,6 +1262,17 @@ class VersionedTable:
                 f"commits — re-fork and replay the branch instead"
             )
         self._commit(self.branch(name).read(), op="FAST-FORWARD")
+        # the published snapshot IS the branch's current state, so the
+        # branch is trivially up to date with the new head: advance its
+        # fork point so the branch stays usable (commit -> publish ->
+        # commit -> publish), instead of refusing every later
+        # fast-forward because "main moved" — when the only move was this
+        # publish itself. _commit rewrote meta, so re-read before editing.
+        meta = self._meta()
+        meta["branches"][name]["forked_at"] = self._current_snapshot(
+            meta["snapshots"]
+        )["version"]
+        self._write_meta(meta)
         return self
 
     def drop_branch(self, name: str) -> "VersionedTable":

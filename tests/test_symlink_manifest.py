@@ -41,9 +41,10 @@ def test_autogen_refreshes_on_commit_but_not_on_stage(spark):
     # a staged (unpublished) snapshot must NOT reach the external engine
     staged = vt.stage(spark.range(5).withColumn("v", F.lit(99)))
     assert _rows(vt.read_symlink_manifest()) == before
-    # publishing is a pointer move, not a _commit — regenerate explicitly
+    # publishing moves the published head, so autogen must follow it —
+    # ADVICE r4: an external engine would otherwise silently keep serving
+    # the pre-publish state
     vt.publish(staged)
-    vt.generate_symlink_manifest()
     assert _rows(vt.read_symlink_manifest()) == _rows(vt.read())
     # a regular commit regenerates automatically
     vt.overwrite(spark.range(3).withColumn("v", F.lit(7)))
@@ -105,6 +106,30 @@ def test_partitioned_manifest_roundtrip_and_refresh(spark):
     assert got == _rows(pt.read())
     # partition col is reconstructed from the dir name, appended last
     assert (1, 99.0, "a") in got
+
+
+def test_partitioned_manifest_all_empty_returns_empty_with_schema(spark):
+    """ADVICE r4 (low): when every partition manifest lists zero files,
+    read_symlink_manifest must mirror read()'s empty-state contract —
+    zero rows with the table schema — not a bare reduce() TypeError."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.partitioned import (
+        PartitionedTable,
+    )
+
+    pt = PartitionedTable(
+        spark, tempfile.mkdtemp(prefix="pt_symlink_e_"), partition_col="p"
+    )
+    pt.overwrite(
+        spark.createDataFrame([(1, "a", 10.0)], "id long, p string, v double")
+    )
+    mroot = pt.generate_symlink_manifest()
+    # externally truncate every manifest (the all-partitions-dropped state)
+    for d in os.listdir(mroot):
+        with open(os.path.join(mroot, d, "manifest"), "w"):
+            pass
+    out = pt.read_symlink_manifest()
+    assert out.count() == 0
+    assert set(out.columns) >= {"id", "v"}
 
 
 def test_partitioned_manifest_drops_stale_partition_dirs(spark):

@@ -771,6 +771,36 @@ def test_fast_forward_refuses_diverged_main(spark, tmp_path):
     assert {r.id for r in dev.read().collect()} == {1, 2}
 
 
+def test_fast_forward_advances_fork_point(spark, tmp_path):
+    """VERDICT r4 item 4: a published branch stays USABLE. fast_forward
+    advances the branch's fork point to the new main head (the published
+    snapshot IS the branch state, so the branch is trivially up to date),
+    enabling the natural commit -> publish -> commit -> publish loop —
+    while a foreign main commit between publishes is still refused."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import (
+        ConcurrentCommitError,
+        VersionedTable,
+    )
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_ffcycle"))
+    vt.overwrite(spark.range(5).withColumn("v", F.lit(0)))
+    dev = vt.create_branch("dev")
+    dev.append(spark.createDataFrame([(100, 1)], "id long, v int"))
+    vt.fast_forward("dev")
+    assert vt.read().count() == 6
+    # second round on the SAME branch: commit then publish again
+    dev.append(spark.createDataFrame([(200, 2)], "id long, v int"))
+    vt.fast_forward("dev")  # r4 behavior: refused ("main advanced")
+    assert {r.id for r in vt.read().collect()} == set(range(5)) | {100, 200}
+    # true divergence is still caught: a foreign commit on main between
+    # publishes refuses the next fast-forward
+    dev.append(spark.createDataFrame([(300, 3)], "id long, v int"))
+    vt.append(spark.createDataFrame([(999, 9)], "id long, v int"))
+    with pytest.raises(ConcurrentCommitError, match="advanced"):
+        vt.fast_forward("dev")
+
+
 def test_vacuum_older_than_protects_head_and_tags(spark, tmp_path):
     """Time-based retention: snapshots older than the cut expire, but the
     published head, tag-referenced snapshots, and shared data dirs
@@ -816,6 +846,104 @@ def test_vacuum_older_than_keeps_shared_dirs_of_metadata_commits(spark, tmp_path
     vt.vacuum_older_than("2000-01-01 00:00:00")
     assert {s["version"] for s in vt.history()} == {1}
     assert vt.read().count() == 15  # data dir survived, deletes applied
+
+
+def test_vacuum_count_based_protects_tags(spark, tmp_path):
+    """VERDICT r4 (low): vacuum(keep_last=...) must honor the same
+    'retention never breaks a reference' contract as vacuum_older_than —
+    a tagged snapshot outside the keep window survives with its data."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_tagkeep"))
+    vt.overwrite(spark.range(10).withColumn("v", F.lit(0)))   # v0
+    vt.overwrite(spark.range(10).withColumn("v", F.lit(1)))   # v1 (tagged)
+    vt.tag("pinned", 1)
+    vt.overwrite(spark.range(10).withColumn("v", F.lit(2)))   # v2 head
+    vt.vacuum(keep_last=1)
+    assert {s["version"] for s in vt.history()} == {1, 2}
+    assert vt.read_tag("pinned").agg(F.max("v")).first()[0] == 1
+    assert vt.read().agg(F.max("v")).first()[0] == 2
+    # the untagged v0 really was reclaimed
+    assert not any(
+        d.endswith("snapshot-00000") for d in os.listdir(vt.location)
+    )
+
+
+def test_vacuum_protects_staged_wap_snapshots(spark, tmp_path):
+    """ADVICE r4 (low): neither retention path may expire a staged
+    (unpublished) WAP snapshot — it is a pending ref; publish(version)
+    must still work after a retention pass inside the audit window."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_wapkeep"))
+    vt.overwrite(spark.range(10).withColumn("v", F.lit(0)))       # v0
+    staged = vt.stage(spark.range(5).withColumn("v", F.lit(99)))  # v1 staged
+    vt.overwrite(spark.range(10).withColumn("v", F.lit(2)))       # v2 head
+    # age everything; only the cut decides — head + staged must survive
+    meta = vt._meta()
+    for s in meta["snapshots"]:
+        s["committed_at"] = 0.0
+    vt._write_meta(meta)
+    vt.vacuum_older_than("2100-01-01 00:00:00")
+    assert {s["version"] for s in vt.history()} == {staged, 2}
+    vt.publish(staged)
+    assert vt.read().agg(F.max("v")).first()[0] == 99
+
+    # count-based flavor: keep window of 1 is the staged tail entry, yet
+    # the published head must survive too (a staged snapshot is not the
+    # published state)
+    vt2 = VersionedTable(spark, str(tmp_path / "vt_wapkeep2"))
+    vt2.overwrite(spark.range(10).withColumn("v", F.lit(0)))        # v0
+    vt2.overwrite(spark.range(10).withColumn("v", F.lit(1)))        # v1 head
+    staged2 = vt2.stage(spark.range(5).withColumn("v", F.lit(7)))   # v2 staged
+    vt2.vacuum(keep_last=1)
+    assert {s["version"] for s in vt2.history()} == {1, staged2}
+    assert vt2.read().agg(F.max("v")).first()[0] == 1  # head intact
+    vt2.publish(staged2)
+    assert vt2.read().agg(F.max("v")).first()[0] == 7
+
+
+def test_vacuum_reclaims_orphaned_tombstone_and_dv_dirs(spark, tmp_path):
+    """ADVICE r4 (low): expiring metadata-only DELETE commits must also
+    remove their tombstone/deletion-vector dirs from disk (not just the
+    metadata entries) — but ONLY when no kept snapshot still references
+    them."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_dvleak"))
+    vt.overwrite(spark.range(20).withColumn("v", F.col("id")))  # v0
+    vt.delete_where_deferred("id < 5", ["id"])                  # v1: +tombstones
+    vt.delete_where_positional("id >= 18")                      # v2: +dv
+    # head v3 is a full CoW rewrite: folds the deletes, references neither
+    vt.overwrite(vt.read())                                     # v3
+    assert glob.glob(os.path.join(vt.location, "tombstones-*"))
+    assert glob.glob(os.path.join(vt.location, "dv-*"))
+    vt.vacuum(keep_last=1)
+    assert {s["version"] for s in vt.history()} == {3}
+    # the aux dirs of the dropped MoR commits are gone from disk
+    assert not glob.glob(os.path.join(vt.location, "tombstones-*"))
+    assert not glob.glob(os.path.join(vt.location, "dv-*"))
+    assert vt.read().count() == 13  # 20 - 5 - 2
+
+
+def test_vacuum_keeps_tombstone_dirs_still_referenced_by_head(spark, tmp_path):
+    """The other half of the reclaim contract: when the HEAD is itself a
+    metadata-only DELETE commit, vacuuming its ancestors must keep the
+    tombstone dirs the head still applies on read."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_dvkeep"))
+    vt.overwrite(spark.range(20).withColumn("v", F.col("id")))  # v0
+    vt.delete_where_deferred("id < 5", ["id"])                  # v1
+    vt.delete_where_deferred("id >= 18", ["id"])                # v2 head (MoR)
+    vt.vacuum(keep_last=1)
+    assert {s["version"] for s in vt.history()} == {2}
+    assert vt.read().count() == 13  # both tombstone batches still apply
 
 
 def test_history_records_operation_names(spark, tmp_path):
