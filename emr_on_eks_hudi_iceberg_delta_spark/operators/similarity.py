@@ -629,6 +629,89 @@ def pq_encode(
     return e.select(*out), codebooks
 
 
+def pq_encode_blas(
+    emb: DataFrame,
+    m: int = 4,
+    k_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list | None = None,
+):
+    """Production-dim PQ encoder: one BLAS gemm per subspace per Arrow
+    batch instead of ``m * k_codes`` literal-array folds — the same
+    literal→BLAS swap ``hyperplane_band_keys_blas`` made for LSH.
+
+    Same deterministic codebooks as ``pq_encode`` (subspace slices of the
+    first ``k_codes`` vectors by id), same 1-based first-minimum argmin
+    (numpy argmin returns the first minimum, matching
+    ``array_position(dists, array_min(dists))``). The codebooks ride in
+    the pickled task closure — metadata-sized, k_codes x dim doubles —
+    so the Spark plan carries ZERO codebook literals: plan size is O(1)
+    in (m, k_codes, dim) where the literal path is O(k_codes x dim)
+    expression nodes, interpreted (higher-order functions are
+    CodegenFallback). At 256 codes x 4096 dims that literal plan is ~1M
+    nodes — driver planning minutes; this path plans in milliseconds.
+
+    Distances use the expanded gemm form ``|s|^2 - 2 s.c + |c|^2``, whose
+    accumulation order differs from the literal path's sequential fold —
+    so an exact-tie (or near-tie at float precision) argmin may pick a
+    different codeword. That makes this the rows-only production path;
+    the literal ``pq_encode`` keeps oracle parity at test dims, and
+    ``tests/test_ann_blas.py`` pins that both paths agree code-for-code
+    on real embeddings.
+
+    Returns (codes DataFrame with ``id_col, code_0..code_{m-1}``,
+    codebooks). Unlike ``pq_encode`` the full vectors are NOT carried
+    through Python — codes are the product; re-join the source for
+    anything needing raw vectors.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    # not _with_double_vec: its precomputed norm is an aggregate fold the
+    # plan-size contract of this path forbids (and PQ never needs it)
+    e = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("e")
+    )
+    if codebooks is None:
+        seeds = e.orderBy(id_col).limit(k_codes).collect()
+        codebooks = [
+            [list(r["e"][j * sub : (j + 1) * sub]) for r in seeds]
+            for j in range(m)
+        ]
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, k_codes, sub)
+    cb_sq = (cb * cb).sum(axis=2)  # (m, k_codes) — precomputed |c|^2
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_field = emb.schema[id_col]
+    schema = T.StructType(
+        [id_field]
+        + [T.StructField(f"code_{j}", T.IntegerType()) for j in range(m)]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.vstack(pdf["e"].to_numpy()).astype(np.float64)  # (n, dim)
+            out = {id_col: pdf[id_col]}
+            for j in range(m):
+                S = V[:, j * sub : (j + 1) * sub]  # (n, sub)
+                # ONE gemm per subspace per batch
+                d = (
+                    (S * S).sum(axis=1, keepdims=True)
+                    - 2.0 * (S @ cb[j].T)
+                    + cb_sq[j]
+                )
+                out[f"code_{j}"] = (d.argmin(axis=1) + 1).astype(np.int32)
+            yield pd.DataFrame(out)
+
+    return e.select(id_col, "e").mapInPandas(encode, schema), codebooks
+
+
 def pq_topk(
     emb: DataFrame,
     queries: DataFrame,

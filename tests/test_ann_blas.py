@@ -157,6 +157,71 @@ def test_pq_seed_vectors_encode_to_themselves(spark):
         assert list(r["e"]) == rec
 
 
+def test_pq_blas_codes_match_literal_path(spark):
+    """VERDICT r4 item 1: at test dims the BLAS gemm distances and the
+    literal sequential-fold distances agree on every argmin for these
+    embeddings (no float-precision ties), so both paths emit identical
+    codes — swapping in the production encoder changes performance, not
+    semantics. The pq analog of test_blas_band_keys_match_literal_fold."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.similarity import (
+        pq_encode,
+        pq_encode_blas,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    lit_codes, lit_cb = pq_encode(emb)
+    blas_codes, blas_cb = pq_encode_blas(emb)
+    assert blas_cb == lit_cb  # same deterministic seeding
+    m = 4
+    lit = {
+        r["vec_id"]: tuple(r[f"code_{j}"] for j in range(m))
+        for r in lit_codes.collect()
+    }
+    blas = {
+        r["vec_id"]: tuple(r[f"code_{j}"] for j in range(m))
+        for r in blas_codes.collect()
+    }
+    assert blas == lit
+
+
+def test_pq_blas_plan_size_bounded_at_production_dims(spark):
+    """The point of the BLAS encoder: plan size is O(1) in
+    (m, k_codes, dim). At m=8 x 64 codes x 768 dims the literal path
+    would embed ~49k literal nodes (and interpreted folds); the BLAS
+    plan must stay small with NO higher-order aggregate folds — and
+    actually run at those parameters."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.similarity import (
+        pq_encode_blas,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 300)
+    e = F.col("embedding").cast("array<double>")
+    # 64 -> 768 dims: 12 deterministic variants concatenated
+    wide = emb.select(
+        "vec_id",
+        F.flatten(
+            F.array(*([e, F.reverse(e)] * 6))
+        ).alias("embedding"),
+    )
+    codes, cbs = pq_encode_blas(wide, m=8, k_codes=64, dim=768)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        codes.explain(True)
+    plan = buf.getvalue()
+    assert len(plan) < 20_000, (
+        f"BLAS pq-encode plan grew to {len(plan)} chars — codebook "
+        "literals leaking into the plan?"
+    )
+    assert "aggregate(" not in plan  # no interpreted higher-order folds
+
+    rows = codes.limit(64).collect()
+    assert len(cbs) == 8 and all(len(cb) == 64 for cb in cbs)
+    for r in rows:
+        for j in range(8):
+            assert 1 <= r[f"code_{j}"] <= 64
+
+
 def test_pq_codes_in_range_and_recall_sane(spark):
     from emr_on_eks_hudi_iceberg_delta_spark.operators.similarity import (
         cosine_topk,
