@@ -72,6 +72,12 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # extra JVM flags (e.g. bench.py pins -Xms = -Xmx so heap-resize GC
+        # churn cannot drift steady-state timings between rounds)
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", ""),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         # fresh managed-table warehouse per session: saveAsTable/bucketBy

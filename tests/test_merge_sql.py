@@ -274,3 +274,152 @@ def test_run_dml_utility_statements(spark, tmp_path):
     assert hist.count() == 4  # load, delete, restore, optimize
     run_dml(spark, "VACUUM t RETAIN 1 VERSIONS", {"t": vt})
     assert len(vt.history()) == 1 and vt.read().count() == 20
+
+
+# -- property: parser-lowered MERGE == programmatic builder ------------------
+# VERDICT r4 item 7: the hand-rolled grammar parser is correctness-critical;
+# hypothesis draws statements over the supported grammar (aliases, clause
+# combinations, conditions, expressions) plus random data, renders BOTH the
+# SQL text and the equivalent programmatic MergeIntoBuilder calls from the
+# same spec, and asserts identical results row-for-row.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# expression / condition pools in canonical {t}/{s} placeholder form —
+# rendered with the statement's aliases for the SQL side and with the
+# builder's canonical t/s for the programmatic side
+_M_EXPRS = ["{s}.v + 1", "{t}.v * 2", "{s}.v", "0 - {t}.v", "{t}.v + {s}.v"]
+_M_CONDS = ["{s}.v > {t}.v", "{t}.name = 'alpha'", "{s}.v % 2 = 0", None]
+_T_ONLY_CONDS = ["{t}.v > 15", "{t}.name = 'gamma'", None]
+_S_ONLY_CONDS = ["{s}.v >= 0", None]
+
+
+@st.composite
+def _merge_cases(draw):
+    t_rows = draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, 6),
+                st.sampled_from(["alpha", "gamma", "zz"]),
+                st.integers(-20, 40),
+            ),
+            max_size=6,
+            unique_by=lambda r: r[0],
+        )
+    )
+    s_rows = draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, 8),
+                st.sampled_from(["BETA", "delta", "alpha"]),
+                st.integers(-20, 40),
+            ),
+            max_size=6,
+            unique_by=lambda r: r[0],
+        )
+    )
+    case = {
+        "t_rows": t_rows,
+        "s_rows": s_rows,
+        "talias": draw(st.sampled_from([None, "t", "tgt2", "T1"])),
+        "salias": draw(st.sampled_from([None, "s", "upd", "U"])),
+        "upd": draw(st.sampled_from(["none", "star", "expr"])),
+        "upd_cond": draw(st.sampled_from(_M_CONDS)),
+        "upd_expr": draw(st.sampled_from(_M_EXPRS)),
+        "mdel": draw(st.booleans()),
+        "mdel_cond": draw(st.sampled_from(_M_CONDS)),
+        "ins": draw(st.sampled_from(["none", "star", "cols"])),
+        "ins_cond": draw(st.sampled_from(_S_ONLY_CONDS)),
+        "ins_expr": draw(st.sampled_from(["{s}.v + 100", "{s}.v"])),
+        "by_src": draw(st.sampled_from(["none", "delete", "update"])),
+        "by_src_cond": draw(st.sampled_from(_T_ONLY_CONDS)),
+    }
+    if case["upd"] == "none" and not case["mdel"] and case["ins"] == "none" \
+            and case["by_src"] == "none":
+        case["ins"] = "star"  # the grammar requires at least one WHEN clause
+    return case
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=_merge_cases())
+def test_property_sql_matches_builder(spark, case):
+    t = spark.createDataFrame(
+        case["t_rows"], "k int, name string, v int"
+    )
+    s = spark.createDataFrame(
+        case["s_rows"], "k int, name string, v int"
+    )
+    # SQL-side qualifiers: the alias if given, else the table name itself
+    tq = case["talias"] or "tgt"
+    sq = case["salias"] or "src"
+    fmt_sql = lambda e: e.format(t=tq, s=sq)  # noqa: E731
+    fmt_b = lambda e: e.format(t="t", s="s")  # noqa: E731
+
+    sql = ["MERGE INTO tgt" + (f" AS {case['talias']}" if case["talias"] else "")]
+    sql.append("USING src" + (f" {case['salias']}" if case["salias"] else ""))
+    sql.append(f"ON {tq}.k = {sq}.k")
+    b = MergeIntoBuilder(t, s, F.expr("t.k = s.k"))
+
+    def _and(cond):
+        return f" AND {fmt_sql(cond)}" if cond else ""
+
+    def _bcond(cond):
+        return F.expr(fmt_b(cond)) if cond else None
+
+    if case["upd"] == "star":
+        sql.append(f"WHEN MATCHED{_and(case['upd_cond'])} THEN UPDATE SET *")
+        b.when_matched_update(
+            set={c: F.col(f"s.{c}") for c in t.columns},
+            condition=_bcond(case["upd_cond"]),
+        )
+    elif case["upd"] == "expr":
+        sql.append(
+            f"WHEN MATCHED{_and(case['upd_cond'])} THEN "
+            f"UPDATE SET v = {fmt_sql(case['upd_expr'])}"
+        )
+        b.when_matched_update(
+            set={"v": F.expr(fmt_b(case["upd_expr"]))},
+            condition=_bcond(case["upd_cond"]),
+        )
+    if case["mdel"]:
+        sql.append(f"WHEN MATCHED{_and(case['mdel_cond'])} THEN DELETE")
+        b.when_matched_delete(condition=_bcond(case["mdel_cond"]))
+    if case["ins"] == "star":
+        sql.append(f"WHEN NOT MATCHED{_and(case['ins_cond'])} THEN INSERT *")
+        b.when_not_matched_insert_all(condition=_bcond(case["ins_cond"]))
+    elif case["ins"] == "cols":
+        sql.append(
+            f"WHEN NOT MATCHED{_and(case['ins_cond'])} THEN "
+            f"INSERT (k, name, v) VALUES "
+            f"({sq}.k, lower({sq}.name), {fmt_sql(case['ins_expr'])})"
+        )
+        b.when_not_matched_insert(
+            values={
+                "k": F.expr("s.k"),
+                "name": F.expr("lower(s.name)"),
+                "v": F.expr(fmt_b(case["ins_expr"])),
+            },
+            condition=_bcond(case["ins_cond"]),
+        )
+    if case["by_src"] == "delete":
+        sql.append(
+            f"WHEN NOT MATCHED BY SOURCE{_and(case['by_src_cond'])} THEN DELETE"
+        )
+        b.when_not_matched_by_source_delete(condition=_bcond(case["by_src_cond"]))
+    elif case["by_src"] == "update":
+        sql.append(
+            f"WHEN NOT MATCHED BY SOURCE{_and(case['by_src_cond'])} THEN "
+            f"UPDATE SET v = {tq}.v - 1"
+        )
+        b.when_not_matched_by_source_update(
+            set={"v": F.expr("t.v - 1")}, condition=_bcond(case["by_src_cond"])
+        )
+
+    got = merge_into_sql(spark, "\n".join(sql), tables={"tgt": t, "src": s})
+    want = b.execute()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
