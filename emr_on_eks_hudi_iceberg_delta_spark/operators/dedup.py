@@ -481,3 +481,84 @@ def cross_source_duplication(
             F.col("dup_docs").cast("double") / F.col("total_docs").cast("double")
         ).alias("dup_rate"),
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space semantic deduplication (the SemDeDup recipe,
+    Abbas et al. 2023, arXiv:2303.09540): cluster the corpus with a
+    coarse quantizer, then WITHIN each cluster drop every vector that has
+    a higher-cosine-than-``threshold`` neighbor with a lower id — near-
+    duplicate *meanings* (paraphrases, re-crawls with template changes)
+    that no lexical dedup (MinHash/SimHash) can see, caught at
+    O(cluster^2) instead of O(corpus^2) pairwise cost.
+
+    Keep rule: lowest id per semantic neighborhood survives ("keep first"
+    — deterministic, and id order is ingestion order so the earliest copy
+    wins, the same canonical-keep convention as ``keep_canonical``).
+    Returns (id, cell, is_kept) for every vector, so callers can either
+    filter to kept rows or audit the drop rate per cluster.
+
+    Determinism/oracle: clusters come from ``ivf_assign`` at
+    refine_iters=0 (seed centroids = first ``n_centroids`` vectors by
+    id), cosine uses the sequential-fold convention — the whole pipeline
+    replays exactly in SQL, like the IVF/LSH/PQ oracles.
+
+    Scale: one shuffle on the cell key; the within-cell self-join is
+    quadratic in CLUSTER size, which n_centroids controls (production:
+    size n_centroids ~ corpus/1000, recursively split oversized cells —
+    the same bucket-cap discipline as ``cap_buckets``). Only (id, cell,
+    vector-norm) rows shuffle beyond the scan.
+    """
+    from .similarity import ivf_assign
+
+    assigned, _ = ivf_assign(emb, n_centroids, id_col, vec_col)
+    e = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(e, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    vecs = emb.select(F.col(id_col), e.alias("v"), nrm.alias("nrm")).join(
+        assigned, id_col
+    )
+    a = vecs.select(
+        F.col("cell"),
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = vecs.select(
+        F.col("cell"),
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # a lower-id neighbor above the threshold marks id_b as a duplicate
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") > threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        vecs.select(id_col, "cell")
+        .join(dropped.withColumn("__drop", F.lit(1)), id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.col("__drop").isNull().alias("is_kept"),
+        )
+    )

@@ -772,6 +772,112 @@ def pq_topk(
     )
 
 
+def pq_topk_blas(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    k_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production-dim PQ top-k via precomputed ADC distance tables — the
+    query-side half of the literal→BLAS swap (``pq_encode_blas`` is the
+    encode half), completing the PQ production story.
+
+    The FAISS ADC layout: for each query, precompute driver-side the
+    (m x k_codes) table of subspace distances to every codeword —
+    metadata-sized, n_queries x m x k_codes doubles — then score a corpus
+    code row as ``sum_j dtable[q, j, code_j]``: a vectorized GATHER per
+    Arrow batch, no per-row distance arithmetic at all, touching only the
+    m small ints per corpus vector. Each batch emits only its per-query
+    top-k partials (numpy argpartition), so the shuffle into the global
+    top-k window is bounded at (batches x queries x k) rows — the
+    textbook distributed top-k, independent of corpus size.
+
+    Rows-only path: dtable entries accumulate in numpy order, not the
+    sequential fold, so ADC ties at float precision are not
+    SQL-replayable; ``pq_topk`` keeps oracle parity at test dims and
+    tests/test_ann_blas.py pins that both paths return the same
+    neighbors on the real embeddings.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    sub = dim // m
+    codes, codebooks = pq_encode_blas(
+        emb, m, k_codes, dim, id_col, vec_col
+    )
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, k_eff, sub)
+    q_rows = (
+        queries.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("e")
+        )
+        .orderBy(id_col)
+        .collect()
+    )
+    qids = [r[0] for r in q_rows]
+    Q = np.vstack([np.asarray(r["e"], dtype=np.float64) for r in q_rows])
+    # (n_q, m, k_eff): squared L2 of every query subvector to every codeword
+    dtable = np.stack(
+        [
+            ((Q[:, j * sub : (j + 1) * sub, None] - cb[j].T[None, :, :]) ** 2).sum(
+                axis=1
+            )
+            for j in range(m)
+        ],
+        axis=1,
+    )
+
+    id_field = emb.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField("query_id", id_field.dataType),
+            T.StructField("neighbor_id", id_field.dataType),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = (
+                np.stack(
+                    [pdf[f"code_{j}"].to_numpy() for j in range(m)], axis=1
+                )
+                - 1
+            )  # (n, m), 0-based
+            ids = pdf[id_col].to_numpy()
+            n = len(pdf)
+            D = np.zeros((len(qids), n))
+            for j in range(m):
+                D += dtable[:, j, C[:, j]]
+            out_q, out_n, out_d = [], [], []
+            for qi, qid in enumerate(qids):
+                mask = ids != qid
+                d, nn = D[qi][mask], ids[mask]
+                if len(d) > k:
+                    part = np.argpartition(d, k - 1)[:k]
+                else:
+                    part = np.arange(len(d))
+                out_q.extend([qid] * len(part))
+                out_n.extend(nn[part])
+                out_d.extend(d[part])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adc_dist": out_d}
+            )
+
+    partials = codes.mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        partials.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
 def pq_reconstruct_expr(codebooks: list) -> "F.Column":
     """Column expression rebuilding a vector from its ``code_j`` columns:
     concat of the chosen codeword per subspace (literal codebooks — the

@@ -602,3 +602,45 @@ def with_oov_rate(
             ).alias("oov_rate"),
         )
     )
+
+
+# PII patterns shared by the Spark operator and the DuckDB oracle: kept to
+# the regex subset Java's engine and RE2 interpret identically (character
+# classes, bounded repetition, \b word boundaries — no lookaround, no
+# backreferences, nothing engine-specific).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """PII scrubbing — the redaction pass every training-data pipeline
+    runs before text reaches a model: replace emails / phone numbers /
+    IPv4 addresses with typed placeholder tags (``<EMAIL>`` etc.) and
+    report per-document match counts, so downstream filters can drop
+    PII-dense documents entirely rather than ship heavily-redacted text.
+
+    Order matters and is fixed: email before ipv4 (an email's domain can
+    contain digit runs; redacting emails first keeps the ipv4 pattern
+    from matching inside an address it will never see). All patterns are
+    applied via ``regexp_replace``/``regexp_count`` — JVM-side column
+    expressions, zero shuffle, scan speed at any corpus size — and the
+    pattern subset is engine-portable (see ``PII_PATTERNS``), so the
+    whole operator replays exactly in the DuckDB oracle.
+
+    Returns the input plus ``redacted_text`` and one ``n_<kind>`` count
+    per pattern.
+    """
+    pats = patterns or PII_PATTERNS
+    out = df
+    red = F.col(text_col)
+    for kind, pat in pats.items():
+        out = out.withColumn(f"n_{kind}", F.regexp_count(red, F.lit(pat)))
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    return out.withColumn("redacted_text", red)

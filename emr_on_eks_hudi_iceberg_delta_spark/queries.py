@@ -2861,6 +2861,61 @@ def q_embedding_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+# semantic dedup replays exactly like the IVF oracle: same seed-centroid
+# assignment CTE, same sequential-fold cosine; the corpus seeds exact
+# duplicates (every 5th vector re-ingested under id+100000) so the drop
+# rule visibly fires alongside natural near-neighbors above the threshold.
+_SQL_SEMANTIC_DEDUP = f"""
+    WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS (SELECT * FROM e0
+          UNION ALL
+          SELECT vec_id + 100000, v FROM e0 WHERE vec_id % 5 = 0),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    cents AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_l2_sql('e.v', 'c.cv')}, c.cell) AS rn
+        FROM e CROSS JOIN cents c) t
+      WHERE rn = 1),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM asg a JOIN asg b ON b.cell = a.cell AND a.vec_id < b.vec_id
+      JOIN n na ON na.vec_id = a.vec_id
+      JOIN n nb ON nb.vec_id = b.vec_id
+      WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) > 0.35)
+    SELECT a.vec_id, a.cell, d.vec_id IS NULL AS is_kept
+    FROM asg a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+    """
+
+
+@register(
+    "semantic_dedup",
+    oracle=_SQL_SEMANTIC_DEDUP,
+    tags=("dedup", "similarity", "extension", "corpus"),
+)
+def q_semantic_dedup(spark, sf_dir):
+    """Embedding-space semantic dedup (SemDeDup, Abbas et al. 2023 —
+    operators/dedup.semantic_dedup): IVF-cluster the corpus, drop every
+    vector with a lower-id within-cell neighbor above the cosine
+    threshold — near-duplicate MEANINGS no lexical dedup sees. The
+    corpus seeds exact duplicates (every 5th vector re-ingested under
+    id+100000) so the keep-lowest-id rule observably fires; EXACT oracle
+    via the same deterministic-seed assignment + sequential-fold cosine
+    as the IVF/LSH oracles."""
+    from .operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dup = emb.filter(F.col("vec_id") % 5 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    return semantic_dedup(
+        emb.unionByName(dup), n_centroids=16, threshold=0.35
+    )
+
+
 @register(
     "events_funnel",
     oracle=f"""
@@ -5154,6 +5209,96 @@ def q_embedding_pq_codes_blas(spark, sf_dir):
     )
     codes, _ = pq_encode_blas(wide, m=8, k_codes=32, dim=256)
     return codes
+
+
+@register(
+    "embedding_pq_topk_blas",
+    oracle=None,
+    tags=("similarity", "extension", "scale"),
+)
+def q_embedding_pq_topk_blas(spark, sf_dir):
+    """Production-dim PQ top-k via precomputed ADC tables
+    (operators/similarity.pq_topk_blas): driver-side (m x k_codes)
+    distance tables per query, scored as a vectorized gather per Arrow
+    batch with per-batch partial top-k, so the shuffle is bounded at
+    (batches x queries x k) rows regardless of corpus size — the
+    query-side half of the PQ literal-to-BLAS swap. Rows-only (numpy
+    accumulation order); tests/test_ann_blas.py pins neighbor-set parity
+    against the oracle-exact pq_topk."""
+    from .operators.similarity import pq_topk_blas
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk_blas(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+from .operators.text import PII_PATTERNS as _PII  # noqa: E402
+
+# The oracle mirrors redact_pii's fixed application order (email, phone,
+# ipv4), counting each kind on the text as redacted so far — DuckDB's
+# regexp_replace needs the 'g' flag for Spark's replace-all semantics, and
+# len(regexp_extract_all(...)) stands in for regexp_count (absent in
+# DuckDB 1.0). Patterns are the shared engine-portable PII_PATTERNS.
+_SQL_PII = f"""
+    WITH d AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or 555-'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+               AS text
+      FROM documents),
+    r1 AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{_PII["email"]}')) AS INTEGER)
+               AS n_email,
+             regexp_replace(text, '{_PII["email"]}', '<EMAIL>', 'g') AS t1
+      FROM d),
+    r2 AS (
+      SELECT doc_id, n_email,
+             CAST(len(regexp_extract_all(t1, '{_PII["phone"]}')) AS INTEGER)
+               AS n_phone,
+             regexp_replace(t1, '{_PII["phone"]}', '<PHONE>', 'g') AS t2
+      FROM r1)
+    SELECT doc_id, n_email, n_phone,
+           CAST(len(regexp_extract_all(t2, '{_PII["ipv4"]}')) AS INTEGER)
+             AS n_ipv4,
+           regexp_replace(t2, '{_PII["ipv4"]}', '<IPV4>', 'g')
+             AS redacted_text
+    FROM r2
+    """
+
+
+@register(
+    "pii_redaction",
+    oracle=_SQL_PII,
+    tags=("text", "corpus", "extension"),
+)
+def q_pii_redaction(spark, sf_dir):
+    """PII scrubbing (operators/text.redact_pii): emails, phone numbers,
+    and IPv4 addresses replaced with typed placeholder tags, per-document
+    match counts reported for PII-density filtering. The query seeds
+    deterministic PII into each document (synthetic corpus text carries
+    none) so every pattern observably fires; EXACT oracle because the
+    patterns are restricted to the Java-regex/RE2-common subset."""
+    from .operators.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1"),
+    )
+    return redact_pii(
+        docs.select("doc_id", pii_text.alias("text"))
+    ).select("doc_id", "n_email", "n_phone", "n_ipv4", "redacted_text")
 
 
 @register(

@@ -239,3 +239,25 @@ def test_pq_codes_in_range_and_recall_sane(spark):
     }
     hits = sum((r["query_id"], r["neighbor_id"]) in exact for r in approx)
     assert hits >= 10  # >=20% overlap — loose, catches a broken encode
+
+
+def test_pq_topk_blas_matches_literal_neighbors(spark):
+    """The ADC-table query path must return the same ranked neighbors as
+    the oracle-exact literal pq_topk at test dims (distances well away
+    from float-precision ties on these embeddings)."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.similarity import (
+        pq_topk,
+        pq_topk_blas,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    lit = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in pq_topk(emb, q, k=5).collect()
+    }
+    blas = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in pq_topk_blas(emb, q, k=5).collect()
+    }
+    assert blas == lit

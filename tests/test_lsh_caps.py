@@ -147,3 +147,28 @@ def test_autoparams_keep_buckets_under_cap_at_scale(spark):
     )
     # and the key space really widened past the 4-bit default
     assert all(r["n_buckets"] > 16 for r in stats)
+
+
+def test_semantic_dedup_drops_seeded_duplicates(spark):
+    """SemDeDup keep-lowest-id contract on a hand-built corpus: exact
+    copies and a near-copy above the threshold are dropped in favor of
+    their lowest-id twin; orthogonal vectors all survive."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.dedup import semantic_dedup
+
+    def vec(i, eps=0.0):
+        v = [0.0] * 8
+        v[i % 8] = 1.0
+        v[(i + 1) % 8] = eps
+        return v
+
+    rows = [
+        (0, vec(0)),          # kept (lowest id of the e0 family)
+        (1, vec(1)),          # kept — orthogonal
+        (2, vec(0)),          # exact copy of 0 -> dropped
+        (3, vec(0, 0.05)),    # near-copy (cos ~0.999) -> dropped
+        (4, vec(4)),          # kept — orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["is_kept"] for r in
+           semantic_dedup(df, n_centroids=2, threshold=0.9).collect()}
+    assert out == {0: True, 1: True, 2: False, 3: False, 4: True}
