@@ -288,6 +288,11 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
         VACUUM t [RETAIN <n> VERSIONS]
         OPTIMIZE t [ZORDER BY (c, ...)]
         DESCRIBE HISTORY t            -- returns the history DataFrame
+        ALTER TABLE t ADD COLUMN[S] [(]c type[)]
+        ALTER TABLE t RENAME COLUMN a TO b
+        ALTER TABLE t DROP COLUMN[S] [(]c[)]
+        ALTER TABLE t ADD CONSTRAINT n CHECK (expr)
+        ALTER TABLE t DROP CONSTRAINT n
 
     ``tables`` maps statement table names to VersionedTable instances; each
     mutating statement commits one new snapshot through the table's own CoW
@@ -369,6 +374,54 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
     m = re.match(r"\s*DESCRIBE\s+HISTORY\s+(?P<t>[\w.]+)\s*$", s, re.I)
     if m:
         return _table(m.group("t")).history_df()
+    m = re.match(
+        r"\s*ALTER\s+TABLE\s+(?P<t>[\w.]+)\s+(?P<rest>.+)$", s, re.I | re.S
+    )
+    if m:
+        # the schema-evolution + constraint DDL surface (Delta ALTER TABLE
+        # statements), lowered onto the table's own CoW snapshot commits
+        vt = _table(m.group("t"))
+        rest = m.group("rest").strip()
+        am = re.match(
+            r"ADD\s+COLUMNS?\s*\(\s*(?P<c>\w+)\s+(?P<ty>[\w()<>,\s]+?)\s*\)\s*$"
+            r"|ADD\s+COLUMNS?\s+(?P<c2>\w+)\s+(?P<ty2>[\w()<>,]+)\s*$",
+            rest,
+            re.I,
+        )
+        if am:
+            vt.add_column(
+                am.group("c") or am.group("c2"),
+                (am.group("ty") or am.group("ty2")).strip(),
+            )
+            return
+        am = re.match(
+            r"RENAME\s+COLUMN\s+(?P<a>\w+)\s+TO\s+(?P<b>\w+)\s*$", rest, re.I
+        )
+        if am:
+            vt.rename_column(am.group("a"), am.group("b"))
+            return
+        am = re.match(
+            r"DROP\s+COLUMNS?\s*\(\s*(?P<c>\w+)\s*\)\s*$"
+            r"|DROP\s+COLUMNS?\s+(?P<c2>\w+)\s*$",
+            rest,
+            re.I,
+        )
+        if am:
+            vt.drop_column(am.group("c") or am.group("c2"))
+            return
+        am = re.match(
+            r"ADD\s+CONSTRAINT\s+(?P<n>\w+)\s+CHECK\s*(?P<e>\(.+\))\s*$",
+            rest,
+            re.I | re.S,
+        )
+        if am:
+            vt.add_constraint(am.group("n"), am.group("e"))
+            return
+        am = re.match(r"DROP\s+CONSTRAINT\s+(?P<n>\w+)\s*$", rest, re.I)
+        if am:
+            vt.drop_constraint(am.group("n"))
+            return
+        raise ValueError(f"DML: unsupported ALTER TABLE action {rest[:60]!r}")
     raise ValueError(f"DML: unsupported statement {s[:60]!r}")
 
 

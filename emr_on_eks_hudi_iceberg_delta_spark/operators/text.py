@@ -644,3 +644,94 @@ def redact_pii(
         out = out.withColumn(f"n_{kind}", F.regexp_count(red, F.lit(pat)))
         red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
     return out.withColumn("redacted_text", red)
+
+
+# the Gopher rules' distinctive-stopword set (Rae et al. 2021, table A1)
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 30,
+    max_words: int = 90,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The Gopher heuristic quality-filter battery (Rae et al. 2021,
+    appendix A.1.1 — the rule set most subsequent pre-training corpora
+    reuse): word-count bounds, mean-word-length bounds, symbol-to-word
+    ratio, bullet-started and ellipsis-ended line fractions, fraction of
+    words containing an alphabetic character, and distinct-stopword
+    presence. Emits every individual measurement plus the conjunction
+    (``gopher_ok``) so pipelines can tune single rules without
+    re-deriving the features.
+
+    Exactness: counts are integers; each ratio is a single IEEE division
+    of exact integers; mean word length divides two integer aggregates —
+    all replayable bit-for-bit in SQL. Per-row column expressions only:
+    zero shuffle, scan speed at any corpus size. Default bounds are
+    calibrated to the synthetic documents table (single-line ~10-99-word
+    docs); production corpora use Gopher's published [50, 100k] word
+    window.
+    """
+    toks = tokens_expr(text_col)
+    n_words = F.size(toks).cast("bigint")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = F.size(
+        F.filter(toks, lambda x: x.rlike("[A-Za-z]"))
+    ).cast("bigint")
+    n_symbols = F.regexp_count(
+        F.col(text_col), F.lit(r"#|\.\.\.")
+    ).cast("bigint")
+    lines = F.split(F.col(text_col), r"\n")
+    n_lines = F.size(lines).cast("bigint")
+    n_bullet = F.size(
+        F.filter(lines, lambda x: x.rlike("^ *[-*]"))
+    ).cast("bigint")
+    n_ellipsis = F.size(
+        F.filter(lines, lambda x: x.rlike(r"\.\.\.$"))
+    ).cast("bigint")
+    n_stop = None
+    for w in GOPHER_STOPWORDS:
+        hit = F.col(text_col).rlike(rf"\b{w}\b").cast("bigint")
+        n_stop = hit if n_stop is None else n_stop + hit
+    mean_len = sum_len.cast("double") / n_words.cast("double")
+    symbol_ratio = n_symbols.cast("double") / n_words.cast("double")
+    bullet_frac = n_bullet.cast("double") / n_lines.cast("double")
+    ellipsis_frac = n_ellipsis.cast("double") / n_lines.cast("double")
+    alpha_frac = n_alpha.cast("double") / n_words.cast("double")
+    ok = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (alpha_frac >= min_alpha_frac)
+        & (n_stop >= min_stopwords)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.cast("int").alias("n_stopwords"),
+        ok.alias("gopher_ok"),
+    )

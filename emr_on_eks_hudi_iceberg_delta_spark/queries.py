@@ -5269,6 +5269,79 @@ _SQL_PII = f"""
     """
 
 
+# gopher flags replay: same tokenization (regex whitespace split of
+# trimmed text), integer aggregates, one IEEE division per ratio. The
+# stopword term sums per-word \b regex hits exactly as the Spark side.
+_SQL_GOPHER_STOP = " + ".join(
+    f"(CASE WHEN regexp_matches(text, '\\b{w}\\b') THEN 1 ELSE 0 END)"
+    for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+)
+_SQL_GOPHER = f"""
+    WITH feat AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\\s+') AS toks,
+             string_split(text, chr(10)) AS lines
+      FROM documents),
+    agg AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+               AS sum_len,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+               AS BIGINT) AS n_alpha,
+             CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT)
+               AS n_symbols,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines, x -> regexp_matches(x, '^ *[-*]')))
+               AS BIGINT) AS n_bullet,
+             CAST(len(list_filter(lines, x -> regexp_matches(x, '\\.\\.\\.$')))
+               AS BIGINT) AS n_ellipsis,
+             CAST({_SQL_GOPHER_STOP} AS INTEGER) AS n_stopwords
+      FROM feat)
+    SELECT doc_id, n_words,
+           CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+           CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) AS symbol_ratio,
+           CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE)
+             AS bullet_line_frac,
+           CAST(n_ellipsis AS DOUBLE) / CAST(n_lines AS DOUBLE)
+             AS ellipsis_line_frac,
+           CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE)
+             AS alpha_word_frac,
+           n_stopwords,
+           (n_words >= 30 AND n_words <= 90
+            AND CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+            AND CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0
+            AND CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.1
+            AND CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.9
+            AND CAST(n_ellipsis AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.3
+            AND CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8
+            AND n_stopwords >= 1) AS gopher_ok
+    FROM agg
+    """
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=_SQL_GOPHER,
+    tags=("text", "corpus", "extension"),
+)
+def q_gopher_quality_flags(spark, sf_dir):
+    """The Gopher heuristic quality battery (Rae et al. 2021 A1.1 —
+    operators/text.gopher_quality_flags): word-count and mean-word-length
+    bounds, symbol ratio, bullet/ellipsis line fractions, alphabetic-word
+    fraction, distinct-stopword presence, and their conjunction — the
+    rule set most pre-training corpora reuse, emitted per-document so
+    single rules are tunable. Bounds calibrated to the synthetic docs
+    (30-90 words; min_stopwords=1 — the word-soup vocabulary carries only
+    'the' from Gopher's list) so the flag varies; EXACT oracle (integer
+    aggregates, one IEEE division per ratio)."""
+    from .operators.text import gopher_quality_flags
+
+    return gopher_quality_flags(
+        _t(spark, sf_dir, "documents"), min_stopwords=1
+    )
+
+
 @register(
     "pii_redaction",
     oracle=_SQL_PII,

@@ -423,3 +423,38 @@ def test_property_sql_matches_builder(spark, case):
     got = merge_into_sql(spark, "\n".join(sql), tables={"tgt": t, "src": s})
     want = b.execute()
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_run_dml_alter_table_surface(spark, tmp_path):
+    """ALTER TABLE DDL through the SQL front-end: add/rename/drop column
+    and add/drop constraint each commit one snapshot via the table's own
+    schema-evolution methods."""
+    import pytest as _pytest
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.merge_sql import run_dml
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import (
+        ConstraintViolationError,
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_alter"))
+    vt.overwrite(spark.range(5).selectExpr("id", "id * 2 AS v"))
+    tables = {"t": vt}
+    run_dml(spark, "ALTER TABLE t ADD COLUMN note string", tables)
+    assert "note" in vt.read().columns
+    run_dml(spark, "ALTER TABLE t ADD COLUMNS (score double)", tables)
+    assert "score" in vt.read().columns
+    run_dml(spark, "ALTER TABLE t RENAME COLUMN v TO value", tables)
+    assert "value" in vt.read().columns and "v" not in vt.read().columns
+    run_dml(spark, "ALTER TABLE t DROP COLUMN note", tables)
+    assert "note" not in vt.read().columns
+    run_dml(spark, "ALTER TABLE t ADD CONSTRAINT pos CHECK (id >= 0)", tables)
+    with _pytest.raises(ConstraintViolationError):
+        vt.append(spark.sql("SELECT -1 AS id, 0 AS value, 0.0 AS score"))
+    run_dml(spark, "ALTER TABLE t DROP CONSTRAINT pos", tables)
+    vt.append(spark.sql("SELECT -1 AS id, CAST(0 AS LONG) AS value, 0.0 AS score"))
+    assert vt.read().count() == 6
+    # time travel still serves the pre-evolution schema
+    assert "v" in vt.read(version=0).columns
+    with _pytest.raises(ValueError, match="unsupported ALTER"):
+        run_dml(spark, "ALTER TABLE t CLUSTER BY (id)", tables)
