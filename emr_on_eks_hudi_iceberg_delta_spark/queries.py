@@ -5269,6 +5269,71 @@ _SQL_PII = f"""
     """
 
 
+@register(
+    "variant_extract_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("functions", "agg", "extension"),
+)
+def q_variant_extract_agg(spark, sf_dir):
+    """The Spark 4 VARIANT type surface: ``parse_json`` converts the
+    events props JSON strings into the binary variant encoding once, and
+    ``variant_get`` extracts a typed path — the open-format
+    semi-structured column type (also Delta/Iceberg v3's variant),
+    complementing the string-re-parse ``get_json_object`` path the
+    ``json_extract`` query covers. Aggregated per event type; exact
+    oracle via DuckDB's JSON extraction."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "udtf_sentence_split",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(regexp_replace(text, ' table ', '. ', 'g'), '. ')
+               AS s
+      FROM documents)
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS sent_id, s[i] AS sentence
+    FROM d, LATERAL (SELECT unnest(generate_series(1, len(s))) AS i) g
+    WHERE trim(s[i]) <> ''
+    """,
+    tags=("functions", "text", "extension"),
+)
+def q_udtf_sentence_split(spark, sf_dir):
+    """The Spark 4 Python UDTF API surface (functions/udtf_ops.py): a
+    table function lateral-joined per document, one output row per
+    sentence with its segment index. Sentence boundaries are seeded
+    deterministically (the corpus word-soup has none) by rewriting a
+    frequent token to '. '. The UDTF is the API-coverage path — the
+    JVM-native posexplode twin is the production path, pinned
+    row-identical in tests — and the oracle replays the split in SQL."""
+    from .functions.udtf_ops import split_sentences_udtf
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", " table ", ". ").alias("text"),
+    )
+    return split_sentences_udtf(spark, docs)
+
+
 # gopher flags replay: same tokenization (regex whitespace split of
 # trimmed text), integer aggregates, one IEEE division per ratio. The
 # stopword term sums per-word \b regex hits exactly as the Spark side.
