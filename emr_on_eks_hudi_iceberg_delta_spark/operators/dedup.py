@@ -489,6 +489,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    persist: bool = False,
 ) -> DataFrame:
     """Embedding-space semantic deduplication (the SemDeDup recipe,
     Abbas et al. 2023, arXiv:2303.09540): cluster the corpus with a
@@ -513,11 +514,18 @@ def semantic_dedup(
     quadratic in CLUSTER size, which n_centroids controls (production:
     size n_centroids ~ corpus/1000, recursively split oversized cells —
     the same bucket-cap discipline as ``cap_buckets``). Only (id, cell,
-    vector-norm) rows shuffle beyond the scan.
+    vector-norm) rows shuffle beyond the scan. In one lazy plan the
+    assignment subtree is referenced THREE times (both self-join sides +
+    the final output), and Catalyst does not reuse the exchange —
+    ``persist=True`` caches the assigned relation so the IVF window runs
+    once (the same knob as ``tfidf_top_terms(persist_tf=...)``); at
+    production scale always set it.
     """
     from .similarity import ivf_assign
 
     assigned, _ = ivf_assign(emb, n_centroids, id_col, vec_col)
+    if persist:
+        assigned = assigned.persist()
     e = F.col(vec_col).cast("array<double>")
     nrm = F.sqrt(
         F.aggregate(

@@ -172,3 +172,26 @@ def test_semantic_dedup_drops_seeded_duplicates(spark):
     out = {r["vec_id"]: r["is_kept"] for r in
            semantic_dedup(df, n_centroids=2, threshold=0.9).collect()}
     assert out == {0: True, 1: True, 2: False, 3: False, 4: True}
+
+
+def test_semantic_dedup_persist_runs_assignment_once(spark):
+    """persist=True must collapse the triple-referenced IVF assignment
+    subtree into one cached relation (same knob as persist_tf): the
+    optimized plan shows InMemoryRelation and at most one Window."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.dedup import semantic_dedup
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = semantic_dedup(emb, n_centroids=4, threshold=0.35, persist=True)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # all three assignment references resolve to the one cached relation
+    # (the plan STRING re-prints the cached child per reference, so count
+    # InMemoryRelation markers, not Window nodes)
+    assert plan.count("InMemoryRelation") == 3
+    # and the cached path returns the same verdicts as the cold path
+    cold = {
+        (r["vec_id"], r["is_kept"])
+        for r in semantic_dedup(emb, n_centroids=4, threshold=0.35).collect()
+    }
+    hot = {(r["vec_id"], r["is_kept"]) for r in out.collect()}
+    assert hot == cold
