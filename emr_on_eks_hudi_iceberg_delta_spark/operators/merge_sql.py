@@ -284,6 +284,7 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
         DELETE FROM t WHERE <cond>
         UPDATE t SET c = e[, ...] [WHERE <cond>]
         INSERT INTO t SELECT ...  |  INSERT INTO t VALUES (...), (...)
+        INSERT INTO t REPLACE WHERE <cond> SELECT ...   -- selective overwrite
         RESTORE TABLE t TO VERSION AS OF <n>
         VACUUM t [RETAIN <n> VERSIONS]
         OPTIMIZE t [ZORDER BY (c, ...)]
@@ -331,6 +332,30 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
                 raise ValueError(f"DML: bad SET column in {part!r}")
             assignments[lhs] = rhs
         _table(m.group("t")).update_where(cond, assignments)
+        return
+    m = re.match(
+        r"\s*INSERT\s+INTO\s+(?P<t>[\w.]+)\s+REPLACE\s+WHERE\s+(?P<rest>.+)$",
+        s,
+        re.I | re.S,
+    )
+    if m:
+        # Delta's selective overwrite: the predicate runs to the first
+        # top-level SELECT/VALUES keyword, the remainder is the source
+        vt = _table(m.group("t"))
+        rest = m.group("rest")
+        starts = sorted(
+            p
+            for w in ("SELECT", "WITH", "VALUES")
+            for p in _top_positions(rest, w)
+        )
+        if not starts:
+            raise ValueError("DML: REPLACE WHERE without a source query")
+        cond, src = rest[: starts[0]].strip(), rest[starts[0] :].strip()
+        if src.upper().startswith("VALUES"):
+            df = spark.sql(src).toDF(*vt.read().columns)
+        else:
+            df = spark.sql(src)
+        vt.replace_where(cond, df)
         return
     m = re.match(r"\s*INSERT\s+INTO\s+(?P<t>[\w.]+)\s+(?P<rest>.+)$", s, re.I | re.S)
     if m:

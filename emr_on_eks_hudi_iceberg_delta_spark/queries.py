@@ -4529,6 +4529,45 @@ def q_table_restore_vacuum(spark, sf_dir):
 
 
 @register(
+    "table_replace_where",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey <= 3000 AND o_orderstatus <> 'O'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus,
+           CAST(0.0 AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey <= 3000 AND o_orderstatus = 'O'
+    """,
+    tags=("S2", "extension", "lake", "lifecycle"),
+)
+def q_table_replace_where(spark, sf_dir):
+    """Selective overwrite lifecycle (Delta ``INSERT INTO ... REPLACE
+    WHERE`` / ``replaceWhere`` — sources/tables.replace_where): one
+    atomic commit swaps exactly the predicate slice (open orders,
+    re-derived with zeroed totals) while every other row is untouched —
+    the partition-backfill primitive. The oracle is keep-side UNION
+    replacement-side; the commit also validates that no incoming row
+    falls outside the declared slice."""
+    from .sources.tables import VersionedTable
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    base = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 3000)
+        .select(*cols)
+    )
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_rw_"))
+    vt.overwrite(base)
+    vt.replace_where(
+        "o_orderstatus = 'O'",
+        base.filter(F.col("o_orderstatus") == "O").withColumn(
+            "o_totalprice", F.lit(0.0)
+        ),
+    )
+    return vt.read().select(*cols)
+
+
+@register(
     "schema_evolution_append",
     oracle="""
     SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal

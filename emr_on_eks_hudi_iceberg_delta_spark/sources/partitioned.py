@@ -375,6 +375,33 @@ class PartitionedTable:
     def history(self) -> list[dict]:
         return self._versions()
 
+    def partitions_df(self) -> DataFrame:
+        """The Iceberg ``.partitions`` metadata-table analog: one row per
+        live partition with its hive key, owning commit, file count, and
+        byte size — what a planner or a small-file audit reads. Pure
+        manifest + directory-listing metadata: no data files are opened,
+        so it stays driver-cheap at any table size (the listing touches
+        |partitions| directories, the same order as the manifest itself)."""
+        import glob as _glob
+
+        current = self._versions()[-1]["partitions"]
+        rows = []
+        for pval, cid in sorted(current.items()):
+            pdir = os.path.join(self._commit_dir(cid), pval)
+            files = _glob.glob(os.path.join(pdir, "*.parquet"))
+            rows.append(
+                (
+                    pval,
+                    cid,
+                    len(files),
+                    sum(os.path.getsize(f) for f in files),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "partition string, commit_id int, n_files int, size_bytes long",
+        )
+
     def touched_partition_counts(self) -> list[tuple[int, int]]:
         """(version, number of partitions rewritten by that commit) — the
         observable proof that upserts rewrite only what they touch."""

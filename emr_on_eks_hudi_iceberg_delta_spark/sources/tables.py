@@ -814,6 +814,32 @@ class VersionedTable:
         self._write_meta(meta)
         return self
 
+    def replace_where(self, condition, df: DataFrame) -> "VersionedTable":
+        """Delta ``INSERT INTO t REPLACE WHERE cond SELECT ...`` /
+        ``option("replaceWhere", ...)`` analog: ONE atomic commit that
+        swaps exactly the predicate-matching slice for ``df`` — the
+        partition-backfill primitive (recompute one day, replace it,
+        leave every other row untouched, readers never see a gap).
+
+        Delta's validation applies: every incoming row must itself match
+        the predicate, otherwise the commit is rejected — a backfill that
+        writes outside its declared slice is a bug, not an overwrite.
+        SQL NULL semantics on the keep side: rows where the predicate is
+        NULL are kept (only predicate-TRUE rows are replaced)."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        hit = F.coalesce(cond.cast("boolean"), F.lit(False))
+        bad = df.filter(~F.coalesce(cond.cast("boolean"), F.lit(False)))
+        if not bad.isEmpty():
+            raise ConstraintViolationError(
+                f"replace_where: incoming rows do not all match the "
+                f"predicate {condition!r}"
+            )
+        kept = self.read().filter(~hit)
+        self._commit(
+            kept.unionByName(df.select(*kept.columns)), op="REPLACE WHERE"
+        )
+        return self
+
     def delete_where(self, condition) -> "VersionedTable":
         """Delta ``DELETE FROM t WHERE cond`` analog: copy-on-write rewrite
         of the current snapshot without the matching rows, committed as a

@@ -458,3 +458,48 @@ def test_run_dml_alter_table_surface(spark, tmp_path):
     assert "v" in vt.read(version=0).columns
     with _pytest.raises(ValueError, match="unsupported ALTER"):
         run_dml(spark, "ALTER TABLE t CLUSTER BY (id)", tables)
+
+
+def test_replace_where_programmatic_and_dml(spark, tmp_path):
+    """Delta selective overwrite: exactly the predicate slice is swapped
+    in one commit, incoming rows outside the slice are rejected, and the
+    INSERT INTO ... REPLACE WHERE SQL form lowers onto the same method."""
+    import pytest as _pytest
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.merge_sql import run_dml
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import (
+        ConstraintViolationError,
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_rw"))
+    vt.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+            "id long, part string, v long",
+        )
+    )
+    vt.replace_where(
+        "part = 'a'",
+        spark.createDataFrame([(9, "a", 99)], "id long, part string, v long"),
+    )
+    got = sorted((r["id"], r["v"]) for r in vt.read().collect())
+    assert got == [(3, 30), (9, 99)]  # slice 'a' replaced, 'b' untouched
+    # validation: a backfill writing outside its declared slice is a bug
+    with _pytest.raises(ConstraintViolationError, match="replace_where"):
+        vt.replace_where(
+            "part = 'a'",
+            spark.createDataFrame([(8, "b", 1)], "id long, part string, v long"),
+        )
+    # the SQL form
+    run_dml(
+        spark,
+        "INSERT INTO t REPLACE WHERE part = 'b' "
+        "SELECT CAST(7 AS LONG) AS id, 'b' AS part, CAST(70 AS LONG) AS v",
+        {"t": vt},
+    )
+    got = sorted((r["id"], r["v"]) for r in vt.read().collect())
+    assert got == [(7, 70), (9, 99)]
+    assert vt.history()[-1]["operation"] == "REPLACE WHERE"
+    # time travel still serves the pre-replace state
+    assert vt.read(version=0).count() == 3

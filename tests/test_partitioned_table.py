@@ -335,3 +335,35 @@ def test_empty_partitions_state_reads_and_indexes(spark):
     assert idx is not None
     assert idx.count() == 0
     assert set(idx.columns) == {"id", "__part"}
+
+
+def test_partitions_metadata_table(spark):
+    """Iceberg .partitions analog: one metadata row per live partition
+    with its owning commit and file stats; a partition-scoped upsert
+    moves only the touched partition to the new commit."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.partitioned import (
+        PartitionedTable,
+    )
+
+    pt = PartitionedTable(
+        spark, tempfile.mkdtemp(prefix="pt_meta_"), partition_col="p"
+    )
+    pt.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], "id long, p string, v double"
+        )
+    )
+    pt.upsert(
+        spark.createDataFrame([(1, "a", 9.0)], "id long, p string, v double"),
+        key_cols=["id"],
+        precombine_col="v",
+    )
+    rows = {r["partition"]: r for r in pt.partitions_df().collect()}
+    assert set(rows) == {"p=a", "p=b"}
+    assert rows["p=a"]["commit_id"] == 1  # rewritten by the upsert
+    assert rows["p=b"]["commit_id"] == 0  # untouched
+    assert all(r["n_files"] >= 1 and r["size_bytes"] > 0 for r in rows.values())
