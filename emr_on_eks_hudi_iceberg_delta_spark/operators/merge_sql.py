@@ -276,7 +276,7 @@ def parse_merge(sql: str) -> dict:
     return spec
 
 
-def run_dml(spark: SparkSession, sql: str, tables: dict):
+def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=None):
     """Execute a non-MERGE DML or utility statement against a
     ``VersionedTable`` — the rest of the statement surface a lake user runs
     as SQL strings (Delta / Iceberg DML + utility SQL)::
@@ -295,6 +295,17 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
         ALTER TABLE t ADD CONSTRAINT n CHECK (expr)
         ALTER TABLE t DROP CONSTRAINT n
 
+    With a ``catalog`` (LakeCatalog), the catalog DDL surface too::
+
+        CREATE TABLE t AS SELECT ...            -- CTAS into the catalog
+        CREATE TABLE t LOCATION '<path>'        -- register external table
+        DROP TABLE t [PURGE]
+        SHOW TABLES                             -- returns a DataFrame
+        DESCRIBE TABLE t                        -- returns (col, type) rows
+
+    Catalog-registered names also resolve as DML targets, so a session
+    can run its whole statement stream through one entry point.
+
     ``tables`` maps statement table names to VersionedTable instances; each
     mutating statement commits one new snapshot through the table's own CoW
     path (``delete_where`` / ``update_where`` / ``append`` / ``restore`` /
@@ -305,12 +316,51 @@ def run_dml(spark: SparkSession, sql: str, tables: dict):
     DataFrame for DESCRIBE HISTORY, else None.
     """
     s = sql.strip().rstrip(";")
+    tables = tables or {}
 
     def _table(name: str):
         key = name if name in tables else name.split(".")[-1]
-        if key not in tables:
-            raise ValueError(f"DML: unknown table {name!r}")
-        return tables[key]
+        if key in tables:
+            return tables[key]
+        if catalog is not None:
+            try:
+                return catalog.table(key)
+            except ValueError:
+                pass
+        raise ValueError(f"DML: unknown table {name!r}")
+
+    if catalog is not None:
+        m = re.match(
+            r"\s*CREATE\s+TABLE\s+(?P<t>\w+)\s+AS\s+(?P<q>.+)$", s, re.I | re.S
+        )
+        if m:
+            catalog.create_table(m.group("t"), spark.sql(m.group("q")))
+            return
+        m = re.match(
+            r"\s*CREATE\s+TABLE\s+(?P<t>\w+)\s+LOCATION\s+'(?P<l>[^']+)'\s*$",
+            s,
+            re.I,
+        )
+        if m:
+            catalog.create_table(m.group("t"), location=m.group("l"))
+            return
+        m = re.match(
+            r"\s*DROP\s+TABLE\s+(?P<t>\w+)(?P<purge>\s+PURGE)?\s*$", s, re.I
+        )
+        if m:
+            catalog.drop_table(m.group("t"), purge=bool(m.group("purge")))
+            return
+        if re.match(r"\s*SHOW\s+TABLES\s*$", s, re.I):
+            return spark.createDataFrame(
+                [(t,) for t in catalog.list_tables()], "table string"
+            )
+        m = re.match(r"\s*DESCRIBE\s+TABLE\s+(?P<t>\w+)\s*$", s, re.I)
+        if m:
+            schema = catalog.table(m.group("t")).read().schema
+            return spark.createDataFrame(
+                [(f.name, f.dataType.simpleString()) for f in schema],
+                "col_name string, data_type string",
+            )
 
     m = re.match(r"\s*DELETE\s+FROM\s+(?P<t>[\w.]+)\s+WHERE\s+(?P<c>.+)$", s, re.I | re.S)
     if m:

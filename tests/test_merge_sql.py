@@ -503,3 +503,46 @@ def test_replace_where_programmatic_and_dml(spark, tmp_path):
     assert vt.history()[-1]["operation"] == "REPLACE WHERE"
     # time travel still serves the pre-replace state
     assert vt.read(version=0).count() == 3
+
+
+def test_run_dml_catalog_ddl_surface(spark, tmp_path):
+    """Catalog DDL through the one SQL entry point: CTAS, external
+    registration, SHOW/DESCRIBE, name resolution for DML targets, and
+    DROP with/without PURGE."""
+    import os
+
+    import pytest as _pytest
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.merge_sql import run_dml
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.catalog import LakeCatalog
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    cat = LakeCatalog(spark, str(tmp_path / "cat"))
+    spark.range(10).selectExpr("id", "id * 3 AS v").createOrReplaceTempView(
+        "ddl_src"
+    )
+    run_dml(spark, "CREATE TABLE t1 AS SELECT * FROM ddl_src", catalog=cat)
+    assert cat.table("t1").read().count() == 10
+    # external registration of a pre-existing table
+    ext = VersionedTable(spark, str(tmp_path / "ext"))
+    ext.overwrite(spark.range(3).toDF("id"))
+    run_dml(
+        spark, f"CREATE TABLE t2 LOCATION '{tmp_path / 'ext'}'", catalog=cat
+    )
+    assert cat.table("t2").read().count() == 3
+    shown = {r["table"] for r in run_dml(spark, "SHOW TABLES", catalog=cat).collect()}
+    assert shown == {"t1", "t2"}
+    desc = dict(
+        map(tuple, run_dml(spark, "DESCRIBE TABLE t1", catalog=cat).collect())
+    )
+    assert desc == {"id": "bigint", "v": "bigint"}
+    # catalog names resolve as DML targets without an explicit tables dict
+    run_dml(spark, "DELETE FROM t1 WHERE id >= 5", catalog=cat)
+    assert cat.table("t1").read().count() == 5
+    # drop semantics: default keeps data, PURGE removes it
+    run_dml(spark, "DROP TABLE t2", catalog=cat)
+    assert os.path.exists(str(tmp_path / "ext"))
+    run_dml(spark, "DROP TABLE t1 PURGE", catalog=cat)
+    assert not os.path.exists(str(tmp_path / "cat" / "t1"))
+    with _pytest.raises(ValueError, match="unknown table"):
+        run_dml(spark, "DELETE FROM t1 WHERE id = 1", catalog=cat)
