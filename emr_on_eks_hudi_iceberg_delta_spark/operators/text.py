@@ -735,3 +735,97 @@ def gopher_quality_flags(
         n_stop.cast("int").alias("n_stopwords"),
         ok.alias("gopher_ok"),
     )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Hashed n-gram importance weights for data selection (DSIR, Xie et
+    al. 2023, arXiv:2302.03169): score every raw document by how much its
+    hashed-bigram distribution resembles a TARGET corpus (the domain you
+    want more of) relative to the raw corpus —
+    ``log w(x) = sum_over_doc_ngrams [log p_target(bucket) -
+    log p_raw(bucket)]`` with add-``smoothing`` estimates over
+    ``n_buckets`` hash buckets. Sampling raw data proportional to ``w``
+    focuses pre-training on the target domain; this is the standard
+    importance-resampling selection recipe.
+
+    Output per document: ``n_ngrams``, ``sum_target_count`` /
+    ``sum_raw_count`` (exact BIGINT diagnostics — the bucket-count mass
+    the doc's ngrams touch in each corpus, SQL-replayable bit-for-bit)
+    and ``log_weight`` (the DSIR score; float log-sums are not
+    cross-engine bit-exact, so exactness-gated pipelines consume the
+    integer columns and rank by ``log_weight`` downstream).
+
+    Scale: bucket-count tables are ``n_buckets`` rows — broadcast; the
+    corpus side is one bigram explode + one shuffle on the document id
+    for the rollup (map-side combine). Hashing is the portable
+    md5-derived ``md5_hash64`` so Spark/DuckDB/Python agree on buckets.
+    """
+    from ..functions.hashing import md5_hash64
+
+    def bigram_buckets(frame: DataFrame, cols: list) -> DataFrame:
+        t = frame.select(*cols, tokens_expr(text_col).alias("__t"))
+        bg = t.filter(F.size("__t") >= 2).select(
+            *cols,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 1), "
+                    "i -> concat(element_at(__t, i), ' ', "
+                    "element_at(__t, i + 1)))"
+                )
+            ).alias("__ng"),
+        )
+        return bg.withColumn(
+            "__b", F.pmod(md5_hash64(F.col("__ng")), F.lit(n_buckets))
+        )
+
+    raw_counts = (
+        bigram_buckets(df, [])
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__cr"))
+    )
+    tgt_counts = (
+        bigram_buckets(target, [])
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+    )
+    totals = raw_counts.agg(F.sum("__cr").alias("__tr")).crossJoin(
+        tgt_counts.agg(F.sum("__ct").alias("__tt"))
+    )
+    s = float(smoothing)
+    docs = (
+        bigram_buckets(df, [F.col(id_col)])
+        .join(F.broadcast(raw_counts), "__b", "left")
+        .join(F.broadcast(tgt_counts), "__b", "left")
+    )
+    ct = F.coalesce(F.col("__ct"), F.lit(0).cast("bigint"))
+    cr = F.coalesce(F.col("__cr"), F.lit(0).cast("bigint"))
+    per_doc = docs.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.sum(ct).alias("sum_target_count"),
+        F.sum(cr).alias("sum_raw_count"),
+        F.sum(
+            F.log(ct.cast("double") + F.lit(s))
+            - F.log(cr.cast("double") + F.lit(s))
+        ).alias("__lsum"),
+    )
+    return per_doc.crossJoin(F.broadcast(totals)).select(
+        F.col(id_col),
+        "n_ngrams",
+        "sum_target_count",
+        "sum_raw_count",
+        (
+            F.col("__lsum")
+            + F.col("n_ngrams")
+            * (
+                F.log(F.col("__tr").cast("double") + F.lit(s * n_buckets))
+                - F.log(F.col("__tt").cast("double") + F.lit(s * n_buckets))
+            )
+        ).alias("log_weight"),
+    )

@@ -5424,6 +5424,61 @@ _SQL_GOPHER = f"""
     """
 
 
+# DSIR exact-diagnostic replay: same tokenization, same md5-derived
+# bucket hash (functions/hashing.md5_hash64's documented DuckDB twin),
+# same left-join-and-sum. The float log_weight column is intentionally
+# NOT in the gated projection (log() is not cross-engine bit-exact).
+_SQL_DSIR = """
+    WITH tok AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS ng
+      FROM tok WHERE len(t) >= 2),
+    bk AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(ng), 1, 15)) AS BIGINT) % 1024 AS b
+      FROM bg),
+    raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM bk GROUP BY b),
+    tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct
+            FROM bk WHERE lang = 'en' GROUP BY b)
+    SELECT bk.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(SUM(COALESCE(ct, 0)) AS BIGINT) AS sum_target_count,
+           CAST(SUM(COALESCE(cr, 0)) AS BIGINT) AS sum_raw_count
+    FROM bk
+    LEFT JOIN raw ON raw.b = bk.b
+    LEFT JOIN tgt ON tgt.b = bk.b
+    GROUP BY bk.doc_id
+    """
+
+
+@register(
+    "dsir_importance_diagnostics",
+    oracle=_SQL_DSIR,
+    tags=("text", "corpus", "sampling", "extension"),
+)
+def q_dsir_importance_diagnostics(spark, sf_dir):
+    """DSIR hashed-bigram importance weighting (Xie et al. 2023 —
+    operators/text.dsir_importance_weights) with the English slice as the
+    selection target: every document scored by how much its hashed-bigram
+    mass sits in target-corpus buckets vs raw-corpus buckets. The gated
+    projection keeps the exact BIGINT diagnostics (bucket-count masses);
+    the float log_weight rides on the same operator and is rank-checked
+    in tests (log() is not cross-engine bit-exact)."""
+    from .operators.text import dsir_importance_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dsir_importance_weights(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=1024
+    )
+    return out.select(
+        "doc_id", "n_ngrams", "sum_target_count", "sum_raw_count"
+    )
+
+
 @register(
     "gopher_quality_flags",
     oracle=_SQL_GOPHER,
