@@ -1108,6 +1108,33 @@ class VersionedTable:
         self._reclaim_dropped(meta, keep)
         return self
 
+    def cleanup_orphans(self) -> list[str]:
+        """Remove snapshot / tombstone / deletion-vector directories that
+        NO metadata entry references — the debris of a writer that
+        crashed between its data write and its metadata commit. The
+        commit protocol (data first, meta last) makes such orphans
+        harmless to readers (metadata is the source of truth), but they
+        leak storage until reclaimed; this is the local analog of Delta's
+        VACUUM pass over unreferenced files / Iceberg's
+        ``remove_orphan_files``. Branch subtrees are the branches' own
+        concern and are skipped. Returns the removed paths."""
+        import glob as _glob
+        import shutil
+
+        meta = self._meta()
+        referenced: set[str] = set()
+        for s in meta["snapshots"]:
+            referenced.add(s["dir"])
+            for d in s.get("tombstones", []) + s.get("dv", []):
+                referenced.add(d["dir"])
+        removed = []
+        for pat in ("snapshot-*", "tombstones-*", "dv-*"):
+            for d in sorted(_glob.glob(os.path.join(self.location, pat))):
+                if os.path.isdir(d) and d not in referenced:
+                    shutil.rmtree(d, ignore_errors=True)
+                    removed.append(d)
+        return removed
+
     def auto_compact(
         self,
         max_files: int = 64,

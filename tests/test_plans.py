@@ -438,3 +438,21 @@ def test_corpus_operators_single_token_aggregate_branch(spark):
     oov = formatted_plan(REGISTRY["vocab_oov_rate"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in oov
     assert "TakeOrderedAndProject" in oov  # distributed top-K vocab, not a global sort
+
+
+def test_round5_text_operators_zero_shuffle(spark):
+    """PII redaction and the Gopher battery are pure per-row column
+    expressions — scan speed at 100 TB, zero exchanges."""
+    assert shuffle_count(REGISTRY["pii_redaction"].fn(spark, SF_DIR)) == 0
+    assert shuffle_count(REGISTRY["gopher_quality_flags"].fn(spark, SF_DIR)) == 0
+    # PQ BLAS encode: mapInPandas over the scan, no exchange either
+    assert shuffle_count(REGISTRY["embedding_pq_codes_blas"].fn(spark, SF_DIR)) == 0
+
+
+def test_round5_dsir_single_rollup_shuffle(spark):
+    """DSIR: bucket-count tables broadcast; the data-sized shuffles are
+    the two per-corpus bucket aggregates plus one rollup on the document
+    id — the other two exchanges carry the one-row corpus totals."""
+    df = REGISTRY["dsir_importance_diagnostics"].fn(spark, SF_DIR)
+    assert shuffle_count(df) <= 5
+    assert broadcast_join_count(df) >= 2  # raw + target count tables

@@ -970,3 +970,32 @@ def test_history_records_operation_names(spark, tmp_path):
     hist = vt.history_df()
     assert "operation" in hist.columns
     assert hist.filter(F.col("operation") == "MERGE").count() == 1
+
+
+def test_orphan_snapshot_dirs_harmless_and_reclaimable(spark, tmp_path):
+    """A writer crashing between its data write and its metadata commit
+    leaves an unreferenced snapshot dir. Metadata is the source of truth,
+    so reads and further commits are unaffected — and cleanup_orphans
+    reclaims exactly the debris, never a referenced dir."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_orphan"))
+    vt.overwrite(spark.range(10).withColumn("v", F.lit(1)))
+    # simulate the crash: data written for would-be v1, meta never updated
+    orphan = str(tmp_path / "vt_orphan" / "snapshot-00001")
+    spark.range(99).write.mode("overwrite").parquet(orphan)
+    assert vt.read().count() == 10  # reader unaffected
+    # the next commit allocates past the orphan or overwrites it — either
+    # way the committed state is authoritative
+    vt.append(spark.range(10, 15).withColumn("v", F.lit(2)))
+    assert vt.read().count() == 15
+    removed = vt.cleanup_orphans()
+    # every removed path was unreferenced; all referenced dirs survive
+    live = {s["dir"] for s in vt.history()}
+    assert all(d not in live for d in removed)
+    for d in live:
+        assert os.path.isdir(d)
+    assert vt.read().count() == 15
+    assert vt.cleanup_orphans() == []  # idempotent
