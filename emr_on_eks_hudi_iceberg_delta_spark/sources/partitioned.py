@@ -384,7 +384,10 @@ class PartitionedTable:
         |partitions| directories, the same order as the manifest itself)."""
         import glob as _glob
 
-        current = self._versions()[-1]["partitions"]
+        versions = self._versions()
+        if not versions:
+            raise FileNotFoundError(f"no commit at {self.location}")
+        current = versions[-1]["partitions"]
         rows = []
         for pval, cid in sorted(current.items()):
             pdir = os.path.join(self._commit_dir(cid), pval)

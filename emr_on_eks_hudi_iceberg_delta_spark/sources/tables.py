@@ -825,7 +825,9 @@ class VersionedTable:
         the predicate, otherwise the commit is rejected — a backfill that
         writes outside its declared slice is a bug, not an overwrite.
         SQL NULL semantics on the keep side: rows where the predicate is
-        NULL are kept (only predicate-TRUE rows are replaced)."""
+        NULL are kept (only predicate-TRUE rows are replaced). The
+        incoming frame is evaluated twice (validation scan + commit);
+        persist it first if it is expensive to recompute."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         hit = F.coalesce(cond.cast("boolean"), F.lit(False))
         bad = df.filter(~F.coalesce(cond.cast("boolean"), F.lit(False)))
