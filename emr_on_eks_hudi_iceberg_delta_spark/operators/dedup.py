@@ -490,6 +490,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     persist: bool = False,
+    assign: str = "window",
 ) -> DataFrame:
     """Embedding-space semantic deduplication (the SemDeDup recipe,
     Abbas et al. 2023, arXiv:2303.09540): cluster the corpus with a
@@ -521,9 +522,16 @@ def semantic_dedup(
     once (the same knob as ``tfidf_top_terms(persist_tf=...)``); at
     production scale always set it.
     """
-    from .similarity import ivf_assign
+    from .similarity import ivf_assign, ivf_assign_blas
 
-    assigned, _ = ivf_assign(emb, n_centroids, id_col, vec_col)
+    # assign="blas" swaps the clustering pass for the zero-shuffle gemm
+    # path (ivf_assign_blas) — the production choice; the default window
+    # path keeps exact SQL-oracle replay
+    assigned, _ = (
+        ivf_assign_blas(emb, n_centroids, id_col, vec_col)
+        if assign == "blas"
+        else ivf_assign(emb, n_centroids, id_col, vec_col)
+    )
     if persist:
         assigned = assigned.persist()
     e = F.col(vec_col).cast("array<double>")

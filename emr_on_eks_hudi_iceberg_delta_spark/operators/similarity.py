@@ -441,8 +441,13 @@ def ivf_assign(
     ``n_centroids`` vectors by id), optional Lloyd refinement iterations
     (per-cell mean via posexplode + grouped avg — all built-ins), final
     assignment pass (broadcast centroids, argmin L2). Returns
-    (assignments(id, cell), centroids(cell, vector)). At 100 TB run the
-    refinement on a sample — the assignment pass is the only full scan."""
+    (assignments(id, cell), centroids(cell, vector)).
+
+    This is the ORACLE-PARITY path: the crossJoin+window argmin
+    multiplies every row by ``n_centroids`` and then shuffles on the id —
+    at 100 TB use ``ivf_assign_blas`` (zero-shuffle gemm twin, pinned
+    assignment-identical at test dims) and run any refinement on a
+    sample."""
     e = _with_double_vec(emb, id_col, vec_col)
     dist = F.aggregate(
         F.zip_with("e", "ce", lambda x, y: (x - y) * (x - y)),
@@ -481,6 +486,68 @@ def ivf_assign(
         )
         centroids = means  # cells that lost all members drop out (k shrinks)
     return assign(centroids), centroids
+
+
+def ivf_assign_blas(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Production-scale IVF assignment: one argmin-over-centroids gemm
+    per Arrow batch — the third literal→BLAS swap (after LSH band keys
+    and PQ encode), targeting ``ivf_assign``'s scale smell: its
+    crossJoin-then-window plan multiplies every corpus row by
+    ``n_centroids`` BEFORE a full shuffle on the id for the per-id
+    argmin. This path multiplies nothing and shuffles nothing — the
+    centroids ride in the task closure (metadata-sized) and assignment
+    is a scan-speed map.
+
+    Same deterministic seeding (first ``n_centroids`` vectors by id,
+    cell = seed's vec id) and the same first-minimum tie-break (numpy
+    argmin over centroid columns ordered by ascending cell id ==
+    ``ORDER BY dist, cell``), so at test dims the two paths agree
+    assignment-for-assignment (pinned in tests); exact float ties could
+    differ (gemm accumulation order), making this the rows-only
+    production path like its LSH/PQ siblings.
+
+    Returns (assignments(id, cell), centroids(cell, ce)) — the same
+    shapes ``ivf_assign`` returns, so downstream composition (probing,
+    ADC, semantic dedup) is unchanged.
+    """
+    e = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("e")
+    )
+    seeds = e.orderBy(id_col).limit(n_centroids).collect()
+    cells = [r[0] for r in seeds]  # ascending id == ORDER BY cell tie-break
+    C = np.vstack([np.asarray(r["e"], dtype=np.float64) for r in seeds])
+    c_sq = (C * C).sum(axis=1)
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_field = emb.schema[id_col]
+    schema = T.StructType(
+        [id_field, T.StructField("cell", id_field.dataType)]
+    )
+    cells_arr = np.asarray(cells)
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.vstack(pdf["e"].to_numpy()).astype(np.float64)
+            d = (V * V).sum(axis=1, keepdims=True) - 2.0 * (V @ C.T) + c_sq
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cell": cells_arr[d.argmin(axis=1)]}
+            )
+
+    centroids = (
+        e.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cell"), F.col("e").alias("ce"))
+    )
+    return e.mapInPandas(assign, schema), centroids
 
 
 def ivf_topk(

@@ -261,3 +261,41 @@ def test_pq_topk_blas_matches_literal_neighbors(spark):
         for r in pq_topk_blas(emb, q, k=5).collect()
     }
     assert blas == lit
+
+
+def test_ivf_assign_blas_matches_window_path(spark):
+    """The third literal-to-BLAS swap: zero-shuffle gemm assignment must
+    agree cell-for-cell with ivf_assign's crossJoin+window argmin at test
+    dims (same deterministic seeds, same first-minimum tie-break) — and
+    the BLAS plan must contain NO exchange at all, where the window path
+    multiplies the corpus by n_centroids and then shuffles it."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_blas,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.plans.explain import shuffle_count
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    win, _ = ivf_assign(emb, n_centroids=8)
+    blas, cents = ivf_assign_blas(emb, n_centroids=8)
+    assert {(r["vec_id"], r["cell"]) for r in blas.collect()} == {
+        (r["vec_id"], r["cell"]) for r in win.collect()
+    }
+    assert shuffle_count(blas) == 0
+    assert cents.count() == 8
+
+    # and the semantic_dedup composition returns identical verdicts on
+    # either assignment path
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.dedup import semantic_dedup
+
+    a = {
+        (r["vec_id"], r["is_kept"])
+        for r in semantic_dedup(emb, n_centroids=8, threshold=0.35).collect()
+    }
+    b = {
+        (r["vec_id"], r["is_kept"])
+        for r in semantic_dedup(
+            emb, n_centroids=8, threshold=0.35, assign="blas"
+        ).collect()
+    }
+    assert a == b
