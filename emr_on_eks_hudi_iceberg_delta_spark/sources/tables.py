@@ -1110,7 +1110,7 @@ class VersionedTable:
         self._reclaim_dropped(meta, keep)
         return self
 
-    def cleanup_orphans(self) -> list[str]:
+    def cleanup_orphans(self, older_than_seconds: float = 3600.0) -> list[str]:
         """Remove snapshot / tombstone / deletion-vector directories that
         NO metadata entry references — the debris of a writer that
         crashed between its data write and its metadata commit. The
@@ -1119,7 +1119,13 @@ class VersionedTable:
         leak storage until reclaimed; this is the local analog of Delta's
         VACUUM pass over unreferenced files / Iceberg's
         ``remove_orphan_files``. Branch subtrees are the branches' own
-        concern and are skipped. Returns the removed paths."""
+        concern and are skipped.
+
+        ``older_than_seconds`` (default 1 h) is the same race guard
+        Iceberg's remove_orphan_files uses: a LIVE concurrent writer's
+        data lands on disk moments before its metadata commit, so only
+        dirs older than any plausible in-flight commit are candidates.
+        Returns the removed paths."""
         import glob as _glob
         import shutil
 
@@ -1129,10 +1135,15 @@ class VersionedTable:
             referenced.add(s["dir"])
             for d in s.get("tombstones", []) + s.get("dv", []):
                 referenced.add(d["dir"])
+        cutoff = time.time() - older_than_seconds
         removed = []
         for pat in ("snapshot-*", "tombstones-*", "dv-*"):
             for d in sorted(_glob.glob(os.path.join(self.location, pat))):
-                if os.path.isdir(d) and d not in referenced:
+                if (
+                    os.path.isdir(d)
+                    and d not in referenced
+                    and os.path.getmtime(d) < cutoff
+                ):
                     shutil.rmtree(d, ignore_errors=True)
                     removed.append(d)
         return removed

@@ -983,19 +983,22 @@ def test_orphan_snapshot_dirs_harmless_and_reclaimable(spark, tmp_path):
 
     vt = VersionedTable(spark, str(tmp_path / "vt_orphan"))
     vt.overwrite(spark.range(10).withColumn("v", F.lit(1)))
-    # simulate the crash: data written for would-be v1, meta never updated
-    orphan = str(tmp_path / "vt_orphan" / "snapshot-00001")
+    # simulate the crash: data written for a would-be snapshot, meta never
+    # updated (a number the next writer will not claim — version allocation
+    # is metadata-based, so a reclaimed number is simply overwritten)
+    orphan = str(tmp_path / "vt_orphan" / "snapshot-00099")
     spark.range(99).write.mode("overwrite").parquet(orphan)
     assert vt.read().count() == 10  # reader unaffected
-    # the next commit allocates past the orphan or overwrites it — either
-    # way the committed state is authoritative
     vt.append(spark.range(10, 15).withColumn("v", F.lit(2)))
     assert vt.read().count() == 15
-    removed = vt.cleanup_orphans()
+    # the age guard: a FRESH unreferenced dir could be a live concurrent
+    # writer mid-commit — the default 1 h threshold leaves it alone
+    assert vt.cleanup_orphans() == []
+    removed = vt.cleanup_orphans(older_than_seconds=0)
     # every removed path was unreferenced; all referenced dirs survive
     live = {s["dir"] for s in vt.history()}
-    assert all(d not in live for d in removed)
+    assert removed and all(d not in live for d in removed)
     for d in live:
         assert os.path.isdir(d)
     assert vt.read().count() == 15
-    assert vt.cleanup_orphans() == []  # idempotent
+    assert vt.cleanup_orphans(older_than_seconds=0) == []  # idempotent
