@@ -829,3 +829,219 @@ def dsir_importance_weights(
             )
         ).alias("log_weight"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Unigram language-model scoring for perplexity-based quality
+    filtering (the CCNet recipe, Wenzek et al. 2020: score every document
+    under a corpus LM and keep the low-perplexity head). The LM here is
+    the corpus's own unigram MLE with add-``smoothing`` —
+    ``p(t) = (tf_t + s) / (N + s*V)`` over whitespace tokens — so the
+    operator is self-contained; swapping in an external LM is a different
+    count table, same plan.
+
+    Output per document: ``n_tokens`` / ``n_distinct`` (exact BIGINT),
+    ``sum_tf`` (exact BIGINT — the corpus-frequency mass of the
+    doc's tokens, the SQL-replayable diagnostic), ``logprob`` and ``ppl``
+    (float; ``log``/``exp`` are not cross-engine bit-exact, so gated
+    pipelines compare the integer columns and rank by ``ppl``
+    downstream — same convention as ``dsir_importance_weights``).
+
+    Scale: one explode + one token-keyed aggregate for the tf table, one
+    token-keyed shuffle join (the vocabulary's heavy tail can exceed
+    broadcast size at corpus scale — a shuffle join is the safe default),
+    one doc-keyed rollup with map-side combine. No driver collect except
+    the two scalar totals (N, V) folded in by broadcast cross-join.
+    """
+    s = float(smoothing)
+    tok = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("__t"))
+    tf = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__tf"))
+    totals = tf.agg(
+        F.sum("__tf").alias("__n"), F.count(F.lit(1)).alias("__v")
+    )
+    doc_tok = tok.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__cnt"))
+    per_doc = (
+        doc_tok.join(tf, "__t")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__cnt").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            # DECIMAL accumulation (order-independent, no intermediate
+            # wrap), BIGINT close: even at 100 TB (N ~ 2.5e13 tokens,
+            # tf ~ 1e12, 1e4-token docs) sum_tf tops out ~1e19's far side
+            # of nothing — well inside int64.
+            F.sum(
+                F.col("__cnt").cast("decimal(38,0)")
+                * F.col("__tf").cast("decimal(38,0)")
+            )
+            .cast("bigint")
+            .alias("sum_tf"),
+            F.sum(
+                F.col("__cnt") * F.log(F.col("__tf").cast("double") + F.lit(s))
+            ).alias("__lsum"),
+        )
+    )
+    out = per_doc.crossJoin(F.broadcast(totals)).select(
+        F.col(id_col),
+        "n_tokens",
+        "n_distinct",
+        "sum_tf",
+        (
+            F.col("__lsum")
+            - F.col("n_tokens")
+            * F.log(F.col("__n").cast("double") + F.lit(s) * F.col("__v").cast("double"))
+        ).alias("logprob"),
+    )
+    return out.withColumn(
+        "ppl", F.exp(-F.col("logprob") / F.col("n_tokens").cast("double"))
+    )
+
+
+def perplexity_buckets(
+    scored: DataFrame, n_buckets: int = 3, ppl_col: str = "ppl"
+) -> DataFrame:
+    """CCNet's head/middle/tail split: rank documents by LM perplexity and
+    cut into ``n_buckets`` equal-population buckets (bucket 1 = lowest
+    perplexity = cleanest). NTILE over a total order — the same
+    scale caveat as ``decile_bucketing``: exact global quantiles cost a
+    total sort; at corpus scale swap to approx-quantile boundaries.
+    Deterministic: ties broken by the first remaining column (the id)."""
+    order = [F.col(ppl_col).asc(), F.col(scored.columns[0]).asc()]
+    from pyspark.sql import Window
+
+    return scored.withColumn(
+        "ppl_bucket", F.ntile(n_buckets).over(Window.orderBy(*order))
+    )
+
+
+def domain_mixture_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    target_shares: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-mixture reweighting for pre-training data curation (the
+    DoReMi / Pile recipe shape: each domain gets a sampling weight that
+    moves the corpus toward a target distribution). For every document:
+    its domain's corpus share (exact-integer counts, ONE closing IEEE
+    division) and ``mix_weight = target_share * total / domain_count``
+    — sampling proportional to ``mix_weight`` reproduces the target
+    mixture in expectation. ``target_shares=None`` means uniform over
+    the observed domains.
+
+    Exactness: counts stay BIGINT; each float column is a fixed two-op
+    sequence of correctly-rounded IEEE arithmetic on identical operands,
+    so the oracle replays bit-for-bit (no transcendental functions).
+
+    Scale: one domain-keyed aggregate (domains are few — map-side combine
+    collapses everything), broadcast join back onto the corpus; zero
+    wide shuffles of the document table itself.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__dn"))
+    total = counts.agg(F.sum("__dn").alias("__total"))
+    counts = counts.crossJoin(F.broadcast(total))
+    if target_shares is None:
+        n_domains = counts.select(
+            F.count(F.lit(1)).alias("__k")
+        )
+        counts = counts.crossJoin(F.broadcast(n_domains)).withColumn(
+            "__tgt", F.lit(1.0) / F.col("__k").cast("double")
+        )
+    else:
+        tgt = F.lit(None).cast("double")
+        for dom in sorted(target_shares):
+            tgt = F.when(F.col(source_col) == dom, F.lit(float(target_shares[dom]))).otherwise(tgt)
+        counts = counts.withColumn("__tgt", tgt)
+    weighted = counts.select(
+        source_col,
+        F.col("__dn").cast("bigint").alias("domain_count"),
+        (F.col("__dn").cast("double") / F.col("__total").cast("double")).alias(
+            "corpus_share"
+        ),
+        F.col("__tgt").alias("target_share"),
+        (
+            F.col("__tgt") * F.col("__total").cast("double")
+            / F.col("__dn").cast("double")
+        ).alias("mix_weight"),
+    )
+    return df.select(id_col, source_col).join(
+        F.broadcast(weighted), source_col
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    min_ppm: int = 1000,
+) -> DataFrame:
+    """Exact corpus heavy hitters: every token whose frequency is at
+    least ``min_ppm`` parts-per-million of all tokens. The threshold
+    comparison stays in integer arithmetic (``cnt * 1_000_000 >=
+    total * min_ppm``) so the cut is exact on both engines; ``share`` is
+    one closing IEEE division.
+
+    This is the exact two-aggregate form of what a Misra-Gries /
+    Space-Saving sketch approximates in one pass; at 100 TB the exact
+    form still works because the token aggregate collapses map-side
+    (combiner output is bounded by per-partition vocabulary, not rows).
+    """
+    tok = df.select(F.explode(tokens_expr(text_col)).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("cnt") * F.lit(1_000_000)
+            >= F.col("__total") * F.lit(int(min_ppm))
+        )
+        .select(
+            "token",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            (F.col("cnt").cast("double") / F.col("__total").cast("double")).alias(
+                "share"
+            ),
+        )
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """The first step of BPE tokenizer training: count adjacent
+    character pairs inside whitespace words across the corpus and rank
+    the merge candidates (Sennrich et al. 2016). Returns the ``top_k``
+    pairs by count with a deterministic lexicographic tie-break — the
+    highest-ranked pair is the first BPE merge.
+
+    Scale: one explode to words, one in-row ``transform`` to pairs
+    (codegen, no Python), one pair-keyed aggregate (map-side combine —
+    the pair alphabet is tiny so combiners collapse almost everything),
+    then a distributed TakeOrdered for the top-k. No driver data moves.
+    """
+    words = df.select(F.explode(tokens_expr(text_col)).alias("__w")).filter(
+        F.length("__w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(__w) - 1), i -> substring(__w, i, 2))")
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        ),
+    )
+    return ranked.filter(F.col("rank") <= int(top_k)).select(
+        "pair", F.col("cnt").cast("bigint").alias("cnt"), "rank"
+    )

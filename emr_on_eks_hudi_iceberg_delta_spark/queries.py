@@ -6732,3 +6732,143 @@ def q_corpus_bigram_topk(spark, sf_dir):
         .orderBy(F.col("n").desc(), F.col("bigram"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 second batch: LM-based quality scoring, mixture reweighting,
+# exact heavy hitters, BPE merge candidates
+# --------------------------------------------------------------------------
+
+_SQL_UNIGRAM = r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+      FROM documents),
+    tf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY t),
+    dt AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM tok GROUP BY doc_id, t)
+    SELECT dt.doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * CAST(tf.tf AS DECIMAL(38,0)))
+                AS BIGINT) AS sum_tf
+    FROM dt JOIN tf USING (t)
+    GROUP BY dt.doc_id
+    """
+
+
+@register(
+    "unigram_lm_diagnostics",
+    oracle=_SQL_UNIGRAM,
+    tags=("text", "corpus", "extension"),
+)
+def q_unigram_lm_diagnostics(spark, sf_dir):
+    """Unigram-LM perplexity scoring for CCNet-style quality filtering
+    (operators/text.unigram_logprob): every document scored under the
+    corpus's own smoothed unigram model. The gated projection keeps the
+    exact columns (token counts + corpus-frequency mass); the
+    float ``logprob``/``ppl`` ride on the same operator and are checked
+    against a numpy reference and rank-tested in
+    tests/test_text_ops.py (log/exp are not cross-engine bit-exact —
+    same convention as ``dsir_importance_diagnostics``)."""
+    from .operators.text import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_distinct", "sum_tf"
+    )
+
+
+_SQL_MIXTURE = """
+    WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS domain_count
+               FROM documents GROUP BY source),
+    t AS (SELECT CAST(SUM(domain_count) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS k FROM c),
+    w AS (SELECT source, domain_count,
+                 CAST(domain_count AS DOUBLE) / CAST(total AS DOUBLE)
+                   AS corpus_share,
+                 1.0 / CAST(k AS DOUBLE) AS target_share,
+                 (1.0 / CAST(k AS DOUBLE)) * CAST(total AS DOUBLE)
+                   / CAST(domain_count AS DOUBLE) AS mix_weight
+          FROM c, t)
+    SELECT d.doc_id, d.source, w.domain_count, w.corpus_share,
+           w.target_share, w.mix_weight
+    FROM documents d JOIN w USING (source)
+    """
+
+
+@register(
+    "domain_mixture_weights",
+    oracle=_SQL_MIXTURE,
+    tags=("text", "sampling", "extension"),
+)
+def q_domain_mixture_weights(spark, sf_dir):
+    """Domain-mixture reweighting toward a uniform target distribution
+    (operators/text.domain_mixture_weights — the DoReMi / Pile mixture
+    recipe shape): per-document sampling weight = target_share × total ÷
+    domain_count. EXACT oracle — counts stay BIGINT and every float
+    column is the same fixed sequence of correctly-rounded IEEE ops on
+    both engines (no transcendentals). Explicit target dictionaries are
+    covered in tests/test_text_ops.py."""
+    from .operators.text import domain_mixture_weights
+
+    return domain_mixture_weights(_t(spark, sf_dir, "documents"))
+
+
+_SQL_HEAVY = r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents),
+    c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM tok GROUP BY token),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+    SELECT token, cnt,
+           CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share
+    FROM c, t WHERE cnt * 1000000 >= total * 33000
+    """
+
+
+@register(
+    "token_heavy_hitters",
+    oracle=_SQL_HEAVY,
+    tags=("text", "agg", "extension"),
+)
+def q_token_heavy_hitters(spark, sf_dir):
+    """Exact corpus heavy hitters at a 3.3% frequency threshold
+    (operators/text.heavy_hitters) — the exact two-aggregate form of a
+    Misra-Gries sketch. The threshold cut stays in integer arithmetic on
+    both engines; ``share`` is one closing IEEE division."""
+    from .operators.text import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "documents"), min_ppm=33000)
+
+
+_SQL_BPE = r"""
+    WITH w AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      FROM documents),
+    p AS (SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                                       i -> substr(w, i, 2))) AS pair
+          FROM w WHERE length(w) >= 2),
+    c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM p GROUP BY pair),
+    r AS (SELECT pair, cnt,
+                 CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS INT)
+                   AS rank
+          FROM c)
+    SELECT pair, cnt, rank FROM r WHERE rank <= 20
+    """
+
+
+@register(
+    "bpe_pair_merges",
+    oracle=_SQL_BPE,
+    tags=("text", "agg", "extension"),
+)
+def q_bpe_pair_merges(spark, sf_dir):
+    """First BPE tokenizer-training step (Sennrich et al. 2016 —
+    operators/text.bpe_pair_counts): corpus-wide adjacent character-pair
+    counts inside whitespace words, top-20 merge candidates with a
+    lexicographic tie-break. Pairs materialize inside codegen (transform
+    over a sequence, no UDF); the pair alphabet is tiny so the aggregate
+    collapses map-side."""
+    from .operators.text import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"), top_k=20)
