@@ -6872,3 +6872,78 @@ def q_bpe_pair_merges(spark, sf_dir):
     from .operators.text import bpe_pair_counts
 
     return bpe_pair_counts(_t(spark, sf_dir, "documents"), top_k=20)
+
+
+# --------------------------------------------------------------------------
+# Keyed CDF (Delta Change Data Feed pre/post images)
+# --------------------------------------------------------------------------
+
+_CDF_VALS = (
+    "c_name, c_nationkey, c_acctbal, c_mktsegment, ts, valid_from, "
+    "valid_to, iscurrent, checksum"
+)
+_CDF_ORD = ", ".join(
+    f"{c} ASC NULLS FIRST"
+    for c in (
+        "c_name c_nationkey c_acctbal c_mktsegment ts valid_from "
+        "valid_to iscurrent checksum"
+    ).split()
+)
+
+_SQL_CDF = f"""
+    WITH t AS ({_SQL_TGT9}), m AS ({_SQL_MERGE_HUDI}),
+    ins AS (SELECT * FROM m EXCEPT ALL SELECT * FROM t),
+    del AS (SELECT * FROM t EXCEPT ALL SELECT * FROM m),
+    ins_n AS (SELECT *, ROW_NUMBER() OVER
+                (PARTITION BY c_custkey ORDER BY {_CDF_ORD}) AS pos FROM ins),
+    del_n AS (SELECT *, ROW_NUMBER() OVER
+                (PARTITION BY c_custkey ORDER BY {_CDF_ORD}) AS pos FROM del)
+    SELECT d.c_custkey, d.c_name, d.c_nationkey, d.c_acctbal, d.c_mktsegment,
+           d.ts, d.valid_from, d.valid_to, d.iscurrent, d.checksum,
+           'update_preimage' AS _change_type
+    FROM ins_n i JOIN del_n d ON i.c_custkey = d.c_custkey AND i.pos = d.pos
+    UNION ALL
+    SELECT i.c_custkey, i.c_name, i.c_nationkey, i.c_acctbal, i.c_mktsegment,
+           i.ts, i.valid_from, i.valid_to, i.iscurrent, i.checksum,
+           'update_postimage' AS _change_type
+    FROM ins_n i JOIN del_n d ON i.c_custkey = d.c_custkey AND i.pos = d.pos
+    UNION ALL
+    SELECT i.c_custkey, i.c_name, i.c_nationkey, i.c_acctbal, i.c_mktsegment,
+           i.ts, i.valid_from, i.valid_to, i.iscurrent, i.checksum,
+           'insert' AS _change_type
+    FROM ins_n i WHERE NOT EXISTS
+      (SELECT 1 FROM del_n d
+       WHERE d.c_custkey = i.c_custkey AND d.pos = i.pos)
+    UNION ALL
+    SELECT d.c_custkey, d.c_name, d.c_nationkey, d.c_acctbal, d.c_mktsegment,
+           d.ts, d.valid_from, d.valid_to, d.iscurrent, d.checksum,
+           'delete' AS _change_type
+    FROM del_n d WHERE NOT EXISTS
+      (SELECT 1 FROM ins_n i
+       WHERE i.c_custkey = d.c_custkey AND i.pos = d.pos)
+    """
+
+
+@register(
+    "table_changes_cdf_images",
+    oracle=_SQL_CDF,
+    tags=("S2", "extension", "cdc"),
+)
+def q_table_changes_cdf_images(spark, sf_dir):
+    """Delta Change Data Feed-flavored incremental read
+    (``VersionedTable.changes_cdf`` / ``table_changes_keyed``): the
+    multiset diff of ``table_changes`` with delete+insert pairs sharing
+    the business key re-labeled ``update_preimage``/``update_postimage``
+    — the 4-valued ``_change_type`` CDF consumers expect. The SCD2 hudi
+    merge rewrites every row at T2, so every key pairs at least once;
+    changed keys additionally insert their new current row."""
+    from .sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_cdf_"))
+    vt.overwrite(scd2_target(spark, sf_dir))
+    vt.overwrite(
+        scd2_merge_hudi_style(
+            vt.read(), customer_updates(spark, sf_dir), "c_custkey", CHECKSUM_COLS, as_of=T2
+        )
+    )
+    return vt.changes_cdf(0, 1, ["c_custkey"])

@@ -376,6 +376,22 @@ class VersionedTable:
             self.read(version=to_version),
         )
 
+    def changes_cdf(
+        self, from_version: int, to_version: int, key_cols: list[str]
+    ) -> DataFrame:
+        """Delta Change Data Feed-flavored incremental read: like
+        ``changes``, but a delete and an insert sharing ``key_cols`` are
+        paired into ``update_preimage`` (old values) + ``update_postimage``
+        (new values) rows — the 4-valued ``_change_type`` Delta CDF
+        consumers (downstream MERGE replication, incremental MVs keyed on
+        business keys) expect."""
+        return table_changes_keyed(
+            self.spark,
+            self.read(version=from_version),
+            self.read(version=to_version),
+            key_cols,
+        )
+
     def compact(
         self,
         target_partitions: int = 1,
@@ -1409,6 +1425,41 @@ class VersionedTable:
         rows = [(f["path"], f["size_bytes"]) for f in self.files(version)]
         return self.spark.createDataFrame(rows, "path string, size_bytes long")
 
+    def refs_df(self) -> DataFrame:
+        """Named references as a queryable DataFrame (Iceberg ``.refs``
+        metadata-table analog): the published head, every tag, and every
+        writable branch with the snapshot version each one addresses.
+        ``forked_at`` is the branch fork point (NULL for head/tags) —
+        the same version ``fast_forward`` validates against."""
+        meta = self._meta()
+        rows: list[tuple] = []
+        head = next(
+            (
+                s
+                for s in reversed(meta.get("snapshots", []))
+                if not s.get("staged")
+            ),
+            None,
+        )
+        if head is not None:
+            rows.append(("main", "HEAD", head["version"], None))
+        for name in sorted(meta.get("tags", {})):
+            rows.append((name, "TAG", meta["tags"][name], None))
+        for name in sorted(meta.get("branches", {})):
+            info = meta["branches"][name]
+            bt = VersionedTable(self.spark, info["location"])
+            rows.append(
+                (
+                    name,
+                    "BRANCH",
+                    bt._current_snapshot()["version"],
+                    info["forked_at"],
+                )
+            )
+        return self.spark.createDataFrame(
+            rows, "name string, type string, version int, forked_at int"
+        )
+
     def files(self, version: int | None = None) -> list[dict]:
         """Data files of a snapshot (Delta ``DESCRIBE DETAIL`` / Iceberg
         ``.files`` metadata-table analog): path + size per parquet file —
@@ -1555,3 +1606,78 @@ def table_changes(spark, old: DataFrame, new: DataFrame) -> DataFrame:
         .withColumn("_change_type", F.lit("delete"))
     )
     return inserted.unionByName(deleted)
+
+
+def table_changes_keyed(
+    spark, old: DataFrame, new: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Keyed CDC (Delta Change Data Feed analog): the multiset row diff of
+    ``table_changes``, with delete+insert pairs that share ``key_cols``
+    re-labeled ``update_preimage`` (old values) / ``update_postimage``
+    (new values). Pairing is positional per key: each side's rows are
+    numbered by a deterministic sort over the non-key columns, and rows
+    with the same (key, position) pair up — so a key with 2 deletes and
+    1 insert yields one update pair plus one plain delete (the convention
+    that keeps multiplicity changes visible instead of swallowing them).
+
+    Scale: the diff is the two snapshot aggregates + one full-outer join
+    of ``table_changes``; the pairing adds two key-partitioned window
+    numberings and one key-positional full-outer join. Every exchange is
+    on the key columns — no global sort, no driver round-trips.
+    """
+    from pyspark.sql import Window
+
+    diff = table_changes(spark, old, new)
+    value_cols = [c for c in new.columns if c not in key_cols]
+    if not value_cols:
+        # key-only rows: identical rows net out in the multiset diff, so
+        # no key can appear on both sides — nothing can pair up
+        return diff
+    order = [F.col(c).asc_nulls_first() for c in value_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    ins = (
+        diff.filter(F.col("_change_type") == "insert")
+        .withColumn("__pos", F.row_number().over(w))
+        .drop("_change_type")
+    )
+    dele = (
+        diff.filter(F.col("_change_type") == "delete")
+        .withColumn("__pos", F.row_number().over(w))
+        .drop("_change_type")
+    )
+    on = [*key_cols, "__pos"]
+    ins_r = ins.select(
+        *on, F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__new")
+    )
+    del_r = dele.select(
+        *on, F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__old")
+    )
+    paired = ins_r.join(del_r, on=on, how="full_outer")
+    both = F.col("__new").isNotNull() & F.col("__old").isNotNull()
+    pre = paired.filter(both).select(
+        *key_cols,
+        *[F.col(f"__old.{c}").alias(c) for c in value_cols],
+        F.lit("update_preimage").alias("_change_type"),
+    )
+    post = paired.filter(both).select(
+        *key_cols,
+        *[F.col(f"__new.{c}").alias(c) for c in value_cols],
+        F.lit("update_postimage").alias("_change_type"),
+    )
+    plain_ins = paired.filter(F.col("__old").isNull()).select(
+        *key_cols,
+        *[F.col(f"__new.{c}").alias(c) for c in value_cols],
+        F.lit("insert").alias("_change_type"),
+    )
+    plain_del = paired.filter(F.col("__new").isNull()).select(
+        *key_cols,
+        *[F.col(f"__old.{c}").alias(c) for c in value_cols],
+        F.lit("delete").alias("_change_type"),
+    )
+    cols = [*new.columns, "_change_type"]
+    return (
+        pre.unionByName(post)
+        .unionByName(plain_ins)
+        .unionByName(plain_del)
+        .select(*cols)
+    )

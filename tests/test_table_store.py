@@ -1002,3 +1002,90 @@ def test_orphan_snapshot_dirs_harmless_and_reclaimable(spark, tmp_path):
         assert os.path.isdir(d)
     assert vt.read().count() == 15
     assert vt.cleanup_orphans(older_than_seconds=0) == []  # idempotent
+
+
+# -- keyed CDF (Delta Change Data Feed pre/post images) ---------------------
+
+
+def test_changes_cdf_pairs_updates_by_key(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_cdf"))
+    vt.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "s", "v"]
+        )
+    )
+    # update k=1, delete k=2, insert k=4, keep k=3 unchanged
+    vt.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 11), (3, "c", 30), (4, "d", 40)], ["k", "s", "v"]
+        )
+    )
+    rows = vt.changes_cdf(0, 1, ["k"]).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["_change_type"], []).append((r["k"], r["s"], r["v"]))
+    assert by_type["update_preimage"] == [(1, "a", 10)]
+    assert by_type["update_postimage"] == [(1, "a", 11)]
+    assert by_type["delete"] == [(2, "b", 20)]
+    assert by_type["insert"] == [(4, "d", 40)]
+    assert len(rows) == 4  # unchanged k=3 emits nothing
+
+
+def test_changes_cdf_multiplicity_yields_pair_plus_delete(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_cdf_multi"))
+    # key 1 has TWO old rows; the new state keeps one (changed) row
+    vt.overwrite(spark.createDataFrame([(1, 10), (1, 20)], ["k", "v"]))
+    vt.overwrite(spark.createDataFrame([(1, 15)], ["k", "v"]))
+    rows = sorted(
+        (r["_change_type"], r["v"]) for r in vt.changes_cdf(0, 1, ["k"]).collect()
+    )
+    # deterministic pairing: positions sort by v -> (10 vs 15) pair, 20 deletes
+    assert rows == [
+        ("delete", 20),
+        ("update_postimage", 15),
+        ("update_preimage", 10),
+    ]
+
+
+def test_changes_cdf_key_only_table_degenerates_to_plain_diff(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_cdf_keys"))
+    vt.overwrite(spark.createDataFrame([(1,), (2,)], ["k"]))
+    vt.overwrite(spark.createDataFrame([(2,), (3,)], ["k"]))
+    rows = sorted(
+        (r["_change_type"], r["k"]) for r in vt.changes_cdf(0, 1, ["k"]).collect()
+    )
+    assert rows == [("delete", 1), ("insert", 3)]
+
+
+# -- .refs metadata table ---------------------------------------------------
+
+
+def test_refs_df_lists_head_tags_and_branches(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_refs"))
+    vt.overwrite(spark.range(3))
+    vt.tag("run-1")
+    vt.append(spark.range(3, 5))
+    vt.create_branch("audit")
+    vt.branch("audit").append(spark.range(5, 6))
+    refs = {r["name"]: r for r in vt.refs_df().collect()}
+    assert refs["main"]["type"] == "HEAD" and refs["main"]["version"] == 1
+    assert refs["run-1"]["type"] == "TAG" and refs["run-1"]["version"] == 0
+    assert refs["audit"]["type"] == "BRANCH"
+    assert refs["audit"]["forked_at"] == 1
+    assert refs["audit"]["version"] == 1  # branch committed once past fork
+    assert refs["main"]["forked_at"] is None
+
+
+def test_refs_df_empty_table_has_no_rows(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_refs_empty"))
+    assert vt.refs_df().count() == 0
