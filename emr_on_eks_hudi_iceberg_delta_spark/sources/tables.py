@@ -160,9 +160,41 @@ class VersionedTable:
                         f"generated column {gname} ({gexpr}) supplied with "
                         f"non-matching values"
                     )
+        track = bool(meta.get("properties", {}).get("rowTracking.enabled"))
+        hwm = int(meta.get("row_id_hwm", 0))
+        if track:
+            # Delta row-tracking analog: rows that already carry a
+            # __row_id keep it (stability across CoW rewrites); rows
+            # without one get fresh ids >= the high-water mark.
+            # monotonically_increasing_id is unique within this plan and
+            # evaluated exactly once (the write below is the only
+            # action), so the persisted ids are consistent; ids are
+            # sparse, never reused — uniqueness, not density, is the
+            # contract (same trade Delta makes with per-file base ids).
+            if "__row_id" not in df.columns:
+                df = df.withColumn("__row_id", F.lit(None).cast("bigint"))
+            df = df.withColumn(
+                "__row_id",
+                F.coalesce(
+                    F.col("__row_id").cast("bigint"),
+                    (F.lit(hwm) + F.monotonically_increasing_id()).cast(
+                        "bigint"
+                    ),
+                ),
+            )
         version = self._next_version(snaps)
         snap_dir = os.path.join(self.location, f"snapshot-{version:05d}")
         df.write.mode("overwrite").parquet(snap_dir)
+        if track:
+            # advance the high-water mark from the WRITTEN files (one
+            # column-pruned scan of the new snapshot — the ids the plan
+            # materialized, not a re-evaluation)
+            mx = (
+                self.spark.read.parquet(snap_dir)
+                .agg(F.max("__row_id"))
+                .first()[0]
+            )
+            meta["row_id_hwm"] = max(hwm, (mx if mx is not None else -1) + 1)
         entry = {
             "version": version,
             "dir": snap_dir,
@@ -260,7 +292,10 @@ class VersionedTable:
         for gname, gexpr in self._meta().get("generated", {}).items():
             if gname not in df.columns:
                 df = df.withColumn(gname, F.expr(gexpr))
-        current = self.read()
+        current = self.read(with_row_ids=True)
+        if "__row_id" in current.columns and "__row_id" not in df.columns:
+            # appended rows get fresh ids in _commit; existing keep theirs
+            df = df.withColumn("__row_id", F.lit(None).cast("bigint"))
         self._commit(current.unionByName(df, allowMissingColumns=merge_schema))
         return self
 
@@ -282,7 +317,7 @@ class VersionedTable:
         snaps = self._snapshots()
         if snaps and id_col in self.read().columns:
             start = self.read().agg(F.max(id_col)).first()[0] or 0
-            current = self.read()
+            current = self.read(with_row_ids=True)
         else:
             start = 0
             current = None
@@ -293,6 +328,8 @@ class VersionedTable:
         if current is None:
             self._commit(new)
         else:
+            if "__row_id" in current.columns:
+                new = new.withColumn("__row_id", F.lit(None).cast("bigint"))
             self._commit(current.unionByName(new))
         return self
 
@@ -321,6 +358,16 @@ class VersionedTable:
             base_version = snaps[-1]["version"] if snaps else None
             target = self.read()
             merged = upsert_by_key(target, updates, key_cols, precombine_col)
+            tracked = self.read(with_row_ids=True)
+            if "__row_id" in tracked.columns:
+                # Delta row-tracking MERGE semantics: a key that existed
+                # keeps its row id (update-in-place lineage); brand-new
+                # keys get fresh ids in _commit. min() guards against a
+                # pre-tracking table holding duplicate keys.
+                id_map = tracked.groupBy(*key_cols).agg(
+                    F.min("__row_id").alias("__row_id")
+                )
+                merged = merged.join(id_map, key_cols, "left")
             try:
                 self._commit(merged, expected_version=base_version, op="MERGE")
                 return self
@@ -330,14 +377,24 @@ class VersionedTable:
 
     # -- read surface -------------------------------------------------------
 
-    def read(self, version: int | None = None, with_meta: bool = False) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        with_meta: bool = False,
+        with_row_ids: bool = False,
+    ) -> DataFrame:
         """Snapshot scan (S2); ``version`` gives time travel.
 
         ``with_meta=True`` adds commit-lineage columns ``_commit_version``
         and ``_commit_time`` — the engine's analog of Hudi's ``_hoodie_*``
         metadata columns (the reason the reference needs
         ``unionByName(allowMissingColumns=True)`` at
-        hudi/hudi_scd_script.py:111; SURVEY.md §7 hard-point 4)."""
+        hudi/hudi_scd_script.py:111; SURVEY.md §7 hard-point 4).
+
+        ``with_row_ids=True`` exposes the hidden ``__row_id`` column when
+        row tracking is enabled (``enable_row_tracking``) — stable row
+        identity across CoW rewrites, hidden from plain reads like
+        Delta's row-tracking metadata column."""
         snaps = self._snapshots()
         if not snaps:
             raise FileNotFoundError(f"no snapshot at {self.location}")
@@ -354,6 +411,8 @@ class VersionedTable:
         if snap is None:
             raise ValueError(f"version {version} not found at {self.location}")
         df = self._apply_tombstones(self.spark.read.parquet(snap["dir"]), snap)
+        if not with_row_ids and "__row_id" in df.columns:
+            df = df.drop("__row_id")
         if with_meta:
             df = df.withColumn(
                 "_commit_version", F.lit(snap["version"]).cast("int")
@@ -422,7 +481,7 @@ class VersionedTable:
         of the snapshot — exactly what any OPTIMIZE rewrite costs; the
         quantile pass for Z-order is a sampled aggregate, not a full sort.
         """
-        df = self.read()
+        df = self.read(with_row_ids=True)
         if zorder_by:
             zkey = self._zorder_key(df, zorder_by, zorder_buckets)
             df = (
@@ -690,9 +749,10 @@ class VersionedTable:
         if not files:
             # empty result, full snapshot schema
             return self.read().filter(F.lit(False))
-        return self._apply_tombstones(
+        df = self._apply_tombstones(
             self.spark.read.parquet(*files), self._current_snapshot()
         ).filter(residual)
+        return df.drop("__row_id") if "__row_id" in df.columns else df
 
     def _apply_tombstones(self, df: DataFrame, snap: dict) -> DataFrame:
         """Anti-join any tombstone files recorded on the snapshot — the
@@ -852,7 +912,9 @@ class VersionedTable:
                 f"replace_where: incoming rows do not all match the "
                 f"predicate {condition!r}"
             )
-        kept = self.read().filter(~hit)
+        kept = self.read(with_row_ids=True).filter(~hit)
+        if "__row_id" in kept.columns and "__row_id" not in df.columns:
+            df = df.withColumn("__row_id", F.lit(None).cast("bigint"))
         self._commit(
             kept.unionByName(df.select(*kept.columns)), op="REPLACE WHERE"
         )
@@ -867,7 +929,7 @@ class VersionedTable:
         them)."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         keep = ~F.coalesce(cond.cast("boolean"), F.lit(False))
-        self._commit(self.read().filter(keep), op="DELETE")
+        self._commit(self.read(with_row_ids=True).filter(keep), op="DELETE")
         return self
 
     def update_where(self, condition, assignments: dict) -> "VersionedTable":
@@ -877,7 +939,7 @@ class VersionedTable:
         non-matching rows pass through byte-identical."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         hit = F.coalesce(cond.cast("boolean"), F.lit(False))
-        df = self.read()
+        df = self.read(with_row_ids=True)
         for name, value in assignments.items():
             expr = F.expr(value) if isinstance(value, str) else value
             df = df.withColumn(name, F.when(hit, expr).otherwise(F.col(name)))
@@ -895,13 +957,13 @@ class VersionedTable:
         old snapshots — schema is per-snapshot, like Delta's per-version
         metadata."""
         value = F.lit(default).cast(dtype)
-        self._commit(self.read().withColumn(name, value))
+        self._commit(self.read(with_row_ids=True).withColumn(name, value))
         return self
 
     def rename_column(self, old: str, new: str) -> "VersionedTable":
         """Delta ``RENAME COLUMN`` (column-mapping) analog, realized as a
         CoW projection rewrite — data unchanged, one snapshot commit."""
-        df = self.read()
+        df = self.read(with_row_ids=True)
         self._commit(
             df.select(*[F.col(c).alias(new) if c == old else F.col(c) for c in df.columns])
         )
@@ -910,7 +972,29 @@ class VersionedTable:
     def drop_column(self, name: str) -> "VersionedTable":
         """Delta ``DROP COLUMN`` analog: CoW rewrite without the column;
         historical snapshots keep it for time travel."""
-        self._commit(self.read().drop(name))
+        self._commit(self.read(with_row_ids=True).drop(name))
+        return self
+
+    def enable_row_tracking(self) -> "VersionedTable":
+        """Delta row-tracking analog (``delta.enableRowTracking``): every
+        row gets a stable hidden ``__row_id`` that survives CoW rewrites —
+        UPDATE/DELETE/compact/OPTIMIZE/RESTORE keep ids, keyed ``upsert``
+        carries the id of the matched key onto the new row version, and
+        appended/inserted rows draw fresh ids above a metadata high-water
+        mark. ``read(with_row_ids=True)`` exposes the column; plain reads
+        never see it. Ids are sparse (uniqueness, not density, is the
+        contract). WAP ``stage()`` writes bypass assignment until the
+        next tracked commit, and MoR deferred deletes are unaffected
+        (tombstones are keyed, not positional)."""
+        meta = self._meta()
+        meta.setdefault("properties", {})["rowTracking.enabled"] = True
+        meta.setdefault("row_id_hwm", 0)
+        self._write_meta(meta)
+        if meta.get("snapshots") and any(
+            not s.get("staged") for s in meta["snapshots"]
+        ):
+            # backfill: materialize ids for the existing rows
+            self._commit(self.read(), op="ENABLE ROW TRACKING")
         return self
 
     def add_constraint(self, name: str, expr: str) -> "VersionedTable":
@@ -996,7 +1080,9 @@ class VersionedTable:
         an old snapshot's data as the NEW current version — a roll-forward
         rollback, so history is never rewritten and concurrent readers of
         the bad version stay consistent."""
-        self._commit(self.read(version=version), op="RESTORE")
+        self._commit(
+            self.read(version=version, with_row_ids=True), op="RESTORE"
+        )
         return self
 
     def clone(self, target_location: str) -> "VersionedTable":

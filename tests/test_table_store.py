@@ -1089,3 +1089,98 @@ def test_refs_df_empty_table_has_no_rows(spark, tmp_path):
 
     vt = VersionedTable(spark, str(tmp_path / "vt_refs_empty"))
     assert vt.refs_df().count() == 0
+
+
+# -- row tracking (stable hidden __row_id across CoW rewrites) --------------
+
+
+def _ids(vt):
+    return {
+        tuple(r[c] for c in vt.read().columns): r["__row_id"]
+        for r in vt.read(with_row_ids=True).collect()
+    }
+
+
+def test_row_tracking_survives_update_delete_compact(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_rt"))
+    vt.overwrite(
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30)], ["k", "v"])
+    )
+    vt.enable_row_tracking()
+    ids0 = {r["k"]: r["__row_id"] for r in vt.read(with_row_ids=True).collect()}
+    assert len(set(ids0.values())) == 3  # unique
+    assert "__row_id" not in vt.read().columns  # hidden from plain reads
+    vt.update_where("k = 2", {"v": F.lit(99)})
+    vt.delete_where("k = 3")
+    vt.compact(target_partitions=1)
+    ids1 = {r["k"]: r["__row_id"] for r in vt.read(with_row_ids=True).collect()}
+    assert ids1 == {1: ids0[1], 2: ids0[2]}  # ids stable through rewrites
+
+
+def test_row_tracking_appends_get_fresh_ids(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_rt_app"))
+    vt.enable_row_tracking()
+    vt.overwrite(spark.createDataFrame([(1,), (2,)], ["k"]))
+    ids0 = {r["k"]: r["__row_id"] for r in vt.read(with_row_ids=True).collect()}
+    vt.append(spark.createDataFrame([(3,), (4,)], ["k"]))
+    ids1 = {r["k"]: r["__row_id"] for r in vt.read(with_row_ids=True).collect()}
+    assert ids1[1] == ids0[1] and ids1[2] == ids0[2]
+    assert len(set(ids1.values())) == 4
+    # fresh ids sit above the prior high-water mark
+    assert min(ids1[3], ids1[4]) > max(ids0.values())
+
+
+def test_row_tracking_upsert_preserves_matched_key_ids(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_rt_up"))
+    vt.overwrite(
+        spark.createDataFrame([(1, 10, 1), (2, 20, 1)], ["k", "v", "seq"])
+    )
+    vt.enable_row_tracking()
+    ids0 = {r["k"]: r["__row_id"] for r in vt.read(with_row_ids=True).collect()}
+    vt.upsert(
+        spark.createDataFrame([(2, 99, 2), (3, 30, 2)], ["k", "v", "seq"]),
+        ["k"],
+        "seq",
+    )
+    rows = {r["k"]: r for r in vt.read(with_row_ids=True).collect()}
+    assert rows[2]["v"] == 99 and rows[2]["__row_id"] == ids0[2]  # kept id
+    assert rows[1]["__row_id"] == ids0[1]
+    assert rows[3]["__row_id"] not in ids0.values()  # new key, fresh id
+
+
+def test_row_tracking_restore_and_time_travel_keep_ids(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_rt_restore"))
+    vt.overwrite(spark.createDataFrame([(1, 10), (2, 20)], ["k", "v"]))
+    vt.enable_row_tracking()  # v1 backfills ids
+    ids0 = {r["k"]: r["__row_id"] for r in vt.read(with_row_ids=True).collect()}
+    vt.delete_where("k = 2")  # v2
+    vt.restore(1)  # v3 == v1's data
+    ids1 = {r["k"]: r["__row_id"] for r in vt.read(with_row_ids=True).collect()}
+    assert ids1 == ids0
+    # time travel exposes the ids as written at that version
+    old = {
+        r["k"]: r["__row_id"]
+        for r in vt.read(version=1, with_row_ids=True).collect()
+    }
+    assert old == ids0
+
+
+def test_row_tracking_schema_ddl_keeps_ids(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_rt_ddl"))
+    vt.overwrite(spark.createDataFrame([(1, 10)], ["k", "v"]))
+    vt.enable_row_tracking()
+    rid = vt.read(with_row_ids=True).first()["__row_id"]
+    vt.add_column("w", "int", default=0)
+    vt.rename_column("w", "w2")
+    vt.drop_column("w2")
+    assert vt.read(with_row_ids=True).first()["__row_id"] == rid
