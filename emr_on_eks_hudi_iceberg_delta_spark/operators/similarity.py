@@ -1081,3 +1081,72 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def kcenter_sample(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Greedy k-center (farthest-point) diversity sampling: pick the
+    lowest-id vector, then repeatedly the vector farthest (squared L2)
+    from everything chosen so far — the classic 2-approximation to the
+    k-center coverage problem, used to select a maximally diverse subset
+    of an embedded corpus (coreset seeding, eval-set picking, dedup-aware
+    curation).
+
+    Returns one row per selected vector: ``selection_order`` (1-based)
+    and ``dist_sq`` — its min squared distance to the previously chosen
+    set at selection time (non-increasing; the k-th value bounds the
+    corpus coverage radius).
+
+    Deterministic: seed = lowest id; ties in farthest-point break on the
+    lower id; distance folds are sequential left-folds, so results are
+    reproducible run-to-run and against a same-op-order host reference
+    (tests/test_similarity_extra.py).
+
+    Scale: greedy k-center is inherently sequential in k — each step is
+    one distributed ``least(min-dist, dist-to-new-center)`` map plus one
+    TakeOrdered(1) (driver receives ONE row per step, never data).
+    Centers enter the plan as literal arrays (k×dim literal nodes);
+    for production dims the same mapInPandas BLAS swap as
+    ``hyperplane_band_keys_blas`` applies — the greedy loop structure is
+    unchanged. ``checkpoint_every`` truncates the growing lineage.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    base = _with_double_vec(emb, id_col, vec_col).select(F.col(id_col), "e")
+
+    def sq_dist_to(vec: list) -> "F.Column":
+        lit_vec = F.array(*[F.lit(float(v)) for v in vec])
+        return F.aggregate(
+            F.zip_with("e", lit_vec, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    first = base.orderBy(F.col(id_col).asc()).limit(1).collect()[0]
+    chosen: list[tuple] = [(first[id_col], 1, 0.0)]
+    cur = base.filter(F.col(id_col) != F.lit(first[id_col])).withColumn(
+        "__mind", sq_dist_to(first["e"])
+    )
+    for step in range(2, int(k) + 1):
+        far_rows = (
+            cur.orderBy(F.col("__mind").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()
+        )
+        if not far_rows:
+            break  # corpus smaller than k
+        far = far_rows[0]
+        chosen.append((far[id_col], step, float(far["__mind"])))
+        cur = cur.filter(F.col(id_col) != F.lit(far[id_col])).withColumn(
+            "__mind", F.least(F.col("__mind"), sq_dist_to(far["e"]))
+        )
+        if step % int(checkpoint_every) == 0:
+            cur = cur.localCheckpoint(eager=False)
+    return emb.sparkSession.createDataFrame(
+        chosen, f"{id_col} bigint, selection_order int, dist_sq double"
+    )

@@ -6947,3 +6947,131 @@ def q_table_changes_cdf_images(spark, sf_dir):
         )
     )
     return vt.changes_cdf(0, 1, ["c_custkey"])
+
+
+# --------------------------------------------------------------------------
+# Round-5 third batch: interval-range windows, deterministic mode,
+# positional explode, k-center diversity sampling
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_trailing_hour_window",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL})
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("events", "window", "extension"),
+)
+def q_events_trailing_hour_window(spark, sf_dir):
+    """Time-interval window frame (RANGE BETWEEN INTERVAL '1' HOUR
+    PRECEDING): per event, the same user's event count and value sum over
+    the trailing hour INCLUDING peers at the same instant — RANGE frames
+    are peer-inclusive on both engines, which is what makes the result
+    deterministic where a ROWS frame would be tie-order-dependent. The
+    sum accumulates as DECIMAL (order-independent) with one closing
+    cast. One shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    secs = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_1h"),
+    )
+
+
+@register(
+    "modal_event_type",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM ev GROUP BY 1, 2),
+    r AS (SELECT user_id, event_type AS modal_event_type, cnt,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY cnt DESC, event_type ASC) AS rn
+          FROM c)
+    SELECT user_id, modal_event_type, cnt FROM r WHERE rn = 1
+    """,
+    tags=("events", "agg", "window", "extension"),
+)
+def q_modal_event_type(spark, sf_dir):
+    """Deterministic per-group mode: each user's most frequent event type
+    with a lexicographic tie-break (Spark's ``F.mode`` is
+    tie-nondeterministic, so the portable idiom is count + ranked window
+    — the same plan an exact MODE() would need anyway). Two exchanges:
+    the (user, type) aggregate collapses map-side, then one user-keyed
+    window."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", F.col("event_type").alias("modal_event_type"), "cnt"
+        )
+    )
+
+
+@register(
+    "posexplode_token_positions",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents WHERE doc_id % 10 = 0)
+    SELECT doc_id,
+           CAST(unnest(generate_series(1, len(t))) AS INT) AS pos,
+           unnest(t) AS token
+    FROM tok
+    """,
+    tags=("text", "functions", "extension"),
+)
+def q_posexplode_token_positions(spark, sf_dir):
+    """Positional explode (LATERAL VIEW posexplode): tokens with their
+    1-based in-document position — the ordinality-preserving flatten
+    every sequence-labeling / n-gram-position pipeline starts from.
+    DuckDB zips the two same-length unnests; Spark's posexplode emits
+    (pos, value) pairs natively. Pure codegen, zero shuffle."""
+    from .operators.text import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return docs.select(
+        "doc_id", F.posexplode(tokens_expr("text")).alias("pos0", "token")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "token"
+    )
+
+
+@register(
+    "embedding_kcenter_sample",
+    tags=("similarity", "sampling", "extension"),
+)
+def q_embedding_kcenter_sample(spark, sf_dir):
+    """Greedy k-center (farthest-point) diversity sample of the embedding
+    corpus (operators/similarity.kcenter_sample): 8 maximally-spread
+    vectors with their coverage-radius diagnostics. Rows-only gate (the
+    greedy argmax chain is iterative, not SQL-expressible); the exact
+    selection sequence is pinned against a same-IEEE-op-order host
+    reference in tests/test_kcenter.py."""
+    from .operators.similarity import kcenter_sample
+
+    return kcenter_sample(_t(spark, sf_dir, "embeddings"), k=8)
