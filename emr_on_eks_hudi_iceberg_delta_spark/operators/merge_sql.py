@@ -294,6 +294,11 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
         ALTER TABLE t DROP COLUMN[S] [(]c[)]
         ALTER TABLE t ADD CONSTRAINT n CHECK (expr)
         ALTER TABLE t DROP CONSTRAINT n
+        ALTER TABLE t SET TBLPROPERTIES (k = v, ...)
+        ALTER TABLE t UNSET TBLPROPERTIES (k, ...)
+        ALTER TABLE t ALTER COLUMN c SET NOT NULL | DROP NOT NULL
+        SHOW TBLPROPERTIES t          -- returns (key, value) rows
+        VACUUM t [RETAIN n VERSIONS] DRY RUN   -- returns would-delete paths
 
     With a ``catalog`` (LakeCatalog), the catalog DDL surface too::
 
@@ -430,10 +435,20 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
         _table(m.group("t")).restore(int(m.group("v")))
         return
     m = re.match(
-        r"\s*VACUUM\s+(?P<t>[\w.]+)(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?\s*$", s, re.I
+        r"\s*VACUUM\s+(?P<t>[\w.]+)(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?"
+        r"(?P<dry>\s+DRY\s+RUN)?\s*$",
+        s,
+        re.I,
     )
     if m:
-        _table(m.group("t")).vacuum(keep_last=int(m.group("n") or 1))
+        vt = _table(m.group("t"))
+        keep = int(m.group("n") or 1)
+        if m.group("dry"):
+            return spark.createDataFrame(
+                [(p,) for p in vt.vacuum(keep_last=keep, dry_run=True)],
+                "path string",
+            )
+        vt.vacuum(keep_last=keep)
         return
     m = re.match(
         r"\s*OPTIMIZE\s+(?P<t>[\w.]+)(?:\s+ZORDER\s+BY\s*\((?P<cols>[^)]+)\))?\s*$",
@@ -446,6 +461,13 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
         )
         _table(m.group("t")).compact(zorder_by=cols)
         return
+    m = re.match(r"\s*SHOW\s+TBLPROPERTIES\s+(?P<t>[\w.]+)\s*$", s, re.I)
+    if m:
+        props = _table(m.group("t")).properties()
+        return spark.createDataFrame(
+            [(k, str(v)) for k, v in sorted(props.items())],
+            "key string, value string",
+        )
     m = re.match(r"\s*DESCRIBE\s+HISTORY\s+(?P<t>[\w.]+)\s*$", s, re.I)
     if m:
         return _table(m.group("t")).history_df()
@@ -495,6 +517,36 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
         am = re.match(r"DROP\s+CONSTRAINT\s+(?P<n>\w+)\s*$", rest, re.I)
         if am:
             vt.drop_constraint(am.group("n"))
+            return
+        am = re.match(
+            r"SET\s+TBLPROPERTIES\s*\((?P<kv>.+)\)\s*$", rest, re.I | re.S
+        )
+        if am:
+            for part in _split_top_commas(am.group("kv")):
+                i = _find_top_eq(part)
+                key = part[:i].strip().strip("'\"")
+                val = part[i + 1 :].strip().strip("'\"")
+                lowered = {"true": True, "false": False}.get(val.lower(), val)
+                vt.set_property(key, lowered)
+            return
+        am = re.match(
+            r"UNSET\s+TBLPROPERTIES\s*\((?P<k>.+)\)\s*$", rest, re.I | re.S
+        )
+        if am:
+            for part in _split_top_commas(am.group("k")):
+                vt.unset_property(part.strip().strip("'\""))
+            return
+        am = re.match(
+            r"ALTER\s+COLUMN\s+(?P<c>\w+)\s+SET\s+NOT\s+NULL\s*$", rest, re.I
+        )
+        if am:
+            vt.set_not_null(am.group("c"))
+            return
+        am = re.match(
+            r"ALTER\s+COLUMN\s+(?P<c>\w+)\s+DROP\s+NOT\s+NULL\s*$", rest, re.I
+        )
+        if am:
+            vt.drop_not_null(am.group("c"))
             return
         raise ValueError(f"DML: unsupported ALTER TABLE action {rest[:60]!r}")
     raise ValueError(f"DML: unsupported statement {s[:60]!r}")

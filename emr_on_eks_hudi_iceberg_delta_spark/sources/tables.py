@@ -147,6 +147,14 @@ class VersionedTable:
                 raise ConstraintViolationError(
                     f"CHECK constraint {cname} ({cexpr}) violated by incoming rows"
                 )
+        for nn in meta.get("not_null", []):
+            # Delta NOT NULL column constraints: validated at every
+            # commit; a column absent from this snapshot's schema (post
+            # drop/evolution) has nothing to validate
+            if nn in df.columns and not df.filter(F.col(nn).isNull()).isEmpty():
+                raise ConstraintViolationError(
+                    f"NOT NULL constraint on {nn} violated by incoming rows"
+                )
         for gname, gexpr in meta.get("generated", {}).items():
             # Delta generated-column semantics: an omitted column is
             # computed from its expression; a supplied one must MATCH the
@@ -971,8 +979,54 @@ class VersionedTable:
 
     def drop_column(self, name: str) -> "VersionedTable":
         """Delta ``DROP COLUMN`` analog: CoW rewrite without the column;
-        historical snapshots keep it for time travel."""
+        historical snapshots keep it for time travel. A NOT NULL marker
+        on the column goes with it."""
         self._commit(self.read(with_row_ids=True).drop(name))
+        self.drop_not_null(name)
+        return self
+
+    def set_property(self, key: str, value) -> "VersionedTable":
+        """``ALTER TABLE ... SET TBLPROPERTIES`` analog: a durable
+        key→value on the table metadata. Behavior-bearing keys
+        (``symlinkFormatManifest.enabled``, ``rowTracking.enabled``) take
+        effect from the next commit; ``enable_row_tracking()`` is the
+        backfilling wrapper for the latter."""
+        meta = self._meta()
+        meta.setdefault("properties", {})[key] = value
+        self._write_meta(meta)
+        return self
+
+    def unset_property(self, key: str) -> "VersionedTable":
+        meta = self._meta()
+        meta.get("properties", {}).pop(key, None)
+        self._write_meta(meta)
+        return self
+
+    def properties(self) -> dict:
+        """SHOW TBLPROPERTIES: the current property map (a copy)."""
+        return dict(self._meta().get("properties", {}))
+
+    def set_not_null(self, col: str) -> "VersionedTable":
+        """``ALTER TABLE ... ALTER COLUMN c SET NOT NULL`` analog:
+        existing rows are validated now, every future commit is validated
+        at write time (unlike CHECK, a NULL here REJECTS — that is the
+        point of the constraint)."""
+        if not self.read().filter(F.col(col).isNull()).isEmpty():
+            raise ConstraintViolationError(
+                f"cannot SET NOT NULL on {col}: existing rows hold NULLs"
+            )
+        meta = self._meta()
+        nn = meta.setdefault("not_null", [])
+        if col not in nn:
+            nn.append(col)
+        self._write_meta(meta)
+        return self
+
+    def drop_not_null(self, col: str) -> "VersionedTable":
+        meta = self._meta()
+        if col in meta.get("not_null", []):
+            meta["not_null"].remove(col)
+            self._write_meta(meta)
         return self
 
     def enable_row_tracking(self) -> "VersionedTable":
@@ -1106,7 +1160,9 @@ class VersionedTable:
         }
         return protected
 
-    def _reclaim_dropped(self, meta: dict, keep: list[dict]) -> None:
+    def _reclaim_dropped(
+        self, meta: dict, keep: list[dict], dry_run: bool = False
+    ) -> list[str]:
         """Shared retention reclaim for both vacuum flavors: install
         ``keep`` as the snapshot list and delete dropped snapshots' data
         dirs AND their now-unreferenced tombstone / deletion-vector dirs.
@@ -1115,9 +1171,12 @@ class VersionedTable:
         still reference live DIRS); live branches protect main-owned dirs
         through their shallow-clone v0 entries; external dirs belong to
         another table (shallow_clone source) and are never reclaimed from
-        the clone side."""
+        the clone side. ``dry_run`` reports the would-be-deleted dirs and
+        changes NOTHING (Delta ``VACUUM ... DRY RUN``). Returns the
+        (would-be) deleted directories."""
         import shutil
 
+        removed: list[str] = []
         snaps = meta["snapshots"]
         keep_dirs = {s["dir"] for s in keep}
         # tombstone/DV dirs still referenced by a kept snapshot must
@@ -1145,16 +1204,22 @@ class VersionedTable:
             if s["version"] in kept_versions:
                 continue
             if s["dir"] not in keep_dirs and not s.get("external"):
-                shutil.rmtree(s["dir"], ignore_errors=True)
+                removed.append(s["dir"])
+                if not dry_run:
+                    shutil.rmtree(s["dir"], ignore_errors=True)
             # dv/tombstone dirs referenced only by dropped metadata-only
             # DELETE commits would otherwise leak on disk forever
             for d in s.get("tombstones", []) + s.get("dv", []):
                 if d["dir"] not in keep_aux:
-                    shutil.rmtree(d["dir"], ignore_errors=True)
-        meta["snapshots"] = keep
-        self._write_meta(meta)
+                    removed.append(d["dir"])
+                    if not dry_run:
+                        shutil.rmtree(d["dir"], ignore_errors=True)
+        if not dry_run:
+            meta["snapshots"] = keep
+            self._write_meta(meta)
+        return removed
 
-    def vacuum(self, keep_last: int = 1) -> "VersionedTable":
+    def vacuum(self, keep_last: int = 1, dry_run: bool = False):
         """Drop all but the last ``keep_last`` snapshots and delete their
         directories (Delta VACUUM / Hudi cleaner). Time travel to vacuumed
         versions stops working, matching lake-format semantics.
@@ -1170,6 +1235,9 @@ class VersionedTable:
         dropped entry removed, every unreferenced directory deleted);
         Python's ``snaps[-0:]`` is the WHOLE list, so the keep-list must
         be special-cased rather than sliced.
+
+        ``dry_run=True`` returns the directories that WOULD be deleted
+        without touching metadata or disk (Delta ``VACUUM ... DRY RUN``).
         """
         meta = self._meta()
         snaps = meta["snapshots"]
@@ -1182,8 +1250,8 @@ class VersionedTable:
             for s in snaps
             if s["version"] in window or s["version"] in protected
         ]
-        self._reclaim_dropped(meta, keep)
-        return self
+        removed = self._reclaim_dropped(meta, keep, dry_run=dry_run)
+        return removed if dry_run else self
 
     def vacuum_older_than(self, timestamp: str) -> "VersionedTable":
         """Time-based retention (Delta ``VACUUM ... RETAIN n HOURS`` /

@@ -546,3 +546,80 @@ def test_run_dml_catalog_ddl_surface(spark, tmp_path):
     assert not os.path.exists(str(tmp_path / "cat" / "t1"))
     with _pytest.raises(ValueError, match="unknown table"):
         run_dml(spark, "DELETE FROM t1 WHERE id = 1", catalog=cat)
+
+
+# -- round-5: TBLPROPERTIES / NOT NULL / VACUUM DRY RUN surfaces ------------
+
+
+def test_sql_tblproperties_roundtrip(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.merge_sql import run_dml
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_props"))
+    vt.overwrite(spark.range(3))
+    t = {"t": vt}
+    run_dml(
+        spark,
+        "ALTER TABLE t SET TBLPROPERTIES ('owner' = 'pipeline', "
+        "'rowTracking.enabled' = true)",
+        t,
+    )
+    props = {
+        r["key"]: r["value"]
+        for r in run_dml(spark, "SHOW TBLPROPERTIES t", t).collect()
+    }
+    assert props["owner"] == "pipeline"
+    assert props["rowTracking.enabled"] == "True"
+    # the property is live: the next commit assigns row ids
+    vt.append(spark.range(3, 5))
+    assert "__row_id" in vt.read(with_row_ids=True).columns
+    run_dml(spark, "ALTER TABLE t UNSET TBLPROPERTIES ('owner')", t)
+    assert "owner" not in vt.properties()
+
+
+def test_sql_not_null_constraint(spark, tmp_path):
+    import pytest
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.merge_sql import run_dml
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import (
+        ConstraintViolationError,
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_nn"))
+    vt.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["k", "s"])
+    )
+    t = {"t": vt}
+    run_dml(spark, "ALTER TABLE t ALTER COLUMN s SET NOT NULL", t)
+    with pytest.raises(ConstraintViolationError):
+        vt.append(spark.createDataFrame([(3, None)], "k int, s string"))
+    run_dml(spark, "ALTER TABLE t ALTER COLUMN s DROP NOT NULL", t)
+    vt.append(spark.createDataFrame([(3, None)], "k int, s string"))
+    assert vt.read().count() == 3
+    # SET NOT NULL refuses when existing rows hold NULLs
+    with pytest.raises(ConstraintViolationError):
+        run_dml(spark, "ALTER TABLE t ALTER COLUMN s SET NOT NULL", t)
+
+
+def test_sql_vacuum_dry_run_deletes_nothing(spark, tmp_path):
+    import os
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.merge_sql import run_dml
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_dry"))
+    vt.overwrite(spark.range(3))
+    vt.overwrite(spark.range(4))
+    vt.overwrite(spark.range(5))
+    paths = [
+        r["path"]
+        for r in run_dml(spark, "VACUUM t RETAIN 1 VERSIONS DRY RUN", {"t": vt}).collect()
+    ]
+    assert len(paths) == 2  # v0 and v1 would go
+    assert all(os.path.isdir(p) for p in paths)  # nothing deleted
+    assert len(vt.history()) == 3  # metadata untouched
+    # the real vacuum then removes exactly the reported dirs
+    run_dml(spark, "VACUUM t RETAIN 1 VERSIONS", {"t": vt})
+    assert all(not os.path.isdir(p) for p in paths)
+    assert len(vt.history()) == 1
