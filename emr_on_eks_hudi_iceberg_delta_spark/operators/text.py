@@ -1045,3 +1045,53 @@ def bpe_pair_counts(
     return ranked.filter(F.col("rank") <= int(top_k)).select(
         "pair", F.col("cnt").cast("bigint").alias("cnt"), "rank"
     )
+
+
+def temperature_mixture_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled domain sampling (the multilingual-pretraining
+    recipe from mBERT/XLM-R and T5: sample domain ``d`` proportional to
+    ``p_d^alpha``, ``alpha < 1`` up-weights low-resource domains).
+    Per document: the domain's corpus share, its normalized
+    ``temp_share = share^alpha / sum_d share^alpha``, and the per-doc
+    sampling weight ``mix_weight = temp_share * total / count_d``.
+
+    Exactness: at the default ``alpha = 0.5`` the power is ``sqrt`` —
+    correctly rounded IEEE, so bit-exact cross-engine; the normalizer
+    folds the per-domain terms in sorted-domain order (a sequential
+    left fold both engines replay identically). Other alphas go through
+    ``pow`` (not cross-engine bit-exact; ranking still correct).
+
+    Scale: one tiny domain aggregate, a one-row normalizer fold,
+    broadcast join back — the corpus never shuffles.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__dn"))
+    total = counts.agg(F.sum("__dn").alias("__total"))
+    counts = counts.crossJoin(F.broadcast(total))
+    share = F.col("__dn").cast("double") / F.col("__total").cast("double")
+    a = float(alpha)
+    w_raw = F.sqrt(share) if a == 0.5 else F.pow(share, F.lit(a))
+    counts = counts.withColumn("__w", w_raw)
+    z = counts.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct(F.col(source_col), F.col("__w")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["__w"],
+        ).alias("__z")
+    )
+    weighted = counts.crossJoin(F.broadcast(z)).select(
+        source_col,
+        F.col("__dn").cast("bigint").alias("domain_count"),
+        share.alias("corpus_share"),
+        (F.col("__w") / F.col("__z")).alias("temp_share"),
+        (
+            (F.col("__w") / F.col("__z"))
+            * F.col("__total").cast("double")
+            / F.col("__dn").cast("double")
+        ).alias("mix_weight"),
+    )
+    return df.select(id_col, source_col).join(F.broadcast(weighted), source_col)

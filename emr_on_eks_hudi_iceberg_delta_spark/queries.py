@@ -7075,3 +7075,75 @@ def q_embedding_kcenter_sample(spark, sf_dir):
     from .operators.similarity import kcenter_sample
 
     return kcenter_sample(_t(spark, sf_dir, "embeddings"), k=8)
+
+
+@register(
+    "streaming_static_enrich",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL})
+    SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM ev JOIN customer c ON ev.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    tags=("streaming", "join", "extension"),
+)
+def q_streaming_static_enrich(spark, sf_dir):
+    """Stream-static join (streaming/events.stream_static_enrich): the
+    event stream enriched per micro-batch against the static customer
+    dimension (broadcast, zero stream-side shuffle), then aggregated per
+    market segment in complete mode — exact-matches the batch join+agg
+    oracle. The one streaming join flavor the suite lacked beside the
+    stream-stream interval join."""
+    from .streaming.events import stream_static_enrich
+
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream_static_enrich(_events_stream(spark, sf_dir), dim)
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    return run_stream_to_memory(agg)
+
+
+@register(
+    "temperature_mixture_weights",
+    oracle="""
+    WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS domain_count
+               FROM documents GROUP BY source),
+    t AS (SELECT CAST(SUM(domain_count) AS BIGINT) AS total FROM c),
+    w AS (SELECT source, domain_count,
+                 CAST(domain_count AS DOUBLE) / CAST(total AS DOUBLE)
+                   AS corpus_share,
+                 sqrt(CAST(domain_count AS DOUBLE) / CAST(total AS DOUBLE))
+                   AS wr,
+                 total
+          FROM c, t),
+    z AS (SELECT list_reduce(
+                   list_transform(
+                     list_sort(list(struct_pack(s := source, w := wr))),
+                     x -> x.w),
+                   (a, b) -> a + b) AS z
+          FROM w)
+    SELECT d.doc_id, d.source, w.domain_count, w.corpus_share,
+           w.wr / z.z AS temp_share,
+           (w.wr / z.z) * CAST(w.total AS DOUBLE)
+             / CAST(w.domain_count AS DOUBLE) AS mix_weight
+    FROM documents d JOIN w USING (source), z
+    """,
+    tags=("text", "sampling", "extension"),
+)
+def q_temperature_mixture_weights(spark, sf_dir):
+    """Temperature-scaled domain sampling at alpha = 0.5
+    (operators/text.temperature_mixture_weights — the mBERT/XLM-R/T5
+    low-resource up-weighting recipe): per-doc sampling weight toward
+    the sqrt-scaled domain distribution. EXACT oracle: sqrt is correctly
+    rounded IEEE and the normalizer folds per-domain terms in
+    sorted-domain order on both engines."""
+    from .operators.text import temperature_mixture_weights
+
+    return temperature_mixture_weights(_t(spark, sf_dir, "documents"))

@@ -214,3 +214,17 @@ def stream_stream_join(
         "purchase_id",
         "purchase_value",
     )
+
+
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, on: str = "user_id"
+) -> DataFrame:
+    """Stream-static join: every micro-batch of the stream equi-joins a
+    static (batch) dimension — the standard enrichment step before a
+    streaming aggregate. Stateless on the stream side (no watermark
+    needed for an inner equi-join); the static side is broadcast, so at
+    scale each executor joins its stream partitions map-side with zero
+    stream-side shuffle. Spark re-evaluates the static plan per batch,
+    which is what makes slowly-refreshed dimension snapshots pick up
+    mid-stream (Delta's stream-static semantics)."""
+    return events.join(F.broadcast(dim), on)
