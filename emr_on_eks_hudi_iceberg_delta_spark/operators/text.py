@@ -836,6 +836,7 @@ def unigram_logprob(
     id_col: str = "doc_id",
     text_col: str = "text",
     smoothing: float = 0.5,
+    persist_tf: bool = False,
 ) -> DataFrame:
     """Unigram language-model scoring for perplexity-based quality
     filtering (the CCNet recipe, Wenzek et al. 2020: score every document
@@ -861,6 +862,11 @@ def unigram_logprob(
     s = float(smoothing)
     tok = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("__t"))
     tf = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__tf"))
+    if persist_tf:
+        # the tf relation feeds BOTH the totals aggregate and the join
+        # probe; without caching Catalyst re-evaluates the corpus
+        # explode+aggregate per reference (the tfidf persist_tf trade)
+        tf = tf.persist()
     totals = tf.agg(
         F.sum("__tf").alias("__n"), F.count(F.lit(1)).alias("__v")
     )
@@ -924,6 +930,7 @@ def domain_mixture_weights(
     source_col: str = "source",
     target_shares: dict[str, float] | None = None,
     id_col: str = "doc_id",
+    persist_counts: bool = False,
 ) -> DataFrame:
     """Domain-mixture reweighting for pre-training data curation (the
     DoReMi / Pile recipe shape: each domain gets a sampling weight that
@@ -943,6 +950,11 @@ def domain_mixture_weights(
     wide shuffles of the document table itself.
     """
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__dn"))
+    if persist_counts:
+        # the domain aggregate is referenced by the totals, the domain
+        # count, and the weight projection — cache the (tiny) relation so
+        # the corpus is scanned once, not once per reference
+        counts = counts.persist()
     total = counts.agg(F.sum("__dn").alias("__total"))
     counts = counts.crossJoin(F.broadcast(total))
     if target_shares is None:
@@ -978,6 +990,7 @@ def heavy_hitters(
     df: DataFrame,
     text_col: str = "text",
     min_ppm: int = 1000,
+    persist_counts: bool = False,
 ) -> DataFrame:
     """Exact corpus heavy hitters: every token whose frequency is at
     least ``min_ppm`` parts-per-million of all tokens. The threshold
@@ -992,6 +1005,10 @@ def heavy_hitters(
     """
     tok = df.select(F.explode(tokens_expr(text_col)).alias("token"))
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    if persist_counts:
+        # both the threshold filter and the total derive from counts;
+        # caching stops the corpus aggregate running once per reference
+        counts = counts.persist()
     total = counts.agg(F.sum("cnt").alias("__total"))
     return (
         counts.crossJoin(F.broadcast(total))
@@ -1052,6 +1069,7 @@ def temperature_mixture_weights(
     source_col: str = "source",
     alpha: float = 0.5,
     id_col: str = "doc_id",
+    persist_counts: bool = False,
 ) -> DataFrame:
     """Temperature-scaled domain sampling (the multilingual-pretraining
     recipe from mBERT/XLM-R and T5: sample domain ``d`` proportional to
@@ -1070,6 +1088,8 @@ def temperature_mixture_weights(
     broadcast join back — the corpus never shuffles.
     """
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__dn"))
+    if persist_counts:
+        counts = counts.persist()
     total = counts.agg(F.sum("__dn").alias("__total"))
     counts = counts.crossJoin(F.broadcast(total))
     share = F.col("__dn").cast("double") / F.col("__total").cast("double")

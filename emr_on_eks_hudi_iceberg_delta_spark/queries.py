@@ -7147,3 +7147,63 @@ def q_temperature_mixture_weights(spark, sf_dir):
     from .operators.text import temperature_mixture_weights
 
     return temperature_mixture_weights(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# MoR read views as driver-gated queries (previously pytest-only)
+# --------------------------------------------------------------------------
+
+_SQL_MOR_RT = f"""
+    WITH u AS (SELECT * FROM ({_SQL_UPDATES}) WHERE c_custkey % 3 = 0)
+    SELECT * FROM u
+    UNION ALL
+    SELECT c.* FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.c_custkey = c.c_custkey)
+    """
+
+
+@register(
+    "mor_realtime_view",
+    oracle=_SQL_MOR_RT,
+    tags=("S7", "lake", "extension"),
+)
+def q_mor_realtime_view(spark, sf_dir):
+    """Merge-on-read real-time view (sources/mor.MorTable — the Hudi
+    MERGE_ON_READ ``_rt`` table, hudi_scd_script.py:33): a log batch of
+    updated/new customers lands WITHOUT a base rewrite, and the read-time
+    key merge (precombine + newest-writer-wins) serves exact upsert
+    semantics. One record-key shuffle over base ∪ logs — the classic MoR
+    cheap-write/dearer-read trade."""
+    from .sources.mor import MorTable
+
+    mor = MorTable(
+        spark, tempfile.mkdtemp(prefix="mor_rt_"), ["c_custkey"], "c_acctbal"
+    )
+    mor.bootstrap(_t(spark, sf_dir, "customer"))
+    mor.append_log(
+        customer_updates(spark, sf_dir).filter(F.col("c_custkey") % 3 == 0)
+    )
+    return mor.read_realtime()
+
+
+@register(
+    "mor_compaction_converges",
+    oracle=_SQL_MOR_RT,
+    tags=("S7", "lake", "extension"),
+)
+def q_mor_compaction_converges(spark, sf_dir):
+    """MoR compaction (Hudi compaction service): after folding the logs
+    into a new base, the READ-OPTIMIZED view serves exactly what the
+    real-time view served before — same oracle as ``mor_realtime_view``,
+    read through ``read_optimized()`` post-compact."""
+    from .sources.mor import MorTable
+
+    mor = MorTable(
+        spark, tempfile.mkdtemp(prefix="mor_c_"), ["c_custkey"], "c_acctbal"
+    )
+    mor.bootstrap(_t(spark, sf_dir, "customer"))
+    mor.append_log(
+        customer_updates(spark, sf_dir).filter(F.col("c_custkey") % 3 == 0)
+    )
+    mor.compact()
+    return mor.read_optimized()
