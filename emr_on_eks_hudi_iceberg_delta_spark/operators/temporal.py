@@ -179,3 +179,34 @@ def resample_ffill(
             F.col("__fill").alias("value_ffill"),
         )
     )
+
+
+def scd2_asof_lookup(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time dimension lookup against an SCD2 envelope: each fact
+    row joins the dimension version that was valid AT its timestamp —
+    ``valid_from <= ts < valid_to`` with an open-ended current row
+    (``valid_to IS NULL``). This is the read-side purpose of the SCD2
+    tables the reference's merges maintain (hudi_scd_script.py:93-119
+    writes the envelope; this is how consumers query it).
+
+    Scale: one equi-shuffle per side on the key; the validity predicate
+    is a residual filter on the joined rows (per key only a handful of
+    versions exist, so no range explosion — unlike a raw interval join,
+    the equi key bounds the match set)."""
+    # qualify every reference through its side: SCD2 envelopes routinely
+    # carry columns named like fact columns (ts), and an unqualified
+    # F.col would be ambiguous after the join
+    validity = (fact[ts_col] >= dim[valid_from]) & (
+        dim[valid_to].isNull() | (fact[ts_col] < dim[valid_to])
+    )
+    cond = (fact[fact_key] == dim[dim_key]) & validity
+    return fact.join(dim, cond, how)

@@ -7207,3 +7207,214 @@ def q_mor_compaction_converges(spark, sf_dir):
     )
     mor.compact()
     return mor.read_optimized()
+
+
+# --------------------------------------------------------------------------
+# Round-5 fourth batch: point-in-time SCD2 lookup, funnel analysis,
+# column profiling
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scd2_point_in_time_lookup",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}), m AS ({_SQL_MERGE_DELTA})
+    SELECT ev.event_id, ev.user_id, ev.ts, m.c_mktsegment, m.valid_from,
+           m.iscurrent
+    FROM ev JOIN m
+      ON ev.user_id = m.c_custkey
+     AND ev.ts >= m.valid_from
+     AND (m.valid_to IS NULL OR ev.ts < m.valid_to)
+    """,
+    tags=("scd2", "temporal", "join", "extension"),
+)
+def q_scd2_point_in_time_lookup(spark, sf_dir):
+    """Point-in-time dimension lookup (operators/temporal.
+    scd2_asof_lookup): every event joins the SCD2 customer version valid
+    AT its timestamp — the read-side purpose of the envelope the
+    reference's merges maintain. The dimension is the DELTA-style merge
+    (unchanged rows keep their original validity, so in-window events
+    resolve to a version; the hudi variant re-stamps every current row
+    at T2 and would match only expired rows). Equi-shuffle on the key
+    with the validity range as a residual filter (the key bounds the
+    match set, so no interval explosion)."""
+    from .operators.temporal import scd2_asof_lookup
+
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_merge_delta_style(
+        scd2_target(spark, sf_dir, include_ts=False),
+        customer_updates(spark, sf_dir),
+        "c_custkey",
+        CHECKSUM_COLS,
+        as_of=T2,
+    )
+    return scd2_asof_lookup(
+        ev, dim, "user_id", "c_custkey", "ts"
+    ).select(
+        "event_id", "user_id", ev["ts"], "c_mktsegment", "valid_from", "iscurrent"
+    )
+
+
+@register(
+    "events_funnel_stages",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    st AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER w AS seen_view
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)),
+    st2 AS (
+      SELECT *, CASE WHEN event_type = 'click' AND seen_view IS NOT NULL
+                          AND ts > seen_view THEN ts END AS click_ok
+      FROM st),
+    st3 AS (
+      SELECT *, MIN(click_ok) OVER (PARTITION BY user_id ORDER BY ts, event_type
+                                    ROWS UNBOUNDED PRECEDING) AS seen_click
+      FROM st2),
+    st4 AS (
+      SELECT *, CASE WHEN event_type = 'purchase' AND seen_click IS NOT NULL
+                          AND ts > seen_click THEN ts END AS purchase_ok
+      FROM st3)
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           MIN(click_ok) AS t_click,
+           MIN(purchase_ok) AS t_purchase
+    FROM st4 GROUP BY user_id
+    """,
+    tags=("events", "window", "sequence", "extension"),
+)
+def q_events_funnel_stages(spark, sf_dir):
+    """Ordered funnel analysis (view → click-after-view →
+    purchase-after-that-click): per user the first completion timestamp
+    of each stage, where a stage only counts when it happens strictly
+    after the previous stage's first completion — the order-dependent
+    semantics a bare conditional min would get wrong. One user-keyed
+    window pass feeds a same-partitioning aggregate (no second
+    exchange). A row-pattern engine (MATCH_RECOGNIZE) is the generalized
+    form; running conditional minima cover the fixed 3-stage funnel."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    st = ev.withColumn(
+        "seen_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    ).withColumn(
+        "click_ok",
+        F.when(
+            (F.col("event_type") == "click")
+            & F.col("seen_view").isNotNull()
+            & (F.col("ts") > F.col("seen_view")),
+            F.col("ts"),
+        ),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    st = st.withColumn("seen_click", F.min("click_ok").over(w2)).withColumn(
+        "purchase_ok",
+        F.when(
+            (F.col("event_type") == "purchase")
+            & F.col("seen_click").isNotNull()
+            & (F.col("ts") > F.col("seen_click")),
+            F.col("ts"),
+        ),
+    )
+    return st.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min("click_ok").alias("t_click"),
+        F.min("purchase_ok").alias("t_purchase"),
+    )
+
+
+@register(
+    "column_profile",
+    oracle="""
+    SELECT 'c_custkey' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(c_custkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(c_custkey) AS DOUBLE) AS min_num,
+           CAST(MAX(c_custkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(c_acctbal) AS BIGINT),
+           CAST(COUNT(DISTINCT c_acctbal) AS BIGINT),
+           CAST(MIN(c_acctbal) AS DOUBLE), CAST(MAX(c_acctbal) AS DOUBLE),
+           NULL, NULL
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(c_mktsegment) AS BIGINT),
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+           NULL, NULL, MIN(c_mktsegment), MAX(c_mktsegment)
+    FROM customer
+    UNION ALL
+    SELECT 'c_name', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(c_name) AS BIGINT),
+           CAST(COUNT(DISTINCT c_name) AS BIGINT),
+           NULL, NULL, MIN(c_name), MAX(c_name)
+    FROM customer
+    """,
+    tags=("agg", "extension"),
+)
+def q_column_profile(spark, sf_dir):
+    """Single-pass column profiling (the data-quality summary every
+    ingestion pipeline runs first): per column — row/null/distinct
+    counts and typed min/max (numeric as double, strings in binary
+    collation, so both engines agree exactly). ONE aggregate computes
+    every column's stats; the per-column rows unpivot from that single
+    row — the table is scanned once, not once per column."""
+    cust = _t(spark, sf_dir, "customer")
+    num_cols = ["c_custkey", "c_acctbal"]
+    str_cols = ["c_mktsegment", "c_name"]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in num_cols + str_cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).alias(f"__min_{c}"),
+            F.max(F.col(c)).alias(f"__max_{c}"),
+        ]
+    one = cust.agg(*aggs)
+    rows = []
+    for c in num_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").cast("bigint").alias("n_rows"),
+                (F.col("__n") - F.col(f"__nn_{c}")).cast("bigint").alias("n_nulls"),
+                F.col(f"__nd_{c}").cast("bigint").alias("n_distinct"),
+                F.col(f"__min_{c}").cast("double").alias("min_num"),
+                F.col(f"__max_{c}").cast("double").alias("max_num"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+            )
+        )
+    for c in str_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").cast("bigint").alias("n_rows"),
+                (F.col("__n") - F.col(f"__nn_{c}")).cast("bigint").alias("n_nulls"),
+                F.col(f"__nd_{c}").cast("bigint").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.col(f"__min_{c}").alias("min_str"),
+                F.col(f"__max_{c}").alias("max_str"),
+            )
+        )
+    return one.select(
+        F.explode(F.array(*rows)).alias("p")
+    ).select("p.*")
