@@ -578,3 +578,54 @@ def semantic_dedup(
             F.col("__drop").isNull().alias("is_kept"),
         )
     )
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 2,
+    block_expr: str | None = None,
+    exclude_identical: bool = False,
+) -> DataFrame:
+    """Edit-distance entity resolution with blocking: candidate pairs
+    share a blocking key (default: the first whitespace token) and are
+    verified by Levenshtein distance ≤ ``max_distance`` — the classic
+    blocked fuzzy-match/dedup recipe (record linkage, product matching,
+    near-identical title collapse).
+
+    ``exclude_identical=True`` drops exact-equal strings (distance 0),
+    leaving true NEAR matches — the dedup-review view.
+
+    Scale: the self-join shuffles both sides on the blocking key only;
+    Levenshtein (quadratic per pair) runs as a residual on candidates,
+    never all-pairs. Block sizing is the operator's contract, exactly as
+    in LSH (``cap_buckets``): a degenerate block is the caller's signal
+    to pick a finer ``block_expr``. Both engines implement classic
+    Levenshtein, so results are exactly replayable.
+    """
+    blk = (
+        F.expr(block_expr)
+        if block_expr is not None
+        else F.split_part(F.col(text_col), F.lit(" "), F.lit(1))
+    )
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("text_a"),
+        blk.alias("__blk"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("text_b"),
+        blk.alias("__blk"),
+    )
+    pairs = a.join(b, "__blk").filter(F.col("id_a") < F.col("id_b"))
+    if exclude_identical:
+        pairs = pairs.filter(F.col("text_a") != F.col("text_b"))
+    return (
+        pairs.withColumn(
+            "distance", F.levenshtein(F.col("text_a"), F.col("text_b"))
+        )
+        .filter(F.col("distance") <= int(max_distance))
+        .select("id_a", "id_b", "text_a", "text_b", "distance")
+    )

@@ -148,3 +148,52 @@ def daily_peak_concurrency(
     return running.groupBy(F.col("__day").alias("day")).agg(
         F.max("__open").cast("bigint").alias("peak_concurrency")
     )
+
+
+def ewma_scores(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-entity exponentially weighted moving average over the entity's
+    time-ordered values — the classic recency-weighted engagement /
+    activity score (``s_1 = x_1``, ``s_i = alpha*x_i + (1-alpha)*s_{i-1}``,
+    the pandas ``ewm(adjust=False)`` recursion), expressed Spark-first:
+    one key shuffle, the per-entity sequence sorted in-row
+    (``sort_array`` over (ts, tiebreak, value) structs) and folded with a
+    sequential ``F.aggregate`` — no Python, no iterative driver loop.
+
+    Exactness: the fold seeds from the FIRST element and applies
+    ``acc*(1-alpha) + x*alpha`` left-to-right — precisely DuckDB's
+    ``list_reduce`` contract, so the oracle replays the recursion
+    bit-for-bit (literal alpha, same IEEE op sequence).
+
+    Scale: state per entity is its value array — fine for bounded
+    per-entity history (sessions, recent windows); unbounded entities
+    should pre-window (e.g. trailing N days) before scoring, which
+    composes as a plain filter.
+    """
+    a = float(alpha)
+    vals = F.transform(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).alias("t"),
+                    F.col(order_tiebreak).alias("e"),
+                    F.col(value_col).cast("double").alias("v"),
+                )
+            )
+        ),
+        lambda x: x["v"],
+    )
+    return events.groupBy(key_col).agg(
+        F.size(vals).cast("bigint").alias("n_events"),
+        F.aggregate(
+            F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+            F.element_at(vals, 1),
+            lambda acc, x: acc * F.lit(1.0 - a) + x * F.lit(a),
+        ).alias("ewma_score"),
+    )

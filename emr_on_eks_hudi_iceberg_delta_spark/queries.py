@@ -7418,3 +7418,143 @@ def q_column_profile(spark, sf_dir):
     return one.select(
         F.explode(F.array(*rows)).alias("p")
     ).select("p.*")
+
+
+# --------------------------------------------------------------------------
+# Round-5 fifth batch: fuzzy matching, EWMA, array/calendar breadth
+# --------------------------------------------------------------------------
+
+
+@register(
+    "fuzzy_name_matches",
+    oracle="""
+    WITH a AS (SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk
+               FROM part)
+    SELECT x.p_partkey AS id_a, y.p_partkey AS id_b,
+           x.p_name AS text_a, y.p_name AS text_b,
+           CAST(levenshtein(x.p_name, y.p_name) AS INT) AS distance
+    FROM a x JOIN a y ON x.blk = y.blk AND x.p_partkey < y.p_partkey
+    WHERE x.p_name <> y.p_name
+      AND levenshtein(x.p_name, y.p_name) <= 3
+    """,
+    tags=("dedup", "join", "extension"),
+)
+def q_fuzzy_name_matches(spark, sf_dir):
+    """Blocked edit-distance entity resolution (operators/dedup.
+    fuzzy_match_pairs): part names sharing a first-word block, verified
+    by Levenshtein ≤ 3, exact-equal names excluded — the record-linkage
+    recipe (block → verify) beside the shingle/MinHash family. Both
+    engines implement classic Levenshtein, so the oracle is exact."""
+    from .operators.dedup import fuzzy_match_pairs
+
+    return fuzzy_match_pairs(
+        _t(spark, sf_dir, "part"),
+        "p_partkey",
+        "p_name",
+        max_distance=3,
+        exclude_identical=True,
+    )
+
+
+@register(
+    "events_ewma_scores",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    g AS (SELECT user_id,
+                 list_transform(
+                   list_sort(list(struct_pack(
+                     t := ts, e := event_id, v := CAST(value AS DOUBLE)))),
+                   x -> x.v) AS vals
+          FROM ev GROUP BY user_id)
+    SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+           CAST(list_reduce(vals, (a, b) -> a * 0.5 + b * 0.5) AS DOUBLE)
+             AS ewma_score
+    FROM g
+    """,
+    tags=("events", "sequence", "agg", "extension"),
+)
+def q_events_ewma_scores(spark, sf_dir):
+    """Per-user exponentially weighted moving average of event values
+    (operators/sequence.ewma_scores, alpha = 0.5) — the order-dependent
+    recency-weighted recursion (pandas ``ewm(adjust=False)``) expressed
+    as one key shuffle + an in-row sorted sequential fold. EXACT oracle:
+    the fold seeds from the first element and replays left-to-right on
+    both engines (DuckDB ``list_reduce`` contract)."""
+    from .operators.sequence import ewma_scores
+
+    return ewma_scores(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "array_functions",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           CAST(list_reduce(list_transform(embedding,
+                                           x -> CAST(x AS DOUBLE)),
+                            (a, b) -> a + b) AS DOUBLE) AS sum_all,
+           CAST(list_max(embedding) AS DOUBLE) AS max_val,
+           CAST(len(embedding) > 0
+                AND len(list_filter(embedding, x -> x < 0)) > 0 AS BOOLEAN)
+             AS has_neg,
+           CAST(len(list_filter(embedding, x -> abs(x) >= 10)) = 0
+                AS BOOLEAN) AS all_small
+    FROM embeddings
+    """,
+    tags=("functions", "similarity", "extension"),
+)
+def q_array_functions(spark, sf_dir):
+    """Higher-order array function surface (transform / filter / exists /
+    forall / aggregate / array_max) over the embedding column — the
+    in-row vector algebra used across the similarity stack, here as an
+    explicit oracle-gated API query. The sum folds sequentially (exact
+    cross-engine); everything stays in codegen, zero shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: x > 0)).cast("int").alias("n_pos"),
+        F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x).alias("sum_all"),
+        F.array_max(e).alias("max_val"),
+        F.exists(e, lambda x: x < 0).alias("has_neg"),
+        F.forall(e, lambda x: F.abs(x) < 10).alias("all_small"),
+    )
+
+
+@register(
+    "calendar_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP)
+             AS due_date,
+           CAST(CASE WHEN dayofweek(o_orderdate) IN (0, 6)
+                     THEN 1 ELSE 0 END AS INT) AS is_weekend
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+    tags=("functions", "extension"),
+)
+def q_calendar_functions(spark, sf_dir):
+    """Calendar/date function surface: year/quarter/month, ISO week,
+    month end, date arithmetic, weekend flag — normalized to the shared
+    cross-engine definitions (Spark's ``dayofweek`` is 1=Sunday,
+    DuckDB's 0=Sunday; the weekend predicate names both). Pure per-row
+    projection, zero shuffle."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("int").alias("y"),
+        F.quarter(d).cast("int").alias("q"),
+        F.month(d).cast("int").alias("m"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        F.last_day(d.cast("date")).cast("timestamp_ntz").alias("month_end"),
+        F.date_add(d.cast("date"), 30).cast("timestamp_ntz").alias("due_date"),
+        F.when(F.dayofweek(d).isin(1, 7), 1).otherwise(0).cast("int").alias(
+            "is_weekend"
+        ),
+    )

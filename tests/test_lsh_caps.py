@@ -195,3 +195,31 @@ def test_semantic_dedup_persist_runs_assignment_once(spark):
     }
     hot = {(r["vec_id"], r["is_kept"]) for r in out.collect()}
     assert hot == cold
+
+
+def test_fuzzy_match_pairs_blocking_and_verify(spark):
+    """Blocked Levenshtein matching: only same-block candidates are ever
+    compared, distance-0 exclusion works, thresholds cut exactly."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.dedup import (
+        fuzzy_match_pairs,
+    )
+
+    rows = [
+        (1, "acme widget"),
+        (2, "acme widgit"),   # distance 1 from 1
+        (3, "acme gadget"),   # distance 3 from widget
+        (4, "zenco widget"),  # different block: never compared with 1-3
+        (5, "acme widget"),   # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    out = {(r["id_a"], r["id_b"]): r["distance"]
+           for r in fuzzy_match_pairs(df, "id", "name", max_distance=1).collect()}
+    assert out == {(1, 2): 1, (1, 5): 0, (2, 5): 1}
+    near = {(r["id_a"], r["id_b"])
+            for r in fuzzy_match_pairs(
+                df, "id", "name", max_distance=1, exclude_identical=True
+            ).collect()}
+    assert near == {(1, 2), (2, 5)}  # the exact dup pair is dropped
+    wide = {(r["id_a"], r["id_b"])
+            for r in fuzzy_match_pairs(df, "id", "name", max_distance=4).collect()}
+    assert (1, 3) in wide and all(4 not in p for p in wide)

@@ -92,3 +92,34 @@ def test_sessions_from_events_gap_split(spark):
     sess = sessions_from_events(ev).orderBy("session_id").collect()
     assert [r["session_id"] for r in sess] == [1, 2]
     assert str(sess[0]["session_end"]) == "2024-01-01 10:20:00"
+
+
+def test_ewma_matches_pandas_recursion(spark):
+    """ewma_scores == pandas ewm(adjust=False) over the time-ordered
+    values, per key."""
+    import pandas as pd
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.sequence import (
+        ewma_scores,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, 10.0),
+        (1, "2024-01-01 01:00:00", 2, 20.0),
+        (1, "2024-01-01 02:00:00", 3, 0.0),
+        (2, "2024-01-05 00:00:00", 4, 7.5),   # single event: score = value
+        (3, "2024-01-02 00:00:00", 6, 4.0),
+        (3, "2024-01-01 00:00:00", 5, 2.0),   # out-of-order input
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts string, event_id int, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {r["user_id"]: r for r in ewma_scores(df).collect()}
+    for uid in (1, 2, 3):
+        vals = sorted((r for r in rows if r[0] == uid), key=lambda r: (r[1], r[2]))
+        ref = pd.Series([v[3] for v in vals]).ewm(alpha=0.5, adjust=False).mean().iloc[-1]
+        assert abs(out[uid]["ewma_score"] - ref) < 1e-12, uid
+        assert out[uid]["n_events"] == len(vals)
+    assert out[2]["ewma_score"] == 7.5
+    # ordering matters: user 3 folds 2.0 then 4.0 -> 3.0 (not 2.0-first = 3.0... assert exact)
+    assert out[3]["ewma_score"] == 3.0
