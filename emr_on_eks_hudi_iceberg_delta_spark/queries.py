@@ -7558,3 +7558,40 @@ def q_calendar_functions(spark, sf_dir):
             "is_weekend"
         ),
     )
+
+
+@register(
+    "partitioned_dynamic_overwrite",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    repl AS (SELECT event_id, ts, user_id, event_type,
+                    CAST(value * 2 AS DOUBLE) AS value
+             FROM ev WHERE event_type = 'click')
+    SELECT event_id, ts, user_id, event_type, value
+    FROM ev WHERE event_type <> 'click'
+    UNION ALL
+    SELECT * FROM repl
+    """,
+    tags=("S6", "lake", "extension"),
+)
+def q_partitioned_dynamic_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite (PartitionedTable.overwrite_partitions
+    — Spark's ``partitionOverwriteMode=dynamic`` / Hive ``INSERT
+    OVERWRITE ... PARTITION``): a batch containing only the 'click'
+    partition replaces exactly that partition; the other four keep their
+    prior commit pointers untouched. One partitioned write of the batch,
+    metadata-only for everything else."""
+    from .sources.partitioned import PartitionedTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    pt = PartitionedTable(
+        spark, tempfile.mkdtemp(prefix="pt_dyn_"), "event_type"
+    )
+    pt.overwrite(ev)
+    batch = ev.filter(F.col("event_type") == "click").withColumn(
+        "value", (F.col("value") * 2).cast("double")
+    )
+    pt.overwrite_partitions(batch)
+    return pt.read().select("event_id", "ts", "user_id", "event_type", "value")

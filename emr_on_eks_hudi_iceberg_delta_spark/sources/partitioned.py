@@ -151,6 +151,31 @@ class PartitionedTable:
         self._publish({v: commit_id for v in pvals}, commit_id=commit_id)
         return self
 
+    def overwrite_partitions(self, df: DataFrame) -> "PartitionedTable":
+        """Dynamic partition overwrite (Spark's
+        ``partitionOverwriteMode=dynamic`` / Hive ``INSERT OVERWRITE ...
+        PARTITION``): replace EXACTLY the partitions present in the
+        incoming batch; untouched partitions keep their prior commit
+        pointers. No key merge — the batch IS the new content of its
+        partitions (the partition-granular sibling of ``replace_where``).
+
+        Scale: one partitioned write of the batch + a metadata-sized
+        distinct-partition collect; untouched partitions cost nothing."""
+        versions = self._versions()
+        if not versions:
+            return self.overwrite(df)
+        current = dict(versions[-1]["partitions"])
+        commit_id = versions[-1]["version"] + 1
+        self._write_commit(df, commit_id)
+        spec = self.partition_col
+        incoming = {
+            self._pkey(spec, r[0])
+            for r in df.select(spec).distinct().collect()
+        }
+        current.update({k: commit_id for k in incoming})
+        self._publish(current, commit_id=commit_id)
+        return self
+
     def upsert(
         self,
         updates: DataFrame,

@@ -367,3 +367,46 @@ def test_partitions_metadata_table(spark):
     assert rows["p=a"]["commit_id"] == 1  # rewritten by the upsert
     assert rows["p=b"]["commit_id"] == 0  # untouched
     assert all(r["n_files"] >= 1 and r["size_bytes"] > 0 for r in rows.values())
+
+
+def test_dynamic_partition_overwrite_replaces_only_incoming(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.partitioned import (
+        PartitionedTable,
+    )
+
+    pt = PartitionedTable(spark, str(tmp_path / "pt_dyn"), "p")
+    pt.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "p", "v"]
+        )
+    )
+    # batch covers only partition b, with entirely new content (no merge)
+    pt.overwrite_partitions(
+        spark.createDataFrame([(9, "b", 99)], ["k", "p", "v"])
+    )
+    rows = sorted((r["k"], r["p"], r["v"]) for r in pt.read().collect())
+    assert rows == [(1, "a", 10), (3, "c", 30), (9, "b", 99)]
+    # time travel still serves the pre-overwrite state
+    old = sorted((r["k"], r["v"]) for r in pt.read(version=0).collect())
+    assert old == [(1, 10), (2, 20), (3, 30)]
+
+
+def test_dynamic_partition_overwrite_null_partition(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.partitioned import (
+        PartitionedTable,
+    )
+
+    pt = PartitionedTable(spark, str(tmp_path / "pt_dyn_null"), "p")
+    pt.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 1), (2, None, 2)], "k int, p string, v int"
+        )
+    )
+    pt.overwrite_partitions(
+        spark.createDataFrame([(5, None, 50)], "k int, p string, v int")
+    )
+    rows = sorted(
+        ((r["k"], r["p"], r["v"]) for r in pt.read().collect()),
+        key=lambda t: t[0],
+    )
+    assert rows == [(1, "a", 1), (5, None, 50)]
