@@ -7595,3 +7595,72 @@ def q_partitioned_dynamic_overwrite(spark, sf_dir):
     )
     pt.overwrite_partitions(batch)
     return pt.read().select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@register(
+    "grouped_correlation",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    b AS (SELECT event_type,
+                 CAST(CAST(value AS DECIMAL(18,4)) * 10000
+                      AS DECIMAL(38,0)) AS xi,
+                 CAST(hour(ts) AS DECIMAL(38,0)) AS yi
+          FROM ev),
+    m AS (SELECT event_type,
+                 CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                 CAST(SUM(xi) AS DECIMAL(38,0)) AS sx,
+                 CAST(SUM(yi) AS DECIMAL(38,0)) AS sy,
+                 CAST(SUM(xi * xi) AS DECIMAL(38,0)) AS sxx,
+                 CAST(SUM(yi * yi) AS DECIMAL(38,0)) AS syy,
+                 CAST(SUM(xi * yi) AS DECIMAL(38,0)) AS sxy
+          FROM b GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS DOUBLE)
+             / (sqrt(CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS DOUBLE))
+                * sqrt(CAST(CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS DOUBLE)))
+             AS corr
+    FROM m
+    """,
+    tags=("events", "agg", "extension"),
+)
+def q_grouped_correlation(spark, sf_dir):
+    """Exact distributed Pearson correlation (value vs hour-of-day per
+    event type). Spark's ``F.corr`` accumulates floats in task order
+    (non-deterministic at scale); here every moment accumulates as an
+    integer-valued DECIMAL(38,0) — order-independent and exact — and the
+    close is a fixed sequence of single correctly-rounded casts, sqrt,
+    and one division, so the result is bit-identical cross-engine. The
+    scale-0 trick matters: a scaled DECIMAL→DOUBLE cast diverges between
+    engines once the scaled mantissa exceeds 2^53 (NOTES.md), while
+    scale-0 is one conversion on both. One shuffle on the group key."""
+    ev = _t(spark, sf_dir, "events")
+    xi = (F.col("value").cast("decimal(18,4)") * F.lit(10000)).cast(
+        "decimal(38,0)"
+    )
+    yi = F.hour("ts").cast("decimal(38,0)")
+    b = ev.select("event_type", xi.alias("xi"), yi.alias("yi"))
+    m = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("xi").cast("decimal(38,0)").alias("sx"),
+        F.sum("yi").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("xi") * F.col("xi")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("yi") * F.col("yi")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("xi") * F.col("yi")).cast("decimal(38,0)").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "decimal(38,0)"
+    )
+    den1 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "decimal(38,0)"
+    )
+    den2 = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "decimal(38,0)"
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        (
+            num.cast("double")
+            / (F.sqrt(den1.cast("double")) * F.sqrt(den2.cast("double")))
+        ).alias("corr"),
+    )
