@@ -397,6 +397,35 @@ class PartitionedTable:
             current, [self._pkey(self.partition_col, pval)]
         )
 
+    def read_partitions_where(self, predicate) -> DataFrame:
+        """Manifest-level partition pruning: scan ONLY the live
+        partitions whose VALUE passes ``predicate`` (a host callable
+        over the partition value string; NULL partitions pass the hive
+        sentinel). The planner never sees the pruned partitions' files —
+        the same mechanism hidden-partitioning engines use for
+        time-range scans over day-partitioned tables (e.g.
+        ``lambda d: d >= "2024-01-10"`` on a ``days(ts)`` layout).
+
+        Metadata-only selection: the manifest holds |partitions|
+        entries; no data files are listed or opened for pruned
+        partitions."""
+        current = self._versions()[-1]["partitions"]
+        prefix = f"{self.partition_col}="
+        foreign = [k for k in current if not k.startswith(prefix)]
+        if foreign:
+            # post-evolution mixed layout: a value predicate over the
+            # CURRENT spec is ill-defined for old-spec partitions —
+            # refuse loudly rather than silently skipping them
+            raise ValueError(
+                f"read_partitions_where: manifest holds partitions under "
+                f"other specs ({foreign[:3]}...); compact or upsert to "
+                f"migrate before value-pruned reads"
+            )
+        chosen = [k for k in current if predicate(k[len(prefix) :])]
+        if not chosen:
+            return self.read().filter(F.lit(False))
+        return self._read_partitions(current, chosen)
+
     def history(self) -> list[dict]:
         return self._versions()
 

@@ -410,3 +410,42 @@ def test_dynamic_partition_overwrite_null_partition(spark, tmp_path):
         key=lambda t: t[0],
     )
     assert rows == [(1, "a", 1), (5, None, 50)]
+
+
+def test_read_partitions_where_prunes_by_value(spark, tmp_path):
+    import pytest
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.partitioned import (
+        PartitionedTable,
+    )
+
+    pt = PartitionedTable(spark, str(tmp_path / "pt_prune"), "day")
+    pt.overwrite(
+        spark.createDataFrame(
+            [(1, "2024-01-05", 1), (2, "2024-01-10", 2), (3, "2024-01-20", 3)],
+            ["k", "day", "v"],
+        )
+    )
+    got = sorted(
+        r["k"]
+        for r in pt.read_partitions_where(lambda d: d >= "2024-01-10").collect()
+    )
+    assert got == [2, 3]
+    # the pruned partition's files never enter the plan
+    plan = (
+        pt.read_partitions_where(lambda d: d >= "2024-01-10")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "2024-01-05" not in plan
+    assert pt.read_partitions_where(lambda d: d > "2025").count() == 0
+    # mixed-layout refusal after spec evolution
+    pt.evolve_partition_spec("k")
+    pt.upsert(
+        spark.createDataFrame([(9, "2024-01-05", 9)], ["k", "day", "v"]),
+        ["k"],
+        "v",
+    )
+    with pytest.raises(ValueError, match="other specs"):
+        pt.read_partitions_where(lambda d: True)
