@@ -7664,3 +7664,80 @@ def q_grouped_correlation(spark, sf_dir):
             / (F.sqrt(den1.cast("double")) * F.sqrt(den2.cast("double")))
         ).alias("corr"),
     )
+
+
+@register(
+    "session_event_patterns",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    g AS (
+      SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS ini,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS new_sess
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts, event_id, ini,
+        CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          AS session_id
+      FROM g)
+    SELECT user_id, session_id,
+           string_agg(ini, '' ORDER BY ts, event_id) AS event_string,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(string_agg(ini, '' ORDER BY ts, event_id) LIKE '%pe%'
+                AS BOOLEAN) AS purchase_then_error,
+           CAST(regexp_matches(string_agg(ini, '' ORDER BY ts, event_id),
+                               'v.*c.*p') AS BOOLEAN) AS funnel_in_session
+    FROM s GROUP BY user_id, session_id
+    """,
+    tags=("events", "sequence", "window", "extension"),
+)
+def q_session_event_patterns(spark, sf_dir):
+    """MATCH_RECOGNIZE-lite sequence pattern detection: each 30-min
+    session's events collapse to an ordered initial-letter string (one
+    character per event), and patterns become plain string/regex
+    predicates — adjacency ('pe': an error immediately after a
+    purchase) and in-session subsequence funnels ('v.*c.*p'). The
+    ordered string builds from a sorted in-row array (deterministic,
+    exact cross-engine); one user-keyed exchange shared by the
+    sessionize windows and the rollup."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__us",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ),
+    ).withColumn("ini", F.substring("event_type", 1, 1))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_us = F.lag("__us").over(w)
+    new_sess = F.when(
+        lag_us.isNull() | (F.col("__us") - lag_us > 1800 * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_id",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    estr = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts").alias("t"),
+                        F.col("event_id").alias("e"),
+                        F.col("ini").alias("i"),
+                    )
+                )
+            ),
+            lambda x: x["i"],
+        ),
+        "",
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        estr.alias("event_string"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        estr.contains("pe").alias("purchase_then_error"),
+        estr.rlike("v.*c.*p").alias("funnel_in_session"),
+    )

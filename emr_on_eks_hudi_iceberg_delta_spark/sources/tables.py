@@ -1376,6 +1376,49 @@ class VersionedTable:
             raise ValueError(f"tag {name!r} not found at {self.location}")
         return self.read(version=tags[name])
 
+    def audit_staged(self, version: int, checks: dict[str, str]) -> dict:
+        """WAP step 2: run named data-quality expectations against a
+        staged snapshot (the audit between ``stage`` and ``publish`` —
+        dbt tests / Great Expectations shape). Each check is a SQL
+        predicate; the result maps check name → violating-row count
+        (NULL predicates count as violations here, unlike CHECK
+        constraints — an audit wants unknowns surfaced, not waved
+        through). One aggregate pass computes every check."""
+        snaps = self._snapshots()
+        if not any(s["version"] == version and s.get("staged") for s in snaps):
+            raise ValueError(
+                f"no staged snapshot {version} at {self.location}"
+            )
+        df = self.read(version=version)
+        aggs = [
+            F.sum(
+                F.when(
+                    F.coalesce(F.expr(expr).cast("boolean"), F.lit(False)),
+                    F.lit(0),
+                ).otherwise(F.lit(1))
+            ).alias(name)
+            for name, expr in checks.items()
+        ]
+        row = df.agg(*aggs).first()
+        return {name: int(row[name] or 0) for name in checks}
+
+    def publish_if_clean(
+        self, version: int, checks: dict[str, str]
+    ) -> "VersionedTable":
+        """WAP steps 2+3 fused: publish the staged snapshot only when
+        every expectation passes; otherwise drop it and raise with the
+        per-check violation counts — unaudited data can never become the
+        table, and a failed audit leaves no staged debris."""
+        violations = {
+            k: v for k, v in self.audit_staged(version, checks).items() if v
+        }
+        if violations:
+            self.drop_staged(version)
+            raise ConstraintViolationError(
+                f"staged snapshot {version} failed audit: {violations}"
+            )
+        return self.publish(version)
+
     def stage(self, df: DataFrame) -> int:
         """Write-audit-publish, step 1 (Iceberg WAP analog): write ``df``
         as a STAGED snapshot — durable and readable by version for audit

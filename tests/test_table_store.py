@@ -1184,3 +1184,48 @@ def test_row_tracking_schema_ddl_keeps_ids(spark, tmp_path):
     vt.rename_column("w", "w2")
     vt.drop_column("w2")
     assert vt.read(with_row_ids=True).first()["__row_id"] == rid
+
+
+# -- WAP audit expectations -------------------------------------------------
+
+
+def test_audit_staged_counts_violations_per_check(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_audit"))
+    vt.overwrite(spark.createDataFrame([(1, 10)], ["k", "v"]))
+    v = vt.stage(
+        spark.createDataFrame(
+            [(2, 20), (3, None), (4, -5)], "k int, v int"
+        )
+    )
+    res = vt.audit_staged(
+        v, {"v_positive": "v > 0", "v_not_null": "v IS NOT NULL", "k_ok": "k < 100"}
+    )
+    # NULL predicate counts as a violation in an audit (unlike CHECK)
+    assert res == {"v_positive": 2, "v_not_null": 1, "k_ok": 0}
+    assert vt.read().count() == 1  # still unpublished
+
+
+def test_publish_if_clean_gates_and_cleans_up(spark, tmp_path):
+    import pytest
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import (
+        ConstraintViolationError,
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_audit_pub"))
+    vt.overwrite(spark.createDataFrame([(1, 10)], ["k", "v"]))
+    bad = vt.stage(spark.createDataFrame([(2, -1)], ["k", "v"]))
+    with pytest.raises(ConstraintViolationError, match="failed audit"):
+        vt.publish_if_clean(bad, {"v_positive": "v > 0"})
+    # failed audit leaves no staged debris
+    assert all(not s.get("staged") for s in vt.history())
+    assert vt.read().count() == 1
+    good = vt.stage(spark.createDataFrame([(2, 5)], ["k", "v"]))
+    vt.publish_if_clean(good, {"v_positive": "v > 0"})
+    assert vt.read().count() == 1 and vt.read().first()["v"] == 5
+    # auditing a published (non-staged) version refuses
+    with pytest.raises(ValueError, match="no staged snapshot"):
+        vt.audit_staged(good, {"x": "true"})
