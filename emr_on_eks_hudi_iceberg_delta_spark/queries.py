@@ -7741,3 +7741,64 @@ def q_session_event_patterns(spark, sf_dir):
         estr.contains("pe").alias("purchase_then_error"),
         estr.rlike("v.*c.*p").alias("funnel_in_session"),
     )
+
+
+@register(
+    "streaming_stream_left_join",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+          FROM ev WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id,
+                 value AS purchase_value
+          FROM ev WHERE event_type = 'purchase')
+    SELECT c.user_id, c.click_ts, p.purchase_ts, c.click_id, p.purchase_id,
+           p.purchase_value
+    FROM c LEFT JOIN p ON c.user_id = p.user_id
+                      AND p.purchase_ts >= c.click_ts
+                      AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "join", "extension"),
+)
+def q_streaming_stream_left_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join with watermark-driven
+    NULL-padding (streaming/events.stream_stream_left_join): outer rows
+    only emit when the combined watermark passes their window, so the
+    replay stages the real events as batch 1 and two far-future
+    sentinel files as batches 2-3 (maxFilesPerTrigger=1) — the sentinel
+    advances the watermark past all real data and flushes every
+    unmatched click; sentinel rows (user_id = -1) are filtered from the
+    gated output. Exact-matches the batch LEFT interval join — the
+    eviction semantics every production outer stream join depends on."""
+    from .sources.parquet import load_table
+    from .streaming.events import (
+        EVENTS_SCHEMA,
+        stream_stream_left_join,
+    )
+
+    stage_dir = tempfile.mkdtemp(prefix="evstream_lj_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.coalesce(1).write.mode("append").parquet(stage_dir)
+    sentinel_cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    for i, ts in enumerate(["2024-02-10 00:00:00", "2024-02-11 00:00:00"]):
+        spark.createDataFrame(
+            [
+                (-(2 * i + 1), ts, -1, "click", 0.0),
+                (-(2 * i + 2), ts, -1, "purchase", 0.0),
+            ],
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz")).select(
+            *sentinel_cols
+        ).coalesce(1).write.mode("append").parquet(stage_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    out = stream_stream_left_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+    )
+    res = run_stream_to_memory(out, output_mode="append")
+    return res.filter(F.col("user_id") >= 0)

@@ -228,3 +228,45 @@ def stream_static_enrich(
     which is what makes slowly-refreshed dimension snapshots pick up
     mid-stream (Delta's stream-static semantics)."""
     return events.join(F.broadcast(dim), on)
+
+
+def stream_stream_left_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "INTERVAL 1 HOUR",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: like ``stream_stream_join``
+    but unmatched clicks are emitted NULL-padded once the combined
+    watermark passes their join window — the outer-join state-eviction
+    semantics (Spark holds a left row until no future purchase could
+    match it, then releases it with NULLs). The watermark is therefore
+    not just a state bound here; it is what makes outer results emit at
+    all, which is why replay harnesses must advance it past the data
+    (see ``q_streaming_stream_left_join``)."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").cast("timestamp").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").cast("timestamp").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        F.expr(
+            f"c_user = p_user AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + {within}"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "click_id",
+        "purchase_id",
+        "purchase_value",
+    )
