@@ -1150,3 +1150,64 @@ def kcenter_sample(
     return emb.sparkSession.createDataFrame(
         chosen, f"{id_col} bigint, selection_order int, dist_sq double"
     )
+
+
+def grouped_top_eigen(
+    emb: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group covariance spectrum summary: for every group of
+    embeddings, the top covariance eigenvalue and its explained-variance
+    ratio (top_eig / trace) — the spread diagnostic behind cluster
+    quality checks, whitening decisions, and intrinsic-dimensionality
+    probes on embedded corpora.
+
+    Custom numeric operator via ``applyInPandas`` (the grouped-map
+    escape hatch SURVEY.md reserves for semantics built-ins cannot
+    express): one shuffle on the group key, then each group's (n × dim)
+    matrix reduces to a dim × dim covariance and one symmetric eigh per
+    group — O(dim²·n + dim³) in vectorized numpy, never per-row Python.
+    Degenerate groups (n < 2) report NULL eigenvalues.
+
+    Scale: per-task memory is the group's matrix; dim is small by
+    construction (embedding width), and groups far larger than memory
+    should pre-aggregate the Gram matrix with a two-stage map-side
+    combine (sum of outer products is associative) — the docstring
+    contract, same shape as every bounded-state caveat in this repo.
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{group_col} bigint, n bigint, top_eigenvalue double, "
+        "explained_ratio double"
+    )
+
+    def spectrum(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        n = mat.shape[0]
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    group_col: [key[0]],
+                    "n": [n],
+                    "top_eigenvalue": [None],
+                    "explained_ratio": [None],
+                }
+            )
+        cov = np.cov(mat, rowvar=False)
+        eigs = np.linalg.eigvalsh(cov)
+        top = float(eigs[-1])
+        trace = float(np.trace(cov))
+        return pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "n": [n],
+                "top_eigenvalue": [top],
+                "explained_ratio": [top / trace if trace else None],
+            }
+        )
+
+    return emb.select(group_col, vec_col).groupBy(group_col).applyInPandas(
+        spectrum, schema=out_schema
+    )

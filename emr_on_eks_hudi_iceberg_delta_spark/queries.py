@@ -7802,3 +7802,45 @@ def q_streaming_stream_left_join(spark, sf_dir):
     )
     res = run_stream_to_memory(out, output_mode="append")
     return res.filter(F.col("user_id") >= 0)
+
+
+@register(
+    "embedding_group_spectrum",
+    tags=("similarity", "udf", "extension"),
+)
+def q_embedding_group_spectrum(spark, sf_dir):
+    """Per-label covariance spectrum of the embedding corpus
+    (operators/similarity.grouped_top_eigen): top eigenvalue +
+    explained-variance ratio per label via an Arrow-batched grouped-map
+    (applyInPandas). Rows-only gate (eigendecomposition is not
+    SQL-expressible); pinned against a numpy host reference in
+    tests/test_kcenter.py."""
+    from .operators.similarity import grouped_top_eigen
+
+    return grouped_top_eigen(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "table_zorder_compaction_lossless",
+    oracle="SELECT c_custkey, c_nationkey, c_acctbal FROM customer",
+    tags=("S6", "lake", "extension"),
+)
+def q_table_zorder_compaction_lossless(spark, sf_dir):
+    """OPTIMIZE ZORDER as a driver-gated query (previously pytest-only):
+    multi-dimensional Z-curve compaction re-clusters the physical layout
+    for min/max skipping on every Z-column while the logical content
+    stays byte-identical — the oracle is simply the original table.
+    The rewrite costs one range exchange + in-partition sort; the
+    quantile pass for the Z-buckets is a sampled aggregate."""
+    from .sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_z_"))
+    vt.overwrite(
+        _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey", "c_acctbal"
+        )
+    )
+    vt.compact(
+        target_partitions=4, zorder_by=["c_nationkey", "c_acctbal"]
+    )
+    return vt.read()

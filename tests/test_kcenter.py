@@ -61,3 +61,40 @@ def test_kcenter_small_corpus_stops_early(spark):
     rows = kcenter_sample(emb, k=10).collect()
     assert len(rows) == 3
     assert sorted(r["selection_order"] for r in rows) == [1, 2, 3]
+
+
+def test_grouped_top_eigen_matches_numpy(spark):
+    import numpy as np
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.similarity import (
+        grouped_top_eigen,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = {r["label"]: r for r in grouped_top_eigen(emb).collect()}
+    host = {}
+    for r in emb.collect():
+        host.setdefault(r["label"], []).append([float(x) for x in r["embedding"]])
+    assert set(out) == set(host)
+    for lbl, vecs in host.items():
+        mat = np.asarray(vecs)
+        cov = np.cov(mat, rowvar=False)
+        top = float(np.linalg.eigvalsh(cov)[-1])
+        assert abs(out[lbl]["top_eigenvalue"] - top) < 1e-9 * max(1.0, abs(top))
+        assert abs(out[lbl]["explained_ratio"] - top / float(np.trace(cov))) < 1e-9
+        assert out[lbl]["n"] == len(vecs)
+    assert all(0 < r["explained_ratio"] <= 1 for r in out.values())
+
+
+def test_grouped_top_eigen_degenerate_group(spark):
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.similarity import (
+        grouped_top_eigen,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (1, [2.0, 1.0]), (2, [5.0, 5.0])],
+        "label bigint, embedding array<double>",
+    )
+    out = {r["label"]: r for r in grouped_top_eigen(df).collect()}
+    assert out[2]["n"] == 1 and out[2]["top_eigenvalue"] is None
+    assert out[1]["top_eigenvalue"] is not None
