@@ -7844,3 +7844,62 @@ def q_table_zorder_compaction_lossless(spark, sf_dir):
         target_partitions=4, zorder_by=["c_nationkey", "c_acctbal"]
     )
     return vt.read()
+
+
+@register(
+    "xml_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE c_custkey % 11 = 0
+    """,
+    tags=("functions", "sources", "extension"),
+)
+def q_xml_roundtrip(spark, sf_dir):
+    """Spark 4 native XML surface: each row serializes through
+    ``to_xml(struct(...))`` and parses back with ``from_xml`` under an
+    explicit schema — the oracle is the original projection, so the gate
+    proves the XML codec is lossless for the typed columns (the same
+    roundtrip-identity pattern as ``orc_roundtrip``). Per-row codec,
+    zero shuffle."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 11 == 0)
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+    xml = cust.select(
+        F.to_xml(F.struct("c_custkey", "c_name", "c_mktsegment")).alias("x")
+    )
+    return xml.select(
+        F.from_xml(
+            "x", "c_custkey bigint, c_name string, c_mktsegment string"
+        ).alias("p")
+    ).select("p.*")
+
+
+@register(
+    "parameterized_sql",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer WHERE c_acctbal > 1000.0 AND c_nationkey < 10
+    GROUP BY c_mktsegment
+    """,
+    tags=("functions", "extension"),
+)
+def q_parameterized_sql(spark, sf_dir):
+    """Spark 4 parameterized SQL (named-marker binding via
+    ``spark.sql(..., args=...)``) — the injection-safe front door for
+    templated analytics; markers bind as typed literals, so Catalyst
+    constant-folds and pushes them down exactly like inline literals.
+    The oracle inlines the same values."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_bal
+        FROM customer WHERE c_acctbal > :min_bal AND c_nationkey < :max_nation
+        GROUP BY c_mktsegment
+        """,
+        args={"min_bal": 1000.0, "max_nation": 10},
+    )
