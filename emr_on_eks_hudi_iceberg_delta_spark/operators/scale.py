@@ -18,7 +18,7 @@ not random) so results are reproducible and oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -70,3 +70,52 @@ def two_phase_agg(
         ]
     )
     return final
+
+
+def key_skew_stats(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Shuffle-key skew diagnosis — the measurement behind every salting
+    / AQE-skew-join decision: the ``top_n`` heaviest key values with
+    their row counts, each key's share of all rows, and its ratio to
+    the MEAN key load (``skew_factor`` — a key at 50× the mean is why a
+    shuffle straggles). Run this BEFORE picking ``salted_join``'s salt
+    fan-out; the factor is the fan-out lower bound.
+
+    Exactness: counts are BIGINT; share and skew_factor are fixed
+    two-op IEEE sequences (one multiply-free division each), so the
+    oracle replays exactly.
+
+    Scale: one map-side-combined aggregate on the key + a distributed
+    TakeOrdered for the top-N; totals fold in as one-row broadcasts.
+    The diagnosis costs one pass — strictly cheaper than the skewed
+    shuffle it prevents.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("__rows"), F.count(F.lit(1)).alias("__keys")
+    )
+    ranked = (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col(key_col).asc())
+            ),
+        )
+        .filter(F.col("rank") <= int(top_n))
+    )
+    return ranked.select(
+        F.col(key_col),
+        F.col("cnt").cast("bigint").alias("cnt"),
+        "rank",
+        (F.col("cnt").cast("double") / F.col("__rows").cast("double")).alias(
+            "share"
+        ),
+        (
+            F.col("cnt").cast("double")
+            / (F.col("__rows").cast("double") / F.col("__keys").cast("double"))
+        ).alias("skew_factor"),
+    )

@@ -7903,3 +7903,34 @@ def q_parameterized_sql(spark, sf_dir):
         """,
         args={"min_bal": 1000.0, "max_nation": 10},
     )
+
+
+@register(
+    "key_skew_diagnosis",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM ev GROUP BY event_type),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys FROM c),
+    r AS (SELECT event_type, cnt,
+                 CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, event_type ASC)
+                      AS INT) AS rank,
+                 CAST(cnt AS DOUBLE) / CAST(total_rows AS DOUBLE) AS share,
+                 CAST(cnt AS DOUBLE)
+                   / (CAST(total_rows AS DOUBLE) / CAST(n_keys AS DOUBLE))
+                   AS skew_factor
+          FROM c, t)
+    SELECT event_type, cnt, rank, share, skew_factor FROM r WHERE rank <= 10
+    """,
+    tags=("scale", "agg", "extension"),
+)
+def q_key_skew_diagnosis(spark, sf_dir):
+    """Shuffle-key skew diagnosis (operators/scale.key_skew_stats): the
+    heaviest key values with their load share and ratio to the mean key
+    load — the one-pass measurement behind salting fan-out and AQE
+    skew-join decisions. EXACT oracle (BIGINT counts, fixed IEEE
+    closes)."""
+    from .operators.scale import key_skew_stats
+
+    return key_skew_stats(_t(spark, sf_dir, "events"), "event_type")
