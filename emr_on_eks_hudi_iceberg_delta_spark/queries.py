@@ -7934,3 +7934,77 @@ def q_key_skew_diagnosis(spark, sf_dir):
     from .operators.scale import key_skew_stats
 
     return key_skew_stats(_t(spark, sf_dir, "events"), "event_type")
+
+
+@register(
+    "curation_pipeline_round5",
+    oracle=f"""
+    WITH g AS ({_SQL_GOPHER}),
+    kept AS (SELECT d.doc_id, d.source, d.text
+             FROM documents d JOIN g ON g.doc_id = d.doc_id
+             WHERE g.gopher_ok),
+    c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS dn
+          FROM kept GROUP BY source),
+    t AS (SELECT CAST(SUM(dn) AS BIGINT) AS total FROM c),
+    w AS (SELECT source, dn, total,
+                 sqrt(CAST(dn AS DOUBLE) / CAST(total AS DOUBLE)) AS wr
+          FROM c, t),
+    z AS (SELECT list_reduce(
+                   list_transform(
+                     list_sort(list(struct_pack(s := source, w := wr))),
+                     x -> x.w),
+                   (a, b) -> a + b) AS z
+          FROM w),
+    wt AS (SELECT source,
+                  CAST(floor((wr / z.z) * CAST(total AS DOUBLE)
+                             / CAST(dn AS DOUBLE) * 1000000.0) AS BIGINT)
+                    AS wi
+           FROM w, z),
+    doc_w AS (SELECT kept.doc_id, kept.source, kept.text, wt.wi
+              FROM kept JOIN wt USING (source)),
+    wtot AS (SELECT CAST(SUM(wi) AS BIGINT) AS w_total FROM doc_w)
+    SELECT doc_id, source, wi,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+             AS ws_tokens
+    FROM doc_w, wtot
+    WHERE CAST(CAST(concat('0x',
+                           substr(md5('cap5' || CAST(doc_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS DOUBLE)
+          * CAST(w_total AS DOUBLE)
+        < 200.0 * CAST(wi AS DOUBLE) * 1152921504606846976.0
+    """,
+    tags=("text", "sampling", "corpus", "extension", "pipeline"),
+)
+def q_curation_pipeline_round5(spark, sf_dir):
+    """Round-5 curation capstone — the new operators composed end-to-end,
+    every stage exact: Gopher quality gate → temperature-scaled domain
+    mixture weights (alpha 0.5, sqrt-exact) → integerized per-doc
+    weights → deterministic weight-proportional Poisson sample (salted
+    portable hash) → token accounting on the survivors. Three tiny
+    domain-level aggregates + one scan-speed filter; the corpus itself
+    never shuffles. The whole chain replays in one oracle SQL — the
+    composition, not just each stage, is verified."""
+    from .operators.sampling import weighted_sample
+    from .operators.text import (
+        gopher_quality_flags,
+        temperature_mixture_weights,
+        with_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(docs, min_stopwords=1).select(
+        "doc_id", "gopher_ok"
+    )
+    kept = docs.join(flags, "doc_id").filter(F.col("gopher_ok"))
+    weights = temperature_mixture_weights(kept).withColumn(
+        "wi", F.floor(F.col("mix_weight") * F.lit(1000000.0)).cast("bigint")
+    )
+    doc_w = kept.select("doc_id", "text").join(
+        weights.select("doc_id", "source", "wi"), "doc_id"
+    )
+    sampled = weighted_sample(
+        doc_w, "doc_id", "wi", target_rows=200, salt="cap5"
+    )
+    return with_token_count(sampled).select(
+        "doc_id", "source", "wi", "ws_tokens"
+    )
