@@ -456,3 +456,36 @@ def test_round5_dsir_single_rollup_shuffle(spark):
     df = REGISTRY["dsir_importance_diagnostics"].fn(spark, SF_DIR)
     assert shuffle_count(df) <= 5
     assert broadcast_join_count(df) >= 2  # raw + target count tables
+
+
+def test_trailing_hour_window_single_shuffle(spark):
+    """The interval RANGE window costs exactly one shuffle (user_id)."""
+    df = REGISTRY["events_trailing_hour_window"].fn(spark, SF_DIR)
+    assert shuffle_count(df) == 1
+
+
+def test_fuzzy_match_shuffles_on_block_key_only(spark):
+    """Blocked fuzzy matching joins on the blocking key; Levenshtein is
+    a residual filter, never a join condition (no nested-loop plan)."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.dedup import (
+        fuzzy_match_pairs,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.plans import formatted_plan
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
+
+    out = fuzzy_match_pairs(
+        load_table(spark, SF_DIR, "part"), "p_partkey", "p_name", max_distance=3
+    )
+    plan = formatted_plan(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "levenshtein" in plan.lower()
+
+
+def test_ewma_single_entity_exchange(spark):
+    """EWMA folds in-row after one entity-key shuffle."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.sequence import (
+        ewma_scores,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
+
+    assert shuffle_count(ewma_scores(load_table(spark, SF_DIR, "events"))) == 1
