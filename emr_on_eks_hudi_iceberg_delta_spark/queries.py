@@ -8008,3 +8008,56 @@ def q_curation_pipeline_round5(spark, sf_dir):
     return with_token_count(sampled).select(
         "doc_id", "source", "wi", "ws_tokens"
     )
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'orders->customer' AS relationship,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_orphans,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'lineitem->orders',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    """,
+    tags=("agg", "join", "extension"),
+)
+def q_referential_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit across the star schema: orphan counts
+    per foreign-key relationship via left-anti joins (the data-quality
+    check lake formats cannot enforce natively — fact rows referencing
+    missing dimension keys). Each relationship costs one anti-join with
+    the dimension's key column broadcast; counts are exact."""
+    checks = [
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ]
+    out = None
+    for name, fact, fk, dim, pk in checks:
+        f = _t(spark, sf_dir, fact)
+        d = _t(spark, sf_dir, dim).select(F.col(pk).alias(fk))
+        orphans = f.join(F.broadcast(d), fk, "left_anti").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orphans")
+        )
+        row = orphans.crossJoin(
+            f.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        ).select(
+            F.lit(name).alias("relationship"), "n_orphans", "n_rows"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

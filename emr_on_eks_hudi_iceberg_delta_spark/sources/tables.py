@@ -192,7 +192,14 @@ class VersionedTable:
             )
         version = self._next_version(snaps)
         snap_dir = os.path.join(self.location, f"snapshot-{version:05d}")
-        df.write.mode("overwrite").parquet(snap_dir)
+        writer = df.write.mode("overwrite")
+        codec = meta.get("properties", {}).get("write.compression")
+        if codec:
+            # per-table codec property (Delta/Iceberg write.* analog):
+            # e.g. zstd trades ~2x CPU for ~30% smaller files — the right
+            # default for cold corpus tables at 100 TB
+            writer = writer.option("compression", str(codec))
+        writer.parquet(snap_dir)
         if track:
             # advance the high-water mark from the WRITTEN files (one
             # column-pruned scan of the new snapshot — the ids the plan
@@ -458,6 +465,26 @@ class VersionedTable:
             self.read(version=to_version),
             key_cols,
         )
+
+    def diff_summary(
+        self, from_version: int, to_version: int, key_cols: list[str]
+    ) -> dict:
+        """Change-volume summary between two snapshots: row counts per
+        CDF change type (inserts, deletes, updates) — the one-line
+        answer to "what did that commit do", driver-cheap (one aggregate
+        over the diff, four small numbers back)."""
+        counts = {
+            r["_change_type"]: r["n"]
+            for r in self.changes_cdf(from_version, to_version, key_cols)
+            .groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        return {
+            "inserted": int(counts.get("insert", 0)),
+            "deleted": int(counts.get("delete", 0)),
+            "updated": int(counts.get("update_postimage", 0)),
+        }
 
     def compact(
         self,

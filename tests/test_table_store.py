@@ -1229,3 +1229,37 @@ def test_publish_if_clean_gates_and_cleans_up(spark, tmp_path):
     # auditing a published (non-staged) version refuses
     with pytest.raises(ValueError, match="no staged snapshot"):
         vt.audit_staged(good, {"x": "true"})
+
+
+def test_write_compression_property(spark, tmp_path):
+    import glob
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_zstd"))
+    vt.set_property("write.compression", "zstd")
+    vt.overwrite(spark.range(100))
+    files = glob.glob(str(tmp_path / "vt_zstd" / "snapshot-00000" / "*.parquet"))
+    assert files and all(".zstd." in f for f in files)
+    assert vt.read().count() == 100  # codec transparent to readers
+    vt.unset_property("write.compression")
+    vt.append(spark.range(100, 110))
+    files1 = glob.glob(str(tmp_path / "vt_zstd" / "snapshot-00001" / "*.parquet"))
+    assert files1 and not any(".zstd." in f for f in files1)
+
+
+def test_diff_summary_counts_change_types(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_diff"))
+    vt.overwrite(
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30)], ["k", "v"])
+    )
+    vt.overwrite(
+        spark.createDataFrame([(1, 11), (3, 30), (4, 40)], ["k", "v"])
+    )
+    assert vt.diff_summary(0, 1, ["k"]) == {
+        "inserted": 1,
+        "deleted": 1,
+        "updated": 1,
+    }
