@@ -304,6 +304,10 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
 
         CREATE TABLE t AS SELECT ...            -- CTAS into the catalog
         CREATE TABLE t LOCATION '<path>'        -- register external table
+        ALTER TABLE a RENAME TO b               -- catalog rename
+        CREATE VIEW v AS SELECT ... | DROP VIEW v
+        SHOW CREATE TABLE t                     -- reconstructed DDL
+        INSERT OVERWRITE [TABLE] t SELECT ...   -- full overwrite
         DROP TABLE t [PURGE]
         SHOW TABLES                             -- returns a DataFrame
         DESCRIBE TABLE t                        -- returns (col, type) rows
@@ -355,6 +359,33 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
         if m:
             catalog.drop_table(m.group("t"), purge=bool(m.group("purge")))
             return
+        m = re.match(
+            r"\s*ALTER\s+TABLE\s+(?P<a>\w+)\s+RENAME\s+TO\s+(?P<b>\w+)\s*$",
+            s,
+            re.I,
+        )
+        if m:
+            catalog.rename_table(m.group("a"), m.group("b"))
+            return
+        m = re.match(
+            r"\s*CREATE\s+VIEW\s+(?P<v>\w+)\s+AS\s+(?P<q>.+)$", s, re.I | re.S
+        )
+        if m:
+            catalog.create_view(m.group("v"), m.group("q").strip())
+            return
+        m = re.match(r"\s*DROP\s+VIEW\s+(?P<v>\w+)\s*$", s, re.I)
+        if m:
+            catalog.drop_view(m.group("v"))
+            return
+        m = re.match(r"\s*SELECT\s+\*\s+FROM\s+(?P<v>\w+)\s*$", s, re.I)
+        if m and m.group("v") in catalog.list_views():
+            return catalog.view(m.group("v"))
+        m = re.match(r"\s*SHOW\s+CREATE\s+TABLE\s+(?P<t>\w+)\s*$", s, re.I)
+        if m:
+            return spark.createDataFrame(
+                [(catalog.show_create_table(m.group("t")),)],
+                "createtab_stmt string",
+            )
         if re.match(r"\s*SHOW\s+TABLES\s*$", s, re.I):
             return spark.createDataFrame(
                 [(t,) for t in catalog.list_tables()], "table string"
@@ -411,6 +442,22 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
         else:
             df = spark.sql(src)
         vt.replace_where(cond, df)
+        return
+    m = re.match(
+        r"\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(?P<t>[\w.]+)\s+(?P<rest>.+)$",
+        s,
+        re.I | re.S,
+    )
+    if m:
+        vt = _table(m.group("t"))
+        rest = m.group("rest").strip()
+        if rest.upper().startswith("VALUES"):
+            df = spark.sql(rest).toDF(*vt.read().columns)
+        elif rest.upper().startswith(("SELECT", "WITH")):
+            df = spark.sql(rest)
+        else:
+            raise ValueError(f"DML: cannot parse INSERT OVERWRITE source {rest!r}")
+        vt.overwrite(df)
         return
     m = re.match(r"\s*INSERT\s+INTO\s+(?P<t>[\w.]+)\s+(?P<rest>.+)$", s, re.I | re.S)
     if m:

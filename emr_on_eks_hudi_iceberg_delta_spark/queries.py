@@ -8061,3 +8061,51 @@ def q_referential_integrity_audit(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "embedding_mrl_truncate",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id,
+             list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS head
+      FROM embeddings),
+    n AS (
+      SELECT vec_id, head,
+             sqrt(list_reduce(list_transform(head, x -> x * x),
+                              (a, b) -> a + b)) AS head_norm
+      FROM b)
+    SELECT vec_id, head_norm,
+           list_transform(head, x -> x / head_norm) AS unit_head
+    FROM n
+    """,
+    tags=("similarity", "functions", "extension"),
+)
+def q_embedding_mrl_truncate(spark, sf_dir):
+    """Matryoshka-style dimension truncation (MRL): keep the first 16
+    embedding dimensions and re-normalize to unit length — the
+    storage/latency trade modern nested-representation models are
+    trained for (coarse search on the prefix, full-dim re-rank). The
+    norm is a sequential squared fold + sqrt (exact cross-engine) and
+    each element divides by the identical norm, so the truncated unit
+    vectors replay bit-for-bit. Per-row arithmetic, zero shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    head = F.transform(
+        F.slice(F.col("embedding"), 1, 16), lambda x: x.cast("double")
+    )
+    b = emb.select("vec_id", head.alias("head"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("head"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    n = b.withColumn("head_norm", norm)
+    return n.select(
+        "vec_id",
+        "head_norm",
+        F.transform(
+            F.col("head"), lambda x: x / F.col("head_norm")
+        ).alias("unit_head"),
+    )

@@ -98,3 +98,77 @@ class LakeCatalog:
         if purge:
             shutil.rmtree(loc, ignore_errors=True)
         return self
+
+    def rename_table(self, old: str, new: str) -> "LakeCatalog":
+        """ALTER TABLE ... RENAME TO: remap the catalog name; the data
+        location is untouched (a catalog rename is a metadata operation,
+        exactly as in Glue/HMS — readers holding the location keep
+        working)."""
+        if not new.isidentifier():
+            raise ValueError(f"invalid table name {new!r}")
+        doc = self._doc()
+        if old not in doc["tables"]:
+            raise ValueError(f"table {old!r} not found in catalog")
+        if new in doc["tables"] or new in doc.get("views", {}):
+            raise ValueError(f"name {new!r} already exists in catalog")
+        doc["tables"][new] = doc["tables"].pop(old)
+        self._write_doc(doc)
+        self.spark.catalog.dropTempView(old)
+        VersionedTable(
+            self.spark, doc["tables"][new]
+        ).read().createOrReplaceTempView(new)
+        return self
+
+    def create_view(self, name: str, sql: str) -> "LakeCatalog":
+        """CREATE VIEW: store the SQL text durably; resolution happens at
+        read time against the CURRENT table snapshots (a logical view,
+        never materialized — the Glue/HMS view semantics)."""
+        if not name.isidentifier():
+            raise ValueError(f"invalid view name {name!r}")
+        doc = self._doc()
+        if name in doc["tables"] or name in doc.setdefault("views", {}):
+            raise ValueError(f"name {name!r} already exists in catalog")
+        doc["views"][name] = sql
+        self._write_doc(doc)
+        return self
+
+    def view(self, name: str) -> DataFrame:
+        """Resolve a stored view: sync the base tables, run the text."""
+        views = self._doc().get("views", {})
+        if name not in views:
+            raise ValueError(f"view {name!r} not found in catalog")
+        self.sync()
+        return self.spark.sql(views[name])
+
+    def list_views(self) -> list[str]:
+        return sorted(self._doc().get("views", {}))
+
+    def drop_view(self, name: str) -> "LakeCatalog":
+        doc = self._doc()
+        if name not in doc.get("views", {}):
+            raise ValueError(f"view {name!r} not found in catalog")
+        del doc["views"][name]
+        self._write_doc(doc)
+        return self
+
+    def show_create_table(self, name: str) -> str:
+        """SHOW CREATE TABLE: reconstruct the DDL from the live schema,
+        location, and table properties/constraints — the portable
+        statement another engine would need to re-register this table."""
+        vt = self.table(name)
+        cols = ",\n  ".join(
+            f"{f.name} {f.dataType.simpleString().upper()}"
+            for f in vt.read().schema.fields
+        )
+        lines = [f"CREATE TABLE {name} (\n  {cols}\n)"]
+        lines.append(f"LOCATION '{self._doc()['tables'][name]}'")
+        props = vt.properties()
+        meta = vt._meta()
+        for cname, expr in meta.get("constraints", {}).items():
+            lines.append(f"CONSTRAINT {cname} CHECK ({expr})")
+        for col in meta.get("not_null", []):
+            lines.append(f"-- {col} NOT NULL")
+        if props:
+            kv = ", ".join(f"'{k}' = '{v}'" for k, v in sorted(props.items()))
+            lines.append(f"TBLPROPERTIES ({kv})")
+        return "\n".join(lines)

@@ -57,3 +57,62 @@ def test_writer_lock_excludes_and_expires(spark, tmp_path):
     os.utime(path, (old, old))
     with vt.locked(timeout=5.0, stale_after=60):  # breaks the stale lock
         pass
+
+
+# -- round-5: rename / views / SHOW CREATE TABLE / INSERT OVERWRITE ---------
+
+
+def test_catalog_rename_and_views(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.merge_sql import run_dml
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.catalog import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "cat_r5"))
+    cat.create_table("raw", spark.range(5).withColumn("v", F.col("id") * 2))
+    run_dml(spark, "ALTER TABLE raw RENAME TO base", catalog=cat)
+    assert cat.list_tables() == ["base"]
+    assert cat.table("base").read().count() == 5
+    run_dml(
+        spark,
+        "CREATE VIEW big AS SELECT id, v FROM base WHERE v >= 4",
+        catalog=cat,
+    )
+    got = run_dml(spark, "SELECT * FROM big", catalog=cat)
+    assert got.count() == 3
+    # a view is logical: new commits show through without re-creating it
+    cat.table("base").append(
+        spark.createDataFrame([(10, 40)], ["id", "v"])
+    )
+    assert cat.view("big").count() == 4
+    run_dml(spark, "DROP VIEW big", catalog=cat)
+    assert cat.list_views() == []
+
+
+def test_show_create_table_reconstructs_ddl(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.merge_sql import run_dml
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.catalog import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "cat_ddl"))
+    vt = cat.create_table("t1", spark.range(3).withColumn("s", F.lit("x")))
+    vt.set_property("write.compression", "zstd")
+    vt.add_constraint("pos_id", "id >= 0")
+    stmt = run_dml(spark, "SHOW CREATE TABLE t1", catalog=cat).first()[0]
+    assert "CREATE TABLE t1" in stmt and "id BIGINT" in stmt
+    assert "CONSTRAINT pos_id CHECK (id >= 0)" in stmt
+    assert "'write.compression' = 'zstd'" in stmt
+    assert "LOCATION" in stmt
+
+
+def test_insert_overwrite_sql(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.merge_sql import run_dml
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_iow"))
+    vt.overwrite(spark.createDataFrame([(1, "a")], ["k", "s"]))
+    run_dml(
+        spark,
+        "INSERT OVERWRITE t VALUES (7, 'z'), (8, 'y')",
+        {"t": vt},
+    )
+    rows = sorted((r["k"], r["s"]) for r in vt.read().collect())
+    assert rows == [(7, "z"), (8, "y")]
+    assert vt.read(version=0).count() == 1  # old snapshot time-travels
