@@ -1115,3 +1115,73 @@ def temperature_mixture_weights(
         ).alias("mix_weight"),
     )
     return df.select(id_col, source_col).join(F.broadcast(weighted), source_col)
+
+
+def count_min_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch over corpus tokens: ``depth`` independent hash
+    rows × ``width`` counters; estimate(token) = min over rows of its
+    counter — always an OVERestimate, within ``eps·N`` of truth with
+    probability 1−δ (eps = e/width, δ = e^−depth). The streaming-sketch
+    complement to the exact ``heavy_hitters`` pass: fixed memory no
+    matter the vocabulary.
+
+    Deterministic by construction: row ``d``'s bucket is the portable
+    ``md5_hash64(chr(d) ‖ token) mod width``, so the sketch — not just
+    its estimates — replays exactly cross-engine (the same property as
+    every hash-derived operator here; a production swap to xxhash64
+    changes one helper).
+
+    Scale: one explode + ONE aggregate on (depth, bucket) — at most
+    ``depth × width`` result rows with map-side combine collapsing
+    everything; no vocabulary-sized state anywhere.
+    """
+    tok = df.select(F.explode(tokens_expr(text_col)).alias("__t"))
+    rows = []
+    for d in range(int(depth)):
+        rows.append(
+            tok.select(
+                F.lit(d).alias("depth"),
+                F.pmod(
+                    md5_hash64(F.concat(F.lit(chr(65 + d)), F.col("__t"))),
+                    F.lit(int(width)),
+                ).cast("int").alias("bucket"),
+            )
+        )
+    from functools import reduce
+
+    all_rows = reduce(lambda a, b: a.unionByName(b), rows)
+    return all_rows.groupBy("depth", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    probes: list[str],
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the Count-Min sketch for ``probes``: per token the
+    min counter across depth rows. Probe buckets compute driver-side
+    (the probe list is tiny); the sketch joins on (depth, bucket) —
+    broadcast-sized by construction."""
+    import hashlib
+
+    spark = sketch.sparkSession
+    rows = []
+    depth = sketch.agg(F.max("depth")).first()[0] + 1
+    for t in probes:
+        for d in range(depth):
+            h = int(hashlib.md5((chr(65 + d) + t).encode()).hexdigest()[:15], 16)
+            rows.append((t, d, h % int(width)))
+    probe_df = spark.createDataFrame(rows, "token string, depth int, bucket int")
+    joined = probe_df.join(F.broadcast(sketch), ["depth", "bucket"], "left")
+    return joined.groupBy("token").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias(
+            "estimate"
+        )
+    )

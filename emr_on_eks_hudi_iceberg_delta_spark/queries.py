@@ -8109,3 +8109,96 @@ def q_embedding_mrl_truncate(spark, sf_dir):
             F.col("head"), lambda x: x / F.col("head_norm")
         ).alias("unit_head"),
     )
+
+
+_SQL_CMS = r"""
+      SELECT CAST(d AS INT) AS depth,
+             CAST(CAST(concat('0x', substr(md5(chr(CAST(65 + d AS INT)) || t), 1, 15))
+                       AS BIGINT) % 256 AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+            FROM documents) tok,
+           UNNEST(generate_series(0, 3)) AS u(d)
+      GROUP BY 1, 2
+    """
+
+
+@register(
+    "count_min_sketch_rows",
+    oracle=_SQL_CMS,
+    tags=("agg", "scale", "extension"),
+)
+def q_count_min_sketch_rows(spark, sf_dir):
+    """Count-Min sketch construction (operators/text.count_min_sketch,
+    depth 4 × width 256): fixed-memory frequency summary whose state is
+    depth×width counters regardless of vocabulary — the streaming
+    complement to the exact heavy-hitters pass. The sketch is hash-
+    deterministic, so the ENTIRE sketch (not just estimates) replays
+    exactly in the oracle."""
+    from .operators.text import count_min_sketch
+
+    return count_min_sketch(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "count_min_estimates",
+    oracle=f"""
+    WITH sketch AS ({_SQL_CMS}),
+    probes AS (SELECT unnest(['the', 'join', 'dup', 'qqqq']) AS token),
+    pb AS (SELECT token, d,
+                  CAST(CAST(concat('0x',
+                                   substr(md5(chr(CAST(65 + d AS INT)) || token), 1, 15))
+                            AS BIGINT) % 256 AS INT) AS bucket
+           FROM probes, UNNEST(generate_series(0, 3)) AS u(d))
+    SELECT token, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS estimate
+    FROM pb LEFT JOIN sketch
+      ON sketch.depth = pb.d AND sketch.bucket = pb.bucket
+    GROUP BY token
+    """,
+    tags=("agg", "scale", "extension"),
+)
+def q_count_min_estimates(spark, sf_dir):
+    """Count-Min point queries: per probe token the min counter across
+    depth rows — always ≥ the true count, within eps·N whp. Probe
+    buckets compute driver-side from the same portable hash; the
+    deterministic sketch makes even the estimates oracle-exact."""
+    from .operators.text import count_min_estimate, count_min_sketch
+
+    sketch = count_min_sketch(_t(spark, sf_dir, "documents"))
+    return count_min_estimate(sketch, ["the", "join", "dup", "qqqq"])
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH a AS (SELECT c_custkey, c_mktsegment FROM customer
+               WHERE c_custkey % 2 = 0),
+    b AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders WHERE o_custkey % 3 = 0 GROUP BY o_custkey)
+    SELECT COALESCE(a.c_custkey, b.o_custkey) AS custkey,
+           a.c_mktsegment, b.n_orders
+    FROM a FULL OUTER JOIN b ON a.c_custkey = b.o_custkey
+    """,
+    tags=("join", "extension"),
+)
+def q_join_full_outer(spark, sf_dir):
+    """FULL OUTER equi join (the one batch join flavor not yet a
+    standalone gate — it anchors the CDF diff internally): customers on
+    even keys vs order counts on keys divisible by 3; unmatched sides
+    NULL-pad. One shuffle per side on the key."""
+    a = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    b = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 3 == 0)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    return a.join(b, a["c_custkey"] == b["o_custkey"], "full_outer").select(
+        F.coalesce(a["c_custkey"], b["o_custkey"]).alias("custkey"),
+        "c_mktsegment",
+        "n_orders",
+    )
