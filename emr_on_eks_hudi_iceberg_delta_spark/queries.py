@@ -8202,3 +8202,48 @@ def q_join_full_outer(spark, sf_dir):
         "c_mktsegment",
         "n_orders",
     )
+
+
+@register(
+    "skew_safe_top1",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    r AS (SELECT event_type, event_id, ts, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id ASC) AS rn
+          FROM ev)
+    SELECT event_type, event_id AS top_event_id, ts AS top_ts,
+           value AS top_value
+    FROM r WHERE rn = 1
+    """,
+    tags=("agg", "scale", "window", "extension"),
+)
+def q_skew_safe_top1(spark, sf_dir):
+    """Skew-safe per-group argmax: the top-value event per type via ONE
+    hash aggregate of an ordered struct (map-side combine keeps hot keys
+    off a single task) instead of a ranked window (which funnels every
+    hot-key row through one partition). The struct orders (value desc
+    via negation-free compare, then LOWEST event_id) so ties are
+    deterministic; the oracle states the same contract as a window. At
+    100 TB this is the difference between a straggler-free aggregate
+    and a hot-partition sort."""
+    ev = _t(spark, sf_dir, "events")
+    # struct comparison is lexicographic: maximize value, then prefer the
+    # smallest event_id on ties -> maximize (value, -event_id)
+    best = F.max(
+        F.struct(
+            F.col("value").alias("v"),
+            (-F.col("event_id")).alias("neg_id"),
+            F.col("ts").alias("t"),
+        )
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(best.alias("b"))
+        .select(
+            "event_type",
+            (-F.col("b.neg_id")).cast("bigint").alias("top_event_id"),
+            F.col("b.t").alias("top_ts"),
+            F.col("b.v").alias("top_value"),
+        )
+    )

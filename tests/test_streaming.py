@@ -159,3 +159,37 @@ def test_stream_stream_join_matches_batch(spark, events_stream):
     g = {(r["click_id"], r["purchase_id"]) for r in got.collect()}
     e = {(r["cid"], r["pid"]) for r in exp.collect()}
     assert g == e
+
+
+def test_session_windows_state_carries_across_micro_batches(spark, tmp_path):
+    """Splitting the same events over two micro-batches must yield the
+    same final sessions as one batch — the state-carry contract of
+    watermarked session windows (batches split mid-timeline, so open
+    sessions must survive the batch boundary)."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
+    from emr_on_eks_hudi_iceberg_delta_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        run_stream_to_memory,
+        stream_session_windows,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    cut = "2024-01-15 00:00:00"
+    one = str(tmp_path / "one")
+    ev.coalesce(1).write.parquet(one)
+    split = str(tmp_path / "split")
+    ev.filter(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(split)
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(split)
+
+    def run(path, max_files):
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", max_files)
+            .parquet(path)
+        )
+        out = run_stream_to_memory(
+            stream_session_windows(stream), output_mode="complete"
+        )
+        return sorted(map(tuple, out.collect()))
+
+    assert run(one, 10) == run(split, 1)
