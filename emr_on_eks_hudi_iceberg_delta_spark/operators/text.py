@@ -1185,3 +1185,36 @@ def count_min_estimate(
             "estimate"
         )
     )
+
+
+def perplexity_buckets_approx(
+    scored: DataFrame,
+    n_buckets: int = 3,
+    ppl_col: str = "ppl",
+    relative_error: float = 0.01,
+) -> DataFrame:
+    """The 100 TB path for CCNet's head/middle/tail split: bucket by
+    APPROXIMATE quantile boundaries (Greenwald-Khanna via
+    ``approxQuantile`` — a driver-side list of ``n_buckets - 1``
+    numbers) instead of ``perplexity_buckets``'s exact global NTILE,
+    which costs a total sort through one ordering. Assignment is then a
+    scan-speed comparison against broadcast literals — zero shuffle.
+
+    The trade: bucket populations are equal only to within
+    ``relative_error`` (CCNet itself cuts on sampled quantiles for the
+    same reason); bucket MEMBERSHIP remains monotone in ``ppl`` exactly.
+    """
+    cuts = scored.approxQuantile(
+        ppl_col,
+        [i / n_buckets for i in range(1, int(n_buckets))],
+        float(relative_error),
+    )
+    # bucket = 1 + number of cuts the row's ppl exceeds, so each row
+    # lands in the highest bucket whose lower boundary it crossed
+    crossings = [
+        F.when(F.col(ppl_col) > F.lit(float(c)), 1).otherwise(0) for c in cuts
+    ]
+    total = F.lit(1)
+    for c in crossings:
+        total = total + c
+    return scored.withColumn("ppl_bucket", total.cast("int"))
