@@ -97,15 +97,21 @@ def key_skew_stats(
     totals = counts.agg(
         F.sum("cnt").alias("__rows"), F.count(F.lit(1)).alias("__keys")
     )
-    ranked = (
+    # distributed TakeOrdered first (orderBy+limit never materializes a
+    # global sort), THEN rank the <= top_n survivors — a bare
+    # row_number over an unpartitioned window would funnel the whole
+    # per-key counts table through one task, making the skew-diagnosis
+    # operator the straggler it exists to prevent
+    top = (
         counts.crossJoin(F.broadcast(totals))
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.col("cnt").desc(), F.col(key_col).asc())
-            ),
-        )
-        .filter(F.col("rank") <= int(top_n))
+        .orderBy(F.col("cnt").desc(), F.col(key_col).asc())
+        .limit(int(top_n))
+    )
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col(key_col).asc())
+        ),
     )
     return ranked.select(
         F.col(key_col),

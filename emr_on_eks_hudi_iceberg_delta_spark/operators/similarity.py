@@ -1117,6 +1117,10 @@ def kcenter_sample(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    if int(checkpoint_every) < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    id_type = emb.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, selection_order int, dist_sq double"
     base = _with_double_vec(emb, id_col, vec_col).select(F.col(id_col), "e")
 
     def sq_dist_to(vec: list) -> "F.Column":
@@ -1127,7 +1131,10 @@ def kcenter_sample(
             lambda acc, x: acc + x,
         )
 
-    first = base.orderBy(F.col(id_col).asc()).limit(1).collect()[0]
+    seed_rows = base.orderBy(F.col(id_col).asc()).limit(1).collect()
+    if not seed_rows:
+        return emb.sparkSession.createDataFrame([], out_schema)
+    first = seed_rows[0]
     chosen: list[tuple] = [(first[id_col], 1, 0.0)]
     cur = base.filter(F.col(id_col) != F.lit(first[id_col])).withColumn(
         "__mind", sq_dist_to(first["e"])
@@ -1147,9 +1154,7 @@ def kcenter_sample(
         )
         if step % int(checkpoint_every) == 0:
             cur = cur.localCheckpoint(eager=False)
-    return emb.sparkSession.createDataFrame(
-        chosen, f"{id_col} bigint, selection_order int, dist_sq double"
-    )
+    return emb.sparkSession.createDataFrame(chosen, out_schema)
 
 
 def grouped_top_eigen(

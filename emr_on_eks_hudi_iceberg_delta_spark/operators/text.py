@@ -969,6 +969,18 @@ def domain_mixture_weights(
         for dom in sorted(target_shares):
             tgt = F.when(F.col(source_col) == dom, F.lit(float(target_shares[dom]))).otherwise(tgt)
         counts = counts.withColumn("__tgt", tgt)
+        # a corpus domain missing from the dict would carry NULL weights
+        # and be silently dropped by any downstream weight filter —
+        # refuse loudly instead (the counts relation is domain-sized)
+        missing = [
+            r[source_col]
+            for r in counts.filter(F.col("__tgt").isNull()).collect()
+        ]
+        if missing:
+            raise ValueError(
+                f"domain_mixture_weights: corpus domains missing from "
+                f"target_shares: {sorted(missing)[:5]}"
+            )
     weighted = counts.select(
         source_col,
         F.col("__dn").cast("bigint").alias("domain_count"),
@@ -1053,15 +1065,19 @@ def bpe_pair_counts(
     counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
     from pyspark.sql import Window
 
-    ranked = counts.withColumn(
+    # TakeOrdered (orderBy+limit) bounds the set BEFORE the ranking
+    # window runs — ranking the full counts table through one
+    # unpartitioned window task would be the global sort the docstring
+    # promises to avoid
+    top = counts.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(
+        int(top_k)
+    )
+    return top.withColumn(
         "rank",
         F.row_number().over(
             Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
         ),
-    )
-    return ranked.filter(F.col("rank") <= int(top_k)).select(
-        "pair", F.col("cnt").cast("bigint").alias("cnt"), "rank"
-    )
+    ).select("pair", F.col("cnt").cast("bigint").alias("cnt"), "rank")
 
 
 def temperature_mixture_weights(
@@ -1141,20 +1157,22 @@ def count_min_sketch(
     everything; no vocabulary-sized state anywhere.
     """
     tok = df.select(F.explode(tokens_expr(text_col)).alias("__t"))
-    rows = []
-    for d in range(int(depth)):
-        rows.append(
-            tok.select(
-                F.lit(d).alias("depth"),
-                F.pmod(
-                    md5_hash64(F.concat(F.lit(chr(65 + d)), F.col("__t"))),
-                    F.lit(int(width)),
-                ).cast("int").alias("bucket"),
-            )
+    # ONE corpus explode: every depth row's (depth, bucket) pair
+    # materializes from a single in-row struct array — a per-depth
+    # union would tokenize and scan the corpus `depth` times
+    structs = [
+        F.struct(
+            F.lit(d).alias("depth"),
+            F.pmod(
+                md5_hash64(F.concat(F.lit(chr(65 + d)), F.col("__t"))),
+                F.lit(int(width)),
+            ).cast("int").alias("bucket"),
         )
-    from functools import reduce
-
-    all_rows = reduce(lambda a, b: a.unionByName(b), rows)
+        for d in range(int(depth))
+    ]
+    all_rows = tok.select(F.explode(F.array(*structs)).alias("s")).select(
+        "s.depth", "s.bucket"
+    )
     return all_rows.groupBy("depth", "bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
@@ -1164,16 +1182,25 @@ def count_min_estimate(
     sketch: DataFrame,
     probes: list[str],
     width: int = 256,
+    depth: int | None = None,
 ) -> DataFrame:
     """Point-query the Count-Min sketch for ``probes``: per token the
     min counter across depth rows. Probe buckets compute driver-side
     (the probe list is tiny); the sketch joins on (depth, bucket) —
-    broadcast-sized by construction."""
+    broadcast-sized by construction. Pass ``depth`` (the value the
+    sketch was built with) to avoid an inference action that would
+    re-evaluate an unpersisted sketch plan."""
     import hashlib
 
     spark = sketch.sparkSession
     rows = []
-    depth = sketch.agg(F.max("depth")).first()[0] + 1
+    if depth is None:
+        mx = sketch.agg(F.max("depth")).first()[0]
+        if mx is None:
+            raise ValueError(
+                "count_min_estimate: empty sketch and no depth given"
+            )
+        depth = mx + 1
     for t in probes:
         for d in range(depth):
             h = int(hashlib.md5((chr(65 + d) + t).encode()).hexdigest()[:15], 16)

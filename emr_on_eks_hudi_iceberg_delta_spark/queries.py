@@ -8165,7 +8165,9 @@ def q_count_min_estimates(spark, sf_dir):
     from .operators.text import count_min_estimate, count_min_sketch
 
     sketch = count_min_sketch(_t(spark, sf_dir, "documents"))
-    return count_min_estimate(sketch, ["the", "join", "dup", "qqqq"])
+    return count_min_estimate(
+        sketch, ["the", "join", "dup", "qqqq"], depth=4
+    )
 
 
 @register(

@@ -167,10 +167,16 @@ class PartitionedTable:
         current = dict(versions[-1]["partitions"])
         commit_id = versions[-1]["version"] + 1
         self._write_commit(df, commit_id)
-        spec = self.partition_col
+        # the incoming partition set comes from the hive dirs ACTUALLY
+        # written (one directory listing), not a re-evaluation of df — a
+        # nondeterministic batch would otherwise publish pointers that
+        # diverge from the files on disk (same written-state discipline
+        # as _commit's row-id high-water mark)
+        cdir = self._commit_dir(commit_id)
         incoming = {
-            self._pkey(spec, r[0])
-            for r in df.select(spec).distinct().collect()
+            d
+            for d in os.listdir(cdir)
+            if "=" in d and os.path.isdir(os.path.join(cdir, d))
         }
         current.update({k: commit_id for k in incoming})
         self._publish(current, commit_id=commit_id)
@@ -409,7 +415,10 @@ class PartitionedTable:
         Metadata-only selection: the manifest holds |partitions|
         entries; no data files are listed or opened for pruned
         partitions."""
-        current = self._versions()[-1]["partitions"]
+        versions = self._versions()
+        if not versions:
+            raise FileNotFoundError(f"no commit at {self.location}")
+        current = versions[-1]["partitions"]
         prefix = f"{self.partition_col}="
         foreign = [k for k in current if not k.startswith(prefix)]
         if foreign:

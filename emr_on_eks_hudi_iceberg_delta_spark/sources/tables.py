@@ -997,11 +997,20 @@ class VersionedTable:
 
     def rename_column(self, old: str, new: str) -> "VersionedTable":
         """Delta ``RENAME COLUMN`` (column-mapping) analog, realized as a
-        CoW projection rewrite — data unchanged, one snapshot commit."""
+        CoW projection rewrite — data unchanged, one snapshot commit.
+        A NOT NULL marker follows the column (an orphaned marker would
+        silently disable the constraint — and re-arm on an unrelated
+        future column of the old name)."""
         df = self.read(with_row_ids=True)
         self._commit(
             df.select(*[F.col(c).alias(new) if c == old else F.col(c) for c in df.columns])
         )
+        meta = self._meta()
+        if old in meta.get("not_null", []):
+            meta["not_null"] = [
+                new if c == old else c for c in meta["not_null"]
+            ]
+            self._write_meta(meta)
         return self
 
     def drop_column(self, name: str) -> "VersionedTable":
@@ -1068,14 +1077,20 @@ class VersionedTable:
         next tracked commit, and MoR deferred deletes are unaffected
         (tombstones are keyed, not positional)."""
         meta = self._meta()
+        if meta.get("properties", {}).get("rowTracking.enabled"):
+            return self  # idempotent: ids already live, never reassign
         meta.setdefault("properties", {})["rowTracking.enabled"] = True
         meta.setdefault("row_id_hwm", 0)
         self._write_meta(meta)
         if meta.get("snapshots") and any(
             not s.get("staged") for s in meta["snapshots"]
         ):
-            # backfill: materialize ids for the existing rows
-            self._commit(self.read(), op="ENABLE ROW TRACKING")
+            # backfill: materialize ids for the existing rows (reading
+            # WITH row ids so a re-enable after property juggling can
+            # never reassign ids that already exist)
+            self._commit(
+                self.read(with_row_ids=True), op="ENABLE ROW TRACKING"
+            )
         return self
 
     def add_constraint(self, name: str, expr: str) -> "VersionedTable":
@@ -1113,7 +1128,7 @@ class VersionedTable:
         meta = self._meta()
         meta.setdefault("generated", {})[name] = expr
         self._write_meta(meta)
-        df = self.read()
+        df = self.read(with_row_ids=True)
         if name in df.columns:
             df = df.drop(name)
         self._commit(df)  # _commit computes the column
@@ -1567,7 +1582,9 @@ class VersionedTable:
                 f"branch {name!r} forked; fast-forward would discard those "
                 f"commits — re-fork and replay the branch instead"
             )
-        self._commit(self.branch(name).read(), op="FAST-FORWARD")
+        self._commit(
+            self.branch(name).read(with_row_ids=True), op="FAST-FORWARD"
+        )
         # the published snapshot IS the branch's current state, so the
         # branch is trivially up to date with the new head: advance its
         # fork point so the branch stays usable (commit -> publish ->

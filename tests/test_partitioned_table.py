@@ -449,3 +449,15 @@ def test_read_partitions_where_prunes_by_value(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="other specs"):
         pt.read_partitions_where(lambda d: True)
+
+
+def test_read_partitions_where_empty_table_raises_filenotfound(spark, tmp_path):
+    import pytest
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.partitioned import (
+        PartitionedTable,
+    )
+
+    pt = PartitionedTable(spark, str(tmp_path / "pt_empty_rpw"), "p")
+    with pytest.raises(FileNotFoundError):
+        pt.read_partitions_where(lambda v: True)

@@ -1263,3 +1263,39 @@ def test_diff_summary_counts_change_types(spark, tmp_path):
         "deleted": 1,
         "updated": 1,
     }
+
+
+def test_enable_row_tracking_idempotent_and_ddl_paths_keep_ids(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_rt_idem"))
+    vt.overwrite(spark.createDataFrame([(1, "2024-01-02 03:04:05")], ["k", "ts"]))
+    vt.enable_row_tracking()
+    rid = vt.read(with_row_ids=True).first()["__row_id"]
+    vt.enable_row_tracking()  # idempotent: no reassignment, no new commit
+    assert vt.read(with_row_ids=True).first()["__row_id"] == rid
+    # generated-column backfill preserves ids
+    vt.add_generated_column("day", "substring(ts, 1, 10)")
+    assert vt.read(with_row_ids=True).first()["__row_id"] == rid
+    # branch fast-forward preserves ids
+    vt.create_branch("b")
+    vt.branch("b").update_where("k = 1", {"k": F.lit(2)})
+    vt.fast_forward("b")
+    assert vt.read(with_row_ids=True).first()["__row_id"] == rid
+
+
+def test_rename_column_migrates_not_null(spark, tmp_path):
+    import pytest
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import (
+        ConstraintViolationError,
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_nn_rename"))
+    vt.overwrite(spark.createDataFrame([(1, "a")], ["k", "s"]))
+    vt.set_not_null("s")
+    vt.rename_column("s", "s2")
+    assert vt._meta()["not_null"] == ["s2"]
+    with pytest.raises(ConstraintViolationError):
+        vt.append(spark.createDataFrame([(2, None)], "k int, s2 string"))
