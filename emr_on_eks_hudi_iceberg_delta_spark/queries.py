@@ -8249,3 +8249,32 @@ def q_skew_safe_top1(spark, sf_dir):
             F.col("b.v").alias("top_value"),
         )
     )
+
+
+@register(
+    "csv_function_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    tags=("functions", "sources", "extension"),
+)
+def q_csv_function_roundtrip(spark, sf_dir):
+    """In-row CSV codec (``to_csv``/``from_csv`` FUNCTIONS, distinct
+    from the S1 file source): each nation row serializes to a CSV line
+    and parses back under an explicit schema — oracle = the original
+    projection, so the codec must be lossless for the typed columns
+    (the roundtrip-identity pattern of ``xml_roundtrip``/
+    ``orc_roundtrip``). Per-row, zero shuffle."""
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    line = nat.select(
+        F.to_csv(
+            F.struct("n_nationkey", "n_name", "n_regionkey")
+        ).alias("line")
+    )
+    return line.select(
+        F.from_csv(
+            "line", "n_nationkey bigint, n_name string, n_regionkey bigint"
+        ).alias("p")
+    ).select("p.*")
