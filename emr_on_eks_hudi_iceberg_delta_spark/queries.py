@@ -7995,7 +7995,10 @@ def q_curation_pipeline_round5(spark, sf_dir):
     flags = gopher_quality_flags(docs, min_stopwords=1).select(
         "doc_id", "gopher_ok"
     )
-    kept = docs.join(flags, "doc_id").filter(F.col("gopher_ok"))
+    # the filtered corpus feeds the mixture aggregate AND the weighted
+    # join probe — cache it so the Gopher battery runs once per pipeline,
+    # not once per downstream reference
+    kept = docs.join(flags, "doc_id").filter(F.col("gopher_ok")).persist()
     weights = temperature_mixture_weights(kept).withColumn(
         "wi", F.floor(F.col("mix_weight") * F.lit(1000000.0)).cast("bigint")
     )

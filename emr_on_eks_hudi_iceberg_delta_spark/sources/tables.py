@@ -451,19 +451,29 @@ class VersionedTable:
         )
 
     def changes_cdf(
-        self, from_version: int, to_version: int, key_cols: list[str]
+        self,
+        from_version: int,
+        to_version: int,
+        key_cols: list[str],
+        persist: bool = True,
     ) -> DataFrame:
         """Delta Change Data Feed-flavored incremental read: like
         ``changes``, but a delete and an insert sharing ``key_cols`` are
         paired into ``update_preimage`` (old values) + ``update_postimage``
         (new values) rows — the 4-valued ``_change_type`` Delta CDF
         consumers (downstream MERGE replication, incremental MVs keyed on
-        business keys) expect."""
+        business keys) expect.
+
+        ``persist=True`` (the default) caches the shared diff subtrees —
+        the pairing references them from four branches, and a plan audit
+        showed the uncached form re-evaluating both snapshot aggregates
+        per branch (~48 exchanges vs the handful the logic needs)."""
         return table_changes_keyed(
             self.spark,
             self.read(version=from_version),
             self.read(version=to_version),
             key_cols,
+            persist=persist,
         )
 
     def diff_summary(
@@ -1809,7 +1819,9 @@ class VersionedTable:
         )
 
 
-def table_changes(spark, old: DataFrame, new: DataFrame) -> DataFrame:
+def table_changes(
+    spark, old: DataFrame, new: DataFrame, persist: bool = False
+) -> DataFrame:
     """CDC between two snapshots (Delta CDF / Hudi incremental-query
     analog): MULTISET row diff — rows are compared with per-row counts
     (``EXCEPT ALL`` semantics), so duplicate-row multiplicity changes are
@@ -1834,6 +1846,12 @@ def table_changes(spark, old: DataFrame, new: DataFrame) -> DataFrame:
             F.coalesce("__new_n", F.lit(0)) - F.coalesce("__old_n", F.lit(0))
         ).alias("__delta"),
     )
+    if persist:
+        # the insert and delete branches both read `joined`; without
+        # caching Catalyst re-evaluates BOTH snapshot aggregates and the
+        # full-outer join once per branch — the production switch for
+        # large diffs (same convention as tfidf's persist_tf)
+        joined = joined.persist()
     inserted = (
         joined.filter(F.col("__delta") > 0)
         .withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__delta"))))
@@ -1850,7 +1868,11 @@ def table_changes(spark, old: DataFrame, new: DataFrame) -> DataFrame:
 
 
 def table_changes_keyed(
-    spark, old: DataFrame, new: DataFrame, key_cols: list[str]
+    spark,
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    persist: bool = False,
 ) -> DataFrame:
     """Keyed CDC (Delta Change Data Feed analog): the multiset row diff of
     ``table_changes``, with delete+insert pairs that share ``key_cols``
@@ -1868,7 +1890,11 @@ def table_changes_keyed(
     """
     from pyspark.sql import Window
 
-    diff = table_changes(spark, old, new)
+    diff = table_changes(spark, old, new, persist=persist)
+    if persist:
+        # diff feeds the insert AND delete sides of the pairing; cache it
+        # so the multiset-diff subtree runs once, not once per side
+        diff = diff.persist()
     value_cols = [c for c in new.columns if c not in key_cols]
     if not value_cols:
         # key-only rows: identical rows net out in the multiset diff, so
