@@ -8281,3 +8281,58 @@ def q_csv_function_roundtrip(spark, sf_dir):
             "line", "n_nationkey bigint, n_name string, n_regionkey bigint"
         ).alias("p")
     ).select("p.*")
+
+
+@register(
+    "grouped_weighted_median",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    b AS (SELECT event_type, value,
+                 CAST(event_id % 7 + 1 AS BIGINT) AS w, event_id
+          FROM ev),
+    c AS (SELECT event_type, value, w,
+                 SUM(w) OVER (PARTITION BY event_type
+                              ORDER BY value, event_id
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(w) OVER (PARTITION BY event_type) AS total
+          FROM b)
+    SELECT event_type,
+           MIN(value) AS weighted_median,
+           CAST(MIN(total) AS BIGINT) AS total_weight
+    FROM c WHERE cum * 2 >= total
+    GROUP BY event_type
+    """,
+    tags=("events", "agg", "window", "extension"),
+)
+def q_grouped_weighted_median(spark, sf_dir):
+    """Exact lower weighted median per group: the smallest value whose
+    cumulative weight reaches half the group's total — the
+    survey-weighting / importance-weighted robust location estimate.
+    Integer weights keep the crossing test exact (``2·cum ≥ total`` in
+    BIGINT); the chosen VALUE is tie-order-independent even though
+    per-row cumulative sums are not. One group-key shuffle shared by
+    both windows and the final aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        "value",
+        (F.col("event_id") % 7 + 1).cast("bigint").alias("w"),
+        "event_id",
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    c = b.withColumn("cum", F.sum("w").over(w_cum)).withColumn(
+        "total", F.sum("w").over(w_all)
+    )
+    return (
+        c.filter(F.col("cum") * 2 >= F.col("total"))
+        .groupBy("event_type")
+        .agg(
+            F.min("value").alias("weighted_median"),
+            F.min("total").cast("bigint").alias("total_weight"),
+        )
+    )
