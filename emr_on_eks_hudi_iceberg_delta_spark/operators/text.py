@@ -939,7 +939,11 @@ def domain_mixture_weights(
     division) and ``mix_weight = target_share * total / domain_count``
     — sampling proportional to ``mix_weight`` reproduces the target
     mixture in expectation. ``target_shares=None`` means uniform over
-    the observed domains.
+    the observed domains. NULL-source documents are excluded by the
+    final equi-join (standard SQL null-key semantics); an explicit
+    ``target_shares`` missing an observed NON-null domain fails at
+    evaluation via a lazy ``raise_error`` rather than silently
+    NULL-weighting its documents.
 
     Exactness: counts stay BIGINT; each float column is a fixed two-op
     sequence of correctly-rounded IEEE arithmetic on identical operands,
@@ -968,19 +972,28 @@ def domain_mixture_weights(
         tgt = F.lit(None).cast("double")
         for dom in sorted(target_shares):
             tgt = F.when(F.col(source_col) == dom, F.lit(float(target_shares[dom]))).otherwise(tgt)
-        counts = counts.withColumn("__tgt", tgt)
-        # a corpus domain missing from the dict would carry NULL weights
-        # and be silently dropped by any downstream weight filter —
-        # refuse loudly instead (the counts relation is domain-sized)
-        missing = [
-            r[source_col]
-            for r in counts.filter(F.col("__tgt").isNull()).collect()
-        ]
-        if missing:
-            raise ValueError(
-                f"domain_mixture_weights: corpus domains missing from "
-                f"target_shares: {sorted(missing)[:5]}"
-            )
+        # a corpus domain missing from the dict (including a NULL source)
+        # would carry NULL weights and be silently dropped by downstream
+        # weight filters — fail AT EVALUATION with a lazy raise_error
+        # instead (no extra driver action, no eager corpus scan; the
+        # same pattern as the MERGE cardinality check)
+        counts = counts.withColumn(
+            "__tgt",
+            F.when(
+                tgt.isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "domain_mixture_weights: corpus domain missing "
+                            "from target_shares: "
+                        ),
+                        F.coalesce(
+                            F.col(source_col).cast("string"), F.lit("NULL")
+                        ),
+                    )
+                ).cast("double"),
+            ).otherwise(tgt),
+        )
     weighted = counts.select(
         source_col,
         F.col("__dn").cast("bigint").alias("domain_count"),
@@ -1133,11 +1146,15 @@ def temperature_mixture_weights(
     return df.select(id_col, source_col).join(F.broadcast(weighted), source_col)
 
 
+DEFAULT_CMS_DEPTH = 4
+DEFAULT_CMS_WIDTH = 256
+
+
 def count_min_sketch(
     df: DataFrame,
     text_col: str = "text",
-    depth: int = 4,
-    width: int = 256,
+    depth: int = DEFAULT_CMS_DEPTH,
+    width: int = DEFAULT_CMS_WIDTH,
 ) -> DataFrame:
     """Count-Min sketch over corpus tokens: ``depth`` independent hash
     rows × ``width`` counters; estimate(token) = min over rows of its
@@ -1181,7 +1198,7 @@ def count_min_sketch(
 def count_min_estimate(
     sketch: DataFrame,
     probes: list[str],
-    width: int = 256,
+    width: int = DEFAULT_CMS_WIDTH,
     depth: int | None = None,
 ) -> DataFrame:
     """Point-query the Count-Min sketch for ``probes``: per token the
@@ -1189,7 +1206,10 @@ def count_min_estimate(
     (the probe list is tiny); the sketch joins on (depth, bucket) —
     broadcast-sized by construction. Pass ``depth`` (the value the
     sketch was built with) to avoid an inference action that would
-    re-evaluate an unpersisted sketch plan."""
+    re-evaluate an unpersisted sketch plan. ``depth``/``width`` MUST
+    match the build parameters (share ``DEFAULT_CMS_DEPTH``/``_WIDTH``)
+    — probing extra depth rows joins nothing and the min would silently
+    report 0."""
     import hashlib
 
     spark = sketch.sparkSession

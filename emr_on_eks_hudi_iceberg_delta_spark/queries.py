@@ -8167,9 +8167,11 @@ def q_count_min_estimates(spark, sf_dir):
     deterministic sketch makes even the estimates oracle-exact."""
     from .operators.text import count_min_estimate, count_min_sketch
 
+    from .operators.text import DEFAULT_CMS_DEPTH
+
     sketch = count_min_sketch(_t(spark, sf_dir, "documents"))
     return count_min_estimate(
-        sketch, ["the", "join", "dup", "qqqq"], depth=4
+        sketch, ["the", "join", "dup", "qqqq"], depth=DEFAULT_CMS_DEPTH
     )
 
 

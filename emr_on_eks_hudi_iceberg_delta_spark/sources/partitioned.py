@@ -42,6 +42,14 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
 class PartitionedTable:
+    """Partition values must render identically through ``str(value)``
+    and hive's directory naming — plain strings (no ``/ : %`` etc.) and
+    integers. Values hive percent-escapes (timestamps, special chars)
+    or renders differently (booleans: ``True`` vs ``true``) would break
+    the manifest-key ↔ directory-name equality every read path relies
+    on; derive a clean partition column first (the generated-column
+    pattern)."""
+
     def __init__(self, spark: SparkSession, location: str, partition_col: str):
         self.spark = spark
         self.location = location.rstrip("/")

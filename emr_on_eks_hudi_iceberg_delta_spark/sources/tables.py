@@ -464,10 +464,13 @@ class VersionedTable:
         consumers (downstream MERGE replication, incremental MVs keyed on
         business keys) expect.
 
-        ``persist=True`` (the default) caches the shared diff subtrees —
-        the pairing references them from four branches, and a plan audit
+        ``persist=True`` (the default) caches the shared diff relation —
+        the pairing references it from four branches, and a plan audit
         showed the uncached form re-evaluating both snapshot aggregates
-        per branch (~48 exchanges vs the handful the logic needs)."""
+        per branch. The cache entry lives until Spark's LRU evicts it
+        (MEMORY_AND_DISK), so loop-heavy incremental consumers that
+        manage their own memory should pass ``persist=False`` or
+        ``unpersist`` the returned plan's relation themselves."""
         return table_changes_keyed(
             self.spark,
             self.read(version=from_version),
@@ -1008,19 +1011,41 @@ class VersionedTable:
     def rename_column(self, old: str, new: str) -> "VersionedTable":
         """Delta ``RENAME COLUMN`` (column-mapping) analog, realized as a
         CoW projection rewrite — data unchanged, one snapshot commit.
-        A NOT NULL marker follows the column (an orphaned marker would
-        silently disable the constraint — and re-arm on an unrelated
-        future column of the old name)."""
-        df = self.read(with_row_ids=True)
-        self._commit(
-            df.select(*[F.col(c).alias(new) if c == old else F.col(c) for c in df.columns])
-        )
+        A NOT NULL marker follows the column, and a generated column's
+        own registration is re-keyed; a rename REFUSES while any CHECK
+        constraint or generated-column EXPRESSION still references the
+        old name (the commit would otherwise fail mid-flight or silently
+        resurrect the old column) — drop and re-add those first, the
+        same order Delta requires."""
+        import re as _re
+
         meta = self._meta()
+        ref = _re.compile(rf"\b{_re.escape(old)}\b")
+        for cname, cexpr in meta.get("constraints", {}).items():
+            if ref.search(cexpr):
+                raise ValueError(
+                    f"rename_column: constraint {cname!r} references "
+                    f"{old!r}; drop and re-add it against {new!r} first"
+                )
+        for gname, gexpr in meta.get("generated", {}).items():
+            if gname != old and ref.search(gexpr):
+                raise ValueError(
+                    f"rename_column: generated column {gname!r} references "
+                    f"{old!r}; drop and re-add it against {new!r} first"
+                )
+        if old in meta.get("generated", {}):
+            # renaming the generated column itself: re-key BEFORE the
+            # commit, else _commit would recompute+resurrect the old name
+            meta["generated"][new] = meta["generated"].pop(old)
         if old in meta.get("not_null", []):
             meta["not_null"] = [
                 new if c == old else c for c in meta["not_null"]
             ]
-            self._write_meta(meta)
+        self._write_meta(meta)
+        df = self.read(with_row_ids=True)
+        self._commit(
+            df.select(*[F.col(c).alias(new) if c == old else F.col(c) for c in df.columns])
+        )
         return self
 
     def drop_column(self, name: str) -> "VersionedTable":
@@ -1890,11 +1915,10 @@ def table_changes_keyed(
     """
     from pyspark.sql import Window
 
+    # one cache layer is enough: diff's branches are filters over the
+    # persisted `joined` relation inside table_changes, so persisting
+    # diff again would store the rows twice
     diff = table_changes(spark, old, new, persist=persist)
-    if persist:
-        # diff feeds the insert AND delete sides of the pairing; cache it
-        # so the multiset-diff subtree runs once, not once per side
-        diff = diff.persist()
     value_cols = [c for c in new.columns if c not in key_cols]
     if not value_cols:
         # key-only rows: identical rows net out in the multiset diff, so

@@ -1299,3 +1299,26 @@ def test_rename_column_migrates_not_null(spark, tmp_path):
     assert vt._meta()["not_null"] == ["s2"]
     with pytest.raises(ConstraintViolationError):
         vt.append(spark.createDataFrame([(2, None)], "k int, s2 string"))
+
+
+def test_rename_column_guards_constraint_and_generated_references(spark, tmp_path):
+    import pytest
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_rename_guard"))
+    vt.overwrite(spark.createDataFrame([(1, 5)], ["k", "v"]))
+    vt.add_constraint("v_pos", "v > 0")
+    with pytest.raises(ValueError, match="constraint 'v_pos' references"):
+        vt.rename_column("v", "v2")
+    vt.drop_constraint("v_pos")
+    vt.add_generated_column("v_sq", "v * v")
+    with pytest.raises(ValueError, match="generated column 'v_sq' references"):
+        vt.rename_column("v", "v2")
+    # renaming the GENERATED column itself re-keys the registration —
+    # no resurrected old column, and the expression keeps computing
+    vt.rename_column("v_sq", "v_squared")
+    assert "v_sq" not in vt.read().columns
+    vt.append(spark.createDataFrame([(2, 3)], ["k", "v"]))
+    rows = {r["k"]: r["v_squared"] for r in vt.read().collect()}
+    assert rows == {1: 25, 2: 9}
