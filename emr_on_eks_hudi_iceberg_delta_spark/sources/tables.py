@@ -1676,11 +1676,17 @@ class VersionedTable:
             )
         return self.read(version=eligible[-1]["version"])
 
-    def history_df(self) -> DataFrame:
+    def history_df(self, with_file_stats: bool = False) -> DataFrame:
         """The history as a queryable DataFrame (Iceberg ``.history`` /
-        Delta ``DESCRIBE HISTORY`` metadata-table analog)."""
-        rows = [
-            (
+        Delta ``DESCRIBE HISTORY`` metadata-table analog).
+        ``with_file_stats=True`` adds per-version file counts and bytes
+        (Iceberg ``.snapshots`` summary flavor) — one directory listing
+        per version, no data files opened."""
+        import glob as _glob
+
+        rows = []
+        for s in self._snapshots():
+            base = (
                 s["version"],
                 s["dir"],
                 s.get("operation", "WRITE"),
@@ -1688,13 +1694,22 @@ class VersionedTable:
                 bool(s.get("staged", False)),
                 len(s.get("tombstones", [])),
             )
-            for s in self._snapshots()
-        ]
-        return self.spark.createDataFrame(
-            rows,
+            if with_file_stats:
+                files = sorted(
+                    _glob.glob(os.path.join(s["dir"], "*.parquet"))
+                )
+                base = base + (
+                    len(files),
+                    sum(os.path.getsize(f) for f in files),
+                )
+            rows.append(base)
+        schema = (
             "version int, dir string, operation string, committed_at double, "
-            "staged boolean, n_tombstone_batches int",
+            "staged boolean, n_tombstone_batches int"
         )
+        if with_file_stats:
+            schema += ", n_files int, size_bytes long"
+        return self.spark.createDataFrame(rows, schema)
 
     def files_df(self, version: int | None = None) -> DataFrame:
         """The file list as a queryable DataFrame (Iceberg ``.files``)."""

@@ -1322,3 +1322,16 @@ def test_rename_column_guards_constraint_and_generated_references(spark, tmp_pat
     vt.append(spark.createDataFrame([(2, 3)], ["k", "v"]))
     rows = {r["k"]: r["v_squared"] for r in vt.read().collect()}
     assert rows == {1: 25, 2: 9}
+
+
+def test_history_df_with_file_stats(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_hist_stats"))
+    vt.overwrite(spark.range(100))
+    vt.append(spark.range(100, 300))
+    h = {r["version"]: r for r in vt.history_df(with_file_stats=True).collect()}
+    assert all(r["n_files"] >= 1 and r["size_bytes"] > 0 for r in h.values())
+    assert h[1]["size_bytes"] > h[0]["size_bytes"]  # append grew the snapshot
+    # the plain form keeps its original schema
+    assert "n_files" not in vt.history_df().columns
