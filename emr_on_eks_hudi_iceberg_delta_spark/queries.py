@@ -8338,3 +8338,37 @@ def q_grouped_weighted_median(spark, sf_dir):
             F.min("total").cast("bigint").alias("total_weight"),
         )
     )
+
+
+@register(
+    "events_activity_heatmap",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL})
+    SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM ev GROUP BY 1, 2
+    """,
+    tags=("events", "agg", "extension"),
+)
+def q_events_activity_heatmap(spark, sf_dir):
+    """Day-of-week × hour-of-day activity heatmap — the operational
+    traffic-shape matrix (at most 7×24 output rows however large the
+    input). Spark's ``dayofweek`` is 1=Sunday vs DuckDB's 0=Sunday; the
+    oracle normalizes, value sums stay DECIMAL. One map-side-combined
+    aggregate on a 168-key space; the distinct-user count is the only
+    non-collapsible term (exact here; swap to HLL at 100 TB — the
+    approx_stats pattern)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour_of_day"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

@@ -446,6 +446,35 @@ class PartitionedTable:
     def history(self) -> list[dict]:
         return self._versions()
 
+    def history_df(self) -> DataFrame:
+        """The manifest history as a queryable DataFrame: per version the
+        live-partition count and how many partitions that commit
+        (re)wrote — the partition-granular DESCRIBE HISTORY. Pure
+        manifest metadata."""
+        rows = []
+        prev: dict[str, int] = {}
+        for v in self._versions():
+            parts = v["partitions"]
+            touched = sum(
+                1
+                for k, cid in parts.items()
+                if prev.get(k) != cid
+            ) + sum(1 for k in prev if k not in parts)
+            rows.append(
+                (
+                    v["version"],
+                    float(v["committed_at"]),
+                    len(parts),
+                    touched,
+                )
+            )
+            prev = parts
+        return self.spark.createDataFrame(
+            rows,
+            "version int, committed_at double, n_partitions int, "
+            "n_touched int",
+        )
+
     def partitions_df(self) -> DataFrame:
         """The Iceberg ``.partitions`` metadata-table analog: one row per
         live partition with its hive key, owning commit, file count, and

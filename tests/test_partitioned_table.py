@@ -461,3 +461,20 @@ def test_read_partitions_where_empty_table_raises_filenotfound(spark, tmp_path):
     pt = PartitionedTable(spark, str(tmp_path / "pt_empty_rpw"), "p")
     with pytest.raises(FileNotFoundError):
         pt.read_partitions_where(lambda v: True)
+
+
+def test_partitioned_history_df_counts_touched(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.partitioned import (
+        PartitionedTable,
+    )
+
+    pt = PartitionedTable(spark, str(tmp_path / "pt_hist"), "p")
+    pt.overwrite(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], ["k", "p"]
+        )
+    )
+    pt.overwrite_partitions(spark.createDataFrame([(9, "b")], ["k", "p"]))
+    h = {r["version"]: r for r in pt.history_df().collect()}
+    assert h[0]["n_partitions"] == 3 and h[0]["n_touched"] == 3
+    assert h[1]["n_partitions"] == 3 and h[1]["n_touched"] == 1
