@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_hash64
@@ -162,4 +162,36 @@ def sample_to_mixture(
     }
     return stratified_sample(
         df, key_col, strata_col, rates, default_rate=0.0, salt=salt
+    )
+
+
+def exact_k_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Take EXACTLY min(k, |stratum|) rows per stratum, chosen by
+    portable-hash rank — the deterministic form of per-group reservoir
+    sampling ("100 docs per language"), reproducible across runs,
+    layouts, and engines (the same md5-rank idiom as
+    ``deterministic_sample``; fraction-based ``stratified_sample`` is
+    the expected-size sibling).
+
+    Scale: one shuffle on the stratum key for the ranking window; ties
+    impossible (the hash includes the unique key). Hot strata put their
+    full membership through one partition — for millions-per-stratum
+    inputs pre-filter with an approximate hash-threshold pass first.
+    """
+    h = md5_hash64(
+        F.concat(F.lit(salt), F.col(key_col).cast("string"))
+        if salt
+        else F.col(key_col).cast("string")
+    )
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= int(k))
+        .drop("__rk")
     )

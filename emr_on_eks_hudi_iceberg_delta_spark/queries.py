@@ -8372,3 +8372,73 @@ def q_events_activity_heatmap(spark, sf_dir):
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@register(
+    "exact_k_per_language",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang, source,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                      1, 15)) AS BIGINT) AS hv
+      FROM documents),
+    r AS (SELECT doc_id, lang, source,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY hv ASC, doc_id ASC) AS rk
+          FROM h)
+    SELECT doc_id, lang, source FROM r WHERE rk <= 10
+    """,
+    tags=("sampling", "extension"),
+)
+def q_exact_k_per_language(spark, sf_dir):
+    """Exact-k stratified selection (operators/sampling.
+    exact_k_per_stratum): exactly 10 documents per language, chosen by
+    portable-hash rank — deterministic per-group reservoir sampling,
+    identical on any engine or cluster layout. One stratum-key shuffle."""
+    from .operators.sampling import exact_k_per_stratum
+
+    return exact_k_per_stratum(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "source"),
+        "lang",
+        "doc_id",
+        k=10,
+    )
+
+
+@register(
+    "table_changes_per_commit",
+    oracle=f"""
+    WITH t AS ({_SQL_TGT9}), m AS ({_SQL_MERGE_HUDI}),
+    step1 AS (
+      SELECT *, 'insert' AS _change_type, CAST(1 AS INT) AS _commit_version
+      FROM (SELECT * FROM m EXCEPT ALL SELECT * FROM t)
+      UNION ALL
+      SELECT *, 'delete', 1
+      FROM (SELECT * FROM t EXCEPT ALL SELECT * FROM m)),
+    step2 AS (
+      SELECT *, 'insert' AS _change_type, CAST(2 AS INT) AS _commit_version
+      FROM (SELECT * FROM t EXCEPT ALL SELECT * FROM m)
+      UNION ALL
+      SELECT *, 'delete', 2
+      FROM (SELECT * FROM m EXCEPT ALL SELECT * FROM t))
+    SELECT * FROM step1 UNION ALL SELECT * FROM step2
+    """,
+    tags=("S2", "cdc", "extension"),
+)
+def q_table_changes_per_commit(spark, sf_dir):
+    """True Delta CDF range semantics (``changes_per_commit``): one
+    multiset diff PER COMMIT, each tagged ``_commit_version`` — the
+    fixture merges at v1 then RESTOREs the original at v2, so the range
+    read shows both the churn and its reversal (an endpoint ``changes``
+    would net the whole range to empty)."""
+    from .sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_cdcpc_"))
+    vt.overwrite(scd2_target(spark, sf_dir))
+    vt.overwrite(
+        scd2_merge_hudi_style(
+            vt.read(), customer_updates(spark, sf_dir), "c_custkey", CHECKSUM_COLS, as_of=T2
+        )
+    )
+    vt.restore(0)
+    return vt.changes_per_commit(0, 2)

@@ -450,6 +450,42 @@ class VersionedTable:
             self.read(version=to_version),
         )
 
+    def changes_per_commit(
+        self, from_version: int, to_version: int, persist: bool = False
+    ) -> DataFrame:
+        """True Delta CDF range semantics: one diff PER COMMIT in
+        (from, to], each tagged ``_commit_version`` — intermediate churn
+        (a row inserted then deleted inside the range) is visible,
+        unlike ``changes``' endpoint diff which nets it out. Cost: one
+        multiset diff per commit step, bounded by history depth —
+        consumers that only need the net state keep using ``changes``."""
+        snaps = [
+            s["version"]
+            for s in self._snapshots()
+            if not s.get("staged")
+            and from_version <= s["version"] <= to_version
+        ]
+        if from_version not in snaps or to_version not in snaps:
+            raise ValueError(
+                f"versions {from_version}..{to_version} not all present at "
+                f"{self.location}"
+            )
+        out = None
+        for lo, hi in zip(snaps, snaps[1:]):
+            step = table_changes(
+                self.spark,
+                self.read(version=lo),
+                self.read(version=hi),
+                persist=persist,
+            ).withColumn("_commit_version", F.lit(hi).cast("int"))
+            out = step if out is None else out.unionByName(step)
+        if out is None:
+            empty = self.read(version=from_version).filter(F.lit(False))
+            return empty.withColumn(
+                "_change_type", F.lit(None).cast("string")
+            ).withColumn("_commit_version", F.lit(None).cast("int"))
+        return out
+
     def changes_cdf(
         self,
         from_version: int,

@@ -176,3 +176,26 @@ def test_weighted_sample_zero_weight_never_kept(spark):
     )
     kept = weighted_sample(df, "id", "w", target_rows=50)
     assert kept.filter(F.col("w") == 0).count() == 0
+
+
+def test_exact_k_per_stratum_counts_and_determinism(spark):
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.sampling import (
+        exact_k_per_stratum,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang"
+    )
+    out = exact_k_per_stratum(docs, "lang", "doc_id", k=5)
+    per = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in per.items():
+        assert n == min(5, sizes[lang]), lang
+    # deterministic across runs and repartitionings
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, exact_k_per_stratum(docs.repartition(7), "lang", "doc_id", k=5).collect()))
+    assert a == b
+    # a different salt picks a different (still deterministic) subset
+    c = sorted(map(tuple, exact_k_per_stratum(docs, "lang", "doc_id", k=5, salt="v2").collect()))
+    assert c != a
