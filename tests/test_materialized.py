@@ -118,3 +118,40 @@ def test_streaming_mv_refresh_is_multi_generation(spark):
     # restart replay over the same checkpoint: nothing new, no extra commits
     replay()
     assert len(mv.history()) == n_snaps
+
+
+def test_per_commit_cdf_folds_into_mv_like_endpoint_state(spark, tmp_path):
+    """Composition pin: replaying changes_per_commit's steps IN ORDER
+    through refresh_aggregate_view reproduces the from-scratch view of
+    the final snapshot — the CDF range read and the incremental MV
+    agree on every intermediate commit, including churn a netted
+    endpoint diff would hide."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.materialized import (
+        aggregate_view,
+        refresh_aggregate_view,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_cdf_mv"))
+    vt.overwrite(
+        spark.createDataFrame(
+            [("a", 10.0), ("a", 5.0), ("b", 1.0)], ["g", "v"]
+        )
+    )
+    vt.append(spark.createDataFrame([("b", 2.0), ("c", 7.0)], ["g", "v"]))
+    vt.delete_where("g = 'a'")
+    vt.update_where("g = 'c'", {"v": F.lit(9.0)})
+
+    view = aggregate_view(vt.read(version=0), ["g"], {"sum_v": "v"})
+    steps = vt.changes_per_commit(0, 3)
+    for v in range(1, 4):
+        view = refresh_aggregate_view(
+            view,
+            steps.filter(F.col("_commit_version") == v).drop("_commit_version"),
+            ["g"],
+            {"sum_v": "v"},
+        )
+    expect = sorted(map(tuple, aggregate_view(vt.read(), ["g"], {"sum_v": "v"}).collect()))
+    got = sorted(map(tuple, view.collect()))
+    assert got == expect
+    assert [g for g, *_ in got] == ["b", "c"]  # 'a' dropped out entirely
