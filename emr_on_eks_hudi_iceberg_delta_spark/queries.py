@@ -8442,3 +8442,71 @@ def q_table_changes_per_commit(spark, sf_dir):
     )
     vt.restore(0)
     return vt.changes_per_commit(0, 2)
+
+
+@register(
+    "rank_distribution_functions",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk
+    FROM customer
+    WHERE c_custkey % 5 = 0
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window", "extension"),
+)
+def q_rank_distribution_functions(spark, sf_dir):
+    """The rank-distribution window family (percent_rank, cume_dist,
+    rank, dense_rank) over account balance within segment — both are
+    exact rank arithmetic closed by one IEEE division, so the floats
+    match bit-for-bit. The deterministic (balance, key) ordering keeps
+    rank() and percent_rank() stable under ties."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        )
+    )
+
+
+@register(
+    "try_arithmetic_functions",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / nullif(CAST(o_orderkey % 10 AS DOUBLE), 0)
+             AS safe_div,
+           TRY_CAST(o_orderpriority AS BIGINT) AS bad_cast,
+           TRY_CAST(split_part(o_orderpriority, '-', 1) AS BIGINT)
+             AS prio_num
+    FROM orders WHERE o_orderkey % 13 = 0
+    """,
+    tags=("functions", "extension"),
+)
+def q_try_arithmetic_functions(spark, sf_dir):
+    """Error-safe arithmetic under ANSI mode (Spark 4 ``try_divide`` /
+    ``try_cast``): division by zero and unparseable casts yield NULL
+    instead of failing the job — the contract dirty-data pipelines rely
+    on where strict ANSI would abort on one bad row. ``try_cast`` of
+    the priority's numeric prefix exercises the parse-success path
+    beside the parse-failure one."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_totalprice"), (F.col("o_orderkey") % 10).cast("double")
+        ).alias("safe_div"),
+        F.col("o_orderpriority").try_cast("bigint").alias("bad_cast"),
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1))
+        .try_cast("bigint")
+        .alias("prio_num"),
+    )
