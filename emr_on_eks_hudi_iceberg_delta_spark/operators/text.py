@@ -1265,3 +1265,57 @@ def perplexity_buckets_approx(
     for c in crossings:
         total = total + c
     return scored.withColumn("ppl_bucket", total.cast("int"))
+
+
+def novelty_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Document novelty: the fraction of a document's distinct n-token
+    shingles that appear in NO other document (shingle document
+    frequency 1) — the inverse signal of boilerplate/near-dup scoring:
+    high novelty means the text is unlike the rest of the corpus, low
+    novelty flags templated or duplicated content even when no single
+    pair crosses a dedup threshold.
+
+    Exactness: distinct-shingle counts are BIGINT, the score is one
+    closing IEEE division. Zero-shingle docs (< n tokens) report NULL.
+
+    Scale: one explode to (doc, shingle) distinct pairs, one
+    shingle-keyed aggregate for df (map-side combine), one shuffle join
+    back on the shingle, one doc rollup — the LSH-family cost shape
+    without the pair enumeration.
+    """
+    from ..functions.hashing import shingle_expr
+
+    # shingle_expr wants a named token column in scope
+    pairs = (
+        df.select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode(shingle_expr("__toks", shingle_n)).alias("__sh"),
+        )
+        .distinct()
+    )
+    sdf = pairs.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        pairs.join(sdf, "__sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_shingles", F.lit(0).cast("bigint")).alias("n_shingles"),
+        F.coalesce("n_unique", F.lit(0).cast("bigint")).alias("n_unique"),
+        (
+            F.col("n_unique").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("novelty"),
+    )

@@ -8510,3 +8510,44 @@ def q_try_arithmetic_functions(spark, sf_dir):
         .try_cast("bigint")
         .alias("prio_num"),
     )
+
+
+@register(
+    "doc_novelty_scores",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                                   i -> array_to_string(t[i:i+2], ' ')))
+               AS s
+      FROM tok),
+    df_t AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS sdf FROM sh GROUP BY s),
+    per AS (
+      SELECT sh.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN sdf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique
+      FROM sh JOIN df_t USING (s) GROUP BY sh.doc_id)
+    SELECT d.doc_id,
+           COALESCE(per.n_shingles, 0) AS n_shingles,
+           COALESCE(per.n_unique, 0) AS n_unique,
+           CAST(COALESCE(per.n_unique, 0) AS DOUBLE)
+             / CAST(COALESCE(per.n_shingles, 0) AS DOUBLE) AS novelty
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+    tags=("text", "dedup", "corpus", "extension"),
+)
+def q_doc_novelty_scores(spark, sf_dir):
+    """Document novelty (operators/text.novelty_scores): the fraction
+    of each document's distinct 3-token shingles appearing in NO other
+    document — low novelty flags templated/duplicated content even when
+    no pair crosses a dedup threshold, the inverse of the
+    boilerplate-span signal. Exact BIGINT counts, one closing
+    division (shingle-less docs — absent from this corpus — would hit
+    0/0; guard with n_shingles > 0 downstream)."""
+    from .operators.text import novelty_scores
+
+    return novelty_scores(_t(spark, sf_dir, "documents"))
