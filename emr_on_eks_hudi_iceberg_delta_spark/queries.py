@@ -8551,3 +8551,59 @@ def q_doc_novelty_scores(spark, sf_dir):
     from .operators.text import novelty_scores
 
     return novelty_scores(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "abc_pareto_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS revenue
+      FROM lineitem GROUP BY l_partkey),
+    c AS (
+      SELECT l_partkey, revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(revenue) OVER () AS total
+      FROM rev)
+    SELECT l_partkey, CAST(revenue AS DOUBLE) AS revenue,
+           CASE WHEN cum * 10 <= total * 7 THEN 'A'
+                WHEN cum * 10 <= total * 9 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+    tags=("agg", "window", "extension"),
+)
+def q_abc_pareto_classification(spark, sf_dir):
+    """ABC/Pareto classification: parts ranked by revenue, classed A/B/C
+    at 70%/90% cumulative share. The cumulative sums stay DECIMAL and
+    the thresholds compare as integer-scaled DECIMAL products
+    (``cum·10 ≤ total·7``) — the classification is exact, no float
+    boundary rides. The global-order window is the inherent cost of a
+    cumulative-share ranking (sort by one measure); the input is the
+    part-level aggregate, not the fact table."""
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("revenue")
+        )
+    )
+    w_cum = Window.orderBy(
+        F.col("revenue").desc(), F.col("l_partkey")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    c = rev.withColumn("cum", F.sum("revenue").over(w_cum)).withColumn(
+        "total", F.sum("revenue").over(w_all)
+    )
+    return c.select(
+        "l_partkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.when(F.col("cum") * 10 <= F.col("total") * 7, "A")
+        .when(F.col("cum") * 10 <= F.col("total") * 9, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
