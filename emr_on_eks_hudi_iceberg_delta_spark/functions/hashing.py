@@ -33,7 +33,12 @@ def shingle_expr(tokens_col: str, n: int) -> Column:
     strings. Built-ins only (sequence + transform + slice + array_join) —
     stays inside codegen, no Python round trip.
     """
+    # NB: guard the short-doc case explicitly — sequence(1, 0) in Spark
+    # defaults to step -1 and yields [1, 0], whose 0 index then crashes
+    # slice() at runtime. Fewer than n tokens => empty shingle array.
     return F.expr(
-        f"transform(sequence(1, greatest(size({tokens_col}) - {n - 1}, 0)), "
-        f"i -> array_join(slice({tokens_col}, i, {n}), ' '))"
+        f"if(size({tokens_col}) >= {n}, "
+        f"transform(sequence(1, size({tokens_col}) - {n - 1}), "
+        f"i -> array_join(slice({tokens_col}, i, {n}), ' ')), "
+        f"array())"
     )

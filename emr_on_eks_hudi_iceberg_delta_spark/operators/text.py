@@ -1314,8 +1314,11 @@ def novelty_scores(
         id_col,
         F.coalesce("n_shingles", F.lit(0).cast("bigint")).alias("n_shingles"),
         F.coalesce("n_unique", F.lit(0).cast("bigint")).alias("n_unique"),
-        (
+        # shingle-less docs (< n tokens) report NULL, never NaN: the
+        # 0/0 case is guarded in the operator itself, not downstream
+        F.when(
+            F.col("n_shingles") > 0,
             F.col("n_unique").cast("double")
-            / F.col("n_shingles").cast("double")
+            / F.col("n_shingles").cast("double"),
         ).alias("novelty"),
     )

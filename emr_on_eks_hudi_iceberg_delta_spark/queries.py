@@ -8535,7 +8535,8 @@ def q_try_arithmetic_functions(spark, sf_dir):
            COALESCE(per.n_shingles, 0) AS n_shingles,
            COALESCE(per.n_unique, 0) AS n_unique,
            CAST(COALESCE(per.n_unique, 0) AS DOUBLE)
-             / CAST(COALESCE(per.n_shingles, 0) AS DOUBLE) AS novelty
+             / CAST(NULLIF(COALESCE(per.n_shingles, 0), 0) AS DOUBLE)
+             AS novelty
     FROM documents d LEFT JOIN per USING (doc_id)
     """,
     tags=("text", "dedup", "corpus", "extension"),
@@ -8546,8 +8547,9 @@ def q_doc_novelty_scores(spark, sf_dir):
     document — low novelty flags templated/duplicated content even when
     no pair crosses a dedup threshold, the inverse of the
     boilerplate-span signal. Exact BIGINT counts, one closing
-    division (shingle-less docs — absent from this corpus — would hit
-    0/0; guard with n_shingles > 0 downstream)."""
+    division; shingle-less docs (< 3 tokens — absent from this corpus)
+    report NULL novelty, guarded inside the operator and via NULLIF in
+    the oracle (never NaN)."""
     from .operators.text import novelty_scores
 
     return novelty_scores(_t(spark, sf_dir, "documents"))
