@@ -1239,6 +1239,7 @@ def perplexity_buckets_approx(
     n_buckets: int = 3,
     ppl_col: str = "ppl",
     relative_error: float = 0.01,
+    bucket_col: str = "ppl_bucket",
 ) -> DataFrame:
     """The 100 TB path for CCNet's head/middle/tail split: bucket by
     APPROXIMATE quantile boundaries (Greenwald-Khanna via
@@ -1264,7 +1265,7 @@ def perplexity_buckets_approx(
     total = F.lit(1)
     for c in crossings:
         total = total + c
-    return scored.withColumn("ppl_bucket", total.cast("int"))
+    return scored.withColumn(bucket_col, total.cast("int"))
 
 
 def novelty_scores(

@@ -5809,6 +5809,33 @@ def q_decile_bucketing(spark, sf_dir):
 
 
 @register(
+    "decile_bucketing_approx", oracle=None, tags=("window", "extension", "corpus")
+)
+def q_decile_bucketing_approx(spark, sf_dir):
+    """The 100 TB twin of ``decile_bucketing``: deciles cut on
+    approx-quantile boundaries (operators/text.perplexity_buckets_approx
+    with n_buckets=10 over ``n_chars``) instead of NTILE's global total
+    order. Plan shape: one Greenwald-Khanna summary pass driver-side for
+    the 9 cut literals, then a scan-speed comparison — NO sort, NO
+    window, NO single-partition exchange (asserted in
+    tests/test_plans.py). Rows-only: bucket POPULATIONS match NTILE only
+    to within the summary's relative error (ties on n_chars land whole
+    tie-groups in one bucket, which is the semantically honest behavior
+    at scale); membership stays exactly monotone in n_chars.
+    Tolerance vs the exact NTILE edges: tests/test_text_ops.py."""
+    from .operators.text import perplexity_buckets_approx
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return perplexity_buckets_approx(
+        docs,
+        n_buckets=10,
+        ppl_col="n_chars",
+        relative_error=0.001,
+        bucket_col="decile",
+    )
+
+
+@register(
     "dedup_incremental_batch",
     oracle=_SQL_LSH_BANDS.replace(
         "    cand AS (\n"
@@ -6775,6 +6802,31 @@ def q_unigram_lm_diagnostics(spark, sf_dir):
     return unigram_logprob(_t(spark, sf_dir, "documents")).select(
         "doc_id", "n_tokens", "n_distinct", "sum_tf"
     )
+
+
+@register(
+    "ccnet_perplexity_buckets_approx",
+    oracle=None,
+    tags=("text", "corpus", "extension"),
+)
+def q_ccnet_perplexity_buckets_approx(spark, sf_dir):
+    """CCNet's head/middle/tail split on the scale path: perplexity
+    buckets cut on approx-quantile boundaries
+    (operators/text.perplexity_buckets_approx) rather than the exact
+    global NTILE of ``perplexity_buckets`` — this is the form a real
+    100 TB curation run executes (CCNet itself cuts on sampled
+    quantiles). One GK summary pass for 2 cut literals, then scan-speed
+    assignment: no total-order sort anywhere in the plan (asserted in
+    tests/test_plans.py). Rows-only: ``ppl`` is transcendental-derived
+    so the cuts are not cross-engine bit-exact; population tolerance and
+    membership monotonicity vs the exact NTILE are pinned in
+    tests/test_text_ops.py."""
+    from .operators.text import perplexity_buckets_approx, unigram_logprob
+
+    scored = unigram_logprob(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "ppl"
+    )
+    return perplexity_buckets_approx(scored, n_buckets=3, relative_error=0.001)
 
 
 _SQL_MIXTURE = """

@@ -489,3 +489,23 @@ def test_ewma_single_entity_exchange(spark):
     from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
 
     assert shuffle_count(ewma_scores(load_table(spark, SF_DIR, "events"))) == 1
+
+
+def test_approx_bucketing_no_sort_no_window(spark):
+    """VERDICT r5 task 2: the approx-quantile bucketing twins must carry
+    no total-order sort, no window, and no single-partition exchange —
+    assignment is a scan-speed comparison against broadcast cut
+    literals. (The exact NTILE variants keep their documented
+    single-ordering cost as the small-scale exactness baseline.)"""
+    for name in ("decile_bucketing_approx", "ccnet_perplexity_buckets_approx"):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Sort" not in plan, f"{name}: unexpected sort\n{plan}"
+        assert "Window" not in plan, f"{name}: unexpected window\n{plan}"
+    # the decile twin is a pure scan + comparison — not even the scalar
+    # two-counter aggregate the perplexity scorer legitimately carries
+    # (partial map-side combine + one final reduce of 32 tiny rows)
+    df = REGISTRY["decile_bucketing_approx"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert "Exchange" not in plan, plan
