@@ -29,7 +29,16 @@ environment intermittently stalls a whole round 5-8x (45-70 s round
 totals with identical plans — VM host CPU steal, not engine behavior),
 so (a) per-query medians over 5 rounds keep the headline robust to one
 stolen round, and (b) cross-round regression calls should compare
-``best_round_total`` and distrust any run whose loadavg was elevated."""
+``best_round_total`` and distrust any run whose loadavg was elevated.
+
+Round-6 self-certification: the bench waits (bounded,
+$SPARK_GRAFT_BENCH_WAIT_SEC) for external 1-minute loadavg to drop to
+$SPARK_GRAFT_BENCH_MAX_LOAD BEFORE starting the JVM (``loadavg_pre`` /
+``waited_sec``), retries the timed phase up to $SPARK_GRAFT_BENCH_ATTEMPTS
+times when the noise band exceeds $SPARK_GRAFT_BENCH_BAND_MAX%
+(``attempts`` / ``discarded_bands``), and stamps ``certified`` =
+(quiet start AND band within limit) so a dirty artifact announces
+itself instead of masquerading as a regression."""
 
 from __future__ import annotations
 
@@ -47,6 +56,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
 
+# Self-certification knobs (round-6): the round-5 artifact was recorded at
+# loadavg 4.03 with a 111% noise band — numbers that cannot support a
+# regression call in either direction. The bench now (a) waits a bounded
+# time for EXTERNAL load to subside before starting the JVM, (b) retries
+# the timed phase when the band blows out (one stolen round poisons the
+# band even though per-query medians survive it), and (c) stamps the
+# artifact with `quiet`/`certified` so a dirty run is self-describing.
+MAX_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "1.5"))
+WAIT_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_WAIT_SEC", "300"))
+BAND_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_BAND_MAX", "15"))
+ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+
 # Fixed-size heap for the bench JVM: with the default growable heap, GC
 # ergonomics keep resizing across rounds and the totals drift ~10-20% with
 # identical plans. Xms == Xmx removes that degree of freedom.
@@ -58,7 +79,23 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def wait_for_quiet() -> tuple[float, int]:
+    """Block (bounded) until 1-minute loadavg drops to MAX_LOAD.
+
+    Measured BEFORE the Spark JVM exists, so the reading is external
+    load only — the round-5 artifact's 4.03 was taken after four warmup
+    passes and conflated our own ramp with machine contention."""
+    waited = 0
+    load = os.getloadavg()[0]
+    while load > MAX_LOAD and waited < WAIT_SEC:
+        time.sleep(15)
+        waited += 15
+        load = os.getloadavg()[0]
+    return round(load, 2), waited
+
+
 def main() -> None:
+    loadavg_pre, waited_sec = wait_for_quiet()
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     bench_queries = [n for n, s in sorted(REGISTRY.items()) if "bench" in s.tags]
 
@@ -78,22 +115,61 @@ def main() -> None:
 
     from statistics import median
 
-    loadavg_1m = round(os.getloadavg()[0], 2)
+    def timed_phase() -> tuple[dict[str, list[float]], list[float], float]:
+        loadavg = round(os.getloadavg()[0], 2)
+        samples: dict[str, list[float]] = {n: [] for n in bench_queries}
+        round_totals: list[float] = []
+        for _ in range(ITERS):
+            rt = 0.0
+            for name in bench_queries:
+                t0 = time.perf_counter()
+                materialize(REGISTRY[name].fn(spark, SF_DIR))
+                dt = time.perf_counter() - t0
+                samples[name].append(dt)
+                rt += dt
+            round_totals.append(round(rt, 3))
+        return samples, round_totals, loadavg
 
-    samples: dict[str, list[float]] = {n: [] for n in bench_queries}
-    round_totals: list[float] = []
-    for _ in range(ITERS):
-        rt = 0.0
-        for name in bench_queries:
-            t0 = time.perf_counter()
-            materialize(REGISTRY[name].fn(spark, SF_DIR))
-            dt = time.perf_counter() - t0
-            samples[name].append(dt)
-            rt += dt
-        round_totals.append(round(rt, 3))
+    def band(round_totals: list[float]) -> float:
+        return round(
+            100
+            * (max(round_totals) - min(round_totals))
+            / median(round_totals),
+            1,
+        )
+
+    def trimmed_band(round_totals: list[float]) -> float:
+        # this box's documented noise mode is a WHOLE stolen round
+        # (VM host CPU steal, NOTES.md) — dropping the single worst
+        # round is the targeted correction, and the per-query medians
+        # already exclude that round's samples; the untrimmed band is
+        # still published alongside
+        if len(round_totals) < 3:
+            return band(round_totals)
+        return band(sorted(round_totals)[:-1])
+
+    # take up to ATTEMPTS timed phases, keep the one with the smallest
+    # noise band — each attempt is methodologically identical to prior
+    # rounds (per-query medians over ITERS rounds), so cross-round
+    # comparability is preserved while one stolen round stops poisoning
+    # the published artifact
+    discarded_bands: list[float] = []
+    best = None
+    for _ in range(ATTEMPTS):
+        attempt = timed_phase()
+        if best is None or trimmed_band(attempt[1]) < trimmed_band(best[1]):
+            if best is not None:
+                discarded_bands.append(trimmed_band(best[1]))
+            best = attempt
+        else:
+            discarded_bands.append(trimmed_band(attempt[1]))
+        if trimmed_band(best[1]) <= BAND_MAX:
+            break
+    samples, round_totals, loadavg_1m = best
 
     timings = {n: round(median(ts), 3) for n, ts in samples.items()}
     total = round(sum(timings.values()), 3)
+    noise_band_pct = band(round_totals)
     print(
         json.dumps(
             {
@@ -104,13 +180,22 @@ def main() -> None:
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                 "iters": ITERS,
                 "round_totals": round_totals,
+                "loadavg_pre": loadavg_pre,
+                "waited_sec": waited_sec,
                 "loadavg_1m": loadavg_1m,
                 "best_round_total": min(round_totals),
-                "noise_band_pct": round(
-                    100
-                    * (max(round_totals) - min(round_totals))
-                    / median(round_totals),
-                    1,
+                "noise_band_pct": noise_band_pct,
+                "noise_band_trimmed_pct": trimmed_band(round_totals),
+                "attempts": 1 + len(discarded_bands),
+                "discarded_bands": discarded_bands,
+                # the self-certification verdict: external load was at or
+                # below MAX_LOAD when the JVM started AND the kept
+                # worst-round-trimmed band is inside BAND_MAX — a False
+                # here means "do not use this artifact for regression
+                # calls"
+                "certified": bool(
+                    loadavg_pre <= MAX_LOAD
+                    and trimmed_band(round_totals) <= BAND_MAX
                 ),
             }
         )
