@@ -236,3 +236,21 @@ def test_scd2_iceberg_via_reference_sql(spark, batches):
     # hudi/iceberg variants rewrite unchanged rows at T2
     row = result.filter((F.col("iscurrent") == 1) & (F.col("id") == 500)).collect()[0]
     assert row["valid_from"].isoformat() == "2024-02-01T00:00:00"
+
+
+def test_delta_native_gate_raises_clearly():
+    """Round-6 close-out of the jar-gated Delta path (NOTES.md known-gaps
+    #1): this container provably cannot load delta-spark (no module, no
+    jar on disk, no network for Ivy), so the gate must (a) report
+    unavailable and (b) point callers at the oracle-proven DataFrame
+    decomposition."""
+    import pytest
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.delta_backend import (
+        delta_available,
+        scd2_merge_delta_native,
+    )
+
+    assert delta_available() is False
+    with pytest.raises(ModuleNotFoundError, match="scd2_merge_delta_style"):
+        scd2_merge_delta_native(None, "/tmp/nowhere", None)
