@@ -1335,3 +1335,69 @@ def test_history_df_with_file_stats(spark, tmp_path):
     assert h[1]["size_bytes"] > h[0]["size_bytes"]  # append grew the snapshot
     # the plain form keeps its original schema
     assert "n_files" not in vt.history_df().columns
+
+
+def test_concurrent_writers_serialize_and_lose_no_updates(spark, tmp_path):
+    """VERDICT r5 task 4: two OS processes (two Spark JVMs) race
+    interleaved locked-upsert cycles on one table. Serializability
+    contract: because precombine timestamps are globally unique and
+    upsert keeps max-ts per key, EVERY serial order yields the same
+    final state — so the final table must equal that state exactly
+    (any lost update, torn pointer, or skipped batch breaks it), and
+    the version history must hold exactly one commit per upsert with
+    no duplicate or skipped version ids."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    CYCLES, KEYS = 4, 60
+    loc = str(tmp_path / "vt_race")
+    vt = VersionedTable(spark, loc)
+    vt.overwrite(
+        spark.range(KEYS).select(
+            F.col("id"),
+            F.lit(-1).cast("bigint").alias("ts"),
+            F.lit("seed").alias("val"),
+        )
+    )
+
+    worker = os.path.join(os.path.dirname(__file__), "concurrent_writer_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, loc, str(w), str(CYCLES), str(KEYS)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for w in (0, 1)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"writer failed:\n{out}\n{err}"
+
+    # expected state: per key, the covering batch with max ts
+    expect = {}
+    for k in range(KEYS):
+        best = (-1, "seed")
+        for w in (0, 1):
+            for c in range(CYCLES):
+                if (k + w + c) % 3 != 0:
+                    ts = c * 10 + w
+                    if ts > best[0]:
+                        best = (ts, f"w{w}c{c}")
+        expect[k] = best
+
+    got = {
+        r["id"]: (r["ts"], r["val"]) for r in vt.read().collect()
+    }
+    assert got == expect
+
+    # history: seed + one commit per upsert, contiguous version ids,
+    # and the pointer document is well-formed JSON (no torn metadata)
+    versions = [s["version"] for s in vt.history()]
+    assert sorted(versions) == list(range(1 + 2 * CYCLES))
+    with open(os.path.join(loc, "_current_snapshot.json")) as fh:
+        json.load(fh)
