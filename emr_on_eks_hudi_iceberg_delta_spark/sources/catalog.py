@@ -52,13 +52,32 @@ class LakeCatalog:
         """Register a table name (optionally with initial data). A name
         maps to a VersionedTable location — by default a directory under
         the catalog root; ``location`` registers an EXISTING table
-        elsewhere (the external-table flavor)."""
+        elsewhere (the external-table flavor).
+
+        Re-creating a name that was dropped WITHOUT purge re-attaches the
+        leftover table directory (external-table "undrop"): history,
+        properties and constraints survive, and an initial ``df`` commits
+        on top as a fresh snapshot. Use ``drop_table(purge=True)`` first
+        for a truly clean slate. Defaulting onto a location owned by a
+        LIVE table (possible after a metadata-only rename) raises."""
         if not name.isidentifier():
             raise ValueError(f"invalid table name {name!r}")
         doc = self._doc()
         if name in doc["tables"]:
             raise ValueError(f"table {name!r} already exists in catalog")
         loc = location or os.path.join(self.root, name)
+        if location is None and loc in doc["tables"].values():
+            # a renamed table still occupies its original managed path
+            # (rename is metadata-only); defaulting a NEW table onto that
+            # live location would silently alias two catalog names to one
+            # table — found by tests/test_property_ddl.py. Registering an
+            # existing location on purpose stays possible via explicit
+            # ``location=``.
+            owner = next(n for n, l in doc["tables"].items() if l == loc)
+            raise ValueError(
+                f"default location {loc!r} is owned by table {owner!r} "
+                f"(renamed away from {name!r}?); pass an explicit location"
+            )
         doc["tables"][name] = loc
         self._write_doc(doc)
         vt = VersionedTable(self.spark, loc, name=name)
