@@ -8661,3 +8661,114 @@ def q_abc_pareto_classification(spark, sf_dir):
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+# --------------------------------------------------------------------------
+# round 6: mergeable sketch aggregates (DataSketches HLL / Theta / KLL)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "hll_distinct_types_by_brand",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(DISTINCT p_type) AS BIGINT) AS distinct_est
+    FROM part GROUP BY p_brand
+    """,
+    tags=("agg", "sketch", "extension"),
+)
+def q_hll_distinct_types_by_brand(spark, sf_dir):
+    """Per-group distinct count via a mergeable HLL sketch
+    (operators/sketches.grouped_distinct_hll). EXACT oracle by the
+    sparse-mode contract: a DataSketches HLL is exact below its coupon
+    capacity, and gate-scale group cardinalities (≤ tens) sit far under
+    lgk=12's threshold — at 100 TB the same one-shuffle plan degrades to
+    ~0.8% RSE while the shuffle stays sketch-sized per group instead of
+    carrying the distinct key set like COUNT(DISTINCT)."""
+    from .operators.sketches import grouped_distinct_hll
+
+    return grouped_distinct_hll(
+        _t(spark, sf_dir, "part"), ["p_brand"], "p_type"
+    )
+
+
+@register(
+    "theta_custkey_halfyear_overlap",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                 AND o_orderdate < TIMESTAMP '1995-07-01'),
+    b AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+            AND o_orderdate < TIMESTAMP '1996-01-01')
+    SELECT CAST((SELECT COUNT(*) FROM (SELECT o_custkey FROM a
+                                       UNION SELECT o_custkey FROM b))
+                AS BIGINT) AS union_est,
+           CAST((SELECT COUNT(*) FROM (SELECT o_custkey FROM a
+                                       INTERSECT SELECT o_custkey FROM b))
+                AS BIGINT) AS intersection_est,
+           CAST((SELECT COUNT(*) FROM (SELECT o_custkey FROM a
+                                       EXCEPT SELECT o_custkey FROM b))
+                AS BIGINT) AS difference_est
+    """,
+    tags=("agg", "sketch", "extension"),
+)
+def q_theta_custkey_halfyear_overlap(spark, sf_dir):
+    """Customer-audience set algebra between two half-years via Theta
+    sketches (operators/sketches.theta_set_cardinalities): |A∪B|,
+    |A∩B|, |A\\B| computed from TWO sketch rows — the churn/overlap/
+    contamination primitive. Each cohort reduces map-side to one
+    bounded sketch; no distinct-key shuffle, no cohort join. EXACT
+    oracle below the sketch's 2^12 retained-hash capacity (gate scale);
+    ~1.6% RSE beyond."""
+    from .operators.sketches import theta_set_cardinalities
+
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-07-01")
+    )
+    b = o.filter(
+        (F.col("o_orderdate") >= "1995-07-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    )
+    return theta_set_cardinalities(a, b, "o_custkey")
+
+
+@register(
+    "hll_rollup_distinct_parts", oracle=None, tags=("agg", "sketch", "extension")
+)
+def q_hll_rollup_distinct_parts(spark, sf_dir):
+    """The sketch property COUNT(DISTINCT) cannot offer: per-supplier
+    HLL partials re-aggregated to a GLOBAL distinct-part estimate
+    without rescanning the fact table
+    (operators/sketches.hll_partial_sketches + hll_rollup — the
+    persisted-partials rollup a 100 TB lakehouse runs per day/source).
+    Rows-only: the union path re-estimates from merged registers, which
+    is not guaranteed integer-exact like the sparse direct path;
+    tests/test_sketches.py pins the estimate within 2% of exact and the
+    rollup equal to the direct whole-table sketch."""
+    from .operators.sketches import hll_partial_sketches, hll_rollup
+
+    li = _t(spark, sf_dir, "lineitem")
+    partials = hll_partial_sketches(li, ["l_suppkey"], "l_partkey", lgk=14)
+    return hll_rollup(partials, [])
+
+
+@register(
+    "kll_nchars_quantiles", oracle=None, tags=("agg", "sketch", "extension")
+)
+def q_kll_nchars_quantiles(spark, sf_dir):
+    """Document-length quantile profile from a mergeable KLL sketch
+    (operators/sketches.kll_quantile_profile): p10/p50/p90 of n_chars
+    as one map-side-combined aggregate whose state is persistable and
+    re-mergeable across snapshots — the streaming/rollup-friendly twin
+    of approxQuantile's driver action. Rows-only by design: KLL
+    compaction is randomized (rank-error contract, not bit-equality);
+    tests/test_sketches.py bounds the rank error against exact
+    quantiles."""
+    from .operators.sketches import kll_quantile_profile
+
+    return kll_quantile_profile(
+        _t(spark, sf_dir, "documents"), "n_chars", [0.1, 0.5, 0.9]
+    )

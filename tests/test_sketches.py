@@ -1,0 +1,90 @@
+"""Sketch-aggregate contracts beyond the oracle gate: exactness below
+sketch capacity, mergeability (the property that makes sketches the
+100 TB primitive), and KLL's rank-error bound.
+"""
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from emr_on_eks_hudi_iceberg_delta_spark.operators.sketches import (
+    grouped_distinct_hll,
+    hll_partial_sketches,
+    hll_rollup,
+    kll_quantile_profile,
+    theta_set_cardinalities,
+)
+from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_hll_exact_below_sparse_capacity(spark):
+    part = load_table(spark, SF_DIR, "part")
+    est = {
+        r["p_brand"]: r["distinct_est"]
+        for r in grouped_distinct_hll(part, ["p_brand"], "p_type").collect()
+    }
+    exact = {
+        r["p_brand"]: r["n"]
+        for r in part.groupBy("p_brand")
+        .agg(F.countDistinct("p_type").alias("n"))
+        .collect()
+    }
+    assert est == exact
+
+
+def test_theta_set_algebra_exact_and_consistent(spark):
+    o = load_table(spark, SF_DIR, "orders")
+    a = o.filter(F.col("o_orderkey") % 3 == 0)
+    b = o.filter(F.col("o_orderkey") % 2 == 0)
+    r = theta_set_cardinalities(a, b, "o_custkey").first()
+    ka = a.select("o_custkey").distinct()
+    kb = b.select("o_custkey").distinct()
+    inter = ka.intersect(kb).count()
+    union = ka.union(kb).distinct().count()
+    assert r["union_est"] == union
+    assert r["intersection_est"] == inter
+    assert r["difference_est"] == ka.count() - inter
+    # inclusion-exclusion closes on the estimates themselves
+    assert r["union_est"] == ka.count() + kb.count() - r["intersection_est"]
+
+
+def test_hll_rollup_merges_partials_within_tolerance(spark):
+    """Partial sketches per supplier union to the global estimate —
+    rollup == direct whole-table sketch (identical merged state), and
+    both within 2% of the exact distinct count (the union path
+    re-estimates from merged registers, so integer exactness is not
+    contractual the way the sparse direct path is)."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    partials = hll_partial_sketches(li, ["l_suppkey"], "l_partkey", lgk=14)
+    rolled = hll_rollup(partials, []).first()["distinct_est"]
+    direct = li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey", F.lit(14)))
+        .cast("bigint")
+        .alias("n")
+    ).first()["n"]
+    exact = li.select("l_partkey").distinct().count()
+    assert abs(rolled - exact) <= max(2, exact * 0.02), (rolled, exact)
+    # a union of partials is the SAME sketch state as the direct build
+    assert rolled == direct, (rolled, direct)
+
+
+def test_kll_quantiles_within_rank_error(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    row = kll_quantile_profile(docs, "n_chars", [0.1, 0.5, 0.9]).first()
+    vals = sorted(r["n_chars"] for r in docs.select("n_chars").collect())
+    n = len(vals)
+    for p, col in [(0.1, "q0_1"), (0.5, "q0_5"), (0.9, "q0_9")]:
+        q = row[col]
+        # true rank of the returned value must sit within 5% of the
+        # target rank (k=200 guarantees ~1.65%; 5% leaves slack for the
+        # randomized compaction)
+        lo = sum(1 for v in vals if v < q) / n
+        hi = sum(1 for v in vals if v <= q) / n
+        assert lo - 0.05 <= p <= hi + 0.05, (p, q, lo, hi)
+    # monotone across probabilities
+    assert row["q0_1"] <= row["q0_5"] <= row["q0_9"]
