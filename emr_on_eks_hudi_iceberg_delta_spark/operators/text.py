@@ -1251,6 +1251,11 @@ def perplexity_buckets_approx(
     The trade: bucket populations are equal only to within
     ``relative_error`` (CCNet itself cuts on sampled quantiles for the
     same reason); bucket MEMBERSHIP remains monotone in ``ppl`` exactly.
+
+    The summary pass is an ACTION on ``scored``; the returned plan
+    references ``scored`` again for the assignment scan — when the
+    scoring plan is expensive (unigram_logprob's two token aggregates),
+    persist ``scored`` upstream so the corpus is scored once, not twice.
     """
     cuts = scored.approxQuantile(
         ppl_col,

@@ -270,3 +270,105 @@ def stream_stream_left_join(
         "purchase_id",
         "purchase_value",
     )
+
+
+def tws_available() -> bool:
+    """``transformWithStateInPandas`` runs its state server over
+    protobuf; this container ships pyspark without the ``protobuf``
+    wheel (verified: the TWS driver worker crashes at import), so the
+    v2 path gates exactly like the Delta jar — clear refusal plus a
+    pointer to the equivalent shipped operator."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_user_running_totals_tws(events: DataFrame) -> DataFrame:
+    """The Spark-4 ``transformWithStateInPandas`` twin of
+    ``stream_user_running_totals``: same per-user running (count, max)
+    contract, expressed through the arbitrary-stateful-processing v2
+    API (typed ValueState handles, explicit processor lifecycle,
+    optional timers/TTL) instead of ``applyInPandasWithState``'s single
+    tuple state. This is the surface new stateful operators should
+    target — state is schema'd and composable (value/list/map handles
+    per processor), TTL bounds state growth without hand-rolled timeout
+    plumbing, and the RocksDB state store it requires is the provider a
+    100 TB deployment runs anyway (bounded heap, incremental
+    checkpoint). Emits updated stats per key per micro-batch.
+
+    Requires ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider (the caller sets it; see
+    ``with_rocksdb_state_store``) and the ``protobuf`` package
+    (``tws_available``) — without it the TWS state-server worker
+    crashes at startup, so refuse clearly here instead."""
+    if not tws_available():
+        raise ModuleNotFoundError(
+            "transformWithStateInPandas needs the protobuf package, which "
+            "is not installed; use stream_user_running_totals "
+            "(applyInPandasWithState — same contract, verified against "
+            "the same batch-aggregate oracle)."
+        )
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._totals = handle.getValueState("totals", "n bigint, mx double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, mx = (
+                tuple(self._totals.get()) if self._totals.exists() else (0, None)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    batch_max = float(pdf["value"].max())
+                    mx = batch_max if mx is None else max(mx, batch_max)
+            self._totals.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType="user_id bigint, n_events bigint, max_value double",
+        outputMode="update",
+        timeMode="none",
+    )
+
+
+class with_rocksdb_state_store:
+    """Context manager scoping the RocksDB state store provider to one
+    streaming run: ``transformWithState`` refuses the default HDFS
+    provider, but flipping the session conf permanently would silently
+    re-provider every OTHER streaming query started afterwards."""
+
+    _KEY = "spark.sql.streaming.stateStore.providerClass"
+    _ROCKSDB = (
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+    )
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+        self._prev = None
+
+    def __enter__(self):
+        try:
+            self._prev = self._spark.conf.get(self._KEY)
+        except Exception:
+            self._prev = None
+        self._spark.conf.set(self._KEY, self._ROCKSDB)
+        return self
+
+    def __exit__(self, *exc):
+        if self._prev is None:
+            self._spark.conf.unset(self._KEY)
+        else:
+            self._spark.conf.set(self._KEY, self._prev)
+        return False

@@ -193,3 +193,45 @@ def test_session_windows_state_carries_across_micro_batches(spark, tmp_path):
         return sorted(map(tuple, out.collect()))
 
     assert run(one, 10) == run(split, 1)
+
+
+def test_stream_stateful_running_totals_tws(spark, events_stream):
+    """transformWithStateInPandas twin: identical final emissions to the
+    applyInPandasWithState path and the batch aggregate — or, in this
+    container (no protobuf wheel, so the TWS state-server worker cannot
+    start), a clear gated refusal pointing at the shipped operator."""
+    import pytest
+
+    from emr_on_eks_hudi_iceberg_delta_spark.streaming.events import (
+        stream_user_running_totals_tws,
+        tws_available,
+        with_rocksdb_state_store,
+    )
+
+    if not tws_available():
+        with pytest.raises(
+            ModuleNotFoundError, match="stream_user_running_totals"
+        ):
+            stream_user_running_totals_tws(events_stream)
+        return
+
+    with with_rocksdb_state_store(spark):
+        got = run_stream_to_memory(
+            stream_user_running_totals_tws(events_stream), output_mode="update"
+        ).toPandas()
+    # provider conf restored for subsequent streaming tests
+    assert "RocksDB" not in (
+        spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", "default"
+        )
+        or "default"
+    )
+    exp = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.max("value").alias("max_value"))
+        .toPandas()
+    )
+    got = got.sort_values("user_id").reset_index(drop=True)
+    exp = exp.sort_values("user_id").reset_index(drop=True)
+    assert got.equals(exp[got.columns])
