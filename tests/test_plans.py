@@ -509,3 +509,22 @@ def test_approx_bucketing_no_sort_no_window(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_sketch_aggregates_plan_shapes(spark):
+    """Sketch aggregates keep the mergeable-partial shape: one
+    group-keyed exchange of sketch-sized partials for the grouped HLL,
+    one exchange per scalar sketch reduce for KLL, partials+rollup = 2
+    for the re-aggregation path, and the Theta set algebra joins two
+    one-row sketches via broadcast — never a distinct-key shuffle."""
+    df = REGISTRY["hll_distinct_types_by_brand"].fn(spark, SF_DIR)
+    assert shuffle_count(df) == 1
+    df = REGISTRY["kll_nchars_quantiles"].fn(spark, SF_DIR)
+    assert shuffle_count(df) == 1
+    df = REGISTRY["hll_rollup_distinct_parts"].fn(spark, SF_DIR)
+    assert shuffle_count(df) == 2  # per-supplier partials + global union
+    df = REGISTRY["theta_custkey_halfyear_overlap"].fn(spark, SF_DIR)
+    assert shuffle_count(df) == 2  # one scalar-agg reduce per cohort side
+    assert broadcast_join_count(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
