@@ -8772,3 +8772,26 @@ def q_kll_nchars_quantiles(spark, sf_dir):
     return kll_quantile_profile(
         _t(spark, sf_dir, "documents"), "n_chars", [0.1, 0.5, 0.9]
     )
+
+
+@register(
+    "streaming_distinct_users_hll",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events
+    """,
+    tags=("streaming", "sketch", "extension"),
+)
+def q_streaming_distinct_users_hll(spark, sf_dir):
+    """Streaming running distinct-user count as an HLL sketch aggregate
+    (streaming/events.stream_distinct_users_hll): bounded state for an
+    unbounded key space — the composition point of the sketch layer and
+    Structured Streaming. Single-batch replay makes the final
+    complete-mode emission equal the batch COUNT(DISTINCT); EXACT oracle
+    below the sketch's sparse capacity (gate-scale user counts)."""
+    from .streaming.events import stream_distinct_users_hll
+
+    return run_stream_to_memory(
+        stream_distinct_users_hll(_events_stream(spark, sf_dir)),
+        output_mode="complete",
+    )

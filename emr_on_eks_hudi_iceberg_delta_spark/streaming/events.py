@@ -372,3 +372,20 @@ class with_rocksdb_state_store:
         else:
             self._spark.conf.set(self._KEY, self._prev)
         return False
+
+
+def stream_distinct_users_hll(events: DataFrame, lgk: int = 14) -> DataFrame:
+    """Streaming distinct-user cardinality via an HLL sketch aggregate —
+    the BOUNDED-STATE twin of ``stream_distinct_users``: the built-in
+    dropDuplicates path keeps one state entry PER KEY forever, while the
+    sketch aggregation's state is a single ≤ ~0.75·2^lgk-byte register
+    array no matter how many users arrive — the only way a running
+    distinct count survives an unbounded key space. Complete-mode
+    emission of the current estimate; exact below the sketch's sparse
+    capacity (operators/sketches.py module docstring), documented RSE
+    beyond."""
+    return events.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(lgk)))
+        .cast("bigint")
+        .alias("distinct_users")
+    )
