@@ -88,3 +88,19 @@ def test_kll_quantiles_within_rank_error(spark):
         assert lo - 0.05 <= p <= hi + 0.05, (p, q, lo, hi)
     # monotone across probabilities
     assert row["q0_1"] <= row["q0_5"] <= row["q0_9"]
+
+
+def test_hll_partials_survive_parquet_roundtrip(spark, tmp_path):
+    """The lakehouse claim behind the sketch layer: per-group partials
+    persisted to parquet (binary column) and read back in a LATER job
+    roll up to the same estimate as the live sketches — distinct counts
+    compose across snapshots without rescanning the corpus."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    partials = hll_partial_sketches(li, ["l_suppkey"], "l_partkey", lgk=14)
+    path = str(tmp_path / "sketch_partials")
+    partials.write.parquet(path)
+    reread = spark.read.parquet(path)
+    assert dict(reread.dtypes)["sketch"] == "binary"
+    live = hll_rollup(partials, []).first()["distinct_est"]
+    stored = hll_rollup(reread, []).first()["distinct_est"]
+    assert stored == live
