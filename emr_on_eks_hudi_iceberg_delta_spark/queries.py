@@ -8795,3 +8795,35 @@ def q_streaming_distinct_users_hll(spark, sf_dir):
         stream_distinct_users_hll(_events_stream(spark, sf_dir)),
         output_mode="complete",
     )
+
+
+@register(
+    "table_revert_commit",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 7 = 0
+    """,
+    tags=("S2", "lake", "extension"),
+)
+def q_table_revert_commit(spark, sf_dir):
+    """Git-revert for table commits (sources/tables.revert — composed
+    from the CDF multiset algebra; restore's surgical sibling): base
+    (÷3 keys) + append ÷5 keys + append ÷7 keys, then revert the ÷5
+    commit — the final state must be EXACTLY base ⊎ ÷7 batch by
+    multiset algebra (overlapping keys keep their multiplicities),
+    which is what the UNION ALL oracle states. Later commits survive;
+    history grows (no rewrite). cherry_pick (the same delta applied
+    forward, Iceberg's WAP-race recovery) is exercised in
+    tests/test_table_store.py."""
+    import tempfile
+
+    from .sources.tables import VersionedTable
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_revert_q_"))
+    vt.overwrite(cust.filter(F.col("c_custkey") % 3 == 0))
+    vt.append(cust.filter(F.col("c_custkey") % 5 == 0))
+    vt.append(cust.filter(F.col("c_custkey") % 7 == 0))
+    vt.revert(1)
+    return vt.read()

@@ -1252,6 +1252,62 @@ class VersionedTable:
         )
         return self
 
+    def _commit_delta(self, version: int) -> tuple[DataFrame, DataFrame]:
+        """(added, removed) multiset row diff a commit introduced over
+        its predecessor in published order (the empty table for the
+        first commit) — the unit ``revert``/``cherry_pick`` operate on.
+        Staged (WAP) snapshots diff against the newest published
+        snapshot before them, which is the base they were staged on."""
+        snaps = self._snapshots()
+        if not any(s["version"] == version for s in snaps):
+            raise ValueError(f"version {version} not found at {self.location}")
+        prior_version = None
+        for s in snaps:
+            if s["version"] == version:
+                break
+            if not s.get("staged"):
+                prior_version = s["version"]
+        at = self.read(version=version)
+        if prior_version is None:
+            prior = at.limit(0)
+        else:
+            prior = self.read(version=prior_version)
+        return at.exceptAll(prior), prior.exceptAll(at)
+
+    def revert(self, version: int) -> "VersionedTable":
+        """Git-revert analog (no lake format ships this; composed here
+        from the CDF multiset algebra): commit the INVERSE of what
+        ``version`` changed — current ∖ rowsAdded(v) ⊎ rowsRemoved(v) —
+        as a new snapshot. Unlike ``restore`` (which rolls the whole
+        table back, discarding every later commit's effect), revert
+        surgically unpicks ONE commit while keeping everything after it.
+        Multiset semantics throughout (``exceptAll``), so duplicate-row
+        multiplicities survive; rows of v already deleted by later
+        commits subtract nothing (exceptAll is a saturating diff).
+        Schema must be union-compatible with the current snapshot
+        (unionByName raises otherwise). Row-tracking ids are reassigned
+        for re-inserted rows — a revert is a rewrite, not a time warp."""
+        added, removed = self._commit_delta(version)
+        self._commit(
+            self.read().exceptAll(added).unionByName(removed), op="REVERT"
+        )
+        return self
+
+    def cherry_pick(self, version: int) -> "VersionedTable":
+        """Iceberg cherry-pick analog: re-apply what ``version`` changed
+        onto the CURRENT head — current ∖ rowsRemoved(v) ⊎ rowsAdded(v)
+        — as a new commit. The WAP workflow this exists for: a snapshot
+        staged against an older base (write-audit-publish) whose base
+        has since advanced can be picked onto the new head instead of
+        re-running the job; also replays a commit from a restored-away
+        lineage. Same multiset/schema/row-id contract as ``revert``."""
+        added, removed = self._commit_delta(version)
+        self._commit(
+            self.read().exceptAll(removed).unionByName(added),
+            op="CHERRYPICK",
+        )
+        return self
+
     def clone(self, target_location: str) -> "VersionedTable":
         """Deep clone (Delta ``CREATE TABLE ... CLONE`` analog): copy the
         current snapshot's data into a fresh single-version table at

@@ -1401,3 +1401,64 @@ def test_concurrent_writers_serialize_and_lose_no_updates(spark, tmp_path):
     assert sorted(versions) == list(range(1 + 2 * CYCLES))
     with open(os.path.join(loc, "_current_snapshot.json")) as fh:
         json.load(fh)
+
+
+def test_revert_unpicks_one_commit_keeping_later_ones(spark, tmp_path):
+    """revert(v) removes exactly commit v's effect while later commits
+    survive — unlike restore, which discards them. Multiset semantics:
+    duplicate multiplicities subtract correctly."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_revert"))
+    base = spark.range(10).select("id", F.lit("base").alias("tag"))
+    vt.overwrite(base)                                           # v0
+    vt.append(spark.range(3).select("id", F.lit("batch1").alias("tag")))  # v1
+    vt.append(spark.range(2).select("id", F.lit("batch2").alias("tag")))  # v2
+    vt.revert(1)                                                 # v3
+    got = sorted((r["id"], r["tag"]) for r in vt.read().collect())
+    want = sorted(
+        [(i, "base") for i in range(10)] + [(i, "batch2") for i in range(2)]
+    )
+    assert got == want
+    # revert of the revert restores batch1 (an involution on multisets)
+    vt.revert(3)
+    assert vt.read().filter("tag = 'batch1'").count() == 3
+    # history grew (no rewrite): v0..v4 all present
+    assert [s["version"] for s in vt.history()] == [0, 1, 2, 3, 4]
+
+
+def test_revert_is_saturating_when_later_commit_deleted_rows(spark, tmp_path):
+    """Rows a later commit already removed subtract nothing: revert uses
+    exceptAll (saturating multiset difference), never going negative."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_revsat"))
+    vt.overwrite(spark.range(5).select("id", F.lit("base").alias("tag")))   # v0
+    vt.append(spark.range(100, 103).select("id", F.lit("x").alias("tag")))  # v1
+    vt.delete_where("id >= 101")                                            # v2
+    vt.revert(1)                                                            # v3
+    got = sorted(r["id"] for r in vt.read().collect())
+    assert got == [0, 1, 2, 3, 4]  # only id=100 (still present) unpicked
+
+
+def test_cherry_pick_replays_staged_commit_onto_advanced_head(spark, tmp_path):
+    """The WAP race cherry-pick exists for: stage a batch against base,
+    head advances meanwhile, pick the staged delta onto the new head —
+    both the staged rows and the concurrent commit's rows land."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_pick"))
+    vt.overwrite(spark.range(5).select("id", F.lit("base").alias("tag")))  # v0
+    staged = vt.stage(
+        vt.read().unionByName(
+            spark.range(200, 202).select("id", F.lit("staged").alias("tag"))
+        )
+    )
+    vt.append(spark.range(300, 301).select("id", F.lit("rush").alias("tag")))
+    vt.cherry_pick(staged)
+    got = sorted((r["id"], r["tag"]) for r in vt.read().collect())
+    want = sorted(
+        [(i, "base") for i in range(5)]
+        + [(200, "staged"), (201, "staged"), (300, "rush")]
+    )
+    assert got == want
