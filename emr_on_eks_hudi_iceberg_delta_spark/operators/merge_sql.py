@@ -299,6 +299,10 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
         ALTER TABLE t ALTER COLUMN c SET NOT NULL | DROP NOT NULL
         SHOW TBLPROPERTIES t          -- returns (key, value) rows
         VACUUM t [RETAIN n VERSIONS] DRY RUN   -- returns would-delete paths
+        CALL system.rollback_to_snapshot('t', v)   -- Iceberg procedures
+        CALL system.cherrypick_snapshot('t', v)    -- (positional or
+        CALL system.revert_commit('t', v)          --  name => value args)
+        CALL system.expire_snapshots(table => 't', retain_last => n)
 
     With a ``catalog`` (LakeCatalog), the catalog DDL surface too::
 
@@ -481,6 +485,52 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
     if m:
         _table(m.group("t")).restore(int(m.group("v")))
         return
+    m = re.match(
+        r"\s*CALL\s+system\.(?P<proc>\w+)\s*\((?P<args>.*)\)\s*$", s, re.I | re.S
+    )
+    if m:
+        # Iceberg-style maintenance procedures (public Spark-SQL surface:
+        # CALL catalog.system.<proc>(...)): positional or `name => value`
+        # arguments, string literals quoted
+        named: dict[str, str] = {}
+        pos: list[str] = []
+        for part in _split_top_commas(m.group("args")):
+            part = part.strip()
+            if not part:
+                continue
+            am = re.match(r"(?P<k>\w+)\s*=>\s*(?P<v>.+)$", part, re.S)
+            if am:
+                named[am.group("k").lower()] = am.group("v").strip().strip("'\"")
+            else:
+                pos.append(part.strip().strip("'\""))
+        proc = m.group("proc").lower()
+        tname = named.get("table", pos[0] if pos else None)
+        if tname is None:
+            raise ValueError(f"CALL system.{proc}: missing table argument")
+        vt = _table(tname)
+
+        def _arg(key: str, default=None):
+            # NB: named wins; the positional fallback must be looked up
+            # lazily (pos may be empty when every arg is named)
+            if key in named:
+                return named[key]
+            if len(pos) > 1:
+                return pos[1]
+            return default
+
+        if proc == "rollback_to_snapshot":
+            vt.restore(int(_arg("version")))
+            return
+        if proc == "cherrypick_snapshot":
+            vt.cherry_pick(int(_arg("version")))
+            return
+        if proc == "revert_commit":
+            vt.revert(int(_arg("version")))
+            return
+        if proc == "expire_snapshots":
+            vt.vacuum(keep_last=int(_arg("retain_last", 1)))
+            return
+        raise ValueError(f"DML: unknown procedure system.{proc}")
     m = re.match(
         r"\s*VACUUM\s+(?P<t>[\w.]+)(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?"
         r"(?P<dry>\s+DRY\s+RUN)?\s*$",

@@ -623,3 +623,43 @@ def test_sql_vacuum_dry_run_deletes_nothing(spark, tmp_path):
     run_dml(spark, "VACUUM t RETAIN 1 VERSIONS", {"t": vt})
     assert all(not os.path.isdir(p) for p in paths)
     assert len(vt.history()) == 1
+
+
+def test_call_procedures_maintenance_surface(spark, tmp_path):
+    """Iceberg-style CALL system.* procedures through run_dml: rollback,
+    cherry-pick, revert, expire — positional and name => value args."""
+    from pyspark.sql import functions as F
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.merge_sql import run_dml
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_call"))
+    vt.overwrite(spark.range(5).select("id", F.lit("base").alias("tag")))   # v0
+    vt.append(spark.range(10, 12).select("id", F.lit("b1").alias("tag")))   # v1
+    vt.append(spark.range(20, 21).select("id", F.lit("b2").alias("tag")))   # v2
+    t = {"t": vt}
+
+    run_dml(spark, "CALL system.revert_commit('t', 1)", tables=t)           # v3
+    assert vt.read().filter("tag = 'b1'").count() == 0
+    assert vt.read().filter("tag = 'b2'").count() == 1
+
+    run_dml(spark, "CALL system.cherrypick_snapshot('t', 1)", tables=t)     # v4
+    assert vt.read().filter("tag = 'b1'").count() == 2
+
+    run_dml(
+        spark, "CALL system.rollback_to_snapshot(table => 't', version => 0)",
+        tables=t,
+    )                                                                       # v5
+    assert vt.read().count() == 5
+
+    run_dml(
+        spark,
+        "CALL system.expire_snapshots(table => 't', retain_last => 1)",
+        tables=t,
+    )
+    assert [s["version"] for s in vt.history()] == [5]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown procedure"):
+        run_dml(spark, "CALL system.frobnicate('t')", tables=t)
