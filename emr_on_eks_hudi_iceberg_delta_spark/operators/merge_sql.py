@@ -303,6 +303,8 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
         CALL system.cherrypick_snapshot('t', v)    -- (positional or
         CALL system.revert_commit('t', v)          --  name => value args)
         CALL system.expire_snapshots(table => 't', retain_last => n)
+        SELECT ... FROM t VERSION AS OF n        -- time-travel reads,
+        SELECT ... FROM t TIMESTAMP AS OF 'ts'   -- per-reference rewrite
 
     With a ``catalog`` (LakeCatalog), the catalog DDL surface too::
 
@@ -341,6 +343,39 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
             except ValueError:
                 pass
         raise ValueError(f"DML: unknown table {name!r}")
+
+    if re.match(r"\s*(SELECT|WITH)\b", s, re.I) and re.search(
+        r"\b(VERSION|TIMESTAMP)\s+AS\s+OF\b", s, re.I
+    ):
+        # Delta time-travel SQL: every `FROM t VERSION AS OF n` /
+        # `t TIMESTAMP AS OF 'ts'` reference resolves through the
+        # table's own snapshot plumbing into a uniquely-named temp view,
+        # then the rewritten statement runs as plain Spark SQL
+        def _tt(m: "re.Match[str]") -> str:
+            name = m.group("t")
+            kind = m.group("k").upper()
+            val = m.group("v").strip().strip("'\"")
+            vt = _table(name)
+            df = (
+                vt.read(version=int(val))
+                if kind == "VERSION"
+                else vt.read_as_of(val)
+            )
+            view = (
+                f"__tt_{name.replace('.', '_')}_{kind}_"
+                f"{abs(hash(val)) % 10**8}"
+            )
+            df.createOrReplaceTempView(view)
+            return f" {view} "
+
+        rewritten = re.sub(
+            r"\b(?P<t>[\w.]+)\s+(?P<k>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+            r"(?P<v>'[^']*'|\d+)",
+            _tt,
+            s,
+            flags=re.I,
+        )
+        return spark.sql(rewritten)
 
     if catalog is not None:
         m = re.match(

@@ -8827,3 +8827,45 @@ def q_table_revert_commit(spark, sf_dir):
     vt.append(cust.filter(F.col("c_custkey") % 7 == 0))
     vt.revert(1)
     return vt.read()
+
+
+@register(
+    "time_travel_sql",
+    oracle="""
+    WITH v0 AS (SELECT c_custkey, c_mktsegment FROM customer
+                WHERE c_custkey % 6 = 0),
+    v1 AS (SELECT c_custkey, c_mktsegment FROM customer
+           WHERE c_custkey % 9 = 0)
+    SELECT v0.c_custkey, v0.c_mktsegment,
+           CASE WHEN v1.c_custkey IS NULL THEN 0 ELSE 1 END AS still_present
+    FROM v0 LEFT JOIN v1 USING (c_custkey, c_mktsegment)
+    """,
+    tags=("S2", "lake", "sql", "extension"),
+)
+def q_time_travel_sql(spark, sf_dir):
+    """Delta time-travel SELECT syntax through the SQL front-end
+    (operators/merge_sql.run_dml): each ``FROM t VERSION AS OF n``
+    reference resolves independently via the table's snapshot plumbing,
+    so ONE statement reads TWO versions of the same table — here v0
+    rows annotated with whether they survived into v1 (the
+    change-audit query time travel exists for). Exact oracle: the two
+    versions are deterministic customer slices (÷6 and ÷9 keys)."""
+    import tempfile
+
+    from .sources.tables import VersionedTable
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_tt_q_"))
+    vt.overwrite(cust.filter(F.col("c_custkey") % 6 == 0))   # v0
+    vt.overwrite(cust.filter(F.col("c_custkey") % 9 == 0))   # v1
+    from .operators.merge_sql import run_dml
+
+    return run_dml(
+        spark,
+        "SELECT a.c_custkey, a.c_mktsegment, "
+        "CASE WHEN b.c_custkey IS NULL THEN 0 ELSE 1 END AS still_present "
+        "FROM t VERSION AS OF 0 a "
+        "LEFT JOIN t VERSION AS OF 1 b "
+        "ON a.c_custkey = b.c_custkey AND a.c_mktsegment = b.c_mktsegment",
+        tables={"t": vt},
+    )

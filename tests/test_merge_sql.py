@@ -663,3 +663,42 @@ def test_call_procedures_maintenance_surface(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown procedure"):
         run_dml(spark, "CALL system.frobnicate('t')", tables=t)
+
+
+def test_time_travel_select_sql(spark, tmp_path):
+    """Delta time-travel SELECT syntax through the front-end: VERSION AS
+    OF resolves per-reference (two different versions of the SAME table
+    joinable in one statement); TIMESTAMP AS OF routes through
+    read_as_of."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.merge_sql import run_dml
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_tt"))
+    vt.overwrite(spark.range(3).select("id", F.lit(0).alias("v")))   # v0
+    vt.overwrite(spark.range(5).select("id", F.lit(1).alias("v")))   # v1
+    t = {"t": vt}
+
+    got = run_dml(
+        spark, "SELECT COUNT(*) AS n FROM t VERSION AS OF 0", tables=t
+    ).first()
+    assert got["n"] == 3
+    # both versions of one table inside one statement
+    got = run_dml(
+        spark,
+        "SELECT (SELECT COUNT(*) FROM t VERSION AS OF 1) - "
+        "(SELECT COUNT(*) FROM t VERSION AS OF 0) AS delta",
+        tables=t,
+    ).first()
+    assert got["delta"] == 2
+    # timestamp travel: 'now' resolves to the newest commit
+    now = _time.strftime("%Y-%m-%d %H:%M:%S", _time.gmtime(_time.time() + 5))
+    got = run_dml(
+        spark,
+        f"SELECT COUNT(*) AS n FROM t TIMESTAMP AS OF '{now}'",
+        tables=t,
+    ).first()
+    assert got["n"] == 5
