@@ -305,6 +305,7 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
         CALL system.expire_snapshots(table => 't', retain_last => n)
         SELECT ... FROM t VERSION AS OF n        -- time-travel reads,
         SELECT ... FROM t TIMESTAMP AS OF 'ts'   -- per-reference rewrite
+        SELECT ... FROM table_changes('t', a, b) -- CDF rows per commit
 
     With a ``catalog`` (LakeCatalog), the catalog DDL surface too::
 
@@ -343,6 +344,29 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
             except ValueError:
                 pass
         raise ValueError(f"DML: unknown table {name!r}")
+
+    if re.match(r"\s*(SELECT|WITH)\b", s, re.I) and re.search(
+        r"\btable_changes\s*\(", s, re.I
+    ):
+        # Delta CDF SQL: table_changes('t', from, to) — one row-diff per
+        # commit in (from, to], tagged _commit_version/_change_type,
+        # rewritten per-reference into a temp view like time travel
+        def _tc(m: "re.Match[str]") -> str:
+            name = m.group("t")
+            lo, hi = int(m.group("a")), int(m.group("b"))
+            df = _table(name).changes_per_commit(lo, hi)
+            view = f"__tc_{name.replace('.', '_')}_{lo}_{hi}"
+            df.createOrReplaceTempView(view)
+            return f" {view} "
+
+        rewritten = re.sub(
+            r"\btable_changes\s*\(\s*'(?P<t>[\w.]+)'\s*,\s*(?P<a>\d+)\s*,"
+            r"\s*(?P<b>\d+)\s*\)",
+            _tc,
+            s,
+            flags=re.I,
+        )
+        return spark.sql(rewritten)
 
     if re.match(r"\s*(SELECT|WITH)\b", s, re.I) and re.search(
         r"\b(VERSION|TIMESTAMP)\s+AS\s+OF\b", s, re.I

@@ -702,3 +702,29 @@ def test_time_travel_select_sql(spark, tmp_path):
         tables=t,
     ).first()
     assert got["n"] == 5
+
+
+def test_table_changes_tvf_sql(spark, tmp_path):
+    """Delta CDF SQL surface: SELECT over table_changes('t', a, b)
+    returns per-commit row diffs with _commit_version/_change_type."""
+    from pyspark.sql import functions as F
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.merge_sql import run_dml
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_tcf"))
+    vt.overwrite(spark.range(4).select("id", F.lit("a").alias("tag")))  # v0
+    vt.append(spark.range(10, 12).select("id", F.lit("b").alias("tag")))  # v1
+    vt.delete_where("id = 0")                                             # v2
+    got = run_dml(
+        spark,
+        "SELECT _commit_version, _change_type, COUNT(*) AS n "
+        "FROM table_changes('t', 0, 2) "
+        "GROUP BY _commit_version, _change_type "
+        "ORDER BY _commit_version, _change_type",
+        tables={"t": vt},
+    ).collect()
+    assert [(r["_commit_version"], r["_change_type"], r["n"]) for r in got] == [
+        (1, "insert", 2),
+        (2, "delete", 1),
+    ]
