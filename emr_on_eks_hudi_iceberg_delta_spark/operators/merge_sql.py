@@ -387,7 +387,7 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
             )
             view = (
                 f"__tt_{name.replace('.', '_')}_{kind}_"
-                f"{abs(hash(val)) % 10**8}"
+                f"{re.sub(r'[^A-Za-z0-9]', '_', val)}"
             )
             df.createOrReplaceTempView(view)
             return f" {view} "

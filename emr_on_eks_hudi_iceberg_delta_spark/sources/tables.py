@@ -1285,8 +1285,10 @@ class VersionedTable:
         multiplicities survive; rows of v already deleted by later
         commits subtract nothing (exceptAll is a saturating diff).
         Schema must be union-compatible with the current snapshot
-        (unionByName raises otherwise). Row-tracking ids are reassigned
-        for re-inserted rows — a revert is a rewrite, not a time warp."""
+        (unionByName raises otherwise). On row-tracked tables the commit
+        sees id-less rows (multiset algebra and stable ids are mutually
+        exclusive — ids make every row distinct), so ALL row ids are
+        reassigned: a revert is a rewrite, not a time warp."""
         added, removed = self._commit_delta(version)
         self._commit(
             self.read().exceptAll(added).unionByName(removed), op="REVERT"
