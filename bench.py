@@ -64,9 +64,14 @@ ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
 # band even though per-query medians survive it), and (c) stamps the
 # artifact with `quiet`/`certified` so a dirty run is self-describing.
 MAX_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "1.5"))
-WAIT_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_WAIT_SEC", "300"))
+WAIT_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_WAIT_SEC", "240"))
 BAND_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_BAND_MAX", "15"))
 ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+# hard wall-clock budget for the whole bench process: quiet-wait and
+# band-retries stop once exceeded, so an external harness timeout can
+# never kill the run before it prints its JSON line
+MAX_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_SEC", "480"))
+_T0 = time.monotonic()
 
 # Fixed-size heap for the bench JVM: with the default growable heap, GC
 # ergonomics keep resizing across rounds and the totals drift ~10-20% with
@@ -87,7 +92,11 @@ def wait_for_quiet() -> tuple[float, int]:
     passes and conflated our own ramp with machine contention."""
     waited = 0
     load = os.getloadavg()[0]
-    while load > MAX_LOAD and waited < WAIT_SEC:
+    while (
+        load > MAX_LOAD
+        and waited < WAIT_SEC
+        and time.monotonic() - _T0 < MAX_SEC / 3
+    ):
         time.sleep(15)
         waited += 15
         load = os.getloadavg()[0]
@@ -165,6 +174,8 @@ def main() -> None:
             discarded_bands.append(trimmed_band(attempt[1]))
         if trimmed_band(best[1]) <= BAND_MAX:
             break
+        if time.monotonic() - _T0 > MAX_SEC:
+            break  # out of wall-clock budget: publish the best we have
     samples, round_totals, loadavg_1m = best
 
     timings = {n: round(median(ts), 3) for n, ts in samples.items()}
