@@ -1328,3 +1328,114 @@ def novelty_scores(
             / F.col("n_shingles").cast("double"),
         ).alias("novelty"),
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 20,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Full BPE tokenizer training (Sennrich et al. 2016), the iterative
+    closure of ``bpe_pair_counts``' single step: learn ``n_merges``
+    merge rules from the corpus. The distributed part is ONE word-
+    frequency aggregate (map-side combined; the classic formulation
+    trains on the word-frequency table, never the raw corpus); the
+    merge loop then runs driver-side over that vocabulary-bounded dict
+    — the same driver-state contract as PQ codebooks and IVF centroids
+    (vocabulary ≪ corpus; millions of entries at worst, one scan of
+    them per merge). Deterministic: ties on pair count break
+    lexicographically.
+
+    Returns the ordered merge list [(left, right), ...] — feed to
+    ``bpe_apply``.
+    """
+    word_freq = {
+        r["__w"]: r["__n"]
+        for r in df.select(F.explode(tokens_expr(text_col)).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    }
+    # symbol-sequence representation per distinct word
+    seqs: dict[str, list[str]] = {w: list(w) for w in word_freq if w}
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        counts: dict[tuple[str, str], int] = {}
+        for w, seq in seqs.items():
+            f = word_freq[w]
+            for a, b in zip(seq, seq[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        # deterministic: max count, then lexicographically SMALLEST pair
+        top = max(counts.values())
+        best = min(p for p, c in counts.items() if c == top)
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        for w, seq in seqs.items():
+            i, out = 0, []
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply trained BPE merges to the corpus: per document, the BPE
+    token sequence and its length. The merge list rides in the task
+    closure (tokenizer models are KBs); each Arrow batch tokenizes with
+    a per-batch word→tokens memo, so cost tracks DISTINCT words per
+    batch, not token volume — the standard vocabulary-locality win.
+    mapInPandas (not a per-row UDF): one Python call per Arrow batch.
+    """
+    import pandas as pd
+
+    merge_list = [tuple(m) for m in merges]
+    out_schema = f"{id_col} bigint, n_bpe_tokens bigint, bpe_head string"
+
+    def run(batches):
+        memo: dict[str, list[str]] = {}
+
+        def word_tokens(w: str) -> list[str]:
+            got = memo.get(w)
+            if got is None:
+                seq = list(w)
+                for a, b in merge_list:
+                    ab = a + b
+                    i, out = 0, []
+                    while i < len(seq):
+                        if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                            out.append(ab)
+                            i += 2
+                        else:
+                            out.append(seq[i])
+                            i += 1
+                    seq = out
+                memo[w] = got = seq
+            return got
+
+        for pdf in batches:
+            ids, counts, heads = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks: list[str] = []
+                for w in (text or "").split():
+                    toks.extend(word_tokens(w))
+                ids.append(doc_id)
+                counts.append(len(toks))
+                heads.append(" ".join(toks[:8]))
+            yield pd.DataFrame(
+                {id_col: ids, "n_bpe_tokens": counts, "bpe_head": heads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)

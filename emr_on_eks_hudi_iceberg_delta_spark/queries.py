@@ -8869,3 +8869,24 @@ def q_time_travel_sql(spark, sf_dir):
         "ON a.c_custkey = b.c_custkey AND a.c_mktsegment = b.c_mktsegment",
         tables={"t": vt},
     )
+
+
+@register(
+    "bpe_tokenize_corpus", oracle=None, tags=("text", "corpus", "extension")
+)
+def q_bpe_tokenize_corpus(spark, sf_dir):
+    """The tokenizer loop closed end-to-end: bpe_train learns 20 merge
+    rules from the corpus word-frequency table (ONE distributed
+    aggregate; the merge loop runs driver-side over the
+    vocabulary-bounded dict, the same driver-state contract as PQ
+    codebooks), then bpe_apply tokenizes every document with the rules
+    in the task closure and a per-batch word→tokens memo (cost tracks
+    DISTINCT words per batch). Rows-only: the merge loop is iterative
+    and the tokenization per-word greedy — not SQL-expressible;
+    tests/test_text_ops.py pins operator output exactly equal to a
+    pure-Python reference implementation."""
+    from .operators.text import bpe_apply, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=20)
+    return bpe_apply(docs, merges)
