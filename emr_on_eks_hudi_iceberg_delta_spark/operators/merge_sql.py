@@ -306,6 +306,7 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
         SELECT ... FROM t VERSION AS OF n        -- time-travel reads,
         SELECT ... FROM t TIMESTAMP AS OF 'ts'   -- per-reference rewrite
         SELECT ... FROM table_changes('t', a, b) -- CDF rows per commit
+        COPY INTO t FROM '<path>' [FILEFORMAT = fmt] [PATTERN = '<glob>']
 
     With a ``catalog`` (LakeCatalog), the catalog DDL surface too::
 
@@ -544,6 +545,22 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
     if m:
         _table(m.group("t")).restore(int(m.group("v")))
         return
+    m = re.match(
+        r"\s*COPY\s+INTO\s+(?P<t>[\w.]+)\s+FROM\s+'(?P<p>[^']+)'"
+        r"(?:\s+FILEFORMAT\s*=\s*(?P<f>\w+))?"
+        r"(?:\s+PATTERN\s*=\s*'(?P<g>[^']+)')?\s*$",
+        s,
+        re.I,
+    )
+    if m:
+        loaded = _table(m.group("t")).copy_into(
+            m.group("p"),
+            file_format=(m.group("f") or "parquet").lower(),
+            pattern=m.group("g"),
+        )
+        return spark.createDataFrame(
+            [(p,) for p in loaded], "loaded_file string"
+        )
     m = re.match(
         r"\s*CALL\s+system\.(?P<proc>\w+)\s*\((?P<args>.*)\)\s*$", s, re.I | re.S
     )

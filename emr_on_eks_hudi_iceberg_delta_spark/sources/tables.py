@@ -1252,6 +1252,52 @@ class VersionedTable:
         )
         return self
 
+    def copy_into(
+        self,
+        source_path: str,
+        file_format: str = "parquet",
+        pattern: str | None = None,
+        merge_schema: bool = False,
+    ) -> list[str]:
+        """``COPY INTO`` analog: idempotent FILE-granular ingestion. Each
+        source file under ``source_path`` (optionally filtered by the
+        glob ``pattern``) is loaded AT MOST ONCE — loaded file names are
+        recorded in table metadata, so re-running after a partial load,
+        a retry, or new files arriving appends exactly the not-yet-seen
+        files. The retryable-ingest contract that makes scheduled loads
+        safe without an external bookkeeping table.
+
+        Returns the list of files loaded by THIS call (empty = no-op,
+        no empty commit). One commit per call covering all new files.
+        Scale: the file listing is metadata-sized; the read is an exact
+        file list (no re-scan of already-loaded data); state grows one
+        path string per file — compact well past millions of files.
+        Wrap in ``locked()`` when multiple loaders race one table."""
+        import fnmatch
+        import glob as _glob
+
+        root = source_path.rstrip("/")
+        found = sorted(
+            p
+            for p in _glob.glob(os.path.join(root, "**", "*"), recursive=True)
+            if os.path.isfile(p)
+            and not os.path.basename(p).startswith(("_", "."))
+            and (pattern is None or fnmatch.fnmatch(os.path.basename(p), pattern))
+        )
+        meta = self._meta()
+        seen = set(meta.get("copy_into_loaded", []))
+        new_files = [p for p in found if p not in seen]
+        if not new_files:
+            return []
+        df = self.spark.read.format(file_format).load(new_files)
+        self.append(df, merge_schema=merge_schema)
+        # record AFTER the commit succeeds: a failed load retries its
+        # files, a replayed success is screened by the recorded names
+        meta = self._meta()
+        meta["copy_into_loaded"] = sorted(seen | set(new_files))
+        self._write_meta(meta)
+        return new_files
+
     def _commit_delta(self, version: int) -> tuple[DataFrame, DataFrame]:
         """(added, removed) multiset row diff a commit introduced over
         its predecessor in published order (the empty table for the

@@ -1462,3 +1462,54 @@ def test_cherry_pick_replays_staged_commit_onto_advanced_head(spark, tmp_path):
         + [(200, "staged"), (201, "staged"), (300, "rush")]
     )
     assert got == want
+
+
+def test_copy_into_loads_each_file_exactly_once(spark, tmp_path):
+    """COPY INTO contract: per-file idempotence. First call loads the
+    two staged files, a re-run is a no-op (no empty commit), and after
+    a third file arrives only IT is appended — the retryable scheduled
+    ingest pattern, bookkeeping inside the table metadata."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "landing"
+    spark.range(3).select("id", F.lit("a").alias("tag")).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    spark.range(10, 12).select("id", F.lit("b").alias("tag")).coalesce(
+        1
+    ).write.parquet(str(src / "f2"))
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_copy"))
+    vt.overwrite(
+        spark.range(0).select("id", F.lit("seed").alias("tag"))
+    )  # v0 empty seed
+    loaded = vt.copy_into(str(src), pattern="*.parquet")
+    assert len(loaded) == 2 and all(p.endswith(".parquet") for p in loaded)
+    assert vt.read().count() == 5
+
+    assert vt.copy_into(str(src), pattern="*.parquet") == []  # idempotent
+    assert vt.read().count() == 5
+    assert len(vt.history()) == 2  # no empty commit on the no-op
+
+    spark.range(100, 101).select("id", F.lit("c").alias("tag")).coalesce(
+        1
+    ).write.parquet(str(src / "f3"))
+    loaded = vt.copy_into(str(src), pattern="*.parquet")
+    assert len(loaded) == 1 and "f3" in loaded[0]
+    assert vt.read().filter("tag = 'c'").count() == 1
+
+    # the SQL front-end form returns the loaded-file list
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.merge_sql import run_dml
+
+    spark.range(200, 202).select("id", F.lit("d").alias("tag")).coalesce(
+        1
+    ).write.parquet(str(src / "f4"))
+    out = run_dml(
+        spark,
+        f"COPY INTO t FROM '{src}' FILEFORMAT = PARQUET PATTERN = '*.parquet'",
+        tables={"t": vt},
+    )
+    assert out.count() == 1
+    assert vt.read().count() == 8
