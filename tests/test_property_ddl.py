@@ -26,6 +26,7 @@ from emr_on_eks_hudi_iceberg_delta_spark.operators.merge_sql import run_dml
 from emr_on_eks_hudi_iceberg_delta_spark.sources.catalog import LakeCatalog
 
 TABLE_POOL = ["t1", "t2", "t3"]
+VIEW_POOL = ["v1", "v2"]
 COL_POOL = ["c1", "c2", "c3", "c4"]
 KEY_POOL = ["k1", "k2", "k3"]
 VAL_POOL = ["red", "blue", "7"]
@@ -38,7 +39,7 @@ def _creatable(model):
     return [t for t in TABLE_POOL if t not in model and t not in owned]
 
 
-def _valid_ops(model):
+def _valid_ops(model, views):
     """Op kinds legal in the current model state."""
     ops = []
     if _creatable(model):
@@ -49,6 +50,10 @@ def _valid_ops(model):
         ops += ["drop_table", "set_prop", "unset_prop", "add_col"]
         if any(len(m["cols"]) >= 2 for m in model.values()):
             ops += ["drop_col", "rename_col"]
+    if [v for v in VIEW_POOL if v not in views]:
+        ops.append("create_view")
+    if views:
+        ops.append("drop_view")
     return ops
 
 
@@ -73,10 +78,11 @@ def test_sql_frontend_matches_programmatic_api(spark, data):
         # table directory (re-CREATE re-attaches them: external "undrop")
         model = {}
         graveyard = {}
+        views = {}   # name -> literal seed the view selects
 
         n_ops = data.draw(st.integers(min_value=3, max_value=6), label="n_ops")
         for _ in range(n_ops):
-            ops = _valid_ops(model)
+            ops = _valid_ops(model, views)
             op = data.draw(st.sampled_from(ops), label="op")
             if op == "create":
                 t = data.draw(st.sampled_from(_creatable(model)), label="t")
@@ -171,6 +177,21 @@ def test_sql_frontend_matches_programmatic_api(spark, data):
                 )
                 cat_b.table(t).set_property(k, v)
                 model[t]["props"][k] = v
+            elif op == "create_view":
+                v = data.draw(
+                    st.sampled_from([x for x in VIEW_POOL if x not in views]),
+                    label="v",
+                )
+                seed = data.draw(st.integers(0, 9), label="vseed")
+                q = f"SELECT {seed} AS x"
+                run_dml(spark, f"CREATE VIEW {v} AS {q}", catalog=cat_a)
+                cat_b.create_view(v, q)
+                views[v] = seed
+            elif op == "drop_view":
+                v = data.draw(st.sampled_from(sorted(views)), label="v")
+                run_dml(spark, f"DROP VIEW {v}", catalog=cat_a)
+                cat_b.drop_view(v)
+                del views[v]
             elif op == "unset_prop":
                 t = data.draw(st.sampled_from(sorted(model)), label="t")
                 k = data.draw(st.sampled_from(KEY_POOL), label="k")
@@ -186,6 +207,11 @@ def test_sql_frontend_matches_programmatic_api(spark, data):
         names = sorted(model)
         assert cat_a.list_tables() == names
         assert cat_b.list_tables() == names
+        assert cat_a.list_views() == sorted(views)
+        assert cat_b.list_views() == sorted(views)
+        for v, seed in views.items():
+            assert cat_a.view(v).first()["x"] == seed
+            assert cat_b.view(v).first()["x"] == seed
         for t in names:
             desc = [
                 (r["col_name"], r["data_type"])

@@ -1513,3 +1513,64 @@ def test_copy_into_loads_each_file_exactly_once(spark, tmp_path):
     )
     assert out.count() == 1
     assert vt.read().count() == 8
+
+
+def test_killed_lock_holder_lease_expires_and_table_unharmed(spark, tmp_path):
+    """Crash-durability: a writer SIGKILLed while holding the O_EXCL
+    lock must not deadlock the table — the stale-lease break
+    (locked(stale_after=...)) reclaims it — and the atomic pointer flip
+    means the table stays readable at its last committed state with no
+    torn metadata, including a leftover pointer .tmp from a dead
+    writer."""
+    import json
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    loc = str(tmp_path / "vt_crash")
+    vt = VersionedTable(spark, loc)
+    vt.overwrite(spark.range(5).select("id", F.lit("base").alias("tag")))
+
+    # a process that takes the lock and then hangs forever
+    holder = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            (
+                "import os, sys, time\n"
+                f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
+                f"fd = os.open(os.path.join({loc!r}, '_writer.lock'), "
+                "os.O_CREAT | os.O_EXCL | os.O_WRONLY)\n"
+                "os.write(fd, b'holder'); os.close(fd)\n"
+                "print('LOCKED', flush=True)\n"
+                "time.sleep(600)\n"
+            ),
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    assert holder.stdout.readline().strip() == "LOCKED"
+    holder.send_signal(signal.SIGKILL)
+    holder.wait()
+
+    # lock file is still on disk; a live writer with a short stale lease
+    # breaks it and commits
+    lock_path = os.path.join(loc, "_writer.lock")
+    assert os.path.exists(lock_path)
+    # age the lock past the lease (mtime backdate = deterministic stale)
+    past = _time.time() - 3600
+    os.utime(lock_path, (past, past))
+    with vt.locked(timeout=5.0, stale_after=60.0):
+        vt.append(spark.range(10, 12).select("id", F.lit("after").alias("tag")))
+    assert vt.read().count() == 7
+
+    # a dead writer's half-written pointer tmp must not corrupt reads
+    with open(os.path.join(loc, "_current_snapshot.json.tmp"), "w") as fh:
+        fh.write('{"snapshots": [TRUNCATED')
+    assert vt.read().count() == 7
+    with open(os.path.join(loc, "_current_snapshot.json")) as fh:
+        json.load(fh)  # the real pointer is intact JSON
