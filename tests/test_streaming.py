@@ -235,3 +235,61 @@ def test_stream_stateful_running_totals_tws(spark, events_stream):
     got = got.sort_values("user_id").reset_index(drop=True)
     exp = exp.sort_values("user_id").reset_index(drop=True)
     assert got.equals(exp[got.columns])
+
+
+def test_stateful_totals_carry_across_micro_batches(spark, tmp_path):
+    """State must CARRY between micro-batches: replay the events table
+    as four separate files (four micro-batches under AvailableNow) and
+    assert the stateful operator's final per-user emission still equals
+    the batch aggregate — the cross-batch GroupState contract the
+    single-batch replay can't exercise. Also pins the HLL streaming
+    aggregate across batches."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
+    from emr_on_eks_hudi_iceberg_delta_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        run_stream_to_memory,
+        stream_distinct_users_hll,
+        stream_user_running_totals,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    stage = str(tmp_path / "ev_multi")
+    ev.repartition(4).write.parquet(stage)
+    import glob as _glob
+
+    assert len(_glob.glob(stage + "/part-*.parquet")) == 4
+
+    def stream():
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)   # one file per micro-batch
+            .parquet(stage)
+        )
+
+    got = run_stream_to_memory(
+        stream_user_running_totals(stream()), output_mode="update"
+    )
+    # update mode re-emits a user on every batch that touches it: keep
+    # the LAST emission per user (max n_events is monotone)
+    final = (
+        got.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert final.equals(exp[final.columns])
+
+    hll = run_stream_to_memory(
+        stream_distinct_users_hll(stream()), output_mode="complete"
+    ).first()["distinct_users"]
+    assert hll == ev.select("user_id").distinct().count()
