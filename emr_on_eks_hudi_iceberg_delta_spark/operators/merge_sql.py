@@ -346,12 +346,15 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
                 pass
         raise ValueError(f"DML: unknown table {name!r}")
 
-    if re.match(r"\s*(SELECT|WITH)\b", s, re.I) and re.search(
-        r"\btable_changes\s*\(", s, re.I
+    if re.match(r"\s*(SELECT|WITH)\b", s, re.I) and (
+        re.search(r"\btable_changes\s*\(", s, re.I)
+        or re.search(r"\b(VERSION|TIMESTAMP)\s+AS\s+OF\b", s, re.I)
     ):
-        # Delta CDF SQL: table_changes('t', from, to) — one row-diff per
-        # commit in (from, to], tagged _commit_version/_change_type,
-        # rewritten per-reference into a temp view like time travel
+        # SELECT rewrite pass — BOTH sugar forms in one statement are
+        # fine (each rewrites independently into temp views, then the
+        # statement runs as plain Spark SQL):
+        #   table_changes('t', a, b)  — Delta CDF rows per commit
+        #   t VERSION AS OF n / t TIMESTAMP AS OF 'ts' — time travel
         def _tc(m: "re.Match[str]") -> str:
             name = m.group("t")
             lo, hi = int(m.group("a")), int(m.group("b"))
@@ -360,22 +363,6 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
             df.createOrReplaceTempView(view)
             return f" {view} "
 
-        rewritten = re.sub(
-            r"\btable_changes\s*\(\s*'(?P<t>[\w.]+)'\s*,\s*(?P<a>\d+)\s*,"
-            r"\s*(?P<b>\d+)\s*\)",
-            _tc,
-            s,
-            flags=re.I,
-        )
-        return spark.sql(rewritten)
-
-    if re.match(r"\s*(SELECT|WITH)\b", s, re.I) and re.search(
-        r"\b(VERSION|TIMESTAMP)\s+AS\s+OF\b", s, re.I
-    ):
-        # Delta time-travel SQL: every `FROM t VERSION AS OF n` /
-        # `t TIMESTAMP AS OF 'ts'` reference resolves through the
-        # table's own snapshot plumbing into a uniquely-named temp view,
-        # then the rewritten statement runs as plain Spark SQL
         def _tt(m: "re.Match[str]") -> str:
             name = m.group("t")
             kind = m.group("k").upper()
@@ -394,10 +381,17 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
             return f" {view} "
 
         rewritten = re.sub(
+            r"\btable_changes\s*\(\s*'(?P<t>[\w.]+)'\s*,\s*(?P<a>\d+)\s*,"
+            r"\s*(?P<b>\d+)\s*\)",
+            _tc,
+            s,
+            flags=re.I,
+        )
+        rewritten = re.sub(
             r"\b(?P<t>[\w.]+)\s+(?P<k>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
             r"(?P<v>'[^']*'|\d+)",
             _tt,
-            s,
+            rewritten,
             flags=re.I,
         )
         return spark.sql(rewritten)

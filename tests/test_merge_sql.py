@@ -728,3 +728,24 @@ def test_table_changes_tvf_sql(spark, tmp_path):
         (1, "insert", 2),
         (2, "delete", 1),
     ]
+
+
+def test_combined_cdf_and_time_travel_in_one_statement(spark, tmp_path):
+    """Both SELECT sugar forms compose: one statement joins the CDF TVF
+    against a time-travel reference."""
+    from pyspark.sql import functions as F
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.merge_sql import run_dml
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_both"))
+    vt.overwrite(spark.range(3).select("id", F.lit("a").alias("tag")))  # v0
+    vt.append(spark.range(10, 13).select("id", F.lit("b").alias("tag")))  # v1
+    got = run_dml(
+        spark,
+        "SELECT COUNT(*) AS n FROM table_changes('t', 0, 1) c "
+        "LEFT ANTI JOIN t VERSION AS OF 0 v ON c.id = v.id",
+        tables={"t": vt},
+    ).first()
+    # v1 inserted ids 10-12, none of which exist in v0
+    assert got["n"] == 3
