@@ -185,3 +185,50 @@ def test_ivf_ann_cost_fraction_and_recall_at_scale(spark):
     finally:
         emb.unpersist()
     assert time.monotonic() - t0 < 120, "ANN smoke exceeded 2-minute budget"
+
+
+def test_zorder_file_skipping_effectiveness_measured(spark, tmp_path):
+    """The Z-order claim, measured: on an unclustered table every file's
+    min/max admits any range predicate (zero skipping); after
+    OPTIMIZE ZORDER on (x, y), a range filter on EITHER dimension
+    prunes a majority of files — while lexicographic cluster_by only
+    serves its first column. Results stay exactly equal throughout."""
+    from pyspark.sql import functions as F
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import VersionedTable
+
+    n_files = 16
+    base = spark.range(100_000).select(
+        (F.col("id") % 1000).alias("x"),
+        ((F.col("id") * 7919) % 1000).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    vt = VersionedTable(spark, str(tmp_path / "vt_zorder"))
+    # round-robin partitioning: every file spans the full x/y domain
+    vt.overwrite(base.repartition(n_files))
+    vt.compute_stats(["x", "y"])
+
+    y_filter = [("y", ">=", 0), ("y", "<", 100)]
+    x_filter = [("x", ">=", 900), ("x", "<", 1000)]
+    expect_y = vt.read().filter("y >= 0 AND y < 100").count()
+    expect_x = vt.read().filter("x >= 900 AND x < 1000").count()
+
+    unclustered_y = len(vt.pruned_files(y_filter))
+    assert unclustered_y == n_files  # no layout -> no skipping
+
+    vt.compact(target_partitions=n_files, cluster_by=["x"])
+    vt.compute_stats(["x", "y"])
+    lex_x = len(vt.pruned_files(x_filter))
+    lex_y = len(vt.pruned_files(y_filter))
+    assert lex_x <= n_files // 4          # first column: strong skipping
+    assert lex_y == n_files               # second column: none
+
+    vt.compact(target_partitions=n_files, zorder_by=["x", "y"])
+    vt.compute_stats(["x", "y"])
+    z_x = len(vt.pruned_files(x_filter))
+    z_y = len(vt.pruned_files(y_filter))
+    assert z_x <= n_files // 2, z_x       # both dimensions skip
+    assert z_y <= n_files // 2, z_y
+    # and the skipping scan is still exactly correct
+    assert vt.read_pruned(y_filter).count() == expect_y
+    assert vt.read_pruned(x_filter).count() == expect_x
