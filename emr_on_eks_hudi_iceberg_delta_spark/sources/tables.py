@@ -541,6 +541,7 @@ class VersionedTable:
         cluster_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
         zorder_buckets: int = 16,
+        refresh_stats: bool = True,
     ) -> "VersionedTable":
         """OPTIMIZE/compaction: rewrite the current snapshot into
         ``target_partitions`` files (small-file compaction — the Hudi
@@ -564,7 +565,17 @@ class VersionedTable:
         Scale: either layout costs one range-exchange + in-partition sort
         of the snapshot — exactly what any OPTIMIZE rewrite costs; the
         quantile pass for Z-order is a sampled aggregate, not a full sort.
+
+        File min/max stats do not carry across a rewrite (new files), so
+        when the prior snapshot had ``compute_stats`` columns recorded,
+        compaction re-collects them on the new layout (``refresh_stats``)
+        — improved skipping is the point of clustering; silently dropping
+        the stats would leave ``read_pruned`` scanning everything. The
+        cluster/Z-order columns are added to the refreshed set.
         """
+        prior_stats_cols = list(
+            self._current_snapshot().get("stats_cols", [])
+        )
         df = self.read(with_row_ids=True)
         if zorder_by:
             zkey = self._zorder_key(df, zorder_by, zorder_buckets)
@@ -582,6 +593,14 @@ class VersionedTable:
         else:
             df = df.coalesce(target_partitions)
         self._commit(df, op="OPTIMIZE")
+        if refresh_stats:
+            stat_cols = list(
+                dict.fromkeys(
+                    prior_stats_cols + (zorder_by or cluster_by or [])
+                )
+            )
+            if stat_cols:
+                self.compute_stats(stat_cols)
         return self
 
     @staticmethod

@@ -216,15 +216,15 @@ def test_zorder_file_skipping_effectiveness_measured(spark, tmp_path):
     unclustered_y = len(vt.pruned_files(y_filter))
     assert unclustered_y == n_files  # no layout -> no skipping
 
+    # compact() auto-refreshes the recorded stats columns on the new
+    # layout (plus its own clustering columns) — no manual re-collect
     vt.compact(target_partitions=n_files, cluster_by=["x"])
-    vt.compute_stats(["x", "y"])
     lex_x = len(vt.pruned_files(x_filter))
     lex_y = len(vt.pruned_files(y_filter))
     assert lex_x <= n_files // 4          # first column: strong skipping
     assert lex_y == n_files               # second column: none
 
     vt.compact(target_partitions=n_files, zorder_by=["x", "y"])
-    vt.compute_stats(["x", "y"])
     z_x = len(vt.pruned_files(x_filter))
     z_y = len(vt.pruned_files(y_filter))
     assert z_x <= n_files // 2, z_x       # both dimensions skip
