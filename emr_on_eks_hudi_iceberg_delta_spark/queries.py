@@ -8890,3 +8890,53 @@ def q_bpe_tokenize_corpus(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     merges = bpe_train(docs, n_merges=20)
     return bpe_apply(docs, merges)
+
+
+@register(
+    "lakehouse_lifecycle_round6",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 4 = 1
+    UNION ALL
+    SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 4 = 2
+    """,
+    tags=("S2", "lake", "sql", "extension"),
+)
+def q_lakehouse_lifecycle_round6(spark, sf_dir):
+    """Round-6 lifecycle capstone, one exact oracle across the new
+    surface: two landing files ingested via COPY INTO (file-granular
+    idempotence — the second COPY is a no-op), a bad batch appended and
+    surgically unpicked with CALL system.revert_commit, the table
+    OPTIMIZE-compacted (stats auto-refresh), and the final state read
+    back — which must equal exactly the two ingested slices, as the
+    UNION ALL oracle states."""
+    import tempfile
+
+    from .operators.merge_sql import run_dml
+    from .sources.tables import VersionedTable
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    landing = tempfile.mkdtemp(prefix="vt_landing_")
+    cust.filter(F.col("c_custkey") % 4 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(landing + "/f1")
+    cust.filter(F.col("c_custkey") % 4 == 2).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(landing + "/f2")
+
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_life_"))
+    vt.overwrite(cust.limit(0))                                   # v0 seed
+    tables = {"t": vt}
+    run_dml(
+        spark,
+        f"COPY INTO t FROM '{landing}' PATTERN = '*.parquet'",
+        tables=tables,
+    )                                                             # v1
+    assert run_dml(
+        spark,
+        f"COPY INTO t FROM '{landing}' PATTERN = '*.parquet'",
+        tables=tables,
+    ).count() == 0  # idempotent re-run loads nothing
+    vt.append(cust.filter(F.col("c_custkey") % 4 == 3))           # v2 bad
+    run_dml(spark, "CALL system.revert_commit('t', 2)", tables=tables)  # v3
+    run_dml(spark, "OPTIMIZE t", tables=tables)                   # v4
+    return vt.read()
