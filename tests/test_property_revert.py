@@ -1,12 +1,21 @@
 """Property-based invariants for commit revert / cherry-pick (round 6):
 for ANY sequence of append/delete commits and any chosen commit v,
 
-1. revert(v) followed by cherry_pick(v) restores the pre-revert state
-   (multiset identity — cherry-pick is revert's inverse when applied
-   back-to-back, because the head contains no later interference);
-2. reverting every commit newest-to-oldest returns the empty table;
+1. revert(v) followed by cherry_pick(v) yields exactly
+   ``(C ∖ A) ⊎ A`` where C is the pre-revert state and A the rows v
+   added — the precise law of the documented SATURATING multiset
+   algebra (``exceptAll`` subtracts nothing for rows a later commit
+   already deleted, so the round-trip resurrects them; it is the
+   identity iff A ⊆ C, which a hypothesis counterexample proved is NOT
+   always the case: append then ``delete_where`` hitting an appended
+   row);
+2. reverting every commit newest-to-oldest returns the empty table
+   (each step is an immediate revert of the head's producing commit,
+   which is exact — no saturation can bite);
 3. neither operation ever rewrites history (version list only grows).
 """
+
+from collections import Counter
 
 import os
 import sys
@@ -68,11 +77,17 @@ def test_revert_cherry_pick_algebra(spark, prog):
 
     before = _rows(vt)
     history_before = [s["version"] for s in vt.history()]
+    added_df, _removed_df = vt._commit_delta(pick)
+    added = Counter((r["id"], r["tag"]) for r in added_df.collect())
 
-    # (1) revert then cherry-pick the same commit = identity
+    # (1) revert then cherry-pick the same commit = (C \ A) ⊎ A exactly
+    # (identity iff every row the commit added is still live in C)
     vt.revert(pick)
     vt.cherry_pick(pick)
-    assert _rows(vt) == before
+    expected = Counter(before) - added + added
+    assert Counter(_rows(vt)) == expected
+    if not (added - Counter(before)):  # A ⊆ C → the round-trip IS identity
+        assert _rows(vt) == before
 
     # (3) history only grew — no rewrite
     history_after = [s["version"] for s in vt.history()]
