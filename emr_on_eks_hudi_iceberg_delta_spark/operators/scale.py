@@ -72,6 +72,70 @@ def two_phase_agg(
     return final
 
 
+def bloom_prefilter_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    how: str = "inner",
+    bits: int = 1 << 17,
+    num_hashes: int = 2,
+) -> DataFrame:
+    """Equi join with a Bloom-filter prefilter on the probe side — the
+    scale strategy for the join Spark's planner has no good answer for:
+    ``build`` is too large to broadcast AS ROWS, but the Bloom bitmap of
+    its join keys fits in memory everywhere. Spark's own runtime Bloom
+    pushdown (``spark.sql.optimizer.runtime.bloomFilter.enabled``)
+    applies the same idea inside AQE; this is the explicit, composable
+    version with a deterministic, oracle-checkable result.
+
+    Mechanics (pure DataFrame algebra, no driver collect of keys):
+
+    1. Build the filter AS A TABLE: each build key hashes to
+       ``num_hashes`` positions in ``[0, bits)`` via seeded xxhash64;
+       ``explode + distinct`` yields at most ``bits`` distinct position
+       ints — bounded metadata regardless of build-side row count.
+    2. Prefilter the probe with ``num_hashes`` chained BROADCAST
+       left-semi joins against that position table (a Bloom hit = ALL
+       positions present). No shuffle of the probe side happens here —
+       each semi join broadcasts ≤ ``bits`` ints.
+    3. Run the exact equi join on the survivors. Bloom false positives
+       are dropped here, so the result is EXACTLY
+       ``probe.join(build, key, how)``.
+
+    Only ``inner`` and ``left_semi`` are legal: an outer flavor must
+    keep non-matching probe rows, which the prefilter would discard.
+
+    Scale: at 1000 executors the win is shuffle volume — only probe rows
+    whose key *might* match get exchanged (for a 1%-selective build side
+    that is a ~99% cut), while the prefilter itself moves ``bits`` ints
+    per executor. Deterministic seeds keep results reproducible.
+    """
+    if how not in ("inner", "left_semi", "semi", "leftsemi"):
+        raise ValueError(
+            f"bloom_prefilter_join supports inner/left_semi, got {how!r}"
+        )
+
+    def _pos(col: Column, seed: int) -> Column:
+        return F.abs(F.xxhash64(col, F.lit(seed))) % bits
+
+    positions = (
+        build.select(
+            F.explode(
+                F.array(*[_pos(F.col(key), s) for s in range(num_hashes)])
+            ).alias("__pos")
+        )
+        .distinct()
+    )
+    filtered = probe
+    for s in range(num_hashes):
+        filtered = filtered.join(
+            F.broadcast(positions),
+            _pos(F.col(key), s) == F.col("__pos"),
+            "left_semi",
+        )
+    return filtered.join(build, key, how)
+
+
 def key_skew_stats(
     df: DataFrame,
     key_col: str,

@@ -8940,3 +8940,49 @@ def q_lakehouse_lifecycle_round6(spark, sf_dir):
     run_dml(spark, "CALL system.revert_commit('t', 2)", tables=tables)  # v3
     run_dml(spark, "OPTIMIZE t", tables=tables)                   # v4
     return vt.read()
+
+
+# --------------------------------------------------------------------------
+# Round 6 (second half): scale-join strategies, data-quality expectations,
+# clustering, classifier scoring, shard export
+# --------------------------------------------------------------------------
+
+@register(
+    "bloom_prefilter_join",
+    oracle="""
+    SELECT l_returnflag,
+      COUNT(*) AS n_items,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+           AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+    tags=("scale", "join", "extension"),
+)
+def q_bloom_prefilter_join(spark, sf_dir):
+    """Bloom-prefiltered equi join (operators/scale.py): urgent orders are
+    the build side (too big to broadcast as rows at 100 TB, but their key
+    Bloom bitmap is ~16 KiB), lineitem the probe. The probe is cut by two
+    chained broadcast semi joins against the <= 2^17 distinct Bloom
+    positions BEFORE its shuffle; the exact join then drops false
+    positives, so the result equals the plain join — the oracle IS the
+    plain join + aggregate. Spark's AQE runtime Bloom pushdown is the
+    automatic flavor of the same strategy; this one is explicit,
+    deterministic (seeded xxhash64) and composable."""
+    from .operators.scale import bloom_prefilter_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    joined = bloom_prefilter_join(li, urgent, "l_orderkey", how="inner")
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dsum(F.expr("l_extendedprice * (1 - l_discount)"), 6).alias("revenue"),
+    )
