@@ -8986,3 +8986,80 @@ def q_bloom_prefilter_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_items"),
         _dsum(F.expr("l_extendedprice * (1 - l_discount)"), 6).alias("revenue"),
     )
+
+
+_EXPECT_RULES_SQL = {
+    "qty_le_30": "l_quantity <= 30",
+    "discount_le_5pct": "l_discount <= 0.05",
+    "tax_nonneg": "l_tax >= 0",
+    "flag_enum": "l_returnflag IN ('A','N','R')",
+}
+
+
+@register(
+    "expectations_report",
+    oracle="""
+    SELECT rank, rule, CAST(n_rows AS BIGINT) AS n_rows,
+      CAST(n_pass AS BIGINT) AS n_pass,
+      CAST(n_rows - n_pass AS BIGINT) AS n_fail,
+      CAST(n_rows - n_pass AS DOUBLE) / CAST(n_rows AS DOUBLE) AS fail_rate
+    FROM (
+      SELECT 1 AS rank, 'qty_le_30' AS rule, COUNT(*) AS n_rows,
+        SUM(CASE WHEN l_quantity <= 30 THEN 1 ELSE 0 END) AS n_pass
+      FROM lineitem
+      UNION ALL
+      SELECT 2, 'discount_le_5pct', COUNT(*),
+        SUM(CASE WHEN l_discount <= 0.05 THEN 1 ELSE 0 END)
+      FROM lineitem
+      UNION ALL
+      SELECT 3, 'tax_nonneg', COUNT(*),
+        SUM(CASE WHEN l_tax >= 0 THEN 1 ELSE 0 END)
+      FROM lineitem
+      UNION ALL
+      SELECT 4, 'flag_enum', COUNT(*),
+        SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END)
+      FROM lineitem
+    )
+    """,
+    tags=("quality", "agg", "extension"),
+)
+def q_expectations_report(spark, sf_dir):
+    """Data-quality expectations report (operators/expectations.py) — the
+    DLT/dbt-tests shape: four named rules over lineitem fold into ONE
+    aggregation pass (each rule is a conditional count inside a single
+    agg; adding a rule adds a partial column, not a scan), exploded back
+    to one row per rule with pass/fail counts and fail_rate. The oracle
+    states the same counts as four UNION ALL legs."""
+    from .operators.expectations import expectations_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    return expectations_report(li, dict(_EXPECT_RULES_SQL))
+
+
+@register(
+    "expectations_quarantine",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+      concat_ws(',',
+        CASE WHEN NOT (l_quantity <= 30) THEN 'qty_le_30' END,
+        CASE WHEN NOT (l_discount <= 0.05) THEN 'discount_le_5pct' END,
+        CASE WHEN NOT (l_tax >= 0) THEN 'tax_nonneg' END,
+        CASE WHEN NOT (l_returnflag IN ('A','N','R')) THEN 'flag_enum' END
+      ) AS failed_rules
+    FROM lineitem
+    WHERE NOT (l_quantity <= 30) OR NOT (l_discount <= 0.05)
+       OR NOT (l_tax >= 0) OR NOT (l_returnflag IN ('A','N','R'))
+    """,
+    tags=("quality", "extension"),
+)
+def q_expectations_quarantine(spark, sf_dir):
+    """Quarantine side of the expectations split: rows failing ANY rule,
+    annotated with the comma-joined names of the rules they failed (in
+    declaration order — concat_ws skips the NULLs of passed rules). Pure
+    per-row projection, no shuffle; the valid side lands, this side goes
+    to the quarantine table for triage."""
+    from .operators.expectations import quarantine_split
+
+    li = _t(spark, sf_dir, "lineitem")
+    _valid, quarantined = quarantine_split(li, dict(_EXPECT_RULES_SQL))
+    return quarantined.select("l_orderkey", "l_linenumber", "failed_rules")
