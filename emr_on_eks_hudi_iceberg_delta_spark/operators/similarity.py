@@ -1216,3 +1216,145 @@ def grouped_top_eigen(
     return emb.select(group_col, vec_col).groupBy(group_col).applyInPandas(
         spectrum, schema=out_schema
     )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 8,
+    max_iters: int = 10,
+    tol: float = 1e-6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, list]:
+    """Distributed Lloyd's k-means — the clustering primitive behind
+    cluster-then-curate pipelines (SemDeDup's cluster stage, topic
+    bucketing, IVF codebook training). ``ivf_assign(refine_iters=N)`` is
+    the oracle-parity literal twin; THIS is the production shape:
+
+    * **Assignment fused with the update partials**: each iteration is
+      ONE ``mapInPandas`` scan. Per Arrow batch, a single gemm argmin
+      assigns every row, and the SAME batch emits <= k partial rows
+      ``(cell, n, sumvec, sse)``. The only shuffle per iteration moves
+      (batches x k) partial rows — never data rows, never a join.
+    * **Driver-side reduce**: partials fold to k centroid means +
+      global inertia via one grouped aggregate collected as k rows
+      (metadata-sized, like the k-center seeds). New centroids are
+      rounded to 1e-9 before broadcast so run-to-run double-sum
+      accumulation order cannot flip a near-tie assignment — the
+      determinism knob that keeps the gate reproducible.
+    * **Convergence**: stops early when relative inertia improvement
+      falls under ``tol``; ``history`` returns the inertia per
+      iteration so callers can see the curve.
+
+    Seeding is deterministic (the first ``k`` vectors by id — same
+    convention as ``ivf_assign``/``pq_encode``). Empty cells keep their
+    previous centroid (scikit-learn re-seeds from worst rows; constant
+    is simpler and deterministic).
+
+    Returns ``(assignments(id, cell int), centroids(cell, ce), history)``.
+
+    Scale: per iteration one scan + one tiny partial shuffle; centroids
+    ride in task closures (k x dim doubles). At 100 TB run the loop on a
+    sample, then one final assignment pass over the corpus — the same
+    split faiss uses for IVF training.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    e = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("e")
+    )
+    seeds = e.orderBy(id_col).limit(k).collect()
+    C = np.vstack([np.asarray(r["e"], dtype=np.float64) for r in seeds])
+    dim = C.shape[1]
+
+    partial_schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("sumvec", T.ArrayType(T.DoubleType())),
+            T.StructField("sse", T.DoubleType()),
+        ]
+    )
+
+    def make_partials(centroids: np.ndarray):
+        c_sq = (centroids * centroids).sum(axis=1)
+
+        def partials(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                V = np.vstack(pdf["e"].to_numpy()).astype(np.float64)
+                d = (
+                    (V * V).sum(axis=1, keepdims=True)
+                    - 2.0 * (V @ centroids.T)
+                    + c_sq
+                )
+                cell = d.argmin(axis=1)
+                rows = []
+                for c in np.unique(cell):
+                    m = cell == c
+                    rows.append(
+                        {
+                            "cell": int(c),
+                            "n": int(m.sum()),
+                            "sumvec": V[m].sum(axis=0).tolist(),
+                            "sse": float(np.maximum(d[m, c], 0.0).sum()),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        return partials
+
+    history: list = []
+    for _ in range(max_iters):
+        # ONE scan per iteration: assignment+partials in the map, then a
+        # single grouped aggregate over the <= batches*k partial rows
+        # (collect_list is safe here — it holds per-BATCH partials, not
+        # per-row vectors; batch count is bounded by input partitions)
+        base = e.mapInPandas(make_partials(C), partial_schema)
+        folded = base.groupBy("cell").agg(
+            F.sum("n").alias("n"),
+            F.sum("sse").alias("sse"),
+            F.aggregate(
+                F.collect_list("sumvec"),
+                F.array_repeat(F.lit(0.0), dim),
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            ).alias("sumvec"),
+        )
+        rows = {r["cell"]: r for r in folded.collect()}
+        inertia = float(sum(r["sse"] for r in rows.values()))
+        new_C = C.copy()
+        for c, r in rows.items():
+            if r["n"] > 0:
+                new_C[c] = np.asarray(r["sumvec"]) / r["n"]
+        C = np.round(new_C, 9)
+        if history and history[-1] > 0 and (
+            (history[-1] - inertia) / history[-1] < tol
+        ):
+            history.append(inertia)
+            break
+        history.append(inertia)
+
+    id_field = emb.schema[id_col]
+    out_schema = T.StructType(
+        [id_field, T.StructField("cell", T.IntegerType())]
+    )
+    c_sq = (C * C).sum(axis=1)
+    Cf = C
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.vstack(pdf["e"].to_numpy()).astype(np.float64)
+            d = (V * V).sum(axis=1, keepdims=True) - 2.0 * (V @ Cf.T) + c_sq
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cell": d.argmin(axis=1).astype("int32")}
+            )
+
+    spark = emb.sparkSession
+    centroids = spark.createDataFrame(
+        [(int(i), C[i].tolist()) for i in range(k)], schema="cell int, ce array<double>"
+    )
+    return e.mapInPandas(assign, out_schema), centroids, history

@@ -9063,3 +9063,30 @@ def q_expectations_quarantine(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     _valid, quarantined = quarantine_split(li, dict(_EXPECT_RULES_SQL))
     return quarantined.select("l_orderkey", "l_linenumber", "failed_rules")
+
+
+@register(
+    "embedding_kmeans_clusters",
+    tags=("similarity", "clustering", "extension"),
+)
+def q_embedding_kmeans_clusters(spark, sf_dir):
+    """Distributed Lloyd's k-means over the embedding corpus
+    (operators/similarity.kmeans_lloyd) — the cluster stage of
+    cluster-then-curate pipelines (SemDeDup, topic bucketing, IVF
+    codebook training): deterministic first-k seeding, per-iteration
+    fused assignment+partial-sums in one mapInPandas scan (only
+    batches x k partial rows ever shuffle), driver-side k-row reduce
+    with 1e-9 centroid rounding for run-to-run determinism, inertia
+    early-stop. Rows-only gate (iterative, not SQL-expressible);
+    tests/test_kmeans.py pins assignments and the inertia curve against
+    a same-convention numpy host reference. Returns per-cluster sizes +
+    mean within-cluster distance of the final model."""
+    from .operators.similarity import kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigns, _centroids, _hist = kmeans_lloyd(emb, k=8, max_iters=5)
+    return (
+        assigns.groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .orderBy("cell")
+    )
