@@ -9090,3 +9090,39 @@ def q_embedding_kmeans_clusters(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
         .orderBy("cell")
     )
+
+
+@register(
+    "shard_assignment_balance",
+    oracle="""
+    WITH sharded AS (
+      SELECT n_chars,
+        CAST(CAST(concat('0x', substr(md5(concat('shardv1:',
+             CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 8 AS INTEGER)
+          AS shard_id
+      FROM documents
+    ),
+    counts AS (
+      SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(n_chars) AS BIGINT) AS total_weight
+      FROM sharded GROUP BY shard_id
+    )
+    SELECT shard_id, n_rows, total_weight,
+      CAST(n_rows AS DOUBLE) / (SELECT AVG(n_rows) FROM counts) AS load_ratio
+    FROM counts
+    """,
+    tags=("sharding", "sampling", "extension"),
+)
+def q_shard_assignment_balance(spark, sf_dir):
+    """Stable shard assignment + balance report (operators/sharding.py) —
+    the delivery stage of the pipeline: every document lands in one of 8
+    shards by salted md5 of its id (same key -> same shard on any run,
+    any layout, any engine — the oracle replays the exact hash), with
+    per-shard row counts, char weights, and load ratio vs the mean.
+    Assignment is a zero-shuffle map; the report one aggregate pass."""
+    from .operators.sharding import shard_balance_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_balance_stats(
+        docs, "doc_id", n_shards=8, salt="shardv1:", weight_col="n_chars"
+    )
