@@ -1439,3 +1439,72 @@ def bpe_apply(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
+#: fastText-style quality-classifier weights — exact binary fractions so
+#: the linear form replays bit-identically in any IEEE engine. Order
+#: matters: the decision value folds left-to-right in THIS order.
+DEFAULT_QUALITY_WEIGHTS: dict[str, float] = {
+    "len_norm": 1.5,          # longer docs (clamped) look higher-quality
+    "avg_token_len": 0.125,   # mild push toward real words over noise
+    "punct_ratio": -2.25,     # symbol soup is the strongest negative
+    "stopword_ratio": 1.5,    # natural prose carries function words
+}
+DEFAULT_QUALITY_BIAS: float = -0.75
+
+
+def linear_quality_score(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    bias: float = DEFAULT_QUALITY_BIAS,
+    text_col: str = "text",
+    clamp_tokens: int = 256,
+) -> DataFrame:
+    """Fixed-weight linear quality classifier — the fastText-classifier
+    shape every curation pipeline runs (CCNet's LM filter, quality
+    classifiers distilled to linear scorers for the 100 TB pass) with
+    the TRAINED WEIGHTS AS INPUT: featurize, dot with the weight vector,
+    threshold. Adds
+
+    * ``quality_z`` — the decision value ``bias + Σ w_i · f_i`` folded
+      left-to-right in declaration order. Every feature is a pure
+      rational of exact counts and the weights are exact binary
+      fractions, so z is a fixed IEEE op sequence — bit-identical in any
+      engine, which is what lets the gate compare it exactly;
+    * ``quality_pass`` — ``z >= 0`` (the sigmoid's 0.5 boundary without
+      the sigmoid);
+    * ``quality_prob`` — ``1/(1+exp(-z))``. exp() is NOT cross-engine
+      bit-exact; keep this column out of exact oracles (house rule, same
+      as DSIR's log_weight) — it is value-tested in pytest instead.
+
+    Features (all rational, NULL-guarded to 0): ``len_norm`` =
+    least(n_tokens, clamp)/clamp, ``avg_token_len``, ``punct_ratio``,
+    ``stopword_ratio`` from ``with_text_stats``. Zero shuffle —
+    scan-speed scoring at any scale.
+    """
+    w = dict(DEFAULT_QUALITY_WEIGHTS) if weights is None else dict(weights)
+    stats = with_text_stats(df, text_col)
+    feats: dict[str, Column] = {
+        "len_norm": (
+            F.least(F.col("n_tokens"), F.lit(clamp_tokens)).cast("double")
+            / float(clamp_tokens)
+        ),
+        "avg_token_len": F.coalesce(
+            F.col("avg_token_len"), F.lit(0.0)
+        ),
+        "punct_ratio": F.coalesce(F.col("punct_ratio"), F.lit(0.0)),
+        "stopword_ratio": F.coalesce(F.col("stopword_ratio"), F.lit(0.0)),
+    }
+    unknown = set(w) - set(feats)
+    if unknown:
+        raise ValueError(f"unknown classifier features: {sorted(unknown)}")
+    z = F.lit(float(bias))
+    for name, weight in w.items():
+        z = z + F.lit(float(weight)) * feats[name]
+    return (
+        stats.withColumn("quality_z", z)
+        .withColumn("quality_pass", (F.col("quality_z") >= 0).cast("int"))
+        .withColumn(
+            "quality_prob", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("quality_z")))
+        )
+    )

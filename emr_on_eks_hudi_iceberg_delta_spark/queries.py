@@ -9126,3 +9126,51 @@ def q_shard_assignment_balance(spark, sf_dir):
     return shard_balance_stats(
         docs, "doc_id", n_shards=8, salt="shardv1:", weight_col="n_chars"
     )
+
+
+@register(
+    "quality_classifier_scores",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+        CAST(least(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT),
+                   256) AS DOUBLE) / 256.0 AS len_norm,
+        COALESCE((CAST(length(text) AS BIGINT)
+                  - (len(string_split_regex(trim(text), '\\s+')) - 1))
+                 / len(string_split_regex(trim(text), '\\s+')), 0.0)
+          AS avg_token_len,
+        COALESCE(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+                 / CAST(length(text) AS BIGINT), 0.0) AS punct_ratio,
+        COALESCE(CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|in|to)\\b'))
+                      AS BIGINT)
+                 / CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT),
+                 0.0) AS stopword_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+      ((((-0.75 + 1.5 * len_norm) + 0.125 * avg_token_len)
+        + -2.25 * punct_ratio) + 1.5 * stopword_ratio) AS quality_z,
+      CAST(((((-0.75 + 1.5 * len_norm) + 0.125 * avg_token_len)
+        + -2.25 * punct_ratio) + 1.5 * stopword_ratio) >= 0 AS INTEGER)
+        AS quality_pass
+    FROM feats
+    """,
+    tags=("text", "quality", "extension"),
+)
+def q_quality_classifier_scores(spark, sf_dir):
+    """Fixed-weight linear quality classifier
+    (operators/text.linear_quality_score) — the fastText-classifier
+    shape of CCNet-style curation with trained weights as input. The
+    gated projection carries the decision value ``quality_z`` (a fixed
+    left-to-right IEEE fold of rational features with exact-binary-
+    fraction weights — bit-identical cross-engine, replayed literally by
+    the oracle) and the 0.5-boundary label; the sigmoid ``quality_prob``
+    stays out of the gate (exp() is not cross-engine bit-exact, house
+    rule) and is value-tested in tests/test_text_ops.py. Zero shuffle."""
+    from .operators.text import linear_quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return linear_quality_score(docs).select(
+        "doc_id", "n_tokens", "quality_z", "quality_pass"
+    )
