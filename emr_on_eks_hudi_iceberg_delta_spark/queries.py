@@ -9174,3 +9174,64 @@ def q_quality_classifier_scores(spark, sf_dir):
     return linear_quality_score(docs).select(
         "doc_id", "n_tokens", "quality_z", "quality_pass"
     )
+
+
+@register(
+    "streaming_stream_full_join",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+          FROM ev WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id,
+                 value AS purchase_value
+          FROM ev WHERE event_type = 'purchase')
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           c.click_ts, p.purchase_ts, c.click_id, p.purchase_id,
+           p.purchase_value
+    FROM c FULL JOIN p ON c.user_id = p.user_id
+                      AND p.purchase_ts >= c.click_ts
+                      AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "join", "extension"),
+)
+def q_streaming_stream_full_join(spark, sf_dir):
+    """Stream-stream FULL OUTER interval join
+    (streaming/events.stream_stream_full_join) — both sides' unmatched
+    rows emit NULL-padded once the watermark passes their window
+    (unmatched clicks AND unmatched purchases), completing the
+    inner/left/full outer family. Same far-future-sentinel replay
+    harness as the left join (the sentinel batches advance the
+    watermark past all real data to flush both state stores); exact-
+    matches the batch FULL interval join."""
+    from .sources.parquet import load_table
+    from .streaming.events import (
+        EVENTS_SCHEMA,
+        stream_stream_full_join,
+    )
+
+    stage_dir = tempfile.mkdtemp(prefix="evstream_fj_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.coalesce(1).write.mode("append").parquet(stage_dir)
+    sentinel_cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    for i, ts in enumerate(["2024-02-10 00:00:00", "2024-02-11 00:00:00"]):
+        spark.createDataFrame(
+            [
+                (-(2 * i + 1), ts, -1, "click", 0.0),
+                (-(2 * i + 2), ts, -1, "purchase", 0.0),
+            ],
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz")).select(
+            *sentinel_cols
+        ).coalesce(1).write.mode("append").parquet(stage_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    out = stream_stream_full_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+    )
+    res = run_stream_to_memory(out, output_mode="append")
+    return res.filter(F.col("user_id") >= 0)

@@ -272,6 +272,46 @@ def stream_stream_left_join(
     )
 
 
+def stream_stream_full_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "INTERVAL 1 HOUR",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the outer
+    family (inner / left / full): unmatched CLICKS flush NULL-padded
+    when no future purchase can join them, and unmatched PURCHASES flush
+    NULL-padded when no future click can (both sides' state is
+    watermark-evicted, so a 100 TB/day dual stream stays bounded).
+    ``user_id`` is coalesced across sides since either may be NULL."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").cast("timestamp").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").cast("timestamp").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        F.expr(
+            f"c_user = p_user AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + {within}"
+        ),
+        "fullOuter",
+    ).select(
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "click_id",
+        "purchase_id",
+        "purchase_value",
+    )
+
+
 def tws_available() -> bool:
     """``transformWithStateInPandas`` runs its state server over
     protobuf; this container ships pyspark without the ``protobuf``

@@ -293,3 +293,21 @@ def test_stateful_totals_carry_across_micro_batches(spark, tmp_path):
         stream_distinct_users_hll(stream()), output_mode="complete"
     ).first()["distinct_users"]
     assert hll == ev.select("user_id").distinct().count()
+
+
+def test_full_outer_stream_join_emits_both_null_sides(spark):
+    """The full-outer gate query must contain BOTH outer flavors:
+    clicks with no purchase (NULL purchase_id) AND purchases with no
+    click (NULL click_id) — proving both state stores flushed."""
+    from emr_on_eks_hudi_iceberg_delta_spark.queries import REGISTRY
+
+    res = REGISTRY["streaming_stream_full_join"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = res.collect()
+    assert any(r["purchase_id"] is None for r in rows)
+    assert any(r["click_id"] is None for r in rows)
+    assert any(
+        r["purchase_id"] is not None and r["click_id"] is not None
+        for r in rows
+    )
