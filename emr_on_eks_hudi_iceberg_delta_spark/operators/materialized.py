@@ -59,17 +59,29 @@ def refresh_aggregate_view(
     Inserts add, deletes subtract; groups whose maintained count reaches 0
     drop out of the view (matching the from-scratch aggregate, which never
     sees the group). Returns the refreshed view with the same schema as
-    ``aggregate_view``.
+    ``aggregate_view``. Delegates to the shared signed-delta fold also
+    used by ``refresh_join_aggregate_view``.
     """
-    is_insert = F.col("_change_type") == "insert"
-    sign = F.when(is_insert, F.lit(1)).otherwise(F.lit(-1))
-    delta_aggs = [F.sum(sign).cast("bigint").alias("d_n")]
+    return _fold_signed_delta(view, _signed(changes), group_cols, sum_specs)
+
+
+def _fold_signed_delta(
+    view: DataFrame,
+    delta_signed: DataFrame,
+    group_cols: list[str],
+    sum_specs: dict[str, str],
+) -> DataFrame:
+    """Fold a SIGNED delta relation (``__sign`` in {+1, -1}, one row per
+    changed joined tuple) into a stored COUNT+SUM view — the shared core
+    of single-table and join-view maintenance."""
+    delta_aggs = [F.sum("__sign").cast("bigint").alias("d_n")]
     for out, src in sum_specs.items():
-        signed = F.when(is_insert, F.col(src)).otherwise(-F.col(src))
         delta_aggs.append(
-            F.sum(signed.cast("decimal(18,4)")).cast("decimal(28,4)").alias(f"d_{out}")
+            F.sum(
+                (F.col("__sign") * F.col(src)).cast("decimal(18,4)")
+            ).cast("decimal(28,4)").alias(f"d_{out}")
         )
-    delta = changes.groupBy(*group_cols).agg(*delta_aggs)
+    delta = delta_signed.groupBy(*group_cols).agg(*delta_aggs)
 
     zero_n = F.lit(0).cast("bigint")
     merged = view.join(delta, on=group_cols, how="full_outer").select(
@@ -86,3 +98,61 @@ def refresh_aggregate_view(
         ],
     )
     return merged.filter(F.col("mv_n") > 0)
+
+
+def _signed(changes: DataFrame, sign_col: str = "__sign") -> DataFrame:
+    """``_change_type`` {'insert','delete'} -> arithmetic sign ±1."""
+    return changes.withColumn(
+        sign_col,
+        F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        ),
+    ).drop("_change_type")
+
+
+def refresh_join_aggregate_view(
+    view: DataFrame,
+    a_old: DataFrame,
+    a_changes: DataFrame,
+    b_old: DataFrame,
+    b_changes: DataFrame,
+    on: str,
+    group_cols: list[str],
+    sum_specs: dict[str, str],
+) -> DataFrame:
+    """Incrementally maintain a view over an EQUI JOIN,
+    ``V = γ(A ⋈ B)`` — the harder IVM case (Snowflake/Materialize
+    territory; single-table COUNT+SUM is ``refresh_aggregate_view``).
+
+    The delta-join identity over signed multisets: with
+    ``A' = A + ΔA`` and ``B' = B + ΔB``,
+
+        Δ(A ⋈ B) = ΔA ⋈ B  +  A ⋈ ΔB  +  ΔA ⋈ ΔB
+
+    (signs multiply in the third term: a deleted-A row joining a
+    deleted-B row REMOVES one joined tuple from the two single-side
+    terms' double-subtraction — dropping the cross term is the classic
+    IVM bug, pinned by a test). The signed delta rows then fold into
+    the stored aggregate exactly like single-table maintenance.
+
+    Cost: three joins whose left/right sizes are O(Δ) except the two
+    old-snapshot sides — each delta side is small by construction, so
+    AQE broadcasts it and the old snapshots are scanned once each
+    WITHOUT shuffling the stored view's full join. Refresh stays
+    O(changed keys' join partners), not O(|A ⋈ B|).
+    """
+    da = _signed(a_changes, "__sign_a")
+    db = _signed(b_changes, "__sign_b")
+    d1 = da.join(b_old, on).select(
+        F.col("__sign_a").alias("__sign"), *group_cols, *sum_specs.values()
+    )
+    d2 = a_old.join(db, on).select(
+        F.col("__sign_b").alias("__sign"), *group_cols, *sum_specs.values()
+    )
+    d3 = da.join(db, on).select(
+        (F.col("__sign_a") * F.col("__sign_b")).alias("__sign"),
+        *group_cols,
+        *sum_specs.values(),
+    )
+    delta_signed = d1.unionByName(d2).unionByName(d3)
+    return _fold_signed_delta(view, delta_signed, group_cols, sum_specs)

@@ -9235,3 +9235,62 @@ def q_streaming_stream_full_join(spark, sf_dir):
     )
     res = run_stream_to_memory(out, output_mode="append")
     return res.filter(F.col("user_id") >= 0)
+
+
+@register(
+    "incremental_join_mv_refresh",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey % 7 != 3
+    GROUP BY 1
+    """,
+    tags=("agg", "lake", "join", "extension"),
+)
+def q_incremental_join_mv_refresh(spark, sf_dir):
+    """Incremental maintenance of a view over an EQUI JOIN
+    (operators/materialized.refresh_join_aggregate_view) — the harder
+    IVM case: V = γ_segment(orders ⋈ customer) is built on stale
+    states (a third of the orders missing), then BOTH base tables
+    change (order inserts AND customer deletes) and the stored view is
+    refreshed via the delta-join identity ΔA⋈B + A⋈ΔB + ΔA⋈ΔB — the
+    cross term live because inserted orders DO join deleted customers.
+    The refreshed view must equal a from-scratch aggregate of the final
+    join bit-for-bit (DECIMAL folds), which the oracle computes."""
+    from .operators.materialized import (
+        aggregate_view,
+        refresh_join_aggregate_view,
+    )
+    from .sources.tables import table_changes
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        "o_totalprice",
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    a_old, a_new = orders.filter(F.col("o_orderkey") % 3 != 0), orders
+    b_old, b_new = cust, cust.filter(F.col("c_custkey") % 7 != 3)
+
+    mv0 = aggregate_view(
+        a_old.join(b_old, "c_custkey"),
+        ["c_mktsegment"],
+        {"sum_price": "o_totalprice"},
+    )
+    mv1 = refresh_join_aggregate_view(
+        mv0,
+        a_old,
+        table_changes(spark, a_old, a_new),
+        b_old,
+        table_changes(spark, b_old, b_new),
+        on="c_custkey",
+        group_cols=["c_mktsegment"],
+        sum_specs={"sum_price": "o_totalprice"},
+    )
+    return mv1.select(
+        "c_mktsegment",
+        F.col("mv_n").alias("n_orders"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+    )

@@ -155,3 +155,97 @@ def test_per_commit_cdf_folds_into_mv_like_endpoint_state(spark, tmp_path):
     got = sorted(map(tuple, view.collect()))
     assert got == expect
     assert [g for g, *_ in got] == ["b", "c"]  # 'a' dropped out entirely
+
+
+def test_join_view_cross_term_is_live(spark):
+    """Dropping the ΔA⋈ΔB term (the classic IVM bug) must give a WRONG
+    refresh on the gate query's data — proving the test data exercises
+    it — while the full identity matches the from-scratch recompute."""
+    from pyspark.sql import functions as F
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.materialized import (
+        _fold_signed_delta,
+        _signed,
+        aggregate_view,
+        refresh_join_aggregate_view,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import (
+        table_changes,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    a_old, a_new = orders.filter(F.col("o_orderkey") % 3 != 0), orders
+    b_old, b_new = cust, cust.filter(F.col("c_custkey") % 7 != 3)
+    group, sums = ["c_mktsegment"], {"sum_price": "o_totalprice"}
+
+    mv0 = aggregate_view(a_old.join(b_old, "c_custkey"), group, sums)
+    da = table_changes(spark, a_old, a_new)
+    db = table_changes(spark, b_old, b_new)
+
+    full = refresh_join_aggregate_view(
+        mv0, a_old, da, b_old, db, "c_custkey", group, sums
+    )
+    scratch = aggregate_view(a_new.join(b_new, "c_custkey"), group, sums)
+    as_rows = lambda df: sorted(
+        (r["c_mktsegment"], r["mv_n"], str(r["sum_price"]))
+        for r in df.collect()
+    )
+    assert as_rows(full) == as_rows(scratch)
+
+    # buggy refresh: only the two single-side terms
+    sa, sb = _signed(da, "__sign_a"), _signed(db, "__sign_b")
+    d1 = sa.join(b_old, "c_custkey").select(
+        F.col("__sign_a").alias("__sign"), *group, *sums.values()
+    )
+    d2 = a_old.join(sb, "c_custkey").select(
+        F.col("__sign_b").alias("__sign"), *group, *sums.values()
+    )
+    buggy = _fold_signed_delta(mv0, d1.unionByName(d2), group, sums)
+    assert as_rows(buggy) != as_rows(scratch)
+
+
+def test_join_view_empty_delta_is_noop(spark):
+    from pyspark.sql import functions as F
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.materialized import (
+        aggregate_view,
+        refresh_join_aggregate_view,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import (
+        table_changes,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    group, sums = ["c_mktsegment"], {"sum_price": "o_totalprice"}
+    mv0 = aggregate_view(orders.join(cust, "c_custkey"), group, sums)
+    out = refresh_join_aggregate_view(
+        mv0,
+        orders,
+        table_changes(spark, orders, orders),
+        cust,
+        table_changes(spark, cust, cust),
+        "c_custkey",
+        group,
+        sums,
+    )
+    a = sorted(
+        (r["c_mktsegment"], r["mv_n"], str(r["sum_price"]))
+        for r in out.collect()
+    )
+    b = sorted(
+        (r["c_mktsegment"], r["mv_n"], str(r["sum_price"]))
+        for r in mv0.collect()
+    )
+    assert a == b
