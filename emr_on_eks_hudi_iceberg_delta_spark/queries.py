@@ -9294,3 +9294,67 @@ def q_incremental_join_mv_refresh(spark, sf_dir):
         F.col("mv_n").alias("n_orders"),
         F.col("sum_price").cast("double").alias("sum_price"),
     )
+
+
+@register(
+    "graph_pagerank_fixedpoint",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (
+      SELECT c AS src, s + 1000000 AS dst FROM raw
+      UNION ALL
+      SELECT s + 1000000 AS src, c AS dst FROM raw),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+               FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
+    i1 AS (SELECT e.dst AS node,
+                  CAST(SUM(r0.rank // o.outdeg) AS BIGINT) AS inbound
+           FROM r0 JOIN outdeg o ON r0.node = o.src
+                   JOIN e ON e.src = o.src
+           GROUP BY e.dst),
+    r1 AS (SELECT n.node,
+                  CAST(150000000 + (85 * COALESCE(i1.inbound, 0)) // 100
+                       AS BIGINT) AS rank
+           FROM nodes n LEFT JOIN i1 ON n.node = i1.node),
+    i2 AS (SELECT e.dst AS node,
+                  CAST(SUM(r1.rank // o.outdeg) AS BIGINT) AS inbound
+           FROM r1 JOIN outdeg o ON r1.node = o.src
+                   JOIN e ON e.src = o.src
+           GROUP BY e.dst),
+    r2 AS (SELECT n.node,
+                  CAST(150000000 + (85 * COALESCE(i2.inbound, 0)) // 100
+                       AS BIGINT) AS rank
+           FROM nodes n LEFT JOIN i2 ON n.node = i2.node)
+    SELECT node, rank FROM r2
+    """,
+    tags=("graph", "extension"),
+)
+def q_graph_pagerank_fixedpoint(spark, sf_dir):
+    """Fixed-point integer PageRank (operators/graph.pagerank_fixedpoint)
+    over the symmetrized customer↔supplier bipartite graph (an edge per
+    distinct (customer, supplier) trading pair from orders ⋈ lineitem;
+    supplier nodes offset by 1e6 to share the id space). Ranks are
+    BIGINT micro-units with integral-division damping, so TWO full
+    iterations replay bit-identically in the oracle — the float-free
+    answer to PageRank's order-dependent summation. One shuffle per
+    iteration (contributions grouped on dst); symmetrization removes
+    dangling sinks."""
+    from .operators.graph import pagerank_fixedpoint
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    raw = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + 1000000).alias("s"),
+        )
+        .distinct()
+    )
+    edges = raw.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        raw.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank_fixedpoint(edges, iters=2)

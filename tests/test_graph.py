@@ -1,0 +1,60 @@
+"""pagerank_fixedpoint (operators/graph.py): hand-computed exact values
+on a tiny graph (the arithmetic is integral, so equality is exact, not
+approximate), dangling-leak semantics, and determinism across layouts."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from emr_on_eks_hudi_iceberg_delta_spark.operators.graph import (
+    pagerank_fixedpoint,
+)
+
+
+def _ranks(df):
+    return {r["node"]: r["rank"] for r in df.collect()}
+
+
+def test_hand_computed_path_graph(spark):
+    # symmetrized path 1-2-3; unit=100, damping 85/100, base=15
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    # iter 1: inbound 1<-50, 2<-(100+100), 3<-50
+    assert _ranks(pagerank_fixedpoint(edges, iters=1, unit=100)) == {
+        1: 57, 2: 185, 3: 57,
+    }
+    # iter 2: contrib 57//1, 185//2=92, 57//1 -> inbound 92/114/92
+    assert _ranks(pagerank_fixedpoint(edges, iters=2, unit=100)) == {
+        1: 93, 2: 111, 3: 93,
+    }
+
+
+def test_dangling_node_leaks_mass(spark):
+    # 1 -> 2 only: node 2 has no out-edges, its mass leaks next round
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    r1 = _ranks(pagerank_fixedpoint(edges, iters=1, unit=100))
+    assert r1 == {1: 15, 2: 100}  # 15 + (85*100)//100
+    r2 = _ranks(pagerank_fixedpoint(edges, iters=2, unit=100))
+    # node 2's 100 is gone (dangling); node 1 only keeps the base
+    assert r2 == {1: 15, 2: 15 + (85 * 15) // 100}
+
+
+def test_deterministic_across_layouts(spark):
+    import random
+
+    rnd = random.Random(7)
+    pairs = list({(rnd.randrange(50), rnd.randrange(50)) for _ in range(300)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    sym = pairs + [(b, a) for a, b in pairs]
+    e1 = spark.createDataFrame(sym, "src long, dst long")
+    e2 = spark.createDataFrame(sym, "src long, dst long").repartition(13)
+    a = _ranks(pagerank_fixedpoint(e1, iters=3))
+    b = _ranks(pagerank_fixedpoint(e2, iters=3))
+    assert a == b
+    # symmetric graph, no dangling: total mass is conserved up to the
+    # deterministic floor-division leak (< 1 micro-unit per edge+node op)
+    n, unit = len(a), 10**9
+    assert sum(a.values()) <= n * unit
+    assert sum(a.values()) >= n * unit - (len(sym) + 2 * n) * 3
