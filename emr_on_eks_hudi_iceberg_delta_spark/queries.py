@@ -9358,3 +9358,68 @@ def q_graph_pagerank_fixedpoint(spark, sf_dir):
         raw.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     return pagerank_fixedpoint(edges, iters=2)
+
+
+@register(
+    "curation_pipeline_round6",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id, n_chars,
+        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+        CAST(least(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT),
+                   256) AS DOUBLE) / 256.0 AS len_norm,
+        COALESCE((CAST(length(text) AS BIGINT)
+                  - (len(string_split_regex(trim(text), '\\s+')) - 1))
+                 / len(string_split_regex(trim(text), '\\s+')), 0.0)
+          AS avg_token_len,
+        COALESCE(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+                 / CAST(length(text) AS BIGINT), 0.0) AS punct_ratio,
+        COALESCE(CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|in|to)\\b'))
+                      AS BIGINT)
+                 / CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT),
+                 0.0) AS stopword_ratio
+      FROM documents
+      WHERE n_chars >= 50 AND length(text) >= 50
+    ),
+    passed AS (
+      SELECT doc_id, n_chars, n_tokens FROM feats
+      WHERE ((((-0.75 + 1.5 * len_norm) + 0.125 * avg_token_len)
+              + -2.25 * punct_ratio) + 1.5 * stopword_ratio) >= 0
+    )
+    SELECT
+      CAST(CAST(concat('0x', substr(md5(concat('cur6:',
+           CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 4 AS INTEGER)
+        AS shard_id,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM passed
+    GROUP BY 1
+    """,
+    tags=("text", "quality", "sharding", "extension"),
+)
+def q_curation_pipeline_round6(spark, sf_dir):
+    """Round-6 second-half capstone, one exact oracle across the new
+    surface: expectations gate (rules on raw size — rows failing any
+    rule quarantine out), fixed-weight linear quality classifier (keep
+    quality_pass docs), stable shard assignment (salted md5, 4 shards),
+    per-shard delivery stats. Every stage is the REAL operator
+    (quarantine_split -> linear_quality_score -> assign_shards) and the
+    whole composition stays zero-shuffle until the final 4-group
+    aggregate — the shape of an actual 100 TB curation run. The oracle
+    replays features, decision fold, and shard hash bit-for-bit."""
+    from .operators.expectations import quarantine_split
+    from .operators.sharding import assign_shards
+    from .operators.text import linear_quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    valid, _quarantined = quarantine_split(
+        docs, {"min_chars_col": "n_chars >= 50", "min_text": "length(text) >= 50"}
+    )
+    scored = linear_quality_score(valid).filter(F.col("quality_pass") == 1)
+    sharded = assign_shards(scored, "doc_id", n_shards=4, salt="cur6:")
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
