@@ -5555,11 +5555,13 @@ def q_pii_redaction(spark, sf_dir):
 )
 def q_hierarchy_subtree_rollup(spark, sf_dir):
     """Recursive-CTE capability: per-ancestor subtree rollup over the
-    implicit binary tree ``parent(k) = k DIV 2`` on customer keys. Spark
-    has no WITH RECURSIVE, so the closure is the iterative self-join loop
+    implicit binary tree ``parent(k) = k DIV 2`` on customer keys. the
+    closure here is the iterative self-join loop
     (``operators/hierarchy.py`` — log-depth rounds, shrinking frontier);
     the oracle runs the textbook recursive CTE, pinning the loop against
-    real recursive semantics."""
+    real recursive semantics. Since Spark 4.0 a native WITH RECURSIVE
+    exists too — exercised by ``recursive_cte_native``; this loop stays
+    as the scale path with tunable rounds/frontier."""
     from .operators.hierarchy import ancestor_closure, subtree_rollup
 
     cust = _t(spark, sf_dir, "customer")
@@ -9423,3 +9425,46 @@ def q_curation_pipeline_round6(spark, sf_dir):
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+@register(
+    "recursive_cte_native",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT c_custkey AS node, c_custkey // 2 AS parent
+      FROM customer WHERE c_custkey > 1),
+    a(node, anc, depth) AS (
+      SELECT node, parent, 1 FROM edges
+      UNION ALL
+      SELECT a.node, e.parent, a.depth + 1
+      FROM a JOIN edges e ON e.node = a.anc)
+    SELECT anc, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MAX(depth) AS INT) AS max_depth
+    FROM a GROUP BY anc
+    """,
+    tags=("recursive", "sql", "extension"),
+)
+def q_recursive_cte_native(spark, sf_dir):
+    """NATIVE ``WITH RECURSIVE`` (new in Spark 4.0, SPARK-24497) — the
+    ancestor closure of the implicit binary tree ``parent(k) = k DIV 2``
+    computed by Spark's own recursive CTE executor, not the iterative
+    self-join loop (``operators/hierarchy.py``, which remains the
+    round-tunable scale path and is pinned against this same oracle in
+    ``hierarchy_subtree_rollup``). The oracle is the identical recursive
+    query in DuckDB; both engines run textbook linear recursion
+    (UNION ALL semantics, frontier = previous step)."""
+    cust = _t(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("customer_rc6")
+    return spark.sql("""
+        WITH RECURSIVE edges AS (
+          SELECT c_custkey AS node, c_custkey DIV 2 AS parent
+          FROM customer_rc6 WHERE c_custkey > 1),
+        a(node, anc, depth) AS (
+          SELECT node, parent, 1 FROM edges
+          UNION ALL
+          SELECT a.node, e.parent, a.depth + 1
+          FROM a JOIN edges e ON e.node = a.anc)
+        SELECT anc, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(MAX(depth) AS INT) AS max_depth
+        FROM a GROUP BY anc
+    """)
