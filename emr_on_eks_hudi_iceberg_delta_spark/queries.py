@@ -9468,3 +9468,44 @@ def q_recursive_cte_native(spark, sf_dir):
                CAST(MAX(depth) AS INT) AS max_depth
         FROM a GROUP BY anc
     """)
+
+
+@register(
+    "file_provenance_metadata",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(1 AS INT) AS n_files
+    FROM documents GROUP BY lang
+    """,
+    tags=("lake", "sources", "extension"),
+)
+def q_file_provenance_metadata(spark, sf_dir):
+    """File provenance via the hidden ``_metadata`` struct (Spark's
+    per-row file lineage — the debugging surface behind 'which file did
+    this bad row come from'): documents written hive-partitioned by lang
+    (one file per partition), read back with ``_metadata.file_path``,
+    and audited per PARTITION DIRECTORY parsed out of the physical path
+    (regexp on 'lang=...'). The oracle states the invariant the audit
+    must reproduce: per-lang row counts, exactly one file each. The
+    _metadata column is populated at scan time from the reader's file
+    split — zero extra I/O."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="prov_")
+    docs.repartition("lang").write.mode("overwrite").partitionBy(
+        "lang"
+    ).parquet(out)
+    back = spark.read.parquet(out).select(
+        F.regexp_extract(
+            F.col("_metadata.file_path"), r"lang=([^/]+)/", 1
+        ).alias("lang"),
+        F.col("_metadata.file_path").alias("fp"),
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct("fp").cast("int").alias("n_files"),
+        )
+    )
