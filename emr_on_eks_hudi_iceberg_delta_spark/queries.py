@@ -9509,3 +9509,42 @@ def q_file_provenance_metadata(spark, sf_dir):
             F.count_distinct("fp").cast("int").alias("n_files"),
         )
     )
+
+
+@register(
+    "table_content_digest",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(concat('0x', substr(md5(
+               concat(COALESCE(CAST(l_orderkey AS VARCHAR), chr(30) || 'N'),
+                      chr(31),
+                      COALESCE(CAST(l_linenumber AS VARCHAR), chr(30) || 'N'),
+                      chr(31),
+                      COALESCE(l_returnflag, chr(30) || 'N'),
+                      chr(31),
+                      COALESCE(l_linestatus, chr(30) || 'N'))
+             ), 1, 15)) AS BIGINT) AS hv
+      FROM lineitem)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(hv) AS DECIMAL(38,0)) AS VARCHAR) AS hash_sum,
+           CAST(bit_xor(hv) AS BIGINT) AS hash_xor
+    FROM h
+    """,
+    tags=("lake", "quality", "extension"),
+)
+def q_table_content_digest(spark, sf_dir):
+    """Order-independent table content digest
+    (operators/validate.table_digest) — the anti-entropy triple (count,
+    exact DECIMAL hash sum, bit-xor) over the canonical row encoding of
+    lineitem's engine-stable columns. Row order, partitioning, and
+    engine cannot change the answer, which is the whole point: the
+    DuckDB oracle computes the digest its own way and must land on the
+    identical one-row triple — exactly how a 100 TB migration is
+    validated without a sort or a row-by-row compare. One scan,
+    map-side partials, one-row result."""
+    from .operators.validate import table_digest
+
+    li = _t(spark, sf_dir, "lineitem")
+    return table_digest(
+        li, ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"]
+    )
