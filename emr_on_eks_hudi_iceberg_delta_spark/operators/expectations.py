@@ -79,17 +79,16 @@ def expectations_report(
     )
 
 
-def quarantine_split(
+def with_expectations(
     df: DataFrame, rules: dict[str, Column | str]
-) -> tuple[DataFrame, DataFrame]:
-    """Split ``df`` into (valid, quarantined): a row is quarantined iff
-    it fails ANY rule (NULL = fail, matching ``expectations_report``).
-    The quarantine frame gains ``failed_rules`` — the comma-joined rule
-    names the row failed, in declaration order — the reason column a
-    quarantine table needs for triage and later re-ingestion.
-    """
+) -> DataFrame:
+    """Tag every row with ``failed_rules`` — the comma-joined names of
+    the rules it failed, in declaration order ('' = all passed; NULL
+    evaluations fail). A stateless per-row projection, so it composes
+    into Structured Streaming pipelines unchanged (the streaming
+    ingestion gate) as well as the batch split below."""
     if not rules:
-        raise ValueError("quarantine_split needs at least one rule")
+        raise ValueError("with_expectations needs at least one rule")
     failed = F.concat_ws(
         ",",
         *[
@@ -99,7 +98,19 @@ def quarantine_split(
             for name, rule in rules.items()
         ],
     )
-    tagged = df.withColumn("failed_rules", failed)
+    return df.withColumn("failed_rules", failed)
+
+
+def quarantine_split(
+    df: DataFrame, rules: dict[str, Column | str]
+) -> tuple[DataFrame, DataFrame]:
+    """Split ``df`` into (valid, quarantined): a row is quarantined iff
+    it fails ANY rule (NULL = fail, matching ``expectations_report``).
+    The quarantine frame gains ``failed_rules`` — the comma-joined rule
+    names the row failed, in declaration order — the reason column a
+    quarantine table needs for triage and later re-ingestion.
+    """
+    tagged = with_expectations(df, rules)
     valid = tagged.filter(F.col("failed_rules") == "").drop("failed_rules")
     quarantined = tagged.filter(F.col("failed_rules") != "")
     return valid, quarantined

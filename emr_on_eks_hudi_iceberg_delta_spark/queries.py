@@ -9548,3 +9548,45 @@ def q_table_content_digest(spark, sf_dir):
     return table_digest(
         li, ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"]
     )
+
+
+@register(
+    "streaming_expectations_gate",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    t AS (
+      SELECT event_type, value,
+        concat_ws(',',
+          CASE WHEN NOT (value >= 0.5) THEN 'value_min' END,
+          CASE WHEN NOT (user_id % 13 != 0) THEN 'user_alloc' END
+        ) AS failed_rules
+      FROM ev)
+    SELECT failed_rules, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM t GROUP BY failed_rules, event_type
+    """,
+    tags=("streaming", "quality", "extension"),
+)
+def q_streaming_expectations_gate(spark, sf_dir):
+    """Expectations gate INSIDE a streaming pipeline
+    (operators/expectations.with_expectations composed into Structured
+    Streaming): every event is tagged with the rules it failed as a
+    stateless per-row projection on the stream, then aggregated per
+    (failed_rules, event_type) in complete mode — the live ingestion
+    monitor a DLT-style pipeline renders (valid row '' groups beside
+    each quarantine reason). Exact-matches the batch replay of the same
+    tagging; both failure rules fire on this corpus."""
+    from .operators.expectations import with_expectations
+
+    tagged = with_expectations(
+        _events_stream(spark, sf_dir),
+        {"value_min": "value >= 0.5", "user_alloc": "user_id % 13 != 0"},
+    )
+    agg = tagged.groupBy("failed_rules", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    return run_stream_to_memory(agg)
