@@ -1358,3 +1358,73 @@ def kmeans_lloyd(
         [(int(i), C[i].tolist()) for i in range(k)], schema="cell int, ce array<double>"
     )
     return e.mapInPandas(assign, out_schema), centroids, history
+
+
+def hard_negative_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining — for every query vector, the
+    ``k`` MOST similar corpus vectors carrying a DIFFERENT label (the
+    near-but-wrong examples contrastive/triplet training wants; easy
+    negatives are useless, same-label neighbors are positives). Same
+    plan shape as ``cosine_topk`` — broadcast queries, one corpus scan,
+    deterministic rank tie-break — with the label inequality folded into
+    the join condition so excluded rows never reach scoring. Rows with
+    NULL labels are excluded from both sides (an unknown label can't be
+    certified negative). At production scale swap the scan for the IVF/
+    LSH candidate stage exactly as with plain top-k; the label predicate
+    rides along unchanged."""
+    corpus = _with_double_vec(
+        emb.filter(F.col(label_col).isNotNull()), id_col, vec_col
+    ).join(
+        emb.select(F.col(id_col), F.col(label_col).alias("nl")), id_col
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("e").alias("ec"),
+        F.col("nrm").alias("nc"),
+        "nl",
+    )
+    qs = _with_double_vec(
+        queries.filter(F.col(label_col).isNotNull()), id_col, vec_col
+    ).join(
+        queries.select(F.col(id_col), F.col(label_col).alias("ql")), id_col
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("e").alias("eq"),
+        F.col("nrm").alias("nq"),
+        "ql",
+    )
+    dot = F.aggregate(
+        F.zip_with("eq", "ec", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(qs)
+        .join(
+            corpus,
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("ql") != F.col("nl")),
+        )
+        .withColumn("cosine", dot / (F.col("nq") * F.col("nc")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("ql").alias("query_label"),
+            "neighbor_id",
+            F.col("nl").alias("neighbor_label"),
+            "cosine",
+            "rank",
+        )
+    )

@@ -9590,3 +9590,40 @@ def q_streaming_expectations_gate(spark, sf_dir):
         .alias("sum_value"),
     )
     return run_stream_to_memory(agg)
+
+
+@register(
+    "embedding_hard_negatives",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings WHERE label IS NOT NULL),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, label
+          FROM e)
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cosine, rank
+    FROM (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+                        c.vec_id) AS INTEGER) AS rank
+      FROM n q JOIN n c
+        ON q.vec_id <> c.vec_id AND q.label <> c.label
+      WHERE q.vec_id < 10) t
+    WHERE rank <= 3
+    """,
+    tags=("similarity", "extension"),
+)
+def q_embedding_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining
+    (operators/similarity.hard_negative_topk): for each of the first 10
+    vectors, the 3 most cosine-similar corpus vectors with a DIFFERENT
+    label — near-but-wrong examples for triplet/contrastive training.
+    Broadcast queries, one corpus scan, label inequality inside the join
+    condition, deterministic tie-break; the oracle replays the exact
+    same scoring and ranking."""
+    from .operators.similarity import hard_negative_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negative_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
