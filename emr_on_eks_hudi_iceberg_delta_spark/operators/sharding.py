@@ -60,6 +60,8 @@ def shard_balance_stats(
     """Per-shard row counts (and optional weight sums, e.g. chars or
     tokens — the balance a loader actually cares about) plus each shard's
     ratio to the mean load. One aggregate pass; exact oracle."""
+    from pyspark.sql import Window
+
     sharded = assign_shards(df, key_col, n_shards, salt)
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
     if weight_col is not None:
@@ -67,17 +69,17 @@ def shard_balance_stats(
             F.sum(F.col(weight_col).cast("bigint")).alias("total_weight")
         )
     counts = sharded.groupBy("shard_id").agg(*aggs)
-    mean = counts.agg(F.avg("n_rows").alias("__mean"))
-    return (
-        counts.crossJoin(F.broadcast(mean))
-        .select(
-            "shard_id",
-            "n_rows",
-            *(["total_weight"] if weight_col is not None else []),
-            (F.col("n_rows").cast("double") / F.col("__mean")).alias(
-                "load_ratio"
-            ),
-        )
+    # mean load via an unpartitioned window OVER THE AGGREGATE — the
+    # relation here is n_shards rows, so the single-task window is free,
+    # and unlike a separate mean-aggregate branch it does NOT double-
+    # reference (and therefore double-SCAN) the corpus subtree; avg of
+    # BIGINTs is exact-integer-sum / count, replayable cross-engine
+    mean = F.avg("n_rows").over(Window.partitionBy())
+    return counts.select(
+        "shard_id",
+        "n_rows",
+        *(["total_weight"] if weight_col is not None else []),
+        (F.col("n_rows").cast("double") / mean).alias("load_ratio"),
     )
 
 

@@ -528,3 +528,28 @@ def test_sketch_aggregates_plan_shapes(spark):
     assert broadcast_join_count(df) == 1
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
+
+
+def test_quality_classifier_zero_shuffle(spark):
+    df = REGISTRY["quality_classifier_scores"].fn(spark, SF_DIR)
+    assert shuffle_count(df) == 0  # pure per-row scoring at scan speed
+
+
+def test_shard_balance_single_data_shuffle(spark):
+    df = REGISTRY["shard_assignment_balance"].fn(spark, SF_DIR)
+    # ONE corpus pass: the shard aggregate's exchange plus the 8-row
+    # single-partition exchange for the mean window — and exactly one
+    # scan (the mean must not double-reference the corpus subtree)
+    assert shuffle_count(df) <= 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+
+
+def test_table_digest_single_pass(spark):
+    df = REGISTRY["table_content_digest"].fn(spark, SF_DIR)
+    # global agg of per-row hashes: map-side partials + one-row exchange
+    assert shuffle_count(df) <= 1
+    (cols,) = scan_read_columns(df)
+    assert cols == {
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+    }  # digest projection pruned to the digested columns

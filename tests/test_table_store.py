@@ -1574,3 +1574,32 @@ def test_killed_lock_holder_lease_expires_and_table_unharmed(spark, tmp_path):
     assert vt.read().count() == 7
     with open(os.path.join(loc, "_current_snapshot.json")) as fh:
         json.load(fh)  # the real pointer is intact JSON
+
+
+def test_upsert_auto_schema_evolution(spark, tmp_path):
+    """Delta autoMerge semantics on MERGE: an upsert whose updates carry
+    a brand-new column evolves the table schema in the same commit —
+    existing rows read NULL for it, updated keys carry the value, and
+    time travel still serves the old schema."""
+    from pyspark.sql import functions as F
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import (
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_ev"))
+    vt.overwrite(spark.range(5).select("id", F.lit(1).alias("v")))
+    vt.upsert(
+        spark.range(3, 8).select(
+            "id", F.lit(2).alias("v"), F.lit("x").alias("extra")
+        ),
+        ["id"],
+        "v",
+    )
+    rows = sorted(
+        (r["id"], r["v"], r["extra"]) for r in vt.read().collect()
+    )
+    assert rows == [(i, 1, None) for i in range(3)] + [
+        (i, 2, "x") for i in range(3, 8)
+    ]
+    assert "extra" not in vt.read(version=0).columns
