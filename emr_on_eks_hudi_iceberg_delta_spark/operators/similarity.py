@@ -1428,3 +1428,116 @@ def hard_negative_topk(
             "rank",
         )
     )
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    location: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 0,
+):
+    """Persist an IVF index AS A TABLE — the productionized form of
+    ``ivf_topk``'s transient clustering: corpus rows land in a
+    ``PartitionedTable`` partitioned BY CELL (so probing reads only
+    ``nprobe`` partition directories — manifest-level pruning, zero I/O
+    for every other cell) and the centroid codebook persists beside it
+    (``_ivf_centroids``). Build once, serve many: the index survives the
+    session, versions like any table (CoW commits), and refreshes by
+    re-running build at a new location or upserting changed cells.
+
+    Same deterministic seeding/assignment as ``ivf_assign`` (literal
+    path), so queries through the persisted index return IDENTICAL rows
+    to the transient ``ivf_topk`` — which is what lets the index path
+    share its exact DuckDB oracle. Returns the ``PartitionedTable``.
+    """
+    from ..sources.partitioned import PartitionedTable
+
+    assigned, centroids = ivf_assign(
+        emb, n_centroids, id_col, vec_col, refine_iters
+    )
+    data = emb.join(assigned, id_col)
+    pt = PartitionedTable(emb.sparkSession, location, "cell")
+    pt.overwrite(data)
+    centroids.write.mode("overwrite").parquet(location + "/_ivf_centroids")
+    return pt
+
+
+def ivf_index_topk(
+    spark,
+    location: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve approximate top-k from a PERSISTED IVF index
+    (``build_ivf_index``): rank cells per query against the stored
+    codebook (broadcast, metadata-sized), then read ONLY the probed
+    cells' partition directories — the scan never lists the other
+    cells' files — and exact-score candidates within them. Operation
+    order mirrors ``ivf_topk`` exactly, so results are identical
+    row-for-row (pinned by test and by sharing its oracle)."""
+    from ..sources.partitioned import PartitionedTable
+
+    centroids = spark.read.parquet(location + "/_ivf_centroids")
+    qv = _with_double_vec(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("e").alias("eq"),
+        F.col("nrm").alias("nq"),
+    )
+    dist = F.aggregate(
+        F.zip_with("eq", "ce", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy("dist", "cell")
+    probes = (
+        qv.crossJoin(F.broadcast(centroids))
+        .withColumn("dist", dist)
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "cell")
+    )
+    # metadata-sized collect: nprobe x |queries| cell ids -> the pruned
+    # partition set the manifest read is restricted to
+    probe_cells = {
+        str(r["cell"]) for r in probes.select("cell").distinct().collect()
+    }
+    pt = PartitionedTable(spark, location, "cell")
+    data = pt.read_partitions_where(lambda v: v in probe_cells)
+    cv = _with_double_vec(data, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("e").alias("ec"),
+        F.col("nrm").alias("nc"),
+    )
+    members = data.select(
+        F.col(id_col).alias("neighbor_id"), F.col("cell")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(members, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    dot = F.aggregate(
+        F.zip_with("eq", "ec", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine", dot / (F.col("nq") * F.col("nc")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -9627,3 +9627,31 @@ def q_embedding_hard_negatives(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return hard_negative_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+@register(
+    "embedding_ann_ivf_index_topk",
+    oracle=_SQL_IVF_TOPK,
+    tags=("similarity", "lake", "extension"),
+)
+def q_embedding_ann_ivf_index_topk(spark, sf_dir):
+    """IVF served from a PERSISTED index table
+    (operators/similarity.build_ivf_index / ivf_index_topk): the corpus
+    lands in a PartitionedTable partitioned BY CELL with the centroid
+    codebook stored beside it; probing reads ONLY the nprobe cells'
+    partition directories (manifest-level pruning — the other cells'
+    files are never listed). Build once / serve many — the index
+    lifecycle ivf_topk's transient clustering lacks. Same seeding,
+    assignment, and operation order as the transient path, so this
+    query shares _SQL_IVF_TOPK verbatim: the persisted index must give
+    the identical answer."""
+    import tempfile
+
+    from .operators.similarity import build_ivf_index, ivf_index_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    loc = tempfile.mkdtemp(prefix="ivf_idx_")
+    build_ivf_index(emb, loc, n_centroids=16)
+    return ivf_index_topk(
+        spark, loc, emb.filter(F.col("vec_id") < 10), k=5, nprobe=4
+    )
