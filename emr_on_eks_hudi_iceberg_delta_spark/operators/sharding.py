@@ -91,15 +91,26 @@ def export_shards(
     salt: str = "",
     files_per_shard: int = 1,
     file_format: str = "parquet",
+    verify: bool = True,
 ) -> DataFrame:
     """Write ``df`` as ``path/shard_id=K/`` dirs and return the manifest
-    DataFrame ``(shard_id, n_rows, n_files, n_bytes)``, also persisted as
-    ``path/_shard_manifest.json`` (single JSON-lines file, written via
-    Spark so the manifest itself is engine-readable).
+    DataFrame ``(shard_id, n_rows, n_files, n_bytes, hash_sum,
+    hash_xor)``, also persisted as ``path/_shard_manifest.json``
+    (single JSON-lines file, written via Spark so the manifest itself
+    is engine-readable).
 
     One data movement total: rows hash-repartition on (shard_id, a
     within-shard file salt) so each output file is one task's write —
     ``n_shards x files_per_shard`` files regardless of input layout.
+
+    The manifest carries each shard's order-independent CONTENT DIGEST
+    (operators/validate.py triple over the data columns, sorted by name
+    to pin the encoding): a downstream loader re-derives the digest of
+    what it read and compares — tamper/truncation detection per shard
+    with one aggregate, no row-by-row compare. With ``verify=True`` the
+    export ALSO recomputes the digests from the files just written and
+    raises if any shard's digest disagrees with the input's (a
+    self-verifying delivery: one extra read of the written data).
     """
     sharded = assign_shards(df, key_col, n_shards, salt)
     file_in_shard = (
@@ -116,6 +127,39 @@ def export_shards(
         .save(path)
     )
     spark = df.sparkSession
+    digest_cols = sorted(c for c in df.columns)
+
+    def _shard_digests(frame: DataFrame) -> dict[int, tuple]:
+        from .validate import row_hash_expr
+
+        agg = (
+            frame.select(
+                F.col("shard_id").cast("int").alias("shard_id"),
+                row_hash_expr(digest_cols).alias("__h"),
+            )
+            .groupBy("shard_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col("__h").cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                .cast("string")
+                .alias("hs"),
+                F.bit_xor("__h").cast("bigint").alias("hx"),
+            )
+        )
+        return {r["shard_id"]: (r["n"], r["hs"], r["hx"]) for r in agg.collect()}
+
+    want = _shard_digests(sharded)
+    back = spark.read.format(file_format).load(path)
+    got = _shard_digests(back)
+    if verify and got != want:
+        bad = sorted(
+            k for k in set(want) | set(got) if want.get(k) != got.get(k)
+        )
+        raise IOError(
+            f"export_shards: digest mismatch on shards {bad} at {path}"
+        )
+
     rows = []
     for entry in sorted(os.listdir(path)):
         if not entry.startswith("shard_id="):
@@ -126,14 +170,14 @@ def export_shards(
             for f in os.listdir(os.path.join(path, entry))
             if not f.startswith(("_", "."))
         ]
-        n_rows = (
-            spark.read.format(file_format).load(os.path.join(path, entry)).count()
-        )
+        n, hs, hx = got[shard]
         rows.append(
-            (shard, n_rows, len(files), sum(os.path.getsize(f) for f in files))
+            (shard, n, len(files), sum(os.path.getsize(f) for f in files), hs, hx)
         )
     manifest = spark.createDataFrame(
-        rows, schema="shard_id int, n_rows bigint, n_files int, n_bytes bigint"
+        rows,
+        schema="shard_id int, n_rows bigint, n_files int, n_bytes bigint, "
+        "hash_sum string, hash_xor bigint",
     )
     manifest.coalesce(1).write.mode("overwrite").json(
         os.path.join(path, "_shard_manifest.json")

@@ -81,3 +81,39 @@ def test_files_per_shard_bounds_file_count(spark):
     for r in manifest.collect():
         assert 1 <= r["n_files"] <= 3  # a file salt bucket can be empty
     assert spark.read.parquet(out).count() == docs.count()
+
+
+def test_manifest_digest_verifies_loader_side(spark):
+    """The loader contract: recompute the digest triple from a shard dir
+    and compare with the manifest; corrupt delivery (a dropped row) must
+    mismatch on count and hash_sum."""
+    import tempfile
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.validate import (
+        row_hash_expr,
+    )
+
+    docs = _docs(spark)
+    out = tempfile.mkdtemp(prefix="shards_digest_")
+    manifest = {r["shard_id"]: r for r in export_shards(
+        docs, out, "doc_id", n_shards=3
+    ).collect()}
+    cols = sorted(docs.columns)
+
+    def digest(frame):
+        r = frame.select(row_hash_expr(cols).alias("__h")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("__h").cast("decimal(38,0)"))
+            .cast("decimal(38,0)").cast("string").alias("hs"),
+            F.bit_xor("__h").alias("hx"),
+        ).collect()[0]
+        return (r["n"], r["hs"], r["hx"])
+
+    shard0 = spark.read.parquet(f"{out}/shard_id=0")
+    n, hs, hx = digest(shard0)
+    m = manifest[0]
+    assert (n, hs, hx) == (m["n_rows"], m["hash_sum"], m["hash_xor"])
+
+    # simulate corruption: drop one row -> digest disagrees
+    n2, hs2, _ = digest(shard0.limit(n - 1))
+    assert n2 != m["n_rows"] and hs2 != m["hash_sum"]
