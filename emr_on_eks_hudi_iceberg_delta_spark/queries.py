@@ -9655,3 +9655,48 @@ def q_embedding_ann_ivf_index_topk(spark, sf_dir):
     return ivf_index_topk(
         spark, loc, emb.filter(F.col("vec_id") < 10), k=5, nprobe=4
     )
+
+
+@register(
+    "streaming_minibatch_kmeans",
+    tags=("streaming", "similarity", "clustering", "extension"),
+)
+def q_streaming_minibatch_kmeans(spark, sf_dir):
+    """Streaming mini-batch k-means (streaming/ml.py) — the running-mean
+    fold of MLlib's streaming k-means (decay=1) driven by foreachBatch:
+    the embedding corpus replays as FOUR micro-batches
+    (maxFilesPerTrigger=1), each batch is ONE mapInPandas scan (gemm
+    argmin fused with per-cell partial sums), and driver state is k
+    centroids + k counts with 1e-9 rounding per fold. Rows-only gate
+    (order-dependent online learning is not SQL-expressible); the exact
+    centroid/count trajectory is pinned against a same-convention numpy
+    host replay in tests/test_streaming_ml.py. Returns per-cell totals
+    of vectors folded (deterministic)."""
+    from .streaming.ml import stream_minibatch_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    stage_dir = tempfile.mkdtemp(prefix="mbk_stage_")
+    for i in range(4):
+        emb.filter(F.col("vec_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage_dir)
+    seeds = [
+        list(r["e"])
+        for r in emb.select(
+            F.col("embedding").cast("array<double>").alias("e")
+        )
+        .orderBy("vec_id")
+        .limit(8)
+        .collect()
+    ]
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    _C, counts, n_batches = stream_minibatch_kmeans(stream, seeds)
+    assert n_batches == 4
+    return spark.createDataFrame(
+        [(int(i), int(c)) for i, c in enumerate(counts)],
+        schema="cell int, n_seen bigint",
+    )

@@ -311,3 +311,32 @@ def test_full_outer_stream_join_emits_both_null_sides(spark):
         r["purchase_id"] is not None and r["click_id"] is not None
         for r in rows
     )
+
+
+def test_observation_metrics_single_pass(spark):
+    """Spark's Observation API: pipeline metrics (row counts, null
+    counts, sums) collected as a side effect of the SAME action — the
+    production observability hook (no second scan, no separate count
+    job). Verifies the observed values against direct aggregates."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    obs = Observation("ingest_metrics")
+    gated = (
+        li.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_seen"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty_sum"),
+            F.count_if(F.col("l_discount") > 0.05).alias("high_discount"),
+        )
+        .filter(F.col("l_quantity") <= 30)
+    )
+    kept = gated.count()  # the one action; metrics ride along
+    m = obs.get
+    assert m["rows_seen"] == li.count()
+    assert m["high_discount"] == li.filter("l_discount > 0.05").count()
+    assert float(m["qty_sum"]) == float(
+        li.agg(F.sum(F.col("l_quantity").cast("decimal(18,4)"))).collect()[0][0]
+    )
+    assert kept < m["rows_seen"]  # observed BEFORE the gate filter
