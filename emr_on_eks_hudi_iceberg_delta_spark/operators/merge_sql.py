@@ -638,6 +638,26 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
     m = re.match(r"\s*DESCRIBE\s+HISTORY\s+(?P<t>[\w.]+)\s*$", s, re.I)
     if m:
         return _table(m.group("t")).history_df()
+    m = re.match(r"\s*DESCRIBE\s+DETAIL\s+(?P<t>[\w.]+)\s*$", s, re.I)
+    if m:
+        # Delta DESCRIBE DETAIL: surface VersionedTable.detail()'s
+        # operational summary as a one-row DataFrame — the numbers a
+        # maintenance runbook (OPTIMIZE/VACUUM sizing) starts from
+        d = _table(m.group("t")).detail()
+        return spark.createDataFrame(
+            [
+                (
+                    d["location"],
+                    d["version"],
+                    d["num_snapshots"],
+                    d["num_files"],
+                    int(d["size_bytes"]),
+                    len(d["constraints"]),
+                )
+            ],
+            "location string, version bigint, num_snapshots int, "
+            "num_files int, size_bytes bigint, num_constraints int",
+        )
     m = re.match(
         r"\s*ALTER\s+TABLE\s+(?P<t>[\w.]+)\s+(?P<rest>.+)$", s, re.I | re.S
     )

@@ -749,3 +749,25 @@ def test_combined_cdf_and_time_travel_in_one_statement(spark, tmp_path):
     ).first()
     # v1 inserted ids 10-12, none of which exist in v0
     assert got["n"] == 3
+
+
+def test_describe_detail_sql(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.merge_sql import (
+        run_dml,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import (
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "dd"))
+    vt.overwrite(spark.range(10).select("id", F.lit("x").alias("v")))
+    vt.append(spark.range(10, 20).select("id", F.lit("y").alias("v")))
+    vt.add_constraint("id_nonneg", "id >= 0")
+    row = run_dml(spark, "DESCRIBE DETAIL t", tables={"t": vt}).collect()[0]
+    assert row["location"] == vt.location
+    # overwrite=v0, append=v1; add_constraint is metadata-only (no commit)
+    assert row["version"] == 1 and row["num_snapshots"] == 2
+    assert row["num_files"] >= 1 and row["size_bytes"] > 0
+    assert row["num_constraints"] == 1
