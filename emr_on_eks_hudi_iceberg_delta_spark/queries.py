@@ -9700,3 +9700,56 @@ def q_streaming_minibatch_kmeans(spark, sf_dir):
         [(int(i), int(c)) for i, c in enumerate(counts)],
         schema="cell int, n_seen bigint",
     )
+
+
+@register(
+    "catalog_multi_table_txn",
+    oracle="""
+    SELECT 'detail' AS side, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT 'summary_claim', CAST(COUNT(*) AS BIGINT)
+    FROM customer WHERE c_custkey % 2 = 0
+    """,
+    tags=("lake", "catalog", "extension"),
+)
+def q_catalog_multi_table_txn(spark, sf_dir):
+    """Multi-table ACID transaction (sources/catalog.CatalogTransaction
+    — the catalog-level-commit capability single-table lake formats
+    lack; local analog of Nessie / Iceberg-REST transactions): a detail
+    table and its summary table change together under one atomic pin
+    swap. The gate commits a consistent pair (even-custkey detail +
+    its count), then ABORTS a second transaction that would have
+    corrupted the pair (detail rewritten, summary not), and returns the
+    pinned view of both sides — which must still be the committed
+    consistent pair, as the oracle states (both rows the same count).
+    Crash-window isolation and idempotent retry are pinned in
+    tests/test_catalog_txn.py."""
+    import tempfile
+
+    from .sources.catalog import LakeCatalog
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cat = LakeCatalog(spark, tempfile.mkdtemp(prefix="cat_txn_"))
+    cat.create_table("detail", cust.filter(F.col("c_custkey") % 3 != 0))
+    cat.create_table(
+        "summary",
+        cust.filter(F.col("c_custkey") % 3 != 0)
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+    even = cust.filter(F.col("c_custkey") % 2 == 0)
+    with cat.transaction() as txn:
+        txn.write("detail", even)
+        txn.write("summary", even.agg(F.count(F.lit(1)).alias("n")))
+    try:
+        with cat.transaction() as txn:
+            txn.write("detail", cust.limit(3))
+            raise RuntimeError("audit failed — abort before summary")
+    except RuntimeError:
+        pass
+    n_detail = cat.read_pinned("detail").count()
+    claim = cat.read_pinned("summary").collect()[0]["n"]
+    return spark.createDataFrame(
+        [("detail", n_detail), ("summary_claim", claim)],
+        schema="side string, n bigint",
+    )

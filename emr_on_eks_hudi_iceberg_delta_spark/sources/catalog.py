@@ -191,3 +191,146 @@ class LakeCatalog:
             kv = ", ".join(f"'{k}' = '{v}'" for k, v in sorted(props.items()))
             lines.append(f"TBLPROPERTIES ({kv})")
         return "\n".join(lines)
+
+
+class CatalogTransaction:
+    """Multi-table ACID transaction — the capability no single-table lake
+    format ships (Delta/Hudi commit one table at a time) and the reason
+    catalog-level-commit systems exist (Project Nessie, Iceberg REST
+    catalog transactions — public designs this is the local analog of):
+    several tables change with ALL-OR-NOTHING visibility.
+
+    Mechanics, composed entirely from existing primitives:
+
+    1. **Stage**: every ``write`` lands as a WAP-staged snapshot in its
+       table — durable, auditable by version, invisible to readers.
+    2. **Publish**: ``commit`` publishes each staged snapshot (per-table
+       head advance; idempotent on retry after a crash).
+    3. **Pin swap**: ONE atomic catalog-document replace records the new
+       per-table pinned versions. Readers that resolve through
+       ``LakeCatalog.read_pinned`` see the old pin set or the new one,
+       never a mix — the catalog commit IS the visibility switch, even
+       while step 2 is half done or the writer has crashed between
+       publishes.
+
+    Crash matrix: before any publish → staged snapshots are invisible;
+    pins unchanged (abort by ``rollback`` or table-store retention).
+    Between publishes → raw per-table heads may already show new data
+    (exactly Delta's multi-table gap) but PINNED reads stay on the old
+    consistent set; re-running ``commit`` completes idempotently.
+    After the pin swap → fully committed.
+
+    Usage::
+
+        with catalog.transaction() as txn:
+            txn.write("orders", new_orders)
+            txn.write("daily_summary", new_summary)
+        # exiting without error commits; an exception rolls back
+    """
+
+    def __init__(self, catalog: "LakeCatalog"):
+        self.catalog = catalog
+        self._staged: dict[str, int] = {}
+        self._baselined: set[str] = set()
+        self._done = False
+
+    def write(self, name: str, df: DataFrame) -> int:
+        """Stage ``df`` as the transaction's snapshot of table ``name``
+        (full-snapshot semantics, like ``overwrite``; derive from
+        ``catalog.read_pinned(name)`` for read-modify-write). A second
+        write to the same table replaces the first stage."""
+        if self._done:
+            raise RuntimeError("transaction already committed or rolled back")
+        vt = self.catalog.table(name)
+        doc = self.catalog._doc()
+        pins = doc.setdefault("pins", {})
+        if name not in pins:
+            # BASELINE pin: freeze pinned readers at the pre-transaction
+            # head before any publish can race them — observably a no-op
+            # (pin == head) until the commit's pin swap, and the reason
+            # the mid-commit crash window cannot leak a half-committed
+            # view even for tables never pinned before
+            head = vt.detail()["version"]
+            if head is not None:
+                pins[name] = head
+                self.catalog._write_doc(doc)
+                self._baselined.add(name)
+        if name in self._staged:
+            vt.drop_staged(self._staged[name])
+        self._staged[name] = vt.stage(df)
+        return self._staged[name]
+
+    def commit(self) -> dict[str, int]:
+        """Publish every staged snapshot, then swap the pin set in one
+        atomic catalog-doc replace. Returns the committed pins."""
+        if self._done:
+            raise RuntimeError("transaction already committed or rolled back")
+        for name, version in sorted(self._staged.items()):
+            vt = self.catalog.table(name)
+            entry = next(
+                (s for s in vt._snapshots() if s["version"] == version), None
+            )
+            if entry is None:
+                raise ValueError(
+                    f"staged snapshot {version} of {name!r} disappeared"
+                )
+            if entry.get("staged"):
+                vt.publish(version)
+            # else: already published by a crashed earlier commit — the
+            # retry is idempotent and proceeds to the pin swap
+        doc = self.catalog._doc()
+        pins = dict(doc.get("pins", {}))
+        pins.update(self._staged)
+        doc["pins"] = pins
+        self.catalog._write_doc(doc)
+        self._done = True
+        return dict(self._staged)
+
+    def rollback(self) -> None:
+        """Drop every staged snapshot; pins untouched."""
+        if self._done:
+            return
+        for name, version in self._staged.items():
+            try:
+                self.catalog.table(name).drop_staged(version)
+            except ValueError:
+                pass  # already published by a crashed commit; pins decide
+        if self._baselined:
+            # remove the baseline pins this transaction introduced —
+            # leaving them would freeze pinned reads below future
+            # non-transactional head advances
+            doc = self.catalog._doc()
+            pins = doc.get("pins", {})
+            for name in self._baselined:
+                pins.pop(name, None)
+            self.catalog._write_doc(doc)
+        self._staged = {}
+        self._done = True
+
+    def __enter__(self) -> "CatalogTransaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is None:
+            self.commit()
+        else:
+            self.rollback()
+        return False
+
+
+def _catalog_transaction(self) -> CatalogTransaction:
+    return CatalogTransaction(self)
+
+
+def _catalog_read_pinned(self, name: str) -> DataFrame:
+    """Read ``name`` at the catalog's pinned version — the consistent
+    multi-table view ``CatalogTransaction.commit`` switches atomically.
+    Tables never written through a transaction have no pin and serve
+    their published head."""
+    pin = self._doc().get("pins", {}).get(name)
+    vt = self.table(name)
+    return vt.read() if pin is None else vt.read(version=pin)
+
+
+LakeCatalog.transaction = _catalog_transaction
+LakeCatalog.read_pinned = _catalog_read_pinned

@@ -1,0 +1,101 @@
+"""CatalogTransaction (sources/catalog.py): all-or-nothing visibility
+across tables via the atomic pin swap — commit, rollback, the
+mid-commit-crash window (raw heads may move; pinned reads must not),
+and idempotent commit retry."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from emr_on_eks_hudi_iceberg_delta_spark.sources.catalog import (
+    CatalogTransaction,
+    LakeCatalog,
+)
+
+
+def _setup(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "cat"))
+    cat.create_table(
+        "detail", spark.range(10).select("id", F.lit("v1").alias("tag"))
+    )
+    cat.create_table("summary", spark.createDataFrame([(10,)], "n bigint"))
+    return cat
+
+
+def _consistent(spark, cat):
+    n_detail = cat.read_pinned("detail").count()
+    n_claimed = cat.read_pinned("summary").collect()[0]["n"]
+    return n_detail == n_claimed
+
+
+def test_commit_is_atomic_and_consistent(spark, tmp_path):
+    cat = _setup(spark, tmp_path)
+    assert _consistent(spark, cat)
+    with cat.transaction() as txn:
+        txn.write("detail", spark.range(25).select("id", F.lit("v2").alias("tag")))
+        txn.write("summary", spark.createDataFrame([(25,)], "n bigint"))
+    assert _consistent(spark, cat)
+    assert cat.read_pinned("detail").count() == 25
+    # raw heads advanced too
+    assert cat.table("detail").read().count() == 25
+
+
+def test_rollback_leaves_old_state(spark, tmp_path):
+    cat = _setup(spark, tmp_path)
+    try:
+        with cat.transaction() as txn:
+            txn.write("detail", spark.range(99).select("id", F.lit("x").alias("tag")))
+            raise RuntimeError("abort")
+    except RuntimeError:
+        pass
+    assert cat.read_pinned("detail").count() == 10
+    assert cat.table("detail").read().count() == 10  # stage never published
+    # the staged snapshot is gone, not lingering
+    assert all(
+        not s.get("staged") for s in cat.table("detail")._snapshots()
+    )
+
+
+def test_mid_commit_crash_keeps_pinned_view_consistent(spark, tmp_path):
+    cat = _setup(spark, tmp_path)
+    txn = cat.transaction()
+    txn.write("detail", spark.range(40).select("id", F.lit("v3").alias("tag")))
+    txn.write("summary", spark.createDataFrame([(40,)], "n bigint"))
+
+    # simulate a crash after the FIRST publish: publish 'detail' by hand,
+    # then die before the pin swap
+    vt = cat.table("detail")
+    vt.publish(txn._staged["detail"])
+    # raw head of detail already moved (the Delta multi-table gap)...
+    assert cat.table("detail").read().count() == 40
+    # ...but the PINNED multi-table view is still the OLD consistent pair
+    assert cat.read_pinned("detail").count() == 10
+    assert _consistent(spark, cat)
+
+    # recovery: re-running commit is idempotent (skips the published
+    # table, publishes the rest, swaps pins once)
+    txn.commit()
+    assert _consistent(spark, cat)
+    assert cat.read_pinned("detail").count() == 40
+    assert cat.read_pinned("summary").collect()[0]["n"] == 40
+
+
+def test_double_commit_rejected_and_rewrite_replaces_stage(spark, tmp_path):
+    cat = _setup(spark, tmp_path)
+    txn = cat.transaction()
+    v1 = txn.write("detail", spark.range(5).select("id", F.lit("a").alias("tag")))
+    v2 = txn.write("detail", spark.range(6).select("id", F.lit("b").alias("tag")))
+    _ = v1  # the dropped stage frees its version id (may be reused)
+    # the replaced stage was dropped
+    staged = [s["version"] for s in cat.table("detail")._snapshots() if s.get("staged")]
+    assert staged == [v2]
+    txn.commit()
+    assert cat.read_pinned("detail").count() == 6
+    with pytest.raises(RuntimeError):
+        txn.commit()
+    with pytest.raises(RuntimeError):
+        txn.write("summary", spark.createDataFrame([(6,)], "n bigint"))
