@@ -94,12 +94,22 @@ class LakeCatalog:
     def list_tables(self) -> list[str]:
         return sorted(self._doc()["tables"])
 
-    def sync(self) -> "LakeCatalog":
+    def sync(self, pinned: bool = False) -> "LakeCatalog":
         """(Re-)register every catalog table's current snapshot as a temp
         view so ``spark.sql`` resolves them by name — the hive-sync step,
-        run per session or after external commits."""
-        for name, loc in self._doc()["tables"].items():
-            VersionedTable(self.spark, loc).read().createOrReplaceTempView(name)
+        run per session or after external commits. ``pinned=True``
+        registers the TRANSACTIONALLY CONSISTENT view instead (each
+        table at its catalog-pinned version, ``read_pinned``) — SQL over
+        a multi-table snapshot that no in-flight ``CatalogTransaction``
+        commit can tear."""
+        doc = self._doc()
+        for name, loc in doc["tables"].items():
+            df = (
+                self.read_pinned(name)
+                if pinned
+                else VersionedTable(self.spark, loc).read()
+            )
+            df.createOrReplaceTempView(name)
         return self
 
     def drop_table(self, name: str, purge: bool = False) -> "LakeCatalog":

@@ -99,3 +99,19 @@ def test_double_commit_rejected_and_rewrite_replaces_stage(spark, tmp_path):
         txn.commit()
     with pytest.raises(RuntimeError):
         txn.write("summary", spark.createDataFrame([(6,)], "n bigint"))
+
+
+def test_pinned_sync_serves_consistent_sql_view(spark, tmp_path):
+    cat = _setup(spark, tmp_path)
+    txn = cat.transaction()
+    txn.write("detail", spark.range(77).select("id", F.lit("z").alias("tag")))
+    txn.write("summary", spark.createDataFrame([(77,)], "n bigint"))
+    # half-committed: one table published, pins not yet swapped
+    cat.table("detail").publish(txn._staged["detail"])
+    cat.sync(pinned=True)
+    n = spark.sql("SELECT COUNT(*) AS c FROM detail").collect()[0]["c"]
+    claim = spark.sql("SELECT n FROM summary").collect()[0]["n"]
+    assert n == claim == 10  # the old consistent pair, not the torn one
+    txn.commit()
+    cat.sync(pinned=True)
+    assert spark.sql("SELECT COUNT(*) AS c FROM detail").collect()[0]["c"] == 77
