@@ -9753,3 +9753,50 @@ def q_catalog_multi_table_txn(spark, sf_dir):
         [("detail", n_detail), ("summary_claim", claim)],
         schema="side string, n bigint",
     )
+
+
+@register(
+    "gdpr_purge_history",
+    oracle="""
+    SELECT 'head' AS at, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE c_custkey % 10 = 3) AS BIGINT)
+             AS n_subject
+    FROM customer
+    WHERE c_custkey % 10 != 3
+    UNION ALL
+    SELECT 'v0', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE c_custkey % 10 = 3) AS BIGINT)
+    FROM customer
+    WHERE c_custkey % 2 = 0 AND c_custkey % 10 != 3
+    """,
+    tags=("lake", "quality", "extension"),
+)
+def q_gdpr_purge_history(spark, sf_dir):
+    """GDPR right-to-be-forgotten purge
+    (sources/tables.VersionedTable.purge_rows): the one deliberate
+    HISTORY rewrite — the subject's rows (custkey % 10 = 3) are
+    physically removed from EVERY snapshot, so neither the head nor a
+    time-travel read of v0 can resurrect them, while all other rows of
+    both versions survive bit-for-bit. The gate builds v0 (even keys)
+    then v1 (all keys), purges the subject, and reports row/subject
+    counts at head and at v0 — matching the oracle's filtered replay of
+    both versions (n_subject must be 0 on both rows)."""
+    import tempfile
+
+    from .sources.tables import VersionedTable
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_gdpr_"))
+    vt.overwrite(cust.filter(F.col("c_custkey") % 2 == 0))   # v0
+    vt.overwrite(cust)                                       # v1 (head)
+    vt.purge_rows("c_custkey % 10 = 3")
+    subject = F.count_if(F.col("c_custkey") % 10 == 3).cast("bigint")
+    head = vt.read().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        subject.alias("n_subject"),
+    ).withColumn("at", F.lit("head"))
+    v0 = vt.read(version=0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        subject.alias("n_subject"),
+    ).withColumn("at", F.lit("v0"))
+    return head.unionByName(v0).select("at", "n_rows", "n_subject")

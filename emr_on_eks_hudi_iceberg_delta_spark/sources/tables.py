@@ -1722,6 +1722,90 @@ class VersionedTable:
                 return self
         raise ValueError(f"no staged snapshot {version} at {self.location}")
 
+    def purge_rows(self, condition) -> dict:
+        """GDPR / right-to-be-forgotten purge: physically remove
+        predicate-TRUE rows from EVERY snapshot — published history,
+        staged WAP snapshots, and branch-referenced data dirs alike —
+        so no time-travel read, CDF diff, or branch head can resurrect
+        the subject. This is the one deliberate HISTORY REWRITE in the
+        store (Delta's REORG ... APPLY (PURGE) + VACUUM reaches only the
+        current snapshot; regulators reach all of them). Version ids,
+        commit lineage, tags, and non-matching rows are preserved
+        bit-for-bit; only matching rows vanish.
+
+        Preconditions (refused loudly otherwise):
+        * no snapshot may carry positional deletion vectors or keyed
+          tombstones — (file, row-index) ids die on rewrite and
+          tombstone files can themselves hold the subject's keys; run
+          ``compact()`` (materializes MoR state at the head) and expire
+          MoR history first;
+        * every data dir must live under this table's location (a
+          shallow clone must not rewrite its SOURCE table's files —
+          purge the source instead).
+
+        Mechanics: one filtered rewrite per UNIQUE data dir (shared
+        metadata-only dirs rewrite once), swapped in via tmp-dir rename
+        under the cross-process writer lock; a ``purges`` audit entry
+        (predicate, rows removed, timestamp) lands in table metadata.
+        Scale: cost is one scan+write of live history — the same cost
+        class as the compaction every lake format requires for this.
+
+        Returns ``{"dirs_rewritten": n, "rows_removed": n}``.
+        """
+        import shutil
+
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        hit = F.coalesce(cond.cast("boolean"), F.lit(False))
+        with self.locked():
+            meta = self._meta()
+            snaps = meta["snapshots"]
+            loc = os.path.abspath(self.location)
+            for snap in snaps:
+                if snap.get("tombstones") or snap.get("dv"):
+                    raise ValueError(
+                        "purge_rows: snapshot "
+                        f"{snap['version']} carries MoR tombstones/deletion "
+                        "vectors — compact() and expire MoR history before "
+                        "purging (positional ids die on rewrite; tombstone "
+                        "files can hold the subject's keys)"
+                    )
+                if not os.path.abspath(snap["dir"]).startswith(loc):
+                    raise ValueError(
+                        f"purge_rows: snapshot {snap['version']} references "
+                        f"external data at {snap['dir']} (shallow clone?) — "
+                        "purge the owning table instead"
+                    )
+            dirs = sorted({s["dir"] for s in snaps})
+            rows_removed = 0
+            for d in dirs:
+                df = self.spark.read.parquet(d)
+                removed = df.filter(hit).count()
+                if removed == 0:
+                    continue
+                rows_removed += removed
+                tmp = d + ".__purge_tmp"
+                df.filter(~hit).write.mode("overwrite").parquet(tmp)
+                shutil.rmtree(d)
+                os.rename(tmp, d)
+                # file-keyed skipping metadata is now stale (paths AND
+                # contents changed) — drop it; compute_stats() rebuilds
+                for snap in snaps:
+                    if snap["dir"] == d:
+                        snap.pop("stats", None)
+                        snap.pop("bloom", None)
+            meta.setdefault("purges", []).append(
+                {
+                    "at": time.time(),
+                    "condition": str(condition),
+                    "rows_removed": rows_removed,
+                    "dirs": len(dirs),
+                }
+            )
+            self._write_meta(meta)
+            if self._symlink_autogen():
+                self.generate_symlink_manifest()
+        return {"dirs_rewritten": len(dirs), "rows_removed": rows_removed}
+
     # -- branches (Iceberg branch / audit-branch WAP analog) ----------------
 
     def create_branch(self, name: str) -> "VersionedTable":

@@ -1603,3 +1603,50 @@ def test_upsert_auto_schema_evolution(spark, tmp_path):
         (i, 2, "x") for i in range(3, 8)
     ]
     assert "extra" not in vt.read(version=0).columns
+
+
+def test_purge_rows_rewrites_all_history(spark, tmp_path):
+    """GDPR purge: the subject's rows vanish from EVERY version (time
+    travel included), everything else is preserved exactly, the audit
+    trail records the purge, and stale file stats are dropped."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import (
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_purge"))
+    vt.overwrite(
+        spark.range(10).select("id", (F.col("id") % 3).alias("subject"))
+    )                                                            # v0
+    vt.append(
+        spark.range(10, 20).select("id", (F.col("id") % 3).alias("subject"))
+    )                                                            # v1
+    vt.delete_where("id >= 18")                                  # v2
+    vt.compute_stats(["id"])
+    before_v1_keep = sorted(
+        r["id"] for r in vt.read(version=1).filter("subject != 1").collect()
+    )
+
+    out = vt.purge_rows("subject = 1")
+    assert out["rows_removed"] > 0
+
+    for v in (0, 1, 2):
+        assert vt.read(version=v).filter("subject = 1").count() == 0
+    # non-subject rows of every version are untouched
+    assert sorted(r["id"] for r in vt.read(version=1).collect()) == before_v1_keep
+    # head serves the post-delete, post-purge intersection
+    assert sorted(r["id"] for r in vt.read().collect()) == [
+        i for i in range(18) if i % 3 != 1
+    ]
+    # audit entry recorded; stale stats dropped
+    assert vt._meta()["purges"][0]["rows_removed"] == out["rows_removed"]
+    assert all("stats" not in s for s in vt._snapshots())
+
+    # refusal: MoR state present
+    vt2 = VersionedTable(spark, str(tmp_path / "vt_purge_mor"))
+    vt2.overwrite(spark.range(5).select("id", F.lit(0).alias("subject")))
+    vt2.delete_where_positional("id = 2")
+    with pytest.raises(ValueError, match="tombstones/deletion"):
+        vt2.purge_rows("subject = 0")
