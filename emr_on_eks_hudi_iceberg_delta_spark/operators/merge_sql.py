@@ -426,6 +426,20 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
             catalog.rename_table(m.group("a"), m.group("b"))
             return
         m = re.match(
+            r"\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?P<v>\w+)\s+AS\s+(?P<q>.+)$",
+            s,
+            re.I | re.S,
+        )
+        if m:
+            catalog.create_materialized_view(m.group("v"), m.group("q").strip())
+            return
+        m = re.match(
+            r"\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<v>\w+)\s*$", s, re.I
+        )
+        if m:
+            catalog.refresh_materialized_view(m.group("v"))
+            return
+        m = re.match(
             r"\s*CREATE\s+VIEW\s+(?P<v>\w+)\s+AS\s+(?P<q>.+)$", s, re.I | re.S
         )
         if m:

@@ -9800,3 +9800,51 @@ def q_gdpr_purge_history(spark, sf_dir):
         subject.alias("n_subject"),
     ).withColumn("at", F.lit("v0"))
     return head.unionByName(v0).select("at", "n_rows", "n_subject")
+
+
+@register(
+    "catalog_materialized_view",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price
+    FROM orders WHERE o_orderkey % 4 != 0
+    GROUP BY o_orderstatus
+    """,
+    tags=("lake", "catalog", "agg", "extension"),
+)
+def q_catalog_materialized_view(spark, sf_dir):
+    """Catalog materialized view with SQL lifecycle
+    (sources/catalog + merge_sql front-end): CREATE MATERIALIZED VIEW
+    stores the defining SQL and materializes it as a versioned table;
+    the base table then CHANGES (rows dropped); REFRESH MATERIALIZED
+    VIEW recomputes as one more commit. The gate reads the refreshed MV
+    — which must equal the oracle's aggregate of the FINAL base state —
+    and asserts the refresh is visible as table history (2 snapshots)."""
+    import tempfile
+
+    from .operators.merge_sql import run_dml
+    from .sources.catalog import LakeCatalog
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cat = LakeCatalog(spark, tempfile.mkdtemp(prefix="cat_mv_"))
+    cat.create_table("orders_base", orders)
+    run_dml(
+        spark,
+        """CREATE MATERIALIZED VIEW order_stats AS
+           SELECT o_orderstatus,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                    AS sum_price
+           FROM orders_base GROUP BY o_orderstatus""",
+        catalog=cat,
+    )
+    cat.table("orders_base").overwrite(
+        orders.filter(F.col("o_orderkey") % 4 != 0)
+    )
+    run_dml(spark, "REFRESH MATERIALIZED VIEW order_stats", catalog=cat)
+    mv = cat.table("order_stats")
+    assert len(mv.history()) == 2  # create + refresh, both versioned
+    return mv.read()

@@ -344,3 +344,45 @@ def _catalog_read_pinned(self, name: str) -> DataFrame:
 
 LakeCatalog.transaction = _catalog_transaction
 LakeCatalog.read_pinned = _catalog_read_pinned
+
+
+def _catalog_create_materialized_view(
+    self, name: str, sql: str
+) -> VersionedTable:
+    """Materialized view: the defining SQL is stored in the catalog and
+    its result materialized as a managed ``VersionedTable`` — so the MV
+    itself has snapshots, time travel, and CDF like any table, and each
+    ``refresh_materialized_view`` is one more commit (readers stay
+    consistent mid-refresh; DESCRIBE HISTORY shows every refresh).
+    Base tables resolve by catalog name (``sync`` runs first). For
+    aggregate-shaped views the incremental path
+    (operators/materialized.py) can maintain the same stored table from
+    CDF diffs; this surface is the full-recompute baseline."""
+    self.sync()
+    vt = self.create_table(name, self.spark.sql(sql))
+    doc = self._doc()
+    doc.setdefault("mviews", {})[name] = sql
+    self._write_doc(doc)
+    return vt
+
+
+def _catalog_refresh_materialized_view(self, name: str) -> VersionedTable:
+    """Recompute a materialized view from its stored defining SQL over
+    the base tables' CURRENT state; the refresh is one table commit."""
+    doc = self._doc()
+    sql = doc.get("mviews", {}).get(name)
+    if sql is None:
+        raise ValueError(f"no materialized view {name!r} in catalog")
+    self.sync()
+    vt = self.table(name)
+    vt.overwrite(self.spark.sql(sql))
+    return vt
+
+
+def _catalog_list_materialized_views(self) -> list[str]:
+    return sorted(self._doc().get("mviews", {}))
+
+
+LakeCatalog.create_materialized_view = _catalog_create_materialized_view
+LakeCatalog.refresh_materialized_view = _catalog_refresh_materialized_view
+LakeCatalog.list_materialized_views = _catalog_list_materialized_views

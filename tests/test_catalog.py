@@ -116,3 +116,27 @@ def test_insert_overwrite_sql(spark, tmp_path):
     rows = sorted((r["k"], r["s"]) for r in vt.read().collect())
     assert rows == [(7, "z"), (8, "y")]
     assert vt.read(version=0).count() == 1  # old snapshot time-travels
+
+
+def test_materialized_view_lifecycle(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.catalog import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "cat_mv"))
+    cat.create_table("base", spark.range(10).select("id"))
+    cat.create_materialized_view(
+        "mv", "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base"
+    )
+    assert cat.list_materialized_views() == ["mv"]
+    assert cat.table("mv").read().collect()[0]["n"] == 10
+    cat.table("base").append(spark.range(10, 15).select("id"))
+    # stale until refreshed (materialized, not a live view)
+    assert cat.table("mv").read().collect()[0]["n"] == 10
+    cat.refresh_materialized_view("mv")
+    assert cat.table("mv").read().collect()[0]["n"] == 15
+    # time travel over refreshes
+    assert cat.table("mv").read(version=0).collect()[0]["n"] == 10
+    with pytest.raises(ValueError, match="no materialized view"):
+        cat.refresh_materialized_view("nope")
