@@ -303,6 +303,7 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
         CALL system.cherrypick_snapshot('t', v)    -- (positional or
         CALL system.revert_commit('t', v)          --  name => value args)
         CALL system.expire_snapshots(table => 't', retain_last => n)
+        CALL system.purge_rows(table => 't', where => '<pred>')
         SELECT ... FROM t VERSION AS OF n        -- time-travel reads,
         SELECT ... FROM t TIMESTAMP AS OF 'ts'   -- per-reference rewrite
         SELECT ... FROM table_changes('t', a, b) -- CDF rows per commit
@@ -614,6 +615,19 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
         if proc == "expire_snapshots":
             vt.vacuum(keep_last=int(_arg("retain_last", 1)))
             return
+        if proc == "purge_rows":
+            # GDPR history purge as a procedure (Delta REORG ... APPLY
+            # (PURGE) reaches only the head; this one reaches history)
+            where = _arg("where")
+            if where is None:
+                raise ValueError(
+                    "CALL system.purge_rows: missing where argument"
+                )
+            out = vt.purge_rows(where)
+            return spark.createDataFrame(
+                [(out["dirs_rewritten"], out["rows_removed"])],
+                "dirs_rewritten int, rows_removed bigint",
+            )
         raise ValueError(f"DML: unknown procedure system.{proc}")
     m = re.match(
         r"\s*VACUUM\s+(?P<t>[\w.]+)(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?"

@@ -771,3 +771,28 @@ def test_describe_detail_sql(spark, tmp_path):
     assert row["version"] == 1 and row["num_snapshots"] == 2
     assert row["num_files"] >= 1 and row["size_bytes"] > 0
     assert row["num_constraints"] == 1
+
+
+def test_call_purge_rows_procedure(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.merge_sql import (
+        run_dml,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import (
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "pp"))
+    vt.overwrite(spark.range(10).select("id", (F.col("id") % 2).alias("s")))
+    vt.append(spark.range(10, 14).select("id", (F.col("id") % 2).alias("s")))
+    out = run_dml(
+        spark,
+        "CALL system.purge_rows(table => 't', where => 's = 1')",
+        tables={"t": vt},
+    ).collect()[0]
+    # per-dir removals summed over history: 5 odd rows in the v0 copy
+    # + 7 in the v1 full snapshot copy
+    assert out["rows_removed"] == 12
+    assert vt.read(version=0).filter("s = 1").count() == 0
+    assert vt.read().count() == 7
