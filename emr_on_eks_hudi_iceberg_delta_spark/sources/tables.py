@@ -537,16 +537,21 @@ class VersionedTable:
 
     def compact(
         self,
-        target_partitions: int = 1,
+        target_partitions: int | None = None,
         cluster_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
         zorder_buckets: int = 16,
         refresh_stats: bool = True,
+        target_file_size_bytes: int | None = None,
     ) -> "VersionedTable":
         """OPTIMIZE/compaction: rewrite the current snapshot into
         ``target_partitions`` files (small-file compaction — the Hudi
         compaction / Delta OPTIMIZE capability). Data is unchanged; the
         commit is a new snapshot so readers stay consistent.
+        ``target_file_size_bytes`` instead derives the file count from
+        the current snapshot's total bytes (ceil(bytes/target) — Delta's
+        OPTIMIZE maxFileSize knob), mutually exclusive with an explicit
+        ``target_partitions``.
 
         ``cluster_by`` sort-clusters the rewrite on a column list
         (lexicographic): perfect file-level min/max selectivity on the
@@ -573,6 +578,24 @@ class VersionedTable:
         the stats would leave ``read_pruned`` scanning everything. The
         cluster/Z-order columns are added to the refreshed set.
         """
+        if target_partitions is not None and target_file_size_bytes is not None:
+            raise ValueError(
+                "compact: pass target_partitions OR target_file_size_bytes"
+            )
+        if target_file_size_bytes is not None:
+            # bin-pack by SIZE (Delta OPTIMIZE's maxFileSize /
+            # spark.databricks.delta.optimize.maxFileSize analog): derive
+            # the file count from the CURRENT snapshot's bytes so output
+            # files land near the 128-512 MiB scan sweet spot without the
+            # caller knowing the table's size. Post-compaction size can
+            # differ (re-encoding changes compression), so this is a
+            # target, not a bound — same contract as Delta's.
+            total = sum(f["size_bytes"] for f in self.files())
+            target_partitions = max(
+                1, -(-total // int(target_file_size_bytes))
+            )
+        elif target_partitions is None:
+            target_partitions = 1
         prior_stats_cols = list(
             self._current_snapshot().get("stats_cols", [])
         )

@@ -1650,3 +1650,27 @@ def test_purge_rows_rewrites_all_history(spark, tmp_path):
     vt2.delete_where_positional("id = 2")
     with pytest.raises(ValueError, match="tombstones/deletion"):
         vt2.purge_rows("subject = 0")
+
+
+def test_compact_by_target_file_size(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import (
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "binpack"))
+    vt.overwrite(
+        spark.range(20000)
+        .repartition(16)  # 16 small files
+        .select("id", F.concat(F.lit("pad-"), F.col("id")).alias("s"))
+    )
+    total = sum(f["size_bytes"] for f in vt.files())
+    assert len(vt.files()) == 16
+    vt.compact(target_file_size_bytes=total // 4 + 1)
+    n_files = len(vt.files())
+    assert 2 <= n_files <= 5  # ~4 bins (re-encoding shifts sizes a bit)
+    assert vt.read().count() == 20000
+    with pytest.raises(ValueError, match="OR target_file_size_bytes"):
+        vt.compact(target_partitions=2, target_file_size_bytes=1)
