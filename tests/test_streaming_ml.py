@@ -93,3 +93,44 @@ def test_matches_host_replay_and_versions_history(spark, tmp_path):
         [r["ce"] for r in sorted(final.collect(), key=lambda r: r["cell"])]
     )
     np.testing.assert_allclose(got, wc, rtol=0, atol=0)
+
+
+def test_streaming_state_metrics_exposed(spark):
+    """StreamingQuery progress observability: the state-store metrics a
+    production runbook watches (rows in state, updated rows, watermark)
+    are present and sane on a windowed aggregate replay."""
+    import tempfile
+    import uuid
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import (
+        load_table,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        stream_tumbling_counts,
+    )
+
+    stage = tempfile.mkdtemp(prefix="obs_stage_")
+    load_table(spark, SF, "events").coalesce(2).write.mode("append").parquet(
+        stage
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+    name = f"obs_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="obs_ckpt_")
+        )
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert progresses, "no progress with input rows recorded"
+    state = progresses[-1]["stateOperators"][0]
+    n_windows = spark.table(name).count()
+    assert state["numRowsTotal"] == n_windows > 0
+    assert state["numRowsUpdated"] > 0
