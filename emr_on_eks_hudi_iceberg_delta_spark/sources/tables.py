@@ -1745,6 +1745,74 @@ class VersionedTable:
                 return self
         raise ValueError(f"no staged snapshot {version} at {self.location}")
 
+    def build_record_index(self, key_cols: list[str]) -> "VersionedTable":
+        """Record-level index (Hudi RLI analog, metadata-table
+        ``record_index`` partition): persist an exact key -> data-file
+        mapping for the CURRENT snapshot, so a point lookup opens ONE
+        file instead of bloom-maybe-several or stats-range-many — the
+        third and sharpest tier of the skipping stack (min/max stats <
+        bloom < exact index). Stored as parquet beside the snapshot
+        (``record_index-<version>``); one scan of the snapshot builds
+        it (distributed write, no driver state). Stale by design after
+        the next commit — rebuild per published snapshot the way Hudi's
+        indexer table service does; lookups through a stale index raise.
+        """
+        snap = self._current_snapshot()
+        idx_dir = os.path.join(
+            self.location, f"record_index-{snap['version']:05d}"
+        )
+        (
+            self.spark.read.parquet(snap["dir"])
+            .select(
+                *key_cols,
+                F.col("_metadata.file_path").alias("__file"),
+            )
+            .write.mode("overwrite")
+            .parquet(idx_dir)
+        )
+        meta = self._meta()
+        entry = next(
+            x for x in meta["snapshots"] if x["version"] == snap["version"]
+        )
+        entry["record_index"] = {"dir": idx_dir, "key_cols": list(key_cols)}
+        self._write_meta(meta)
+        return self
+
+    def index_lookup(self, key_values: dict) -> DataFrame:
+        """Point lookup through the record-level index: resolve the
+        key's data file(s) from the index (an index-only scan — the
+        data files are untouched), then read ONLY those files with the
+        key predicate applied. Raises when the HEAD has no index (a
+        stale index from an older snapshot never serves silently).
+
+        Scale: the index scan is itself min/max-prunable parquet of
+        (key, file) pairs; the data read is one file per matching key —
+        the same two-hop path a Hudi RLI point read takes.
+        """
+        snap = self._current_snapshot()
+        idx = snap.get("record_index")
+        if idx is None:
+            raise ValueError(
+                f"no record index on snapshot {snap['version']} at "
+                f"{self.location} — build_record_index() after each "
+                "published commit"
+            )
+        missing = set(key_values) - set(idx["key_cols"])
+        if missing:
+            raise ValueError(
+                f"index covers {idx['key_cols']}, not {sorted(missing)}"
+            )
+        idx_df = self.spark.read.parquet(idx["dir"])
+        for col, val in key_values.items():
+            idx_df = idx_df.filter(F.col(col) == F.lit(val))
+        files = [r["__file"] for r in idx_df.select("__file").distinct().collect()]
+        if not files:
+            return self.read().filter(F.lit(False))
+        df = self.spark.read.parquet(*[f.replace("file:", "") for f in files])
+        for col, val in key_values.items():
+            df = df.filter(F.col(col) == F.lit(val))
+        return df
+
     def purge_rows(self, condition) -> dict:
         """GDPR / right-to-be-forgotten purge: physically remove
         predicate-TRUE rows from EVERY snapshot — published history,

@@ -1674,3 +1674,36 @@ def test_compact_by_target_file_size(spark, tmp_path):
     assert vt.read().count() == 20000
     with pytest.raises(ValueError, match="OR target_file_size_bytes"):
         vt.compact(target_partitions=2, target_file_size_bytes=1)
+
+
+def test_record_level_index_point_lookup(spark, tmp_path):
+    """RLI: exact key->file mapping serves a point lookup from ONE data
+    file; stale index (head advanced) refuses; empty key returns empty."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import (
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "rli"))
+    vt.overwrite(
+        spark.range(10000)
+        .repartition(8)  # 8 data files
+        .select("id", (F.col("id") * 2).alias("v"))
+    )
+    assert len(vt.files()) == 8
+    vt.build_record_index(["id"])
+
+    hit = vt.index_lookup({"id": 4321})
+    rows = hit.collect()
+    assert [(r["id"], r["v"]) for r in rows] == [(4321, 8642)]
+    # exactly one data file opened
+    assert len(hit.inputFiles()) == 1
+    assert vt.index_lookup({"id": -5}).count() == 0
+    with pytest.raises(ValueError, match="index covers"):
+        vt.index_lookup({"nope": 1})
+
+    vt.append(spark.range(10000, 10010).select("id", (F.col("id") * 2).alias("v")))
+    with pytest.raises(ValueError, match="no record index"):
+        vt.index_lookup({"id": 4321})
