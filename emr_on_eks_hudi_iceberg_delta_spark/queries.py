@@ -9848,3 +9848,37 @@ def q_catalog_materialized_view(spark, sf_dir):
     mv = cat.table("order_stats")
     assert len(mv.history()) == 2  # create + refresh, both versioned
     return mv.read()
+
+
+@register(
+    "record_index_point_lookup",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders WHERE o_orderkey IN (103, 4000, 9999999)
+    """,
+    tags=("lake", "S2", "extension"),
+)
+def q_record_index_point_lookup(spark, sf_dir):
+    """Record-level index point lookups
+    (sources/tables.build_record_index / index_lookup — Hudi RLI
+    analog): orders lands as an 8-file table, an exact key->file index
+    is built in one scan, and three point lookups (two hits, one miss)
+    each resolve their key's single data file from an index-only scan —
+    the sharpest tier of the skipping stack (min/max < bloom < exact).
+    The oracle replays the same keyed selection; the one-file-read
+    property is pinned in tests/test_table_store.py."""
+    import tempfile
+
+    from .sources.tables import VersionedTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_rli_"))
+    vt.overwrite(o.repartition(8))
+    vt.build_record_index(["o_orderkey"])
+    out = None
+    for key in (103, 4000, 9999999):
+        hit = vt.index_lookup({"o_orderkey": key})
+        out = hit if out is None else out.unionByName(hit)
+    return out
