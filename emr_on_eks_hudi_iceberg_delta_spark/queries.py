@@ -9882,3 +9882,46 @@ def q_record_index_point_lookup(spark, sf_dir):
         hit = vt.index_lookup({"o_orderkey": key})
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+@register(
+    "partition_retention_drop",
+    oracle="""
+    WITH ev AS (SELECT *, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+                FROM events)
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM ev
+    WHERE day > (SELECT MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) FROM events)
+    GROUP BY day
+    """,
+    tags=("lake", "scale", "extension"),
+)
+def q_partition_retention_drop(spark, sf_dir):
+    """Partition-granular retention
+    (sources/partitioned.drop_partitions_where — Hive DROP PARTITION /
+    the nightly retention job of every day-partitioned event table):
+    events land day-partitioned, the OLDEST day is dropped by value
+    predicate (metadata-only — files stay for time travel; reclaim
+    follows history retention), and the head is read back per day. The
+    oracle replays the same cut over the raw events."""
+    import tempfile
+
+    from .sources.parquet import load_table
+    from .sources.partitioned import PartitionedTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("date").cast("string").alias("day")
+    )
+    min_day = ev.agg(F.min("day")).collect()[0][0]
+    pt = PartitionedTable(spark, tempfile.mkdtemp(prefix="pt_ret_"), "day")
+    pt.overwrite(ev)
+    pt.drop_partitions_where(lambda d: d <= min_day)
+    # hive partition-type inference reads the day dir values back as
+    # DATE; normalize to the written string type for the oracle compare
+    return (
+        pt.read()
+        .withColumn("day", F.col("day").cast("string"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )

@@ -190,6 +190,42 @@ class PartitionedTable:
         self._publish(current, commit_id=commit_id)
         return self
 
+    def drop_partitions_where(self, predicate) -> list[str]:
+        """Partition-granular retention (Hive ``ALTER TABLE ... DROP
+        PARTITION`` / the time-based retention job every event table
+        runs): publish a new version WITHOUT the live partitions whose
+        VALUE passes ``predicate`` (a host callable over the partition
+        value string, same contract as ``read_partitions_where`` —
+        e.g. ``lambda d: d < "2024-01-10"`` on a day layout).
+
+        Metadata-only: dropped partitions' files stay on disk serving
+        older versions (time travel still reads them); reclaim happens
+        when history retention expires those versions — the same
+        two-phase delete discipline as row-level retention. Returns the
+        dropped partition keys. Mixed-spec manifests (post-evolution)
+        refuse, like value-pruned reads."""
+        versions = self._versions()
+        if not versions:
+            raise FileNotFoundError(f"no commit at {self.location}")
+        current = dict(versions[-1]["partitions"])
+        prefix = f"{self.partition_col}="
+        foreign = [k for k in current if not k.startswith(prefix)]
+        if foreign:
+            raise ValueError(
+                f"drop_partitions_where: manifest holds partitions under "
+                f"other specs ({foreign[:3]}...); compact or upsert to "
+                f"migrate before value-predicated drops"
+            )
+        dropped = sorted(
+            k for k in current if predicate(k[len(prefix):])
+        )
+        if not dropped:
+            return []
+        for k in dropped:
+            del current[k]
+        self._publish(current)
+        return dropped
+
     def upsert(
         self,
         updates: DataFrame,
