@@ -9925,3 +9925,65 @@ def q_partition_retention_drop(spark, sf_dir):
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
     )
+
+
+@register(
+    "corpus_dataset_card",
+    oracle="""
+    WITH feats AS (
+      SELECT text, lang, n_chars,
+        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+          AS n_tokens,
+        ((((-0.75
+          + 1.5 * (CAST(least(CAST(len(string_split_regex(trim(text),
+                '\\s+')) AS BIGINT), 256) AS DOUBLE) / 256.0))
+          + 0.125 * COALESCE((CAST(length(text) AS BIGINT)
+              - (len(string_split_regex(trim(text), '\\s+')) - 1))
+              / len(string_split_regex(trim(text), '\\s+')), 0.0))
+          + -2.25 * COALESCE(CAST(len(regexp_extract_all(text,
+              '[^A-Za-z0-9\\s]')) AS BIGINT)
+              / CAST(length(text) AS BIGINT), 0.0))
+          + 1.5 * COALESCE(CAST(len(regexp_extract_all(text,
+              '\\b(the|a|of|and|in|to)\\b')) AS BIGINT)
+              / CAST(len(string_split_regex(trim(text), '\\s+'))
+                     AS BIGINT), 0.0)) AS z
+      FROM documents)
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_docs,
+      CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en,
+      CAST(COUNT(*) FILTER (WHERE z >= 0) AS BIGINT) AS n_quality_pass,
+      quantile_cont(n_chars, 0.5) AS median_chars,
+      quantile_cont(n_chars, 0.9) AS p90_chars
+    FROM feats
+    """,
+    tags=("text", "corpus", "quality", "extension"),
+)
+def q_corpus_dataset_card(spark, sf_dir):
+    """Dataset card in one pass — the numbers a published corpus card
+    states (docs/chars/tokens, language spread, exact-dup uniqueness,
+    quality-classifier pass count, length percentiles), computed as ONE
+    aggregate over one scan (count-distincts expand to two-phase
+    aggregates; percentiles use the same linear-interpolation
+    definition in Spark and DuckDB — the exact_quantiles precedent; the
+    classifier term is the bit-exact linear fold of
+    quality_classifier_scores). At 100 TB the count-distincts swap for
+    the HLL sketches (operators/sketches.py) and the percentiles for
+    KLL — both registered separately; this is the exactness baseline."""
+    from .operators.text import linear_quality_score
+
+    docs = linear_quality_score(_t(spark, sf_dir, "documents"))
+    return docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_chars")).cast("bigint").alias("n_chars"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("n_unique_docs"),
+        F.count_if(F.col("lang") == "en").cast("bigint").alias("n_en"),
+        F.sum("quality_pass").cast("bigint").alias("n_quality_pass"),
+        F.percentile("n_chars", 0.5).alias("median_chars"),
+        F.percentile("n_chars", 0.9).alias("p90_chars"),
+    )
