@@ -114,3 +114,28 @@ def quarantine_split(
     valid = tagged.filter(F.col("failed_rules") == "").drop("failed_rules")
     quarantined = tagged.filter(F.col("failed_rules") != "")
     return valid, quarantined
+
+
+class ExpectationFailure(ValueError):
+    """Raised by ``expect_or_fail`` when any rule has a violating row."""
+
+
+def expect_or_fail(
+    df: DataFrame, rules: dict[str, Column | str]
+) -> DataFrame:
+    """DLT's ``expect_or_fail`` flavor, completing the triad (``warn`` =
+    ``expectations_report`` alone, ``drop`` = ``quarantine_split``):
+    evaluate the report and RAISE on the first rule with violations,
+    naming every failing rule and its counts — the mode for invariants
+    where landing any bad row is worse than halting the pipeline.
+    Returns ``df`` unchanged when all rules pass, so it chains inline:
+    ``expect_or_fail(batch, rules).write...``. One aggregation pass, as
+    the report."""
+    report = expectations_report(df, rules).collect()
+    bad = [r for r in report if r["n_fail"] > 0]
+    if bad:
+        detail = ", ".join(
+            f"{r['rule']}: {r['n_fail']}/{r['n_rows']} rows" for r in bad
+        )
+        raise ExpectationFailure(f"expectations violated — {detail}")
+    return df

@@ -80,3 +80,17 @@ def test_empty_rules_rejected(spark):
         expectations_report(li, {})
     with pytest.raises(ValueError):
         quarantine_split(li, {})
+
+
+def test_expect_or_fail_triad(spark):
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.expectations import (
+        ExpectationFailure,
+        expect_or_fail,
+    )
+
+    li = _li(spark)
+    # passing rules chain through unchanged
+    out = expect_or_fail(li, {"tax_ok": "l_tax >= 0"})
+    assert out is li
+    with pytest.raises(ExpectationFailure, match="qty_le_30"):
+        expect_or_fail(li, RULES)
