@@ -629,3 +629,147 @@ def fuzzy_match_pairs(
         .filter(F.col("distance") <= int(max_distance))
         .select("id_a", "id_b", "text_a", "text_b", "distance")
     )
+
+
+def build_lsh_index(
+    corpus: DataFrame,
+    location: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    bands: int = 4,
+):
+    """Persist the corpus's dedup state as a ``VersionedTable`` — the
+    production loop ``dedup_incremental_batch``'s docstring promises:
+    signatures/digests are pure per-row maps, so their stored form is
+    identical to recomputation, and persisting them drops the per-batch
+    cost from O(corpus + batch) to O(batch + matched buckets).
+
+    One row per (doc, band): ``(doc_id, band, key)``; the exact-dup
+    screen rides along as ``band = -1`` rows whose key is the full-text
+    md5 digest. LSH parameters are recorded as table properties and
+    validated on query — a batch hashed under different parameters
+    joins garbage, so mismatches refuse loudly. Index maintenance is
+    table maintenance: ``append`` surviving batches' rows (see
+    ``lsh_index_append``), vacuum/compact/time-travel for free.
+    """
+    from ..sources.tables import VersionedTable
+
+    sig = minhash_signatures(corpus, text_col, id_col, num_hashes, shingle_n)
+    band_rows = lsh_band_buckets(sig, id_col, num_hashes, bands)
+    digest_rows = corpus.select(
+        F.col(id_col),
+        F.lit(-1).alias("band"),
+        F.md5(F.col(text_col)).alias("key"),
+    )
+    vt = VersionedTable(corpus.sparkSession, location)
+    vt.overwrite(band_rows.unionByName(digest_rows))
+    for k, v in (
+        ("lsh.num_hashes", num_hashes),
+        ("lsh.shingle_n", shingle_n),
+        ("lsh.bands", bands),
+        ("lsh.text_col", text_col),
+        ("lsh.id_col", id_col),
+    ):
+        vt.set_property(k, str(v))
+    return vt
+
+
+def _lsh_index_params(vt) -> tuple[str, str, int, int, int]:
+    p = vt.properties()
+    try:
+        return (
+            p["lsh.text_col"],
+            p["lsh.id_col"],
+            int(p["lsh.num_hashes"]),
+            int(p["lsh.shingle_n"]),
+            int(p["lsh.bands"]),
+        )
+    except KeyError as e:
+        raise ValueError(
+            f"{vt.location} is not an LSH index (missing property {e})"
+        ) from None
+
+
+def lsh_index_dedup_batch(
+    vt,
+    new_batch: DataFrame,
+    corpus_text: DataFrame | None = None,
+    threshold: float = 0.7,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Screen ``new_batch`` against a PERSISTED LSH index
+    (``build_lsh_index``) — the daily-ingest flavor of
+    ``dedup_incremental_batch`` whose corpus-side work is an index READ,
+    not a recompute. Same two screens, same semantics:
+
+    1. exact — batch digests semi-join the index's ``band = -1`` rows;
+    2. near — batch band keys join the index's band rows (bucket cap
+       over the union, NEW x OLD pairs only); candidates verify at
+       n-gram Jaccard >= ``threshold`` against ``corpus_text`` (the
+       docs table holding the corpus text — the index stores hashes,
+       not text; omit it to skip verification and treat every LSH
+       candidate as a duplicate, the recall-maximal screen).
+
+    Returns surviving batch rows, all columns intact.
+    """
+    from .similarity import cap_buckets
+
+    text_col, id_col, num_hashes, shingle_n, bands = _lsh_index_params(vt)
+    idx = vt.read()
+    old_digests = (
+        idx.filter(F.col("band") == -1).select(F.col("key").alias("__dg")).distinct()
+    )
+    bn = lsh_band_buckets(
+        minhash_signatures(new_batch, text_col, id_col, num_hashes, shingle_n),
+        id_col, num_hashes, bands,
+    ).withColumn("__side", F.lit("new"))
+    bo = idx.filter(F.col("band") >= 0).withColumn("__side", F.lit("old"))
+    buckets = cap_buckets(bn.unionByName(bo), max_bucket_size)
+    pairs = (
+        buckets.filter(F.col("__side") == "new")
+        .select(F.col(id_col).alias("id_a"), "band", "key")
+        .join(
+            buckets.filter(F.col("__side") == "old").select(
+                F.col(id_col).alias("id_b"), "band", "key"
+            ),
+            ["band", "key"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if corpus_text is not None:
+        near = ngram_jaccard_pairs(
+            new_batch.unionByName(corpus_text),
+            pairs, text_col, id_col, shingle_n, threshold,
+        )
+        near_ids = near.select(F.col("id_a").alias(id_col)).distinct()
+    else:
+        near_ids = pairs.select(F.col("id_a").alias(id_col)).distinct()
+    dg = F.md5(F.col(text_col))
+    return (
+        new_batch.withColumn("__dg", dg)
+        .join(old_digests, "__dg", "left_anti")
+        .drop("__dg")
+        .join(near_ids, id_col, "left_anti")
+    )
+
+
+def lsh_index_append(vt, accepted_batch: DataFrame) -> None:
+    """Fold an ACCEPTED batch into the persisted index (one table
+    append of its band + digest rows) — after this commit the next
+    batch dedups against yesterday-plus-today. The index evolves by
+    table commits: history shows every ingest, time travel replays any
+    day's screen."""
+    text_col, id_col, num_hashes, shingle_n, bands = _lsh_index_params(vt)
+    sig = minhash_signatures(
+        accepted_batch, text_col, id_col, num_hashes, shingle_n
+    )
+    band_rows = lsh_band_buckets(sig, id_col, num_hashes, bands)
+    digest_rows = accepted_batch.select(
+        F.col(id_col),
+        F.lit(-1).alias("band"),
+        F.md5(F.col(text_col)).alias("key"),
+    )
+    vt.append(band_rows.unionByName(digest_rows))

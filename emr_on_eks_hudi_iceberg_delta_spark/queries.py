@@ -9987,3 +9987,31 @@ def q_corpus_dataset_card(spark, sf_dir):
         F.percentile("n_chars", 0.5).alias("median_chars"),
         F.percentile("n_chars", 0.9).alias("p90_chars"),
     )
+
+
+@register(
+    "dedup_incremental_index",
+    oracle=REGISTRY["dedup_incremental_batch"].oracle,
+    tags=("dedup", "lake", "extension", "corpus"),
+)
+def q_dedup_incremental_index(spark, sf_dir):
+    """Incremental dedup against a PERSISTED LSH index
+    (operators/dedup.build_lsh_index / lsh_index_dedup_batch) — the
+    production loop dedup_against_corpus's scale note promises: corpus
+    signatures/digests are built ONCE into a VersionedTable (band rows +
+    band=-1 digest rows, parameters as validated table properties) and
+    each batch screens against the index READ, dropping per-batch cost
+    to O(batch + matched buckets). Same two screens, same semantics —
+    this query shares dedup_incremental_batch's oracle verbatim: the
+    persisted-index path must give the identical surviving rows."""
+    import tempfile
+
+    from .operators.dedup import build_lsh_index, lsh_index_dedup_batch
+
+    docs = _t(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    vt = build_lsh_index(corpus, tempfile.mkdtemp(prefix="lsh_idx_"))
+    return lsh_index_dedup_batch(
+        vt, new_batch, corpus_text=corpus, threshold=0.5
+    ).select("doc_id", "source", "n_chars")

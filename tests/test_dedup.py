@@ -1,0 +1,48 @@
+
+
+def test_lsh_index_two_day_loop(spark, tmp_path):
+    """The daily-ingest loop: build the index from day-0 corpus, screen
+    day-1 (equivalence with the recompute path), fold accepted rows in,
+    then screen day-2 — an exact day-1 duplicate must now be caught by
+    the UPDATED index, not just the original corpus."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.dedup import (
+        build_lsh_index,
+        dedup_against_corpus,
+        lsh_index_append,
+        lsh_index_dedup_batch,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    day1 = docs.filter(F.col("doc_id") % 3 == 0)
+
+    vt = build_lsh_index(corpus, str(tmp_path / "lsh_idx"))
+    got = lsh_index_dedup_batch(vt, day1, corpus_text=corpus, threshold=0.5)
+    want = dedup_against_corpus(day1, corpus)
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in want.collect()
+    )
+
+    # fold day-1 survivors in; day-2 re-ingests one surviving day-1 doc
+    survivors = got
+    lsh_index_append(vt, survivors)
+    one = survivors.limit(1).collect()[0]
+    day2 = spark.createDataFrame(
+        [(999999, one["text"], one["lang"], one["source"], one["n_chars"])],
+        docs.schema,
+    )
+    kept = lsh_index_dedup_batch(vt, day2, corpus_text=None)
+    assert kept.count() == 0  # exact digest now IN the index
+
+    # parameter mismatch refuses loudly
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import (
+        VersionedTable,
+    )
+
+    plain = VersionedTable(spark, str(tmp_path / "not_an_index"))
+    plain.overwrite(spark.range(3).select("id"))
+    with pytest.raises(ValueError, match="not an LSH index"):
+        lsh_index_dedup_batch(plain, day2)
