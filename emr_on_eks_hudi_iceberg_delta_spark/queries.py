@@ -10015,3 +10015,34 @@ def q_dedup_incremental_index(spark, sf_dir):
     return lsh_index_dedup_batch(
         vt, new_batch, corpus_text=corpus, threshold=0.5
     ).select("doc_id", "source", "n_chars")
+
+
+@register(
+    "streaming_scd2_enrich",
+    oracle=REGISTRY["scd2_point_in_time_lookup"].oracle,
+    tags=("streaming", "scd2", "temporal", "join", "extension"),
+)
+def q_streaming_scd2_enrich(spark, sf_dir):
+    """STREAMING point-in-time SCD2 enrichment: the event stream joins
+    the SCD2 customer dimension's version valid AT each event's
+    timestamp, per micro-batch (stream-static inner equi join with the
+    validity range as residual filter — stateless, no watermark, zero
+    stream-side state; the dimension re-evaluates per batch, so a
+    mid-stream dimension commit is picked up exactly as Delta's
+    stream-static semantics). Shares scd2_point_in_time_lookup's oracle
+    verbatim: the streamed replay must equal the batch lookup."""
+    from .operators.temporal import scd2_asof_lookup
+
+    dim = scd2_merge_delta_style(
+        scd2_target(spark, sf_dir, include_ts=False),
+        customer_updates(spark, sf_dir),
+        "c_custkey",
+        CHECKSUM_COLS,
+        as_of=T2,
+    )
+    ev = _events_stream(spark, sf_dir)
+    out = scd2_asof_lookup(ev, dim, "user_id", "c_custkey", "ts").select(
+        "event_id", "user_id", ev["ts"], "c_mktsegment", "valid_from",
+        "iscurrent",
+    )
+    return run_stream_to_memory(out, output_mode="append")
