@@ -40,6 +40,10 @@ class ConstraintViolationError(ValueError):
     """A CHECK constraint evaluated to FALSE for at least one row."""
 
 
+class AppendOnlyViolationError(ValueError):
+    """A rewrite was attempted on a ``delta.appendOnly=true`` table."""
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed between this writer's read and its commit
     (the local analog of a failed Hudi/Iceberg OCC lock acquisition —
@@ -138,6 +142,23 @@ class VersionedTable:
         if expected_version is not None and current != expected_version:
             raise ConcurrentCommitError(
                 f"expected version {expected_version} but table is at {current}"
+            )
+        if (
+            str(meta.get("properties", {}).get("delta.appendOnly", "")).lower()
+            == "true"
+            and snaps
+            and op
+            in ("WRITE", "DELETE", "UPDATE", "REPLACE WHERE", "MERGE",
+                "RESTORE", "REVERT", "CHERRYPICK")
+        ):
+            # Delta delta.appendOnly enforcement: once set, only APPEND
+            # (and layout-preserving maintenance like OPTIMIZE) may
+            # commit — rewrites that could drop or alter rows refuse.
+            # The audit-log / event-archive contract; clear the property
+            # to re-enable rewrites.
+            raise AppendOnlyViolationError(
+                f"table at {self.location} is delta.appendOnly=true — "
+                f"{op} would rewrite rows; unset the property first"
             )
         for cname, cexpr in meta.get("constraints", {}).items():
             # Delta CHECK semantics: a row violates only when the
@@ -311,7 +332,10 @@ class VersionedTable:
         if "__row_id" in current.columns and "__row_id" not in df.columns:
             # appended rows get fresh ids in _commit; existing keep theirs
             df = df.withColumn("__row_id", F.lit(None).cast("bigint"))
-        self._commit(current.unionByName(df, allowMissingColumns=merge_schema))
+        self._commit(
+            current.unionByName(df, allowMissingColumns=merge_schema),
+            op="APPEND",
+        )
         return self
 
     def append_with_identity(

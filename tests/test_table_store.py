@@ -1707,3 +1707,37 @@ def test_record_level_index_point_lookup(spark, tmp_path):
     vt.append(spark.range(10000, 10010).select("id", (F.col("id") * 2).alias("v")))
     with pytest.raises(ValueError, match="no record index"):
         vt.index_lookup({"id": 4321})
+
+
+def test_append_only_property_enforced(spark, tmp_path):
+    """delta.appendOnly: once set, appends commit but any rewrite path
+    (overwrite/delete/update/upsert/restore) refuses; unsetting the
+    property re-enables rewrites — the audit-log table contract."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import (
+        AppendOnlyViolationError,
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "ao"))
+    vt.overwrite(spark.range(5).select("id", F.lit("a").alias("v")))
+    vt.set_property("delta.appendOnly", "true")
+    vt.append(spark.range(5, 8).select("id", F.lit("b").alias("v")))
+    assert vt.read().count() == 8
+    for action in (
+        lambda: vt.overwrite(spark.range(2).select("id", F.lit("x").alias("v"))),
+        lambda: vt.delete_where("id = 1"),
+        lambda: vt.update_where("id = 1", {"v": "'z'"}),
+        lambda: vt.upsert(
+            spark.range(1).select("id", F.lit("u").alias("v")), ["id"], "v"
+        ),
+        lambda: vt.restore(0),
+    ):
+        with pytest.raises(AppendOnlyViolationError):
+            action()
+    assert vt.read().count() == 8
+    vt.set_property("delta.appendOnly", "false")
+    vt.delete_where("id = 0")
+    assert vt.read().count() == 7
