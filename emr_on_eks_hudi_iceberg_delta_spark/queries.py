@@ -10046,3 +10046,43 @@ def q_streaming_scd2_enrich(spark, sf_dir):
         "iscurrent",
     )
     return run_stream_to_memory(out, output_mode="append")
+
+
+@register(
+    "governance_masked_view",
+    oracle="""
+    SELECT c_custkey,
+           substr(md5(c_name), 1, 12) AS name_token,
+           c_mktsegment
+    FROM customer
+    WHERE c_mktsegment != 'AUTOMOBILE' AND c_custkey % 2 = 0
+    """,
+    tags=("lake", "catalog", "quality", "extension"),
+)
+def q_governance_masked_view(spark, sf_dir):
+    """Governance through catalog views — column masking + row-level
+    security as a stored view definition (the mechanism behind masked
+    readers in every lakehouse governance layer): the raw customer
+    table registers in the catalog, a view tokenizes the name column
+    (md5 prefix — deterministic join-able token, never the cleartext)
+    and filters out a protected segment, and the consumer reads ONLY
+    through the view by name. The oracle replays mask and filter; the
+    view definition survives in the catalog document (SHOW CREATE-able,
+    session-independent)."""
+    import tempfile
+
+    from .sources.catalog import LakeCatalog
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    cat = LakeCatalog(spark, tempfile.mkdtemp(prefix="cat_gov_"))
+    cat.create_table("customer_raw", cust.filter(F.col("c_custkey") % 2 == 0))
+    cat.create_view(
+        "customer_masked",
+        """SELECT c_custkey, substr(md5(c_name), 1, 12) AS name_token,
+                  c_mktsegment
+           FROM customer_raw
+           WHERE c_mktsegment != 'AUTOMOBILE'""",
+    )
+    return cat.view("customer_masked")
