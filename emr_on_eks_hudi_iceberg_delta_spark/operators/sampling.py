@@ -195,3 +195,34 @@ def exact_k_per_stratum(
         .filter(F.col("__rk") <= int(k))
         .drop("__rk")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    dup_pairs: DataFrame,
+    id_col: str,
+    splits: Mapping[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Train/test split at NEAR-DUP-CLUSTER granularity — the
+    eval-contamination trap ``hash_split`` alone cannot close: two
+    near-identical documents hash independently, so one lands in train
+    and its twin in test, leaking the answer. Here the split key is the
+    connected component over the verified duplicate pairs (the same
+    clusters dedup's keep-canonical uses), so a whole near-dup family
+    moves together; singleton docs are their own component and split
+    exactly as ``hash_split`` would on their id.
+
+    ``dup_pairs`` is any (id_a, id_b) verified-pair frame (LSH+Jaccard,
+    embedding cosine, fuzzy keys...). Returns ``docs`` plus
+    ``component`` and ``split`` columns.
+
+    Scale: the component pass is the CC loop (one shuffle per round,
+    rounds = cluster diameter); the assignment itself is a zero-shuffle
+    map on the component + one key join back to the docs.
+    """
+    from .dedup import connected_components
+
+    comp = connected_components(dup_pairs, docs.select(id_col), id_col)
+    labeled = hash_split(comp, "component", splits, salt)
+    return docs.join(labeled, id_col)

@@ -10086,3 +10086,38 @@ def q_governance_masked_view(spark, sf_dir):
            WHERE c_mktsegment != 'AUTOMOBILE'""",
     )
     return cat.view("customer_masked")
+
+
+@register(
+    "leakage_safe_split",
+    oracle=_SQL_CC.replace(
+        "    SELECT id AS doc_id, MIN(label) AS component FROM reach GROUP BY id",
+        """,
+    comp AS (
+      SELECT id AS doc_id, MIN(label) AS component FROM reach GROUP BY id)
+    SELECT doc_id, component,
+      CASE WHEN CAST(concat('0x', substr(md5(concat('lsplit:',
+               CAST(component AS VARCHAR))), 1, 15)) AS BIGINT)
+               % 10000 < 8000
+           THEN 'train' ELSE 'test' END AS split
+    FROM comp""",
+    ),
+    tags=("sampling", "dedup", "extension"),
+)
+def q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/test split
+    (operators/sampling.leakage_safe_split): the split key is the
+    near-dup CONNECTED COMPONENT, not the document id, so a whole
+    near-duplicate family lands in one split — closing the
+    eval-contamination hole where a test doc's near-twin sits in train.
+    Pairs come from the standard MinHash->LSH->Jaccard verify; the
+    oracle extends the recursive-CTE component oracle with the same
+    salted-md5 80/20 cut on the component id."""
+    from .operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = lsh_candidate_pairs(minhash_signatures(docs))
+    pairs = ngram_jaccard_pairs(docs, cands, threshold=0.5)
+    return leakage_safe_split(
+        docs, pairs, "doc_id", {"train": 0.8, "test": 0.2}, salt="lsplit:"
+    ).select("doc_id", "component", "split")

@@ -199,3 +199,57 @@ def test_exact_k_per_stratum_counts_and_determinism(spark):
     # a different salt picks a different (still deterministic) subset
     c = sorted(map(tuple, exact_k_per_stratum(docs, "lang", "doc_id", k=5, salt="v2").collect()))
     assert c != a
+
+
+def test_leakage_safe_split_keeps_clusters_whole(spark):
+    """No near-dup component may span train and test — the invariant the
+    operator exists for; and singleton docs must split at the configured
+    rates (roughly)."""
+    from pyspark.sql import functions as F
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = ngram_jaccard_pairs(
+        docs, lsh_candidate_pairs(minhash_signatures(docs)), threshold=0.5
+    )
+    out = leakage_safe_split(
+        docs, pairs, "doc_id", {"train": 0.8, "test": 0.2}, salt="t:"
+    )
+    spans = (
+        out.groupBy("component")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter("k > 1")
+        .count()
+    )
+    assert spans == 0
+    assert out.count() == docs.count()
+    # a naive per-doc split DOES leak on this corpus (the trap is real):
+    # some verified near-dup pair crosses the naive boundary
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.sampling import (
+        hash_split,
+    )
+
+    naive = hash_split(docs, "doc_id", {"train": 0.8, "test": 0.2}, salt="t:")
+    crossed = (
+        pairs.join(
+            naive.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")),
+            "id_a",
+        )
+        .join(
+            naive.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")),
+            "id_b",
+        )
+        .filter("sa != sb")
+        .count()
+    )
+    assert crossed > 0
+    rates = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert rates.get("train", 0) > rates.get("test", 0) > 0
