@@ -197,3 +197,60 @@ def ewma_scores(
             lambda acc, x: acc * F.lit(1.0 - a) + x * F.lit(a),
         ).alias("ewma_score"),
     )
+
+
+def cusum_scores(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    value_col: str = "value",
+    drift: float = 55.0,
+    threshold: float = 300.0,
+) -> DataFrame:
+    """Per-entity one-sided CUSUM change detection over the time-ordered
+    value sequence — the classic upward-shift detector
+    (``s_0 = 0``, ``s_i = max(0, s_{i-1} + x_i - drift)``; an alert when
+    the statistic crosses ``threshold``): sustained above-drift values
+    accumulate, normal fluctuation resets toward zero. Same Spark-first
+    shape as ``ewma_scores``: one key shuffle, in-row sort, sequential
+    ``F.aggregate`` fold seeded at 0.0 — which is exactly a DuckDB
+    ``list_reduce`` over the 0.0-prepended list, so the oracle replays
+    the recursion bit-for-bit (literal constants, same IEEE sequence).
+
+    Returns ``(key, n_events, cusum_final, alert)`` where ``alert`` is
+    the FINAL statistic exceeding the threshold (in-control entities
+    decay back under it; a latched any-time alarm needs a max-tracking
+    accumulator — a struct fold, same machinery, not replayable in
+    DuckDB's scalar list_reduce — so the gated contract is the final
+    state and the latched flavor stays host-side).
+
+    Scale: state per entity is its value array, as EWMA — pre-window
+    unbounded entities."""
+    d = float(drift)
+    vals = F.transform(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).alias("t"),
+                    F.col(order_tiebreak).alias("e"),
+                    F.col(value_col).cast("double").alias("v"),
+                )
+            )
+        ),
+        lambda x: x["v"],
+    )
+    cusum = F.aggregate(
+        vals,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc + x - F.lit(d), F.lit(0.0)),
+    )
+    return events.groupBy(key_col).agg(
+        F.size(vals).cast("bigint").alias("n_events"),
+        cusum.alias("cusum_final"),
+    ).select(
+        key_col,
+        "n_events",
+        "cusum_final",
+        (F.col("cusum_final") > float(threshold)).alias("alert"),
+    )

@@ -10121,3 +10121,37 @@ def q_leakage_safe_split(spark, sf_dir):
     return leakage_safe_split(
         docs, pairs, "doc_id", {"train": 0.8, "test": 0.2}, salt="lsplit:"
     ).select("doc_id", "component", "split")
+
+
+@register(
+    "events_cusum_alerts",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    g AS (SELECT user_id,
+                 list_transform(
+                   list_sort(list(struct_pack(
+                     t := ts, e := event_id, v := CAST(value AS DOUBLE)))),
+                   x -> x.v) AS vals
+          FROM ev GROUP BY user_id)
+    SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+           CAST(list_reduce(list_prepend(0.0, vals),
+                            (a, b) -> greatest(a + b - 55.0, 0.0))
+                AS DOUBLE) AS cusum_final,
+           CAST(list_reduce(list_prepend(0.0, vals),
+                            (a, b) -> greatest(a + b - 55.0, 0.0)) > 300.0
+                AS BOOLEAN) AS alert
+    FROM g
+    """,
+    tags=("events", "sequence", "agg", "extension"),
+)
+def q_events_cusum_alerts(spark, sf_dir):
+    """Per-user one-sided CUSUM change detection
+    (operators/sequence.cusum_scores, drift 55 / threshold 300): the
+    classic upward-shift statistic ``max(0, s + x - drift)`` folded over
+    each user's time-ordered values — sustained high activity
+    accumulates into an alert, normal fluctuation resets toward zero.
+    EXACT oracle: the 0.0-seeded Spark fold equals DuckDB's list_reduce
+    over the 0.0-prepended list, same IEEE sequence."""
+    from .operators.sequence import cusum_scores
+
+    return cusum_scores(_t(spark, sf_dir, "events"))
