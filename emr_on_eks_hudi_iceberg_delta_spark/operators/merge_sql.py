@@ -304,6 +304,7 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
         CALL system.revert_commit('t', v)          --  name => value args)
         CALL system.expire_snapshots(table => 't', retain_last => n)
         CALL system.purge_rows(table => 't', where => '<pred>')
+        CALL system.build_record_index(table => 't', key_cols => 'a,b')
         SELECT ... FROM t VERSION AS OF n        -- time-travel reads,
         SELECT ... FROM t TIMESTAMP AS OF 'ts'   -- per-reference rewrite
         SELECT ... FROM table_changes('t', a, b) -- CDF rows per commit
@@ -628,6 +629,14 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
                 [(out["dirs_rewritten"], out["rows_removed"])],
                 "dirs_rewritten int, rows_removed bigint",
             )
+        if proc == "build_record_index":
+            cols = _arg("key_cols")
+            if cols is None:
+                raise ValueError(
+                    "CALL system.build_record_index: missing key_cols"
+                )
+            vt.build_record_index([c.strip() for c in cols.split(",")])
+            return
         raise ValueError(f"DML: unknown procedure system.{proc}")
     m = re.match(
         r"\s*VACUUM\s+(?P<t>[\w.]+)(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?"

@@ -796,3 +796,24 @@ def test_call_purge_rows_procedure(spark, tmp_path):
     assert out["rows_removed"] == 12
     assert vt.read(version=0).filter("s = 1").count() == 0
     assert vt.read().count() == 7
+
+
+def test_call_build_record_index(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.merge_sql import (
+        run_dml,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import (
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "rli_sql"))
+    vt.overwrite(spark.range(100).repartition(4).select("id", F.lit("x").alias("v")))
+    run_dml(
+        spark,
+        "CALL system.build_record_index(table => 't', key_cols => 'id')",
+        tables={"t": vt},
+    )
+    hit = vt.index_lookup({"id": 42})
+    assert hit.count() == 1 and len(hit.inputFiles()) == 1
