@@ -479,6 +479,51 @@ class PartitionedTable:
             return self.read().filter(F.lit(False))
         return self._read_partitions(current, chosen)
 
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Version retention for the partitioned store — the reclaim half
+        of the two-phase delete ``drop_partitions_where`` documents:
+        keep the newest ``keep_last`` manifest versions and delete every
+        commit directory no KEPT version references (a dropped
+        partition's files survive exactly as long as a kept version can
+        still time-travel to them, then go). Mirrors
+        ``VersionedTable.vacuum``'s referenced-dirs discipline: reclaim
+        is keyed on the kept set's commit ids, never on the dropped
+        entries, so shared commits stay live. Returns the deleted
+        commit-dir paths."""
+        import shutil
+
+        doc = self._doc()
+        versions = doc["versions"]
+        if keep_last < 1:
+            raise ValueError("vacuum: keep_last must be >= 1")
+        if len(versions) <= keep_last:
+            return []
+        kept = versions[-keep_last:]
+        referenced = {
+            cid for v in kept for cid in v["partitions"].values()
+        }
+        files_root = os.path.join(self.location, "files")
+        deleted = []
+        if os.path.isdir(files_root):
+            for entry in sorted(os.listdir(files_root)):
+                if not entry.startswith("commit-"):
+                    continue
+                cid = int(entry.split("-", 1)[1])
+                if cid not in referenced:
+                    path = os.path.join(files_root, entry)
+                    shutil.rmtree(path, ignore_errors=True)
+                    deleted.append(path)
+        doc["versions"] = kept
+        # commit_specs for reclaimed commits are dead weight; keep only
+        # specs of commits any kept version references
+        doc["commit_specs"] = {
+            k: v
+            for k, v in doc["commit_specs"].items()
+            if int(k) in referenced
+        }
+        self._write_doc(doc)
+        return deleted
+
     def history(self) -> list[dict]:
         return self._versions()
 
