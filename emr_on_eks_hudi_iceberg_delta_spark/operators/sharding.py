@@ -92,6 +92,7 @@ def export_shards(
     files_per_shard: int = 1,
     file_format: str = "parquet",
     verify: bool = True,
+    order_by: list[str] | None = None,
 ) -> DataFrame:
     """Write ``df`` as ``path/shard_id=K/`` dirs and return the manifest
     DataFrame ``(shard_id, n_rows, n_files, n_bytes, hash_sum,
@@ -102,6 +103,10 @@ def export_shards(
     One data movement total: rows hash-repartition on (shard_id, a
     within-shard file salt) so each output file is one task's write —
     ``n_shards x files_per_shard`` files regardless of input layout.
+
+    ``order_by`` sorts rows WITHIN each output file (length-grouped
+    loading); the multiset digests below are order-independent, so the
+    integrity contract is unchanged.
 
     The manifest carries each shard's order-independent CONTENT DIGEST
     (operators/validate.py triple over the data columns, sorted by name
@@ -117,11 +122,21 @@ def export_shards(
         md5_hash64(F.concat(F.lit("file:"), F.col(key_col).cast("string")))
         % files_per_shard
     ).cast("int")
+    writer = sharded.repartition(
+        n_shards * files_per_shard, F.col("shard_id"), file_in_shard
+    )
+    if order_by:
+        # within-file ordering (e.g. by token count): sequence-length-
+        # grouped batching at load time without a loader-side sort —
+        # each write task holds one (shard, file) group, so
+        # sortWithinPartitions IS the file order; digests are
+        # order-independent, so verification is unaffected
+        # shard_id leads the sort: the partitioned file writer requires
+        # input ordered by its partition columns and injects its own
+        # sort otherwise — which would DESTROY the secondary order
+        writer = writer.sortWithinPartitions("shard_id", *order_by)
     (
-        sharded.repartition(
-            n_shards * files_per_shard, F.col("shard_id"), file_in_shard
-        )
-        .write.mode("overwrite")
+        writer.write.mode("overwrite")
         .partitionBy("shard_id")
         .format(file_format)
         .save(path)

@@ -117,3 +117,19 @@ def test_manifest_digest_verifies_loader_side(spark):
     # simulate corruption: drop one row -> digest disagrees
     n2, hs2, _ = digest(shard0.limit(n - 1))
     assert n2 != m["n_rows"] and hs2 != m["hash_sum"]
+
+
+def test_ordered_export_sorts_within_files(spark):
+    import glob
+    import tempfile
+
+    docs = _docs(spark)
+    out = tempfile.mkdtemp(prefix="shards_ord_")
+    manifest = export_shards(
+        docs, out, "doc_id", n_shards=2, order_by=["n_chars"]
+    )
+    assert {r["shard_id"] for r in manifest.collect()} == {0, 1}
+    for s in (0, 1):
+        (f,) = glob.glob(f"{out}/shard_id={s}/*.parquet")
+        vals = [r["n_chars"] for r in spark.read.parquet(f).collect()]
+        assert vals == sorted(vals) and len(vals) > 0
