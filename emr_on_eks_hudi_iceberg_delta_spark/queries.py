@@ -10155,3 +10155,56 @@ def q_events_cusum_alerts(spark, sf_dir):
     from .operators.sequence import cusum_scores
 
     return cusum_scores(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "streaming_partitioned_ingest",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL})
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM ev GROUP BY 1
+    """,
+    tags=("streaming", "lake", "sink", "extension"),
+)
+def q_streaming_partitioned_ingest(spark, sf_dir):
+    """Streaming ingestion into the day-partitioned store
+    (streaming/scd2_stream.stream_upsert_partitioned — the Hudi
+    streaming-upsert shape): the event stream replays as micro-batches
+    (maxFilesPerTrigger=1), each folding via a partition-scoped keyed
+    upsert that rewrites ONLY the touched days; keyed merges make the
+    sink idempotent (the exactly-once story without a sink-side txn
+    log). The final table must equal the batch per-day aggregate
+    exactly — the oracle states it."""
+    import tempfile
+
+    from .sources.partitioned import PartitionedTable
+    from .streaming.scd2_stream import stream_upsert_partitioned
+
+    ev0 = _events_stream(spark, sf_dir)
+    stream = ev0.withColumn(
+        "day", F.col("ts").cast("date").cast("string")
+    )
+    pt = PartitionedTable(spark, tempfile.mkdtemp(prefix="pt_stream_"), "day")
+    pt.overwrite(
+        spark.createDataFrame(
+            [], "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, day string"
+        )
+    )
+    n_batches = stream_upsert_partitioned(
+        stream, pt, key_cols=["event_id"], precombine_col="value"
+    )
+    assert n_batches >= 1
+    return (
+        pt.read()
+        .withColumn("day", F.col("day").cast("string"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

@@ -69,3 +69,29 @@ def test_vacuum_reclaims_unreferenced_commits(spark, tmp_path):
     assert "commit-0" not in os.listdir(files_root)
     with pytest.raises(ValueError):
         pt.vacuum(keep_last=0)
+
+
+def test_stream_upsert_partitioned_idempotent_replay(spark, tmp_path):
+    """A replayed batch merges to the same state (keyed upsert) — the
+    exactly-once property the streaming sink claims; only touched days
+    gain commits."""
+    from pyspark.sql import functions as F
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.partitioned import (
+        PartitionedTable,
+    )
+
+    pt = PartitionedTable(spark, str(tmp_path / "ps"), "day")
+    pt.overwrite(
+        spark.createDataFrame([], "event_id long, v double, day string")
+    )
+    batch = spark.range(10).select(
+        F.col("id").alias("event_id"),
+        F.col("id").cast("double").alias("v"),
+        F.when(F.col("id") < 5, "d1").otherwise("d2").alias("day"),
+    )
+    pt.upsert(batch, key_cols=["event_id"], precombine_col="v")
+    once = sorted(r["event_id"] for r in pt.read().collect())
+    pt.upsert(batch, key_cols=["event_id"], precombine_col="v")  # replay
+    twice = sorted(r["event_id"] for r in pt.read().collect())
+    assert once == twice == list(range(10))
