@@ -10173,10 +10173,10 @@ def q_streaming_partitioned_ingest(spark, sf_dir):
     (streaming/scd2_stream.stream_upsert_partitioned — the Hudi
     streaming-upsert shape): the event stream replays as micro-batches
     (maxFilesPerTrigger=1), each folding via a partition-scoped keyed
-    upsert that rewrites ONLY the touched days; keyed merges make the
-    sink idempotent (the exactly-once story without a sink-side txn
-    log). The final table must equal the batch per-day aggregate
-    exactly — the oracle states it."""
+    upsert that rewrites ONLY the touched days, with the manifest's
+    txn-batch guard making checkpoint-race replays exactly-once on top
+    of the keyed merge's idempotency. The final table must equal the
+    batch per-day aggregate exactly — the oracle states it."""
     import tempfile
 
     from .sources.partitioned import PartitionedTable
@@ -10193,10 +10193,11 @@ def q_streaming_partitioned_ingest(spark, sf_dir):
             "event_type string, value double, day string"
         )
     )
-    n_batches = stream_upsert_partitioned(
-        stream, pt, key_cols=["event_id"], precombine_col="value"
+    q = stream_upsert_partitioned(
+        pt, stream, ["event_id"], "value",
+        tempfile.mkdtemp(prefix="pt_stream_ckpt_"),
     )
-    assert n_batches >= 1
+    q.awaitTermination()
     return (
         pt.read()
         .withColumn("day", F.col("day").cast("string"))

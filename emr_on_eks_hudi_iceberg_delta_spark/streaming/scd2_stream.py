@@ -150,40 +150,3 @@ def stream_incremental_mv(
         .trigger(availableNow=True)
         .start()
     )
-
-
-def stream_upsert_partitioned(
-    stream_df,
-    pt,
-    key_cols: list[str],
-    precombine_col: str,
-):
-    """Streaming ingestion into the PARTITIONED store — the Hudi
-    streaming-upsert (DeltaStreamer/ingest-service) shape: every
-    micro-batch lands via ``PartitionedTable.upsert``, which reads and
-    rewrites ONLY the partitions the batch touches (untouched days keep
-    their commit pointers). Keyed upserts make the sink idempotent by
-    construction — a replayed batch merges to the same state, which is
-    the exactly-once story without a transaction log on the sink side.
-    Runs to completion (AvailableNow) and returns the number of
-    micro-batches folded."""
-    import tempfile
-
-    state = {"batches": 0}
-
-    def fold(batch_df, _bid):
-        if batch_df.isEmpty():
-            return
-        pt.upsert(batch_df, key_cols=key_cols, precombine_col=precombine_col)
-        state["batches"] += 1
-
-    q = (
-        stream_df.writeStream.foreachBatch(fold)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="pstream_ckpt_")
-        )
-        .start()
-    )
-    q.awaitTermination()
-    return state["batches"]
