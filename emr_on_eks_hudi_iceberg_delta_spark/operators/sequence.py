@@ -21,9 +21,26 @@ Scale notes:
   number of days, and no partition ever sees more than that day's
   interval endpoints. Cross-day sessions contribute a segment per day,
   so correctness is unaffected by the split.
+* ``ewma_scores`` / ``cusum_scores`` — sequential per-key recursions.
+  The default path is a CONSTANT-MEMORY streaming fold: hash-partition
+  by key, sort each partition by (key, ts, tiebreak), then a
+  ``mapInPandas`` pass that folds one Arrow batch at a time, emitting a
+  key's result the moment the sorted stream moves past it. No executor
+  ever materializes a key's full event array (the round-6 design held
+  ``collect_list`` of the whole history per key — a single-row OOM for a
+  hot key at 100×), and the fold replays the recursion in the exact IEEE
+  order the DuckDB oracle uses, so exactness is unchanged. A hot key
+  still serializes onto one task; ``*_segmented`` twins split it across
+  range partitions via segment-associative summaries (CUSUM composes in
+  max-plus as (total, clipped-max-suffix); EWMA as affine (m, b) maps)
+  and recombine in segment order — per-key state is then one summary
+  struct per touched partition, bounded by the partition count.
 """
 
 from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -150,6 +167,132 @@ def daily_peak_concurrency(
     )
 
 
+def _sorted_vals_expr(ts_col: str, order_tiebreak: str, value_col: str):
+    """Time-ordered per-key value array (the round-6 in-row fold input):
+    kept ONLY as the bounded-key reference implementation the parity
+    tests pin the streaming engine against. Hot keys: use the default
+    streaming path or the ``*_segmented`` twins instead."""
+    return F.transform(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).alias("t"),
+                    F.col(order_tiebreak).alias("e"),
+                    F.col(value_col).cast("double").alias("v"),
+                )
+            )
+        ),
+        lambda x: x["v"],
+    )
+
+
+def sequential_keyed_fold(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_tiebreak: str,
+    value_col: str,
+    init_state: tuple,
+    step: Callable[[tuple, float], tuple],
+    state_fields: list[tuple[str, str]],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Constant-memory distributed engine for per-key SEQUENTIAL
+    recursions ``state := step(state, x)`` over each key's time-ordered
+    values.
+
+    Plan shape: one hash shuffle on the key, a per-partition sort on
+    (key, ts, tiebreak), then a single ``mapInPandas`` pass. Because the
+    partition stream is sorted key-major/time-minor, the fold holds ONE
+    scalar state tuple at a time and emits a key's row the moment the
+    stream moves past it — memory is O(arrow batch), independent of the
+    hottest key's event count (the 100× fix for the round-6
+    ``collect_list`` design, VERDICT r6 finding 1).
+
+    Exactness: ``step`` runs on Python floats (IEEE doubles) in exactly
+    the per-element order the previous in-row ``F.aggregate`` fold and
+    the DuckDB ``list_reduce`` oracles use, so results are bit-identical
+    to both (pinned in tests/test_sequence_scale.py).
+
+    Returns ``(key, n_events, *state_fields)`` where ``state_fields``
+    maps state-tuple slots to output (name, sql_type) columns; slots
+    beyond ``len(state_fields)`` are carried but not emitted.
+    """
+    key_type = events.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_type}, n_events bigint" + "".join(
+        f", {n} {t}" for n, t in state_fields
+    )
+    n_fields = len(state_fields)
+
+    def fold(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cur: Any = _NO_KEY
+        state = init_state
+        n = 0
+        out_keys: list = []
+        out_rows: list[tuple] = []
+
+        def emit() -> None:
+            out_keys.append(cur)
+            out_rows.append((n, *state[:n_fields]))
+
+        def flush() -> "pd.DataFrame":
+            cols: dict[str, Any] = {key_col: out_keys, "n_events": [r[0] for r in out_rows]}
+            for i, (name, _t) in enumerate(state_fields):
+                cols[name] = [r[1 + i] for r in out_rows]
+            pdf = pd.DataFrame(cols)
+            out_keys.clear()
+            out_rows.clear()
+            return pdf
+
+        for pdf in batches:
+            keys = _key_list(pdf[key_col])
+            vals = pdf[value_col].to_numpy(dtype=float)
+            for k, x in zip(keys, vals):
+                # `is` first so a null-key run stays ONE group (sorted
+                # nulls-first), matching groupBy semantics
+                if k is not cur and k != cur:
+                    if cur is not _NO_KEY:
+                        emit()
+                    cur = k
+                    state = init_state
+                    n = 0
+                state = step(state, float(x))
+                n += 1
+            if out_rows:
+                yield flush()
+        if cur is not _NO_KEY:
+            emit()
+            yield flush()
+
+    prepared = events.select(key_col, ts_col, order_tiebreak, value_col)
+    if num_partitions:
+        prepared = prepared.repartition(num_partitions, key_col)
+    else:
+        prepared = prepared.repartition(key_col)
+    prepared = prepared.sortWithinPartitions(key_col, ts_col, order_tiebreak)
+    return prepared.mapInPandas(fold, out_schema)
+
+
+class _NoKey:
+    """Sentinel distinct from every real key (including None)."""
+
+    def __ne__(self, other):  # pragma: no cover - identity compares only
+        return True
+
+
+_NO_KEY = _NoKey()
+
+
+def _key_list(series) -> list:
+    """Key column as plain Python values with NaN normalized to None, so
+    a null-key run groups as ONE key (NaN != NaN would shatter it)."""
+    import pandas as pd
+
+    return [None if pd.isna(k) else k for k in series.tolist()]
+
+
 def ewma_scores(
     events: DataFrame,
     key_col: str = "user_id",
@@ -161,41 +304,30 @@ def ewma_scores(
     """Per-entity exponentially weighted moving average over the entity's
     time-ordered values — the classic recency-weighted engagement /
     activity score (``s_1 = x_1``, ``s_i = alpha*x_i + (1-alpha)*s_{i-1}``,
-    the pandas ``ewm(adjust=False)`` recursion), expressed Spark-first:
-    one key shuffle, the per-entity sequence sorted in-row
-    (``sort_array`` over (ts, tiebreak, value) structs) and folded with a
-    sequential ``F.aggregate`` — no Python, no iterative driver loop.
+    the pandas ``ewm(adjust=False)`` recursion), run on the
+    constant-memory streaming fold (``sequential_keyed_fold``): one key
+    shuffle, per-partition (key, ts, tiebreak) sort, one Arrow-batched
+    pass — no executor holds a key's full history.
 
     Exactness: the fold seeds from the FIRST element and applies
     ``acc*(1-alpha) + x*alpha`` left-to-right — precisely DuckDB's
-    ``list_reduce`` contract, so the oracle replays the recursion
-    bit-for-bit (literal alpha, same IEEE op sequence).
+    ``list_reduce`` contract, bit-for-bit (literal alpha, same IEEE op
+    sequence as the previous in-row ``F.aggregate`` fold, pinned in
+    tests/test_sequence_scale.py).
 
-    Scale: state per entity is its value array — fine for bounded
-    per-entity history (sessions, recent windows); unbounded entities
-    should pre-window (e.g. trailing N days) before scoring, which
-    composes as a plain filter.
+    Scale: a hot key serializes onto one task (but cannot OOM it);
+    ``ewma_scores_segmented`` parallelizes the hot key too.
     """
     a = float(alpha)
-    vals = F.transform(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    F.col(ts_col).alias("t"),
-                    F.col(order_tiebreak).alias("e"),
-                    F.col(value_col).cast("double").alias("v"),
-                )
-            )
-        ),
-        lambda x: x["v"],
-    )
-    return events.groupBy(key_col).agg(
-        F.size(vals).cast("bigint").alias("n_events"),
-        F.aggregate(
-            F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
-            F.element_at(vals, 1),
-            lambda acc, x: acc * F.lit(1.0 - a) + x * F.lit(a),
-        ).alias("ewma_score"),
+    one_m_a = 1.0 - a
+
+    def step(state: tuple, x: float) -> tuple:
+        s = state[0]
+        return (x if s is None else s * one_m_a + x * a,)
+
+    return sequential_keyed_fold(
+        events, key_col, ts_col, order_tiebreak, value_col,
+        (None,), step, [("ewma_score", "double")],
     )
 
 
@@ -207,50 +339,326 @@ def cusum_scores(
     value_col: str = "value",
     drift: float = 55.0,
     threshold: float = 300.0,
+    latched: bool = False,
 ) -> DataFrame:
     """Per-entity one-sided CUSUM change detection over the time-ordered
     value sequence — the classic upward-shift detector
     (``s_0 = 0``, ``s_i = max(0, s_{i-1} + x_i - drift)``; an alert when
     the statistic crosses ``threshold``): sustained above-drift values
-    accumulate, normal fluctuation resets toward zero. Same Spark-first
-    shape as ``ewma_scores``: one key shuffle, in-row sort, sequential
-    ``F.aggregate`` fold seeded at 0.0 — which is exactly a DuckDB
-    ``list_reduce`` over the 0.0-prepended list, so the oracle replays
-    the recursion bit-for-bit (literal constants, same IEEE sequence).
+    accumulate, normal fluctuation resets toward zero. Runs on the
+    constant-memory streaming fold (see ``sequential_keyed_fold``); the
+    0.0-seeded recursion replays DuckDB's ``list_reduce`` over the
+    0.0-prepended list bit-for-bit (literal constants, same IEEE
+    sequence).
 
-    Returns ``(key, n_events, cusum_final, alert)`` where ``alert`` is
-    the FINAL statistic exceeding the threshold (in-control entities
-    decay back under it; a latched any-time alarm needs a max-tracking
-    accumulator — a struct fold, same machinery, not replayable in
-    DuckDB's scalar list_reduce — so the gated contract is the final
-    state and the latched flavor stays host-side).
+    Default returns ``(key, n_events, cusum_final, alert)`` where
+    ``alert`` is the FINAL statistic exceeding the threshold (in-control
+    entities decay back under it). ``latched=True`` adds the any-time
+    alarm the round-6 docstring scoped out: the struct state tracks the
+    running max of the statistic, returning ``(key, n_events,
+    cusum_final, cusum_max, alert)`` with ``alert`` latched on
+    ``cusum_max`` — exact-oracled in DuckDB via per-prefix replay
+    (``max_i s_i`` = max over prefix folds).
 
-    Scale: state per entity is its value array, as EWMA — pre-window
-    unbounded entities."""
+    Scale: hot keys stream through one task at O(batch) memory;
+    ``cusum_scores_segmented`` splits them across range partitions."""
     d = float(drift)
-    vals = F.transform(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    F.col(ts_col).alias("t"),
-                    F.col(order_tiebreak).alias("e"),
-                    F.col(value_col).cast("double").alias("v"),
-                )
+    t = float(threshold)
+
+    if latched:
+        def step(state: tuple, x: float) -> tuple:
+            s = state[0] + x - d
+            if s < 0.0:
+                s = 0.0
+            m = state[1]
+            return (s, s if s > m else m)
+
+        out = sequential_keyed_fold(
+            events, key_col, ts_col, order_tiebreak, value_col,
+            (0.0, 0.0), step,
+            [("cusum_final", "double"), ("cusum_max", "double")],
+        )
+        return out.select(
+            key_col, "n_events", "cusum_final", "cusum_max",
+            (F.col("cusum_max") > t).alias("alert"),
+        )
+
+    def step(state: tuple, x: float) -> tuple:
+        s = state[0] + x - d
+        return (s if s > 0.0 else 0.0,)
+
+    out = sequential_keyed_fold(
+        events, key_col, ts_col, order_tiebreak, value_col,
+        (0.0,), step, [("cusum_final", "double")],
+    )
+    return out.select(
+        key_col, "n_events", "cusum_final",
+        (F.col("cusum_final") > t).alias("alert"),
+    )
+
+
+# --------------------------------------------------------------------------
+# segment-associative twins: parallelize even a single hot key
+# --------------------------------------------------------------------------
+
+
+def ewma_scores_segmented(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Hot-key-parallel EWMA twin. Each element is the affine map
+    ``s -> (1-alpha)*s + alpha*x``; a SEGMENT composes into one affine
+    pair ``(m, b)`` (apply-in-order composition ``(m1,b1)∘(m2,b2) =
+    (m1*m2, b1*m2 + b2)``), and the closed form for the seeded recursion
+    is ``s_final = m_total * x_first + b_total`` where ``(m_total,
+    b_total)`` composes ALL element maps in time order and ``x_first``
+    is the key's first value (derivation: factoring the first element's
+    map ``(0-weight) s + x_1`` out of the composition cancels exactly).
+
+    Plan: rangepartition on (key, ts, tiebreak) → per-partition sort →
+    one streaming pass emitting one ``(key, seg, n, m, b, first_v)``
+    summary per (key, partition) → groupBy key, ``sort_array`` over the
+    ≤ num-partitions summaries, in-order ``F.aggregate`` composition.
+    Per-key state after the map phase is ONE STRUCT PER TOUCHED
+    PARTITION — bounded by the cluster's partition count, never by the
+    key's event count.
+
+    Exactness: bit-identical to the sequential fold when every
+    arithmetic step is exact (e.g. dyadic-rational inputs with
+    alpha=0.5 — pinned on randomized splits in
+    tests/test_sequence_scale.py); within float tolerance otherwise
+    (composition reorders IEEE ops). The exact-oracle contract stays on
+    ``ewma_scores``."""
+    a = float(alpha)
+    one_m_a = 1.0 - a
+
+    def fold_segments(batches):
+        return _segment_fold(
+            batches, key_col, value_col,
+            init=(1.0, 0.0, None),
+            step=lambda st, x: (
+                st[0] * one_m_a,
+                st[1] * one_m_a + x * a,
+                x if st[2] is None else st[2],
+            ),
+            names=("m", "b", "first_v"),
+        )
+
+    key_type = events.schema[key_col].dataType.simpleString()
+    schema = (
+        f"{key_col} {key_type}, __seg bigint, n_events bigint,"
+        " m double, b double, first_v double"
+    )
+    prepared = _range_prepared(
+        events, key_col, ts_col, order_tiebreak, value_col, num_partitions
+    )
+    segs = prepared.mapInPandas(fold_segments, schema)
+
+    summaries = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("__seg").alias("g"),
+                F.col("m").alias("m"),
+                F.col("b").alias("b"),
+                F.col("first_v").alias("fv"),
             )
+        )
+    )
+    composed = F.aggregate(
+        summaries,
+        F.struct(F.lit(1.0).alias("m"), F.lit(0.0).alias("b")),
+        lambda acc, s: F.struct(
+            (acc["m"] * s["m"]).alias("m"),
+            (acc["b"] * s["m"] + s["b"]).alias("b"),
         ),
-        lambda x: x["v"],
     )
-    cusum = F.aggregate(
-        vals,
-        F.lit(0.0),
-        lambda acc, x: F.greatest(acc + x - F.lit(d), F.lit(0.0)),
+    first_v = F.element_at(summaries, 1)["fv"]
+    return segs.groupBy(key_col).agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        (composed["m"] * first_v + composed["b"]).alias("ewma_score"),
     )
-    return events.groupBy(key_col).agg(
-        F.size(vals).cast("bigint").alias("n_events"),
-        cusum.alias("cusum_final"),
-    ).select(
-        key_col,
-        "n_events",
-        "cusum_final",
-        (F.col("cusum_final") > float(threshold)).alias("alert"),
+
+
+def cusum_scores_segmented(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    value_col: str = "value",
+    drift: float = 55.0,
+    threshold: float = 300.0,
+    latched: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Hot-key-parallel CUSUM twin via the max-plus segment algebra.
+    With ``y_i = x_i - drift``, a segment summarizes as ``(T, M)`` —
+    T = Σy (segment total), M = the segment's own 0-seeded CUSUM final
+    (= max clipped suffix sum) — and applying segment B to incoming
+    state s is ``s' = max(M_B, s + T_B)``; composition is associative
+    (classic max-plus prefix reduction, VERDICT r6 finding 1).
+    ``latched=True`` extends the summary with ``(G_T, G_M)`` = max
+    PREFIX total / max prefix clipped-suffix, composing as
+    ``G_T' = max(G_T_A, T_A + G_T_B)``; the running any-time max L
+    (seeded 0, states are ≥ 0) updates per segment as
+    ``L' = max(L, G_M_seg, s_in + G_T_seg)`` — the max over states
+    inside the segment distributes over the clipped form
+    ``s_p = max(M_p, s_in + T_p)``.
+
+    Same plan shape as ``ewma_scores_segmented``: range partition →
+    streaming per-segment summaries → per-key in-order composition over
+    ≤ num-partitions structs. Exact vs the sequential fold on
+    integer-valued data (sums/maxes of integers are IEEE-exact; pinned
+    on randomized splits), tolerance otherwise; the exact-oracle
+    contract stays on ``cusum_scores``."""
+    d = float(drift)
+    t = float(threshold)
+
+    def step(st: tuple, x: float) -> tuple:
+        y = x - d
+        T, M, GT, GM = st
+        T2 = T + y
+        M2 = M + y
+        if M2 < 0.0:
+            M2 = 0.0
+        GT2 = GT if GT > T2 else T2
+        GM2 = GM if GM > M2 else M2
+        return (T2, M2, GT2, GM2)
+
+    def fold_segments(batches):
+        return _segment_fold(
+            batches, key_col, value_col,
+            init=(0.0, 0.0, float("-inf"), 0.0),
+            step=step,
+            names=("t", "m", "gt", "gm"),
+        )
+
+    key_type = events.schema[key_col].dataType.simpleString()
+    schema = (
+        f"{key_col} {key_type}, __seg bigint, n_events bigint,"
+        " t double, m double, gt double, gm double"
     )
+    prepared = _range_prepared(
+        events, key_col, ts_col, order_tiebreak, value_col, num_partitions
+    )
+    segs = prepared.mapInPandas(fold_segments, schema)
+
+    summaries = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("__seg").alias("g"),
+                F.col("t").alias("t"),
+                F.col("m").alias("m"),
+                F.col("gt").alias("gt"),
+                F.col("gm").alias("gm"),
+            )
+        )
+    )
+    # compose (s = running state, and for latched also the composed
+    # global prefix maxima) in segment order
+    composed = F.aggregate(
+        summaries,
+        F.struct(
+            F.lit(0.0).alias("s"),
+            F.lit(0.0).alias("tt"),
+            F.lit(float("-inf")).alias("gt"),
+            F.lit(0.0).alias("gm"),
+        ),
+        lambda acc, seg: F.struct(
+            F.greatest(seg["m"], acc["s"] + seg["t"]).alias("s"),
+            (acc["tt"] + seg["t"]).alias("tt"),
+            F.greatest(acc["gt"], acc["tt"] + seg["gt"]).alias("gt"),
+            F.greatest(acc["gm"], seg["gm"], acc["s"] + seg["gt"]).alias("gm"),
+        ),
+    )
+    agg = segs.groupBy(key_col).agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        composed.alias("__c"),
+    )
+    if latched:
+        # __c.gm IS the running any-time max (seeded 0.0, every segment's
+        # in-segment states folded in via max(G_M, s_in + G_T))
+        cmax = F.col("__c.gm")
+        return agg.select(
+            key_col, "n_events",
+            F.col("__c.s").alias("cusum_final"),
+            cmax.alias("cusum_max"),
+            (cmax > t).alias("alert"),
+        )
+    return agg.select(
+        key_col, "n_events",
+        F.col("__c.s").alias("cusum_final"),
+        (F.col("__c.s") > t).alias("alert"),
+    )
+
+
+def _range_prepared(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_tiebreak: str,
+    value_col: str,
+    num_partitions: int | None,
+) -> DataFrame:
+    """Range-partition on the FULL (key, ts, tiebreak) order — splitting
+    hot keys across partitions with partition order = time order — then
+    sort within partitions. The twins' map phase reads this stream."""
+    prepared = events.select(key_col, ts_col, order_tiebreak, value_col)
+    cols = [key_col, ts_col, order_tiebreak]
+    if num_partitions:
+        prepared = prepared.repartitionByRange(num_partitions, *cols)
+    else:
+        prepared = prepared.repartitionByRange(*cols)
+    return prepared.sortWithinPartitions(*cols)
+
+
+def _segment_fold(batches, key_col, value_col, init, step, names):
+    """Streaming per-(key, partition) summary fold shared by the twins:
+    iterate sorted Arrow batches, carry one summary tuple for the
+    current key, emit on key change and at end-of-partition. Memory is
+    O(batch); a key contributes exactly one row per partition it
+    touches."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    tc = TaskContext.get()
+    seg = tc.partitionId() if tc is not None else 0
+
+    cur: Any = _NO_KEY
+    state = init
+    n = 0
+    out: list[tuple] = []
+
+    def emit():
+        out.append((cur, seg, n, *state))
+
+    def flush():
+        cols = {key_col: [r[0] for r in out], "__seg": [r[1] for r in out],
+                "n_events": [r[2] for r in out]}
+        for i, name in enumerate(names):
+            cols[name] = [r[3 + i] for r in out]
+        pdf = pd.DataFrame(cols)
+        out.clear()
+        return pdf
+
+    for pdf in batches:
+        keys = _key_list(pdf[key_col])
+        vals = pdf[value_col].to_numpy(dtype=float)
+        for k, x in zip(keys, vals):
+            if k is not cur and k != cur:
+                if cur is not _NO_KEY:
+                    emit()
+                cur = k
+                state = init
+                n = 0
+            state = step(state, float(x))
+            n += 1
+        if out:
+            yield flush()
+    if cur is not _NO_KEY:
+        emit()
+        yield flush()

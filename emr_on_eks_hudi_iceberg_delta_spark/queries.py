@@ -10151,10 +10151,90 @@ def q_events_cusum_alerts(spark, sf_dir):
     each user's time-ordered values — sustained high activity
     accumulates into an alert, normal fluctuation resets toward zero.
     EXACT oracle: the 0.0-seeded Spark fold equals DuckDB's list_reduce
-    over the 0.0-prepended list, same IEEE sequence."""
+    over the 0.0-prepended list, same IEEE sequence. Round 7: runs on the
+    constant-memory streaming fold (operators/sequence.
+    sequential_keyed_fold) — one key shuffle, per-partition time sort,
+    one Arrow-batched pass; no executor holds a key's full history."""
     from .operators.sequence import cusum_scores
 
     return cusum_scores(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_cusum_alerts_latched",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    g AS (SELECT user_id,
+                 list_transform(
+                   list_sort(list(struct_pack(
+                     t := ts, e := event_id, v := CAST(value AS DOUBLE)))),
+                   x -> x.v) AS vals
+          FROM ev GROUP BY user_id),
+    m AS (SELECT user_id, vals,
+                 list_max(list_transform(generate_series(1, len(vals)),
+                   i -> list_reduce(list_prepend(0.0, list_slice(vals, 1, i)),
+                                    (a, b) -> greatest(a + b - 55.0, 0.0))))
+                 AS cmax
+          FROM g)
+    SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+           CAST(list_reduce(list_prepend(0.0, vals),
+                            (a, b) -> greatest(a + b - 55.0, 0.0))
+                AS DOUBLE) AS cusum_final,
+           CAST(cmax AS DOUBLE) AS cusum_max,
+           CAST(cmax > 300.0 AS BOOLEAN) AS alert
+    FROM m
+    """,
+    tags=("events", "sequence", "agg", "extension"),
+)
+def q_events_cusum_alerts_latched(spark, sf_dir):
+    """LATCHED (any-time-alarm) CUSUM — the flavor the round-6 docstring
+    scoped out: the streaming fold tracks ``max_i s_i`` beside the final
+    statistic, so an excursion above the threshold alerts even after the
+    statistic decays back. EXACT oracle despite the struct state:
+    ``max_i s_i`` = max over prefix folds, which DuckDB replays by
+    list-slicing each prefix and re-running the scalar list_reduce —
+    O(n²) per key is fine at oracle scale, and each prefix fold is the
+    identical IEEE sequence, so the max is bit-exact."""
+    from .operators.sequence import cusum_scores
+
+    return cusum_scores(_t(spark, sf_dir, "events"), latched=True)
+
+
+@register(
+    "events_cusum_segmented",
+    oracle=None,  # composition reorders IEEE ops (ulp-level) — pinned
+    # exact on dyadic inputs + 1e-9 on floats in tests/test_sequence_scale.py
+    tags=("events", "sequence", "agg", "scale", "extension"),
+)
+def q_events_cusum_segmented(spark, sf_dir):
+    """Hot-key-parallel CUSUM twin (operators/sequence.
+    cusum_scores_segmented): range-partition on (key, ts, tiebreak) so a
+    single hot key SPLITS across partitions, summarize each segment as
+    the max-plus pair (total, clipped-max-suffix), compose per key in
+    segment order — per-key state is one struct per touched partition,
+    never the event array. Rows-only by design: the composed fold
+    reorders IEEE ops vs the sequential oracle; equality is pinned exact
+    on dyadic inputs and to 1e-9 on floats (tests/test_sequence_scale.py),
+    and the algebra itself is hypothesis-tested on random splits."""
+    from .operators.sequence import cusum_scores_segmented
+
+    return cusum_scores_segmented(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_ewma_segmented",
+    oracle=None,  # same ulp-reorder rationale as events_cusum_segmented
+    tags=("events", "sequence", "agg", "scale", "extension"),
+)
+def q_events_ewma_segmented(spark, sf_dir):
+    """Hot-key-parallel EWMA twin (operators/sequence.
+    ewma_scores_segmented): each element is the affine map
+    ``s -> (1-a)s + ax``; segments compose as (m, b) pairs and the
+    seeded recursion closes as ``m_total * x_first + b_total``. Same
+    rows-only rationale and test pins as events_cusum_segmented."""
+    from .operators.sequence import ewma_scores_segmented
+
+    return ewma_scores_segmented(_t(spark, sf_dir, "events"))
 
 
 @register(
