@@ -1240,6 +1240,7 @@ def perplexity_buckets_approx(
     ppl_col: str = "ppl",
     relative_error: float = 0.01,
     bucket_col: str = "ppl_bucket",
+    persist: bool = False,
 ) -> DataFrame:
     """The 100 TB path for CCNet's head/middle/tail split: bucket by
     APPROXIMATE quantile boundaries (Greenwald-Khanna via
@@ -1253,10 +1254,19 @@ def perplexity_buckets_approx(
     same reason); bucket MEMBERSHIP remains monotone in ``ppl`` exactly.
 
     The summary pass is an ACTION on ``scored``; the returned plan
-    references ``scored`` again for the assignment scan — when the
+    references ``scored`` again for the assignment scan. When the
     scoring plan is expensive (unigram_logprob's two token aggregates),
-    persist ``scored`` upstream so the corpus is scored once, not twice.
+    ``persist=True`` caches ``scored`` (MEMORY_AND_DISK, same knob as
+    ``tfidf_top_terms(persist_tf=True)``) so both the quantile action
+    and the returned assignment plan read ONE materialization — the
+    corpus is scored once, not twice (scan-count pinned in
+    tests/test_plans.py). Default stays False so the stateless
+    oracle-checked plan is unchanged.
     """
+    if persist:
+        from pyspark import StorageLevel
+
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
     cuts = scored.approxQuantile(
         ppl_col,
         [i / n_buckets for i in range(1, int(n_buckets))],

@@ -55,3 +55,32 @@ def shuffle_count(df: DataFrame) -> int:
     """Number of shuffle exchanges (excluding broadcast exchanges)."""
     plan = formatted_plan(df)
     return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def file_scan_count(df: DataFrame) -> int:
+    """File-source scans the plan will EXECUTE: parquet scans in the plan
+    tree EXCLUDING subtrees rooted at ``InMemoryRelation`` (a cached
+    relation's defining plan is printed inline but does not run once the
+    cache is materialized — a fully cache-served plan reports 0)."""
+    tree = formatted_plan(df).split("\n\n", 1)[0]
+    count = 0
+    skip_indent: int | None = None
+    for line in tree.splitlines():
+        indent = re.match(r"^[\s:+\-]*", line).end()
+        rest = line[indent:]
+        if skip_indent is not None:
+            if indent > skip_indent:
+                continue
+            skip_indent = None
+        if "InMemoryRelation" in rest:
+            skip_indent = indent
+            continue
+        if rest.lstrip("* ").startswith("Scan parquet"):
+            count += 1
+    return count
+
+
+def in_memory_scan_count(df: DataFrame) -> int:
+    """Numbered InMemoryTableScan operators — reads served by a persisted
+    relation instead of recomputation."""
+    return len(re.findall(r"\(\d+\) InMemoryTableScan", formatted_plan(df)))

@@ -149,7 +149,7 @@ class VersionedTable:
             and snaps
             and op
             in ("WRITE", "DELETE", "UPDATE", "REPLACE WHERE", "MERGE",
-                "RESTORE", "REVERT", "CHERRYPICK")
+                "RESTORE", "REVERT", "CHERRYPICK", "FAST-FORWARD")
         ):
             # Delta delta.appendOnly enforcement: once set, only APPEND
             # (and layout-preserving maintenance like OPTIMIZE) may
@@ -357,6 +357,14 @@ class VersionedTable:
         if snaps and id_col in self.read().columns:
             start = self.read().agg(F.max(id_col)).first()[0] or 0
             current = self.read(with_row_ids=True)
+        elif snaps:
+            # a bare `_commit(new)` here would silently REPLACE the
+            # table (current rows lost) — refuse loudly instead
+            raise ValueError(
+                f"append_with_identity: table at {self.location} has no "
+                f"{id_col!r} column — identity must be established on the "
+                "first append (backfill the column explicitly to migrate)"
+            )
         else:
             start = 0
             current = None
@@ -364,12 +372,15 @@ class VersionedTable:
         new = df.withColumn(
             id_col, (F.row_number().over(w) + F.lit(int(start))).cast("bigint")
         )
+        # identity assignment is still an APPEND (existing rows are
+        # carried bit-for-bit) — commit as one so delta.appendOnly
+        # tables accept it
         if current is None:
-            self._commit(new)
+            self._commit(new, op="APPEND")
         else:
             if "__row_id" in current.columns:
                 new = new.withColumn("__row_id", F.lit(None).cast("bigint"))
-            self._commit(current.unionByName(new))
+            self._commit(current.unionByName(new), op="APPEND")
         return self
 
     create_or_replace = overwrite  # DataFrameWriterV2 semantics (S8)
@@ -695,7 +706,20 @@ class VersionedTable:
         groups as files — trivially small); no driver-side row data.
         """
         snap = self._current_snapshot()
-        df = self.spark.read.parquet(snap["dir"])
+        stats = self._collect_file_stats(snap["dir"], cols)
+        meta = self._meta()
+        entry = next(
+            s for s in meta["snapshots"] if s["version"] == snap["version"]
+        )
+        entry["stats"] = stats
+        entry["stats_cols"] = list(cols)
+        self._write_meta(meta)
+        return self
+
+    def _collect_file_stats(self, data_dir: str, cols: list[str]) -> dict:
+        """Per-file min/max stats for one data dir (shared by
+        ``compute_stats`` and the post-purge rebuild)."""
+        df = self.spark.read.parquet(data_dir)
         aggs = []
         for c in cols:
             aggs.append(F.min(c).alias(f"__mn_{c}"))
@@ -717,14 +741,7 @@ class VersionedTable:
                 ]
                 for c in cols
             }
-        meta = self._meta()
-        entry = next(
-            s for s in meta["snapshots"] if s["version"] == snap["version"]
-        )
-        entry["stats"] = stats
-        entry["stats_cols"] = list(cols)
-        self._write_meta(meta)
-        return self
+        return stats
 
     _BLOOM_BITS = 4096
 
@@ -1858,19 +1875,42 @@ class VersionedTable:
           shallow clone must not rewrite its SOURCE table's files —
           purge the source instead).
 
-        Mechanics: one filtered rewrite per UNIQUE data dir (shared
-        metadata-only dirs rewrite once), swapped in via tmp-dir rename
+        Mechanics: ONE observe()-metered filtered write per UNIQUE data
+        dir (shared metadata-only dirs rewrite once) — the removed-row
+        count rides the write as an observation, so each dir is scanned
+        ONCE, not count-then-rewrite twice (round-7 task 3); a dir the
+        predicate missed discards its tmp output and keeps the original
+        files (and their stats) untouched. Swap-in is tmp-dir rename
         under the cross-process writer lock; a ``purges`` audit entry
         (predicate, rows removed, timestamp) lands in table metadata.
+
+        Record-level indexes persist the RAW key column values —
+        typically the exact PII being purged — so EVERY
+        ``record_index-*`` dir on disk is deleted and every snapshot's
+        ``record_index`` metadata entry popped (same invalidation
+        discipline as stats/bloom, but unconditional: an index built on
+        any snapshot may hold pre-purge keys). If the HEAD had an index
+        it is rebuilt from the purged data after the lock releases, so
+        ``index_lookup`` keeps working and never reads stale paths.
+
+        Per-dir min/max file stats are REBUILT (not just dropped) for
+        rewritten dirs whose snapshots recorded ``stats_cols`` — purge
+        leaves the skipping stack as functional as it found it.
+
         Scale: cost is one scan+write of live history — the same cost
         class as the compaction every lake format requires for this.
 
-        Returns ``{"dirs_rewritten": n, "rows_removed": n}``.
+        Returns ``{"dirs_rewritten": n, "rows_removed": n}`` where
+        ``dirs_rewritten`` counts dirs actually swapped (hit dirs only).
         """
+        import glob as globmod
         import shutil
+
+        from pyspark.sql import Observation
 
         cond = F.expr(condition) if isinstance(condition, str) else condition
         hit = F.coalesce(cond.cast("boolean"), F.lit(False))
+        head_index_cols: list[str] | None = None
         with self.locked():
             meta = self._meta()
             snaps = meta["snapshots"]
@@ -1892,22 +1932,51 @@ class VersionedTable:
                     )
             dirs = sorted({s["dir"] for s in snaps})
             rows_removed = 0
+            dirs_rewritten = 0
             for d in dirs:
                 df = self.spark.read.parquet(d)
-                removed = df.filter(hit).count()
+                obs = Observation()
+                tmp = d + ".__purge_tmp"
+                (
+                    df.observe(obs, F.sum(hit.cast("long")).alias("removed"))
+                    .filter(~hit)
+                    .write.mode("overwrite")
+                    .parquet(tmp)
+                )
+                removed = int(obs.get["removed"] or 0)
                 if removed == 0:
+                    # predicate missed this dir: keep the original files
+                    # (and their stats) bit-for-bit
+                    shutil.rmtree(tmp, ignore_errors=True)
                     continue
                 rows_removed += removed
-                tmp = d + ".__purge_tmp"
-                df.filter(~hit).write.mode("overwrite").parquet(tmp)
+                dirs_rewritten += 1
                 shutil.rmtree(d)
                 os.rename(tmp, d)
                 # file-keyed skipping metadata is now stale (paths AND
-                # contents changed) — drop it; compute_stats() rebuilds
+                # contents changed) — rebuild stats where the snapshot
+                # recorded its stat columns; bloom filters drop (their
+                # rebuild is an explicit, costed maintenance call)
                 for snap in snaps:
                     if snap["dir"] == d:
-                        snap.pop("stats", None)
                         snap.pop("bloom", None)
+                        if snap.get("stats_cols"):
+                            snap["stats"] = self._collect_file_stats(
+                                d, snap["stats_cols"]
+                            )
+                        else:
+                            snap.pop("stats", None)
+            # record-level indexes store raw key values (the PII being
+            # purged) and pre-purge file paths: remove every index dir
+            # and metadata entry, remembering the head's key set for the
+            # post-lock rebuild
+            head = snaps[-1] if snaps else None
+            for snap in snaps:
+                idx = snap.pop("record_index", None)
+                if idx is not None and head is not None and snap is head:
+                    head_index_cols = list(idx["key_cols"])
+            for p in globmod.glob(os.path.join(self.location, "record_index-*")):
+                shutil.rmtree(p, ignore_errors=True)
             meta.setdefault("purges", []).append(
                 {
                     "at": time.time(),
@@ -1919,7 +1988,10 @@ class VersionedTable:
             self._write_meta(meta)
             if self._symlink_autogen():
                 self.generate_symlink_manifest()
-        return {"dirs_rewritten": len(dirs), "rows_removed": rows_removed}
+        if head_index_cols is not None:
+            # restore the head's point-lookup surface over purged data
+            self.build_record_index(head_index_cols)
+        return {"dirs_rewritten": dirs_rewritten, "rows_removed": rows_removed}
 
     # -- branches (Iceberg branch / audit-branch WAP analog) ----------------
 

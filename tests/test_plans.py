@@ -553,3 +553,38 @@ def test_table_digest_single_pass(spark):
     assert cols == {
         "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
     }  # digest projection pruned to the digested columns
+
+
+def test_perplexity_buckets_persist_scores_once(spark):
+    """Round-7 task 2: perplexity_buckets_approx(persist=True) must serve
+    BOTH the quantile action and the returned assignment plan from one
+    materialization of the scoring subtree — the returned plan reads the
+    cache (>=1 InMemoryTableScan) and executes ZERO file scans, i.e. the
+    corpus is scored once, not twice. Values must equal the stateless
+    path exactly (same GK summary, same cut literals)."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.text import (
+        perplexity_buckets_approx,
+        unigram_logprob,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.plans import (
+        file_scan_count,
+        in_memory_scan_count,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    scored = unigram_logprob(docs).select("doc_id", "ppl")
+    out = perplexity_buckets_approx(scored, n_buckets=3, relative_error=0.001,
+                                    persist=True)
+    try:
+        assert in_memory_scan_count(out) >= 1
+        assert file_scan_count(out) == 0
+        got = {r["doc_id"]: r["ppl_bucket"] for r in out.collect()}
+    finally:
+        scored.unpersist()
+    ref_out = perplexity_buckets_approx(
+        unigram_logprob(docs).select("doc_id", "ppl"),
+        n_buckets=3, relative_error=0.001,
+    )
+    ref = {r["doc_id"]: r["ppl_bucket"] for r in ref_out.collect()}
+    assert got == ref

@@ -1,6 +1,7 @@
 """VersionedTable lake-format capabilities: compaction, vacuum, CDC."""
 
 import glob
+import os
 import tempfile
 
 import pytest
@@ -1640,9 +1641,14 @@ def test_purge_rows_rewrites_all_history(spark, tmp_path):
     assert sorted(r["id"] for r in vt.read().collect()) == [
         i for i in range(18) if i % 3 != 1
     ]
-    # audit entry recorded; stale stats dropped
+    # audit entry recorded; stats REBUILT over the purged files (round-7
+    # task 3: purge leaves the skipping stack functional), with every
+    # recorded path alive on disk
     assert vt._meta()["purges"][0]["rows_removed"] == out["rows_removed"]
-    assert all("stats" not in s for s in vt._snapshots())
+    head = vt._snapshots()[-1]
+    assert head.get("stats_cols") == ["id"]
+    assert head.get("stats"), "head stats must be rebuilt post-purge"
+    assert all(os.path.exists(p) for p in head["stats"])
 
     # refusal: MoR state present
     vt2 = VersionedTable(spark, str(tmp_path / "vt_purge_mor"))
@@ -1738,6 +1744,114 @@ def test_append_only_property_enforced(spark, tmp_path):
         with pytest.raises(AppendOnlyViolationError):
             action()
     assert vt.read().count() == 8
+    # fast-forward can fold branch rewrites into main — blocked too
+    vt.create_branch("audit")
+    vt.branch("audit").append(
+        spark.range(100, 101).select("id", F.lit("b").alias("v"))
+    )
+    with pytest.raises(AppendOnlyViolationError):
+        vt.fast_forward("audit")
+    assert vt.read().count() == 8
     vt.set_property("delta.appendOnly", "false")
     vt.delete_where("id = 0")
     assert vt.read().count() == 7
+
+    # identity appends ARE appends: they must commit under appendOnly
+    # (ADVICE r6: the default op="WRITE" used to refuse them)
+    ao2 = VersionedTable(spark, str(tmp_path / "ao_ident"))
+    ao2.append_with_identity(
+        spark.createDataFrame([("a",), ("b",)], "v string"), "rid", ["v"]
+    )
+    ao2.set_property("delta.appendOnly", "true")
+    ao2.append_with_identity(
+        spark.createDataFrame([("c",)], "v string"), "rid", ["v"]
+    )
+    assert sorted(
+        (r["rid"], r["v"]) for r in ao2.read().collect()
+    ) == [(1, "a"), (2, "b"), (3, "c")]
+    # and the no-id-column misuse path refuses instead of replacing
+    vt_plain = VersionedTable(spark, str(tmp_path / "ao_plain"))
+    vt_plain.overwrite(spark.range(3).select("id"))
+    with pytest.raises(ValueError, match="identity must be established"):
+        vt_plain.append_with_identity(
+            spark.createDataFrame([("x",)], "v string"), "rid", ["v"]
+        )
+    assert vt_plain.read().count() == 3
+
+
+def test_purge_rows_single_scan_per_dir(spark, tmp_path):
+    """Round-7 task 3: each unique data dir costs ONE Spark job (the
+    observe()-metered filtered write) — no count-then-rewrite double
+    scan. Job count inside a dedicated job group == number of dirs."""
+    vt = VersionedTable(spark, str(tmp_path / "vt_purge_scan"))
+    vt.overwrite(spark.range(10).select("id", (F.col("id") % 3).alias("subject")))
+    vt.append(spark.range(10, 20).select("id", (F.col("id") % 3).alias("subject")))
+
+    sc = spark.sparkContext
+    sc.setJobGroup("purge-scan-count", "purge")
+    try:
+        out = vt.purge_rows("subject = 1")
+    finally:
+        sc.setJobGroup(None, None)
+    st = sc.statusTracker()
+    jobs = st.getJobIdsForGroup("purge-scan-count")
+    assert out["rows_removed"] > 0
+    assert out["dirs_rewritten"] == 2
+    # per dir: exactly ONE data-pass job (the observe-metered filtered
+    # write, task count = data partitions) — schema inference shows up
+    # as 1-task footer reads, which touch no row data
+    data_jobs = 0
+    for jid in jobs:
+        info = st.getJobInfo(jid)
+        tasks = max(
+            (st.getStageInfo(s).numTasks for s in info.stageIds
+             if st.getStageInfo(s) is not None),
+            default=0,
+        )
+        if tasks > 1:
+            data_jobs += 1
+    assert data_jobs == 2, f"expected 1 data pass per dir, saw {data_jobs}"
+    assert len(jobs) <= 4
+
+
+def test_purge_rows_removes_record_indexes(spark, tmp_path):
+    """ADVICE r6 (high): record-level index files persist the raw key
+    values being purged — purge must delete every record_index dir, pop
+    the metadata entries, and rebuild the HEAD's index so index_lookup
+    works over post-purge paths (never stale pre-purge files)."""
+    vt = VersionedTable(spark, str(tmp_path / "vt_purge_rli"))
+    vt.overwrite(spark.range(10).select("id", (F.col("id") % 3).alias("subject")))
+    vt.build_record_index(["id"])          # index on v0
+    vt.append(spark.range(10, 20).select("id", (F.col("id") % 3).alias("subject")))
+    vt.build_record_index(["id"])          # index on v1 (head)
+    idx_dirs_before = glob.glob(os.path.join(vt.location, "record_index-*"))
+    assert len(idx_dirs_before) == 2
+
+    vt.purge_rows("subject = 1")
+
+    # v0's stale index dir is gone; only the rebuilt head index remains,
+    # and it references only live post-purge files
+    idx_dirs = glob.glob(os.path.join(vt.location, "record_index-*"))
+    assert len(idx_dirs) == 1
+    snaps = vt._snapshots()
+    assert "record_index" not in snaps[0]
+    head_idx = snaps[-1].get("record_index")
+    assert head_idx is not None and head_idx["key_cols"] == ["id"]
+    files = {
+        r["__file"].removeprefix("file://").removeprefix("file:")
+        for r in spark.read.parquet(head_idx["dir"]).select("__file").collect()
+    }
+    assert files and all(os.path.exists(f) for f in files)
+    # purged subject absent from the index keys; lookups still work
+    assert spark.read.parquet(head_idx["dir"]).filter("id % 3 = 1").count() == 0
+    assert vt.index_lookup({"id": 6}).count() == 1
+    assert vt.index_lookup({"id": 7}).count() == 0  # purged subject
+
+
+def test_purge_rows_without_index_has_no_index_after(spark, tmp_path):
+    """No index before the purge -> none after (no surprise rebuild)."""
+    vt = VersionedTable(spark, str(tmp_path / "vt_purge_noidx"))
+    vt.overwrite(spark.range(6).select("id", (F.col("id") % 2).alias("subject")))
+    vt.purge_rows("subject = 1")
+    assert all("record_index" not in s for s in vt._snapshots())
+    assert not glob.glob(os.path.join(vt.location, "record_index-*"))
