@@ -164,16 +164,20 @@ def export_shards(
         )
         return {r["shard_id"]: (r["n"], r["hs"], r["hx"]) for r in agg.collect()}
 
-    want = _shard_digests(sharded)
     back = spark.read.format(file_format).load(path)
     got = _shard_digests(back)
-    if verify and got != want:
-        bad = sorted(
-            k for k in set(want) | set(got) if want.get(k) != got.get(k)
-        )
-        raise IOError(
-            f"export_shards: digest mismatch on shards {bad} at {path}"
-        )
+    if verify:
+        # the input-side digests cost a full second scan of the source —
+        # computed (and compared) only when verification is requested
+        # (ADVICE r6: verify=False exports pay one write + one read-back)
+        want = _shard_digests(sharded)
+        if got != want:
+            bad = sorted(
+                k for k in set(want) | set(got) if want.get(k) != got.get(k)
+            )
+            raise IOError(
+                f"export_shards: digest mismatch on shards {bad} at {path}"
+            )
 
     rows = []
     for entry in sorted(os.listdir(path)):

@@ -17,10 +17,14 @@ from __future__ import annotations
 
 import json
 import os
+import time
+import uuid
+from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .tables import VersionedTable
+from .tables import VersionedTable, file_lock
 
 _CATALOG = "_catalog.json"
 
@@ -46,6 +50,30 @@ class LakeCatalog:
             json.dump(doc, f)
         os.replace(tmp, self._path())
 
+    @contextmanager
+    def locked(self, timeout: float = 30.0):
+        """Cross-process mutual exclusion over the catalog DOCUMENT —
+        the same discipline as ``VersionedTable.locked()``.
+        ``os.replace`` makes each individual write atomic, but a
+        read-modify-write without this lock can lose a concurrent
+        writer's update (two transactions pin-swapping, two
+        ``create_table`` calls registering — ADVICE r6)."""
+        with file_lock(
+            os.path.join(self.root, "_catalog.lock"), timeout=timeout
+        ):
+            yield self
+
+    def _mutate_doc(self, fn: Callable[[dict], object]):
+        """Serialize one read-modify-write of the catalog document under
+        the catalog lock; ``fn`` mutates the doc in place and its return
+        value is passed through. Every catalog-doc mutation routes here
+        so no two writers can interleave read and write."""
+        with self.locked():
+            doc = self._doc()
+            out = fn(doc)
+            self._write_doc(doc)
+            return out
+
     def create_table(
         self, name: str, df: DataFrame | None = None, location: str | None = None
     ) -> VersionedTable:
@@ -62,24 +90,27 @@ class LakeCatalog:
         LIVE table (possible after a metadata-only rename) raises."""
         if not name.isidentifier():
             raise ValueError(f"invalid table name {name!r}")
-        doc = self._doc()
-        if name in doc["tables"]:
-            raise ValueError(f"table {name!r} already exists in catalog")
-        loc = location or os.path.join(self.root, name)
-        if location is None and loc in doc["tables"].values():
-            # a renamed table still occupies its original managed path
-            # (rename is metadata-only); defaulting a NEW table onto that
-            # live location would silently alias two catalog names to one
-            # table — found by tests/test_property_ddl.py. Registering an
-            # existing location on purpose stays possible via explicit
-            # ``location=``.
-            owner = next(n for n, l in doc["tables"].items() if l == loc)
-            raise ValueError(
-                f"default location {loc!r} is owned by table {owner!r} "
-                f"(renamed away from {name!r}?); pass an explicit location"
-            )
-        doc["tables"][name] = loc
-        self._write_doc(doc)
+
+        def register(doc: dict) -> str:
+            if name in doc["tables"]:
+                raise ValueError(f"table {name!r} already exists in catalog")
+            loc = location or os.path.join(self.root, name)
+            if location is None and loc in doc["tables"].values():
+                # a renamed table still occupies its original managed path
+                # (rename is metadata-only); defaulting a NEW table onto
+                # that live location would silently alias two catalog
+                # names to one table — found by tests/test_property_ddl.py.
+                # Registering an existing location on purpose stays
+                # possible via explicit ``location=``.
+                owner = next(n for n, l in doc["tables"].items() if l == loc)
+                raise ValueError(
+                    f"default location {loc!r} is owned by table {owner!r} "
+                    f"(renamed away from {name!r}?); pass an explicit location"
+                )
+            doc["tables"][name] = loc
+            return loc
+
+        loc = self._mutate_doc(register)
         vt = VersionedTable(self.spark, loc, name=name)
         if df is not None:
             vt.overwrite(df)  # also registers the temp view (name set)
@@ -118,11 +149,13 @@ class LakeCatalog:
         external-table drop semantics."""
         import shutil
 
-        doc = self._doc()
-        loc = doc["tables"].pop(name, None)
-        if loc is None:
-            raise ValueError(f"table {name!r} not found in catalog")
-        self._write_doc(doc)
+        def unregister(doc: dict) -> str:
+            loc = doc["tables"].pop(name, None)
+            if loc is None:
+                raise ValueError(f"table {name!r} not found in catalog")
+            return loc
+
+        loc = self._mutate_doc(unregister)
         self.spark.catalog.dropTempView(name)
         if purge:
             shutil.rmtree(loc, ignore_errors=True)
@@ -135,17 +168,18 @@ class LakeCatalog:
         working)."""
         if not new.isidentifier():
             raise ValueError(f"invalid table name {new!r}")
-        doc = self._doc()
-        if old not in doc["tables"]:
-            raise ValueError(f"table {old!r} not found in catalog")
-        if new in doc["tables"] or new in doc.get("views", {}):
-            raise ValueError(f"name {new!r} already exists in catalog")
-        doc["tables"][new] = doc["tables"].pop(old)
-        self._write_doc(doc)
+
+        def remap(doc: dict) -> str:
+            if old not in doc["tables"]:
+                raise ValueError(f"table {old!r} not found in catalog")
+            if new in doc["tables"] or new in doc.get("views", {}):
+                raise ValueError(f"name {new!r} already exists in catalog")
+            doc["tables"][new] = doc["tables"].pop(old)
+            return doc["tables"][new]
+
+        loc = self._mutate_doc(remap)
         self.spark.catalog.dropTempView(old)
-        VersionedTable(
-            self.spark, doc["tables"][new]
-        ).read().createOrReplaceTempView(new)
+        VersionedTable(self.spark, loc).read().createOrReplaceTempView(new)
         return self
 
     def create_view(self, name: str, sql: str) -> "LakeCatalog":
@@ -154,11 +188,13 @@ class LakeCatalog:
         never materialized — the Glue/HMS view semantics)."""
         if not name.isidentifier():
             raise ValueError(f"invalid view name {name!r}")
-        doc = self._doc()
-        if name in doc["tables"] or name in doc.setdefault("views", {}):
-            raise ValueError(f"name {name!r} already exists in catalog")
-        doc["views"][name] = sql
-        self._write_doc(doc)
+
+        def add_view(doc: dict) -> None:
+            if name in doc["tables"] or name in doc.setdefault("views", {}):
+                raise ValueError(f"name {name!r} already exists in catalog")
+            doc["views"][name] = sql
+
+        self._mutate_doc(add_view)
         return self
 
     def view(self, name: str) -> DataFrame:
@@ -173,11 +209,12 @@ class LakeCatalog:
         return sorted(self._doc().get("views", {}))
 
     def drop_view(self, name: str) -> "LakeCatalog":
-        doc = self._doc()
-        if name not in doc.get("views", {}):
-            raise ValueError(f"view {name!r} not found in catalog")
-        del doc["views"][name]
-        self._write_doc(doc)
+        def remove_view(doc: dict) -> None:
+            if name not in doc.get("views", {}):
+                raise ValueError(f"view {name!r} not found in catalog")
+            del doc["views"][name]
+
+        self._mutate_doc(remove_view)
         return self
 
     def show_create_table(self, name: str) -> str:
@@ -223,12 +260,24 @@ class CatalogTransaction:
        while step 2 is half done or the writer has crashed between
        publishes.
 
-    Crash matrix: before any publish → staged snapshots are invisible;
-    pins unchanged (abort by ``rollback`` or table-store retention).
+    Crash matrix: before any publish → staged snapshots are invisible,
+    and ``read_pinned`` serves the pre-transaction state — via the head
+    for never-pinned tables, via the BASELINE pins ``write`` took for
+    tables this transaction touched. Those baseline pins survive the
+    crash (tagged with the transaction id + timestamp); left alone they
+    would freeze pinned reads below future non-transactional head
+    advances, so detect and expire them with
+    ``LakeCatalog.expire_abandoned_pins()`` (or ``rollback``).
     Between publishes → raw per-table heads may already show new data
     (exactly Delta's multi-table gap) but PINNED reads stay on the old
     consistent set; re-running ``commit`` completes idempotently.
     After the pin swap → fully committed.
+
+    All catalog-document mutations (baseline pins, the commit's pin
+    swap, rollback's pin removal) run under the cross-process catalog
+    lock (``LakeCatalog.locked``), so two concurrent transactions — or
+    a transaction racing ``create_table`` — cannot lose each other's
+    updates to the shared document.
 
     Usage::
 
@@ -242,6 +291,7 @@ class CatalogTransaction:
         self.catalog = catalog
         self._staged: dict[str, int] = {}
         self._baselined: set[str] = set()
+        self._txn_id = uuid.uuid4().hex
         self._done = False
 
     def write(self, name: str, df: DataFrame) -> int:
@@ -252,19 +302,27 @@ class CatalogTransaction:
         if self._done:
             raise RuntimeError("transaction already committed or rolled back")
         vt = self.catalog.table(name)
-        doc = self.catalog._doc()
-        pins = doc.setdefault("pins", {})
-        if name not in pins:
-            # BASELINE pin: freeze pinned readers at the pre-transaction
-            # head before any publish can race them — observably a no-op
-            # (pin == head) until the commit's pin swap, and the reason
-            # the mid-commit crash window cannot leak a half-committed
-            # view even for tables never pinned before
-            head = vt.detail()["version"]
-            if head is not None:
+        head = vt.detail()["version"]
+
+        def baseline(doc: dict) -> None:
+            pins = doc.setdefault("pins", {})
+            if name not in pins and head is not None:
+                # BASELINE pin: freeze pinned readers at the
+                # pre-transaction head before any publish can race them —
+                # observably a no-op (pin == head) until the commit's pin
+                # swap, and the reason the mid-commit crash window cannot
+                # leak a half-committed view even for tables never pinned
+                # before. Tagged with this transaction's id + timestamp
+                # so an abandoned baseline (writer died before
+                # commit/rollback) is detectable and expirable.
                 pins[name] = head
-                self.catalog._write_doc(doc)
+                doc.setdefault("pin_baselines", {})[name] = {
+                    "txn": self._txn_id,
+                    "at": time.time(),
+                }
                 self._baselined.add(name)
+
+        self.catalog._mutate_doc(baseline)
         if name in self._staged:
             vt.drop_staged(self._staged[name])
         self._staged[name] = vt.stage(df)
@@ -288,11 +346,18 @@ class CatalogTransaction:
                 vt.publish(version)
             # else: already published by a crashed earlier commit — the
             # retry is idempotent and proceeds to the pin swap
-        doc = self.catalog._doc()
-        pins = dict(doc.get("pins", {}))
-        pins.update(self._staged)
-        doc["pins"] = pins
-        self.catalog._write_doc(doc)
+
+        def swap(doc: dict) -> None:
+            pins = dict(doc.get("pins", {}))
+            pins.update(self._staged)
+            doc["pins"] = pins
+            # committed pins are no longer baselines — they must never
+            # be expired as abandoned
+            baselines = doc.get("pin_baselines", {})
+            for name in self._staged:
+                baselines.pop(name, None)
+
+        self.catalog._mutate_doc(swap)
         self._done = True
         return dict(self._staged)
 
@@ -308,12 +373,19 @@ class CatalogTransaction:
         if self._baselined:
             # remove the baseline pins this transaction introduced —
             # leaving them would freeze pinned reads below future
-            # non-transactional head advances
-            doc = self.catalog._doc()
-            pins = doc.get("pins", {})
-            for name in self._baselined:
-                pins.pop(name, None)
-            self.catalog._write_doc(doc)
+            # non-transactional head advances. Tag-checked: another
+            # transaction (or an expiry) may have replaced the pin since;
+            # only OUR baselines are removed.
+            def unpin(doc: dict) -> None:
+                pins = doc.get("pins", {})
+                baselines = doc.get("pin_baselines", {})
+                for name in self._baselined:
+                    tag = baselines.get(name)
+                    if tag and tag.get("txn") == self._txn_id:
+                        pins.pop(name, None)
+                        baselines.pop(name, None)
+
+            self.catalog._mutate_doc(unpin)
         self._staged = {}
         self._done = True
 
@@ -332,6 +404,33 @@ def _catalog_transaction(self) -> CatalogTransaction:
     return CatalogTransaction(self)
 
 
+def _catalog_expire_abandoned_pins(
+    self, max_age_seconds: float = 3600.0
+) -> list[str]:
+    """Expire BASELINE pins abandoned by transactions that died before
+    commit/rollback (ADVICE r6): a baseline pin carries its transaction
+    id + timestamp; one older than ``max_age_seconds`` is removed so
+    ``read_pinned`` resumes tracking the published head. Committed pins
+    (which carry no baseline tag — ``commit`` pops it in the same pin
+    swap) are never touched. Returns the expired table names. Run it
+    the way lake formats run lease expiry: periodically, with an age
+    comfortably above any live transaction's duration."""
+
+    def expire(doc: dict) -> list[str]:
+        baselines = doc.get("pin_baselines", {})
+        pins = doc.get("pins", {})
+        now = time.time()
+        expired = []
+        for name, tag in list(baselines.items()):
+            if now - float(tag.get("at", 0.0)) > max_age_seconds:
+                baselines.pop(name)
+                pins.pop(name, None)
+                expired.append(name)
+        return sorted(expired)
+
+    return self._mutate_doc(expire)
+
+
 def _catalog_read_pinned(self, name: str) -> DataFrame:
     """Read ``name`` at the catalog's pinned version — the consistent
     multi-table view ``CatalogTransaction.commit`` switches atomically.
@@ -344,6 +443,7 @@ def _catalog_read_pinned(self, name: str) -> DataFrame:
 
 LakeCatalog.transaction = _catalog_transaction
 LakeCatalog.read_pinned = _catalog_read_pinned
+LakeCatalog.expire_abandoned_pins = _catalog_expire_abandoned_pins
 
 
 def _catalog_create_materialized_view(
@@ -360,9 +460,11 @@ def _catalog_create_materialized_view(
     CDF diffs; this surface is the full-recompute baseline."""
     self.sync()
     vt = self.create_table(name, self.spark.sql(sql))
-    doc = self._doc()
-    doc.setdefault("mviews", {})[name] = sql
-    self._write_doc(doc)
+
+    def add_mview(doc: dict) -> None:
+        doc.setdefault("mviews", {})[name] = sql
+
+    self._mutate_doc(add_mview)
     return vt
 
 

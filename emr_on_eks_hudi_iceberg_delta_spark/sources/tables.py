@@ -50,6 +50,51 @@ class ConcurrentCommitError(RuntimeError):
     hudi/hudi_scd_script.py:42-48 uses DynamoDB for the same check)."""
 
 
+from contextlib import contextmanager as _module_contextmanager
+
+
+@_module_contextmanager
+def file_lock(
+    path: str,
+    timeout: float = 30.0,
+    poll: float = 0.05,
+    stale_after: float = 300.0,
+):
+    """Cross-process mutual exclusion via an ``O_CREAT|O_EXCL`` lockfile
+    with bounded retry and stale-lease breaking — the shared primitive
+    behind ``VersionedTable.locked()`` and ``LakeCatalog`` document
+    mutations (sources/catalog.py). On acquisition timeout raises
+    ``ConcurrentCommitError``; a lock older than ``stale_after`` seconds
+    (a crashed holder) is broken and re-acquired."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    deadline = time.time() + timeout
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(path) > stale_after:
+                    os.unlink(path)  # stale holder: break the lease
+                    continue
+            except FileNotFoundError:
+                continue  # holder released between check and stat
+            if time.time() > deadline:
+                raise ConcurrentCommitError(
+                    f"writer lock at {path} held past {timeout}s"
+                )
+            time.sleep(poll)
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        yield
+    finally:
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
+
+
 class VersionedTable:
     """A snapshot-versioned parquet table with keyed-upsert support."""
 
@@ -272,34 +317,13 @@ class VersionedTable:
         lock-provider lease expiry — deliberately a SEPARATE, much longer
         knob than the acquisition ``timeout`` (using one value would let
         an impatient waiter break a live holder's lock)."""
-        path = os.path.join(self.location, "_writer.lock")
-        os.makedirs(self.location, exist_ok=True)
-        deadline = time.time() + timeout
-        while True:
-            try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                try:
-                    if time.time() - os.path.getmtime(path) > stale_after:
-                        os.unlink(path)  # stale holder: break the lease
-                        continue
-                except FileNotFoundError:
-                    continue  # holder released between check and stat
-                if time.time() > deadline:
-                    raise ConcurrentCommitError(
-                        f"writer lock at {path} held past {timeout}s"
-                    )
-                time.sleep(poll)
-        try:
-            os.write(fd, str(os.getpid()).encode())
-            os.close(fd)
+        with file_lock(
+            os.path.join(self.location, "_writer.lock"),
+            timeout=timeout,
+            poll=poll,
+            stale_after=stale_after,
+        ):
             yield self
-        finally:
-            try:
-                os.unlink(path)
-            except FileNotFoundError:
-                pass
 
     # -- public write surface ---------------------------------------------
 

@@ -115,3 +115,91 @@ def test_pinned_sync_serves_consistent_sql_view(spark, tmp_path):
     txn.commit()
     cat.sync(pinned=True)
     assert spark.sql("SELECT COUNT(*) AS c FROM detail").collect()[0]["c"] == 77
+
+
+def test_catalog_doc_mutations_are_lock_serialized(spark, tmp_path):
+    """ADVICE r6 (medium): concurrent catalog-doc writers must not lose
+    each other's updates. 8 threads each register a distinct table; all
+    8 registrations must land (the unlocked read-modify-write lost some
+    under this exact schedule)."""
+    import threading
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.catalog import (
+        LakeCatalog,
+    )
+
+    cat = LakeCatalog(spark, str(tmp_path / "cat_race"))
+    errs = []
+
+    def make(i):
+        try:
+            cat.create_table(f"t{i}")
+        except Exception as e:  # pragma: no cover - diagnostic
+            errs.append(e)
+
+    threads = [threading.Thread(target=make, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert cat.list_tables() == [f"t{i}" for i in range(8)]
+
+
+def test_abandoned_baseline_pins_expire(spark, tmp_path):
+    """ADVICE r6 (low): a transaction that dies after write() leaves a
+    tagged baseline pin; expire_abandoned_pins removes it (pinned reads
+    resume tracking the head) while committed pins are never expired."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.catalog import (
+        LakeCatalog,
+    )
+
+    cat = LakeCatalog(spark, str(tmp_path / "cat_expire"))
+    cat.create_table("t", spark.range(3).select("id"))
+
+    # abandoned transaction: write() then the process "dies" (no
+    # commit/rollback)
+    txn = cat.transaction()
+    txn.write("t", spark.range(5).select("id"))
+    assert cat._doc()["pins"] == {"t": 0}
+    assert cat._doc()["pin_baselines"]["t"]["txn"] == txn._txn_id
+
+    # head advances non-transactionally; pinned read is frozen at v0
+    cat.table("t").overwrite(spark.range(7).select("id"))
+    assert cat.read_pinned("t").count() == 3
+
+    # too young to expire; then old enough
+    assert cat.expire_abandoned_pins(max_age_seconds=3600) == []
+    assert cat.expire_abandoned_pins(max_age_seconds=0.0) == ["t"]
+    assert cat.read_pinned("t").count() == 7
+    assert "t" not in cat._doc().get("pin_baselines", {})
+
+    # committed pins carry no baseline tag and never expire
+    with cat.transaction() as txn2:
+        txn2.write("t", spark.range(4).select("id"))
+    assert cat.expire_abandoned_pins(max_age_seconds=0.0) == []
+    assert cat.read_pinned("t").count() == 4
+
+
+def test_rollback_unpin_is_tag_checked(spark, tmp_path):
+    """rollback removes ONLY its own baseline pin: if an expiry (or a
+    later transaction's commit) already replaced it, rollback must not
+    clobber the newer pin."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.catalog import (
+        LakeCatalog,
+    )
+
+    cat = LakeCatalog(spark, str(tmp_path / "cat_tagchk"))
+    cat.create_table("t", spark.range(3).select("id"))
+
+    txn = cat.transaction()
+    txn.write("t", spark.range(5).select("id"))          # baseline pin @ v0
+    # a second transaction commits meanwhile: pin moves to its snapshot
+    # and the baseline tag is popped
+    with cat.transaction() as txn2:
+        txn2.write("t", spark.range(9).select("id"))
+    committed_pin = cat._doc()["pins"]["t"]
+
+    txn.rollback()
+    assert cat._doc()["pins"]["t"] == committed_pin  # untouched
+    assert cat.read_pinned("t").count() == 9

@@ -254,3 +254,80 @@ def test_delta_native_gate_raises_clearly():
     assert delta_available() is False
     with pytest.raises(ModuleNotFoundError, match="scd2_merge_delta_style"):
         scd2_merge_delta_native(None, "/tmp/nowhere", None)
+
+
+@pytest.mark.parametrize("variant", ["hudi", "iceberg", "delta"])
+def test_scd2_merge_invariant_on_reference_csvs(spark, variant):
+    """Round-7 task 4: the golden invariant on the ACTUAL reference
+    fixtures (/root/reference/data/*.csv, public data, read-only) — the
+    tightest parity anchor to hudi/hudi_scd_script.py:77,90,110,112's
+    printed cardinalities. The changed/new split is derived EMPIRICALLY
+    from the files (not assumed): 1000 initial, 1100 update = 908
+    unchanged + 92 changed + 100 new -> 1192 rows post-merge."""
+    import os
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.csv import (
+        read_csv_with_schema,
+    )
+
+    ref = "/root/reference/data"
+    if not os.path.exists(os.path.join(ref, "initial_contacts.csv")):
+        pytest.skip("reference fixtures not mounted")
+    # the reference's explicit headerless schema (hudi_scd_script.py:55-58)
+    schema = StructType(
+        [
+            StructField("id", StringType()),
+            StructField("name", StringType()),
+            StructField("email", StringType()),
+            StructField("state", StringType()),
+        ]
+    )
+    initial = read_csv_with_schema(
+        spark, os.path.join(ref, "initial_contacts.csv"), schema
+    )
+    update = read_csv_with_schema(
+        spark, os.path.join(ref, "update_contacts.csv"), schema
+    )
+
+    # empirically derive the split from the data itself
+    n_initial, n_update = initial.count(), update.count()
+    joined = initial.alias("a").join(update.alias("b"), "id")
+    n_changed = joined.filter(
+        (F.col("a.name") != F.col("b.name"))
+        | (F.col("a.email") != F.col("b.email"))
+        | (F.col("a.state") != F.col("b.state"))
+    ).count()
+    n_new = update.join(initial, "id", "left_anti").count()
+    assert (n_initial, n_update, n_changed, n_new) == (1000, 1100, 92, 100)
+
+    target = with_scd2_columns(
+        initial, CHECKSUM_COLS, as_of=T1, include_ts=(variant != "delta")
+    )
+    fn = {
+        "hudi": scd2_merge_hudi_style,
+        "iceberg": scd2_merge_iceberg_style,
+        "delta": scd2_merge_delta_style,
+    }[variant]
+    result = fn(target, update, "id", CHECKSUM_COLS, as_of=T2)
+
+    # the reference scripts' printed cardinalities: 1192 total,
+    # 1100 current, 92 expired at the update batch's valid_from
+    assert result.count() == n_update + n_changed == 1192
+    current = result.filter(F.col("iscurrent") == 1)
+    expired = result.filter(F.col("iscurrent") == 0)
+    assert current.count() == 1100
+    assert expired.count() == 92
+    assert expired.filter(
+        F.col("valid_to") != F.lit(T2).cast("timestamp_ntz")
+    ).count() == 0
+    # the expired ids are exactly the empirically-changed ids
+    changed_ids = {r["id"] for r in joined.filter(
+        (F.col("a.name") != F.col("b.name"))
+        | (F.col("a.email") != F.col("b.email"))
+        | (F.col("a.state") != F.col("b.state"))
+    ).select("id").collect()}
+    expired_ids = {r["id"] for r in expired.select("id").collect()}
+    assert expired_ids == changed_ids
+    assert current.groupBy("id").count().filter("count > 1").count() == 0
