@@ -276,6 +276,56 @@ def parse_merge(sql: str) -> dict:
     return spec
 
 
+def _literal_spans(s: str) -> list[tuple[int, int]]:
+    """Half-open [start, end) spans of ``'...'`` string literals (with
+    SQL ``''`` escaping) and `` `...` `` quoted identifiers — the regions
+    where rewrite trigger substrings are DATA, not syntax."""
+    spans = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, min(j + 1, n)))
+            i = j + 1
+        elif ch == "`":
+            j = s.find("`", i + 1)
+            j = n - 1 if j < 0 else j
+            spans.append((i, j + 1))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
+def _sub_outside_literals(pattern: str, repl, s: str) -> str:
+    """``re.sub`` that skips matches STARTING inside a string literal or
+    quoted identifier (a match may legitimately extend into one — e.g.
+    the ``'<ts>'`` value of ``TIMESTAMP AS OF``)."""
+    spans = _literal_spans(s)
+
+    def outside(pos: int) -> bool:
+        return not any(a <= pos < b for a, b in spans)
+
+    out = []
+    last = 0
+    for m in re.finditer(pattern, s, flags=re.I):
+        if m.start() < last or not outside(m.start()):
+            continue
+        out.append(s[last:m.start()])
+        out.append(repl(m))
+        last = m.end()
+    out.append(s[last:])
+    return "".join(out)
+
+
 def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=None):
     """Execute a non-MERGE DML or utility statement against a
     ``VersionedTable`` — the rest of the statement surface a lake user runs
@@ -357,6 +407,12 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
         # statement runs as plain Spark SQL):
         #   table_changes('t', a, b)  — Delta CDF rows per commit
         #   t VERSION AS OF n / t TIMESTAMP AS OF 'ts' — time travel
+        # Substitution is LITERAL-AWARE (round-7 task 5): a trigger
+        # substring inside a '...' string or `...` quoted identifier is
+        # data, not syntax, and must survive the rewrite byte-for-byte —
+        # matches starting inside a literal span are skipped. (The value
+        # of TIMESTAMP AS OF '<ts>' is itself a literal, which is why
+        # spans gate the match START, not the whole match.)
         def _tc(m: "re.Match[str]") -> str:
             name = m.group("t")
             lo, hi = int(m.group("a")), int(m.group("b"))
@@ -382,19 +438,17 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
             df.createOrReplaceTempView(view)
             return f" {view} "
 
-        rewritten = re.sub(
+        rewritten = _sub_outside_literals(
             r"\btable_changes\s*\(\s*'(?P<t>[\w.]+)'\s*,\s*(?P<a>\d+)\s*,"
             r"\s*(?P<b>\d+)\s*\)",
             _tc,
             s,
-            flags=re.I,
         )
-        rewritten = re.sub(
+        rewritten = _sub_outside_literals(
             r"\b(?P<t>[\w.]+)\s+(?P<k>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
             r"(?P<v>'[^']*'|\d+)",
             _tt,
             rewritten,
-            flags=re.I,
         )
         return spark.sql(rewritten)
 
