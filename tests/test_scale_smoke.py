@@ -281,3 +281,184 @@ def test_bloom_prefilter_join_cuts_probe_at_scale(spark):
     elapsed = time.time() - t0
     assert got == true_matches
     assert elapsed < 120, f"bloom scale smoke took {elapsed:.0f}s"
+
+
+def test_semantic_dedup_scale_smoke(spark):
+    """Round-7 task 7: SemDeDup's 100 TB claims measured at 10^5
+    embeddings generated in-Spark. Invariants:
+    - identical planted pairs land in ONE cell and the higher id drops;
+    - coincidental drops ~ 0 (hash-random d=24 vectors: cross-group
+      cosine > 0.95 has ~e^-27 probability per pair);
+    - cell sizes stay near uniform (no degenerate cell), so the within-
+      cell join cardinality Sigma sz*(sz-1)/2 — measured from the actual
+      assignment, not assumed — is orders of magnitude below n^2/2.
+    """
+    import time as _t
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    n, pairs, dim, k = 100_000, 2_000, 24, 128
+    t0 = _t.time()
+
+    # corpus with CONTROLLED cluster structure (the production contract:
+    # n_centroids sized to the data — a first version of this test used
+    # hash-random vectors and MEASURED the resulting Voronoi skew of
+    # random centroids: max-cell join cardinality 3.6x the uniform
+    # expectation; the operator's docstring says to split such cells):
+    # - ids [0, 128): exact 2-hot cluster centers 4*(e_i + e_j) with
+    #   pairwise distance^2 >= 32 — ivf_assign seeds centroids from the
+    #   first k vectors by id, so cells == planted clusters;
+    # - ids [128, 4128): 2000 identical PAIRS (g = (id-128)//2), vector
+    #   = center(g % 128) + noise(g);
+    # - ids [4128, n): uniques, center(id % 128) + noise(id).
+    # noise is TANGENTIAL (zero on the center's hot dims — radial noise
+    # keeps points parallel to the center and a first draft measured 48
+    # false near-dups from exactly that) and normalized to |n| = 2
+    # (< dist/2 = 2.83, so assignment is provably exact). Same-cluster
+    # non-identical cosine = (32 + n1.n2)/36 <= (32 + 4cos phi)/36 with
+    # phi a random 22-dim angle: exceeding 0.99 needs cos phi > 0.91,
+    # ~7e-9 per pair — expected false drops ~0. Planted pairs are
+    # identical (cosine 1.0).
+    ids = F.col("id")
+    cluster = (
+        F.when(ids < 128, ids)
+        .when(ids < 128 + 2 * pairs, ((ids - 128) / 2).cast("long") % k)
+        .otherwise(ids % k)
+    )
+    seed = (
+        F.when(ids < 128, F.lit("center"))
+        .when(
+            ids < 128 + 2 * pairs,
+            F.concat(F.lit("g"), ((ids - 128) / 2).cast("long").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("u"), ids.cast("string")))
+    )
+    ci = cluster % dim
+    cj = (ci + 1 + (cluster / dim).cast("long")) % dim
+
+    hot = F.array(
+        *[
+            F.when((F.lit(d) == ci) | (F.lit(d) == cj), F.lit(4.0)).otherwise(
+                F.lit(0.0)
+            )
+            for d in range(dim)
+        ]
+    )
+    raw = F.array(
+        *[
+            F.when((F.lit(d) == ci) | (F.lit(d) == cj), F.lit(0.0)).otherwise(
+                F.pmod(F.xxhash64(seed, F.lit(d)), F.lit(1001)).cast("double")
+                / 1000.0
+                - 0.5
+            )
+            for d in range(dim)
+        ]
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(raw, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    scale = F.when(ids < 128, F.lit(0.0)).otherwise(2.0 / (nrm + F.lit(1e-12)))
+
+    emb = spark.range(n).select(
+        ids.alias("vec_id"),
+        F.zip_with(hot, raw, lambda h, r: h + r * scale)
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+
+    out = semantic_dedup(emb, n_centroids=k, threshold=0.99, persist=True)
+    rows = out.select("vec_id", "cell", "is_kept").collect()
+    kept = {r["vec_id"] for r in rows if r["is_kept"]}
+    dropped = {r["vec_id"] for r in rows if not r["is_kept"]}
+    assert len(rows) == n
+
+    # every planted higher id dropped, every planted lower id kept
+    planted_drops = {128 + 2 * g + 1 for g in range(pairs)}
+    assert planted_drops <= dropped
+    assert {128 + 2 * g for g in range(pairs)} <= kept
+    # coincidental drops essentially zero
+    assert len(dropped - planted_drops) <= 20
+
+    # cell-size distribution: measured, bounded, and the implied join
+    # cardinality is per-cell, not all-pairs
+    sizes = [r["n"] for r in out.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n")).collect()]
+    assert max(sizes) <= 10 * (n // k), f"degenerate cell: {max(sizes)}"
+    join_pairs = sum(s * (s - 1) // 2 for s in sizes)
+    allpairs = n * (n - 1) // 2
+    assert join_pairs * 50 < allpairs, (
+        f"join cardinality {join_pairs} not sublinear vs n^2 {allpairs}"
+    )
+    assert _t.time() - t0 < 240
+
+
+def test_hard_negative_topk_scale_smoke(spark):
+    """Round-7 task 7: hard-negative mining at 10^5 corpus / 32 queries —
+    broadcast queries, ONE corpus scan, one window shuffle; results
+    host-verified for one query against numpy brute force."""
+    import time as _t
+
+    import numpy as np
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.plans import (
+        broadcast_join_count,
+        shuffle_count,
+    )
+
+    n, dim, n_labels, topk = 100_000, 16, 7, 5
+    t0 = _t.time()
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (
+                    F.pmod(F.xxhash64(F.col("id"), F.lit(j)), F.lit(2001))
+                    .cast("double")
+                    / 1000.0
+                    - 1.0
+                )
+                for j in range(dim)
+            ]
+        ).cast("array<float>").alias("embedding"),
+        (F.col("id") % n_labels).alias("label"),
+    )
+    queries = emb.filter(F.col("vec_id") < 32)
+
+    out = hard_negative_topk(emb, queries, k=topk)
+    # plan shape: queries broadcast, bounded shuffles
+    assert broadcast_join_count(out) >= 1
+    assert shuffle_count(out) <= 2
+    res = out.collect()
+    assert len(res) == 32 * topk
+    by_q = {}
+    for r in res:
+        assert r["query_label"] != r["neighbor_label"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(32))
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, topk + 1))
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+
+    # host-exact: query 0's top hard negative matches numpy brute force
+    mat = np.array(
+        [r["embedding"] for r in emb.select("embedding").orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    labels = np.arange(n) % n_labels
+    qv = mat[0]
+    cos = (mat @ qv) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    cos[labels == labels[0]] = -2.0  # exclude same-label (and self)
+    best = int(np.argmax(cos))
+    got = by_q[0][0]
+    assert got["neighbor_id"] == best
+    assert abs(got["cosine"] - cos[best]) < 1e-9
+    assert _t.time() - t0 < 150
