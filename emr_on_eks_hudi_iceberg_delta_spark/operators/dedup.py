@@ -773,3 +773,92 @@ def lsh_index_append(vt, accepted_batch: DataFrame) -> None:
         F.md5(F.col(text_col)).alias("key"),
     )
     vt.append(band_rows.unionByName(digest_rows))
+
+
+def boilerplate_span_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Span-level boilerplate removal — the CCNet/RefinedWeb
+    line-level-dedup step re-expressed for token streams (the corpus has
+    no newline structure, so the unit is the n-token span): any n-gram
+    appearing in >= ``min_docs`` DISTINCT documents is boilerplate
+    (headers, navigation chrome, legal footers), and every token covered
+    by an occurrence of a boilerplate n-gram is scrubbed from its
+    document. Unlike document-level dedup this cleans text INSIDE kept
+    documents — the complement of novelty_scores' signal.
+
+    Returns ``(id, clean_text, n_removed)`` for EVERY input document
+    (fully-scrubbed docs return ``clean_text = ''``); surviving tokens
+    keep their original order.
+
+    Exactness: whitespace tokenization, integer document frequencies, a
+    set union of covered positions, order-preserving reassembly — every
+    step replays in SQL, so the oracle is exact.
+
+    Scale: one shingle-keyed aggregate for document frequency (map-side
+    combine; the shingle universe, not the corpus, bounds state), one
+    semi-join back on the shingle to find occurrences (boilerplate rows
+    only), one distinct on covered (doc, position) pairs, one doc-keyed
+    reassembly — the novelty_scores cost family, no pair enumeration.
+    The boilerplate table is vocabulary-sized and broadcastable when
+    small; position explosion is bounded by n x boilerplate occurrences,
+    not corpus size.
+    """
+    from ..functions.hashing import shingle_expr as _shingle
+
+    n = int(shingle_n)
+    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+    sh = toks.select(
+        F.col(id_col),
+        F.posexplode(_shingle("__toks", n)).alias("__p0", "__s"),
+    )
+    dfreq = (
+        sh.select("__s", id_col)
+        .distinct()
+        .groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    boiler = dfreq.filter(F.col("__df") >= int(min_docs)).select("__s")
+    covered = (
+        sh.join(boiler, "__s")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("__p0") + 1, F.col("__p0") + n)
+            ).alias("__pos"),
+        )
+        .distinct()
+        .withColumn("__rm", F.lit(1))
+    )
+    pos = toks.select(
+        F.col(id_col),
+        F.posexplode("__toks").alias("__pos0", "__t"),
+    ).select(
+        F.col(id_col), (F.col("__pos0") + 1).alias("__pos"), "__t"
+    )
+    flagged = pos.join(covered, [id_col, "__pos"], "left")
+    kept_arr = F.transform(
+        F.filter(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("__pos").alias("p"),
+                        F.col("__t").alias("t"),
+                        F.col("__rm").alias("rm"),
+                    )
+                )
+            ),
+            lambda x: x["rm"].isNull(),
+        ),
+        lambda x: x["t"],
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(kept_arr, " ").alias("clean_text"),
+        F.sum(F.when(F.col("__rm").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+    )

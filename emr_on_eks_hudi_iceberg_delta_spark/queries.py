@@ -4367,6 +4367,53 @@ def q_repeated_span_removal(spark, sf_dir):
 
 
 @register(
+    "boilerplate_span_scrub",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id, u.i AS p, array_to_string(t[u.i:u.i+2], ' ') AS s
+      FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+    dfreq AS (
+      SELECT s, count(*) AS df
+      FROM (SELECT DISTINCT s, doc_id FROM sh) GROUP BY s),
+    boiler AS (SELECT s FROM dfreq WHERE df >= 3),
+    covered AS (
+      SELECT DISTINCT sh.doc_id, c.p
+      FROM sh JOIN boiler USING (s),
+           UNNEST(generate_series(sh.p, sh.p + 2)) AS c(p)),
+    pos AS (
+      SELECT doc_id, u.p, t[u.p] AS tok
+      FROM toks, UNNEST(generate_series(1, len(t))) AS u(p)),
+    flagged AS (
+      SELECT pos.doc_id, pos.p, pos.tok, covered.p IS NOT NULL AS rm
+      FROM pos LEFT JOIN covered
+        ON pos.doc_id = covered.doc_id AND pos.p = covered.p)
+    SELECT doc_id,
+           COALESCE(string_agg(tok, ' ' ORDER BY p) FILTER (WHERE NOT rm),
+                    '') AS clean_text,
+           CAST(count(*) FILTER (WHERE rm) AS BIGINT) AS n_removed
+    FROM flagged GROUP BY doc_id
+    """,
+    tags=("dedup", "text", "extension", "corpus"),
+)
+def q_boilerplate_span_scrub(spark, sf_dir):
+    """SLIDING-window boilerplate scrub (operators/dedup.
+    boilerplate_span_scrub) — the alignment-insensitive complement of
+    ``repeated_span_removal``: that operator cuts NON-OVERLAPPING
+    4-token blocks (fast, but a shared phrase straddling a block
+    boundary escapes); this one marks every position covered by ANY
+    occurrence of a >=3-doc 3-gram, so boilerplate is caught at any
+    offset — the CCNet/RefinedWeb line-dedup step re-expressed for
+    token streams. Exact oracle: integer document frequencies, a
+    position-set union, order-preserving reassembly."""
+    from .operators.dedup import boilerplate_span_scrub
+
+    return boilerplate_span_scrub(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "table_stats_pruned_read",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -46,3 +46,34 @@ def test_lsh_index_two_day_loop(spark, tmp_path):
     plain.overwrite(spark.range(3).select("id"))
     with pytest.raises(ValueError, match="not an LSH index"):
         lsh_index_dedup_batch(plain, day2)
+
+
+def test_boilerplate_span_scrub_hand_example(spark):
+    """Sliding-window scrub: a 3-gram shared by >= 3 docs is cut at ANY
+    offset (including straddling what a 4-block splitter would keep);
+    unique text survives in order; a fully-boilerplate doc returns ''."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.dedup import (
+        boilerplate_span_scrub,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta legal foot er gamma"),
+            (2, "x legal foot er y z"),
+            (3, "legal foot er"),
+            (4, "unique words only here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in boilerplate_span_scrub(
+            docs, shingle_n=3, min_docs=3
+        ).collect()
+    }
+    # 'legal foot er' appears in 3 docs -> boilerplate; covered tokens
+    # scrubbed wherever they sit (offsets 3, 2, 1 respectively)
+    assert out[1] == ("alpha beta gamma", 3)
+    assert out[2] == ("x y z", 3)
+    assert out[3] == ("", 3)          # fully scrubbed doc still present
+    assert out[4] == ("unique words only here now", 0)
