@@ -1651,6 +1651,47 @@ def q_streaming_running_totals(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_cusum_scores",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    g AS (SELECT user_id,
+                 list_transform(
+                   list_sort(list(struct_pack(
+                     t := ts, e := event_id, v := CAST(value AS DOUBLE)))),
+                   x -> x.v) AS vals
+          FROM ev GROUP BY user_id),
+    m AS (SELECT user_id, vals,
+                 list_max(list_transform(generate_series(1, len(vals)),
+                   i -> list_reduce(list_prepend(0.0, list_slice(vals, 1, i)),
+                                    (a, b) -> greatest(a + b - 55.0, 0.0))))
+                 AS cmax
+          FROM g)
+    SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+           CAST(list_reduce(list_prepend(0.0, vals),
+                            (a, b) -> greatest(a + b - 55.0, 0.0))
+                AS DOUBLE) AS cusum_final,
+           CAST(cmax AS DOUBLE) AS cusum_max,
+           CAST(cmax > 300.0 AS BOOLEAN) AS alert
+    FROM m
+    """,
+    tags=("streaming", "sequence", "extension", "udf"),
+)
+def q_streaming_cusum_scores(spark, sf_dir):
+    """Streaming latched CUSUM (streaming/events.stream_cusum_scores) —
+    the UNBOUNDED-KEY path of the round-7 change-detection family:
+    per-user state is three GroupState scalars (n, s, max), so infinite
+    streams carry bytes, not history. Single-batch replay folds in the
+    exact IEEE order of the batch engine, so the oracle is the same
+    per-prefix-replay SQL as events_cusum_alerts_latched; the
+    cross-batch state carry is pinned in tests/test_streaming.py."""
+    from .streaming.events import stream_cusum_scores
+
+    return run_stream_to_memory(
+        stream_cusum_scores(_events_stream(spark, sf_dir)), output_mode="update"
+    )
+
+
 # --------------------------------------------------------------------------
 # Batch 2: CSV source (S1), reference golden pipeline, write-path roundtrip,
 # join-type completeness, more window/pivot shapes

@@ -154,6 +154,70 @@ def stream_user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_cusum_scores(
+    events: DataFrame,
+    drift: float = 55.0,
+    threshold: float = 300.0,
+) -> DataFrame:
+    """Streaming latched CUSUM — the UNBOUNDED-KEY path of the change-
+    detection family (operators/sequence.py round 7): per-user state is
+    THREE scalars ``(n, s, smax)`` in GroupState, so a key alive for
+    years carries bytes, not history — the contract neither the batch
+    streaming fold (bounded per run) nor the segmented twin (bounded per
+    partition set) can make for an infinite stream.
+
+    Each micro-batch sorts ITS OWN rows per key by (ts, event_id) and
+    folds them into the carried state with the exact IEEE sequence the
+    batch engine uses, then emits the updated
+    ``(user_id, n_events, cusum_final, cusum_max, alert)`` row (update
+    mode; ``alert`` latches on ``cusum_max``). Exactness contract: equal
+    to ``cusum_scores(latched=True)`` bit-for-bit when micro-batches
+    respect per-key event-time order (a log replay / ordered ingest —
+    the standard condition for ANY sequential streaming statistic;
+    pinned single- and multi-batch in tests/test_streaming.py). Late
+    out-of-order arrivals fold where they land, the usual streaming
+    approximation.
+    """
+    d = float(drift)
+    t = float(threshold)
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        n, s, smax = state.get if state.exists else (0, 0.0, 0.0)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for x in pdf["value"].astype(float):
+                s = s + x - d
+                if s < 0.0:
+                    s = 0.0
+                if s > smax:
+                    smax = s
+                n += 1
+        state.update((n, s, smax))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "cusum_final": [s],
+                "cusum_max": [smax],
+                "alert": [smax > t],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id bigint, n_events bigint, cusum_final double, "
+            "cusum_max double, alert boolean"
+        ),
+        stateStructType="n bigint, s double, smax double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
     sdf: DataFrame, output_mode: str = "complete", name: str | None = None
 ) -> DataFrame:

@@ -340,3 +340,107 @@ def test_observation_metrics_single_pass(spark):
         li.agg(F.sum(F.col("l_quantity").cast("decimal(18,4)"))).collect()[0][0]
     )
     assert kept < m["rows_seen"]  # observed BEFORE the gate filter
+
+
+def test_stream_cusum_matches_batch_single_batch(spark, events_stream):
+    """Streaming latched CUSUM == batch cusum_scores(latched=True)
+    bit-for-bit on a single-micro-batch replay."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.sequence import (
+        cusum_scores,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
+    from emr_on_eks_hudi_iceberg_delta_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_cusum_scores,
+    )
+
+    got = (
+        run_stream_to_memory(
+            stream_cusum_scores(events_stream), output_mode="update"
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        cusum_scores(load_table(spark, SF_DIR, "events"), latched=True)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_events"].tolist() == exp["n_events"].tolist()
+    assert got["cusum_final"].tolist() == exp["cusum_final"].tolist()
+    assert got["cusum_max"].tolist() == exp["cusum_max"].tolist()
+    assert got["alert"].tolist() == exp["alert"].tolist()
+
+
+def test_stream_cusum_state_carries_across_batches(spark, tmp_path):
+    """Four TIME-ORDERED micro-batches (quartile files, oldest-first
+    file-source ordering): the carried (n, s, smax) scalars must
+    reproduce the batch fold exactly across batch boundaries — the
+    unbounded-key contract (state is 3 scalars, never history)."""
+    from pyspark.sql import functions as FF
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.sequence import (
+        cusum_scores,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
+    from emr_on_eks_hudi_iceberg_delta_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        run_stream_to_memory,
+        stream_cusum_scores,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    # split by ts quantiles so batch time ranges are disjoint and
+    # sequential (NTZ doesn't cast to double; derive epoch micros)
+    ev2 = ev.withColumn(
+        "__us",
+        FF.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).cast("double"),
+    )
+    tcuts = ev2.approxQuantile("__us", [0.25, 0.5, 0.75], 0.0)
+    stage = str(tmp_path / "ev_cusum_multi")
+    tsd = FF.col("__us")
+    slices = [
+        ev2.filter(tsd <= tcuts[0]),
+        ev2.filter((tsd > tcuts[0]) & (tsd <= tcuts[1])),
+        ev2.filter((tsd > tcuts[1]) & (tsd <= tcuts[2])),
+        ev2.filter(tsd > tcuts[2]),
+    ]
+    for i, sl in enumerate(slices):
+        sl.drop("__us").coalesce(1).write.mode("append").parquet(stage)
+    import glob as _glob
+
+    assert len(_glob.glob(stage + "/part-*.parquet")) == 4
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    got_all = run_stream_to_memory(
+        stream_cusum_scores(stream), output_mode="update"
+    )
+    # update mode re-emits per touched batch: keep the final emission
+    # (n_events is monotone per user)
+    import pandas as pd
+
+    gp = got_all.toPandas()
+    got = (
+        gp.sort_values(["user_id", "n_events"])
+        .groupby("user_id", as_index=False)
+        .last()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        cusum_scores(ev, latched=True)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_events"].tolist() == exp["n_events"].tolist()
+    assert got["cusum_final"].tolist() == exp["cusum_final"].tolist()
+    assert got["cusum_max"].tolist() == exp["cusum_max"].tolist()
