@@ -491,6 +491,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     persist: bool = False,
     assign: str = "window",
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """Embedding-space semantic deduplication (the SemDeDup recipe,
     Abbas et al. 2023, arXiv:2303.09540): cluster the corpus with a
@@ -513,14 +514,23 @@ def semantic_dedup(
 
     Scale: one shuffle on the cell key; the within-cell self-join is
     quadratic in CLUSTER size, which n_centroids controls (production:
-    size n_centroids ~ corpus/1000, recursively split oversized cells —
-    the same bucket-cap discipline as ``cap_buckets``). Only (id, cell,
-    vector-norm) rows shuffle beyond the scan. In one lazy plan the
-    assignment subtree is referenced THREE times (both self-join sides +
-    the final output), and Catalyst does not reuse the exchange —
-    ``persist=True`` caches the assigned relation so the IVF window runs
-    once (the same knob as ``tfidf_top_terms(persist_tf=...)``); at
-    production scale always set it.
+    size n_centroids ~ corpus/1000). ``max_cell_size`` ENFORCES the cap
+    (the ``cap_buckets`` discipline, implemented rather than advised):
+    cells over the cap are geometrically subdivided (a second IVF level
+    with per-cell seed centroids, ceil(size/cap) sub-cells each), and
+    any cell STILL over the cap — a cluster the quantizer cannot
+    separate — is hash-split on the vector bytes. Identical vectors hash
+    together, so EXACT duplicates always stay co-bucketed; near- (not
+    identical-) dup recall inside such degenerate cells is the
+    documented trade (identical-heavy cells are exact dedup's job — run
+    ``dedup_exact`` first). Only (id, cell, vector-norm) rows shuffle
+    beyond the scan. In one lazy plan the assignment subtree is
+    referenced THREE times (both self-join sides + the final output),
+    and Catalyst does not reuse the exchange — ``persist=True`` caches
+    the assigned relation so the IVF window runs once (the same knob as
+    ``tfidf_top_terms(persist_tf=...)``); at production scale always
+    set it. With ``max_cell_size`` the assignment is persisted
+    unconditionally (the subdivision pass re-reads it).
     """
     from .similarity import ivf_assign, ivf_assign_blas
 
@@ -532,8 +542,12 @@ def semantic_dedup(
         if assign == "blas"
         else ivf_assign(emb, n_centroids, id_col, vec_col)
     )
-    if persist:
+    if persist or max_cell_size:
         assigned = assigned.persist()
+    if max_cell_size:
+        assigned = _subdivide_cells(
+            emb, assigned, int(max_cell_size), id_col, vec_col
+        ).persist()
     e = F.col(vec_col).cast("array<double>")
     nrm = F.sqrt(
         F.aggregate(
@@ -577,6 +591,100 @@ def semantic_dedup(
             "cell",
             F.col("__drop").isNull().alias("is_kept"),
         )
+    )
+
+
+def _subdivide_cells(
+    emb: DataFrame,
+    assigned: DataFrame,
+    cap: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Enforce ``semantic_dedup``'s cell cap: cells over ``cap`` get a
+    SECOND IVF level (per-cell deterministic seeds = the cell's first
+    ceil(size/cap) members by id, L2 argmin assignment), and any
+    sub-cell still over the cap — a direction the quantizer cannot
+    separate — is hash-split on the raw vector (identical vectors hash
+    together, so exact duplicates never separate). Returns (id, cell)
+    with STRING cell keys (``"<cell>"``, ``"<cell>/<sub>"``, or
+    ``"<cell>/<sub>#<h>"``).
+
+    Scale: the oversized-cell list is driver-side but bounded by
+    n_centroids; the seed broadcast is (sub-cells x dim) — size the cap
+    and n_centroids so that stays broadcastable (the same sizing rule
+    as IVF codebooks)."""
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("__sz"))
+    big = [r["cell"] for r in sizes.filter(F.col("__sz") > cap).collect()]
+    base = assigned.select(
+        F.col(id_col), F.col("cell").cast("string").alias("cell")
+    )
+    if not big:
+        return base
+
+    members = (
+        assigned.filter(F.col("cell").isin(big))
+        .join(
+            emb.select(
+                F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+            ),
+            id_col,
+        )
+        .join(F.broadcast(sizes), "cell")
+        .withColumn("__m", F.ceil(F.col("__sz") / F.lit(cap)).cast("int"))
+    )
+    w = Window.partitionBy("cell").orderBy(id_col)
+    seeds = (
+        members.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("__m"))
+        .select(
+            "cell",
+            (F.col("__rk") - 1).alias("__sub"),
+            F.col("__v").alias("__cv"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with("__v", "__cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    aw = Window.partitionBy(id_col).orderBy(
+        F.col("__d2").asc(), F.col("__sub").asc()
+    )
+    sub1 = (
+        members.join(F.broadcast(seeds), "cell")
+        .withColumn("__d2", d2)
+        .withColumn("__r", F.row_number().over(aw))
+        .filter(F.col("__r") == 1)
+        .select(
+            F.col(id_col),
+            F.concat(
+                F.col("cell").cast("string"), F.lit("/"), F.col("__sub")
+            ).alias("cell2"),
+            "__v",
+        )
+    )
+    sizes2 = sub1.groupBy("cell2").agg(F.count(F.lit(1)).alias("__sz2"))
+    splits = sizes2.filter(F.col("__sz2") > cap).withColumn(
+        "__ns", F.ceil(F.col("__sz2") / F.lit(cap)).cast("bigint")
+    )
+    final_big = (
+        sub1.join(F.broadcast(splits.select("cell2", "__ns")), "cell2", "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__ns").isNull(), F.col("cell2"))
+            .otherwise(
+                F.concat(
+                    F.col("cell2"),
+                    F.lit("#"),
+                    F.pmod(F.xxhash64("__v"), F.col("__ns")),
+                )
+            )
+            .alias("cell"),
+        )
+    )
+    return base.filter(~F.col("cell").isin([str(c) for c in big])).unionByName(
+        final_big
     )
 
 

@@ -77,3 +77,62 @@ def test_boilerplate_span_scrub_hand_example(spark):
     assert out[2] == ("x y z", 3)
     assert out[3] == ("", 3)          # fully scrubbed doc still present
     assert out[4] == ("unique words only here now", 0)
+
+
+def test_semantic_dedup_max_cell_size_enforced(spark):
+    """max_cell_size: an oversized cell (all 600 vectors in one coarse
+    cell) is geometrically subdivided and, where geometry cannot
+    separate, hash-split - final cells near the cap, planted IDENTICAL
+    pairs always stay co-bucketed (identical vectors hash together) and
+    still dedup."""
+    from pyspark.sql import functions as F
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    n, pairs, dim, cap = 600, 50, 8, 100
+
+    def vec(seed):
+        return F.array(
+            *[
+                (
+                    F.pmod(F.xxhash64(seed, F.lit(j)), F.lit(2001))
+                    .cast("double")
+                    / 1000.0
+                    - 1.0
+                )
+                for j in range(dim)
+            ]
+        )
+
+    ids = F.col("id")
+    seed = F.when(
+        ids < 2 * pairs,
+        F.concat(F.lit("g"), (ids / 2).cast("long").cast("string")),
+    ).otherwise(F.concat(F.lit("u"), ids.cast("string")))
+    emb = spark.range(n).select(
+        ids.alias("vec_id"), vec(seed).alias("embedding")
+    )
+
+    out = semantic_dedup(
+        emb, n_centroids=1, threshold=0.999, max_cell_size=cap
+    )
+    rows = out.collect()
+    assert len(rows) == n
+    cell_of = {r["vec_id"]: r["cell"] for r in rows}
+    dropped = {r["vec_id"] for r in rows if not r["is_kept"]}
+
+    # identical pairs never separate, and the higher id drops
+    for g in range(pairs):
+        assert cell_of[2 * g] == cell_of[2 * g + 1], g
+        assert 2 * g + 1 in dropped, g
+        assert 2 * g not in dropped, g
+    # the cap holds (hash split is probabilistic: allow 2x)
+    from collections import Counter
+
+    sizes = Counter(cell_of.values())
+    assert max(sizes.values()) <= 2 * cap, sizes.most_common(3)
+    assert len(sizes) >= n // (2 * cap)
+    # no coincidental drops at threshold 0.999 with random directions
+    assert len(dropped) == pairs
