@@ -695,6 +695,7 @@ def fuzzy_match_pairs(
     max_distance: int = 2,
     block_expr: str | None = None,
     exclude_identical: bool = False,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Edit-distance entity resolution with blocking: candidate pairs
     share a blocking key (default: the first whitespace token) and are
@@ -708,9 +709,11 @@ def fuzzy_match_pairs(
     Scale: the self-join shuffles both sides on the blocking key only;
     Levenshtein (quadratic per pair) runs as a residual on candidates,
     never all-pairs. Block sizing is the operator's contract, exactly as
-    in LSH (``cap_buckets``): a degenerate block is the caller's signal
-    to pick a finer ``block_expr``. Both engines implement classic
-    Levenshtein, so results are exactly replayable.
+    in LSH (``cap_buckets``) — and ``max_block_size`` now ENFORCES it:
+    blocks above the cap drop whole before the self-join (the hot-bucket
+    guard; a dropped block is the signal to pick a finer
+    ``block_expr``). Both engines implement classic Levenshtein, so
+    results are exactly replayable.
     """
     blk = (
         F.expr(block_expr)
@@ -727,6 +730,17 @@ def fuzzy_match_pairs(
         F.col(text_col).alias("text_b"),
         blk.alias("__blk"),
     )
+    if max_block_size is not None:
+        # the cap_buckets discipline applied to blocking keys: a
+        # degenerate block (every record sharing one leading token)
+        # causes the same O(b^2) blow-up as a hot LSH bucket — capped
+        # blocks drop WHOLE (they carry little linkage signal; pick a
+        # finer block_expr to recover them), and the window count rides
+        # the block exchange the self-join needs anyway
+        from .similarity import cap_buckets
+
+        a = cap_buckets(a, max_block_size, keys=("__blk",))
+        b = cap_buckets(b, max_block_size, keys=("__blk",))
     pairs = a.join(b, "__blk").filter(F.col("id_a") < F.col("id_b"))
     if exclude_identical:
         pairs = pairs.filter(F.col("text_a") != F.col("text_b"))

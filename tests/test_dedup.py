@@ -136,3 +136,24 @@ def test_semantic_dedup_max_cell_size_enforced(spark):
     assert len(sizes) >= n // (2 * cap)
     # no coincidental drops at threshold 0.999 with random directions
     assert len(dropped) == pairs
+
+
+def test_fuzzy_match_max_block_size_caps_degenerate_blocks(spark):
+    """max_block_size: a degenerate block (everything shares the leading
+    token) drops whole before the self-join; normal blocks still match."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.dedup import (
+        fuzzy_match_pairs,
+    )
+
+    rows = [(i, f"spam item{i:04d}") for i in range(50)]  # degenerate block
+    rows += [(100, "acme corp"), (101, "acme c0rp")]       # near pair
+    df = spark.createDataFrame(rows, "id long, name string")
+
+    capped = fuzzy_match_pairs(
+        df, "id", "name", max_distance=2, max_block_size=10
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(100, 101)}
+
+    # without the cap the degenerate block floods the candidate join
+    uncapped = fuzzy_match_pairs(df, "id", "name", max_distance=2).collect()
+    assert len(uncapped) > 1
