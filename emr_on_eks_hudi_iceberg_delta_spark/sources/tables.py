@@ -1510,6 +1510,12 @@ class VersionedTable:
             for s in keep
             for d in s.get("tombstones", []) + s.get("dv", [])
         }
+        # record-level index dirs persist RAW key values: a dropped
+        # snapshot's index must go with its data (else vacuum deletes the
+        # rows but their keys survive on disk — the purge_rows lesson)
+        keep_idx = {
+            s["record_index"]["dir"] for s in keep if s.get("record_index")
+        }
         for entry in meta.get("branches", {}).values():
             try:
                 bsnaps = VersionedTable(
@@ -1522,6 +1528,11 @@ class VersionedTable:
                 d["dir"]
                 for s in bsnaps
                 for d in s.get("tombstones", []) + s.get("dv", [])
+            }
+            keep_idx |= {
+                s["record_index"]["dir"]
+                for s in bsnaps
+                if s.get("record_index")
             }
         kept_versions = {s["version"] for s in keep}
         for s in snaps:
@@ -1538,6 +1549,11 @@ class VersionedTable:
                     removed.append(d["dir"])
                     if not dry_run:
                         shutil.rmtree(d["dir"], ignore_errors=True)
+            idx = s.get("record_index")
+            if idx and idx["dir"] not in keep_idx:
+                removed.append(idx["dir"])
+                if not dry_run:
+                    shutil.rmtree(idx["dir"], ignore_errors=True)
         if not dry_run:
             meta["snapshots"] = keep
             self._write_meta(meta)

@@ -1855,3 +1855,25 @@ def test_purge_rows_without_index_has_no_index_after(spark, tmp_path):
     vt.purge_rows("subject = 1")
     assert all("record_index" not in s for s in vt._snapshots())
     assert not glob.glob(os.path.join(vt.location, "record_index-*"))
+
+
+def test_vacuum_reclaims_record_index_dirs(spark, tmp_path):
+    """A vacuumed snapshot's record-level index dir (raw key values!)
+    must be deleted with its data; the kept head's index survives and
+    dry-run reports without deleting."""
+    vt = VersionedTable(spark, str(tmp_path / "vt_vac_rli"))
+    vt.overwrite(spark.range(5).select("id"))          # v0
+    vt.build_record_index(["id"])
+    v0_idx = vt._snapshots()[0]["record_index"]["dir"]
+    vt.overwrite(spark.range(8).select("id"))          # v1
+    vt.build_record_index(["id"])
+    v1_idx = vt._snapshots()[-1]["record_index"]["dir"]
+
+    would = vt.vacuum(keep_last=1, dry_run=True)
+    assert v0_idx in would and v1_idx not in would
+    assert os.path.isdir(v0_idx)                       # dry run deletes nothing
+
+    vt.vacuum(keep_last=1)
+    assert not os.path.exists(v0_idx)
+    assert os.path.isdir(v1_idx)
+    assert vt.index_lookup({"id": 7}).count() == 1     # head index intact
