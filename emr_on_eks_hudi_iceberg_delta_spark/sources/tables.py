@@ -1971,6 +1971,13 @@ class VersionedTable:
                         "purge the owning table instead"
                     )
             dirs = sorted({s["dir"] for s in snaps})
+            # crash debris: a killed earlier purge can leave *.__purge_tmp
+            # dirs; under the lock they are stale by construction
+            for stale in globmod.glob(
+                os.path.join(self.location, "**", "*.__purge_tmp"),
+                recursive=True,
+            ):
+                shutil.rmtree(stale, ignore_errors=True)
             rows_removed = 0
             dirs_rewritten = 0
             for d in dirs:

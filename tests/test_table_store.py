@@ -1877,3 +1877,17 @@ def test_vacuum_reclaims_record_index_dirs(spark, tmp_path):
     assert not os.path.exists(v0_idx)
     assert os.path.isdir(v1_idx)
     assert vt.index_lookup({"id": 7}).count() == 1     # head index intact
+
+
+def test_purge_cleans_crashed_purge_debris(spark, tmp_path):
+    """*.__purge_tmp dirs left by a killed purge are reclaimed by the
+    next purge (they are stale by construction under the writer lock)."""
+    vt = VersionedTable(spark, str(tmp_path / "vt_purge_debris"))
+    vt.overwrite(spark.range(6).select("id", (F.col("id") % 2).alias("subject")))
+    stale = vt._snapshots()[0]["dir"] + ".__purge_tmp"
+    os.makedirs(stale)
+    with open(os.path.join(stale, "junk"), "w") as f:
+        f.write("x")
+    vt.purge_rows("subject = 1")
+    assert not os.path.exists(stale)
+    assert sorted(r["id"] for r in vt.read().collect()) == [0, 2, 4]
