@@ -691,6 +691,16 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
                 )
             vt.build_record_index([c.strip() for c in cols.split(",")])
             return
+        if proc == "remove_orphan_files":
+            # Iceberg maintenance-procedure parity; dry_run => 'true'
+            # reports without deleting
+            paths = vt.remove_orphan_files(
+                older_than_seconds=float(_arg("older_than_seconds", 86400.0)),
+                dry_run=str(_arg("dry_run", "false")).lower() == "true",
+            )
+            return spark.createDataFrame(
+                [(p,) for p in paths], "path string"
+            )
         raise ValueError(f"DML: unknown procedure system.{proc}")
     m = re.match(
         r"\s*VACUUM\s+(?P<t>[\w.]+)(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?"

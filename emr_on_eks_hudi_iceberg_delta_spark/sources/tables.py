@@ -1593,6 +1593,69 @@ class VersionedTable:
         removed = self._reclaim_dropped(meta, keep, dry_run=dry_run)
         return removed if dry_run else self
 
+    def remove_orphan_files(
+        self, older_than_seconds: float = 86400.0, dry_run: bool = False
+    ) -> list[str]:
+        """Iceberg ``CALL system.remove_orphan_files`` analog: delete
+        table-artifact directories under the table location that NO
+        metadata references — debris from crashed writes (a staged dir
+        whose commit never landed, vacuum interrupted between dir delete
+        and metadata write, leftover ``*.__purge_tmp``). Complements
+        retention: vacuum removes what metadata says to drop; this
+        removes what metadata does not know about.
+
+        Safety model, in order:
+        * runs under the writer lock, so no in-flight local commit's
+          fresh dir can be mistaken for an orphan mid-write;
+        * ``older_than_seconds`` (default 24 h) is the Iceberg-style
+          grace window against OTHER processes between their dir write
+          and their metadata commit — set 0 only when no writer can be
+          active;
+        * only entries matching the store's own artifact patterns
+          (``snapshot-* / dv-* / tombstones-* / record_index-* /
+          *.__purge_tmp``) are candidates; metadata, locks, manifests,
+          ``branches/`` (their own tables — recurse explicitly if
+          wanted), and anything unrecognized are never touched.
+
+        Returns the (would-be) deleted paths; ``dry_run`` reports only.
+        """
+        import re as _re
+        import shutil
+
+        pat = _re.compile(
+            r"^(snapshot|dv|tombstones|record_index)-\d+$"
+        )
+        with self.locked():
+            meta = self._meta()
+            refs: set[str] = set()
+            for s in meta.get("snapshots", []):
+                refs.add(os.path.abspath(s["dir"]))
+                for d in s.get("tombstones", []) + s.get("dv", []):
+                    refs.add(os.path.abspath(d["dir"]))
+                idx = s.get("record_index")
+                if idx:
+                    refs.add(os.path.abspath(idx["dir"]))
+            now = time.time()
+            orphans: list[str] = []
+            for entry in sorted(os.listdir(self.location)):
+                full = os.path.join(self.location, entry)
+                if not os.path.isdir(full):
+                    continue
+                if not (pat.match(entry) or entry.endswith(".__purge_tmp")):
+                    continue
+                if os.path.abspath(full) in refs:
+                    continue
+                try:
+                    age = now - os.path.getmtime(full)
+                except FileNotFoundError:
+                    continue
+                if age < float(older_than_seconds):
+                    continue
+                orphans.append(full)
+                if not dry_run:
+                    shutil.rmtree(full, ignore_errors=True)
+        return orphans
+
     def vacuum_older_than(self, timestamp: str) -> "VersionedTable":
         """Time-based retention (Delta ``VACUUM ... RETAIN n HOURS`` /
         Iceberg ``expire_snapshots(older_than)`` analog): drop snapshots

@@ -1891,3 +1891,54 @@ def test_purge_cleans_crashed_purge_debris(spark, tmp_path):
     vt.purge_rows("subject = 1")
     assert not os.path.exists(stale)
     assert sorted(r["id"] for r in vt.read().collect()) == [0, 2, 4]
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    """Orphan-artifact cleanup (Iceberg remove_orphan_files analog):
+    unreferenced snapshot-shaped debris deletes after the grace window;
+    referenced dirs, young debris, and unrecognized entries survive."""
+    import time as _time
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_orphans"))
+    vt.overwrite(spark.range(4).select("id"))
+    live_dir = vt._snapshots()[0]["dir"]
+
+    orphan = os.path.join(vt.location, "snapshot-00999")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-junk.parquet"), "w") as f:
+        f.write("x")
+    young = os.path.join(vt.location, "dv-00998")
+    os.makedirs(young)
+    stranger = os.path.join(vt.location, "my_notes")
+    os.makedirs(stranger)
+    old = _time.time() - 7200
+    os.utime(orphan, (old, old))
+
+    # dry run reports the aged orphan only, deletes nothing
+    would = vt.remove_orphan_files(older_than_seconds=3600, dry_run=True)
+    assert would == [orphan]
+    assert os.path.isdir(orphan)
+
+    got = vt.remove_orphan_files(older_than_seconds=3600)
+    assert got == [orphan]
+    assert not os.path.exists(orphan)
+    assert os.path.isdir(young)        # inside grace window
+    assert os.path.isdir(stranger)     # unrecognized: never touched
+    assert os.path.isdir(live_dir)
+    assert vt.read().count() == 4
+
+    # SQL procedure surface
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.merge_sql import (
+        run_dml,
+    )
+
+    os.makedirs(orphan)
+    os.utime(orphan, (old, old))
+    out = run_dml(
+        spark,
+        "CALL system.remove_orphan_files(table => 't', "
+        "older_than_seconds => 3600)",
+        tables={"t": vt},
+    )
+    assert [r["path"] for r in out.collect()] == [orphan]
+    assert not os.path.exists(orphan)
