@@ -462,3 +462,54 @@ def test_hard_negative_topk_scale_smoke(spark):
     assert got["neighbor_id"] == best
     assert abs(got["cosine"] - cos[best]) < 1e-9
     assert _t.time() - t0 < 150
+
+
+def test_sequential_fold_engine_million_events(spark):
+    """Round-7: the constant-memory streaming fold at 10^6 events —
+    10^4 uniform keys plus ONE key carrying 5x10^5 events (the hot-key
+    profile that OOMed the r6 collect_list design). Host-exact on a
+    sampled uniform key AND on the full hot key; totals conserved;
+    bounded wall-clock."""
+    import time as _t
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.sequence import (
+        cusum_scores,
+    )
+
+    n, n_keys, hot_key = 1_000_000, 10_000, 777_777
+    t0 = _t.time()
+    ev = spark.range(n).select(
+        F.when(F.col("id") < n // 2, F.col("id") % n_keys)
+        .otherwise(F.lit(hot_key))
+        .alias("user_id"),
+        F.expr(
+            "timestampadd(SECOND, id, TIMESTAMP_NTZ '2024-01-01 00:00:00')"
+        ).alias("ts"),
+        F.col("id").alias("event_id"),
+        (F.pmod(F.col("id") * 97 + 13, F.lit(131)).cast("double")).alias("value"),
+    )
+    out = cusum_scores(ev, latched=True)
+    rows = {r["user_id"]: r for r in out.collect()}
+    elapsed = _t.time() - t0
+
+    assert len(rows) == n_keys + 1
+    assert sum(r["n_events"] for r in rows.values()) == n
+    assert rows[hot_key]["n_events"] == n // 2
+
+    def host(ids):
+        s, smax = 0.0, 0.0
+        for i in ids:
+            s = s + float((i * 97 + 13) % 131) - 55.0
+            if s < 0.0:
+                s = 0.0
+            if s > smax:
+                smax = s
+        return s, smax
+
+    s42, m42 = host(range(42, n // 2, n_keys))
+    assert rows[42]["cusum_final"] == s42
+    assert rows[42]["cusum_max"] == m42
+    sh, mh = host(range(n // 2, n))
+    assert rows[hot_key]["cusum_final"] == sh
+    assert rows[hot_key]["cusum_max"] == mh
+    assert elapsed < 240, f"{elapsed:.0f}s"
