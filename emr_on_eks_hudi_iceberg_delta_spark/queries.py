@@ -1692,6 +1692,38 @@ def q_streaming_cusum_scores(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_ewma_scores",
+    # same SQL as events_ewma_scores' oracle (that entry registers later
+    # in this module, so the text is inlined rather than referenced)
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    g AS (SELECT user_id,
+                 list_transform(
+                   list_sort(list(struct_pack(
+                     t := ts, e := event_id, v := CAST(value AS DOUBLE)))),
+                   x -> x.v) AS vals
+          FROM ev GROUP BY user_id)
+    SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+           CAST(list_reduce(vals, (a, b) -> a * 0.5 + b * 0.5) AS DOUBLE)
+             AS ewma_score
+    FROM g
+    """,
+    tags=("streaming", "sequence", "extension", "udf"),
+)
+def q_streaming_ewma_scores(spark, sf_dir):
+    """Streaming EWMA (streaming/events.stream_ewma_scores): the
+    recency-score sibling of streaming_cusum_scores — two GroupState
+    scalars per user, exact IEEE replay of the batch recursion on
+    ordered ingest, so single-batch replay shares events_ewma_scores'
+    exact oracle."""
+    from .streaming.events import stream_ewma_scores
+
+    return run_stream_to_memory(
+        stream_ewma_scores(_events_stream(spark, sf_dir)), output_mode="update"
+    )
+
+
 # --------------------------------------------------------------------------
 # Batch 2: CSV source (S1), reference golden pipeline, write-path roundtrip,
 # join-type completeness, more window/pivot shapes

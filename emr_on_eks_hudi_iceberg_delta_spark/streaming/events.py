@@ -218,6 +218,40 @@ def stream_cusum_scores(
     )
 
 
+def stream_ewma_scores(events: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Streaming EWMA — ``stream_cusum_scores``'s recency-score sibling:
+    per-user state is two scalars ``(n, s)``; each micro-batch sorts its
+    rows per key by (ts, event_id) and folds ``s = (1-a)s + a x`` (first
+    element seeds) in the exact IEEE order of the batch engine. Same
+    ordered-ingest exactness contract; emits
+    ``(user_id, n_events, ewma_score)`` per touched key (update mode)."""
+    a = float(alpha)
+    one_m_a = 1.0 - a
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        n, s = state.get if state.exists else (0, None)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for x in pdf["value"].astype(float):
+                s = x if s is None else s * one_m_a + x * a
+                n += 1
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "ewma_score": [s]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, ewma_score double",
+        stateStructType="n bigint, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
     sdf: DataFrame, output_mode: str = "complete", name: str | None = None
 ) -> DataFrame:

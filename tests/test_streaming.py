@@ -444,3 +444,33 @@ def test_stream_cusum_state_carries_across_batches(spark, tmp_path):
     assert got["n_events"].tolist() == exp["n_events"].tolist()
     assert got["cusum_final"].tolist() == exp["cusum_final"].tolist()
     assert got["cusum_max"].tolist() == exp["cusum_max"].tolist()
+
+
+def test_stream_ewma_matches_batch(spark, events_stream):
+    """Streaming EWMA == batch ewma_scores bit-for-bit on single-batch
+    replay."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.sequence import (
+        ewma_scores,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
+    from emr_on_eks_hudi_iceberg_delta_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_ewma_scores,
+    )
+
+    got = (
+        run_stream_to_memory(
+            stream_ewma_scores(events_stream), output_mode="update"
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        ewma_scores(load_table(spark, SF_DIR, "events"))
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_events"].tolist() == exp["n_events"].tolist()
+    assert got["ewma_score"].tolist() == exp["ewma_score"].tolist()
