@@ -662,3 +662,52 @@ def _segment_fold(batches, key_col, value_col, init, step, names):
     if cur is not _NO_KEY:
         emit()
         yield flush()
+
+
+def holt_scores(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 1,
+) -> DataFrame:
+    """Per-entity Holt double exponential smoothing (level + trend) over
+    the time-ordered values — the classic short-horizon activity
+    forecaster one rung above EWMA (which cannot follow a trend):
+    ``l' = a*x + (1-a)(l+b)``, ``b' = g(l'-l) + (1-g)b``, seeded
+    ``l1 = x1, b1 = 0`` (documented convention; pass a pre-trended
+    series or drop the first point to use the x2-x1 seed). Returns
+    ``(key, n_events, level, trend, forecast)`` with
+    ``forecast = l + horizon*b``.
+
+    Runs on the constant-memory streaming engine
+    (``sequential_keyed_fold``) — per-key state is the (l, b) pair, so
+    hot keys stream at O(batch). Rows-only at the oracle gate: the
+    COUPLED two-scalar recursion cannot replay through DuckDB's scalar
+    ``list_reduce`` (unlike CUSUM's prefix trick, both scalars feed each
+    step), so exactness is pinned host-side
+    (tests/test_sequence_scale.py), the same contract as the BLAS/
+    k-means twins."""
+    a = float(alpha)
+    g = float(beta)
+
+    def step(state: tuple, x: float) -> tuple:
+        l, b = state
+        if l is None:
+            return (x, 0.0)
+        l2 = a * x + (1.0 - a) * (l + b)
+        return (l2, g * (l2 - l) + (1.0 - g) * b)
+
+    out = sequential_keyed_fold(
+        events, key_col, ts_col, order_tiebreak, value_col,
+        (None, None), step, [("level", "double"), ("trend", "double")],
+    )
+    return out.select(
+        key_col, "n_events", "level", "trend",
+        (F.col("level") + F.lit(float(horizon)) * F.col("trend")).alias(
+            "forecast"
+        ),
+    )

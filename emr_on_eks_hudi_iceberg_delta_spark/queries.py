@@ -10321,6 +10321,27 @@ def q_events_cusum_alerts_latched(spark, sf_dir):
 
 
 @register(
+    "events_holt_forecast",
+    oracle=None,  # coupled (level, trend) recursion — DuckDB's scalar
+    # list_reduce cannot carry the pair (no prefix trick applies: both
+    # scalars feed every step); host-exact-pinned instead
+    tags=("events", "sequence", "agg", "extension"),
+)
+def q_events_holt_forecast(spark, sf_dir):
+    """Per-user Holt double exponential smoothing
+    (operators/sequence.holt_scores, alpha 0.5 / beta 0.3 / horizon 1):
+    level + trend recursion over the time-ordered values with a one-step
+    forecast — the trend-following rung above EWMA, on the same
+    constant-memory streaming fold engine. Rows-only by necessity (the
+    coupled two-scalar state defeats scalar list_reduce replay);
+    bit-exact host replay incl. forced tiny Arrow batches pinned in
+    tests/test_sequence_scale.py."""
+    from .operators.sequence import holt_scores
+
+    return holt_scores(_t(spark, sf_dir, "events"))
+
+
+@register(
     "events_cusum_segmented",
     oracle=None,  # composition reorders IEEE ops (ulp-level) — pinned
     # exact on dyadic inputs + 1e-9 on floats in tests/test_sequence_scale.py

@@ -332,3 +332,43 @@ def test_ewma_affine_composition_equals_sequential(vals, data):
             bb = bb * (1.0 - ALPHA) + x * ALPHA
         m_tot, b_tot = m_tot * m, b_tot * m + bb
     assert m_tot * vals[0] + b_tot == _host_ewma(vals)
+
+
+def test_holt_matches_host_replay(spark):
+    """holt_scores == host sequential replay bit-for-bit (incl. across
+    forced tiny Arrow batches), and the trend actually tracks a ramp."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.sequence import (
+        holt_scores,
+    )
+
+    rng = random.Random(5)
+    rows, expected = _rand_rows(rng, n_keys=20, max_len=40, int_values=False)
+    # one ramping key: values 0, 10, 20, ... -> trend must be positive
+    ramp_id = 9999
+    rows += [(ramp_id, i * 60, 10_000_000 + i, float(i * 10)) for i in range(30)]
+    df = _events_df(spark, rows)
+
+    def host(vals, a=0.5, g=0.3):
+        l = b = None
+        for x in vals:
+            if l is None:
+                l, b = x, 0.0
+            else:
+                l2 = a * x + (1.0 - a) * (l + b)
+                l, b = l2, g * (l2 - l) + (1.0 - g) * b
+        return l, b
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "13")
+    try:
+        out = {r["user_id"]: r for r in holt_scores(df).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    for uid, vals in expected.items():
+        l, b = host(vals)
+        assert out[uid]["level"] == l, uid
+        assert out[uid]["trend"] == b, uid
+        assert out[uid]["forecast"] == l + 1.0 * b, uid
+    rl, rb = host([float(i * 10) for i in range(30)])
+    assert out[ramp_id]["trend"] == rb and rb > 5.0
+    assert out[ramp_id]["forecast"] == rl + rb
