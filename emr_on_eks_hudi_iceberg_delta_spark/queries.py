@@ -10243,6 +10243,98 @@ def q_leakage_safe_split(spark, sf_dir):
     ).select("doc_id", "component", "split")
 
 
+def _impl_events_hourly_anomalies(spark, sf_dir):
+    """Seasonal-baseline anomaly scoring: each event's value z-scored
+    against its (event_type, hour-of-day) population — the
+    time-of-day-aware outlier detector (a 3 a.m. spike is anomalous even
+    when the same value at noon is normal). EXACT oracle: moments
+    accumulate as DECIMAL (order-independent), the variance closed form
+    ``(sumsq - sum*sum/n) / (n-1)`` evaluates in doubles with the
+    identical op sequence on both engines, sqrt is correctly rounded,
+    and the top-50 ranking tie-breaks on event_id.
+
+    Scale: one (type, hour)-keyed aggregate (288 groups — broadcast back
+    to the scan), one rank window over the global top — executed as a
+    full ordering here for oracle exactness; at 100 TB pre-filter with
+    an approx |z| cutoff before ranking."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.col("value").cast("double").alias("value"),
+    )
+    stats = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("s"),
+        F.sum(
+            (F.col("value").cast("decimal(18,6)"))
+            * (F.col("value").cast("decimal(18,6)"))
+        )
+        .cast("double")
+        .alias("ss"),
+    ).filter(F.col("n") >= 2)
+    joined = ev.join(F.broadcast(stats), ["event_type", "hr"])
+    mean = F.col("s") / F.col("n")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    scored = joined.withColumn("__mean", mean).withColumn("__var", var).filter(
+        F.col("__var") > 0
+    )
+    z = (F.col("value") - F.col("__mean")) / F.sqrt(F.col("__var"))
+    w = Window.orderBy(F.abs(z).desc(), F.col("event_id").asc())
+    return (
+        scored.withColumn("zscore", z)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select(
+            "rank", "event_id", "event_type", "hr", "value",
+            F.col("zscore").alias("zscore"),
+        )
+    )
+
+
+_ANOMALY_ORACLE = f"""
+    WITH ev AS (SELECT event_id, event_type,
+                       CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hr,
+                       CAST(value AS DOUBLE) AS value
+                FROM events),
+    st AS (SELECT event_type, hr, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+                  CAST(SUM(CAST(value AS DECIMAL(18,6))
+                           * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS ss
+           FROM ev GROUP BY event_type, hr
+           HAVING COUNT(*) >= 2),
+    sc AS (SELECT ev.*, s / n AS m,
+                  (ss - s * s / n) / (n - 1) AS v
+           FROM ev JOIN st USING (event_type, hr)
+           WHERE (ss - s * s / n) / (n - 1) > 0),
+    r AS (SELECT CAST(row_number() OVER (
+                   ORDER BY abs((value - m) / sqrt(v)) DESC, event_id ASC)
+                 AS INTEGER) AS rank,
+                 event_id, event_type, hr, value,
+                 (value - m) / sqrt(v) AS zscore
+          FROM sc)
+    SELECT rank, event_id, event_type, hr, value, zscore
+    FROM r WHERE rank <= 50
+    """
+
+
+@register(
+    "events_hourly_anomalies",
+    oracle=_ANOMALY_ORACLE,
+    tags=("events", "agg", "window", "extension"),
+)
+def q_events_hourly_anomalies(spark, sf_dir):
+    """Seasonal-baseline (hour-of-day) anomaly z-scores; implementation
+    and the exactness/scale discussion live in
+    ``_impl_events_hourly_anomalies`` directly above (the oracle text is
+    shared via ``_ANOMALY_ORACLE``)."""
+    return _impl_events_hourly_anomalies(spark, sf_dir)
+
+
 @register(
     "events_cusum_alerts",
     oracle=f"""
