@@ -817,3 +817,27 @@ def test_call_build_record_index(spark, tmp_path):
     )
     hit = vt.index_lookup({"id": 42})
     assert hit.count() == 1 and len(hit.inputFiles()) == 1
+
+
+def test_call_procedure_args_with_commas_in_quotes(spark, tmp_path):
+    """CALL arg parsing: a quoted where-predicate containing commas and
+    parens must survive the top-level comma split intact."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.merge_sql import (
+        run_dml,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import (
+        VersionedTable,
+    )
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "vt_callargs"))
+    vt.overwrite(spark.range(10).select("id"))
+    out = run_dml(
+        spark,
+        "CALL system.purge_rows(table => 't', where => 'id IN (1, 3, 5)')",
+        tables={"t": vt},
+    )
+    assert out.collect()[0]["rows_removed"] == 3
+    assert sorted(r["id"] for r in vt.read().collect()) == [
+        0, 2, 4, 6, 7, 8, 9,
+    ]
