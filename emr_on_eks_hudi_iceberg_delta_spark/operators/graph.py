@@ -96,3 +96,59 @@ def pagerank_fixedpoint(
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_count(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Global triangle count over an undirected edge list (rows are
+    distinct canonical pairs, ``u < v``), via DEGREE ORIENTATION — the
+    skew-safe distributed algorithm (Suri & Vassilvitskii's MR-friendly
+    variant; also what GraphFrames/Spark GraphX implement):
+
+    1. compute each node's degree (one shuffle);
+    2. orient every edge from the lower-rank endpoint to the higher,
+       where rank = (degree, node id) — a total order, so orientation is
+       deterministic and every triangle has exactly ONE source node with
+       out-edges to the other two;
+    3. generate length-2 paths by self-joining oriented edges on the
+       middle node, then close them with a semi-join against the
+       oriented edge set.
+
+    Why orientation matters at 100x: out-degree under (deg, id) rank is
+    O(sqrt(m)) amortized, so the wedge-join fan-out is Σ d_out^2 ≈
+    m^{3/2} instead of Σ d^2, which a single celebrity hub would
+    otherwise blow up quadratically. Three shuffles total (degrees,
+    wedge join, closure join) — no collect, no driver state.
+
+    Returns a 1-row DataFrame ``(n_triangles bigint)``.
+    """
+    e = edges.select(F.col(u).alias("a"), F.col(v).alias("b"))
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    w1 = oriented.select(F.col("src").alias("w_a"), F.col("dst").alias("w_m"))
+    w2 = oriented.select(F.col("src").alias("w_m"), F.col("dst").alias("w_c"))
+    wedges = w1.join(w2, "w_m").select("w_a", "w_c")
+    # the wedge (a, m, c) has rank(a) < rank(m) < rank(c), so a closing
+    # edge is necessarily oriented a -> c: one semi-join side suffices
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("w_a"), F.col("dst").alias("w_c")),
+        ["w_a", "w_c"],
+        "left_semi",
+    )
+    return closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))

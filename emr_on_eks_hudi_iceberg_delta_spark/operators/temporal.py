@@ -113,6 +113,71 @@ def range_join_binned(
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Interval x interval overlap join (half-open semantics:
+    ``l_start < r_end AND r_start < l_end``) without a nested loop and
+    without a dedup shuffle.
+
+    Both sides explode onto the coarse time bins their interval touches
+    (``sequence`` over bin ids — end-exclusive, so an interval ending
+    exactly on a bin boundary does not occupy that bin); the join is a
+    plain hash join on ``keys + bin``. An overlapping pair co-occurs in
+    every bin both intervals touch, so a naive bin join duplicates it;
+    instead of a ``distinct`` (a second shuffle over the full result) we
+    keep the pair only in its FIRST shared bin — the bin containing
+    ``greatest(l_start, r_start)``, which both sides provably occupy
+    whenever the intervals overlap. Each pair therefore survives exactly
+    once, for free.
+
+    Scale: shuffle volume is rows x (interval length / bin size), never
+    |left| x |right|; pick ``bin_seconds`` at the typical interval
+    length. Empty/negative intervals are dropped (``sequence`` would
+    otherwise descend). Skewed keys split across bins like any
+    equi-join and AQE skew handling applies.
+    """
+    us = 1_000_000 * bin_seconds
+
+    def _us(col: str) -> F.Column:
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+        )
+
+    def _binned(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.filter(F.col(start) < F.col(end)).withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    (_us(start) / us).cast("bigint"),
+                    ((_us(end) - 1) / us).cast("bigint"),
+                )
+            ),
+        )
+
+    lb = _binned(left, l_start, l_end)
+    rb = _binned(right, r_start, r_end)
+    first_shared = (
+        F.greatest(_us(l_start), _us(r_start)) / us
+    ).cast("bigint")
+    return (
+        lb.join(rb, keys + ["__bin"])
+        .filter(
+            (F.col(l_start) < F.col(r_end))
+            & (F.col(r_start) < F.col(l_end))
+            & (F.col("__bin") == first_shared)
+        )
+        .drop("__bin")
+    )
+
+
 def resample_ffill(
     events: DataFrame,
     key_col: str,

@@ -10522,3 +10522,493 @@ def q_streaming_partitioned_ingest(spark, sf_dir):
             .alias("sum_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Batch (round 8): interval algebra, bucketed physical layout, exact
+# time-series statistics, graph closure, and a k-anonymity governance audit
+# --------------------------------------------------------------------------
+
+from .operators.temporal import interval_overlap_join  # noqa: E402
+
+
+@register(
+    "interval_overlap_join",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    v AS (SELECT user_id, event_id AS view_id, ts AS v_start,
+                 ts + INTERVAL 30 MINUTE AS v_end
+          FROM ev WHERE event_type = 'view'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS p_start,
+                 ts + INTERVAL 2 HOUR AS p_end
+          FROM ev WHERE event_type = 'purchase')
+    SELECT v.view_id, p.purchase_id, v.user_id,
+           CAST(epoch_us(least(v.v_end, p.p_end))
+                - epoch_us(greatest(v.v_start, p.p_start)) AS BIGINT)
+             AS overlap_us
+    FROM v JOIN p ON v.user_id = p.user_id
+                 AND v.v_start < p.p_end AND p.p_start < v.v_end
+    """,
+    tags=("temporal", "extension"),
+)
+def q_interval_overlap_join(spark, sf_dir):
+    """Interval x interval overlap join (view sessions x purchase
+    attribution windows of the same user): half-open overlap
+    ``l_start < r_end AND r_start < l_end`` — the join shape neither the
+    reference nor stock Spark has as a primitive (a raw theta join plans
+    as a nested loop). Binned equi-join on (user_id, hour bin) with the
+    FIRST-SHARED-BIN emission rule (operators/temporal.py:
+    interval_overlap_join): each overlapping pair survives in exactly
+    one bin — the one containing the later start — so there is no
+    distinct/dedup shuffle at all. Oracle is the plain theta join."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_start"),
+        F.expr("ts + INTERVAL 30 MINUTES").alias("v_end"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_start"),
+        F.expr("ts + INTERVAL 2 HOURS").alias("p_end"),
+    )
+    return interval_overlap_join(
+        v, p, ["user_id"], "v_start", "v_end", "p_start", "p_end"
+    ).select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, greatest(v_start, p_start),"
+            " least(v_end, p_end))"
+        )
+        .cast("bigint")
+        .alias("overlap_us"),
+    )
+
+
+@register(
+    "bucketed_join_no_shuffle",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "layout", "extension"),
+)
+def q_bucketed_join_no_shuffle(spark, sf_dir):
+    """Bucketed physical layout (Hive bucketing — the lake-layout analog
+    of Hudi's record-key file groups): both join sides are written
+    ``bucketBy(8, key).sortBy(key)`` managed tables, so the SortMergeJoin
+    consumes the scans' hash-partitioning directly and the join runs with
+    ZERO Exchange on either side (pinned by tests/test_plans.py). At
+    100 TB this is the co-located-join strategy: pay the shuffle once at
+    write time, then every subsequent join on the bucket key is
+    shuffle-free. The ``merge`` hint keeps the plan on SMJ (a broadcast
+    would trivially also skip the shuffle and hide the point)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    orders.write.mode("overwrite").format("parquet").bucketBy(
+        8, "o_custkey"
+    ).sortBy("o_custkey").saveAsTable("bjoin_orders")
+    cust.write.mode("overwrite").format("parquet").bucketBy(
+        8, "c_custkey"
+    ).sortBy("c_custkey").saveAsTable("bjoin_customer")
+    bo = spark.table("bjoin_orders")
+    bc = spark.table("bjoin_customer")
+    joined = bo.hint("merge").join(bc, bo["o_custkey"] == bc["c_custkey"])
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
+    "events_autocorrelation",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    b AS (SELECT user_id,
+                 CAST(CAST(value AS DECIMAL(18,4)) * 10000
+                      AS DECIMAL(38,0)) AS xi,
+                 lag(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+                          AS DECIMAL(38,0)))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS yi
+          FROM ev),
+    p AS (SELECT user_id, xi, yi FROM b WHERE yi IS NOT NULL),
+    m AS (SELECT user_id,
+                 CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                 CAST(SUM(xi) AS DECIMAL(38,0)) AS sx,
+                 CAST(SUM(yi) AS DECIMAL(38,0)) AS sy,
+                 CAST(SUM(xi * xi) AS DECIMAL(38,0)) AS sxx,
+                 CAST(SUM(yi * yi) AS DECIMAL(38,0)) AS syy,
+                 CAST(SUM(xi * yi) AS DECIMAL(38,0)) AS sxy
+          FROM p GROUP BY user_id)
+    SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+           CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS DOUBLE)
+             / (sqrt(CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS DOUBLE))
+                * sqrt(CAST(CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS DOUBLE)))
+             AS autocorr
+    FROM m
+    WHERE n >= 3 AND n * sxx - sx * sx != 0 AND n * syy - sy * sy != 0
+    """,
+    tags=("events", "agg", "timeseries", "extension"),
+)
+def q_events_autocorrelation(spark, sf_dir):
+    """Per-user lag-1 autocorrelation of event values (the serial-
+    correlation diagnostic behind change-detection tuning): pair each
+    value with its predecessor via a keyed LAG window, then Pearson over
+    the pairs with every moment accumulated as an integer DECIMAL(38,0)
+    (order-independent, exact — the grouped_correlation discipline). The
+    LAG window and the moment aggregate share the user_id hash
+    partitioning, so the whole query is ONE shuffle: the aggregate reuses
+    the window's exchange."""
+    ev = _t(spark, sf_dir, "events")
+    xi = (F.col("value").cast("decimal(18,4)") * F.lit(10000)).cast(
+        "decimal(38,0)"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    b = ev.select("user_id", "ts", "event_id", xi.alias("xi")).withColumn(
+        "yi", F.lag("xi").over(w)
+    )
+    m = (
+        b.filter(F.col("yi").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("xi").cast("decimal(38,0)").alias("sx"),
+            F.sum("yi").cast("decimal(38,0)").alias("sy"),
+            F.sum(F.col("xi") * F.col("xi")).cast("decimal(38,0)").alias("sxx"),
+            F.sum(F.col("yi") * F.col("yi")).cast("decimal(38,0)").alias("syy"),
+            F.sum(F.col("xi") * F.col("yi")).cast("decimal(38,0)").alias("sxy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "decimal(38,0)"
+    )
+    den1 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "decimal(38,0)"
+    )
+    den2 = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "decimal(38,0)"
+    )
+    return (
+        m.filter(
+            (F.col("n") >= 3)
+            & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") != 0)
+            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") != 0)
+        )
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_pairs"),
+            (
+                num.cast("double")
+                / (F.sqrt(den1.cast("double")) * F.sqrt(den2.cast("double")))
+            ).alias("autocorr"),
+        )
+    )
+
+
+@register(
+    "events_stl_decompose",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    h AS (SELECT date_trunc('hour', ts) AS hour_ts,
+                 CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+                               AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS v
+          FROM ev GROUP BY 1),
+    t AS (SELECT hour_ts, v,
+                 CAST(SUM(v) OVER w25 AS DECIMAL(38,0)) AS trend_sum,
+                 COUNT(*) OVER w25 AS wn
+          FROM h
+          WINDOW w25 AS (ORDER BY hour_ts
+                         ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+    d AS (SELECT hour_ts, v, trend_sum,
+                 CAST(25 * v - trend_sum AS DECIMAL(38,0)) AS det,
+                 hour(hour_ts) AS hod
+          FROM t WHERE wn = 25),
+    s AS (SELECT hod, CAST(SUM(det) AS DECIMAL(38,0)) AS s_num,
+                 CAST(COUNT(*) AS DECIMAL(38,0)) AS s_cnt
+          FROM d GROUP BY hod)
+    SELECT d.hour_ts,
+           CAST(d.v AS DOUBLE) / 10000 AS value,
+           CAST(d.trend_sum AS DOUBLE) / 250000 AS trend,
+           CAST(s.s_num AS DOUBLE) / (CAST(s.s_cnt AS DOUBLE) * 250000)
+             AS seasonal,
+           CAST(d.v AS DOUBLE) / 10000 - CAST(d.trend_sum AS DOUBLE) / 250000
+             - CAST(s.s_num AS DOUBLE) / (CAST(s.s_cnt AS DOUBLE) * 250000)
+             AS residual
+    FROM d JOIN s ON d.hod = s.hod
+    """,
+    tags=("events", "timeseries", "extension"),
+)
+def q_events_stl_decompose(spark, sf_dir):
+    """STL-lite seasonal-trend decomposition of the hourly revenue
+    series: trend = 25-hour centered moving sum (full windows only),
+    seasonal = hour-of-day mean of the detrended series, residual = the
+    rest. Exactness discipline: the series value is an integer
+    DECIMAL(38,0) (value scaled 1e4, summed exactly); the detrended
+    series is kept MULTIPLIED by the window width (25*v - trend_sum), so
+    every accumulation is integer arithmetic and division happens only
+    in the final fixed-shape double expression — bit-identical
+    cross-engine. Scale: the windowed relation is the HOURLY AGGREGATE,
+    whose length is timeline-bounded (8.8k rows/decade), not
+    data-bounded, so the single-partition ordered window is safe by
+    construction; the raw-event pass is one hash aggregate, and the
+    seasonal join broadcasts 24 rows."""
+    ev = _t(spark, sf_dir, "events")
+    xi = (F.col("value").cast("decimal(18,4)") * F.lit(10000)).cast(
+        "decimal(38,0)"
+    )
+    h = (
+        ev.select(F.date_trunc("hour", "ts").alias("hour_ts"), xi.alias("xi"))
+        .groupBy("hour_ts")
+        .agg(F.sum("xi").cast("decimal(38,0)").alias("v"))
+    )
+    w25 = Window.orderBy("hour_ts").rowsBetween(-12, 12)
+    t = h.select(
+        "hour_ts",
+        "v",
+        F.sum("v").over(w25).cast("decimal(38,0)").alias("trend_sum"),
+        F.count(F.lit(1)).over(w25).alias("wn"),
+    )
+    d = t.filter(F.col("wn") == 25).select(
+        "hour_ts",
+        "v",
+        "trend_sum",
+        (F.lit(25) * F.col("v") - F.col("trend_sum"))
+        .cast("decimal(38,0)")
+        .alias("det"),
+        F.hour("hour_ts").alias("hod"),
+    )
+    s = d.groupBy("hod").agg(
+        F.sum("det").cast("decimal(38,0)").alias("s_num"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("s_cnt"),
+    )
+    seasonal = F.col("s_num").cast("double") / (
+        F.col("s_cnt").cast("double") * F.lit(250000)
+    )
+    value = F.col("v").cast("double") / F.lit(10000)
+    trend = F.col("trend_sum").cast("double") / F.lit(250000)
+    return d.join(F.broadcast(s), "hod").select(
+        "hour_ts",
+        value.alias("value"),
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        (value - trend - seasonal).alias("residual"),
+    )
+
+
+@register(
+    "grouped_multiple_regression",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_quantity AS DECIMAL(18,0)) AS HUGEINT) AS x1,
+             CAST(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                       AS DECIMAL(18,0)) AS HUGEINT) AS x2,
+             CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS DECIMAL(18,0)) AS HUGEINT) AS y
+      FROM lineitem),
+    m AS (SELECT l_returnflag,
+                 CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+                 SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12,
+                 SUM(x2 * x2) AS s22, SUM(x1 * y) AS s1y,
+                 SUM(x2 * y) AS s2y
+          FROM b GROUP BY l_returnflag),
+    c AS (SELECT l_returnflag, n, s1, s2, sy, s11, s12, s22, s1y, s2y,
+                 n * (s11 * s22 - s12 * s12)
+                   - s1 * (s1 * s22 - s12 * s2)
+                   + s2 * (s1 * s12 - s11 * s2) AS det,
+                 sy * (s11 * s22 - s12 * s12)
+                   - s1 * (s1y * s22 - s12 * s2y)
+                   + s2 * (s1y * s12 - s11 * s2y) AS det0,
+                 n * (s1y * s22 - s12 * s2y)
+                   - sy * (s1 * s22 - s12 * s2)
+                   + s2 * (s1 * s2y - s1y * s2) AS det1,
+                 n * (s11 * s2y - s1y * s12)
+                   - s1 * (s1 * s2y - s1y * s2)
+                   + sy * (s1 * s12 - s11 * s2) AS det2
+          FROM m)
+    -- int->double via VARCHAR: DuckDB's direct HUGEINT/DECIMAL(38,0)->DOUBLE
+    -- cast double-rounds through the 64-bit halves (1 ulp off beyond 2^53);
+    -- the string parse is correctly rounded, matching Spark's BigDecimal path
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CAST(CAST(det0 AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(det AS VARCHAR) AS DOUBLE) AS intercept_cents,
+           CAST(CAST(det1 AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(det AS VARCHAR) AS DOUBLE) AS beta_quantity,
+           CAST(CAST(det2 AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(det AS VARCHAR) AS DOUBLE) AS beta_discount
+    FROM c WHERE det != 0
+    """,
+    tags=("agg", "ml", "extension"),
+)
+def q_grouped_multiple_regression(spark, sf_dir):
+    """Distributed multiple linear regression by normal equations —
+    price_cents ~ intercept + quantity + discount_pct per return flag —
+    solved in closed form (Cramer's rule on the 3x3 Gram matrix). This
+    is the one-pass GLM-training shape: ONE aggregate over the fact
+    table accumulates the 9 moments, the solve is a scalar epilogue on
+    k+1-sized groups — no iteration, no collect, no UDF. All features
+    are integer-valued (quantity is integral; discount/price scale
+    exactly to 2 decimals), so every moment is an exact DECIMAL(38,0)
+    sum (HUGEINT in the oracle): the determinants (~1e28 at sf10) stay
+    inside 38 digits and the only inexact step is the final fixed-shape
+    int->double division, identical in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    b = li.select(
+        "l_returnflag",
+        d38(F.col("l_quantity").cast("decimal(18,0)")).alias("x1"),
+        d38(
+            (F.col("l_discount").cast("decimal(18,2)") * F.lit(100)).cast(
+                "decimal(18,0)"
+            )
+        ).alias("x2"),
+        d38(
+            (F.col("l_extendedprice").cast("decimal(18,2)") * F.lit(100)).cast(
+                "decimal(18,0)"
+            )
+        ).alias("y"),
+    )
+    m = b.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        d38(F.sum("x1")).alias("s1"),
+        d38(F.sum("x2")).alias("s2"),
+        d38(F.sum("y")).alias("sy"),
+        d38(F.sum(F.col("x1") * F.col("x1"))).alias("s11"),
+        d38(F.sum(F.col("x1") * F.col("x2"))).alias("s12"),
+        d38(F.sum(F.col("x2") * F.col("x2"))).alias("s22"),
+        d38(F.sum(F.col("x1") * F.col("y"))).alias("s1y"),
+        d38(F.sum(F.col("x2") * F.col("y"))).alias("s2y"),
+    )
+
+    def _c(name):
+        return F.col(name)
+
+    def m2(a, bb):  # 2x2 minor: a*b products stay decimal(38,0)
+        return d38(a * bb)
+
+    def det3(r0, r1, r2):
+        (a, bcol, c), (dd, e, f), (g, h, i) = r0, r1, r2
+        return d38(
+            d38(a * d38(e * i - f * h))
+            - d38(bcol * d38(dd * i - f * g))
+            + d38(c * d38(dd * h - e * g))
+        )
+
+    n, s1, s2, sy = _c("n"), _c("s1"), _c("s2"), _c("sy")
+    s11, s12, s22, s1y, s2y = (
+        _c("s11"), _c("s12"), _c("s22"), _c("s1y"), _c("s2y"),
+    )
+    det = det3((n, s1, s2), (s1, s11, s12), (s2, s12, s22))
+    det0 = det3((sy, s1, s2), (s1y, s11, s12), (s2y, s12, s22))
+    det1 = det3((n, sy, s2), (s1, s1y, s12), (s2, s2y, s22))
+    det2 = det3((n, s1, sy), (s1, s11, s1y), (s2, s12, s2y))
+    c = m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        det.alias("det"),
+        det0.alias("det0"),
+        det1.alias("det1"),
+        det2.alias("det2"),
+    )
+    return c.filter(F.col("det") != 0).select(
+        "l_returnflag",
+        "n",
+        (F.col("det0").cast("double") / F.col("det").cast("double")).alias(
+            "intercept_cents"
+        ),
+        (F.col("det1").cast("double") / F.col("det").cast("double")).alias(
+            "beta_quantity"
+        ),
+        (F.col("det2").cast("double") / F.col("det").cast("double")).alias(
+            "beta_discount"
+        ),
+    )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+    tags=("graph", "extension"),
+)
+def q_graph_triangle_count(spark, sf_dir):
+    """Triangle counting on the co-purchase graph (parts are adjacent
+    when some order contains both): the clustering-structure primitive
+    for graph-shaped training data. Spark side runs the degree-oriented
+    algorithm (operators/graph.py:triangle_count) whose wedge fan-out is
+    m^1.5 worst case regardless of hub skew; the oracle counts the same
+    canonical u<v<w closures with a plain 3-way self-join (equivalent by
+    the orientation argument in the operator docstring)."""
+    from .operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pk2")
+    )
+    edges = (
+        li.join(l2, (F.col("l_orderkey") == F.col("o2"))
+                & (F.col("l_partkey") < F.col("pk2")))
+        .select(F.col("l_partkey").alias("u"), F.col("pk2").alias("v"))
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+@register(
+    "k_anonymity_generalize",
+    oracle="""
+    WITH base AS (SELECT c_custkey, c_nationkey, c_mktsegment FROM customer),
+    k1 AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+                  COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS k0
+           FROM base),
+    gen AS (SELECT c_nationkey,
+                   CASE WHEN k0 < 5 THEN '*' ELSE c_mktsegment END AS segment
+            FROM k1)
+    SELECT c_nationkey, segment, CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(COUNT(*) >= 5 AS INTEGER) AS is_anonymous
+    FROM gen GROUP BY c_nationkey, segment
+    """,
+    tags=("governance", "extension"),
+)
+def q_k_anonymity_generalize(spark, sf_dir):
+    """k-anonymity audit with one generalization step (the
+    training-data governance complement to the masked-view and PII
+    operators): rows whose quasi-identifier class (nation, segment) has
+    fewer than k=5 members get their segment suppressed to '*', then
+    classes are re-formed and re-measured. Window-count + re-aggregate —
+    two shuffles on the QI key, no join, no driver-side class list (the
+    class census at 100 TB can itself be huge)."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey", "c_mktsegment")
+    k1 = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.count(F.lit(1)).over(w).alias("k0"),
+    )
+    gen = k1.select(
+        "c_nationkey",
+        F.when(F.col("k0") < 5, F.lit("*"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    )
+    return gen.groupBy("c_nationkey", "segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        (F.count(F.lit(1)) >= 5).cast("int").alias("is_anonymous"),
+    )

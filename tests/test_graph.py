@@ -58,3 +58,51 @@ def test_deterministic_across_layouts(spark):
     n, unit = len(a), 10**9
     assert sum(a.values()) <= n * unit
     assert sum(a.values()) >= n * unit - (len(sym) + 2 * n) * 3
+
+
+def test_triangle_count_hand_computed(spark):
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} -> C(4,3)=4 triangles; pendant path 4-5-6 adds none
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        "u int, v int",
+    )
+    assert triangle_count(edges).collect()[0]["n_triangles"] == 4
+
+
+def test_triangle_count_star_hub_has_none(spark):
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.graph import triangle_count
+
+    # a pure hub (star) has wedges but zero closures; with degree
+    # orientation the hub is ranked LAST, so it sources no wedges at all
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 30)], "u int, v int"
+    )
+    assert triangle_count(edges).collect()[0]["n_triangles"] == 0
+
+
+def test_triangle_count_matches_bruteforce_random(spark):
+    import itertools
+    import random
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.graph import triangle_count
+
+    rng = random.Random(8)
+    nodes = list(range(20))
+    edges = sorted(
+        {(a, b) for a, b in itertools.combinations(nodes, 2) if rng.random() < 0.3}
+    )
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = sum(
+        1
+        for x, y, z in itertools.combinations(nodes, 3)
+        if y in adj[x] and z in adj[x] and z in adj[y]
+    )
+    got = triangle_count(
+        spark.createDataFrame(edges, "u int, v int")
+    ).collect()[0]["n_triangles"]
+    assert got == expected

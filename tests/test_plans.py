@@ -588,3 +588,28 @@ def test_perplexity_buckets_persist_scores_once(spark):
     )
     ref = {r["doc_id"]: r["ppl_bucket"] for r in ref_out.collect()}
     assert got == ref
+
+
+def test_bucketed_join_registry_query_single_shuffle(spark):
+    """The registry's bucketed_join_no_shuffle query: the SMJ consumes the
+    bucketed scans directly, so the only exchange in the whole plan is the
+    final group-by — the co-located-join contract, driver-gate visible."""
+    df = REGISTRY["bucketed_join_no_shuffle"].fn(spark, SF_DIR)
+    assert shuffle_count(df) <= 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+
+
+def test_interval_overlap_join_is_hash_join_not_nested_loop(spark):
+    """interval_overlap_join must plan as an equi hash/merge join on
+    (key, bin) — never BroadcastNestedLoopJoin/CartesianProduct."""
+    df = REGISTRY["interval_overlap_join"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_autocorrelation_single_shuffle(spark):
+    """LAG window and moment aggregate share the user_id partitioning:
+    one exchange total."""
+    df = REGISTRY["events_autocorrelation"].fn(spark, SF_DIR)
+    assert shuffle_count(df) == 1
