@@ -11012,3 +11012,76 @@ def q_k_anonymity_generalize(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("k"),
         (F.count(F.lit(1)) >= 5).cast("int").alias("is_anonymous"),
     )
+
+
+@register(
+    "hidden_partition_days_prune",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL})
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM ev WHERE ts >= TIMESTAMP '2024-01-20 06:30:00'
+    GROUP BY event_type
+    """,
+    tags=("lake", "layout", "extension"),
+)
+def q_hidden_partition_days_prune(spark, sf_dir):
+    """Iceberg hidden partitioning, days(ts) transform
+    (sources/partitioned.py:HiddenPartitionedTable): the table is laid
+    out by day WITHOUT a user-visible day column; the reader filters on
+    raw ``ts`` and the store prunes day partitions through the transform
+    at the manifest (metadata-only), then applies the exact timestamp
+    residual. The mid-day cutoff proves the boundary partition is kept
+    and trimmed by the residual, not dropped. Pruning itself is pinned
+    in tests/test_hidden_partition.py (scanned_partitions is the strict
+    suffix of days)."""
+    import tempfile
+
+    from .sources.partitioned import HiddenPartitionedTable
+
+    ev = _t(spark, sf_dir, "events")
+    hp = HiddenPartitionedTable(
+        spark, tempfile.mkdtemp(prefix="hp_days_"), "days", "ts"
+    )
+    hp.overwrite(ev.select("event_id", "ts", "event_type", "value"))
+    got = hp.read_filtered([("ts", ">=", "2024-01-20 06:30:00")])
+    return got.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+@register(
+    "hidden_partition_bucket_prune",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL})
+    SELECT event_id, event_type,
+           CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value
+    FROM ev WHERE user_id = 42
+    """,
+    tags=("lake", "layout", "extension"),
+)
+def q_hidden_partition_bucket_prune(spark, sf_dir):
+    """Iceberg bucket(8, user_id) hidden partitioning: point reads on
+    the key scan exactly one of 8 bucket partitions. The bucket of the
+    literal is computed HOST-SIDE with zlib.crc32 — bit-identical to the
+    JVM's F.crc32 — so pruning costs zero Spark jobs. Non-equality
+    predicates on a bucketed key deliberately do not prune (hash
+    destroys order); they fall back to the residual filter."""
+    import tempfile
+
+    from .sources.partitioned import HiddenPartitionedTable
+
+    ev = _t(spark, sf_dir, "events")
+    hp = HiddenPartitionedTable(
+        spark, tempfile.mkdtemp(prefix="hp_bucket_"), "bucket", "user_id", n=8
+    )
+    hp.overwrite(ev.select("event_id", "user_id", "event_type", "value"))
+    got = hp.read_filtered([("user_id", "==", 42)])
+    return got.select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(18,4)").cast("double").alias("value"),
+    )

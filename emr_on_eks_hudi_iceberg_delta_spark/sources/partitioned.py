@@ -674,3 +674,210 @@ class PartitionedTable:
         return reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=False), scans
         )
+
+
+class HiddenPartitionedTable:
+    """Iceberg-style HIDDEN partitioning over ``PartitionedTable``
+    (iceberg_scd_script.py's table format is v2 Iceberg — hidden
+    partition transforms are the feature that distinguishes Iceberg's
+    layout model from hive's): the table is physically laid out by a
+    TRANSFORM of a source column (``days(ts)``, ``bucket(8, user_id)``,
+    ``truncate(4, code)``), writers never materialize the partition
+    column, and readers filter on the SOURCE column — the store
+    translates those predicates into partition-value predicates and
+    prunes at the manifest, then applies the original filter as the
+    exact residual.
+
+    Transforms (Iceberg spec names):
+
+    * ``days`` / ``hours`` / ``months`` on a timestamp — partition value
+      is the ``yyyy-MM-dd`` (etc.) string, whose lexicographic order is
+      chronological, so range predicates on the source prune directly.
+    * ``bucket`` (param ``n``) on an int/string key — value is
+      ``crc32(str(key)) % n``; CRC32 is bit-identical between the JVM
+      (``F.crc32``) and the host (``zlib.crc32``), so an equality
+      literal's bucket is computed WITHOUT a Spark job. Only equality
+      prunes (hash destroys order) — other predicates scan all buckets
+      with the residual filter, never wrong, just unpruned.
+    * ``truncate`` (param ``w``) — string prefix / int floor-to-multiple
+      (Iceberg semantics); order-preserving, so ranges prune.
+    * ``identity`` — plain value passthrough.
+
+    Scale: pruning is metadata-only (|partitions| manifest entries);
+    the derived column costs one JVM expression per row at write time
+    and is dropped from every read, so consumers see exactly the
+    logical schema. All write paths (overwrite / partition-scoped
+    upsert / dynamic partition overwrite) delegate to the underlying
+    manifest store and inherit its snapshot isolation and time travel.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        location: str,
+        transform: str,
+        source_col: str,
+        n: int | None = None,
+    ):
+        if transform not in ("days", "hours", "months", "bucket", "truncate", "identity"):
+            raise ValueError(f"unknown partition transform {transform!r}")
+        if transform in ("bucket", "truncate") and not n:
+            raise ValueError(f"{transform} transform requires n")
+        self.transform = transform
+        self.source_col = source_col
+        self.n = n
+        self.pcol = (
+            f"hp_{transform}_{source_col}"
+            if transform in ("days", "hours", "months", "identity")
+            else f"hp_{transform}{n}_{source_col}"
+        )
+        self.inner = PartitionedTable(spark, location, self.pcol)
+        self.spark = spark
+
+    # -- transform expression (JVM side) ------------------------------------
+
+    _TIME_FMT = {"days": "yyyy-MM-dd", "hours": "yyyy-MM-dd-HH", "months": "yyyy-MM"}
+
+    def _derive(self, df: DataFrame) -> DataFrame:
+        c = F.col(self.source_col)
+        if self.transform in self._TIME_FMT:
+            expr = F.date_format(c, self._TIME_FMT[self.transform])
+        elif self.transform == "bucket":
+            expr = F.pmod(F.crc32(c.cast("string")), F.lit(self.n)).cast("int")
+        elif self.transform == "truncate":
+            dt = df.schema[self.source_col].dataType.simpleString()
+            if dt in ("int", "bigint", "smallint", "tinyint"):
+                expr = (c - F.pmod(c, F.lit(self.n))).cast("bigint")
+            else:
+                expr = F.substring(c, 1, self.n)
+        else:  # identity
+            expr = c
+        return df.withColumn(self.pcol, expr)
+
+    # -- host twin of the transform (for literal translation) ---------------
+
+    def _host_transform(self, value):
+        import zlib
+
+        if self.transform in self._TIME_FMT:
+            s = str(value)
+            # accept 'YYYY-MM-DD[ HH:MM:SS[.ffffff]]' strings / datetimes
+            s = s.replace("T", " ")
+            if self.transform == "days":
+                return s[:10]
+            if self.transform == "months":
+                return s[:7]
+            return s[:10] + "-" + s[11:13]
+        if self.transform == "bucket":
+            return zlib.crc32(str(value).encode()) % self.n
+        if self.transform == "truncate":
+            if isinstance(value, int):
+                return value - (value % self.n)
+            return str(value)[: self.n]
+        return value
+
+    def _parse_pval(self, s: str):
+        """Manifest partition-value string -> comparable host value."""
+        if self.transform == "bucket" or (
+            self.transform in ("truncate", "identity")
+            and s.lstrip("-").isdigit()
+        ):
+            try:
+                return int(s)
+            except ValueError:
+                return s
+        return s
+
+    # -- writes --------------------------------------------------------------
+
+    def overwrite(self, df: DataFrame) -> "HiddenPartitionedTable":
+        self.inner.overwrite(self._derive(df))
+        return self
+
+    def overwrite_partitions(self, df: DataFrame) -> "HiddenPartitionedTable":
+        self.inner.overwrite_partitions(self._derive(df))
+        return self
+
+    def upsert(
+        self,
+        updates: DataFrame,
+        key_cols: list[str],
+        precombine_col: str,
+        global_index: bool = False,
+    ) -> "HiddenPartitionedTable":
+        self.inner.upsert(
+            self._derive(updates), key_cols, precombine_col, global_index
+        )
+        return self
+
+    # -- reads ---------------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        return self.inner.read(version).drop(self.pcol)
+
+    def read_filtered(self, filters: list[tuple]) -> DataFrame:
+        """Read with predicates ``[(col, op, value), ...]`` (ops: ``==``
+        ``>=`` ``>`` ``<=`` ``<``), conjunctive. Predicates on the source
+        column prune partitions through the transform; every predicate is
+        then applied exactly as a residual filter. Predicates on other
+        columns never prune (they can't — the layout doesn't know them)
+        but still filter."""
+        preds = []
+        for col, op, value in filters:
+            if col != self.source_col:
+                continue
+            t = self._host_transform(value)
+            order_preserving = self.transform in (
+                "days", "hours", "months", "truncate", "identity",
+            )
+            if op == "==":
+                preds.append(lambda p, t=t: p == t)
+            elif not order_preserving:
+                continue  # bucket: only equality prunes
+            elif op in (">=", ">"):
+                # ts > v  =>  t(ts) >= t(v): boundary partition kept,
+                # residual trims it
+                preds.append(lambda p, t=t: p >= t)
+            elif op in ("<=", "<"):
+                preds.append(lambda p, t=t: p <= t)
+            else:
+                raise ValueError(f"unsupported op {op!r}")
+        df = self.inner.read_partitions_where(
+            lambda s, preds=preds: all(
+                pred(self._parse_pval(s)) for pred in preds
+            )
+        )
+        ops = {
+            "==": lambda c, v: c == v,
+            ">=": lambda c, v: c >= v,
+            ">": lambda c, v: c > v,
+            "<=": lambda c, v: c <= v,
+            "<": lambda c, v: c < v,
+        }
+        for col, op, value in filters:
+            df = df.filter(ops[op](F.col(col), F.lit(value)))
+        return df.drop(self.pcol)
+
+    def scanned_partitions(self, filters: list[tuple]) -> list[str]:
+        """Metadata-only: which live partitions a ``read_filtered`` with
+        these predicates would scan (for pruning tests/diagnostics)."""
+        live = self.inner._versions()[-1]["partitions"]
+        prefix = f"{self.pcol}="
+        preds = []
+        for col, op, value in filters:
+            if col != self.source_col:
+                continue
+            t = self._host_transform(value)
+            order_preserving = self.transform != "bucket"
+            if op == "==":
+                preds.append(lambda p, t=t: p == t)
+            elif order_preserving and op in (">=", ">"):
+                preds.append(lambda p, t=t: p >= t)
+            elif order_preserving and op in ("<=", "<"):
+                preds.append(lambda p, t=t: p <= t)
+        return sorted(
+            k
+            for k in live
+            if k.startswith(prefix)
+            and all(p(self._parse_pval(k[len(prefix):])) for p in preds)
+        )

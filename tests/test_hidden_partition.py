@@ -1,0 +1,126 @@
+"""HiddenPartitionedTable: transform correctness, metadata pruning,
+host/JVM bucket agreement, residual exactness, schema hygiene."""
+
+import tempfile
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from emr_on_eks_hudi_iceberg_delta_spark.sources.partitioned import (
+    HiddenPartitionedTable,
+)
+
+
+@pytest.fixture()
+def events(spark):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+def test_days_prune_is_metadata_only_and_exact(spark, events):
+    hp = HiddenPartitionedTable(
+        spark, tempfile.mkdtemp(prefix="hp_"), "days", "ts"
+    )
+    hp.overwrite(events)
+    all_parts = hp.scanned_partitions([])
+    pruned = hp.scanned_partitions([("ts", ">=", "2024-01-20 06:30:00")])
+    # strict pruning: only days >= the cutoff's day survive
+    assert pruned and len(pruned) < len(all_parts)
+    assert all(p.split("=")[1] >= "2024-01-20" for p in pruned)
+    # the boundary day is KEPT (residual trims inside it)
+    assert any(p.endswith("=2024-01-20") for p in pruned)
+    got = hp.read_filtered([("ts", ">=", "2024-01-20 06:30:00")])
+    exp = events.filter(F.col("ts") >= F.lit("2024-01-20 06:30:00"))
+    assert got.count() == exp.count()
+    # scanned files only come from surviving day dirs
+    assert all(
+        any(f"/{p}/" in f for p in pruned) for f in got.inputFiles()
+    )
+    # hidden column never reaches the consumer
+    assert set(got.columns) == set(events.columns)
+
+
+def test_bucket_point_read_scans_one_partition(spark, events):
+    hp = HiddenPartitionedTable(
+        spark, tempfile.mkdtemp(prefix="hp_"), "bucket", "user_id", n=8
+    )
+    hp.overwrite(events)
+    scanned = hp.scanned_partitions([("user_id", "==", 42)])
+    assert len(scanned) == 1
+    assert scanned[0].endswith(f"={zlib.crc32(b'42') % 8}")
+    got = hp.read_filtered([("user_id", "==", 42)])
+    assert got.count() == events.filter(F.col("user_id") == 42).count()
+    # a range predicate on a bucketed key must NOT prune (hash kills order)
+    assert len(hp.scanned_partitions([("user_id", ">=", 42)])) == 8
+
+
+def test_bucket_host_matches_jvm_for_sampled_keys(spark, events):
+    n = 8
+    rows = (
+        events.select("user_id")
+        .distinct()
+        .withColumn(
+            "jvm_bucket",
+            F.pmod(F.crc32(F.col("user_id").cast("string")), F.lit(n)).cast(
+                "int"
+            ),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r["jvm_bucket"] == zlib.crc32(str(r["user_id"]).encode()) % n
+
+
+def test_truncate_int_and_string(spark):
+    rows = spark.createDataFrame(
+        [(1, 1234, "alpha"), (2, -7, "al"), (3, 999, "beta")],
+        "id int, code int, name string",
+    )
+    hp = HiddenPartitionedTable(
+        spark, tempfile.mkdtemp(prefix="hp_"), "truncate", "code", n=100
+    )
+    hp.overwrite(rows)
+    # Iceberg int truncate floors toward -inf: -7 -> -100
+    assert hp.scanned_partitions([]) == [
+        "hp_truncate100_code=-100",
+        "hp_truncate100_code=1200",
+        "hp_truncate100_code=900",
+    ]
+    got = hp.read_filtered([("code", ">=", 900)])
+    assert sorted(r["id"] for r in got.collect()) == [1, 3]
+
+    hs = HiddenPartitionedTable(
+        spark, tempfile.mkdtemp(prefix="hp_"), "truncate", "name", n=2
+    )
+    hs.overwrite(rows)
+    assert hs.scanned_partitions([("name", "==", "alphabet")]) == [
+        "hp_truncate2_name=al"
+    ]
+
+
+def test_upsert_stays_partition_scoped(spark, events):
+    hp = HiddenPartitionedTable(
+        spark, tempfile.mkdtemp(prefix="hp_"), "days", "ts"
+    )
+    hp.overwrite(events)
+    versions_before = len(hp.inner._versions())
+    # touch a single day: bump value for that day's rows
+    one_day = events.filter(
+        F.col("ts").cast("date") == F.lit("2024-01-05").cast("date")
+    ).withColumn("value", F.col("value") + 1000.0)
+    assert one_day.count() > 0
+    hp.upsert(one_day, ["event_id"], "value")
+    assert len(hp.inner._versions()) == versions_before + 1
+    # only the touched day points at the new commit
+    latest = hp.inner._versions()[-1]
+    moved = [
+        p for p, cid in latest["partitions"].items()
+        if cid == latest["version"]
+    ]
+    assert moved == ["hp_days_ts=2024-01-05"]
+    got = hp.read().filter(F.col("value") >= 1000.0)
+    assert got.count() == one_day.count()
