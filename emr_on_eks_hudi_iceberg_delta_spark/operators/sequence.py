@@ -711,3 +711,67 @@ def holt_scores(
             "forecast"
         ),
     )
+
+
+def holt_winters_scores(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.2,
+    period: int = 24,
+    horizon: int = 1,
+) -> DataFrame:
+    """Per-entity Holt-Winters additive triple exponential smoothing —
+    the seasonal rung above ``holt_scores``: alongside level ``l`` and
+    trend ``b`` a cyclic seasonal vector ``s[0..period)`` is maintained
+    over each key's time-ordered observation sequence (season index =
+    observation ordinal mod period, the textbook regular-series
+    convention; resample first for irregular streams)::
+
+        l' = a*(x - s_i) + (1-a)*(l + b)
+        b' = g*(l' - l) + (1-g)*b
+        s_i' = d*(x - l') + (1-d)*s_i
+
+    seeded ``l1 = x1, b1 = 0, s == 0`` (documented convention — the
+    additive seasonals learn from the data rather than requiring a
+    first-season warmup average).
+
+    Returns ``(key, n_events, level, trend, forecast)`` with
+    ``forecast = l + horizon*b + s[(i + horizon - 1) mod period]``
+    evaluated at the final state.
+
+    Scale: runs on ``sequential_keyed_fold`` — per-key state is
+    (2 + period) scalars regardless of event count, so a hot key with
+    10^8 events streams at O(arrow batch). Rows-only at the oracle gate
+    (the coupled recursion with vector state cannot replay through a
+    scalar SQL fold); exactness is pinned by a host replay test, the
+    holt_scores contract."""
+    a, g, d = float(alpha), float(beta), float(gamma)
+    m, h = int(period), int(horizon)
+
+    def step(state: tuple, x: float) -> tuple:
+        l, b, fc, s, i = state
+        if l is None:
+            s = (0.0,) * m
+            l2, b2, i2 = x, 0.0, 1
+            si2 = d * (x - l2) + (1.0 - d) * 0.0
+            s2 = (si2,) + s[1:]
+        else:
+            si = s[i % m]
+            l2 = a * (x - si) + (1.0 - a) * (l + b)
+            b2 = g * (l2 - l) + (1.0 - g) * b
+            si2 = d * (x - l2) + (1.0 - d) * si
+            s2 = s[: i % m] + (si2,) + s[i % m + 1 :]
+            i2 = i + 1
+        fc2 = l2 + h * b2 + s2[(i2 + h - 1) % m]
+        return (l2, b2, fc2, s2, i2)
+
+    return sequential_keyed_fold(
+        events, key_col, ts_col, order_tiebreak, value_col,
+        (None, None, None, (), 0), step,
+        [("level", "double"), ("trend", "double"), ("forecast", "double")],
+    )

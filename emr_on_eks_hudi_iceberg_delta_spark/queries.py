@@ -11085,3 +11085,24 @@ def q_hidden_partition_bucket_prune(spark, sf_dir):
         "event_type",
         F.col("value").cast("decimal(18,4)").cast("double").alias("value"),
     )
+
+
+@register(
+    "events_holt_winters",
+    oracle=None,  # coupled (level, trend, seasonal-vector) recursion —
+    # no scalar SQL fold can replay it; host-exact-pinned instead
+    tags=("events", "sequence", "agg", "timeseries", "extension"),
+)
+def q_events_holt_winters(spark, sf_dir):
+    """Per-user Holt-Winters additive triple exponential smoothing
+    (operators/sequence.holt_winters_scores, alpha 0.5 / beta 0.3 /
+    gamma 0.2 / period 24 / horizon 1): level + trend + 24-slot seasonal
+    vector over the time-ordered values — the seasonal rung above Holt,
+    still on the constant-memory streaming fold engine (state is
+    2 + period scalars per key, hot keys stream at O(arrow batch)).
+    Rows-only by necessity (vector state defeats scalar list_reduce
+    replay); bit-exact host replay incl. forced tiny Arrow batches
+    pinned in tests/test_sequence_scale.py."""
+    from .operators.sequence import holt_winters_scores
+
+    return holt_winters_scores(_t(spark, sf_dir, "events"))

@@ -372,3 +372,60 @@ def test_holt_matches_host_replay(spark):
     rl, rb = host([float(i * 10) for i in range(30)])
     assert out[ramp_id]["trend"] == rb and rb > 5.0
     assert out[ramp_id]["forecast"] == rl + rb
+
+
+def test_holt_winters_matches_host_replay(spark):
+    """holt_winters_scores == host sequential replay bit-for-bit (incl.
+    across forced tiny Arrow batches); a pure period-m cycle is learned
+    (forecast error shrinks vs the naive level forecast)."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.sequence import (
+        holt_winters_scores,
+    )
+
+    rng = random.Random(6)
+    rows, expected = _rand_rows(rng, n_keys=15, max_len=60, int_values=False)
+    # one seasonal key: 4-period sawtooth repeated many times
+    sid = 9999
+    season = [0.0, 50.0, 100.0, 50.0]
+    rows += [
+        (sid, i * 60, 10_000_000 + i, season[i % 4]) for i in range(48)
+    ]
+    df = _events_df(spark, rows)
+
+    def host(vals, a=0.5, g=0.3, d=0.2, m=24, h=1):
+        l = b = None
+        s = [0.0] * m
+        i = 0
+        for x in vals:
+            if l is None:
+                l, b, i = x, 0.0, 1
+                s[0] = d * (x - l) + (1.0 - d) * 0.0
+            else:
+                si = s[i % m]
+                l2 = a * (x - si) + (1.0 - a) * (l + b)
+                b2 = g * (l2 - l) + (1.0 - g) * b
+                s[i % m] = d * (x - l2) + (1.0 - d) * si
+                l, b = l2, b2
+                i += 1
+        fc = l + h * b + s[(i + h - 1) % m]
+        return l, b, fc
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "13")
+    try:
+        out = {
+            r["user_id"]: r
+            for r in holt_winters_scores(df, period=4).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    for uid, vals in expected.items():
+        l, b, fc = host(vals, m=4)
+        assert out[uid]["level"] == l, uid
+        assert out[uid]["trend"] == b, uid
+        assert out[uid]["forecast"] == fc, uid
+    # the sawtooth key's seasonal slots converge toward the cycle shape:
+    # its one-step forecast lands near the next sawtooth value (0.0)
+    l, b, fc = host([season[i % 4] for i in range(48)], m=4)
+    assert out[sid]["forecast"] == fc
+    assert abs(fc - season[48 % 4]) < abs(l - season[48 % 4])
