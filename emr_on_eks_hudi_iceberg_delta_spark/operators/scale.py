@@ -189,3 +189,83 @@ def key_skew_stats(
             / (F.col("__rows").cast("double") / F.col("__keys").cast("double"))
         ).alias("skew_factor"),
     )
+
+
+def pareto_skyline(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_mode: str = "max",
+    y_mode: str = "max",
+) -> DataFrame:
+    """2-D Pareto skyline: rows not STRICTLY dominated by any other row
+    (dominated = other is >= on both objectives and > on at least one,
+    after orienting each objective by ``x_mode``/``y_mode``). Duplicate
+    optimal points all survive (neither strictly dominates the other).
+
+    Two-phase distributed shape — the skyline operator's defining
+    algebraic property is ``skyline(A ∪ B) = skyline(skyline(A) ∪
+    skyline(B))``, so:
+
+    1. **local prefilter** (mapInPandas, zero shuffle): each input
+       partition sorts its own rows by (x desc, y desc) and keeps its
+       local skyline with one linear scan — survivors per partition are
+       the partition's frontier, typically O(log n), worst-case the
+       partition size (then nothing was prunable anyway);
+    2. **exact global pass** over the survivor union: group max-y per
+       distinct x (one shuffle of the already-pruned rows), a running
+       strict-max window over the distinct-x frontier, and a broadcast
+       semi-join back to recover every surviving row (ties included).
+
+    The global ordered window runs over DISTINCT SURVIVOR x values —
+    after local pruning that is frontier-sized, not data-sized, which is
+    what makes the plan safe at 100x. All comparisons happen on the
+    oriented (possibly negated) values; the output carries the original
+    columns unchanged.
+    """
+    xs = F.col(x_col) if x_mode == "max" else -F.col(x_col)
+    ys = F.col(y_col) if y_mode == "max" else -F.col(y_col)
+    work = df.withColumn("__x", xs.cast("double")).withColumn(
+        "__y", ys.cast("double")
+    )
+    cols = work.columns
+
+    def local_skyline(pdfs):
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            s = pdf.sort_values(["__x", "__y"], ascending=[False, False])
+            keep = []
+            best_y = float("-inf")   # max y among STRICTLY greater x
+            cur_x = None
+            cur_top_y = None
+            for i, (x, y) in enumerate(zip(s["__x"], s["__y"])):
+                if x != cur_x:
+                    if cur_top_y is not None:
+                        best_y = max(best_y, cur_top_y)
+                    cur_x, cur_top_y = x, y
+                # survivor iff top of its x-group and beats all greater-x
+                keep.append(y == cur_top_y and y > best_y)
+            yield s[keep]
+
+    survivors = work.mapInPandas(
+        local_skyline, work.schema
+    )
+    per_x = survivors.groupBy("__x").agg(F.max("__y").alias("__my"))
+    w = Window.orderBy(F.col("__x").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = (
+        per_x.withColumn("__prior", F.max("__my").over(w))
+        .filter(F.col("__prior").isNull() | (F.col("__my") > F.col("__prior")))
+        .select("__x", "__my")
+    )
+    return (
+        survivors.join(
+            F.broadcast(frontier),
+            (survivors["__x"] == frontier["__x"])
+            & (survivors["__y"] == frontier["__my"]),
+            "left_semi",
+        )
+        .select([c for c in cols if not c.startswith("__")])
+    )

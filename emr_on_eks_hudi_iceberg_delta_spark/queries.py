@@ -11106,3 +11106,96 @@ def q_events_holt_winters(spark, sf_dir):
     from .operators.sequence import holt_winters_scores
 
     return holt_winters_scores(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "pareto_skyline_parts",
+    oracle="""
+    SELECT p.p_partkey, p.p_size, p.p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+        AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
+    """,
+    tags=("extension", "scale", "agg"),
+)
+def q_pareto_skyline_parts(spark, sf_dir):
+    """2-D Pareto skyline over part (maximize size, minimize price —
+    "the biggest parts at the lowest prices"): rows no other row
+    strictly dominates. Runs the two-phase skyline operator
+    (operators/scale.py:pareto_skyline) — per-partition local-frontier
+    prefilter with zero shuffle, then an exact global pass whose ordered
+    window sees only frontier-sized survivors. The oracle is the
+    quadratic NOT EXISTS definition, so the algebraic two-phase
+    decomposition is value-proven against the semantics directly."""
+    from .operators.scale import pareto_skyline
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    return pareto_skyline(part, "p_size", "p_retailprice", "max", "min")
+
+
+@register(
+    "observed_ingest_metrics",
+    oracle=f"""
+    WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                       event_type, value, props FROM events)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(*) FILTER (WHERE props IS NULL) AS BIGINT)
+             AS n_null_props,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+             AS n_purchases
+    FROM ev
+    """,
+    tags=("lake", "quality", "extension"),
+)
+def q_observed_ingest_metrics(spark, sf_dir):
+    """Single-pass ingest metrics via the Observation API (the
+    ``observe()`` discipline purge_rows uses, surfaced as a first-class
+    operator): quality counters ride the WRITE job itself — count, exact
+    DECIMAL value sum, null-props count, purchase count (observed
+    metrics reject DISTINCT aggregates by design — use the HLL sketch
+    operators for distincts) — so the
+    ingest produces its own dataset-card row with ZERO additional scans
+    (the naive pattern scans once to write and once to measure). The
+    returned metrics are exactly the oracle's aggregates over what was
+    written."""
+    import tempfile
+
+    from pyspark.sql import Observation
+
+    from .sources.tables import VersionedTable
+
+    ev = _t(spark, sf_dir, "events")
+    obs = Observation("ingest")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_value"),
+        F.count_if(F.col("props").isNull()).cast("bigint").alias(
+            "n_null_props"
+        ),
+        F.count_if(F.col("event_type") == "purchase").cast("bigint").alias(
+            "n_purchases"
+        ),
+    )
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_obs_"))
+    vt.overwrite(observed)
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["sum_value"],
+                m["n_null_props"],
+                m["n_purchases"],
+            )
+        ],
+        "n_rows bigint, sum_value double, n_null_props bigint, "
+        "n_purchases bigint",
+    )

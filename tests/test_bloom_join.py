@@ -75,3 +75,51 @@ def test_outer_flavor_rejected(spark):
     li, build = _tables(spark)
     with pytest.raises(ValueError, match="inner/left_semi"):
         bloom_prefilter_join(li, build, "l_orderkey", how="left")
+
+
+def test_pareto_skyline_bruteforce_and_duplicates(spark):
+    import itertools
+    import random
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.scale import (
+        pareto_skyline,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.randint(0, 12), float(rng.randint(0, 12)))
+        for i in range(300)
+    ]
+    # planted duplicate optimum: two ids share the same frontier point
+    rows += [(9001, 99, 0.0), (9002, 99, 0.0)]
+    df = spark.createDataFrame(rows, "id int, x int, y double").repartition(7)
+
+    def dominated(p, qs):
+        return any(
+            q[1] >= p[1] and q[2] <= p[2] and (q[1] > p[1] or q[2] < p[2])
+            for q in qs
+        )
+
+    expected = sorted(r[0] for r in rows if not dominated(r, rows))
+    got = sorted(
+        r["id"]
+        for r in pareto_skyline(df, "x", "y", "max", "min").collect()
+    )
+    assert got == expected
+    assert 9001 in got and 9002 in got  # ties both survive
+
+
+def test_pareto_skyline_partition_layout_independent(spark):
+    import random
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.scale import (
+        pareto_skyline,
+    )
+
+    rng = random.Random(12)
+    rows = [(i, rng.random(), rng.random()) for i in range(500)]
+    df1 = spark.createDataFrame(rows, "id int, x double, y double").coalesce(1)
+    df13 = spark.createDataFrame(rows, "id int, x double, y double").repartition(13)
+    a = sorted(r["id"] for r in pareto_skyline(df1, "x", "y").collect())
+    b = sorted(r["id"] for r in pareto_skyline(df13, "x", "y").collect())
+    assert a == b and len(a) >= 1
