@@ -513,3 +513,47 @@ def test_sequential_fold_engine_million_events(spark):
     assert rows[hot_key]["cusum_final"] == sh
     assert rows[hot_key]["cusum_max"] == mh
     assert elapsed < 240, f"{elapsed:.0f}s"
+
+
+def test_interval_overlap_join_fanout_is_bounded(spark):
+    """The binned overlap join's measured cost model: exploded row count
+    is rows x (interval_len/bin + 1) — never |L| x |R| — and the output
+    needs no dedup (first-shared-bin rule), pinned at 10^5 intervals."""
+    from pyspark.sql import functions as F
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    n = 100_000
+    # 2-hour intervals on an hourly bin grid -> exactly 2 or 3 bins each
+    base = spark.range(n).select(
+        (F.col("id") % 50).alias("key"),
+        F.col("id").alias("lid"),
+        F.timestamp_seconds(1700000000 + F.col("id") * 7).alias("ls"),
+        F.timestamp_seconds(1700000000 + F.col("id") * 7 + 7200).alias("le"),
+    )
+    right = base.select(
+        "key",
+        F.col("lid").alias("rid"),
+        F.col("ls").alias("rs"),
+        F.col("le").alias("re"),
+    )
+    us = 3_600_000_000
+    exploded = base.select(
+        F.col("ls"),
+        F.explode(
+            F.sequence(
+                (F.unix_micros(F.col("ls")) / us).cast("bigint"),
+                ((F.unix_micros(F.col("le")) - 1) / us).cast("bigint"),
+            )
+        ).alias("b"),
+    ).count()
+    assert n * 2 <= exploded <= n * 3  # fan-out = len/bin + boundary, not n^2
+    out = interval_overlap_join(
+        base, right, ["key"], "ls", "le", "rs", "re"
+    ).select("lid", "rid")
+    total = out.count()
+    distinct = out.distinct().count()
+    assert total == distinct  # first-shared-bin: duplicate-free without dedup
+    assert total >= n  # every interval at least overlaps its own twin
