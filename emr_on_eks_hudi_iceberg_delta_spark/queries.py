@@ -11199,3 +11199,55 @@ def q_observed_ingest_metrics(spark, sf_dir):
         "n_rows bigint, sum_value double, n_null_props bigint, "
         "n_purchases bigint",
     )
+
+
+@register(
+    "streaming_hidden_partition_ingest",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL})
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM ev WHERE ts >= TIMESTAMP '2024-01-20 06:30:00'
+    GROUP BY event_type
+    """,
+    tags=("streaming", "lake", "layout", "extension"),
+)
+def q_streaming_hidden_partition_ingest(spark, sf_dir):
+    """Streaming ingest into the Iceberg hidden-partitioned layout: the
+    event stream replays as micro-batches through the partition-scoped
+    keyed-upsert sink (streaming/scd2_stream.stream_upsert_partitioned —
+    exactly-once via the manifest's txn-batch guard), with the days(ts)
+    transform derived at write time per batch; each micro-batch rewrites
+    only the DAYS it touches. The readback is a transform-pruned
+    ts-range scan (same predicate as hidden_partition_days_prune), so
+    the query proves the full streaming-write -> hidden-prune -> exact
+    residual pipeline equals the batch aggregate."""
+    import tempfile
+
+    from .sources.partitioned import HiddenPartitionedTable
+    from .streaming.scd2_stream import stream_upsert_partitioned
+
+    ev0 = _events_stream(spark, sf_dir).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    hp = HiddenPartitionedTable(
+        spark, tempfile.mkdtemp(prefix="hp_stream_"), "days", "ts"
+    )
+    hp.overwrite(
+        spark.createDataFrame(
+            [], "event_id long, ts timestamp_ntz, event_type string, "
+            "value double"
+        )
+    )
+    q = stream_upsert_partitioned(
+        hp, ev0, ["event_id"], "value",
+        tempfile.mkdtemp(prefix="hp_stream_ckpt_"),
+    )
+    q.awaitTermination()
+    got = hp.read_filtered([("ts", ">=", "2024-01-20 06:30:00")])
+    return got.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

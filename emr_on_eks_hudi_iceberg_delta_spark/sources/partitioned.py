@@ -881,3 +881,14 @@ class HiddenPartitionedTable:
             if k.startswith(prefix)
             and all(p(self._parse_pval(k[len(prefix):])) for p in preds)
         )
+
+    # -- manifest delegation (streaming sink + history surfaces) -------------
+
+    def history(self) -> list[dict]:
+        return self.inner.history()
+
+    def _doc(self) -> dict:
+        return self.inner._doc()
+
+    def _write_doc(self, doc: dict) -> None:
+        self.inner._write_doc(doc)
