@@ -1541,3 +1541,87 @@ def ivf_index_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def grouped_gram_spectrum(
+    emb: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale twin of ``grouped_top_eigen`` — IMPLEMENTS the two-stage
+    map-side Gram combine its docstring contracts (sum of outer products
+    is associative), so no task ever holds a group's full (n x dim)
+    matrix:
+
+    1. one ``mapInPandas`` pass emits PARTIAL moments per (arrow batch,
+       label): count, sum vector, Gram matrix — flattened to long-form
+       ``(label, pos, val)`` rows, 1 + d + d² positions per label;
+    2. ``groupBy(label, pos).sum`` combines partials — the shuffle
+       carries |labels| x (1 + d + d²) doubles, independent of corpus
+       size;
+    3. the driver reconstructs each label's covariance
+       ``C = (G - s sᵀ/n) / (n-1)`` and eigensolves (dim x dim, numpy) —
+       |labels| x d² floats of driver state (for huge label counts, run
+       the same epilogue as an applyInPandas over the d²-sized Gram
+       rows instead; state stays d², never n).
+
+    Per-task memory is O(arrow batch + labels-in-batch x d²) — a label
+    with 10^8 members streams through like any other (the same fix shape
+    as the round-7 sequential-fold engine). Output schema and values
+    match ``grouped_top_eigen`` (parity-pinned at 1e-9 — float partials
+    re-associate, so bit-equality is not expected)."""
+    import pandas as pd
+
+    def partial_moments(pdfs):
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            out_lab, out_pos, out_val = [], [], []
+            for lab, g in pdf.groupby(group_col, dropna=False):
+                x = np.asarray(g[vec_col].tolist(), dtype=np.float64)
+                n, d = x.shape
+                s = x.sum(axis=0)
+                gram = x.T @ x
+                vals = np.concatenate(([float(n)], s, gram.ravel()))
+                out_lab.extend([lab] * len(vals))
+                out_pos.extend(range(len(vals)))
+                out_val.extend(vals.tolist())
+            yield pd.DataFrame(
+                {group_col: out_lab, "pos": out_pos, "val": out_val}
+            )
+
+    lab_type = emb.schema[group_col].dataType.simpleString()
+    partials = emb.select(group_col, vec_col).mapInPandas(
+        partial_moments, f"{group_col} {lab_type}, pos int, val double"
+    )
+    combined = (
+        partials.groupBy(group_col, "pos")
+        .agg(F.sum("val").alias("val"))
+        .collect()
+    )
+    by_label: dict = {}
+    for r in combined:
+        by_label.setdefault(r[group_col], {})[r["pos"]] = r["val"]
+    rows = []
+    for lab, moments in sorted(by_label.items(), key=lambda kv: (kv[0] is None, kv[0])):
+        n = int(round(moments[0]))
+        # solve d from 1 + d + d^2 = len(moments)
+        d = int((-1 + (1 + 4 * (len(moments) - 1)) ** 0.5) / 2)
+        if n < 2:
+            rows.append((lab, n, None, None))
+            continue
+        s = np.array([moments[1 + i] for i in range(d)])
+        g = np.array(
+            [moments[1 + d + i] for i in range(d * d)]
+        ).reshape(d, d)
+        cov = (g - np.outer(s, s) / n) / (n - 1)
+        eig = np.linalg.eigvalsh(cov)
+        top = float(eig[-1])
+        trace = float(np.trace(cov))
+        rows.append((lab, n, top, top / trace if trace else None))
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        rows,
+        f"{group_col} {lab_type}, n bigint, top_eigenvalue double, "
+        "explained_ratio double",
+    )

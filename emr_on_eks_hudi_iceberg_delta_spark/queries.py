@@ -11251,3 +11251,22 @@ def q_streaming_hidden_partition_ingest(spark, sf_dir):
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@register(
+    "embedding_group_spectrum_gram",
+    oracle=None,  # eigendecomposition is not SQL-expressible; parity-
+    # pinned against grouped_top_eigen at 1e-9 (tests/test_kcenter.py)
+    tags=("similarity", "udf", "scale", "extension"),
+)
+def q_embedding_group_spectrum_gram(spark, sf_dir):
+    """Scale twin of embedding_group_spectrum: the per-label covariance
+    spectrum via associative PARTIAL Gram accumulation
+    (operators/similarity.grouped_gram_spectrum) — no task ever holds a
+    label's full vector matrix (the grouped-map version's documented
+    100x caveat, now implemented): partial (n, sum, Gram) moments per
+    arrow batch, a |labels| x (1+d+d²)-double shuffle, and a dim-sized
+    driver eigensolve."""
+    from .operators.similarity import grouped_gram_spectrum
+
+    return grouped_gram_spectrum(_t(spark, sf_dir, "embeddings"))

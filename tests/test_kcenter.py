@@ -98,3 +98,35 @@ def test_grouped_top_eigen_degenerate_group(spark):
     out = {r["label"]: r for r in grouped_top_eigen(df).collect()}
     assert out[2]["n"] == 1 and out[2]["top_eigenvalue"] is None
     assert out[1]["top_eigenvalue"] is not None
+
+
+def test_gram_spectrum_matches_grouped_map_twin(spark):
+    """grouped_gram_spectrum (associative partials, constant task
+    memory) == grouped_top_eigen (whole-group grouped-map) at 1e-9 —
+    the same decomposition-vs-sequential parity contract as the
+    segmented CUSUM twins, including under forced tiny Arrow batches."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.similarity import (
+        grouped_gram_spectrum,
+        grouped_top_eigen,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "17")
+    try:
+        got = {r["label"]: r for r in grouped_gram_spectrum(emb).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    want = {r["label"]: r for r in grouped_top_eigen(emb).collect()}
+    assert set(got) == set(want)
+    for lab, w in want.items():
+        g = got[lab]
+        assert g["n"] == w["n"], lab
+        if w["top_eigenvalue"] is None:
+            assert g["top_eigenvalue"] is None
+            continue
+        assert abs(g["top_eigenvalue"] - w["top_eigenvalue"]) <= 1e-9 * max(
+            1.0, abs(w["top_eigenvalue"])
+        ), lab
+        assert abs(g["explained_ratio"] - w["explained_ratio"]) <= 1e-9, lab
