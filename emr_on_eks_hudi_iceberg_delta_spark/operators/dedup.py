@@ -753,6 +753,69 @@ def fuzzy_match_pairs(
     )
 
 
+def levenshtein_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_text: str,
+    right_id: str,
+    right_text: str,
+    max_distance: int,
+) -> DataFrame:
+    """LOSSLESS edit-distance ε-join via length banding — the exact
+    counterpart to ``fuzzy_match_pairs``: blocking on a leading token
+    trades recall for speed (a pair whose first word differs is simply
+    lost), while the length band is a TRUE Levenshtein invariant —
+    ``|len(a) − len(b)| <= d`` for every pair within distance ``d`` —
+    so banding prunes with ZERO false negatives.
+
+    Plan shape: each left row replicates to the ``2d+1`` lengths its
+    matches can have (``explode(sequence(len−d, len+d))``), the right
+    side keys by its actual length, and the candidate space becomes a
+    plain EQUI-join on the band — shuffle-partitionable, broadcastable,
+    AQE-skew-splittable — instead of the O(|L|·|R|) nested-loop cross
+    join a naive ``levenshtein(a,b) <= d`` theta-join plans as. The
+    quadratic-per-pair Levenshtein runs only on band survivors. Fan-out
+    is a fixed ``2d+1`` factor (d is 1-3 in linkage practice), and at
+    100 TB the band key composes with any equality blocking key the
+    caller bakes into ``left_text``/``right_text`` upstream.
+
+    Returns ``(left_id, right_id, left_text, right_text, distance)``
+    aliased to the given column names — exactly the pairs the cross-join
+    definition yields, which is what the oracle replays.
+    """
+    d = int(max_distance)
+    lo = left.select(
+        F.col(left_id).alias("__lid"),
+        F.col(left_text).alias("__ltext"),
+        F.explode(
+            F.sequence(
+                F.greatest(F.length(left_text) - d, F.lit(0)),
+                F.length(left_text) + d,
+            )
+        ).alias("__band"),
+    )
+    ro = right.select(
+        F.col(right_id).alias("__rid"),
+        F.col(right_text).alias("__rtext"),
+        F.length(right_text).alias("__band"),
+    )
+    return (
+        lo.join(ro, "__band")
+        .withColumn(
+            "distance", F.levenshtein(F.col("__ltext"), F.col("__rtext"))
+        )
+        .filter(F.col("distance") <= d)
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            F.col("__ltext").alias(left_text),
+            F.col("__rtext").alias(right_text),
+            "distance",
+        )
+    )
+
+
 def build_lsh_index(
     corpus: DataFrame,
     location: str,

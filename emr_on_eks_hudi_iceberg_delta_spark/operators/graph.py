@@ -152,3 +152,69 @@ def triangle_count(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
         "left_semi",
     )
     return closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    u: str = "u",
+    v: str = "v",
+    node: str = "node",
+) -> DataFrame:
+    """Multi-source BFS: exact shortest HOP distance from any seed node,
+    capped at ``max_hops`` — the reachability primitive behind "every
+    document within k citation hops of a trusted source" / contamination
+    blast-radius queries. ``edges`` is an undirected edge list (rows are
+    distinct pairs; both orientations are derived here), ``seeds`` a
+    one-column node frame.
+
+    Level-synchronous frontier expansion, the Pregel/GraphX BFS:
+
+    * ``dist`` starts as the seeds at hop 0;
+    * each round joins the CURRENT FRONTIER (only the nodes discovered
+      last round, not the whole dist set) onto the edge list, then
+      anti-joins against ``dist`` so settled nodes never re-enter;
+    * first discovery IS the shortest hop count (BFS invariant), so no
+      min-aggregation or re-relaxation is ever needed — each round is
+      one frontier-sized join + one anti-join, and a node crosses the
+      shuffle at most twice over the whole run (once discovered, once
+      as frontier).
+
+    The driver loop holds ONLY a row count per round (the empty-frontier
+    stop test); ``localCheckpoint`` truncates lineage each round exactly
+    like ``pagerank_fixedpoint``. All arithmetic is integral — the
+    result replays bit-identically in any engine (the oracle is a
+    depth-bounded recursive CTE taking MIN over walk lengths, equal by
+    the BFS invariant).
+
+    Returns ``(node, hops int)`` — every node whose shortest distance to
+    a seed is <= max_hops, seeds included at 0.
+    """
+    fwd = edges.select(F.col(u).alias("n"), F.col(v).alias("m"))
+    sym = fwd.unionByName(
+        edges.select(F.col(v).alias("n"), F.col(u).alias("m"))
+    )
+    dist = (
+        seeds.select(F.col(node).alias("n"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("n")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, "n")
+            .select(F.col("m").alias("n"))
+            .distinct()
+            .join(dist.select("n"), "n", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("n")
+    return dist.select(
+        F.col("n").alias(node), F.col("hops").cast("int").alias("hops")
+    )

@@ -326,6 +326,87 @@ def _sub_outside_literals(pattern: str, repl, s: str) -> str:
     return "".join(out)
 
 
+def _top_keyword(s: str, word: str) -> list[int]:
+    """``_top_positions`` additionally gated by ``_literal_spans`` so a
+    keyword inside a backtick-quoted identifier is data, not syntax
+    (single/double quotes are already handled by ``_top_positions``)."""
+    spans = _literal_spans(s)
+    return [
+        p
+        for p in _top_positions(s, word)
+        if not any(a <= p < b for a, b in spans)
+    ]
+
+
+QUALIFY_COL = "__qualify__"
+
+
+def rewrite_qualify(sql: str) -> tuple[str, bool]:
+    """Desugar a Snowflake/DuckDB-style ``QUALIFY`` clause (filter on
+    window-function results — the four-line idiom "rank then filter the
+    rank" as one declarative clause) into plain Spark SQL::
+
+        SELECT <list> FROM ... [WHERE ...] [GROUP BY ...]
+        QUALIFY <pred> [ORDER BY ...] [LIMIT ...]
+      ->
+        SELECT * FROM (
+            SELECT <list>, (<pred>) AS __qualify__ FROM ... [WHERE ...]
+        ) __qualify_src WHERE __qualify__ [ORDER BY ...] [LIMIT ...]
+
+    The predicate is evaluated IN THE SELECT'S OWN SCOPE (so its window
+    functions see the post-WHERE / post-GROUP-BY rows, exactly the
+    standard QUALIFY evaluation order), and the caller drops the helper
+    column — Catalyst collapses the whole desugaring back into a single
+    Window + Filter, so the plan is identical to the hand-written form.
+
+    Returns ``(rewritten, True)`` or ``(sql, False)`` when no top-level
+    QUALIFY exists. Literal-aware: ``' QUALIFY '`` inside a string or a
+    backtick identifier never triggers. Statements where the injection
+    would silently change semantics — ``SELECT DISTINCT``, set
+    operations at top level, multiple QUALIFYs — are REFUSED loudly
+    (round-7 rewrite discipline: correct rewrite or loud refusal, never
+    silent misparse).
+    """
+    qpos = _top_keyword(sql, "QUALIFY")
+    if not qpos:
+        return sql, False
+    if len(qpos) > 1:
+        raise ValueError("QUALIFY: multiple top-level QUALIFY clauses")
+    for kw in ("UNION", "INTERSECT", "EXCEPT"):
+        if _top_keyword(sql, kw):
+            raise ValueError(
+                f"QUALIFY: top-level {kw} is ambiguous — parenthesize "
+                "the branch the QUALIFY belongs to"
+            )
+    i = qpos[0]
+    head, rest = sql[:i].rstrip(), sql[i + len("QUALIFY"):]
+    tail_at = min(
+        [len(rest)]
+        + [p for kw in ("ORDER", "LIMIT") for p in _top_keyword(rest, kw)]
+    )
+    pred, tail = rest[:tail_at].strip(), rest[tail_at:].strip()
+    if not pred:
+        raise ValueError("QUALIFY: empty predicate")
+    sels = _top_keyword(head, "SELECT")
+    if not sels:
+        raise ValueError("QUALIFY: no top-level SELECT to attach to")
+    last_sel = sels[-1]
+    if re.match(r"\s*DISTINCT\b", head[last_sel + 6:], re.I):
+        raise ValueError(
+            "QUALIFY: SELECT DISTINCT is not supported (the helper "
+            "column would change the distinct key) — filter a subquery"
+        )
+    froms = [p for p in _top_keyword(head, "FROM") if p > last_sel]
+    if not froms:
+        raise ValueError("QUALIFY: final SELECT has no top-level FROM")
+    f = froms[0]
+    inner = f"{head[:f].rstrip()}, ({pred}) AS {QUALIFY_COL} {head[f:]}"
+    return (
+        f"SELECT * FROM ({inner}) __qualify_src WHERE {QUALIFY_COL} {tail}",
+        True,
+    )
+
+
 def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=None):
     """Execute a non-MERGE DML or utility statement against a
     ``VersionedTable`` — the rest of the statement surface a lake user runs
@@ -401,6 +482,7 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
     if re.match(r"\s*(SELECT|WITH)\b", s, re.I) and (
         re.search(r"\btable_changes\s*\(", s, re.I)
         or re.search(r"\b(VERSION|TIMESTAMP)\s+AS\s+OF\b", s, re.I)
+        or _top_keyword(s, "QUALIFY")
     ):
         # SELECT rewrite pass — BOTH sugar forms in one statement are
         # fine (each rewrites independently into temp views, then the
@@ -450,7 +532,9 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
             _tt,
             rewritten,
         )
-        return spark.sql(rewritten)
+        rewritten, qualified = rewrite_qualify(rewritten)
+        out = spark.sql(rewritten)
+        return out.drop(QUALIFY_COL) if qualified else out
 
     if catalog is not None:
         m = re.match(

@@ -11270,3 +11270,291 @@ def q_embedding_group_spectrum_gram(spark, sf_dir):
     from .operators.similarity import grouped_gram_spectrum
 
     return grouped_gram_spectrum(_t(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# round-8 tranche 2: QUALIFY sugar, BFS reachability, TWAP, attribution,
+# lossless edit-distance ε-join
+# --------------------------------------------------------------------------
+
+_QUALIFY_SQL = """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 2
+"""
+
+
+@register(
+    "qualify_top_n_sql",
+    oracle=_QUALIFY_SQL,
+    tags=("sql", "window", "extension"),
+)
+def q_qualify_top_n_sql(spark, sf_dir):
+    """Snowflake/DuckDB ``QUALIFY`` clause (filter on window results as
+    one declarative clause) through the SQL front-end's literal-aware
+    desugaring (operators/merge_sql.rewrite_qualify): the predicate is
+    injected into the SELECT's own scope as a boolean column, filtered
+    one level up, and dropped — Catalyst collapses it to the same
+    Window + Filter plan as the hand-written subquery. The oracle is
+    the IDENTICAL statement text run on DuckDB's native QUALIFY, so the
+    desugaring is value-proven against a reference implementation of
+    the clause itself."""
+    from .operators.merge_sql import run_dml
+
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return run_dml(spark, _QUALIFY_SQL)
+
+
+@register(
+    "graph_bfs_reachability",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    seeds AS (SELECT DISTINCT p_partkey AS node FROM part
+              WHERE p_size = 50),
+    walk(node, hops) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT s.v, w.hops + 1 FROM walk w JOIN sym s ON s.u = w.node
+      WHERE w.hops < 3)
+    SELECT node, CAST(MIN(hops) AS INTEGER) AS hops
+    FROM walk GROUP BY node
+    """,
+    tags=("graph", "extension"),
+)
+def q_graph_bfs_reachability(spark, sf_dir):
+    """Multi-source BFS shortest hop distance (operators/graph.bfs_hops)
+    on the co-purchase graph, seeds = parts of size 50, capped at 3
+    hops — the contamination-blast-radius / "within k hops of a trusted
+    source" reachability primitive. Spark runs level-synchronous
+    frontier expansion (frontier-sized join + anti-join per round,
+    localCheckpoint lineage truncation, no driver state beyond the
+    stop test); the oracle is a depth-bounded recursive CTE taking MIN
+    over walk lengths — equal because BFS's first discovery level IS
+    the minimum walk length."""
+    from .operators.graph import bfs_hops
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pk2")
+    )
+    edges = (
+        li.join(l2, (F.col("l_orderkey") == F.col("o2"))
+                & (F.col("l_partkey") < F.col("pk2")))
+        .select(F.col("l_partkey").alias("u"), F.col("pk2").alias("v"))
+        .distinct()
+    )
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 50)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    return bfs_hops(edges, seeds, max_hops=3)
+
+
+@register(
+    "events_twap",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    seg AS (
+      SELECT user_id,
+             date_diff('second', ts,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id)) AS dt,
+             CAST(value AS DECIMAL(18,4)) AS v
+      FROM ev),
+    agg AS (
+      SELECT user_id,
+             SUM(CAST(v * CAST(dt AS DECIMAL(10,0)) AS DECIMAL(29,4)))
+               AS wsum,
+             CAST(SUM(dt) AS BIGINT) AS total_seconds,
+             CAST(COUNT(*) AS BIGINT) AS n_segments
+      FROM seg WHERE dt IS NOT NULL GROUP BY user_id)
+    SELECT user_id,
+           CAST(wsum AS DOUBLE) / CAST(total_seconds AS DOUBLE)
+             AS twap_value,
+           total_seconds, n_segments
+    FROM agg WHERE total_seconds > 0
+    """,
+    tags=("events", "window", "agg", "timeseries", "extension"),
+)
+def q_events_twap(spark, sf_dir):
+    """Per-user TIME-WEIGHTED average value (TWAP — the telemetry/
+    finance aggregate where each reading holds until the next one, so
+    long-held values weigh more): weight = seconds until the user's
+    next event (LEAD), last reading carries no weight. One window pass
+    + one grouped aggregate — both shuffle on user_id and AQE merges
+    them into a single exchange. Exactness: value as DECIMAL(18,4)
+    times the integral duration accumulates as DECIMAL(29,4) (exact,
+    order-independent); only the final division is DOUBLE, on
+    bit-identical operands (both well under the 2^53 int->double
+    conversion seam, NOTES.md)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    seg = ev.select(
+        "user_id",
+        (F.lead(sec).over(w) - sec).alias("dt"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    ).filter(F.col("dt").isNotNull())
+    agg = seg.groupBy("user_id").agg(
+        F.sum(
+            (F.col("v") * F.col("dt").cast("decimal(10,0)")).cast(
+                "decimal(29,4)"
+            )
+        ).alias("wsum"),
+        F.sum("dt").cast("bigint").alias("total_seconds"),
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+    )
+    return agg.filter(F.col("total_seconds") > 0).select(
+        "user_id",
+        (
+            F.col("wsum").cast("double")
+            / F.col("total_seconds").cast("double")
+        ).alias("twap_value"),
+        "total_seconds",
+        "n_segments",
+    )
+
+
+@register(
+    "attribution_first_last_touch",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    t AS (
+      SELECT event_id, user_id, event_type,
+             first_value(CASE WHEN event_type <> 'purchase'
+                              THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS ft,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lt
+      FROM ev)
+    SELECT event_id, user_id,
+           COALESCE(ft, 'direct') AS first_touch,
+           COALESCE(lt, 'direct') AS last_touch
+    FROM t WHERE event_type = 'purchase'
+    """,
+    tags=("events", "window", "extension"),
+)
+def q_attribution_first_last_touch(spark, sf_dir):
+    """First-/last-touch conversion attribution: for every purchase,
+    the user's earliest and most recent preceding NON-purchase event
+    types ('direct' when none) — the marketing-attribution primitive.
+    Spark-first design: NOT the quadratic-fan-out range join
+    (conversions x all earlier touches); a single window pass with an
+    UNBOUNDED-PRECEDING..1-PRECEDING frame and ignorenulls first/last
+    computes both credits in one user_id exchange, constant state per
+    row. DuckDB replays the identical frames with IGNORE NULLS window
+    aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.first(touch, ignorenulls=True).over(w).alias("ft"),
+            F.last(touch, ignorenulls=True).over(w).alias("lt"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("ft", F.lit("direct")).alias("first_touch"),
+            F.coalesce("lt", F.lit("direct")).alias("last_touch"),
+        )
+    )
+
+
+# deterministic near-duplicate fixture for the ε-join: one edit per part
+# name, the edit KIND varying by key so string lengths spread across
+# bands (delete / substitute / insert at position p_partkey % 7 + 1)
+_PERTURB_SQL = """
+    SELECT p_partkey + 1000000 AS cand_key,
+           CASE p_partkey % 3
+             WHEN 0 THEN substr(p_name, 1, p_partkey % 7)
+                         || substr(p_name, p_partkey % 7 + 2)
+             WHEN 1 THEN substr(p_name, 1, p_partkey % 7)
+                         || 'x' || substr(p_name, p_partkey % 7 + 2)
+             ELSE substr(p_name, 1, p_partkey % 7)
+                  || 'x' || substr(p_name, p_partkey % 7 + 1)
+           END AS cand_name
+    FROM part
+"""
+
+
+@register(
+    "edit_distance_epsilon_join",
+    oracle=f"""
+    WITH cand AS ({_PERTURB_SQL})
+    SELECT p.p_partkey, c.cand_key, p.p_name, c.cand_name,
+           CAST(levenshtein(p.p_name, c.cand_name) AS INTEGER) AS distance
+    FROM part p CROSS JOIN cand c
+    WHERE levenshtein(p.p_name, c.cand_name) <= 1
+    """,
+    tags=("dedup", "text", "scale", "extension"),
+)
+def q_edit_distance_epsilon_join(spark, sf_dir):
+    """LOSSLESS Levenshtein ε-join (operators/dedup.levenshtein_join):
+    part names against a derived single-edit candidate batch (delete/
+    substitute/insert by key, so lengths spread), threshold 1. The
+    band on |len(a)-len(b)| <= d is a true edit-distance invariant, so
+    unlike fuzzy_name_matches' first-token blocking NOTHING is lost —
+    the oracle is the full quadratic cross join, and the equi-join on
+    the length band must reproduce it exactly. At 100 TB the plan is a
+    shuffle-partitionable equi-join with fixed 2d+1 fan-out instead of
+    the nested-loop cross product Spark plans for a raw
+    ``levenshtein(a,b) <= d`` theta join."""
+    from .operators.dedup import levenshtein_join
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    head = F.expr("substr(p_name, 1, p_partkey % 7)")
+    cand = part.select(
+        (F.col("p_partkey") + 1000000).alias("cand_key"),
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(head, F.expr("substr(p_name, p_partkey % 7 + 2)")),
+        )
+        .when(
+            F.col("p_partkey") % 3 == 1,
+            F.concat(
+                head,
+                F.lit("x"),
+                F.expr("substr(p_name, p_partkey % 7 + 2)"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                head,
+                F.lit("x"),
+                F.expr("substr(p_name, p_partkey % 7 + 1)"),
+            )
+        )
+        .alias("cand_name"),
+    )
+    out = levenshtein_join(
+        part, cand, "p_partkey", "p_name", "cand_key", "cand_name",
+        max_distance=1,
+    )
+    return out.select(
+        "p_partkey",
+        "cand_key",
+        "p_name",
+        "cand_name",
+        F.col("distance").cast("int").alias("distance"),
+    )

@@ -157,3 +157,48 @@ def test_fuzzy_match_max_block_size_caps_degenerate_blocks(spark):
     # without the cap the degenerate block floods the candidate join
     uncapped = fuzzy_match_pairs(df, "id", "name", max_distance=2).collect()
     assert len(uncapped) > 1
+
+
+def test_levenshtein_join_is_lossless_vs_cross_join(spark):
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.dedup import (
+        levenshtein_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "kitten"), (2, "apple"), (3, "a")], "lid int, ltext string"
+    )
+    right = spark.createDataFrame(
+        [(10, "sitting"), (11, "aple"), (12, ""), (13, "apples"),
+         (14, "kitten")],
+        "rid int, rtext string",
+    )
+    for d in (0, 1, 2, 3):
+        got = sorted(
+            (r["lid"], r["rid"], r["distance"])
+            for r in levenshtein_join(
+                left, right, "lid", "ltext", "rid", "rtext", d
+            ).collect()
+        )
+        from pyspark.sql import functions as F
+
+        expect = sorted(
+            (r["lid"], r["rid"], r["distance"])
+            for r in left.crossJoin(right)
+            .withColumn("distance", F.levenshtein("ltext", "rtext"))
+            .filter(F.col("distance") <= d)
+            .collect()
+        )
+        assert got == expect, f"d={d}"
+
+
+def test_levenshtein_join_band_is_equi_join_not_cross(spark):
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.dedup import (
+        levenshtein_join,
+    )
+
+    left = spark.createDataFrame([(1, "abc")], "lid int, ltext string")
+    right = spark.createDataFrame([(2, "abcd")], "rid int, rtext string")
+    plan = levenshtein_join(
+        left, right, "lid", "ltext", "rid", "rtext", 1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan

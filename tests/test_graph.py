@@ -106,3 +106,73 @@ def test_triangle_count_matches_bruteforce_random(spark):
         spark.createDataFrame(edges, "u int, v int")
     ).collect()[0]["n_triangles"]
     assert got == expected
+
+
+def test_bfs_hops_hand_computed(spark):
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.graph import bfs_hops
+
+    # path 0-1-2-3-4 plus isolated 9; seed at 0 and 9
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "u int, v int"
+    )
+    seeds = spark.createDataFrame([(0,), (9,)], "node int")
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, seeds, max_hops=2).collect()
+    }
+    assert got == {0: 0, 9: 0, 1: 1, 2: 2}  # 3,4 beyond the cap
+
+
+def test_bfs_hops_matches_bruteforce_random(spark):
+    import random
+    from collections import deque
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.graph import bfs_hops
+
+    rng = random.Random(17)
+    nodes = list(range(30))
+    edges = sorted(
+        {
+            (a, b)
+            for a in nodes
+            for b in nodes
+            if a < b and rng.random() < 0.08
+        }
+    )
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    seeds = [0, 7]
+    expected, q = {s: 0 for s in seeds}, deque(seeds)
+    while q:
+        n = q.popleft()
+        for m in adj[n]:
+            if m not in expected:
+                expected[m] = expected[n] + 1
+                q.append(m)
+    cap = 3
+    expected = {n: h for n, h in expected.items() if h <= cap}
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(
+            spark.createDataFrame(edges, "u int, v int"),
+            spark.createDataFrame([(s,) for s in seeds], "node int"),
+            max_hops=cap,
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_bfs_hops_early_stop_on_exhausted_frontier(spark):
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame([(0, 1)], "u int, v int")
+    seeds = spark.createDataFrame([(0,)], "node int")
+    # cap far beyond the component diameter: loop must stop at the
+    # empty frontier, not run 50 joins
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, seeds, max_hops=50).collect()
+    }
+    assert got == {0: 0, 1: 1}
