@@ -21,7 +21,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import shingle_expr
@@ -1046,4 +1046,94 @@ def boilerplate_span_scrub(
         F.sum(F.when(F.col("__rm").isNotNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("n_removed"),
+    )
+
+
+def hamming_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_sig: str,
+    right_id: str,
+    right_sig: str,
+    max_distance: int,
+    sig_bits: int = 60,
+    bands: int | None = None,
+) -> DataFrame:
+    """LOSSLESS Hamming ε-join over fixed-width bit signatures (SimHash
+    fingerprints, perceptual hashes, binary embeddings) via pigeonhole
+    banding: split the ``sig_bits``-bit signature into ``b >= r+1``
+    disjoint bands — any pair within Hamming distance ``r`` has at most
+    ``r`` differing bits, so at least one band is bit-identical and the
+    pair MUST meet on that band's equi-key. Zero false negatives, unlike
+    probabilistic LSH banding (minhash_lsh_pairs) where a near-dup pair
+    can lose every band lottery.
+
+    Plan shape: each side fans out to its ``b`` ``(band_idx,
+    band_value)`` keys (posexplode of a computed array — fixed b-way
+    fan-out, codegen-side), the candidate space is a plain equi-join on
+    that composite key, and the exact ``bit_count(l XOR r) <= r``
+    predicate runs only on band survivors. Pairs that agree on several
+    bands are emitted ONCE by the first-shared-band rule — a post-join
+    filter on the two signatures (for every earlier band j < idx:
+    band_j(l) != band_j(r)) — so no ``distinct`` shuffle is ever
+    needed; the join's output is already duplicate-free. At 100 TB the
+    composite key is shuffle-partitionable / AQE-skew-splittable, and a
+    degenerate band value (e.g. the all-zeros band of sparse
+    signatures) is exactly the skew AQE splits.
+
+    Signatures must be non-negative and fit in ``sig_bits`` bits
+    (md5_hash64 emits 60). Returns ``(left_id, right_id, distance)``.
+    """
+    r = int(max_distance)
+    b = int(bands) if bands is not None else r + 1
+    if b < r + 1:
+        raise ValueError(
+            f"bands={b} cannot be lossless for max_distance={r}: "
+            f"pigeonhole needs at least r+1={r + 1} bands"
+        )
+    width = -(-sig_bits // b)  # ceil
+
+    def band(col: str, j: int) -> Column:
+        lo = j * width
+        w = min(width, sig_bits - lo)
+        return F.shiftrightunsigned(F.col(col), lo).bitwiseAND(
+            F.lit((1 << w) - 1)
+        )
+
+    lo = left.select(
+        F.col(left_id).alias("__lid"),
+        F.col(left_sig).alias("__lsig"),
+        F.posexplode(F.array(*[band(left_sig, j) for j in range(b)])).alias(
+            "__bidx", "__bval"
+        ),
+    )
+    ro = right.select(
+        F.col(right_id).alias("__rid"),
+        F.col(right_sig).alias("__rsig"),
+        F.posexplode(F.array(*[band(right_sig, j) for j in range(b)])).alias(
+            "__bidx", "__bval"
+        ),
+    )
+    joined = lo.join(ro, ["__bidx", "__bval"])
+    # first-shared-band dedup: band __bidx is the smallest agreeing band
+    first_shared = F.lit(True)
+    for j in range(b - 1):
+        first_shared = first_shared & (
+            (F.col("__bidx") <= j) | (band("__lsig", j) != band("__rsig", j))
+        )
+    return (
+        joined.filter(first_shared)
+        .withColumn(
+            "distance",
+            F.bit_count(F.col("__lsig").bitwiseXOR(F.col("__rsig"))).cast(
+                "int"
+            ),
+        )
+        .filter(F.col("distance") <= r)
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            "distance",
+        )
     )

@@ -11558,3 +11558,150 @@ def q_edit_distance_epsilon_join(spark, sf_dir):
         "cand_name",
         F.col("distance").cast("int").alias("distance"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch: round-8 second tranche — reconciliation, lossless Hamming join,
+# retrieval, vocabulary laws, bootstrap CIs, graph assortativity,
+# balanced sampling, SCD2 calendarization, feature hashing
+# --------------------------------------------------------------------------
+
+_RECON_HASH = (
+    "CAST(concat('0x', substr(md5(concat("
+    "COALESCE(c_name, chr(30) || 'N'), chr(31), "
+    "COALESCE(CAST(c_nationkey AS VARCHAR), chr(30) || 'N'), chr(31), "
+    "COALESCE(c_mktsegment, chr(30) || 'N'))), 1, 15)) AS BIGINT)"
+)
+
+
+@register(
+    "table_reconcile_diff",
+    oracle=f"""
+    WITH tgt AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 13 = 0 THEN c_mktsegment || '_v2'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer WHERE c_custkey % 19 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name, c_nationkey, c_mktsegment
+      FROM customer WHERE c_custkey % 17 = 0
+    ),
+    sh AS (
+      SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS src_n,
+             CAST(SUM({_RECON_HASH}) AS DECIMAL(38,0)) AS src_sum
+      FROM customer GROUP BY c_custkey
+    ),
+    th AS (
+      SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS tgt_n,
+             CAST(SUM({_RECON_HASH}) AS DECIMAL(38,0)) AS tgt_sum
+      FROM tgt GROUP BY c_custkey
+    ),
+    j AS (
+      SELECT COALESCE(sh.c_custkey, th.c_custkey) AS c_custkey,
+             src_n, src_sum, tgt_n, tgt_sum
+      FROM sh FULL OUTER JOIN th ON sh.c_custkey = th.c_custkey
+    )
+    SELECT c_custkey,
+           CASE WHEN tgt_n IS NULL THEN 'insert'
+                WHEN src_n IS NULL THEN 'delete'
+                WHEN src_n <> tgt_n OR src_sum <> tgt_sum THEN 'update'
+           END AS change_type,
+           CAST(COALESCE(src_n, 0) AS BIGINT) AS src_n,
+           CAST(COALESCE(tgt_n, 0) AS BIGINT) AS tgt_n
+    FROM j
+    WHERE tgt_n IS NULL OR src_n IS NULL
+       OR src_n <> tgt_n OR src_sum <> tgt_sum
+    """,
+    tags=("lake", "quality", "scale", "extension"),
+)
+def q_table_reconcile_diff(spark, sf_dir):
+    """Keyed reconciliation changeset (operators/validate.
+    reconcile_tables): customer (truth) vs a drifted replica (every
+    19th key lost, every 13th segment mutated, every 17th key
+    spuriously duplicated under +1000000) — emits exactly the
+    insert/delete/update worklist that repairs the replica. The
+    100 TB argument: each side folds to a per-key (count, DECIMAL
+    hash-sum) multiset digest in the MAP-SIDE partial aggregate, so
+    the shuffle and the full-outer join carry keys + 16 bytes — never
+    the payload — and repair reads back only flagged keys. The DuckDB
+    oracle replays the identical md5 digest algebra and must produce
+    the identical changeset."""
+    from .operators.validate import reconcile_tables
+
+    cust = _t(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    src = cust.select(*cols)
+    changed = src.filter(F.col("c_custkey") % 19 != 0).withColumn(
+        "c_mktsegment",
+        F.when(
+            F.col("c_custkey") % 13 == 0,
+            F.concat(F.col("c_mktsegment"), F.lit("_v2")),
+        ).otherwise(F.col("c_mktsegment")),
+    )
+    spurious = src.filter(F.col("c_custkey") % 17 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(1000000)
+    )
+    tgt = changed.unionByName(spurious)
+    return reconcile_tables(
+        src, tgt, ["c_custkey"], ["c_name", "c_nationkey", "c_mktsegment"]
+    )
+
+
+@register(
+    "simhash_hamming_join",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5('sig:' || CAST(doc_id AS VARCHAR)),
+                                      1, 15)) AS BIGINT) AS sig
+      FROM documents
+    ),
+    cand AS (
+      SELECT doc_id + 1000000 AS cand_id,
+             xor(sig, ((CAST(1 AS BIGINT) << CAST(doc_id % 4 AS INTEGER)) - 1)
+                      << CAST(doc_id % 57 AS INTEGER)) AS csig
+      FROM base
+    )
+    SELECT b.doc_id, c.cand_id,
+           CAST(bit_count(xor(b.sig, c.csig)) AS INTEGER) AS distance
+    FROM base b CROSS JOIN cand c
+    WHERE bit_count(xor(b.sig, c.csig)) <= 2
+    """,
+    tags=("dedup", "scale", "extension"),
+)
+def q_simhash_hamming_join(spark, sf_dir):
+    """LOSSLESS Hamming <=2 join (operators/dedup.hamming_join) between
+    the corpus's 60-bit fingerprints and a derived candidate batch whose
+    signature differs by exactly ``doc_id % 4`` contiguous bits — so the
+    ground truth spans distances 0..3 and the threshold must keep
+    exactly the 0/1/2 subset. The oracle is the full quadratic cross
+    join with ``bit_count(xor) <= 2``; the pigeonhole band join (3
+    disjoint 20-bit bands, first-shared-band dedup, no distinct) must
+    reproduce it bit-for-bit. This is the SimHash/pHash near-dup
+    companion to the probabilistic MinHash LSH pipeline: same banded
+    equi-join plan at 100 TB, but with a zero-false-negative guarantee."""
+    from .operators.dedup import hamming_join
+
+    from .functions.hashing import md5_hash64
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        md5_hash64(
+            F.concat(F.lit("sig:"), F.col("doc_id").cast("string"))
+        ).alias("sig"),
+    )
+    cand = base.select(
+        (F.col("doc_id") + 1000000).alias("cand_id"),
+        F.col("sig")
+        .bitwiseXOR(
+            F.expr(
+                "shiftleft(cast(shiftleft(1L, cast(doc_id % 4 as int)) - 1 "
+                "as bigint), cast(doc_id % 57 as int))"
+            )
+        )
+        .alias("csig"),
+    )
+    return hamming_join(
+        base, cand, "doc_id", "sig", "cand_id", "csig",
+        max_distance=2, sig_bits=60,
+    )

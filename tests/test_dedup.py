@@ -202,3 +202,71 @@ def test_levenshtein_join_band_is_equi_join_not_cross(spark):
         left, right, "lid", "ltext", "rid", "rtext", 1
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+# ----------------------------- hamming_join ---------------------------------
+
+def test_hamming_join_matches_brute_force(spark):
+    """Banded join == brute-force cross join on seeded random 60-bit
+    signatures with planted near-dups (lossless claim, measured)."""
+    import random
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.dedup import (
+        hamming_join,
+    )
+
+    rng = random.Random(8)
+    base = [(i, rng.getrandbits(60)) for i in range(80)]
+    cand = []
+    for i, sig in base[:40]:
+        flips = rng.sample(range(60), i % 5)  # distances 0..4
+        mask = 0
+        for p in flips:
+            mask |= 1 << p
+        cand.append((i + 1000, sig ^ mask))
+    for i in range(40, 70):
+        cand.append((i + 1000, rng.getrandbits(60)))
+    ldf = spark.createDataFrame(base, "id bigint, sig bigint")
+    rdf = spark.createDataFrame(cand, "cid bigint, csig bigint")
+    got = {
+        (r["id"], r["cid"], r["distance"])
+        for r in hamming_join(
+            ldf, rdf, "id", "sig", "cid", "csig", max_distance=3
+        ).collect()
+    }
+    want = {
+        (i, ci, bin(s ^ cs).count("1"))
+        for i, s in base
+        for ci, cs in cand
+        if bin(s ^ cs).count("1") <= 3
+    }
+    assert got == want and len(want) >= 30  # planted 0..3 pairs present
+
+
+def test_hamming_join_emits_each_pair_once(spark):
+    """A distance-0 pair agrees on EVERY band; first-shared-band dedup
+    must still emit it exactly once (no distinct in the plan)."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.dedup import (
+        hamming_join,
+    )
+
+    ldf = spark.createDataFrame([(1, 12345)], "id bigint, sig bigint")
+    rdf = spark.createDataFrame([(2, 12345)], "cid bigint, csig bigint")
+    out = hamming_join(
+        ldf, rdf, "id", "sig", "cid", "csig", max_distance=2
+    )
+    assert out.count() == 1
+    assert "Deduplicate" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hamming_join_refuses_lossy_band_count(spark):
+    import pytest
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.dedup import (
+        hamming_join,
+    )
+
+    df = spark.createDataFrame([(1, 1)], "id bigint, sig bigint")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_join(df, df, "id", "sig", "id", "sig",
+                     max_distance=3, bands=3)

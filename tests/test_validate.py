@@ -57,3 +57,69 @@ def test_null_sentinel_distinguishes(spark):
     a = spark.createDataFrame([Row(x="a", y=None)], "x string, y string")
     b = spark.createDataFrame([Row(x="a", y="")], "x string, y string")
     assert not tables_equal(a, b, ["x", "y"])
+
+
+# ----------------------------- reconcile_tables -----------------------------
+
+from emr_on_eks_hudi_iceberg_delta_spark.operators.validate import (  # noqa: E402
+    reconcile_tables,
+)
+
+
+def test_reconcile_classifies_all_three_kinds(spark):
+    src = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    tgt = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k int, v string"
+    )
+    out = {
+        r["k"]: r["change_type"]
+        for r in reconcile_tables(src, tgt, ["k"], ["v"]).collect()
+    }
+    assert out == {2: "update", 3: "insert", 4: "delete"}
+
+
+def test_reconcile_equal_tables_empty(spark):
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    assert reconcile_tables(src, src, ["k"], ["v"]).count() == 0
+
+
+def test_reconcile_multiset_semantics(spark):
+    # duplicate keys: same rows swapped between the two dup slots -> equal;
+    # cardinality change under an identical payload -> update
+    src = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "p")], "k int, v string"
+    )
+    same_swapped = spark.createDataFrame(
+        [(1, "y"), (1, "x"), (2, "p")], "k int, v string"
+    )
+    assert reconcile_tables(src, same_swapped, ["k"], ["v"]).count() == 0
+    extra_copy = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "p"), (2, "p")], "k int, v string"
+    )
+    rows = reconcile_tables(src, extra_copy, ["k"], ["v"]).collect()
+    assert [(r["k"], r["change_type"], r["src_n"], r["tgt_n"]) for r in rows] \
+        == [(2, "update", 1, 2)]
+
+
+def test_reconcile_repair_roundtrip(spark):
+    # applying the changeset to tgt reproduces src exactly
+    src = _orders(spark)
+    tgt = (
+        src.filter("o_orderkey % 19 != 0")
+        .unionAll(src.filter("o_orderkey % 23 = 0"))
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("Z")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+    )
+    diff = reconcile_tables(src, tgt, ["o_orderkey"], ["o_orderstatus"])
+    flagged = [r["o_orderkey"] for r in diff.collect()]
+    # repair: drop every flagged key from tgt, re-insert src's rows for them
+    repaired = tgt.join(
+        diff.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).unionAll(src.join(diff.select("o_orderkey"), "o_orderkey", "left_semi"))
+    assert flagged and tables_equal(src, repaired, COLS)
