@@ -1518,3 +1518,58 @@ def linear_quality_score(
             "quality_prob", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("quality_z")))
         )
     )
+
+
+def inverted_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Postings table ``(token, doc_id, tf)`` — the retrieval-side dual
+    of the corpus statistics operators. One explode + one (token,
+    doc) aggregate with map-side partial counts.
+
+    Scale contract: persist the result partitioned/bucketed BY TOKEN
+    (``.write.bucketBy(n, 'token')``) and every conjunctive query
+    becomes a union of n_query_tokens bucket-pruned posting scans — the
+    classic sharded inverted index, expressed as a table layout."""
+    toks = F.explode(tokens_expr(text_col)).alias("token")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), toks)
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+
+
+def conjunctive_search(
+    docs: DataFrame,
+    query_tokens: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 50,
+) -> DataFrame:
+    """Boolean-AND retrieval ranked by total term frequency: documents
+    containing EVERY query token, scored by the all-integer sum of the
+    matched terms' tf — deterministic and engine-exact by construction
+    (ratio-idf or BM25 weighting would put transcendentals/float
+    accumulation order into the score; the integer rank keeps the
+    oracle exact, and the tf components are returned for any
+    downstream re-weighting).
+
+    Plan: the token IN-list filter pushes into the postings aggregate's
+    scan side, so only the query tokens' postings are ever built — at
+    100 TB against a persisted token-bucketed index this is
+    |query| bucket lookups, a per-doc count/sum, and a top-k."""
+    q = [t for t in query_tokens]
+    postings = inverted_index(
+        docs.filter(F.col(text_col).isNotNull()), text_col, id_col
+    ).filter(F.col("token").isin(q))
+    return (
+        postings.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("__matched"),
+            F.sum("tf").cast("bigint").alias("score"),
+        )
+        .filter(F.col("__matched") == len(q))
+        .select("doc_id", "score")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(top_k)
+    )

@@ -11705,3 +11705,176 @@ def q_simhash_hamming_join(spark, sf_dir):
         base, cand, "doc_id", "sig", "cand_id", "csig",
         max_distance=2, sig_bits=60,
     )
+
+
+@register(
+    "inverted_index_search",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE tok IN ('merge', 'window', 'stream')
+      GROUP BY doc_id, tok
+    )
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS score
+    FROM tf GROUP BY doc_id HAVING COUNT(*) = 3
+    ORDER BY score DESC, doc_id LIMIT 50
+    """,
+    tags=("text", "retrieval", "extension"),
+)
+def q_inverted_index_search(spark, sf_dir):
+    """Conjunctive boolean retrieval over the corpus inverted index
+    (operators/text.inverted_index + conjunctive_search): documents
+    containing ALL of {merge, window, stream}, ranked by total matched
+    term frequency (all-integer — engine-exact, see the operator
+    docstring for why tf-ranking rather than float BM25 carries the
+    oracle). The query-token IN filter sits below the postings
+    aggregate, so only three tokens' postings are built; persisted
+    token-bucketed postings turn this into bucket-pruned lookups at
+    100 TB."""
+    from .operators.text import conjunctive_search
+
+    return conjunctive_search(
+        _t(spark, sf_dir, "documents"), ["merge", "window", "stream"]
+    )
+
+
+@register(
+    "zipf_rank_frequency",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents
+    ),
+    freq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM toks GROUP BY token
+    ),
+    tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM freq)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT)
+             AS rank,
+           token, freq,
+           CAST(SUM(freq) OVER (ORDER BY freq DESC, token) AS BIGINT)
+             AS cum_freq,
+           CAST(CAST(SUM(freq) OVER (ORDER BY freq DESC, token) AS BIGINT)
+                AS DOUBLE) / (SELECT total FROM tot) AS cum_share
+    FROM freq
+    ORDER BY rank LIMIT 100
+    """,
+    tags=("text", "stats", "extension"),
+)
+def q_zipf_rank_frequency(spark, sf_dir):
+    """Zipf rank-frequency head of the corpus vocabulary: token rank
+    (by frequency, token tie-break), frequency, cumulative frequency,
+    and cumulative coverage share — the table behind tokenizer vocab
+    sizing ('how many types cover 95% of tokens'). Exactness: counts
+    and cumulative sums are all-integer; the single closing IEEE
+    division per row is identical in both engines. Scale: one
+    token-level aggregate; the ranking window runs over the VOCABULARY
+    (types, not tokens), which is log-scale smaller than the corpus,
+    and the LIMIT head is what production exports."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.text import tokens_expr
+
+    freq = (
+        docs.select(F.explode(tokens_expr("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), "token")
+    total = freq.agg(F.sum("freq").cast("bigint").alias("__total"))
+    return (
+        freq.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "cum_freq",
+            F.sum("freq").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("bigint"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "token",
+            "freq",
+            "cum_freq",
+            (F.col("cum_freq").cast("double") / F.col("__total")).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy("rank")
+        .limit(100)
+    )
+
+
+@register(
+    "heaps_vocabulary_growth",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    per_bin AS (
+      SELECT doc_id // 100 AS bin, CAST(COUNT(*) AS BIGINT) AS n_toks
+      FROM toks GROUP BY 1
+    ),
+    firsts AS (
+      SELECT tok, MIN(doc_id) // 100 AS fbin FROM toks GROUP BY tok
+    ),
+    new_types AS (
+      SELECT fbin AS bin, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM firsts GROUP BY fbin
+    ),
+    b AS (
+      SELECT p.bin, p.n_toks, COALESCE(n.n_new, 0) AS n_new
+      FROM per_bin p LEFT JOIN new_types n ON p.bin = n.bin
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(SUM(n_toks) OVER (ORDER BY bin) AS BIGINT) AS cum_tokens,
+           CAST(SUM(n_new) OVER (ORDER BY bin) AS BIGINT) AS cum_vocab
+    FROM b ORDER BY bin
+    """,
+    tags=("text", "stats", "extension"),
+)
+def q_heaps_vocabulary_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve: cumulative token count vs
+    cumulative distinct-type count as the corpus is consumed in doc_id
+    order, reported at 100-doc bin boundaries — the diagnostic for 'is
+    the corpus still contributing new vocabulary' during data mixing.
+    Spark-first shape: a type's contribution point is MIN(doc_id) (one
+    token-level aggregate — no per-prefix distinct-count blowup), both
+    curves then fold per BIN so the serial prefix-sum window runs over
+    n_docs/100 rows, not tokens; at larger scale the bin width is the
+    knob that keeps the final window driver-trivial while the heavy
+    aggregation stays fully parallel."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.text import tokens_expr
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens_expr("text")).alias("tok")
+    )
+    per_bin = (
+        toks.groupBy(F.expr("doc_id div 100").alias("bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_toks"))
+    )
+    new_types = (
+        toks.groupBy("tok")
+        .agg(F.expr("div(min(doc_id), 100)").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    )
+    b = per_bin.join(new_types, "bin", "left").select(
+        "bin",
+        "n_toks",
+        F.coalesce("n_new", F.lit(0).cast("bigint")).alias("n_new"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        b.select(
+            F.col("bin").cast("bigint").alias("bin"),
+            F.sum("n_toks").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum("n_new").over(w).cast("bigint").alias("cum_vocab"),
+        ).orderBy("bin")
+    )
