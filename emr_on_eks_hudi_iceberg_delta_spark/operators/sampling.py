@@ -226,3 +226,120 @@ def leakage_safe_split(
     comp = connected_components(dup_pairs, docs.select(id_col), id_col)
     labeled = hash_split(comp, "component", splits, salt)
     return docs.join(labeled, id_col)
+
+
+#: Poisson(1) CDF split points scaled to the md5_hash64 range [0, 2^60):
+#: a 60-bit hash u encodes the bootstrap weight w = |{k : u >= T[k]}|
+#: (0..5). Integer thresholds make the draw ENGINE-EXACT — no float
+#: uniform, no transcendental evaluated at query time; the e^-1 series
+#: is baked in here once and replayed verbatim in oracle SQL.
+POISSON1_THRESHOLDS_2_60 = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+)
+
+
+def poisson_bootstrap_ci(
+    df,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    reps: int = 32,
+    lo_rank: int = 2,
+    hi_rank: int | None = None,
+    salt: str = "boot",
+):
+    """Deterministic Poisson-bootstrap confidence interval for per-group
+    means — THE distributed bootstrap: classical resampling needs n draws
+    WITH replacement per replicate (a shuffle per replicate, plus global
+    coordination of sample membership), while the Poisson(1)
+    approximation gives every row an i.i.d. replicate weight locally, so
+    all ``reps`` replicates ride ONE explode + ONE (group, rep)
+    aggregate. Replicate weights derive from md5 of (salt, rep, row id)
+    against integer CDF thresholds (POISSON1_THRESHOLDS_2_60), so the
+    same rows produce the same resamples on any engine, any
+    partitioning, any run — the property that makes an exact SQL oracle
+    (and reproducible science) possible.
+
+    The interval is the percentile bootstrap with type-1 (ceiling)
+    empirical quantiles: replicate means sorted ascending, ``lo_rank``-th
+    and ``hi_rank``-th picked (defaults 2 and reps-1 = a 90% CI at
+    reps=32). Replicate means are exact: DECIMAL(18,4) weighted sums,
+    one closing IEEE division each.
+
+    Scale: fan-out is the rep count (32x rows into a map-side-combined
+    aggregate of reps x groups rows); the per-group order statistic
+    sorts ``reps`` values inside one row group — constant memory. No
+    step touches a per-row shuffle wider than the base aggregate.
+
+    Returns (group, mean, ci_lo, ci_hi, reps) per group.
+    """
+    hi_rank = hi_rank if hi_rank is not None else reps - 1
+    b = F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("b")
+    rows = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("decimal(18,4)").alias("__v"),
+        F.col(id_col).cast("string").alias("__id"),
+        b,
+    )
+    h = md5_hash64(
+        F.concat(
+            F.lit(salt),
+            F.col("b").cast("string"),
+            F.lit(":"),
+            F.col("__id"),
+        )
+    )
+    w = sum(
+        (h >= F.lit(t)).cast("int") for t in POISSON1_THRESHOLDS_2_60
+    ).alias("__w")
+    reps_df = (
+        rows.select("__g", "b", "__v", w)
+        .groupBy("__g", "b")
+        .agg(
+            F.sum(F.col("__w") * F.col("__v")).alias("__swv"),
+            F.sum("__w").cast("bigint").alias("__sw"),
+        )
+        .select(
+            "__g",
+            "b",
+            (
+                F.col("__swv").cast("double")
+                / F.col("__sw").cast("double")
+            ).alias("__mean_b"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("__g").orderBy("__mean_b", "b")
+    )
+    ci = (
+        reps_df.withColumn("__rn", rn)
+        .groupBy("__g")
+        .agg(
+            F.max(F.when(F.col("__rn") == lo_rank, F.col("__mean_b"))).alias(
+                "ci_lo"
+            ),
+            F.max(F.when(F.col("__rn") == hi_rank, F.col("__mean_b"))).alias(
+                "ci_hi"
+            ),
+        )
+    )
+    point = df.groupBy(F.col(group_col).alias("__g")).agg(
+        (
+            F.sum(F.col(value_col).cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean")
+    )
+    return (
+        point.join(ci, "__g")
+        .select(
+            F.col("__g").alias(group_col),
+            "mean",
+            "ci_lo",
+            "ci_hi",
+            F.lit(reps).cast("int").alias("reps"),
+        )
+    )

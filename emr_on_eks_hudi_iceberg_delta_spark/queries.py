@@ -11878,3 +11878,71 @@ def q_heaps_vocabulary_growth(spark, sf_dir):
             F.sum("n_new").over(w).cast("bigint").alias("cum_vocab"),
         ).orderBy("bin")
     )
+
+
+_BOOT_T = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+)
+_BOOT_H = (
+    "CAST(concat('0x', substr(md5(concat('boot', CAST(b AS VARCHAR), ':', "
+    "CAST(event_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+)
+_BOOT_W = " + ".join(
+    f"CAST({_BOOT_H} >= {t} AS INTEGER)" for t in _BOOT_T
+)
+
+
+@register(
+    "bootstrap_group_mean_ci",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    reps AS (
+      SELECT event_type AS g, b,
+             CAST(SUM(({_BOOT_W}) * CAST(value AS DECIMAL(18,4)))
+                  AS DOUBLE)
+             / CAST(SUM({_BOOT_W}) AS DOUBLE) AS mean_b
+      FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+      GROUP BY event_type, b
+    ),
+    ranked AS (
+      SELECT g, mean_b,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY mean_b, b) AS rn
+      FROM reps
+    ),
+    ci AS (
+      SELECT g, MAX(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo,
+                MAX(CASE WHEN rn = 31 THEN mean_b END) AS ci_hi
+      FROM ranked GROUP BY g
+    ),
+    pt AS (
+      SELECT event_type AS g,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean
+      FROM ev GROUP BY event_type
+    )
+    SELECT pt.g AS event_type, mean, ci_lo, ci_hi,
+           CAST(32 AS INTEGER) AS reps
+    FROM pt JOIN ci ON pt.g = ci.g
+    """,
+    tags=("events", "stats", "scale", "extension"),
+)
+def q_bootstrap_group_mean_ci(spark, sf_dir):
+    """Deterministic Poisson-bootstrap 90% CI for the per-event-type
+    mean of ``value`` (operators/sampling.poisson_bootstrap_ci, 32
+    replicates). The Poisson(1) trick is what makes bootstrap feasible
+    at 100 TB: every row draws its per-replicate weight LOCALLY from an
+    integer md5-vs-CDF-threshold compare, so all 32 resamples ride one
+    explode + one (group, rep) aggregate — no per-replicate shuffle, no
+    resampling coordination — and the identical draws replay in any
+    engine, which is why the oracle can demand bit-equality on the
+    interval endpoints."""
+    from .operators.sampling import poisson_bootstrap_ci
+
+    ev = _t(spark, sf_dir, "events")
+    return poisson_bootstrap_ci(
+        ev, "event_type", "value", "event_id", reps=32
+    )

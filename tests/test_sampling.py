@@ -253,3 +253,47 @@ def test_leakage_safe_split_keeps_clusters_whole(spark):
     assert crossed > 0
     rates = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
     assert rates.get("train", 0) > rates.get("test", 0) > 0
+
+
+# ------------------------- poisson_bootstrap_ci -----------------------------
+
+def test_bootstrap_ci_brackets_mean_and_is_layout_independent(spark):
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.sampling import (
+        poisson_bootstrap_ci,
+    )
+
+    # deterministic synthetic: values 0..999 in one group, true mean 499.5
+    df = spark.range(1000).select(
+        F.lit("g").alias("grp"),
+        F.col("id").cast("double").alias("v"),
+        F.col("id").alias("rid"),
+    )
+    row = poisson_bootstrap_ci(df, "grp", "v", "rid", reps=32).collect()[0]
+    assert row["ci_lo"] < row["mean"] < row["ci_hi"]
+    assert row["mean"] == 499.5
+    # a 90% CI of the mean of U(0,1000) at n=1000 is ~±15; sanity band
+    assert 450 < row["ci_lo"] < 499.5 < row["ci_hi"] < 550
+    # identical endpoints under a different physical layout
+    row2 = poisson_bootstrap_ci(
+        df.repartition(13).sortWithinPartitions(F.desc("rid")),
+        "grp", "v", "rid", reps=32,
+    ).collect()[0]
+    assert (row["ci_lo"], row["ci_hi"]) == (row2["ci_lo"], row2["ci_hi"])
+
+
+def test_bootstrap_weights_are_poisson1_shaped(spark):
+    """Mean replicate weight ~= 1 (Poisson(1)): total resampled mass per
+    replicate stays within 10% of n at n=2000."""
+    from emr_on_eks_hudi_iceberg_delta_spark.functions.hashing import (
+        md5_hash64,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.sampling import (
+        POISSON1_THRESHOLDS_2_60,
+    )
+
+    n = 2000
+    df = spark.range(n).select(F.col("id").cast("string").alias("rid"))
+    h = md5_hash64(F.concat(F.lit("boot0:"), F.col("rid")))
+    w = sum((h >= F.lit(t)).cast("int") for t in POISSON1_THRESHOLDS_2_60)
+    tot = df.select(w.alias("w")).agg(F.sum("w")).collect()[0][0]
+    assert 0.9 * n < tot < 1.1 * n
