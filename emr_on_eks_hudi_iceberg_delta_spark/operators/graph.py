@@ -218,3 +218,70 @@ def bfs_hops(
     return dist.select(
         F.col("n").alias(node), F.col("hops").cast("int").alias("hops")
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, u: str = "u", v: str = "v"
+) -> DataFrame:
+    """Exact degree assortativity (Newman's r) of an undirected simple
+    graph given as canonical ``u < v`` edges: the Pearson correlation of
+    endpoint degrees over DIRECTED edge incidences (each edge counted
+    both ways, making the two coordinates exchangeable — the standard
+    definition). Positive r = hubs link to hubs (social nets), negative
+    = hub-and-spoke (catalogs, web) — the one-number skew diagnostic
+    for whether a graph's joins will be hub-dominated.
+
+    Exactness discipline (the module pattern): degrees are integers, so
+    every correlation moment accumulates as integer DECIMAL(38,0) —
+    order-independent, engine-exact — and the epilogue is a fixed
+    sequence of correctly-rounded casts, two sqrt, one division.
+
+    Scale: degree = one aggregate over 2m incidences; the degree join
+    back onto edges is two key-partitioned equi-joins (or one, with the
+    incidence union keyed on the source endpoint); the moment fold is
+    map-side-combined to a single row. No step is quadratic in degree —
+    hub skew affects only join fan-IN, which AQE splits.
+
+    Returns one row: ``(n_nodes, n_edges, assortativity)``.
+    """
+    inc = edges.select(
+        F.col(u).alias("s"), F.col(v).alias("t")
+    ).unionAll(edges.select(F.col(v).alias("s"), F.col(u).alias("t")))
+    deg = inc.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("degree")
+    )
+    ds = deg.select(F.col("node").alias("s"), F.col("degree").alias("x"))
+    dt = deg.select(F.col("node").alias("t"), F.col("degree").alias("y"))
+    xy = inc.join(ds, "s").join(dt, "t")
+    m = xy.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "decimal(38,0)"
+    )
+    den1 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "decimal(38,0)"
+    )
+    den2 = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "decimal(38,0)"
+    )
+    nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    return (
+        m.crossJoin(F.broadcast(nodes))
+        .select(
+            "n_nodes",
+            (F.col("n") / 2).cast("bigint").alias("n_edges"),
+            (
+                num.cast("double")
+                / (
+                    F.sqrt(den1.cast("double"))
+                    * F.sqrt(den2.cast("double"))
+                )
+            ).alias("assortativity"),
+        )
+    )

@@ -11946,3 +11946,107 @@ def q_bootstrap_group_mean_ci(spark, sf_dir):
     return poisson_bootstrap_ci(
         ev, "event_type", "value", "event_id", reps=32
     )
+
+
+_COPURCHASE_E = """
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH e AS ({_COPURCHASE_E}),
+    inc AS (SELECT u AS node FROM e UNION ALL SELECT v FROM e),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM inc GROUP BY node)
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+    tags=("graph", "stats", "extension"),
+)
+def q_graph_degree_distribution(spark, sf_dir):
+    """Degree histogram of the co-purchase graph — the first thing one
+    plots before joining on a graph at scale (a heavy tail here means
+    the downstream joins need AQE skew splitting / salting). Two
+    aggregates: incidences -> per-node degree (map-side combined),
+    degree -> node count; output is max-degree-sized."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pk2")
+    )
+    edges = (
+        li.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_partkey") < F.col("pk2")),
+        )
+        .select(F.col("l_partkey").alias("u"), F.col("pk2").alias("v"))
+        .distinct()
+    )
+    inc = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = inc.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH e AS ({_COPURCHASE_E}),
+    inc AS (SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT s AS node, CAST(COUNT(*) AS DECIMAL(38,0)) AS degree
+            FROM inc GROUP BY s),
+    xy AS (SELECT ds.degree AS x, dt.degree AS y
+           FROM inc JOIN deg ds ON inc.s = ds.node
+                    JOIN deg dt ON inc.t = dt.node),
+    m AS (SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                 CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+                 CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+                 CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+                 CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy,
+                 CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy
+          FROM xy)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS DOUBLE)
+             / (sqrt(CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS DOUBLE))
+                * sqrt(CAST(CAST(n * syy - sy * sy AS DECIMAL(38,0))
+                            AS DOUBLE)))
+             AS assortativity
+    FROM m
+    """,
+    tags=("graph", "stats", "extension"),
+)
+def q_graph_degree_assortativity(spark, sf_dir):
+    """Newman degree assortativity of the co-purchase graph
+    (operators/graph.degree_assortativity): Pearson correlation of
+    endpoint degrees over directed incidences, with every moment
+    accumulated as integer DECIMAL(38,0) so the coefficient is
+    bit-identical cross-engine (same discipline as
+    grouped_correlation). One incidence aggregate + two degree joins +
+    a one-row moment fold."""
+    from .operators.graph import degree_assortativity
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pk2")
+    )
+    edges = (
+        li.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_partkey") < F.col("pk2")),
+        )
+        .select(F.col("l_partkey").alias("u"), F.col("pk2").alias("v"))
+        .distinct()
+    )
+    return degree_assortativity(edges)

@@ -176,3 +176,57 @@ def test_bfs_hops_early_stop_on_exhausted_frontier(spark):
         for r in bfs_hops(edges, seeds, max_hops=50).collect()
     }
     assert got == {0: 0, 1: 1}
+
+
+# ------------------------ degree_assortativity ------------------------------
+
+def test_assortativity_star_is_negative_one(spark):
+    """A star graph is maximally disassortative: r = -1 exactly."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "u bigint, v bigint"
+    )
+    row = degree_assortativity(star).collect()[0]
+    assert row["n_nodes"] == 6 and row["n_edges"] == 5
+    assert row["assortativity"] == -1.0
+
+
+def test_assortativity_matches_host_pearson(spark):
+    """Seeded random graph vs a straightforward host-side replay."""
+    import math
+    import random
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    rng = random.Random(17)
+    edges = set()
+    while len(edges) < 60:
+        a, b = rng.randrange(25), rng.randrange(25)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(edges), "u bigint, v bigint")
+    got = degree_assortativity(df).collect()[0]
+
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    want = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    assert got["n_nodes"] == len(deg) and got["n_edges"] == len(edges)
+    assert abs(got["assortativity"] - want) < 1e-12
