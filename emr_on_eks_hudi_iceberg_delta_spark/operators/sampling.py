@@ -343,3 +343,54 @@ def poisson_bootstrap_ci(
             F.lit(reps).cast("int").alias("reps"),
         )
     )
+
+
+def class_balanced_sample(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    per_class: int | None = None,
+    salt: str = "bal",
+) -> DataFrame:
+    """Deterministic class-balanced downsample: keep exactly
+    ``per_class`` rows per label (default: the minority class size, i.e.
+    perfect balance), chosen by md5 rank so the selection is identical
+    on any engine / layout / run — the label-rebalancing step before
+    classifier fine-tuning, with none of ``sampleBy``'s RNG drift.
+
+    A fixed ``per_class`` delegates to ``exact_k_per_stratum`` (same
+    hash-rank idiom, same salt contract). The new path here is the
+    AUTO cap: the minority size is itself a query result, computed as a
+    one-row aggregate and broadcast into the rank filter — no driver
+    round trip, so the whole operator stays a single lazy plan that
+    composes into pipelines and streams.
+
+    Plan: one label-count aggregate (folded to a broadcast one-row
+    min), one per-label rank window, one filter. The window sorts each
+    label's rows by hash; for a dominant label at 100 TB, compose with
+    a hash-threshold prefilter — ``hash < ceil(2^60 * cap * (1+slack) /
+    label_n)`` keeps ~cap*(1+slack) rows per label in one scan with no
+    sort, and the exact rank then runs over survivors only (verify
+    survivor count >= cap per label, retry with larger slack on the
+    astronomically-rare undershoot; the two-phase result equals this
+    operator's output exactly because the rank order is the same
+    hash)."""
+    if per_class is not None:
+        return exact_k_per_stratum(
+            df, label_col, id_col, per_class, salt=f"{salt}:"
+        )
+    h = md5_hash64(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(label_col).orderBy(h.asc(), F.col(id_col).asc())
+    cap = (
+        df.groupBy(label_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.min("__n").alias("__cap"))
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(cap))
+        .filter(F.col("__rn") <= F.col("__cap"))
+        .drop("__rn", "__cap")
+    )

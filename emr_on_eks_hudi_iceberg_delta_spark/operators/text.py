@@ -1573,3 +1573,38 @@ def conjunctive_search(
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(top_k)
     )
+
+
+def feature_hash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+    salt: str = "fh",
+) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al.): tokens map to
+    ``num_buckets`` buckets via md5, with a second independent hash bit
+    choosing the ±1 sign that makes collisions cancel in expectation —
+    the fixed-width, vocabulary-free text feature map. Output is the
+    sparse form ``(doc_id, bucket, weight)`` with all-integer weights
+    (signed token counts), engine-exact and ready to pivot into a dense
+    vector column when a model needs it.
+
+    Scale: no vocabulary table, no fit step, no broadcast — one explode
+    + one (doc, bucket) aggregate, the whole point of the hashing trick
+    at corpus scale."""
+    tok = F.explode(tokens_expr(text_col)).alias("tok")
+    bucket = (
+        md5_hash64(F.concat(F.lit(f"{salt}:"), F.col("tok")))
+        % num_buckets
+    ).cast("int")
+    sign = F.when(
+        md5_hash64(F.concat(F.lit(f"{salt}s:"), F.col("tok"))) % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), tok)
+        .select("doc_id", bucket.alias("bucket"), sign.alias("__s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("__s").cast("bigint").alias("weight"))
+    )

@@ -12050,3 +12050,129 @@ def q_graph_degree_assortativity(spark, sf_dir):
         .distinct()
     )
     return degree_assortativity(edges)
+
+
+@register(
+    "class_balanced_sample",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    cap AS (SELECT MIN(n) AS cap FROM c),
+    r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY CAST(concat('0x', substr(md5(
+                          'bal:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT), doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang FROM r, cap WHERE rn <= cap.cap
+    """,
+    tags=("sampling", "text", "extension"),
+)
+def q_class_balanced_sample(spark, sf_dir):
+    """Auto class-balanced downsample (operators/sampling.
+    class_balanced_sample): every language keeps exactly the minority
+    language's document count, selected by portable md5 rank — so the
+    output is perfectly label-balanced, deterministic across engines
+    and layouts, and the cap is part of the SAME lazy plan (a
+    broadcast one-row min, no driver round trip). The oracle replays
+    the rank and the min-cap verbatim."""
+    from .operators.sampling import class_balanced_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return class_balanced_sample(docs, "doc_id", "lang")
+
+
+@register(
+    "scd2_daily_snapshots",
+    oracle=f"""
+    WITH m AS ({_SQL_MERGE_DELTA}),
+    iv AS (
+      SELECT c_mktsegment,
+             GREATEST(CAST(valid_from AS DATE), DATE '2024-01-01') AS d0,
+             LEAST(COALESCE(CAST(valid_to AS DATE) - 1, DATE '2024-02-01'),
+                   DATE '2024-02-01') AS d1
+      FROM m
+    ),
+    days AS (
+      SELECT c_mktsegment,
+             unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d
+      FROM iv WHERE d0 <= d1
+    )
+    SELECT CAST(CAST(d AS DATE) AS TIMESTAMP) AS snapshot_date, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM days GROUP BY 1, 2
+    """,
+    tags=("scd2", "temporal", "extension"),
+)
+def q_scd2_daily_snapshots(spark, sf_dir):
+    """Calendarized SCD2: explode each dimension row's validity
+    interval [valid_from, valid_to) into the daily snapshots it was
+    current for (clamped to the Jan-1..Feb-1 horizon) and count
+    customers per segment per day — the 'as-of every day' reporting
+    table BI layers build over slowly-changing dimensions. Fan-out is
+    bounded by the horizon length (31 days here; retention_days in
+    production), and the result partitions naturally by snapshot_date.
+    Runs over the Delta-variant merge output because that variant
+    preserves unchanged rows' original validity — the faithful
+    history."""
+    merged = scd2_merge_delta_style(
+        scd2_target(spark, sf_dir, include_ts=False),
+        customer_updates(spark, sf_dir),
+        "c_custkey",
+        CHECKSUM_COLS,
+        as_of=T2,
+    )
+    d0 = F.greatest(F.to_date("valid_from"), F.lit("2024-01-01").cast("date"))
+    d1 = F.least(
+        F.coalesce(
+            F.date_sub(F.to_date("valid_to"), 1),
+            F.lit("2024-02-01").cast("date"),
+        ),
+        F.lit("2024-02-01").cast("date"),
+    )
+    iv = merged.select("c_mktsegment", d0.alias("d0"), d1.alias("d1"))
+    days = iv.filter(F.col("d0") <= F.col("d1")).select(
+        "c_mktsegment",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("snapshot_date"),
+    )
+    return days.groupBy(
+        # repo convention: DATE round-trips inconsistently across
+        # engines' pandas bridges — emit naive TIMESTAMP
+        F.col("snapshot_date").cast("timestamp_ntz").alias("snapshot_date"),
+        "c_mktsegment",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+
+
+@register(
+    "feature_hash_vectors",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(CAST(concat('0x', substr(md5('fh:' || tok), 1, 15))
+                       AS BIGINT) % 64 AS INTEGER) AS bucket,
+             CASE WHEN CAST(concat('0x', substr(md5('fhs:' || tok), 1, 15))
+                        AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s
+      FROM toks
+    )
+    SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS weight
+    FROM f GROUP BY doc_id, bucket
+    """,
+    tags=("text", "ml", "extension"),
+)
+def q_feature_hash_vectors(spark, sf_dir):
+    """Hashing-trick featurization (operators/text.feature_hash):
+    64-bucket signed token counts per document — the vocabulary-free
+    feature map (no fit step, no vocab broadcast, fixed width at any
+    corpus size). All-integer signed weights keep the oracle exact;
+    one explode + one (doc, bucket) map-side-combined aggregate."""
+    from .operators.text import feature_hash
+
+    return feature_hash(_t(spark, sf_dir, "documents"))

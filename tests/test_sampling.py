@@ -297,3 +297,45 @@ def test_bootstrap_weights_are_poisson1_shaped(spark):
     w = sum((h >= F.lit(t)).cast("int") for t in POISSON1_THRESHOLDS_2_60)
     tot = df.select(w.alias("w")).agg(F.sum("w")).collect()[0][0]
     assert 0.9 * n < tot < 1.1 * n
+
+
+# ------------------------ class_balanced_sample -----------------------------
+
+def test_class_balanced_auto_cap_balances_to_minority(spark):
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.sampling import (
+        class_balanced_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(90)] + [(100 + i, "small") for i in range(7)],
+        "id bigint, label string",
+    )
+    out = class_balanced_sample(df, "id", "label")
+    counts = {
+        r["label"]: r["n"]
+        for r in out.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"big": 7, "small": 7}
+
+
+def test_class_balanced_fixed_matches_exact_k(spark):
+    """per_class=k delegates to exact_k_per_stratum with the same salt
+    contract — identical selections."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.sampling import (
+        class_balanced_sample,
+        exact_k_per_stratum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(60)],
+        "id bigint, label string",
+    )
+    a = {
+        (r["id"], r["label"])
+        for r in class_balanced_sample(df, "id", "label", per_class=5).collect()
+    }
+    b = {
+        (r["id"], r["label"])
+        for r in exact_k_per_stratum(df, "label", "id", 5, salt="bal:").collect()
+    }
+    assert a == b and len(a) == 10
