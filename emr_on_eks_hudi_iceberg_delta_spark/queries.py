@@ -12176,3 +12176,142 @@ def q_feature_hash_vectors(spark, sf_dir):
     from .operators.text import feature_hash
 
     return feature_hash(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "streaming_windowed_topk",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    wc AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             COUNT(*) AS n_events
+      FROM ev GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT window_start, event_type, n_events,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+                                ORDER BY n_events DESC, event_type) AS rnk
+      FROM wc
+    )
+    SELECT window_start, event_type, CAST(n_events AS BIGINT) AS n_events,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+    tags=("streaming", "window", "extension"),
+)
+def q_streaming_windowed_topk(spark, sf_dir):
+    """Streaming top-k: the live tumbling-hour counts (Structured
+    Streaming, AvailableNow replay) post-ranked to the top-3 event
+    types per window — the standard two-stage shape, because ranking
+    is not an incremental streaming aggregate: the STREAM maintains
+    the per-(window, type) counts (bounded state, watermark-evictable)
+    and the cheap rank runs over the sink table, whose cardinality is
+    windows x types, not events. Deterministic tie-break on
+    event_type."""
+    wc = run_stream_to_memory(
+        stream_tumbling_counts(_events_stream(spark, sf_dir))
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        wc.select("window_start", "event_type", "n_events")
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "streaming_distribution_drift",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    wc AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev GROUP BY 1, 2
+    ),
+    ref AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS rn FROM wc
+      GROUP BY event_type
+    ),
+    tot AS (SELECT CAST(SUM(rn) AS BIGINT) AS n_ref FROM ref),
+    wtot AS (
+      SELECT window_start, CAST(SUM(n) AS BIGINT) AS n_w FROM wc
+      GROUP BY window_start
+    ),
+    grid AS (
+      SELECT w.window_start, r.event_type, r.rn, w.n_w
+      FROM wtot w CROSS JOIN ref r
+    ),
+    terms AS (
+      SELECT g.window_start, g.n_w,
+             CAST(abs(COALESCE(c.n, 0) * t.n_ref - g.rn * g.n_w)
+                  AS DECIMAL(38,0)) AS num
+      FROM grid g
+      LEFT JOIN wc c
+        ON c.window_start = g.window_start AND c.event_type = g.event_type
+      CROSS JOIN tot t
+    )
+    SELECT window_start, CAST(n_w AS BIGINT) AS n_events,
+           CAST(CAST(SUM(num) AS DECIMAL(38,0)) AS DOUBLE)
+           / CAST(2 * n_w * (SELECT n_ref FROM tot) AS DOUBLE) AS tvd
+    FROM terms GROUP BY window_start, n_w
+    """,
+    tags=("streaming", "stats", "quality", "extension"),
+)
+def q_streaming_distribution_drift(spark, sf_dir):
+    """Streaming drift monitor: per tumbling hour, the total-variation
+    distance between that window's event-type distribution and the
+    whole stream's reference distribution — the data-drift alarm for a
+    live ingest pipeline. The stream maintains the (window, type)
+    counts; the monitor is a cheap batch pass over that windows x types
+    sink. Exactness discipline (same as the corpus TVD operator):
+    TVD = sum_t |n_wt*N_ref - ref_t*N_w| / (2*N_w*N_ref), so every
+    accumulated term is an INTEGER (DECIMAL(38,0) — order-independent)
+    and the single closing IEEE division is identical cross-engine.
+    Missing types in a window contribute their full reference mass via
+    the broadcast windows x types grid."""
+    wc = (
+        run_stream_to_memory(
+            stream_tumbling_counts(_events_stream(spark, sf_dir))
+        )
+        .select("window_start", "event_type", F.col("n_events").alias("n"))
+        # the memory-sink MemoryPlan leaf cannot deduplicate attribute
+        # ids across a self-join (ref/wtot/wc all derive from it);
+        # localCheckpoint materializes the windows x types sink once
+        # (its natural size) and gives the monitor a joinable lineage
+        .localCheckpoint()
+    )
+    ref = wc.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("rn")
+    )
+    tot = ref.agg(F.sum("rn").cast("bigint").alias("n_ref"))
+    wtot = wc.groupBy("window_start").agg(
+        F.sum("n").cast("bigint").alias("n_w")
+    )
+    grid = wtot.crossJoin(F.broadcast(ref))
+    terms = (
+        grid.join(wc, ["window_start", "event_type"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "window_start",
+            "n_w",
+            "n_ref",
+            F.abs(
+                F.coalesce("n", F.lit(0)) * F.col("n_ref")
+                - F.col("rn") * F.col("n_w")
+            )
+            .cast("decimal(38,0)")
+            .alias("num"),
+        )
+    )
+    return terms.groupBy("window_start", "n_w", "n_ref").agg(
+        F.sum("num").cast("decimal(38,0)").alias("__s")
+    ).select(
+        "window_start",
+        F.col("n_w").alias("n_events"),
+        (
+            F.col("__s").cast("double")
+            / (F.lit(2) * F.col("n_w") * F.col("n_ref")).cast("double")
+        ).alias("tvd"),
+    )
