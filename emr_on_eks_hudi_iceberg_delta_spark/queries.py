@@ -12315,3 +12315,45 @@ def q_streaming_distribution_drift(spark, sf_dir):
             / (F.lit(2) * F.col("n_w") * F.col("n_ref")).cast("double")
         ).alias("tvd"),
     )
+
+
+@register(
+    "table_column_stats",
+    oracle="""
+    SELECT 'o_orderkey' AS "column",
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    """,
+    tags=("lake", "stats", "extension"),
+)
+def q_table_column_stats(spark, sf_dir):
+    """ANALYZE-TABLE column statistics (operators/tablestats.
+    column_stats, exact mode): row/non-null/distinct counts and
+    min/max per column of orders, computed as parallel aggregate
+    expressions in ONE scan and unpivoted with stack() — the catalog
+    numbers behind join-size estimation (estimate_equijoin_rows) and
+    partition sizing. Exact NDV here so the oracle can replay it;
+    production default is the HLL form (constant memory at 100 TB)."""
+    from .operators.tablestats import column_stats
+
+    return column_stats(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus"],
+        exact=True,
+    )

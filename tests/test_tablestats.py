@@ -1,0 +1,78 @@
+"""column_stats / estimate_equijoin_rows (operators/tablestats.py):
+one-scan plan shape, HLL vs exact NDV agreement band, and the join
+estimator landing on the true cardinality for a PK-FK join."""
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from emr_on_eks_hudi_iceberg_delta_spark.operators.tablestats import (
+    column_stats,
+    estimate_equijoin_rows,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_stats_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (3, "b")], "k int, v string"
+    )
+    rows = {r["column"]: r for r in column_stats(df, exact=True).collect()}
+    assert rows["k"]["n_rows"] == 4 and rows["k"]["n_nonnull"] == 4
+    assert rows["k"]["n_distinct"] == 3
+    assert rows["k"]["min_value"] == "1" and rows["k"]["max_value"] == "3"
+    assert rows["v"]["n_nonnull"] == 3 and rows["v"]["n_distinct"] == 2
+
+
+def test_hll_ndv_within_documented_band(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    approx = {
+        r["column"]: r["n_distinct"]
+        for r in column_stats(
+            orders, ["o_orderkey", "o_custkey"], rsd=0.01
+        ).collect()
+    }
+    exact = {
+        r["column"]: r["n_distinct"]
+        for r in column_stats(
+            orders, ["o_orderkey", "o_custkey"], exact=True
+        ).collect()
+    }
+    for c in approx:
+        # rsd=0.01 -> 5% is a 5-sigma band
+        assert abs(approx[c] - exact[c]) / exact[c] < 0.05
+
+
+def test_single_scan_plan(spark):
+    """All columns' stats ride one scan: exactly one parquet scan node
+    in the approx plan (exact mode pays the documented Expand)."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    plan = (
+        column_stats(orders, ["o_orderkey", "o_custkey", "o_orderstatus"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1
+
+
+def test_join_estimate_hits_pkfk_truth(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    so = {r["column"]: r for r in column_stats(orders, ["o_custkey"], exact=True).collect()}
+    sc = {r["column"]: r for r in column_stats(cust, ["c_custkey"], exact=True).collect()}
+    est = estimate_equijoin_rows(
+        so["o_custkey"]["n_rows"], so["o_custkey"]["n_distinct"],
+        sc["c_custkey"]["n_rows"], sc["c_custkey"]["n_distinct"],
+    )
+    actual = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+    # PK side ndv == PK row count => estimate equals |orders| restricted
+    # to matching keys; containment makes it exact here
+    assert abs(est - actual) / actual < 0.05
+
+
+def test_estimator_degenerate_inputs():
+    assert estimate_equijoin_rows(10, 0, 10, 5) == 0.0
+    assert estimate_equijoin_rows(100, 10, 50, 5) == 500.0
