@@ -12357,3 +12357,100 @@ def q_table_column_stats(spark, sf_dir):
         ["o_orderkey", "o_custkey", "o_orderstatus"],
         exact=True,
     )
+
+
+@register(
+    "curation_pipeline_round8",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, lang, text,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             md5(text) AS digest
+      FROM documents
+    ),
+    dedup AS (
+      SELECT * FROM base
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) = 1
+    ),
+    cap AS (
+      SELECT MIN(n) AS cap FROM (
+        SELECT lang, COUNT(*) AS n FROM dedup GROUP BY lang)
+    ),
+    bal AS (
+      SELECT doc_id, lang, n_tokens FROM (
+        SELECT doc_id, lang, n_tokens,
+               ROW_NUMBER() OVER (
+                 PARTITION BY lang
+                 ORDER BY CAST(concat('0x', substr(md5(
+                            'bal:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT), doc_id) AS rn
+        FROM dedup), cap
+      WHERE rn <= cap.cap
+    ),
+    staged AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(NTILE(4) OVER (ORDER BY n_tokens, doc_id) AS INTEGER)
+               AS stage,
+             CAST(CAST(concat('0x', substr(md5(
+                    'shard8:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 8 AS INTEGER) AS shard
+      FROM bal
+    )
+    SELECT shard, stage, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM staged GROUP BY shard, stage, lang
+    """,
+    tags=("text", "capstone", "extension"),
+)
+def q_curation_pipeline_round8(spark, sf_dir):
+    """Round-8 curation capstone — the new operators composed on the
+    real path: exact dedup (digest keep-first) -> AUTO class-balanced
+    language rebalance (class_balanced_sample: minority-size cap as a
+    broadcast aggregate, md5-rank selection) -> 4-stage LENGTH
+    CURRICULUM (short-to-long NTILE over token counts; the approx-
+    quantile twin is the documented 100x path, same as decile_
+    bucketing_approx) -> salted shard assignment -> per-(shard, stage,
+    lang) manifest counts. One oracle replays every stage, so a drift
+    anywhere in the composition fails the gate — the property that
+    makes the pipeline refactorable."""
+    from .functions.hashing import md5_hash64
+    from .operators.sampling import class_balanced_sample
+    from .operators.text import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(tokens_expr("text")).cast("bigint").alias("n_tokens"),
+        F.md5("text").alias("digest"),
+    )
+    keep_first = Window.partitionBy("digest").orderBy("doc_id")
+    dedup = (
+        docs.withColumn("__rn", F.row_number().over(keep_first))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    bal = class_balanced_sample(
+        dedup.select("doc_id", "lang", "n_tokens"), "doc_id", "lang"
+    )
+    staged = bal.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.ntile(4)
+        .over(Window.orderBy("n_tokens", "doc_id"))
+        .cast("int")
+        .alias("stage"),
+        (
+            md5_hash64(
+                F.concat(F.lit("shard8:"), F.col("doc_id").cast("string"))
+            )
+            % 8
+        )
+        .cast("int")
+        .alias("shard"),
+    )
+    return staged.groupBy("shard", "stage", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    )
