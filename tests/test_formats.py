@@ -331,3 +331,36 @@ def test_vtable_datasource_timestamp_time_travel(spark, tmp_path):
     assert at.count() == 40  # the pre-mark snapshot
     head = spark.read.format("vtable").option("location", loc).load()
     assert head.count() == 10
+
+
+# ------------------------------ Arrow IPC -----------------------------------
+
+def test_arrow_ipc_roundtrip_values_and_nulls(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.formats import (
+        read_arrow_ipc,
+        write_arrow_ipc,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, None), (3, "c", -0.25)],
+        "k bigint, s string, x double",
+    )
+    loc = str(tmp_path / "ipc")
+    paths = write_arrow_ipc(df.repartition(2), loc)
+    assert paths and all(p.endswith(".arrow") for p in paths)
+    back = read_arrow_ipc(spark, loc, df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # no temp debris left behind
+    import os
+
+    assert not [f for f in os.listdir(loc) if f.startswith("._tmp_")]
+
+
+def test_arrow_ipc_empty_partitions_write_no_files(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.formats import (
+        write_arrow_ipc,
+    )
+
+    df = spark.range(2).repartition(8)  # 6 empty partitions
+    paths = write_arrow_ipc(df, str(tmp_path / "ipc2"))
+    assert 1 <= len(paths) <= 2
