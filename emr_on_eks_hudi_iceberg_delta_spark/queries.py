@@ -12494,3 +12494,76 @@ def q_arrow_ipc_roundtrip(spark, sf_dir):
         .cast("double")
         .alias("sum_price"),
     )
+
+
+@register(
+    "dau_wau_mau_stickiness",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM ev),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+    wau AS (SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+            FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day),
+    mau AS (SELECT d.day, COUNT(DISTINCT u.user_id) AS mau
+            FROM days d JOIN ud u ON u.day BETWEEN d.day - 29 AND d.day
+            GROUP BY d.day)
+    SELECT CAST(dau.day AS TIMESTAMP) AS day,
+           CAST(dau AS BIGINT) AS dau,
+           CAST(wau AS BIGINT) AS wau,
+           CAST(mau AS BIGINT) AS mau,
+           CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day JOIN mau ON dau.day = mau.day
+    """,
+    tags=("events", "stats", "extension"),
+)
+def q_dau_wau_mau_stickiness(spark, sf_dir):
+    """DAU / WAU / MAU and the DAU/WAU stickiness ratio per day — the
+    product-analytics vitals. Spark-first shape for the rolling
+    distincts (distinct-over-window does not decompose): each distinct
+    (user, day) row EXPLODES to the bounded set of report days it
+    contributes to (7 for WAU, 30 for MAU — fixed fan-out), then one
+    countDistinct shuffle per metric; never a days x user-days
+    nested-loop range join. The documented approximate path at 100 TB
+    is the mergeable-HLL pane rollup (operators/sketches.hll_rollup) —
+    this query is its exact twin. Stickiness is one closing IEEE
+    division."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = ud.select("day").distinct()
+
+    def rolling_distinct(window_days: int, name: str) -> DataFrame:
+        contrib = ud.select(
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.date_add(F.col("day"), window_days - 1),
+                )
+            ).alias("day"),
+            "user_id",
+        )
+        return (
+            contrib.join(F.broadcast(days), "day")
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").cast("bigint").alias(name))
+        )
+
+    dau = ud.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    out = (
+        dau.join(rolling_distinct(7, "wau"), "day")
+        .join(rolling_distinct(30, "mau"), "day")
+    )
+    return out.select(
+        F.col("day").cast("timestamp_ntz").alias("day"),
+        "dau",
+        "wau",
+        "mau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+            "stickiness"
+        ),
+    )
