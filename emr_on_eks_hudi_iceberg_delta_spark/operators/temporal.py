@@ -275,3 +275,102 @@ def scd2_asof_lookup(
     )
     cond = (fact[fact_key] == dim[dim_key]) & validity
     return fact.join(dim, cond, how)
+
+
+def resample_lerp(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_col: str,
+    step_minutes: int = 60,
+) -> DataFrame:
+    """Resample onto a fixed grid with LINEAR INTERPOLATION (pandas
+    ``resample().interpolate()``): each (key, grid instant) carries
+    ``v_prev + (v_next - v_prev) * (t - t_prev) / (t_next - t_prev)``
+    between its neighboring events; NULL outside the key's observed
+    range (no extrapolation — ``resample_ffill`` is the hold-last
+    sibling). A grid instant landing exactly on an event returns that
+    event's value (the prev window absorbs it, fraction 0).
+
+    Same union-and-window plan as ``resample_ffill`` — ONE shuffle on
+    the key, two running windows over the identical sort (prev: rows
+    unbounded-preceding..current with last-ignore-nulls; next: rows
+    following with first-ignore-nulls), no range join. The arithmetic
+    is a fixed operation sequence on epoch-microsecond bigints and the
+    raw doubles, so results replay bit-identically in any IEEE engine.
+    """
+    t0t1 = events.agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("__t0"),
+        F.max(ts_col).alias("__t1"),
+    )
+    keys = events.select(key_col).distinct()
+    grid = keys.crossJoin(F.broadcast(t0t1)).select(
+        F.col(key_col),
+        F.explode(
+            F.sequence(
+                F.col("__t0"),
+                F.col("__t1"),
+                F.expr(f"INTERVAL {step_minutes} MINUTES"),
+            )
+        ).alias("__ts"),
+    )
+    ev = events.select(
+        F.col(key_col),
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).alias("__v"),
+        F.lit(0).alias("__is_grid"),
+        F.col(order_col).alias("__ord"),
+    )
+    g = grid.select(
+        F.col(key_col),
+        F.col("__ts"),
+        F.lit(None).cast(ev.schema["__v"].dataType).alias("__v"),
+        F.lit(1).alias("__is_grid"),
+        F.lit(None).cast(ev.schema["__ord"].dataType).alias("__ord"),
+    )
+    order = [
+        F.col("__ts"),
+        F.col("__is_grid"),
+        F.col("__ord").asc_nulls_first(),
+    ]
+    wp = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    ev_ts = F.when(F.col("__is_grid") == 0, F.unix_micros("__ts"))
+    u = ev.unionByName(g).select(
+        F.col(key_col),
+        "__ts",
+        "__is_grid",
+        F.last("__v", ignorenulls=True).over(wp).alias("__pv"),
+        F.last(ev_ts, ignorenulls=True).over(wp).alias("__pt"),
+        F.first("__v", ignorenulls=True).over(wn).alias("__nv"),
+        F.first(ev_ts, ignorenulls=True).over(wn).alias("__nt"),
+    )
+    frac = (
+        (F.unix_micros("__ts") - F.col("__pt")).cast("double")
+        / (F.col("__nt") - F.col("__pt")).cast("double")
+    )
+    lerp = (
+        # exact hit: the grid instant IS an observation — return it even
+        # when it is the key's last event (no next neighbor exists)
+        F.when(F.col("__pt") == F.unix_micros("__ts"), F.col("__pv"))
+        .when(F.col("__pt").isNull() | F.col("__nt").isNull(), F.lit(None))
+        .when(F.col("__pt") == F.col("__nt"), F.col("__pv"))
+        .otherwise(F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac)
+    )
+    return (
+        u.filter(F.col("__is_grid") == 1)
+        .select(
+            F.col(key_col),
+            F.col("__ts").alias("grid_ts"),
+            lerp.alias("value_lerp"),
+        )
+    )

@@ -12567,3 +12567,63 @@ def q_dau_wau_mau_stickiness(spark, sf_dir):
             "stickiness"
         ),
     )
+
+
+@register(
+    "events_resample_lerp",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    b AS (SELECT date_trunc('hour', MIN(ts)) AS t0, MAX(ts) AS t1 FROM ev),
+    k AS (SELECT DISTINCT user_id FROM ev),
+    grid AS (
+      SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 60 MINUTE)) AS ts
+      FROM k, b),
+    u AS (
+      SELECT user_id, ts, value AS v, 0 AS is_grid, event_id FROM ev
+      UNION ALL
+      SELECT user_id, ts, NULL, 1, NULL FROM grid),
+    f AS (
+      SELECT user_id, ts, is_grid,
+             last_value(v IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN is_grid = 0 THEN epoch_us(ts) END
+                        IGNORE NULLS) OVER wp AS pt,
+             first_value(v IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN is_grid = 0 THEN epoch_us(ts) END
+                         IGNORE NULLS) OVER wn AS nt
+      FROM u
+      WINDOW wp AS (PARTITION BY user_id
+                    ORDER BY ts, is_grid, event_id ASC NULLS FIRST
+                    ROWS UNBOUNDED PRECEDING),
+             wn AS (PARTITION BY user_id
+                    ORDER BY ts, is_grid, event_id ASC NULLS FIRST
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, ts AS grid_ts,
+           CASE WHEN pt = epoch_us(ts) THEN pv
+                WHEN pt IS NULL OR nt IS NULL THEN NULL
+                WHEN pt = nt THEN pv
+                ELSE pv + (nv - pv) * (CAST(epoch_us(ts) - pt AS DOUBLE)
+                                       / CAST(nt - pt AS DOUBLE))
+           END AS value_lerp
+    FROM f WHERE is_grid = 1
+    """,
+    tags=("temporal", "events", "extension"),
+)
+def q_events_resample_lerp(spark, sf_dir):
+    """Hourly resample with LINEAR INTERPOLATION between each user's
+    neighboring events (operators/temporal.resample_lerp) — the
+    continuous-signal sibling of events_resample_ffill; NULL outside
+    the observed range, exact event value on a grid hit. Same
+    union-and-window plan (one user_id shuffle, two running windows
+    over one sort, no range join); the lerp is a fixed IEEE operation
+    sequence on epoch-microsecond integers, bit-identical
+    cross-engine."""
+    from .operators.temporal import resample_lerp
+
+    return resample_lerp(
+        _t(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        order_col="event_id",
+        step_minutes=60,
+    )

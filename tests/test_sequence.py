@@ -123,3 +123,35 @@ def test_ewma_matches_pandas_recursion(spark):
     assert out[2]["ewma_score"] == 7.5
     # ordering matters: user 3 folds 2.0 then 4.0 -> 3.0 (not 2.0-first = 3.0... assert exact)
     assert out[3]["ewma_score"] == 3.0
+
+
+# ------------------------------ resample_lerp -------------------------------
+
+def test_resample_lerp_midpoints_and_edges(spark):
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.temporal import (
+        resample_lerp,
+    )
+
+    rows = [
+        # key a: events at 00:30 (v=10) and 02:30 (v=30)
+        (1, "2024-01-01 00:30:00", 10.0, "a"),
+        (2, "2024-01-01 02:30:00", 30.0, "a"),
+        # key b: single event exactly on a grid hour
+        (3, "2024-01-01 01:00:00", 7.0, "b"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts string, value double, k string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {
+        (r["k"], str(r["grid_ts"])): r["value_lerp"]
+        for r in resample_lerp(
+            ev, key_col="k", ts_col="ts", value_col="value",
+            order_col="event_id",
+        ).collect()
+    }
+    # grid: 00:00, 01:00, 02:00 (t1 = 02:30 -> last grid point 02:00)
+    assert out[("a", "2024-01-01 00:00:00")] is None      # before first
+    assert out[("a", "2024-01-01 01:00:00")] == 15.0      # quarter point
+    assert out[("a", "2024-01-01 02:00:00")] == 25.0      # 3/4 point
+    assert out[("b", "2024-01-01 01:00:00")] == 7.0       # exact hit, no next
+    assert out[("b", "2024-01-01 02:00:00")] is None      # after last
