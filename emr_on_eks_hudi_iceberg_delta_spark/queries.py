@@ -12627,3 +12627,155 @@ def q_events_resample_lerp(spark, sf_dir):
         order_col="event_id",
         step_minutes=60,
     )
+
+
+@register(
+    "balance_gini_by_nation",
+    oracle="""
+    WITH b AS (
+      SELECT c_nationkey,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))
+               AS cents,
+             c_custkey
+      FROM customer WHERE c_acctbal > 0
+    ),
+    r AS (
+      SELECT c_nationkey, cents,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                     ORDER BY cents, c_custkey)
+                  AS DECIMAL(38,0)) AS i
+      FROM b
+    ),
+    m AS (
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(cents) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(i * cents) AS DECIMAL(38,0)) AS s1
+      FROM r GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, CAST(n AS BIGINT) AS n_customers,
+           CAST(CAST(2 * s1 - (n + 1) * s AS DECIMAL(38,0)) AS DOUBLE)
+             / CAST(CAST(n * s AS DECIMAL(38,0)) AS DOUBLE) AS gini
+    FROM m
+    """,
+    tags=("agg", "stats", "quality", "extension"),
+)
+def q_balance_gini_by_nation(spark, sf_dir):
+    """Gini coefficient of positive account balances per nation — the
+    inequality/concentration audit (the same statistic data-curation
+    uses to ask 'how skewed is token mass across sources/shards').
+    Exactness: balances become integer CENTS (DECIMAL 38,0), the
+    rank-weighted sum S1 = sum(i * x_(i)) and the closing
+    G = (2*S1 - (n+1)*S) / (n*S) stay integer until ONE double
+    division — scale-0 so the DECIMAL->DOUBLE cast is a single
+    correctly-rounded conversion on both engines (NOTES.md seam). One
+    rank window + one aggregate, both on the nation key — a single
+    exchange."""
+    b = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(
+            "c_nationkey",
+            (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("decimal(38,0)")
+            .alias("cents"),
+            "c_custkey",
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+    r = b.withColumn(
+        "i", F.row_number().over(w).cast("decimal(38,0)")
+    )
+    m = r.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("i") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("s1"),
+    )
+    num = (
+        F.lit(2) * F.col("s1") - (F.col("n") + 1) * F.col("s")
+    ).cast("decimal(38,0)")
+    den = (F.col("n") * F.col("s")).cast("decimal(38,0)")
+    return m.select(
+        "c_nationkey",
+        F.col("n").cast("bigint").alias("n_customers"),
+        (num.cast("double") / den.cast("double")).alias("gini"),
+    )
+
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+    WITH agg AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                  AS DECIMAL(38,4)) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, last_order, frequency,
+             CAST(monetary AS DOUBLE) AS monetary,
+             CAST(NTILE(4) OVER (ORDER BY last_order DESC, o_custkey)
+                  AS INTEGER) AS r_quartile,
+             CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey)
+                  AS INTEGER) AS f_quartile,
+             CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey)
+                  AS INTEGER) AS m_quartile
+      FROM agg
+    )
+    SELECT r_quartile, f_quartile, m_quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(CAST(SUM(CAST(CAST(monetary AS DECIMAL(18,4)) * 10000
+                             AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE)
+             / 10000.0 AS total_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    tags=("agg", "window", "extension"),
+)
+def q_rfm_segmentation(spark, sf_dir):
+    """RFM (recency/frequency/monetary) segmentation: per-customer
+    order aggregates scored into quartiles on each axis (deterministic
+    NTILE with key tie-break, the exact form — decile_bucketing_approx
+    documents the no-sort 100x twin), then the 64-cell segment grid
+    with customer counts and exact segment revenue (DECIMAL until one
+    closing division). One aggregate + three windows over the
+    CUSTOMER-level table (log-scale smaller than orders) + the final
+    cell aggregate."""
+    agg = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("decimal(38,4)")
+        .alias("monetary_dec"),
+    )
+    scored = agg.select(
+        "o_custkey",
+        "frequency",
+        F.col("monetary_dec").cast("double").alias("monetary"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("last_order").desc(), "o_custkey"))
+        .cast("int")
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .cast("int")
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary_dec").desc(), "o_custkey"))
+        .cast("int")
+        .alias("m_quartile"),
+    )
+    return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        (
+            F.sum(
+                (F.col("monetary").cast("decimal(18,4)") * 10000).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("decimal(38,0)")
+            / F.lit(10000.0)
+        ).alias("total_monetary"),
+    )
