@@ -151,3 +151,41 @@ def reconcile_tables(
             F.coalesce("tgt_n", F.lit(0)).alias("tgt_n"),
         )
     )
+
+
+def schema_diff(a: DataFrame, b: DataFrame) -> list[dict]:
+    """Structural diff between two DataFrame schemas — the data-contract
+    check that runs BEFORE any content reconciliation: returns a list of
+    ``{"column", "change", "from", "to"}`` dicts where ``change`` is one
+    of ``added`` (in b only), ``removed`` (in a only), ``type_changed``,
+    ``nullability_changed``. Empty list = contract holds.
+
+    Driver-side metadata only (schemas, not data) — zero jobs, usable as
+    a cheap gate in front of reconcile_tables or a streaming sink."""
+    fa = {f.name: f for f in a.schema.fields}
+    fb = {f.name: f for f in b.schema.fields}
+    out: list[dict] = []
+    for name in fa:
+        if name not in fb:
+            out.append(
+                {"column": name, "change": "removed",
+                 "from": fa[name].dataType.simpleString(), "to": None}
+            )
+        elif fa[name].dataType != fb[name].dataType:
+            out.append(
+                {"column": name, "change": "type_changed",
+                 "from": fa[name].dataType.simpleString(),
+                 "to": fb[name].dataType.simpleString()}
+            )
+        elif fa[name].nullable != fb[name].nullable:
+            out.append(
+                {"column": name, "change": "nullability_changed",
+                 "from": str(fa[name].nullable), "to": str(fb[name].nullable)}
+            )
+    for name in fb:
+        if name not in fa:
+            out.append(
+                {"column": name, "change": "added", "from": None,
+                 "to": fb[name].dataType.simpleString()}
+            )
+    return out

@@ -12779,3 +12779,84 @@ def q_rfm_segmentation(spark, sf_dir):
             / F.lit(10000.0)
         ).alias("total_monetary"),
     )
+
+
+@register(
+    "market_basket_lift",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM li),
+    item AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+             FROM li GROUP BY l_partkey),
+    pair AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    scored AS (
+      SELECT u, v, n_pair,
+             CAST(n_pair * n.n_orders AS DOUBLE)
+               / CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+      FROM pair, n
+      JOIN item ia ON ia.l_partkey = u
+      JOIN item ib ON ib.l_partkey = v
+    )
+    SELECT u, v, n_pair, lift FROM scored
+    WHERE n_pair >= 2
+    ORDER BY n_pair DESC, u, v LIMIT 100
+    """,
+    tags=("agg", "stats", "extension"),
+)
+def q_market_basket_lift(spark, sf_dir):
+    """Market-basket pair mining with lift: co-purchased part pairs
+    (support >= 2) scored by lift = P(uv) / (P(u)P(v)) — the
+    recommendation / co-occurrence primitive, and the same shape that
+    scores token co-occurrence (PMI) over a corpus. Exactness: all
+    supports are integers; lift is two exact integer products and ONE
+    IEEE division, identical cross-engine. The pair generation is the
+    within-order self-join whose fan-out is basket_size^2 — bounded by
+    the largest basket, the documented cap knob for 100 TB (cap or
+    split mega-baskets exactly like LSH buckets)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    n = li.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    item = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("v")
+    )
+    pair = (
+        li.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_partkey") < F.col("v")),
+        )
+        .groupBy(F.col("l_partkey").alias("u"), "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+    )
+    ia = item.select(F.col("l_partkey").alias("u"), F.col("n_item").alias("n_u"))
+    ib = item.select(F.col("l_partkey").alias("v"), F.col("n_item").alias("n_v"))
+    return (
+        pair.join(ia, "u")
+        .join(ib, "v")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("n_pair") >= 2)
+        .select(
+            "u",
+            "v",
+            "n_pair",
+            (
+                (F.col("n_pair") * F.col("n_orders")).cast("double")
+                / (F.col("n_u") * F.col("n_v")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_pair").desc(), "u", "v")
+        .limit(100)
+    )

@@ -123,3 +123,34 @@ def test_reconcile_repair_roundtrip(spark):
         diff.select("o_orderkey"), "o_orderkey", "left_anti"
     ).unionAll(src.join(diff.select("o_orderkey"), "o_orderkey", "left_semi"))
     assert flagged and tables_equal(src, repaired, COLS)
+
+
+def test_schema_diff_all_change_kinds(spark):
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.validate import (
+        schema_diff,
+    )
+
+    a = spark.createDataFrame([], "k int, gone string, t int, n int")
+    b = spark.createDataFrame([], "k int, t string, n int, fresh double")
+    # force a nullability difference on n
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    b = spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("k", IntegerType(), True),
+                StructField("t", b.schema["t"].dataType, True),
+                StructField("n", IntegerType(), False),
+                StructField("fresh", b.schema["fresh"].dataType, True),
+            ]
+        ),
+    )
+    got = {(d["column"], d["change"]) for d in schema_diff(a, b)}
+    assert got == {
+        ("gone", "removed"),
+        ("t", "type_changed"),
+        ("n", "nullability_changed"),
+        ("fresh", "added"),
+    }
+    assert schema_diff(a, a) == []
