@@ -1137,3 +1137,86 @@ def hamming_join(
             "distance",
         )
     )
+
+
+def containment_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_text: str,
+    right_id: str,
+    right_text: str,
+    shingle_n: int = 3,
+    min_containment: float = 0.9,
+    max_shingle_df: int | None = 50,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT join: pairs where
+    ``|shingles(L) ∩ shingles(R)| / |shingles(L)| >= min_containment``
+    — the quote/snippet/superset detector. This is the near-dup class
+    Jaccard-based MinHash structurally misses: a 30-token quote inside
+    a 3000-token article has Jaccard ~0.01 but containment 1.0, and
+    quoted/excerpted training text is exactly how benchmark
+    contamination hides.
+
+    Candidate generation is the inverted shingle join: explode DISTINCT
+    shingles on both sides, equi-join on the shingle, count
+    intersections per pair. ``max_shingle_df`` drops shingles whose
+    RIGHT-side document frequency exceeds the cap before the join —
+    the boilerplate guard (a shingle in 10^5 documents generates 10^5
+    fan-out and zero evidence). The df filter is part of the operator's
+    SEMANTICS (intersections count only capped shingles), so results
+    stay deterministic and oracle-replayable; a pair sharing ONLY
+    boilerplate shingles is reported at its capped containment, the
+    documented trade (set ``max_shingle_df=None`` for literal
+    containment).
+
+    Scale: one shingle-level equi-join (the cap bounds per-shingle
+    fan-out, same discipline as LSH bucket caps), one (L,R) pair
+    aggregate, one broadcastable |shingles(L)| join, one closing IEEE
+    division. Never |L| x |R|.
+    """
+    def shingles(df: DataFrame, id_col: str, text_col: str, out: str):
+        return (
+            df.withColumn("__tokens", tokens_expr(text_col))
+            .select(
+                F.col(id_col).alias(out),
+                F.explode(
+                    F.array_distinct(shingle_expr("__tokens", shingle_n))
+                ).alias("__sh"),
+            )
+        )
+
+    ls = shingles(left, left_id, left_text, "__lid")
+    rs = shingles(right, right_id, right_text, "__rid")
+    if max_shingle_df is not None:
+        df_ok = (
+            rs.groupBy("__sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= int(max_shingle_df))
+            .select("__sh")
+        )
+        rs = rs.join(df_ok, "__sh")
+        ls = ls.join(df_ok, "__sh")
+    lsize = ls.groupBy("__lid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__lsz")
+    )
+    inter = (
+        ls.join(rs, "__sh")
+        .groupBy("__lid", "__rid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__inter"))
+    )
+    return (
+        inter.join(lsize, "__lid")
+        .withColumn(
+            "containment",
+            F.col("__inter").cast("double") / F.col("__lsz").cast("double"),
+        )
+        .filter(F.col("containment") >= float(min_containment))
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            F.col("__inter").alias("n_shared"),
+            F.col("__lsz").alias("n_left"),
+            "containment",
+        )
+    )

@@ -12860,3 +12860,69 @@ def q_market_basket_lift(spark, sf_dir):
         .orderBy(F.col("n_pair").desc(), "u", "v")
         .limit(100)
     )
+
+
+@register(
+    "containment_superset_join",
+    oracle=r"""
+    WITH snip AS (
+      SELECT doc_id + 1000000 AS sid,
+             array_to_string(list_slice(
+               string_split_regex(trim(text), '\s+'), 1, 15), ' ') AS stext
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    lt AS (SELECT sid, string_split_regex(trim(stext), '\s+') AS toks
+           FROM snip),
+    ls0 AS (
+      SELECT sid, unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS sh
+      FROM lt WHERE len(toks) >= 3
+    ),
+    rt AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+    rs0 AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS sh
+      FROM rt WHERE len(toks) >= 3
+    ),
+    dfok AS (SELECT sh FROM rs0 GROUP BY sh HAVING COUNT(*) <= 50),
+    rs AS (SELECT rs0.doc_id, rs0.sh FROM rs0 JOIN dfok USING (sh)),
+    ls AS (SELECT ls0.sid, ls0.sh FROM ls0 JOIN dfok USING (sh)),
+    lsz AS (SELECT sid, CAST(COUNT(*) AS BIGINT) AS n_left
+            FROM ls GROUP BY sid),
+    inter AS (SELECT sid, doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+              FROM ls JOIN rs USING (sh) GROUP BY sid, doc_id)
+    SELECT sid AS snippet_id, doc_id, n_shared, n_left,
+           CAST(n_shared AS DOUBLE) / CAST(n_left AS DOUBLE) AS containment
+    FROM inter JOIN lsz USING (sid)
+    WHERE CAST(n_shared AS DOUBLE) / CAST(n_left AS DOUBLE) >= 0.9
+    """,
+    tags=("dedup", "text", "scale", "extension"),
+)
+def q_containment_superset_join(spark, sf_dir):
+    """Asymmetric containment join (operators/dedup.containment_join):
+    15-token snippets cut from every even doc must be detected INSIDE
+    their source documents at containment 1.0 — the quote/excerpt
+    near-dup class that Jaccard MinHash structurally misses (snippet
+    vs article Jaccard ~ |snippet|/|article| -> 0, containment -> 1;
+    this is how benchmark contamination hides in training corpora).
+    Candidates come from the inverted shingle join with the
+    right-side-df <= 50 boilerplate cap (part of the semantics, so the
+    oracle replays it); one shingle equi-join + one pair aggregate,
+    never |snippets| x |corpus|."""
+    from .operators.dedup import containment_join
+    from .operators.text import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    snip = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 1000000).alias("snippet_id"),
+        F.array_join(F.slice(tokens_expr("text"), 1, 15), " ").alias(
+            "stext"
+        ),
+    )
+    return containment_join(
+        snip, docs, "snippet_id", "stext", "doc_id", "text",
+        shingle_n=3, min_containment=0.9, max_shingle_df=50,
+    )

@@ -270,3 +270,58 @@ def test_hamming_join_refuses_lossy_band_count(spark):
     with pytest.raises(ValueError, match="pigeonhole"):
         hamming_join(df, df, "id", "sig", "id", "sig",
                      max_distance=3, bands=3)
+
+
+# ---------------------------- containment_join ------------------------------
+
+def test_containment_finds_snippet_jaccard_misses(spark):
+    """The motivating case: a short quote inside a long article has low
+    Jaccard but containment 1.0."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.dedup import (
+        containment_join,
+    )
+
+    article_tokens = [f"w{i}" for i in range(200)]
+    quote = " ".join(article_tokens[50:60])  # 10 tokens inside
+    docs = spark.createDataFrame(
+        [(1, " ".join(article_tokens)), (2, "totally different text here ok")],
+        "doc_id bigint, text string",
+    )
+    snips = spark.createDataFrame(
+        [(100, quote)], "sid bigint, stext string"
+    )
+    rows = containment_join(
+        snips, docs, "sid", "stext", "doc_id", "text",
+        shingle_n=3, min_containment=0.99, max_shingle_df=None,
+    ).collect()
+    assert [(r["sid"], r["doc_id"], r["containment"]) for r in rows] == [
+        (100, 1, 1.0)
+    ]
+    # jaccard of the same pair is tiny: 8 shared shingles / 198 total
+    assert 8 / 198 < 0.05
+
+
+def test_containment_df_cap_drops_boilerplate_evidence(spark):
+    """A snippet made ONLY of boilerplate shared by every doc scores 0
+    under the cap (its shingles exceed max_shingle_df) — the documented
+    trade that keeps fan-out bounded."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.dedup import (
+        containment_join,
+    )
+
+    boiler = "all rights reserved contact us today"
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} body text number {i} " + boiler) for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    snips = spark.createDataFrame([(100, boiler)], "sid bigint, stext string")
+    capped = containment_join(
+        snips, docs, "sid", "stext", "doc_id", "text",
+        shingle_n=3, min_containment=0.5, max_shingle_df=5,
+    )
+    assert capped.count() == 0
+    uncapped = containment_join(
+        snips, docs, "sid", "stext", "doc_id", "text",
+        shingle_n=3, min_containment=0.5, max_shingle_df=None,
+    )
+    assert uncapped.count() == 10
