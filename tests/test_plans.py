@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 from emr_on_eks_hudi_iceberg_delta_spark.plans import (
     broadcast_join_count,
+    file_scan_count,
+    formatted_plan,
     has_pushed_filter,
     scan_read_columns,
     shuffle_count,
@@ -613,3 +615,52 @@ def test_autocorrelation_single_shuffle(spark):
     one exchange total."""
     df = REGISTRY["events_autocorrelation"].fn(spark, SF_DIR)
     assert shuffle_count(df) == 1
+
+
+def test_hamming_join_is_equi_join_not_nested_loop(spark):
+    """The pigeonhole band join must plan as a shuffle/broadcast EQUI
+    join on (band_idx, band_val) — never the nested loop a raw
+    bit_count(xor) <= r theta join produces — and must carry no
+    Deduplicate (first-shared-band makes output duplicate-free)."""
+    df = REGISTRY["simhash_hamming_join"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Deduplicate" not in plan and "HashAggregate" not in plan.split(
+        "Join"
+    )[0]
+
+
+def test_reconcile_shuffles_digests_not_payload(spark):
+    """reconcile_tables: the full-outer join consumes per-key digest
+    aggregates — the payload (c_name/c_mktsegment) is hashed inside the
+    map-side partial aggregate and never appears above it."""
+    df = REGISTRY["table_reconcile_diff"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    join_at = plan.find("SortMergeJoin")
+    assert join_at > 0
+    # above the join: only keys + digest columns
+    head = plan[:join_at]
+    assert "src_sum" in plan and "tgt_sum" in plan
+    assert "c_name" not in head.split("Aggregate")[0]
+
+
+def test_containment_join_no_cross_product(spark):
+    df = REGISTRY["containment_superset_join"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_bootstrap_single_aggregate_pass(spark):
+    """All 32 bootstrap replicates ride one explode + one (group, rep)
+    aggregate: exactly one scan of events on the replicate path (the
+    point-estimate aggregate adds its own — 2 total), and no join back
+    to the raw events."""
+    df = REGISTRY["bootstrap_group_mean_ci"].fn(spark, SF_DIR)
+    assert file_scan_count(df) == 2
+
+
+def test_column_stats_exact_mode_single_scan(spark):
+    df = REGISTRY["table_column_stats"].fn(spark, SF_DIR)
+    assert file_scan_count(df) == 1
