@@ -12926,3 +12926,153 @@ def q_containment_superset_join(spark, sf_dir):
         snip, docs, "snippet_id", "stext", "doc_id", "text",
         shingle_n=3, min_containment=0.9, max_shingle_df=50,
     )
+
+
+@register(
+    "percentile_disc_profile",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL})
+    SELECT event_type,
+           quantile_disc(value, 0.25) AS p25,
+           quantile_disc(value, 0.50) AS p50,
+           quantile_disc(value, 0.90) AS p90,
+           MIN(value) AS vmin, MAX(value) AS vmax
+    FROM ev GROUP BY event_type
+    """,
+    tags=("agg", "stats", "extension"),
+)
+def q_percentile_disc_profile(spark, sf_dir):
+    """Discrete-percentile latency-style profile per event type:
+    PERCENTILE_DISC picks ACTUAL data values (no interpolation
+    arithmetic), so the profile is engine-exact by construction — the
+    right percentile flavor for cross-engine SLO reporting (the
+    continuous flavor's interpolation is two float ops whose
+    association can differ between engines; the KLL sketch is the
+    documented streaming/mergeable path). One group-by with sort-based
+    percentile per group."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY value)"
+        ).alias("p25"),
+        F.expr(
+            "percentile_disc(0.50) WITHIN GROUP (ORDER BY value)"
+        ).alias("p50"),
+        F.expr(
+            "percentile_disc(0.90) WITHIN GROUP (ORDER BY value)"
+        ).alias("p90"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    v AS (SELECT user_id, MIN(ts) AS first_view FROM ev
+          WHERE event_type = 'view' GROUP BY user_id),
+    p AS (SELECT e.user_id, v.first_view, MIN(e.ts) AS first_purchase
+          FROM ev e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > v.first_view
+          GROUP BY e.user_id, v.first_view),
+    d AS (SELECT user_id,
+                 CAST((epoch_us(first_purchase) - epoch_us(first_view))
+                      // 1000000 AS BIGINT) AS secs
+          FROM p)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
+           CAST(MIN(secs) AS BIGINT) AS min_secs,
+           quantile_disc(secs, 0.5) AS median_secs,
+           CAST(MAX(secs) AS BIGINT) AS max_secs
+    FROM d
+    """,
+    tags=("events", "funnel", "extension"),
+)
+def q_funnel_time_to_convert(spark, sf_dir):
+    """Funnel latency: per user, seconds from FIRST view to the first
+    subsequent purchase; reported as converter count + min / discrete
+    median / max — the time-to-convert panel next to the existing
+    ordered-funnel counts. Two keyed aggregates sharing the user_id
+    partitioning plus a one-row fold; integer seconds keep every
+    statistic engine-exact (PERCENTILE_DISC — no interpolation)."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    # unix_micros rejects TIMESTAMP_NTZ; session tz is pinned UTC so the
+    # cast is a pure relabel and the difference is tz-free anyway
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    d = p.select(
+        "user_id",
+        (
+            (us("first_purchase") - us("first_view")).cast("bigint")
+            / F.lit(1000000)
+        ).cast("bigint").alias("secs"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converters"),
+        F.min("secs").cast("bigint").alias("min_secs"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY secs)").alias(
+            "median_secs"
+        ),
+        F.max("secs").cast("bigint").alias("max_secs"),
+    )
+
+
+@register(
+    "benford_leading_digit_audit",
+    oracle="""
+    WITH d AS (
+      SELECT substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS VARCHAR), 1, 1) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM d)
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT total FROM n) AS share
+    FROM d GROUP BY digit
+    """,
+    tags=("quality", "stats", "extension"),
+)
+def q_benford_leading_digit_audit(spark, sf_dir):
+    """Benford leading-digit audit of order totals — the classic
+    fabricated-data screen (a synthetic or tampered money column shows
+    a flat digit histogram where organic data follows log(1+1/d)).
+    Digit extraction goes through integer CENTS then string head, so
+    both engines see the identical digit (no float formatting); one
+    aggregate + one broadcast total + one closing division."""
+    d = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("bigint")
+                .cast("string"),
+                1,
+                1,
+            ).alias("digit")
+        )
+    )
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_values"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "n_values",
+            (F.col("n_values").cast("double") / F.col("total")).alias(
+                "share"
+            ),
+        )
+    )
