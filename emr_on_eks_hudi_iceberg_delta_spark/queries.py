@@ -13076,3 +13076,56 @@ def q_benford_leading_digit_audit(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "embedding_bq_hamming_rerank",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    s AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(generate_series(0, 62),
+               j -> CASE WHEN v[j + 1] > 0 THEN (CAST(1 AS BIGINT) << j)
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+      FROM e
+    ),
+    q AS (SELECT vec_id AS query_id, sig AS qsig FROM s WHERE vec_id < 5),
+    scr AS (
+      SELECT query_id, s.vec_id AS neighbor_id,
+             CAST(bit_count(xor(qsig, s.sig)) AS INTEGER) AS hamming,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY bit_count(xor(qsig, s.sig)), s.vec_id) AS sr
+      FROM q JOIN s ON s.vec_id <> query_id
+    ),
+    cand AS (SELECT query_id, neighbor_id, hamming FROM scr WHERE sr <= 50),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    rer AS (
+      SELECT c.query_id, c.neighbor_id, c.hamming,
+             list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm) AS cosine
+      FROM cand c
+      JOIN n qn ON qn.vec_id = c.query_id
+      JOIN n cn ON cn.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, hamming, cosine,
+           CAST(rnk AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rnk FROM rer)
+    WHERE rnk <= 5
+    """,
+    tags=("embedding", "ann", "scale", "extension"),
+)
+def q_embedding_bq_hamming_rerank(spark, sf_dir):
+    """Binary-quantized ANN (operators/similarity.bq_topk): 63-bit
+    sign signatures screened by XOR+popcount (an 8-byte-per-vector
+    integer scan, ~64x lighter than the float corpus), top-50
+    candidates per query reranked by EXACT cosine, top-5 kept. Sign
+    bits have no rounding surface, so the whole pipeline — signature,
+    Hamming screen, tie-breaks, fold-exact cosine — replays
+    bit-identically in the oracle. Queries = vec_id < 5, broadcast;
+    float vectors are fetched only for screen survivors (the BQ
+    serving pattern at 100 TB)."""
+    from .operators.similarity import bq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return bq_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, screen_m=50)

@@ -36,3 +36,52 @@ def test_persisted_ivf_index_matches_transient_and_prunes(spark, tmp_path):
     probed = pt.read_partitions_where(lambda v: v in {"0", "1"})
     files = probed.inputFiles()
     assert files and all("cell=0" in f or "cell=1" in f for f in files)
+
+
+# --------------------------------- bq_topk ----------------------------------
+
+def test_bq_signature_matches_host_sign_bits(spark):
+    import numpy as np
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.similarity import (
+        BQ_BITS,
+        bq_signature_expr,
+    )
+
+    rng = np.random.RandomState(5)
+    vecs = [(i, [float(x) for x in rng.randn(64)]) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    got = {
+        r["vec_id"]: r["sig"]
+        for r in df.select(
+            "vec_id", bq_signature_expr("embedding").alias("sig")
+        ).collect()
+    }
+    for i, v in vecs:
+        want = sum(1 << j for j in range(BQ_BITS) if v[j] > 0)
+        assert got[i] == want
+
+
+def test_bq_screen_recall_on_clustered_corpus(spark):
+    """On a corpus with planted near-duplicates, the BQ screen + exact
+    rerank must place each query's planted twin at rank 1 — the
+    correlated-data case BQ exists for."""
+    import numpy as np
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.similarity import (
+        bq_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(10, 64)
+    rows = []
+    for i in range(10):
+        rows.append((i, [float(x) for x in base[i]]))
+        # twin: tiny perturbation -> same sign pattern almost everywhere
+        rows.append((100 + i, [float(x) for x in base[i] + 0.01 * rng.randn(64)]))
+    for i in range(300):
+        rows.append((1000 + i, [float(x) for x in rng.randn(64)]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = bq_topk(df, df.filter("vec_id < 10"), k=3, screen_m=30).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    assert top1 == {i: 100 + i for i in range(10)}
