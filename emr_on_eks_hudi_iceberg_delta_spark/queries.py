@@ -13129,3 +13129,140 @@ def q_embedding_bq_hamming_rerank(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return bq_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, screen_m=50)
+
+
+@register(
+    "group_by_all_sql",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM orders GROUP BY ALL
+    """,
+    tags=("agg", "sql", "extension"),
+)
+def q_group_by_all_sql(spark, sf_dir):
+    """GROUP BY ALL (the DuckDB-popularized sugar, native in Spark
+    3.4+): every non-aggregate select item becomes a grouping key —
+    the oracle runs the IDENTICAL statement on DuckDB's native GROUP
+    BY ALL, pinning that both engines infer the same key set."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gba")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS revenue
+        FROM orders_gba GROUP BY ALL
+        """
+    )
+
+
+@register(
+    "lateral_topk_per_group",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+    ) t
+    """,
+    tags=("join", "sql", "extension"),
+)
+def q_lateral_topk_per_group(spark, sf_dir):
+    """Correlated LATERAL subquery (SQL:1999 / Spark 3.2+ lateral
+    join): per nation, the top-3 customers by balance — the
+    set-returning correlated-join surface beside the QUALIFY/window
+    formulation of the same question. The oracle is the IDENTICAL
+    LATERAL statement on DuckDB. Catalyst decorrelates this into the
+    window plan, which is exactly the point: the declarative surface
+    is free."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    return spark.sql(
+        """
+        SELECT n.n_nationkey, n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation_lat n,
+        LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer_lat c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+        ) t
+        """
+    )
+
+
+@register(
+    "kfold_split_audit",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang,
+             CAST(CAST(concat('0x', substr(md5(
+                    'fold:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 5 AS INTEGER) AS fold
+      FROM documents
+    )
+    SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM f GROUP BY fold, lang
+    """,
+    tags=("sampling", "ml", "extension"),
+)
+def q_kfold_split_audit(spark, sf_dir):
+    """Deterministic k-fold assignment (md5 % k — same portable-hash
+    contract as every split in operators/sampling.py) with the
+    per-fold label-distribution audit that validates fold balance
+    before cross-validation. Zero-shuffle assignment + one aggregate;
+    the same row lands in the same fold on any engine, layout, or
+    rerun — the reproducibility property RNG-based folds lack."""
+    from .functions.hashing import md5_hash64
+
+    docs = _t(spark, sf_dir, "documents")
+    fold = (
+        md5_hash64(
+            F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))
+        )
+        % 5
+    ).cast("int")
+    return (
+        docs.select(fold.alias("fold"), "lang")
+        .groupBy("fold", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+@register(
+    "events_minmax_scaled",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    b AS (SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+          FROM ev GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           CASE WHEN b.vmax = b.vmin THEN CAST(0.5 AS DOUBLE)
+                ELSE (e.value - b.vmin) / (b.vmax - b.vmin) END AS scaled
+    FROM ev e JOIN b ON e.event_type = b.event_type
+    """,
+    tags=("events", "ml", "extension"),
+)
+def q_events_minmax_scaled(spark, sf_dir):
+    """Per-group min-max feature scaling to [0,1] (degenerate groups
+    pin to 0.5) — the preprocessing twin of the DECIMAL-moment z-score
+    battery. min/max are exact order statistics; the scale arithmetic
+    is two IEEE subtractions and one division in fixed order, so every
+    scaled value is bit-identical cross-engine. One tiny per-group
+    aggregate broadcast back onto the scan — no window, no sort."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    return ev.join(F.broadcast(b), "event_type").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0.5))
+        .otherwise(
+            (F.col("value") - F.col("vmin"))
+            / (F.col("vmax") - F.col("vmin"))
+        )
+        .alias("scaled"),
+    )
