@@ -13266,3 +13266,40 @@ def q_events_minmax_scaled(spark, sf_dir):
         )
         .alias("scaled"),
     )
+
+
+@register(
+    "session_context_features",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL})
+    SELECT event_id, user_id, event_type,
+           COALESCE(list(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), []) AS prev_types,
+           CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT)
+             AS us_since_prev
+    FROM ev
+    """,
+    tags=("events", "window", "ml", "extension"),
+)
+def q_session_context_features(spark, sf_dir):
+    """Sequence-model context features: for every event, the previous
+    <=3 event types (ordered window list — empty for a user's first
+    event) and microseconds since the previous event (NULL first) —
+    the feature shape behind next-event prediction / behavioral
+    tokenization. One user_id exchange; both features share the same
+    window sort. Arrays compare exactly cross-engine (strings, order
+    pinned by the frame)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.collect_list("event_type")
+        .over(w.rowsBetween(-3, -1))
+        .alias("prev_types"),
+        (us - F.lag(us).over(w)).cast("bigint").alias("us_since_prev"),
+    )
