@@ -154,3 +154,50 @@ def test_schema_diff_all_change_kinds(spark):
         ("fresh", "added"),
     }
     assert schema_diff(a, a) == []
+
+
+def test_reconcile_agrees_with_cdf_on_stale_clone(spark, tmp_path):
+    """Lakehouse cross-check: for a clone frozen at version v, the
+    digest-based reconcile worklist (content compare, no history) must
+    flag exactly the keys the version store's CDF says changed in
+    (v, head] — two independent mechanisms, one truth."""
+    from pyspark.sql import functions as F
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import (
+        VersionedTable,
+    )
+
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    base = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("payload"),
+        F.lit(1).alias("seq"),
+    )
+    src = src.overwrite(base)
+    stale = src.read()  # the clone's frozen content (version v)
+    v = src.history()[-1]["version"]
+
+    # advance src: 5 updates, 3 inserts
+    upd = spark.createDataFrame(
+        [(k, "CHANGED", 2) for k in (3, 17, 41, 77, 98)]
+        + [(1000 + i, "new", 2) for i in range(3)],
+        "k bigint, payload string, seq int",
+    )
+    src = src.upsert(upd, ["k"], "seq")
+
+    recon = reconcile_tables(
+        src.read(), stale, ["k"], ["payload"]
+    )
+    recon_keys = {
+        (r["k"], r["change_type"]) for r in recon.collect()
+    }
+
+    cdf = src.changes(v, src.history()[-1]["version"])
+    cdf_keys = set()
+    for r in cdf.select("k", "_change_type").distinct().collect():
+        cdf_keys.add(r["k"])
+    # CDF reports updates as delete+insert on the same key; reconcile
+    # reports them once as 'update'. Compare at key granularity.
+    assert {k for k, _ in recon_keys} == cdf_keys
+    assert {ct for k, ct in recon_keys if k < 1000} == {"update"}
+    assert {ct for k, ct in recon_keys if k >= 1000} == {"insert"}
