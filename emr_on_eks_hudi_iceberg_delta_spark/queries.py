@@ -13303,3 +13303,79 @@ def q_session_context_features(spark, sf_dir):
         .alias("prev_types"),
         (us - F.lag(us).over(w)).cast("bigint").alias("us_since_prev"),
     )
+
+
+@register(
+    "token_budget_mixture",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    st AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+           FROM d GROUP BY source),
+    w AS (SELECT * FROM (VALUES
+            ('src0', CAST(0.5 AS DOUBLE)),
+            ('src1', CAST(0.3 AS DOUBLE)),
+            ('src2', CAST(0.2 AS DOUBLE))) AS t(source, wt)),
+    th AS (SELECT st.source,
+                  CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
+                       (20000 * wt) / src_tokens) * 10000) AS INT) AS thr
+           FROM st JOIN w USING (source)),
+    kept AS (
+      SELECT d.doc_id, d.source, d.n_tokens FROM d
+      JOIN th ON d.source = th.source
+      WHERE {_SQL_BUCKET} < th.thr
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+    FROM kept GROUP BY source
+    """,
+    tags=("sampling", "corpus", "extension"),
+)
+def q_token_budget_mixture(spark, sf_dir):
+    """TOKEN-budget domain mixing: keep rates are derived from each
+    source's TOKEN mass (rate = budget*weight / source_tokens), not its
+    document count — the form LLM data budgets actually take (a source
+    of long documents must keep fewer docs for the same token share;
+    the doc-count sibling is mixture_sample). Rates are computed inside
+    the plan (one per-source aggregate joined back), the keep decision
+    is the portable hash threshold, and the audit reports kept docs +
+    kept tokens per source. Deterministic end to end; zero shuffle on
+    the sampling pass itself."""
+    from .operators.sampling import BUCKETS, hash_bucket
+    from .operators.text import tokens_expr
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens_expr("text")).cast("bigint").alias("n_tokens"),
+    )
+    st = d.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("src_tokens")
+    )
+    wts = F.create_map(
+        F.lit("src0"), F.lit(0.5),
+        F.lit("src1"), F.lit(0.3),
+        F.lit("src2"), F.lit(0.2),
+    )
+    rate = (F.lit(20000) * wts[F.col("source")]) / F.col("src_tokens")
+    th = st.select(
+        "source",
+        # NB: F.least IGNORES nulls (least(1.0, NULL) = 1.0), so a source
+        # absent from the mixture must be dropped BEFORE the clamp or it
+        # silently samples at 100%
+        F.when(
+            rate.isNotNull(),
+            F.floor(F.least(F.lit(1.0), rate) * BUCKETS).cast("int"),
+        ).alias("thr"),
+    ).filter(F.col("thr").isNotNull())
+    kept = d.join(F.broadcast(th), "source").filter(
+        hash_bucket(F.col("doc_id")) < F.col("thr")
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+    )
