@@ -13379,3 +13379,40 @@ def q_token_budget_mixture(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
     )
+
+
+@register(
+    "try_arithmetic_battery",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                ELSE CAST(o_totalprice / (o_orderkey % 10) AS DOUBLE)
+           END AS safe_div,
+           TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS head_digit
+    FROM orders WHERE o_orderkey <= 200
+    """,
+    tags=("sql", "functions", "extension"),
+)
+def q_try_arithmetic_battery(spark, sf_dir):
+    """ANSI-mode error-safe function battery: under Spark 4's ANSI
+    dialect, division by zero and bad casts THROW (the repo's
+    engineering decisions doc) — the ``try_*`` family is the sanctioned
+    NULL-on-error escape. try_divide(x, 0) -> NULL, try_cast of a
+    non-numeric priority string -> NULL, try_cast of its leading digit
+    -> the digit. The oracle expresses the same semantics with CASE /
+    TRY_CAST (DuckDB never throws on /0 but the NULL contract is
+    replayed exactly)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_totalprice"), F.col("o_orderkey") % 10
+        ).alias("safe_div"),
+        F.try_to_number(F.col("o_orderpriority"), F.lit("999")).cast(
+            "int"
+        ).alias("bad_cast"),
+        F.expr("try_cast(substr(o_orderpriority, 1, 1) AS INT)").alias(
+            "head_digit"
+        ),
+    )
