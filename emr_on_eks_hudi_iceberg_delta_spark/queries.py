@@ -13416,3 +13416,40 @@ def q_try_arithmetic_battery(spark, sf_dir):
             "head_digit"
         ),
     )
+
+
+@register(
+    "pcm_frame_energy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id,
+             unnest(generate_series(1, length(text))) AS pos
+      FROM documents
+    ),
+    s AS (
+      SELECT c.doc_id, (pos - 1) // 256 AS frame,
+             ord(substr(d.text, CAST(pos AS INTEGER), 1)) AS v
+      FROM chars c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+           sqrt(CAST(SUM(v * v) AS BIGINT) / CAST(COUNT(*) AS BIGINT))
+             AS rms
+    FROM s GROUP BY doc_id, frame
+    """,
+    tags=("multimodal", "udf", "extension"),
+)
+def q_pcm_frame_energy(spark, sf_dir):
+    """Raw-PCM frame energy (operators/multimodal.pcm_frame_energy):
+    the corpus text's UTF-8 bytes stand in for an int8 audio track
+    (pure-ASCII corpus, so byte == code point and the oracle can
+    replay the decode with ord()); 256-sample frames yield exact
+    integer sum-of-squares plus RMS — a REAL decode through the
+    Arrow-batched binary plumbing, not a stub. The oracle recomputes
+    every frame from characters, so the numpy frombuffer path is
+    engine-verified end to end."""
+    from .operators.multimodal import attach_binary_payload, pcm_frame_energy
+
+    docs = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return pcm_frame_energy(docs)
