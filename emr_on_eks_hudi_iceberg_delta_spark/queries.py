@@ -13453,3 +13453,40 @@ def q_pcm_frame_energy(spark, sf_dir):
 
     docs = attach_binary_payload(_t(spark, sf_dir, "documents"))
     return pcm_frame_energy(docs)
+
+
+@register(
+    "streaming_pattern_alerts",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    err AS (SELECT user_id, event_id, ts FROM ev
+            WHERE event_type = 'error'),
+    p AS (SELECT user_id, ts, event_id FROM ev
+          WHERE event_type = 'purchase'),
+    m AS (
+      SELECT e.user_id, e.event_id, e.ts,
+             MAX(epoch_us(p.ts)) AS last_p
+      FROM err e JOIN p ON p.user_id = e.user_id
+        AND (p.ts < e.ts OR (p.ts = e.ts AND p.event_id < e.event_id))
+      GROUP BY e.user_id, e.event_id, e.ts
+    )
+    SELECT user_id, event_id, ts,
+           CAST(epoch_us(ts) - last_p AS BIGINT) AS gap_us
+    FROM m WHERE epoch_us(ts) - last_p <= 30 * 60 * 1000000
+    """,
+    tags=("streaming", "events", "extension"),
+)
+def q_streaming_pattern_alerts(spark, sf_dir):
+    """Streaming A-then-B CEP rule (streaming/events.
+    stream_pattern_alerts): alert on every error within 30 minutes
+    after the same user's most recent purchase — per-user state is ONE
+    bigint (the nearest-preceding-A property makes last-A sufficient),
+    so keys can live forever. The oracle replays the rule relationally
+    (max preceding purchase per error, integer-microsecond gap);
+    append-mode AvailableNow replay must reproduce it exactly."""
+    from .streaming.events import stream_pattern_alerts
+
+    return run_stream_to_memory(
+        stream_pattern_alerts(_events_stream(spark, sf_dir)),
+        output_mode="append",
+    )

@@ -527,3 +527,69 @@ def stream_distinct_users_hll(events: DataFrame, lgk: int = 14) -> DataFrame:
         .cast("bigint")
         .alias("distinct_users")
     )
+
+
+def stream_pattern_alerts(
+    events: DataFrame,
+    window_minutes: int = 30,
+    first_type: str = "purchase",
+    then_type: str = "error",
+) -> DataFrame:
+    """Streaming A-then-B pattern detection with CONSTANT state: emit
+    one alert per ``then_type`` event that follows a ``first_type``
+    event of the same user within ``window_minutes`` — the
+    fraud/incident sequence-rule primitive (CEP's simplest shape).
+
+    The unbounded-key trick mirrors stream_cusum_scores: because the
+    NEAREST preceding A decides the rule, per-user GroupState is ONE
+    bigint (the last A's epoch-microseconds) — a user alive for years
+    carries 8 bytes, never an event buffer. Each micro-batch folds its
+    rows in (ts, event_id) order; A updates the state, B emits an
+    alert row when the gap is inside the window (append mode —
+    alerts only). Integer-microsecond comparisons keep the oracle
+    exact under ordered replay (the standard condition, pinned in
+    tests)."""
+    win_us = int(window_minutes) * 60_000_000
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        (last_a,) = state.get if state.exists else (None,)
+        out_ids, out_ts, out_gap = [], [], []
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            for eid, t_us, etype, ts_raw in zip(
+                pdf["event_id"], ts_us, pdf["event_type"], pdf["ts"]
+            ):
+                if etype == first_type:
+                    last_a = int(t_us)
+                elif etype == then_type and last_a is not None:
+                    gap = int(t_us) - last_a
+                    if 0 <= gap <= win_us:
+                        out_ids.append(int(eid))
+                        out_ts.append(ts_raw)
+                        out_gap.append(gap)
+        state.update((last_a,))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series(
+                    [user_id] * len(out_ids), dtype="int64"
+                ),
+                "event_id": pd.Series(out_ids, dtype="int64"),
+                "ts": pd.Series(out_ts, dtype="datetime64[us]"),
+                "gap_us": pd.Series(out_gap, dtype="int64"),
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id bigint, event_id bigint, ts timestamp_ntz, "
+            "gap_us bigint"
+        ),
+        stateStructType="last_a bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

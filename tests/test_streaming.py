@@ -474,3 +474,63 @@ def test_stream_ewma_matches_batch(spark, events_stream):
     )
     assert got["n_events"].tolist() == exp["n_events"].tolist()
     assert got["ewma_score"].tolist() == exp["ewma_score"].tolist()
+
+
+def test_pattern_alerts_state_carries_across_batches(spark, tmp_path):
+    """A purchase in micro-batch 1 must still trigger on an error in
+    micro-batch 2 (the one-bigint GroupState carry), and the full
+    replay must equal the single-batch result."""
+    import pandas as pd
+
+    from emr_on_eks_hudi_iceberg_delta_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        run_stream_to_memory,
+        stream_pattern_alerts,
+    )
+
+    def mk(rows, path):
+        pdf = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        sdf = spark.createDataFrame(pdf).select(
+            F.col("event_id").cast("long"),
+            F.col("ts").cast("timestamp_ntz"),
+            F.col("user_id").cast("long"),
+            "event_type",
+            F.col("value").cast("double"),
+            "props",
+        )
+        sdf.coalesce(1).write.mode("overwrite").parquet(path)
+
+    stage = str(tmp_path / "stage")
+    # batch 1: user 7 purchases; user 9 errors with no prior purchase
+    mk(
+        [
+            (1, "2024-01-01 10:00:00", 7, "purchase", 1.0, "{}"),
+            (2, "2024-01-01 10:05:00", 9, "error", 1.0, "{}"),
+        ],
+        stage + "/b1",
+    )
+    # batch 2: user 7 errors 20 min after the batch-1 purchase (alert),
+    # then again 3 hours later (no alert)
+    mk(
+        [
+            (3, "2024-01-01 10:20:00", 7, "error", 1.0, "{}"),
+            (4, "2024-01-01 13:30:00", 7, "error", 1.0, "{}"),
+        ],
+        stage + "/b2",
+    )
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage + "/b*")
+    )
+    out = run_stream_to_memory(
+        stream_pattern_alerts(src), output_mode="append"
+    ).collect()
+    assert [(r["user_id"], r["event_id"], r["gap_us"]) for r in out] == [
+        (7, 3, 20 * 60 * 1000000)
+    ]
