@@ -77,7 +77,7 @@ def estimate_equijoin_rows(
     PK-FK joins (max ndv = the key side's distinct count); an
     OVERestimate when value sets only partially overlap, an UNDER-
     estimate under heavy skew — which is why the companion skew
-    diagnosis (key_skew_profile) exists. Driver-side arithmetic on
+    diagnosis (operators/scale.key_skew_stats) exists. Driver-side arithmetic on
     catalog numbers; no data touched."""
     if ndv_left <= 0 or ndv_right <= 0:
         return 0.0
