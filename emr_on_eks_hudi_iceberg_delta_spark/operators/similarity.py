@@ -1644,34 +1644,11 @@ def bq_signature_expr(vec_col: str) -> "F.Column":
     )
 
 
-def bq_topk(
-    emb: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    screen_m: int = 50,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Binary-quantized ANN: screen by Hamming distance over 63-bit
-    sign signatures (XOR + popcount — the 8-bytes-per-vector scan that
-    is ~64x smaller and integer-speed vs the float corpus), keep the
-    ``screen_m`` closest candidates per query, then EXACT-cosine rerank
-    only those and emit top ``k``. This is the modern BQ serving
-    pattern (e.g. 1-bit matryoshka-style compression): the float
-    vectors are touched for screen_m rows per query, not the corpus.
-
-    Everything is deterministic and engine-replayable: sign bits are
-    exact, popcount is integer, ties break on neighbor id at both
-    stages, and the rerank reuses the repo's sequential-fold dot
-    product. Pigeonhole banding (hamming_join) is the right screen for
-    SMALL radii; at the BQ regime (radius ~ dims/2) banding degenerates
-    and the linear XOR scan IS the intended plan — that contrast is
-    documented here deliberately.
-    """
-    sigs = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        bq_signature_expr(vec_col).alias("nsig"),
-    )
+def _bq_screen_rerank(
+    emb, queries, sigs, k, screen_m, id_col, vec_col
+):
+    """Shared BQ core: Hamming screen over a (neighbor_id, nsig) frame,
+    exact-cosine rerank of the screen_m survivors (see bq_topk)."""
     qsigs = queries.select(
         F.col(id_col).alias("query_id"),
         bq_signature_expr(vec_col).alias("qsig"),
@@ -1722,3 +1699,72 @@ def bq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "hamming", "cosine", "rank")
     )
+
+
+def bq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    screen_m: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-quantized ANN: screen by Hamming distance over 63-bit
+    sign signatures (XOR + popcount — the 8-bytes-per-vector scan that
+    is ~64x smaller and integer-speed vs the float corpus), keep the
+    ``screen_m`` closest candidates per query, then EXACT-cosine rerank
+    only those and emit top ``k``. This is the modern BQ serving
+    pattern (e.g. 1-bit matryoshka-style compression): the float
+    vectors are touched for screen_m rows per query, not the corpus.
+
+    Everything is deterministic and engine-replayable: sign bits are
+    exact, popcount is integer, ties break on neighbor id at both
+    stages, and the rerank reuses the repo's sequential-fold dot
+    product. Pigeonhole banding (hamming_join) is the right screen for
+    SMALL radii; at the BQ regime (radius ~ dims/2) banding degenerates
+    and the linear XOR scan IS the intended plan — that contrast is
+    documented here deliberately.
+    """
+    sigs = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        bq_signature_expr(vec_col).alias("nsig"),
+    )
+    return _bq_screen_rerank(emb, queries, sigs, k, screen_m, id_col, vec_col)
+
+def build_bq_index(
+    emb: DataFrame,
+    location: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the binary-quantization index: one (id, 63-bit sig) row
+    per vector, parquet at ``location`` — 8 bytes of signature per
+    vector, the index you keep hot while the float corpus stays cold.
+    Rebuild cost is one scan (signatures are per-row maps); appends are
+    plain parquet appends of newly signed batches."""
+    emb.select(
+        F.col(id_col).alias("vec_id"),
+        bq_signature_expr(vec_col).alias("sig"),
+    ).write.mode("overwrite").parquet(location)
+
+
+def bq_index_topk(
+    emb: DataFrame,
+    location: str,
+    queries: DataFrame,
+    k: int = 5,
+    screen_m: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve BQ ANN from the PERSISTED index: the Hamming screen scans
+    the 8-byte/vector signature table from disk (never touching the
+    float corpus), and only the screen_m survivors per query fetch
+    their float vectors for the exact-cosine rerank. Identical results
+    to the transient ``bq_topk`` (same signatures, same tie-breaks) —
+    pinned by sharing its oracle."""
+    spark = emb.sparkSession
+    sigs = spark.read.parquet(location).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("sig").alias("nsig")
+    )
+    return _bq_screen_rerank(emb, queries, sigs, k, screen_m, id_col, vec_col)

@@ -13490,3 +13490,28 @@ def q_streaming_pattern_alerts(spark, sf_dir):
         stream_pattern_alerts(_events_stream(spark, sf_dir)),
         output_mode="append",
     )
+
+
+@register(
+    "embedding_bq_index_topk",
+    oracle=REGISTRY["embedding_bq_hamming_rerank"].oracle,
+    tags=("embedding", "ann", "lake", "extension"),
+)
+def q_embedding_bq_index_topk(spark, sf_dir):
+    """BQ ANN served from the PERSISTED signature index
+    (operators/similarity.build_bq_index / bq_index_topk): the 8-byte
+    per-vector signature table is written to disk once and the Hamming
+    screen scans IT — the float corpus is read only for the screen_m
+    survivors. Shares the transient bq_topk oracle verbatim: the index
+    hop must change nothing. This completes the persisted-index trio
+    (LSH dedup index, IVF cell index, BQ sign index)."""
+    import tempfile
+
+    from .operators.similarity import bq_index_topk, build_bq_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    loc = tempfile.mkdtemp(prefix="bq_index_")
+    build_bq_index(emb, loc)
+    return bq_index_topk(
+        emb, loc, emb.filter(F.col("vec_id") < 5), k=5, screen_m=50
+    )
