@@ -13515,3 +13515,45 @@ def q_embedding_bq_index_topk(spark, sf_dir):
     return bq_index_topk(
         emb, loc, emb.filter(F.col("vec_id") < 5), k=5, screen_m=50
     )
+
+
+@register(
+    "lang_id_confusion_matrix",
+    oracle=f"""
+    WITH pred AS ({_lang_id_oracle()}),
+    n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang FROM pred
+          GROUP BY lang)
+    SELECT p.lang, p.predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS DOUBLE) / n.n_lang AS share_of_lang
+    FROM pred p JOIN n ON p.lang = n.lang
+    GROUP BY p.lang, p.predicted_lang, n.n_lang
+    """,
+    tags=("text", "quality", "extension"),
+)
+def q_lang_id_confusion_matrix(spark, sf_dir):
+    """Classifier audit: confusion matrix of the heuristic language ID
+    against the labeled ``lang`` column, with each cell's share of its
+    true-label row — the quality gate before trusting lang-id for
+    mixture decisions. Pure composition over the oracle-proven lang_id
+    scores; one aggregate + one broadcast per-label total + one
+    closing division per cell."""
+    pred = with_lang_id(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "predicted_lang"
+    )
+    n = pred.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lang")
+    )
+    return (
+        pred.join(F.broadcast(n), "lang")
+        .groupBy("lang", "predicted_lang", "n_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select(
+            "lang",
+            "predicted_lang",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("n_lang")).alias(
+                "share_of_lang"
+            ),
+        )
+    )
