@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from collections.abc import Callable
@@ -488,3 +489,59 @@ def _catalog_list_materialized_views(self) -> list[str]:
 LakeCatalog.create_materialized_view = _catalog_create_materialized_view
 LakeCatalog.refresh_materialized_view = _catalog_refresh_materialized_view
 LakeCatalog.list_materialized_views = _catalog_list_materialized_views
+
+
+_MV_LIT = re.compile(r"'(?:[^']|'')*'")
+
+
+def _normalize_sql_for_match(sql: str) -> tuple[str, tuple[str, ...]]:
+    """Whitespace/case-insensitive canonical form with string literals
+    masked out (so case-folding cannot touch literal CONTENT) and
+    returned separately — two statements are equivalent for MV matching
+    iff both the skeleton and the literal sequence agree."""
+    lits: list[str] = []
+
+    def mask(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    skeleton = _MV_LIT.sub(mask, sql)
+    skeleton = re.sub(r"\s+", " ", skeleton).strip().rstrip(";").strip()
+    return skeleton.casefold(), tuple(lits)
+
+
+def _catalog_rewrite_with_materialized_views(
+    self, sql: str
+) -> tuple[str, str | None]:
+    """First-tier materialized-view matching (the exact-text tier every
+    warehouse implements before structural containment): if ``sql`` is
+    — up to whitespace, keyword case, and a trailing semicolon, with
+    string literals compared verbatim — identical to a registered MV's
+    defining statement, serve ``SELECT * FROM <mv>`` instead; the MV is
+    a stored table, so the rewritten plan reads one materialized scan
+    in place of the whole aggregate subtree. No match returns the SQL
+    unchanged (loud pass-through, never a guess): structural
+    containment rewriting is explicitly out of scope, documented here
+    so the boundary is a contract, not a surprise.
+
+    Returns ``(sql_to_run, mv_name_or_None)``."""
+    want = _normalize_sql_for_match(sql)
+    for name, mv_sql in self._doc().get("mviews", {}).items():
+        if _normalize_sql_for_match(mv_sql) == want:
+            return f"SELECT * FROM {name}", name
+    return sql, None
+
+
+def _catalog_serve(self, sql: str):
+    """Run ``sql`` with MV auto-rewrite: catalog names resolve first
+    (sync), the exact-match tier substitutes a materialized scan when
+    one applies, and the (possibly rewritten) statement executes."""
+    self.sync()
+    rewritten, _ = self.rewrite_with_materialized_views(sql)
+    return self.spark.sql(rewritten)
+
+
+LakeCatalog.rewrite_with_materialized_views = (
+    _catalog_rewrite_with_materialized_views
+)
+LakeCatalog.serve = _catalog_serve

@@ -140,3 +140,66 @@ def test_materialized_view_lifecycle(spark, tmp_path):
     assert cat.table("mv").read(version=0).collect()[0]["n"] == 10
     with pytest.raises(ValueError, match="no materialized view"):
         cat.refresh_materialized_view("nope")
+
+
+def test_mv_auto_rewrite_serves_from_materialized_table(spark, tmp_path):
+    """Exact-text-tier MV matching: a statement equal to the defining
+    SQL up to whitespace/keyword case (literals verbatim) is served
+    from the MV's stored table — the plan reads the MV location, not
+    the base table — while literal or structural differences pass
+    through untouched."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.catalog import (
+        LakeCatalog,
+    )
+
+    cat = LakeCatalog(spark, str(tmp_path / "cat"))
+    base = spark.range(100).selectExpr(
+        "id AS k", "CAST(id % 7 AS INT) AS g", "id * 2 AS v"
+    )
+    cat.create_table("base_t", base)
+    mv_sql = "SELECT g, SUM(v) AS total FROM base_t WHERE g <> 3 GROUP BY g"
+    cat.create_materialized_view("mv_totals", mv_sql)
+
+    # whitespace + case variant matches; literals preserved
+    variant = "select   G, sum(V) as TOTAL from base_t where g <> 3 GROUP BY g;"
+    rewritten, used = cat.rewrite_with_materialized_views(variant)
+    assert used == "mv_totals" and rewritten == "SELECT * FROM mv_totals"
+    served = cat.serve(variant)
+    direct = spark.sql(mv_sql)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    # one materialized FileScan of the MV schema; no aggregate subtree
+    assert "struct<g:int,total:bigint>" in plan
+    assert "HashAggregate" not in plan and "base_t" not in plan
+
+    # a different predicate must NOT match (loud pass-through)
+    other = "SELECT g, SUM(v) AS total FROM base_t WHERE g <> 4 GROUP BY g"
+    rw2, used2 = cat.rewrite_with_materialized_views(other)
+    assert used2 is None and rw2 == other
+
+
+def test_mv_rewrite_literal_content_is_compared_verbatim(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.catalog import (
+        LakeCatalog,
+    )
+
+    cat = LakeCatalog(spark, str(tmp_path / "cat2"))
+    cat.create_table(
+        "docs_t",
+        spark.createDataFrame([(1, "En"), (2, "de")], "id bigint, lang string"),
+    )
+    cat.create_materialized_view(
+        "mv_en", "SELECT id FROM docs_t WHERE lang = 'En'"
+    )
+    # case differs INSIDE the literal -> different query, no rewrite
+    _, used = cat.rewrite_with_materialized_views(
+        "SELECT id FROM docs_t WHERE lang = 'en'"
+    )
+    assert used is None
+    # identical literal, shouty keywords -> rewrite
+    _, used2 = cat.rewrite_with_materialized_views(
+        "SELECT ID FROM DOCS_T WHERE LANG = 'En'"
+    )
+    assert used2 == "mv_en"
