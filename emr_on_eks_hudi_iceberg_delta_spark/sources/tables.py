@@ -2527,3 +2527,84 @@ def table_changes_keyed(
         .unionByName(plain_del)
         .select(*cols)
     )
+
+
+def export_snapshot(
+    table: VersionedTable,
+    export_dir: str,
+    version: int | None = None,
+    digest_cols: list[str] | None = None,
+) -> dict:
+    """Portable snapshot export for DR / cross-site replication: one
+    self-describing directory holding the snapshot's rows as plain
+    parquet (``data/``) plus ``manifest.json`` with the source
+    location, version, schema, and the anti-entropy content digest
+    (operators/validate.table_digest). Unlike ``clone`` (same-site dev
+    fork, no verification), an export is built to survive a network
+    hop: ``import_snapshot`` refuses to materialize a table whose
+    content or schema no longer matches the manifest.
+
+    ``digest_cols`` defaults to every non-float, non-timestamp column
+    (the engine-stable digest surface — validate.py's documented
+    cross-engine caveat applied automatically)."""
+    from ..operators.validate import table_digest
+
+    df = table.read(version=version)
+    if digest_cols is None:
+        digest_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.simpleString()
+            not in ("float", "double", "timestamp", "timestamp_ntz")
+        ]
+    os.makedirs(export_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(export_dir, "data"))
+    back = table.spark.read.parquet(os.path.join(export_dir, "data"))
+    d = table_digest(back, digest_cols).collect()[0]
+    manifest = {
+        "source_location": table.location,
+        "source_version": version
+        if version is not None
+        else table.history()[-1]["version"],
+        "schema": df.schema.json(),
+        "digest_cols": digest_cols,
+        "n_rows": d["n_rows"],
+        "hash_sum": d["hash_sum"],
+        "hash_xor": d["hash_xor"],
+        "exported_unix": int(time.time()),
+    }
+    tmp = os.path.join(export_dir, ".manifest.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, os.path.join(export_dir, "manifest.json"))
+    return manifest
+
+
+def import_snapshot(
+    spark: SparkSession, export_dir: str, location: str
+) -> VersionedTable:
+    """Materialize an exported snapshot as a fresh single-version
+    table, VERIFYING the manifest first: schema must match exactly and
+    the recomputed content digest must equal the exported one —
+    a torn / tampered / partially-copied export refuses loudly instead
+    of becoming a silently-wrong table."""
+    from pyspark.sql.types import StructType
+
+    from ..operators.validate import table_digest
+
+    with open(os.path.join(export_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    df = spark.read.schema(
+        StructType.fromJson(json.loads(manifest["schema"]))
+    ).parquet(os.path.join(export_dir, "data"))
+    d = table_digest(df, manifest["digest_cols"]).collect()[0]
+    got = (d["n_rows"], d["hash_sum"], d["hash_xor"])
+    want = (manifest["n_rows"], manifest["hash_sum"], manifest["hash_xor"])
+    if got != want:
+        raise ValueError(
+            f"snapshot import digest mismatch: manifest {want}, data {got} "
+            f"— the export at {export_dir!r} is incomplete or modified"
+        )
+    out = VersionedTable(spark, location)
+    out.overwrite(df)
+    return out
