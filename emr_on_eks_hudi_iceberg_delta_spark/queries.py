@@ -13557,3 +13557,49 @@ def q_lang_id_confusion_matrix(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "churned_users_audit",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    horizon AS (SELECT MAX(ts) AS h FROM ev),
+    u AS (
+      SELECT user_id, MIN(ts) AS first_seen, MAX(ts) AS last_seen,
+             CAST(COUNT(*) AS BIGINT) AS lifetime_events
+      FROM ev GROUP BY user_id
+    )
+    SELECT user_id, first_seen, last_seen, lifetime_events,
+           CAST((epoch_us(h) - epoch_us(last_seen)) // 86400000000
+                AS BIGINT) AS days_inactive,
+           CAST(last_seen <= h - INTERVAL 1 DAY AS INTEGER) AS is_churned
+    FROM u, horizon
+    """,
+    tags=("events", "agg", "extension"),
+)
+def q_churned_users_audit(spark, sf_dir):
+    """Churn audit: every user's lifetime stats, whole days inactive
+    relative to the stream horizon, and a churn flag (>= 1 day dark) —
+    the re-engagement scoring table. One user_id aggregate + a
+    broadcast one-row horizon; integer-microsecond day arithmetic
+    keeps it engine-exact."""
+    ev = _t(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("h"))
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.count(F.lit(1)).cast("bigint").alias("lifetime_events"),
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return u.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        "first_seen",
+        "last_seen",
+        "lifetime_events",
+        F.floor((us("h") - us("last_seen")) / F.lit(86400000000))
+        .cast("bigint")
+        .alias("days_inactive"),
+        (
+            F.col("last_seen") <= F.col("h") - F.expr("INTERVAL 1 DAY")
+        ).cast("int").alias("is_churned"),
+    )
