@@ -278,39 +278,8 @@ def poisson_bootstrap_ci(
     Returns (group, mean, ci_lo, ci_hi, reps) per group.
     """
     hi_rank = hi_rank if hi_rank is not None else reps - 1
-    b = F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("b")
-    rows = df.select(
-        F.col(group_col).alias("__g"),
-        F.col(value_col).cast("decimal(18,4)").alias("__v"),
-        F.col(id_col).cast("string").alias("__id"),
-        b,
-    )
-    h = md5_hash64(
-        F.concat(
-            F.lit(salt),
-            F.col("b").cast("string"),
-            F.lit(":"),
-            F.col("__id"),
-        )
-    )
-    w = sum(
-        (h >= F.lit(t)).cast("int") for t in POISSON1_THRESHOLDS_2_60
-    ).alias("__w")
-    reps_df = (
-        rows.select("__g", "b", "__v", w)
-        .groupBy("__g", "b")
-        .agg(
-            F.sum(F.col("__w") * F.col("__v")).alias("__swv"),
-            F.sum("__w").cast("bigint").alias("__sw"),
-        )
-        .select(
-            "__g",
-            "b",
-            (
-                F.col("__swv").cast("double")
-                / F.col("__sw").cast("double")
-            ).alias("__mean_b"),
-        )
+    reps_df = bootstrap_replicate_means(
+        df, group_col, value_col, id_col, reps, salt
     )
     rn = F.row_number().over(
         Window.partitionBy("__g").orderBy("__mean_b", "b")
@@ -393,4 +362,135 @@ def class_balanced_sample(
         .crossJoin(F.broadcast(cap))
         .filter(F.col("__rn") <= F.col("__cap"))
         .drop("__rn", "__cap")
+    )
+
+
+def bootstrap_replicate_means(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    reps: int,
+    salt: str = "boot",
+) -> DataFrame:
+    """The shared bootstrap core: per (group, replicate) the exact
+    Poisson-weighted mean ``(__g, b, __mean_b)`` — one explode + one
+    aggregate (see poisson_bootstrap_ci for the full scheme). Exposed
+    so derived statistics (difference CIs, ratio CIs) can combine
+    replicates of SEVERAL groups at matching replicate index b — the
+    pairing that makes bootstrap contrasts valid."""
+    b = F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("b")
+    rows = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("decimal(18,4)").alias("__v"),
+        F.col(id_col).cast("string").alias("__id"),
+        b,
+    )
+    h = md5_hash64(
+        F.concat(
+            F.lit(salt),
+            F.col("b").cast("string"),
+            F.lit(":"),
+            F.col("__id"),
+        )
+    )
+    w = sum(
+        (h >= F.lit(t)).cast("int") for t in POISSON1_THRESHOLDS_2_60
+    ).alias("__w")
+    return (
+        rows.select("__g", "b", "__v", w)
+        .groupBy("__g", "b")
+        .agg(
+            F.sum(F.col("__w") * F.col("__v")).alias("__swv"),
+            F.sum("__w").cast("bigint").alias("__sw"),
+        )
+        .select(
+            "__g",
+            "b",
+            (
+                F.col("__swv").cast("double")
+                / F.col("__sw").cast("double")
+            ).alias("__mean_b"),
+        )
+    )
+
+
+def poisson_bootstrap_diff_ci(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    value_col: str,
+    id_col: str,
+    reps: int = 32,
+    lo_rank: int = 2,
+    hi_rank: int | None = None,
+    salt: str = "boot",
+) -> DataFrame:
+    """A/B-test contrast: percentile-bootstrap CI for the DIFFERENCE of
+    means (group_a - group_b). The statistically load-bearing detail:
+    both groups' replicate means are computed from the SAME draw
+    (identical salt and replicate index), then differenced per
+    replicate — paired replicates, the correct bootstrap for a
+    contrast — and the interval is the same type-1 percentile scheme
+    as poisson_bootstrap_ci. If the CI excludes 0, the difference is
+    significant at the corresponding level. One extra self-join of the
+    reps x 2 replicate table; everything else shares the single-pass
+    core."""
+    hi_rank = hi_rank if hi_rank is not None else reps - 1
+    sub = df.filter(F.col(group_col).isin([group_a, group_b]))
+    reps_df = bootstrap_replicate_means(
+        sub, group_col, value_col, id_col, reps, salt
+    )
+    a = reps_df.filter(F.col("__g") == group_a).select(
+        "b", F.col("__mean_b").alias("__ma")
+    )
+    bb = reps_df.filter(F.col("__g") == group_b).select(
+        "b", F.col("__mean_b").alias("__mb")
+    )
+    diffs = a.join(bb, "b").select(
+        "b", (F.col("__ma") - F.col("__mb")).alias("__d")
+    )
+    rn = F.row_number().over(Window.orderBy("__d", "b"))
+    ci = (
+        diffs.withColumn("__rn", rn)
+        .agg(
+            F.max(F.when(F.col("__rn") == lo_rank, F.col("__d"))).alias(
+                "ci_lo"
+            ),
+            F.max(F.when(F.col("__rn") == hi_rank, F.col("__d"))).alias(
+                "ci_hi"
+            ),
+        )
+    )
+    pt = (
+        sub.groupBy(group_col)
+        .agg(
+            (
+                F.sum(F.col(value_col).cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("__m")
+        )
+    )
+    pa = pt.filter(F.col(group_col) == group_a).select(
+        F.col("__m").alias("mean_a")
+    )
+    pb = pt.filter(F.col(group_col) == group_b).select(
+        F.col("__m").alias("mean_b")
+    )
+    return (
+        pa.crossJoin(pb)
+        .crossJoin(F.broadcast(ci))
+        .select(
+            F.lit(group_a).alias("group_a"),
+            F.lit(group_b).alias("group_b"),
+            "mean_a",
+            "mean_b",
+            (F.col("mean_a") - F.col("mean_b")).alias("diff"),
+            "ci_lo",
+            "ci_hi",
+            (
+                ~((F.col("ci_lo") <= 0) & (F.col("ci_hi") >= 0))
+            ).cast("int").alias("significant"),
+        )
     )

@@ -13603,3 +13603,64 @@ def q_churned_users_audit(spark, sf_dir):
             F.col("last_seen") <= F.col("h") - F.expr("INTERVAL 1 DAY")
         ).cast("int").alias("is_churned"),
     )
+
+
+@register(
+    "ab_test_bootstrap_diff",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    sub AS (SELECT * FROM ev WHERE event_type IN ('purchase', 'click')),
+    reps AS (
+      SELECT event_type AS g, b,
+             CAST(SUM(({_BOOT_W}) * CAST(value AS DECIMAL(18,4)))
+                  AS DOUBLE)
+             / CAST(SUM({_BOOT_W}) AS DOUBLE) AS mean_b
+      FROM sub CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+      GROUP BY event_type, b
+    ),
+    d AS (
+      SELECT a.b, a.mean_b - c.mean_b AS diff_b
+      FROM reps a JOIN reps c ON a.b = c.b
+      WHERE a.g = 'purchase' AND c.g = 'click'
+    ),
+    ranked AS (
+      SELECT diff_b, ROW_NUMBER() OVER (ORDER BY diff_b, b) AS rn FROM d
+    ),
+    ci AS (
+      SELECT MAX(CASE WHEN rn = 2 THEN diff_b END) AS ci_lo,
+             MAX(CASE WHEN rn = 31 THEN diff_b END) AS ci_hi
+      FROM ranked
+    ),
+    pt AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS m
+      FROM sub GROUP BY event_type
+    )
+    SELECT 'purchase' AS group_a, 'click' AS group_b,
+           (SELECT m FROM pt WHERE event_type = 'purchase') AS mean_a,
+           (SELECT m FROM pt WHERE event_type = 'click') AS mean_b,
+           (SELECT m FROM pt WHERE event_type = 'purchase')
+             - (SELECT m FROM pt WHERE event_type = 'click') AS diff,
+           ci_lo, ci_hi,
+           CAST(NOT (ci_lo <= 0 AND ci_hi >= 0) AS INTEGER) AS significant
+    FROM ci
+    """,
+    tags=("events", "stats", "extension"),
+)
+def q_ab_test_bootstrap_diff(spark, sf_dir):
+    """A/B-test contrast (operators/sampling.poisson_bootstrap_diff_ci):
+    90% percentile-bootstrap CI for the difference of mean value
+    between 'purchase' and 'click' events. The load-bearing detail is
+    PAIRED replicates — both groups' means come from the same
+    deterministic draw at the same replicate index before differencing
+    (the correct bootstrap for a contrast); the oracle replays the
+    identical pairing. ``significant`` = the CI excludes zero. Same
+    single-explode cost model as the per-group CI."""
+    from .operators.sampling import poisson_bootstrap_diff_ci
+
+    return poisson_bootstrap_diff_ci(
+        _t(spark, sf_dir, "events"),
+        "event_type", "purchase", "click", "value", "event_id",
+        reps=32,
+    )

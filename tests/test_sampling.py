@@ -339,3 +339,39 @@ def test_class_balanced_fixed_matches_exact_k(spark):
         for r in exact_k_per_stratum(df, "label", "id", 5, salt="bal:").collect()
     }
     assert a == b and len(a) == 10
+
+
+def test_bootstrap_diff_ci_detects_planted_effect(spark):
+    """Two groups with a real mean gap -> CI excludes 0; identical
+    groups -> CI straddles 0 and significant = 0."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.sampling import (
+        poisson_bootstrap_diff_ci,
+    )
+
+    base = spark.range(2000)
+    df = base.select(
+        F.when(F.col("id") % 2 == 0, F.lit("A")).otherwise(F.lit("B"))
+        .alias("g"),
+        (
+            F.col("id") % 100
+            + F.when(F.col("id") % 2 == 0, F.lit(50)).otherwise(F.lit(0))
+        ).cast("double").alias("v"),
+        F.col("id").alias("rid"),
+    )
+    row = poisson_bootstrap_diff_ci(
+        df, "g", "A", "B", "v", "rid", reps=32
+    ).collect()[0]
+    assert row["significant"] == 1 and row["ci_lo"] > 30
+    assert abs(row["diff"] - 50.0) < 5
+
+    null = base.select(
+        F.when(F.col("id") % 2 == 0, F.lit("A")).otherwise(F.lit("B"))
+        .alias("g"),
+        (F.col("id") % 100).cast("double").alias("v"),
+        F.col("id").alias("rid"),
+    )
+    row0 = poisson_bootstrap_diff_ci(
+        null, "g", "A", "B", "v", "rid", reps=32
+    ).collect()[0]
+    assert row0["significant"] == 0
+    assert row0["ci_lo"] < 0 < row0["ci_hi"]
