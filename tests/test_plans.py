@@ -664,3 +664,12 @@ def test_bootstrap_single_aggregate_pass(spark):
 def test_column_stats_exact_mode_single_scan(spark):
     df = REGISTRY["table_column_stats"].fn(spark, SF_DIR)
     assert file_scan_count(df) == 1
+
+
+def test_bq_index_screen_scans_signature_table_only(spark):
+    """The persisted-BQ claim: the Hamming screen reads the 8-byte/row
+    signature parquet (vec_id, sig) — the float embedding column
+    appears only in the rerank branch, fetched for screen survivors."""
+    df = REGISTRY["embedding_bq_index_topk"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "struct<vec_id:bigint,sig:bigint>" in plan
