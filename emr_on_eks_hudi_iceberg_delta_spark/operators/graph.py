@@ -276,12 +276,18 @@ def degree_assortativity(
         .select(
             "n_nodes",
             (F.col("n") / 2).cast("bigint").alias("n_edges"),
-            (
+            # Degree-regular graphs (single edge, perfect matching,
+            # cycle) have zero degree variance on both endpoint sides:
+            # the correlation is undefined, so emit NULL instead of
+            # letting ANSI mode throw DIVIDE_BY_ZERO (same discipline
+            # as q_events_autocorrelation's den != 0 filter).
+            F.when(
+                (den1 > 0) & (den2 > 0),
                 num.cast("double")
                 / (
                     F.sqrt(den1.cast("double"))
                     * F.sqrt(den2.cast("double"))
-                )
+                ),
             ).alias("assortativity"),
         )
     )

@@ -378,7 +378,16 @@ def bootstrap_replicate_means(
     aggregate (see poisson_bootstrap_ci for the full scheme). Exposed
     so derived statistics (difference CIs, ratio CIs) can combine
     replicates of SEVERAL groups at matching replicate index b — the
-    pairing that makes bootstrap contrasts valid."""
+    pairing that makes bootstrap contrasts valid.
+
+    Empty-resample semantics: a (group, replicate) where EVERY row drew
+    Poisson weight 0 (near-certain for 1-row groups: P = e^-n per
+    replicate) has no resample mean — the replicate is DROPPED for that
+    group rather than emitted as NULL or a division by zero (Spark 4's
+    ANSI default would throw DIVIDE_BY_ZERO). The DuckDB oracles mirror
+    this with ``HAVING SUM(w) > 0`` so replicate ranks stay aligned;
+    consumers ranking replicates must rank the survivors (both CI
+    builders here do, identically to their oracles)."""
     b = F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("b")
     rows = df.select(
         F.col(group_col).alias("__g"),
@@ -404,6 +413,7 @@ def bootstrap_replicate_means(
             F.sum(F.col("__w") * F.col("__v")).alias("__swv"),
             F.sum("__w").cast("bigint").alias("__sw"),
         )
+        .filter(F.col("__sw") > 0)
         .select(
             "__g",
             "b",

@@ -1636,11 +1636,18 @@ def bq_signature_expr(vec_col: str) -> "F.Column":
     """Binary quantization: bit j set iff ``vec[j] > 0`` (first BQ_BITS
     dims). Sign bits of floats are engine-exact — no rounding surface —
     so BQ signatures are perfectly reproducible anywhere, unlike every
-    float-accumulating sketch."""
+    float-accumulating sketch.
+
+    The index sequence is bounded at ``least(size(vec), BQ_BITS)`` so
+    reduced-dimension embeddings (d < 63) sign only their real dims
+    instead of throwing INVALID_ARRAY_INDEX_IN_ELEMENT_AT under Spark
+    4's ANSI default; an empty/NULL-sized vector signs to 0."""
     return F.expr(
-        f"aggregate(sequence(0, {BQ_BITS - 1}), 0L, (acc, j) -> "
+        f"if(coalesce(size({vec_col}), 0) <= 0, 0L, "
+        f"aggregate(sequence(0, least(size({vec_col}), {BQ_BITS}) - 1), "
+        f"0L, (acc, j) -> "
         f"acc + if(element_at({vec_col}, j + 1) > cast(0.0 as double), "
-        f"shiftleft(1L, j), 0L))"
+        f"shiftleft(1L, j), 0L)))"
     )
 
 

@@ -93,16 +93,19 @@ def range_join_binned(
     |points| x |intervals|.
     """
     us = 1_000_000 * bin_seconds
+    # floor, not cast-truncate: truncation rounds toward zero, so
+    # pre-1970 (negative-epoch) timestamps would collapse bins around 0
+    # and points could land in a different bin than their interval.
     p = points.withColumn(
         "__bin",
-        (F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {point_ts})") / us).cast("bigint"),
+        F.floor(F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {point_ts})") / us).cast("bigint"),
     )
     i = intervals.withColumn(
         "__bin",
         F.explode(
             F.sequence(
-                (F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {start_col})") / us).cast("bigint"),
-                (F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {end_col})") / us).cast("bigint"),
+                F.floor(F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {start_col})") / us).cast("bigint"),
+                F.floor(F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {end_col})") / us).cast("bigint"),
             )
         ),
     )
@@ -151,20 +154,25 @@ def interval_overlap_join(
             f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
         )
 
+    # floor division, not cast-truncation: truncation rounds toward
+    # zero, so negative (pre-1970) epoch values would collapse bin ids
+    # around 0 and the first-shared-bin equality could disagree with
+    # the greatest(l_start, r_start) bin — silently dropping genuinely
+    # overlapping pairs. floor is bin-consistent for any epoch sign.
     def _binned(df: DataFrame, start: str, end: str) -> DataFrame:
         return df.filter(F.col(start) < F.col(end)).withColumn(
             "__bin",
             F.explode(
                 F.sequence(
-                    (_us(start) / us).cast("bigint"),
-                    ((_us(end) - 1) / us).cast("bigint"),
+                    F.floor(_us(start) / us).cast("bigint"),
+                    F.floor((_us(end) - 1) / us).cast("bigint"),
                 )
             ),
         )
 
     lb = _binned(left, l_start, l_end)
     rb = _binned(right, r_start, r_end)
-    first_shared = (
+    first_shared = F.floor(
         F.greatest(_us(l_start), _us(r_start)) / us
     ).cast("bigint")
     return (

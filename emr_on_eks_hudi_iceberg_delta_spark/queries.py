@@ -11907,6 +11907,7 @@ _BOOT_W = " + ".join(
              / CAST(SUM({_BOOT_W}) AS DOUBLE) AS mean_b
       FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
       GROUP BY event_type, b
+      HAVING SUM({_BOOT_W}) > 0
     ),
     ranked AS (
       SELECT g, mean_b,
@@ -12017,10 +12018,12 @@ def q_graph_degree_distribution(spark, sf_dir):
           FROM xy)
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
-           CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS DOUBLE)
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS DOUBLE)
              / (sqrt(CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS DOUBLE))
                 * sqrt(CAST(CAST(n * syy - sy * sy AS DECIMAL(38,0))
                             AS DOUBLE)))
+                END
              AS assortativity
     FROM m
     """,
@@ -13617,6 +13620,7 @@ def q_churned_users_audit(spark, sf_dir):
              / CAST(SUM({_BOOT_W}) AS DOUBLE) AS mean_b
       FROM sub CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
       GROUP BY event_type, b
+      HAVING SUM({_BOOT_W}) > 0
     ),
     d AS (
       SELECT a.b, a.mean_b - c.mean_b AS diff_b

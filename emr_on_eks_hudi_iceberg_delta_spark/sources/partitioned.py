@@ -776,12 +776,19 @@ class HiddenPartitionedTable:
             return str(value)[: self.n]
         return value
 
-    def _parse_pval(self, s: str):
-        """Manifest partition-value string -> comparable host value."""
-        if self.transform == "bucket" or (
-            self.transform in ("truncate", "identity")
-            and s.lstrip("-").isdigit()
-        ):
+    def _parse_pval(self, s: str, like=None):
+        """Manifest partition-value string -> comparable host value.
+
+        ``like`` is the host-transformed predicate literal: the parse
+        target type comes from IT, not from the string's shape. A
+        digit-looking manifest value for a STRING column (zero-padded
+        code '0123', truncate w=2 -> partition '01') must stay a str —
+        int-parsing it would make ``1 == '01'`` False (silent wrong
+        prune) and range ops TypeError. Only when the host literal is
+        an int (bucket ids, int truncate/identity) do we parse to int.
+        With no source-col predicate (``like is None``) no comparison
+        happens, so the value is returned as-is."""
+        if self.transform == "bucket" or isinstance(like, int):
             try:
                 return int(s)
             except ValueError:
@@ -823,10 +830,13 @@ class HiddenPartitionedTable:
         columns never prune (they can't — the layout doesn't know them)
         but still filter."""
         preds = []
+        exemplar = None
         for col, op, value in filters:
             if col != self.source_col:
                 continue
             t = self._host_transform(value)
+            if exemplar is None:
+                exemplar = t
             order_preserving = self.transform in (
                 "days", "hours", "months", "truncate", "identity",
             )
@@ -843,8 +853,8 @@ class HiddenPartitionedTable:
             else:
                 raise ValueError(f"unsupported op {op!r}")
         df = self.inner.read_partitions_where(
-            lambda s, preds=preds: all(
-                pred(self._parse_pval(s)) for pred in preds
+            lambda s, preds=preds, like=exemplar: all(
+                pred(self._parse_pval(s, like)) for pred in preds
             )
         )
         ops = {
@@ -864,10 +874,13 @@ class HiddenPartitionedTable:
         live = self.inner._versions()[-1]["partitions"]
         prefix = f"{self.pcol}="
         preds = []
+        exemplar = None
         for col, op, value in filters:
             if col != self.source_col:
                 continue
             t = self._host_transform(value)
+            if exemplar is None:
+                exemplar = t
             order_preserving = self.transform != "bucket"
             if op == "==":
                 preds.append(lambda p, t=t: p == t)
@@ -879,7 +892,10 @@ class HiddenPartitionedTable:
             k
             for k in live
             if k.startswith(prefix)
-            and all(p(self._parse_pval(k[len(prefix):])) for p in preds)
+            and all(
+                p(self._parse_pval(k[len(prefix):], exemplar))
+                for p in preds
+            )
         )
 
     # -- manifest delegation (streaming sink + history surfaces) -------------

@@ -230,3 +230,21 @@ def test_assortativity_matches_host_pearson(spark):
     )
     assert got["n_nodes"] == len(deg) and got["n_edges"] == len(edges)
     assert abs(got["assortativity"] - want) < 1e-12
+
+
+def test_assortativity_regular_graph_is_null_not_crash(spark):
+    """ADVICE r8: degree-regular graphs (zero degree variance) have an
+    undefined correlation — NULL, never an ANSI DIVIDE_BY_ZERO."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    for edges, n_nodes, n_edges in [
+        ([(0, 1)], 2, 1),  # single edge
+        ([(0, 1), (2, 3)], 4, 2),  # perfect matching
+        ([(0, 1), (1, 2), (2, 3), (3, 0)], 4, 4),  # 4-cycle
+    ]:
+        df = spark.createDataFrame(edges, "u bigint, v bigint")
+        row = degree_assortativity(df).collect()[0]
+        assert row["n_nodes"] == n_nodes and row["n_edges"] == n_edges
+        assert row["assortativity"] is None

@@ -124,3 +124,42 @@ def test_upsert_stays_partition_scoped(spark, events):
     assert moved == ["hp_days_ts=2024-01-05"]
     got = hp.read().filter(F.col("value") >= 1000.0)
     assert got.count() == one_day.count()
+
+
+def test_truncate_zero_padded_string_codes_prune_correctly(spark):
+    """ADVICE r8: digit-looking manifest values for a STRING column
+    must stay strings — int-parsing made 1 == '01' False (silent wrong
+    prune) and range predicates TypeError."""
+    rows = spark.createDataFrame(
+        [(1, "0123"), (2, "0999"), (3, "1500")],
+        "id int, code string",
+    )
+    hp = HiddenPartitionedTable(
+        spark, tempfile.mkdtemp(prefix="hp_"), "truncate", "code", n=2
+    )
+    hp.overwrite(rows)
+    assert hp.scanned_partitions([("code", "==", "0123")]) == [
+        "hp_truncate2_code=01"
+    ]
+    got = hp.read_filtered([("code", "==", "0123")])
+    assert [r["id"] for r in got.collect()] == [1]
+    # range op on the zero-padded string column: no TypeError, exact
+    rng = hp.read_filtered([("code", ">=", "0900")])
+    assert sorted(r["id"] for r in rng.collect()) == [2, 3]
+
+
+def test_identity_numeric_string_column_prunes(spark):
+    rows = spark.createDataFrame(
+        [(1, "007"), (2, "7"), (3, "042")], "id int, tag string"
+    )
+    hp = HiddenPartitionedTable(
+        spark, tempfile.mkdtemp(prefix="hp_"), "identity", "tag"
+    )
+    hp.overwrite(rows)
+    # '007' and '7' are DIFFERENT string partitions; int-parsing would
+    # have merged them
+    assert hp.scanned_partitions([("tag", "==", "7")]) == [
+        "hp_identity_tag=7"
+    ]
+    got = hp.read_filtered([("tag", "==", "007")])
+    assert [r["id"] for r in got.collect()] == [1]

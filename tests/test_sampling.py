@@ -375,3 +375,51 @@ def test_bootstrap_diff_ci_detects_planted_effect(spark):
     ).collect()[0]
     assert row0["significant"] == 0
     assert row0["ci_lo"] < 0 < row0["ci_hi"]
+
+
+def test_bootstrap_small_groups_drop_empty_resamples(spark):
+    """ADVICE r8: a (group, replicate) whose every row draws Poisson
+    weight 0 must be DROPPED, not divide by zero (ANSI mode throws).
+    A 1-row group empties ~37% of replicates — the crash repro."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.sampling import (
+        bootstrap_replicate_means,
+        poisson_bootstrap_ci,
+    )
+
+    df = spark.createDataFrame(
+        [("solo", 7.0, "r1")]
+        + [("big", float(i % 10), f"b{i}") for i in range(200)],
+        "g string, v double, rid string",
+    )
+    reps = bootstrap_replicate_means(df, "g", "v", "rid", reps=32)
+    rows = reps.collect()
+    solo = [r for r in rows if r["__g"] == "solo"]
+    # survivors only, and every survivor's mean is the single value
+    assert 0 < len(solo) < 32
+    assert all(r["__mean_b"] == 7.0 for r in solo)
+
+    out = {r["g"]: r for r in poisson_bootstrap_ci(
+        df, "g", "v", "rid", reps=32
+    ).collect()}
+    assert out["solo"]["mean"] == 7.0
+    # big group keeps all 32 replicates -> proper CI brackets the mean
+    big = out["big"]
+    assert big["ci_lo"] <= big["mean"] <= big["ci_hi"]
+
+
+def test_bootstrap_diff_ci_single_row_groups_do_not_crash(spark):
+    """The paired diff CI inner-joins surviving replicates; 1-row
+    groups must yield a row (possibly NULL bounds), never an error."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.sampling import (
+        poisson_bootstrap_diff_ci,
+    )
+
+    df = spark.createDataFrame(
+        [("A", 3.0, "a1"), ("B", 1.0, "b1")],
+        "g string, v double, rid string",
+    )
+    row = poisson_bootstrap_diff_ci(
+        df, "g", "A", "B", "v", "rid", reps=32
+    ).collect()[0]
+    assert row["mean_a"] == 3.0 and row["mean_b"] == 1.0
+    assert row["diff"] == 2.0

@@ -85,3 +85,48 @@ def test_bq_screen_recall_on_clustered_corpus(spark):
     out = bq_topk(df, df.filter("vec_id < 10"), k=3, screen_m=30).collect()
     top1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
     assert top1 == {i: 100 + i for i in range(10)}
+
+
+def test_bq_small_dim_vectors_sign_available_dims(spark):
+    """ADVICE r8: embeddings with fewer than BQ_BITS dims must sign
+    their real dims, not throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT."""
+    import numpy as np
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.similarity import (
+        bq_signature_expr,
+        bq_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(30)]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    got = {
+        r["vec_id"]: r["sig"]
+        for r in df.select(
+            "vec_id", bq_signature_expr("embedding").alias("sig")
+        ).collect()
+    }
+    for i, v in vecs:
+        want = sum(1 << j for j in range(8) if v[j] > 0)
+        assert got[i] == want
+    # end-to-end: screen + rerank on 8-dim vectors works
+    out = bq_topk(df, df.filter("vec_id < 3"), k=2, screen_m=10).collect()
+    assert {r["query_id"] for r in out} == {0, 1, 2}
+    assert all(r["neighbor_id"] != r["query_id"] for r in out)
+
+
+def test_bq_empty_vector_signs_to_zero(spark):
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.similarity import (
+        bq_signature_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(1, []), (2, [1.0, -1.0])], "vec_id bigint, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: r["sig"]
+        for r in df.select(
+            "vec_id", bq_signature_expr("embedding").alias("sig")
+        ).collect()
+    }
+    assert got == {1: 0, 2: 1}

@@ -101,3 +101,44 @@ def test_different_keys_never_join(spark):
         left, right, ["key"], "ls", "le", "rs", "re"
     )
     assert out.count() == 0
+
+
+def test_pre_1970_timestamps_overlap_correctly(spark):
+    """ADVICE r8: cast-truncation binning collapsed negative-epoch bin
+    ids around 0; floor division must keep pre-1970 pairs joined."""
+    got = _pairs(
+        spark,
+        [(1, "1969-12-31T22:30:00", "1969-12-31T23:30:00")],
+        [(2, "1969-12-31T23:00:00", "1970-01-01T00:30:00"),
+         (3, "1969-12-30T01:00:00", "1969-12-30T02:00:00")],
+    )
+    assert got == [(1, 2)]
+
+
+def test_pre_1970_each_pair_emitted_once(spark):
+    # long interval spanning the epoch boundary: still exactly one row
+    got = _pairs(
+        spark,
+        [(1, "1969-12-31T20:00:00", "1970-01-01T04:00:00")],
+        [(2, "1969-12-31T21:00:00", "1970-01-01T01:00:00")],
+    )
+    assert got == [(1, 2)]
+
+
+def test_point_in_interval_pre_1970(spark):
+    import datetime
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.temporal import (
+        range_join_binned,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, _ts("1969-12-31T23:15:00")), (2, _ts("1969-12-29T00:00:00"))],
+        "pid int, ts timestamp_ntz",
+    )
+    iv = spark.createDataFrame(
+        [(10, _ts("1969-12-31T23:00:00"), _ts("1970-01-01T01:00:00"))],
+        "iid int, s timestamp_ntz, e timestamp_ntz",
+    )
+    out = range_join_binned(pts, iv, "ts", "s", "e")
+    assert sorted((r["pid"], r["iid"]) for r in out.collect()) == [(1, 10)]
