@@ -1,11 +1,18 @@
 #!/usr/bin/env python
-"""Benchmark harness: runs the headline queries (registry tag "bench") at
+"""Benchmark harness: runs the headline queries (registry tags "bench" —
+the legacy 13-query set frozen since round 1 — plus "bench_ext", the
+round-9 extension covering the round-7/8 operator families) at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line:
 
     {"metric": "bench_total_sec", "value": N, "unit": "sec",
+     "legacy13_total_sec": L, "ext_total_sec": E,
      "queries": {name: sec, ...}, "sf": "...", "iters": K,
      "round_totals": [...]}
+
+``value`` = legacy + ext (the r9-and-later baseline);
+``legacy13_total_sec`` is methodology-identical to BENCH_r1..r8 and
+BASELINE.json, so cross-round regression calls keep a stable ruler.
 
 Each query is fully materialized through the ``noop`` sink (computes every
 output column — ``count()`` would let Catalyst prune the work away).
@@ -55,6 +62,16 @@ from emr_on_eks_hudi_iceberg_delta_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
+# The round-9 extended set (tag "bench_ext" — one representative per
+# round-7/8 operator family) costs ~2.5x the whole legacy set per round
+# (triangle counting and the 32-replicate bootstrap dominate), so it
+# gets its own lighter iteration budget: medians over 3 rounds after 2
+# warmups keep the whole bench inside the wall-clock budget while still
+# giving those families a regression watch. The LEGACY phase keeps the
+# exact r1 methodology (4 warmups, ITERS rounds) so legacy13_total_sec
+# stays comparable across every round artifact.
+ITERS_EXT = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS_EXT", "3"))
+WARMUPS_EXT = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS_EXT", "2"))
 
 # Self-certification knobs (round-6): the round-5 artifact was recorded at
 # loadavg 4.03 with a 111% noise band — numbers that cannot support a
@@ -106,7 +123,21 @@ def wait_for_quiet() -> tuple[float, int]:
 def main() -> None:
     loadavg_pre, waited_sec = wait_for_quiet()
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
-    bench_queries = [n for n, s in sorted(REGISTRY.items()) if "bench" in s.tags]
+    # Two tag sets (round-9): "bench" is the LEGACY 13-query set, frozen
+    # since round 1 — its total ("legacy13_total_sec") is the number
+    # comparable against BASELINE.json and every BENCH_r{1..8} artifact.
+    # "bench_ext" adds one representative per round-7/8 operator family
+    # (reconcile, Hamming join, containment join, bootstrap CI, graph
+    # triangles, stickiness, persisted BQ-ANN, inverted-index retrieval)
+    # so those families have a regression watch; "value" is the total
+    # over BOTH sets — the r9-and-later baseline.
+    legacy_queries = [
+        n for n, s in sorted(REGISTRY.items()) if "bench" in s.tags
+    ]
+    ext_queries = [
+        n for n, s in sorted(REGISTRY.items()) if "bench_ext" in s.tags
+    ]
+    bench_queries = legacy_queries
 
     # Steady-state methodology (TPC-style power run): hot data + compiled
     # plans. Cache the input tables once (Spark's CacheManager then serves
@@ -124,13 +155,17 @@ def main() -> None:
 
     from statistics import median
 
-    def timed_phase() -> tuple[dict[str, list[float]], list[float], float]:
+    def timed_phase(
+        queries: list[str] = None, iters: int = None
+    ) -> tuple[dict[str, list[float]], list[float], float]:
+        queries = queries if queries is not None else bench_queries
+        iters = iters if iters is not None else ITERS
         loadavg = round(os.getloadavg()[0], 2)
-        samples: dict[str, list[float]] = {n: [] for n in bench_queries}
+        samples: dict[str, list[float]] = {n: [] for n in queries}
         round_totals: list[float] = []
-        for _ in range(ITERS):
+        for _ in range(iters):
             rt = 0.0
-            for name in bench_queries:
+            for name in queries:
                 t0 = time.perf_counter()
                 materialize(REGISTRY[name].fn(spark, SF_DIR))
                 dt = time.perf_counter() - t0
@@ -178,8 +213,29 @@ def main() -> None:
             break  # out of wall-clock budget: publish the best we have
     samples, round_totals, loadavg_1m = best
 
+    # Extended phase: own warmups + lighter iteration count, one retry
+    # on a blown band if the wall clock allows.
+    for _ in range(WARMUPS_EXT):
+        for name in ext_queries:
+            materialize(REGISTRY[name].fn(spark, SF_DIR))
+    ext_best = timed_phase(ext_queries, ITERS_EXT)
+    if (
+        trimmed_band(ext_best[1]) > BAND_MAX
+        and time.monotonic() - _T0 < MAX_SEC
+    ):
+        retry = timed_phase(ext_queries, ITERS_EXT)
+        if trimmed_band(retry[1]) < trimmed_band(ext_best[1]):
+            ext_best = retry
+    ext_samples, ext_round_totals, _ = ext_best
+
     timings = {n: round(median(ts), 3) for n, ts in samples.items()}
-    total = round(sum(timings.values()), 3)
+    ext_timings = {
+        n: round(median(ts), 3) for n, ts in ext_samples.items()
+    }
+    legacy13_total = round(sum(timings.values()), 3)
+    ext_total = round(sum(ext_timings.values()), 3)
+    timings = {**timings, **ext_timings}
+    total = round(legacy13_total + ext_total, 3)
     noise_band_pct = band(round_totals)
     print(
         json.dumps(
@@ -187,6 +243,16 @@ def main() -> None:
                 "metric": "bench_total_sec",
                 "value": total,
                 "unit": "sec",
+                # cross-round comparability: legacy13_total_sec is the
+                # EXACT tag set and methodology of BENCH_r1..r8 /
+                # BASELINE.json; value (= legacy + ext) is the r9+ line
+                "legacy13_total_sec": legacy13_total,
+                "ext_total_sec": ext_total,
+                "ext_iters": ITERS_EXT,
+                "ext_round_totals": ext_round_totals,
+                "ext_noise_band_pct": band(ext_round_totals),
+                "legacy_queries": legacy_queries,
+                "ext_queries": ext_queries,
                 "queries": timings,
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                 "iters": ITERS,
@@ -207,6 +273,7 @@ def main() -> None:
                 "certified": bool(
                     loadavg_pre <= MAX_LOAD
                     and trimmed_band(round_totals) <= BAND_MAX
+                    and trimmed_band(ext_round_totals) <= BAND_MAX
                 ),
             }
         )

@@ -10946,7 +10946,7 @@ def q_grouped_multiple_regression(spark, sf_dir):
     JOIN e e2 ON e2.u = e1.v
     JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
     """,
-    tags=("graph", "extension"),
+    tags=("graph", "extension", "bench_ext"),
 )
 def q_graph_triangle_count(spark, sf_dir):
     """Triangle counting on the co-purchase graph (parts are adjacent
@@ -11612,7 +11612,7 @@ _RECON_HASH = (
     WHERE tgt_n IS NULL OR src_n IS NULL
        OR src_n <> tgt_n OR src_sum <> tgt_sum
     """,
-    tags=("lake", "quality", "scale", "extension"),
+    tags=("lake", "quality", "scale", "extension", "bench_ext"),
 )
 def q_table_reconcile_diff(spark, sf_dir):
     """Keyed reconciliation changeset (operators/validate.
@@ -11667,7 +11667,7 @@ def q_table_reconcile_diff(spark, sf_dir):
     FROM base b CROSS JOIN cand c
     WHERE bit_count(xor(b.sig, c.csig)) <= 2
     """,
-    tags=("dedup", "scale", "extension"),
+    tags=("dedup", "scale", "extension", "bench_ext"),
 )
 def q_simhash_hamming_join(spark, sf_dir):
     """LOSSLESS Hamming <=2 join (operators/dedup.hamming_join) between
@@ -11723,7 +11723,7 @@ def q_simhash_hamming_join(spark, sf_dir):
     FROM tf GROUP BY doc_id HAVING COUNT(*) = 3
     ORDER BY score DESC, doc_id LIMIT 50
     """,
-    tags=("text", "retrieval", "extension"),
+    tags=("text", "retrieval", "extension", "bench_ext"),
 )
 def q_inverted_index_search(spark, sf_dir):
     """Conjunctive boolean retrieval over the corpus inverted index
@@ -11929,7 +11929,7 @@ _BOOT_W = " + ".join(
            CAST(32 AS INTEGER) AS reps
     FROM pt JOIN ci ON pt.g = ci.g
     """,
-    tags=("events", "stats", "scale", "extension"),
+    tags=("events", "stats", "scale", "extension", "bench_ext"),
 )
 def q_bootstrap_group_mean_ci(spark, sf_dir):
     """Deterministic Poisson-bootstrap 90% CI for the per-event-type
@@ -12519,7 +12519,7 @@ def q_arrow_ipc_roundtrip(spark, sf_dir):
            CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
     FROM dau JOIN wau ON dau.day = wau.day JOIN mau ON dau.day = mau.day
     """,
-    tags=("events", "stats", "extension"),
+    tags=("events", "stats", "extension", "bench_ext"),
 )
 def q_dau_wau_mau_stickiness(spark, sf_dir):
     """DAU / WAU / MAU and the DAU/WAU stickiness ratio per day — the
@@ -12902,7 +12902,7 @@ def q_market_basket_lift(spark, sf_dir):
     FROM inter JOIN lsz USING (sid)
     WHERE CAST(n_shared AS DOUBLE) / CAST(n_left AS DOUBLE) >= 0.9
     """,
-    tags=("dedup", "text", "scale", "extension"),
+    tags=("dedup", "text", "scale", "extension", "bench_ext"),
 )
 def q_containment_superset_join(spark, sf_dir):
     """Asymmetric containment join (operators/dedup.containment_join):
@@ -13498,7 +13498,7 @@ def q_streaming_pattern_alerts(spark, sf_dir):
 @register(
     "embedding_bq_index_topk",
     oracle=REGISTRY["embedding_bq_hamming_rerank"].oracle,
-    tags=("embedding", "ann", "lake", "extension"),
+    tags=("embedding", "ann", "lake", "extension", "bench_ext"),
 )
 def q_embedding_bq_index_topk(spark, sf_dir):
     """BQ ANN served from the PERSISTED signature index

@@ -33,7 +33,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 def main() -> None:
     spark = get_spark("plan_audit", master="local[8]", shuffle_partitions=8)
     names = sorted(
-        n for n, spec in REGISTRY.items() if "bench" in getattr(spec, "tags", ())
+        n
+        for n, spec in REGISTRY.items()
+        if {"bench", "bench_ext"} & set(getattr(spec, "tags", ()))
     )
     out = {}
     import re
@@ -56,11 +58,20 @@ def main() -> None:
             "scans": final.count("Scan parquet"),
             "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", final))),
         }
+    legacy = sorted(
+        n for n, spec in REGISTRY.items() if "bench" in getattr(spec, "tags", ())
+    )
     payload = {
         "sf_dir": SF_DIR,
         "queries": out,
         "totals": {
             k: sum(v[k] for v in out.values())
+            for k in ("shuffles", "broadcasts", "scans", "codegen_spans")
+        },
+        # the r1-comparable subset: totals over the legacy "bench" tag
+        # set only, so cross-round plan-shape diffs keep a stable ruler
+        "legacy13_totals": {
+            k: sum(out[n][k] for n in legacy)
             for k in ("shuffles", "broadcasts", "scans", "codegen_spans")
         },
     }
