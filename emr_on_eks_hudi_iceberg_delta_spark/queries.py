@@ -13668,3 +13668,63 @@ def q_ab_test_bootstrap_diff(spark, sf_dir):
         "event_type", "purchase", "click", "value", "event_id",
         reps=32,
     )
+
+
+@register(
+    "mv_rollup_containment_rewrite",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderstatus
+    """,
+    tags=("lake", "catalog", "agg", "extension"),
+)
+def q_mv_rollup_containment_rewrite(spark, sf_dir):
+    """Containment-tier MV auto-rewrite (sources/catalog.
+    _containment_rewrite, the round-9 extension of the exact-text
+    tier): the stored view groups orders by (status, priority) with
+    COUNT(*) + a DECIMAL SUM; the incoming dashboard query groups by
+    status ONLY and filters on priority — a rollup whose groups are
+    disjoint unions of view groups, so COUNT re-aggregates as SUM of
+    partial counts and the DECIMAL SUM re-sums exactly. The rewrite is
+    asserted to have fired (the gate fails if the tier regresses to
+    pass-through) and the served plan reads the MV's materialized
+    scan, never the base table (plan-pinned in
+    tests/test_catalog.py). The 100 TB point: the dashboard query
+    touches |view groups| rows instead of the fact table."""
+    import tempfile
+
+    from .sources.catalog import LakeCatalog
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price_dec"),
+    )
+    cat = LakeCatalog(spark, tempfile.mkdtemp(prefix="cat_rollup_"))
+    cat.create_table("orders_fact", orders)
+    cat.create_materialized_view(
+        "mv_status_priority",
+        """SELECT o_orderstatus, o_orderpriority,
+                  COUNT(*) AS n_rows, SUM(price_dec) AS sum_price_dec
+           FROM orders_fact
+           GROUP BY o_orderstatus, o_orderpriority""",
+    )
+    rollup = """SELECT o_orderstatus,
+                       COUNT(*) AS n_orders,
+                       SUM(price_dec) AS sum_price_raw
+                FROM orders_fact
+                WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+                GROUP BY o_orderstatus"""
+    rewritten, used = cat.rewrite_with_materialized_views(rollup)
+    assert used == "mv_status_priority", rewritten  # the tier must fire
+    return cat.serve(rollup).select(
+        "o_orderstatus",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("sum_price_raw").cast("double").alias("sum_price"),
+    )

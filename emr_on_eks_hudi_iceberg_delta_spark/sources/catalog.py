@@ -513,23 +513,199 @@ def _normalize_sql_for_match(sql: str) -> tuple[str, tuple[str, ...]]:
 def _catalog_rewrite_with_materialized_views(
     self, sql: str
 ) -> tuple[str, str | None]:
-    """First-tier materialized-view matching (the exact-text tier every
-    warehouse implements before structural containment): if ``sql`` is
-    — up to whitespace, keyword case, and a trailing semicolon, with
-    string literals compared verbatim — identical to a registered MV's
-    defining statement, serve ``SELECT * FROM <mv>`` instead; the MV is
-    a stored table, so the rewritten plan reads one materialized scan
-    in place of the whole aggregate subtree. No match returns the SQL
-    unchanged (loud pass-through, never a guess): structural
-    containment rewriting is explicitly out of scope, documented here
-    so the boundary is a contract, not a surprise.
+    """Materialized-view matching, two tiers (the same ladder real
+    warehouses climb):
+
+    1. **exact text** — ``sql`` identical to a registered MV's defining
+       statement up to whitespace, keyword case, and a trailing
+       semicolon, string literals compared verbatim → serve
+       ``SELECT * FROM <mv>``;
+    2. **rollup containment** (round 9) — ``sql`` is a single-table
+       GROUP BY aggregate whose group keys are a SUBSET of a stored
+       view's keys, whose WHERE matches the view's (or adds predicates
+       over view keys only, when the view has none), and whose every
+       measure is derivable from the view's stored aggregates by
+       re-aggregation (SUM→SUM, COUNT→SUM, MIN→MIN, MAX→MAX,
+       AVG→SUM(sum)/SUM(count) when both parts are stored) → serve the
+       rolled-up aggregate over the MV scan (see
+       ``_containment_rewrite``).
+
+    Anything else returns the SQL unchanged — loud pass-through, never
+    a guess. Non-derivable measures (AVG without a stored count,
+    DISTINCT aggregates, expressions) refuse by design.
 
     Returns ``(sql_to_run, mv_name_or_None)``."""
     want = _normalize_sql_for_match(sql)
-    for name, mv_sql in self._doc().get("mviews", {}).items():
+    mviews = self._doc().get("mviews", {})
+    for name, mv_sql in mviews.items():
         if _normalize_sql_for_match(mv_sql) == want:
             return f"SELECT * FROM {name}", name
+    q = _parse_simple_aggregate(sql)
+    if q is not None:
+        for name, mv_sql in mviews.items():
+            rewritten = _containment_rewrite(q, name, mv_sql)
+            if rewritten is not None:
+                return rewritten, name
     return sql, None
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur).strip())
+    return parts
+
+
+_SIMPLE_AGG_SHAPE = re.compile(
+    r"^select (?P<select>.+?) from (?P<table>[\w.]+)"
+    r"(?: where (?P<where>.+?))?"
+    r" group by (?P<group>.+)$"
+)
+_AGG_FN = re.compile(r"^(sum|count|min|max|avg)\s*\(\s*(\*|[\w.]+)\s*\)$")
+_SELECT_ITEM = re.compile(r"^(?P<expr>.+?)(?: as (?P<alias>\w+))?$")
+# tokens allowed in an extra WHERE besides view-key column references
+_WHERE_NEUTRAL = frozenset(
+    "and or not in between like is null true false".split()
+)
+
+
+def _parse_simple_aggregate(sql: str):
+    """Parse the restricted aggregate shape the containment tier
+    understands — ``SELECT <keys and aggregates> FROM <one table>
+    [WHERE ...] GROUP BY <bare columns>`` — on the literal-masked,
+    case-folded skeleton. Returns None for anything outside the shape
+    (joins, HAVING, subqueries, expressions, DISTINCT, ORDER BY...),
+    which makes the caller pass through. ``lits`` travels along so
+    emission can restore literal content verbatim."""
+    skeleton, lits = _normalize_sql_for_match(sql)
+    m = _SIMPLE_AGG_SHAPE.match(skeleton)
+    if m is None:
+        return None
+    keys = [k.strip() for k in m.group("group").split(",")]
+    if not all(re.fullmatch(r"[\w.]+", k) for k in keys):
+        return None
+    items = []
+    for raw in _split_top_level_commas(m.group("select")):
+        im = _SELECT_ITEM.match(raw)
+        expr, alias = im.group("expr").strip(), im.group("alias")
+        fm = _AGG_FN.match(expr)
+        if fm:
+            if "distinct" in expr:
+                return None
+            items.append(("agg", fm.group(1), fm.group(2), alias))
+        elif re.fullmatch(r"[\w.]+", expr):
+            items.append(("key", expr, None, alias or expr))
+        else:
+            return None
+    return {
+        "items": items,
+        "table": m.group("table"),
+        "where": m.group("where"),
+        "keys": keys,
+        "lits": lits,
+    }
+
+
+def _unmask_literals(fragment: str, lits: tuple[str, ...]) -> str:
+    return re.sub(
+        "\x00(\\d+)\x00", lambda m: lits[int(m.group(1))], fragment
+    )
+
+
+def _containment_rewrite(q: dict, mv_name: str, mv_sql: str) -> str | None:
+    """Try to serve parsed aggregate query ``q`` from materialized view
+    ``mv_name`` by rollup re-aggregation; None = not contained.
+
+    Soundness argument, part by part: (a) same base table and an
+    IDENTICAL where clause (literal-verbatim) means the view's rows are
+    exactly the query's input rows; with NO view predicate, extra query
+    predicates referencing ONLY view group keys select whole view
+    groups, so filtering the MV's group rows is equivalent to filtering
+    base rows. (b) query keys ⊆ view keys means every query group is a
+    disjoint union of view groups. (c) SUM/COUNT/MIN/MAX distribute
+    over disjoint unions (COUNT re-aggregates as SUM of partial
+    counts); AVG(x) = SUM(x)/COUNT(x) recomposed from stored parts.
+    Therefore the rollup over the MV equals the aggregate over the
+    base — exactly, not approximately (integer/decimal accumulators
+    preserve bit-equality; the registry oracle pins it)."""
+    v = _parse_simple_aggregate(mv_sql)
+    if v is None or q["table"] != v["table"]:
+        return None
+    # -- predicate containment ------------------------------------------
+    q_where = (
+        _unmask_literals(q["where"], q["lits"]) if q["where"] else None
+    )
+    v_where = (
+        _unmask_literals(v["where"], v["lits"]) if v["where"] else None
+    )
+    extra_where = None
+    if q_where != v_where:
+        if v_where is not None or q_where is None:
+            return None
+        idents = {
+            t
+            for t in re.findall(r"[a-z_]\w*", q["where"])
+            if t not in _WHERE_NEUTRAL
+        }
+        if not idents <= set(v["keys"]):
+            return None
+        extra_where = q_where
+    # -- key containment -------------------------------------------------
+    if not set(q["keys"]) <= set(v["keys"]):
+        return None
+    # -- measure derivability ---------------------------------------------
+    stored: dict[tuple[str, str], str] = {}
+    for kind, fn, arg, alias in v["items"]:
+        if kind == "agg":
+            if alias is None:
+                return None  # unnamed stored measure: not addressable
+            stored[(fn, arg)] = alias
+    out_items = []
+    for kind, a, b, alias in q["items"]:
+        if kind == "key":
+            if a not in q["keys"]:
+                return None
+            out_items.append(a if alias == a else f"{a} AS {alias}")
+            continue
+        fn, arg = a, b
+        if alias is None:
+            # an unaliased aggregate's output column name comes from the
+            # original expression text; serving it would need name
+            # gymnastics the contract doesn't promise — refuse loudly
+            return None
+        if fn == "sum" and (fn, arg) in stored:
+            out_items.append(f"SUM({stored[(fn, arg)]}) AS {alias}")
+        elif fn == "count" and (fn, arg) in stored:
+            out_items.append(f"SUM({stored[(fn, arg)]}) AS {alias}")
+        elif fn in ("min", "max") and (fn, arg) in stored:
+            out_items.append(
+                f"{fn.upper()}({stored[(fn, arg)]}) AS {alias}"
+            )
+        elif (
+            fn == "avg"
+            and ("sum", arg) in stored
+            and ("count", arg) in stored
+        ):
+            out_items.append(
+                f"(SUM({stored[('sum', arg)]})"
+                f" / SUM({stored[('count', arg)]})) AS {alias}"
+            )
+        else:
+            return None  # non-derivable (e.g. AVG without stored count)
+    sql = f"SELECT {', '.join(out_items)} FROM {mv_name}"
+    if extra_where:
+        sql += f" WHERE {extra_where}"
+    sql += f" GROUP BY {', '.join(q['keys'])}"
+    return sql
 
 
 def _catalog_serve(self, sql: str):

@@ -203,3 +203,122 @@ def test_mv_rewrite_literal_content_is_compared_verbatim(spark, tmp_path):
         "SELECT ID FROM DOCS_T WHERE LANG = 'En'"
     )
     assert used2 == "mv_en"
+
+
+def test_mv_containment_rollup_serves_from_mv(spark, tmp_path):
+    """Round-9 containment tier: a GROUP BY subset-of-view-keys query
+    with derivable measures is served by re-aggregating the MV — the
+    plan reads the materialized table, never the base."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.catalog import (
+        LakeCatalog,
+    )
+
+    cat = LakeCatalog(spark, str(tmp_path / "cat_roll"))
+    base = spark.range(1000).selectExpr(
+        "CAST(id % 5 AS INT) AS a",
+        "CAST(id % 3 AS INT) AS b",
+        "CAST(id AS DECIMAL(18,4)) AS v",
+    )
+    cat.create_table("fact_t", base)
+    cat.create_materialized_view(
+        "mv_ab",
+        "SELECT a, b, COUNT(*) AS n, SUM(v) AS s, MIN(v) AS lo,"
+        " MAX(v) AS hi, COUNT(v) AS nv FROM fact_t GROUP BY a, b",
+    )
+    q = (
+        "SELECT a, COUNT(*) AS n_rows, SUM(v) AS total, MIN(v) AS lo_v,"
+        " MAX(v) AS hi_v, AVG(v) AS mean_v FROM fact_t GROUP BY a"
+    )
+    rewritten, used = cat.rewrite_with_materialized_views(q)
+    assert used == "mv_ab"
+    assert "mv_ab" in rewritten and "fact_t" not in rewritten
+    served = cat.serve(q)
+    # compare against a direct recompute on the registered temp view
+    cat.sync()
+    direct = spark.sql(q)
+    got = {r["a"]: r for r in served.collect()}
+    want = {r["a"]: r for r in direct.collect()}
+    assert set(got) == set(want)
+    for a in want:
+        assert got[a]["n_rows"] == want[a]["n_rows"]
+        assert got[a]["total"] == want[a]["total"]
+        assert got[a]["lo_v"] == want[a]["lo_v"]
+        assert got[a]["hi_v"] == want[a]["hi_v"]
+        assert float(got[a]["mean_v"]) == float(want[a]["mean_v"])
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "fact_t" not in plan  # base table never scanned
+
+
+def test_mv_containment_extra_predicate_on_view_keys(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.catalog import (
+        LakeCatalog,
+    )
+
+    cat = LakeCatalog(spark, str(tmp_path / "cat_roll2"))
+    base = spark.range(300).selectExpr(
+        "CAST(id % 4 AS INT) AS a",
+        "CAST(id % 2 AS INT) AS b",
+        "id AS v",
+    )
+    cat.create_table("f2", base)
+    cat.create_materialized_view(
+        "mv2", "SELECT a, b, COUNT(*) AS n, SUM(v) AS s FROM f2 GROUP BY a, b"
+    )
+    q = "SELECT a, SUM(v) AS total FROM f2 WHERE b = 1 GROUP BY a"
+    rewritten, used = cat.rewrite_with_materialized_views(q)
+    assert used == "mv2" and "WHERE b = 1" in rewritten
+    cat.sync()
+    assert sorted(map(tuple, cat.serve(q).collect())) == sorted(
+        map(tuple, spark.sql(q).collect())
+    )
+    # predicate on a NON-key column cannot be served by group filtering
+    q_bad = "SELECT a, SUM(v) AS total FROM f2 WHERE v > 10 GROUP BY a"
+    _, used_bad = cat.rewrite_with_materialized_views(q_bad)
+    assert used_bad is None
+    # view with its own WHERE only matches an identical query WHERE
+    cat.create_materialized_view(
+        "mv3", "SELECT a, SUM(v) AS s FROM f2 WHERE b = 0 GROUP BY a"
+    )
+    _, used_mismatch = cat.rewrite_with_materialized_views(
+        "SELECT a, SUM(v) AS total FROM f2 WHERE b = 1 GROUP BY a"
+    )
+    assert used_mismatch == "mv2"  # NOT mv3 (predicate differs)
+
+
+def test_mv_containment_refuses_non_derivable(spark, tmp_path):
+    """The refusal contract: AVG without a stored count, DISTINCT
+    aggregates, expression measures, and unaliased aggregates all pass
+    through untouched."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.catalog import (
+        LakeCatalog,
+    )
+
+    cat = LakeCatalog(spark, str(tmp_path / "cat_refuse"))
+    base = spark.range(100).selectExpr(
+        "CAST(id % 5 AS INT) AS a",
+        "CAST(id % 3 AS INT) AS b",
+        "id AS v",
+    )
+    cat.create_table("f3", base)
+    # stored view has SUM but NO count of v
+    cat.create_materialized_view(
+        "mv_nosum", "SELECT a, b, SUM(v) AS s FROM f3 GROUP BY a, b"
+    )
+    for q in [
+        # AVG without stored COUNT(v)
+        "SELECT a, AVG(v) AS m FROM f3 GROUP BY a",
+        # DISTINCT aggregate
+        "SELECT a, COUNT(DISTINCT v) AS d FROM f3 GROUP BY a",
+        # expression measure
+        "SELECT a, SUM(v + 1) AS s1 FROM f3 GROUP BY a",
+        # unaliased aggregate (output name not reproducible)
+        "SELECT a, SUM(v) FROM f3 GROUP BY a",
+        # measure the view does not store
+        "SELECT a, MIN(v) AS lo FROM f3 GROUP BY a",
+        # different table
+        "SELECT a, SUM(v) AS s FROM other_t GROUP BY a",
+        # join shape
+        "SELECT a, SUM(v) AS s FROM f3 JOIN f3 USING (a) GROUP BY a",
+    ]:
+        out_sql, used = cat.rewrite_with_materialized_views(q)
+        assert used is None and out_sql == q, q
