@@ -1575,6 +1575,91 @@ def conjunctive_search(
     )
 
 
+def bm25_search(
+    docs: DataFrame,
+    query_tokens: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 50,
+    require_all: bool = False,
+) -> DataFrame:
+    """BM25-ranked retrieval over the inverted index — the float
+    ranking twin of ``conjunctive_search`` (whose all-integer tf score
+    stays the oracle anchor; BM25's log-idf and float accumulation are
+    not engine-exact, so this operator is rows-only gated with a
+    host-exact numpy replay test instead of a SQL oracle).
+
+    Standard Robertson/Lucene formulation, per matched (doc, term)::
+
+        idf(t) = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        w(t,d) = idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    summed over the query terms the document contains. ``require_all``
+    switches to boolean-AND semantics (BM25-scored conjunctive).
+
+    Plan shape: postings are built ONLY for the query tokens (the
+    IN-list filter sits under the postings aggregate, exactly like
+    conjunctive_search); per-token document frequencies fold from those
+    postings and BROADCAST onto them (|q| rows); corpus size + average
+    doc length are one broadcast scalar row; doc length joins on the
+    id key. At 100 TB with a persisted token-bucketed index carrying a
+    stored-doclen sidecar, this is |q| bucket lookups + one broadcast —
+    the corpus is never rescanned per query; here both sidecars derive
+    from one extra pass over ``docs``.
+
+    Returns ``(doc_id, matched, score)`` ordered by score desc (ties:
+    doc_id), limited to ``top_k``."""
+    q = list(dict.fromkeys(query_tokens))
+    base = docs.filter(F.col(text_col).isNotNull())
+    postings = inverted_index(base, text_col, id_col).filter(
+        F.col("token").isin(q)
+    )
+    doclen = base.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_expr(text_col)).cast("double").alias("dl"),
+    )
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    dfreq = postings.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    tf = F.col("tf").cast("double")
+    idf = F.log1p(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    w = idf * (
+        tf
+        * F.lit(k1 + 1.0)
+        / (
+            tf
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("dl") / F.col("avgdl")
+            )
+        )
+    )
+    scored = (
+        postings.join(F.broadcast(dfreq), "token")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("matched"),
+            F.sum("w").alias("score"),
+        )
+    )
+    if require_all:
+        scored = scored.filter(F.col("matched") == len(q))
+    return scored.orderBy(F.col("score").desc(), "doc_id").limit(top_k)
+
+
 def feature_hash(
     docs: DataFrame,
     text_col: str = "text",

@@ -13728,3 +13728,26 @@ def q_mv_rollup_containment_rewrite(spark, sf_dir):
         F.col("n_orders").cast("bigint").alias("n_orders"),
         F.col("sum_price_raw").cast("double").alias("sum_price"),
     )
+
+
+@register(
+    "bm25_ranked_search",
+    # rows-only by design: BM25's log-idf and float accumulation are
+    # not SQL-engine-exact; the integer-tf conjunctive_search query
+    # stays the oracle anchor and tests/test_text_ops.py replays this
+    # ranking host-exactly in numpy
+    tags=("text", "retrieval", "extension"),
+)
+def q_bm25_ranked_search(spark, sf_dir):
+    """BM25-ranked retrieval (operators/text.bm25_search, k1=1.2
+    b=0.75): documents matching ANY of {merge, window, stream}, ranked
+    by the standard Robertson idf x saturated-tf weight. Twin of
+    inverted_index_search — same query-token-pruned postings plan, one
+    broadcast of the |q|-row document frequencies and the one-row
+    corpus stats on top; the corpus is scanned once extra for doc
+    lengths (a persisted index stores them as a sidecar at scale)."""
+    from .operators.text import bm25_search
+
+    return bm25_search(
+        _t(spark, sf_dir, "documents"), ["merge", "window", "stream"]
+    )
