@@ -678,6 +678,18 @@ def pq_encode(
     codebooks = [
         [list(r["e"][j * sub : (j + 1) * sub]) for r in seeds] for j in range(m)
     ]
+    return _pq_encode_with(e, codebooks, id_col), codebooks
+
+
+def _pq_encode_with(
+    e: DataFrame, codebooks: list, id_col: str
+) -> DataFrame:
+    """Encode an ``_with_double_vec``-prepared frame against GIVEN
+    codebooks (the shared core of ``pq_encode`` and the persisted
+    index's append path): per subspace, argmin over the codebook with
+    first-minimum tie-break — a pure per-row expression, zero
+    shuffle."""
+    sub = len(codebooks[0][0])
     out = [F.col(id_col), F.col("e")]
     for j, cb in enumerate(codebooks):
         cblit = F.array(*[F.array(*[F.lit(float(x)) for x in cw]) for cw in cb])
@@ -693,7 +705,7 @@ def pq_encode(
         out.append(
             F.array_position(dists, F.array_min(dists)).cast("int").alias(f"code_{j}")
         )
-    return e.select(*out), codebooks
+    return e.select(*out)
 
 
 def pq_encode_blas(
@@ -1775,3 +1787,183 @@ def bq_index_topk(
         F.col("vec_id").alias("neighbor_id"), F.col("sig").alias("nsig")
     )
     return _bq_screen_rerank(emb, queries, sigs, k, screen_m, id_col, vec_col)
+
+
+def build_ivf_pq_index(
+    emb: DataFrame,
+    location: str,
+    n_centroids: int = 16,
+    m: int = 4,
+    k_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 0,
+):
+    """Persist an IVF-PQ index AS TABLES — completing the index
+    lifecycle set (LSH / IVF / BQ / now PQ): the transient
+    ``ivf_pq_topk`` recomputes cell assignments AND PQ codes per query,
+    which at 100 TB means re-encoding the corpus every probe. Here the
+    m-small-int codes land in a ``PartitionedTable`` partitioned BY
+    CELL (probing reads only ``nprobe`` partition directories of
+    m ints per row — both IVF pruning and PQ compression hit the I/O
+    path), the coarse centroids persist at ``_ivfpq_centroids``, and
+    the PQ codebooks at ``_ivfpq_codebooks`` (subspace, codeword,
+    components — metadata-sized).
+
+    Same deterministic seeding as the transient path (centroids and
+    codebooks from the first vectors by id), so a probe through the
+    persisted index returns IDENTICAL rows to ``ivf_pq_topk`` on the
+    same corpus — which is what lets the index path share its exact
+    DuckDB oracle. Returns the codes ``PartitionedTable``.
+    """
+    from ..sources.partitioned import PartitionedTable
+
+    spark = emb.sparkSession
+    assigned, centroids = ivf_assign(
+        emb, n_centroids, id_col, vec_col, refine_iters
+    )
+    codes, codebooks = pq_encode(emb, m, k_codes, dim, id_col, vec_col)
+    data = codes.drop("e").join(assigned, id_col)
+    pt = PartitionedTable(spark, location, "cell")
+    pt.overwrite(data)
+    centroids.write.mode("overwrite").parquet(
+        location + "/_ivfpq_centroids"
+    )
+    cb_rows = [
+        (j, c, list(map(float, cw)))
+        for j, cb in enumerate(codebooks)
+        for c, cw in enumerate(cb)
+    ]
+    spark.createDataFrame(
+        cb_rows, "subspace int, codeword int, components array<double>"
+    ).write.mode("overwrite").parquet(location + "/_ivfpq_codebooks")
+    return pt
+
+
+def _load_ivf_pq_sidecars(spark, location: str):
+    """(centroids DataFrame, codebooks nested lists) from a persisted
+    IVF-PQ index — codebooks are metadata-sized (m x k_codes x dim/m
+    doubles), the same driver footprint as the transient encoder's."""
+    centroids = spark.read.parquet(location + "/_ivfpq_centroids")
+    cb = spark.read.parquet(location + "/_ivfpq_codebooks").collect()
+    by_sub: dict = {}
+    for r in cb:
+        by_sub.setdefault(r["subspace"], {})[r["codeword"]] = list(
+            r["components"]
+        )
+    codebooks = [
+        [by_sub[j][c] for c in sorted(by_sub[j])] for j in sorted(by_sub)
+    ]
+    return centroids, codebooks
+
+
+def ivf_pq_index_append(
+    emb_batch: DataFrame,
+    location: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Append a batch to a persisted IVF-PQ index: the batch is
+    assigned against the STORED centroids and encoded against the
+    STORED codebooks (re-encoding only the batch — never the corpus;
+    the quantizers stay frozen, the FAISS ``add`` contract), then
+    partition-scoped-upserted into the codes table — only the touched
+    cells' directories rewrite. Returns the ``PartitionedTable``."""
+    from ..sources.partitioned import PartitionedTable
+
+    spark = emb_batch.sparkSession
+    centroids, codebooks = _load_ivf_pq_sidecars(spark, location)
+    e = _with_double_vec(emb_batch, id_col, vec_col)
+    dist = F.aggregate(
+        F.zip_with("e", "ce", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_col).orderBy("dist", "cell")
+    assigned = (
+        e.crossJoin(F.broadcast(centroids))
+        .withColumn("dist", dist)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col("cell"))
+    )
+    data = (
+        _pq_encode_with(e, codebooks, id_col)
+        .drop("e")
+        .join(assigned, id_col)
+    )
+    pt = PartitionedTable(spark, location, "cell")
+    pt.upsert(data, [id_col], precombine_col=id_col)
+    return pt
+
+
+def ivf_pq_index_topk(
+    emb: DataFrame,
+    location: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve IVF-PQ ANN from the PERSISTED index: rank cells per query
+    against the stored centroid codebook (broadcast), read ONLY the
+    probed cells' partition directories of the codes table (m ints per
+    candidate — the float corpus is never read at all; ADC scores
+    against codebook reconstructions), and emit the asymmetric-distance
+    top-k. Operation order mirrors ``ivf_pq_topk`` exactly, so results
+    are identical row-for-row on the build corpus (pinned by sharing
+    its oracle)."""
+    from ..sources.partitioned import PartitionedTable
+
+    spark = emb.sparkSession
+    centroids, codebooks = _load_ivf_pq_sidecars(spark, location)
+    qv = _with_double_vec(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("e").alias("eq")
+    )
+    cdist = F.aggregate(
+        F.zip_with("eq", "ce", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy("dist", "cell")
+    probes = (
+        qv.crossJoin(F.broadcast(centroids))
+        .withColumn("dist", cdist)
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "cell")
+    )
+    # metadata-sized collect: the pruned partition set
+    probe_cells = {
+        str(r["cell"]) for r in probes.select("cell").distinct().collect()
+    }
+    pt = PartitionedTable(spark, location, "cell")
+    data = pt.read_partitions_where(lambda v: v in probe_cells)
+    corpus = data.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_reconstruct_expr(codebooks).alias("r"),
+    )
+    members = data.select(F.col(id_col).alias("neighbor_id"), "cell")
+    cand = (
+        F.broadcast(probes)
+        .join(members, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    adc = F.aggregate(
+        F.zip_with("eq", "r", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(corpus, "neighbor_id")
+        .withColumn("adc_dist", adc)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

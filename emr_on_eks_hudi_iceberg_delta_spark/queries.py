@@ -13751,3 +13751,29 @@ def q_bm25_ranked_search(spark, sf_dir):
     return bm25_search(
         _t(spark, sf_dir, "documents"), ["merge", "window", "stream"]
     )
+
+
+@register(
+    "embedding_ivfpq_index_topk",
+    oracle=REGISTRY["embedding_ann_ivfpq_topk"].oracle,
+    tags=("similarity", "lake", "extension"),
+)
+def q_embedding_ivfpq_index_topk(spark, sf_dir):
+    """IVF-PQ ANN served from the PERSISTED index
+    (operators/similarity.build_ivf_pq_index / ivf_pq_index_topk): the
+    m-small-int PQ codes live in a cell-partitioned table, probing
+    reads only nprobe partition directories and ADC-scores against
+    codebook reconstructions — the float corpus is never read. Shares
+    the transient ivf_pq_topk oracle verbatim: the index hop must
+    change nothing. This completes the persisted-index lifecycle set
+    (LSH dedup index, IVF cell index, BQ sign index, PQ codes index);
+    the append path (ivf_pq_index_append) re-encodes only the batch
+    against the frozen quantizers, tested in tests/test_similarity.py."""
+    import tempfile
+
+    from .operators.similarity import build_ivf_pq_index, ivf_pq_index_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    loc = tempfile.mkdtemp(prefix="ivfpq_index_")
+    build_ivf_pq_index(emb, loc)
+    return ivf_pq_index_topk(emb, loc, emb.filter(F.col("vec_id") < 10), k=5)

@@ -130,3 +130,100 @@ def test_bq_empty_vector_signs_to_zero(spark):
         ).collect()
     }
     assert got == {1: 0, 2: 1}
+
+
+# ------------------------- persisted IVF-PQ index ---------------------------
+
+def test_ivfpq_index_matches_transient(spark, tmp_path):
+    """The persisted-index hop must change nothing: identical rows to
+    ivf_pq_topk on the build corpus (the established index-parity
+    pattern: LSH, IVF, BQ, now PQ)."""
+    import numpy as np
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_index_topk,
+        ivf_pq_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(64)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = df.filter("vec_id < 6")
+    want = sorted(map(tuple, ivf_pq_topk(df, q, k=4).collect()))
+    loc = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(df, loc)
+    got = sorted(map(tuple, ivf_pq_index_topk(df, loc, q, k=4).collect()))
+    assert got == want
+
+
+def test_ivfpq_index_lifecycle_build_append_probe(spark, tmp_path):
+    """build -> append -> probe: the appended batch is assigned and
+    encoded against the FROZEN stored quantizers, so when the original
+    corpus contains all seeds, the appended index serves exactly what a
+    transient run over the full corpus computes."""
+    import numpy as np
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_index_append,
+        ivf_pq_index_topk,
+        ivf_pq_topk,
+    )
+
+    rng = np.random.RandomState(13)
+    rows = [(i, [float(x) for x in rng.randn(64)]) for i in range(160)]
+    schema = "vec_id bigint, embedding array<double>"
+    full = spark.createDataFrame(rows, schema)
+    # first 120 ids cover all seeds (centroids = first 16, codes = first 16)
+    base = spark.createDataFrame(rows[:120], schema)
+    batch = spark.createDataFrame(rows[120:], schema)
+
+    loc = str(tmp_path / "ivfpq_l")
+    pt = build_ivf_pq_index(base, loc)
+    n_versions_before = len(pt._versions())
+    ivf_pq_index_append(batch, loc)
+
+    q = full.filter("vec_id < 6")
+    got = sorted(map(tuple, ivf_pq_index_topk(full, loc, q, k=4).collect()))
+    want = sorted(map(tuple, ivf_pq_topk(full, q, k=4).collect()))
+    assert got == want
+    # append was one more commit on the codes table
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.partitioned import (
+        PartitionedTable,
+    )
+
+    pt2 = PartitionedTable(spark, loc, "cell")
+    assert len(pt2._versions()) == n_versions_before + 1
+
+
+def test_ivfpq_append_rewrites_only_touched_cells(spark, tmp_path):
+    import numpy as np
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_index_append,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.partitioned import (
+        PartitionedTable,
+    )
+
+    rng = np.random.RandomState(29)
+    rows = [(i, [float(x) for x in rng.randn(64)]) for i in range(150)]
+    schema = "vec_id bigint, embedding array<double>"
+    base = spark.createDataFrame(rows, schema)
+    loc = str(tmp_path / "ivfpq_c")
+    build_ivf_pq_index(base, loc)
+    # a single appended vector touches exactly one cell
+    one = spark.createDataFrame(
+        [(999, [float(x) for x in rng.randn(64)])], schema
+    )
+    ivf_pq_index_append(one, loc)
+    pt = PartitionedTable(spark, loc, "cell")
+    versions = pt._versions()
+    latest = versions[-1]
+    moved = [
+        p for p, cid in latest["partitions"].items()
+        if cid == latest["version"]
+    ]
+    assert len(moved) == 1  # partition-scoped rewrite, not a full rewrite
