@@ -1559,6 +1559,7 @@ def grouped_gram_spectrum(
     emb: DataFrame,
     group_col: str = "label",
     vec_col: str = "embedding",
+    max_driver_labels: int = 4096,
 ) -> DataFrame:
     """Scale twin of ``grouped_top_eigen`` — IMPLEMENTS the two-stage
     map-side Gram combine its docstring contracts (sum of outer products
@@ -1571,11 +1572,16 @@ def grouped_gram_spectrum(
     2. ``groupBy(label, pos).sum`` combines partials — the shuffle
        carries |labels| x (1 + d + d²) doubles, independent of corpus
        size;
-    3. the driver reconstructs each label's covariance
-       ``C = (G - s sᵀ/n) / (n-1)`` and eigensolves (dim x dim, numpy) —
-       |labels| x d² floats of driver state (for huge label counts, run
-       the same epilogue as an applyInPandas over the d²-sized Gram
-       rows instead; state stays d², never n).
+    3. the epilogue reconstructs each label's covariance
+       ``C = (G - s sᵀ/n) / (n-1)`` and eigensolves (dim x dim, numpy).
+       Up to ``max_driver_labels`` distinct labels it runs on the
+       driver (|labels| x d² floats of driver state — fine for typical
+       label counts); above the threshold the SAME math runs as an
+       ``applyInPandas`` per label over the d²-sized moment rows, so
+       driver state is O(1), the result stays O(labels) rows, and no
+       task ever holds more than one label's d² cells. Both paths
+       consume the identical combined moments and execute the identical
+       float sequence, so they agree bit-for-bit (pinned by test).
 
     Per-task memory is O(arrow batch + labels-in-batch x d²) — a label
     with 10^8 members streams through like any other (the same fix shape
@@ -1606,22 +1612,26 @@ def grouped_gram_spectrum(
     partials = emb.select(group_col, vec_col).mapInPandas(
         partial_moments, f"{group_col} {lab_type}, pos int, val double"
     )
-    combined = (
+    # materialize the combined moments once: the label-count probe and
+    # the epilogue both read them without recomputing the corpus pass
+    combined_df = (
         partials.groupBy(group_col, "pos")
         .agg(F.sum("val").alias("val"))
-        .collect()
+        .localCheckpoint(eager=False)
     )
-    by_label: dict = {}
-    for r in combined:
-        by_label.setdefault(r[group_col], {})[r["pos"]] = r["val"]
-    rows = []
-    for lab, moments in sorted(by_label.items(), key=lambda kv: (kv[0] is None, kv[0])):
+    out_schema = (
+        f"{group_col} {lab_type}, n bigint, top_eigenvalue double, "
+        "explained_ratio double"
+    )
+
+    def solve_moments(moments: dict):
+        """The shared epilogue math — one label's 1+d+d² moment cells
+        to (n, top_eigenvalue, explained_ratio)."""
         n = int(round(moments[0]))
         # solve d from 1 + d + d^2 = len(moments)
         d = int((-1 + (1 + 4 * (len(moments) - 1)) ** 0.5) / 2)
         if n < 2:
-            rows.append((lab, n, None, None))
-            continue
+            return n, None, None
         s = np.array([moments[1 + i] for i in range(d)])
         g = np.array(
             [moments[1 + d + i] for i in range(d * d)]
@@ -1630,13 +1640,38 @@ def grouped_gram_spectrum(
         eig = np.linalg.eigvalsh(cov)
         top = float(eig[-1])
         trace = float(np.trace(cov))
-        rows.append((lab, n, top, top / trace if trace else None))
+        return n, top, top / trace if trace else None
+
+    n_labels = combined_df.select(group_col).distinct().count()
+    if n_labels > max_driver_labels:
+        # distributed epilogue: one applyInPandas group per label —
+        # driver never holds the labels x d² moment table
+        def eigen_epilogue(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            lab = pdf[group_col].iloc[0]
+            n, top, ratio = solve_moments(
+                dict(zip(pdf["pos"], pdf["val"]))
+            )
+            return pd.DataFrame(
+                {
+                    group_col: [lab],
+                    "n": [n],
+                    "top_eigenvalue": [top],
+                    "explained_ratio": [ratio],
+                }
+            )
+
+        return combined_df.groupBy(group_col).applyInPandas(
+            eigen_epilogue, out_schema
+        )
+    combined = combined_df.collect()
+    by_label: dict = {}
+    for r in combined:
+        by_label.setdefault(r[group_col], {})[r["pos"]] = r["val"]
+    rows = []
+    for lab, moments in sorted(by_label.items(), key=lambda kv: (kv[0] is None, kv[0])):
+        rows.append((lab, *solve_moments(moments)))
     spark = emb.sparkSession
-    return spark.createDataFrame(
-        rows,
-        f"{group_col} {lab_type}, n bigint, top_eigenvalue double, "
-        "explained_ratio double",
-    )
+    return spark.createDataFrame(rows, out_schema)
 
 
 #: dims packed into the binary-quantized signature: bits 0..62 keep the

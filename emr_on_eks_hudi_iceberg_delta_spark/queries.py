@@ -11266,7 +11266,9 @@ def q_embedding_group_spectrum_gram(spark, sf_dir):
     label's full vector matrix (the grouped-map version's documented
     100x caveat, now implemented): partial (n, sum, Gram) moments per
     arrow batch, a |labels| x (1+d+d²)-double shuffle, and a dim-sized
-    driver eigensolve."""
+    eigensolve epilogue — on the driver up to max_driver_labels, as a
+    bit-identical applyInPandas per label above it (round 9), so huge
+    label cardinalities never build driver state."""
     from .operators.similarity import grouped_gram_spectrum
 
     return grouped_gram_spectrum(_t(spark, sf_dir, "embeddings"))

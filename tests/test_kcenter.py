@@ -130,3 +130,50 @@ def test_gram_spectrum_matches_grouped_map_twin(spark):
             1.0, abs(w["top_eigenvalue"])
         ), lab
         assert abs(g["explained_ratio"] - w["explained_ratio"]) <= 1e-9, lab
+
+
+def test_gram_spectrum_distributed_epilogue_is_bit_identical(spark):
+    """Forcing the applyInPandas epilogue (max_driver_labels=0) must
+    produce exactly what the driver epilogue produces — same combined
+    moments, same float sequence."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.similarity import (
+        grouped_gram_spectrum,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    driver = {r["label"]: r for r in grouped_gram_spectrum(emb).collect()}
+    dist = {
+        r["label"]: r
+        for r in grouped_gram_spectrum(emb, max_driver_labels=0).collect()
+    }
+    assert set(driver) == set(dist)
+    for lab, w in driver.items():
+        g = dist[lab]
+        assert g["n"] == w["n"]
+        assert g["top_eigenvalue"] == w["top_eigenvalue"]  # bit-equal
+        assert g["explained_ratio"] == w["explained_ratio"]
+
+
+def test_gram_spectrum_high_cardinality_smoke(spark):
+    """labels=10^4 smoke on the distributed epilogue: result is
+    O(labels) rows, computation never collects the moment table."""
+    import numpy as np
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.similarity import (
+        grouped_gram_spectrum,
+    )
+
+    n_labels, per, d = 10_000, 3, 4
+    rng = np.random.RandomState(3)
+    base = spark.range(n_labels * per).selectExpr(
+        "id % 10000 AS label",
+        # deterministic pseudo-vector from the row id (JVM-side)
+        """transform(sequence(0, 3), j ->
+             CAST(pmod(id * 2654435761 + j * 40503, 997) AS DOUBLE) / 997.0
+           ) AS embedding""",
+    )
+    out = grouped_gram_spectrum(base, max_driver_labels=1000)
+    assert out.count() == n_labels
+    sample = out.filter("label = 123").collect()[0]
+    assert sample["n"] == per and sample["top_eigenvalue"] is not None
