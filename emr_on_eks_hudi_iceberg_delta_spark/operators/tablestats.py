@@ -82,3 +82,131 @@ def estimate_equijoin_rows(
     if ndv_left <= 0 or ndv_right <= 0:
         return 0.0
     return n_left * n_right / max(ndv_left, ndv_right)
+
+
+#: conservative per-value byte widths for size estimation (on-heap row
+#: estimate, not parquet-encoded size — broadcast cost is the in-memory
+#: hash relation, so the unencoded width is the right ruler)
+_TYPE_WIDTH_BYTES = {
+    "tinyint": 1,
+    "smallint": 2,
+    "int": 4,
+    "bigint": 8,
+    "float": 4,
+    "double": 8,
+    "date": 4,
+    "timestamp": 8,
+    "timestamp_ntz": 8,
+    "boolean": 1,
+}
+
+
+def estimated_size_bytes(df: DataFrame, stats) -> int:
+    """Stats-based in-memory size estimate: ``n_rows`` from the ANALYZE
+    output x a per-row width from the schema, with string widths taken
+    from the observed min/max values (data-informed, unlike a flat
+    default) plus per-cell overhead. ``stats`` is the DataFrame (or
+    collected rows) produced by ``column_stats`` over ``df`` — a
+    metadata-sized collect either way. Deliberately rough: the point is
+    a broadcast-or-not decision with a comfortable threshold margin,
+    not an accountant's number."""
+    rows = stats.collect() if isinstance(stats, DataFrame) else list(stats)
+    if not rows:
+        raise ValueError("empty stats: run column_stats over df first")
+    by_col = {r["column"]: r for r in rows}
+    n = int(rows[0]["n_rows"])
+    width = 0
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        if t in _TYPE_WIDTH_BYTES:
+            width += _TYPE_WIDTH_BYTES[t]
+        elif t.startswith("decimal"):
+            width += 16
+        elif t == "string":
+            r = by_col.get(f.name)
+            if r is not None:
+                observed = max(
+                    len(r["min_value"] or ""), len(r["max_value"] or "")
+                )
+                width += observed + 8  # bytes + object overhead
+            else:
+                width += 28
+        else:
+            width += 64  # arrays/structs/maps: flat guess
+    return n * width
+
+
+def suggest_broadcast(
+    df: DataFrame, stats, threshold_bytes: int = 10 * 1024 * 1024
+):
+    """The step that turns the ANALYZE layer into an optimizer input:
+    given a table and its ``column_stats``, return ``(hinted_df,
+    decision)`` where ``hinted_df`` carries an explicit ``F.broadcast``
+    hint iff the estimated in-memory size is at or under
+    ``threshold_bytes`` (the same contract as
+    ``spark.sql.autoBroadcastJoinThreshold``, but driven by PERSISTED
+    catalog stats instead of file sizes — which is what you have at
+    plan time when the input is a filtered/derived relation whose file
+    size tells you nothing). ``decision`` is a small dict
+    (est_bytes, threshold_bytes, broadcast) for logging/tests."""
+    est = estimated_size_bytes(df, stats)
+    decision = {
+        "est_bytes": est,
+        "threshold_bytes": threshold_bytes,
+        "broadcast": est <= threshold_bytes,
+    }
+    return (F.broadcast(df) if decision["broadcast"] else df), decision
+
+
+def plan_equijoin(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_stats,
+    right_stats,
+    threshold_bytes: int = 10 * 1024 * 1024,
+):
+    """Stats-advised equi join: pick the smaller estimated side, hint
+    it broadcast when it fits ``threshold_bytes`` (sort-merge
+    otherwise — declining is as important as flipping), and report the
+    Selinger output-cardinality estimate for the join key so the
+    caller can also reason about the DOWNSTREAM size. Returns
+    ``(joined_df, decision)``; the join itself is a plain inner equi
+    join, so Catalyst/AQE remain free to improve on the hint's
+    absence."""
+    lb = estimated_size_bytes(left, left_stats)
+    rb = estimated_size_bytes(right, right_stats)
+    l_rows = {r["column"]: r for r in (
+        left_stats.collect() if isinstance(left_stats, DataFrame) else list(left_stats)
+    )}
+    r_rows = {r["column"]: r for r in (
+        right_stats.collect() if isinstance(right_stats, DataFrame) else list(right_stats)
+    )}
+    est_rows = None
+    if on in l_rows and on in r_rows:
+        est_rows = estimate_equijoin_rows(
+            int(l_rows[on]["n_rows"]),
+            int(l_rows[on]["n_distinct"]),
+            int(r_rows[on]["n_rows"]),
+            int(r_rows[on]["n_distinct"]),
+        )
+    small_is_left = lb <= rb
+    small, small_bytes = (left, lb) if small_is_left else (right, rb)
+    decision = {
+        "est_left_bytes": lb,
+        "est_right_bytes": rb,
+        "est_join_rows": est_rows,
+        "threshold_bytes": threshold_bytes,
+        "broadcast": (
+            ("left" if small_is_left else "right")
+            if small_bytes <= threshold_bytes
+            else None
+        ),
+    }
+    if decision["broadcast"] == "left":
+        joined = F.broadcast(left).join(right, on)
+    elif decision["broadcast"] == "right":
+        joined = left.join(F.broadcast(right), on)
+    else:
+        joined = left.join(right, on)
+    return joined, decision

@@ -13779,3 +13779,49 @@ def q_embedding_ivfpq_index_topk(spark, sf_dir):
     loc = tempfile.mkdtemp(prefix="ivfpq_index_")
     build_ivf_pq_index(emb, loc)
     return ivf_pq_index_topk(emb, loc, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "stats_advised_broadcast_join",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg", "stats", "scale", "extension"),
+)
+def q_stats_advised_broadcast_join(spark, sf_dir):
+    """The ANALYZE layer driving a plan decision
+    (operators/tablestats.plan_equijoin): one-scan column stats on both
+    join inputs feed the size estimator, which hints the sub-threshold
+    customer side broadcast — the fact table never shuffles — and
+    carries the Selinger output-cardinality estimate alongside. The
+    gate asserts the advisor chose to broadcast AND that the estimate
+    is in range of the true PK-FK cardinality; results are the plain
+    segment revenue rollup, oracle-exact. At 100 TB this is the
+    catalog-stats path for derived/filtered build sides whose file
+    sizes can't inform autoBroadcastJoinThreshold."""
+    from .operators.tablestats import column_stats, plan_equijoin
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    o_stats = column_stats(orders, ["custkey"], exact=True)
+    c_stats = column_stats(cust, ["custkey"], exact=True)
+    joined, decision = plan_equijoin(
+        orders, cust, "custkey", o_stats, c_stats
+    )
+    assert decision["broadcast"] == "right", decision
+    assert decision["est_join_rows"] is not None
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+    )
