@@ -193,9 +193,10 @@ def sequential_keyed_fold(
     order_tiebreak: str,
     value_col: str,
     init_state: tuple,
-    step: Callable[[tuple, float], tuple],
+    step: Callable[[tuple, float], tuple] | None,
     state_fields: list[tuple[str, str]],
     num_partitions: int | None = None,
+    scalar_step: Callable | None = None,
 ) -> DataFrame:
     """Constant-memory distributed engine for per-key SEQUENTIAL
     recursions ``state := step(state, x)`` over each key's time-ordered
@@ -214,6 +215,24 @@ def sequential_keyed_fold(
     the DuckDB ``list_reduce`` oracles use, so results are bit-identical
     to both (pinned in tests/test_sequence_scale.py).
 
+    ``scalar_step`` (round 9) is the single-slot fast path: for folds
+    whose state is ONE scalar (EWMA, unlatched CUSUM), pass
+    ``scalar_step(s, x) -> s`` instead of (or alongside) ``step`` and
+    the engine detects key runs vectorized (pandas shift-compare, no
+    per-element key check) and folds each run through
+    ``np.frompyfunc(scalar_step).reduce`` — the SAME per-element float
+    operations in the SAME order, so results stay bit-identical to the
+    scalar loop and the oracles (pinned by test), with the loop
+    machinery moved out of the Python interpreter (measured ~1.7x on
+    2M-element keys; tiny runs keep the plain loop — array setup would
+    cost more than it saves). A true vectorized closed form (cumprod
+    affine scan) was measured ~2.3x but REJECTED: it re-associates the
+    rounding (c^k computed once vs k successive multiplies), which
+    breaks the bit-exact oracle contract, and block-rescaling to avoid
+    c^k underflow erodes the speedup further. Multi-slot states (Holt,
+    latched CUSUM) keep the tuple loop: numpy object arrays cannot hold
+    tuple states without a boxing layer that eats the gain.
+
     Returns ``(key, n_events, *state_fields)`` where ``state_fields``
     maps state-tuple slots to output (name, sql_type) columns; slots
     beyond ``len(state_fields)`` are carried but not emitted.
@@ -223,9 +242,20 @@ def sequential_keyed_fold(
         f", {n} {t}" for n, t in state_fields
     )
     n_fields = len(state_fields)
+    if scalar_step is not None and len(init_state) != 1:
+        raise ValueError("scalar_step requires a single-slot state")
+    if step is None and scalar_step is None:
+        raise ValueError("one of step / scalar_step is required")
 
     def fold(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
+
+        step_uf = (
+            np.frompyfunc(scalar_step, 2, 1)
+            if scalar_step is not None
+            else None
+        )
 
         cur: Any = _NO_KEY
         state = init_state
@@ -249,17 +279,48 @@ def sequential_keyed_fold(
         for pdf in batches:
             keys = _key_list(pdf[key_col])
             vals = pdf[value_col].to_numpy(dtype=float)
-            for k, x in zip(keys, vals):
-                # `is` first so a null-key run stays ONE group (sorted
-                # nulls-first), matching groupBy semantics
-                if k is not cur and k != cur:
-                    if cur is not _NO_KEY:
-                        emit()
-                    cur = k
-                    state = init_state
-                    n = 0
-                state = step(state, float(x))
-                n += 1
+            if step_uf is None:
+                for k, x in zip(keys, vals):
+                    # `is` first so a null-key run stays ONE group
+                    # (sorted nulls-first), matching groupBy semantics
+                    if k is not cur and k != cur:
+                        if cur is not _NO_KEY:
+                            emit()
+                        cur = k
+                        state = init_state
+                        n = 0
+                    state = step(state, float(x))
+                    n += 1
+            else:
+                # single-slot fast path: vectorized run detection, then
+                # one ufunc-reduce per run (identical op sequence)
+                ks = pd.Series(keys, dtype=object)
+                prev = ks.shift()
+                same = (
+                    (ks == prev) | (ks.isna() & prev.isna())
+                ).to_numpy(dtype=bool)
+                starts = np.flatnonzero(~same)
+                bounds = list(starts) + [len(keys)]
+                for st, en in zip(bounds[:-1], bounds[1:]):
+                    k = keys[st]
+                    if k is not cur and k != cur:
+                        if cur is not _NO_KEY:
+                            emit()
+                        cur = k
+                        state = init_state
+                        n = 0
+                    s = state[0]
+                    m = en - st
+                    if m < 16:
+                        for x in vals[st:en].tolist():
+                            s = scalar_step(s, x)
+                    else:
+                        arr = np.empty(m + 1, dtype=object)
+                        arr[0] = s
+                        arr[1:] = vals[st:en]
+                        s = step_uf.reduce(arr)
+                    state = (s,)
+                    n += m
             if out_rows:
                 yield flush()
         if cur is not _NO_KEY:
@@ -321,13 +382,14 @@ def ewma_scores(
     a = float(alpha)
     one_m_a = 1.0 - a
 
-    def step(state: tuple, x: float) -> tuple:
-        s = state[0]
-        return (x if s is None else s * one_m_a + x * a,)
+    def scalar_step(s, x):
+        # identical float sequence to the oracle's list_reduce fold
+        return x if s is None else s * one_m_a + x * a
 
     return sequential_keyed_fold(
         events, key_col, ts_col, order_tiebreak, value_col,
-        (None,), step, [("ewma_score", "double")],
+        (None,), None, [("ewma_score", "double")],
+        scalar_step=scalar_step,
     )
 
 

@@ -429,3 +429,62 @@ def test_holt_winters_matches_host_replay(spark):
     l, b, fc = host([season[i % 4] for i in range(48)], m=4)
     assert out[sid]["forecast"] == fc
     assert abs(fc - season[48 % 4]) < abs(l - season[48 % 4])
+
+
+def test_scalar_fast_path_bit_identical_to_tuple_loop(spark):
+    """The round-9 single-slot fast path (vectorized run detection +
+    frompyfunc reduce) must equal the tuple loop BIT-FOR-BIT on random
+    data — same float ops in the same order is the whole contract —
+    across run lengths straddling the small-run cutoff and under tiny
+    Arrow batches (runs split across batch boundaries)."""
+    import random
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.sequence import (
+        sequential_keyed_fold,
+    )
+
+    rng = random.Random(42)
+    rows = []
+    eid = 0
+    for k in range(30):
+        # run lengths 1..60: below, at, and above the cutoff (16)
+        for _ in range(rng.randrange(1, 61)):
+            rows.append((f"k{k:02d}", eid, rng.random() * 100))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id bigint, value double"
+    )
+    a, c = 0.3, 0.7
+
+    def tuple_step(state, x):
+        s = state[0]
+        return (x if s is None else s * c + x * a,)
+
+    def scalar_step(s, x):
+        return x if s is None else s * c + x * a
+
+    common = dict(
+        key_col="user_id", ts_col="event_id", order_tiebreak="event_id",
+        value_col="value",
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "13")
+    try:
+        slow = {
+            r["user_id"]: r["s"]
+            for r in sequential_keyed_fold(
+                df, init_state=(None,), step=tuple_step,
+                state_fields=[("s", "double")], **common
+            ).collect()
+        }
+        fast = {
+            r["user_id"]: r["s"]
+            for r in sequential_keyed_fold(
+                df, init_state=(None,), step=None,
+                state_fields=[("s", "double")],
+                scalar_step=scalar_step, **common
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert slow == fast  # exact equality, not tolerance
