@@ -13825,3 +13825,66 @@ def q_stats_advised_broadcast_join(spark, sf_dir):
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "dau_wau_mau_stickiness_hll",
+    # rows-only by design: the sliding unions re-estimate from merged
+    # HLL registers (not integer-exact like the sparse direct path);
+    # tests/test_sketches.py pins every pane exact at gate scale and
+    # within the documented RSE band on a 20k-user synthetic
+    tags=("events", "stats", "sketch", "scale", "extension"),
+)
+def q_dau_wau_mau_stickiness_hll(spark, sf_dir):
+    """The 100 TB path dau_wau_mau_stickiness documents: one per-day
+    HLL pane of user_id (map-side sketch aggregation — the only pass
+    over the events table), then DAU/WAU/MAU from the PANES alone —
+    each report day unions its trailing 7/30 pane sketches via a
+    days-broadcast range join over the |days|-row pane table
+    (metadata-scale; NO explode fan-out anywhere in the plan, unlike
+    the exact twin's bounded contribution explode over every (user,
+    day) row). Persisted panes make tomorrow's refresh one new sketch
+    + |days| unions without rescanning history — the property
+    COUNT(DISTINCT) cannot offer."""
+    from .operators.sketches import hll_partial_sketches
+
+    ev = _t(spark, sf_dir, "events")
+    panes = hll_partial_sketches(
+        ev.select(F.to_date("ts").alias("pane_day"), "user_id"),
+        ["pane_day"],
+        "user_id",
+    ).localCheckpoint(eager=False)  # one corpus pass feeds all three
+    days = panes.select(F.col("pane_day").alias("day"))
+
+    def sliding(window_days: int, name: str) -> DataFrame:
+        return (
+            panes.join(
+                F.broadcast(days),
+                (F.col("pane_day") <= F.col("day"))
+                & (
+                    F.col("pane_day")
+                    >= F.date_sub(F.col("day"), window_days - 1)
+                ),
+            )
+            .groupBy("day")
+            .agg(
+                F.hll_sketch_estimate(
+                    F.hll_union_agg("sketch", F.lit(True))
+                ).cast("bigint").alias(name)
+            )
+        )
+
+    dau = panes.select(
+        F.col("pane_day").alias("day"),
+        F.hll_sketch_estimate("sketch").cast("bigint").alias("dau"),
+    )
+    out = dau.join(sliding(7, "wau"), "day").join(sliding(30, "mau"), "day")
+    return out.select(
+        F.col("day").cast("timestamp_ntz").alias("day"),
+        "dau",
+        "wau",
+        "mau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+            "stickiness"
+        ),
+    )

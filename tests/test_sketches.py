@@ -104,3 +104,79 @@ def test_hll_partials_survive_parquet_roundtrip(spark, tmp_path):
     live = hll_rollup(partials, []).first()["distinct_est"]
     stored = hll_rollup(reread, []).first()["distinct_est"]
     assert stored == live
+
+
+def test_stickiness_hll_twin_exact_at_gate_scale(spark):
+    """Gate-scale cardinalities sit below the HLL sparse capacity, so
+    the pane-rollup twin must equal the exact query integer-for-integer
+    (the module's exactness contract), and its plan must contain NO
+    explode (Generate) — the twin exists to remove that fan-out."""
+    from emr_on_eks_hudi_iceberg_delta_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["day"]: r
+        for r in REGISTRY["dau_wau_mau_stickiness"].fn(spark, sf).collect()
+    }
+    twin_df = REGISTRY["dau_wau_mau_stickiness_hll"].fn(spark, sf)
+    plan = twin_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Generate" not in plan  # zero explode fan-out
+    twin = {r["day"]: r for r in twin_df.collect()}
+    assert set(twin) == set(exact)
+    for day, w in exact.items():
+        g = twin[day]
+        assert (g["dau"], g["wau"], g["mau"]) == (
+            w["dau"], w["wau"], w["mau"]
+        ), day
+        assert abs(g["stickiness"] - w["stickiness"]) < 1e-12
+
+
+def test_stickiness_hll_error_band_beyond_sparse_capacity(spark):
+    """20k users/day pushes the sketches into estimation mode; every
+    metric must stay within a conservative 5% of exact (documented RSE
+    at lgk=12 is ~0.8%)."""
+    import datetime
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.sketches import (
+        hll_partial_sketches,
+    )
+    from pyspark.sql import functions as F
+
+    n_days, users = 10, 20_000
+    base = spark.range(n_days * users).selectExpr(
+        f"CAST(date_add(DATE '2024-01-01', CAST(id % {n_days} AS INT)) "
+        "AS DATE) AS pane_day",
+        # ~60% of the user population active per day, day-dependent mix
+        f"CAST(pmod(id * 2654435761, {int(users * 1.6)}) AS BIGINT) "
+        "AS user_id",
+    )
+    panes = hll_partial_sketches(base, ["pane_day"], "user_id")
+    days = panes.select(F.col("pane_day").alias("day"))
+    est = (
+        panes.join(
+            F.broadcast(days),
+            (F.col("pane_day") <= F.col("day"))
+            & (F.col("pane_day") >= F.date_sub(F.col("day"), 6)),
+        )
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg("sketch", F.lit(True))
+            ).cast("bigint").alias("wau_est")
+        )
+    )
+    truth = (
+        base.select(F.col("pane_day"), "user_id")
+        .join(
+            F.broadcast(days),
+            (F.col("pane_day") <= F.col("day"))
+            & (F.col("pane_day") >= F.date_sub(F.col("day"), 6)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+    got = {r["day"]: r["wau_est"] for r in est.collect()}
+    want = {r["day"]: r["wau"] for r in truth.collect()}
+    assert set(got) == set(want)
+    for day, w in want.items():
+        assert abs(got[day] - w) / w < 0.05, (day, got[day], w)
