@@ -1,5 +1,6 @@
 from .catalog import LakeCatalog
 from .csv import read_csv_with_schema
+from .delta_log import DeltaLogTable
 from .datasource import (
     VersionedTableDataSource,
     register_vtable_source,

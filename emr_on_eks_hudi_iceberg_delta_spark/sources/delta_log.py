@@ -1,0 +1,335 @@
+"""Delta-protocol transaction-log table: read AND write the open Delta
+Lake log format (``_delta_log/*.json`` action files + parquet data)
+without the delta-spark runtime.
+
+Why this exists: the reference writes its SCD2 target as a Delta table
+(``delta/delta_scd_script.py:37-43``) and the container verifiably lacks
+the delta jar (closed out in round 6 — ``operators/delta_backend.py``
+gates the native path). But the Delta LOG itself is an open, published
+protocol (https://github.com/delta-io/delta/blob/master/PROTOCOL.md):
+newline-delimited JSON actions (``protocol`` / ``metaData`` / ``add`` /
+``remove`` / ``commitInfo``) whose replay defines the snapshot. That is
+plain JSON + parquet — squarely readable and writable with Spark
+built-ins. This module implements the v1 reader/writer subset:
+
+* ``DeltaLogTable.overwrite / append`` — write parquet data files and
+  commit a protocol-correct JSON action file per operation, so the
+  directory is a REAL Delta table: any delta-spark / delta-rs /
+  DuckDB-delta reader can open it (interop is by-spec; no Delta runtime
+  exists in this container to co-test against, which is exactly why the
+  writer sticks to the v1 action subset: minReaderVersion=1).
+* ``read(version=None)`` — replay the log to the requested version and
+  scan only the LIVE files; time travel = stop the replay early.
+  Partition columns (which Delta stores in ``partitionValues``, NOT in
+  the data files) are re-injected as typed literal columns per the
+  ``metaData.schemaString``.
+* ``history()`` — one row per commit (version, operation, file deltas).
+
+Scale shape: the log is metadata (one small JSON per commit; the replay
+is a driver-side dict of live paths — the same manifest-sized state
+every Delta reader holds). Data reads are parquet scans of live files
+grouped by partition tuple, so partition pruning happens before Spark
+ever lists a file: ``read_where`` filters partitionValues on the
+driver's manifest exactly like ``PartitionedTable``'s metadata pruning.
+
+Not implemented (documented contract, loud errors — not silent
+corruption): checkpoints (readers must replay JSON from 0; fine into the
+thousands of commits), deletion vectors, column mapping, generated
+columns — all of which bump min reader/writer versions above 1/2 and
+would be misrepresentation to claim.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def _commit_path(location: str, version: int) -> str:
+    return os.path.join(location, "_delta_log", f"{version:020d}.json")
+
+
+class DeltaLogTable:
+    """A Delta-protocol table at a local/posix ``location`` (the same
+    single-writer, multi-reader contract as ``VersionedTable``; real
+    Delta's optimistic concurrency needs a coordinating log store,
+    which is out of scope for a container-local table)."""
+
+    def __init__(self, spark: SparkSession, location: str):
+        self.spark = spark
+        self.location = location
+        os.makedirs(os.path.join(location, "_delta_log"), exist_ok=True)
+
+    # ---------------------------- log replay ----------------------------
+
+    def _versions(self) -> list[int]:
+        logdir = os.path.join(self.location, "_delta_log")
+        return sorted(
+            int(f[:-5])
+            for f in os.listdir(logdir)
+            if f.endswith(".json") and f[:-5].isdigit()
+        )
+
+    def _replay(self, version: int | None = None):
+        """Replay actions up to ``version`` (inclusive). Returns
+        (live: dict path -> add action, metadata: dict, last_version)."""
+        versions = self._versions()
+        if not versions:
+            raise ValueError(f"no delta log at {self.location}")
+        if version is None:
+            version = versions[-1]
+        if version not in versions:
+            raise ValueError(
+                f"version {version} not in log (have {versions})"
+            )
+        live: dict[str, dict] = {}
+        meta: dict = {}
+        for v in versions:
+            if v > version:
+                break
+            with open(_commit_path(self.location, v)) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if "metaData" in action:
+                        meta = action["metaData"]
+                    elif "add" in action:
+                        live[action["add"]["path"]] = action["add"]
+                    elif "remove" in action:
+                        live.pop(action["remove"]["path"], None)
+                    elif "protocol" in action:
+                        p = action["protocol"]
+                        if p.get("minReaderVersion", 1) > 1:
+                            raise ValueError(
+                                "table requires Delta reader version "
+                                f"{p['minReaderVersion']}; this reader "
+                                "implements protocol v1 (no checkpoints/"
+                                "deletion vectors/column mapping)"
+                            )
+        return live, meta, version
+
+    # ----------------------------- reading ------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        return self.read_where(None, version)
+
+    def read_where(
+        self, partition_filter, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read; ``partition_filter`` is an optional host
+        predicate over the partitionValues dict (str -> str), applied
+        to the MANIFEST before any file is listed — metadata-only
+        pruning, the same shape as PartitionedTable."""
+        live, meta, _ = self._replay(version)
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        part_cols = meta.get("partitionColumns", [])
+        adds = list(live.values())
+        if partition_filter is not None:
+            adds = [
+                a for a in adds if partition_filter(a["partitionValues"])
+            ]
+        data_fields = [f for f in schema.fields if f.name not in part_cols]
+        empty_reason = "empty snapshot" if not adds else None
+        if empty_reason:
+            return self.spark.createDataFrame([], schema)
+        # group files by partition tuple; inject partition columns as
+        # typed literals (Delta does not store them in the data files)
+        by_part: dict[tuple, list[str]] = {}
+        for a in adds:
+            key = tuple(a["partitionValues"].get(c) for c in part_cols)
+            by_part.setdefault(key, []).append(
+                os.path.join(self.location, a["path"])
+            )
+        types = {f.name: f.dataType for f in schema.fields}
+        parts = []
+        # NULL partition values sort first (tuple keys mix str and None)
+        for key, paths in sorted(
+            by_part.items(),
+            key=lambda kv: tuple((x is not None, x or "") for x in kv[0]),
+        ):
+            df = self.spark.read.schema(
+                StructType(data_fields)
+            ).parquet(*paths)
+            for c, val in zip(part_cols, key):
+                lit = (
+                    F.lit(None) if val is None else F.lit(val)
+                ).cast(types[c])
+                df = df.withColumn(c, lit)
+            parts.append(df.select(*[f.name for f in schema.fields]))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def history(self) -> list[dict]:
+        rows = []
+        for v in self._versions():
+            ops, n_add, n_remove = None, 0, 0
+            with open(_commit_path(self.location, v)) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if "commitInfo" in action:
+                        ops = action["commitInfo"].get("operation")
+                    elif "add" in action:
+                        n_add += 1
+                    elif "remove" in action:
+                        n_remove += 1
+            rows.append(
+                {
+                    "version": v,
+                    "operation": ops,
+                    "n_added": n_add,
+                    "n_removed": n_remove,
+                }
+            )
+        return rows
+
+    # ----------------------------- writing ------------------------------
+
+    def _write_data_files(
+        self, df: DataFrame, part_cols: list[str]
+    ) -> list[dict]:
+        """Write parquet data files under the table root and return
+        their ``add`` actions. Files are written to a staging dir and
+        hard-renamed in under fresh uuid names — the same
+        temp-then-publish idiom as the Arrow IPC sink, so a concurrent
+        reader never sees a half-written file."""
+        staging = os.path.join(self.location, f"_staging_{uuid.uuid4().hex}")
+        writer = df.write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(staging)
+        adds = []
+        now = int(time.time() * 1000)
+        for root, _dirs, files in os.walk(staging):
+            for fname in files:
+                if not fname.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, fname)
+                rel_dir = os.path.relpath(root, staging)
+                pvals: dict[str, str] = {}
+                if rel_dir != ".":
+                    from urllib.parse import unquote
+
+                    for seg in rel_dir.split(os.sep):
+                        k, _, raw = seg.partition("=")
+                        # Spark hive-escapes special chars in partition
+                        # dir names; the log stores the REAL value
+                        pvals[k] = (
+                            None
+                            if raw == "__HIVE_DEFAULT_PARTITION__"
+                            else unquote(raw)
+                        )
+                new_name = f"part-{uuid.uuid4().hex}.parquet"
+                rel_path = (
+                    new_name
+                    if rel_dir == "."
+                    else os.path.join(rel_dir, new_name)
+                )
+                dst = os.path.join(self.location, rel_path)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(src, dst)
+                adds.append(
+                    {
+                        "path": rel_path.replace(os.sep, "/"),
+                        "partitionValues": pvals,
+                        "size": os.path.getsize(dst),
+                        "modificationTime": now,
+                        "dataChange": True,
+                    }
+                )
+        # clear staging leftovers (_SUCCESS, crc files, empty dirs)
+        for root, dirs, files in os.walk(staging, topdown=False):
+            for fname in files:
+                os.remove(os.path.join(root, fname))
+            for d in dirs:
+                os.rmdir(os.path.join(root, d))
+        os.rmdir(staging)
+        return adds
+
+    def _commit(self, version: int, actions: list[dict]) -> None:
+        path = _commit_path(self.location, version)
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+        os.replace(tmp, path)  # atomic publish: the commit IS the rename
+
+    def _meta_action(
+        self, df: DataFrame, part_cols: list[str]
+    ) -> dict:
+        return {
+            "metaData": {
+                "id": uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": df.schema.json(),
+                "partitionColumns": part_cols,
+                "configuration": {},
+                "createdTime": int(time.time() * 1000),
+            }
+        }
+
+    def overwrite(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> "DeltaLogTable":
+        part_cols = list(partition_by or [])
+        versions = self._versions()
+        prior_live: dict[str, dict] = {}
+        if versions:
+            prior_live, _, _ = self._replay()
+        adds = self._write_data_files(df, part_cols)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "operation": "WRITE",
+                    "operationParameters": {"mode": "Overwrite"},
+                }
+            }
+        ]
+        if not versions:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+        actions.append(self._meta_action(df, part_cols))
+        now = int(time.time() * 1000)
+        for path in sorted(prior_live):
+            actions.append(
+                {
+                    "remove": {
+                        "path": path,
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                    }
+                }
+            )
+        actions.extend({"add": a} for a in adds)
+        self._commit(versions[-1] + 1 if versions else 0, actions)
+        return self
+
+    def append(self, df: DataFrame) -> "DeltaLogTable":
+        versions = self._versions()
+        if not versions:
+            return self.overwrite(df)
+        _, meta, _ = self._replay()
+        part_cols = meta.get("partitionColumns", [])
+        adds = self._write_data_files(df, part_cols)
+        actions = [
+            {
+                "commitInfo": {
+                    "operation": "WRITE",
+                    "operationParameters": {"mode": "Append"},
+                }
+            }
+        ]
+        actions.extend({"add": a} for a in adds)
+        self._commit(versions[-1] + 1, actions)
+        return self
