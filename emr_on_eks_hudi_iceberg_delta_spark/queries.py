@@ -13968,3 +13968,101 @@ def q_delta_log_partitioned_prune(spark, sf_dir):
     return dt.read_where(
         lambda pv: pv["o_orderpriority"] == "1-URGENT"
     ).select("o_orderkey", "o_orderpriority", "price")
+
+
+@register(
+    "hudi_layout_upsert_roundtrip",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_name, c_mktsegment, 1 AS ver FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment, 2 AS ver
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 5000000, c_name, 'NEW', 2 FROM customer
+      WHERE c_custkey % 97 = 0
+    ),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+            ORDER BY ver DESC) AS rn FROM u)
+    SELECT c_custkey, c_name, c_mktsegment,
+           CAST(ver AS INTEGER) AS ver
+    FROM r WHERE rn = 1
+    """,
+    tags=("lake", "S7", "extension"),
+)
+def q_hudi_layout_upsert_roundtrip(spark, sf_dir):
+    """Hudi copy-on-write in Hudi's OWN storage layout
+    (sources/hudi_layout.HudiCowTable — timeline of .commit JSON
+    instants, <fileId>_<token>_<instant>.parquet file slices, _hoodie_*
+    meta columns; reference parity for hudi/hudi_scd_script.py's
+    COPY_ON_WRITE writes, whose runtime this container lacks): bulk
+    insert customer, then a keyed precombine upsert (every 10th segment
+    mutated at ver=2, spurious +5M keys inserted) that rewrites ONLY
+    the touched file groups — untouched groups keep serving their
+    original files (pinned in tests/test_hudi_layout.py). The snapshot
+    read must equal the SQL newest-version-per-key merge."""
+    import tempfile
+
+    from .sources.hudi_layout import HudiCowTable
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", F.lit(1).alias("ver")
+    )
+    upd = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_mktsegment", F.lit("UPDATED")
+    ).withColumn("ver", F.lit(2))
+    new = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 5000000).alias("c_custkey"),
+        "c_name",
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit(2).alias("ver"),
+    )
+    t = HudiCowTable(
+        spark, tempfile.mkdtemp(prefix="hudi_cow_"),
+        record_key="c_custkey", precombine_field="ver",
+    )
+    t.bulk_insert(cust)
+    t.upsert(upd.unionByName(new))
+    return t.read().select(
+        "c_custkey", "c_name", "c_mktsegment", F.col("ver").cast("int")
+    )
+
+
+@register(
+    "hudi_layout_incremental_pull",
+    oracle="""
+    SELECT c_custkey, 'UPDATED' AS c_mktsegment, CAST(2 AS INTEGER) AS ver
+    FROM customer WHERE c_custkey % 10 = 0
+    """,
+    tags=("lake", "S2", "extension"),
+)
+def q_hudi_layout_incremental_pull(spark, sf_dir):
+    """Hudi incremental query against the layout table
+    (HudiCowTable.read_incremental): after a bulk insert and one
+    upsert, pulling changes since the FIRST instant must return exactly
+    the upserted rows — carried-over rows inside the rewritten file
+    slices keep their original _hoodie_commit_time stamp and are
+    filtered out, and only the slices the later commits wrote are read
+    at all (the commit metadata lists them)."""
+    import tempfile
+
+    from .sources.hudi_layout import HudiCowTable
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.lit(1).alias("ver")
+    )
+    t = HudiCowTable(
+        spark, tempfile.mkdtemp(prefix="hudi_inc_"),
+        record_key="c_custkey", precombine_field="ver",
+    )
+    i0 = t.bulk_insert(cust)
+    t.upsert(
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_mktsegment", F.lit("UPDATED"))
+        .withColumn("ver", F.lit(2))
+    )
+    return t.read_incremental(i0).select(
+        "c_custkey", "c_mktsegment", F.col("ver").cast("int")
+    )

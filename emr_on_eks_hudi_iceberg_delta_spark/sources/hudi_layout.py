@@ -1,0 +1,303 @@
+"""Hudi copy-on-write table in Hudi's OWN storage layout — timeline
+replay, snapshot/time-travel/incremental reads, and keyed upserts that
+write new file slices, all with Spark built-ins (no Hudi runtime).
+
+Why: the reference's Hudi leg (``hudi/hudi_scd_script.py:30-48``) writes
+COPY_ON_WRITE tables whose on-disk format is open and documented
+(https://hudi.apache.org/docs/concepts): a ``.hoodie/`` timeline of
+instant files (``<instantTime>.commit`` holding HoodieCommitMetadata
+JSON with ``partitionToWriteStats``), base parquet files named
+``<fileId>_<writeToken>_<instantTime>.parquet`` forming FILE GROUPS
+(every write to a group lays a NEW file slice beside the old — that IS
+copy-on-write), and the ``_hoodie_*`` meta columns inside every data
+file. All of that is JSON + parquet + naming conventions — perfectly
+expressible Spark-first, like the sibling ``delta_log`` module.
+
+Semantics implemented (the reference's actual usage):
+
+* ``bulk_insert`` — first load; records hash-assigned to
+  ``n_file_groups`` file groups per partition by record key.
+* ``upsert`` — Hudi's defining op: per touched file group, merge the
+  update batch into the CURRENT slice by record key with
+  ``precombine_field`` picking the newest version of a key, then write
+  the merged rows as a NEW slice under a NEW instant. Untouched file
+  groups keep their old slice — the read path never sees torn state
+  because the commit file lands last (atomic rename).
+* ``read(instant=None)`` — snapshot: latest slice per file group at or
+  before ``instant`` (time travel = pass an older instant).
+* ``read_incremental(begin_instant)`` — Hudi's incremental pull: only
+  rows whose ``_hoodie_commit_time`` is strictly greater, read from
+  only the file slices those commits wrote (the commit metadata lists
+  them — no full-table scan).
+
+Scale shape: the timeline is metadata (one JSON per commit); snapshot
+planning is a driver-side replay into a {(partition, fileId) -> path}
+dict, the same manifest-sized state every Hudi reader holds; upserts
+rewrite only touched file groups (measured per-group file counts in
+tests). Not implemented, loudly: MOR log files (``delta_backend``-style
+gate — avro-encoded), metadata table, clustering, cleaning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+META_COLS = [
+    "_hoodie_commit_time",
+    "_hoodie_record_key",
+    "_hoodie_partition_path",
+    "_hoodie_file_name",
+]
+
+
+class HudiCowTable:
+    """Copy-on-write table at ``location`` (single writer, like the
+    sibling stores; Hudi's OCC lock providers — the reference wires
+    DynamoDB — coordinate multi-writer, out of scope in-container)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        location: str,
+        record_key: str | None = None,
+        precombine_field: str | None = None,
+        n_file_groups: int = 4,
+    ):
+        self.spark = spark
+        self.location = location
+        self.hoodie = os.path.join(location, ".hoodie")
+        os.makedirs(self.hoodie, exist_ok=True)
+        props = os.path.join(self.hoodie, "hoodie.properties")
+        if os.path.exists(props):
+            stored = dict(
+                line.strip().split("=", 1)
+                for line in open(props)
+                if "=" in line
+            )
+            self.record_key = stored["hoodie.table.recordkey.fields"]
+            self.precombine_field = stored["hoodie.table.precombine.field"]
+            self.n_file_groups = int(stored["n.file.groups"])
+        else:
+            if record_key is None or precombine_field is None:
+                raise ValueError(
+                    "new table needs record_key and precombine_field"
+                )
+            self.record_key = record_key
+            self.precombine_field = precombine_field
+            self.n_file_groups = n_file_groups
+            with open(props, "w") as f:
+                f.write("hoodie.table.type=COPY_ON_WRITE\n")
+                f.write(f"hoodie.table.recordkey.fields={record_key}\n")
+                f.write(
+                    f"hoodie.table.precombine.field={precombine_field}\n"
+                )
+                f.write(f"n.file.groups={n_file_groups}\n")
+
+    # ----------------------------- timeline -----------------------------
+
+    def instants(self) -> list[str]:
+        return sorted(
+            f[: -len(".commit")]
+            for f in os.listdir(self.hoodie)
+            if f.endswith(".commit")
+        )
+
+    def _next_instant(self) -> str:
+        ts = time.strftime("%Y%m%d%H%M%S", time.gmtime()) + "000"
+        prior = self.instants()
+        if prior and ts <= prior[-1]:
+            ts = str(int(prior[-1]) + 1).zfill(17)
+        return ts
+
+    def _commit_meta(self, instant: str) -> dict:
+        with open(os.path.join(self.hoodie, f"{instant}.commit")) as f:
+            return json.load(f)
+
+    def _file_slices(self, instant: str | None = None) -> dict:
+        """Replay the timeline: {(partition, fileId) -> relative path of
+        the LATEST base file at or before ``instant``} — instants sort
+        lexicographically because they are fixed-width timestamps, the
+        property Hudi's instant format exists for."""
+        live: dict[tuple, str] = {}
+        for t in self.instants():
+            if instant is not None and t > instant:
+                break
+            meta = self._commit_meta(t)
+            for part, stats in meta["partitionToWriteStats"].items():
+                for st in stats:
+                    live[(part, st["fileId"])] = st["path"]
+        return live
+
+    # ------------------------------ writes ------------------------------
+
+    def _with_meta(
+        self, df: DataFrame, instant: str, file_group: F.Column
+    ) -> DataFrame:
+        key = F.col(self.record_key).cast("string")
+        return (
+            df.withColumn("_hoodie_commit_time", F.lit(instant))
+            .withColumn("_hoodie_record_key", key)
+            .withColumn("_hoodie_partition_path", F.lit(""))
+            .withColumn("__fg", file_group)
+        )
+
+    def _file_group_expr(self) -> F.Column:
+        # deterministic key -> file group assignment (layout only; any
+        # stable hash works — md5 keeps it engine-replayable like the
+        # rest of the repo)
+        from ..functions.hashing import md5_hash64
+
+        return (
+            F.pmod(
+                md5_hash64(F.col(self.record_key).cast("string")),
+                F.lit(self.n_file_groups),
+            )
+        ).cast("int")
+
+    def _write_groups(
+        self, df: DataFrame, instant: str, groups: list[int]
+    ) -> list[dict]:
+        """Write one base file per file group (repartition by the group
+        column so each parquet file holds exactly one group)."""
+        stats = []
+        staging = os.path.join(self.location, f"_staging_{uuid.uuid4().hex}")
+        (
+            df.repartition(len(groups) or 1, "__fg")
+            .write.mode("overwrite")
+            .partitionBy("__fg")
+            .parquet(staging)
+        )
+        for fg in groups:
+            fg_dir = os.path.join(staging, f"__fg={fg}")
+            files = (
+                [f for f in os.listdir(fg_dir) if f.endswith(".parquet")]
+                if os.path.isdir(fg_dir)
+                else []
+            )
+            file_id = f"fg-{fg}"
+            name = f"{file_id}_0-0-0_{instant}.parquet"
+            dst = os.path.join(self.location, name)
+            if len(files) == 1:
+                os.replace(os.path.join(fg_dir, files[0]), dst)
+            else:
+                # group emptied (or split) — materialize via a single-
+                # file rewrite so a slice is always exactly one file
+                part = self.spark.read.parquet(fg_dir) if files else None
+                tmp2 = os.path.join(
+                    self.location, f"_one_{uuid.uuid4().hex}"
+                )
+                if part is None:
+                    continue
+                part.coalesce(1).write.mode("overwrite").parquet(tmp2)
+                one = [
+                    f for f in os.listdir(tmp2) if f.endswith(".parquet")
+                ][0]
+                os.replace(os.path.join(tmp2, one), dst)
+                for leftover in os.listdir(tmp2):
+                    os.remove(os.path.join(tmp2, leftover))
+                os.rmdir(tmp2)
+            stats.append(
+                {
+                    "fileId": file_id,
+                    "path": name,
+                    "numWrites": None,
+                    "fileSizeInBytes": os.path.getsize(dst),
+                }
+            )
+        for root, dirs, files in os.walk(staging, topdown=False):
+            for fname in files:
+                os.remove(os.path.join(root, fname))
+            for d in dirs:
+                os.rmdir(os.path.join(root, d))
+        os.rmdir(staging)
+        return stats
+
+    def _commit(self, instant: str, stats: list[dict]) -> None:
+        meta = {
+            "operationType": "UPSERT",
+            "partitionToWriteStats": {"": stats},
+        }
+        path = os.path.join(self.hoodie, f"{instant}.commit")
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, path)  # the commit IS the atomic rename
+
+    def bulk_insert(self, df: DataFrame) -> str:
+        instant = self._next_instant()
+        prepared = self._with_meta(df, instant, self._file_group_expr())
+        stats = self._write_groups(
+            prepared, instant, list(range(self.n_file_groups))
+        )
+        self._commit(instant, stats)
+        return instant
+
+    def upsert(self, updates: DataFrame) -> str:
+        """Copy-on-write upsert: only the file groups the update keys
+        hash into are merged and rewritten as new slices; every other
+        group keeps its current file untouched."""
+        from ..operators.merge import upsert_by_key
+
+        instant = self._next_instant()
+        upd = self._with_meta(updates, instant, self._file_group_expr())
+        touched = sorted(
+            r["__fg"]
+            for r in upd.select("__fg").distinct().collect()
+        )
+        current = self._read_slices(self._file_slices(), with_fg=True)
+        cur_touched = current.filter(F.col("__fg").isin(touched))
+        merged = upsert_by_key(
+            cur_touched,
+            upd.filter(F.col("__fg").isin(touched)),
+            [self.record_key],
+            self.precombine_field,
+        )
+        # rows kept from the old slice keep their original commit time;
+        # upsert_by_key picks the newest version per key by precombine
+        stats = self._write_groups(merged, instant, touched)
+        self._commit(instant, stats)
+        return instant
+
+    # ------------------------------- reads -------------------------------
+
+    def _read_slices(self, slices: dict, with_fg: bool = False) -> DataFrame:
+        paths = [
+            os.path.join(self.location, p) for p in sorted(slices.values())
+        ]
+        if not paths:
+            raise ValueError("empty table")
+        df = self.spark.read.parquet(*paths).withColumn(
+            "_hoodie_file_name", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        if with_fg:
+            df = df.withColumn("__fg", self._file_group_expr())
+        return df
+
+    def read(self, instant: str | None = None) -> DataFrame:
+        return self._read_slices(self._file_slices(instant)).drop("__fg")
+
+    def read_incremental(self, begin_instant: str) -> DataFrame:
+        """Rows committed strictly AFTER ``begin_instant``: reads only
+        the file slices written by later commits (the commit metadata
+        lists them) and keeps rows stamped with a later commit time —
+        carried-over rows in a rewritten slice keep their old stamp and
+        are filtered out, exactly Hudi's incremental-query contract."""
+        later = [t for t in self.instants() if t > begin_instant]
+        slices: dict[tuple, str] = {}
+        for t in later:
+            meta = self._commit_meta(t)
+            for part, stats in meta["partitionToWriteStats"].items():
+                for st in stats:
+                    slices[(part, st["fileId"])] = st["path"]
+        if not slices:
+            base = self.read()
+            return base.filter(F.lit(False))
+        return self._read_slices(slices).filter(
+            F.col("_hoodie_commit_time") > begin_instant
+        )
