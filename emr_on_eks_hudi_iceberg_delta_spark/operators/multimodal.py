@@ -168,3 +168,141 @@ def pcm_frame_energy(
             "sum_sq bigint, rms double"
         ),
     )
+
+
+def synthesize_wav_pcm16(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    values_col: str = "samples",
+    sample_rate: int = 8000,
+    channels: int = 1,
+) -> DataFrame:
+    """Encode an int-array column into REAL RIFF/WAVE (PCM16) blobs —
+    the fixture half of the wav codec pair: a 44-byte canonical header
+    (RIFF size, 'fmt ' chunk with PCM format tag 1, 'data' chunk) +
+    little-endian int16 samples, built per row with struct/numpy inside
+    one mapInPandas. Values are clamped to int16 range. Interleaved
+    when ``channels`` > 1 (caller supplies frame-major interleaved
+    samples, the WAV convention)."""
+    import struct
+
+    import numpy as np
+
+    def encode(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for rid, vals in zip(pdf[id_col].values, pdf[values_col].values):
+                pcm = np.clip(
+                    np.asarray(list(vals), dtype=np.int64), -32768, 32767
+                ).astype("<i2").tobytes()
+                byte_rate = sample_rate * channels * 2
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(pcm))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack(
+                        "<IHHIIHH",
+                        16, 1, channels, sample_rate,
+                        byte_rate, channels * 2, 16,
+                    )
+                    + b"data"
+                    + struct.pack("<I", len(pcm))
+                )
+                ids.append(rid)
+                blobs.append(hdr + pcm)
+            yield pd.DataFrame({id_col: ids, "payload": blobs})
+
+    return df.select(id_col, values_col).mapInPandas(
+        encode, f"{id_col} bigint, payload binary"
+    )
+
+
+def wav_pcm16_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_size: int = 256,
+) -> DataFrame:
+    """REAL container decode #2 (after pcm_frame_energy's raw-PCM
+    path): parse the RIFF/WAVE chunk structure — 'RIFF'/'WAVE' magic,
+    'fmt ' (must be format tag 1 = integer PCM, 16-bit), 'data' —
+    walk unknown chunks by their declared sizes (the format's actual
+    contract; LIST/INFO chunks appear in the wild), then decode the
+    int16 samples with numpy.frombuffer and emit per-(id, channel,
+    frame) energies plus the container metadata.
+
+    Exactness: per frame the sample count and integer sum of squares
+    are exact (int64), RMS is one division + one sqrt — so a DuckDB
+    oracle can replay decode(encode(x)) against the SOURCE integers
+    without ever touching bytes (the registry gate does exactly that).
+    Malformed containers raise with the offending id — loud, never a
+    silent skip.
+
+    Scale: Arrow-batched mapInPandas; each task parses its own blobs,
+    no driver involvement; output fan-out is samples/frame_size rows
+    per blob."""
+    import struct
+
+    import numpy as np
+
+    def decode(batches):
+        for pdf in batches:
+            ids, chans, fidx, ns, ss = [], [], [], [], []
+            meta_sr, meta_ch = [], []
+            for rid, blob in zip(pdf[id_col].values, pdf[payload_col].values):
+                b = bytes(blob)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError(f"{id_col}={rid}: not a RIFF/WAVE blob")
+                pos, fmt, data = 12, None, None
+                while pos + 8 <= len(b):
+                    cid = b[pos : pos + 4]
+                    (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+                    body = b[pos + 8 : pos + 8 + size]
+                    if cid == b"fmt ":
+                        fmt = struct.unpack("<HHIIHH", body[:16])
+                    elif cid == b"data":
+                        data = body
+                    pos += 8 + size + (size & 1)  # chunks are word-aligned
+                if fmt is None or data is None:
+                    raise ValueError(
+                        f"{id_col}={rid}: missing fmt/data chunk"
+                    )
+                audio_format, n_ch, sr, _br, _ba, bits = fmt
+                if audio_format != 1 or bits != 16:
+                    raise ValueError(
+                        f"{id_col}={rid}: only integer PCM16 supported "
+                        f"(format={audio_format}, bits={bits})"
+                    )
+                samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                per_ch = samples.reshape(-1, n_ch)
+                for ch in range(n_ch):
+                    track = per_ch[:, ch]
+                    for f in range(0, len(track), frame_size):
+                        chunk = track[f : f + frame_size]
+                        ids.append(rid)
+                        chans.append(ch)
+                        fidx.append(f // frame_size)
+                        ns.append(len(chunk))
+                        ss.append(int((chunk * chunk).sum()))
+                        meta_sr.append(sr)
+                        meta_ch.append(n_ch)
+            out = pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "channel": pd.Series(chans, dtype="int32"),
+                    "frame": pd.Series(fidx, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "sum_sq": pd.Series(ss, dtype="int64"),
+                    "sample_rate": pd.Series(meta_sr, dtype="int32"),
+                    "channels": pd.Series(meta_ch, dtype="int32"),
+                }
+            )
+            out["rms"] = np.sqrt(out["sum_sq"] / out["n_samples"])
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(
+        decode,
+        f"{id_col} bigint, channel int, frame bigint, n_samples bigint,"
+        " sum_sq bigint, sample_rate int, channels int, rms double",
+    )

@@ -14066,3 +14066,77 @@ def q_hudi_layout_incremental_pull(spark, sf_dir):
     return t.read_incremental(i0).select(
         "c_custkey", "c_mktsegment", F.col("ver").cast("int")
     )
+
+
+@register(
+    "wav_codec_frame_energy",
+    oracle="""
+    WITH v AS (
+      SELECT l_orderkey AS doc_id,
+             -- tie-break on the value itself: the synthetic lineitem
+             -- has duplicate l_linenumber values, so a bare ORDER BY
+             -- linenumber leaves tie order engine-dependent
+             list(CAST(l_quantity AS INTEGER)
+                  ORDER BY l_linenumber, CAST(l_quantity AS INTEGER))
+               AS vals
+      FROM lineitem WHERE l_orderkey <= 600
+      GROUP BY l_orderkey
+    ),
+    f AS (
+      SELECT doc_id, vals,
+             unnest(generate_series(0,
+               CAST(ceil(len(vals) / 4.0) AS INTEGER) - 1)) AS frame
+      FROM v
+    ),
+    s AS (
+      SELECT doc_id, frame,
+             list_slice(vals, frame * 4 + 1, frame * 4 + 4) AS chunk
+      FROM f
+    )
+    SELECT doc_id, CAST(0 AS INTEGER) AS channel,
+           CAST(frame AS BIGINT) AS frame,
+           CAST(len(chunk) AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(chunk,
+                 x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT)
+             AS sum_sq,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS channels,
+           sqrt(CAST(list_sum(list_transform(chunk,
+                 x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT)
+                / CAST(len(chunk) AS BIGINT)) AS rms
+    FROM s
+    """,
+    tags=("multimodal", "udf", "extension"),
+)
+def q_wav_codec_frame_energy(spark, sf_dir):
+    """Round-trip WAV codec gate (operators/multimodal.
+    synthesize_wav_pcm16 + wav_pcm16_features): per-order quantity
+    sequences become REAL RIFF/WAVE PCM16 blobs (44-byte canonical
+    header, little-endian samples — struct/numpy, zero external
+    dependencies), then the parser walks the chunk structure and emits
+    per-frame integer energies. The oracle recomputes the SAME frame
+    metrics directly from the source integers in SQL, never touching
+    bytes — so a pass proves decode(encode(x)) == direct(x) exactly,
+    the contract that makes the binary plumbing trustworthy for
+    payloads whose decode libraries this container lacks."""
+    from .operators.multimodal import (
+        synthesize_wav_pcm16,
+        wav_pcm16_features,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 600)
+    vals = li.groupBy(F.col("l_orderkey").alias("doc_id")).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("n"),
+                        F.col("l_quantity").cast("int").alias("q"),
+                    )
+                )
+            ),
+            lambda s: s.q,
+        ).alias("samples")
+    )
+    wav = synthesize_wav_pcm16(vals, values_col="samples", sample_rate=8000)
+    return wav_pcm16_features(wav, frame_size=4)

@@ -364,3 +364,71 @@ def test_arrow_ipc_empty_partitions_write_no_files(spark, tmp_path):
     df = spark.range(2).repartition(8)  # 6 empty partitions
     paths = write_arrow_ipc(df, str(tmp_path / "ipc2"))
     assert 1 <= len(paths) <= 2
+
+
+# ------------------------------ WAV codec -----------------------------------
+
+def test_wav_pcm16_roundtrip_mono(spark):
+    """decode(encode(x)) must reproduce the source integers' frame
+    energies exactly (int64 sum of squares)."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.multimodal import (
+        synthesize_wav_pcm16,
+        wav_pcm16_features,
+    )
+
+    rows = [(1, [100, -200, 300, 40, 5]), (2, [0, 0, 32767, -32768])]
+    df = spark.createDataFrame(rows, "doc_id bigint, samples array<int>")
+    wav = synthesize_wav_pcm16(df, values_col="samples", sample_rate=8000)
+    got = wav_pcm16_features(wav, frame_size=3).collect()
+    by = {(r["doc_id"], r["frame"]): r for r in got}
+    assert by[(1, 0)]["sum_sq"] == 100**2 + 200**2 + 300**2
+    assert by[(1, 1)]["sum_sq"] == 40**2 + 5**2
+    assert by[(1, 1)]["n_samples"] == 2
+    assert by[(2, 0)]["sum_sq"] == 32767**2  # frame 0 = [0, 0, 32767]
+    assert by[(2, 1)]["sum_sq"] == 32768**2  # frame 1 = [-32768]
+    assert all(r["sample_rate"] == 8000 and r["channels"] == 1 for r in got)
+
+
+def test_wav_pcm16_stereo_channels_split(spark):
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.multimodal import (
+        synthesize_wav_pcm16,
+        wav_pcm16_features,
+    )
+
+    # interleaved L/R: L = 10,20 ; R = 1,2
+    df = spark.createDataFrame(
+        [(7, [10, 1, 20, 2])], "doc_id bigint, samples array<int>"
+    )
+    wav = synthesize_wav_pcm16(df, channels=2, sample_rate=16000)
+    got = {(r["channel"], r["frame"]): r
+           for r in wav_pcm16_features(wav, frame_size=4).collect()}
+    assert got[(0, 0)]["sum_sq"] == 100 + 400
+    assert got[(1, 0)]["sum_sq"] == 1 + 4
+    assert got[(0, 0)]["channels"] == 2
+
+
+def test_wav_parser_walks_unknown_chunks_and_refuses_malformed(spark):
+    import struct
+
+    import pytest
+
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.multimodal import (
+        wav_pcm16_features,
+    )
+
+    # hand-built WAV with a LIST chunk BEFORE fmt/data (seen in the wild)
+    pcm = struct.pack("<3h", 3, 4, 5)
+    lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    data = b"data" + struct.pack("<I", len(pcm)) + pcm
+    body = lst + fmt + data
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    df = spark.createDataFrame([(1, bytearray(blob))],
+                               "doc_id bigint, payload binary")
+    rows = wav_pcm16_features(df, frame_size=8).collect()
+    assert rows[0]["sum_sq"] == 9 + 16 + 25
+
+    bad = spark.createDataFrame([(2, bytearray(b"NOTAWAVFILE"))],
+                                "doc_id bigint, payload binary")
+    with pytest.raises(Exception, match="RIFF"):
+        wav_pcm16_features(bad).collect()
