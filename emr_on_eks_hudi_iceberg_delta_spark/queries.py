@@ -14140,3 +14140,40 @@ def q_wav_codec_frame_energy(spark, sf_dir):
     )
     wav = synthesize_wav_pcm16(vals, values_col="samples", sample_rate=8000)
     return wav_pcm16_features(wav, frame_size=4)
+
+
+@register(
+    "scd2_merge_delta_on_log_table",
+    oracle=REGISTRY["scd2_merge_delta"].oracle,
+    tags=("S11", "J4", "scd2", "lake", "extension"),
+)
+def q_scd2_merge_delta_on_log_table(spark, sf_dir):
+    """The reference's Delta leg END TO END on the protocol table
+    (delta/delta_scd_script.py: write Delta -> MERGE INTO -> read):
+    the SCD2 target lands in a DeltaLogTable (real _delta_log
+    commits), the NULL-mergeKey dual-row MERGE decomposition computes
+    the new state FROM the table's snapshot read, and the result is
+    committed back as the next version. Shares scd2_merge_delta's
+    oracle verbatim — the storage hop must change nothing — and the
+    pre-merge snapshot stays readable at version 0 (time travel
+    asserted in-gate), which is the operational property (audit /
+    rollback) the reference gets from Delta and this table provides
+    without the runtime."""
+    import tempfile
+
+    from .operators.merge import scd2_merge_delta_style
+    from .sources.delta_log import DeltaLogTable
+
+    tgt = scd2_target(spark, sf_dir, include_ts=False)
+    dt = DeltaLogTable(spark, tempfile.mkdtemp(prefix="delta_scd2_"))
+    dt.overwrite(tgt)
+    merged = scd2_merge_delta_style(
+        dt.read(),
+        customer_updates(spark, sf_dir),
+        "c_custkey",
+        CHECKSUM_COLS,
+        as_of=T2,
+    )
+    dt.overwrite(merged)
+    assert dt.read(version=0).count() == tgt.count()  # audit snapshot
+    return dt.read()

@@ -333,3 +333,74 @@ class DeltaLogTable:
         actions.extend({"add": a} for a in adds)
         self._commit(versions[-1] + 1, actions)
         return self
+
+
+def _optimize(self, target_files: int = 1) -> "DeltaLogTable":
+    """OPTIMIZE / small-file compaction, protocol-faithful: rewrite the
+    live files into ``target_files`` larger ones and commit remove+add
+    actions with ``dataChange: false`` — the flag real Delta uses so
+    streaming readers know the commit moved bytes but changed no rows.
+    Table contents are identical before and after (pinned by test);
+    time travel to pre-compaction versions still works because the old
+    files stay on disk until ``vacuum``."""
+    live, meta, _ = self._replay()
+    part_cols = meta.get("partitionColumns", [])
+    if part_cols:
+        raise ValueError(
+            "optimize currently compacts unpartitioned tables; compact "
+            "a partitioned table per-partition via overwrite"
+        )
+    df = self.read().coalesce(target_files)
+    adds = self._write_data_files(df, [])
+    now = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "operation": "OPTIMIZE",
+                "operationParameters": {"targetFiles": target_files},
+            }
+        }
+    ]
+    for path in sorted(live):
+        actions.append(
+            {
+                "remove": {
+                    "path": path,
+                    "deletionTimestamp": now,
+                    "dataChange": False,
+                }
+            }
+        )
+    for a in adds:
+        a["dataChange"] = False
+        actions.append({"add": a})
+    self._commit(self._versions()[-1] + 1, actions)
+    return self
+
+
+def _vacuum(self) -> list[str]:
+    """Delete data files no LIVE snapshot references (superseded by
+    overwrites/compactions). After vacuum, time travel to versions
+    that needed those files fails loudly at read — the same trade
+    real Delta's VACUUM makes (retention is the caller's policy knob:
+    run vacuum when the audit window has lapsed). Returns deleted
+    relative paths."""
+    live, _, _ = self._replay()
+    keep = set(live)
+    deleted = []
+    for root, _dirs, files in os.walk(self.location):
+        if "_delta_log" in root:
+            continue
+        for fname in files:
+            if not fname.endswith(".parquet"):
+                continue
+            full = os.path.join(root, fname)
+            rel = os.path.relpath(full, self.location).replace(os.sep, "/")
+            if rel not in keep:
+                os.remove(full)
+                deleted.append(rel)
+    return sorted(deleted)
+
+
+DeltaLogTable.optimize = _optimize
+DeltaLogTable.vacuum = _vacuum

@@ -133,3 +133,36 @@ def test_null_partition_value_roundtrip(spark, tmp_path):
     )
     dt.overwrite(df, partition_by=["grp"])
     assert _rows(dt.read().select("id", "grp")) == [(1, "a"), (2, None)]
+
+
+def test_optimize_compacts_without_changing_rows(spark, tmp_path):
+    dt = DeltaLogTable(spark, str(tmp_path / "t8"))
+    df = spark.range(100).selectExpr("id", "id * 3 AS v").repartition(8)
+    dt.overwrite(df)
+    before = _rows(dt.read())
+    n_files_before = len(dt.read().inputFiles())
+    assert n_files_before > 1
+    dt.optimize(target_files=1)
+    assert len(dt.read().inputFiles()) == 1
+    assert _rows(dt.read()) == before  # identical contents
+    # the compaction commit is flagged dataChange=false throughout
+    log1 = str(tmp_path / "t8" / "_delta_log" / f"{1:020d}.json")
+    for line in open(log1):
+        a = json.loads(line)
+        if "add" in a:
+            assert a["add"]["dataChange"] is False
+        if "remove" in a:
+            assert a["remove"]["dataChange"] is False
+    # pre-compaction version still time-travels (files not yet vacuumed)
+    assert _rows(dt.read(version=0)) == before
+
+
+def test_vacuum_deletes_only_unreferenced_files(spark, tmp_path):
+    dt = DeltaLogTable(spark, str(tmp_path / "t9"))
+    dt.overwrite(spark.range(50).selectExpr("id").repartition(4))
+    dt.optimize(target_files=1)
+    live_before = set(dt.read().inputFiles())
+    deleted = dt.vacuum()
+    assert len(deleted) >= 1
+    assert set(dt.read().inputFiles()) == live_before  # head unharmed
+    assert _rows(dt.read()) == [(i,) for i in range(50)]
