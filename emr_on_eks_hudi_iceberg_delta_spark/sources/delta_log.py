@@ -404,3 +404,90 @@ def _vacuum(self) -> list[str]:
 
 DeltaLogTable.optimize = _optimize
 DeltaLogTable.vacuum = _vacuum
+
+
+def _txn_versions(self) -> dict[str, int]:
+    """Highest committed ``txn`` version per appId — Delta's
+    idempotent-writer bookkeeping (the ``txn`` action in the protocol:
+    streaming sinks stamp every commit with (appId, epoch) so a
+    replayed micro-batch is recognized and skipped)."""
+    seen: dict[str, int] = {}
+    for v in self._versions():
+        with open(_commit_path(self.location, v)) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "txn" in action:
+                    t = action["txn"]
+                    seen[t["appId"]] = max(
+                        seen.get(t["appId"], -1), int(t["version"])
+                    )
+    return seen
+
+
+def _append_idempotent(
+    self, df: DataFrame, app_id: str, txn_version: int
+) -> bool:
+    """Exactly-once append: commit ``df`` stamped with a ``txn``
+    action unless (app_id, version <= highest seen) already committed —
+    then it is a REPLAY and the write is skipped. This is precisely how
+    Delta streaming sinks achieve exactly-once over at-least-once
+    micro-batch delivery (foreachBatch hands the same batchId again
+    after a restart). Returns True if the commit happened."""
+    if self.txn_versions().get(app_id, -1) >= txn_version:
+        return False
+    versions = self._versions()
+    if not versions:
+        # first commit must also lay protocol + metaData
+        adds = self._write_data_files(df, [])
+        actions = [
+            {"commitInfo": {"operation": "STREAMING UPDATE"}},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            self._meta_action(df, []),
+            {"txn": {"appId": app_id, "version": txn_version}},
+        ]
+        actions.extend({"add": a} for a in adds)
+        self._commit(0, actions)
+        return True
+    _, meta, _ = self._replay()
+    part_cols = meta.get("partitionColumns", [])
+    adds = self._write_data_files(df, part_cols)
+    actions = [
+        {"commitInfo": {"operation": "STREAMING UPDATE"}},
+        {"txn": {"appId": app_id, "version": txn_version}},
+    ]
+    actions.extend({"add": a} for a in adds)
+    self._commit(versions[-1] + 1, actions)
+    return True
+
+
+DeltaLogTable.txn_versions = _txn_versions
+DeltaLogTable.append_idempotent = _append_idempotent
+
+
+def stream_to_delta_log(
+    stream_df: DataFrame,
+    location: str,
+    app_id: str,
+    checkpoint_dir: str,
+):
+    """Structured-streaming sink into a DeltaLogTable via foreachBatch +
+    idempotent txn appends: every micro-batch commits stamped with
+    (app_id, batchId), so a batch redelivered after a restart is
+    skipped — end-to-end exactly-once on top of the checkpointed
+    source offsets, the same contract as the real Delta sink. Returns
+    the StreamingQuery (caller awaits/stops it)."""
+    spark = stream_df.sparkSession
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        DeltaLogTable(spark, location).append_idempotent(
+            batch_df, app_id, int(batch_id)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -166,3 +166,49 @@ def test_vacuum_deletes_only_unreferenced_files(spark, tmp_path):
     assert len(deleted) >= 1
     assert set(dt.read().inputFiles()) == live_before  # head unharmed
     assert _rows(dt.read()) == [(i,) for i in range(50)]
+
+
+def test_append_idempotent_skips_replayed_batch(spark, tmp_path):
+    dt = DeltaLogTable(spark, str(tmp_path / "t10"))
+    b0 = spark.range(5).selectExpr("id")
+    b1 = spark.range(5, 8).selectExpr("id")
+    assert dt.append_idempotent(b0, "appA", 0) is True
+    assert dt.append_idempotent(b1, "appA", 1) is True
+    # replay of batch 1 (restart redelivery) must be a no-op
+    assert dt.append_idempotent(b1, "appA", 1) is False
+    assert dt.append_idempotent(b0, "appA", 0) is False
+    assert _rows(dt.read()) == [(i,) for i in range(8)]
+    assert dt.txn_versions() == {"appA": 1}
+    # a DIFFERENT app's version counter is independent
+    assert dt.append_idempotent(
+        spark.range(100, 101).selectExpr("id"), "appB", 0
+    ) is True
+    assert dt.txn_versions() == {"appA": 1, "appB": 0}
+
+
+def test_stream_to_delta_log_exactly_once(spark, tmp_path):
+    """availableNow stream into the protocol table: rerunning the SAME
+    stream over the SAME checkpoint re-delivers nothing, and rerunning
+    with a FRESH checkpoint (forcing batch replay) is absorbed by the
+    txn guard — the table never double-counts."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.delta_log import (
+        stream_to_delta_log,
+    )
+
+    src_dir = str(tmp_path / "src")
+    spark.range(20).selectExpr("id").write.parquet(src_dir)
+    stream = spark.readStream.schema("id bigint").parquet(src_dir)
+    loc = str(tmp_path / "t11")
+    q = stream_to_delta_log(
+        stream, loc, "job1", str(tmp_path / "ckpt1")
+    )
+    q.awaitTermination(60)
+    dt = DeltaLogTable(spark, loc)
+    assert dt.read().count() == 20
+    # fresh checkpoint -> source replays batch 0 -> txn guard absorbs it
+    q2 = stream_to_delta_log(
+        spark.readStream.schema("id bigint").parquet(src_dir),
+        loc, "job1", str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(60)
+    assert dt.read().count() == 20  # no double-count
