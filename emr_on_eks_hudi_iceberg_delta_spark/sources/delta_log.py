@@ -77,20 +77,41 @@ class DeltaLogTable:
         )
 
     def _replay(self, version: int | None = None):
-        """Replay actions up to ``version`` (inclusive). Returns
-        (live: dict path -> add action, metadata: dict, last_version)."""
+        """Replay actions up to ``version`` (inclusive) — from JSON
+        alone when the 0..version chain is intact, else seeded from the
+        latest parquet checkpoint at or below ``version`` with the JSON
+        suffix replayed on top (the real Delta read path once log
+        retention has expired old commits). A truncated log with no
+        usable checkpoint refuses loudly. Returns (live: dict path ->
+        add action, metadata: dict, resolved_version)."""
         versions = self._versions()
-        if not versions:
+        have = set(versions)
+        ckpt = self.last_checkpoint_version()
+        last = max(versions[-1] if versions else -1,
+                   ckpt if ckpt is not None else -1)
+        if last < 0:
             raise ValueError(f"no delta log at {self.location}")
         if version is None:
-            version = versions[-1]
-        if version not in versions:
-            raise ValueError(
-                f"version {version} not in log (have {versions})"
-            )
+            version = last
         live: dict[str, dict] = {}
         meta: dict = {}
+        if all(v in have for v in range(0, version + 1)):
+            start_after = -1
+        elif (
+            ckpt is not None
+            and ckpt <= version
+            and all(v in have for v in range(ckpt + 1, version + 1))
+        ):
+            live, meta = self._load_checkpoint(ckpt)
+            start_after = ckpt
+        else:
+            raise ValueError(
+                f"log truncated below version {version} and no usable "
+                f"checkpoint (last checkpoint: {ckpt}) — cannot replay"
+            )
         for v in versions:
+            if v <= start_after:
+                continue
             if v > version:
                 break
             with open(_commit_path(self.location, v)) as f:
@@ -105,15 +126,39 @@ class DeltaLogTable:
                     elif "remove" in action:
                         live.pop(action["remove"]["path"], None)
                     elif "protocol" in action:
-                        p = action["protocol"]
-                        if p.get("minReaderVersion", 1) > 1:
-                            raise ValueError(
-                                "table requires Delta reader version "
-                                f"{p['minReaderVersion']}; this reader "
-                                "implements protocol v1 (no checkpoints/"
-                                "deletion vectors/column mapping)"
-                            )
+                        self._check_protocol(action["protocol"])
         return live, meta, version
+
+    @staticmethod
+    def _check_protocol(p: dict) -> None:
+        if p.get("minReaderVersion", 1) > 1:
+            raise ValueError(
+                "table requires Delta reader version "
+                f"{p['minReaderVersion']}; this reader implements "
+                "protocol v1 (no deletion vectors/column mapping)"
+            )
+
+    def _load_checkpoint(self, ckpt: int):
+        """Seed state from a classic single-file parquet checkpoint."""
+        path = os.path.join(
+            self.location, "_delta_log",
+            f"{ckpt:020d}.checkpoint.parquet",
+        )
+        live: dict[str, dict] = {}
+        meta: dict = {}
+        for r in self.spark.read.parquet(path).collect():
+            if r["protocol"] is not None:
+                self._check_protocol(r["protocol"].asDict())
+            if r["metaData"] is not None:
+                m = r["metaData"].asDict(recursive=True)
+                meta = {k: v for k, v in m.items() if v is not None}
+            if r["add"] is not None:
+                a = r["add"].asDict(recursive=True)
+                a["partitionValues"] = a.get("partitionValues") or {}
+                live[a["path"]] = a
+            if r["remove"] is not None:
+                live.pop(r["remove"]["path"], None)
+        return live, meta
 
     # ----------------------------- reading ------------------------------
 
@@ -412,6 +457,19 @@ def _txn_versions(self) -> dict[str, int]:
     streaming sinks stamp every commit with (appId, epoch) so a
     replayed micro-batch is recognized and skipped)."""
     seen: dict[str, int] = {}
+    ckpt = self.last_checkpoint_version()
+    if ckpt is not None:
+        path = os.path.join(
+            self.location, "_delta_log",
+            f"{ckpt:020d}.checkpoint.parquet",
+        )
+        if os.path.exists(path):
+            for r in self.spark.read.parquet(path).collect():
+                if r["txn"] is not None:
+                    t = r["txn"]
+                    seen[t["appId"]] = max(
+                        seen.get(t["appId"], -1), int(t["version"])
+                    )
     for v in self._versions():
         with open(_commit_path(self.location, v)) as f:
             for line in f:
@@ -491,3 +549,113 @@ def stream_to_delta_log(
         .trigger(availableNow=True)
         .start()
     )
+
+
+_CHECKPOINT_SCHEMA = (
+    "txn struct<appId:string,version:bigint>, "
+    "add struct<path:string,partitionValues:map<string,string>,"
+    "size:bigint,modificationTime:bigint,dataChange:boolean>, "
+    "remove struct<path:string,deletionTimestamp:bigint,"
+    "dataChange:boolean>, "
+    "metaData struct<id:string,format:struct<provider:string,"
+    "options:map<string,string>>,schemaString:string,"
+    "partitionColumns:array<string>,configuration:map<string,string>,"
+    "createdTime:bigint>, "
+    "protocol struct<minReaderVersion:int,minWriterVersion:int>"
+)
+
+
+def _logdir(self) -> str:
+    return os.path.join(self.location, "_delta_log")
+
+
+def _write_checkpoint(self) -> int:
+    """Write a classic (single-file) parquet checkpoint of the CURRENT
+    state — protocol, metaData, every live add, and the latest txn row
+    per appId — plus the ``_last_checkpoint`` pointer. This is what
+    lets the log's old JSON files expire (``clean_log``) without
+    breaking readers: replay becomes checkpoint + JSON suffix, exactly
+    the real Delta mechanism. Returns the checkpointed version."""
+    live, meta, version = self._replay()
+    rows = [
+        (None, None, None, None, {"minReaderVersion": 1,
+                                  "minWriterVersion": 2}),
+        (
+            None, None, None,
+            {
+                "id": meta["id"],
+                "format": meta.get(
+                    "format", {"provider": "parquet", "options": {}}
+                ),
+                "schemaString": meta["schemaString"],
+                "partitionColumns": meta.get("partitionColumns", []),
+                "configuration": meta.get("configuration", {}),
+                "createdTime": meta.get("createdTime"),
+            },
+            None,
+        ),
+    ]
+    for add in live.values():
+        rows.append((
+            None,
+            {
+                "path": add["path"],
+                "partitionValues": add.get("partitionValues", {}),
+                "size": add.get("size"),
+                "modificationTime": add.get("modificationTime"),
+                "dataChange": add.get("dataChange", True),
+            },
+            None, None, None,
+        ))
+    for app, v in self.txn_versions().items():
+        rows.append((
+            {"appId": app, "version": v}, None, None, None, None,
+        ))
+    df = self.spark.createDataFrame(rows, _CHECKPOINT_SCHEMA)
+    staging = os.path.join(self._logdir(), f"_ckpt_{uuid.uuid4().hex}")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    one = [f for f in os.listdir(staging) if f.endswith(".parquet")][0]
+    dst = os.path.join(
+        self._logdir(), f"{version:020d}.checkpoint.parquet"
+    )
+    os.replace(os.path.join(staging, one), dst)
+    for leftover in os.listdir(staging):
+        os.remove(os.path.join(staging, leftover))
+    os.rmdir(staging)
+    lc_tmp = os.path.join(self._logdir(), f"_lc_{uuid.uuid4().hex}")
+    with open(lc_tmp, "w") as f:
+        json.dump({"version": version, "size": len(rows)}, f)
+    os.replace(lc_tmp, os.path.join(self._logdir(), "_last_checkpoint"))
+    return version
+
+
+def _clean_log(self) -> list[str]:
+    """Delete JSON commit files at or before the last checkpoint —
+    the log-retention step real Delta runs; afterwards replay MUST go
+    through the checkpoint (the reader does) and time travel below the
+    checkpoint version fails loudly. Returns removed filenames."""
+    ckpt = self.last_checkpoint_version()
+    if ckpt is None:
+        raise ValueError("no checkpoint; write_checkpoint() first")
+    removed = []
+    for v in self._versions():
+        if v <= ckpt and v < max(self._versions()):
+            path = _commit_path(self.location, v)
+            os.remove(path)
+            removed.append(os.path.basename(path))
+    return removed
+
+
+DeltaLogTable.write_checkpoint = _write_checkpoint
+DeltaLogTable.clean_log = _clean_log
+DeltaLogTable._logdir = _logdir
+
+
+def _lcv(self) -> int | None:
+    lc = os.path.join(self.location, "_delta_log", "_last_checkpoint")
+    if not os.path.exists(lc):
+        return None
+    return int(json.load(open(lc))["version"])
+
+
+DeltaLogTable.last_checkpoint_version = _lcv

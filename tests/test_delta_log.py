@@ -212,3 +212,59 @@ def test_stream_to_delta_log_exactly_once(spark, tmp_path):
     )
     q2.awaitTermination(60)
     assert dt.read().count() == 20  # no double-count
+
+
+def test_checkpoint_and_log_cleanup(spark, tmp_path):
+    """Real Delta tables expire old JSON behind a parquet checkpoint;
+    the reader must replay checkpoint + JSON suffix and refuse loudly
+    when neither path can reconstruct a requested version."""
+    import pytest
+
+    dt = DeltaLogTable(spark, str(tmp_path / "t12"))
+    dt.overwrite(spark.range(5).selectExpr("id"))
+    dt.append(spark.range(5, 8).selectExpr("id"))
+    dt.append(spark.range(8, 10).selectExpr("id"))
+    v = dt.write_checkpoint()
+    assert v == 2 and dt.last_checkpoint_version() == 2
+    dt.append(spark.range(10, 12).selectExpr("id"))
+    removed = dt.clean_log()
+    assert removed  # early JSON expired
+    # head read goes checkpoint + suffix
+    assert _rows(dt.read()) == [(i,) for i in range(12)]
+    assert _rows(dt.read(version=2)) == [(i,) for i in range(10)]
+    # version below the checkpoint is gone with the JSON: loud refusal
+    with pytest.raises(ValueError, match="truncated"):
+        dt.read(version=0)
+    # appends still work from checkpoint-seeded state
+    dt.append(spark.range(12, 13).selectExpr("id"))
+    assert _rows(dt.read()) == [(i,) for i in range(13)]
+
+
+def test_checkpoint_preserves_txn_bookkeeping(spark, tmp_path):
+    """Idempotent-writer state must survive log cleanup via the
+    checkpoint's txn rows — otherwise a replayed batch would
+    double-count after retention kicked in."""
+    dt = DeltaLogTable(spark, str(tmp_path / "t13"))
+    dt.append_idempotent(spark.range(5).selectExpr("id"), "app", 0)
+    dt.append_idempotent(spark.range(5, 8).selectExpr("id"), "app", 1)
+    dt.write_checkpoint()
+    dt.append(spark.range(8, 9).selectExpr("id"))
+    dt.clean_log()
+    assert dt.txn_versions() == {"app": 1}
+    # the replay of batch 1 is still recognized post-cleanup
+    assert dt.append_idempotent(
+        spark.range(5, 8).selectExpr("id"), "app", 1
+    ) is False
+    assert dt.read().count() == 9
+
+
+def test_checkpoint_partitioned_table(spark, tmp_path):
+    dt = DeltaLogTable(spark, str(tmp_path / "t14"))
+    df = spark.range(40).selectExpr("id", "CAST(id % 2 AS INT) AS p")
+    dt.overwrite(df, partition_by=["p"])
+    dt.write_checkpoint()
+    dt.clean_log()  # keeps only the newest json + checkpoint
+    got = dt.read()
+    assert got.count() == 40 and dict(got.dtypes)["p"] == "int"
+    pruned = dt.read_where(lambda pv: pv["p"] == "1")
+    assert pruned.count() == 20
