@@ -14177,3 +14177,76 @@ def q_scd2_merge_delta_on_log_table(spark, sf_dir):
     dt.overwrite(merged)
     assert dt.read(version=0).count() == tgt.count()  # audit snapshot
     return dt.read()
+
+
+@register(
+    "iceberg_layout_snapshot_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderkey % 5 = 0 OR o_orderkey % 13 = 0
+    """,
+    tags=("lake", "S9", "extension"),
+)
+def q_iceberg_layout_snapshot_roundtrip(spark, sf_dir):
+    """Iceberg v1 table in Iceberg's OWN metadata layout
+    (sources/iceberg_layout.IcebergTable + the pure-Python avro_io
+    codec — reference parity for iceberg/iceberg_submit.sh, whose
+    runtime + spark-avro jars this container verifiably lacks): orders
+    rows land as versioned metadata.json + avro manifest list +
+    manifest + parquet data (field-ids per spec), a second snapshot
+    appends a disjoint slice, and the snapshot read must equal the
+    union while the FIRST snapshot still time-travels (asserted
+    in-gate; snapshots are immutable, the version-hint swap is the
+    commit). Completes the format trio beside delta_log and
+    hudi_layout."""
+    import tempfile
+
+    from .sources.iceberg_layout import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    first = o.filter(F.col("o_orderkey") % 5 == 0)
+    second = o.filter(
+        (F.col("o_orderkey") % 13 == 0) & (F.col("o_orderkey") % 5 != 0)
+    )
+    t = IcebergTable(spark, tempfile.mkdtemp(prefix="iceberg_"))
+    s0 = t.append(first)
+    t.append(second)
+    assert t.read(snapshot_id=s0).count() == first.count()  # time travel
+    assert len(t.history()) == 2
+    return t.read()
+
+
+@register(
+    "iceberg_layout_incremental_read",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders WHERE o_orderkey % 17 = 0
+    """,
+    tags=("lake", "S2", "extension"),
+)
+def q_iceberg_layout_incremental_read(spark, sf_dir):
+    """Iceberg incremental consumption (IcebergTable.
+    read_appended_since): after a base snapshot and one append, reading
+    files added since the base must return exactly the appended rows —
+    attribution comes from each later snapshot's OWN manifest entries
+    (the head manifest demotes carried files to EXISTING status;
+    snapshot ids are random per spec, so 'after' resolves through the
+    snapshot list's order, never numeric comparison — both pinned in
+    tests/test_iceberg_layout.py)."""
+    import tempfile
+
+    from .sources.iceberg_layout import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    t = IcebergTable(spark, tempfile.mkdtemp(prefix="iceberg_inc_"))
+    s0 = t.append(o.filter(F.col("o_orderkey") % 17 != 0))
+    t.append(o.filter(F.col("o_orderkey") % 17 == 0))
+    return t.read_appended_since(s0)

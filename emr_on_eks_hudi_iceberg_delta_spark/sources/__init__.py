@@ -2,6 +2,7 @@ from .catalog import LakeCatalog
 from .csv import read_csv_with_schema
 from .delta_log import DeltaLogTable
 from .hudi_layout import HudiCowTable
+from .iceberg_layout import IcebergTable
 from .datasource import (
     VersionedTableDataSource,
     register_vtable_source,

@@ -1,0 +1,91 @@
+"""IcebergTable (sources/iceberg_layout.py): v1 metadata layout —
+snapshot commits via the version-hint swap, avro manifest lists +
+manifests with spec field-ids, time travel, incremental attribution."""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from emr_on_eks_hudi_iceberg_delta_spark.sources.avro_io import read_ocf
+from emr_on_eks_hudi_iceberg_delta_spark.sources.iceberg_layout import (
+    IcebergTable,
+)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_append_overwrite_time_travel(spark, tmp_path):
+    t = IcebergTable(spark, str(tmp_path / "i1"))
+    s0 = t.append(spark.range(5).selectExpr("id", "id * 2 AS v"))
+    s1 = t.append(spark.range(5, 8).selectExpr("id", "id * 2 AS v"))
+    assert _rows(t.read()) == [(i, i * 2) for i in range(8)]
+    assert _rows(t.read(snapshot_id=s0)) == [(i, i * 2) for i in range(5)]
+    s2 = t.overwrite(spark.range(100, 103).selectExpr("id", "id AS v"))
+    assert _rows(t.read()) == [(i, i) for i in (100, 101, 102)]
+    # every older snapshot still time-travels (immutable metadata)
+    assert _rows(t.read(snapshot_id=s1)) == [(i, i * 2) for i in range(8)]
+    hist = t.history()
+    assert [h["snapshot_id"] for h in hist] == [s0, s1, s2]
+    assert [h["operation"] for h in hist] == [
+        "append", "append", "overwrite"
+    ]
+
+
+def test_incremental_attribution(spark, tmp_path):
+    t = IcebergTable(spark, str(tmp_path / "i2"))
+    s0 = t.append(spark.range(4).selectExpr("id"))
+    t.append(spark.range(4, 6).selectExpr("id"))
+    t.append(spark.range(6, 9).selectExpr("id"))
+    inc = t.read_appended_since(s0)
+    assert _rows(inc) == [(i,) for i in range(4, 9)]
+    assert t.read_appended_since(t.history()[-1]["snapshot_id"]).count() == 0
+    # carried-forward files are EXISTING entries, attribution survives
+    added = t.added_files(s0)
+    assert all(f["record_count"] > 0 for f in added)
+
+
+def test_layout_is_iceberg_shaped(spark, tmp_path):
+    """On-disk contract: version-hint.text -> vN.metadata.json ->
+    snap-*.avro manifest list -> manifest with the spec's field ids."""
+    loc = str(tmp_path / "i3")
+    t = IcebergTable(spark, loc)
+    sid = t.append(spark.range(3).selectExpr("id", "CAST(id AS DOUBLE) AS x"))
+    hint = open(os.path.join(loc, "metadata", "version-hint.text")).read()
+    assert hint == "1"
+    md = json.load(open(os.path.join(loc, "metadata", "v1.metadata.json")))
+    assert md["format-version"] == 1
+    assert md["current-snapshot-id"] == sid
+    fields = {f["name"]: f for f in md["schema"]["fields"]}
+    assert fields["id"]["type"] == "long" and fields["x"]["type"] == "double"
+    assert all("id" in f for f in md["schema"]["fields"])
+    mlist = md["snapshots"][0]["manifest-list"]
+    schema, manifests = read_ocf(mlist)
+    by_name = {f["name"]: f for f in schema["fields"]}
+    assert by_name["manifest_path"]["field-id"] == 500
+    assert by_name["added_snapshot_id"]["field-id"] == 503
+    eschema, entries = read_ocf(manifests[0]["manifest_path"])
+    dfields = {
+        f["name"]: f
+        for f in next(
+            f for f in eschema["fields"] if f["name"] == "data_file"
+        )["type"]["fields"]
+    }
+    assert dfields["file_path"]["field-id"] == 100
+    assert dfields["record_count"]["field-id"] == 103
+    for e in entries:
+        assert e["data_file"]["file_format"] == "PARQUET"
+        assert os.path.exists(e["data_file"]["file_path"])
+        assert e["data_file"]["record_count"] >= 1
+
+
+def test_unsupported_types_refuse_loudly(spark, tmp_path):
+    import pytest
+
+    t = IcebergTable(spark, str(tmp_path / "i4"))
+    arr = spark.range(3).selectExpr("array(id) AS a")
+    with pytest.raises(ValueError, match="not in the v1 subset"):
+        t.append(arr)
