@@ -14250,3 +14250,38 @@ def q_iceberg_layout_incremental_read(spark, sf_dir):
     s0 = t.append(o.filter(F.col("o_orderkey") % 17 != 0))
     t.append(o.filter(F.col("o_orderkey") % 17 == 0))
     return t.read_appended_since(s0)
+
+
+@register(
+    "scd2_merge_iceberg_on_layout_table",
+    oracle=REGISTRY["scd2_merge_iceberg"].oracle,
+    tags=("S10", "scd2", "lake", "extension"),
+)
+def q_scd2_merge_iceberg_on_layout_table(spark, sf_dir):
+    """The reference's Iceberg leg END TO END on the layout table
+    (iceberg/iceberg_scd_script.py: write Iceberg -> union+LEAD MERGE
+    -> read): the SCD2 target lands as a real Iceberg v1 snapshot (avro
+    manifests via the pure-Python codec), the union-distinct + LEAD +
+    2-key MERGE decomposition computes the new state FROM the table's
+    snapshot read, and the result commits as the next snapshot (an
+    overwrite — Iceberg CoW). Shares scd2_merge_iceberg's oracle
+    verbatim; the pre-merge snapshot stays readable by id (asserted
+    in-gate), Iceberg's audit/rollback property."""
+    import tempfile
+
+    from .operators.merge import scd2_merge_iceberg_style
+    from .sources.iceberg_layout import IcebergTable
+
+    tgt = scd2_target(spark, sf_dir)
+    t = IcebergTable(spark, tempfile.mkdtemp(prefix="iceberg_scd2_"))
+    s0 = t.append(tgt)
+    merged = scd2_merge_iceberg_style(
+        t.read(),
+        customer_updates(spark, sf_dir),
+        "c_custkey",
+        CHECKSUM_COLS,
+        as_of=T2,
+    )
+    t.overwrite(merged)
+    assert t.read(snapshot_id=s0).count() == tgt.count()
+    return t.read()

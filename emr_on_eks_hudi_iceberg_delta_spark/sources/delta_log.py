@@ -659,3 +659,42 @@ def _lcv(self) -> int | None:
 
 
 DeltaLogTable.last_checkpoint_version = _lcv
+
+
+def _generate_symlink_manifest(self) -> str:
+    """``GENERATE symlink_format_manifest FOR TABLE`` on the protocol
+    table — the exact call the reference makes right after its Delta
+    write (delta/delta_scd_script.py:42-43) so Athena's
+    SymlinkTextInputFormat DDL can serve the table: one ``file:`` URI
+    per LIVE data file under ``_symlink_format_manifest/manifest``,
+    tmp+rename atomic. Unpartitioned tables get the single manifest;
+    partitioned tables get one manifest per partition directory
+    (hive layout, matching the per-partition variant on
+    PartitionedTable)."""
+    live, meta, _ = self._replay()
+    part_cols = meta.get("partitionColumns", [])
+    base = os.path.join(self.location, "_symlink_format_manifest")
+    by_dir: dict[str, list[str]] = {}
+    for add in live.values():
+        rel = add["path"]
+        d = os.path.dirname(rel)
+        by_dir.setdefault(d, []).append(
+            "file:" + os.path.join(self.location, rel)
+        )
+    written = []
+    for d, uris in sorted(by_dir.items()):
+        mdir = os.path.join(base, d) if d else base
+        os.makedirs(mdir, exist_ok=True)
+        manifest = os.path.join(mdir, "manifest")
+        tmp = manifest + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            for uri in sorted(uris):
+                f.write(uri + "\n")
+        os.replace(tmp, manifest)
+        written.append(manifest)
+    if part_cols and not by_dir:
+        os.makedirs(base, exist_ok=True)
+    return base
+
+
+DeltaLogTable.generate_symlink_manifest = _generate_symlink_manifest

@@ -268,3 +268,33 @@ def test_checkpoint_partitioned_table(spark, tmp_path):
     assert got.count() == 40 and dict(got.dtypes)["p"] == "int"
     pruned = dt.read_where(lambda pv: pv["p"] == "1")
     assert pruned.count() == 20
+
+
+def test_symlink_manifest_from_protocol_table(spark, tmp_path):
+    """The reference's GENERATE symlink_format_manifest call, served
+    from the protocol table: the manifest lists exactly the LIVE files
+    and a plain parquet read of those URIs equals the snapshot."""
+    dt = DeltaLogTable(spark, str(tmp_path / "t15"))
+    dt.overwrite(spark.range(20).selectExpr("id").repartition(3))
+    dt.append(spark.range(20, 25).selectExpr("id"))
+    base = dt.generate_symlink_manifest()
+    uris = [
+        line.strip()
+        for line in open(os.path.join(base, "manifest"))
+    ]
+    assert uris == sorted(uris) and all(u.startswith("file:") for u in uris)
+    paths = [u[len("file:"):] for u in uris]
+    # manifest lists exactly the live snapshot's files
+    live = {f.split("file:")[-1].lstrip("/") for f in dt.read().inputFiles()}
+    assert {p.lstrip("/") for p in paths} == live
+    got = sorted(map(tuple, spark.read.parquet(*paths).collect()))
+    assert got == _rows(dt.read())
+    # partitioned: one manifest per partition dir
+    dp = DeltaLogTable(spark, str(tmp_path / "t16"))
+    dp.overwrite(
+        spark.range(10).selectExpr("id", "CAST(id % 2 AS INT) AS p"),
+        partition_by=["p"],
+    )
+    base2 = dp.generate_symlink_manifest()
+    assert os.path.exists(os.path.join(base2, "p=0", "manifest"))
+    assert os.path.exists(os.path.join(base2, "p=1", "manifest"))
