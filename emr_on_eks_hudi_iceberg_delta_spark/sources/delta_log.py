@@ -32,11 +32,16 @@ grouped by partition tuple, so partition pruning happens before Spark
 ever lists a file: ``read_where`` filters partitionValues on the
 driver's manifest exactly like ``PartitionedTable``'s metadata pruning.
 
+Also implemented (attached below the class): OPTIMIZE compaction with
+``dataChange: false`` actions, VACUUM of unreferenced files, classic
+single-file parquet checkpoints + ``_last_checkpoint`` + log retention
+(``clean_log``) with checkpoint-seeded replay, txn-action idempotent
+appends, and an exactly-once foreachBatch streaming sink.
+
 Not implemented (documented contract, loud errors — not silent
-corruption): checkpoints (readers must replay JSON from 0; fine into the
-thousands of commits), deletion vectors, column mapping, generated
-columns — all of which bump min reader/writer versions above 1/2 and
-would be misrepresentation to claim.
+corruption): deletion vectors, column mapping, generated columns — all
+of which bump min reader/writer versions above 1/2 and would be
+misrepresentation to claim.
 """
 
 from __future__ import annotations
