@@ -14285,3 +14285,37 @@ def q_scd2_merge_iceberg_on_layout_table(spark, sf_dir):
     t.overwrite(merged)
     assert t.read(snapshot_id=s0).count() == tgt.count()
     return t.read()
+
+
+@register(
+    "convert_parquet_to_delta_in_place",
+    oracle="""
+    SELECT p_partkey, p_type, CAST(p_retailprice AS DOUBLE) AS price
+    FROM part
+    """,
+    tags=("lake", "S6", "extension"),
+)
+def q_convert_parquet_to_delta_in_place(spark, sf_dir):
+    """CONVERT TO DELTA (sources/convert.convert_parquet_dir_to_delta):
+    a plain parquet directory is adopted into a Delta-protocol table by
+    ONE metadata commit — add actions reference the existing files in
+    place, zero bytes copied (inode-pinned in tests/test_convert.py) —
+    after which it versions, time-travels, and appends like any
+    protocol table. The operational case: petabytes of legacy parquet
+    need a transaction log without a rewrite. The snapshot read must
+    equal the original data exactly."""
+    import tempfile
+
+    from .sources.convert import convert_parquet_dir_to_delta
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_type",
+        F.col("p_retailprice").cast("double").alias("price"),
+    )
+    loc = tempfile.mkdtemp(prefix="convert_")
+    import os
+    os.rmdir(loc)
+    part.write.parquet(loc)
+    dt = convert_parquet_dir_to_delta(spark, loc)
+    assert dt.history()[0]["operation"] == "CONVERT"
+    return dt.read()

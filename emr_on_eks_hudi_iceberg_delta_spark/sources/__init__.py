@@ -3,6 +3,7 @@ from .csv import read_csv_with_schema
 from .delta_log import DeltaLogTable
 from .hudi_layout import HudiCowTable
 from .iceberg_layout import IcebergTable
+from .convert import convert_delta_to_iceberg, convert_parquet_dir_to_delta
 from .datasource import (
     VersionedTableDataSource,
     register_vtable_source,

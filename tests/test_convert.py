@@ -1,0 +1,94 @@
+"""In-place conversions (sources/convert.py): metadata-only adoption —
+zero data copy, pinned by inode identity."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from emr_on_eks_hudi_iceberg_delta_spark.sources.convert import (
+    convert_delta_to_iceberg,
+    convert_parquet_dir_to_delta,
+)
+from emr_on_eks_hudi_iceberg_delta_spark.sources.delta_log import DeltaLogTable
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _parquet_inodes(root):
+    return {
+        os.stat(os.path.join(r, f)).st_ino
+        for r, _, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".parquet") and "_delta_log" not in r
+    }
+
+
+def test_convert_plain_parquet_dir(spark, tmp_path):
+    loc = str(tmp_path / "plain")
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    df.repartition(4).write.parquet(loc)
+    inodes = _parquet_inodes(loc)
+    dt = convert_parquet_dir_to_delta(spark, loc)
+    assert _rows(dt.read()) == _rows(df)
+    assert _parquet_inodes(loc) == inodes  # zero bytes copied or moved
+    assert dt.history()[0]["operation"] == "CONVERT"
+    # the adopted table is a normal Delta table: appends work
+    dt.append(spark.range(100, 105).selectExpr("id", "id * 2 AS v"))
+    assert dt.read().count() == 105
+
+
+def test_convert_hive_partitioned_dir(spark, tmp_path):
+    loc = str(tmp_path / "hive")
+    df = spark.range(60).selectExpr("id", "CAST(id % 3 AS INT) AS p")
+    df.write.partitionBy("p").parquet(loc)
+    inodes = _parquet_inodes(loc)
+    dt = convert_parquet_dir_to_delta(spark, loc)
+    got = dt.read()
+    assert got.count() == 60 and dict(got.dtypes)["p"] == "int"
+    assert _parquet_inodes(loc) == inodes
+    pruned = dt.read_where(lambda pv: pv["p"] == "1")
+    assert pruned.count() == 20
+
+
+def test_convert_refuses_double_adoption(spark, tmp_path):
+    import pytest
+
+    loc = str(tmp_path / "dl")
+    DeltaLogTable(spark, loc).overwrite(spark.range(3).selectExpr("id"))
+    with pytest.raises(ValueError, match="already has"):
+        convert_parquet_dir_to_delta(spark, loc)
+
+
+def test_convert_delta_to_iceberg_adopts_files(spark, tmp_path):
+    dloc = str(tmp_path / "d2i_src")
+    dt = DeltaLogTable(spark, dloc)
+    dt.overwrite(spark.range(50).selectExpr("id", "id AS v").repartition(3))
+    inodes = _parquet_inodes(dloc)
+    iloc = str(tmp_path / "d2i_dst")
+    it = convert_delta_to_iceberg(spark, dloc, iloc)
+    assert _rows(it.read()) == _rows(dt.read())
+    assert _parquet_inodes(dloc) == inodes
+    # iceberg data dir holds NO copies; manifests point into the delta dir
+    assert _parquet_inodes(os.path.join(iloc, "data")) == set()
+    for f in it.added_files(it.history()[0]["snapshot_id"]) or []:
+        pass
+    entries = it._entries()
+    assert all(
+        e["data_file"]["file_path"].startswith(dloc) for e in entries
+    )
+
+
+def test_convert_partitioned_delta_to_iceberg_refuses(spark, tmp_path):
+    import pytest
+
+    dloc = str(tmp_path / "d2i_part")
+    dt = DeltaLogTable(spark, dloc)
+    dt.overwrite(
+        spark.range(10).selectExpr("id", "CAST(id % 2 AS INT) AS p"),
+        partition_by=["p"],
+    )
+    with pytest.raises(ValueError, match="partitioned"):
+        convert_delta_to_iceberg(spark, dloc, str(tmp_path / "x"))
