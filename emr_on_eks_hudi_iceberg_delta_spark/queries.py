@@ -14319,3 +14319,45 @@ def q_convert_parquet_to_delta_in_place(spark, sf_dir):
     dt = convert_parquet_dir_to_delta(spark, loc)
     assert dt.history()[0]["operation"] == "CONVERT"
     return dt.read()
+
+
+@register(
+    "deltalog_stream_tail",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    """,
+    tags=("lake", "streaming", "extension"),
+)
+def q_deltalog_stream_tail(spark, sf_dir):
+    """Log-tailing streaming source over the Delta-protocol table
+    (sources/delta_source — spark.readStream.format('deltalog')):
+    customer lands in three append commits, the stream replays them as
+    micro-batches attributed EXACTLY from the log's add actions
+    (offsets = commit versions, checkpointable), and the collected sink
+    must equal the full table. The protocol makes append detection
+    exact — dataChange=false OPTIMIZE commits are no-ops, data-removing
+    commits refuse loudly (tests/test_delta_source.py). Arrow-batched
+    per file; partition values typed-injected from the log."""
+    import tempfile
+
+    from .sources.delta_log import DeltaLogTable
+    from .sources.delta_source import register_deltalog_source
+
+    register_deltalog_source(spark)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    loc = tempfile.mkdtemp(prefix="dl_stream_")
+    dt = DeltaLogTable(spark, loc)
+    dt.overwrite(cust.filter(F.col("c_custkey") % 3 == 0))
+    dt.append(cust.filter(F.col("c_custkey") % 3 == 1))
+    dt.append(cust.filter(F.col("c_custkey") % 3 == 2))
+    out = tempfile.mkdtemp(prefix="dl_sink_")
+    q = (
+        spark.readStream.format("deltalog").option("location", loc).load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dl_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.schema("c_custkey bigint, c_mktsegment string").parquet(out)

@@ -4,6 +4,7 @@ from .delta_log import DeltaLogTable
 from .hudi_layout import HudiCowTable
 from .iceberg_layout import IcebergTable
 from .convert import convert_delta_to_iceberg, convert_parquet_dir_to_delta
+from .delta_source import DeltaLogDataSource, register_deltalog_source
 from .datasource import (
     VersionedTableDataSource,
     register_vtable_source,
