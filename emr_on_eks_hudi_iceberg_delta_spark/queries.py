@@ -14361,3 +14361,36 @@ def q_deltalog_stream_tail(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.read.schema("c_custkey bigint, c_mktsegment string").parquet(out)
+
+
+@register(
+    "iceberg_layout_partition_prune",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    tags=("lake", "S2", "extension"),
+)
+def q_iceberg_layout_partition_prune(spark, sf_dir):
+    """Identity-partitioned Iceberg table with manifest pruning
+    (IcebergTable.read_where): orders written under an identity spec on
+    priority — the source column stays IN the data files per the
+    Iceberg contract while typed partition values land in the manifest
+    entries — then a priority-filtered read prunes to one partition's
+    files on the DRIVER's manifest before Spark lists anything
+    (input-file set pinned in tests/test_iceberg_layout.py)."""
+    import tempfile
+
+    from .sources.iceberg_layout import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    t = IcebergTable(spark, tempfile.mkdtemp(prefix="iceberg_part_"))
+    t.append(o, partition_by=["o_orderpriority"])
+    return t.read_where(
+        lambda p: p["o_orderpriority"] == "1-URGENT"
+    ).select("o_orderkey", "o_orderpriority", "price")

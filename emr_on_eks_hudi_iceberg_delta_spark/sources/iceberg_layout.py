@@ -14,8 +14,7 @@ sibling ``avro_io`` codec for the metadata plane, the whole layout is
 writable and readable Spark-first — completing the lakehouse-format
 trio beside ``delta_log`` (Delta) and ``hudi_layout`` (Hudi).
 
-Implemented (v1, unpartitioned spec — the subset the reference's
-pipeline shape needs):
+Implemented (v1; unpartitioned or identity-partitioned specs):
 
 * ``append / overwrite`` — write parquet under ``data/``, one manifest
   per snapshot listing the snapshot's FULL file state (appends carry
@@ -33,11 +32,15 @@ pipeline shape needs):
   snapshot).
 * ``history()`` — the snapshot log.
 
-Field ids follow the spec (manifest_path=500..., file_path=100...) so
-the Avro files carry the ids a real Iceberg reader resolves by.
-Partitioned specs, v2 sequence numbers / delete files, and schema
-evolution are documented out of contract (loud errors where relevant),
-not silently wrong.
+Field ids follow the spec (manifest_path=500..., file_path=100...,
+partition fields 1000...) so the Avro files carry the ids a real
+Iceberg reader resolves by. Identity partitioning keeps the source
+column IN the data files (the Iceberg contract, unlike hive/Delta
+layouts) and records typed partition values in the manifest entries;
+``read_where`` prunes on the driver's manifest before any file is
+scheduled. Non-identity transforms, v2 sequence numbers / delete
+files, spec evolution, and schema evolution are documented out of
+contract (loud errors where relevant), not silently wrong.
 """
 
 from __future__ import annotations
@@ -66,37 +69,61 @@ _TYPE_MAP = {
     "binary": "binary",
 }
 
-MANIFEST_ENTRY_SCHEMA = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        {"name": "status", "type": "int", "field-id": 0},
-        {"name": "snapshot_id", "type": "long", "field-id": 1},
-        {
-            "name": "data_file",
-            "field-id": 2,
-            "type": {
-                "type": "record",
-                "name": "r2",
-                "fields": [
-                    {"name": "file_path", "type": "string",
-                     "field-id": 100},
-                    {"name": "file_format", "type": "string",
-                     "field-id": 101},
-                    {"name": "partition", "field-id": 102,
-                     "type": {"type": "record", "name": "r102",
-                              "fields": []}},
-                    {"name": "record_count", "type": "long",
-                     "field-id": 103},
-                    {"name": "file_size_in_bytes", "type": "long",
-                     "field-id": 104},
-                    {"name": "block_size_in_bytes", "type": "long",
-                     "field-id": 105},
-                ],
-            },
-        },
-    ],
+#: avro types for identity-partition values (always nullable unions —
+#: hive's __HIVE_DEFAULT_PARTITION__ maps to null)
+_PART_AVRO = {
+    "int": "int",
+    "smallint": "int",
+    "tinyint": "int",
+    "bigint": "long",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
 }
+
+
+def manifest_entry_schema(part_fields: list[tuple[str, str]]) -> dict:
+    """The manifest-entry avro schema with the table's identity
+    partition fields embedded in the r102 partition record (spec
+    field-ids from 1000 up), empty for unpartitioned tables."""
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": "long", "field-id": 1},
+            {
+                "name": "data_file",
+                "field-id": 2,
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "file_path", "type": "string",
+                         "field-id": 100},
+                        {"name": "file_format", "type": "string",
+                         "field-id": 101},
+                        {"name": "partition", "field-id": 102,
+                         "type": {"type": "record", "name": "r102",
+                                  "fields": [
+                                      {"name": n,
+                                       "type": ["null", t],
+                                       "field-id": 1000 + i}
+                                      for i, (n, t) in
+                                      enumerate(part_fields)
+                                  ]}},
+                        {"name": "record_count", "type": "long",
+                         "field-id": 103},
+                        {"name": "file_size_in_bytes", "type": "long",
+                         "field-id": 104},
+                        {"name": "block_size_in_bytes", "type": "long",
+                         "field-id": 105},
+                    ],
+                },
+            },
+        ],
+    }
 
 MANIFEST_FILE_SCHEMA = {
     "type": "record",
@@ -149,6 +176,7 @@ class IcebergTable:
     def __init__(self, spark: SparkSession, location: str):
         self.spark = spark
         self.location = location
+        self._part_cols_new: list[str] = []
         self.meta_dir = os.path.join(location, "metadata")
         self.data_dir = os.path.join(location, "data")
         os.makedirs(self.meta_dir, exist_ok=True)
@@ -244,37 +272,83 @@ class IcebergTable:
 
     # ------------------------------ writing ------------------------------
 
-    def _write_data(self, df: DataFrame) -> list[dict]:
+    def _write_data(
+        self, df: DataFrame, part_cols: list[str]
+    ) -> list[dict]:
+        """Write parquet data files. Identity partitioning writes via a
+        DUPLICATED layout column so the data files still CONTAIN the
+        partition source column (the Iceberg identity contract — unlike
+        hive/Delta layouts, readers expect it in-file); partition
+        values land in the manifest entries typed, parsed back from the
+        hive dir names."""
+        from urllib.parse import unquote
+
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
         staging = os.path.join(
             self.location, f"_staging_{uuid.uuid4().hex}"
         )
-        df.write.mode("overwrite").parquet(staging)
-        files = []
-        for fname in sorted(os.listdir(staging)):
-            if not fname.endswith(".parquet"):
-                continue
-            import pyarrow.parquet as pq
+        types = {
+            f.name: f.dataType.simpleString() for f in df.schema.fields
+        }
+        w = df
+        for c in part_cols:
+            w = w.withColumn(f"__p_{c}", F.col(c))
+        writer = w.write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*[f"__p_{c}" for c in part_cols])
+        writer.parquet(staging)
 
-            src = os.path.join(staging, fname)
-            n_rows = pq.read_metadata(src).num_rows
-            if n_rows == 0:
-                continue  # never commit empty part files
-            dst = os.path.join(
-                self.data_dir, f"{uuid.uuid4().hex}.parquet"
-            )
-            os.replace(src, dst)
-            files.append(
-                {
-                    "file_path": dst,
-                    "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": n_rows,
-                    "file_size_in_bytes": os.path.getsize(dst),
-                    "block_size_in_bytes": 64 * 1024 * 1024,
-                }
-            )
-        for leftover in os.listdir(staging):
-            os.remove(os.path.join(staging, leftover))
+        def parse(col: str, raw: str):
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                return None
+            raw = unquote(raw)
+            t = types[col]
+            if t in ("int", "bigint", "smallint", "tinyint"):
+                return int(raw)
+            if t in ("double", "float"):
+                return float(raw)
+            if t == "boolean":
+                return raw == "true"
+            return raw
+
+        files = []
+        for root, _dirs, fnames in os.walk(staging):
+            rel_dir = os.path.relpath(root, staging)
+            pvals: dict = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, raw = seg.partition("=")
+                    pvals[k[len("__p_"):]] = parse(
+                        k[len("__p_"):], raw
+                    )
+            for fname in sorted(fnames):
+                if not fname.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, fname)
+                n_rows = pq.read_metadata(src).num_rows
+                if n_rows == 0:
+                    continue  # never commit empty part files
+                dst = os.path.join(
+                    self.data_dir, f"{uuid.uuid4().hex}.parquet"
+                )
+                os.replace(src, dst)
+                files.append(
+                    {
+                        "file_path": dst,
+                        "file_format": "PARQUET",
+                        "partition": dict(pvals),
+                        "record_count": n_rows,
+                        "file_size_in_bytes": os.path.getsize(dst),
+                        "block_size_in_bytes": 64 * 1024 * 1024,
+                    }
+                )
+        for root, dirs, fnames in os.walk(staging, topdown=False):
+            for fname in fnames:
+                os.remove(os.path.join(root, fname))
+            for d in dirs:
+                os.rmdir(os.path.join(root, d))
         os.rmdir(staging)
         return files
 
@@ -303,10 +377,15 @@ class IcebergTable:
             }
             for f in new_files
         ]
+        part_fields = [
+            (c, _PART_AVRO[t]) for c, t in self._spec_fields(df)
+        ]
         manifest_path = os.path.join(
             self.meta_dir, f"snap-{snapshot_id}-m0.avro"
         )
-        write_ocf(manifest_path, MANIFEST_ENTRY_SCHEMA, entries)
+        write_ocf(
+            manifest_path, manifest_entry_schema(part_fields), entries
+        )
         mlist_path = os.path.join(
             self.meta_dir, f"snap-{snapshot_id}.avro"
         )
@@ -340,7 +419,22 @@ class IcebergTable:
                 "last-column-id": len(df.schema.fields),
                 "schema": _iceberg_schema(df),
                 "partition-spec": [],
-                "partition-specs": [{"spec-id": 0, "fields": []}],
+                "partition-specs": [
+                    {
+                        "spec-id": 0,
+                        "fields": [
+                            {
+                                "name": c,
+                                "transform": "identity",
+                                "source-id": 1 + [
+                                    f.name for f in df.schema.fields
+                                ].index(c),
+                                "field-id": 1000 + i,
+                            }
+                            for i, c in enumerate(self._part_cols_new)
+                        ],
+                    }
+                ],
                 "default-spec-id": 0,
                 "properties": {},
                 "snapshots": [snapshot],
@@ -373,8 +467,68 @@ class IcebergTable:
         )
         return snapshot_id
 
-    def append(self, df: DataFrame) -> int:
-        return self._commit(df, self._write_data(df), "append")
+    def _spec_fields(self, df: DataFrame) -> list[tuple[str, str]]:
+        """(name, spark type) per identity partition field — from the
+        stored spec when the table exists, else the creation arg."""
+        if self._current_version() is not None:
+            md = self._metadata()
+            spec = md["partition-specs"][md.get("default-spec-id", 0)]
+            names = [f["name"] for f in spec["fields"]]
+        else:
+            names = list(self._part_cols_new)
+        types = {
+            f.name: f.dataType.simpleString() for f in df.schema.fields
+        }
+        for c in names:
+            if c not in types:
+                raise ValueError(f"partition column {c} not in schema")
+            if types[c] not in _PART_AVRO:
+                raise ValueError(
+                    f"partition column {c}: type {types[c]} not "
+                    "supported for identity partitioning"
+                )
+        return [(c, types[c]) for c in names]
 
-    def overwrite(self, df: DataFrame) -> int:
-        return self._commit(df, self._write_data(df), "overwrite")
+    def _resolve_part_cols(
+        self, df: DataFrame, partition_by: list[str] | None
+    ) -> list[str]:
+        if self._current_version() is not None:
+            stored = [c for c, _t in self._spec_fields(df)]
+            if partition_by is not None and list(partition_by) != stored:
+                raise ValueError(
+                    f"table partition spec is {stored}; cannot change "
+                    "per write (partition-spec evolution not implemented)"
+                )
+            self._part_cols_new = stored
+            return stored
+        self._part_cols_new = list(partition_by or [])
+        return self._part_cols_new
+
+    def append(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> int:
+        cols = self._resolve_part_cols(df, partition_by)
+        return self._commit(df, self._write_data(df, cols), "append")
+
+    def overwrite(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> int:
+        cols = self._resolve_part_cols(df, partition_by)
+        return self._commit(df, self._write_data(df, cols), "overwrite")
+
+    def read_where(
+        self, partition_filter, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Manifest-level partition pruning: ``partition_filter`` is a
+        host predicate over the entry's typed partition dict, applied
+        on the driver BEFORE any file is scheduled — the pruning
+        identity partitioning exists for."""
+        paths = [
+            e["data_file"]["file_path"]
+            for e in self._entries(snapshot_id)
+            if e["status"] != STATUS_DELETED
+            and partition_filter(e["data_file"]["partition"])
+        ]
+        if not paths:
+            return self.read(snapshot_id).filter("1 = 0")
+        return self.spark.read.parquet(*paths)

@@ -89,3 +89,62 @@ def test_unsupported_types_refuse_loudly(spark, tmp_path):
     arr = spark.range(3).selectExpr("array(id) AS a")
     with pytest.raises(ValueError, match="not in the v1 subset"):
         t.append(arr)
+
+
+def test_identity_partitioned_spec_and_pruning(spark, tmp_path):
+    """Identity partitioning: data files CONTAIN the source column
+    (the Iceberg contract, unlike hive/Delta layouts), the manifest
+    entries carry typed partition values, and read_where prunes on
+    the driver's manifest before any file is scheduled."""
+    import pyarrow.parquet as pq
+
+    t = IcebergTable(spark, str(tmp_path / "p1"))
+    df = spark.range(90).selectExpr(
+        "id", "CAST(id % 3 AS INT) AS bucket", "id * 2 AS v"
+    )
+    t.append(df, partition_by=["bucket"])
+    # spec recorded in metadata
+    md = t._metadata()
+    spec = md["partition-specs"][0]["fields"]
+    assert spec == [{
+        "name": "bucket", "transform": "identity",
+        "source-id": 2, "field-id": 1000,
+    }]
+    # data files contain the partition column
+    for e in t._entries():
+        names = pq.read_schema(e["data_file"]["file_path"]).names
+        assert "bucket" in names
+        assert e["data_file"]["partition"]["bucket"] in (0, 1, 2)
+    # full read intact; pruned read touches only one partition's files
+    assert t.read().count() == 90
+    pruned = t.read_where(lambda p: p["bucket"] == 1)
+    assert pruned.count() == 30
+    assert all(
+        "data" in f for f in pruned.inputFiles()
+    )
+    files_b1 = {
+        e["data_file"]["file_path"]
+        for e in t._entries()
+        if e["data_file"]["partition"]["bucket"] == 1
+    }
+    got_files = {f.replace("file:", "").lstrip("/") for f in pruned.inputFiles()}
+    assert got_files == {p.lstrip("/") for p in files_b1}
+
+
+def test_partitioned_appends_inherit_spec_and_refuse_respec(spark, tmp_path):
+    import pytest
+
+    t = IcebergTable(spark, str(tmp_path / "p2"))
+    df = spark.range(10).selectExpr("id", "CAST(id % 2 AS INT) AS p")
+    t.append(df, partition_by=["p"])
+    # later writes inherit the stored spec without restating it
+    t.append(spark.range(10, 14).selectExpr("id", "CAST(id % 2 AS INT) AS p"))
+    assert t.read().count() == 14
+    with pytest.raises(ValueError, match="partition spec"):
+        t.append(df, partition_by=["id"])
+    with pytest.raises(ValueError, match="not supported"):
+        t2 = IcebergTable(spark, str(tmp_path / "p3"))
+        t2.append(
+            spark.range(3).selectExpr("id", "CAST(id AS DECIMAL(10,2)) AS d"),
+            partition_by=["d"],
+        )
