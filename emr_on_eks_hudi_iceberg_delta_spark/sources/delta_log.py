@@ -178,16 +178,20 @@ class DeltaLogTable:
         to the MANIFEST before any file is listed — metadata-only
         pruning, the same shape as PartitionedTable."""
         live, meta, _ = self._replay(version)
-        schema = StructType.fromJson(json.loads(meta["schemaString"]))
-        part_cols = meta.get("partitionColumns", [])
         adds = list(live.values())
         if partition_filter is not None:
             adds = [
                 a for a in adds if partition_filter(a["partitionValues"])
             ]
+        return self._read_adds(adds, meta)
+
+    def _read_adds(self, adds: list[dict], meta: dict) -> DataFrame:
+        """Scan a list of add actions into a DataFrame (the shared tail
+        of read_where and read_filtered)."""
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        part_cols = meta.get("partitionColumns", [])
         data_fields = [f for f in schema.fields if f.name not in part_cols]
-        empty_reason = "empty snapshot" if not adds else None
-        if empty_reason:
+        if not adds:
             return self.spark.createDataFrame([], schema)
         # group files by partition tuple; inject partition columns as
         # typed literals (Delta does not store them in the data files)
@@ -288,15 +292,17 @@ class DeltaLogTable:
                 dst = os.path.join(self.location, rel_path)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 os.replace(src, dst)
-                adds.append(
-                    {
-                        "path": rel_path.replace(os.sep, "/"),
-                        "partitionValues": pvals,
-                        "size": os.path.getsize(dst),
-                        "modificationTime": now,
-                        "dataChange": True,
-                    }
-                )
+                stats = _collect_file_stats(dst)
+                add = {
+                    "path": rel_path.replace(os.sep, "/"),
+                    "partitionValues": pvals,
+                    "size": os.path.getsize(dst),
+                    "modificationTime": now,
+                    "dataChange": True,
+                }
+                if stats is not None:
+                    add["stats"] = stats
+                adds.append(add)
         # clear staging leftovers (_SUCCESS, crc files, empty dirs)
         for root, dirs, files in os.walk(staging, topdown=False):
             for fname in files:
@@ -559,7 +565,8 @@ def stream_to_delta_log(
 _CHECKPOINT_SCHEMA = (
     "txn struct<appId:string,version:bigint>, "
     "add struct<path:string,partitionValues:map<string,string>,"
-    "size:bigint,modificationTime:bigint,dataChange:boolean>, "
+    "size:bigint,modificationTime:bigint,dataChange:boolean,"
+    "stats:string>, "
     "remove struct<path:string,deletionTimestamp:bigint,"
     "dataChange:boolean>, "
     "metaData struct<id:string,format:struct<provider:string,"
@@ -609,6 +616,7 @@ def _write_checkpoint(self) -> int:
                 "size": add.get("size"),
                 "modificationTime": add.get("modificationTime"),
                 "dataChange": add.get("dataChange", True),
+                "stats": add.get("stats"),
             },
             None, None, None,
         ))
@@ -703,3 +711,111 @@ def _generate_symlink_manifest(self) -> str:
 
 
 DeltaLogTable.generate_symlink_manifest = _generate_symlink_manifest
+
+
+def _collect_file_stats(path: str) -> str | None:
+    """Per-file column stats as the protocol's ``stats`` JSON string
+    (numRecords / minValues / maxValues / nullCount), folded from the
+    parquet footer's row-group statistics — metadata-only, no data
+    read. Columns without usable stats are simply omitted (skipping
+    must only ever remove files that cannot match)."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.read_metadata(path)
+    except Exception:
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    dropped: set = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            st = col.statistics
+            if (
+                "." in name  # nested: out of the stats contract
+                or st is None
+                or not st.has_min_max
+                or isinstance(st.min, bytes)  # binary: not comparable
+            ):
+                dropped.add(name)
+                continue
+            lo, hi = st.min, st.max
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+    for name in dropped:  # any gap makes the column's stats unusable
+        mins.pop(name, None)
+        maxs.pop(name, None)
+        nulls.pop(name, None)
+    def _js(v):
+        import datetime
+
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        return v
+
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": {k: _js(v) for k, v in mins.items()},
+            "maxValues": {k: _js(v) for k, v in maxs.items()},
+            "nullCount": nulls,
+        }
+    )
+
+
+def _read_filtered(
+    self, filters: list[tuple], version: int | None = None
+) -> DataFrame:
+    """Stats-based file skipping over the protocol table: prune files
+    whose ``stats`` min/max prove a conjunction of ``(col, op, value)``
+    predicates (ops == >= > <= <) cannot match, then apply every
+    predicate exactly as a residual filter — skipping only ever removes
+    non-matching files, so results equal an unpruned filtered read
+    (pinned by test). Files without stats are never pruned."""
+    from pyspark.sql import functions as F
+
+    live, meta, _ = self._replay(version)
+    part_cols = set(meta.get("partitionColumns", []))
+
+    def may_match(add: dict) -> bool:
+        raw = add.get("stats")
+        if not raw:
+            return True
+        st = json.loads(raw)
+        mins, maxs = st.get("minValues", {}), st.get("maxValues", {})
+        for col, op, value in filters:
+            if col in part_cols or col not in mins or col not in maxs:
+                continue
+            lo, hi = mins[col], maxs[col]
+            if op == "==" and not (lo <= value <= hi):
+                return False
+            if op in (">", ">=") and hi < value:
+                return False
+            if op == ">" and hi == value and lo == hi:
+                return False
+            if op in ("<", "<=") and lo > value:
+                return False
+            if op == "<" and lo == value and lo == hi:
+                return False
+        return True
+
+    pruned = {p: a for p, a in live.items() if may_match(a)}
+    df = self._read_adds(list(pruned.values()), meta)
+    ops = {
+        "==": lambda c, v: c == v,
+        ">=": lambda c, v: c >= v,
+        ">": lambda c, v: c > v,
+        "<=": lambda c, v: c <= v,
+        "<": lambda c, v: c < v,
+    }
+    for col, op, value in filters:
+        df = df.filter(ops[op](F.col(col), F.lit(value)))
+    return df
+
+
+DeltaLogTable.read_filtered = _read_filtered

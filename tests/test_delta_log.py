@@ -298,3 +298,59 @@ def test_symlink_manifest_from_protocol_table(spark, tmp_path):
     base2 = dp.generate_symlink_manifest()
     assert os.path.exists(os.path.join(base2, "p=0", "manifest"))
     assert os.path.exists(os.path.join(base2, "p=1", "manifest"))
+
+
+def test_stats_based_file_skipping(spark, tmp_path):
+    """Add actions carry the protocol's per-file stats JSON (folded
+    from parquet footers, metadata-only); read_filtered prunes files
+    whose min/max prove the predicate cannot match, and the result
+    equals an unpruned filtered read exactly."""
+    dt = DeltaLogTable(spark, str(tmp_path / "t17"))
+    # 4 files with disjoint id ranges (repartitionByRange -> sorted files)
+    df = spark.range(400).selectExpr("id", "id % 7 AS v")
+    dt.overwrite(df.repartitionByRange(4, "id"))
+    live, _, _ = dt._replay()
+    assert all("stats" in a for a in live.values())
+    st = json.loads(next(iter(live.values()))["stats"])
+    assert set(st) >= {"numRecords", "minValues", "maxValues", "nullCount"}
+
+    pruned = dt.read_filtered([("id", ">=", 350)])
+    want = sorted((i, i % 7) for i in range(350, 400))
+    assert _rows(pruned) == want
+    # the scan touched only the file(s) whose range can match
+    assert len(pruned.inputFiles()) < 4
+
+    eq = dt.read_filtered([("id", "==", 13)])
+    assert _rows(eq) == [(13, 6)]
+    assert len(eq.inputFiles()) == 1
+
+    # files without stats are never pruned (skip-safety)
+    for a in live.values():
+        a.pop("stats", None)
+    # simulate a stats-less table via a fresh write with stats stripped
+    dt2 = DeltaLogTable(spark, str(tmp_path / "t18"))
+    dt2.overwrite(df.repartitionByRange(4, "id"))
+    log0 = str(tmp_path / "t18" / "_delta_log" / f"{0:020d}.json")
+    lines = []
+    for line in open(log0):
+        a = json.loads(line)
+        if "add" in a:
+            a["add"].pop("stats", None)
+        lines.append(json.dumps(a))
+    open(log0, "w").write("\n".join(lines) + "\n")
+    noskip = dt2.read_filtered([("id", ">=", 350)])
+    assert _rows(noskip) == want
+    assert len(noskip.inputFiles()) == 4  # nothing pruned, still exact
+
+
+def test_stats_survive_checkpoint(spark, tmp_path):
+    dt = DeltaLogTable(spark, str(tmp_path / "t19"))
+    dt.overwrite(
+        spark.range(100).selectExpr("id").repartitionByRange(4, "id")
+    )
+    dt.write_checkpoint()
+    dt.append(spark.range(100, 110).selectExpr("id"))
+    dt.clean_log()
+    pruned = dt.read_filtered([("id", "<", 10)])
+    assert sorted(r["id"] for r in pruned.collect()) == list(range(10))
+    assert len(pruned.inputFiles()) <= 2  # checkpoint kept the stats
