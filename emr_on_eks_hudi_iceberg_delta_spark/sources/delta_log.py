@@ -819,3 +819,42 @@ def _read_filtered(
 
 
 DeltaLogTable.read_filtered = _read_filtered
+
+
+def _restore(self, version: int) -> "DeltaLogTable":
+    """RESTORE TABLE ... TO VERSION AS OF — protocol-legal rollback:
+    ONE new commit whose actions re-point the live set at the target
+    version's files (removes for files only in the head, adds for
+    files only in the target). History is never rewritten — the
+    restore itself is a version, so it can be time-traveled past or
+    restored FROM, exactly Delta's RESTORE semantics. Requires the
+    target version's files to still exist (VACUUM is the opposite
+    decision; a vacuumed target refuses at read)."""
+    target_live, _meta, _ = self._replay(version)
+    head_live, _, head_v = self._replay()
+    now = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "operation": "RESTORE",
+                "operationParameters": {"version": version},
+            }
+        }
+    ]
+    for path in sorted(set(head_live) - set(target_live)):
+        actions.append(
+            {
+                "remove": {
+                    "path": path,
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                }
+            }
+        )
+    for path in sorted(set(target_live) - set(head_live)):
+        actions.append({"add": dict(target_live[path])})
+    self._commit(head_v + 1, actions)
+    return self
+
+
+DeltaLogTable.restore = _restore

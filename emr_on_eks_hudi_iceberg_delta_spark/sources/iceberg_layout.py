@@ -532,3 +532,79 @@ class IcebergTable:
         if not paths:
             return self.read(snapshot_id).filter("1 = 0")
         return self.spark.read.parquet(*paths)
+
+
+def _expire_snapshots(self, keep_last: int = 1) -> dict:
+    """Iceberg's expireSnapshots maintenance: drop all but the newest
+    ``keep_last`` snapshots from table metadata (one new metadata
+    version — the expiration is itself a commit via the version-hint
+    swap), then delete the expired snapshots' manifest lists, manifests,
+    and any DATA FILES no retained snapshot references. Time travel to
+    an expired snapshot id fails loudly afterwards (its metadata is
+    gone — the same trade real expiration makes); retained snapshots
+    are untouched. Returns {'snapshots': n, 'files': n} deleted."""
+    import time as _time
+
+    md = self._metadata()
+    snaps = md["snapshots"]
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    if len(snaps) <= keep_last:
+        return {"snapshots": 0, "files": 0}
+    expired, retained = snaps[:-keep_last], snaps[-keep_last:]
+    keep_files: set[str] = set()
+    keep_meta: set[str] = set()
+    for s in retained:
+        keep_meta.add(s["manifest-list"])
+        _, manifests = read_ocf(s["manifest-list"])
+        for m in manifests:
+            keep_meta.add(m["manifest_path"])
+            _, es = read_ocf(m["manifest_path"])
+            keep_files.update(
+                e["data_file"]["file_path"]
+                for e in es
+                if e["status"] != STATUS_DELETED
+            )
+    drop_files: set[str] = set()
+    drop_meta: set[str] = set()
+    for s in expired:
+        drop_meta.add(s["manifest-list"])
+        _, manifests = read_ocf(s["manifest-list"])
+        for m in manifests:
+            drop_meta.add(m["manifest_path"])
+            _, es = read_ocf(m["manifest_path"])
+            drop_files.update(
+                e["data_file"]["file_path"] for e in es
+            )
+    md["snapshots"] = retained
+    md["snapshot-log"] = [
+        entry
+        for entry in md.get("snapshot-log", [])
+        if entry["snapshot-id"] in {s["snapshot-id"] for s in retained}
+    ]
+    md["last-updated-ms"] = int(_time.time() * 1000)
+    cur = self._current_version()
+    next_v = cur + 1
+    mpath = os.path.join(self.meta_dir, f"v{next_v}.metadata.json")
+    tmp = mpath + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(md, f)
+    os.replace(tmp, mpath)
+    hint_tmp = os.path.join(self.meta_dir, f"_hint-{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as f:
+        f.write(str(next_v))
+    os.replace(
+        hint_tmp, os.path.join(self.meta_dir, "version-hint.text")
+    )
+    n_files = 0
+    for p in sorted(drop_files - keep_files):
+        if os.path.exists(p):
+            os.remove(p)
+            n_files += 1
+    for p in sorted(drop_meta - keep_meta):
+        if os.path.exists(p):
+            os.remove(p)
+    return {"snapshots": len(expired), "files": n_files}
+
+
+IcebergTable.expire_snapshots = _expire_snapshots

@@ -354,3 +354,20 @@ def test_stats_survive_checkpoint(spark, tmp_path):
     pruned = dt.read_filtered([("id", "<", 10)])
     assert sorted(r["id"] for r in pruned.collect()) == list(range(10))
     assert len(pruned.inputFiles()) <= 2  # checkpoint kept the stats
+
+
+def test_restore_rolls_back_without_rewriting_history(spark, tmp_path):
+    dt = DeltaLogTable(spark, str(tmp_path / "t20"))
+    dt.overwrite(spark.range(5).selectExpr("id"))
+    dt.append(spark.range(5, 8).selectExpr("id"))
+    dt.overwrite(spark.range(100, 103).selectExpr("id"))
+    dt.restore(1)
+    assert _rows(dt.read()) == [(i,) for i in range(8)]
+    # history intact: the bad overwrite still time-travels
+    assert _rows(dt.read(version=2)) == [(100,), (101,), (102,)]
+    hist = dt.history()
+    assert hist[-1]["operation"] == "RESTORE"
+    assert len(hist) == 4  # restore is a NEW version, not a rewrite
+    # restore is itself restorable-from
+    dt.restore(2)
+    assert _rows(dt.read()) == [(100,), (101,), (102,)]

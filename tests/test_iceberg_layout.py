@@ -148,3 +148,30 @@ def test_partitioned_appends_inherit_spec_and_refuse_respec(spark, tmp_path):
             spark.range(3).selectExpr("id", "CAST(id AS DECIMAL(10,2)) AS d"),
             partition_by=["d"],
         )
+
+
+def test_expire_snapshots_retention(spark, tmp_path):
+    """expireSnapshots: expired snapshots' metadata and unreferenced
+    data files are deleted, retained snapshots (and files shared with
+    them) survive, and expired ids refuse time travel loudly."""
+    import pytest
+
+    t = IcebergTable(spark, str(tmp_path / "e1"))
+    s0 = t.append(spark.range(5).selectExpr("id"))
+    s1 = t.append(spark.range(5, 8).selectExpr("id"))  # carries s0 files
+    s2 = t.overwrite(spark.range(100, 104).selectExpr("id"))
+    stats = t.expire_snapshots(keep_last=1)
+    assert stats["snapshots"] == 2
+    # s0/s1's data files are unreferenced by s2 -> deleted
+    assert stats["files"] >= 1
+    assert _rows(t.read()) == [(i,) for i in (100, 101, 102, 103)]
+    assert [h["snapshot_id"] for h in t.history()] == [s2]
+    with pytest.raises(ValueError, match="not found"):
+        t.read(snapshot_id=s0)
+    # shared-file safety: append-only chains share files with the head
+    t2 = IcebergTable(spark, str(tmp_path / "e2"))
+    t2.append(spark.range(3).selectExpr("id"))
+    t2.append(spark.range(3, 6).selectExpr("id"))
+    st = t2.expire_snapshots(keep_last=1)
+    assert st["snapshots"] == 1 and st["files"] == 0  # all files shared
+    assert _rows(t2.read()) == [(i,) for i in range(6)]
