@@ -1,6 +1,7 @@
 from .catalog import LakeCatalog
 from .csv import read_csv_with_schema
 from .delta_log import DeltaLogTable
+from . import delta_dml as _delta_dml  # noqa: F401 — attaches DELETE/UPDATE
 from .hudi_layout import HudiCowTable
 from .iceberg_layout import IcebergTable
 from .convert import convert_delta_to_iceberg, convert_parquet_dir_to_delta

@@ -1,0 +1,298 @@
+"""DML on the Delta-protocol table: DELETE and UPDATE.
+
+Reference parity: the reference runs its Delta job on a runtime where
+``DELETE FROM`` / ``UPDATE`` / deletion vectors are table operations
+(delta/delta_scd_script.py writes the managed Delta table those commands
+target). The container has no Delta runtime (closed out in round 6), so
+this module implements the same semantics directly against the open
+log format (delta_log.py):
+
+* ``delete(cond, mode="cow")`` — copy-on-write: ONE predicate scan
+  (parquet filter pushdown + per-file stats have already pruned what
+  they can) identifies the files with at least one hit via
+  ``_metadata.file_path``-equivalent bookkeeping; ONLY those files are
+  rewritten without the matching rows; untouched files' add actions
+  are not even mentioned in the commit (zero write amplification on
+  non-matching files — pinned by test).
+* ``delete(cond, mode="dv")`` — merge-on-read: matching row positions
+  per file become a real deletion vector (RoaringBitmapArray portable
+  bytes in a ``deletion_vector_<uuid>.bin``, dv.py), the file is
+  re-added with the descriptor, and the commit upgrades the protocol
+  to minReader 3 / minWriter 7 with the ``deletionVectors`` feature
+  the first time. No data file is rewritten — the write cost is the
+  bitmap, the read cost is one broadcast anti-join (delta_log.py's
+  ``_read_adds``). ``optimize()`` materializes DVs later (PURGE).
+* ``update(cond, {col: expr})`` — copy-on-write UPDATE: touched files
+  are rewritten with every SET expression evaluated against the OLD
+  row (single ``select`` — standard SQL UPDATE semantics), rows not
+  matching keep their values byte-for-byte.
+
+NULL predicate semantics match SQL DML: a row whose predicate
+evaluates to NULL is NOT deleted / NOT updated.
+
+Scale shape: the predicate scan is a normal pushed-down parquet scan;
+the rewrite reads only touched files; a DV's driver-side footprint is
+the deleted positions of that commit (the same bitmaps every Delta
+writer materializes). For deletes hitting most of a table, CoW (or
+overwrite) is the right mode — the classic guidance.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StructType
+
+from . import dv as dv_io
+from .delta_log import DeltaLogTable
+
+
+def _schema_parts(meta: dict):
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = meta.get("partitionColumns", [])
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    types = {f.name: f.dataType for f in schema.fields}
+    out_cols = [f.name for f in schema.fields]
+    return part_cols, data_fields, types, out_cols
+
+
+def _scan_with_pos(
+    dt: DeltaLogTable, adds: list[dict], meta: dict
+) -> DataFrame | None:
+    """Scan add actions exposing ``__file`` (log-relative path) and
+    ``__pos`` (``_metadata.row_index``), with each file's existing
+    deletion vector already applied — the shared source for hit
+    detection and rewrites."""
+    part_cols, data_fields, types, out_cols = _schema_parts(meta)
+    pieces, pairs = [], []
+    for a in adds:
+        df = (
+            dt.spark.read.schema(StructType(data_fields))
+            .parquet(os.path.join(dt.location, a["path"]))
+            .withColumn("__file", F.lit(a["path"]))
+            .withColumn("__pos", F.col("_metadata.row_index"))
+        )
+        for c in part_cols:
+            val = a["partitionValues"].get(c)
+            lit = (F.lit(None) if val is None else F.lit(val)).cast(
+                types[c]
+            )
+            df = df.withColumn(c, lit)
+        pieces.append(df.select(*out_cols, "__file", "__pos"))
+        if a.get("deletionVector"):
+            pairs.extend(
+                (a["path"], int(i))
+                for i in dv_io.read_dv(dt.location, a["deletionVector"])
+            )
+    if not pieces:
+        return None
+    u = pieces[0]
+    for p in pieces[1:]:
+        u = u.unionByName(p)
+    if pairs:
+        pdf = dt.spark.createDataFrame(
+            pairs, "__file string, __pos bigint"
+        )
+        u = u.join(F.broadcast(pdf), ["__file", "__pos"], "left_anti")
+    return u
+
+
+_DV_PROTOCOL = {
+    "minReaderVersion": 3,
+    "minWriterVersion": 7,
+    "readerFeatures": ["deletionVectors"],
+    "writerFeatures": ["deletionVectors"],
+}
+
+
+def _needs_dv_upgrade(proto: dict) -> bool:
+    return proto.get("minReaderVersion", 1) < 3 or (
+        "deletionVectors" not in (proto.get("readerFeatures") or [])
+    )
+
+
+def _delete(
+    self: DeltaLogTable, condition, mode: str = "cow"
+) -> dict:
+    """DELETE FROM <table> WHERE <condition>. ``mode="cow"`` rewrites
+    only the files with hits; ``mode="dv"`` writes deletion vectors
+    instead (no data-file rewrite). Returns a report dict
+    (files_touched / rows_deleted / version; version None when nothing
+    matched — no empty commit)."""
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    live, meta, head = self._replay()
+    part_cols, _, _, out_cols = _schema_parts(meta)
+    scan = _scan_with_pos(self, list(live.values()), meta)
+    if scan is None:
+        return {"files_touched": 0, "rows_deleted": 0, "version": None}
+    now = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "operation": "DELETE",
+                "operationParameters": {
+                    "predicate": str(condition),
+                    "mode": mode,
+                },
+            }
+        }
+    ]
+    rows_deleted = 0
+    if mode == "cow":
+        hits = (
+            scan.filter(cond)
+            .groupBy("__file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        if not hits:
+            return {"files_touched": 0, "rows_deleted": 0,
+                    "version": None}
+        touched = sorted(r["__file"] for r in hits)
+        rows_deleted = sum(r["n"] for r in hits)
+        src = _scan_with_pos(self, [live[p] for p in touched], meta)
+        keep = src.filter(~F.coalesce(cond, F.lit(False))).select(
+            *out_cols
+        )
+        adds = self._write_data_files(keep, part_cols)
+        for p in touched:
+            actions.append(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                    }
+                }
+            )
+        actions.extend({"add": a} for a in adds)
+        touched_n = len(touched)
+    else:
+        hits = (
+            scan.filter(cond)
+            .groupBy("__file")
+            .agg(F.sort_array(F.collect_list("__pos")).alias("pos"))
+            .collect()
+        )
+        if not hits:
+            return {"files_touched": 0, "rows_deleted": 0,
+                    "version": None}
+        if _needs_dv_upgrade(self.current_protocol()):
+            actions.append({"protocol": dict(_DV_PROTOCOL)})
+        for r in hits:
+            a = live[r["__file"]]
+            merged = set(int(p) for p in r["pos"])
+            rows_deleted += len(merged)
+            if a.get("deletionVector"):
+                merged |= set(
+                    dv_io.read_dv(self.location, a["deletionVector"])
+                )
+            actions.append(
+                {
+                    "remove": {
+                        "path": a["path"],
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                    }
+                }
+            )
+            nrec = None
+            if a.get("stats"):
+                nrec = json.loads(a["stats"]).get("numRecords")
+            if nrec is not None and len(merged) >= nrec:
+                continue  # every physical row dead: drop the file
+            desc = dv_io.write_dv(self.location, merged)
+            newadd = dict(a)
+            newadd["deletionVector"] = desc
+            newadd["dataChange"] = True
+            actions.append({"add": newadd})
+        touched_n = len(hits)
+    self._commit(head + 1, actions)
+    return {
+        "files_touched": touched_n,
+        "rows_deleted": rows_deleted,
+        "version": head + 1,
+    }
+
+
+def _update(
+    self: DeltaLogTable, condition, assignments: dict
+) -> dict:
+    """UPDATE <table> SET col = expr, ... WHERE <condition> — copy-on-
+    write over only the files with at least one matching row. Every
+    SET right-hand side (SQL string or Column) is evaluated against
+    the OLD row in one ``select``, so assignments never see each
+    other's results (SQL UPDATE semantics); assigning a partition
+    column moves rows between partitions naturally because the rewrite
+    goes through the partitioned writer."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    live, meta, head = self._replay()
+    part_cols, _, types, out_cols = _schema_parts(meta)
+    bad = sorted(set(assignments) - set(out_cols))
+    if bad:
+        raise ValueError(f"SET targets not in table schema: {bad}")
+    scan = _scan_with_pos(self, list(live.values()), meta)
+    if scan is None:
+        return {"files_touched": 0, "rows_updated": 0, "version": None}
+    hits = (
+        scan.filter(cond)
+        .groupBy("__file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if not hits:
+        return {"files_touched": 0, "rows_updated": 0, "version": None}
+    touched = sorted(r["__file"] for r in hits)
+    src = _scan_with_pos(self, [live[p] for p in touched], meta)
+    hit = F.coalesce(cond, F.lit(False))
+    sets = {
+        c: (F.expr(e) if isinstance(e, str) else e)
+        for c, e in assignments.items()
+    }
+    cols = [
+        (
+            F.when(hit, sets[c].cast(types[c]))
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in sets
+            else F.col(c)
+        )
+        for c in out_cols
+    ]
+    new = src.select(*cols)
+    adds = self._write_data_files(new, part_cols)
+    now = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "operation": "UPDATE",
+                "operationParameters": {"predicate": str(condition)},
+            }
+        }
+    ]
+    for p in touched:
+        actions.append(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                }
+            }
+        )
+    actions.extend({"add": a} for a in adds)
+    self._commit(head + 1, actions)
+    return {
+        "files_touched": len(touched),
+        "rows_updated": sum(r["n"] for r in hits),
+        "version": head + 1,
+    }
+
+
+DeltaLogTable.delete = _delete
+DeltaLogTable.update = _update

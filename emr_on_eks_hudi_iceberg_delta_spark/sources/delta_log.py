@@ -38,9 +38,18 @@ single-file parquet checkpoints + ``_last_checkpoint`` + log retention
 (``clean_log``) with checkpoint-seeded replay, txn-action idempotent
 appends, and an exactly-once foreachBatch streaming sink.
 
+Also implemented (delta_dml.py): ``delete`` / ``update`` DML — copy-on-
+write rewrites touching only the files the predicate actually hits, or
+merge-on-read DELETE via real deletion vectors (RoaringBitmapArray
+portable serialization, roaring.py + dv.py) with the protocol bumped to
+readerVersion 3 / writerVersion 7 and the ``deletionVectors`` table
+feature declared; ``append(merge_schema=True)`` schema evolution; and
+``optimize(zorder_by=[...])`` Z-order clustering that feeds the
+stats-skipping reader.
+
 Not implemented (documented contract, loud errors — not silent
-corruption): deletion vectors, column mapping, generated columns — all
-of which bump min reader/writer versions above 1/2 and would be
+corruption): column mapping, generated columns — these bump the reader
+requirements to features this reader does not honor and would be
 misrepresentation to claim.
 """
 
@@ -134,14 +143,30 @@ class DeltaLogTable:
                         self._check_protocol(action["protocol"])
         return live, meta, version
 
-    @staticmethod
-    def _check_protocol(p: dict) -> None:
-        if p.get("minReaderVersion", 1) > 1:
+    #: reader table features this implementation actually supports —
+    #: anything else refuses loudly rather than mis-reading.
+    SUPPORTED_READER_FEATURES = frozenset({"deletionVectors"})
+
+    @classmethod
+    def _check_protocol(cls, p: dict) -> None:
+        mrv = p.get("minReaderVersion", 1)
+        if mrv <= 1:
+            return
+        if mrv == 3:
+            feats = set(p.get("readerFeatures") or [])
+            extra = feats - cls.SUPPORTED_READER_FEATURES
+            if not extra:
+                return
             raise ValueError(
-                "table requires Delta reader version "
-                f"{p['minReaderVersion']}; this reader implements "
-                "protocol v1 (no deletion vectors/column mapping)"
+                "table requires unsupported reader features "
+                f"{sorted(extra)}; this reader implements protocol v1 "
+                "plus the deletionVectors table feature"
             )
+        raise ValueError(
+            "table requires Delta reader version "
+            f"{mrv}; this reader implements protocol v1 plus the "
+            "deletionVectors table feature (no column mapping)"
+        )
 
     def _load_checkpoint(self, ckpt: int):
         """Seed state from a classic single-file parquet checkpoint."""
@@ -187,22 +212,32 @@ class DeltaLogTable:
 
     def _read_adds(self, adds: list[dict], meta: dict) -> DataFrame:
         """Scan a list of add actions into a DataFrame (the shared tail
-        of read_where and read_filtered)."""
+        of read_where and read_filtered). Files whose add action
+        carries a ``deletionVector`` descriptor get their deleted rows
+        filtered out — the merge-on-read half of the deletionVectors
+        table feature: ``_metadata.row_index`` identifies positions
+        JVM-side and ONE broadcast anti-join against the (file,
+        position) pairs drops them; the pair set is exactly the DV
+        cardinality (metadata-sized relative to the data — the same
+        bitmaps every Delta reader ships to executors)."""
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         part_cols = meta.get("partitionColumns", [])
         data_fields = [f for f in schema.fields if f.name not in part_cols]
         if not adds:
             return self.spark.createDataFrame([], schema)
-        # group files by partition tuple; inject partition columns as
-        # typed literals (Delta does not store them in the data files)
+        plain = [a for a in adds if not a.get("deletionVector")]
+        dvd = [a for a in adds if a.get("deletionVector")]
+        types = {f.name: f.dataType for f in schema.fields}
+        out_cols = [f.name for f in schema.fields]
+        parts = []
+        # group plain files by partition tuple; inject partition columns
+        # as typed literals (Delta does not store them in the data files)
         by_part: dict[tuple, list[str]] = {}
-        for a in adds:
+        for a in plain:
             key = tuple(a["partitionValues"].get(c) for c in part_cols)
             by_part.setdefault(key, []).append(
                 os.path.join(self.location, a["path"])
             )
-        types = {f.name: f.dataType for f in schema.fields}
-        parts = []
         # NULL partition values sort first (tuple keys mix str and None)
         for key, paths in sorted(
             by_part.items(),
@@ -216,7 +251,47 @@ class DeltaLogTable:
                     F.lit(None) if val is None else F.lit(val)
                 ).cast(types[c])
                 df = df.withColumn(c, lit)
-            parts.append(df.select(*[f.name for f in schema.fields]))
+            parts.append(df.select(*out_cols))
+        if dvd:
+            from . import dv as dv_io
+
+            pieces = []
+            pairs: list[tuple] = []
+            for a in dvd:
+                df = (
+                    self.spark.read.schema(StructType(data_fields))
+                    .parquet(os.path.join(self.location, a["path"]))
+                    .withColumn("__dv_file", F.lit(a["path"]))
+                    .withColumn("__dv_pos", F.col("_metadata.row_index"))
+                )
+                for c in part_cols:
+                    val = a["partitionValues"].get(c)
+                    lit = (
+                        F.lit(None) if val is None else F.lit(val)
+                    ).cast(types[c])
+                    df = df.withColumn(c, lit)
+                pieces.append(
+                    df.select(*out_cols, "__dv_file", "__dv_pos")
+                )
+                pairs.extend(
+                    (a["path"], int(i))
+                    for i in dv_io.read_dv(
+                        self.location, a["deletionVector"]
+                    )
+                )
+            u = pieces[0]
+            for p in pieces[1:]:
+                u = u.unionByName(p)
+            if pairs:
+                pdf = self.spark.createDataFrame(
+                    pairs, "__dv_file string, __dv_pos bigint"
+                )
+                u = u.join(
+                    F.broadcast(pdf),
+                    ["__dv_file", "__dv_pos"],
+                    "left_anti",
+                )
+            parts.append(u.select(*out_cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -371,14 +446,41 @@ class DeltaLogTable:
         self._commit(versions[-1] + 1 if versions else 0, actions)
         return self
 
-    def append(self, df: DataFrame) -> "DeltaLogTable":
+    def append(
+        self, df: DataFrame, merge_schema: bool = False
+    ) -> "DeltaLogTable":
+        """Append a batch. ``merge_schema=True`` enables Delta's
+        mergeSchema evolution: NEW top-level columns widen the table's
+        ``metaData`` schema in the same commit (nullable), and every
+        pre-existing data file serves NULL for them at read (explicit-
+        schema parquet scan — no rewrite). Shared columns must agree on
+        type exactly; a new column without ``merge_schema`` refuses
+        (real Delta's AnalysisException). The appended batch may also
+        OMIT nullable table columns — readers fill NULLs the same way."""
         versions = self._versions()
         if not versions:
             return self.overwrite(df)
         _, meta, _ = self._replay()
         part_cols = meta.get("partitionColumns", [])
-        adds = self._write_data_files(df, part_cols)
-        actions = [
+        existing = StructType.fromJson(json.loads(meta["schemaString"]))
+        by_name = {f.name: f for f in existing.fields}
+        for f in df.schema.fields:
+            ef = by_name.get(f.name)
+            if ef is not None and ef.dataType != f.dataType:
+                raise ValueError(
+                    f"column {f.name!r} type mismatch: table has "
+                    f"{ef.dataType.simpleString()}, batch has "
+                    f"{f.dataType.simpleString()} — no implicit casts"
+                )
+        missing_parts = [c for c in part_cols if c not in df.columns]
+        if missing_parts:
+            raise ValueError(
+                f"append batch lacks partition columns {missing_parts}"
+            )
+        new_fields = [
+            f for f in df.schema.fields if f.name not in by_name
+        ]
+        actions: list[dict] = [
             {
                 "commitInfo": {
                     "operation": "WRITE",
@@ -386,19 +488,96 @@ class DeltaLogTable:
                 }
             }
         ]
+        if new_fields:
+            if not merge_schema:
+                raise ValueError(
+                    "batch has columns not in the table schema "
+                    f"({[f.name for f in new_fields]}); pass "
+                    "merge_schema=True to evolve the schema"
+                )
+            from pyspark.sql.types import StructField
+
+            merged = StructType(
+                list(existing.fields)
+                + [
+                    StructField(f.name, f.dataType, True)
+                    for f in new_fields
+                ]
+            )
+            evolved = dict(meta)
+            evolved["schemaString"] = merged.json()
+            actions.append({"metaData": evolved})
+        adds = self._write_data_files(df, part_cols)
         actions.extend({"add": a} for a in adds)
         self._commit(versions[-1] + 1, actions)
         return self
 
 
-def _optimize(self, target_files: int = 1) -> "DeltaLogTable":
+def _zvalue_column(df: DataFrame, cols: list[str], bits: int = 8):
+    """Z-order (Morton) key over ``cols`` as a pure JVM-side Column:
+    each column is rank-bucketed into ``2**bits`` quantile buckets
+    (boundaries from one driver-side approxQuantile — metadata-sized),
+    then the bucket ids' bits are interleaved. Quantile buckets, not
+    min/max scaling, so skewed columns still spread across the curve —
+    the same range-id approach Delta's OPTIMIZE ZORDER uses. NULLs
+    land in bucket 0 (curve start)."""
+    if bits * len(cols) > 63:
+        raise ValueError("bits * len(cols) must fit in a signed long")
+    nb = 1 << bits
+    buckets = []
+    for c in cols:
+        num = df.select(F.col(c).cast("double").alias("x")).dropna()
+        qs = [i / nb for i in range(1, nb)]
+        bounds = sorted(set(num.approxQuantile("x", qs, 0.001)))
+        if not bounds:
+            buckets.append(F.lit(0).cast("long"))
+            continue
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        buckets.append(
+            F.aggregate(
+                barr,
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
+            ).cast("long")
+        )
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, bk in enumerate(buckets):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bk, b).bitwiseAND(F.lit(1)),
+                    b * len(buckets) + i,
+                )
+            )
+    return z
+
+
+def _optimize(
+    self,
+    target_files: int = 1,
+    zorder_by: list[str] | None = None,
+) -> "DeltaLogTable":
     """OPTIMIZE / small-file compaction, protocol-faithful: rewrite the
     live files into ``target_files`` larger ones and commit remove+add
     actions with ``dataChange: false`` — the flag real Delta uses so
     streaming readers know the commit moved bytes but changed no rows.
     Table contents are identical before and after (pinned by test);
     time travel to pre-compaction versions still works because the old
-    files stay on disk until ``vacuum``."""
+    files stay on disk until ``vacuum``.
+
+    ``zorder_by`` clusters the rewrite on a Z-order (Morton) curve over
+    the named numeric columns (``OPTIMIZE ... ZORDER BY``): rows go
+    through ``repartitionByRange`` + ``sortWithinPartitions`` on the
+    interleaved-bits key, so each output file covers a tight min/max
+    range on EVERY curve column at once and the per-file stats
+    (``read_filtered``'s skipping) prune multi-column point/range
+    predicates — the whole point of Z-ordering.
+
+    Because the rewrite goes through ``read()``, any deletion vectors
+    on live files are MATERIALIZED here (deleted rows physically drop,
+    the new adds carry no DV) — Delta's ``REORG TABLE ... APPLY
+    (PURGE)``; old DV files stay for time travel until ``vacuum``."""
     live, meta, _ = self._replay()
     part_cols = meta.get("partitionColumns", [])
     if part_cols:
@@ -406,14 +585,26 @@ def _optimize(self, target_files: int = 1) -> "DeltaLogTable":
             "optimize currently compacts unpartitioned tables; compact "
             "a partitioned table per-partition via overwrite"
         )
-    df = self.read().coalesce(target_files)
+    df = self.read()
+    if zorder_by:
+        df = (
+            df.withColumn("__z", _zvalue_column(df, list(zorder_by)))
+            .repartitionByRange(target_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        df = df.coalesce(target_files)
     adds = self._write_data_files(df, [])
     now = int(time.time() * 1000)
     actions: list[dict] = [
         {
             "commitInfo": {
                 "operation": "OPTIMIZE",
-                "operationParameters": {"targetFiles": target_files},
+                "operationParameters": {
+                    "targetFiles": target_files,
+                    "zOrderBy": list(zorder_by or []),
+                },
             }
         }
     ]
@@ -439,20 +630,39 @@ def _vacuum(self) -> list[str]:
     overwrites/compactions). After vacuum, time travel to versions
     that needed those files fails loudly at read — the same trade
     real Delta's VACUUM makes (retention is the caller's policy knob:
-    run vacuum when the audit window has lapsed). Returns deleted
+    run vacuum when the audit window has lapsed). Deletion-vector
+    ``.bin`` files referenced by a LIVE add survive; orphaned ones
+    (their file was rewritten/materialized) go too. Returns deleted
     relative paths."""
+    from . import dv as dv_io
+
     live, _, _ = self._replay()
     keep = set(live)
+    keep_dv = set()
+    for a in live.values():
+        desc = a.get("deletionVector")
+        if desc:
+            p = dv_io.dv_file_path(self.location, desc)
+            if p:
+                keep_dv.add(
+                    os.path.relpath(p, self.location).replace(os.sep, "/")
+                )
     deleted = []
     for root, _dirs, files in os.walk(self.location):
         if "_delta_log" in root:
             continue
         for fname in files:
-            if not fname.endswith(".parquet"):
-                continue
             full = os.path.join(root, fname)
             rel = os.path.relpath(full, self.location).replace(os.sep, "/")
-            if rel not in keep:
+            if fname.endswith(".parquet"):
+                if rel not in keep:
+                    os.remove(full)
+                    deleted.append(rel)
+            elif (
+                fname.startswith("deletion_vector_")
+                and fname.endswith(".bin")
+                and rel not in keep_dv
+            ):
                 os.remove(full)
                 deleted.append(rel)
     return sorted(deleted)
@@ -566,14 +776,17 @@ _CHECKPOINT_SCHEMA = (
     "txn struct<appId:string,version:bigint>, "
     "add struct<path:string,partitionValues:map<string,string>,"
     "size:bigint,modificationTime:bigint,dataChange:boolean,"
-    "stats:string>, "
+    "stats:string,deletionVector:struct<storageType:string,"
+    "pathOrInlineDv:string,offset:int,sizeInBytes:int,"
+    "cardinality:bigint>>, "
     "remove struct<path:string,deletionTimestamp:bigint,"
     "dataChange:boolean>, "
     "metaData struct<id:string,format:struct<provider:string,"
     "options:map<string,string>>,schemaString:string,"
     "partitionColumns:array<string>,configuration:map<string,string>,"
     "createdTime:bigint>, "
-    "protocol struct<minReaderVersion:int,minWriterVersion:int>"
+    "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+    "readerFeatures:array<string>,writerFeatures:array<string>>"
 )
 
 
@@ -590,8 +803,7 @@ def _write_checkpoint(self) -> int:
     the real Delta mechanism. Returns the checkpointed version."""
     live, meta, version = self._replay()
     rows = [
-        (None, None, None, None, {"minReaderVersion": 1,
-                                  "minWriterVersion": 2}),
+        (None, None, None, None, self.current_protocol()),
         (
             None, None, None,
             {
@@ -617,6 +829,7 @@ def _write_checkpoint(self) -> int:
                 "modificationTime": add.get("modificationTime"),
                 "dataChange": add.get("dataChange", True),
                 "stats": add.get("stats"),
+                "deletionVector": add.get("deletionVector"),
             },
             None, None, None,
         ))
@@ -672,6 +885,36 @@ def _lcv(self) -> int | None:
 
 
 DeltaLogTable.last_checkpoint_version = _lcv
+
+
+def _current_protocol(self) -> dict:
+    """The table's latest ``protocol`` action (checkpoint-seeded when
+    the JSON below it has been cleaned) — needed so checkpoints and
+    feature upgrades preserve reader/writer requirements."""
+    proto: dict | None = None
+    ckpt = self.last_checkpoint_version()
+    versions = self._versions()
+    if ckpt is not None and (not versions or min(versions) > 0):
+        path = os.path.join(
+            self._logdir(), f"{ckpt:020d}.checkpoint.parquet"
+        )
+        if os.path.exists(path):
+            for r in self.spark.read.parquet(path).collect():
+                if r["protocol"] is not None:
+                    d = r["protocol"].asDict()
+                    proto = {k: v for k, v in d.items() if v is not None}
+    for v in versions:
+        with open(_commit_path(self.location, v)) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    proto = action["protocol"]
+    return proto or {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+DeltaLogTable.current_protocol = _current_protocol
 
 
 def _generate_symlink_manifest(self) -> str:
@@ -768,6 +1011,53 @@ def _collect_file_stats(path: str) -> str | None:
     )
 
 
+def _stats_may_match(
+    add: dict, filters: list[tuple], part_cols: set
+) -> bool:
+    """True unless the add action's per-file stats PROVE the
+    conjunction of ``(col, op, value)`` predicates cannot match —
+    the one-sided contract file skipping needs (no stats → keep)."""
+    raw = add.get("stats")
+    if not raw:
+        return True
+    st = json.loads(raw)
+    mins, maxs = st.get("minValues", {}), st.get("maxValues", {})
+    for col, op, value in filters:
+        if col in part_cols or col not in mins or col not in maxs:
+            continue
+        lo, hi = mins[col], maxs[col]
+        if op == "==" and not (lo <= value <= hi):
+            return False
+        if op in (">", ">=") and hi < value:
+            return False
+        if op == ">" and hi == value and lo == hi:
+            return False
+        if op in ("<", "<=") and lo > value:
+            return False
+        if op == "<" and lo == value and lo == hi:
+            return False
+    return True
+
+
+def _files_matching(
+    self, filters: list[tuple], version: int | None = None
+) -> list[str]:
+    """Relative paths of live files that SURVIVE stats-based skipping
+    for the predicate conjunction — the pruned manifest
+    ``read_filtered`` scans; exposed for observability and tests
+    (e.g. measuring Z-order's skipping efficacy)."""
+    live, meta, _ = self._replay(version)
+    part_cols = set(meta.get("partitionColumns", []))
+    return sorted(
+        p
+        for p, a in live.items()
+        if _stats_may_match(a, filters, part_cols)
+    )
+
+
+DeltaLogTable.files_matching = _files_matching
+
+
 def _read_filtered(
     self, filters: list[tuple], version: int | None = None
 ) -> DataFrame:
@@ -781,30 +1071,11 @@ def _read_filtered(
 
     live, meta, _ = self._replay(version)
     part_cols = set(meta.get("partitionColumns", []))
-
-    def may_match(add: dict) -> bool:
-        raw = add.get("stats")
-        if not raw:
-            return True
-        st = json.loads(raw)
-        mins, maxs = st.get("minValues", {}), st.get("maxValues", {})
-        for col, op, value in filters:
-            if col in part_cols or col not in mins or col not in maxs:
-                continue
-            lo, hi = mins[col], maxs[col]
-            if op == "==" and not (lo <= value <= hi):
-                return False
-            if op in (">", ">=") and hi < value:
-                return False
-            if op == ">" and hi == value and lo == hi:
-                return False
-            if op in ("<", "<=") and lo > value:
-                return False
-            if op == "<" and lo == value and lo == hi:
-                return False
-        return True
-
-    pruned = {p: a for p, a in live.items() if may_match(a)}
+    pruned = {
+        p: a
+        for p, a in live.items()
+        if _stats_may_match(a, filters, part_cols)
+    }
     df = self._read_adds(list(pruned.values()), meta)
     ops = {
         "==": lambda c, v: c == v,

@@ -1,0 +1,102 @@
+"""Deletion-vector file I/O for the Delta-protocol table.
+
+Implements the on-disk DV layout from Delta PROTOCOL.md ("Deletion
+Vector Format"):
+
+* a DV file starts with a format-version byte (``1``);
+* each stored DV is ``<dataSize: int32 big-endian><data: dataSize
+  bytes><crc: int32 big-endian CRC-32 of data>``, and the ``add``
+  action's descriptor carries the byte ``offset`` of that dataSize
+  field;
+* ``data`` is the 64-bit RoaringBitmapArray portable serialization of
+  the deleted row indexes (roaring.py);
+* the ``deletionVector`` descriptor on the action is
+  ``{storageType, pathOrInlineDv, offset, sizeInBytes, cardinality}``.
+  ``storageType "u"`` derives the file name from a Z85-encoded UUID
+  (``deletion_vector_<uuid>.bin`` under an optional random prefix);
+  ``"p"`` is an absolute path; ``"i"`` inlines the data as Z85.
+
+This writer always emits ``"u"`` files (relative — the table stays
+relocatable); the reader accepts all three storage types.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import uuid as uuid_mod
+import zlib
+
+from . import roaring
+
+_FORMAT_VERSION = 1
+
+
+def write_dv(location: str, indexes) -> dict:
+    """Serialize ``indexes`` (deleted row positions) into a fresh
+    ``deletion_vector_<uuid>.bin`` under ``location`` and return the
+    protocol descriptor for the add action."""
+    idx = sorted(set(int(i) for i in indexes))
+    data = roaring.serialize(idx)
+    u = uuid_mod.uuid4()
+    fname = f"deletion_vector_{u}.bin"
+    path = os.path.join(location, fname)
+    tmp = path + f".tmp-{uuid_mod.uuid4().hex}"
+    with open(tmp, "wb") as f:
+        f.write(bytes([_FORMAT_VERSION]))
+        f.write(struct.pack(">i", len(data)))
+        f.write(data)
+        f.write(struct.pack(">I", zlib.crc32(data)))
+    os.replace(tmp, path)
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": roaring.z85_encode(u.bytes),
+        "offset": 1,
+        "sizeInBytes": len(data),
+        "cardinality": len(idx),
+    }
+
+
+def dv_file_path(location: str, desc: dict) -> str | None:
+    """Absolute path of the DV file a descriptor points at (None for
+    inline DVs)."""
+    st = desc["storageType"]
+    if st == "i":
+        return None
+    if st == "p":
+        return desc["pathOrInlineDv"]
+    if st == "u":
+        enc = desc["pathOrInlineDv"]
+        prefix, ustr = enc[:-20], enc[-20:]
+        u = uuid_mod.UUID(bytes=roaring.z85_decode(ustr))
+        parts = [location]
+        if prefix:
+            parts.append(prefix)
+        parts.append(f"deletion_vector_{u}.bin")
+        return os.path.join(*parts)
+    raise ValueError(f"unknown DV storageType {st!r}")
+
+
+def read_dv(location: str, desc: dict) -> list[int]:
+    """Deleted row indexes a descriptor denotes (sorted)."""
+    if desc["storageType"] == "i":
+        raw = roaring.z85_decode(desc["pathOrInlineDv"])
+        data = raw[: desc["sizeInBytes"]]
+        return roaring.deserialize(data)
+    path = dv_file_path(location, desc)
+    with open(path, "rb") as f:
+        ver = f.read(1)[0]
+        if ver != _FORMAT_VERSION:
+            raise ValueError(f"unsupported DV format version {ver}")
+        f.seek(desc["offset"])
+        (size,) = struct.unpack(">i", f.read(4))
+        if size != desc["sizeInBytes"]:
+            raise ValueError(
+                f"DV size mismatch: file says {size}, descriptor "
+                f"{desc['sizeInBytes']}"
+            )
+        data = f.read(size)
+        (crc,) = struct.unpack(">I", f.read(4))
+        if zlib.crc32(data) != crc:
+            raise ValueError(f"DV checksum mismatch in {path}")
+    return roaring.deserialize(data)

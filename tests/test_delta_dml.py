@@ -1,0 +1,354 @@
+"""DELETE / UPDATE DML, deletion vectors, schema evolution, and
+Z-order clustering on the Delta-protocol table
+(sources/delta_dml.py, sources/dv.py, sources/roaring.py, and the
+round-9 extensions in sources/delta_log.py).
+
+Reference parity: delta/delta_scd_script.py runs on a Delta runtime
+where DELETE/UPDATE/DVs/mergeSchema/ZORDER are table operations; these
+tests pin the log-native reimplementation to the same semantics.
+"""
+
+import json
+import os
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from emr_on_eks_hudi_iceberg_delta_spark.sources import DeltaLogTable
+from emr_on_eks_hudi_iceberg_delta_spark.sources import dv as dv_io
+from emr_on_eks_hudi_iceberg_delta_spark.sources import roaring
+
+
+# --------------------------- codec layer ---------------------------
+
+
+def test_roaring_roundtrip_shapes():
+    cases = [
+        [],
+        [0],
+        [1, 2, 3, 65535, 65536, 131071],          # two containers
+        list(range(0, 20000, 3)),                  # array containers
+        list(range(0, 9000)),                      # dense -> bitmap
+        [5, (1 << 32) + 7, (3 << 32) + 9],         # multi high key
+    ]
+    for vals in cases:
+        assert roaring.deserialize(roaring.serialize(vals)) == sorted(
+            set(vals)
+        )
+
+
+def test_roaring_known_answer_bytes():
+    # handcrafted per the published RoaringFormatSpec: magic, one
+    # 32-bit bitmap, no-run cookie, one array container {1,2,3}
+    expected = (
+        struct.pack("<I", 1681511377)
+        + struct.pack("<q", 1)
+        + struct.pack("<I", 12346)   # SERIAL_COOKIE_NO_RUNCONTAINER
+        + struct.pack("<I", 1)       # container count
+        + struct.pack("<HH", 0, 2)   # key 0, cardinality-1
+        + struct.pack("<I", 16)      # container offset
+        + struct.pack("<HHH", 1, 2, 3)
+    )
+    assert roaring.serialize([1, 2, 3]) == expected
+
+
+def test_roaring_reads_run_containers():
+    # our writer never emits runs; the reader must still accept them
+    # (other writers do): cookie 12347, one run container [10..14]
+    bitmap = (
+        struct.pack("<I", 12347 | (0 << 16))  # cookie, count-1=0
+        + bytes([0b1])                        # run-flag bitset
+        + struct.pack("<HH", 0, 4)            # key 0, card-1
+        + struct.pack("<H", 1)                # 1 run
+        + struct.pack("<HH", 10, 4)           # start 10, len-1=4
+    )
+    buf = struct.pack("<I", 1681511377) + struct.pack("<q", 1) + bitmap
+    assert roaring.deserialize(buf) == [10, 11, 12, 13, 14]
+
+
+def test_z85_known_answer():
+    # the ZeroMQ Z85 spec's reference vector
+    assert roaring.z85_encode(
+        bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    ) == "HelloWorld"
+    assert roaring.z85_decode("HelloWorld") == bytes(
+        [0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B]
+    )
+
+
+def test_dv_file_roundtrip_and_tamper_refusal(tmp_path):
+    loc = str(tmp_path)
+    desc = dv_io.write_dv(loc, [3, 1, 4, 1, 5])
+    assert desc["storageType"] == "u"
+    assert desc["cardinality"] == 4
+    assert dv_io.read_dv(loc, desc) == [1, 3, 4, 5]
+    # flip one payload byte -> CRC must refuse
+    path = dv_io.dv_file_path(loc, desc)
+    with open(path, "r+b") as f:
+        f.seek(7)
+        b = f.read(1)
+        f.seek(7)
+        f.write(bytes([b[0] ^ 0xFF]))
+    with pytest.raises(ValueError, match="checksum"):
+        dv_io.read_dv(loc, desc)
+
+
+# ----------------------------- DML --------------------------------
+
+
+def _table(spark, tmp_path, name="t", files=4, n=400):
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 8).alias("g"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    dt = DeltaLogTable(spark, str(tmp_path / name))
+    dt.overwrite(df.repartition(files))
+    return dt
+
+
+def test_cow_delete_touches_only_hit_files(spark, tmp_path):
+    dt = _table(spark, tmp_path)
+    live0, _, _ = dt._replay()
+    # delete one specific key: it lives in exactly one file
+    rep = dt.delete("k = 137")
+    assert rep["rows_deleted"] == 1
+    assert rep["files_touched"] == 1
+    live1, _, _ = dt._replay()
+    # every untouched file's add action survives verbatim
+    assert len(set(live0) & set(live1)) == len(live0) - 1
+    assert dt.read().count() == 399
+    assert dt.read().filter("k = 137").count() == 0
+    # time travel still serves the pre-delete state
+    assert dt.read(version=0).count() == 400
+
+
+def test_delete_null_predicate_keeps_row(spark, tmp_path):
+    dt = DeltaLogTable(spark, str(tmp_path / "nulls"))
+    dt.overwrite(
+        spark.createDataFrame(
+            [(1, None), (2, 5), (3, 0)], "k int, x int"
+        )
+    )
+    for mode in ("cow", "dv"):
+        loc = DeltaLogTable(spark, str(tmp_path / f"nulls_{mode}"))
+        loc.overwrite(dt.read())
+        loc.delete("x > 1", mode=mode)
+        kept = sorted(r["k"] for r in loc.read().collect())
+        assert kept == [1, 3]  # NULL predicate row is NOT deleted
+
+
+def test_dv_delete_rewrites_no_data_file(spark, tmp_path):
+    dt = _table(spark, tmp_path, "dv")
+    live0, _, _ = dt._replay()
+    rep = dt.delete("g = 5", mode="dv")
+    assert rep["rows_deleted"] == 50
+    live1, _, _ = dt._replay()
+    # identical physical file set: DVs attach, nothing rewrites
+    assert set(live0) == set(live1)
+    assert all(
+        a.get("deletionVector") for a in live1.values()
+    )  # g=5 hits every round-robin file
+    assert dt.read().count() == 350
+    assert dt.read().filter("g = 5").count() == 0
+    proto = dt.current_protocol()
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in proto["readerFeatures"]
+    # parity vs a straight filter of the v0 snapshot
+    exp = sorted(
+        r["k"] for r in dt.read(version=0).filter("g <> 5").collect()
+    )
+    assert sorted(r["k"] for r in dt.read().collect()) == exp
+
+
+def test_dv_second_delete_merges_bitmaps(spark, tmp_path):
+    dt = _table(spark, tmp_path, "dv2")
+    dt.delete("g = 1 and k < 200", mode="dv")
+    dt.delete("g = 1 and k >= 200", mode="dv")
+    assert dt.read().filter("g = 1").count() == 0
+    assert dt.read().count() == 350
+    live, _, _ = dt._replay()
+    total_card = sum(
+        a["deletionVector"]["cardinality"]
+        for a in live.values()
+        if a.get("deletionVector")
+    )
+    assert total_card == 50
+
+
+def test_dv_full_file_delete_drops_add(spark, tmp_path):
+    dt = DeltaLogTable(spark, str(tmp_path / "full"))
+    lo = spark.range(0, 10).selectExpr("id AS k")
+    hi = spark.range(10, 20).selectExpr("id AS k")
+    dt.overwrite(lo.coalesce(1))
+    dt.append(hi.coalesce(1))
+    dt.delete("k < 10", mode="dv")
+    live, _, _ = dt._replay()
+    assert len(live) == 1  # the all-dead file is removed, not DV'd
+    assert not any(a.get("deletionVector") for a in live.values())
+    assert sorted(r["k"] for r in dt.read().collect()) == list(
+        range(10, 20)
+    )
+
+
+def test_update_set_sees_old_row(spark, tmp_path):
+    dt = DeltaLogTable(spark, str(tmp_path / "upd"))
+    dt.overwrite(
+        spark.createDataFrame([(1, 10, 20), (2, 3, 4)], "k int, a int, b int")
+    )
+    # swap a and b where k = 1: both RHS must read the OLD row
+    rep = dt.update("k = 1", {"a": "b", "b": "a"})
+    assert rep["rows_updated"] == 1
+    rows = {r["k"]: (r["a"], r["b"]) for r in dt.read().collect()}
+    assert rows == {1: (20, 10), 2: (3, 4)}
+
+
+def test_update_moves_rows_across_partitions(spark, tmp_path):
+    dt = DeltaLogTable(spark, str(tmp_path / "updpart"))
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "k int, p string"
+    )
+    dt.overwrite(df, partition_by=["p"])
+    dt.update("k = 2", {"p": "'b'"})
+    got = dt.read_where(lambda pv: pv["p"] == "b")
+    assert sorted(r["k"] for r in got.collect()) == [2, 3]
+    live, _, _ = dt._replay()
+    assert all(
+        a["partitionValues"]["p"] in ("a", "b") for a in live.values()
+    )
+
+
+def test_update_on_dv_table_respects_dvs(spark, tmp_path):
+    dt = _table(spark, tmp_path, "updv")
+    dt.delete("g = 2", mode="dv")
+    dt.update("g = 3", {"v": "v + 1000"})
+    assert dt.read().filter("g = 2").count() == 0  # DV survives rewrite
+    assert dt.read().filter("g = 3 AND v < 1000").count() == 0
+    assert dt.read().count() == 350
+
+
+# ------------------------ schema evolution -------------------------
+
+
+def test_merge_schema_append(spark, tmp_path):
+    dt = DeltaLogTable(spark, str(tmp_path / "evo"))
+    dt.overwrite(spark.createDataFrame([(1, "x")], "k int, s string"))
+    with pytest.raises(ValueError, match="merge_schema"):
+        dt.append(
+            spark.createDataFrame([(2, "y", 5)], "k int, s string, n int")
+        )
+    dt.append(
+        spark.createDataFrame([(2, "y", 5)], "k int, s string, n int"),
+        merge_schema=True,
+    )
+    got = {r["k"]: (r["s"], r["n"]) for r in dt.read().collect()}
+    assert got == {1: ("x", None), 2: ("y", 5)}  # old file serves NULL
+    # type conflict refuses
+    with pytest.raises(ValueError, match="type mismatch"):
+        dt.append(
+            spark.createDataFrame([(3, 1.0)], "k int, s double"),
+            merge_schema=True,
+        )
+    # a batch may omit nullable columns: readers fill NULL
+    dt.append(spark.createDataFrame([(7,)], "k int"))
+    row = dt.read().filter("k = 7").first()
+    assert row["s"] is None and row["n"] is None
+
+
+# --------------------------- Z-ORDER -------------------------------
+
+
+def test_zorder_improves_two_column_skipping(spark, tmp_path):
+    n = 20_000
+    df = spark.range(n).select(
+        (F.col("id") % 100).alias("x"),
+        (F.col("id") % 97).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    # linear layout: files ordered by rowid -> x,y stripes span files
+    lin = DeltaLogTable(spark, str(tmp_path / "lin"))
+    lin.overwrite(df.repartition(16))
+    zord = DeltaLogTable(spark, str(tmp_path / "zord"))
+    zord.overwrite(df.repartition(16))
+    zord.optimize(target_files=16, zorder_by=["x", "y"])
+    filters = [("x", "==", 7), ("y", "==", 13)]
+    lin_files = len(lin.files_matching(filters))
+    z_files = len(zord.files_matching(filters))
+    assert z_files < lin_files, (z_files, lin_files)
+    # and of course the answers agree
+    a = sorted(r["payload"] for r in lin.read_filtered(filters).collect())
+    b = sorted(r["payload"] for r in zord.read_filtered(filters).collect())
+    assert a == b and a  # non-empty
+
+
+def test_zorder_is_datachange_false_and_content_stable(spark, tmp_path):
+    dt = _table(spark, tmp_path, "zstable", files=8)
+    before = sorted(
+        (r["k"], r["g"], float(r["v"])) for r in dt.read().collect()
+    )
+    dt.optimize(target_files=4, zorder_by=["k", "v"])
+    after = sorted(
+        (r["k"], r["g"], float(r["v"])) for r in dt.read().collect()
+    )
+    assert before == after
+    hist = dt.history()[-1]
+    assert hist["operation"] == "OPTIMIZE"
+    with open(
+        os.path.join(
+            str(dt.location), "_delta_log", f"{hist['version']:020d}.json"
+        )
+    ) as f:
+        acts = [json.loads(line) for line in f if line.strip()]
+    assert all(
+        not a["add"]["dataChange"] for a in acts if "add" in a
+    )
+
+
+# ------------------- lifecycle interactions ------------------------
+
+
+def test_checkpoint_carries_dvs(spark, tmp_path):
+    dt = _table(spark, tmp_path, "ckpt")
+    dt.delete("g = 4", mode="dv")
+    dt.write_checkpoint()
+    dt.clean_log()
+    fresh = DeltaLogTable(spark, str(tmp_path / "ckpt"))
+    assert fresh.read().count() == 350
+    assert fresh.read().filter("g = 4").count() == 0
+    proto = fresh.current_protocol()
+    assert "deletionVectors" in (proto.get("readerFeatures") or [])
+
+
+def test_optimize_materializes_dvs_then_vacuum_drops_bins(
+    spark, tmp_path
+):
+    dt = _table(spark, tmp_path, "purge")
+    dt.delete("g = 6", mode="dv")
+    live, _, _ = dt._replay()
+    assert any(a.get("deletionVector") for a in live.values())
+    dt.optimize(target_files=2)
+    live2, _, _ = dt._replay()
+    assert not any(a.get("deletionVector") for a in live2.values())
+    assert dt.read().count() == 350
+    removed = dt.vacuum()
+    assert any(r.endswith(".bin") for r in removed)
+    assert dt.read().count() == 350
+
+
+def test_vacuum_keeps_live_dv_bins(spark, tmp_path):
+    dt = _table(spark, tmp_path, "keepbins")
+    dt.delete("g = 7", mode="dv")
+    removed = dt.vacuum()
+    assert not any(r.endswith(".bin") for r in removed)
+    assert dt.read().filter("g = 7").count() == 0
+
+
+def test_restore_across_dml(spark, tmp_path):
+    dt = _table(spark, tmp_path, "restore")
+    dt.delete("g = 0", mode="dv")       # v1
+    dt.update("g = 1", {"v": "0.0"})    # v2
+    dt.restore(1)                       # back to post-delete state
+    assert dt.read().filter("g = 0").count() == 0
+    assert dt.read().filter("g = 1 AND v = 0.0").count() == 0
+    assert dt.read().count() == 350

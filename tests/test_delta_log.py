@@ -117,13 +117,28 @@ def test_reader_refuses_higher_protocol(spark, tmp_path):
 
     dt = DeltaLogTable(spark, str(tmp_path / "t6"))
     dt.overwrite(spark.range(3).selectExpr("id"))
-    # simulate a table upgraded to reader-v3 features
+    # reader v3 demanding a feature this reader lacks → refuse
     log1 = str(tmp_path / "t6" / "_delta_log" / f"{1:020d}.json")
     with open(log1, "w") as f:
-        f.write(json.dumps({"protocol": {"minReaderVersion": 3,
-                                         "minWriterVersion": 7}}) + "\n")
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["columnMapping"],
+        }}) + "\n")
+    with pytest.raises(ValueError, match="columnMapping"):
+        dt.read()
+    # reader v2 (column mapping era, pre-features) → refuse
+    with open(log1, "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 2,
+                                         "minWriterVersion": 5}}) + "\n")
     with pytest.raises(ValueError, match="reader version"):
         dt.read()
+    # reader v3 whose features we DO implement → read fine
+    with open(log1, "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+        }}) + "\n")
+    assert dt.read().count() == 3
 
 
 def test_null_partition_value_roundtrip(spark, tmp_path):
