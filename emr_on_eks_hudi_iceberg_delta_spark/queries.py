@@ -14394,3 +14394,162 @@ def q_iceberg_layout_partition_prune(spark, sf_dir):
     return t.read_where(
         lambda p: p["o_orderpriority"] == "1-URGENT"
     ).select("o_orderkey", "o_orderpriority", "price")
+
+
+@register(
+    "delta_dml_delete_update",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority = '1-URGENT'
+                THEN CAST(o_totalprice * 1.1 AS DOUBLE)
+                ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+           o_orderstatus, o_orderpriority
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
+    """,
+    tags=("lake", "S11", "extension"),
+)
+def q_delta_dml_delete_update(spark, sf_dir):
+    """DELETE + UPDATE DML on the Delta-protocol table
+    (sources/delta_dml.py — the table operations the reference's Delta
+    runtime provides over the table delta/delta_scd_script.py writes):
+    orders land as a protocol table, a copy-on-write DELETE drops
+    low-value finished orders rewriting ONLY files with hits
+    (untouched add actions survive verbatim — tests/test_delta_dml.py),
+    then an UPDATE raises urgent orders' price with every SET RHS
+    evaluated against the OLD row. The final snapshot must equal the
+    same DML applied in plain SQL."""
+    import tempfile
+
+    from .sources.delta_log import DeltaLogTable
+    from .sources import delta_dml  # noqa: F401 — attaches DML
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+    dt = DeltaLogTable(spark, tempfile.mkdtemp(prefix="delta_dml_"))
+    dt.overwrite(o.repartition(8))
+    dt.delete("o_orderstatus = 'F' AND price < 50000")
+    dt.update(
+        "o_orderpriority = '1-URGENT'",
+        {"price": "price * 1.1"},
+    )
+    return dt.read()
+
+
+@register(
+    "delta_deletion_vectors",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    WHERE NOT (o_orderstatus = 'O' AND o_orderkey % 5 = 0)
+      AND NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)
+    """,
+    tags=("lake", "S11", "extension"),
+)
+def q_delta_deletion_vectors(spark, sf_dir):
+    """Merge-on-read DELETE via real deletion vectors
+    (sources/dv.py + sources/roaring.py — the protocol's
+    RoaringBitmapArray portable format): two DV deletes attach bitmaps
+    to the SAME physical files (no data file is rewritten — pinned in
+    tests/test_delta_dml.py), the protocol upgrades to reader 3 /
+    writer 7 with the deletionVectors feature, and the snapshot read
+    applies the bitmaps through _metadata.row_index + one broadcast
+    anti-join. Result must equal the plain-SQL double filter."""
+    import tempfile
+
+    from .sources.delta_log import DeltaLogTable
+    from .sources import delta_dml  # noqa: F401 — attaches DML
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    dt = DeltaLogTable(spark, tempfile.mkdtemp(prefix="delta_dv_"))
+    dt.overwrite(o.repartition(6))
+    dt.delete("o_orderstatus = 'O' AND o_orderkey % 5 = 0", mode="dv")
+    dt.delete("o_orderstatus = 'F' AND o_orderkey % 7 = 0", mode="dv")
+    proto = dt.current_protocol()
+    assert "deletionVectors" in proto["readerFeatures"], proto
+    return dt.read()
+
+
+@register(
+    "delta_zorder_skipping",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    WHERE o_custkey >= 500 AND o_custkey < 600
+      AND o_totalprice >= 100000 AND o_totalprice < 150000
+    """,
+    tags=("lake", "S9", "extension", "scale"),
+)
+def q_delta_zorder_skipping(spark, sf_dir):
+    """OPTIMIZE ... ZORDER BY on the Delta-protocol table
+    (delta_log._zvalue_column): orders are rewritten clustered on the
+    Morton curve over (o_custkey, o_totalprice), so per-file min/max
+    stats become selective on BOTH columns and read_filtered's
+    stats-based skipping prunes files for the two-column range
+    predicate (skipping efficacy vs the linear layout is pinned in
+    tests/test_delta_dml.py; the in-gate assert keeps it honest).
+    Results must equal the plain filter — skipping only ever removes
+    files that cannot match."""
+    import tempfile
+
+    from .sources.delta_log import DeltaLogTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    dt = DeltaLogTable(spark, tempfile.mkdtemp(prefix="delta_z_"))
+    dt.overwrite(o.repartition(16))
+    dt.optimize(target_files=16, zorder_by=["o_custkey", "price"])
+    filters = [
+        ("o_custkey", ">=", 500),
+        ("o_custkey", "<", 600),
+        ("price", ">=", 100000.0),
+        ("price", "<", 150000.0),
+    ]
+    assert len(dt.files_matching(filters)) < 16  # skipping engaged
+    return dt.read_filtered(filters)
+
+
+@register(
+    "delta_schema_evolution",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 10 = 0 THEN c_mktsegment END AS segment
+    FROM customer
+    """,
+    tags=("lake", "S9", "extension"),
+)
+def q_delta_schema_evolution(spark, sf_dir):
+    """mergeSchema append on the Delta-protocol table
+    (DeltaLogTable.append(merge_schema=True)): the base write lacks the
+    segment column; an evolved append adds it for a tenth of the
+    customers by widening the metaData schema IN the append commit —
+    no file rewrite — and the snapshot read serves typed NULLs for
+    every pre-evolution file via the explicit-schema parquet scan."""
+    import tempfile
+
+    from .sources.delta_log import DeltaLogTable
+
+    c = _t(spark, sf_dir, "customer")
+    base = c.filter(F.col("c_custkey") % 10 != 0).select(
+        "c_custkey", "c_name"
+    )
+    evolved = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", "c_name", F.col("c_mktsegment").alias("segment")
+    )
+    dt = DeltaLogTable(spark, tempfile.mkdtemp(prefix="delta_evo_"))
+    dt.overwrite(base)
+    dt.append(evolved, merge_schema=True)
+    return dt.read()
