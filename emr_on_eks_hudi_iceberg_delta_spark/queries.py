@@ -14553,3 +14553,87 @@ def q_delta_schema_evolution(spark, sf_dir):
     dt.overwrite(base)
     dt.append(evolved, merge_schema=True)
     return dt.read()
+
+
+@register(
+    "iceberg_position_deletes",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    WHERE NOT (o_orderstatus = 'O' AND o_orderkey % 4 = 0)
+      AND NOT (o_orderstatus = 'F' AND o_orderkey % 9 = 0)
+    """,
+    tags=("lake", "S10", "extension"),
+)
+def q_iceberg_position_deletes(spark, sf_dir):
+    """Iceberg v2 merge-on-read DELETE (sources/iceberg_deletes.py —
+    the DELETE FROM the reference's iceberg-spark-runtime provides):
+    two deletes write real position-delete parquet files
+    ((file_path, pos) pairs, spec field layout) tracked in delete
+    manifests; NO data file is rewritten (pinned in
+    tests/test_iceberg_deletes.py, asserted in-gate), format-version
+    bumps to 2, and the snapshot read applies the pairs through
+    _metadata.row_index + one broadcast anti-join. Result must equal
+    the plain double filter."""
+    import tempfile
+
+    from .sources.iceberg_layout import IcebergTable
+    from .sources import iceberg_deletes  # noqa: F401 — attaches DELETE
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    t = IcebergTable(spark, tempfile.mkdtemp(prefix="ice_posdel_"))
+    t.overwrite(o.repartition(6))
+    files0 = {e["data_file"]["file_path"] for e in t._entries()}
+    t.delete("o_orderstatus = 'O' AND o_orderkey % 4 = 0")
+    t.delete("o_orderstatus = 'F' AND o_orderkey % 9 = 0")
+    files1 = {e["data_file"]["file_path"] for e in t._entries()}
+    assert files0 == files1  # merge-on-read: zero rewrites
+    assert t._metadata()["format-version"] == 2
+    return t.read()
+
+
+@register(
+    "iceberg_rollback_after_compaction",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    """,
+    tags=("lake", "S2", "extension"),
+)
+def q_iceberg_rollback_after_compaction(spark, sf_dir):
+    """rollback_to_snapshot on the Iceberg layout
+    (IcebergTable.rollback): a MoR delete and a rewrite_data_files
+    compaction both land as snapshots, then a metadata-only rollback
+    re-points current-snapshot-id at the ORIGINAL snapshot — the full
+    table must come back byte-for-byte (nothing was rewritten by the
+    rollback; the delete and compaction snapshots stay in history and
+    the gate asserts a roll-FORWARD to the compacted state still
+    works)."""
+    import tempfile
+
+    from .sources.iceberg_layout import IcebergTable
+    from .sources import iceberg_deletes  # noqa: F401
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    t = IcebergTable(spark, tempfile.mkdtemp(prefix="ice_rb_"))
+    s0 = t.overwrite(o.repartition(4))
+    t.delete("o_orderpriority = '1-URGENT'")
+    s_compact = t.rewrite_data_files(target_files=2)
+    n_compact = t.read().count()
+    t.rollback(s0)
+    out = t.read()
+    # roll-forward also works and serves the compacted state
+    t.rollback(s_compact)
+    assert t.read().count() == n_compact
+    t.rollback(s0)
+    return out

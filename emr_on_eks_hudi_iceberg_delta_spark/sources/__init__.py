@@ -4,6 +4,7 @@ from .delta_log import DeltaLogTable
 from . import delta_dml as _delta_dml  # noqa: F401 — attaches DELETE/UPDATE
 from .hudi_layout import HudiCowTable
 from .iceberg_layout import IcebergTable
+from . import iceberg_deletes as _iceberg_deletes  # noqa: F401 — attaches DELETE/rollback
 from .convert import convert_delta_to_iceberg, convert_parquet_dir_to_delta
 from .delta_source import DeltaLogDataSource, register_deltalog_source
 from .datasource import (

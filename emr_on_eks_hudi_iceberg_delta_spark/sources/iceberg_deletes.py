@@ -1,0 +1,336 @@
+"""Iceberg v2 merge-on-read DELETE: position-delete files, compaction,
+and snapshot rollback for the runtime-less Iceberg layout.
+
+The reference's Iceberg job runs on iceberg-spark-runtime
+(iceberg/iceberg_submit.sh:33-34 — jar verifiably absent here), where
+``DELETE FROM`` on a merge-on-read table writes *position delete
+files*: parquet files whose rows are ``(file_path: string, pos:
+long)`` pairs (spec field-ids 2147483546 / 2147483545), tracked in a
+DELETE manifest (manifest-list ``content`` = 1) and applied by readers
+to exactly the data files they name. This module implements that
+against the open spec (https://iceberg.apache.org/spec/#position-delete-files):
+
+* ``delete(cond)`` — one pushed-down predicate scan finds the matching
+  (file, row-position) pairs; they land in ONE sorted position-delete
+  parquet; the commit writes a data manifest carrying every live data
+  file as EXISTING, a delete manifest carrying prior delete files plus
+  the new one, and bumps ``format-version`` to 2. No data file is
+  rewritten (pinned by test).
+* reads (iceberg_layout._scan_files) anti-join the delete pairs via
+  ``_metadata.row_index`` — only named files pay the per-file scan.
+* ``rewrite_data_files()`` — compaction: materializes the deletes into
+  fresh data files (the overwrite snapshot lists only the rewrite, so
+  delete files fall away), Iceberg's rewriteDataFiles + the implicit
+  rewritePositionDeletes.
+* ``rollback(snapshot_id)`` — metadata-only: re-point
+  ``current-snapshot-id`` at any retained snapshot in a NEW metadata
+  version (history preserved; the rollback is itself visible in the
+  snapshot-log), Iceberg's ``rollback_to_snapshot``.
+
+Scoping note (honest contract): position-delete applicability here is
+by exact ``file_path`` — sound without sequence-number bookkeeping
+because data-file names are fresh UUIDs (a delete can never name a
+file written after it). Sequence numbers exist in the spec chiefly for
+*equality* deletes, which stay out of contract (loud error nowhere —
+simply no API writes them).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, functions as F
+
+from .avro_io import write_ocf
+from .iceberg_layout import (
+    CONTENT_DATA,
+    CONTENT_POS_DELETES,
+    MANIFEST_FILE_SCHEMA,
+    STATUS_ADDED,
+    STATUS_DELETED,
+    STATUS_EXISTING,
+    IcebergTable,
+    manifest_entry_schema,
+)
+
+#: manifest-entry schema for DELETE manifests: the nested file struct
+#: carries ``content`` (spec field-id 134) and no partition record
+#: (our delete files are partition-global: they name files by path).
+DELETE_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": "long", "field-id": 1},
+        {
+            "name": "data_file",
+            "field-id": 2,
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int", "field-id": 134},
+                    {"name": "file_path", "type": "string",
+                     "field-id": 100},
+                    {"name": "file_format", "type": "string",
+                     "field-id": 101},
+                    {"name": "record_count", "type": "long",
+                     "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long",
+                     "field-id": 104},
+                ],
+            },
+        },
+    ],
+}
+
+_ICE2AVRO = {
+    "long": "long",
+    "int": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+}
+
+
+def _part_fields_from_md(md: dict) -> list[tuple[str, str]]:
+    spec = md["partition-specs"][md.get("default-spec-id", 0)]
+    types = {f["name"]: f["type"] for f in md["schema"]["fields"]}
+    return [
+        (f["name"], _ICE2AVRO[types[f["name"]]])
+        for f in spec["fields"]
+    ]
+
+
+def _advance_metadata(self: IcebergTable, md: dict) -> int:
+    """Write the next vN.metadata.json and swap version-hint.text —
+    the same atomic-pointer commit tail as _commit."""
+    cur = self._current_version()
+    next_v = (cur or 0) + 1
+    md["last-updated-ms"] = int(time.time() * 1000)
+    mpath = os.path.join(self.meta_dir, f"v{next_v}.metadata.json")
+    tmp = mpath + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(md, f)
+    os.replace(tmp, mpath)
+    hint_tmp = os.path.join(self.meta_dir, f"_hint-{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as f:
+        f.write(str(next_v))
+    os.replace(
+        hint_tmp, os.path.join(self.meta_dir, "version-hint.text")
+    )
+    return next_v
+
+
+def _write_pos_delete_file(self: IcebergTable, pairs: list[tuple]) -> dict:
+    """One position-delete parquet, rows sorted by (file_path, pos)
+    per the spec."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pairs = sorted(pairs)
+    dst = os.path.join(self.data_dir, f"{uuid.uuid4().hex}-deletes.parquet")
+    table = pa.table(
+        {
+            "file_path": pa.array([p for p, _ in pairs], pa.string()),
+            "pos": pa.array([i for _, i in pairs], pa.int64()),
+        }
+    )
+    tmp = dst + f".tmp-{uuid.uuid4().hex}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, dst)
+    return {
+        "content": CONTENT_POS_DELETES,
+        "file_path": dst,
+        "file_format": "PARQUET",
+        "record_count": len(pairs),
+        "file_size_in_bytes": os.path.getsize(dst),
+    }
+
+
+def _delete(self: IcebergTable, condition) -> dict:
+    """DELETE FROM <table> WHERE <condition>, merge-on-read: writes a
+    position-delete file instead of rewriting data (SQL NULL-predicate
+    rows are kept). Returns {files_named, rows_deleted, snapshot_id};
+    snapshot_id None when nothing matched (no empty snapshot)."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    md = self._metadata()
+    data_entries = [
+        e for e in self._entries() if e["status"] != STATUS_DELETED
+    ]
+    prior_deletes = [
+        e
+        for e in self._entries(content=CONTENT_POS_DELETES)
+        if e["status"] != STATUS_DELETED
+    ]
+    # per-file scan with row positions, existing deletes applied
+    pieces = []
+    for e in data_entries:
+        p = e["data_file"]["file_path"]
+        pieces.append(
+            self.spark.read.parquet(p)
+            .withColumn("__file", F.lit(p))
+            .withColumn("__pos", F.col("_metadata.row_index"))
+        )
+    if not pieces:
+        return {"files_named": 0, "rows_deleted": 0, "snapshot_id": None}
+    scan = pieces[0]
+    for piece in pieces[1:]:
+        scan = scan.unionByName(piece)
+    if prior_deletes:
+        pairs_df = self.spark.read.parquet(
+            *[e["data_file"]["file_path"] for e in prior_deletes]
+        ).select(
+            F.col("file_path").alias("__file"),
+            F.col("pos").alias("__pos"),
+        )
+        scan = scan.join(
+            F.broadcast(pairs_df), ["__file", "__pos"], "left_anti"
+        )
+    hits = (
+        scan.filter(cond)
+        .groupBy("__file")
+        .agg(F.sort_array(F.collect_list("__pos")).alias("pos"))
+        .collect()
+    )
+    if not hits:
+        return {"files_named": 0, "rows_deleted": 0, "snapshot_id": None}
+    pairs = [
+        (r["__file"], int(p)) for r in hits for p in r["pos"]
+    ]
+    new_delete = _write_pos_delete_file(self, pairs)
+
+    snapshot_id = int(uuid.uuid4().int % (1 << 62))
+    now = int(time.time() * 1000)
+    part_fields = _part_fields_from_md(md)
+    # data manifest: every live data file carried as EXISTING
+    dm_path = os.path.join(self.meta_dir, f"snap-{snapshot_id}-m0.avro")
+    write_ocf(
+        dm_path,
+        manifest_entry_schema(part_fields),
+        [
+            {
+                "status": STATUS_EXISTING,
+                "snapshot_id": e["snapshot_id"],
+                "data_file": e["data_file"],
+            }
+            for e in data_entries
+        ],
+    )
+    # delete manifest: prior delete files EXISTING + the new one ADDED
+    del_path = os.path.join(
+        self.meta_dir, f"snap-{snapshot_id}-m1-deletes.avro"
+    )
+    write_ocf(
+        del_path,
+        DELETE_MANIFEST_ENTRY_SCHEMA,
+        [
+            {
+                "status": STATUS_EXISTING,
+                "snapshot_id": e["snapshot_id"],
+                "data_file": e["data_file"],
+            }
+            for e in prior_deletes
+        ]
+        + [
+            {
+                "status": STATUS_ADDED,
+                "snapshot_id": snapshot_id,
+                "data_file": new_delete,
+            }
+        ],
+    )
+    mlist_path = os.path.join(self.meta_dir, f"snap-{snapshot_id}.avro")
+    write_ocf(
+        mlist_path,
+        MANIFEST_FILE_SCHEMA,
+        [
+            {
+                "manifest_path": dm_path,
+                "manifest_length": os.path.getsize(dm_path),
+                "partition_spec_id": 0,
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": 0,
+                "existing_data_files_count": len(data_entries),
+                "deleted_data_files_count": 0,
+                "content": CONTENT_DATA,
+            },
+            {
+                "manifest_path": del_path,
+                "manifest_length": os.path.getsize(del_path),
+                "partition_spec_id": 0,
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": 1,
+                "existing_data_files_count": len(prior_deletes),
+                "deleted_data_files_count": 0,
+                "content": CONTENT_POS_DELETES,
+            },
+        ],
+    )
+    md["format-version"] = 2  # delete files are a v2 construct
+    md["snapshots"] = md["snapshots"] + [
+        {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": now,
+            "manifest-list": mlist_path,
+            "summary": {"operation": "delete"},
+        }
+    ]
+    md["snapshot-log"] = md.get("snapshot-log", []) + [
+        {"timestamp-ms": now, "snapshot-id": snapshot_id}
+    ]
+    md["current-snapshot-id"] = snapshot_id
+    _advance_metadata(self, md)
+    return {
+        "files_named": len(hits),
+        "rows_deleted": len(pairs),
+        "snapshot_id": snapshot_id,
+    }
+
+
+def _rewrite_data_files(self: IcebergTable, target_files: int | None = None):
+    """Compaction: rewrite the CURRENT logical state as fresh data
+    files in one overwrite snapshot — position deletes are materialized
+    (the new snapshot's manifests list neither the old data files nor
+    any delete manifest), Iceberg's rewriteDataFiles maintenance. Old
+    snapshots stay time-travelable until expire_snapshots."""
+    md = self._metadata()
+    part_cols = [
+        f["name"]
+        for f in md["partition-specs"][md.get("default-spec-id", 0)][
+            "fields"
+        ]
+    ]
+    df = self.read()
+    if target_files:
+        df = df.repartition(target_files)
+    return self.overwrite(df, partition_by=part_cols or None)
+
+
+def _rollback(self: IcebergTable, snapshot_id: int) -> int:
+    """rollback_to_snapshot: metadata-only commit re-pointing
+    current-snapshot-id at a retained snapshot. All snapshots stay in
+    history (a later roll-forward is just another rollback)."""
+    md = self._metadata()
+    ids = [s["snapshot-id"] for s in md["snapshots"]]
+    if snapshot_id not in ids:
+        raise ValueError(
+            f"snapshot {snapshot_id} not in table history {ids}"
+        )
+    md["current-snapshot-id"] = snapshot_id
+    md["snapshot-log"] = md.get("snapshot-log", []) + [
+        {
+            "timestamp-ms": int(time.time() * 1000),
+            "snapshot-id": snapshot_id,
+        }
+    ]
+    return _advance_metadata(self, md)
+
+
+IcebergTable.delete = _delete
+IcebergTable.rewrite_data_files = _rewrite_data_files
+IcebergTable.rollback = _rollback

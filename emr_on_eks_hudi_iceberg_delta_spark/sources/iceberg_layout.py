@@ -38,9 +38,16 @@ Iceberg reader resolves by. Identity partitioning keeps the source
 column IN the data files (the Iceberg contract, unlike hive/Delta
 layouts) and records typed partition values in the manifest entries;
 ``read_where`` prunes on the driver's manifest before any file is
-scheduled. Non-identity transforms, v2 sequence numbers / delete
-files, spec evolution, and schema evolution are documented out of
-contract (loud errors where relevant), not silently wrong.
+scheduled.
+
+v2 merge-on-read DELETE lives in iceberg_deletes.py: position-delete
+files ((file_path, pos) parquet, spec field-ids honored), delete
+manifests (manifest-list ``content`` = 1) carried forward by appends,
+reads applying them via ``_metadata.row_index`` + broadcast anti-join,
+``rewrite_data_files`` compaction, and metadata-only
+``rollback(snapshot_id)``. Non-identity transforms, equality deletes,
+spec evolution, and schema evolution remain documented out of contract
+(loud errors where relevant), not silently wrong.
 """
 
 from __future__ import annotations
@@ -139,10 +146,15 @@ MANIFEST_FILE_SCHEMA = {
          "field-id": 505},
         {"name": "deleted_data_files_count", "type": "int",
          "field-id": 506},
+        # v2: 0 = data manifest, 1 = delete manifest (spec field 517).
+        # Manifest lists written before this field existed read back
+        # without the key; every consumer defaults it to 0.
+        {"name": "content", "type": "int", "field-id": 517},
     ],
 }
 
 STATUS_EXISTING, STATUS_ADDED, STATUS_DELETED = 0, 1, 2
+CONTENT_DATA, CONTENT_POS_DELETES = 0, 1
 
 
 def _iceberg_schema(df: DataFrame) -> dict:
@@ -211,7 +223,12 @@ class IcebergTable:
 
     # ------------------------------ reading ------------------------------
 
-    def _entries(self, snapshot_id: int | None = None) -> list[dict]:
+    def _entries(
+        self, snapshot_id: int | None = None, content: int = CONTENT_DATA
+    ) -> list[dict]:
+        """Manifest entries of the requested ``content`` kind (0 data,
+        1 position deletes); manifest lists written before the content
+        field default to data."""
         md = self._metadata()
         sid = (
             snapshot_id
@@ -229,9 +246,73 @@ class IcebergTable:
         _, manifests = read_ocf(snap["manifest-list"])
         entries: list[dict] = []
         for m in manifests:
+            if m.get("content", CONTENT_DATA) != content:
+                continue
             _, es = read_ocf(m["manifest_path"])
             entries.extend(es)
         return entries
+
+    def _live_delete_files(
+        self, snapshot_id: int | None = None
+    ) -> list[dict]:
+        return [
+            e["data_file"]
+            for e in self._entries(
+                snapshot_id, content=CONTENT_POS_DELETES
+            )
+            if e["status"] != STATUS_DELETED
+        ]
+
+    def _scan_files(
+        self, paths: list[str], delete_files: list[dict]
+    ) -> DataFrame:
+        """Scan data files applying v2 position-delete files: the
+        delete parquet's (file_path, pos) pairs drop rows via
+        ``_metadata.row_index`` and ONE broadcast anti-join — only the
+        files a delete actually names pay the per-file read; the rest
+        take the multi-path fast scan."""
+        from pyspark.sql import functions as F
+
+        if not paths:
+            raise ValueError("empty snapshot")
+        if not delete_files:
+            return self.spark.read.parquet(*paths)
+        pairs = self.spark.read.parquet(
+            *[d["file_path"] for d in delete_files]
+        ).select(
+            F.col("file_path").alias("__ice_file"),
+            F.col("pos").alias("__ice_pos"),
+        )
+        hit = {
+            r["__ice_file"]
+            for r in pairs.select("__ice_file").distinct().collect()
+        }
+        parts = []
+        plain = [p for p in paths if p not in hit]
+        if plain:
+            parts.append(self.spark.read.parquet(*plain))
+        pieces = []
+        for p in paths:
+            if p not in hit:
+                continue
+            pieces.append(
+                self.spark.read.parquet(p)
+                .withColumn("__ice_file", F.lit(p))
+                .withColumn("__ice_pos", F.col("_metadata.row_index"))
+            )
+        if pieces:
+            u = pieces[0]
+            for piece in pieces[1:]:
+                u = u.unionByName(piece)
+            u = u.join(
+                F.broadcast(pairs), ["__ice_file", "__ice_pos"],
+                "left_anti",
+            ).drop("__ice_file", "__ice_pos")
+            parts.append(u)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         paths = [
@@ -239,9 +320,9 @@ class IcebergTable:
             for e in self._entries(snapshot_id)
             if e["status"] != STATUS_DELETED
         ]
-        if not paths:
-            raise ValueError("empty snapshot")
-        return self.spark.read.parquet(*paths)
+        return self._scan_files(
+            paths, self._live_delete_files(snapshot_id)
+        )
 
     def added_files(self, since_snapshot_id: int) -> list[dict]:
         """Data files ADDED by snapshots after ``since_snapshot_id`` —
@@ -386,24 +467,56 @@ class IcebergTable:
         write_ocf(
             manifest_path, manifest_entry_schema(part_fields), entries
         )
+        mrows = [
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": 0,
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": len(new_files),
+                "existing_data_files_count": len(carried),
+                "deleted_data_files_count": 0,
+                "content": CONTENT_DATA,
+            }
+        ]
+        # appends must CARRY the live position-delete files forward —
+        # dropping the delete manifest would resurrect deleted rows;
+        # overwrites replace the whole state, so deletes fall away.
+        if operation == "append" and cur is not None:
+            del_carried = [
+                {
+                    "status": STATUS_EXISTING,
+                    "snapshot_id": e["snapshot_id"],
+                    "data_file": e["data_file"],
+                }
+                for e in self._entries(content=CONTENT_POS_DELETES)
+                if e["status"] != STATUS_DELETED
+            ]
+            if del_carried:
+                from .iceberg_deletes import DELETE_MANIFEST_ENTRY_SCHEMA
+
+                dm_path = os.path.join(
+                    self.meta_dir, f"snap-{snapshot_id}-m1-deletes.avro"
+                )
+                write_ocf(
+                    dm_path, DELETE_MANIFEST_ENTRY_SCHEMA, del_carried
+                )
+                mrows.append(
+                    {
+                        "manifest_path": dm_path,
+                        "manifest_length": os.path.getsize(dm_path),
+                        "partition_spec_id": 0,
+                        "added_snapshot_id": snapshot_id,
+                        "added_data_files_count": 0,
+                        "existing_data_files_count": len(del_carried),
+                        "deleted_data_files_count": 0,
+                        "content": CONTENT_POS_DELETES,
+                    }
+                )
         mlist_path = os.path.join(
             self.meta_dir, f"snap-{snapshot_id}.avro"
         )
-        write_ocf(
-            mlist_path,
-            MANIFEST_FILE_SCHEMA,
-            [
-                {
-                    "manifest_path": manifest_path,
-                    "manifest_length": os.path.getsize(manifest_path),
-                    "partition_spec_id": 0,
-                    "added_snapshot_id": snapshot_id,
-                    "added_data_files_count": len(new_files),
-                    "existing_data_files_count": len(carried),
-                    "deleted_data_files_count": 0,
-                }
-            ],
-        )
+        write_ocf(mlist_path, MANIFEST_FILE_SCHEMA, mrows)
         snapshot = {
             "snapshot-id": snapshot_id,
             "timestamp-ms": now,
@@ -531,7 +644,9 @@ class IcebergTable:
         ]
         if not paths:
             return self.read(snapshot_id).filter("1 = 0")
-        return self.spark.read.parquet(*paths)
+        return self._scan_files(
+            paths, self._live_delete_files(snapshot_id)
+        )
 
 
 def _expire_snapshots(self, keep_last: int = 1) -> dict:
