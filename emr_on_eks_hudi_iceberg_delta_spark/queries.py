@@ -14637,3 +14637,67 @@ def q_iceberg_rollback_after_compaction(spark, sf_dir):
     assert t.read().count() == n_compact
     t.rollback(s0)
     return out
+
+
+@register(
+    "hudi_mor_realtime_view",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_name, c_mktsegment, 1 AS ver FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment, 2 AS ver
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 5000000, c_name, 'NEW', 2 FROM customer
+      WHERE c_custkey % 97 = 0
+    ),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+            ORDER BY ver DESC) AS rn FROM u)
+    SELECT c_custkey, c_name, c_mktsegment,
+           CAST(ver AS INTEGER) AS ver
+    FROM r WHERE rn = 1
+    """,
+    tags=("lake", "S7", "extension"),
+)
+def q_hudi_mor_realtime_view(spark, sf_dir):
+    """Hudi MERGE_ON_READ in Hudi's own layout
+    (sources/hudi_layout.py:HudiMorTable — the OTHER table type
+    hudi/hudi_scd_script.py:13-18 selects; queried through the _rt
+    view, README.md:157-160): the upsert batch lands as LOG FILES
+    under a .deltacommit (zero base rewrites — pinned in
+    tests/test_hudi_mor_layout.py and asserted in-gate via the
+    read-optimized view, which must still serve the PRE-upsert state),
+    and the realtime view merges base ∪ logs by record key at read.
+    Must equal the same upsert in plain SQL — and equal the CoW
+    twin hudi_layout_upsert_roundtrip row-for-row."""
+    import tempfile
+
+    from .sources.hudi_layout import HudiMorTable
+
+    c = _t(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey", "c_name", "c_mktsegment", F.lit(1).alias("ver")
+    )
+    upd = base.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_mktsegment", F.lit("UPDATED")
+    ).withColumn("ver", F.lit(2)).unionByName(
+        c.filter(F.col("c_custkey") % 97 == 0).select(
+            (F.col("c_custkey") + 5000000).alias("c_custkey"),
+            "c_name",
+            F.lit("NEW").alias("c_mktsegment"),
+            F.lit(2).alias("ver"),
+        )
+    )
+    t = HudiMorTable(
+        spark, tempfile.mkdtemp(prefix="hudi_mor_"),
+        record_key="c_custkey", precombine_field="ver",
+        n_file_groups=4,
+    )
+    t.bulk_insert(base)
+    n_base = base.count()
+    t.upsert(upd)
+    # the _ro view is STALE by design: log data invisible pre-compaction
+    assert t.read_optimized().count() == n_base
+    return t.read().select("c_custkey", "c_name", "c_mktsegment", "ver")

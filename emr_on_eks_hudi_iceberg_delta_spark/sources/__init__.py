@@ -2,7 +2,7 @@ from .catalog import LakeCatalog
 from .csv import read_csv_with_schema
 from .delta_log import DeltaLogTable
 from . import delta_dml as _delta_dml  # noqa: F401 — attaches DELETE/UPDATE
-from .hudi_layout import HudiCowTable
+from .hudi_layout import HudiCowTable, HudiMorTable
 from .iceberg_layout import IcebergTable
 from . import iceberg_deletes as _iceberg_deletes  # noqa: F401 — attaches DELETE/rollback
 from .convert import convert_delta_to_iceberg, convert_parquet_dir_to_delta

@@ -1,0 +1,134 @@
+"""Hudi MERGE_ON_READ table in Hudi's own storage layout
+(sources/hudi_layout.py:HudiMorTable).
+
+Reference parity: hudi/hudi_scd_script.py:13-18,33 selects CoW vs MoR
+per run; README.md:157-160 queries the MoR table through its
+``_rt`` / ``_ro`` views. These tests pin the deltacommit timeline, the
+log-file slices, both views, and compaction.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from emr_on_eks_hudi_iceberg_delta_spark.sources import (
+    HudiCowTable,
+    HudiMorTable,
+)
+
+
+def _base(spark, n=100):
+    return spark.createDataFrame(
+        [(i, 1, f"v{i}") for i in range(n)], "k int, ts int, val string"
+    )
+
+
+def _mk(spark, tmp_path, name="m"):
+    t = HudiMorTable(
+        spark, str(tmp_path / name),
+        record_key="k", precombine_field="ts", n_file_groups=4,
+    )
+    i0 = t.bulk_insert(_base(spark))
+    return t, i0
+
+
+def test_upsert_appends_logs_without_touching_bases(spark, tmp_path):
+    t, _ = _mk(spark, tmp_path)
+    loc = t.location
+    bases0 = {
+        f: os.path.getmtime(os.path.join(loc, f))
+        for f in os.listdir(loc)
+        if f.endswith(".parquet") and ".log." not in f
+        and not f.startswith("_")
+    }
+    t.upsert(
+        spark.createDataFrame(
+            [(i, 2, f"u{i}") for i in range(0, 20, 2)],
+            "k int, ts int, val string",
+        )
+    )
+    logs = [f for f in os.listdir(loc) if ".log." in f]
+    assert logs  # the batch landed as log files...
+    for f, mtime in bases0.items():  # ...and every base is untouched
+        assert os.path.getmtime(os.path.join(loc, f)) == mtime
+    # timeline: bulk insert + upsert are BOTH deltacommits
+    hoodie = os.listdir(os.path.join(loc, ".hoodie"))
+    assert sum(1 for f in hoodie if f.endswith(".deltacommit")) == 2
+
+
+def test_ro_is_stale_rt_is_merged(spark, tmp_path):
+    t, _ = _mk(spark, tmp_path)
+    t.upsert(
+        spark.createDataFrame(
+            [(0, 2, "updated"), (500, 2, "new")],
+            "k int, ts int, val string",
+        )
+    )
+    ro = {r["k"]: r["val"] for r in t.read_optimized().collect()}
+    rt = {r["k"]: r["val"] for r in t.read().collect()}
+    assert ro[0] == "v0" and 500 not in ro  # _ro: pre-upsert state
+    assert rt[0] == "updated" and rt[500] == "new" and len(rt) == 101
+
+
+def test_precombine_wins_and_commit_time_breaks_ties(spark, tmp_path):
+    t, _ = _mk(spark, tmp_path)
+    # lower precombine than base -> base row survives the merge
+    t.upsert(
+        spark.createDataFrame([(1, 0, "stale")], "k int, ts int, val string")
+    )
+    # equal precombine in a LATER log -> latest writer wins
+    t.upsert(
+        spark.createDataFrame([(2, 1, "tie-late")], "k int, ts int, val string")
+    )
+    rt = {r["k"]: r["val"] for r in t.read().collect()}
+    assert rt[1] == "v1"
+    assert rt[2] == "tie-late"
+
+
+def test_compaction_folds_logs_and_equalizes_views(spark, tmp_path):
+    t, _ = _mk(spark, tmp_path)
+    t.upsert(
+        spark.createDataFrame(
+            [(i, 2, f"u{i}") for i in range(10)], "k int, ts int, val string"
+        )
+    )
+    rt_before = sorted(
+        (r["k"], r["val"]) for r in t.read().collect()
+    )
+    ci = t.compact()
+    assert ci is not None
+    ro = sorted((r["k"], r["val"]) for r in t.read_optimized().collect())
+    rt = sorted((r["k"], r["val"]) for r in t.read().collect())
+    assert ro == rt == rt_before
+    # compaction is a .commit (not a deltacommit), per the MoR timeline
+    assert os.path.exists(
+        os.path.join(t.location, ".hoodie", f"{ci}.commit")
+    )
+    # nothing left to compact
+    assert t.compact() is None
+
+
+def test_time_travel_and_incremental(spark, tmp_path):
+    t, i0 = _mk(spark, tmp_path)
+    i1 = t.upsert(
+        spark.createDataFrame([(3, 2, "u3")], "k int, ts int, val string")
+    )
+    t.upsert(
+        spark.createDataFrame([(4, 2, "u4")], "k int, ts int, val string")
+    )
+    assert t.read(instant=i0).count() == 100
+    assert {r["k"]: r["val"] for r in t.read(instant=i1).collect()}[3] == "u3"
+    inc = {r["k"] for r in t.read_incremental(i1).collect()}
+    assert inc == {4}
+    # compaction preserves original commit times: incremental after it
+    ci = t.compact()
+    assert t.read_incremental(ci).count() == 0
+
+
+def test_reopen_and_type_guard(spark, tmp_path):
+    t, _ = _mk(spark, tmp_path)
+    again = HudiMorTable(spark, t.location)
+    assert again.read().count() == 100
+    with pytest.raises(ValueError, match="MERGE_ON_READ"):
+        HudiCowTable(spark, t.location)
