@@ -14701,3 +14701,40 @@ def q_hudi_mor_realtime_view(spark, sf_dir):
     # the _ro view is STALE by design: log data invisible pre-compaction
     assert t.read_optimized().count() == n_base
     return t.read().select("c_custkey", "c_name", "c_mktsegment", "ver")
+
+
+@register(
+    "iceberg_schema_evolution",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 10 = 0 THEN c_mktsegment END AS segment
+    FROM customer
+    """,
+    tags=("lake", "S10", "extension"),
+)
+def q_iceberg_schema_evolution(spark, sf_dir):
+    """Add-column schema evolution on the Iceberg layout
+    (IcebergTable.append(merge_schema=True)): the base write lacks the
+    segment column; an evolved append adds it for a tenth of the
+    customers, widening the table schema with a FRESH field id
+    (last-column-id advances — the spec's never-reuse invariant,
+    asserted in-gate) and zero file rewrites; the snapshot read scans
+    with the current schema explicitly so every pre-evolution file
+    serves typed NULLs."""
+    import tempfile
+
+    from .sources.iceberg_layout import IcebergTable
+
+    c = _t(spark, sf_dir, "customer")
+    base = c.filter(F.col("c_custkey") % 10 != 0).select(
+        "c_custkey", "c_name"
+    )
+    evolved = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", "c_name", F.col("c_mktsegment").alias("segment")
+    )
+    t = IcebergTable(spark, tempfile.mkdtemp(prefix="ice_evo_"))
+    t.overwrite(base)
+    lcid0 = t._metadata()["last-column-id"]
+    t.append(evolved, merge_schema=True)
+    assert t._metadata()["last-column-id"] == lcid0 + 1
+    return t.read()

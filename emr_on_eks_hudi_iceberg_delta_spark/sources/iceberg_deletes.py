@@ -167,12 +167,16 @@ def _delete(self: IcebergTable, condition) -> dict:
         for e in self._entries(content=CONTENT_POS_DELETES)
         if e["status"] != STATUS_DELETED
     ]
-    # per-file scan with row positions, existing deletes applied
+    # per-file scan with row positions, existing deletes applied; the
+    # CURRENT table schema is explicit so pre-evolution files align
+    from .iceberg_layout import _spark_schema_from_md
+
+    schema = _spark_schema_from_md(md)
     pieces = []
     for e in data_entries:
         p = e["data_file"]["file_path"]
         pieces.append(
-            self.spark.read.parquet(p)
+            self.spark.read.schema(schema).parquet(p)
             .withColumn("__file", F.lit(p))
             .withColumn("__pos", F.col("_metadata.row_index"))
         )

@@ -45,9 +45,15 @@ files ((file_path, pos) parquet, spec field-ids honored), delete
 manifests (manifest-list ``content`` = 1) carried forward by appends,
 reads applying them via ``_metadata.row_index`` + broadcast anti-join,
 ``rewrite_data_files`` compaction, and metadata-only
-``rollback(snapshot_id)``. Non-identity transforms, equality deletes,
-spec evolution, and schema evolution remain documented out of contract
-(loud errors where relevant), not silently wrong.
+``rollback(snapshot_id)``.
+
+Add-column schema evolution: ``append(merge_schema=True)`` widens the
+table schema with FRESH field ids (``last-column-id`` advances — ids
+are never reused, the spec's evolution invariant) and every read scans
+with the current schema EXPLICITLY, so pre-evolution files serve typed
+NULLs. Non-identity transforms, equality deletes, and spec evolution
+remain documented out of contract (loud errors where relevant), not
+silently wrong.
 """
 
 from __future__ import annotations
@@ -155,6 +161,40 @@ MANIFEST_FILE_SCHEMA = {
 
 STATUS_EXISTING, STATUS_ADDED, STATUS_DELETED = 0, 1, 2
 CONTENT_DATA, CONTENT_POS_DELETES = 0, 1
+
+
+#: iceberg primitive -> spark simpleString (inverse of _TYPE_MAP; both
+#: timestamp flavors honored)
+_ICE2SPARK = {
+    "long": "bigint",
+    "int": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamp_ntz",
+    "timestamptz": "timestamp",
+    "binary": "binary",
+}
+
+
+def _spark_schema_from_md(md: dict):
+    """Spark StructType for the table's CURRENT Iceberg schema — the
+    explicit read schema that makes schema evolution sound: files
+    written before a column existed serve typed NULLs instead of
+    whatever one parquet footer happens to say."""
+    from pyspark.sql.types import StructType
+
+    parts = []
+    for f in md["schema"]["fields"]:
+        t = f["type"]
+        if isinstance(t, str) and t.startswith("decimal"):
+            spark_t = t.replace(" ", "")
+        else:
+            spark_t = _ICE2SPARK[t]
+        parts.append(f"{f['name']} {spark_t}")
+    return StructType.fromDDL(", ".join(parts))
 
 
 def _iceberg_schema(df: DataFrame) -> dict:
@@ -275,8 +315,9 @@ class IcebergTable:
 
         if not paths:
             raise ValueError("empty snapshot")
+        schema = _spark_schema_from_md(self._metadata())
         if not delete_files:
-            return self.spark.read.parquet(*paths)
+            return self.spark.read.schema(schema).parquet(*paths)
         pairs = self.spark.read.parquet(
             *[d["file_path"] for d in delete_files]
         ).select(
@@ -290,13 +331,13 @@ class IcebergTable:
         parts = []
         plain = [p for p in paths if p not in hit]
         if plain:
-            parts.append(self.spark.read.parquet(*plain))
+            parts.append(self.spark.read.schema(schema).parquet(*plain))
         pieces = []
         for p in paths:
             if p not in hit:
                 continue
             pieces.append(
-                self.spark.read.parquet(p)
+                self.spark.read.schema(schema).parquet(p)
                 .withColumn("__ice_file", F.lit(p))
                 .withColumn("__ice_pos", F.col("_metadata.row_index"))
             )
@@ -349,7 +390,9 @@ class IcebergTable:
         added = [f["file_path"] for f in self.added_files(snapshot_id)]
         if not added:
             return self.read().filter("1 = 0")
-        return self.spark.read.parquet(*added)
+        return self.spark.read.schema(
+            _spark_schema_from_md(self._metadata())
+        ).parquet(*added)
 
     # ------------------------------ writing ------------------------------
 
@@ -434,7 +477,11 @@ class IcebergTable:
         return files
 
     def _commit(
-        self, df: DataFrame, new_files: list[dict], operation: str
+        self,
+        df: DataFrame,
+        new_files: list[dict],
+        operation: str,
+        schema_update: dict | None = None,
     ) -> int:
         cur = self._current_version()
         snapshot_id = int(uuid.uuid4().int % (1 << 62))
@@ -557,6 +604,9 @@ class IcebergTable:
             next_v = 1
         else:
             md = self._metadata()
+            if schema_update is not None:
+                md["schema"] = schema_update["schema"]
+                md["last-column-id"] = schema_update["last_column_id"]
             md["last-updated-ms"] = now
             md["snapshots"] = md["snapshots"] + [snapshot]
             md["snapshot-log"] = md.get("snapshot-log", []) + [
@@ -618,10 +668,86 @@ class IcebergTable:
         return self._part_cols_new
 
     def append(
-        self, df: DataFrame, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        merge_schema: bool = False,
     ) -> int:
+        """Append a batch. ``merge_schema=True`` enables add-column
+        schema evolution: new top-level columns get fresh field ids
+        (``last-column-id`` advances — ids are never reused, the
+        Iceberg evolution contract) and the table schema widens in the
+        same commit; files written before the column serve typed NULLs
+        because every read uses the current schema explicitly. Shared
+        columns must match types exactly; new columns without the flag
+        refuse. Batches may omit nullable columns (read fills NULL)."""
         cols = self._resolve_part_cols(df, partition_by)
-        return self._commit(df, self._write_data(df, cols), "append")
+        schema_update = None
+        if self._current_version() is not None:
+            md = self._metadata()
+            have = {f["name"]: f for f in md["schema"]["fields"]}
+            batch = {
+                f.name: f.dataType.simpleString()
+                for f in df.schema.fields
+            }
+            for name, t in batch.items():
+                if name in have:
+                    ice = (
+                        t.replace(",", ", ")
+                        if t.startswith("decimal")
+                        else _TYPE_MAP.get(t)
+                    )
+                    if ice != have[name]["type"]:
+                        raise ValueError(
+                            f"column {name!r} type mismatch: table has "
+                            f"{have[name]['type']}, batch has {t} — no "
+                            "implicit casts"
+                        )
+            new_cols = [
+                f for f in df.schema.fields if f.name not in have
+            ]
+            if new_cols:
+                if not merge_schema:
+                    raise ValueError(
+                        "batch has columns not in the table schema "
+                        f"({[f.name for f in new_cols]}); pass "
+                        "merge_schema=True to evolve the schema"
+                    )
+                next_id = md.get(
+                    "last-column-id", len(md["schema"]["fields"])
+                )
+                fields = list(md["schema"]["fields"])
+                for f in new_cols:
+                    t = f.dataType.simpleString()
+                    ice = (
+                        t.replace(",", ", ")
+                        if t.startswith("decimal")
+                        else _TYPE_MAP[t]
+                    )
+                    next_id += 1
+                    fields.append(
+                        {
+                            "id": next_id,
+                            "name": f.name,
+                            "required": False,
+                            "type": ice,
+                        }
+                    )
+                schema_update = {
+                    "schema": {
+                        "type": "struct",
+                        "schema-id": md["schema"].get("schema-id", 0)
+                        + 1,
+                        "fields": fields,
+                    },
+                    "last_column_id": next_id,
+                }
+        return self._commit(
+            df,
+            self._write_data(df, cols),
+            "append",
+            schema_update=schema_update,
+        )
 
     def overwrite(
         self, df: DataFrame, partition_by: list[str] | None = None

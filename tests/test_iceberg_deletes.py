@@ -118,3 +118,48 @@ def test_expire_keeps_live_delete_files(spark, tmp_path):
     t.expire_snapshots(keep_last=1)
     assert t.read().filter("g = 7").count() == 0
     assert t.read().count() == 350
+
+
+# --------------------- schema evolution (add column) ---------------------
+
+
+def test_merge_schema_append_evolves_with_fresh_ids(spark, tmp_path):
+    t = IcebergTable(spark, str(tmp_path / "evo"))
+    t.overwrite(spark.createDataFrame([(1, "x")], "k int, s string"))
+    with pytest.raises(ValueError, match="merge_schema"):
+        t.append(
+            spark.createDataFrame([(2, "y", 5)], "k int, s string, n int")
+        )
+    t.append(
+        spark.createDataFrame([(2, "y", 5)], "k int, s string, n int"),
+        merge_schema=True,
+    )
+    got = {r["k"]: (r["s"], r["n"]) for r in t.read().collect()}
+    assert got == {1: ("x", None), 2: ("y", 5)}  # old file -> typed NULL
+    md = t._metadata()
+    assert md["last-column-id"] == 3  # fresh id, never reused
+    assert [f["id"] for f in md["schema"]["fields"]] == [1, 2, 3]
+    with pytest.raises(ValueError, match="type mismatch"):
+        t.append(
+            spark.createDataFrame([(3, 1.5)], "k int, s double"),
+            merge_schema=True,
+        )
+    # a batch may omit nullable columns
+    t.append(spark.createDataFrame([(7, "z")], "k int, s string"))
+    row = [r for r in t.read().collect() if r["k"] == 7][0]
+    assert row["n"] is None
+
+
+def test_evolution_composes_with_position_deletes(spark, tmp_path):
+    t = IcebergTable(spark, str(tmp_path / "evodel"))
+    t.overwrite(spark.createDataFrame([(1, "x"), (2, "y")], "k int, s string"))
+    t.append(
+        spark.createDataFrame([(3, "z", 9)], "k int, s string, n int"),
+        merge_schema=True,
+    )
+    t.delete("k = 2")
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 3]
+    # time travel uses the CURRENT schema: late columns read as NULL
+    s0 = t._metadata()["snapshots"][0]["snapshot-id"]
+    r0 = {r["k"]: r["n"] for r in t.read(snapshot_id=s0).collect()}
+    assert r0 == {1: None, 2: None}
