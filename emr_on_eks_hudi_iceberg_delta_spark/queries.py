@@ -14738,3 +14738,93 @@ def q_iceberg_schema_evolution(spark, sf_dir):
     t.append(evolved, merge_schema=True)
     assert t._metadata()["last-column-id"] == lcid0 + 1
     return t.read()
+
+
+@register(
+    "delta_merge_into_protocol_table",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+             o_orderstatus AS status
+      FROM orders
+    ),
+    s AS (
+      SELECT o_orderkey AS k,
+             CAST(o_totalprice AS DOUBLE) AS price,
+             'BUMP' AS action FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 0.0, 'DROP' FROM orders
+      WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, CAST(o_totalprice AS DOUBLE),
+             'NEW' FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT t.k,
+           CASE WHEN s.k IS NOT NULL AND s.action = 'BUMP'
+                THEN t.price + s.price ELSE t.price END AS price,
+           t.status
+    FROM t LEFT JOIN s ON t.k = s.k
+    WHERE NOT (s.k IS NOT NULL AND s.action = 'DROP')
+    UNION ALL
+    SELECT s.k, s.price, CAST(NULL AS VARCHAR) AS status
+    FROM s LEFT JOIN t ON s.k = t.k
+    WHERE t.k IS NULL
+    """,
+    tags=("lake", "S11", "extension"),
+)
+def q_delta_merge_into_protocol_table(spark, sf_dir):
+    """MERGE INTO directly on the Delta-protocol table
+    (DeltaLogTable.merge_into — the conditional-clause MERGE the
+    reference's Delta runtime executes, delta/delta_scd_script.py):
+    one source carries update, delete, and insert intents; the matched
+    DELETE clause fires first, the matched UPDATE's RHS reads the OLD
+    target row plus source columns, unmatched source rows insert with
+    absent target columns as typed NULLs, and ONLY files containing a
+    matched row are rewritten (Delta's physical strategy). Must equal
+    the same MERGE spelled as plain SQL."""
+    import tempfile
+
+    from .sources.delta_log import DeltaLogTable
+    from .sources import delta_dml  # noqa: F401 — attaches merge_into
+
+    o = _t(spark, sf_dir, "orders")
+    target = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    source = (
+        o.filter(F.col("o_orderkey") % 3 == 0).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.lit("BUMP").alias("action"),
+        )
+        .unionByName(
+            o.filter(
+                (F.col("o_orderkey") % 5 == 0)
+                & (F.col("o_orderkey") % 3 != 0)
+            ).select(
+                F.col("o_orderkey").alias("k"),
+                F.lit(0.0).alias("price"),
+                F.lit("DROP").alias("action"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("k"),
+                F.col("o_totalprice").cast("double").alias("price"),
+                F.lit("NEW").alias("action"),
+            )
+        )
+    )
+    dt = DeltaLogTable(spark, tempfile.mkdtemp(prefix="delta_merge_"))
+    dt.overwrite(target.repartition(8))
+    rep = dt.merge_into(
+        source,
+        ["k"],
+        when_matched_update={"price": "t.price + s.price"},
+        when_matched_delete="s.action = 'DROP'",
+        insert_unmatched=True,
+    )
+    assert rep["rows_deleted"] > 0 and rep["rows_inserted"] > 0
+    return dt.read()

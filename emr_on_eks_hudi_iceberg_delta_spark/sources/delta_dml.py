@@ -296,3 +296,192 @@ def _update(
 
 DeltaLogTable.delete = _delete
 DeltaLogTable.update = _update
+
+
+def _merge_into(
+    self: DeltaLogTable,
+    source: DataFrame,
+    key_cols: list[str],
+    when_matched_update: dict | None = None,
+    when_matched_delete: str | None = None,
+    insert_unmatched: bool = True,
+) -> dict:
+    """MERGE INTO <table> t USING <source> s ON t.k = s.k — the
+    conditional-clause MERGE the reference's Delta runtime executes
+    (delta/delta_scd_script.py's whenMatchedUpdate /
+    whenNotMatchedInsert decomposition, operators/merge.py), run
+    directly against the protocol table with Delta's physical
+    strategy: ONE inner join names the files containing a matched
+    target row; ONLY those files rewrite (matched rows deleted /
+    updated — update expressions are SQL over ``t.*`` and ``s.*``,
+    evaluated against the OLD target row); unmatched source rows land
+    as fresh insert files; untouched files' add actions are never
+    mentioned in the commit.
+
+    Clause semantics: ``when_matched_delete`` (a SQL condition over
+    t/s, None = no delete clause) is evaluated FIRST, then
+    ``when_matched_update`` ({target_col: SQL expr over t/s}) applies
+    to the remaining matched rows; ``insert_unmatched`` maps source
+    columns to target columns by name (absent ones become NULL).
+    NULL-valued merge keys never match (SQL join semantics), so such
+    source rows insert — the reference's Delta NULL-mergeKey behavior.
+    A source with two rows matching one target row refuses loudly
+    (real Delta's DELTA_MULTIPLE_SOURCE_ROW_MATCHING error)."""
+    live, meta, head = self._replay()
+    part_cols, _, types, out_cols = _schema_parts(meta)
+    scan = _scan_with_pos(self, list(live.values()), meta)
+    src = source.withColumn("__s_matched", F.lit(True)).alias("s")
+    join_cond = None
+    for k in key_cols:
+        c = F.col(f"t.{k}") == F.col(f"s.{k}")
+        join_cond = c if join_cond is None else (join_cond & c)
+    report = {
+        "files_rewritten": 0,
+        "rows_deleted": 0,
+        "rows_updated": 0,
+        "rows_inserted": 0,
+        "version": None,
+    }
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "operation": "MERGE",
+                "operationParameters": {"matchedPredicates": key_cols},
+            }
+        }
+    ]
+    now = int(time.time() * 1000)
+    touched: list[str] = []
+    if scan is not None and (when_matched_update or when_matched_delete):
+        joined = scan.alias("t").join(src, join_cond, "inner")
+        dup = (
+            joined.groupBy("t.__file", "t.__pos")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                "MERGE: multiple source rows match a single target row"
+            )
+        del_cond = (
+            F.expr(when_matched_delete)
+            if when_matched_delete is not None
+            else F.lit(False)
+        )
+        agg = joined.agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum(
+                F.coalesce(del_cond, F.lit(False)).cast("long")
+            ).alias("d"),
+        ).first()
+        matched_n, deleted_n = int(agg["m"] or 0), int(agg["d"] or 0)
+        if matched_n:
+            touched = sorted(
+                r["__file"]
+                for r in joined.select("t.__file").distinct().collect()
+            )
+            tsrc = _scan_with_pos(
+                self, [live[p] for p in touched], meta
+            ).alias("t")
+            rej = tsrc.join(src, join_cond, "left")
+            matched = F.coalesce(
+                F.col("s.__s_matched"), F.lit(False)
+            )
+            keep = rej.filter(
+                ~(matched & F.coalesce(del_cond, F.lit(False)))
+            )
+            cols = []
+            for c in out_cols:
+                e = F.col(f"t.{c}")
+                if when_matched_update and c in when_matched_update:
+                    e = F.when(
+                        matched
+                        & ~F.coalesce(del_cond, F.lit(False)),
+                        F.expr(when_matched_update[c]).cast(types[c]),
+                    ).otherwise(e)
+                cols.append(e.alias(c))
+            rewritten = keep.select(*cols)
+            adds = self._write_data_files(rewritten, part_cols)
+            for p in touched:
+                actions.append(
+                    {
+                        "remove": {
+                            "path": p,
+                            "deletionTimestamp": now,
+                            "dataChange": True,
+                        }
+                    }
+                )
+            actions.extend({"add": a} for a in adds)
+            report["files_rewritten"] = len(touched)
+            report["rows_deleted"] = deleted_n
+            report["rows_updated"] = (
+                matched_n - deleted_n if when_matched_update else 0
+            )
+    if insert_unmatched:
+        tkeys = (
+            scan.select(*key_cols).distinct()
+            if scan is not None
+            else None
+        )
+        unmatched = (
+            source.join(tkeys, key_cols, "left_anti")
+            if tkeys is not None
+            else source
+        )
+        ins_cols = [
+            (
+                F.col(c).cast(types[c])
+                if c in source.columns
+                else F.lit(None).cast(types[c])
+            ).alias(c)
+            for c in out_cols
+        ]
+        ins = unmatched.select(*ins_cols)
+        n_ins = ins.count()
+        if n_ins:
+            actions.extend(
+                {"add": a}
+                for a in self._write_data_files(ins, part_cols)
+            )
+            report["rows_inserted"] = n_ins
+    if len(actions) == 1:
+        return report
+    self._commit(head + 1, actions)
+    report["version"] = head + 1
+    return report
+
+
+DeltaLogTable.merge_into = _merge_into
+
+
+def _version_at_timestamp(self: DeltaLogTable, ts_ms: int) -> int:
+    """TIMESTAMP AS OF resolution: the latest version whose commit
+    file landed at or before ``ts_ms`` — resolved from the commit
+    files' modification times, exactly how Delta resolves timestamp
+    time travel. Refuses timestamps before the first commit."""
+    cands = [
+        (v, os.path.getmtime(
+            os.path.join(self.location, "_delta_log", f"{v:020d}.json")
+        ) * 1000.0)
+        for v in self._versions()
+    ]
+    ok = [v for v, m in cands if m <= ts_ms]
+    if not ok:
+        raise ValueError(
+            f"no commit at or before timestamp {ts_ms} (earliest: "
+            f"{min(m for _, m in cands) if cands else None})"
+        )
+    return max(ok)
+
+
+def _read_as_of_timestamp(self: DeltaLogTable, ts_ms: int) -> DataFrame:
+    """SELECT ... TIMESTAMP AS OF <ts> — version resolution + the
+    ordinary versioned read."""
+    return self.read(version=self.version_at_timestamp(ts_ms))
+
+
+DeltaLogTable.version_at_timestamp = _version_at_timestamp
+DeltaLogTable.read_as_of_timestamp = _read_as_of_timestamp

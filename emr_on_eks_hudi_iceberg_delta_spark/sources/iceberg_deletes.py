@@ -338,3 +338,29 @@ def _rollback(self: IcebergTable, snapshot_id: int) -> int:
 IcebergTable.delete = _delete
 IcebergTable.rewrite_data_files = _rewrite_data_files
 IcebergTable.rollback = _rollback
+
+
+def _snapshot_at_timestamp(self: IcebergTable, ts_ms: int) -> int:
+    """Iceberg's timestamp time travel: the latest snapshot whose
+    ``timestamp-ms`` is at or before ``ts_ms`` (snapshots carry their
+    commit times in table metadata — no filesystem mtimes needed)."""
+    md = self._metadata()
+    ok = [
+        s["snapshot-id"]
+        for s in md["snapshots"]
+        if s["timestamp-ms"] <= ts_ms
+    ]
+    if not ok:
+        raise ValueError(
+            f"no snapshot at or before timestamp {ts_ms}"
+        )
+    # snapshots are appended in commit order; the last qualifying wins
+    return ok[-1]
+
+
+def _read_as_of_timestamp(self: IcebergTable, ts_ms: int):
+    return self.read(snapshot_id=self.snapshot_at_timestamp(ts_ms))
+
+
+IcebergTable.snapshot_at_timestamp = _snapshot_at_timestamp
+IcebergTable.read_as_of_timestamp = _read_as_of_timestamp

@@ -352,3 +352,100 @@ def test_restore_across_dml(spark, tmp_path):
     assert dt.read().filter("g = 0").count() == 0
     assert dt.read().filter("g = 1 AND v = 0.0").count() == 0
     assert dt.read().count() == 350
+
+
+# ---------------------------- MERGE INTO ----------------------------
+
+
+def test_merge_into_full_clause_set(spark, tmp_path):
+    dt = DeltaLogTable(spark, str(tmp_path / "merge"))
+    dt.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+            "k int, name string, v double",
+        ).repartition(2)
+    )
+    src = spark.createDataFrame(
+        [(2, "B", 200.0), (4, "DEL", 0.0), (9, "new", 90.0),
+         (None, "nullkey", 1.0)],
+        "k int, name string, v double",
+    )
+    rep = dt.merge_into(
+        src, ["k"],
+        when_matched_update={"name": "s.name", "v": "t.v + s.v"},
+        when_matched_delete="s.name = 'DEL'",
+    )
+    assert rep["rows_deleted"] == 1
+    assert rep["rows_updated"] == 1
+    assert rep["rows_inserted"] == 2  # unmatched key + NULL key
+    rows = {r["k"]: (r["name"], r["v"]) for r in dt.read().collect()}
+    assert rows[1] == ("a", 10.0)          # untouched row intact
+    assert rows[2] == ("B", 220.0)         # update RHS saw OLD t.v
+    assert 4 not in rows                   # matched-delete clause
+    assert rows[9] == ("new", 90.0)
+    assert rows[None] == ("nullkey", 1.0)  # NULL merge key inserts
+    # time travel across the MERGE
+    assert dt.read(version=0).count() == 4
+
+
+def test_merge_into_refuses_ambiguous_source(spark, tmp_path):
+    dt = DeltaLogTable(spark, str(tmp_path / "dup"))
+    dt.overwrite(spark.createDataFrame([(1, 1.0)], "k int, v double"))
+    src = spark.createDataFrame(
+        [(1, 2.0), (1, 3.0)], "k int, v double"
+    )
+    with pytest.raises(ValueError, match="multiple source rows"):
+        dt.merge_into(src, ["k"], when_matched_update={"v": "s.v"})
+
+
+def test_merge_into_insert_only_and_noop(spark, tmp_path):
+    dt = DeltaLogTable(spark, str(tmp_path / "insonly"))
+    dt.overwrite(spark.createDataFrame([(1, 1.0)], "k int, v double"))
+    rep = dt.merge_into(
+        spark.createDataFrame([(5, 5.0)], "k int, v double"), ["k"]
+    )
+    assert rep["rows_inserted"] == 1 and rep["files_rewritten"] == 0
+    # everything matched / nothing enabled -> no empty commit
+    v = dt._replay()[2]
+    rep2 = dt.merge_into(
+        spark.createDataFrame([(5, 9.0)], "k int, v double"),
+        ["k"], insert_unmatched=False,
+    )
+    assert rep2["version"] is None and dt._replay()[2] == v
+
+
+def test_merge_insert_fills_missing_columns_with_null(spark, tmp_path):
+    dt = DeltaLogTable(spark, str(tmp_path / "missing"))
+    dt.overwrite(
+        spark.createDataFrame([(1, "x", 0.5)], "k int, s string, v double")
+    )
+    rep = dt.merge_into(
+        spark.createDataFrame([(7, 7.0)], "k int, v double"), ["k"]
+    )
+    assert rep["rows_inserted"] == 1
+    row = dt.read().filter("k = 7").first()
+    assert row["s"] is None and row["v"] == 7.0
+
+
+# ----------------------- TIMESTAMP AS OF -----------------------------
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    import os
+    import time as _time
+
+    dt = DeltaLogTable(spark, str(tmp_path / "ts"))
+    dt.overwrite(spark.range(10).selectExpr("id AS k"))
+    # pin distinct mtimes without sleeping: backdate commit 0
+    c0 = os.path.join(str(tmp_path / "ts"), "_delta_log",
+                      f"{0:020d}.json")
+    t0 = _time.time() - 100
+    os.utime(c0, (t0, t0))
+    dt.append(spark.range(10, 15).selectExpr("id AS k"))
+    mid_ms = int((t0 + 50) * 1000)
+    assert dt.version_at_timestamp(mid_ms) == 0
+    assert dt.read_as_of_timestamp(mid_ms).count() == 10
+    now_ms = int((_time.time() + 5) * 1000)
+    assert dt.version_at_timestamp(now_ms) == 1
+    with pytest.raises(ValueError, match="no commit"):
+        dt.version_at_timestamp(int((t0 - 10) * 1000))

@@ -163,3 +163,27 @@ def test_evolution_composes_with_position_deletes(spark, tmp_path):
     s0 = t._metadata()["snapshots"][0]["snapshot-id"]
     r0 = {r["k"]: r["n"] for r in t.read(snapshot_id=s0).collect()}
     assert r0 == {1: None, 2: None}
+
+
+def test_iceberg_timestamp_time_travel(spark, tmp_path):
+    import json as _json
+    import os
+
+    t = IcebergTable(spark, str(tmp_path / "ts"))
+    t.overwrite(spark.range(10).selectExpr("id AS k"))
+    # backdate the first snapshot's timestamp-ms in table metadata
+    v = t._current_version()
+    mpath = os.path.join(t.meta_dir, f"v{v}.metadata.json")
+    md = _json.load(open(mpath))
+    md["snapshots"][0]["timestamp-ms"] -= 100_000
+    s0_ts = md["snapshots"][0]["timestamp-ms"]
+    _json.dump(md, open(mpath, "w"))
+    t.append(spark.range(10, 15).selectExpr("id AS k"))
+    assert t.read_as_of_timestamp(s0_ts + 1).count() == 10
+    md2 = t._metadata()
+    assert (
+        t.snapshot_at_timestamp(md2["snapshots"][-1]["timestamp-ms"])
+        == md2["snapshots"][-1]["snapshot-id"]
+    )
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.snapshot_at_timestamp(s0_ts - 1)
