@@ -14828,3 +14828,54 @@ def q_delta_merge_into_protocol_table(spark, sf_dir):
     )
     assert rep["rows_deleted"] > 0 and rep["rows_inserted"] > 0
     return dt.read()
+
+
+@register(
+    "delta_change_data_feed",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders
+    )
+    SELECT k, price, 'delete' AS change_type,
+           CAST(2 AS BIGINT) AS commit_version
+    FROM t WHERE k % 7 = 0
+    UNION ALL
+    SELECT k, price, 'update_preimage', 3
+    FROM t WHERE k % 7 <> 0 AND k % 5 = 0
+    UNION ALL
+    SELECT k, price * 2, 'update_postimage', 3
+    FROM t WHERE k % 7 <> 0 AND k % 5 = 0
+    """,
+    tags=("lake", "S2", "extension"),
+)
+def q_delta_change_data_feed(spark, sf_dir):
+    """Change Data Feed on the Delta-protocol table
+    (sources/delta_cdf.py — the readChangeFeed surface the reference's
+    Delta runtime exposes): CDF is enabled via SET TBLPROPERTIES
+    (delta.enableChangeDataFeed, a metaData commit), a DELETE and an
+    UPDATE then write real ``cdc`` change-data actions in their
+    commits, and table_changes(2, 3) replays exactly those row-level
+    changes — delete rows plus update pre/post images stamped with
+    their commit versions. Must equal the change set spelled in plain
+    SQL."""
+    import tempfile
+
+    from .sources.delta_log import DeltaLogTable
+    from .sources import delta_cdf, delta_dml  # noqa: F401
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    dt = DeltaLogTable(spark, tempfile.mkdtemp(prefix="delta_cdf_"))
+    dt.overwrite(o.repartition(4))                                  # v0
+    dt.set_table_properties({"delta.enableChangeDataFeed": "true"})  # v1
+    dt.delete("k % 7 = 0")                                           # v2
+    dt.update("k % 5 = 0", {"price": "price * 2"})                   # v3
+    return dt.table_changes(2, 3).select(
+        "k",
+        "price",
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    )

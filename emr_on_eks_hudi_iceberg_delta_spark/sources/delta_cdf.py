@@ -1,0 +1,216 @@
+"""Change Data Feed (CDF) for the Delta-protocol table — the
+``delta.enableChangeDataFeed`` table feature: row-level change streams
+between versions with ``_change_type`` / ``_commit_version`` columns.
+
+Reference parity: the reference's Delta runtime exposes
+``table_changes(...)`` / ``readChangeFeed`` over the table
+delta/delta_scd_script.py writes; the sibling VersionedTable already
+has a keyed CDF analog — this module implements the PROTOCOL's version
+(https://github.com/delta-io/delta/blob/master/PROTOCOL.md#change-data-files):
+
+* DML commits (DELETE / UPDATE / MERGE in delta_dml.py) write CHANGE
+  DATA FILES — parquet rows stamped ``delete`` / ``update_preimage`` /
+  ``update_postimage`` / ``insert`` — referenced by ``cdc`` actions in
+  the same commit. Per the spec, when a commit carries cdc actions the
+  CDF reader uses ONLY them.
+* Commits without cdc actions derive: add-only commits (appends) are
+  inserts read from the added files; remove-only commits are deletes
+  read from the removed files (still on disk until VACUUM — a vacuumed
+  change range refuses loudly); dataChange=false commits (OPTIMIZE,
+  checkpoint shuffles) produce nothing.
+* ``table_changes(from_version, to_version=None)`` stitches the range
+  together with ``_commit_version`` and ``_commit_timestamp``.
+
+Honest divergence, documented: change files land under ``cdc/`` rather
+than the conventional ``_change_data/`` because Spark's file sources
+hard-filter any path component starting with ``_`` or ``.`` (real
+Delta bypasses that with its own file index). The ``cdc`` action's
+``path`` field is authoritative in the protocol, so readers that
+follow the log — like this one — are unaffected.
+
+Scale shape: change files are written once at DML time (the rows were
+already in hand — no second scan), reads are ordinary parquet scans of
+exactly the commits in range; nothing replays the whole table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StringType, StructType
+
+from .delta_log import DeltaLogTable, _commit_path
+
+CDF_PROP = "delta.enableChangeDataFeed"
+CHANGE_TYPE = "_change_type"
+
+
+def cdf_enabled(meta: dict) -> bool:
+    return (meta.get("configuration") or {}).get(CDF_PROP) == "true"
+
+
+def _set_table_properties(self: DeltaLogTable, props: dict) -> "DeltaLogTable":
+    """ALTER TABLE ... SET TBLPROPERTIES — a metaData-only commit
+    updating ``configuration`` (how CDF is switched on:
+    ``{"delta.enableChangeDataFeed": "true"}``)."""
+    _, meta, head = self._replay()
+    cfg = dict(meta.get("configuration") or {})
+    cfg.update({k: str(v) for k, v in props.items()})
+    newmeta = dict(meta)
+    newmeta["configuration"] = cfg
+    self._commit(
+        head + 1,
+        [
+            {
+                "commitInfo": {
+                    "operation": "SET TBLPROPERTIES",
+                    "operationParameters": {"properties": props},
+                }
+            },
+            {"metaData": newmeta},
+        ],
+    )
+    return self
+
+
+def write_cdc_files(dt: DeltaLogTable, cdc_df: DataFrame) -> list[dict]:
+    """Write a change-data parquet batch (all table columns +
+    ``_change_type``) and return its ``cdc`` actions."""
+    staging = os.path.join(dt.location, f"_staging_{uuid.uuid4().hex}")
+    cdc_df.write.mode("overwrite").parquet(staging)
+    os.makedirs(os.path.join(dt.location, "cdc"), exist_ok=True)
+    actions = []
+    for fname in sorted(os.listdir(staging)):
+        if not fname.endswith(".parquet"):
+            continue
+        rel = f"cdc/cdc-{uuid.uuid4().hex}.parquet"
+        os.replace(
+            os.path.join(staging, fname),
+            os.path.join(dt.location, rel),
+        )
+        actions.append(
+            {
+                "path": rel,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(dt.location, rel)),
+                "dataChange": False,
+            }
+        )
+    for leftover in os.listdir(staging):
+        os.remove(os.path.join(staging, leftover))
+    os.rmdir(staging)
+    return actions
+
+
+def _parse_commit(self: DeltaLogTable, version: int) -> list[dict]:
+    path = _commit_path(self.location, version)
+    if not os.path.exists(path):
+        raise ValueError(
+            f"commit {version} is gone (log retention) — CDF for that "
+            "range is no longer reconstructable"
+        )
+    out = []
+    with open(path) as f:
+        for line in f:
+            if line.strip():
+                out.append(json.loads(line))
+    return out
+
+
+def _table_changes(
+    self: DeltaLogTable,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """``table_changes(from, to)``: every row-level change committed in
+    versions [from, to] with ``_change_type``, ``_commit_version``,
+    ``_commit_timestamp``."""
+    live, meta, head = self._replay()
+    if to_version is None:
+        to_version = head
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    out_cols = [f.name for f in schema.fields]
+    cdc_schema = StructType(
+        list(schema.fields)
+    ).add(CHANGE_TYPE, StringType())
+    pieces: list[DataFrame] = []
+    for v in range(from_version, to_version + 1):
+        acts = _parse_commit(self, v)
+        cdcs = [a["cdc"] for a in acts if "cdc" in a]
+        adds = [
+            a["add"] for a in acts
+            if "add" in a and a["add"].get("dataChange", True)
+        ]
+        removes = [
+            a["remove"] for a in acts
+            if "remove" in a and a["remove"].get("dataChange", True)
+        ]
+        ts = int(
+            os.path.getmtime(_commit_path(self.location, v)) * 1000
+        )
+        def _require_on_disk(paths: list[str], kind: str) -> None:
+            missing = [
+                p for p in paths
+                if not os.path.exists(os.path.join(self.location, p))
+            ]
+            if missing:
+                raise ValueError(
+                    f"commit {v}: {kind} files {missing[:3]} were "
+                    "VACUUMed — this derived CDF range is no longer "
+                    "reconstructable (cdc-backed commits survive "
+                    "vacuum; derived ones need their data files)"
+                )
+
+        if cdcs:
+            df = self.spark.read.schema(cdc_schema).parquet(
+                *[os.path.join(self.location, c["path"]) for c in cdcs]
+            )
+        elif adds and not removes:
+            _require_on_disk([a["path"] for a in adds], "added")
+            df = self._read_adds(adds, meta).withColumn(
+                CHANGE_TYPE, F.lit("insert")
+            )
+        elif removes and not adds:
+            # the removed files' add actions lived in the PRIOR state
+            prior, _, _ = self._replay(v - 1)
+            gone = [
+                prior[r["path"]] for r in removes if r["path"] in prior
+            ]
+            _require_on_disk([a["path"] for a in gone], "removed")
+            df = self._read_adds(gone, meta).withColumn(
+                CHANGE_TYPE, F.lit("delete")
+            )
+        elif adds and removes:
+            raise ValueError(
+                f"commit {v} rewrites files without change-data "
+                "actions — it predates CDF being enabled, so its "
+                "row-level changes were never recorded"
+            )
+        else:
+            continue  # metadata-only / dataChange=false commit
+        pieces.append(
+            df.select(*out_cols, CHANGE_TYPE)
+            .withColumn("_commit_version", F.lit(v).cast("bigint"))
+            .withColumn(
+                "_commit_timestamp",
+                F.lit(ts).cast("bigint"),
+            )
+        )
+    if not pieces:
+        empty = self.spark.createDataFrame([], cdc_schema)
+        return (
+            empty.withColumn("_commit_version", F.lit(None).cast("bigint"))
+            .withColumn("_commit_timestamp", F.lit(None).cast("bigint"))
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+DeltaLogTable.set_table_properties = _set_table_properties
+DeltaLogTable.table_changes = _table_changes

@@ -160,6 +160,17 @@ def _delete(
             *out_cols
         )
         adds = self._write_data_files(keep, part_cols)
+        from .delta_cdf import CHANGE_TYPE, cdf_enabled, write_cdc_files
+
+        if cdf_enabled(meta):
+            dels = src.filter(
+                F.coalesce(cond, F.lit(False))
+            ).select(*out_cols).withColumn(
+                CHANGE_TYPE, F.lit("delete")
+            )
+            actions.extend(
+                {"cdc": c} for c in write_cdc_files(self, dels)
+            )
         for p in touched:
             actions.append(
                 {
@@ -184,6 +195,17 @@ def _delete(
                     "version": None}
         if _needs_dv_upgrade(self.current_protocol()):
             actions.append({"protocol": dict(_DV_PROTOCOL)})
+        from .delta_cdf import CHANGE_TYPE, cdf_enabled, write_cdc_files
+
+        if cdf_enabled(meta):
+            dels = scan.filter(
+                F.coalesce(cond, F.lit(False))
+            ).select(*out_cols).withColumn(
+                CHANGE_TYPE, F.lit("delete")
+            )
+            actions.extend(
+                {"cdc": c} for c in write_cdc_files(self, dels)
+            )
         for r in hits:
             a = live[r["__file"]]
             merged = set(int(p) for p in r["pos"])
@@ -275,6 +297,27 @@ def _update(
             }
         }
     ]
+    from .delta_cdf import CHANGE_TYPE, cdf_enabled, write_cdc_files
+
+    if cdf_enabled(meta):
+        hit_rows = src.filter(hit)
+        pre = hit_rows.select(*out_cols).withColumn(
+            CHANGE_TYPE, F.lit("update_preimage")
+        )
+        post = hit_rows.select(
+            *[
+                (
+                    sets[c].cast(types[c]).alias(c)
+                    if c in sets
+                    else F.col(c)
+                )
+                for c in out_cols
+            ]
+        ).withColumn(CHANGE_TYPE, F.lit("update_postimage"))
+        actions.extend(
+            {"cdc": c}
+            for c in write_cdc_files(self, pre.unionByName(post))
+        )
     for p in touched:
         actions.append(
             {
@@ -404,6 +447,57 @@ def _merge_into(
                 cols.append(e.alias(c))
             rewritten = keep.select(*cols)
             adds = self._write_data_files(rewritten, part_cols)
+            from .delta_cdf import (
+                CHANGE_TYPE,
+                cdf_enabled,
+                write_cdc_files,
+            )
+
+            if cdf_enabled(meta):
+                cdc_parts = []
+                mrows = rej.filter(matched)
+                dels = mrows.filter(F.coalesce(del_cond, F.lit(False)))
+                cdc_parts.append(
+                    dels.select(
+                        *[F.col(f"t.{c}").alias(c) for c in out_cols]
+                    ).withColumn(CHANGE_TYPE, F.lit("delete"))
+                )
+                if when_matched_update:
+                    urows = mrows.filter(
+                        ~F.coalesce(del_cond, F.lit(False))
+                    )
+                    cdc_parts.append(
+                        urows.select(
+                            *[
+                                F.col(f"t.{c}").alias(c)
+                                for c in out_cols
+                            ]
+                        ).withColumn(
+                            CHANGE_TYPE, F.lit("update_preimage")
+                        )
+                    )
+                    cdc_parts.append(
+                        urows.select(
+                            *[
+                                (
+                                    F.expr(
+                                        when_matched_update[c]
+                                    ).cast(types[c]).alias(c)
+                                    if c in when_matched_update
+                                    else F.col(f"t.{c}").alias(c)
+                                )
+                                for c in out_cols
+                            ]
+                        ).withColumn(
+                            CHANGE_TYPE, F.lit("update_postimage")
+                        )
+                    )
+                cdc = cdc_parts[0]
+                for cp in cdc_parts[1:]:
+                    cdc = cdc.unionByName(cp)
+                actions.extend(
+                    {"cdc": c} for c in write_cdc_files(self, cdc)
+                )
             for p in touched:
                 actions.append(
                     {
@@ -447,6 +541,20 @@ def _merge_into(
                 for a in self._write_data_files(ins, part_cols)
             )
             report["rows_inserted"] = n_ins
+            from .delta_cdf import (
+                CHANGE_TYPE,
+                cdf_enabled,
+                write_cdc_files,
+            )
+
+            if cdf_enabled(meta):
+                actions.extend(
+                    {"cdc": c}
+                    for c in write_cdc_files(
+                        self,
+                        ins.withColumn(CHANGE_TYPE, F.lit("insert")),
+                    )
+                )
     if len(actions) == 1:
         return report
     self._commit(head + 1, actions)

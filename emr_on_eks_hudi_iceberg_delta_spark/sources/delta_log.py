@@ -70,10 +70,15 @@ def _commit_path(location: str, version: int) -> str:
 
 
 class DeltaLogTable:
-    """A Delta-protocol table at a local/posix ``location`` (the same
-    single-writer, multi-reader contract as ``VersionedTable``; real
-    Delta's optimistic concurrency needs a coordinating log store,
-    which is out of scope for a container-local table)."""
+    """A Delta-protocol table at a local/posix ``location``.
+    Multi-reader always; multi-WRITER via optimistic concurrency on
+    the version file itself (atomic put-if-absent in ``_commit`` —
+    the LogStore contract posix rename/link provides locally; real
+    Delta plugs S3/DynamoDB stores for the same guarantee, the OCC
+    the reference wires in hudi/hudi_scd_script.py:42-48's DynamoDB
+    analog). Losing writers get ``ConcurrentCommitError``; appends
+    auto-rebase because they commute, every other operation surfaces
+    the conflict for the caller to re-run against the new head."""
 
     def __init__(self, spark: SparkSession, location: str):
         self.spark = spark
@@ -388,12 +393,29 @@ class DeltaLogTable:
         return adds
 
     def _commit(self, version: int, actions: list[dict]) -> None:
+        """Optimistic-concurrency commit: the version file is
+        published with an atomic put-if-absent (``os.link`` of a fully
+        written temp file — readers never see a torn commit, and a
+        second writer racing for the same version number LOSES with
+        ``ConcurrentCommitError`` instead of silently clobbering it).
+        This is exactly Delta's LogStore contract; ``append`` retries
+        the race automatically because blind appends commute."""
+        from .tables import ConcurrentCommitError
+
         path = _commit_path(self.location, version)
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             for a in actions:
                 f.write(json.dumps(a) + "\n")
-        os.replace(tmp, path)  # atomic publish: the commit IS the rename
+        try:
+            os.link(tmp, path)  # atomic put-if-absent
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {version} was committed by another writer; "
+                "re-read the table and retry"
+            ) from None
+        finally:
+            os.remove(tmp)
 
     def _meta_action(
         self, df: DataFrame, part_cols: list[str]
@@ -509,8 +531,25 @@ class DeltaLogTable:
             actions.append({"metaData": evolved})
         adds = self._write_data_files(df, part_cols)
         actions.extend({"add": a} for a in adds)
-        self._commit(versions[-1] + 1, actions)
-        return self
+        from .tables import ConcurrentCommitError
+
+        head = versions[-1]
+        for _attempt in range(8):
+            try:
+                self._commit(head + 1, actions)
+                return self
+            except ConcurrentCommitError:
+                if new_fields:
+                    # schema evolution raced another commit: the merged
+                    # schema was computed against a stale head — resolve
+                    # at the caller, don't auto-rebase a metadata change
+                    raise
+                # blind appends commute with other appends: rebase onto
+                # the new head and retry (Delta's append conflict rule)
+                head = self._versions()[-1]
+        raise ConcurrentCommitError(
+            "append lost the commit race 8 times; giving up"
+        )
 
 
 def _zvalue_column(df: DataFrame, cols: list[str], bits: int = 8):
@@ -649,7 +688,10 @@ def _vacuum(self) -> list[str]:
                 )
     deleted = []
     for root, _dirs, files in os.walk(self.location):
-        if "_delta_log" in root:
+        # cdc/ holds change-data files referenced by commit actions,
+        # not by the live snapshot — CDF retention is clean_log's
+        # concern, never vacuum's
+        if "_delta_log" in root or os.sep + "cdc" in root:
             continue
         for fname in files:
             full = os.path.join(root, fname)
