@@ -39,18 +39,29 @@ from pyspark.sql.types import StructType
 
 
 class _DeltaFilePartition(InputPartition):
-    def __init__(self, path: str, pvals: dict, schema_json: str):
+    def __init__(
+        self,
+        path: str,
+        pvals: dict,
+        schema_json: str,
+        deleted: list[int] | None = None,
+    ):
         self.path = path
         self.pvals = pvals
         self.schema_json = schema_json
+        #: sorted row indexes the file's deletion vector masks out
+        self.deleted = deleted or []
 
 
 def _read_partition_batches(partition):
-    """Shared batch/stream executor path: scan one parquet file and
-    append the partition-value columns as typed constants, reordered to
-    the declared schema."""
+    """Shared batch/stream executor path: scan one parquet file,
+    mask any deletion-vector row positions (running batch offset +
+    numpy boolean mask — Arrow-native, no row loop), and append the
+    partition-value columns as typed constants, reordered to the
+    declared schema."""
     if not partition.path:
         return
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -59,8 +70,24 @@ def _read_partition_batches(partition):
     schema = StructType.fromJson(json.loads(partition.schema_json))
     names = [f.name for f in schema.fields]
     types = {f.name: to_arrow_type(f.dataType) for f in schema.fields}
+    dels = (
+        np.asarray(partition.deleted, dtype=np.int64)
+        if partition.deleted
+        else None
+    )
     f = pq.ParquetFile(partition.path)
+    offset = 0
     for batch in f.iter_batches():
+        n_physical = batch.num_rows
+        if dels is not None:
+            local = dels[(dels >= offset) & (dels < offset + n_physical)]
+            if len(local):
+                mask = np.ones(n_physical, dtype=bool)
+                mask[local - offset] = False
+                batch = batch.filter(pa.array(mask))
+        offset += n_physical
+        if batch.num_rows == 0:
+            continue
         cols = {name: batch.column(i) for i, name in
                 enumerate(batch.schema.names)}
         n = batch.num_rows
@@ -97,11 +124,18 @@ class DeltaLogReader(DataSourceReader):
         live, meta, _ = dt._replay(
             int(version) if version is not None else None
         )
+        from . import dv as dv_io
+
         parts = [
             _DeltaFilePartition(
                 os.path.join(location, a["path"]),
                 a.get("partitionValues", {}),
                 self.schema_json,
+                deleted=(
+                    dv_io.read_dv(location, a["deletionVector"])
+                    if a.get("deletionVector")
+                    else None
+                ),
             )
             for a in live.values()
         ]

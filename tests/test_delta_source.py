@@ -102,3 +102,28 @@ def test_stream_refuses_non_append_commit(spark, tmp_path):
     with pytest.raises(Exception, match="not an append"):
         q.awaitTermination(120)
         raise RuntimeError(q.exception() or "stream did not fail")
+
+
+def test_batch_source_applies_deletion_vectors(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import (
+        DeltaLogTable,
+        register_deltalog_source,
+    )
+
+    loc = str(tmp_path / "dv_src")
+    dt = DeltaLogTable(spark, loc)
+    dt.overwrite(
+        spark.range(100).selectExpr("id AS k", "id % 10 AS g")
+        .repartition(4)
+    )
+    dt.delete("g = 3", mode="dv")
+    register_deltalog_source(spark)
+    got = (
+        spark.read.format("deltalog").option("location", loc).load()
+    )
+    assert got.count() == 90
+    assert got.filter("g = 3").count() == 0
+    # parity with the table's own reader
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in dt.read().collect()
+    )
