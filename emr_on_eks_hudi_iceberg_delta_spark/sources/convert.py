@@ -102,6 +102,13 @@ def convert_delta_to_iceberg(
 
     src = DeltaLogTable(spark, delta_location)
     live, meta, _ = src._replay()
+    dvd = [p for p, a in live.items() if a.get("deletionVector")]
+    if dvd:
+        raise ValueError(
+            "cannot adopt a Delta table with live deletion vectors "
+            f"into Iceberg (files {dvd[:3]} carry DVs the adopted "
+            "manifests cannot express) — run optimize() (PURGE) first"
+        )
     if meta.get("partitionColumns"):
         raise ValueError(
             "cannot adopt a hive-partitioned Delta table into Iceberg: "

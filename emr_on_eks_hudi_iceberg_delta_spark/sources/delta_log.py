@@ -970,6 +970,13 @@ def _generate_symlink_manifest(self) -> str:
     (hive layout, matching the per-partition variant on
     PartitionedTable)."""
     live, meta, _ = self._replay()
+    dvd = [p for p, a in live.items() if a.get("deletionVector")]
+    if dvd:
+        raise ValueError(
+            "symlink manifests list raw parquet files for readers that "
+            "cannot apply deletion vectors — files "
+            f"{dvd[:3]} carry DVs; run optimize() (PURGE) first"
+        )
     part_cols = meta.get("partitionColumns", [])
     base = os.path.join(self.location, "_symlink_format_manifest")
     by_dir: dict[str, list[str]] = {}

@@ -449,3 +449,27 @@ def test_timestamp_time_travel(spark, tmp_path):
     assert dt.version_at_timestamp(now_ms) == 1
     with pytest.raises(ValueError, match="no commit"):
         dt.version_at_timestamp(int((t0 - 10) * 1000))
+
+
+def test_dv_tables_refuse_raw_file_exports(spark, tmp_path):
+    """Surfaces that hand raw parquet paths to DV-unaware readers
+    (symlink manifests, Iceberg adoption) must refuse while DVs are
+    live, and work again after optimize() materializes them."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.convert import (
+        convert_delta_to_iceberg,
+    )
+
+    dt = _table(spark, tmp_path, "export")
+    dt.delete("g = 2", mode="dv")
+    with pytest.raises(ValueError, match="deletion vectors|DVs"):
+        dt.generate_symlink_manifest()
+    with pytest.raises(ValueError, match="deletion vectors"):
+        convert_delta_to_iceberg(
+            spark, dt.location, str(tmp_path / "adopted")
+        )
+    dt.optimize(target_files=2)  # PURGE
+    dt.generate_symlink_manifest()  # now fine
+    t = convert_delta_to_iceberg(
+        spark, dt.location, str(tmp_path / "adopted2")
+    )
+    assert t.read().count() == 350
