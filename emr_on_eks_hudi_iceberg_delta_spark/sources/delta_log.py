@@ -592,6 +592,56 @@ def _zvalue_column(df: DataFrame, cols: list[str], bits: int = 8):
     return z
 
 
+def _optimize_partitioned(
+    self, live: dict, meta: dict, part_cols: list[str]
+) -> "DeltaLogTable":
+    """Per-partition bin-packing for hive-partitioned protocol tables:
+    ONLY partitions holding more than one live file (or any file with
+    a deletion vector — this materializes it) are rewritten, each into
+    a single file via ``repartition(*part_cols)`` (one shuffle task per
+    partition value — no global coalesce bottleneck); single-file
+    DV-less partitions are never mentioned in the commit. dataChange
+    stays false: contents are identical before and after."""
+    by_part: dict[tuple, list[dict]] = {}
+    for a in live.values():
+        key = tuple(a["partitionValues"].get(c) for c in part_cols)
+        by_part.setdefault(key, []).append(a)
+    compact = [
+        a
+        for adds in by_part.values()
+        if len(adds) > 1 or any(x.get("deletionVector") for x in adds)
+        for a in adds
+    ]
+    if not compact:
+        return self  # nothing worth a commit
+    df = self._read_adds(compact, meta).repartition(*part_cols)
+    adds = self._write_data_files(df, part_cols)
+    now = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "operation": "OPTIMIZE",
+                "operationParameters": {"partitioned": True},
+            }
+        }
+    ]
+    for a in sorted(compact, key=lambda x: x["path"]):
+        actions.append(
+            {
+                "remove": {
+                    "path": a["path"],
+                    "deletionTimestamp": now,
+                    "dataChange": False,
+                }
+            }
+        )
+    for a in adds:
+        a["dataChange"] = False
+        actions.append({"add": a})
+    self._commit(self._versions()[-1] + 1, actions)
+    return self
+
+
 def _optimize(
     self,
     target_files: int = 1,
@@ -620,10 +670,13 @@ def _optimize(
     live, meta, _ = self._replay()
     part_cols = meta.get("partitionColumns", [])
     if part_cols:
-        raise ValueError(
-            "optimize currently compacts unpartitioned tables; compact "
-            "a partitioned table per-partition via overwrite"
-        )
+        if zorder_by:
+            raise ValueError(
+                "ZORDER BY on hive-partitioned tables is not "
+                "supported (each partition compacts to one file — "
+                "there is nothing left to cluster between)"
+            )
+        return _optimize_partitioned(self, live, meta, part_cols)
     df = self.read()
     if zorder_by:
         df = (

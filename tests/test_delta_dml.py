@@ -473,3 +473,36 @@ def test_dv_tables_refuse_raw_file_exports(spark, tmp_path):
         spark, dt.location, str(tmp_path / "adopted2")
     )
     assert t.read().count() == 350
+
+
+def test_partitioned_optimize_compacts_selectively(spark, tmp_path):
+    import collections
+
+    dt = DeltaLogTable(spark, str(tmp_path / "popt"))
+    df = spark.range(300).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS p"
+    )
+    dt.overwrite(df, partition_by=["p"])
+    dt.append(df.filter("k < 50"))  # p=0/1/2 gain a 2nd file
+    before = sorted((r["k"], r["p"]) for r in dt.read().collect())
+    dt.optimize()
+    live, _, _ = dt._replay()
+    per_part = collections.Counter(
+        tuple(a["partitionValues"].items()) for a in live.values()
+    )
+    assert all(v == 1 for v in per_part.values())  # bin-packed
+    assert sorted(
+        (r["k"], r["p"]) for r in dt.read().collect()
+    ) == before
+    v = dt._replay()[2]
+    dt.optimize()  # already compact: no empty commit
+    assert dt._replay()[2] == v
+    # a DV on a partitioned table is materialized by optimize
+    dt.delete("k = 7", mode="dv")
+    dt.optimize()
+    assert not any(
+        a.get("deletionVector") for a in dt._replay()[0].values()
+    )
+    assert dt.read().filter("k = 7").count() == 0
+    with pytest.raises(ValueError, match="ZORDER"):
+        dt.optimize(zorder_by=["k"])
