@@ -259,7 +259,18 @@ class HudiCowTable:
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(meta, f)
-        os.replace(tmp, path)  # the commit IS the atomic rename
+        try:
+            os.link(tmp, path)  # atomic put-if-absent: the commit
+        except FileExistsError:
+            from .tables import ConcurrentCommitError
+
+            raise ConcurrentCommitError(
+                f"instant {instant} was committed by another writer — "
+                "Hudi resolves multi-writer via a lock provider (the "
+                "reference wires DynamoDB); re-read and retry"
+            ) from None
+        finally:
+            os.remove(tmp)
 
     def bulk_insert(self, df: DataFrame) -> str:
         instant = self._next_instant()

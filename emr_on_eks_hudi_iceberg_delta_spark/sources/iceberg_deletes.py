@@ -116,7 +116,17 @@ def _advance_metadata(self: IcebergTable, md: dict) -> int:
     tmp = mpath + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(md, f)
-    os.replace(tmp, mpath)
+    try:
+        os.link(tmp, mpath)  # atomic put-if-absent (OCC)
+    except FileExistsError:
+        from .tables import ConcurrentCommitError
+
+        raise ConcurrentCommitError(
+            f"metadata version {next_v} was committed by another "
+            "writer; re-read the table and retry the operation"
+        ) from None
+    finally:
+        os.remove(tmp)
     hint_tmp = os.path.join(self.meta_dir, f"_hint-{uuid.uuid4().hex}")
     with open(hint_tmp, "w") as f:
         f.write(str(next_v))

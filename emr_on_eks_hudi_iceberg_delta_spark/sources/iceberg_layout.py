@@ -237,10 +237,21 @@ class IcebergTable:
     # ----------------------------- metadata ------------------------------
 
     def _current_version(self) -> int | None:
+        """max(version-hint, newest vN.metadata.json on disk): the
+        hint is best-effort under concurrent writers (two hint swaps
+        can land out of order), but metadata files are put-if-absent,
+        so the directory scan is authoritative — exactly how Iceberg's
+        HadoopCatalog treats a stale hint."""
+        cands = []
         hint = os.path.join(self.meta_dir, "version-hint.text")
-        if not os.path.exists(hint):
-            return None
-        return int(open(hint).read().strip())
+        if os.path.exists(hint):
+            cands.append(int(open(hint).read().strip()))
+        for f in os.listdir(self.meta_dir):
+            if f.startswith("v") and f.endswith(".metadata.json"):
+                stem = f[1:-len(".metadata.json")]
+                if stem.isdigit():
+                    cands.append(int(stem))
+        return max(cands) if cands else None
 
     def _metadata(self, version: int | None = None) -> dict:
         v = version if version is not None else self._current_version()
@@ -483,6 +494,34 @@ class IcebergTable:
         operation: str,
         schema_update: dict | None = None,
     ) -> int:
+        """Optimistic concurrency: the vN.metadata.json publish is
+        put-if-absent (os.link), so two writers racing for the same
+        version serialize — the loser rebuilds its manifests against
+        the NEW head and retries (appends/overwrites commute; a
+        schema-evolving commit surfaces ConcurrentCommitError instead,
+        since its merged schema was computed against a stale head)."""
+        from .tables import ConcurrentCommitError
+
+        for attempt in range(8):
+            try:
+                return self._commit_once(
+                    df, new_files, operation, schema_update
+                )
+            except ConcurrentCommitError:
+                if schema_update is not None:
+                    raise
+                time.sleep(0.02 * (attempt + 1))
+        raise ConcurrentCommitError(
+            f"{operation} lost the metadata race 8 times; giving up"
+        )
+
+    def _commit_once(
+        self,
+        df: DataFrame,
+        new_files: list[dict],
+        operation: str,
+        schema_update: dict | None = None,
+    ) -> int:
         cur = self._current_version()
         snapshot_id = int(uuid.uuid4().int % (1 << 62))
         now = int(time.time() * 1000)
@@ -618,13 +657,23 @@ class IcebergTable:
         tmp = mpath + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(md, f)
-        os.replace(tmp, mpath)
+        try:
+            os.link(tmp, mpath)  # atomic put-if-absent: the commit
+        except FileExistsError:
+            from .tables import ConcurrentCommitError
+
+            raise ConcurrentCommitError(
+                f"metadata version {next_v} was committed by another "
+                "writer"
+            ) from None
+        finally:
+            os.remove(tmp)
         hint_tmp = os.path.join(
             self.meta_dir, f"_hint-{uuid.uuid4().hex}"
         )
         with open(hint_tmp, "w") as f:
             f.write(str(next_v))
-        # the version-hint swap IS the commit (HadoopCatalog protocol)
+        # best-effort pointer (readers also scan the metadata dir)
         os.replace(
             hint_tmp, os.path.join(self.meta_dir, "version-hint.text")
         )

@@ -132,3 +132,14 @@ def test_reopen_and_type_guard(spark, tmp_path):
     assert again.read().count() == 100
     with pytest.raises(ValueError, match="MERGE_ON_READ"):
         HudiCowTable(spark, t.location)
+
+
+def test_hudi_instant_collision_refuses(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.tables import (
+        ConcurrentCommitError,
+    )
+
+    t, _ = _mk(spark, tmp_path, "occ")
+    inst = t.instants()[-1]
+    with pytest.raises(ConcurrentCommitError, match="another writer"):
+        t._commit(inst, [], suffix=".deltacommit")

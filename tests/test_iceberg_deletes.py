@@ -187,3 +187,35 @@ def test_iceberg_timestamp_time_travel(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no snapshot"):
         t.snapshot_at_timestamp(s0_ts - 1)
+
+
+def test_concurrent_iceberg_appends_rebase_and_all_land(spark, tmp_path):
+    import threading
+
+    loc = str(tmp_path / "occ")
+    IcebergTable(spark, loc).overwrite(
+        spark.range(1).selectExpr("id AS k")
+    )
+    errors = []
+
+    def worker(base):
+        try:
+            t = IcebergTable(spark, loc)
+            for j in range(2):
+                t.append(spark.createDataFrame([(base + j,)], "k bigint"))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(100 * (i + 1),))
+        for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    t = IcebergTable(spark, loc)
+    assert sorted(r["k"] for r in t.read().collect()) == [
+        0, 100, 101, 200, 201, 300, 301, 400, 401,
+    ]
