@@ -14879,3 +14879,45 @@ def q_delta_change_data_feed(spark, sf_dir):
         F.col("_change_type").alias("change_type"),
         F.col("_commit_version").alias("commit_version"),
     )
+
+
+@register(
+    "iceberg_files_metadata_table",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS record_count
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("lake", "S2", "extension"),
+)
+def q_iceberg_files_metadata_table(spark, sf_dir):
+    """Iceberg metadata tables (sources/iceberg_inspect.py — the
+    SELECT * FROM tbl.files / tbl.snapshots surface the reference's
+    iceberg-spark-runtime exposes): orders written identity-partitioned
+    by priority, then the FILES inspection table — built purely from
+    manifest entries, no data file opened — aggregates record_count per
+    partition and must equal counting the actual rows. The snapshots
+    table is sanity-asserted in-gate."""
+    import tempfile
+
+    from .sources.iceberg_layout import IcebergTable
+    from .sources import iceberg_inspect  # noqa: F401 — attaches
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    t = IcebergTable(spark, tempfile.mkdtemp(prefix="ice_insp_"))
+    t.append(o, partition_by=["o_orderpriority"])
+    assert t.inspect_snapshots().count() == 1
+    files = t.inspect_files()
+    return (
+        files.select(
+            F.get_json_object(
+                F.col("partition"), "$.o_orderpriority"
+            ).alias("priority"),
+            "record_count",
+        )
+        .groupBy("priority")
+        .agg(F.sum("record_count").alias("record_count"))
+    )

@@ -214,3 +214,106 @@ def _table_changes(
 
 DeltaLogTable.set_table_properties = _set_table_properties
 DeltaLogTable.table_changes = _table_changes
+
+
+# ---------------------- CHECK constraints ---------------------------
+# Real Delta stores CHECK constraints as table properties
+# (``delta.constraints.<name> = <sql expr>``, a minWriterVersion-3
+# feature) and refuses any WRITE whose rows violate one. Enforcement
+# is writer-side — readers never pay for it.
+
+
+def _add_check_constraint(
+    self: DeltaLogTable, name: str, expr: str
+) -> "DeltaLogTable":
+    """ALTER TABLE ... ADD CONSTRAINT <name> CHECK (<expr>). The
+    EXISTING rows are validated first (one filtered scan — a
+    constraint that the current table already violates refuses), then
+    the property commits."""
+    _, meta, _ = self._replay()
+    key = f"delta.constraints.{name}"
+    if key in (meta.get("configuration") or {}):
+        raise ValueError(f"constraint {name!r} already exists")
+    bad = (
+        self.read()
+        .filter(F.expr(expr) == F.lit(False))
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"cannot add CHECK constraint {name!r}: existing rows "
+            f"violate ({expr})"
+        )
+    return self.set_table_properties({key: expr})
+
+
+def _drop_check_constraint(
+    self: DeltaLogTable, name: str
+) -> "DeltaLogTable":
+    _, meta, head = self._replay()
+    cfg = dict(meta.get("configuration") or {})
+    key = f"delta.constraints.{name}"
+    if key not in cfg:
+        raise ValueError(f"no such constraint {name!r}")
+    del cfg[key]
+    newmeta = dict(meta)
+    newmeta["configuration"] = cfg
+    self._commit(
+        head + 1,
+        [
+            {
+                "commitInfo": {
+                    "operation": "DROP CONSTRAINT",
+                    "operationParameters": {"name": name},
+                }
+            },
+            {"metaData": newmeta},
+        ],
+    )
+    return self
+
+
+def check_constraints(meta: dict) -> dict:
+    """{name: expr} of the table's CHECK constraints."""
+    prefix = "delta.constraints."
+    return {
+        k[len(prefix):]: v
+        for k, v in (meta.get("configuration") or {}).items()
+        if k.startswith(prefix)
+    }
+
+
+def enforce_constraints(df: DataFrame, meta: dict) -> None:
+    """Refuse a write whose rows violate any CHECK constraint. SQL
+    CHECK semantics: TRUE and NULL pass, FALSE violates. One combined
+    filtered scan regardless of the number of constraints; the error
+    names exactly the constraints the example row violates."""
+    cons = check_constraints(meta)
+    if not cons:
+        return
+    marks = F.concat_ws(
+        ",",
+        *[
+            F.when(F.expr(e) == F.lit(False), F.lit(n))
+            for n, e in sorted(cons.items())
+        ],
+    )
+    hit = (
+        df.withColumn("__violated", marks)
+        .filter(F.col("__violated") != "")
+        .limit(1)
+        .collect()
+    )
+    if hit:
+        row = hit[0].asDict()
+        names = row.pop("__violated")
+        raise ValueError(
+            f"CHECK constraint violation ({names}: "
+            f"{ {n: cons[n] for n in names.split(',')} }); "
+            f"example row: {row}"
+        )
+
+
+DeltaLogTable.add_check_constraint = _add_check_constraint
+DeltaLogTable.drop_check_constraint = _drop_check_constraint

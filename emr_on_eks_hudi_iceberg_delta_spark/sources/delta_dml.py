@@ -287,6 +287,9 @@ def _update(
         for c in out_cols
     ]
     new = src.select(*cols)
+    from .delta_cdf import enforce_constraints
+
+    enforce_constraints(new, meta)
     adds = self._write_data_files(new, part_cols)
     now = int(time.time() * 1000)
     actions: list[dict] = [
@@ -446,6 +449,9 @@ def _merge_into(
                     ).otherwise(e)
                 cols.append(e.alias(c))
             rewritten = keep.select(*cols)
+            from .delta_cdf import enforce_constraints
+
+            enforce_constraints(rewritten, meta)
             adds = self._write_data_files(rewritten, part_cols)
             from .delta_cdf import (
                 CHANGE_TYPE,
@@ -534,6 +540,9 @@ def _merge_into(
             for c in out_cols
         ]
         ins = unmatched.select(*ins_cols)
+        from .delta_cdf import enforce_constraints
+
+        enforce_constraints(ins, meta)
         n_ins = ins.count()
         if n_ins:
             actions.extend(

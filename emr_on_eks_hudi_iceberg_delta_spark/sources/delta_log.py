@@ -438,7 +438,10 @@ class DeltaLogTable:
         versions = self._versions()
         prior_live: dict[str, dict] = {}
         if versions:
-            prior_live, _, _ = self._replay()
+            prior_live, prior_meta, _ = self._replay()
+            from .delta_cdf import enforce_constraints
+
+            enforce_constraints(df, prior_meta)
         adds = self._write_data_files(df, part_cols)
         actions: list[dict] = [
             {
@@ -499,6 +502,9 @@ class DeltaLogTable:
             raise ValueError(
                 f"append batch lacks partition columns {missing_parts}"
             )
+        from .delta_cdf import enforce_constraints
+
+        enforce_constraints(df, meta)
         new_fields = [
             f for f in df.schema.fields if f.name not in by_name
         ]

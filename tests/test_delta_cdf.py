@@ -167,3 +167,35 @@ def test_concurrent_appends_rebase_and_all_land(spark, tmp_path):
     # versions are a contiguous chain (no clobbered commits)
     vs = DeltaLogTable(spark, loc)._versions()
     assert vs == list(range(len(vs)))
+
+
+# ------------------------ CHECK constraints -------------------------
+
+
+def test_check_constraints_gate_every_write_path(spark, tmp_path):
+    dt = DeltaLogTable(spark, str(tmp_path / "chk"))
+    dt.overwrite(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+    )
+    dt.add_check_constraint("v_positive", "v > 0")
+    _, meta, _ = dt._replay()
+    assert (
+        meta["configuration"]["delta.constraints.v_positive"] == "v > 0"
+    )
+    with pytest.raises(ValueError, match="v_positive"):
+        dt.append(spark.createDataFrame([(3, -1.0)], "k int, v double"))
+    # NULL passes — SQL CHECK semantics
+    dt.append(spark.createDataFrame([(3, None)], "k int, v double"))
+    with pytest.raises(ValueError, match="v_positive"):
+        dt.update("k = 1", {"v": "-5.0"})
+    with pytest.raises(ValueError, match="v_positive"):
+        dt.merge_into(
+            spark.createDataFrame([(9, -9.0)], "k int, v double"), ["k"]
+        )
+    with pytest.raises(ValueError, match="existing rows"):
+        dt.add_check_constraint("k_small", "k < 2")
+    dt.drop_check_constraint("v_positive")
+    dt.append(spark.createDataFrame([(4, -2.0)], "k int, v double"))
+    assert dt.read().count() == 4
+    with pytest.raises(ValueError, match="no such constraint"):
+        dt.drop_check_constraint("v_positive")

@@ -219,3 +219,33 @@ def test_concurrent_iceberg_appends_rebase_and_all_land(spark, tmp_path):
     assert sorted(r["k"] for r in t.read().collect()) == [
         0, 100, 101, 200, 201, 300, 301, 400, 401,
     ]
+
+
+def test_inspection_tables(spark, tmp_path):
+    import json as _json
+
+    from pyspark.sql import functions as _F
+
+    t = IcebergTable(spark, str(tmp_path / "insp"))
+    df = spark.range(100).selectExpr(
+        "id AS k", "CAST(id % 2 AS STRING) AS p"
+    )
+    t.append(df, partition_by=["p"])
+    t.append(df.filter("k < 10"))
+    t.delete("k = 5")
+    snaps = t.inspect_snapshots()
+    assert [
+        r["operation"]
+        for r in snaps.orderBy("committed_at_ms").collect()
+    ] == ["append", "append", "delete"]
+    files = t.inspect_files()
+    # physical rows: manifests count what is in the files (deletes
+    # are logical until compaction)
+    assert files.agg(_F.sum("record_count")).first()[0] == 110
+    assert {
+        _json.loads(r["partition"])["p"] for r in files.collect()
+    } == {"0", "1"}
+    assert t.inspect_manifests().filter("content = 1").count() == 1
+    dels = t.inspect_delete_files()
+    assert dels.count() == 1 and dels.first()["record_count"] == 2
+    assert t.inspect_history().count() >= 2
