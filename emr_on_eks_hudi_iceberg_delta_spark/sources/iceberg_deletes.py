@@ -374,3 +374,58 @@ def _read_as_of_timestamp(self: IcebergTable, ts_ms: int):
 
 IcebergTable.snapshot_at_timestamp = _snapshot_at_timestamp
 IcebergTable.read_as_of_timestamp = _read_as_of_timestamp
+
+
+def _append_idempotent(
+    self: IcebergTable, df, app_id: str, epoch: int
+) -> bool:
+    """Exactly-once append: snapshot summaries carry (app-id, epoch),
+    and a replayed epoch (foreachBatch redelivery after a restart) is
+    recognized and skipped — the same bookkeeping real Iceberg
+    streaming sinks keep in their snapshot summary properties. Returns
+    True if the commit happened."""
+    if self._current_version() is not None:
+        md = self._metadata()
+        seen = max(
+            (
+                int(s["summary"]["epoch"])
+                for s in md["snapshots"]
+                if s.get("summary", {}).get("app-id") == app_id
+                and "epoch" in s.get("summary", {})
+            ),
+            default=-1,
+        )
+        if epoch <= seen:
+            return False
+    self._summary_extra = {"app-id": app_id, "epoch": str(epoch)}
+    try:
+        self.append(df)
+    finally:
+        self._summary_extra = None
+    return True
+
+
+def stream_to_iceberg(
+    stream_df,
+    location: str,
+    checkpoint_dir: str,
+    app_id: str = "iceberg-sink",
+):
+    """Exactly-once foreachBatch streaming sink into the Iceberg
+    layout (the Iceberg twin of delta_log.stream_to_delta_log): each
+    micro-batch appends ONE snapshot stamped with its batch id; a
+    redelivered batch after restart is skipped by the summary check."""
+    from pyspark.sql import SparkSession
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        spark = SparkSession.getActiveSession()
+        t = IcebergTable(spark, location)
+        t.append_idempotent(batch_df, app_id, int(batch_id))
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
+IcebergTable.append_idempotent = _append_idempotent

@@ -603,11 +603,13 @@ class IcebergTable:
             self.meta_dir, f"snap-{snapshot_id}.avro"
         )
         write_ocf(mlist_path, MANIFEST_FILE_SCHEMA, mrows)
+        summary = {"operation": operation}
+        summary.update(getattr(self, "_summary_extra", None) or {})
         snapshot = {
             "snapshot-id": snapshot_id,
             "timestamp-ms": now,
             "manifest-list": mlist_path,
-            "summary": {"operation": operation},
+            "summary": summary,
         }
         if cur is None:
             md = {

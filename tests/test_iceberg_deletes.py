@@ -249,3 +249,38 @@ def test_inspection_tables(spark, tmp_path):
     dels = t.inspect_delete_files()
     assert dels.count() == 1 and dels.first()["record_count"] == 2
     assert t.inspect_history().count() >= 2
+
+
+def test_exactly_once_streaming_sink(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.iceberg_deletes import (
+        stream_to_iceberg,
+    )
+
+    t = IcebergTable(spark, str(tmp_path / "sink_direct"))
+    assert t.append_idempotent(
+        spark.range(3).selectExpr("id AS k"), "app", 0
+    )
+    assert t.append_idempotent(
+        spark.range(3, 5).selectExpr("id AS k"), "app", 1
+    )
+    # a replayed epoch is recognized and SKIPPED
+    assert not t.append_idempotent(
+        spark.range(99).selectExpr("id AS k"), "app", 1
+    )
+    assert t.read().count() == 5
+
+    src = str(tmp_path / "src")
+    spark.range(10).selectExpr("id AS k").coalesce(1).write.parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink_stream")
+    for _ in range(2):  # second run = restart replay, must not dup
+        q = (
+            stream_to_iceberg(
+                spark.readStream.schema("k bigint").parquet(src),
+                sink, ckpt, app_id="s1",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    assert IcebergTable(spark, sink).read().count() == 10
