@@ -255,6 +255,9 @@ class HudiCowTable:
             "operationType": operation,
             "partitionToWriteStats": {"": stats},
         }
+        extra = getattr(self, "_extra_metadata", None)
+        if extra:
+            meta["extraMetadata"] = dict(extra)
         path = os.path.join(self.hoodie, f"{instant}{suffix}")
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -523,3 +526,62 @@ class HudiMorTable(HudiCowTable):
             .filter(F.col("_hoodie_commit_time") > begin_instant)
             .drop("__fg")
         )
+
+
+def _upsert_idempotent(
+    self, updates, app_id: str, epoch: int
+) -> bool:
+    """Exactly-once upsert: commit metadata carries (app-id, epoch)
+    in ``extraMetadata`` — exactly where Hudi's DeltaStreamer stores
+    its source checkpoint — and a replayed epoch is skipped. Returns
+    True if the commit happened."""
+    seen = -1
+    for t in self.instants():
+        em = self._commit_meta(t).get("extraMetadata") or {}
+        if em.get("app-id") == app_id and "epoch" in em:
+            seen = max(seen, int(em["epoch"]))
+    if epoch <= seen:
+        return False
+    self._extra_metadata = {"app-id": app_id, "epoch": str(epoch)}
+    try:
+        if self.instants():
+            self.upsert(updates)
+        else:
+            self.bulk_insert(updates)
+    finally:
+        self._extra_metadata = None
+    return True
+
+
+def stream_to_hudi(
+    stream_df,
+    location: str,
+    checkpoint_dir: str,
+    record_key: str,
+    precombine_field: str,
+    app_id: str = "hudi-sink",
+    table_cls=None,
+):
+    """Exactly-once foreachBatch streaming UPSERT sink into the Hudi
+    layout (CoW by default; pass ``table_cls=HudiMorTable`` for
+    log-append MoR ingestion) — the Hudi twin of stream_to_delta_log /
+    stream_to_iceberg."""
+    from pyspark.sql import SparkSession
+
+    cls = table_cls or HudiCowTable
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        spark = SparkSession.getActiveSession()
+        t = cls(
+            spark, location,
+            record_key=record_key, precombine_field=precombine_field,
+        )
+        t.upsert_idempotent(batch_df, app_id, int(batch_id))
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
+HudiCowTable.upsert_idempotent = _upsert_idempotent

@@ -143,3 +143,37 @@ def test_hudi_instant_collision_refuses(spark, tmp_path):
     inst = t.instants()[-1]
     with pytest.raises(ConcurrentCommitError, match="another writer"):
         t._commit(inst, [], suffix=".deltacommit")
+
+
+def test_exactly_once_streaming_upsert_sink(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.hudi_layout import (
+        stream_to_hudi,
+    )
+
+    src = str(tmp_path / "src" / "data")
+    spark.createDataFrame(
+        [(i, 1, f"v{i}") for i in range(20)], "k int, ts int, val string"
+    ).coalesce(1).write.parquet(src)
+    loc = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    for _ in range(2):  # second run = checkpoint replay, no dups
+        q = (
+            stream_to_hudi(
+                spark.readStream.schema(
+                    "k int, ts int, val string"
+                ).parquet(src),
+                loc, ckpt,
+                record_key="k", precombine_field="ts",
+                table_cls=HudiMorTable,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    t = HudiMorTable(spark, loc)
+    assert t.read().count() == 20
+    # direct replay check on the idempotency surface
+    assert not t.upsert_idempotent(
+        spark.createDataFrame([(0, 9, "dup")], "k int, ts int, val string"),
+        "hudi-sink", 0,
+    )
