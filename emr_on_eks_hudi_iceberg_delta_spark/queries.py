@@ -14921,3 +14921,50 @@ def q_iceberg_files_metadata_table(spark, sf_dir):
         .groupBy("priority")
         .agg(F.sum("record_count").alias("record_count"))
     )
+
+
+@register(
+    "iceberg_stream_sink_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_custkey % 3 = 0
+    """,
+    tags=("lake", "streaming", "extension"),
+)
+def q_iceberg_stream_sink_roundtrip(spark, sf_dir):
+    """Exactly-once streaming sink into the Iceberg layout
+    (iceberg_deletes.stream_to_iceberg — the structured-streaming
+    ingestion the reference's iceberg-spark-runtime provides): a
+    file-source stream lands in the table via foreachBatch appends
+    whose snapshot summaries carry (app-id, epoch); the SAME stream is
+    then re-run against the SAME checkpoint and the replayed epochs are
+    skipped (asserted in-gate — count unchanged), so the final table
+    equals the source selection exactly once."""
+    import tempfile
+
+    from .sources.iceberg_layout import IcebergTable
+    from .sources.iceberg_deletes import stream_to_iceberg
+
+    src_rows = _t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 3 == 0
+    ).select("c_custkey", "c_mktsegment")
+    src_dir = tempfile.mkdtemp(prefix="ice_sink_src_") + "/data"
+    src_rows.coalesce(2).write.parquet(src_dir)
+    sink = tempfile.mkdtemp(prefix="ice_sink_tbl_")
+    ckpt = tempfile.mkdtemp(prefix="ice_sink_ckpt_")
+    for _ in range(2):  # second run replays the checkpoint: no dups
+        q = (
+            stream_to_iceberg(
+                spark.readStream.schema(
+                    "c_custkey bigint, c_mktsegment string"
+                ).parquet(src_dir),
+                sink, ckpt, app_id="gate",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    t = IcebergTable(spark, sink)
+    n = t.read().count()
+    assert n == src_rows.count(), (n, src_rows.count())
+    return t.read()
