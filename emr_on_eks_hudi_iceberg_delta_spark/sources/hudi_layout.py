@@ -585,3 +585,46 @@ def stream_to_hudi(
 
 
 HudiCowTable.upsert_idempotent = _upsert_idempotent
+
+
+def _clean(self, retain_slices: int = 1, dry_run: bool = False) -> list[str]:
+    """Hudi's CLEANER: physically delete file slices older than the
+    newest ``retain_slices`` per file group (plus, for MoR, log files
+    already folded by a later compaction). Time travel to instants
+    whose slices were cleaned fails loudly afterwards — the same
+    retention trade as Delta's VACUUM; ``retain_slices`` is the audit
+    window knob. Dry run lists without deleting. Returns relative
+    paths (deleted, or would-be)."""
+    # replay the FULL timeline: per (partition, fileId), every base
+    # slice in commit order + the log files attached to each
+    history: dict[tuple, list[dict]] = {}
+    for t in self.instants():
+        meta = self._commit_meta(t)
+        for part, stats in meta["partitionToWriteStats"].items():
+            for st in stats:
+                key = (part, st["fileId"])
+                is_log = ".log." in os.path.basename(st["path"])
+                slices = history.setdefault(key, [])
+                if is_log:
+                    if not slices:
+                        slices.append({"base": None, "logs": []})
+                    slices[-1]["logs"].append(st["path"])
+                else:
+                    slices.append({"base": st["path"], "logs": []})
+    doomed: list[str] = []
+    for slices in history.values():
+        for sl in slices[:-retain_slices] if retain_slices else slices:
+            if sl["base"]:
+                doomed.append(sl["base"])
+            doomed.extend(sl["logs"])
+        # retained slices keep their logs (still needed by _rt reads)
+    out = sorted(set(doomed))
+    if not dry_run:
+        for rel in out:
+            full = os.path.join(self.location, rel)
+            if os.path.exists(full):
+                os.remove(full)
+    return out
+
+
+HudiCowTable.clean = _clean

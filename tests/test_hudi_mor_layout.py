@@ -177,3 +177,27 @@ def test_exactly_once_streaming_upsert_sink(spark, tmp_path):
         spark.createDataFrame([(0, 9, "dup")], "k int, ts int, val string"),
         "hudi-sink", 0,
     )
+
+
+def test_cleaner_retains_latest_slices(spark, tmp_path):
+    t, i0 = _mk(spark, tmp_path, "clean")
+    t.upsert(
+        spark.createDataFrame([(1, 2, "u1")], "k int, ts int, val string")
+    )
+    t.compact()  # slice 2 for the touched group
+    t.upsert(
+        spark.createDataFrame([(1, 3, "u1b")], "k int, ts int, val string")
+    )
+    would = t.clean(retain_slices=1, dry_run=True)
+    assert would  # old base slice is reclaimable
+    removed = t.clean(retain_slices=1)
+    assert removed == would
+    # current state still fully readable
+    rt = {r["k"]: r["val"] for r in t.read().collect()}
+    assert rt[1] == "u1b" and len(rt) == 100
+    assert {r["k"] for r in t.read_optimized().collect()} == set(range(100))
+    # time travel to the cleaned slice now fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        t.read(instant=i0).collect()
