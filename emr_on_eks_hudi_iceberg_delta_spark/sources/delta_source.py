@@ -98,6 +98,11 @@ def _read_partition_batches(partition):
             else:
                 arr = pa.array([raw] * n, type=pa.string()).cast(pa_t)
             cols[c] = arr
+        for name in names:
+            # schema evolution: files written before a column existed
+            # serve typed NULLs, same as the explicit-schema JVM scan
+            if name not in cols:
+                cols[name] = pa.nulls(n, type=types[name])
         yield pa.RecordBatch.from_arrays(
             [cols[name].cast(types[name]) for name in names], names=names
         )

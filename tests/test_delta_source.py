@@ -127,3 +127,22 @@ def test_batch_source_applies_deletion_vectors(spark, tmp_path):
     assert sorted(r["k"] for r in got.collect()) == sorted(
         r["k"] for r in dt.read().collect()
     )
+
+
+def test_batch_source_serves_nulls_for_pre_evolution_files(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import (
+        DeltaLogTable,
+        register_deltalog_source,
+    )
+
+    loc = str(tmp_path / "evo_src")
+    dt = DeltaLogTable(spark, loc)
+    dt.overwrite(spark.createDataFrame([(1, "x")], "k int, s string"))
+    dt.append(
+        spark.createDataFrame([(2, "y", 5)], "k int, s string, n int"),
+        merge_schema=True,
+    )
+    register_deltalog_source(spark)
+    got = spark.read.format("deltalog").option("location", loc).load()
+    rows = sorted((r["k"], r["s"], r["n"]) for r in got.collect())
+    assert rows == [(1, "x", None), (2, "y", 5)]
