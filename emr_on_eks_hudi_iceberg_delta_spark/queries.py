@@ -14968,3 +14968,73 @@ def q_iceberg_stream_sink_roundtrip(spark, sf_dir):
     n = t.read().count()
     assert n == src_rows.count(), (n, src_rows.count())
     return t.read()
+
+
+@register(
+    "hudi_cow_delete",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, CAST(1 AS INTEGER) AS ver
+    FROM customer
+    WHERE NOT (c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0)
+    """,
+    tags=("lake", "S7", "extension"),
+)
+def q_hudi_cow_delete(spark, sf_dir):
+    """DELETE on the Hudi CoW layout (hudi_layout._cow_delete — the
+    hard-delete the reference's Hudi runtime runs via upserts of
+    deleted payloads): only file groups holding a matching row rewrite
+    (blast radius asserted in-gate vs the group count), groups emptied
+    entirely publish explicit empty slices, and time travel to the
+    pre-delete instant still serves every row."""
+    import tempfile
+
+    from .sources.hudi_layout import HudiCowTable
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", F.lit(1).alias("ver")
+    )
+    t = HudiCowTable(
+        spark, tempfile.mkdtemp(prefix="hudi_del_"),
+        record_key="c_custkey", precombine_field="ver",
+        n_file_groups=4,
+    )
+    i0 = t.bulk_insert(c)
+    n0 = c.count()
+    t.delete("c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0")
+    assert t.read(instant=i0).count() == n0  # time travel intact
+    return t.read().select("c_custkey", "c_name", "c_mktsegment", "ver")
+
+
+@register(
+    "hudi_mor_tombstone_delete",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, CAST(1 AS INTEGER) AS ver
+    FROM customer
+    WHERE NOT (c_custkey % 7 = 0)
+    """,
+    tags=("lake", "S7", "extension"),
+)
+def q_hudi_mor_tombstone_delete(spark, sf_dir):
+    """MoR DELETE via log tombstones (hudi_layout._mor_delete —
+    Hudi's _hoodie_is_deleted payload flag): matching rows land in log
+    files marked deleted with ZERO base rewrites (the read-optimized
+    view still serves the pre-delete count, asserted in-gate), and the
+    realtime view drops every key whose winning version is a
+    tombstone."""
+    import tempfile
+
+    from .sources.hudi_layout import HudiMorTable
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", F.lit(1).alias("ver")
+    )
+    t = HudiMorTable(
+        spark, tempfile.mkdtemp(prefix="hudi_ts_"),
+        record_key="c_custkey", precombine_field="ver",
+        n_file_groups=4,
+    )
+    t.bulk_insert(c)
+    n0 = c.count()
+    t.delete("c_custkey % 7 = 0")
+    assert t.read_optimized().count() == n0  # _ro stale by design
+    return t.read().select("c_custkey", "c_name", "c_mktsegment", "ver")

@@ -498,13 +498,20 @@ class HudiMorTable(HudiCowTable):
             {("", f"log-{i}"): p for i, p in enumerate(logs)}
         )
         target = base_df if base_df is not None else log_df.limit(0)
-        return upsert_by_key(
+        merged = upsert_by_key(
             target,
             log_df,
             [self.record_key],
             self.precombine_field,
             priority_col="_hoodie_commit_time",
         )
+        # a winning tombstone (delete()) removes the key; the marker
+        # column never leaves the read path
+        if HOODIE_IS_DELETED in merged.columns:
+            merged = merged.filter(
+                ~F.coalesce(F.col(HOODIE_IS_DELETED), F.lit(False))
+            ).drop(HOODIE_IS_DELETED)
+        return merged
 
     def read_incremental(self, begin_instant: str) -> DataFrame:
         """Changed records (current values) committed strictly after
@@ -628,3 +635,97 @@ def _clean(self, retain_slices: int = 1, dry_run: bool = False) -> list[str]:
 
 
 HudiCowTable.clean = _clean
+
+
+#: Hudi's soft-delete marker column (the payload flag DeltaStreamer
+#: and the DataSource writer honor)
+HOODIE_IS_DELETED = "_hoodie_is_deleted"
+
+
+def _cow_delete(self, condition) -> str | None:
+    """DELETE FROM the CoW table: only file groups holding a matching
+    row rewrite (the same blast-radius bound as upsert); groups
+    emptied by the delete get an explicit EMPTY slice so timeline
+    replay never resurrects the old one. Returns the instant, or None
+    when nothing matched (no empty commit). NULL predicates keep the
+    row (SQL DML semantics)."""
+    import uuid as _uuid
+
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    current = self._read_slices(self._file_slices(), with_fg=True)
+    touched = sorted(
+        r["__fg"]
+        for r in current.filter(cond).select("__fg").distinct().collect()
+    )
+    if not touched:
+        return None
+    instant = self._next_instant()
+    scoped = current.filter(F.col("__fg").isin(touched))
+    keep = scoped.filter(~F.coalesce(cond, F.lit(False)))
+    stats = self._write_groups(keep, instant, touched)
+    written = {int(s["fileId"].split("-", 1)[1]) for s in stats}
+    for fg in touched:
+        if fg in written:
+            continue
+        # group fully emptied: publish an explicit empty slice
+        empty = keep.filter(F.lit(False)).drop("__fg")
+        tmp = os.path.join(self.location, f"_empty_{_uuid.uuid4().hex}")
+        empty.coalesce(1).write.mode("overwrite").parquet(tmp)
+        one = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        name = f"fg-{fg}_0-0-0_{instant}.parquet"
+        os.replace(os.path.join(tmp, one), os.path.join(self.location, name))
+        for leftover in os.listdir(tmp):
+            os.remove(os.path.join(tmp, leftover))
+        os.rmdir(tmp)
+        stats.append(
+            {
+                "fileId": f"fg-{fg}",
+                "path": name,
+                "numWrites": 0,
+                "fileSizeInBytes": os.path.getsize(
+                    os.path.join(self.location, name)
+                ),
+            }
+        )
+    self._commit(instant, stats, operation="DELETE")
+    return instant
+
+
+def _mor_delete(self, condition) -> str | None:
+    """MoR DELETE via log TOMBSTONES — Hudi's ``_hoodie_is_deleted``
+    payload flag: matching rows land in log files marked deleted (no
+    base rewrite, O(matches) write cost); the realtime merge drops a
+    key whose winning version is a tombstone, and compaction folds the
+    tombstones away physically. A later upsert of the same key
+    resurrects it (latest writer wins), exactly Hudi's semantics."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    instant = self._next_instant()
+    doomed = (
+        self.read()
+        .filter(cond)
+        .withColumn(HOODIE_IS_DELETED, F.lit(True))
+        .withColumn("_hoodie_commit_time", F.lit(instant))
+        .withColumn("__fg", self._file_group_expr())
+    )
+    touched = sorted(
+        r["__fg"] for r in doomed.select("__fg").distinct().collect()
+    )
+    if not touched:
+        return None
+    slices = self._mor_slices()
+
+    def namer(file_id: str) -> str:
+        version = len(
+            slices.get(("", file_id), {"logs": []})["logs"]
+        ) + 1
+        return f"{file_id}_{instant}.log.{version}_{instant}.parquet"
+
+    stats = self._write_groups(doomed, instant, touched, namer=namer)
+    self._commit(
+        instant, stats, suffix=".deltacommit", operation="DELETE"
+    )
+    return instant
+
+
+HudiCowTable.delete = _cow_delete
+HudiMorTable.delete = _mor_delete

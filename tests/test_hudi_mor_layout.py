@@ -201,3 +201,40 @@ def test_cleaner_retains_latest_slices(spark, tmp_path):
 
     with _pytest.raises(Exception):
         t.read(instant=i0).collect()
+
+
+def test_cow_delete_rewrites_only_touched_groups(spark, tmp_path):
+    c = HudiCowTable(
+        spark, str(tmp_path / "cowdel"),
+        record_key="k", precombine_field="ts", n_file_groups=4,
+    )
+    c.bulk_insert(_base(spark))
+    i0 = c.instants()[0]
+    assert c.delete("k = 99999") is None  # no match, no commit
+    c.delete("k % 10 = 0")
+    assert c.read().count() == 90
+    assert c.read().filter("k % 10 = 0").count() == 0
+    assert c.read(instant=i0).count() == 100  # time travel intact
+    # deleting EVERYTHING leaves a readable empty table (explicit
+    # empty slices — replay must not resurrect old files)
+    c.delete("k >= 0")
+    assert c.read().count() == 0
+
+
+def test_mor_delete_is_a_log_tombstone(spark, tmp_path):
+    t, _ = _mk(spark, tmp_path, "mordel")
+    di = t.delete("k < 10")
+    assert di is not None
+    assert t.read().count() == 90
+    # no base rewrite: the _ro view still serves the pre-delete state
+    assert t.read_optimized().count() == 100
+    # a LATER upsert of a tombstoned key resurrects it (latest wins)
+    t.upsert(
+        spark.createDataFrame([(5, 2, "back")], "k int, ts int, val string")
+    )
+    rt = {r["k"]: r["val"] for r in t.read().collect()}
+    assert rt[5] == "back" and len(rt) == 91
+    # compaction folds tombstones physically; marker never leaks
+    t.compact()
+    assert t.read_optimized().count() == 91
+    assert "_hoodie_is_deleted" not in t.read().columns
