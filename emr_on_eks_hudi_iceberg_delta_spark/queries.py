@@ -15038,3 +15038,42 @@ def q_hudi_mor_tombstone_delete(spark, sf_dir):
     t.delete("c_custkey % 7 = 0")
     assert t.read_optimized().count() == n0  # _ro stale by design
     return t.read().select("c_custkey", "c_name", "c_mktsegment", "ver")
+
+
+@register(
+    "iceberg_mor_update",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority = '1-URGENT'
+                THEN CAST(o_totalprice * 2 AS DOUBLE)
+                ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+           o_orderpriority
+    FROM orders
+    """,
+    tags=("lake", "S10", "extension"),
+)
+def q_iceberg_mor_update(spark, sf_dir):
+    """Merge-on-read UPDATE on the Iceberg layout
+    (iceberg_deletes._update — Iceberg v2's UPDATE execution): matching
+    rows become position deletes AND re-land as fresh data files with
+    the SET expression applied against the OLD row, in ONE snapshot;
+    every pre-update data file survives untouched (asserted in-gate).
+    Result must equal the CASE-expression rewrite in plain SQL."""
+    import tempfile
+
+    from .sources.iceberg_layout import IcebergTable
+    from .sources import iceberg_deletes  # noqa: F401 — attaches UPDATE
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        "o_orderpriority",
+    )
+    t = IcebergTable(spark, tempfile.mkdtemp(prefix="ice_upd_"))
+    t.overwrite(o.repartition(4))
+    files0 = {e["data_file"]["file_path"] for e in t._entries()}
+    rep = t.update("o_orderpriority = '1-URGENT'", {"price": "price * 2"})
+    assert rep["rows_updated"] > 0
+    files1 = {e["data_file"]["file_path"] for e in t._entries()}
+    assert files0 <= files1  # zero pre-update files rewritten
+    return t.read()

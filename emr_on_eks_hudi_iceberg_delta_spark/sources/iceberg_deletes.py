@@ -218,87 +218,9 @@ def _delete(self: IcebergTable, condition) -> dict:
     ]
     new_delete = _write_pos_delete_file(self, pairs)
 
-    snapshot_id = int(uuid.uuid4().int % (1 << 62))
-    now = int(time.time() * 1000)
-    part_fields = _part_fields_from_md(md)
-    # data manifest: every live data file carried as EXISTING
-    dm_path = os.path.join(self.meta_dir, f"snap-{snapshot_id}-m0.avro")
-    write_ocf(
-        dm_path,
-        manifest_entry_schema(part_fields),
-        [
-            {
-                "status": STATUS_EXISTING,
-                "snapshot_id": e["snapshot_id"],
-                "data_file": e["data_file"],
-            }
-            for e in data_entries
-        ],
+    snapshot_id = _commit_mor_snapshot(
+        self, md, data_entries, prior_deletes, new_delete, [], "delete"
     )
-    # delete manifest: prior delete files EXISTING + the new one ADDED
-    del_path = os.path.join(
-        self.meta_dir, f"snap-{snapshot_id}-m1-deletes.avro"
-    )
-    write_ocf(
-        del_path,
-        DELETE_MANIFEST_ENTRY_SCHEMA,
-        [
-            {
-                "status": STATUS_EXISTING,
-                "snapshot_id": e["snapshot_id"],
-                "data_file": e["data_file"],
-            }
-            for e in prior_deletes
-        ]
-        + [
-            {
-                "status": STATUS_ADDED,
-                "snapshot_id": snapshot_id,
-                "data_file": new_delete,
-            }
-        ],
-    )
-    mlist_path = os.path.join(self.meta_dir, f"snap-{snapshot_id}.avro")
-    write_ocf(
-        mlist_path,
-        MANIFEST_FILE_SCHEMA,
-        [
-            {
-                "manifest_path": dm_path,
-                "manifest_length": os.path.getsize(dm_path),
-                "partition_spec_id": 0,
-                "added_snapshot_id": snapshot_id,
-                "added_data_files_count": 0,
-                "existing_data_files_count": len(data_entries),
-                "deleted_data_files_count": 0,
-                "content": CONTENT_DATA,
-            },
-            {
-                "manifest_path": del_path,
-                "manifest_length": os.path.getsize(del_path),
-                "partition_spec_id": 0,
-                "added_snapshot_id": snapshot_id,
-                "added_data_files_count": 1,
-                "existing_data_files_count": len(prior_deletes),
-                "deleted_data_files_count": 0,
-                "content": CONTENT_POS_DELETES,
-            },
-        ],
-    )
-    md["format-version"] = 2  # delete files are a v2 construct
-    md["snapshots"] = md["snapshots"] + [
-        {
-            "snapshot-id": snapshot_id,
-            "timestamp-ms": now,
-            "manifest-list": mlist_path,
-            "summary": {"operation": "delete"},
-        }
-    ]
-    md["snapshot-log"] = md.get("snapshot-log", []) + [
-        {"timestamp-ms": now, "snapshot-id": snapshot_id}
-    ]
-    md["current-snapshot-id"] = snapshot_id
-    _advance_metadata(self, md)
     return {
         "files_named": len(hits),
         "rows_deleted": len(pairs),
@@ -429,3 +351,186 @@ def stream_to_iceberg(
 
 
 IcebergTable.append_idempotent = _append_idempotent
+
+
+def _commit_mor_snapshot(
+    self: IcebergTable,
+    md: dict,
+    data_entries: list[dict],
+    prior_deletes: list[dict],
+    new_delete: dict | None,
+    new_data_files: list[dict],
+    operation: str,
+) -> int:
+    """Shared commit tail for merge-on-read DML snapshots: one data
+    manifest (live files EXISTING + any new files ADDED), one delete
+    manifest (prior delete files EXISTING + the new one ADDED),
+    format-version 2."""
+    snapshot_id = int(uuid.uuid4().int % (1 << 62))
+    now = int(time.time() * 1000)
+    part_fields = _part_fields_from_md(md)
+    dm_path = os.path.join(self.meta_dir, f"snap-{snapshot_id}-m0.avro")
+    write_ocf(
+        dm_path,
+        manifest_entry_schema(part_fields),
+        [
+            {
+                "status": STATUS_EXISTING,
+                "snapshot_id": e["snapshot_id"],
+                "data_file": e["data_file"],
+            }
+            for e in data_entries
+        ]
+        + [
+            {
+                "status": STATUS_ADDED,
+                "snapshot_id": snapshot_id,
+                "data_file": f,
+            }
+            for f in new_data_files
+        ],
+    )
+    del_entries = [
+        {
+            "status": STATUS_EXISTING,
+            "snapshot_id": e["snapshot_id"],
+            "data_file": e["data_file"],
+        }
+        for e in prior_deletes
+    ]
+    if new_delete is not None:
+        del_entries.append(
+            {
+                "status": STATUS_ADDED,
+                "snapshot_id": snapshot_id,
+                "data_file": new_delete,
+            }
+        )
+    del_path = os.path.join(
+        self.meta_dir, f"snap-{snapshot_id}-m1-deletes.avro"
+    )
+    write_ocf(del_path, DELETE_MANIFEST_ENTRY_SCHEMA, del_entries)
+    mlist_path = os.path.join(self.meta_dir, f"snap-{snapshot_id}.avro")
+    write_ocf(
+        mlist_path,
+        MANIFEST_FILE_SCHEMA,
+        [
+            {
+                "manifest_path": dm_path,
+                "manifest_length": os.path.getsize(dm_path),
+                "partition_spec_id": 0,
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": len(new_data_files),
+                "existing_data_files_count": len(data_entries),
+                "deleted_data_files_count": 0,
+                "content": CONTENT_DATA,
+            },
+            {
+                "manifest_path": del_path,
+                "manifest_length": os.path.getsize(del_path),
+                "partition_spec_id": 0,
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": 1 if new_delete else 0,
+                "existing_data_files_count": len(prior_deletes),
+                "deleted_data_files_count": 0,
+                "content": CONTENT_POS_DELETES,
+            },
+        ],
+    )
+    md["format-version"] = 2
+    md["snapshots"] = md["snapshots"] + [
+        {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": now,
+            "manifest-list": mlist_path,
+            "summary": {"operation": operation},
+        }
+    ]
+    md["snapshot-log"] = md.get("snapshot-log", []) + [
+        {"timestamp-ms": now, "snapshot-id": snapshot_id}
+    ]
+    md["current-snapshot-id"] = snapshot_id
+    _advance_metadata(self, md)
+    return snapshot_id
+
+
+def _update(self: IcebergTable, condition, assignments: dict) -> dict:
+    """UPDATE ... SET ... WHERE on the Iceberg layout, merge-on-read:
+    matching rows become position deletes AND re-land as a fresh data
+    file with the SET expressions applied against the OLD row — one
+    snapshot, no existing data file rewritten (Iceberg's MoR UPDATE
+    execution). NULL predicates keep the row untouched."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    md = self._metadata()
+    from .iceberg_layout import _spark_schema_from_md
+
+    schema = _spark_schema_from_md(md)
+    out_cols = [f.name for f in schema.fields]
+    bad = sorted(set(assignments) - set(out_cols))
+    if bad:
+        raise ValueError(f"SET targets not in table schema: {bad}")
+    data_entries = [
+        e for e in self._entries() if e["status"] != STATUS_DELETED
+    ]
+    prior_deletes = [
+        e
+        for e in self._entries(content=CONTENT_POS_DELETES)
+        if e["status"] != STATUS_DELETED
+    ]
+    pieces = []
+    for e in data_entries:
+        p = e["data_file"]["file_path"]
+        pieces.append(
+            self.spark.read.schema(schema).parquet(p)
+            .withColumn("__file", F.lit(p))
+            .withColumn("__pos", F.col("_metadata.row_index"))
+        )
+    if not pieces:
+        return {"rows_updated": 0, "snapshot_id": None}
+    scan = pieces[0]
+    for piece in pieces[1:]:
+        scan = scan.unionByName(piece)
+    if prior_deletes:
+        pairs_df = self.spark.read.parquet(
+            *[e["data_file"]["file_path"] for e in prior_deletes]
+        ).select(
+            F.col("file_path").alias("__file"),
+            F.col("pos").alias("__pos"),
+        )
+        scan = scan.join(
+            F.broadcast(pairs_df), ["__file", "__pos"], "left_anti"
+        )
+    hit = scan.filter(F.coalesce(cond, F.lit(False)))
+    positions = [
+        (r["__file"], int(r["__pos"]))
+        for r in hit.select("__file", "__pos").collect()
+    ]
+    if not positions:
+        return {"rows_updated": 0, "snapshot_id": None}
+    new_delete = _write_pos_delete_file(self, positions)
+    sets = {
+        c: (F.expr(e) if isinstance(e, str) else e)
+        for c, e in assignments.items()
+    }
+    types = {f.name: f.dataType for f in schema.fields}
+    updated = hit.select(
+        *[
+            (sets[c].cast(types[c]).alias(c) if c in sets else F.col(c))
+            for c in out_cols
+        ]
+    )
+    part_cols = [
+        f["name"]
+        for f in md["partition-specs"][md.get("default-spec-id", 0)][
+            "fields"
+        ]
+    ]
+    new_files = self._write_data(updated, part_cols)
+    snapshot_id = _commit_mor_snapshot(
+        self, md, data_entries, prior_deletes, new_delete, new_files,
+        "overwrite",
+    )
+    return {"rows_updated": len(positions), "snapshot_id": snapshot_id}
+
+
+IcebergTable.update = _update

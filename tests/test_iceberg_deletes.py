@@ -284,3 +284,44 @@ def test_exactly_once_streaming_sink(spark, tmp_path):
         )
         q.awaitTermination(120)
     assert IcebergTable(spark, sink).read().count() == 10
+
+
+def test_update_is_delete_plus_reinsert_in_one_snapshot(spark, tmp_path):
+    t = IcebergTable(spark, str(tmp_path / "upd"))
+    t.overwrite(
+        spark.range(100)
+        .selectExpr("id AS k", "CAST(id * 2 AS DOUBLE) AS v")
+        .repartition(4)
+    )
+    files0 = {e["data_file"]["file_path"] for e in t._entries()}
+    rep = t.update("k % 10 = 0", {"v": "v + 1000"})
+    assert rep["rows_updated"] == 10
+    files1 = {e["data_file"]["file_path"] for e in t._entries()}
+    # merge-on-read: every pre-update file survives untouched; the
+    # updated rows land as NEW files beside a position-delete file
+    assert files0 <= files1 and len(files1) > len(files0)
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(got) == 100
+    assert got[0] == 1000.0 and got[10] == 1020.0 and got[1] == 2.0
+    # composes with delete; compaction preserves the logical state
+    t.delete("k = 20")
+    t.update("k = 30", {"v": "0.0"})
+    before = {r["k"]: r["v"] for r in t.read().collect()}
+    t.rewrite_data_files(target_files=2)
+    assert {r["k"]: r["v"] for r in t.read().collect()} == before
+
+
+def test_update_set_sees_old_row_iceberg(spark, tmp_path):
+    t = IcebergTable(spark, str(tmp_path / "swap"))
+    t.overwrite(
+        spark.createDataFrame([(1, 10.0, 20.0)], "k int, a double, b double")
+    )
+    t.update("k = 1", {"a": "b", "b": "a"})
+    r = t.read().first()
+    assert (r["a"], r["b"]) == (20.0, 10.0)
+    # no match -> no commit
+    v = t._current_version()
+    assert t.update("k = 99", {"a": "0.0"})["snapshot_id"] is None
+    assert t._current_version() == v
+    with pytest.raises(ValueError, match="SET targets"):
+        t.update("k = 1", {"zzz": "1"})
