@@ -15077,3 +15077,95 @@ def q_iceberg_mor_update(spark, sf_dir):
     files1 = {e["data_file"]["file_path"] for e in t._entries()}
     assert files0 <= files1  # zero pre-update files rewritten
     return t.read()
+
+
+@register(
+    "iceberg_merge_into_mor",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+             o_orderstatus AS status
+      FROM orders
+    ),
+    s AS (
+      SELECT o_orderkey AS k,
+             CAST(o_totalprice AS DOUBLE) AS price,
+             'BUMP' AS action FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 0.0, 'DROP' FROM orders
+      WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, CAST(o_totalprice AS DOUBLE),
+             'NEW' FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT t.k,
+           CASE WHEN s.k IS NOT NULL AND s.action = 'BUMP'
+                THEN t.price + s.price ELSE t.price END AS price,
+           t.status
+    FROM t LEFT JOIN s ON t.k = s.k
+    WHERE NOT (s.k IS NOT NULL AND s.action = 'DROP')
+    UNION ALL
+    SELECT s.k, s.price, CAST(NULL AS VARCHAR) AS status
+    FROM s LEFT JOIN t ON s.k = t.k
+    WHERE t.k IS NULL
+    """,
+    tags=("lake", "S10", "extension"),
+)
+def q_iceberg_merge_into_mor(spark, sf_dir):
+    """MERGE INTO on the Iceberg layout, merge-on-read
+    (iceberg_deletes._merge_into — the statement the reference's
+    Iceberg job runs, S10, executed Iceberg-v2-style): matched rows
+    become position deletes, matched updates re-land with RHS over the
+    OLD row, unmatched source rows insert, all in ONE snapshot with
+    zero pre-merge file rewrites (asserted in-gate). Same source shape
+    and oracle as the Delta twin delta_merge_into_protocol_table — the
+    two engines must agree."""
+    import tempfile
+
+    from .sources.iceberg_layout import IcebergTable
+    from .sources import iceberg_deletes  # noqa: F401
+
+    o = _t(spark, sf_dir, "orders")
+    target = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    source = (
+        o.filter(F.col("o_orderkey") % 3 == 0).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.lit("BUMP").alias("action"),
+        )
+        .unionByName(
+            o.filter(
+                (F.col("o_orderkey") % 5 == 0)
+                & (F.col("o_orderkey") % 3 != 0)
+            ).select(
+                F.col("o_orderkey").alias("k"),
+                F.lit(0.0).alias("price"),
+                F.lit("DROP").alias("action"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("k"),
+                F.col("o_totalprice").cast("double").alias("price"),
+                F.lit("NEW").alias("action"),
+            )
+        )
+    )
+    t = IcebergTable(spark, tempfile.mkdtemp(prefix="ice_mrg_"))
+    t.overwrite(target.repartition(8))
+    files0 = {e["data_file"]["file_path"] for e in t._entries()}
+    rep = t.merge_into(
+        source,
+        ["k"],
+        when_matched_update={"price": "t.price + s.price"},
+        when_matched_delete="s.action = 'DROP'",
+        insert_unmatched=True,
+    )
+    assert rep["rows_deleted"] > 0 and rep["rows_inserted"] > 0
+    files1 = {e["data_file"]["file_path"] for e in t._entries()}
+    assert files0 <= files1  # zero pre-merge rewrites
+    return t.read()

@@ -534,3 +534,171 @@ def _update(self: IcebergTable, condition, assignments: dict) -> dict:
 
 
 IcebergTable.update = _update
+
+
+def _merge_into(
+    self: IcebergTable,
+    source,
+    key_cols: list[str],
+    when_matched_update: dict | None = None,
+    when_matched_delete: str | None = None,
+    insert_unmatched: bool = True,
+) -> dict:
+    """MERGE INTO on the Iceberg layout, merge-on-read — the statement
+    the reference's Iceberg job runs (iceberg flavor MERGE, SURVEY S10)
+    executed the way Iceberg v2 does: every MATCHED target row becomes
+    a position delete; matched-update rows re-land with SET expressions
+    over ``t.*``/``s.*`` evaluated against the OLD row; unmatched
+    source rows insert (absent target columns -> typed NULLs) — all in
+    ONE snapshot, zero pre-merge files rewritten. Matched-DELETE is
+    evaluated before UPDATE; NULL merge keys never match (SQL join
+    semantics); an ambiguous source refuses loudly."""
+    md = self._metadata()
+    from .iceberg_layout import _spark_schema_from_md
+
+    schema = _spark_schema_from_md(md)
+    out_cols = [f.name for f in schema.fields]
+    types = {f.name: f.dataType for f in schema.fields}
+    data_entries = [
+        e for e in self._entries() if e["status"] != STATUS_DELETED
+    ]
+    prior_deletes = [
+        e
+        for e in self._entries(content=CONTENT_POS_DELETES)
+        if e["status"] != STATUS_DELETED
+    ]
+    pieces = []
+    for e in data_entries:
+        p = e["data_file"]["file_path"]
+        pieces.append(
+            self.spark.read.schema(schema).parquet(p)
+            .withColumn("__file", F.lit(p))
+            .withColumn("__pos", F.col("_metadata.row_index"))
+        )
+    scan = None
+    if pieces:
+        scan = pieces[0]
+        for piece in pieces[1:]:
+            scan = scan.unionByName(piece)
+        if prior_deletes:
+            pairs_df = self.spark.read.parquet(
+                *[e["data_file"]["file_path"] for e in prior_deletes]
+            ).select(
+                F.col("file_path").alias("__file"),
+                F.col("pos").alias("__pos"),
+            )
+            scan = scan.join(
+                F.broadcast(pairs_df), ["__file", "__pos"], "left_anti"
+            )
+    src = source.withColumn("__s_matched", F.lit(True)).alias("s")
+    join_cond = None
+    for k in key_cols:
+        c = F.col(f"t.{k}") == F.col(f"s.{k}")
+        join_cond = c if join_cond is None else (join_cond & c)
+    report = {
+        "rows_deleted": 0,
+        "rows_updated": 0,
+        "rows_inserted": 0,
+        "snapshot_id": None,
+    }
+    new_delete = None
+    new_files: list[dict] = []
+    part_cols = [
+        f["name"]
+        for f in md["partition-specs"][md.get("default-spec-id", 0)][
+            "fields"
+        ]
+    ]
+    if scan is not None and (when_matched_update or when_matched_delete):
+        joined = scan.alias("t").join(src, join_cond, "inner")
+        dup = (
+            joined.groupBy("t.__file", "t.__pos")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                "MERGE: multiple source rows match a single target row"
+            )
+        del_cond = (
+            F.expr(when_matched_delete)
+            if when_matched_delete is not None
+            else F.lit(False)
+        )
+        matched_rows = joined
+        positions = [
+            (r["__file"], int(r["__pos"]))
+            for r in matched_rows.select("t.__file", "t.__pos").collect()
+        ]
+        if positions:
+            new_delete = _write_pos_delete_file(self, positions)
+            deleted_n = matched_rows.filter(
+                F.coalesce(del_cond, F.lit(False))
+            ).count()
+            report["rows_deleted"] = deleted_n
+            if when_matched_update:
+                urows = matched_rows.filter(
+                    ~F.coalesce(del_cond, F.lit(False))
+                )
+                updated = urows.select(
+                    *[
+                        (
+                            F.expr(when_matched_update[c])
+                            .cast(types[c])
+                            .alias(c)
+                            if c in when_matched_update
+                            else F.col(f"t.{c}").alias(c)
+                        )
+                        for c in out_cols
+                    ]
+                )
+                new_files.extend(
+                    self._write_data(updated, part_cols)
+                )
+                report["rows_updated"] = len(positions) - deleted_n
+            elif when_matched_delete:
+                # delete-only merge: matched rows NOT hitting the
+                # delete condition must survive — re-insert them
+                keep = matched_rows.filter(
+                    ~F.coalesce(del_cond, F.lit(False))
+                ).select(
+                    *[F.col(f"t.{c}").alias(c) for c in out_cols]
+                )
+                new_files.extend(self._write_data(keep, part_cols))
+    if insert_unmatched:
+        tkeys = (
+            scan.select(*key_cols).distinct()
+            if scan is not None
+            else None
+        )
+        unmatched = (
+            source.join(tkeys, key_cols, "left_anti")
+            if tkeys is not None
+            else source
+        )
+        ins = unmatched.select(
+            *[
+                (
+                    F.col(c).cast(types[c])
+                    if c in source.columns
+                    else F.lit(None).cast(types[c])
+                ).alias(c)
+                for c in out_cols
+            ]
+        )
+        n_ins = ins.count()
+        if n_ins:
+            new_files.extend(self._write_data(ins, part_cols))
+            report["rows_inserted"] = n_ins
+    if new_delete is None and not new_files:
+        return report
+    report["snapshot_id"] = _commit_mor_snapshot(
+        self, md, data_entries, prior_deletes, new_delete, new_files,
+        "overwrite",
+    )
+    return report
+
+
+IcebergTable.merge_into = _merge_into

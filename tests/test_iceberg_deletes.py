@@ -325,3 +325,57 @@ def test_update_set_sees_old_row_iceberg(spark, tmp_path):
     assert t._current_version() == v
     with pytest.raises(ValueError, match="SET targets"):
         t.update("k = 1", {"zzz": "1"})
+
+
+def test_merge_into_mor_full_clause_set(spark, tmp_path):
+    t = IcebergTable(spark, str(tmp_path / "mrg"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+            "k int, name string, v double",
+        ).repartition(2)
+    )
+    files0 = {e["data_file"]["file_path"] for e in t._entries()}
+    rep = t.merge_into(
+        spark.createDataFrame(
+            [(2, "B", 200.0), (4, "DEL", 0.0), (9, "new", 90.0),
+             (None, "nullkey", 1.0)],
+            "k int, name string, v double",
+        ),
+        ["k"],
+        when_matched_update={"name": "s.name", "v": "t.v + s.v"},
+        when_matched_delete="s.name = 'DEL'",
+    )
+    assert (rep["rows_deleted"], rep["rows_updated"],
+            rep["rows_inserted"]) == (1, 1, 2)
+    rows = {r["k"]: (r["name"], r["v"]) for r in t.read().collect()}
+    assert rows[1] == ("a", 10.0)          # untouched
+    assert rows[2] == ("B", 220.0)         # RHS saw OLD t.v
+    assert 4 not in rows                   # matched delete
+    assert rows[9] == ("new", 90.0)
+    assert rows[None] == ("nullkey", 1.0)  # NULL key inserts
+    files1 = {e["data_file"]["file_path"] for e in t._entries()}
+    assert files0 <= files1  # merge-on-read: zero rewrites
+
+
+def test_merge_into_mor_delete_only_keeps_nonmatching_matched(
+    spark, tmp_path
+):
+    t = IcebergTable(spark, str(tmp_path / "mrgdel"))
+    t.overwrite(
+        spark.createDataFrame([(1, "x"), (2, "y")], "k int, s string")
+    )
+    t.merge_into(
+        spark.createDataFrame(
+            [(1, "DEL"), (2, "KEEP")], "k int, s string"
+        ),
+        ["k"],
+        when_matched_delete="s.s = 'DEL'",
+        insert_unmatched=False,
+    )
+    assert {r["k"]: r["s"] for r in t.read().collect()} == {2: "y"}
+    with pytest.raises(ValueError, match="multiple source rows"):
+        t.merge_into(
+            spark.createDataFrame([(2, "p"), (2, "q")], "k int, s string"),
+            ["k"], when_matched_update={"s": "s.s"},
+        )
