@@ -673,3 +673,46 @@ def test_bq_index_screen_scans_signature_table_only(spark):
     df = REGISTRY["embedding_bq_index_topk"].fn(spark, SF_DIR)
     plan = formatted_plan(df)
     assert "struct<vec_id:bigint,sig:bigint>" in plan
+
+
+def test_dv_read_is_one_broadcast_antijoin(spark, tmp_path):
+    """The deletion-vector read path must stay a single broadcast
+    anti-join over the (file, position) pairs — never a shuffle join
+    against the data, never per-file joins."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import DeltaLogTable
+
+    dt = DeltaLogTable(spark, str(tmp_path / "dvplan"))
+    dt.overwrite(
+        spark.range(2000).selectExpr("id AS k", "id % 7 AS g")
+        .repartition(4)
+    )
+    dt.delete("g = 3", mode="dv")
+    df = dt.read()
+    plan = formatted_plan(df)
+    # Catalyst pushes the anti-join through the union: one broadcast
+    # LeftAnti per DV'd file, each against the file's own constant-
+    # folded pair slice — broadcast everywhere, zero shuffles, never a
+    # sort-merge join
+    assert broadcast_join_count(df) >= 1
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert shuffle_count(df) == 0
+
+
+def test_iceberg_posdelete_read_is_one_broadcast_antijoin(
+    spark, tmp_path
+):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "iceplan"))
+    t.overwrite(
+        spark.range(2000).selectExpr("id AS k", "id % 7 AS g")
+        .repartition(4)
+    )
+    t.delete("g = 3")
+    df = t.read()
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) >= 1
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert shuffle_count(df) == 0
