@@ -7,6 +7,7 @@ from .hudi_layout import HudiCowTable, HudiMorTable
 from .iceberg_layout import IcebergTable
 from . import iceberg_deletes as _iceberg_deletes  # noqa: F401 — attaches DELETE/rollback
 from . import iceberg_inspect as _iceberg_inspect  # noqa: F401 — attaches tbl.files/.snapshots
+from . import fsck as _fsck  # noqa: F401 — attaches table verification
 from .convert import convert_delta_to_iceberg, convert_parquet_dir_to_delta
 from .delta_source import DeltaLogDataSource, register_deltalog_source
 from .datasource import (
