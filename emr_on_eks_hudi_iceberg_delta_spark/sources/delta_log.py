@@ -558,34 +558,85 @@ class DeltaLogTable:
         )
 
 
+_Z_NUMERIC = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+)
+
+
+def _z_bucket_expr(df: DataFrame, c: str, nb: int):
+    """Quantile-bucket expression for one Z-order column — typed:
+
+    * numeric/decimal: boundaries from one driver-side approxQuantile;
+    * date/timestamp: same, over the epoch-days/micros projection;
+    * string: boundaries from a seeded ~100k-value sample sorted on
+      the driver (approxQuantile is numeric-only; this is the same
+      sample-the-range-bounds move Spark's RangePartitioner makes).
+
+    Anything else refuses loudly — a silently constant bucket would
+    make ZORDER a no-op that still reports success."""
+    dt = dict(df.dtypes)[c]
+    if dt in _Z_NUMERIC or dt.startswith("decimal"):
+        col = F.col(c).cast("double")
+    elif dt == "date":
+        col = F.unix_date(F.col(c)).cast("double")
+    elif dt.startswith("timestamp"):
+        col = F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+    elif dt == "string":
+        n = df.select(c).dropna().count()
+        if n == 0:
+            return F.lit(0).cast("long")
+        frac = min(1.0, 100_000.0 / n)
+        sample = sorted(
+            r[0]
+            for r in df.select(c).dropna()
+            .sample(False, frac, seed=42).collect()
+        )
+        if not sample:
+            sample = sorted(r[0] for r in df.select(c).dropna()
+                            .limit(nb).collect())
+        bounds = sorted(
+            {sample[int(len(sample) * i / nb)] for i in range(1, nb)}
+        )
+        if not bounds:
+            return F.lit(0).cast("long")
+        barr = F.array(*[F.lit(b) for b in bounds])
+        return F.aggregate(
+            barr,
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col(c) >= b, 1).otherwise(0),
+        ).cast("long")
+    else:
+        raise ValueError(
+            f"ZORDER BY column {c!r} has type {dt} — supported: "
+            "numeric, decimal, date, timestamp, string"
+        )
+    num = df.select(col.alias("x")).dropna()
+    qs = [i / nb for i in range(1, nb)]
+    bounds = sorted(set(num.approxQuantile("x", qs, 0.001)))
+    if not bounds:
+        return F.lit(0).cast("long")
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    return F.aggregate(
+        barr,
+        F.lit(0),
+        lambda acc, b: acc + F.when(col >= b, 1).otherwise(0),
+    ).cast("long")
+
+
 def _zvalue_column(df: DataFrame, cols: list[str], bits: int = 8):
     """Z-order (Morton) key over ``cols`` as a pure JVM-side Column:
     each column is rank-bucketed into ``2**bits`` quantile buckets
-    (boundaries from one driver-side approxQuantile — metadata-sized),
-    then the bucket ids' bits are interleaved. Quantile buckets, not
-    min/max scaling, so skewed columns still spread across the curve —
-    the same range-id approach Delta's OPTIMIZE ZORDER uses. NULLs
-    land in bucket 0 (curve start)."""
+    (boundaries computed once, driver-side, metadata-sized — see
+    _z_bucket_expr for the per-type strategies), then the bucket ids'
+    bits are interleaved. Quantile buckets, not min/max scaling, so
+    skewed columns still spread across the curve — the same range-id
+    approach Delta's OPTIMIZE ZORDER uses. NULLs land in bucket 0
+    (curve start)."""
     if bits * len(cols) > 63:
         raise ValueError("bits * len(cols) must fit in a signed long")
     nb = 1 << bits
-    buckets = []
-    for c in cols:
-        num = df.select(F.col(c).cast("double").alias("x")).dropna()
-        qs = [i / nb for i in range(1, nb)]
-        bounds = sorted(set(num.approxQuantile("x", qs, 0.001)))
-        if not bounds:
-            buckets.append(F.lit(0).cast("long"))
-            continue
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
-        buckets.append(
-            F.aggregate(
-                barr,
-                F.lit(0),
-                lambda acc, b: acc
-                + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
-            ).cast("long")
-        )
+    buckets = [_z_bucket_expr(df, c, nb) for c in cols]
     z = F.lit(0).cast("long")
     for b in range(bits):
         for i, bk in enumerate(buckets):

@@ -506,3 +506,29 @@ def test_partitioned_optimize_compacts_selectively(spark, tmp_path):
     assert dt.read().filter("k = 7").count() == 0
     with pytest.raises(ValueError, match="ZORDER"):
         dt.optimize(zorder_by=["k"])
+
+
+def test_zorder_supports_strings_and_dates(spark, tmp_path):
+    dt = DeltaLogTable(spark, str(tmp_path / "zmix"))
+    df = spark.range(20000).selectExpr(
+        "id AS k",
+        "concat('cust-', lpad(CAST(id % 500 AS STRING), 4, '0')) AS code",
+        "date_add(DATE '2024-01-01', CAST(id % 365 AS INT)) AS d",
+    )
+    dt.overwrite(df.repartition(16))
+    before = len(dt.files_matching([("code", "==", "cust-0123")]))
+    dt.optimize(target_files=16, zorder_by=["code", "d"])
+    after = len(dt.files_matching([("code", "==", "cust-0123")]))
+    assert after < before  # string-column skipping engaged
+    assert dt.read_filtered([("code", "==", "cust-0123")]).count() == 40
+    datef = [("d", ">=", "2024-02-01"), ("d", "<", "2024-02-08")]
+    assert len(dt.files_matching(datef)) < 16
+    assert (
+        dt.read_filtered(datef).count()
+        == df.filter("d >= '2024-02-01' AND d < '2024-02-08'").count()
+    )
+    # unsupported types refuse instead of silently not clustering
+    dt2 = DeltaLogTable(spark, str(tmp_path / "zbad"))
+    dt2.overwrite(spark.range(10).selectExpr("id AS k", "array(id) AS arr"))
+    with pytest.raises(ValueError, match="ZORDER BY column"):
+        dt2.optimize(zorder_by=["arr"])
