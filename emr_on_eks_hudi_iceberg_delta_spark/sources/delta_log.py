@@ -38,14 +38,20 @@ single-file parquet checkpoints + ``_last_checkpoint`` + log retention
 (``clean_log``) with checkpoint-seeded replay, txn-action idempotent
 appends, and an exactly-once foreachBatch streaming sink.
 
-Also implemented (delta_dml.py): ``delete`` / ``update`` DML — copy-on-
-write rewrites touching only the files the predicate actually hits, or
-merge-on-read DELETE via real deletion vectors (RoaringBitmapArray
-portable serialization, roaring.py + dv.py) with the protocol bumped to
-readerVersion 3 / writerVersion 7 and the ``deletionVectors`` table
-feature declared; ``append(merge_schema=True)`` schema evolution; and
-``optimize(zorder_by=[...])`` Z-order clustering that feeds the
-stats-skipping reader.
+Also implemented (delta_dml.py / delta_cdf.py): ``delete`` /
+``update`` / ``merge_into`` DML — copy-on-write rewrites touching only
+the files the predicate actually hits, or merge-on-read DELETE via
+real deletion vectors (RoaringBitmapArray portable serialization,
+roaring.py + dv.py) with the protocol bumped to readerVersion 3 /
+writerVersion 7 and the ``deletionVectors`` table feature declared;
+``append(merge_schema=True)`` schema evolution;
+``optimize(zorder_by=[...])`` typed Z-order clustering feeding the
+stats-skipping reader (per-partition bin-packing on partitioned
+tables); Change Data Feed (``delta.enableChangeDataFeed`` + real
+``cdc`` actions + ``table_changes``); CHECK constraints
+(``delta.constraints.*``, every write path gated); ``TIMESTAMP AS OF``
+time travel; optimistic concurrency (put-if-absent commits,
+auto-rebased appends); and ``fsck`` integrity verification (fsck.py).
 
 Not implemented (documented contract, loud errors — not silent
 corruption): column mapping, generated columns — these bump the reader
@@ -774,17 +780,22 @@ def _optimize(
     return self
 
 
-def _vacuum(self) -> list[str]:
-    """Delete data files no LIVE snapshot references (superseded by
-    overwrites/compactions). After vacuum, time travel to versions
-    that needed those files fails loudly at read — the same trade
-    real Delta's VACUUM makes (retention is the caller's policy knob:
-    run vacuum when the audit window has lapsed). Deletion-vector
-    ``.bin`` files referenced by a LIVE add survive; orphaned ones
-    (their file was rewritten/materialized) go too. Returns deleted
-    relative paths."""
+def _vacuum(
+    self, retain_hours: float = 0.0, dry_run: bool = False
+) -> list[str]:
+    """VACUUM [RETAIN n HOURS] [DRY RUN]: delete data files no LIVE
+    snapshot references (superseded by overwrites/compactions) that
+    are also OLDER than the retention window (mtime-based, like real
+    Delta; default 0 = everything unreferenced — real Delta defaults
+    to 168h, callers wanting the audit window pass it). After vacuum,
+    time travel to versions that needed those files fails loudly at
+    read. Deletion-vector ``.bin`` files referenced by a LIVE add
+    survive; orphaned ones (their file was rewritten/materialized) go
+    too. Dry run lists without deleting. Returns relative paths
+    (deleted, or would-be)."""
     from . import dv as dv_io
 
+    cutoff = time.time() - retain_hours * 3600.0
     live, _, _ = self._replay()
     keep = set(live)
     keep_dv = set()
@@ -807,15 +818,18 @@ def _vacuum(self) -> list[str]:
             full = os.path.join(root, fname)
             rel = os.path.relpath(full, self.location).replace(os.sep, "/")
             if fname.endswith(".parquet"):
-                if rel not in keep:
-                    os.remove(full)
+                if rel not in keep and os.path.getmtime(full) <= cutoff:
+                    if not dry_run:
+                        os.remove(full)
                     deleted.append(rel)
             elif (
                 fname.startswith("deletion_vector_")
                 and fname.endswith(".bin")
                 and rel not in keep_dv
+                and os.path.getmtime(full) <= cutoff
             ):
-                os.remove(full)
+                if not dry_run:
+                    os.remove(full)
                 deleted.append(rel)
     return sorted(deleted)
 

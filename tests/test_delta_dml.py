@@ -532,3 +532,28 @@ def test_zorder_supports_strings_and_dates(spark, tmp_path):
     dt2.overwrite(spark.range(10).selectExpr("id AS k", "array(id) AS arr"))
     with pytest.raises(ValueError, match="ZORDER BY column"):
         dt2.optimize(zorder_by=["arr"])
+
+
+def test_vacuum_retention_and_dry_run(spark, tmp_path):
+    import os as _os
+    import time as _time
+
+    dt = _table(spark, tmp_path, "vac", files=2)
+    dt.optimize(target_files=1)  # old files become unreferenced
+    # dry run lists without deleting
+    would = dt.vacuum(dry_run=True)
+    assert would
+    live, _, _ = dt._replay()
+    assert all(
+        _os.path.exists(_os.path.join(dt.location, p)) for p in would
+    )
+    # retention window: fresh files survive a retain-1h vacuum
+    assert dt.vacuum(retain_hours=1.0) == []
+    # backdate them past the window -> reclaimed
+    for rel in would:
+        full = _os.path.join(dt.location, rel)
+        t0 = _time.time() - 7200
+        _os.utime(full, (t0, t0))
+    removed = dt.vacuum(retain_hours=1.0)
+    assert removed == would
+    assert dt.read().count() == 400
