@@ -38,15 +38,17 @@ def test_delta_fsck_reports_every_defect(spark, tmp_path):
         f.write(b"junk")
     # defect 2: a missing live file
     os.remove(os.path.join(str(tmp_path / "tamper"), paths[1]))
-    # defect 3: corrupt DV payload (CRC must catch it)
-    dvf = [
-        f
-        for f in os.listdir(str(tmp_path / "tamper"))
-        if f.startswith("deletion_vector_")
-    ][0]
-    with open(os.path.join(str(tmp_path / "tamper"), dvf), "r+b") as f:
-        f.seek(8)
-        f.write(b"\xff")
+    # defect 3: corrupt EVERY DV payload (the one attached to the
+    # missing file is skipped by fsck, so corrupting only the first
+    # listed one would be flaky)
+    for dvf in os.listdir(str(tmp_path / "tamper")):
+        if not dvf.startswith("deletion_vector_"):
+            continue
+        with open(
+            os.path.join(str(tmp_path / "tamper"), dvf), "r+b"
+        ) as f:
+            f.seek(8)
+            f.write(b"\xff")
     rep = dt.fsck()
     assert not rep["ok"]
     msgs = "\n".join(rep["errors"])
