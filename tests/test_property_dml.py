@@ -100,7 +100,9 @@ def test_dml_replays_like_a_model(spark, tmp_path_factory, ops):
             if rep["version"] is None:
                 continue
         elif op == "merge":
-            src = [(k, k + 1000) for k in (r, r + m, 77 + r)]
+            # dedupe keys: duplicate source keys are a MERGE refusal
+            # (covered separately), not a model step
+            src = [(k, k + 1000) for k in sorted({r, r + m, 77 + r})]
             rep = dt.merge_into(
                 spark.createDataFrame(src, "k int, v int"),
                 ["k"],
