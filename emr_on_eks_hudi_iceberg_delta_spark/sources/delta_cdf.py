@@ -317,3 +317,60 @@ def enforce_constraints(df: DataFrame, meta: dict) -> None:
 
 DeltaLogTable.add_check_constraint = _add_check_constraint
 DeltaLogTable.drop_check_constraint = _drop_check_constraint
+
+
+def _describe_detail(self: DeltaLogTable) -> DataFrame:
+    """DESCRIBE DETAIL as a 1-row DataFrame (format, id, createdTime,
+    partitionColumns, numFiles, sizeInBytes, properties JSON,
+    protocol versions) — all from the log replay, no data touched."""
+    live, meta, head = self._replay()
+    proto = self.current_protocol()
+    row = (
+        "delta",
+        meta.get("id"),
+        meta.get("createdTime"),
+        list(meta.get("partitionColumns", [])),
+        len(live),
+        int(sum(a.get("size") or 0 for a in live.values())),
+        json.dumps(meta.get("configuration") or {}, sort_keys=True),
+        int(proto.get("minReaderVersion", 1)),
+        int(proto.get("minWriterVersion", 2)),
+        head,
+    )
+    return self.spark.createDataFrame(
+        [row],
+        "format string, id string, created_at_ms bigint, "
+        "partition_columns array<string>, num_files bigint, "
+        "size_in_bytes bigint, properties string, "
+        "min_reader_version int, min_writer_version int, "
+        "version bigint",
+    )
+
+
+def _describe_history(self: DeltaLogTable) -> DataFrame:
+    """DESCRIBE HISTORY as a DataFrame (version, timestamp, operation,
+    file deltas) — the DataFrame face of history()."""
+    rows = [
+        (
+            h["version"],
+            int(
+                os.path.getmtime(
+                    _commit_path(self.location, h["version"])
+                )
+                * 1000
+            ),
+            h["operation"],
+            h["n_added"],
+            h["n_removed"],
+        )
+        for h in self.history()
+    ]
+    return self.spark.createDataFrame(
+        rows,
+        "version bigint, timestamp_ms bigint, operation string, "
+        "num_added_files int, num_removed_files int",
+    )
+
+
+DeltaLogTable.describe_detail = _describe_detail
+DeltaLogTable.describe_history = _describe_history

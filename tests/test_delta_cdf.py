@@ -199,3 +199,20 @@ def test_check_constraints_gate_every_write_path(spark, tmp_path):
     assert dt.read().count() == 4
     with pytest.raises(ValueError, match="no such constraint"):
         dt.drop_check_constraint("v_positive")
+
+
+def test_describe_detail_and_history(spark, tmp_path):
+    dt = DeltaLogTable(spark, str(tmp_path / "detail"))
+    dt.overwrite(spark.range(50).selectExpr("id AS k").repartition(2))
+    dt.set_table_properties({"delta.enableChangeDataFeed": "true"})
+    dt.delete("k < 5", mode="dv")
+    d = dt.describe_detail().first()
+    assert d["format"] == "delta"
+    assert d["num_files"] == 2 and d["version"] == 2
+    assert d["min_reader_version"] == 3  # DV feature upgraded it
+    assert "enableChangeDataFeed" in d["properties"]
+    assert d["size_in_bytes"] > 0
+    h = dt.describe_history().orderBy("version").collect()
+    assert [r["operation"] for r in h] == [
+        "WRITE", "SET TBLPROPERTIES", "DELETE",
+    ]
