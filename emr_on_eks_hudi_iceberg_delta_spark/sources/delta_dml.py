@@ -100,12 +100,49 @@ def _scan_with_pos(
     return u
 
 
-_DV_PROTOCOL = {
-    "minReaderVersion": 3,
-    "minWriterVersion": 7,
-    "readerFeatures": ["deletionVectors"],
-    "writerFeatures": ["deletionVectors"],
+#: legacy protocol versions imply features (Delta PROTOCOL.md's
+#: version-to-feature table); an upgrade to (3, 7) must carry them
+#: forward explicitly, since a v7 protocol lists ALL active features.
+_LEGACY_WRITER_FEATURES = {
+    2: ["appendOnly", "invariants"],
+    3: ["checkConstraints"],
+    4: ["changeDataFeed", "generatedColumns"],
+    5: ["columnMapping"],
+    6: ["identityColumns"],
 }
+_LEGACY_READER_FEATURES = {2: ["columnMapping"]}
+
+
+def _dv_upgraded_protocol(proto: dict, meta: dict | None = None) -> dict:
+    """The (3, 7) protocol action adding ``deletionVectors`` while
+    PRESERVING every feature already active: explicit reader/writer
+    feature lists are unioned, legacy versions are expanded via the
+    spec's implication table, and changeDataFeed is declared when the
+    table property enables it (PROTOCOL.md: a version-7 protocol must
+    list all active table features)."""
+    from .delta_cdf import cdf_enabled
+
+    r = set(proto.get("readerFeatures") or [])
+    w = set(proto.get("writerFeatures") or [])
+    mrv = proto.get("minReaderVersion", 1)
+    mwv = proto.get("minWriterVersion", 2)
+    if mwv < 7:  # legacy protocol: expand implied features
+        for v, feats in _LEGACY_WRITER_FEATURES.items():
+            if mwv >= v:
+                w.update(feats)
+        for v, feats in _LEGACY_READER_FEATURES.items():
+            if mrv >= v:
+                r.update(feats)
+    r.add("deletionVectors")
+    w.add("deletionVectors")
+    if meta is not None and cdf_enabled(meta):
+        w.add("changeDataFeed")
+    return {
+        "minReaderVersion": max(mrv, 3),
+        "minWriterVersion": max(mwv, 7),
+        "readerFeatures": sorted(r),
+        "writerFeatures": sorted(w),
+    }
 
 
 def _needs_dv_upgrade(proto: dict) -> bool:
@@ -194,7 +231,13 @@ def _delete(
             return {"files_touched": 0, "rows_deleted": 0,
                     "version": None}
         if _needs_dv_upgrade(self.current_protocol()):
-            actions.append({"protocol": dict(_DV_PROTOCOL)})
+            actions.append(
+                {
+                    "protocol": _dv_upgraded_protocol(
+                        self.current_protocol(), meta
+                    )
+                }
+            )
         from .delta_cdf import CHANGE_TYPE, cdf_enabled, write_cdc_files
 
         if cdf_enabled(meta):

@@ -1295,7 +1295,23 @@ def _restore(self, version: int) -> "DeltaLogTable":
                 }
             }
         )
-    for path in sorted(set(target_live) - set(head_live)):
+    for path in sorted(target_live):
+        # compare FULL add actions, not path sets: a DV-mode DELETE
+        # re-adds the same path with a deletionVector descriptor, so a
+        # path live in both snapshots may still need re-pointing
+        # (ADVICE r9 — restore-past-a-DV-delete was a silent no-op)
+        if path in head_live and head_live[path] == target_live[path]:
+            continue
+        if path in head_live:
+            actions.append(
+                {
+                    "remove": {
+                        "path": path,
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                    }
+                }
+            )
         actions.append({"add": dict(target_live[path])})
     self._commit(head_v + 1, actions)
     return self

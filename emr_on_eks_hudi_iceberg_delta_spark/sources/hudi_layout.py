@@ -312,13 +312,22 @@ class HudiCowTable:
 
     # ------------------------------- reads -------------------------------
 
-    def _read_slices(self, slices: dict, with_fg: bool = False) -> DataFrame:
+    def _read_slices(
+        self, slices: dict, with_fg: bool = False, merge_schema: bool = False
+    ) -> DataFrame:
         paths = [
             os.path.join(self.location, p) for p in sorted(slices.values())
         ]
         if not paths:
             raise ValueError("empty table")
-        df = self.spark.read.parquet(*paths).withColumn(
+        reader = self.spark.read
+        if merge_schema:
+            # log files drift by one column: tombstone logs carry
+            # _hoodie_is_deleted, data logs don't — without footer
+            # merging the column survives only when the first
+            # (lexicographic) file happens to be a tombstone log
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*paths).withColumn(
             "_hoodie_file_name", F.element_at(F.split(F.input_file_name(), "/"), -1)
         )
         if with_fg:
@@ -495,7 +504,8 @@ class HudiMorTable(HudiCowTable):
         if not logs:
             return base_df
         log_df = self._read_slices(
-            {("", f"log-{i}"): p for i, p in enumerate(logs)}
+            {("", f"log-{i}"): p for i, p in enumerate(logs)},
+            merge_schema=True,
         )
         target = base_df if base_df is not None else log_df.limit(0)
         merged = upsert_by_key(

@@ -179,15 +179,29 @@ _ICE2SPARK = {
 }
 
 
-def _spark_schema_from_md(md: dict):
-    """Spark StructType for the table's CURRENT Iceberg schema — the
-    explicit read schema that makes schema evolution sound: files
-    written before a column existed serve typed NULLs instead of
-    whatever one parquet footer happens to say."""
+def _spark_schema_from_md(md: dict, schema_id: int | None = None):
+    """Spark StructType for an Iceberg schema — the explicit read
+    schema that makes schema evolution sound: files written before a
+    column existed serve typed NULLs instead of whatever one parquet
+    footer happens to say. ``schema_id`` selects a historical schema
+    from the metadata's ``schemas`` list (spec: snapshots record the
+    schema current when they were written); None means current."""
     from pyspark.sql.types import StructType
 
+    ice_schema = md["schema"]
+    if schema_id is not None:
+        for s in md.get("schemas", []):
+            if s.get("schema-id") == schema_id:
+                ice_schema = s
+                break
+        else:
+            if ice_schema.get("schema-id", 0) != schema_id:
+                raise ValueError(
+                    f"schema-id {schema_id} not in metadata "
+                    f"(have {[s.get('schema-id') for s in md.get('schemas', [])]})"
+                )
     parts = []
-    for f in md["schema"]["fields"]:
+    for f in ice_schema["fields"]:
         t = f["type"]
         if isinstance(t, str) and t.startswith("decimal"):
             spark_t = t.replace(" ", "")
@@ -314,8 +328,27 @@ class IcebergTable:
             if e["status"] != STATUS_DELETED
         ]
 
+    def _schema_for_snapshot(self, snapshot_id: int | None):
+        """The Spark read schema scoped to ``snapshot_id`` — a
+        pre-evolution snapshot serves its OWN schema (spec: snapshot
+        ``schema-id``), not later-added columns as NULLs."""
+        md = self._metadata()
+        if snapshot_id is None:
+            return _spark_schema_from_md(md)
+        snap = next(
+            (
+                s
+                for s in md["snapshots"]
+                if s["snapshot-id"] == snapshot_id
+            ),
+            None,
+        )
+        if snap is None or "schema-id" not in snap:
+            return _spark_schema_from_md(md)
+        return _spark_schema_from_md(md, snap["schema-id"])
+
     def _scan_files(
-        self, paths: list[str], delete_files: list[dict]
+        self, paths: list[str], delete_files: list[dict], schema=None
     ) -> DataFrame:
         """Scan data files applying v2 position-delete files: the
         delete parquet's (file_path, pos) pairs drop rows via
@@ -326,7 +359,8 @@ class IcebergTable:
 
         if not paths:
             raise ValueError("empty snapshot")
-        schema = _spark_schema_from_md(self._metadata())
+        if schema is None:
+            schema = _spark_schema_from_md(self._metadata())
         if not delete_files:
             return self.spark.read.schema(schema).parquet(*paths)
         pairs = self.spark.read.parquet(
@@ -373,7 +407,9 @@ class IcebergTable:
             if e["status"] != STATUS_DELETED
         ]
         return self._scan_files(
-            paths, self._live_delete_files(snapshot_id)
+            paths,
+            self._live_delete_files(snapshot_id),
+            schema=self._schema_for_snapshot(snapshot_id),
         )
 
     def added_files(self, since_snapshot_id: int) -> list[dict]:
@@ -612,13 +648,18 @@ class IcebergTable:
             "summary": summary,
         }
         if cur is None:
+            new_schema = _iceberg_schema(df)
+            # spec: snapshots record the schema current at write time
+            snapshot["schema-id"] = new_schema.get("schema-id", 0)
             md = {
                 "format-version": 1,
                 "table-uuid": str(uuid.uuid4()),
                 "location": self.location,
                 "last-updated-ms": now,
                 "last-column-id": len(df.schema.fields),
-                "schema": _iceberg_schema(df),
+                "schema": new_schema,
+                "schemas": [new_schema],
+                "current-schema-id": new_schema.get("schema-id", 0),
                 "partition-spec": [],
                 "partition-specs": [
                     {
@@ -645,9 +686,17 @@ class IcebergTable:
             next_v = 1
         else:
             md = self._metadata()
+            if "schemas" not in md:  # pre-r10 metadata: seed the list
+                md["schemas"] = [md["schema"]]
+                md["current-schema-id"] = md["schema"].get("schema-id", 0)
             if schema_update is not None:
                 md["schema"] = schema_update["schema"]
                 md["last-column-id"] = schema_update["last_column_id"]
+                md["schemas"] = md["schemas"] + [schema_update["schema"]]
+                md["current-schema-id"] = schema_update["schema"].get(
+                    "schema-id", 0
+                )
+            snapshot["schema-id"] = md["current-schema-id"]
             md["last-updated-ms"] = now
             md["snapshots"] = md["snapshots"] + [snapshot]
             md["snapshot-log"] = md.get("snapshot-log", []) + [
@@ -822,7 +871,9 @@ class IcebergTable:
         if not paths:
             return self.read(snapshot_id).filter("1 = 0")
         return self._scan_files(
-            paths, self._live_delete_files(snapshot_id)
+            paths,
+            self._live_delete_files(snapshot_id),
+            schema=self._schema_for_snapshot(snapshot_id),
         )
 
 

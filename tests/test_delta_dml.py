@@ -354,6 +354,23 @@ def test_restore_across_dml(spark, tmp_path):
     assert dt.read().count() == 350
 
 
+def test_restore_past_dv_delete_resurrects_rows(spark, tmp_path):
+    """ADVICE r9: a DV-mode DELETE re-adds the SAME path with a
+    deletionVector descriptor, so restore must diff full add actions —
+    a path-set diff emits an empty RESTORE and rows stay deleted."""
+    dt = _table(spark, tmp_path, "dvrestore", files=2, n=10)
+    assert dt.read().count() == 10
+    dt.delete("k < 3", mode="dv")       # v1: same paths, +DV
+    assert dt.read().count() == 7
+    dt.restore(0)                       # v2: must re-point at DV-free adds
+    assert dt.read().count() == 10
+    # the restore commit is non-empty and itself time-travel-able
+    live, _, head = dt._replay()
+    assert head == 2
+    assert not any(a.get("deletionVector") for a in live.values())
+    assert dt.read(version=1).count() == 7
+
+
 # ---------------------------- MERGE INTO ----------------------------
 
 
@@ -557,3 +574,20 @@ def test_vacuum_retention_and_dry_run(spark, tmp_path):
     removed = dt.vacuum(retain_hours=1.0)
     assert removed == would
     assert dt.read().count() == 400
+
+
+def test_dv_protocol_upgrade_preserves_active_features(spark, tmp_path):
+    """ADVICE r9: the (3,7) upgrade must list ALL active table
+    features — legacy-implied writer features carry forward and
+    changeDataFeed is declared when the property is set."""
+    dt = _table(spark, tmp_path, "dvproto", files=2, n=20)
+    dt.set_table_properties({"delta.enableChangeDataFeed": "true"})
+    dt.delete("k < 3", mode="dv")
+    proto = dt.current_protocol()
+    assert proto["minReaderVersion"] == 3
+    assert proto["minWriterVersion"] == 7
+    assert "deletionVectors" in proto["readerFeatures"]
+    w = set(proto["writerFeatures"])
+    # legacy minWriterVersion=2 implies appendOnly+invariants; CDF on
+    assert {"deletionVectors", "appendOnly", "invariants",
+            "changeDataFeed"} <= w

@@ -238,3 +238,30 @@ def test_mor_delete_is_a_log_tombstone(spark, tmp_path):
     t.compact()
     assert t.read_optimized().count() == 91
     assert "_hoodie_is_deleted" not in t.read().columns
+
+
+def test_mor_delete_after_data_log_survives_schema_merge(spark, tmp_path):
+    """ADVICE r9: a data log (no _hoodie_is_deleted) written BEFORE the
+    tombstone log must not mask the marker column — the log read merges
+    footers, so delete ordering never matters."""
+    t = HudiMorTable(
+        spark, str(tmp_path / "morder"),
+        record_key="k", precombine_field="ts", n_file_groups=2,
+    )
+    t.bulk_insert(_base(spark, 20))
+    # upsert first: creates data logs lexicographically BEFORE the
+    # tombstone logs the delete writes
+    t.upsert(
+        spark.createDataFrame(
+            [(i, 2, f"u{i}") for i in range(20)], "k int, ts int, val string"
+        )
+    )
+    di = t.delete("k < 5")
+    assert di is not None
+    got = sorted(r["k"] for r in t.read().collect())
+    assert got == list(range(5, 20))
+    # and after compaction too
+    t.compact()
+    assert sorted(r["k"] for r in t.read_optimized().collect()) == list(
+        range(5, 20)
+    )

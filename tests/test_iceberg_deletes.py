@@ -159,10 +159,33 @@ def test_evolution_composes_with_position_deletes(spark, tmp_path):
     )
     t.delete("k = 2")
     assert sorted(r["k"] for r in t.read().collect()) == [1, 3]
-    # time travel uses the CURRENT schema: late columns read as NULL
+    # spec: a snapshot is read with ITS OWN schema (snapshot
+    # schema-id), so the pre-evolution snapshot has no `n` at all
     s0 = t._metadata()["snapshots"][0]["snapshot-id"]
-    r0 = {r["k"]: r["n"] for r in t.read(snapshot_id=s0).collect()}
-    assert r0 == {1: None, 2: None}
+    df0 = t.read(snapshot_id=s0)
+    assert df0.columns == ["k", "s"]
+    assert sorted(r["k"] for r in df0.collect()) == [1, 2]
+    # post-evolution snapshots carry the evolved schema
+    s1 = t._metadata()["snapshots"][1]["snapshot-id"]
+    assert t.read(snapshot_id=s1).columns == ["k", "s", "n"]
+
+
+def test_snapshot_scoped_schema_tracked_in_metadata(spark, tmp_path):
+    """ADVICE r9: metadata keeps every historical schema (spec
+    ``schemas`` + ``current-schema-id``) and snapshots record their
+    ``schema-id``."""
+    t = IcebergTable(spark, str(tmp_path / "schemas"))
+    t.overwrite(spark.createDataFrame([(1, "x")], "k int, s string"))
+    t.append(
+        spark.createDataFrame([(2, "y", 5)], "k int, s string, n int"),
+        merge_schema=True,
+    )
+    md = t._metadata()
+    ids = [s.get("schema-id") for s in md["schemas"]]
+    assert ids == [0, 1]
+    assert md["current-schema-id"] == 1
+    snap_sids = [s["schema-id"] for s in md["snapshots"]]
+    assert snap_sids == [0, 1]
 
 
 def test_iceberg_timestamp_time_travel(spark, tmp_path):
