@@ -65,39 +65,74 @@ def _scan_with_pos(
     """Scan add actions exposing ``__file`` (log-relative path) and
     ``__pos`` (``_metadata.row_index``), with each file's existing
     deletion vector already applied — the shared source for hit
-    detection and rewrites."""
+    detection and rewrites.
+
+    Plan shape: ONE multi-path scan per partition tuple (not per
+    file — a 10⁵-file table plans O(partitions) scans, same as the
+    normal read path). ``__file`` is recovered from
+    ``_metadata.file_path`` through a broadcast basename→relative-path
+    map (O(files) metadata rows; basenames are fresh per-job UUIDs so
+    the join is exact and sidesteps file-URI percent-encoding).
+    Existing DV pairs are expanded EXECUTOR-side (dv.dv_pairs_df) and
+    anti-joined — broadcast below ``DV_BROADCAST_MAX_PAIRS`` total
+    cardinality, shuffled above it."""
     part_cols, data_fields, types, out_cols = _schema_parts(meta)
-    pieces, pairs = [], []
+    if not adds:
+        return None
+    by_part: dict[tuple, list[dict]] = {}
     for a in adds:
+        key = tuple(a["partitionValues"].get(c) for c in part_cols)
+        by_part.setdefault(key, []).append(a)
+    name_map = dt.spark.createDataFrame(
+        [(os.path.basename(a["path"]), a["path"]) for a in adds],
+        "__name string, __file string",
+    )
+    pieces = []
+    for key, group in sorted(
+        by_part.items(),
+        key=lambda kv: tuple((x is not None, x or "") for x in kv[0]),
+    ):
         df = (
             dt.spark.read.schema(StructType(data_fields))
-            .parquet(os.path.join(dt.location, a["path"]))
-            .withColumn("__file", F.lit(a["path"]))
+            .parquet(
+                *[os.path.join(dt.location, a["path"]) for a in group]
+            )
+            .withColumn(
+                "__name",
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ),
+            )
             .withColumn("__pos", F.col("_metadata.row_index"))
         )
-        for c in part_cols:
-            val = a["partitionValues"].get(c)
+        for c, val in zip(part_cols, key):
             lit = (F.lit(None) if val is None else F.lit(val)).cast(
                 types[c]
             )
             df = df.withColumn(c, lit)
-        pieces.append(df.select(*out_cols, "__file", "__pos"))
-        if a.get("deletionVector"):
-            pairs.extend(
-                (a["path"], int(i))
-                for i in dv_io.read_dv(dt.location, a["deletionVector"])
-            )
-    if not pieces:
-        return None
+        pieces.append(df.select(*out_cols, "__name", "__pos"))
     u = pieces[0]
     for p in pieces[1:]:
         u = u.unionByName(p)
-    if pairs:
-        pdf = dt.spark.createDataFrame(
-            pairs, "__file string, __pos bigint"
+    u = u.join(F.broadcast(name_map), "__name").drop("__name")
+    dvd = [a for a in adds if a.get("deletionVector")]
+    if dvd:
+        pdf = dv_io.dv_pairs_df(dt.spark, dt.location, dvd).selectExpr(
+            "__dv_file AS __file", "__dv_pos AS __pos"
         )
-        u = u.join(F.broadcast(pdf), ["__file", "__pos"], "left_anti")
+        total_card = sum(
+            a["deletionVector"].get("cardinality", 0) for a in dvd
+        )
+        if total_card <= DV_BROADCAST_MAX_PAIRS:
+            pdf = F.broadcast(pdf)
+        u = u.join(pdf, ["__file", "__pos"], "left_anti")
     return u
+
+
+#: above this many total deleted positions the DV anti-join switches
+#: from broadcast to shuffle — a heavily-deleted table's pair set must
+#: not be shipped to every executor (or exceed the broadcast limit)
+DV_BROADCAST_MAX_PAIRS = 2_000_000
 
 
 #: legacy protocol versions imply features (Delta PROTOCOL.md's
@@ -221,11 +256,24 @@ def _delete(
         actions.extend({"add": a} for a in adds)
         touched_n = len(touched)
     else:
-        hits = (
-            scan.filter(cond)
-            .groupBy("__file")
-            .agg(F.sort_array(F.collect_list("__pos")).alias("pos"))
-            .collect()
+        # the roaring bitmaps are built and written EXECUTOR-side
+        # (dv.write_dvs_grouped): the driver receives one descriptor
+        # row per touched file, never a position list — a DELETE
+        # matching billions of rows costs the driver O(files touched)
+        prior = {
+            p: a.get("deletionVector") for p, a in live.items()
+        }
+        nrecs = {}
+        for p, a in live.items():
+            nrec = None
+            if a.get("stats"):
+                nrec = json.loads(a["stats"]).get("numRecords")
+            nrecs[p] = nrec
+        hits = dv_io.write_dvs_grouped(
+            scan.filter(cond).select("__file", "__pos"),
+            self.location,
+            prior,
+            nrecs,
         )
         if not hits:
             return {"files_touched": 0, "rows_deleted": 0,
@@ -250,13 +298,8 @@ def _delete(
                 {"cdc": c} for c in write_cdc_files(self, dels)
             )
         for r in hits:
-            a = live[r["__file"]]
-            merged = set(int(p) for p in r["pos"])
-            rows_deleted += len(merged)
-            if a.get("deletionVector"):
-                merged |= set(
-                    dv_io.read_dv(self.location, a["deletionVector"])
-                )
+            a = live[r["path"]]
+            rows_deleted += r["n_new"]
             actions.append(
                 {
                     "remove": {
@@ -266,14 +309,10 @@ def _delete(
                     }
                 }
             )
-            nrec = None
-            if a.get("stats"):
-                nrec = json.loads(a["stats"]).get("numRecords")
-            if nrec is not None and len(merged) >= nrec:
+            if r["descriptor"] is None:
                 continue  # every physical row dead: drop the file
-            desc = dv_io.write_dv(self.location, merged)
             newadd = dict(a)
-            newadd["deletionVector"] = desc
+            newadd["deletionVector"] = json.loads(r["descriptor"])
             newadd["dataChange"] = True
             actions.append({"add": newadd})
         touched_n = len(hits)

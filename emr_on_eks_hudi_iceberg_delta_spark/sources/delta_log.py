@@ -267,7 +267,6 @@ class DeltaLogTable:
             from . import dv as dv_io
 
             pieces = []
-            pairs: list[tuple] = []
             for a in dvd:
                 df = (
                     self.spark.read.schema(StructType(data_fields))
@@ -284,21 +283,25 @@ class DeltaLogTable:
                 pieces.append(
                     df.select(*out_cols, "__dv_file", "__dv_pos")
                 )
-                pairs.extend(
-                    (a["path"], int(i))
-                    for i in dv_io.read_dv(
-                        self.location, a["deletionVector"]
-                    )
-                )
             u = pieces[0]
             for p in pieces[1:]:
                 u = u.unionByName(p)
-            if pairs:
-                pdf = self.spark.createDataFrame(
-                    pairs, "__dv_file string, __dv_pos bigint"
+            # DV pairs expand EXECUTOR-side (descriptors only leave the
+            # driver); the anti-join broadcasts while the total
+            # cardinality stays under DV_BROADCAST_MAX_PAIRS and falls
+            # back to a shuffled anti-join for heavily-deleted tables
+            pdf = dv_io.dv_pairs_df(self.spark, self.location, dvd)
+            if pdf is not None:
+                total_card = sum(
+                    a["deletionVector"].get("cardinality", 0)
+                    for a in dvd
                 )
+                from .delta_dml import DV_BROADCAST_MAX_PAIRS
+
+                if total_card <= DV_BROADCAST_MAX_PAIRS:
+                    pdf = F.broadcast(pdf)
                 u = u.join(
-                    F.broadcast(pdf),
+                    pdf,
                     ["__dv_file", "__dv_pos"],
                     "left_anti",
                 )

@@ -100,3 +100,91 @@ def read_dv(location: str, desc: dict) -> list[int]:
         if zlib.crc32(data) != crc:
             raise ValueError(f"DV checksum mismatch in {path}")
     return roaring.deserialize(data)
+
+
+def write_dvs_grouped(
+    hits, location: str, prior_descs: dict, num_records: dict
+) -> list:
+    """Build one deletion-vector file per data file EXECUTOR-side.
+
+    ``hits`` is a DataFrame of NEWLY deleted ``(__file, __pos)`` rows;
+    ``groupBy("__file").applyInPandas`` serializes each file's roaring
+    bitmap and writes its ``deletion_vector_<uuid>.bin`` inside the
+    task, so the driver never holds a position list — it receives only
+    one (path, descriptor-JSON, n_new) row per touched file
+    (O(files touched), the same metadata the commit must write anyway).
+
+    ``prior_descs`` maps data path -> existing DV descriptor (merged
+    into the new bitmap executor-side); ``num_records`` maps data path
+    -> the add action's numRecords (or None) so a fully-dead file
+    short-circuits to descriptor None (the caller drops the file
+    instead of attaching a DV). Task retries are safe: DV file names
+    are fresh UUIDs, and an orphaned bin from a lost task is never
+    referenced by the commit (VACUUM collects it).
+    """
+    import json as _json
+
+    import pandas as pd
+
+    prior = {p: d for p, d in prior_descs.items() if d}
+    nrec_map = dict(num_records)
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        path = pdf["__file"].iloc[0]
+        new_n = int(pdf["__pos"].nunique())
+        merged = set(int(x) for x in pdf["__pos"])
+        pr = prior.get(path)
+        if pr:
+            merged |= set(read_dv(location, pr))
+        nrec = nrec_map.get(path)
+        if nrec is not None and len(merged) >= nrec:
+            desc_json = None  # every physical row dead: drop the file
+        else:
+            desc_json = _json.dumps(write_dv(location, merged))
+        return pd.DataFrame(
+            {
+                "path": [path],
+                "descriptor": [desc_json],
+                "n_new": [new_n],
+            }
+        )
+
+    return (
+        hits.groupBy("__file")
+        .applyInPandas(build, "path string, descriptor string, n_new bigint")
+        .collect()
+    )
+
+
+def dv_pairs_df(spark, location: str, dv_adds: list):
+    """The (file, position) pairs a list of DV-bearing add actions
+    denotes, as a DataFrame built EXECUTOR-side: one descriptor row
+    per file goes in, ``mapInPandas`` expands it through the roaring
+    codec inside the task — the driver ships O(files) descriptors,
+    never a position list. Returns None when no add carries a DV."""
+    import json as _json
+
+    import pandas as pd
+
+    rows = [
+        (a["path"], _json.dumps(a["deletionVector"]))
+        for a in dv_adds
+        if a.get("deletionVector")
+    ]
+    if not rows:
+        return None
+
+    def expand(batches):
+        for pdf in batches:
+            for f, d in zip(pdf["__dv_file"], pdf["__dv"]):
+                pos = read_dv(location, _json.loads(d))
+                yield pd.DataFrame(
+                    {"__dv_file": f, "__dv_pos": pd.Series(pos, dtype="int64")}
+                )
+
+    # createDataFrame spreads the descriptor rows across
+    # leafNodeDefaultParallelism partitions — the expansion
+    # parallelizes per file with no explicit repartition (which would
+    # put an exchange in every DV read plan)
+    desc_df = spark.createDataFrame(rows, "__dv_file string, __dv string")
+    return desc_df.mapInPandas(expand, "__dv_file string, __dv_pos bigint")

@@ -591,3 +591,79 @@ def test_dv_protocol_upgrade_preserves_active_features(spark, tmp_path):
     # legacy minWriterVersion=2 implies appendOnly+invariants; CDF on
     assert {"deletionVectors", "appendOnly", "invariants",
             "changeDataFeed"} <= w
+
+
+def test_dv_delete_builds_bitmaps_executor_side(
+    spark, tmp_path, monkeypatch
+):
+    """r10 pin: no position list crosses the driver. The roaring
+    build (write_dv) and prior-DV merge (read_dv) must run in Python
+    WORKER processes — a call from the driver's own PID fails the
+    delete (the poisoned wrappers ship to workers too, where the PID
+    check lets the real codec run)."""
+    driver_pid = os.getpid()
+    real_write, real_read = dv_io.write_dv, dv_io.read_dv
+
+    def write_guard(*a, **k):
+        if os.getpid() == driver_pid:
+            raise AssertionError("DV bitmap built on the driver")
+        return real_write(*a, **k)
+
+    def read_guard(*a, **k):
+        if os.getpid() == driver_pid:
+            raise AssertionError("DV positions read on the driver")
+        return real_read(*a, **k)
+
+    monkeypatch.setattr(dv_io, "write_dv", write_guard)
+    monkeypatch.setattr(dv_io, "read_dv", read_guard)
+    dt = _table(spark, tmp_path, "execside", files=3, n=300)
+    rep = dt.delete("k < 100", mode="dv")
+    assert rep["rows_deleted"] == 100
+    rep2 = dt.delete("k < 150", mode="dv")  # merges prior DVs too
+    assert rep2["rows_deleted"] == 50
+    assert dt.read().count() == 150
+
+
+def test_dml_scan_plans_bounded_file_scans(spark, tmp_path):
+    """r10 pin: a many-file table's DML positional scan plans
+    O(partition tuples) parquet scans, not O(files)."""
+    from emr_on_eks_hudi_iceberg_delta_spark.plans import file_scan_count
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.delta_dml import (
+        _scan_with_pos,
+    )
+
+    dt = DeltaLogTable(spark, str(tmp_path / "manyfiles"))
+    dt.overwrite(
+        spark.range(4000).selectExpr("id AS k", "id % 5 AS g")
+        .repartition(100)
+    )
+    live, meta, _ = dt._replay()
+    assert len(live) == 100
+    scan = _scan_with_pos(dt, list(live.values()), meta)
+    # unpartitioned table: ONE multi-path scan + the tiny name-map
+    # side (an in-memory LocalTableScan, not a file scan)
+    assert file_scan_count(scan) <= 2
+    # and the scan is still correct
+    assert scan.count() == 4000
+    assert scan.select("__file").distinct().count() == 100
+
+
+def test_dv_antijoin_shuffles_above_broadcast_threshold(
+    spark, tmp_path, monkeypatch
+):
+    """r10 pin: past DV_BROADCAST_MAX_PAIRS total cardinality the DV
+    read anti-join switches from broadcast to a shuffled join."""
+    from emr_on_eks_hudi_iceberg_delta_spark.plans import (
+        broadcast_join_count,
+        formatted_plan,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import delta_dml
+
+    dt = _table(spark, tmp_path, "bigdv", files=2, n=200)
+    dt.delete("k % 2 = 0", mode="dv")
+    monkeypatch.setattr(delta_dml, "DV_BROADCAST_MAX_PAIRS", 10)
+    df = dt.read()
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan
+    assert broadcast_join_count(df) == 0  # no broadcast above cutoff
+    assert sorted(r["k"] for r in df.collect()) == list(range(1, 200, 2))

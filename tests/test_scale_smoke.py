@@ -785,3 +785,36 @@ def test_dv_delete_scale_smoke(spark, tmp_path):
         f"dv_delete={dv_delete_sec:.1f}s read={dv_read_sec:.1f}s "
         f"codec_1M={codec_sec:.1f}s dv_bytes={total_dv_bytes}"
     )
+
+
+def test_million_row_dv_delete_executor_side(spark, tmp_path):
+    """r10: a DELETE matching 10^6 rows builds its deletion vectors
+    entirely executor-side — the driver holds only per-file
+    descriptors. 4x10^6-row table, every 4th row deleted, then a
+    second overlapping delete to exercise the executor-side prior-DV
+    merge, then an exact read-back."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import DeltaLogTable
+
+    n = 4_000_000
+    dt = DeltaLogTable(spark, str(tmp_path / "dvmillion"))
+    dt.overwrite(
+        spark.range(n).selectExpr("id AS k", "id % 4 AS g").repartition(16)
+    )
+    t0 = time.time()
+    rep = dt.delete("g = 0", mode="dv")
+    del1_sec = time.time() - t0
+    assert rep["rows_deleted"] == n // 4
+    assert rep["files_touched"] == 16
+    # overlapping second delete: workers merge the existing bitmaps
+    rep2 = dt.delete("k < 1000000", mode="dv")
+    assert rep2["rows_deleted"] == 750_000  # g=0 rows already gone
+    t0 = time.time()
+    assert dt.read().count() == n - 1_000_000 - 750_000
+    read_sec = time.time() - t0
+    # commit metadata stays O(files): 16 descriptors, each bitmap-sized
+    live, _, _ = dt._replay()
+    descs = [a["deletionVector"] for a in live.values()
+             if a.get("deletionVector")]
+    assert len(descs) == 16
+    assert sum(d["cardinality"] for d in descs) == 1_750_000
+    print(f"dv_1M_delete={del1_sec:.1f}s read={read_sec:.1f}s")
