@@ -10,12 +10,14 @@ DELETE manifest (manifest-list ``content`` = 1) and applied by readers
 to exactly the data files they name. This module implements that
 against the open spec (https://iceberg.apache.org/spec/#position-delete-files):
 
-* ``delete(cond)`` — one pushed-down predicate scan finds the matching
-  (file, row-position) pairs; they land in ONE sorted position-delete
-  parquet; the commit writes a data manifest carrying every live data
-  file as EXISTING, a delete manifest carrying prior delete files plus
-  the new one, and bumps ``format-version`` to 2. No data file is
-  rewritten (pinned by test).
+* ``delete(cond)`` — one pushed-down multi-path predicate scan finds
+  the matching (file, row-position) pairs; they land in position-
+  delete parquets written EXECUTOR-side (one per non-empty shuffle
+  partition, each spec-sorted by (file_path, pos) — the driver holds
+  only descriptors); the commit writes a data manifest carrying every
+  live data file as EXISTING, a delete manifest carrying prior delete
+  files plus the new ones, and bumps ``format-version`` to 2. No data
+  file is rewritten (pinned by test).
 * reads (iceberg_layout._scan_files) anti-join the delete pairs via
   ``_metadata.row_index`` — only named files pay the per-file scan.
 * ``rewrite_data_files()`` — compaction: materializes the deletes into
@@ -136,30 +138,116 @@ def _advance_metadata(self: IcebergTable, md: dict) -> int:
     return next_v
 
 
-def _write_pos_delete_file(self: IcebergTable, pairs: list[tuple]) -> dict:
-    """One position-delete parquet, rows sorted by (file_path, pos)
-    per the spec."""
-    import pyarrow as pa
+#: above this many recorded delete pairs the position-delete read
+#: anti-join switches from broadcast to shuffle — a heavily-deleted
+#: table's pair set must not ship to every executor
+POS_DELETE_BROADCAST_MAX_PAIRS = 2_000_000
+
+
+def _scan_with_pos_ice(
+    self: IcebergTable,
+    data_entries: list[dict],
+    prior_deletes: list[dict],
+    schema,
+):
+    """ONE multi-path scan of the live data files exposing ``__file``
+    (the manifest's absolute file_path) and ``__pos``
+    (``_metadata.row_index``), existing position deletes already
+    anti-joined — the shared DML source. Plans O(1) scans regardless
+    of file count (Iceberg data files contain their partition columns,
+    so no per-partition literal injection is needed); ``__file`` comes
+    back through a broadcast basename map (basenames are fresh UUIDs),
+    sidestepping file-URI encoding. The prior-pair anti-join
+    broadcasts below POS_DELETE_BROADCAST_MAX_PAIRS recorded pairs and
+    shuffles above."""
+    paths = [e["data_file"]["file_path"] for e in data_entries]
+    if not paths:
+        return None
+    name_map = self.spark.createDataFrame(
+        [(os.path.basename(p), p) for p in paths],
+        "__name string, __file string",
+    )
+    scan = (
+        self.spark.read.schema(schema)
+        .parquet(*paths)
+        .withColumn(
+            "__name",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        )
+        .withColumn("__pos", F.col("_metadata.row_index"))
+        .join(F.broadcast(name_map), "__name")
+        .drop("__name")
+    )
+    if prior_deletes:
+        pairs_df = self.spark.read.parquet(
+            *[e["data_file"]["file_path"] for e in prior_deletes]
+        ).select(
+            F.col("file_path").alias("__file"),
+            F.col("pos").alias("__pos"),
+        )
+        total = sum(
+            e["data_file"].get("record_count", 0) for e in prior_deletes
+        )
+        if total <= POS_DELETE_BROADCAST_MAX_PAIRS:
+            pairs_df = F.broadcast(pairs_df)
+        scan = scan.join(pairs_df, ["__file", "__pos"], "left_anti")
+    return scan
+
+
+def _write_pos_delete_files_distributed(
+    self: IcebergTable, hits
+) -> list[dict]:
+    """Write position-delete parquet files EXECUTOR-side from a
+    DataFrame of (``__file``, ``__pos``) hits: repartition by
+    file_path + sortWithinPartitions keeps each output file spec-
+    sorted by (file_path, pos), Spark's native parquet writer emits
+    them inside the tasks, and the driver touches only O(output files)
+    footers to build descriptors — no position list ever crosses the
+    driver. Output granularity is one delete file per non-empty
+    shuffle partition (bounded by parallelism, not by data volume);
+    the spec allows a delete file to target many data files."""
+    import shutil
+
     import pyarrow.parquet as pq
 
-    pairs = sorted(pairs)
-    dst = os.path.join(self.data_dir, f"{uuid.uuid4().hex}-deletes.parquet")
-    table = pa.table(
-        {
-            "file_path": pa.array([p for p, _ in pairs], pa.string()),
-            "pos": pa.array([i for _, i in pairs], pa.int64()),
-        }
+    out_dir = os.path.join(
+        self.location, f"staging-deletes-{uuid.uuid4().hex}"
     )
-    tmp = dst + f".tmp-{uuid.uuid4().hex}"
-    pq.write_table(table, tmp)
-    os.replace(tmp, dst)
-    return {
-        "content": CONTENT_POS_DELETES,
-        "file_path": dst,
-        "file_format": "PARQUET",
-        "record_count": len(pairs),
-        "file_size_in_bytes": os.path.getsize(dst),
-    }
+    (
+        hits.select(
+            F.col("__file").alias("file_path"),
+            F.col("__pos").cast("long").alias("pos"),
+        )
+        .repartition("file_path")
+        .sortWithinPartitions("file_path", "pos")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    descs: list[dict] = []
+    try:
+        for fn in sorted(os.listdir(out_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            src = os.path.join(out_dir, fn)
+            n = pq.ParquetFile(src).metadata.num_rows
+            if n == 0:
+                continue
+            dst = os.path.join(
+                self.data_dir, f"{uuid.uuid4().hex}-deletes.parquet"
+            )
+            os.replace(src, dst)
+            descs.append(
+                {
+                    "content": CONTENT_POS_DELETES,
+                    "file_path": dst,
+                    "file_format": "PARQUET",
+                    "record_count": n,
+                    "file_size_in_bytes": os.path.getsize(dst),
+                }
+            )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return descs
 
 
 def _delete(self: IcebergTable, condition) -> dict:
@@ -177,53 +265,34 @@ def _delete(self: IcebergTable, condition) -> dict:
         for e in self._entries(content=CONTENT_POS_DELETES)
         if e["status"] != STATUS_DELETED
     ]
-    # per-file scan with row positions, existing deletes applied; the
-    # CURRENT table schema is explicit so pre-evolution files align
+    # one multi-path scan with row positions, existing deletes applied;
+    # the CURRENT table schema is explicit so pre-evolution files align
     from .iceberg_layout import _spark_schema_from_md
 
-    schema = _spark_schema_from_md(md)
-    pieces = []
-    for e in data_entries:
-        p = e["data_file"]["file_path"]
-        pieces.append(
-            self.spark.read.schema(schema).parquet(p)
-            .withColumn("__file", F.lit(p))
-            .withColumn("__pos", F.col("_metadata.row_index"))
-        )
-    if not pieces:
-        return {"files_named": 0, "rows_deleted": 0, "snapshot_id": None}
-    scan = pieces[0]
-    for piece in pieces[1:]:
-        scan = scan.unionByName(piece)
-    if prior_deletes:
-        pairs_df = self.spark.read.parquet(
-            *[e["data_file"]["file_path"] for e in prior_deletes]
-        ).select(
-            F.col("file_path").alias("__file"),
-            F.col("pos").alias("__pos"),
-        )
-        scan = scan.join(
-            F.broadcast(pairs_df), ["__file", "__pos"], "left_anti"
-        )
-    hits = (
-        scan.filter(cond)
-        .groupBy("__file")
-        .agg(F.sort_array(F.collect_list("__pos")).alias("pos"))
-        .collect()
+    scan = _scan_with_pos_ice(
+        self, data_entries, prior_deletes, _spark_schema_from_md(md)
     )
-    if not hits:
+    if scan is None:
         return {"files_named": 0, "rows_deleted": 0, "snapshot_id": None}
-    pairs = [
-        (r["__file"], int(p)) for r in hits for p in r["pos"]
-    ]
-    new_delete = _write_pos_delete_file(self, pairs)
-
+    # the delete parquets are written EXECUTOR-side; the driver only
+    # reads their footers and the tiny files themselves for the report
+    new_deletes = _write_pos_delete_files_distributed(
+        self, scan.filter(cond).select("__file", "__pos")
+    )
+    if not new_deletes:
+        return {"files_named": 0, "rows_deleted": 0, "snapshot_id": None}
+    files_named = (
+        self.spark.read.parquet(*[d["file_path"] for d in new_deletes])
+        .select("file_path")
+        .distinct()
+        .count()
+    )
     snapshot_id = _commit_mor_snapshot(
-        self, md, data_entries, prior_deletes, new_delete, [], "delete"
+        self, md, data_entries, prior_deletes, new_deletes, [], "delete"
     )
     return {
-        "files_named": len(hits),
-        "rows_deleted": len(pairs),
+        "files_named": files_named,
+        "rows_deleted": sum(d["record_count"] for d in new_deletes),
         "snapshot_id": snapshot_id,
     }
 
@@ -358,14 +427,20 @@ def _commit_mor_snapshot(
     md: dict,
     data_entries: list[dict],
     prior_deletes: list[dict],
-    new_delete: dict | None,
+    new_delete: dict | list[dict] | None,
     new_data_files: list[dict],
     operation: str,
 ) -> int:
     """Shared commit tail for merge-on-read DML snapshots: one data
     manifest (live files EXISTING + any new files ADDED), one delete
-    manifest (prior delete files EXISTING + the new one ADDED),
+    manifest (prior delete files EXISTING + the new one(s) ADDED),
     format-version 2."""
+    if new_delete is None:
+        new_delete_list: list[dict] = []
+    elif isinstance(new_delete, dict):
+        new_delete_list = [new_delete]
+    else:
+        new_delete_list = list(new_delete)
     snapshot_id = int(uuid.uuid4().int % (1 << 62))
     now = int(time.time() * 1000)
     part_fields = _part_fields_from_md(md)
@@ -398,14 +473,14 @@ def _commit_mor_snapshot(
         }
         for e in prior_deletes
     ]
-    if new_delete is not None:
-        del_entries.append(
-            {
-                "status": STATUS_ADDED,
-                "snapshot_id": snapshot_id,
-                "data_file": new_delete,
-            }
-        )
+    del_entries.extend(
+        {
+            "status": STATUS_ADDED,
+            "snapshot_id": snapshot_id,
+            "data_file": d,
+        }
+        for d in new_delete_list
+    )
     del_path = os.path.join(
         self.meta_dir, f"snap-{snapshot_id}-m1-deletes.avro"
     )
@@ -430,7 +505,7 @@ def _commit_mor_snapshot(
                 "manifest_length": os.path.getsize(del_path),
                 "partition_spec_id": 0,
                 "added_snapshot_id": snapshot_id,
-                "added_data_files_count": 1 if new_delete else 0,
+                "added_data_files_count": len(new_delete_list),
                 "existing_data_files_count": len(prior_deletes),
                 "deleted_data_files_count": 0,
                 "content": CONTENT_POS_DELETES,
@@ -477,37 +552,18 @@ def _update(self: IcebergTable, condition, assignments: dict) -> dict:
         for e in self._entries(content=CONTENT_POS_DELETES)
         if e["status"] != STATUS_DELETED
     ]
-    pieces = []
-    for e in data_entries:
-        p = e["data_file"]["file_path"]
-        pieces.append(
-            self.spark.read.schema(schema).parquet(p)
-            .withColumn("__file", F.lit(p))
-            .withColumn("__pos", F.col("_metadata.row_index"))
-        )
-    if not pieces:
+    scan = _scan_with_pos_ice(self, data_entries, prior_deletes, schema)
+    if scan is None:
         return {"rows_updated": 0, "snapshot_id": None}
-    scan = pieces[0]
-    for piece in pieces[1:]:
-        scan = scan.unionByName(piece)
-    if prior_deletes:
-        pairs_df = self.spark.read.parquet(
-            *[e["data_file"]["file_path"] for e in prior_deletes]
-        ).select(
-            F.col("file_path").alias("__file"),
-            F.col("pos").alias("__pos"),
-        )
-        scan = scan.join(
-            F.broadcast(pairs_df), ["__file", "__pos"], "left_anti"
-        )
     hit = scan.filter(F.coalesce(cond, F.lit(False)))
-    positions = [
-        (r["__file"], int(r["__pos"]))
-        for r in hit.select("__file", "__pos").collect()
-    ]
-    if not positions:
+    # delete-side parquets are written executor-side; the driver sees
+    # only their descriptors
+    new_delete = _write_pos_delete_files_distributed(
+        self, hit.select("__file", "__pos")
+    )
+    if not new_delete:
         return {"rows_updated": 0, "snapshot_id": None}
-    new_delete = _write_pos_delete_file(self, positions)
+    n_updated = sum(d["record_count"] for d in new_delete)
     sets = {
         c: (F.expr(e) if isinstance(e, str) else e)
         for c, e in assignments.items()
@@ -530,7 +586,7 @@ def _update(self: IcebergTable, condition, assignments: dict) -> dict:
         self, md, data_entries, prior_deletes, new_delete, new_files,
         "overwrite",
     )
-    return {"rows_updated": len(positions), "snapshot_id": snapshot_id}
+    return {"rows_updated": n_updated, "snapshot_id": snapshot_id}
 
 
 IcebergTable.update = _update
@@ -567,29 +623,7 @@ def _merge_into(
         for e in self._entries(content=CONTENT_POS_DELETES)
         if e["status"] != STATUS_DELETED
     ]
-    pieces = []
-    for e in data_entries:
-        p = e["data_file"]["file_path"]
-        pieces.append(
-            self.spark.read.schema(schema).parquet(p)
-            .withColumn("__file", F.lit(p))
-            .withColumn("__pos", F.col("_metadata.row_index"))
-        )
-    scan = None
-    if pieces:
-        scan = pieces[0]
-        for piece in pieces[1:]:
-            scan = scan.unionByName(piece)
-        if prior_deletes:
-            pairs_df = self.spark.read.parquet(
-                *[e["data_file"]["file_path"] for e in prior_deletes]
-            ).select(
-                F.col("file_path").alias("__file"),
-                F.col("pos").alias("__pos"),
-            )
-            scan = scan.join(
-                F.broadcast(pairs_df), ["__file", "__pos"], "left_anti"
-            )
+    scan = _scan_with_pos_ice(self, data_entries, prior_deletes, schema)
     src = source.withColumn("__s_matched", F.lit(True)).alias("s")
     join_cond = None
     for k in key_cols:
@@ -628,12 +662,14 @@ def _merge_into(
             else F.lit(False)
         )
         matched_rows = joined
-        positions = [
-            (r["__file"], int(r["__pos"]))
-            for r in matched_rows.select("t.__file", "t.__pos").collect()
-        ]
-        if positions:
-            new_delete = _write_pos_delete_file(self, positions)
+        # matched positions become delete parquets written executor-
+        # side; the driver holds one descriptor per output file
+        new_deletes = _write_pos_delete_files_distributed(
+            self, matched_rows.select("t.__file", "t.__pos")
+        )
+        if new_deletes:
+            new_delete = new_deletes
+            n_matched = sum(d["record_count"] for d in new_deletes)
             deleted_n = matched_rows.filter(
                 F.coalesce(del_cond, F.lit(False))
             ).count()
@@ -657,7 +693,7 @@ def _merge_into(
                 new_files.extend(
                     self._write_data(updated, part_cols)
                 )
-                report["rows_updated"] = len(positions) - deleted_n
+                report["rows_updated"] = n_matched - deleted_n
             elif when_matched_delete:
                 # delete-only merge: matched rows NOT hitting the
                 # delete condition must survive — re-insert them

@@ -402,3 +402,79 @@ def test_merge_into_mor_delete_only_keeps_nonmatching_matched(
             spark.createDataFrame([(2, "p"), (2, "q")], "k int, s string"),
             ["k"], when_matched_update={"s": "s.s"},
         )
+
+
+def test_iceberg_positions_never_cross_driver(spark, tmp_path):
+    """r10 pin: position-delete parquets are written by Spark tasks
+    (native writer); the descriptors the driver assembles come from
+    O(output files) footer reads. Pin the output shape: delete files
+    land spec-sorted, and a delete touching many data files still
+    produces a bounded number of delete files."""
+    import pyarrow.parquet as pq
+
+    t, _ = _table(spark, tmp_path, "execside", files=8, n=800)
+    rep = t.delete("k % 2 = 0")
+    assert rep["rows_deleted"] == 400
+    assert rep["files_named"] == 8
+    dels = t._live_delete_files()
+    # bounded by shuffle parallelism, not by data files touched
+    assert 1 <= len(dels) <= int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    for d in dels:
+        tbl = pq.read_table(d["file_path"]).to_pydict()
+        pairs = list(zip(tbl["file_path"], tbl["pos"]))
+        assert pairs == sorted(pairs)  # spec sort within each file
+    assert t.read().count() == 400
+
+
+def test_iceberg_dml_scan_plans_bounded_file_scans(spark, tmp_path):
+    """r10 pin: the DML positional scan over a many-file Iceberg table
+    plans O(1) parquet scans, not O(files)."""
+    from emr_on_eks_hudi_iceberg_delta_spark.plans import file_scan_count
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.iceberg_deletes import (
+        _scan_with_pos_ice,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.iceberg_layout import (
+        _spark_schema_from_md,
+    )
+
+    t = IcebergTable(spark, str(tmp_path / "manyice"))
+    t.overwrite(
+        spark.range(4000).selectExpr("id AS k", "id % 5 AS g")
+        .repartition(50)
+    )
+    entries = [e for e in t._entries() if e["status"] != 2]
+    assert len(entries) == 50
+    scan = _scan_with_pos_ice(
+        t, entries, [], _spark_schema_from_md(t._metadata())
+    )
+    assert file_scan_count(scan) <= 2  # one data scan + name map
+    assert scan.count() == 4000
+    assert scan.select("__file").distinct().count() == 50
+
+
+def test_iceberg_posdelete_antijoin_shuffles_above_threshold(
+    spark, tmp_path, monkeypatch
+):
+    """r10 pin: past POS_DELETE_BROADCAST_MAX_PAIRS the read path's
+    anti-join switches from broadcast to a shuffled join and results
+    stay exact."""
+    from emr_on_eks_hudi_iceberg_delta_spark.plans import (
+        broadcast_join_count,
+        formatted_plan,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import iceberg_deletes
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import iceberg_layout
+
+    t, _ = _table(spark, tmp_path, "bigdel", files=2, n=200)
+    t.delete("k % 2 = 0")
+    monkeypatch.setattr(
+        iceberg_layout, "POS_DELETE_BROADCAST_MAX_PAIRS", 10,
+        raising=False,
+    )
+    monkeypatch.setattr(
+        iceberg_deletes, "POS_DELETE_BROADCAST_MAX_PAIRS", 10
+    )
+    df = t.read()
+    assert sorted(r["k"] for r in df.collect()) == list(range(1, 200, 2))

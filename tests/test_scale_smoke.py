@@ -818,3 +818,29 @@ def test_million_row_dv_delete_executor_side(spark, tmp_path):
     assert len(descs) == 16
     assert sum(d["cardinality"] for d in descs) == 1_750_000
     print(f"dv_1M_delete={del1_sec:.1f}s read={read_sec:.1f}s")
+
+
+def test_million_row_iceberg_delete_executor_side(spark, tmp_path):
+    """r10: an Iceberg MoR DELETE matching 10^6 rows writes its
+    position-delete parquets executor-side; driver holds descriptors
+    only. Exercises prior-delete carry too."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import IcebergTable
+
+    n = 4_000_000
+    t = IcebergTable(spark, str(tmp_path / "icemillion"))
+    t.overwrite(
+        spark.range(n).selectExpr("id AS k", "id % 4 AS g").repartition(16)
+    )
+    t0 = time.time()
+    rep = t.delete("g = 0")
+    del_sec = time.time() - t0
+    assert rep["rows_deleted"] == n // 4
+    rep2 = t.delete("k < 1000000")
+    assert rep2["rows_deleted"] == 750_000
+    t0 = time.time()
+    assert t.read().count() == n - 1_750_000
+    read_sec = time.time() - t0
+    dels = t._live_delete_files()
+    assert sum(d["record_count"] for d in dels) == 1_750_000
+    print(f"ice_1M_delete={del_sec:.1f}s read={read_sec:.1f}s "
+          f"delete_files={len(dels)}")
