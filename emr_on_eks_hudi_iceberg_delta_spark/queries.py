@@ -14598,6 +14598,49 @@ def q_iceberg_position_deletes(spark, sf_dir):
 
 
 @register(
+    "iceberg_equality_deletes",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_name
+    FROM customer
+    WHERE c_mktsegment NOT IN ('BUILDING', 'AUTOMOBILE')
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_name
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey % 7 = 0
+    """,
+    tags=("lake", "S10", "extension"),
+)
+def q_iceberg_equality_deletes(spark, sf_dir):
+    """Iceberg v2 EQUALITY deletes (sources/iceberg_deletes.py
+    equality_delete — the spec's content=2 delete kind, keyed by
+    equality field ids): delete-by-key masks every row written
+    at-or-before the delete, and SEQUENCE-NUMBER applicability keeps
+    rows appended AFTER it — gated here by re-inserting a slice of a
+    deleted segment post-delete, which must survive while the
+    original segment rows stay masked. The delete key set is written
+    executor-side; appends carry the delete file forward."""
+    import tempfile
+
+    from .sources.iceberg_layout import IcebergTable
+    from .sources import iceberg_deletes  # noqa: F401
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_name"
+    )
+    t = IcebergTable(spark, tempfile.mkdtemp(prefix="ice_eqdel_"))
+    t.overwrite(c.repartition(4))
+    t.equality_delete(
+        spark.createDataFrame(
+            [("BUILDING",), ("AUTOMOBILE",)], "c_mktsegment string"
+        )
+    )
+    # post-delete append of a deleted key: sequence rules keep it
+    t.append(c.filter("c_mktsegment = 'BUILDING' AND c_custkey % 7 = 0"))
+    assert t._live_eq_delete_entries()  # carried, not materialized
+    return t.read()
+
+
+@register(
     "iceberg_rollback_after_compaction",
     oracle="""
     SELECT o_orderkey, o_orderpriority,

@@ -29,12 +29,19 @@ against the open spec (https://iceberg.apache.org/spec/#position-delete-files):
   version (history preserved; the rollback is itself visible in the
   snapshot-log), Iceberg's ``rollback_to_snapshot``.
 
-Scoping note (honest contract): position-delete applicability here is
-by exact ``file_path`` — sound without sequence-number bookkeeping
-because data-file names are fresh UUIDs (a delete can never name a
-file written after it). Sequence numbers exist in the spec chiefly for
-*equality* deletes, which stay out of contract (loud error nowhere —
-simply no API writes them).
+Position-delete applicability is by exact ``file_path`` — sound
+without sequence-number arithmetic because data-file names are fresh
+UUIDs (a delete can never name a file written after it).
+
+r10 adds the spec's OTHER v2 delete kind: ``equality_delete(keys)``
+writes content=2 delete files keyed by ``equality_ids`` (schema field
+ids), applied with real sequence-number semantics — snapshots carry
+``sequence-number`` (metadata tracks ``last-sequence-number``), and an
+equality delete masks only rows in data files whose data sequence
+number is STRICTLY less than the delete's, so rows upserted after the
+delete survive it (the streaming-upsert primitive real writers emit).
+Null keys match null (spec: null-safe equality). Appends carry
+equality deletes forward; rewrite_data_files materializes them away.
 """
 
 from __future__ import annotations
@@ -49,6 +56,7 @@ from pyspark.sql import DataFrame, functions as F
 from .avro_io import write_ocf
 from .iceberg_layout import (
     CONTENT_DATA,
+    CONTENT_EQ_DELETES,
     CONTENT_POS_DELETES,
     MANIFEST_FILE_SCHEMA,
     STATUS_ADDED,
@@ -83,6 +91,13 @@ DELETE_MANIFEST_ENTRY_SCHEMA = {
                      "field-id": 103},
                     {"name": "file_size_in_bytes", "type": "long",
                      "field-id": 104},
+                    # spec field-id 135: set only on equality-delete
+                    # files (content=2); position deletes leave null
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                        "field-id": 135,
+                    },
                 ],
             },
         },
@@ -144,11 +159,35 @@ def _advance_metadata(self: IcebergTable, md: dict) -> int:
 POS_DELETE_BROADCAST_MAX_PAIRS = 2_000_000
 
 
+def _split_delete_entries(self: IcebergTable) -> tuple[list, list, list]:
+    """Live delete-manifest entries split by kind: (all, position,
+    equality). Commits carry ALL forward; scans apply each kind its
+    own way."""
+    alive = [
+        e
+        for e in self._entries(content=CONTENT_POS_DELETES)
+        if e["status"] != STATUS_DELETED
+    ]
+    pos = [
+        e
+        for e in alive
+        if e["data_file"].get("content", CONTENT_POS_DELETES)
+        == CONTENT_POS_DELETES
+    ]
+    eq = [
+        e
+        for e in alive
+        if e["data_file"].get("content") == CONTENT_EQ_DELETES
+    ]
+    return alive, pos, eq
+
+
 def _scan_with_pos_ice(
     self: IcebergTable,
     data_entries: list[dict],
     prior_deletes: list[dict],
     schema,
+    eq_entries: list[dict] | None = None,
 ):
     """ONE multi-path scan of the live data files exposing ``__file``
     (the manifest's absolute file_path) and ``__pos``
@@ -191,6 +230,52 @@ def _scan_with_pos_ice(
         if total <= POS_DELETE_BROADCAST_MAX_PAIRS:
             pairs_df = F.broadcast(pairs_df)
         scan = scan.join(pairs_df, ["__file", "__pos"], "left_anti")
+    if eq_entries:
+        # equality deletes mask rows whose DATA FILE's sequence number
+        # is strictly below the delete's: the scan carries __file, so
+        # one broadcast file→seq map + per-column-set anti-joins with
+        # a seq guard apply them without splitting the scan
+        from .iceberg_layout import seq_of_snapshot
+
+        md = self._metadata()
+        seq_map = self.spark.createDataFrame(
+            [
+                (
+                    e["data_file"]["file_path"],
+                    seq_of_snapshot(md, e["snapshot_id"]),
+                )
+                for e in data_entries
+            ],
+            "__file string, __seq bigint",
+        )
+        scan = scan.join(F.broadcast(seq_map), "__file")
+        by_cols: dict[tuple, list] = {}
+        for e in eq_entries:
+            cols = self._eq_cols_of(md, e)
+            by_cols.setdefault(cols, []).append(
+                (e["data_file"], seq_of_snapshot(md, e["snapshot_id"]))
+            )
+        for cols, dfs in by_cols.items():
+            keys = None
+            for d, dseq in dfs:
+                k = (
+                    self.spark.read.parquet(d["file_path"])
+                    .select(*cols)
+                    .withColumn("__dseq", F.lit(dseq).cast("bigint"))
+                )
+                keys = k if keys is None else keys.unionByName(k)
+            keys = keys.dropDuplicates().alias("__eqk")
+            total = sum(d.get("record_count", 0) for d, _ in dfs)
+            if total <= POS_DELETE_BROADCAST_MAX_PAIRS:
+                keys = F.broadcast(keys)
+            t = scan.alias("__eqt")
+            cond = F.col("__eqt.__seq") < F.col("__eqk.__dseq")
+            for c in cols:
+                cond = cond & F.col(f"__eqt.{c}").eqNullSafe(
+                    F.col(f"__eqk.{c}")
+                )
+            scan = t.join(keys, cond, "left_anti")
+        scan = scan.drop("__seq")
     return scan
 
 
@@ -260,17 +345,17 @@ def _delete(self: IcebergTable, condition) -> dict:
     data_entries = [
         e for e in self._entries() if e["status"] != STATUS_DELETED
     ]
-    prior_deletes = [
-        e
-        for e in self._entries(content=CONTENT_POS_DELETES)
-        if e["status"] != STATUS_DELETED
-    ]
+    all_deletes, pos_deletes, eq_deletes = _split_delete_entries(self)
     # one multi-path scan with row positions, existing deletes applied;
     # the CURRENT table schema is explicit so pre-evolution files align
     from .iceberg_layout import _spark_schema_from_md
 
     scan = _scan_with_pos_ice(
-        self, data_entries, prior_deletes, _spark_schema_from_md(md)
+        self,
+        data_entries,
+        pos_deletes,
+        _spark_schema_from_md(md),
+        eq_entries=eq_deletes,
     )
     if scan is None:
         return {"files_named": 0, "rows_deleted": 0, "snapshot_id": None}
@@ -288,11 +373,82 @@ def _delete(self: IcebergTable, condition) -> dict:
         .count()
     )
     snapshot_id = _commit_mor_snapshot(
-        self, md, data_entries, prior_deletes, new_deletes, [], "delete"
+        self, md, data_entries, all_deletes, new_deletes, [], "delete"
     )
     return {
         "files_named": files_named,
         "rows_deleted": sum(d["record_count"] for d in new_deletes),
+        "snapshot_id": snapshot_id,
+    }
+
+
+def _equality_delete(self: IcebergTable, keys: DataFrame) -> dict:
+    """DELETE BY KEY — Iceberg v2 EQUALITY delete files (spec:
+    content=2, keyed by ``equality_ids`` schema field ids). Every
+    current-or-older row whose key columns null-safely equal a key row
+    is masked; rows added by LATER snapshots are NOT (sequence-number
+    applicability, spec: an equality delete applies only to data files
+    with a strictly smaller data sequence number) — the streaming-
+    upsert delete primitive real writers emit. The key set is written
+    executor-side by the native parquet writer; compaction
+    (rewrite_data_files) materializes and drops it like any delete."""
+    md = self._metadata()
+    from .iceberg_layout import _spark_schema_from_md
+
+    schema = _spark_schema_from_md(md)
+    names = [f.name for f in schema.fields]
+    cols = list(keys.columns)
+    bad = sorted(set(cols) - set(names))
+    if bad:
+        raise ValueError(
+            f"equality-delete columns not in table schema: {bad}"
+        )
+    field_ids = {f["name"]: f["id"] for f in md["schema"]["fields"]}
+    eq_ids = [field_ids[c] for c in cols]
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    out_dir = os.path.join(
+        self.location, f"staging-eqdeletes-{uuid.uuid4().hex}"
+    )
+    keys.dropDuplicates().write.mode("overwrite").parquet(out_dir)
+    descs: list[dict] = []
+    try:
+        for fn in sorted(os.listdir(out_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            src = os.path.join(out_dir, fn)
+            n = pq.ParquetFile(src).metadata.num_rows
+            if n == 0:
+                continue
+            dst = os.path.join(
+                self.data_dir, f"{uuid.uuid4().hex}-eq-deletes.parquet"
+            )
+            os.replace(src, dst)
+            descs.append(
+                {
+                    "content": CONTENT_EQ_DELETES,
+                    "file_path": dst,
+                    "file_format": "PARQUET",
+                    "record_count": n,
+                    "file_size_in_bytes": os.path.getsize(dst),
+                    "equality_ids": eq_ids,
+                }
+            )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    if not descs:
+        return {"keys": 0, "snapshot_id": None}
+    data_entries = [
+        e for e in self._entries() if e["status"] != STATUS_DELETED
+    ]
+    all_deletes, _, _ = _split_delete_entries(self)
+    snapshot_id = _commit_mor_snapshot(
+        self, md, data_entries, all_deletes, descs, [], "delete"
+    )
+    return {
+        "keys": sum(d["record_count"] for d in descs),
         "snapshot_id": snapshot_id,
     }
 
@@ -337,6 +493,7 @@ def _rollback(self: IcebergTable, snapshot_id: int) -> int:
 
 
 IcebergTable.delete = _delete
+IcebergTable.equality_delete = _equality_delete
 IcebergTable.rewrite_data_files = _rewrite_data_files
 IcebergTable.rollback = _rollback
 
@@ -512,13 +669,18 @@ def _commit_mor_snapshot(
             },
         ],
     )
+    from .iceberg_layout import next_sequence_number
+
+    seq = next_sequence_number(md)
     md["format-version"] = 2
+    md["last-sequence-number"] = seq
     md["snapshots"] = md["snapshots"] + [
         {
             "snapshot-id": snapshot_id,
             "timestamp-ms": now,
             "manifest-list": mlist_path,
             "summary": {"operation": operation},
+            "sequence-number": seq,
         }
     ]
     md["snapshot-log"] = md.get("snapshot-log", []) + [
@@ -547,12 +709,10 @@ def _update(self: IcebergTable, condition, assignments: dict) -> dict:
     data_entries = [
         e for e in self._entries() if e["status"] != STATUS_DELETED
     ]
-    prior_deletes = [
-        e
-        for e in self._entries(content=CONTENT_POS_DELETES)
-        if e["status"] != STATUS_DELETED
-    ]
-    scan = _scan_with_pos_ice(self, data_entries, prior_deletes, schema)
+    prior_deletes, pos_deletes, eq_deletes = _split_delete_entries(self)
+    scan = _scan_with_pos_ice(
+        self, data_entries, pos_deletes, schema, eq_entries=eq_deletes
+    )
     if scan is None:
         return {"rows_updated": 0, "snapshot_id": None}
     hit = scan.filter(F.coalesce(cond, F.lit(False)))
@@ -618,12 +778,10 @@ def _merge_into(
     data_entries = [
         e for e in self._entries() if e["status"] != STATUS_DELETED
     ]
-    prior_deletes = [
-        e
-        for e in self._entries(content=CONTENT_POS_DELETES)
-        if e["status"] != STATUS_DELETED
-    ]
-    scan = _scan_with_pos_ice(self, data_entries, prior_deletes, schema)
+    prior_deletes, pos_deletes, eq_deletes = _split_delete_entries(self)
+    scan = _scan_with_pos_ice(
+        self, data_entries, pos_deletes, schema, eq_entries=eq_deletes
+    )
     src = source.withColumn("__s_matched", F.lit(True)).alias("s")
     join_cond = None
     for k in key_cols:

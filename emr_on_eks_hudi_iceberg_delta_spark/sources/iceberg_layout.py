@@ -63,7 +63,7 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .avro_io import read_ocf, write_ocf
 
@@ -160,7 +160,7 @@ MANIFEST_FILE_SCHEMA = {
 }
 
 STATUS_EXISTING, STATUS_ADDED, STATUS_DELETED = 0, 1, 2
-CONTENT_DATA, CONTENT_POS_DELETES = 0, 1
+CONTENT_DATA, CONTENT_POS_DELETES, CONTENT_EQ_DELETES = 0, 1, 2
 
 
 #: iceberg primitive -> spark simpleString (inverse of _TYPE_MAP; both
@@ -177,6 +177,27 @@ _ICE2SPARK = {
     "timestamptz": "timestamp",
     "binary": "binary",
 }
+
+
+def next_sequence_number(md: dict) -> int:
+    """The data sequence number the NEXT snapshot commits with (spec
+    v2: ``last-sequence-number`` + 1). Pre-r10 metadata without the
+    field seeds from the snapshot count (each snapshot here advanced
+    the sequence exactly once)."""
+    last = md.get("last-sequence-number")
+    if last is None:
+        last = len(md.get("snapshots", []))
+    return last + 1
+
+
+def seq_of_snapshot(md: dict, snapshot_id: int) -> int:
+    """A snapshot's data sequence number — explicit when stamped,
+    else its 1-based ordinal in the snapshot list (the order our
+    commits advanced the sequence)."""
+    for i, s in enumerate(md.get("snapshots", [])):
+        if s["snapshot-id"] == snapshot_id:
+            return s.get("sequence-number", i + 1)
+    raise ValueError(f"snapshot {snapshot_id} not in metadata")
 
 
 def _spark_schema_from_md(md: dict, schema_id: int | None = None):
@@ -320,12 +341,33 @@ class IcebergTable:
     def _live_delete_files(
         self, snapshot_id: int | None = None
     ) -> list[dict]:
+        """Live POSITION-delete files (delete-manifest entries whose
+        file content is 1); equality deletes (content 2) ride the same
+        manifests but apply by key+sequence — see
+        ``_live_eq_delete_entries``."""
         return [
             e["data_file"]
             for e in self._entries(
                 snapshot_id, content=CONTENT_POS_DELETES
             )
             if e["status"] != STATUS_DELETED
+            and e["data_file"].get("content", CONTENT_POS_DELETES)
+            == CONTENT_POS_DELETES
+        ]
+
+    def _live_eq_delete_entries(
+        self, snapshot_id: int | None = None
+    ) -> list[dict]:
+        """Live EQUALITY-delete manifest entries (full entries — the
+        adding snapshot_id carries the delete's data sequence
+        number)."""
+        return [
+            e
+            for e in self._entries(
+                snapshot_id, content=CONTENT_POS_DELETES
+            )
+            if e["status"] != STATUS_DELETED
+            and e["data_file"].get("content") == CONTENT_EQ_DELETES
         ]
 
     def _schema_for_snapshot(self, snapshot_id: int | None):
@@ -400,16 +442,100 @@ class IcebergTable:
             out = out.unionByName(p)
         return out
 
+    def _eq_cols_of(self, md: dict, eq_entry: dict) -> tuple:
+        """Column names an equality-delete file keys on (spec
+        ``equality_ids`` are schema field ids)."""
+        by_id = {f["id"]: f["name"] for f in md["schema"]["fields"]}
+        return tuple(
+            by_id[i] for i in eq_entry["data_file"]["equality_ids"]
+        )
+
+    def _scan_with_eq_deletes(
+        self, data_entries, pos_deletes, eq_entries, schema
+    ) -> DataFrame:
+        """Apply v2 EQUALITY deletes on top of the position-delete
+        scan, honoring sequence-number applicability: an equality
+        delete masks only rows in data files whose data sequence
+        number is STRICTLY LESS than the delete's (spec — a delete
+        must not mask rows added after it). Data files are grouped by
+        which deletes apply (O(distinct delete seqs) groups, each one
+        multi-path scan); each group anti-joins the applicable key
+        sets with null-safe equality (spec: null matches null),
+        broadcast when small."""
+        md = self._metadata()
+        eq_with_seq = [
+            (e, seq_of_snapshot(md, e["snapshot_id"]))
+            for e in eq_entries
+        ]
+        groups: dict[tuple, list[str]] = {}
+        for e in data_entries:
+            fseq = seq_of_snapshot(md, e["snapshot_id"])
+            sig = tuple(
+                sorted(
+                    i
+                    for i, (_d, dseq) in enumerate(eq_with_seq)
+                    if dseq > fseq
+                )
+            )
+            groups.setdefault(sig, []).append(
+                e["data_file"]["file_path"]
+            )
+        parts = []
+        for sig, paths in sorted(groups.items()):
+            df = self._scan_files(paths, pos_deletes, schema=schema)
+            by_cols: dict[tuple, list[dict]] = {}
+            for i in sig:
+                d = eq_with_seq[i][0]["data_file"]
+                by_cols.setdefault(
+                    self._eq_cols_of(md, eq_with_seq[i][0]), []
+                ).append(d)
+            for cols, dfiles in by_cols.items():
+                keys = (
+                    self.spark.read.parquet(
+                        *[d["file_path"] for d in dfiles]
+                    )
+                    .select(*cols)
+                    .dropDuplicates()
+                    .alias("__eqk")
+                )
+                total = sum(d.get("record_count", 0) for d in dfiles)
+                from .iceberg_deletes import (
+                    POS_DELETE_BROADCAST_MAX_PAIRS,
+                )
+
+                if total <= POS_DELETE_BROADCAST_MAX_PAIRS:
+                    keys = F.broadcast(keys)
+                cond = None
+                t = df.alias("__eqt")
+                for c in cols:
+                    piece = F.col(f"__eqt.{c}").eqNullSafe(
+                        F.col(f"__eqk.{c}")
+                    )
+                    cond = piece if cond is None else (cond & piece)
+                df = t.join(keys, cond, "left_anti")
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def read(self, snapshot_id: int | None = None) -> DataFrame:
-        paths = [
-            e["data_file"]["file_path"]
+        data_entries = [
+            e
             for e in self._entries(snapshot_id)
             if e["status"] != STATUS_DELETED
         ]
+        schema = self._schema_for_snapshot(snapshot_id)
+        pos_dels = self._live_delete_files(snapshot_id)
+        eq_entries = self._live_eq_delete_entries(snapshot_id)
+        if eq_entries:
+            return self._scan_with_eq_deletes(
+                data_entries, pos_dels, eq_entries, schema
+            )
         return self._scan_files(
-            paths,
-            self._live_delete_files(snapshot_id),
-            schema=self._schema_for_snapshot(snapshot_id),
+            [e["data_file"]["file_path"] for e in data_entries],
+            pos_dels,
+            schema=schema,
         )
 
     def added_files(self, since_snapshot_id: int) -> list[dict]:
@@ -647,6 +773,11 @@ class IcebergTable:
             "manifest-list": mlist_path,
             "summary": summary,
         }
+        if cur is not None:
+            prior_md = self._metadata()
+            snapshot["sequence-number"] = next_sequence_number(prior_md)
+        else:
+            snapshot["sequence-number"] = 1
         if cur is None:
             new_schema = _iceberg_schema(df)
             # spec: snapshots record the schema current at write time
@@ -682,6 +813,7 @@ class IcebergTable:
                 "snapshots": [snapshot],
                 "snapshot-log": [],
                 "current-snapshot-id": snapshot_id,
+                "last-sequence-number": 1,
             }
             next_v = 1
         else:
@@ -697,6 +829,7 @@ class IcebergTable:
                     "schema-id", 0
                 )
             snapshot["schema-id"] = md["current-schema-id"]
+            md["last-sequence-number"] = snapshot["sequence-number"]
             md["last-updated-ms"] = now
             md["snapshots"] = md["snapshots"] + [snapshot]
             md["snapshot-log"] = md.get("snapshot-log", []) + [

@@ -478,3 +478,102 @@ def test_iceberg_posdelete_antijoin_shuffles_above_threshold(
     )
     df = t.read()
     assert sorted(r["k"] for r in df.collect()) == list(range(1, 200, 2))
+
+
+# ------------------------- equality deletes -------------------------
+
+
+def test_equality_delete_by_key(spark, tmp_path):
+    """v2 content=2 delete files: delete-by-key masks every matching
+    row written at-or-before the delete."""
+    t, _ = _table(spark, tmp_path, "eqd", files=4, n=100)
+    rep = t.equality_delete(
+        spark.createDataFrame([(3,), (5,)], "g bigint")
+    )
+    assert rep["keys"] == 2
+    got = t.read()
+    assert got.filter("g IN (3, 5)").count() == 0
+    assert got.count() == 75  # g=3 has 13 rows, g=5 has 12 (n=100, %8)
+    # the delete file is registered content=2 with equality_ids
+    eqs = t._live_eq_delete_entries()
+    assert eqs and all(
+        e["data_file"]["content"] == 2 for e in eqs
+    )
+    assert eqs[0]["data_file"]["equality_ids"] == [2]  # field id of g
+
+
+def test_equality_delete_sequence_applicability(spark, tmp_path):
+    """Spec: an equality delete must NOT mask rows added AFTER it —
+    data files with sequence number >= the delete's survive."""
+    t, _ = _table(spark, tmp_path, "eqseq", files=2, n=40)
+    t.equality_delete(spark.createDataFrame([(7,)], "k bigint"))
+    assert t.read().filter("k = 7").count() == 0
+    # re-insert the key AFTER the delete: the new row must be visible
+    t.append(
+        spark.createDataFrame([(7, 99, -1.0)], "k bigint, g bigint, v double")
+    )
+    rows = t.read().filter("k = 7").collect()
+    assert len(rows) == 1 and rows[0]["g"] == 99
+    # a SECOND equality delete masks both old and new
+    t.equality_delete(spark.createDataFrame([(7,)], "k bigint"))
+    assert t.read().filter("k = 7").count() == 0
+    assert t.read().count() == 39
+
+
+def test_equality_delete_null_key_matches_null(spark, tmp_path):
+    t = IcebergTable(spark, str(tmp_path / "eqnull"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "b")], "k int, s string"
+        )
+    )
+    t.equality_delete(
+        spark.createDataFrame([(None,)], "s string")
+    )
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 3]
+
+
+def test_equality_delete_composes_with_position_deletes(spark, tmp_path):
+    t, _ = _table(spark, tmp_path, "eqpos", files=3, n=60)
+    t.delete("k < 10")                     # position deletes
+    t.equality_delete(
+        spark.createDataFrame([(2,)], "g bigint")
+    )                                      # equality delete
+    got = sorted(r["k"] for r in t.read().collect())
+    exp = [k for k in range(10, 60) if k % 8 != 2]
+    assert got == exp
+    # predicate DELETE after an equality delete sees the masked state
+    rep = t.delete("g = 2")
+    assert rep["snapshot_id"] is None  # nothing left to match
+    # and compaction materializes everything away
+    t.rewrite_data_files(target_files=2)
+    assert not t._live_delete_files()
+    assert not t._live_eq_delete_entries()
+    assert sorted(r["k"] for r in t.read().collect()) == exp
+
+
+def test_equality_delete_carried_by_append_and_refused_cols(
+    spark, tmp_path
+):
+    t, _ = _table(spark, tmp_path, "eqcarry", files=2, n=20)
+    t.equality_delete(spark.createDataFrame([(0,)], "g bigint"))
+    n_after_eq = t.read().count()
+    t.append(
+        spark.createDataFrame([(777, 5, 0.5)], "k bigint, g bigint, v double")
+    )
+    assert t.read().count() == n_after_eq + 1  # carry, no resurrection
+    assert t.read().filter("g = 0").count() == 0
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.equality_delete(spark.createDataFrame([(1,)], "zz int"))
+
+
+def test_sequence_numbers_tracked_in_metadata(spark, tmp_path):
+    t, _ = _table(spark, tmp_path, "seqmd", files=2, n=20)
+    t.append(
+        spark.createDataFrame([(100, 1, 1.0)], "k bigint, g bigint, v double")
+    )
+    t.delete("k = 0")
+    md = t._metadata()
+    seqs = [s.get("sequence-number") for s in md["snapshots"]]
+    assert seqs == [1, 2, 3]
+    assert md["last-sequence-number"] == 3
