@@ -14523,6 +14523,55 @@ def q_delta_zorder_skipping(spark, sf_dir):
 
 
 @register(
+    "delta_column_mapping_rename",
+    oracle="""
+    SELECT c_custkey, c_mktsegment AS segment, c_name AS customer_name
+    FROM customer
+    UNION ALL
+    SELECT c_custkey + 10000000, 'POST-RENAME' AS segment,
+           c_name AS customer_name
+    FROM customer
+    WHERE c_custkey % 100 = 0
+    """,
+    tags=("lake", "S9", "extension"),
+)
+def q_delta_column_mapping_rename(spark, sf_dir):
+    """Delta COLUMN MAPPING, name mode (sources/delta_colmap.py —
+    PROTOCOL.md's rename/drop evolution): enable_column_mapping stamps
+    field ids + physical names and upgrades the protocol to declare
+    the columnMapping feature; RENAME COLUMN is then metadata-only —
+    the gate asserts ZERO data files were rewritten while every
+    pre-rename file serves under the new logical names, and an append
+    AFTER the rename writes physical names so both generations read
+    back identically."""
+    import tempfile
+
+    from .sources import DeltaLogTable
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_name"
+    )
+    dt = DeltaLogTable(spark, tempfile.mkdtemp(prefix="delta_cm_"))
+    dt.overwrite(c.repartition(4))
+    live0, _, _ = dt._replay()
+    dt.enable_column_mapping()
+    dt.rename_column("c_mktsegment", "segment")
+    dt.rename_column("c_name", "customer_name")
+    live1, _, _ = dt._replay()
+    assert set(live0) == set(live1)  # rename rewrote nothing
+    dt.append(
+        c.filter("c_custkey % 100 = 0").selectExpr(
+            "c_custkey + 10000000 AS c_custkey",
+            "'POST-RENAME' AS segment",
+            "c_name AS customer_name",
+        )
+    )
+    proto = dt.current_protocol()
+    assert "columnMapping" in proto["readerFeatures"]
+    return dt.read()
+
+
+@register(
     "delta_schema_evolution",
     oracle="""
     SELECT c_custkey, c_name,

@@ -58,6 +58,12 @@ def _set_table_properties(self: DeltaLogTable, props: dict) -> "DeltaLogTable":
     updating ``configuration`` (how CDF is switched on:
     ``{"delta.enableChangeDataFeed": "true"}``)."""
     _, meta, head = self._replay()
+    if "delta.columnMapping.mode" in props:
+        raise ValueError(
+            "set delta.columnMapping.mode via enable_column_mapping() "
+            "— it must also stamp field ids/physical names and upgrade "
+            "the protocol"
+        )
     cfg = dict(meta.get("configuration") or {})
     cfg.update({k: str(v) for k, v in props.items()})
     newmeta = dict(meta)

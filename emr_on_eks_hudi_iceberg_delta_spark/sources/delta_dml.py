@@ -186,6 +186,20 @@ def _needs_dv_upgrade(proto: dict) -> bool:
     )
 
 
+def _refuse_if_mapped(meta: dict, op: str) -> None:
+    """Row-level DML rewrites data files; doing that under column
+    mapping requires writing physical names + id-aware stats, which
+    this layer does not yet do — refuse loudly rather than corrupt."""
+    from .delta_colmap import mapping_enabled
+
+    if mapping_enabled(meta):
+        raise NotImplementedError(
+            f"{op} on a column-mapped table is not supported yet; "
+            "reads, appends, rename/drop column, OPTIMIZE and "
+            "checkpoints all work on mapped tables"
+        )
+
+
 def _delete(
     self: DeltaLogTable, condition, mode: str = "cow"
 ) -> dict:
@@ -198,6 +212,7 @@ def _delete(
         raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
     cond = F.expr(condition) if isinstance(condition, str) else condition
     live, meta, head = self._replay()
+    _refuse_if_mapped(meta, "DELETE")
     part_cols, _, _, out_cols = _schema_parts(meta)
     scan = _scan_with_pos(self, list(live.values()), meta)
     if scan is None:
@@ -336,6 +351,7 @@ def _update(
     goes through the partitioned writer."""
     cond = F.expr(condition) if isinstance(condition, str) else condition
     live, meta, head = self._replay()
+    _refuse_if_mapped(meta, "UPDATE")
     part_cols, _, types, out_cols = _schema_parts(meta)
     bad = sorted(set(assignments) - set(out_cols))
     if bad:
@@ -456,6 +472,7 @@ def _merge_into(
     A source with two rows matching one target row refuses loudly
     (real Delta's DELTA_MULTIPLE_SOURCE_ROW_MATCHING error)."""
     live, meta, head = self._replay()
+    _refuse_if_mapped(meta, "MERGE INTO")
     part_cols, _, types, out_cols = _schema_parts(meta)
     scan = _scan_with_pos(self, list(live.values()), meta)
     src = source.withColumn("__s_matched", F.lit(True)).alias("s")

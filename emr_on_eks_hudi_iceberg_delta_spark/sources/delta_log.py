@@ -53,10 +53,12 @@ tables); Change Data Feed (``delta.enableChangeDataFeed`` + real
 time travel; optimistic concurrency (put-if-absent commits,
 auto-rebased appends); and ``fsck`` integrity verification (fsck.py).
 
-Not implemented (documented contract, loud errors — not silent
-corruption): column mapping, generated columns — these bump the reader
-requirements to features this reader does not honor and would be
-misrepresentation to claim.
+Column mapping (name mode) lives in delta_colmap.py (r10):
+``enable_column_mapping`` / ``rename_column`` / ``drop_column`` with
+physical-name scans, so renames/drops never rewrite data. Still not
+implemented (documented contract, loud errors — not silent
+corruption): generated columns, identity columns, and
+overwrite/row-DML on column-mapped tables.
 """
 
 from __future__ import annotations
@@ -156,13 +158,17 @@ class DeltaLogTable:
 
     #: reader table features this implementation actually supports —
     #: anything else refuses loudly rather than mis-reading.
-    SUPPORTED_READER_FEATURES = frozenset({"deletionVectors"})
+    SUPPORTED_READER_FEATURES = frozenset(
+        {"deletionVectors", "columnMapping"}
+    )
 
     @classmethod
     def _check_protocol(cls, p: dict) -> None:
         mrv = p.get("minReaderVersion", 1)
         if mrv <= 1:
             return
+        if mrv == 2:
+            return  # legacy columnMapping reader version — supported
         if mrv == 3:
             feats = set(p.get("readerFeatures") or [])
             extra = feats - cls.SUPPORTED_READER_FEATURES
@@ -171,12 +177,13 @@ class DeltaLogTable:
             raise ValueError(
                 "table requires unsupported reader features "
                 f"{sorted(extra)}; this reader implements protocol v1 "
-                "plus the deletionVectors table feature"
+                "plus the deletionVectors and columnMapping table "
+                "features"
             )
         raise ValueError(
             "table requires Delta reader version "
             f"{mrv}; this reader implements protocol v1 plus the "
-            "deletionVectors table feature (no column mapping)"
+            "deletionVectors and columnMapping table features"
         )
 
     def _load_checkpoint(self, ckpt: int):
@@ -236,16 +243,47 @@ class DeltaLogTable:
         data_fields = [f for f in schema.fields if f.name not in part_cols]
         if not adds:
             return self.spark.createDataFrame([], schema)
+        # column mapping (name mode): data files store PHYSICAL column
+        # names; scan physical, rename to logical right after — a
+        # renamed column keeps serving from old files with no rewrite
+        from .delta_colmap import mapping_enabled, physical_names
+
+        if mapping_enabled(meta):
+            phys = physical_names(meta)
+        else:
+            phys = {f.name: f.name for f in schema.fields}
+        from pyspark.sql.types import StructField
+
+        scan_struct = StructType(
+            [
+                StructField(phys[f.name], f.dataType, True)
+                for f in data_fields
+            ]
+        )
+
+        def _to_logical(df):
+            return df.select(
+                *[
+                    F.col(phys[f.name]).alias(f.name)
+                    for f in data_fields
+                ],
+                *[c for c in df.columns
+                  if c in ("__dv_file", "__dv_pos")],
+            )
+
         plain = [a for a in adds if not a.get("deletionVector")]
         dvd = [a for a in adds if a.get("deletionVector")]
         types = {f.name: f.dataType for f in schema.fields}
         out_cols = [f.name for f in schema.fields]
         parts = []
         # group plain files by partition tuple; inject partition columns
-        # as typed literals (Delta does not store them in the data files)
+        # as typed literals (Delta does not store them in the data
+        # files; partitionValues are keyed by PHYSICAL name)
         by_part: dict[tuple, list[str]] = {}
         for a in plain:
-            key = tuple(a["partitionValues"].get(c) for c in part_cols)
+            key = tuple(
+                a["partitionValues"].get(phys[c]) for c in part_cols
+            )
             by_part.setdefault(key, []).append(
                 os.path.join(self.location, a["path"])
             )
@@ -254,9 +292,9 @@ class DeltaLogTable:
             by_part.items(),
             key=lambda kv: tuple((x is not None, x or "") for x in kv[0]),
         ):
-            df = self.spark.read.schema(
-                StructType(data_fields)
-            ).parquet(*paths)
+            df = _to_logical(
+                self.spark.read.schema(scan_struct).parquet(*paths)
+            )
             for c, val in zip(part_cols, key):
                 lit = (
                     F.lit(None) if val is None else F.lit(val)
@@ -268,14 +306,16 @@ class DeltaLogTable:
 
             pieces = []
             for a in dvd:
-                df = (
-                    self.spark.read.schema(StructType(data_fields))
+                df = _to_logical(
+                    self.spark.read.schema(scan_struct)
                     .parquet(os.path.join(self.location, a["path"]))
                     .withColumn("__dv_file", F.lit(a["path"]))
-                    .withColumn("__dv_pos", F.col("_metadata.row_index"))
+                    .withColumn(
+                        "__dv_pos", F.col("_metadata.row_index")
+                    )
                 )
                 for c in part_cols:
-                    val = a["partitionValues"].get(c)
+                    val = a["partitionValues"].get(phys[c])
                     lit = (
                         F.lit(None) if val is None else F.lit(val)
                     ).cast(types[c])
@@ -448,6 +488,16 @@ class DeltaLogTable:
         prior_live: dict[str, dict] = {}
         if versions:
             prior_live, prior_meta, _ = self._replay()
+            from .delta_colmap import mapping_enabled
+
+            if mapping_enabled(prior_meta):
+                raise NotImplementedError(
+                    "overwrite of a column-mapped table is not "
+                    "supported: a schema-replacing write must "
+                    "reconcile column ids/physical names; append, "
+                    "rename_column, drop_column, OPTIMIZE and reads "
+                    "all work on mapped tables"
+                )
             from .delta_cdf import enforce_constraints
 
             enforce_constraints(df, prior_meta)
@@ -525,6 +575,14 @@ class DeltaLogTable:
                 }
             }
         ]
+        from .delta_colmap import (
+            MAXID_KEY,
+            fresh_field_metadata,
+            mapping_enabled,
+            to_physical,
+        )
+
+        write_meta = meta
         if new_fields:
             if not merge_schema:
                 raise ValueError(
@@ -534,17 +592,35 @@ class DeltaLogTable:
                 )
             from pyspark.sql.types import StructField
 
-            merged = StructType(
-                list(existing.fields)
-                + [
-                    StructField(f.name, f.dataType, True)
-                    for f in new_fields
-                ]
-            )
             evolved = dict(meta)
+            added = []
+            for f in new_fields:
+                if mapping_enabled(meta):
+                    # mapped tables: new columns get fresh ids and
+                    # col-<uuid> physical names (ids never reused)
+                    fmd, max_id = fresh_field_metadata(evolved)
+                    cfg = dict(evolved.get("configuration") or {})
+                    cfg[MAXID_KEY] = str(max_id)
+                    evolved["configuration"] = cfg
+                    added.append(
+                        StructField(f.name, f.dataType, True, fmd)
+                    )
+                else:
+                    added.append(StructField(f.name, f.dataType, True))
+            merged = StructType(list(existing.fields) + added)
             evolved["schemaString"] = merged.json()
             actions.append({"metaData": evolved})
-        adds = self._write_data_files(df, part_cols)
+            write_meta = evolved
+        if mapping_enabled(write_meta):
+            from .delta_colmap import physical_names
+
+            phys = physical_names(write_meta)
+            adds = self._write_data_files(
+                to_physical(df, write_meta),
+                [phys[c] for c in part_cols],
+            )
+        else:
+            adds = self._write_data_files(df, part_cols)
         actions.extend({"add": a} for a in adds)
         from .tables import ConcurrentCommitError
 
@@ -668,9 +744,18 @@ def _optimize_partitioned(
     partition value — no global coalesce bottleneck); single-file
     DV-less partitions are never mentioned in the commit. dataChange
     stays false: contents are identical before and after."""
+    from .delta_colmap import mapping_enabled, physical_names, to_physical
+
+    phys = (
+        physical_names(meta)
+        if mapping_enabled(meta)
+        else {c: c for c in part_cols}
+    )
     by_part: dict[tuple, list[dict]] = {}
     for a in live.values():
-        key = tuple(a["partitionValues"].get(c) for c in part_cols)
+        key = tuple(
+            a["partitionValues"].get(phys[c]) for c in part_cols
+        )
         by_part.setdefault(key, []).append(a)
     compact = [
         a
@@ -681,7 +766,11 @@ def _optimize_partitioned(
     if not compact:
         return self  # nothing worth a commit
     df = self._read_adds(compact, meta).repartition(*part_cols)
-    adds = self._write_data_files(df, part_cols)
+    if mapping_enabled(meta):
+        df = to_physical(df, meta)
+    adds = self._write_data_files(
+        df, [phys[c] for c in part_cols]
+    )
     now = int(time.time() * 1000)
     actions: list[dict] = [
         {
@@ -753,6 +842,10 @@ def _optimize(
         )
     else:
         df = df.coalesce(target_files)
+    from .delta_colmap import mapping_enabled, to_physical
+
+    if mapping_enabled(meta):
+        df = to_physical(df, meta)  # rewrites keep physical names
     adds = self._write_data_files(df, [])
     now = int(time.time() * 1000)
     actions: list[dict] = [
@@ -1187,6 +1280,18 @@ def _collect_file_stats(path: str) -> str | None:
     )
 
 
+def _physical_filters(meta: dict, filters: list[tuple]) -> list[tuple]:
+    """Stats (and partitionValues) on column-mapped tables are keyed
+    by PHYSICAL column names — translate predicate columns before
+    consulting them."""
+    from .delta_colmap import mapping_enabled, physical_names
+
+    if not mapping_enabled(meta):
+        return filters
+    phys = physical_names(meta)
+    return [(phys.get(c, c), op, v) for c, op, v in filters]
+
+
 def _stats_may_match(
     add: dict, filters: list[tuple], part_cols: set
 ) -> bool:
@@ -1224,6 +1329,7 @@ def _files_matching(
     (e.g. measuring Z-order's skipping efficacy)."""
     live, meta, _ = self._replay(version)
     part_cols = set(meta.get("partitionColumns", []))
+    filters = _physical_filters(meta, filters)
     return sorted(
         p
         for p, a in live.items()
@@ -1250,7 +1356,7 @@ def _read_filtered(
     pruned = {
         p: a
         for p, a in live.items()
-        if _stats_may_match(a, filters, part_cols)
+        if _stats_may_match(a, _physical_filters(meta, filters), part_cols)
     }
     df = self._read_adds(list(pruned.values()), meta)
     ops = {

@@ -1,0 +1,190 @@
+"""Delta column mapping, name mode (sources/delta_colmap.py):
+rename/drop column evolution with zero data rewrites, physical-name
+scans, protocol feature declaration, and checkpoint carry.
+
+Reference parity: delta/delta_scd_script.py runs on a Delta runtime
+where ALTER TABLE ... RENAME COLUMN works once
+delta.columnMapping.mode = 'name'; these tests pin the log-native
+implementation to PROTOCOL.md's Column Mapping section.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from emr_on_eks_hudi_iceberg_delta_spark.sources import DeltaLogTable
+
+
+def _table(spark, tmp_path, name="t", n=100, files=3):
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("g"),
+        F.concat(F.lit("v"), F.col("id")).alias("label"),
+    )
+    dt = DeltaLogTable(spark, str(tmp_path / name))
+    dt.overwrite(df.repartition(files))
+    return dt
+
+
+def test_rename_serves_old_files_without_rewrite(spark, tmp_path):
+    dt = _table(spark, tmp_path, "ren")
+    live0, _, _ = dt._replay()
+    dt.enable_column_mapping()
+    dt.rename_column("label", "doc_label")
+    live1, _, _ = dt._replay()
+    assert set(live0) == set(live1)  # zero data files rewritten
+    got = dt.read()
+    assert got.columns == ["k", "g", "doc_label"]
+    rows = {r["k"]: r["doc_label"] for r in got.collect()}
+    assert rows[7] == "v7" and len(rows) == 100
+    # physical name is immutable: the field still maps to 'label'
+    _, meta, _ = dt._replay()
+    schema = json.loads(meta["schemaString"])
+    f = [x for x in schema["fields"] if x["name"] == "doc_label"][0]
+    assert f["metadata"]["delta.columnMapping.physicalName"] == "label"
+
+
+def test_rename_refused_without_mapping(spark, tmp_path):
+    dt = _table(spark, tmp_path, "refuse")
+    with pytest.raises(ValueError, match="requires column mapping"):
+        dt.rename_column("label", "x")
+    with pytest.raises(ValueError, match="requires column mapping"):
+        dt.drop_column("label")
+
+
+def test_protocol_declares_column_mapping(spark, tmp_path):
+    dt = _table(spark, tmp_path, "proto")
+    dt.enable_column_mapping()
+    p = dt.current_protocol()
+    assert p["minReaderVersion"] == 3 and p["minWriterVersion"] == 7
+    assert "columnMapping" in p["readerFeatures"]
+    assert "columnMapping" in p["writerFeatures"]
+    # legacy-implied writer features preserved by the merge
+    assert {"appendOnly", "invariants"} <= set(p["writerFeatures"])
+    cfg = dt._replay()[1]["configuration"]
+    assert cfg["delta.columnMapping.mode"] == "name"
+    assert cfg["delta.columnMapping.maxColumnId"] == "3"
+
+
+def test_append_after_rename_writes_physical_names(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    dt = _table(spark, tmp_path, "append", n=10, files=1)
+    dt.enable_column_mapping()
+    dt.rename_column("label", "tag")
+    dt.append(
+        spark.createDataFrame(
+            [(100, 0, "new")], "k bigint, g bigint, tag string"
+        )
+    )
+    got = {r["k"]: r["tag"] for r in dt.read().collect()}
+    assert got[100] == "new" and got[3] == "v3" and len(got) == 11
+    # the NEW file stores the PHYSICAL column name ('label')
+    live, _, _ = dt._replay()
+    newest = max(live.values(), key=lambda a: a["modificationTime"])
+    cols = pq.read_schema(
+        os.path.join(dt.location, newest["path"])
+    ).names
+    assert "label" in cols and "tag" not in cols
+
+
+def test_merge_schema_append_on_mapped_table_gets_fresh_id(
+    spark, tmp_path
+):
+    dt = _table(spark, tmp_path, "evolve", n=10, files=1)
+    dt.enable_column_mapping()
+    dt.append(
+        spark.createDataFrame(
+            [(200, 1, "x", 3.5)],
+            "k bigint, g bigint, label string, score double",
+        ),
+        merge_schema=True,
+    )
+    _, meta, _ = dt._replay()
+    schema = json.loads(meta["schemaString"])
+    f = [x for x in schema["fields"] if x["name"] == "score"][0]
+    assert f["metadata"]["delta.columnMapping.id"] == 4
+    assert f["metadata"][
+        "delta.columnMapping.physicalName"
+    ].startswith("col-")
+    assert meta["configuration"]["delta.columnMapping.maxColumnId"] == "4"
+    rows = {r["k"]: r["score"] for r in dt.read().collect()}
+    assert rows[200] == 3.5 and rows[3] is None
+
+
+def test_drop_column_is_metadata_only(spark, tmp_path):
+    dt = _table(spark, tmp_path, "drop")
+    live0, _, _ = dt._replay()
+    dt.enable_column_mapping()
+    dt.drop_column("label")
+    live1, _, _ = dt._replay()
+    assert set(live0) == set(live1)
+    got = dt.read()
+    assert got.columns == ["k", "g"]
+    assert got.count() == 100
+    with pytest.raises(ValueError, match="no such column"):
+        dt.drop_column("label")
+
+
+def test_checkpoint_carries_mapping(spark, tmp_path):
+    dt = _table(spark, tmp_path, "ckpt")
+    dt.enable_column_mapping()
+    dt.rename_column("g", "bucket")
+    dt.write_checkpoint()
+    dt.clean_log()
+    # replay now seeds from the checkpoint — mapping must survive
+    again = DeltaLogTable(spark, dt.location)
+    got = again.read()
+    assert got.columns == ["k", "bucket", "label"]
+    assert got.count() == 100
+    assert got.filter("bucket = 2").count() == 20
+
+
+def test_time_travel_serves_pre_rename_schema_values(spark, tmp_path):
+    dt = _table(spark, tmp_path, "tt", n=20, files=1)
+    dt.enable_column_mapping()          # v1
+    dt.rename_column("label", "name2")  # v2
+    # time travel to v0 reads with the THEN-current metadata
+    assert dt.read(version=0).columns == ["k", "g", "label"]
+    assert dt.read(version=2).columns == ["k", "g", "name2"]
+    assert dt.read(version=0).count() == 20
+
+
+def test_optimize_on_mapped_table_keeps_physical_names(spark, tmp_path):
+    dt = _table(spark, tmp_path, "opt", n=60, files=4)
+    dt.enable_column_mapping()
+    dt.rename_column("label", "txt")
+    dt.optimize(target_files=1)
+    got = dt.read()
+    assert got.columns == ["k", "g", "txt"]
+    assert got.count() == 60
+    live, _, _ = dt._replay()
+    assert len(live) == 1
+
+
+def test_dml_and_overwrite_refuse_on_mapped_tables(spark, tmp_path):
+    dt = _table(spark, tmp_path, "refu2", n=10, files=1)
+    dt.enable_column_mapping()
+    with pytest.raises(NotImplementedError, match="DELETE"):
+        dt.delete("k = 1")
+    with pytest.raises(NotImplementedError, match="UPDATE"):
+        dt.update("k = 1", {"g": "0"})
+    with pytest.raises(NotImplementedError, match="overwrite"):
+        dt.overwrite(spark.range(3).selectExpr("id AS k"))
+    with pytest.raises(ValueError, match="enable_column_mapping"):
+        dt.set_table_properties({"delta.columnMapping.mode": "name"})
+
+
+def test_stats_skipping_translates_to_physical(spark, tmp_path):
+    dt = _table(spark, tmp_path, "skip", n=400, files=4)
+    dt.optimize(target_files=4, zorder_by=["k"])
+    dt.enable_column_mapping()
+    dt.rename_column("k", "key_id")
+    matched = dt.files_matching([("key_id", "<", 100)])
+    live, _, _ = dt._replay()
+    assert 1 <= len(matched) < len(live)  # skipping still effective
+    got = dt.read_filtered([("key_id", "<", 100)])
+    assert got.count() == 100
+    assert got.columns == ["key_id", "g", "label"]

@@ -122,21 +122,20 @@ def test_reader_refuses_higher_protocol(spark, tmp_path):
     with open(log1, "w") as f:
         f.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["columnMapping"],
+            "readerFeatures": ["v2Checkpoint"],
         }}) + "\n")
-    with pytest.raises(ValueError, match="columnMapping"):
+    with pytest.raises(ValueError, match="v2Checkpoint"):
         dt.read()
-    # reader v2 (column mapping era, pre-features) → refuse
+    # reader v2 (legacy columnMapping era) → supported since r10
     with open(log1, "w") as f:
         f.write(json.dumps({"protocol": {"minReaderVersion": 2,
                                          "minWriterVersion": 5}}) + "\n")
-    with pytest.raises(ValueError, match="reader version"):
-        dt.read()
+    assert dt.read().count() == 3
     # reader v3 whose features we DO implement → read fine
     with open(log1, "w") as f:
         f.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["deletionVectors"],
+            "readerFeatures": ["deletionVectors", "columnMapping"],
         }}) + "\n")
     assert dt.read().count() == 3
 
