@@ -179,6 +179,76 @@ class HudiCowTable:
             )
         ).cast("int")
 
+    # two fixed 16-byte seeds for the double-hash bloom scheme
+    _BLOOM_SEED1 = "0123456789123456"
+    _BLOOM_SEED2 = "fedcba9876543210"
+    _BLOOM_K = 5
+
+    def _group_key_stats(self, df: DataFrame) -> dict[int, dict]:
+        """Per-file-group record-key index metadata — Hudi's BLOOM
+        index: (minKey, maxKey, bloom bitset) per group, computed
+        EXECUTOR-side with one applyInPandas pass (numpy double-hash
+        bloom, deterministic seeds). Returned keyed by group number;
+        stored in commit write stats so upsert tagging can skip the
+        merge join for groups that provably hold none of a batch's
+        keys."""
+        import base64
+
+        import numpy as np
+        import pandas as pd
+
+        key_col, k = self.record_key, self._BLOOM_K
+        s1, s2 = self._BLOOM_SEED1, self._BLOOM_SEED2
+
+        def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            keys = pdf[key_col].astype(str).to_numpy(dtype=object)
+            uniq = np.unique(keys)
+            m = max(64, int(8 * len(uniq)))
+            m += (-m) % 8
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            h1 = pd.util.hash_array(uniq, hash_key=s1)
+            h2 = pd.util.hash_array(uniq, hash_key=s2) | 1
+            for i in range(k):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+                np.bitwise_or.at(
+                    bits,
+                    (pos // 8).astype(np.int64),
+                    np.left_shift(
+                        np.uint8(1), (pos % 8).astype(np.uint8)
+                    ),
+                )
+            return pd.DataFrame(
+                {
+                    "fg": [int(pdf["__fg"].iloc[0])],
+                    "min_key": [str(uniq.min())],
+                    "max_key": [str(uniq.max())],
+                    "bloom": [
+                        base64.b64encode(bits.tobytes()).decode()
+                    ],
+                    "bloom_m": [m],
+                }
+            )
+
+        rows = (
+            df.groupBy("__fg")
+            .applyInPandas(
+                build,
+                "fg int, min_key string, max_key string, "
+                "bloom string, bloom_m bigint",
+            )
+            .collect()
+        )
+        return {
+            r["fg"]: {
+                "minKey": r["min_key"],
+                "maxKey": r["max_key"],
+                "bloom": r["bloom"],
+                "bloomM": r["bloom_m"],
+                "bloomK": k,
+            }
+            for r in rows
+        }
+
     def _write_groups(
         self,
         df: DataFrame,
@@ -187,7 +257,12 @@ class HudiCowTable:
         namer=None,
     ) -> list[dict]:
         """Write one base file per file group (repartition by the group
-        column so each parquet file holds exactly one group)."""
+        column so each parquet file holds exactly one group). Base-file
+        writes (default namer) also record the group's key-range +
+        bloom index metadata in the write stats."""
+        key_stats = (
+            self._group_key_stats(df) if namer is None else {}
+        )
         stats = []
         staging = os.path.join(self.location, f"_staging_{uuid.uuid4().hex}")
         (
@@ -228,14 +303,15 @@ class HudiCowTable:
                 for leftover in os.listdir(tmp2):
                     os.remove(os.path.join(tmp2, leftover))
                 os.rmdir(tmp2)
-            stats.append(
-                {
-                    "fileId": file_id,
-                    "path": name,
-                    "numWrites": None,
-                    "fileSizeInBytes": os.path.getsize(dst),
-                }
-            )
+            entry = {
+                "fileId": file_id,
+                "path": name,
+                "numWrites": None,
+                "fileSizeInBytes": os.path.getsize(dst),
+            }
+            if fg in key_stats:
+                entry["keyStats"] = key_stats[fg]
+            stats.append(entry)
         for root, dirs, files in os.walk(staging, topdown=False):
             for fname in files:
                 os.remove(os.path.join(root, fname))
@@ -284,10 +360,111 @@ class HudiCowTable:
         self._commit(instant, stats)
         return instant
 
+    @staticmethod
+    def _fg_of(file_id: str) -> int:
+        return int(file_id.split("-", 1)[1])
+
+    def _latest_key_stats(self) -> dict[int, dict]:
+        """Newest per-group key-range + bloom metadata from the
+        timeline (write stats carry it since r10); groups without it
+        are simply absent — consumers treat that as 'may contain'."""
+        out: dict[int, dict] = {}
+        for t in self.instants():
+            meta = self._commit_meta(t)
+            for _part, stats in meta["partitionToWriteStats"].items():
+                for st in stats:
+                    if "keyStats" in st:
+                        out[self._fg_of(st["fileId"])] = st["keyStats"]
+                    else:
+                        # a newer base write without index metadata
+                        # invalidates any older entry for the group
+                        out.pop(self._fg_of(st["fileId"]), None)
+        return out
+
+    def _consult_index(
+        self, upd: DataFrame, key_stats: dict[int, dict]
+    ) -> dict[int, bool]:
+        """Hudi's bloom-index TAGGING step: test the batch's record
+        keys against each candidate group's key range + bloom filter
+        (broadcast, executor-side; one tiny per-group boolean comes
+        back). False = the group PROVABLY contains none of the batch's
+        keys (bloom has no false negatives), so the merge join is
+        skipped for it."""
+        import base64
+
+        import numpy as np
+        import pandas as pd
+
+        key_col, k = self.record_key, self._BLOOM_K
+        s1, s2 = self._BLOOM_SEED1, self._BLOOM_SEED2
+        packed = {
+            fg: (
+                st["minKey"],
+                st["maxKey"],
+                np.frombuffer(
+                    base64.b64decode(st["bloom"]), dtype=np.uint8
+                ),
+                int(st["bloomM"]),
+            )
+            for fg, st in key_stats.items()
+        }
+
+        def probe(batches):
+            for pdf in batches:
+                for fg, grp in pdf.groupby("__fg"):
+                    fg = int(fg)
+                    if fg not in packed:
+                        yield pd.DataFrame(
+                            {"fg": [fg], "may": [True]}
+                        )
+                        continue
+                    lo, hi, bits, m = packed[fg]
+                    keys = np.unique(
+                        grp[key_col].astype(str).to_numpy(dtype=object)
+                    )
+                    inr = (keys >= lo) & (keys <= hi)
+                    keys = keys[inr]
+                    may = False
+                    if len(keys):
+                        h1 = pd.util.hash_array(keys, hash_key=s1)
+                        h2 = pd.util.hash_array(keys, hash_key=s2) | 1
+                        hit = np.ones(len(keys), dtype=bool)
+                        for i in range(k):
+                            pos = (
+                                h1 + np.uint64(i) * h2
+                            ) % np.uint64(m)
+                            byte = bits[(pos // 8).astype(np.int64)]
+                            bit = np.left_shift(
+                                np.uint8(1), (pos % 8).astype(np.uint8)
+                            )
+                            hit &= (byte & bit) != 0
+                        may = bool(hit.any())
+                    yield pd.DataFrame({"fg": [fg], "may": [may]})
+
+        rows = (
+            upd.select("__fg", key_col)
+            .repartition("__fg")
+            .mapInPandas(probe, "fg int, may boolean")
+            .groupBy("fg")
+            .agg(F.max("may").alias("may"))
+            .collect()
+        )
+        return {r["fg"]: bool(r["may"]) for r in rows}
+
     def upsert(self, updates: DataFrame) -> str:
         """Copy-on-write upsert: only the file groups the update keys
         hash into are merged and rewritten as new slices; every other
-        group keeps its current file untouched."""
+        group keeps its current file untouched.
+
+        Tagging reads ONLY the touched groups' base files (file-level
+        pruning off the timeline — an upsert touching one group reads
+        one group, pinned by test), and the bloom index splits the
+        touched set: groups whose key range + bloom PROVE the batch
+        holds no existing key skip the merge join entirely (their new
+        rows union in after a batch-local precombine dedup); only
+        bloom-positive groups pay the key-shuffle merge."""
+        from pyspark.sql import Window
+
         from ..operators.merge import upsert_by_key
 
         instant = self._next_instant()
@@ -296,14 +473,61 @@ class HudiCowTable:
             r["__fg"]
             for r in upd.select("__fg").distinct().collect()
         )
-        current = self._read_slices(self._file_slices(), with_fg=True)
-        cur_touched = current.filter(F.col("__fg").isin(touched))
-        merged = upsert_by_key(
-            cur_touched,
-            upd.filter(F.col("__fg").isin(touched)),
-            [self.record_key],
-            self.precombine_field,
+        slices = self._file_slices()
+        touched_slices = {
+            key: p
+            for key, p in slices.items()
+            if self._fg_of(key[1]) in touched
+        }
+        cur_touched = (
+            self._read_slices(touched_slices, with_fg=True)
+            if touched_slices
+            else None
         )
+        existing_fgs = {
+            self._fg_of(key[1]) for key in touched_slices
+        }
+        may = self._consult_index(
+            upd, self._latest_key_stats()
+        )
+        hit = [
+            fg
+            for fg in touched
+            if fg in existing_fgs and may.get(fg, True)
+        ]
+        miss = [fg for fg in touched if fg not in hit]
+        parts = []
+        if hit:
+            parts.append(
+                upsert_by_key(
+                    cur_touched.filter(F.col("__fg").isin(hit)),
+                    upd.filter(F.col("__fg").isin(hit)),
+                    [self.record_key],
+                    self.precombine_field,
+                )
+            )
+        if miss:
+            # bloom-negative groups: no key can collide with the base,
+            # so old rows union with the batch (deduped per key by
+            # precombine, the same winner upsert_by_key would pick)
+            w = Window.partitionBy(self.record_key).orderBy(
+                F.col(self.precombine_field).desc()
+            )
+            fresh = (
+                upd.filter(F.col("__fg").isin(miss))
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            if cur_touched is not None:
+                old = cur_touched.filter(F.col("__fg").isin(miss))
+                fresh = old.unionByName(
+                    fresh, allowMissingColumns=True
+                )
+            parts.append(fresh)
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p, allowMissingColumns=True)
         # rows kept from the old slice keep their original commit time;
         # upsert_by_key picks the newest version per key by precombine
         stats = self._write_groups(merged, instant, touched)
