@@ -365,6 +365,35 @@ def class_balanced_sample(
     )
 
 
+def _poisson1_weight(h) -> Column:
+    """Poisson(1) weight from a MATERIALIZED md5 hash column: the
+    count of CDF thresholds at or below ``h`` as a sum of 15 integer
+    comparisons. Callers must project the hash into a real column
+    first — referencing the md5 expression tree here directly would
+    re-evaluate it per threshold (15 md5s per row per replicate; the
+    r10 measurement showed Spark does NOT CSE it), while a projected
+    column is computed once per row and CollapseProject leaves
+    non-cheap multiply-referenced expressions un-inlined. A
+    higher-order-function form (array filter) was measured 4x SLOWER
+    than this: HOFs drop out of whole-stage codegen."""
+    return sum(
+        (h >= F.lit(t)).cast("int") for t in POISSON1_THRESHOLDS_2_60
+    )
+
+
+def _cpu_rebalance(df: DataFrame) -> DataFrame:
+    """The bootstrap draw stage is CPU-bound (reps x one md5 per
+    row); a small input — e.g. ONE parquet split — would run the whole
+    reps-fold fan-out on a single core (measured r10: 5.3 s -> <1 s at
+    sf0.1 from this alone). Repartition up to default parallelism when
+    the scan yields fewer partitions; at real scale a big table's scan
+    already has >= that many splits and this is a no-op."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def bootstrap_replicate_means(
     df: DataFrame,
     group_col: str,
@@ -389,7 +418,7 @@ def bootstrap_replicate_means(
     consumers ranking replicates must rank the survivors (both CI
     builders here do, identically to their oracles)."""
     b = F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("b")
-    rows = df.select(
+    rows = _cpu_rebalance(df).select(
         F.col(group_col).alias("__g"),
         F.col(value_col).cast("decimal(18,4)").alias("__v"),
         F.col(id_col).cast("string").alias("__id"),
@@ -403,11 +432,10 @@ def bootstrap_replicate_means(
             F.col("__id"),
         )
     )
-    w = sum(
-        (h >= F.lit(t)).cast("int") for t in POISSON1_THRESHOLDS_2_60
-    ).alias("__w")
+    hashed = rows.select("__g", "b", "__v", h.alias("__h"))
+    w = _poisson1_weight(F.col("__h")).alias("__w")
     return (
-        rows.select("__g", "b", "__v", w)
+        hashed.select("__g", "b", "__v", w)
         .groupBy("__g", "b")
         .agg(
             F.sum(F.col("__w") * F.col("__v")).alias("__swv"),
@@ -503,4 +531,77 @@ def poisson_bootstrap_diff_ci(
                 ~((F.col("ci_lo") <= 0) & (F.col("ci_hi") >= 0))
             ).cast("int").alias("significant"),
         )
+    )
+
+
+def poisson_bootstrap_ci_wide(
+    df,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    reps: int = 32,
+    lo_rank: int = 2,
+    hi_rank: int | None = None,
+    salt: str = "boot",
+):
+    """The NO-EXPLODE twin of ``poisson_bootstrap_ci``: the ``reps``
+    replicates are ``2*reps`` aggregate expressions over ONE pass of
+    the base rows (sum(w_b*v), sum(w_b) per replicate) instead of a
+    ``reps``-fold explode — identical md5 draws, identical
+    DECIMAL(18,4) sums, identical closing IEEE division, so the
+    interval endpoints are bit-equal to the tall path and share its
+    oracle. The per-group order statistic becomes an
+    ``array_sort`` over the <= reps surviving replicate means inside
+    one row. Trade: no 32x row fan-out or 32x-row aggregate, at the
+    cost of ``2*reps`` aggregation buffers per group — the right side
+    of the trade whenever rows >> groups (measured r10: ~2.3x faster
+    at sf0.1).
+
+    Tie semantics: equal replicate means are interchangeable VALUES,
+    so rank-by-(mean, b) (tall) and rank-by-mean (wide) pick identical
+    endpoint values. Empty resamples drop, matching the tall path and
+    the oracle's ``HAVING SUM(w) > 0``."""
+    hi_rank = hi_rank if hi_rank is not None else reps - 1
+    idc = F.col(id_col).cast("string")
+    v = F.col(value_col).cast("decimal(18,4)")
+    # materialize the reps hash columns FIRST (one md5 per replicate
+    # per row; the weight comparisons then reference plain columns —
+    # see _poisson1_weight's docstring for why this matters)
+    base = _cpu_rebalance(df).select(
+        F.col(group_col).alias("__g"),
+        v.alias("__v"),
+        *[
+            md5_hash64(
+                F.concat(F.lit(salt), F.lit(str(b)), F.lit(":"), idc)
+            ).alias(f"__h{b}")
+            for b in range(reps)
+        ],
+    )
+    aggs = []
+    for b in range(reps):
+        w = _poisson1_weight(F.col(f"__h{b}"))
+        aggs.append(F.sum(w * F.col("__v")).alias(f"__swv{b}"))
+        aggs.append(F.sum(w).cast("bigint").alias(f"__sw{b}"))
+    aggs.append(F.sum("__v").alias("__sv"))
+    aggs.append(F.count(F.lit(1)).cast("double").alias("__n"))
+    g = base.groupBy("__g").agg(*aggs)
+    means = F.array(
+        *[
+            F.when(
+                F.col(f"__sw{b}") > 0,
+                F.col(f"__swv{b}").cast("double")
+                / F.col(f"__sw{b}").cast("double"),
+            )
+            for b in range(reps)
+        ]
+    )
+    survivors = F.array_sort(
+        F.filter(means, lambda x: x.isNotNull())
+    )
+    return g.select(
+        F.col("__g").alias(group_col),
+        (F.col("__sv").cast("double") / F.col("__n")).alias("mean"),
+        F.get(survivors, F.lit(lo_rank - 1)).alias("ci_lo"),
+        F.get(survivors, F.lit(hi_rank - 1)).alias("ci_hi"),
+        F.lit(reps).cast("int").alias("reps"),
     )

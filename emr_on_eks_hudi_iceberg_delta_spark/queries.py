@@ -11951,6 +11951,61 @@ def q_bootstrap_group_mean_ci(spark, sf_dir):
     )
 
 
+@register(
+    "bootstrap_group_mean_ci_wide",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    reps AS (
+      SELECT event_type AS g, b,
+             CAST(SUM(({_BOOT_W}) * CAST(value AS DECIMAL(18,4)))
+                  AS DOUBLE)
+             / CAST(SUM({_BOOT_W}) AS DOUBLE) AS mean_b
+      FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+      GROUP BY event_type, b
+      HAVING SUM({_BOOT_W}) > 0
+    ),
+    ranked AS (
+      SELECT g, mean_b,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY mean_b, b) AS rn
+      FROM reps
+    ),
+    ci AS (
+      SELECT g, MAX(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo,
+                MAX(CASE WHEN rn = 31 THEN mean_b END) AS ci_hi
+      FROM ranked GROUP BY g
+    ),
+    pt AS (
+      SELECT event_type AS g,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean
+      FROM ev GROUP BY event_type
+    )
+    SELECT pt.g AS event_type, mean, ci_lo, ci_hi,
+           CAST(32 AS INTEGER) AS reps
+    FROM pt JOIN ci ON pt.g = ci.g
+    """,
+    tags=("events", "stats", "scale", "extension"),
+)
+def q_bootstrap_group_mean_ci_wide(spark, sf_dir):
+    """The NO-EXPLODE bootstrap twin
+    (operators/sampling.poisson_bootstrap_ci_wide): the 32 replicates
+    are 64 aggregate expressions over ONE pass of the base rows — no
+    32x row fan-out — with the per-group order statistic as an
+    array_sort inside one row. Bit-equal to the tall path (same md5
+    draws, same DECIMAL sums, same closing division), hence the SAME
+    oracle. Measured r10 at sf0.1: tall 1.0 s vs wide 2.9 s after the
+    draw-stage CPU rebalance (the 64-buffer codegen outweighs the
+    avoided explode at this group count), so the tall twin keeps the
+    bench_ext tag; the trade flips when the explode's 32x rows no
+    longer fit the shuffle comfortably."""
+    from .operators.sampling import poisson_bootstrap_ci_wide
+
+    ev = _t(spark, sf_dir, "events")
+    return poisson_bootstrap_ci_wide(
+        ev, "event_type", "value", "event_id", reps=32
+    )
+
+
 _COPURCHASE_E = """
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       FROM lineitem a

@@ -423,3 +423,48 @@ def test_bootstrap_diff_ci_single_row_groups_do_not_crash(spark):
     ).collect()[0]
     assert row["mean_a"] == 3.0 and row["mean_b"] == 1.0
     assert row["diff"] == 2.0
+
+
+def test_wide_bootstrap_bit_equals_tall(spark):
+    """r10: the no-explode twin must be BIT-equal to the tall path —
+    same draws, same decimal sums, same closing division."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.sampling import (
+        poisson_bootstrap_ci,
+        poisson_bootstrap_ci_wide,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    tall = sorted(
+        map(
+            tuple,
+            poisson_bootstrap_ci(
+                ev, "event_type", "value", "event_id", reps=32
+            ).collect(),
+        )
+    )
+    wide = sorted(
+        map(
+            tuple,
+            poisson_bootstrap_ci_wide(
+                ev, "event_type", "value", "event_id", reps=32
+            ).collect(),
+        )
+    )
+    assert tall == wide and len(tall) >= 1
+
+
+def test_wide_bootstrap_single_scan_no_explode(spark):
+    """r10 plan pin: the wide twin reads events ONCE and its plan has
+    no explode/generate node."""
+    from emr_on_eks_hudi_iceberg_delta_spark.plans import (
+        file_scan_count,
+        formatted_plan,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.queries import REGISTRY
+
+    df = REGISTRY["bootstrap_group_mean_ci_wide"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    assert file_scan_count(df) == 1
+    assert "Generate" not in formatted_plan(df)
