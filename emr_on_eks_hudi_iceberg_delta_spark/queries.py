@@ -14745,6 +14745,56 @@ def q_iceberg_equality_deletes(spark, sf_dir):
 
 
 @register(
+    "iceberg_streaming_upsert",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal
+    FROM customer WHERE c_custkey % 7 <> 0
+    UNION ALL
+    SELECT c_custkey, UPPER(c_name) AS c_name,
+           CAST(c_acctbal + 100 AS DOUBLE) AS bal
+    FROM customer WHERE c_custkey % 7 = 0
+    """,
+    tags=("lake", "S7", "streaming", "extension"),
+)
+def q_iceberg_streaming_upsert(spark, sf_dir):
+    """ONE-snapshot keyed upsert on the Iceberg layout
+    (IcebergTable.upsert_by_key — the equality-delete CDC pattern
+    real streaming writers emit): the batch's key set lands as a
+    content=2 equality-delete file AND its rows as data files in the
+    SAME snapshot; sequence applicability masks every older version
+    of a batch key while the batch's own rows survive. Zero
+    pre-existing files read or rewritten (write cost O(batch)). The
+    gate also replays an epoch through upsert_idempotent and asserts
+    the duplicate is skipped — the exactly-once streaming contract."""
+    import tempfile
+
+    from .sources.iceberg_layout import IcebergTable
+    from .sources import iceberg_deletes  # noqa: F401
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    t = IcebergTable(spark, tempfile.mkdtemp(prefix="ice_upsert_"))
+    t.overwrite(c.repartition(4))
+    files0 = {e["data_file"]["file_path"] for e in t._entries()}
+    batch = c.filter("c_custkey % 7 = 0").select(
+        "c_custkey",
+        F.upper("c_name").alias("c_name"),
+        (F.col("bal") + 100).alias("bal"),
+    )
+    assert t.upsert_idempotent(batch, ["c_custkey"], "gate", 0)
+    assert not t.upsert_idempotent(
+        batch, ["c_custkey"], "gate", 0
+    )  # replayed epoch skipped — exactly-once
+    assert files0 <= {
+        e["data_file"]["file_path"] for e in t._entries()
+    }  # zero pre-existing files rewritten
+    return t.read()
+
+
+@register(
     "iceberg_rollback_after_compaction",
     oracle="""
     SELECT o_orderkey, o_orderpriority,

@@ -340,15 +340,22 @@ def _delete(
 
 
 def _update(
-    self: DeltaLogTable, condition, assignments: dict
+    self: DeltaLogTable, condition, assignments: dict,
+    mode: str = "cow",
 ) -> dict:
-    """UPDATE <table> SET col = expr, ... WHERE <condition> — copy-on-
-    write over only the files with at least one matching row. Every
-    SET right-hand side (SQL string or Column) is evaluated against
-    the OLD row in one ``select``, so assignments never see each
-    other's results (SQL UPDATE semantics); assigning a partition
-    column moves rows between partitions naturally because the rewrite
-    goes through the partitioned writer."""
+    """UPDATE <table> SET col = expr, ... WHERE <condition>.
+    ``mode="cow"`` (default) rewrites only the files with at least one
+    matching row; ``mode="dv"`` (r10) is merge-on-read UPDATE the way
+    DV-capable Delta writers execute it: matched rows get deletion-
+    vectored in place (bitmaps built executor-side, no old file
+    rewritten) and their updated copies land as fresh files in the
+    same commit. Every SET right-hand side (SQL string or Column) is
+    evaluated against the OLD row in one ``select``, so assignments
+    never see each other's results (SQL UPDATE semantics); assigning a
+    partition column moves rows between partitions naturally because
+    the rewrite goes through the partitioned writer."""
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
     cond = F.expr(condition) if isinstance(condition, str) else condition
     live, meta, head = self._replay()
     _refuse_if_mapped(meta, "UPDATE")
@@ -359,6 +366,11 @@ def _update(
     scan = _scan_with_pos(self, list(live.values()), meta)
     if scan is None:
         return {"files_touched": 0, "rows_updated": 0, "version": None}
+    if mode == "dv":
+        return _update_dv(
+            self, meta, head, live, scan, cond, assignments,
+            part_cols, types, out_cols, condition,
+        )
     hits = (
         scan.filter(cond)
         .groupBy("__file")
@@ -434,6 +446,112 @@ def _update(
     return {
         "files_touched": len(touched),
         "rows_updated": sum(r["n"] for r in hits),
+        "version": head + 1,
+    }
+
+
+def _update_dv(
+    self, meta, head, live, scan, cond, assignments,
+    part_cols, types, out_cols, condition,
+) -> dict:
+    """Merge-on-read UPDATE: deletion-vector the matched rows in
+    place (executor-side bitmaps, same machinery as DV DELETE) and
+    write their SET-applied copies as fresh add actions — one commit,
+    zero pre-update files rewritten."""
+    prior = {p: a.get("deletionVector") for p, a in live.items()}
+    nrecs = {}
+    for p, a in live.items():
+        nrec = None
+        if a.get("stats"):
+            nrec = json.loads(a["stats"]).get("numRecords")
+        nrecs[p] = nrec
+    hits = dv_io.write_dvs_grouped(
+        scan.filter(cond).select("__file", "__pos"),
+        self.location,
+        prior,
+        nrecs,
+    )
+    if not hits:
+        return {"files_touched": 0, "rows_updated": 0, "version": None}
+    now = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "operation": "UPDATE",
+                "operationParameters": {
+                    "predicate": str(condition),
+                    "mode": "dv",
+                },
+            }
+        }
+    ]
+    if _needs_dv_upgrade(self.current_protocol()):
+        actions.append(
+            {
+                "protocol": _dv_upgraded_protocol(
+                    self.current_protocol(), meta
+                )
+            }
+        )
+    hit_rows = scan.filter(F.coalesce(cond, F.lit(False)))
+    sets = {
+        c: (F.expr(e) if isinstance(e, str) else e)
+        for c, e in assignments.items()
+    }
+    updated = hit_rows.select(
+        *[
+            (
+                sets[c].cast(types[c]).alias(c)
+                if c in sets
+                else F.col(c)
+            )
+            for c in out_cols
+        ]
+    )
+    from .delta_cdf import (
+        CHANGE_TYPE,
+        cdf_enabled,
+        enforce_constraints,
+        write_cdc_files,
+    )
+
+    enforce_constraints(updated, meta)
+    if cdf_enabled(meta):
+        pre = hit_rows.select(*out_cols).withColumn(
+            CHANGE_TYPE, F.lit("update_preimage")
+        )
+        post = updated.withColumn(
+            CHANGE_TYPE, F.lit("update_postimage")
+        )
+        actions.extend(
+            {"cdc": c}
+            for c in write_cdc_files(self, pre.unionByName(post))
+        )
+    new_adds = self._write_data_files(updated, part_cols)
+    rows_updated = 0
+    for r in hits:
+        a = live[r["path"]]
+        rows_updated += r["n_new"]
+        actions.append(
+            {
+                "remove": {
+                    "path": a["path"],
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                }
+            }
+        )
+        if r["descriptor"] is None:
+            continue  # file fully superseded: drop it
+        newadd = dict(a)
+        newadd["deletionVector"] = json.loads(r["descriptor"])
+        newadd["dataChange"] = True
+        actions.append({"add": newadd})
+    actions.extend({"add": a} for a in new_adds)
+    self._commit(head + 1, actions)
+    return {
+        "files_touched": len(hits),
+        "rows_updated": rows_updated,
         "version": head + 1,
     }
 

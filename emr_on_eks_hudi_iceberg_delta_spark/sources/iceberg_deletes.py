@@ -382,37 +382,24 @@ def _delete(self: IcebergTable, condition) -> dict:
     }
 
 
-def _equality_delete(self: IcebergTable, keys: DataFrame) -> dict:
-    """DELETE BY KEY — Iceberg v2 EQUALITY delete files (spec:
-    content=2, keyed by ``equality_ids`` schema field ids). Every
-    current-or-older row whose key columns null-safely equal a key row
-    is masked; rows added by LATER snapshots are NOT (sequence-number
-    applicability, spec: an equality delete applies only to data files
-    with a strictly smaller data sequence number) — the streaming-
-    upsert delete primitive real writers emit. The key set is written
-    executor-side by the native parquet writer; compaction
-    (rewrite_data_files) materializes and drops it like any delete."""
-    md = self._metadata()
-    from .iceberg_layout import _spark_schema_from_md
-
-    schema = _spark_schema_from_md(md)
-    names = [f.name for f in schema.fields]
-    cols = list(keys.columns)
-    bad = sorted(set(cols) - set(names))
-    if bad:
-        raise ValueError(
-            f"equality-delete columns not in table schema: {bad}"
-        )
-    field_ids = {f["name"]: f["id"] for f in md["schema"]["fields"]}
-    eq_ids = [field_ids[c] for c in cols]
+def _write_eq_delete_files(
+    self: IcebergTable, keys: DataFrame, cols: list[str], md: dict
+) -> list[dict]:
+    """Write the distinct key set as content=2 equality-delete parquet
+    files (native writer, executor-side) and return their manifest
+    descriptors carrying the spec ``equality_ids``."""
     import shutil
 
     import pyarrow.parquet as pq
 
+    field_ids = {f["name"]: f["id"] for f in md["schema"]["fields"]}
+    eq_ids = [field_ids[c] for c in cols]
     out_dir = os.path.join(
         self.location, f"staging-eqdeletes-{uuid.uuid4().hex}"
     )
-    keys.dropDuplicates().write.mode("overwrite").parquet(out_dir)
+    keys.select(*cols).dropDuplicates().write.mode(
+        "overwrite"
+    ).parquet(out_dir)
     descs: list[dict] = []
     try:
         for fn in sorted(os.listdir(out_dir)):
@@ -438,6 +425,31 @@ def _equality_delete(self: IcebergTable, keys: DataFrame) -> dict:
             )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+    return descs
+
+
+def _equality_delete(self: IcebergTable, keys: DataFrame) -> dict:
+    """DELETE BY KEY — Iceberg v2 EQUALITY delete files (spec:
+    content=2, keyed by ``equality_ids`` schema field ids). Every
+    current-or-older row whose key columns null-safely equal a key row
+    is masked; rows added by LATER snapshots are NOT (sequence-number
+    applicability, spec: an equality delete applies only to data files
+    with a strictly smaller data sequence number) — the streaming-
+    upsert delete primitive real writers emit. The key set is written
+    executor-side by the native parquet writer; compaction
+    (rewrite_data_files) materializes and drops it like any delete."""
+    md = self._metadata()
+    from .iceberg_layout import _spark_schema_from_md
+
+    schema = _spark_schema_from_md(md)
+    names = [f.name for f in schema.fields]
+    cols = list(keys.columns)
+    bad = sorted(set(cols) - set(names))
+    if bad:
+        raise ValueError(
+            f"equality-delete columns not in table schema: {bad}"
+        )
+    descs = _write_eq_delete_files(self, keys, cols, md)
     if not descs:
         return {"keys": 0, "snapshot_id": None}
     data_entries = [
@@ -576,6 +588,113 @@ def stream_to_iceberg(
     )
 
 
+
+
+def _upsert_by_key_ice(
+    self: IcebergTable, batch: DataFrame, key_cols: list[str]
+) -> dict:
+    """UPSERT in ONE snapshot — the equality-delete pattern streaming
+    CDC writers (Flink, real Iceberg sinks) emit: the batch's key set
+    lands as a content=2 equality-delete file AND the batch's rows
+    land as data files, in the SAME snapshot. Sequence-number
+    applicability makes this exact with zero joins: the delete (seq N)
+    masks only files with seq < N, so every pre-existing version of a
+    batch key disappears while the batch's own rows (also seq N)
+    survive. No pre-existing file is read OR rewritten — write cost is
+    O(batch), the merge is deferred to read/compaction, exactly the
+    MoR streaming-upsert trade."""
+    md = self._metadata()
+    from .iceberg_layout import _spark_schema_from_md
+
+    schema = _spark_schema_from_md(md)
+    names = [f.name for f in schema.fields]
+    if list(batch.columns) != names:
+        raise ValueError(
+            f"upsert batch columns {list(batch.columns)} must match "
+            f"the table schema {names}"
+        )
+    bad = sorted(set(key_cols) - set(names))
+    if bad:
+        raise ValueError(f"key columns not in table schema: {bad}")
+    eq_descs = _write_eq_delete_files(
+        self, batch.select(*key_cols), key_cols, md
+    )
+    part_cols = [
+        f["name"]
+        for f in md["partition-specs"][md.get("default-spec-id", 0)][
+            "fields"
+        ]
+    ]
+    new_files = self._write_data(batch, part_cols)
+    data_entries = [
+        e for e in self._entries() if e["status"] != STATUS_DELETED
+    ]
+    all_deletes, _, _ = _split_delete_entries(self)
+    snapshot_id = _commit_mor_snapshot(
+        self, md, data_entries, all_deletes, eq_descs, new_files,
+        "overwrite",
+    )
+    return {
+        "keys": sum(d["record_count"] for d in eq_descs),
+        "snapshot_id": snapshot_id,
+    }
+
+
+def _upsert_idempotent_ice(
+    self: IcebergTable, batch, key_cols, app_id: str, epoch: int
+) -> bool:
+    """Exactly-once keyed upsert: same (app-id, epoch) summary
+    bookkeeping as append_idempotent, same one-snapshot equality-
+    delete upsert. Returns True if the commit happened."""
+    md = self._metadata()
+    seen = max(
+        (
+            int(s["summary"]["epoch"])
+            for s in md["snapshots"]
+            if s.get("summary", {}).get("app-id") == app_id
+            and "epoch" in s.get("summary", {})
+        ),
+        default=-1,
+    )
+    if epoch <= seen:
+        return False
+    self._summary_extra = {"app-id": app_id, "epoch": str(epoch)}
+    try:
+        self.upsert_by_key(batch, key_cols)
+    finally:
+        self._summary_extra = None
+    return True
+
+
+def stream_to_iceberg_upsert(
+    stream_df,
+    location: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    app_id: str = "iceberg-upsert-sink",
+):
+    """Exactly-once foreachBatch streaming UPSERT sink into the
+    Iceberg layout: each micro-batch commits ONE snapshot holding its
+    equality-delete key file + data files; a redelivered batch after
+    restart is skipped by the summary check. The CDC-ingestion shape
+    real Iceberg streaming writers use."""
+    from pyspark.sql import SparkSession
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        spark = SparkSession.getActiveSession()
+        t = IcebergTable(spark, location)
+        t.upsert_idempotent(batch_df, key_cols, app_id, int(batch_id))
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
+IcebergTable.upsert_by_key = _upsert_by_key_ice
+IcebergTable.upsert_idempotent = _upsert_idempotent_ice
+
+
 IcebergTable.append_idempotent = _append_idempotent
 
 
@@ -672,6 +791,8 @@ def _commit_mor_snapshot(
     from .iceberg_layout import next_sequence_number
 
     seq = next_sequence_number(md)
+    summary = {"operation": operation}
+    summary.update(getattr(self, "_summary_extra", None) or {})
     md["format-version"] = 2
     md["last-sequence-number"] = seq
     md["snapshots"] = md["snapshots"] + [
@@ -679,7 +800,7 @@ def _commit_mor_snapshot(
             "snapshot-id": snapshot_id,
             "timestamp-ms": now,
             "manifest-list": mlist_path,
-            "summary": {"operation": operation},
+            "summary": summary,
             "sequence-number": seq,
         }
     ]

@@ -667,3 +667,42 @@ def test_dv_antijoin_shuffles_above_broadcast_threshold(
     assert "LeftAnti" in plan
     assert broadcast_join_count(df) == 0  # no broadcast above cutoff
     assert sorted(r["k"] for r in df.collect()) == list(range(1, 200, 2))
+
+
+def test_dv_mode_update_rewrites_no_old_file(spark, tmp_path):
+    """r10: UPDATE mode='dv' — matched rows are deletion-vectored in
+    place and their SET-applied copies land as fresh files, one
+    commit, zero pre-update files rewritten."""
+    dt = _table(spark, tmp_path, "dvupd", files=3, n=300)
+    live0, _, _ = dt._replay()
+    rep = dt.update("g = 2", {"v": "v + 1000"}, mode="dv")
+    assert rep["rows_updated"] == 38  # 300 rows, g = k % 8 == 2
+    live1, _, _ = dt._replay()
+    # every old path still live (now DV-bearing) + fresh update files
+    assert set(live0) <= set(live1)
+    assert any(
+        live1[p].get("deletionVector") for p in live0
+    )
+    # values: g=2 rows moved, others untouched; count conserved
+    assert dt.read().count() == 300
+    assert dt.read().filter("g = 2 AND v < 1000").count() == 0
+    assert dt.read().filter("g = 2").count() == 38
+    exp = sorted(
+        (r["k"], r["v"] + (1000 if r["g"] == 2 else 0))
+        for r in dt.read(version=0).collect()
+    )
+    assert sorted((r["k"], r["v"]) for r in dt.read().collect()) == exp
+    # SET sees the OLD row; a second dv update composes with prior DVs
+    rep2 = dt.update("g = 2 AND v < 1010", {"v": "0.0"}, mode="dv")
+    assert rep2["version"] == 2
+    assert dt.read().count() == 300
+
+
+def test_dv_mode_update_cdf_images(spark, tmp_path):
+    dt = _table(spark, tmp_path, "dvupdcdf", files=2, n=40)
+    dt.set_table_properties({"delta.enableChangeDataFeed": "true"})
+    dt.update("k < 5", {"v": "v * 2"}, mode="dv")
+    ch = dt.table_changes(2, 2)
+    kinds = {r["_change_type"] for r in ch.collect()}
+    assert kinds == {"update_preimage", "update_postimage"}
+    assert ch.count() == 10

@@ -577,3 +577,79 @@ def test_sequence_numbers_tracked_in_metadata(spark, tmp_path):
     seqs = [s.get("sequence-number") for s in md["snapshots"]]
     assert seqs == [1, 2, 3]
     assert md["last-sequence-number"] == 3
+
+
+def test_upsert_by_key_one_snapshot(spark, tmp_path):
+    """r10: keyed upsert commits ONE snapshot (eq-delete keys + data
+    files together); sequence rules keep the batch's own rows while
+    masking every older version."""
+    t = IcebergTable(spark, str(tmp_path / "up1"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+        )
+    )
+    n0 = len(t._metadata()["snapshots"])
+    rep = t.upsert_by_key(
+        spark.createDataFrame([(2, "B"), (4, "d")], "k int, v string"),
+        ["k"],
+    )
+    assert rep["keys"] == 2
+    md = t._metadata()
+    assert len(md["snapshots"]) == n0 + 1  # ONE snapshot
+    got = sorted((r["k"], r["v"]) for r in t.read().collect())
+    assert got == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+    # chained upserts keep converging to latest-per-key
+    t.upsert_by_key(
+        spark.createDataFrame([(4, "D2")], "k int, v string"), ["k"]
+    )
+    got = sorted((r["k"], r["v"]) for r in t.read().collect())
+    assert got == [(1, "a"), (2, "B"), (3, "c"), (4, "D2")]
+    with pytest.raises(ValueError, match="must match"):
+        t.upsert_by_key(
+            spark.createDataFrame([(1,)], "k int"), ["k"]
+        )
+
+
+def test_streaming_upsert_sink_exactly_once(spark, tmp_path):
+    """r10: the foreachBatch upsert sink is exactly-once — epochs ride
+    snapshot summaries; a replayed epoch is skipped."""
+    import time as _time
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.iceberg_deletes import (
+        stream_to_iceberg_upsert,
+    )
+
+    loc = str(tmp_path / "upstream")
+    t = IcebergTable(spark, loc)
+    t.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    )
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "20")
+        .load()
+        .selectExpr("CAST(value % 4 AS INT) AS k", "'s' AS v")
+    )
+    q = stream_to_iceberg_upsert(
+        src, loc, str(tmp_path / "ckpt"), ["k"], app_id="tst"
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    _time.sleep(0.5)
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    # streamed keys overwrote, untouched keys survive
+    assert all(got[k] == "s" for k in got if k in (0, 3))
+    assert len(got) == len(set(got))  # latest-per-key, no duplicates
+    # manual epoch replay is a no-op
+    n_snaps = len(t._metadata()["snapshots"])
+    epochs = [
+        int(s["summary"]["epoch"])
+        for s in t._metadata()["snapshots"]
+        if s.get("summary", {}).get("app-id") == "tst"
+    ]
+    assert epochs
+    assert not t.upsert_idempotent(
+        spark.createDataFrame([(9, "x")], "k int, v string"),
+        ["k"], "tst", max(epochs),
+    )
+    assert len(t._metadata()["snapshots"]) == n_snaps
