@@ -716,7 +716,10 @@ class HudiMorTable(HudiCowTable):
     def read(self, instant: str | None = None) -> DataFrame:
         """The ``_rt`` view / snapshot: base ∪ logs merged by record
         key (max precombine, commit-time tiebreak to the latest
-        writer) — one key shuffle at read, the MoR trade."""
+        writer). Only LOG-BEARING file groups pay the key-shuffle
+        merge — log-less groups' base files pass through untouched
+        (real Hudi's per-file-group realtime merge), so the read
+        shuffle is O(hot groups), not O(table)."""
         from ..operators.merge import upsert_by_key
 
         slices = self._mor_slices(instant)
@@ -724,14 +727,22 @@ class HudiMorTable(HudiCowTable):
         logs = [p for s in slices.values() for p in s["logs"]]
         if not bases and not logs:
             raise ValueError("empty table")
-        base_df = self._read_slices(bases) if bases else None
         if not logs:
-            return base_df
+            return self._read_slices(bases)
+        hot = {
+            k: s["base"]
+            for k, s in slices.items()
+            if s["logs"] and s["base"]
+        }
+        cold = {k: p for k, p in bases.items() if k not in hot}
         log_df = self._read_slices(
             {("", f"log-{i}"): p for i, p in enumerate(logs)},
             merge_schema=True,
         )
-        target = base_df if base_df is not None else log_df.limit(0)
+        hot_base = self._read_slices(hot) if hot else None
+        target = (
+            hot_base if hot_base is not None else log_df.limit(0)
+        )
         merged = upsert_by_key(
             target,
             log_df,
@@ -745,6 +756,10 @@ class HudiMorTable(HudiCowTable):
             merged = merged.filter(
                 ~F.coalesce(F.col(HOODIE_IS_DELETED), F.lit(False))
             ).drop(HOODIE_IS_DELETED)
+        if cold:
+            merged = self._read_slices(cold).unionByName(
+                merged, allowMissingColumns=True
+            )
         return merged
 
     def read_incremental(self, begin_instant: str) -> DataFrame:

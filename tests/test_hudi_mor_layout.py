@@ -265,3 +265,30 @@ def test_mor_delete_after_data_log_survives_schema_merge(spark, tmp_path):
     assert sorted(r["k"] for r in t.read_optimized().collect()) == list(
         range(5, 20)
     )
+
+
+def test_rt_read_merges_only_log_bearing_groups(spark, tmp_path, monkeypatch):
+    """r10: the _rt merge shuffles only HOT (log-bearing) groups;
+    log-less groups' bases pass through outside the key shuffle."""
+    t = HudiMorTable(
+        spark, str(tmp_path / "hotcold"),
+        record_key="k", precombine_field="ts", n_file_groups=4,
+    )
+    t.bulk_insert(_base(spark, 80))
+    # all updates hit ONE key -> one hot group
+    t.upsert(
+        spark.createDataFrame([(5, 9, "hot")], "k int, ts int, val string")
+    )
+    calls = []
+    real = HudiMorTable._read_slices
+
+    def spy(self, slices, **kw):
+        calls.append(sorted(slices))
+        return real(self, slices, **kw)
+
+    monkeypatch.setattr(HudiMorTable, "_read_slices", spy)
+    got = {r["k"]: r["val"] for r in t.read().collect()}
+    assert got[5] == "hot" and len(got) == 80
+    # three reads: hot bases (1), logs (1), cold bases (3)
+    sizes = sorted(len(c) for c in calls)
+    assert sizes == [1, 1, 3]
