@@ -194,13 +194,33 @@ def _iceberg_fsck(self: IcebergTable) -> dict:
                     f"{f['file_path']}: delete rows {t.num_rows} != "
                     f"manifest record_count {f['record_count']}"
                 )
-            named = set(t.column("file_path").to_pylist())
-            orphan = named - live_paths
-            if orphan:
-                errors.append(
-                    f"{f['file_path']}: names non-live data files "
-                    f"{sorted(orphan)[:2]}"
-                )
+            if f.get("content") == 2:
+                # equality delete (r10): keyed by table columns named
+                # via equality_ids, not (file_path, pos) — verify the
+                # ids resolve against the current schema
+                ids = set(f.get("equality_ids") or [])
+                known = {
+                    fld["id"]
+                    for fld in self._metadata()["schema"]["fields"]
+                }
+                if not ids:
+                    errors.append(
+                        f"{f['file_path']}: equality delete without "
+                        "equality_ids"
+                    )
+                elif not ids <= known:
+                    errors.append(
+                        f"{f['file_path']}: equality_ids "
+                        f"{sorted(ids - known)} not in schema"
+                    )
+            else:
+                named = set(t.column("file_path").to_pylist())
+                orphan = named - live_paths
+                if orphan:
+                    errors.append(
+                        f"{f['file_path']}: names non-live data files "
+                        f"{sorted(orphan)[:2]}"
+                    )
         except Exception as exc:
             errors.append(f"{f['file_path']}: unparseable: {exc}")
     return {"ok": not errors, "errors": errors, "files_checked": checked}

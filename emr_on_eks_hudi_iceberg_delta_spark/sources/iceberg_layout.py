@@ -995,18 +995,27 @@ class IcebergTable:
         host predicate over the entry's typed partition dict, applied
         on the driver BEFORE any file is scheduled — the pruning
         identity partitioning exists for."""
-        paths = [
-            e["data_file"]["file_path"]
+        entries = [
+            e
             for e in self._entries(snapshot_id)
             if e["status"] != STATUS_DELETED
             and partition_filter(e["data_file"]["partition"])
         ]
-        if not paths:
+        if not entries:
             return self.read(snapshot_id).filter("1 = 0")
+        schema = self._schema_for_snapshot(snapshot_id)
+        pos_dels = self._live_delete_files(snapshot_id)
+        eq_entries = self._live_eq_delete_entries(snapshot_id)
+        if eq_entries:
+            # equality deletes are partition-global: the pruned scan
+            # must still apply every applicable one (seq rules)
+            return self._scan_with_eq_deletes(
+                entries, pos_dels, eq_entries, schema
+            )
         return self._scan_files(
-            paths,
-            self._live_delete_files(snapshot_id),
-            schema=self._schema_for_snapshot(snapshot_id),
+            [e["data_file"]["file_path"] for e in entries],
+            pos_dels,
+            schema=schema,
         )
 
 

@@ -653,3 +653,27 @@ def test_streaming_upsert_sink_exactly_once(spark, tmp_path):
         ["k"], "tst", max(epochs),
     )
     assert len(t._metadata()["snapshots"]) == n_snaps
+
+
+def test_read_where_applies_equality_deletes(spark, tmp_path):
+    """r10: partition-pruned reads must apply equality deletes too —
+    they are partition-global."""
+    t = IcebergTable(spark, str(tmp_path / "eqpart"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b"), (4, "b")], "k int, p string"
+        ),
+        partition_by=["p"],
+    )
+    t.equality_delete(spark.createDataFrame([(3,)], "k int"))
+    got = t.read_where(lambda pv: pv["p"] == "b")
+    assert sorted(r["k"] for r in got.collect()) == [4]
+
+
+def test_fsck_accepts_equality_deletes(spark, tmp_path):
+    t, _ = _table(spark, tmp_path, "eqfsck", files=2, n=40)
+    t.delete("k < 5")
+    t.equality_delete(spark.createDataFrame([(7,)], "g bigint"))
+    rep = t.fsck()
+    assert rep["ok"], rep["errors"]
+    assert rep["files_checked"] >= 3
