@@ -223,9 +223,30 @@ class DeltaLogTable:
         live, meta, _ = self._replay(version)
         adds = list(live.values())
         if partition_filter is not None:
-            adds = [
-                a for a in adds if partition_filter(a["partitionValues"])
-            ]
+            from .delta_colmap import mapping_enabled, physical_names
+
+            if mapping_enabled(meta):
+                # partitionValues are keyed by PHYSICAL names; the
+                # caller's predicate sees LOGICAL keys
+                p2l = {
+                    p: l for l, p in physical_names(meta).items()
+                }
+                adds = [
+                    a
+                    for a in adds
+                    if partition_filter(
+                        {
+                            p2l.get(k, k): v
+                            for k, v in a["partitionValues"].items()
+                        }
+                    )
+                ]
+            else:
+                adds = [
+                    a
+                    for a in adds
+                    if partition_filter(a["partitionValues"])
+                ]
         return self._read_adds(adds, meta)
 
     def _read_adds(self, adds: list[dict], meta: dict) -> DataFrame:

@@ -188,3 +188,42 @@ def test_stats_skipping_translates_to_physical(spark, tmp_path):
     got = dt.read_filtered([("key_id", "<", 100)])
     assert got.count() == 100
     assert got.columns == ["key_id", "g", "label"]
+
+
+def test_partitioned_mapped_table_roundtrip(spark, tmp_path):
+    """r10: partitioned tables under column mapping — rename of a
+    partition column is metadata-only; reads, pruned reads (logical
+    keys in the predicate), appends, and partitioned OPTIMIZE all
+    work through physical partitionValues."""
+    dt = DeltaLogTable(spark, str(tmp_path / "pmap"))
+    dt.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40)],
+            "k int, seg string, v int",
+        ),
+        partition_by=["seg"],
+    )
+    dt.enable_column_mapping()
+    dt.rename_column("seg", "segment")
+    got = dt.read()
+    assert sorted(got.columns) == ["k", "segment", "v"]
+    assert got.count() == 4
+    # pruned read with the LOGICAL key
+    pr = dt.read_where(lambda pv: pv.get("segment") == "b")
+    assert sorted(r["k"] for r in pr.collect()) == [3, 4]
+    # append after the rename: physical dirs, logical read-back
+    dt.append(
+        spark.createDataFrame(
+            [(5, "b", 50)], "k int, segment string, v int"
+        )
+    )
+    pr2 = dt.read_where(lambda pv: pv.get("segment") == "b")
+    assert sorted(r["k"] for r in pr2.collect()) == [3, 4, 5]
+    # partitioned OPTIMIZE keeps physical names and contents
+    dt.optimize()
+    assert dt.read().count() == 5
+    assert sorted(
+        r["k"] for r in dt.read_where(
+            lambda pv: pv.get("segment") == "a"
+        ).collect()
+    ) == [1, 2]
