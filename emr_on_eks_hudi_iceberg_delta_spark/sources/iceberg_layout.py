@@ -49,11 +49,15 @@ reads applying them via ``_metadata.row_index`` + broadcast anti-join,
 
 Add-column schema evolution: ``append(merge_schema=True)`` widens the
 table schema with FRESH field ids (``last-column-id`` advances — ids
-are never reused, the spec's evolution invariant) and every read scans
-with the current schema EXPLICITLY, so pre-evolution files serve typed
-NULLs. Non-identity transforms, equality deletes, and spec evolution
-remain documented out of contract (loud errors where relevant), not
-silently wrong.
+are never reused, the spec's evolution invariant); metadata keeps the
+full ``schemas`` list + ``current-schema-id`` and snapshots record
+their ``schema-id``, so time travel reads each snapshot with ITS OWN
+schema (r10). Snapshots carry ``sequence-number`` (metadata tracks
+``last-sequence-number``) for v2 delete applicability; equality
+deletes (content=2) and the one-snapshot keyed upsert live in
+iceberg_deletes.py (r10). Non-identity partition transforms and spec
+evolution remain documented out of contract (loud errors where
+relevant), not silently wrong.
 """
 
 from __future__ import annotations
