@@ -83,9 +83,18 @@ def _set_table_properties(self: DeltaLogTable, props: dict) -> "DeltaLogTable":
     return self
 
 
-def write_cdc_files(dt: DeltaLogTable, cdc_df: DataFrame) -> list[dict]:
+def write_cdc_files(
+    dt: DeltaLogTable, cdc_df: DataFrame, meta: dict | None = None
+) -> list[dict]:
     """Write a change-data parquet batch (all table columns +
-    ``_change_type``) and return its ``cdc`` actions."""
+    ``_change_type``) and return its ``cdc`` actions. On column-mapped
+    tables the change files store PHYSICAL column names, like data
+    files (``_change_type`` passes through unmapped)."""
+    if meta is not None:
+        from .delta_colmap import mapping_enabled, to_physical
+
+        if mapping_enabled(meta):
+            cdc_df = to_physical(cdc_df, meta)
     staging = os.path.join(dt.location, f"_staging_{uuid.uuid4().hex}")
     cdc_df.write.mode("overwrite").parquet(staging)
     os.makedirs(os.path.join(dt.location, "cdc"), exist_ok=True)
@@ -140,8 +149,22 @@ def _table_changes(
         to_version = head
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     out_cols = [f.name for f in schema.fields]
+    from .delta_colmap import mapping_enabled, physical_names
+
+    if mapping_enabled(meta):
+        phys = physical_names(meta)
+    else:
+        phys = {c: c for c in out_cols}
     cdc_schema = StructType(
         list(schema.fields)
+    ).add(CHANGE_TYPE, StringType())
+    from pyspark.sql.types import StructField
+
+    cdc_read_schema = StructType(
+        [
+            StructField(phys[f.name], f.dataType, True)
+            for f in schema.fields
+        ]
     ).add(CHANGE_TYPE, StringType())
     pieces: list[DataFrame] = []
     for v in range(from_version, to_version + 1):
@@ -172,8 +195,14 @@ def _table_changes(
                 )
 
         if cdcs:
-            df = self.spark.read.schema(cdc_schema).parquet(
+            df = self.spark.read.schema(cdc_read_schema).parquet(
                 *[os.path.join(self.location, c["path"]) for c in cdcs]
+            ).select(
+                *[
+                    F.col(phys[f.name]).alias(f.name)
+                    for f in schema.fields
+                ],
+                CHANGE_TYPE,
             )
         elif adds and not removes:
             _require_on_disk([a["path"] for a in adds], "added")

@@ -25,12 +25,14 @@ upgrade). Checkpoints carry the mapping automatically — it lives in
 ``schemaString`` field metadata and ``configuration``, both
 checkpointed.
 
-Scope (honest contract): reads (snapshot + time travel + filtered),
-appends (including mergeSchema evolution — new columns get fresh
-ids), OPTIMIZE/compaction, VACUUM, and checkpoints work on mapped
-tables. ``overwrite`` and row-level DML (DELETE/UPDATE/MERGE) on a
-MAPPED table refuse loudly — schema-replacing writes under mapping
-need id reconciliation this layer does not yet do silently.
+Scope: reads (snapshot + time travel + filtered + pruned), appends
+(including mergeSchema evolution — new columns get fresh ids),
+row-level DML (DELETE cow/dv, UPDATE cow/dv, MERGE INTO — scans go
+physical-to-logical, rewrites and CDC files write physical names),
+OPTIMIZE/compaction, VACUUM, CDF, and checkpoints all work on mapped
+tables. Only ``overwrite`` refuses (honest contract): a
+schema-REPLACING write must reconcile column ids/physical names
+against the incoming schema, which this layer does not do silently.
 """
 
 from __future__ import annotations

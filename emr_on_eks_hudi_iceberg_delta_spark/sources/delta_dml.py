@@ -79,9 +79,26 @@ def _scan_with_pos(
     part_cols, data_fields, types, out_cols = _schema_parts(meta)
     if not adds:
         return None
+    # column mapping: data files store PHYSICAL names; scan physical,
+    # rename to logical (partitionValues are keyed physical too)
+    from .delta_colmap import mapping_enabled, physical_names
+    from pyspark.sql.types import StructField
+
+    if mapping_enabled(meta):
+        phys = physical_names(meta)
+    else:
+        phys = {c: c for c in out_cols}
+    scan_struct = StructType(
+        [
+            StructField(phys[f.name], f.dataType, True)
+            for f in data_fields
+        ]
+    )
     by_part: dict[tuple, list[dict]] = {}
     for a in adds:
-        key = tuple(a["partitionValues"].get(c) for c in part_cols)
+        key = tuple(
+            a["partitionValues"].get(phys[c]) for c in part_cols
+        )
         by_part.setdefault(key, []).append(a)
     name_map = dt.spark.createDataFrame(
         [(os.path.basename(a["path"]), a["path"]) for a in adds],
@@ -93,7 +110,7 @@ def _scan_with_pos(
         key=lambda kv: tuple((x is not None, x or "") for x in kv[0]),
     ):
         df = (
-            dt.spark.read.schema(StructType(data_fields))
+            dt.spark.read.schema(scan_struct)
             .parquet(
                 *[os.path.join(dt.location, a["path"]) for a in group]
             )
@@ -104,6 +121,14 @@ def _scan_with_pos(
                 ),
             )
             .withColumn("__pos", F.col("_metadata.row_index"))
+        )
+        df = df.select(
+            *[
+                F.col(phys[f.name]).alias(f.name)
+                for f in data_fields
+            ],
+            "__name",
+            "__pos",
         )
         for c, val in zip(part_cols, key):
             lit = (F.lit(None) if val is None else F.lit(val)).cast(
@@ -186,20 +211,6 @@ def _needs_dv_upgrade(proto: dict) -> bool:
     )
 
 
-def _refuse_if_mapped(meta: dict, op: str) -> None:
-    """Row-level DML rewrites data files; doing that under column
-    mapping requires writing physical names + id-aware stats, which
-    this layer does not yet do — refuse loudly rather than corrupt."""
-    from .delta_colmap import mapping_enabled
-
-    if mapping_enabled(meta):
-        raise NotImplementedError(
-            f"{op} on a column-mapped table is not supported yet; "
-            "reads, appends, rename/drop column, OPTIMIZE and "
-            "checkpoints all work on mapped tables"
-        )
-
-
 def _delete(
     self: DeltaLogTable, condition, mode: str = "cow"
 ) -> dict:
@@ -212,7 +223,6 @@ def _delete(
         raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
     cond = F.expr(condition) if isinstance(condition, str) else condition
     live, meta, head = self._replay()
-    _refuse_if_mapped(meta, "DELETE")
     part_cols, _, _, out_cols = _schema_parts(meta)
     scan = _scan_with_pos(self, list(live.values()), meta)
     if scan is None:
@@ -246,7 +256,7 @@ def _delete(
         keep = src.filter(~F.coalesce(cond, F.lit(False))).select(
             *out_cols
         )
-        adds = self._write_data_files(keep, part_cols)
+        adds = self._write_data_files(keep, part_cols, meta=meta)
         from .delta_cdf import CHANGE_TYPE, cdf_enabled, write_cdc_files
 
         if cdf_enabled(meta):
@@ -256,7 +266,7 @@ def _delete(
                 CHANGE_TYPE, F.lit("delete")
             )
             actions.extend(
-                {"cdc": c} for c in write_cdc_files(self, dels)
+                {"cdc": c} for c in write_cdc_files(self, dels, meta=meta)
             )
         for p in touched:
             actions.append(
@@ -310,7 +320,7 @@ def _delete(
                 CHANGE_TYPE, F.lit("delete")
             )
             actions.extend(
-                {"cdc": c} for c in write_cdc_files(self, dels)
+                {"cdc": c} for c in write_cdc_files(self, dels, meta=meta)
             )
         for r in hits:
             a = live[r["path"]]
@@ -358,7 +368,6 @@ def _update(
         raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
     cond = F.expr(condition) if isinstance(condition, str) else condition
     live, meta, head = self._replay()
-    _refuse_if_mapped(meta, "UPDATE")
     part_cols, _, types, out_cols = _schema_parts(meta)
     bad = sorted(set(assignments) - set(out_cols))
     if bad:
@@ -400,7 +409,7 @@ def _update(
     from .delta_cdf import enforce_constraints
 
     enforce_constraints(new, meta)
-    adds = self._write_data_files(new, part_cols)
+    adds = self._write_data_files(new, part_cols, meta=meta)
     now = int(time.time() * 1000)
     actions: list[dict] = [
         {
@@ -429,7 +438,7 @@ def _update(
         ).withColumn(CHANGE_TYPE, F.lit("update_postimage"))
         actions.extend(
             {"cdc": c}
-            for c in write_cdc_files(self, pre.unionByName(post))
+            for c in write_cdc_files(self, pre.unionByName(post), meta=meta)
         )
     for p in touched:
         actions.append(
@@ -525,9 +534,9 @@ def _update_dv(
         )
         actions.extend(
             {"cdc": c}
-            for c in write_cdc_files(self, pre.unionByName(post))
+            for c in write_cdc_files(self, pre.unionByName(post), meta=meta)
         )
-    new_adds = self._write_data_files(updated, part_cols)
+    new_adds = self._write_data_files(updated, part_cols, meta=meta)
     rows_updated = 0
     for r in hits:
         a = live[r["path"]]
@@ -590,7 +599,6 @@ def _merge_into(
     A source with two rows matching one target row refuses loudly
     (real Delta's DELTA_MULTIPLE_SOURCE_ROW_MATCHING error)."""
     live, meta, head = self._replay()
-    _refuse_if_mapped(meta, "MERGE INTO")
     part_cols, _, types, out_cols = _schema_parts(meta)
     scan = _scan_with_pos(self, list(live.values()), meta)
     src = source.withColumn("__s_matched", F.lit(True)).alias("s")
@@ -669,7 +677,7 @@ def _merge_into(
             from .delta_cdf import enforce_constraints
 
             enforce_constraints(rewritten, meta)
-            adds = self._write_data_files(rewritten, part_cols)
+            adds = self._write_data_files(rewritten, part_cols, meta=meta)
             from .delta_cdf import (
                 CHANGE_TYPE,
                 cdf_enabled,
@@ -719,7 +727,7 @@ def _merge_into(
                 for cp in cdc_parts[1:]:
                     cdc = cdc.unionByName(cp)
                 actions.extend(
-                    {"cdc": c} for c in write_cdc_files(self, cdc)
+                    {"cdc": c} for c in write_cdc_files(self, cdc, meta=meta)
                 )
             for p in touched:
                 actions.append(
@@ -764,7 +772,7 @@ def _merge_into(
         if n_ins:
             actions.extend(
                 {"add": a}
-                for a in self._write_data_files(ins, part_cols)
+                for a in self._write_data_files(ins, part_cols, meta=meta)
             )
             report["rows_inserted"] = n_ins
             from .delta_cdf import (
@@ -779,6 +787,7 @@ def _merge_into(
                     for c in write_cdc_files(
                         self,
                         ins.withColumn(CHANGE_TYPE, F.lit("insert")),
+                        meta=meta,
                     )
                 )
     if len(actions) == 1:

@@ -55,10 +55,11 @@ auto-rebased appends); and ``fsck`` integrity verification (fsck.py).
 
 Column mapping (name mode) lives in delta_colmap.py (r10):
 ``enable_column_mapping`` / ``rename_column`` / ``drop_column`` with
-physical-name scans, so renames/drops never rewrite data. Still not
+physical-name scans, so renames/drops never rewrite data; DML, CDF,
+OPTIMIZE, and checkpoints all work on mapped tables. Still not
 implemented (documented contract, loud errors — not silent
-corruption): generated columns, identity columns, and
-overwrite/row-DML on column-mapped tables.
+corruption): generated columns, identity columns, and overwrite of a
+column-mapped table.
 """
 
 from __future__ import annotations
@@ -400,13 +401,27 @@ class DeltaLogTable:
     # ----------------------------- writing ------------------------------
 
     def _write_data_files(
-        self, df: DataFrame, part_cols: list[str]
+        self, df: DataFrame, part_cols: list[str], meta: dict | None = None
     ) -> list[dict]:
         """Write parquet data files under the table root and return
         their ``add`` actions. Files are written to a staging dir and
         hard-renamed in under fresh uuid names — the same
         temp-then-publish idiom as the Arrow IPC sink, so a concurrent
-        reader never sees a half-written file."""
+        reader never sees a half-written file. When ``meta`` names a
+        column-mapped table, the (logical-named) df and partition
+        columns are renamed to physical before writing — stats and
+        partitionValues then carry physical keys, per spec."""
+        if meta is not None:
+            from .delta_colmap import (
+                mapping_enabled,
+                physical_names,
+                to_physical,
+            )
+
+            if mapping_enabled(meta):
+                phys = physical_names(meta)
+                df = to_physical(df, meta)
+                part_cols = [phys.get(c, c) for c in part_cols]
         staging = os.path.join(self.location, f"_staging_{uuid.uuid4().hex}")
         writer = df.write.mode("overwrite")
         if part_cols:
@@ -516,8 +531,8 @@ class DeltaLogTable:
                     "overwrite of a column-mapped table is not "
                     "supported: a schema-replacing write must "
                     "reconcile column ids/physical names; append, "
-                    "rename_column, drop_column, OPTIMIZE and reads "
-                    "all work on mapped tables"
+                    "DML, rename_column, drop_column, OPTIMIZE and "
+                    "reads all work on mapped tables"
                 )
             from .delta_cdf import enforce_constraints
 

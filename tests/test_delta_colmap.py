@@ -164,17 +164,67 @@ def test_optimize_on_mapped_table_keeps_physical_names(spark, tmp_path):
     assert len(live) == 1
 
 
-def test_dml_and_overwrite_refuse_on_mapped_tables(spark, tmp_path):
+def test_overwrite_refuses_on_mapped_tables(spark, tmp_path):
     dt = _table(spark, tmp_path, "refu2", n=10, files=1)
     dt.enable_column_mapping()
-    with pytest.raises(NotImplementedError, match="DELETE"):
-        dt.delete("k = 1")
-    with pytest.raises(NotImplementedError, match="UPDATE"):
-        dt.update("k = 1", {"g": "0"})
     with pytest.raises(NotImplementedError, match="overwrite"):
         dt.overwrite(spark.range(3).selectExpr("id AS k"))
     with pytest.raises(ValueError, match="enable_column_mapping"):
         dt.set_table_properties({"delta.columnMapping.mode": "name"})
+
+
+def test_dml_works_on_mapped_tables(spark, tmp_path):
+    """r10: DELETE (cow + dv), UPDATE, and MERGE INTO run on mapped
+    tables — scans translate physical->logical, rewrites and DV adds
+    keep physical names, results read back by logical name."""
+    import pyarrow.parquet as pq
+
+    dt = _table(spark, tmp_path, "dmlmap", n=100, files=3)
+    dt.enable_column_mapping()
+    dt.rename_column("label", "txt")
+    rep = dt.delete("k < 10")                      # CoW
+    assert rep["rows_deleted"] == 10
+    assert dt.read().count() == 90
+    rep = dt.delete("k >= 90", mode="dv")          # MoR
+    assert rep["rows_deleted"] == 10
+    assert dt.read().count() == 80
+    rep = dt.update("k = 50", {"txt": "'updated'"})
+    assert rep["rows_updated"] == 1
+    got = {r["k"]: r["txt"] for r in dt.read().collect()}
+    assert got[50] == "updated" and got[49] == "v49"
+    # rewritten files store PHYSICAL names
+    live, _, _ = dt._replay()
+    newest = max(live.values(), key=lambda a: a["modificationTime"])
+    cols = pq.read_schema(
+        os.path.join(dt.location, newest["path"])
+    ).names
+    assert "label" in cols and "txt" not in cols
+    # MERGE over the renamed column
+    src = spark.createDataFrame(
+        [(50, 9, "merged"), (500, 0, "new")],
+        "k bigint, g bigint, txt string",
+    )
+    rep = dt.merge_into(
+        src, ["k"], when_matched_update={"txt": "s.txt"}
+    )
+    assert rep["rows_updated"] == 1 and rep["rows_inserted"] == 1
+    got = {r["k"]: r["txt"] for r in dt.read().collect()}
+    assert got[50] == "merged" and got[500] == "new"
+    assert len(got) == 81
+
+
+def test_cdf_on_mapped_tables(spark, tmp_path):
+    """r10: CDF change files store physical names; table_changes
+    serves logical names."""
+    dt = _table(spark, tmp_path, "cdfmap", n=20, files=1)
+    dt.set_table_properties({"delta.enableChangeDataFeed": "true"})
+    dt.enable_column_mapping()
+    dt.rename_column("label", "txt")
+    v = dt.update("k = 3", {"txt": "'x'"})["version"]
+    ch = dt.table_changes(v, v)
+    assert "txt" in ch.columns
+    kinds = {r["_change_type"] for r in ch.collect()}
+    assert kinds == {"update_preimage", "update_postimage"}
 
 
 def test_stats_skipping_translates_to_physical(spark, tmp_path):
