@@ -29,10 +29,11 @@ Scope: reads (snapshot + time travel + filtered + pruned), appends
 (including mergeSchema evolution — new columns get fresh ids),
 row-level DML (DELETE cow/dv, UPDATE cow/dv, MERGE INTO — scans go
 physical-to-logical, rewrites and CDC files write physical names),
-OPTIMIZE/compaction, VACUUM, CDF, and checkpoints all work on mapped
-tables. Only ``overwrite`` refuses (honest contract): a
-schema-REPLACING write must reconcile column ids/physical names
-against the incoming schema, which this layer does not do silently.
+OPTIMIZE/compaction, VACUUM, CDF, checkpoints, and matching-schema
+DATA overwrites (the mapped schema — ids and physical names — is kept
+verbatim) all work on mapped tables. Only a schema-CHANGING overwrite
+refuses (honest contract): replacing the schema must reconcile column
+ids/physical names, which this layer does not do silently.
 """
 
 from __future__ import annotations

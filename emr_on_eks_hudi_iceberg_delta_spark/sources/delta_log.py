@@ -522,22 +522,41 @@ class DeltaLogTable:
         part_cols = list(partition_by or [])
         versions = self._versions()
         prior_live: dict[str, dict] = {}
+        mapped_meta = None
         if versions:
             prior_live, prior_meta, _ = self._replay()
             from .delta_colmap import mapping_enabled
 
             if mapping_enabled(prior_meta):
-                raise NotImplementedError(
-                    "overwrite of a column-mapped table is not "
-                    "supported: a schema-replacing write must "
-                    "reconcile column ids/physical names; append, "
-                    "DML, rename_column, drop_column, OPTIMIZE and "
-                    "reads all work on mapped tables"
+                # a MAPPED table keeps its schema (ids/physical names)
+                # across a data overwrite — real Delta's overwrite
+                # without overwriteSchema; a schema CHANGE would need
+                # id reconciliation and refuses by contract
+                cur = StructType.fromJson(
+                    json.loads(prior_meta["schemaString"])
                 )
+                same = [(f.name, f.dataType) for f in cur.fields] == [
+                    (f.name, f.dataType) for f in df.schema.fields
+                ]
+                if not same:
+                    raise NotImplementedError(
+                        "schema-changing overwrite of a column-mapped "
+                        "table is not supported (ids/physical names "
+                        "would need reconciliation); matching-schema "
+                        "data overwrites, append, DML, rename/drop "
+                        "column, OPTIMIZE and reads all work"
+                    )
+                if part_cols != prior_meta.get("partitionColumns", []):
+                    raise ValueError(
+                        "overwrite of a mapped table must keep its "
+                        "partition columns "
+                        f"{prior_meta.get('partitionColumns', [])}"
+                    )
+                mapped_meta = prior_meta
             from .delta_cdf import enforce_constraints
 
             enforce_constraints(df, prior_meta)
-        adds = self._write_data_files(df, part_cols)
+        adds = self._write_data_files(df, part_cols, meta=mapped_meta)
         actions: list[dict] = [
             {
                 "commitInfo": {
@@ -550,7 +569,11 @@ class DeltaLogTable:
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
             )
-        actions.append(self._meta_action(df, part_cols))
+        if mapped_meta is not None:
+            # keep the mapped schema (ids/physical names) verbatim
+            actions.append({"metaData": dict(mapped_meta)})
+        else:
+            actions.append(self._meta_action(df, part_cols))
         now = int(time.time() * 1000)
         for path in sorted(prior_live):
             actions.append(

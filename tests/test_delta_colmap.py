@@ -164,10 +164,24 @@ def test_optimize_on_mapped_table_keeps_physical_names(spark, tmp_path):
     assert len(live) == 1
 
 
-def test_overwrite_refuses_on_mapped_tables(spark, tmp_path):
+def test_overwrite_on_mapped_tables(spark, tmp_path):
+    """r10: matching-schema DATA overwrite keeps the mapped schema
+    (ids/physical names survive, rename still serves); a
+    schema-CHANGING overwrite refuses."""
     dt = _table(spark, tmp_path, "refu2", n=10, files=1)
     dt.enable_column_mapping()
-    with pytest.raises(NotImplementedError, match="overwrite"):
+    dt.rename_column("label", "txt")
+    dt.overwrite(
+        spark.createDataFrame(
+            [(1, 0, "fresh")], "k bigint, g bigint, txt string"
+        )
+    )
+    got = dt.read().collect()
+    assert len(got) == 1 and got[0]["txt"] == "fresh"
+    # mapping survived: a further rename is still metadata-only
+    dt.rename_column("txt", "txt2")
+    assert dt.read().columns == ["k", "g", "txt2"]
+    with pytest.raises(NotImplementedError, match="schema-changing"):
         dt.overwrite(spark.range(3).selectExpr("id AS k"))
     with pytest.raises(ValueError, match="enable_column_mapping"):
         dt.set_table_properties({"delta.columnMapping.mode": "name"})
