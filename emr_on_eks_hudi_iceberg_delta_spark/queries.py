@@ -14627,6 +14627,90 @@ def q_delta_column_mapping_rename(spark, sf_dir):
 
 
 @register(
+    "delta_update_dv",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'O'
+                THEN CAST(o_totalprice AS DOUBLE) * 1.1
+                ELSE CAST(o_totalprice AS DOUBLE) END AS price
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+    """,
+    tags=("lake", "S11", "extension"),
+)
+def q_delta_update_dv(spark, sf_dir):
+    """Merge-on-read UPDATE via deletion vectors (r10,
+    sources/delta_dml.py update mode='dv'): matched rows are DV'd in
+    place — bitmaps built executor-side — and their SET-applied copies
+    land as fresh files in the same commit, zero pre-update files
+    rewritten (asserted in-gate). Composes with a DV DELETE in the
+    same table; result equals the plain SQL expression."""
+    import tempfile
+
+    from .sources import DeltaLogTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    dt = DeltaLogTable(spark, tempfile.mkdtemp(prefix="delta_updv_"))
+    dt.overwrite(o.repartition(5))
+    files0 = set(dt._replay()[0])
+    dt.delete("o_orderstatus = 'F' AND o_orderkey % 5 = 0", mode="dv")
+    dt.update("o_orderstatus = 'O'", {"price": "price * 1.1"},
+              mode="dv")
+    live, _, _ = dt._replay()
+    assert files0 <= set(live)  # zero pre-update files rewritten
+    return dt.read()
+
+
+@register(
+    "delta_column_mapping_dml",
+    oracle="""
+    WITH renamed AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             CAST(c_acctbal AS DOUBLE) AS balance
+      FROM customer
+    )
+    SELECT c_custkey, segment,
+           CASE WHEN c_custkey % 10 = 0 THEN 0.0 ELSE balance END
+             AS balance
+    FROM renamed
+    WHERE NOT (balance < 0)
+      AND NOT (segment = 'MACHINERY' AND c_custkey % 3 = 0)
+    """,
+    tags=("lake", "S11", "extension"),
+)
+def q_delta_column_mapping_dml(spark, sf_dir):
+    """Row-level DML on a COLUMN-MAPPED table (r10): after
+    enable_column_mapping + renames, a CoW DELETE, a DV DELETE, and an
+    UPDATE all run against the renamed logical names while the files
+    keep their physical names — the scan maps physical→logical, the
+    rewrites map back. Result equals plain SQL over the renamed
+    projection."""
+    import tempfile
+
+    from .sources import DeltaLogTable
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+    dt = DeltaLogTable(spark, tempfile.mkdtemp(prefix="delta_cmdml_"))
+    dt.overwrite(c.repartition(4))
+    dt.enable_column_mapping()
+    dt.rename_column("c_mktsegment", "segment")
+    dt.rename_column("c_acctbal", "balance")
+    dt.delete("balance < 0")                                   # CoW
+    dt.delete("segment = 'MACHINERY' AND c_custkey % 3 = 0",
+              mode="dv")                                       # MoR
+    dt.update("c_custkey % 10 = 0", {"balance": "0.0"})
+    return dt.read()
+
+
+@register(
     "delta_schema_evolution",
     oracle="""
     SELECT c_custkey, c_name,
