@@ -844,3 +844,31 @@ def test_million_row_iceberg_delete_executor_side(spark, tmp_path):
     assert sum(d["record_count"] for d in dels) == 1_750_000
     print(f"ice_1M_delete={del_sec:.1f}s read={read_sec:.1f}s "
           f"delete_files={len(dels)}")
+
+
+def test_iceberg_streaming_upsert_scale_smoke(spark, tmp_path):
+    """r10: the one-snapshot equality-delete upsert at 2x10^6 base
+    rows / 2x10^5-row batch — write cost must be O(batch): no
+    pre-existing data file is read or rewritten, and the read after
+    converges to latest-per-key."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import IcebergTable
+
+    n = 2_000_000
+    t = IcebergTable(spark, str(tmp_path / "upscale"))
+    t.overwrite(
+        spark.range(n).selectExpr("id AS k", "0 AS gen").repartition(8)
+    )
+    files0 = {e["data_file"]["file_path"] for e in t._entries()}
+    batch = spark.range(0, 200_000).selectExpr("id * 10 AS k", "1 AS gen")
+    t0 = time.time()
+    rep = t.upsert_by_key(batch, ["k"])
+    up_sec = time.time() - t0
+    assert rep["keys"] == 200_000
+    assert files0 <= {
+        e["data_file"]["file_path"] for e in t._entries()
+    }
+    t0 = time.time()
+    assert t.read().count() == n  # keys 0..1999990 step10 replaced
+    read_sec = time.time() - t0
+    assert t.read().filter("gen = 1").count() == 200_000
+    print(f"ice_upsert={up_sec:.1f}s read={read_sec:.1f}s")
