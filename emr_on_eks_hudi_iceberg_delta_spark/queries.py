@@ -14879,6 +14879,57 @@ def q_iceberg_streaming_upsert(spark, sf_dir):
 
 
 @register(
+    "iceberg_rename_column_dml",
+    oracle="""
+    WITH renamed AS (
+      SELECT c_custkey, c_mktsegment AS segment, c_name
+      FROM customer
+    )
+    SELECT c_custkey, segment, c_name
+    FROM renamed
+    WHERE NOT (segment = 'FURNITURE' AND c_custkey % 2 = 0)
+    UNION ALL
+    SELECT c_custkey + 30000000, 'POST' AS segment, c_name
+    FROM customer WHERE c_custkey % 50 = 0
+    """,
+    tags=("lake", "S12", "extension"),
+)
+def q_iceberg_rename_column_dml(spark, sf_dir):
+    """Iceberg RENAME COLUMN (r10 — the spec's field-id evolution):
+    metadata-only schema version bump; every pre-rename file keeps
+    serving because reads resolve columns BY FIELD ID through each
+    file's write-time schema (iceberg_layout._aligned_scan). The gate
+    renames, runs a DELETE against the NEW name over OLD files,
+    appends post-rename rows, and must equal plain SQL over the
+    renamed projection — with zero data files rewritten by the rename
+    (asserted in-gate)."""
+    import tempfile
+
+    from .sources.iceberg_layout import IcebergTable
+    from .sources import iceberg_deletes  # noqa: F401
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_name"
+    )
+    t = IcebergTable(spark, tempfile.mkdtemp(prefix="ice_ren_"))
+    t.overwrite(c.repartition(4))
+    files0 = {e["data_file"]["file_path"] for e in t._entries()}
+    t.rename_column("c_mktsegment", "segment")
+    assert {
+        e["data_file"]["file_path"] for e in t._entries()
+    } == files0  # rename rewrote nothing
+    t.delete("segment = 'FURNITURE' AND c_custkey % 2 = 0")
+    t.append(
+        c.filter("c_custkey % 50 = 0").selectExpr(
+            "c_custkey + 30000000 AS c_custkey",
+            "'POST' AS segment",
+            "c_name",
+        )
+    )
+    return t.read()
+
+
+@register(
     "iceberg_rollback_after_compaction",
     oracle="""
     SELECT o_orderkey, o_orderpriority,

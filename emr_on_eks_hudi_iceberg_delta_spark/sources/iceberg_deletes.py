@@ -202,21 +202,58 @@ def _scan_with_pos_ice(
     paths = [e["data_file"]["file_path"] for e in data_entries]
     if not paths:
         return None
+    from .iceberg_layout import (
+        _spark_struct_of,
+        _spark_type_str,
+        entry_schema_id,
+        ice_schema_by_id,
+    )
+
+    md = self._metadata()
+    cur_sid = md.get(
+        "current-schema-id", md["schema"].get("schema-id", 0)
+    )
     name_map = self.spark.createDataFrame(
         [(os.path.basename(p), p) for p in paths],
         "__name string, __file string",
     )
-    scan = (
-        self.spark.read.schema(schema)
-        .parquet(*paths)
-        .withColumn(
-            "__name",
-            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+    # one multi-path scan per WRITE-TIME schema version, aligned to
+    # the current schema by field id (rename/drop-safe)
+    groups: dict[int, list[str]] = {}
+    for e in data_entries:
+        groups.setdefault(entry_schema_id(md, e), []).append(
+            e["data_file"]["file_path"]
         )
-        .withColumn("__pos", F.col("_metadata.row_index"))
-        .join(F.broadcast(name_map), "__name")
-        .drop("__name")
-    )
+    target = ice_schema_by_id(md, cur_sid)
+    pieces = []
+    for sid in sorted(groups):
+        ice = ice_schema_by_id(md, sid)
+        df = (
+            self.spark.read.schema(_spark_struct_of(ice))
+            .parquet(*groups[sid])
+            .withColumn(
+                "__name",
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ),
+            )
+            .withColumn("__pos", F.col("_metadata.row_index"))
+        )
+        by_id = {f["id"]: f["name"] for f in ice["fields"]}
+        cols = []
+        for f in target["fields"]:
+            t = _spark_type_str(f["type"])
+            nm = by_id.get(f["id"])
+            cols.append(
+                F.lit(None).cast(t).alias(f["name"])
+                if nm is None
+                else F.col(nm).cast(t).alias(f["name"])
+            )
+        pieces.append(df.select(*cols, "__name", "__pos"))
+    scan = pieces[0]
+    for p_ in pieces[1:]:
+        scan = scan.unionByName(p_)
+    scan = scan.join(F.broadcast(name_map), "__name").drop("__name")
     if prior_deletes:
         pairs_df = self.spark.read.parquet(
             *[e["data_file"]["file_path"] for e in prior_deletes]
@@ -258,9 +295,12 @@ def _scan_with_pos_ice(
         for cols, dfs in by_cols.items():
             keys = None
             for d, dseq in dfs:
+                # per-file read + positional rename: the key file
+                # stores its WRITE-TIME column names (the equality_ids
+                # order is fixed), so renames never break it
                 k = (
                     self.spark.read.parquet(d["file_path"])
-                    .select(*cols)
+                    .toDF(*cols)
                     .withColumn("__dseq", F.lit(dseq).cast("bigint"))
                 )
                 keys = k if keys is None else keys.unionByName(k)
@@ -502,6 +542,85 @@ def _rollback(self: IcebergTable, snapshot_id: int) -> int:
         }
     ]
     return _advance_metadata(self, md)
+
+
+def _next_schema(md: dict, new_fields: list[dict]) -> dict:
+    """A fresh schema version appended to the metadata's ``schemas``
+    list (schema-id bumps; field ids are never reused)."""
+    new = {
+        "type": "struct",
+        "schema-id": md.get(
+            "current-schema-id", md["schema"].get("schema-id", 0)
+        )
+        + 1,
+        "fields": new_fields,
+    }
+    if "schemas" not in md:
+        md["schemas"] = [md["schema"]]
+    md["schema"] = new
+    md["schemas"] = md["schemas"] + [new]
+    md["current-schema-id"] = new["schema-id"]
+    return new
+
+
+def _ice_rename_column(
+    self: IcebergTable, old: str, new: str
+) -> int:
+    """ALTER TABLE ... RENAME COLUMN — Iceberg's native field-id
+    evolution: a new schema version where the field keeps its ID under
+    the new name, committed metadata-only (no snapshot, no file
+    touched). Reads resolve old files BY FIELD ID, so every
+    pre-rename file keeps serving (iceberg_layout._aligned_scan)."""
+    md = self._metadata()
+    names = [f["name"] for f in md["schema"]["fields"]]
+    if old not in names:
+        raise ValueError(f"no such column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    fields = [
+        ({**f, "name": new} if f["name"] == old else dict(f))
+        for f in md["schema"]["fields"]
+    ]
+    _next_schema(md, fields)
+    # identity partition specs name their source column: follow it
+    for spec in md.get("partition-specs", []):
+        for pf in spec.get("fields", []):
+            if pf["name"] == old:
+                pf["name"] = new
+    if md.get("partition-spec"):
+        for pf in md["partition-spec"]:
+            if pf.get("name") == old:
+                pf["name"] = new
+    return _advance_metadata(self, md)
+
+
+def _ice_drop_column(self: IcebergTable, col: str) -> int:
+    """ALTER TABLE ... DROP COLUMN — metadata-only: the field leaves
+    the current schema (its id is never reused); the bytes stay in the
+    data files, unread. Old snapshots still time-travel with their own
+    schema."""
+    md = self._metadata()
+    names = [f["name"] for f in md["schema"]["fields"]]
+    if col not in names:
+        raise ValueError(f"no such column {col!r} (have {names})")
+    part_names = {
+        pf["name"]
+        for spec in md.get("partition-specs", [])
+        for pf in spec.get("fields", [])
+    }
+    if col in part_names:
+        raise ValueError(f"cannot drop partition column {col!r}")
+    if len(names) == 1:
+        raise ValueError("cannot drop the only column")
+    fields = [
+        dict(f) for f in md["schema"]["fields"] if f["name"] != col
+    ]
+    _next_schema(md, fields)
+    return _advance_metadata(self, md)
+
+
+IcebergTable.rename_column = _ice_rename_column
+IcebergTable.drop_column = _ice_drop_column
 
 
 IcebergTable.delete = _delete
@@ -802,6 +921,9 @@ def _commit_mor_snapshot(
             "manifest-list": mlist_path,
             "summary": summary,
             "sequence-number": seq,
+            "schema-id": md.get(
+                "current-schema-id", md["schema"].get("schema-id", 0)
+            ),
         }
     ]
     md["snapshot-log"] = md.get("snapshot-log", []) + [

@@ -225,15 +225,51 @@ def _spark_schema_from_md(md: dict, schema_id: int | None = None):
                     f"schema-id {schema_id} not in metadata "
                     f"(have {[s.get('schema-id') for s in md.get('schemas', [])]})"
                 )
-    parts = []
-    for f in ice_schema["fields"]:
-        t = f["type"]
-        if isinstance(t, str) and t.startswith("decimal"):
-            spark_t = t.replace(" ", "")
-        else:
-            spark_t = _ICE2SPARK[t]
-        parts.append(f"{f['name']} {spark_t}")
+    return _spark_struct_of(ice_schema)
+
+
+def _spark_type_str(ice_type) -> str:
+    if isinstance(ice_type, str) and ice_type.startswith("decimal"):
+        return ice_type.replace(" ", "")
+    return _ICE2SPARK[ice_type]
+
+
+def _spark_struct_of(ice_schema: dict):
+    from pyspark.sql.types import StructType
+
+    parts = [
+        f"{f['name']} {_spark_type_str(f['type'])}"
+        for f in ice_schema["fields"]
+    ]
     return StructType.fromDDL(", ".join(parts))
+
+
+def ice_schema_by_id(md: dict, sid: int) -> dict:
+    """The Iceberg schema dict with ``schema-id == sid`` from the
+    metadata's ``schemas`` list (falling back to the current schema
+    for pre-r10 metadata without the list)."""
+    for s in md.get("schemas", []):
+        if s.get("schema-id") == sid:
+            return s
+    if md["schema"].get("schema-id", 0) == sid:
+        return md["schema"]
+    raise ValueError(
+        f"schema-id {sid} not in metadata "
+        f"(have {[s.get('schema-id') for s in md.get('schemas', [])]})"
+    )
+
+
+def entry_schema_id(md: dict, entry: dict) -> int:
+    """The schema-id a manifest entry's data file was WRITTEN with —
+    resolved through its adding snapshot (stamped since r10); entries
+    from unstamped snapshots default to the current schema (safe:
+    rename/drop did not exist before stamping)."""
+    for snap in md.get("snapshots", []):
+        if snap["snapshot-id"] == entry["snapshot_id"]:
+            if "schema-id" in snap:
+                return snap["schema-id"]
+            break
+    return md.get("current-schema-id", md["schema"].get("schema-id", 0))
 
 
 def _iceberg_schema(df: DataFrame) -> dict:
@@ -374,25 +410,6 @@ class IcebergTable:
             and e["data_file"].get("content") == CONTENT_EQ_DELETES
         ]
 
-    def _schema_for_snapshot(self, snapshot_id: int | None):
-        """The Spark read schema scoped to ``snapshot_id`` — a
-        pre-evolution snapshot serves its OWN schema (spec: snapshot
-        ``schema-id``), not later-added columns as NULLs."""
-        md = self._metadata()
-        if snapshot_id is None:
-            return _spark_schema_from_md(md)
-        snap = next(
-            (
-                s
-                for s in md["snapshots"]
-                if s["snapshot-id"] == snapshot_id
-            ),
-            None,
-        )
-        if snap is None or "schema-id" not in snap:
-            return _spark_schema_from_md(md)
-        return _spark_schema_from_md(md, snap["schema-id"])
-
     def _scan_files(
         self, paths: list[str], delete_files: list[dict], schema=None
     ) -> DataFrame:
@@ -446,6 +463,71 @@ class IcebergTable:
             out = out.unionByName(p)
         return out
 
+    def _aligned_scan(
+        self,
+        md: dict,
+        data_entries: list[dict],
+        pos_deletes: list[dict],
+        target_sid: int,
+    ) -> DataFrame:
+        """Scan data entries possibly written under DIFFERENT schema
+        versions: ONE multi-path scan per distinct write-time
+        schema-id, each aligned to the target schema BY FIELD ID —
+        renamed columns resolve to their historical physical names,
+        dropped-then-unknown ids are ignored, later-added fields read
+        as typed NULLs. The rename-safe read path Iceberg's field-id
+        contract exists for."""
+        target = ice_schema_by_id(md, target_sid)
+        groups: dict[int, list[dict]] = {}
+        for e in data_entries:
+            groups.setdefault(entry_schema_id(md, e), []).append(e)
+        parts = []
+        for sid in sorted(groups):
+            ice = ice_schema_by_id(md, sid)
+            df = self._scan_files(
+                [
+                    e["data_file"]["file_path"]
+                    for e in groups[sid]
+                ],
+                pos_deletes,
+                schema=_spark_struct_of(ice),
+            )
+            if sid != target_sid or ice is not target:
+                by_id = {
+                    f["id"]: f["name"] for f in ice["fields"]
+                }
+                cols = []
+                for f in target["fields"]:
+                    t = _spark_type_str(f["type"])
+                    nm = by_id.get(f["id"])
+                    if nm is None:
+                        cols.append(
+                            F.lit(None).cast(t).alias(f["name"])
+                        )
+                    else:
+                        cols.append(
+                            F.col(nm).cast(t).alias(f["name"])
+                        )
+                df = df.select(*cols)
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _target_schema_id(self, md, snapshot_id: int | None) -> int:
+        """The schema-id a read should surface: the snapshot's own
+        (time travel) or the current one."""
+        cur = md.get(
+            "current-schema-id", md["schema"].get("schema-id", 0)
+        )
+        if snapshot_id is None:
+            return cur
+        for s in md["snapshots"]:
+            if s["snapshot-id"] == snapshot_id:
+                return s.get("schema-id", cur)
+        return cur
+
     def _eq_cols_of(self, md: dict, eq_entry: dict) -> tuple:
         """Column names an equality-delete file keys on (spec
         ``equality_ids`` are schema field ids)."""
@@ -455,7 +537,7 @@ class IcebergTable:
         )
 
     def _scan_with_eq_deletes(
-        self, data_entries, pos_deletes, eq_entries, schema
+        self, data_entries, pos_deletes, eq_entries, target_sid=None
     ) -> DataFrame:
         """Apply v2 EQUALITY deletes on top of the position-delete
         scan, honoring sequence-number applicability: an equality
@@ -463,15 +545,17 @@ class IcebergTable:
         number is STRICTLY LESS than the delete's (spec — a delete
         must not mask rows added after it). Data files are grouped by
         which deletes apply (O(distinct delete seqs) groups, each one
-        multi-path scan); each group anti-joins the applicable key
-        sets with null-safe equality (spec: null matches null),
-        broadcast when small."""
+        field-id-aligned multi-path scan); each group anti-joins the
+        applicable key sets with null-safe equality (spec: null
+        matches null), broadcast when small."""
         md = self._metadata()
+        if target_sid is None:
+            target_sid = self._target_schema_id(md, None)
         eq_with_seq = [
             (e, seq_of_snapshot(md, e["snapshot_id"]))
             for e in eq_entries
         ]
-        groups: dict[tuple, list[str]] = {}
+        groups: dict[tuple, list[dict]] = {}
         for e in data_entries:
             fseq = seq_of_snapshot(md, e["snapshot_id"])
             sig = tuple(
@@ -481,12 +565,14 @@ class IcebergTable:
                     if dseq > fseq
                 )
             )
-            groups.setdefault(sig, []).append(
-                e["data_file"]["file_path"]
-            )
+            groups.setdefault(sig, []).append(e)
         parts = []
-        for sig, paths in sorted(groups.items()):
-            df = self._scan_files(paths, pos_deletes, schema=schema)
+        for sig, sub_entries in sorted(
+            groups.items(), key=lambda kv: kv[0]
+        ):
+            df = self._aligned_scan(
+                md, sub_entries, pos_deletes, target_sid
+            )
             by_cols: dict[tuple, list[dict]] = {}
             for i in sig:
                 d = eq_with_seq[i][0]["data_file"]
@@ -494,14 +580,16 @@ class IcebergTable:
                     self._eq_cols_of(md, eq_with_seq[i][0]), []
                 ).append(d)
             for cols, dfiles in by_cols.items():
-                keys = (
-                    self.spark.read.parquet(
-                        *[d["file_path"] for d in dfiles]
-                    )
-                    .select(*cols)
-                    .dropDuplicates()
-                    .alias("__eqk")
-                )
+                # per-file read + positional rename: key files store
+                # their WRITE-TIME column names (fixed equality_ids
+                # order), so renames never break the anti-join
+                keys = None
+                for d in dfiles:
+                    k = self.spark.read.parquet(
+                        d["file_path"]
+                    ).toDF(*cols)
+                    keys = k if keys is None else keys.unionByName(k)
+                keys = keys.dropDuplicates().alias("__eqk")
                 total = sum(d.get("record_count", 0) for d in dfiles)
                 from .iceberg_deletes import (
                     POS_DELETE_BROADCAST_MAX_PAIRS,
@@ -524,22 +612,21 @@ class IcebergTable:
         return out
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:
+        md = self._metadata()
+        target_sid = self._target_schema_id(md, snapshot_id)
         data_entries = [
             e
             for e in self._entries(snapshot_id)
             if e["status"] != STATUS_DELETED
         ]
-        schema = self._schema_for_snapshot(snapshot_id)
         pos_dels = self._live_delete_files(snapshot_id)
         eq_entries = self._live_eq_delete_entries(snapshot_id)
         if eq_entries:
             return self._scan_with_eq_deletes(
-                data_entries, pos_dels, eq_entries, schema
+                data_entries, pos_dels, eq_entries, target_sid
             )
-        return self._scan_files(
-            [e["data_file"]["file_path"] for e in data_entries],
-            pos_dels,
-            schema=schema,
+        return self._aligned_scan(
+            md, data_entries, pos_dels, target_sid
         )
 
     def added_files(self, since_snapshot_id: int) -> list[dict]:
@@ -1007,20 +1094,17 @@ class IcebergTable:
         ]
         if not entries:
             return self.read(snapshot_id).filter("1 = 0")
-        schema = self._schema_for_snapshot(snapshot_id)
+        md = self._metadata()
+        target_sid = self._target_schema_id(md, snapshot_id)
         pos_dels = self._live_delete_files(snapshot_id)
         eq_entries = self._live_eq_delete_entries(snapshot_id)
         if eq_entries:
             # equality deletes are partition-global: the pruned scan
             # must still apply every applicable one (seq rules)
             return self._scan_with_eq_deletes(
-                entries, pos_dels, eq_entries, schema
+                entries, pos_dels, eq_entries, target_sid
             )
-        return self._scan_files(
-            [e["data_file"]["file_path"] for e in entries],
-            pos_dels,
-            schema=schema,
-        )
+        return self._aligned_scan(md, entries, pos_dels, target_sid)
 
 
 def _expire_snapshots(self, keep_last: int = 1) -> dict:

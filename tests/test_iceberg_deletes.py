@@ -677,3 +677,65 @@ def test_fsck_accepts_equality_deletes(spark, tmp_path):
     rep = t.fsck()
     assert rep["ok"], rep["errors"]
     assert rep["files_checked"] >= 3
+
+
+# ------------------- rename/drop column (field ids) -------------------
+
+
+def test_rename_column_serves_old_files_by_field_id(spark, tmp_path):
+    """r10: RENAME COLUMN is metadata-only — old files resolve by
+    FIELD ID through their write-time schema, zero rewrites."""
+    t, _ = _table(spark, tmp_path, "ren", files=3, n=60)
+    files0 = {e["data_file"]["file_path"] for e in t._entries()}
+    t.rename_column("v", "value")
+    assert {e["data_file"]["file_path"] for e in t._entries()} == files0
+    got = t.read()
+    assert got.columns == ["k", "g", "value"]
+    assert got.filter("value = 1.5").count() == 1  # k=1 row
+    # append AFTER the rename writes the new name; both generations
+    # align in one read
+    t.append(
+        spark.createDataFrame(
+            [(1000, 0, -1.0)], "k bigint, g bigint, value double"
+        )
+    )
+    assert t.read().count() == 61
+    assert t.read().filter("value = -1.0").count() == 1
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("k", "g")
+    with pytest.raises(ValueError, match="no such column"):
+        t.rename_column("zz", "x")
+
+
+def test_rename_then_dml_and_eq_delete(spark, tmp_path):
+    """DML + equality deletes compose with renames: predicates use the
+    new name; equality_ids keep working (they are field ids)."""
+    t, _ = _table(spark, tmp_path, "rendml", files=2, n=40)
+    t.equality_delete(spark.createDataFrame([(0,)], "g bigint"))
+    t.rename_column("g", "bucket")
+    # delete by the NEW name over files written under the OLD name
+    rep = t.delete("bucket = 1")
+    assert rep["rows_deleted"] == 5
+    # the pre-rename equality delete still masks (field-id keyed)
+    assert t.read().filter("bucket = 0").count() == 0
+    assert t.read().count() == 40 - 5 - 5
+    # update via the new name
+    t.update("bucket = 2", {"v": "0.0"})
+    assert t.read().filter("bucket = 2 AND v <> 0.0").count() == 0
+
+
+def test_drop_column_metadata_only_with_time_travel(spark, tmp_path):
+    t, s0 = _table(spark, tmp_path, "dropc", files=2, n=20)
+    files0 = {e["data_file"]["file_path"] for e in t._entries()}
+    t.drop_column("v")
+    assert {e["data_file"]["file_path"] for e in t._entries()} == files0
+    assert t.read().columns == ["k", "g"]
+    # time travel to the pre-drop snapshot still shows the column
+    assert t.read(snapshot_id=s0).columns == ["k", "g", "v"]
+    with pytest.raises(ValueError, match="no such column"):
+        t.drop_column("v")
+    # rename after drop reuses no ids; a fresh append aligns
+    t.rename_column("g", "grp")
+    t.append(spark.createDataFrame([(999, 7)], "k bigint, grp bigint"))
+    got = {r["k"]: r["grp"] for r in t.read().collect()}
+    assert got[999] == 7 and len(got) == 21
