@@ -183,6 +183,11 @@ _ICE2SPARK = {
 }
 
 
+#: the spec's allowed primitive type promotions (schema evolution):
+#: values written under the narrower type up-cast losslessly at read
+_ICE_PROMOTIONS = {("int", "long"), ("float", "double")}
+
+
 def next_sequence_number(md: dict) -> int:
     """The data sequence number the NEXT snapshot commits with (spec
     v2: ``last-sequence-number`` + 1). Pre-r10 metadata without the
@@ -1007,6 +1012,7 @@ class IcebergTable:
         refuse. Batches may omit nullable columns (read fills NULL)."""
         cols = self._resolve_part_cols(df, partition_by)
         schema_update = None
+        promoted: dict[str, str] = {}
         if self._current_version() is not None:
             md = self._metadata()
             have = {f["name"]: f for f in md["schema"]["fields"]}
@@ -1021,17 +1027,38 @@ class IcebergTable:
                         if t.startswith("decimal")
                         else _TYPE_MAP.get(t)
                     )
-                    if ice != have[name]["type"]:
+                    cur_t = have[name]["type"]
+                    if ice == cur_t:
+                        continue
+                    if (cur_t, ice) in _ICE_PROMOTIONS:
+                        # spec type promotion: widen the TABLE type
+                        # (field id unchanged; old files up-cast at
+                        # read through their write-time schema)
+                        if not merge_schema:
+                            raise ValueError(
+                                f"column {name!r}: widening {cur_t} "
+                                f"-> {ice} needs merge_schema=True"
+                            )
+                        promoted[name] = ice
+                    elif (ice, cur_t) in _ICE_PROMOTIONS:
+                        # batch is narrower: up-cast the batch, no
+                        # schema change
+                        df = df.withColumn(
+                            name,
+                            F.col(name).cast(_ICE2SPARK[cur_t]),
+                        )
+                    else:
                         raise ValueError(
                             f"column {name!r} type mismatch: table has "
-                            f"{have[name]['type']}, batch has {t} — no "
-                            "implicit casts"
+                            f"{cur_t}, batch has {t} — only the "
+                            "spec promotions (int->long, "
+                            "float->double) are allowed"
                         )
             new_cols = [
                 f for f in df.schema.fields if f.name not in have
             ]
-            if new_cols:
-                if not merge_schema:
+            if new_cols or promoted:
+                if new_cols and not merge_schema:
                     raise ValueError(
                         "batch has columns not in the table schema "
                         f"({[f.name for f in new_cols]}); pass "
@@ -1040,7 +1067,14 @@ class IcebergTable:
                 next_id = md.get(
                     "last-column-id", len(md["schema"]["fields"])
                 )
-                fields = list(md["schema"]["fields"])
+                fields = [
+                    (
+                        {**f, "type": promoted[f["name"]]}
+                        if f["name"] in promoted
+                        else dict(f)
+                    )
+                    for f in md["schema"]["fields"]
+                ]
                 for f in new_cols:
                     t = f.dataType.simpleString()
                     ice = (

@@ -739,3 +739,40 @@ def test_drop_column_metadata_only_with_time_travel(spark, tmp_path):
     t.append(spark.createDataFrame([(999, 7)], "k bigint, grp bigint"))
     got = {r["k"]: r["grp"] for r in t.read().collect()}
     assert got[999] == 7 and len(got) == 21
+
+
+def test_type_widening_int_to_long(spark, tmp_path):
+    """r10: spec type promotion — widening the table type is a
+    metadata-only schema bump; old int files up-cast at read, narrower
+    batches up-cast at write; disallowed casts still refuse."""
+    t = IcebergTable(spark, str(tmp_path / "widen"))
+    t.overwrite(spark.createDataFrame([(1, 10)], "k int, n int"))
+    files0 = {e["data_file"]["file_path"] for e in t._entries()}
+    # long batch into int column: widen (needs merge_schema)
+    with pytest.raises(ValueError, match="widening"):
+        t.append(
+            spark.createDataFrame(
+                [(2, 4_000_000_000)], "k int, n bigint"
+            )
+        )
+    t.append(
+        spark.createDataFrame([(2, 4_000_000_000)], "k int, n bigint"),
+        merge_schema=True,
+    )
+    assert files0 <= {
+        e["data_file"]["file_path"] for e in t._entries()
+    }  # widening rewrote nothing
+    md = t._metadata()
+    assert [f["type"] for f in md["schema"]["fields"]] == ["int", "long"]
+    got = {r["k"]: r["n"] for r in t.read().collect()}
+    assert got == {1: 10, 2: 4_000_000_000}
+    # a narrower (int) batch now up-casts silently — no schema change
+    t.append(spark.createDataFrame([(3, 7)], "k int, n int"))
+    got = {r["k"]: r["n"] for r in t.read().collect()}
+    assert got[3] == 7 and len(got) == 3
+    # disallowed: long -> int table column
+    with pytest.raises(ValueError, match="type mismatch"):
+        t.append(
+            spark.createDataFrame([(9, "x")], "k int, n string"),
+            merge_schema=True,
+        )
