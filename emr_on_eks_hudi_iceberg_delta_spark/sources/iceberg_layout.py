@@ -47,17 +47,22 @@ reads applying them via ``_metadata.row_index`` + broadcast anti-join,
 ``rewrite_data_files`` compaction, and metadata-only
 ``rollback(snapshot_id)``.
 
-Add-column schema evolution: ``append(merge_schema=True)`` widens the
-table schema with FRESH field ids (``last-column-id`` advances — ids
-are never reused, the spec's evolution invariant); metadata keeps the
-full ``schemas`` list + ``current-schema-id`` and snapshots record
-their ``schema-id``, so time travel reads each snapshot with ITS OWN
-schema (r10). Snapshots carry ``sequence-number`` (metadata tracks
+Schema evolution (the spec's field-id model, r10): add-column with
+FRESH ids (``last-column-id`` advances — ids are never reused),
+RENAME/DROP COLUMN as metadata-only schema-version bumps
+(iceberg_deletes.py), and type widening (int->long, float->double).
+Metadata keeps the full ``schemas`` list + ``current-schema-id``;
+snapshots record ``schema-id``, so time travel surfaces each
+snapshot's own schema, and READS RESOLVE BY FIELD ID: one multi-path
+scan per distinct write-time schema version, aligned to the target
+schema (``_aligned_scan``) — renamed columns keep serving from old
+files, later-added fields read as typed NULLs, widened types up-cast.
+Snapshots carry ``sequence-number`` (metadata tracks
 ``last-sequence-number``) for v2 delete applicability; equality
 deletes (content=2) and the one-snapshot keyed upsert live in
-iceberg_deletes.py (r10). Non-identity partition transforms and spec
-evolution remain documented out of contract (loud errors where
-relevant), not silently wrong.
+iceberg_deletes.py (r10). Non-identity partition transforms remain
+documented out of contract (loud errors where relevant), not silently
+wrong.
 """
 
 from __future__ import annotations
