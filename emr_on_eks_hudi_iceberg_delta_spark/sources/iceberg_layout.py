@@ -207,10 +207,14 @@ def next_sequence_number(md: dict) -> int:
 def seq_of_snapshot(md: dict, snapshot_id: int) -> int:
     """A snapshot's data sequence number — explicit when stamped,
     else its 1-based ordinal in the snapshot list (the order our
-    commits advanced the sequence)."""
+    commits advanced the sequence). Expired snapshots resolve through
+    the tombstone map expire_snapshots records."""
     for i, s in enumerate(md.get("snapshots", [])):
         if s["snapshot-id"] == snapshot_id:
             return s.get("sequence-number", i + 1)
+    tomb = md.get("expired-snapshot-meta", {}).get(str(snapshot_id))
+    if tomb and tomb.get("sequence-number") is not None:
+        return tomb["sequence-number"]
     raise ValueError(f"snapshot {snapshot_id} not in metadata")
 
 
@@ -279,6 +283,11 @@ def entry_schema_id(md: dict, entry: dict) -> int:
             if "schema-id" in snap:
                 return snap["schema-id"]
             break
+    tomb = md.get("expired-snapshot-meta", {}).get(
+        str(entry["snapshot_id"])
+    )
+    if tomb and tomb.get("schema-id") is not None:
+        return tomb["schema-id"]
     return md.get("current-schema-id", md["schema"].get("schema-id", 0))
 
 
@@ -1188,6 +1197,17 @@ def _expire_snapshots(self, keep_last: int = 1) -> dict:
             drop_files.update(
                 e["data_file"]["file_path"] for e in es
             )
+    # entries carried EXISTING keep their ADDING snapshot_id; schema-id
+    # and sequence-number resolution must survive the snapshot's
+    # expiration (else a renamed column would silently read NULLs from
+    # pre-rename files, and delete applicability would fail loudly)
+    tomb = dict(md.get("expired-snapshot-meta", {}))
+    for s_ in expired:
+        tomb[str(s_["snapshot-id"])] = {
+            "schema-id": s_.get("schema-id"),
+            "sequence-number": s_.get("sequence-number"),
+        }
+    md["expired-snapshot-meta"] = tomb
     md["snapshots"] = retained
     md["snapshot-log"] = [
         entry

@@ -776,3 +776,19 @@ def test_type_widening_int_to_long(spark, tmp_path):
             spark.createDataFrame([(9, "x")], "k int, n string"),
             merge_schema=True,
         )
+
+
+def test_rename_survives_snapshot_expiration(spark, tmp_path):
+    """r10: expiring the snapshot that ADDED pre-rename files must not
+    break field-id resolution — the tombstone map keeps schema-id and
+    sequence-number for expired snapshots."""
+    t = IcebergTable(spark, str(tmp_path / "renexp"))
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string"))
+    t.rename_column("s", "name")
+    t.equality_delete(spark.createDataFrame([(2,)], "k int"))
+    t.append(spark.createDataFrame([(3, "c")], "k int, name string"))
+    t.expire_snapshots(keep_last=1)
+    got = {r["k"]: r["name"] for r in t.read().collect()}
+    # old file's 's' column still resolves to 'name'; eq delete still
+    # applies with its expired-snapshot sequence number
+    assert got == {1: "a", 3: "c"}
