@@ -203,7 +203,12 @@ class HudiCowTable:
         def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
             keys = pdf[key_col].astype(str).to_numpy(dtype=object)
             uniq = np.unique(keys)
-            m = max(64, int(8 * len(uniq)))
+            # bitset capped at 2^16 bits (8 KB/group): commit metadata
+            # stays O(groups), never O(keys) — real Hudi bounds its
+            # blooms the same way (hoodie.index.bloom.num_entries).
+            # Oversized groups just see a higher false-positive rate,
+            # which costs an unnecessary merge join, never correctness.
+            m = min(1 << 16, max(64, int(8 * len(uniq))))
             m += (-m) % 8
             bits = np.zeros(m // 8, dtype=np.uint8)
             h1 = pd.util.hash_array(uniq, hash_key=s1)
