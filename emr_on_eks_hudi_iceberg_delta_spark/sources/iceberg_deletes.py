@@ -115,12 +115,9 @@ _ICE2AVRO = {
 
 
 def _part_fields_from_md(md: dict) -> list[tuple[str, str]]:
-    spec = md["partition-specs"][md.get("default-spec-id", 0)]
-    types = {f["name"]: f["type"] for f in md["schema"]["fields"]}
-    return [
-        (f["name"], _ICE2AVRO[types[f["name"]]])
-        for f in spec["fields"]
-    ]
+    from .iceberg_layout import all_spec_part_fields
+
+    return all_spec_part_fields(md)
 
 
 def _advance_metadata(self: IcebergTable, md: dict) -> int:
@@ -619,6 +616,49 @@ def _ice_drop_column(self: IcebergTable, col: str) -> int:
     return _advance_metadata(self, md)
 
 
+def _evolve_partition_spec(
+    self: IcebergTable, partition_by: list[str] | None
+) -> int:
+    """Partition-spec EVOLUTION (identity fields): append a new spec
+    version and make it the default — metadata-only, no file touched.
+    Files already written keep their old layout and partition values
+    (manifests carry the union of all specs' fields); only NEW writes
+    use the new spec. ``read_where`` predicates should ``.get`` keys,
+    since old-spec entries lack the new fields — exactly Iceberg's
+    contract for evolved specs."""
+    md = self._metadata()
+    cols = list(partition_by or [])
+    names = {f["name"]: f for f in md["schema"]["fields"]}
+    from .iceberg_layout import _ICE2SPARK, _PART_AVRO
+
+    for c in cols:
+        if c not in names:
+            raise ValueError(f"partition column {c!r} not in schema")
+        if _ICE2SPARK[names[c]["type"]] not in _PART_AVRO:
+            raise ValueError(
+                f"partition column {c!r}: type {names[c]['type']} not "
+                "supported for identity partitioning"
+            )
+    new_id = len(md.get("partition-specs", []))
+    md.setdefault("partition-specs", []).append(
+        {
+            "spec-id": new_id,
+            "fields": [
+                {
+                    "name": c,
+                    "transform": "identity",
+                    "source-id": names[c]["id"],
+                    "field-id": 1000 + new_id * 100 + i,
+                }
+                for i, c in enumerate(cols)
+            ],
+        }
+    )
+    md["default-spec-id"] = new_id
+    return _advance_metadata(self, md)
+
+
+IcebergTable.evolve_partition_spec = _evolve_partition_spec
 IcebergTable.rename_column = _ice_rename_column
 IcebergTable.drop_column = _ice_drop_column
 

@@ -60,7 +60,11 @@ files, later-added fields read as typed NULLs, widened types up-cast.
 Snapshots carry ``sequence-number`` (metadata tracks
 ``last-sequence-number``) for v2 delete applicability; equality
 deletes (content=2) and the one-snapshot keyed upsert live in
-iceberg_deletes.py (r10). Non-identity partition transforms remain
+iceberg_deletes.py (r10). Partition-spec EVOLUTION (identity fields,
+``evolve_partition_spec``) is metadata-only: old files keep their
+layout and recorded partition values (manifest partition records are
+the union of all spec versions), new writes use the new spec.
+Non-identity partition transforms (bucket/truncate/temporal) remain
 documented out of contract (loud errors where relevant), not silently
 wrong.
 """
@@ -191,6 +195,24 @@ _ICE2SPARK = {
 #: the spec's allowed primitive type promotions (schema evolution):
 #: values written under the narrower type up-cast losslessly at read
 _ICE_PROMOTIONS = {("int", "long"), ("float", "double")}
+
+
+def all_spec_part_fields(md: dict) -> list[tuple[str, str]]:
+    """(name, avro type) for EVERY identity partition field across
+    every spec version the table has had — the manifest entry's
+    partition record must encode old-spec entries carried forward
+    after partition-spec evolution (absent keys -> null)."""
+    types = {f["name"]: f["type"] for f in md["schema"]["fields"]}
+    for hist in md.get("schemas", []):
+        for f in hist["fields"]:
+            types.setdefault(f["name"], f["type"])
+    seen: dict[str, str] = {}
+    for spec in md.get("partition-specs", []):
+        for f in spec.get("fields", []):
+            nm = f["name"]
+            if nm not in seen and nm in types:
+                seen[nm] = _PART_AVRO[_ICE2SPARK[types[nm]]]
+    return list(seen.items())
 
 
 def next_sequence_number(md: dict) -> int:
@@ -816,20 +838,30 @@ class IcebergTable:
             }
             for f in new_files
         ]
-        part_fields = [
-            (c, _PART_AVRO[t]) for c, t in self._spec_fields(df)
-        ]
+        if cur is not None:
+            # union of ALL spec versions' fields: carried entries keep
+            # their old-spec partition values after spec evolution
+            part_fields = all_spec_part_fields(self._metadata())
+        else:
+            part_fields = [
+                (c, _PART_AVRO[t]) for c, t in self._spec_fields(df)
+            ]
         manifest_path = os.path.join(
             self.meta_dir, f"snap-{snapshot_id}-m0.avro"
         )
         write_ocf(
             manifest_path, manifest_entry_schema(part_fields), entries
         )
+        spec_id = (
+            self._metadata().get("default-spec-id", 0)
+            if cur is not None
+            else 0
+        )
         mrows = [
             {
                 "manifest_path": manifest_path,
                 "manifest_length": os.path.getsize(manifest_path),
-                "partition_spec_id": 0,
+                "partition_spec_id": spec_id,
                 "added_snapshot_id": snapshot_id,
                 "added_data_files_count": len(new_files),
                 "existing_data_files_count": len(carried),

@@ -792,3 +792,38 @@ def test_rename_survives_snapshot_expiration(spark, tmp_path):
     # old file's 's' column still resolves to 'name'; eq delete still
     # applies with its expired-snapshot sequence number
     assert got == {1: "a", 3: "c"}
+
+
+def test_partition_spec_evolution(spark, tmp_path):
+    """r10: evolve_partition_spec — metadata-only; old files keep
+    their layout AND their recorded partition values (manifest
+    partition record is the union of all specs); new writes use the
+    new spec; pruning works per era via .get predicates."""
+    t = IcebergTable(spark, str(tmp_path / "specevo"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k int, p string, v int"
+        ),
+        partition_by=["p"],
+    )
+    t.evolve_partition_spec(["v"])
+    md = t._metadata()
+    assert md["default-spec-id"] == 1
+    assert [s["spec-id"] for s in md["partition-specs"]] == [0, 1]
+    # new write partitions by v; old entries keep their p values
+    t.append(
+        spark.createDataFrame([(3, "c", 30)], "k int, p string, v int")
+    )
+    assert t.read().count() == 3
+    # old-spec pruning still works (carried entries kept p)
+    got = t.read_where(lambda pv: pv.get("p") == "b" or pv.get("v") is not None)
+    assert sorted(r["k"] for r in got.collect()) == [2, 3]
+    # new-spec pruning
+    got2 = t.read_where(lambda pv: pv.get("v") == 30)
+    assert sorted(r["k"] for r in got2.collect()) == [3]
+    # refusals
+    with pytest.raises(ValueError, match="not in schema"):
+        t.evolve_partition_spec(["zz"])
+    # DML still exact across mixed specs
+    t.delete("k = 1")
+    assert sorted(r["k"] for r in t.read().collect()) == [2, 3]
