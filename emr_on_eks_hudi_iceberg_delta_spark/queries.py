@@ -14452,6 +14452,51 @@ def q_iceberg_layout_partition_prune(spark, sf_dir):
 
 
 @register(
+    "iceberg_hidden_partitioning",
+    oracle="""
+    SELECT event_id, ts, user_id, CAST(value AS DOUBLE) AS value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+      AND user_id = 7
+    """,
+    tags=("lake", "S2", "extension"),
+)
+def q_iceberg_hidden_partitioning(spark, sf_dir):
+    """HIDDEN partitioning on the Iceberg layout
+    (IcebergTable.read_hidden + sources/iceberg_transforms.py — the
+    spec's partition-transform model the reference gets from
+    iceberg-spark-runtime, iceberg/iceberg_submit.sh:33): events are
+    written under ``day(ts), bucket(8, user_id)`` — the day ordinal
+    and the spec murmur3 bucket (seed-0 x86 32-bit, pinned to the
+    spec's Appendix B vectors) are computed entirely JVM-side — and
+    the read filters on the SOURCE columns only. The ts range prunes
+    day partitions (order-preserving transform), the user equality
+    prunes 7 of 8 buckets, both at the driver's manifest before any
+    file is listed (file-count pins in
+    tests/test_iceberg_transforms.py), and the exact predicates
+    re-apply as residual row filters, so the result equals the plain
+    filtered scan."""
+    import datetime as _dt
+    import tempfile
+
+    from .sources.iceberg_layout import IcebergTable
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id",
+        F.col("value").cast("double").alias("value"),
+    )
+    t = IcebergTable(spark, tempfile.mkdtemp(prefix="ice_hidden_"))
+    t.append(e, partition_by=["day(ts)", "bucket(8, user_id)"])
+    return t.read_hidden(
+        [
+            ("ts", ">=", _dt.datetime(2024, 1, 8)),
+            ("ts", "<", _dt.datetime(2024, 1, 15)),
+            ("user_id", "=", 7),
+        ]
+    ).select("event_id", "ts", "user_id", "value")
+
+
+@register(
     "delta_dml_delete_update",
     oracle="""
     SELECT o_orderkey,

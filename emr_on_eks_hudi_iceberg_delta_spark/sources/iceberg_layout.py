@@ -64,9 +64,14 @@ iceberg_deletes.py (r10). Partition-spec EVOLUTION (identity fields,
 ``evolve_partition_spec``) is metadata-only: old files keep their
 layout and recorded partition values (manifest partition records are
 the union of all spec versions), new writes use the new spec.
-Non-identity partition transforms (bucket/truncate/temporal) remain
-documented out of contract (loud errors where relevant), not silently
-wrong.
+HIDDEN PARTITIONING (r10): non-identity transforms — ``bucket[N]``
+(spec murmur3, seed 0), ``truncate[W]``, ``year/month/day/hour`` —
+are first-class: write with ``partition_by=["day(ts)",
+"bucket(8, id)"]``, prune with ``read_hidden`` on SOURCE-column
+predicates (equality through bucket, ranges through the
+order-preserving transforms), all transform math JVM-side
+(iceberg_transforms.py; murmur3 pinned to the spec's Appendix B
+known answers).
 """
 
 from __future__ import annotations
@@ -79,6 +84,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .avro_io import read_ocf, write_ocf
+from .iceberg_transforms import parse_partition_spec as _parse_pspec
 
 _TYPE_MAP = {
     "bigint": "long",
@@ -197,22 +203,87 @@ _ICE2SPARK = {
 _ICE_PROMOTIONS = {("int", "long"), ("float", "double")}
 
 
-def all_spec_part_fields(md: dict) -> list[tuple[str, str]]:
-    """(name, avro type) for EVERY identity partition field across
-    every spec version the table has had — the manifest entry's
-    partition record must encode old-spec entries carried forward
-    after partition-spec evolution (absent keys -> null)."""
-    types = {f["name"]: f["type"] for f in md["schema"]["fields"]}
+def _ice_types_by_id(md: dict) -> dict[int, str]:
+    """field id -> iceberg type across every schema version (ids are
+    never reused, so the union is unambiguous; later versions win for
+    type widenings)."""
+    out: dict[int, str] = {}
     for hist in md.get("schemas", []):
         for f in hist["fields"]:
-            types.setdefault(f["name"], f["type"])
+            out[f["id"]] = f["type"]
+    for f in md["schema"]["fields"]:
+        out[f["id"]] = f["type"]
+    return out
+
+
+def _source_ice_type(md: dict, f: dict) -> str | None:
+    """The iceberg type of a partition field's SOURCE column —
+    resolved by source-id (rename-safe); legacy identity fields
+    without a usable id fall back to name lookup."""
+    by_id = _ice_types_by_id(md)
+    t = by_id.get(f.get("source-id"))
+    if t is not None:
+        return t
+    names = {x["name"]: x["type"] for x in md["schema"]["fields"]}
+    for hist in md.get("schemas", []):
+        for x in hist["fields"]:
+            names.setdefault(x["name"], x["type"])
+    return names.get(f["name"])
+
+
+def all_spec_part_fields(md: dict) -> list[tuple[str, str]]:
+    """(field name, avro type) for EVERY partition field across every
+    spec version the table has had — the manifest entry's partition
+    record must encode old-spec entries carried forward after
+    partition-spec evolution (absent keys -> null). Transformed
+    fields (bucket/temporal) encode as int; identity/truncate keep
+    the source's avro type."""
+    from .iceberg_transforms import parse_transform
+
     seen: dict[str, str] = {}
     for spec in md.get("partition-specs", []):
         for f in spec.get("fields", []):
             nm = f["name"]
-            if nm not in seen and nm in types:
-                seen[nm] = _PART_AVRO[_ICE2SPARK[types[nm]]]
+            if nm in seen:
+                continue
+            word, _param = parse_transform(
+                f.get("transform", "identity")
+            )
+            if word in ("identity", "truncate"):
+                src_t = _source_ice_type(md, f)
+                if src_t is None:
+                    continue
+                seen[nm] = _PART_AVRO[_ICE2SPARK[src_t]]
+            else:
+                seen[nm] = "int"
     return list(seen.items())
+
+
+def stored_part_fields(md: dict, all_specs: bool = False) -> list[dict]:
+    """Partition-field dicts ({'name','transform','source'}) from the
+    stored spec JSON — the default spec, or the union over every spec
+    version (``all_specs``, for pruning against carried-forward
+    entries). Source names resolve by source-id through the CURRENT
+    schema, so renamed source columns keep working."""
+    by_id = {f["id"]: f["name"] for f in md["schema"]["fields"]}
+    specs = md.get("partition-specs", [])
+    if not all_specs and specs:
+        specs = [specs[md.get("default-spec-id", 0)]]
+    out, seen = [], set()
+    for spec in specs:
+        for f in spec.get("fields", []):
+            if f["name"] in seen:
+                continue
+            seen.add(f["name"])
+            src = by_id.get(f.get("source-id")) or f["name"]
+            out.append(
+                {
+                    "name": f["name"],
+                    "transform": f.get("transform", "identity"),
+                    "source": src,
+                }
+            )
+    return out
 
 
 def next_sequence_number(md: dict) -> int:
@@ -701,19 +772,56 @@ class IcebergTable:
 
     # ------------------------------ writing ------------------------------
 
+    def _part_fields_of(
+        self, part_cols: list[str], df: DataFrame
+    ) -> list[dict]:
+        """Resolve write-time partition arguments into field dicts.
+        Elements may be spec strings (``day(ts)``, ``bucket(8, id)``,
+        plain identity column names) or — for existing tables — the
+        stored partition FIELD names (``ts_day``), which DML call
+        sites pass through from the metadata."""
+        from .iceberg_transforms import (
+            parse_partition_spec,
+            unparse_partition_spec,
+        )
+
+        if self._current_version() is None:
+            return [parse_partition_spec(c) for c in part_cols]
+        stored = stored_part_fields(self._metadata())
+        by_name = {f["name"]: f for f in stored}
+        by_canon = {unparse_partition_spec(f): f for f in stored}
+        out = []
+        for el in part_cols:
+            if el in by_name:
+                out.append(by_name[el])
+                continue
+            canon = unparse_partition_spec(parse_partition_spec(el))
+            if canon not in by_canon:
+                raise ValueError(
+                    f"partition element {el!r} does not match the "
+                    f"table spec {sorted(by_canon)}"
+                )
+            out.append(by_canon[canon])
+        return out
+
     def _write_data(
         self, df: DataFrame, part_cols: list[str]
     ) -> list[dict]:
-        """Write parquet data files. Identity partitioning writes via a
-        DUPLICATED layout column so the data files still CONTAIN the
-        partition source column (the Iceberg identity contract — unlike
-        hive/Delta layouts, readers expect it in-file); partition
-        values land in the manifest entries typed, parsed back from the
-        hive dir names."""
+        """Write parquet data files. Partition values are computed as
+        layout columns (identity duplicates the source column —
+        Iceberg's contract keeps the source IN the data file, unlike
+        hive/Delta layouts; transforms derive bucket/truncate/temporal
+        ordinals JVM-side via iceberg_transforms); partition values
+        land in the manifest entries typed, parsed back from the hive
+        dir names by the transform's RESULT type."""
         from urllib.parse import unquote
 
         import pyarrow.parquet as pq
-        from pyspark.sql import functions as F
+
+        from .iceberg_transforms import (
+            add_transform_column,
+            result_spark_type,
+        )
 
         staging = os.path.join(
             self.location, f"_staging_{uuid.uuid4().hex}"
@@ -721,19 +829,34 @@ class IcebergTable:
         types = {
             f.name: f.dataType.simpleString() for f in df.schema.fields
         }
+        fields = self._part_fields_of(part_cols, df)
+        result_types: dict[str, str] = {}
         w = df
-        for c in part_cols:
-            w = w.withColumn(f"__p_{c}", F.col(c))
+        for i, fld in enumerate(fields):
+            src_t = types.get(fld["source"])
+            if src_t is None:
+                raise ValueError(
+                    f"partition source column {fld['source']!r} not in "
+                    "batch"
+                )
+            w = add_transform_column(
+                w, fld, f"__p_{fld['name']}", src_t
+            )
+            result_types[fld["name"]] = result_spark_type(
+                fld["transform"], src_t
+            )
         writer = w.write.mode("overwrite")
-        if part_cols:
-            writer = writer.partitionBy(*[f"__p_{c}" for c in part_cols])
+        if fields:
+            writer = writer.partitionBy(
+                *[f"__p_{f['name']}" for f in fields]
+            )
         writer.parquet(staging)
 
         def parse(col: str, raw: str):
             if raw == "__HIVE_DEFAULT_PARTITION__":
                 return None
             raw = unquote(raw)
-            t = types[col]
+            t = result_types[col]
             if t in ("int", "bigint", "smallint", "tinyint"):
                 return int(raw)
             if t in ("double", "float"):
@@ -843,9 +966,32 @@ class IcebergTable:
             # their old-spec partition values after spec evolution
             part_fields = all_spec_part_fields(self._metadata())
         else:
-            part_fields = [
-                (c, _PART_AVRO[t]) for c, t in self._spec_fields(df)
-            ]
+            from .iceberg_transforms import (
+                parse_partition_spec,
+                result_spark_type,
+            )
+
+            dft = {
+                f.name: f.dataType.simpleString()
+                for f in df.schema.fields
+            }
+            part_fields = []
+            for el in self._part_cols_new:
+                fld = parse_partition_spec(el)
+                if fld["source"] not in dft:
+                    raise ValueError(
+                        f"partition column {fld['source']} not in schema"
+                    )
+                part_fields.append(
+                    (
+                        fld["name"],
+                        _PART_AVRO[
+                            result_spark_type(
+                                fld["transform"], dft[fld["source"]]
+                            )
+                        ],
+                    )
+                )
         manifest_path = os.path.join(
             self.meta_dir, f"snap-{snapshot_id}-m0.avro"
         )
@@ -939,14 +1085,17 @@ class IcebergTable:
                         "spec-id": 0,
                         "fields": [
                             {
-                                "name": c,
-                                "transform": "identity",
+                                "name": fld["name"],
+                                "transform": fld["transform"],
                                 "source-id": 1 + [
                                     f.name for f in df.schema.fields
-                                ].index(c),
+                                ].index(fld["source"]),
                                 "field-id": 1000 + i,
                             }
-                            for i, c in enumerate(self._part_cols_new)
+                            for i, fld in enumerate(
+                                _parse_pspec(c)
+                                for c in self._part_cols_new
+                            )
                         ],
                     }
                 ],
@@ -1005,40 +1154,53 @@ class IcebergTable:
         )
         return snapshot_id
 
-    def _spec_fields(self, df: DataFrame) -> list[tuple[str, str]]:
-        """(name, spark type) per identity partition field — from the
-        stored spec when the table exists, else the creation arg."""
-        if self._current_version() is not None:
-            md = self._metadata()
-            spec = md["partition-specs"][md.get("default-spec-id", 0)]
-            names = [f["name"] for f in spec["fields"]]
-        else:
-            names = list(self._part_cols_new)
-        types = {
-            f.name: f.dataType.simpleString() for f in df.schema.fields
-        }
-        for c in names:
-            if c not in types:
-                raise ValueError(f"partition column {c} not in schema")
-            if types[c] not in _PART_AVRO:
-                raise ValueError(
-                    f"partition column {c}: type {types[c]} not "
-                    "supported for identity partitioning"
-                )
-        return [(c, types[c]) for c in names]
-
     def _resolve_part_cols(
         self, df: DataFrame, partition_by: list[str] | None
     ) -> list[str]:
+        """Canonicalize and validate the write's partition spec against
+        the stored one. Elements are spec strings — identity column
+        names, ``day(ts)``, ``bucket(8, id)``, ``truncate(4, s)`` — or,
+        against an existing table, its partition FIELD names."""
+        from .iceberg_transforms import (
+            parse_partition_spec,
+            unparse_partition_spec,
+        )
+
         if self._current_version() is not None:
-            stored = [c for c, _t in self._spec_fields(df)]
-            if partition_by is not None and list(partition_by) != stored:
+            stored = stored_part_fields(self._metadata())
+            stored_specs = [unparse_partition_spec(f) for f in stored]
+            if partition_by is not None:
+                names = {f["name"]: f for f in stored}
+                canon = [
+                    unparse_partition_spec(
+                        names[el]
+                        if el in names
+                        else parse_partition_spec(el)
+                    )
+                    for el in partition_by
+                ]
+                if canon != stored_specs:
+                    raise ValueError(
+                        f"table partition spec is {stored_specs}; "
+                        "cannot change per write (use "
+                        "evolve_partition_spec)"
+                    )
+            self._part_cols_new = stored_specs
+            return stored_specs
+        types = {
+            f.name: f.dataType.simpleString() for f in df.schema.fields
+        }
+        fields = [parse_partition_spec(c) for c in (partition_by or [])]
+        for fld in fields:
+            src = fld["source"]
+            if src not in types:
+                raise ValueError(f"partition column {src} not in schema")
+            if fld["transform"] == "identity" and types[src] not in _PART_AVRO:
                 raise ValueError(
-                    f"table partition spec is {stored}; cannot change "
-                    "per write (partition-spec evolution not implemented)"
+                    f"partition column {src}: type {types[src]} not "
+                    "supported for identity partitioning (use a "
+                    "day/month/year/hour or bucket transform)"
                 )
-            self._part_cols_new = stored
-            return stored
         self._part_cols_new = list(partition_by or [])
         return self._part_cols_new
 
@@ -1185,6 +1347,51 @@ class IcebergTable:
                 entries, pos_dels, eq_entries, target_sid
             )
         return self._aligned_scan(md, entries, pos_dels, target_sid)
+
+    def read_hidden(
+        self,
+        filters: list[tuple[str, str, object]],
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """HIDDEN-partition pruned read: ``filters`` are predicates on
+        SOURCE columns — ``[("ts", ">=", dt), ("id", "=", 42)]`` with
+        ops ``= < <= > >= in`` — and pruning happens on the TRANSFORMED
+        manifest partition values (``ts_day``, ``id_bucket``) without
+        the caller ever naming them. Bucket fields prune equality/IN
+        (hashing destroys order); truncate/temporal fields prune
+        ranges too (order-preserving); unprovable combinations keep
+        the file. The exact predicate is then applied as a residual
+        row filter on the pruned scan, so results are always exact —
+        pruning is IO elision, never semantics."""
+        from .iceberg_transforms import (
+            prune_predicate,
+            residual_column,
+        )
+
+        md = self._metadata()
+        fields = stored_part_fields(md, all_specs=True)
+        src_types = {
+            f["name"]: _spark_type_str(f["type"])
+            for f in md["schema"]["fields"]
+        }
+        checks = []  # (field name, partition-value predicate)
+        for col, op, lit in filters:
+            for fld in fields:
+                if fld["source"] != col:
+                    continue
+                if col not in src_types:
+                    continue
+                fn = prune_predicate(fld, op, lit, src_types[col])
+                if fn is not None:
+                    checks.append((fld["name"], fn))
+
+        def keep(pv: dict) -> bool:
+            return all(fn(pv.get(name)) for name, fn in checks)
+
+        out = self.read_where(keep, snapshot_id)
+        for col, op, lit in filters:
+            out = out.filter(residual_column(col, op, lit))
+        return out
 
 
 def _expire_snapshots(self, keep_last: int = 1) -> dict:
