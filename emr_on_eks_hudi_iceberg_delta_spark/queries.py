@@ -14497,6 +14497,57 @@ def q_iceberg_hidden_partitioning(spark, sf_dir):
 
 
 @register(
+    "delta_generated_columns",
+    oracle="""
+    SELECT event_id, ts, user_id, CAST(value AS DOUBLE) AS value,
+           CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+    """,
+    tags=("lake", "S9", "extension"),
+)
+def q_delta_generated_columns(spark, sf_dir):
+    """Delta GENERATED COLUMNS (sources/delta_gen.py —
+    delta.generationExpression per PROTOCOL.md, the feature the
+    reference's Delta runtime provides, delta/delta_submit.sh:27-32):
+    the table declares ``event_date GENERATED ALWAYS AS
+    (CAST(ts AS DATE))`` as its partition column; the write batch
+    NEVER materializes it (computed JVM-side at write, protocol
+    minWriterVersion 4), and the read filters only on ``ts`` — the
+    ts range prunes event_date partitions through the recognized
+    expression shape (strictly fewer files scheduled, asserted
+    in-gate and pinned in tests/test_delta_gen.py) before the exact
+    predicate re-applies as the residual."""
+    import datetime as _dt
+    import tempfile
+
+    from .sources.delta_log import DeltaLogTable
+    from .sources import delta_gen  # noqa: F401 — attaches the feature
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id",
+        F.col("value").cast("double").alias("value"),
+    )
+    t = DeltaLogTable(spark, tempfile.mkdtemp(prefix="delta_gen_"))
+    t.overwrite_generated(
+        e,
+        generated={"event_date": "CAST(ts AS DATE)"},
+        partition_by=["event_date"],
+    )
+    lo = _dt.datetime(2024, 1, 8)
+    hi = _dt.datetime(2024, 1, 15)
+    flt = [("ts", ">=", lo), ("ts", "<", hi)]
+    assert 0 < len(t.files_matching_generated(flt)) < len(
+        t.files_matching([])
+    )
+    return t.read_generated(flt).select(
+        "event_id", "ts", "user_id", "value",
+        # DATE comparator convention: surface as TIMESTAMP both sides
+        F.col("event_date").cast("timestamp").alias("event_date"),
+    )
+
+
+@register(
     "delta_dml_delete_update",
     oracle="""
     SELECT o_orderkey,

@@ -4,6 +4,7 @@ from .delta_log import DeltaLogTable
 from . import delta_dml as _delta_dml  # noqa: F401 — attaches DELETE/UPDATE
 from . import delta_cdf as _delta_cdf  # noqa: F401 — attaches CDF
 from . import delta_colmap as _delta_colmap  # noqa: F401 — attaches RENAME/DROP COLUMN
+from . import delta_gen as _delta_gen  # noqa: F401 — attaches generated columns
 from .hudi_layout import HudiCowTable, HudiMorTable
 from .iceberg_layout import IcebergTable
 from . import iceberg_deletes as _iceberg_deletes  # noqa: F401 — attaches DELETE/rollback

@@ -372,6 +372,9 @@ def _update(
     bad = sorted(set(assignments) - set(out_cols))
     if bad:
         raise ValueError(f"SET targets not in table schema: {bad}")
+    from .delta_gen import forbid_generated_assignments
+
+    forbid_generated_assignments(meta, assignments)
     scan = _scan_with_pos(self, list(live.values()), meta)
     if scan is None:
         return {"files_touched": 0, "rows_updated": 0, "version": None}
@@ -406,6 +409,11 @@ def _update(
         for c in out_cols
     ]
     new = src.select(*cols)
+    from .delta_gen import apply_generated
+
+    # assignments may have moved a generated column's base values —
+    # the generated value is owned by its expression, so recompute
+    new = apply_generated(new, meta, recompute=True)
     from .delta_cdf import enforce_constraints
 
     enforce_constraints(new, meta)
@@ -426,15 +434,19 @@ def _update(
         pre = hit_rows.select(*out_cols).withColumn(
             CHANGE_TYPE, F.lit("update_preimage")
         )
-        post = hit_rows.select(
-            *[
-                (
-                    sets[c].cast(types[c]).alias(c)
-                    if c in sets
-                    else F.col(c)
-                )
-                for c in out_cols
-            ]
+        post = apply_generated(
+            hit_rows.select(
+                *[
+                    (
+                        sets[c].cast(types[c]).alias(c)
+                        if c in sets
+                        else F.col(c)
+                    )
+                    for c in out_cols
+                ]
+            ),
+            meta,
+            recompute=True,
         ).withColumn(CHANGE_TYPE, F.lit("update_postimage"))
         actions.extend(
             {"cdc": c}
@@ -517,6 +529,9 @@ def _update_dv(
             for c in out_cols
         ]
     )
+    from .delta_gen import apply_generated
+
+    updated = apply_generated(updated, meta, recompute=True)
     from .delta_cdf import (
         CHANGE_TYPE,
         cdf_enabled,
@@ -600,6 +615,9 @@ def _merge_into(
     (real Delta's DELTA_MULTIPLE_SOURCE_ROW_MATCHING error)."""
     live, meta, head = self._replay()
     part_cols, _, types, out_cols = _schema_parts(meta)
+    from .delta_gen import apply_generated, forbid_generated_assignments
+
+    forbid_generated_assignments(meta, when_matched_update or {})
     scan = _scan_with_pos(self, list(live.values()), meta)
     src = source.withColumn("__s_matched", F.lit(True)).alias("s")
     join_cond = None
@@ -673,7 +691,9 @@ def _merge_into(
                         F.expr(when_matched_update[c]).cast(types[c]),
                     ).otherwise(e)
                 cols.append(e.alias(c))
-            rewritten = keep.select(*cols)
+            rewritten = apply_generated(
+                keep.select(*cols), meta, recompute=True
+            )
             from .delta_cdf import enforce_constraints
 
             enforce_constraints(rewritten, meta)
@@ -764,7 +784,12 @@ def _merge_into(
             ).alias(c)
             for c in out_cols
         ]
-        ins = unmatched.select(*ins_cols)
+        # inserted rows derive generated columns from their expression
+        # (the name-mapped NULL a source without the column produces
+        # is never a legal generated value)
+        ins = apply_generated(
+            unmatched.select(*ins_cols), meta, recompute=True
+        )
         from .delta_cdf import enforce_constraints
 
         enforce_constraints(ins, meta)

@@ -1,0 +1,386 @@
+"""Delta GENERATED COLUMNS on the protocol table (delta_log.py) —
+PROTOCOL.md's ``delta.generationExpression`` column metadata plus the
+partition-pruning payoff real Delta derives from it.
+
+The reference's Delta leg gets this from the Delta runtime
+(delta/delta_submit.sh:27-32); here it is re-derived from the public
+protocol spec:
+
+* **Declaration** — ``overwrite_generated(df, generated={...},
+  partition_by=[...])`` creates the table with each generated field
+  carrying ``delta.generationExpression`` in its schema metadata and
+  the protocol at minWriterVersion 4 (the generatedColumns writer
+  version).
+* **Write-side contract** — every write path routes through
+  ``apply_generated``: a batch that OMITS a generated column gets it
+  computed (one JVM expression, no shuffle); a batch that SUPPLIES it
+  is validated against the expression in one pass and refused on any
+  mismatch (writers must never be able to desynchronize the column
+  from its expression — that is the protocol's invariant). UPDATE DML
+  recomputes generated columns from the post-assignment row;
+  assigning a generated column directly refuses.
+* **Hidden pruning** — ``read_generated(filters)`` prunes files by
+  PARTITION values derived from filters on the BASE column for
+  recognized expression shapes (``CAST(c AS DATE)``, ``to_date``,
+  ``year``, ``date_format(c, 'yyyy-MM[-dd]')``, ``substring(c,1,N)``
+  are order-preserving so ranges map to ranges; ``month``/``day``/
+  ``hour`` are cyclic so only equality maps), then stats-skips and
+  re-applies the exact predicates as residual filters. Unrecognized
+  shapes simply never prune — pruning is IO elision, never semantics.
+
+Scale: the derived-column compute is one projected expression per row
+inside the write's own job; pruning is a driver-side pass over the
+live-file manifest (the same O(files) dict every Delta reader holds);
+no extra shuffle or scan anywhere.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import re
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StructField, StructType
+
+GEN_KEY = "delta.generationExpression"
+
+
+# ----------------------------- metadata -----------------------------
+
+
+def generated_exprs(meta: dict) -> dict[str, str]:
+    """{column name: generation expression SQL} from the table's
+    schemaString metadata; empty for tables without the feature."""
+    if not meta or not meta.get("schemaString"):
+        return {}
+    schema = json.loads(meta["schemaString"])
+    out = {}
+    for f in schema.get("fields", []):
+        md = f.get("metadata") or {}
+        if GEN_KEY in md:
+            out[f["name"]] = md[GEN_KEY]
+    return out
+
+
+def referenced_columns(expr: str, names) -> set[str]:
+    """Schema columns an expression string references (word-boundary
+    scan — used only for refusal guards, so over-matching is safe)."""
+    return {
+        n
+        for n in names
+        if re.search(rf"\b{re.escape(n)}\b", expr, re.IGNORECASE)
+    }
+
+
+# ---------------------------- write side ----------------------------
+
+
+def apply_generated(
+    df: DataFrame, meta: dict, recompute: bool = False
+) -> DataFrame:
+    """Materialize or validate generated columns for a write batch.
+
+    Missing columns are computed from their expression; supplied
+    columns are checked (one job, first violation refuses the write).
+    ``recompute=True`` overwrites from the expression unconditionally —
+    the UPDATE-DML path, where assignments changed base columns."""
+    gens = generated_exprs(meta)
+    if not gens:
+        return df
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    types = {f.name: f.dataType for f in schema.fields}
+    checks = []
+    for name, expr in gens.items():
+        target = F.expr(expr).cast(types[name])
+        if recompute or name not in df.columns:
+            df = df.withColumn(name, target)
+        else:
+            checks.append((name, expr, target))
+    if checks:
+        cond = None
+        for name, _expr, target in checks:
+            piece = ~F.col(name).eqNullSafe(target)
+            cond = piece if cond is None else (cond | piece)
+        bad = df.filter(cond).limit(1).collect()
+        if bad:
+            detail = "; ".join(
+                f"{n} must equal {e}" for n, e, _t in checks
+            )
+            raise ValueError(
+                "write violates delta.generationExpression: supplied "
+                f"values disagree with the expression ({detail}); "
+                f"first offending row: {bad[0].asDict()}"
+            )
+    return df
+
+
+def forbid_generated_assignments(meta: dict, assignments) -> None:
+    """UPDATE/MERGE may not SET a generated column directly — its
+    value is owned by the expression (recomputed after assignment)."""
+    gens = generated_exprs(meta)
+    hit = sorted(set(assignments) & set(gens))
+    if hit:
+        raise ValueError(
+            f"cannot assign generated column(s) {hit}: their values "
+            "derive from delta.generationExpression and are recomputed "
+            "automatically"
+        )
+
+
+def _overwrite_generated(
+    self,
+    df: DataFrame,
+    generated: dict[str, str],
+    partition_by: list[str] | None = None,
+) -> "DeltaLogTable":  # noqa: F821 - attached to DeltaLogTable
+    """Create (or fully replace) the table with generated-column
+    declarations. ``generated`` maps column name -> SQL expression over
+    the batch's other columns; generated columns may be (and usually
+    are) the partition columns. Existing tables keep their
+    declarations through plain ``overwrite``/``append`` — this entry
+    point is for DECLARING them."""
+    import time
+    import uuid as _uuid
+
+    part_cols = list(partition_by or [])
+    for name, expr in generated.items():
+        bad = referenced_columns(expr, [name])
+        if bad:
+            raise ValueError(
+                f"generated column {name!r} cannot reference itself"
+            )
+        if name in df.columns:
+            raise ValueError(
+                f"generated column {name!r} is already in the batch; "
+                "declare it only in `generated` (values are computed)"
+            )
+    w = df
+    for name, expr in generated.items():
+        w = w.withColumn(name, F.expr(expr))
+    fields = []
+    for f in w.schema.fields:
+        if f.name in generated:
+            fields.append(
+                StructField(
+                    f.name,
+                    f.dataType,
+                    True,
+                    {GEN_KEY: generated[f.name]},
+                )
+            )
+        else:
+            fields.append(f)
+    schema = StructType(fields)
+    meta = {
+        "id": _uuid.uuid4().hex,
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema.json(),
+        "partitionColumns": part_cols,
+        "configuration": {},
+        "createdTime": int(time.time() * 1000),
+    }
+    versions = self._versions()
+    prior_live = {}
+    if versions:
+        prior_live, prior_meta, _ = self._replay()
+        from .delta_colmap import mapping_enabled
+
+        if mapping_enabled(prior_meta):
+            raise NotImplementedError(
+                "declaring generated columns on a column-mapped table "
+                "is not supported"
+            )
+    adds = self._write_data_files(w, part_cols)
+    now = int(time.time() * 1000)
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "WRITE",
+                "operationParameters": {
+                    "mode": "Overwrite",
+                    "generatedColumns": json.dumps(generated),
+                },
+            }
+        },
+        # generatedColumns is a legacy writer-version-4 feature
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+        {"metaData": meta},
+    ]
+    for path in sorted(prior_live):
+        actions.append(
+            {
+                "remove": {
+                    "path": path,
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                }
+            }
+        )
+    actions.extend({"add": a} for a in adds)
+    self._commit(versions[-1] + 1 if versions else 0, actions)
+    return self
+
+
+# ----------------------------- pruning -----------------------------
+
+#: recognizers: normalized expression -> (base column, literal mapper,
+#: order_preserving, numeric partition value)
+_DATE_PAT = re.compile(
+    r"^cast\((\w+) as date\)$|^to_date\((\w+)\)$", re.IGNORECASE
+)
+_YEAR_PAT = re.compile(r"^year\((\w+)\)$", re.IGNORECASE)
+_CYCLIC_PAT = re.compile(r"^(month|day|hour)\((\w+)\)$", re.IGNORECASE)
+_SUBSTR_PAT = re.compile(
+    r"^substr(?:ing)?\((\w+), 1, (\d+)\)$", re.IGNORECASE
+)
+_DATEFMT_PAT = re.compile(
+    r"^date_format\((\w+), '(yyyy-MM(?:-dd)?)'\)$"
+)
+
+
+def _as_date(v) -> _dt.date:
+    if isinstance(v, _dt.datetime):
+        return v.date()
+    if isinstance(v, _dt.date):
+        return v
+    return _dt.date.fromisoformat(str(v)[:10])
+
+
+def _recognize(expr: str):
+    """(base column, literal->partition-value mapper, order-preserving,
+    numeric) for supported expression shapes, else None."""
+    e = re.sub(r"\s+", " ", expr.strip())
+    m = _DATE_PAT.match(e)
+    if m:
+        base = m.group(1) or m.group(2)
+        return base, lambda v: _as_date(v).isoformat(), True, False
+    m = _YEAR_PAT.match(e)
+    if m:
+        return m.group(1), lambda v: _as_date(v).year, True, True
+    m = _CYCLIC_PAT.match(e)
+    if m:
+        unit, base = m.group(1).lower(), m.group(2)
+
+        def cyc(v, unit=unit):
+            if unit == "hour":
+                return v.hour if isinstance(v, _dt.datetime) else None
+            d = _as_date(v)
+            return d.month if unit == "month" else d.day
+
+        # cyclic: only equality maps (month wraps across years)
+        return base, cyc, False, True
+    m = _SUBSTR_PAT.match(e)
+    if m:
+        n = int(m.group(2))
+        return m.group(1), lambda v: str(v)[:n], True, False
+    m = _DATEFMT_PAT.match(e)
+    if m:
+        fmt = "%Y-%m" if m.group(2) == "yyyy-MM" else "%Y-%m-%d"
+
+        def dfmt(v, fmt=fmt):
+            v = v if isinstance(v, _dt.datetime) else _as_date(v)
+            return v.strftime(fmt)
+
+        return m.group(1), dfmt, True, False
+    return None
+
+
+def _surviving_adds(
+    self, filters: list[tuple], version: int | None
+) -> tuple[dict, dict]:
+    """(pruned live adds, meta): the driver-side pruning decision —
+    derived partition-value checks for recognized generated shapes,
+    then per-file stats skipping. Shared by ``read_generated`` and
+    ``files_matching_generated`` so the observable pin IS the read's
+    decision."""
+    from .delta_log import _physical_filters, _stats_may_match
+
+    live, meta, _ = self._replay(version)
+    part_cols = meta.get("partitionColumns", [])
+    recogs = {}
+    for name, expr in generated_exprs(meta).items():
+        if name not in part_cols:
+            continue
+        r = _recognize(expr)
+        if r is not None:
+            recogs[name] = r
+    checks = []  # (partition col, numeric, pv-predicate)
+    for col, op, v in filters:
+        for gname, (base, mapper, order_ok, numeric) in recogs.items():
+            if base != col:
+                continue
+            w = mapper(v)
+            if w is None:
+                continue
+            if op == "==":
+                checks.append((gname, numeric, lambda pv, w=w: pv == w))
+            elif order_ok and op in (">", ">="):
+                # the transform floors/truncates, so bounds stay
+                # inclusive on the derived scale
+                checks.append((gname, numeric, lambda pv, w=w: pv >= w))
+            elif order_ok and op in ("<", "<="):
+                checks.append((gname, numeric, lambda pv, w=w: pv <= w))
+
+    def keep(a: dict) -> bool:
+        pv = a.get("partitionValues") or {}
+        for gname, numeric, fn in checks:
+            raw = pv.get(gname)
+            if raw is None:
+                continue  # null partition: never prune
+            if not fn(int(raw) if numeric else raw):
+                return False
+        return True
+
+    part_set = set(part_cols)
+    phys = _physical_filters(meta, filters)
+    pruned = {
+        p: a
+        for p, a in live.items()
+        if keep(a) and _stats_may_match(a, phys, part_set)
+    }
+    return pruned, meta
+
+
+def _read_generated(
+    self, filters: list[tuple], version: int | None = None
+) -> DataFrame:
+    """Read with HIDDEN partition pruning through generated columns:
+    ``filters`` are ``(column, op, value)`` with ops ``== >= > <= <``
+    over BASE columns; files are pruned by the derived partition
+    value, then by per-file stats, and the exact predicates re-apply
+    as residual row filters (results always equal the unpruned
+    filtered read — pinned by test)."""
+    pruned, meta = _surviving_adds(self, filters, version)
+    df = self._read_adds(list(pruned.values()), meta)
+    ops = {
+        "==": lambda c, v: c == v,
+        ">=": lambda c, v: c >= v,
+        ">": lambda c, v: c > v,
+        "<=": lambda c, v: c <= v,
+        "<": lambda c, v: c < v,
+    }
+    for col, op, value in filters:
+        df = df.filter(ops[op](F.col(col), F.lit(value)))
+    return df
+
+
+def _files_matching_generated(
+    self, filters: list[tuple], version: int | None = None
+) -> list[str]:
+    """Observability twin of ``read_generated``'s pruning decision —
+    the relative paths that survive (for tests and EXPLAIN-style
+    introspection)."""
+    pruned, _meta = _surviving_adds(self, filters, version)
+    return sorted(pruned)
+
+
+def attach() -> None:
+    from .delta_log import DeltaLogTable
+
+    DeltaLogTable.overwrite_generated = _overwrite_generated
+    DeltaLogTable.read_generated = _read_generated
+    DeltaLogTable.files_matching_generated = _files_matching_generated
+
+
+attach()

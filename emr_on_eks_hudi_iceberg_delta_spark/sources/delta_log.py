@@ -553,6 +553,36 @@ class DeltaLogTable:
                         f"{prior_meta.get('partitionColumns', [])}"
                     )
                 mapped_meta = prior_meta
+            from .delta_gen import apply_generated, generated_exprs
+
+            if generated_exprs(prior_meta):
+                # generated declarations survive data overwrites: the
+                # batch gets missing generated columns computed (or
+                # supplied values validated), must keep the schema and
+                # partitioning, and the metaData action is reused
+                # verbatim so the generationExpression metadata rides
+                # along.
+                df = apply_generated(df, prior_meta)
+                cur = StructType.fromJson(
+                    json.loads(prior_meta["schemaString"])
+                )
+                if set(df.columns) == {f.name for f in cur.fields}:
+                    df = df.select(*[f.name for f in cur.fields])
+                same = [(f.name, f.dataType) for f in cur.fields] == [
+                    (f.name, f.dataType) for f in df.schema.fields
+                ]
+                if not same:
+                    raise ValueError(
+                        "overwrite of a generated-columns table must "
+                        "keep its schema (declarations would be lost)"
+                    )
+                if part_cols != prior_meta.get("partitionColumns", []):
+                    raise ValueError(
+                        "overwrite of a generated-columns table must "
+                        "keep its partition columns "
+                        f"{prior_meta.get('partitionColumns', [])}"
+                    )
+                mapped_meta = prior_meta
             from .delta_cdf import enforce_constraints
 
             enforce_constraints(df, prior_meta)
@@ -604,6 +634,9 @@ class DeltaLogTable:
         if not versions:
             return self.overwrite(df)
         _, meta, _ = self._replay()
+        from .delta_gen import apply_generated
+
+        df = apply_generated(df, meta)
         part_cols = meta.get("partitionColumns", [])
         existing = StructType.fromJson(json.loads(meta["schemaString"]))
         by_name = {f.name: f for f in existing.fields}
@@ -1351,12 +1384,36 @@ def _physical_filters(meta: dict, filters: list[tuple]) -> list[tuple]:
     return [(phys.get(c, c), op, v) for c, op, v in filters]
 
 
+def _coerce_stat_bounds(lo, hi, value):
+    """Align stats bounds with the literal's type: temporal stats are
+    serialized as ISO strings (``_collect_file_stats``), so a
+    datetime/date literal needs them parsed back before comparing —
+    lexicographic ISO compare is chronologic for full timestamps but
+    NOT across fractional-second spellings of the same instant."""
+    import datetime as _dt
+
+    if isinstance(lo, str) and isinstance(
+        value, (_dt.datetime, _dt.date)
+    ):
+        if isinstance(value, _dt.datetime):
+            return (
+                _dt.datetime.fromisoformat(lo),
+                _dt.datetime.fromisoformat(hi),
+            )
+        return (
+            _dt.date.fromisoformat(lo[:10]),
+            _dt.date.fromisoformat(hi[:10]),
+        )
+    return lo, hi
+
+
 def _stats_may_match(
     add: dict, filters: list[tuple], part_cols: set
 ) -> bool:
     """True unless the add action's per-file stats PROVE the
     conjunction of ``(col, op, value)`` predicates cannot match —
-    the one-sided contract file skipping needs (no stats → keep)."""
+    the one-sided contract file skipping needs (no stats → keep;
+    incomparable stats → keep)."""
     raw = add.get("stats")
     if not raw:
         return True
@@ -1365,17 +1422,20 @@ def _stats_may_match(
     for col, op, value in filters:
         if col in part_cols or col not in mins or col not in maxs:
             continue
-        lo, hi = mins[col], maxs[col]
-        if op == "==" and not (lo <= value <= hi):
-            return False
-        if op in (">", ">=") and hi < value:
-            return False
-        if op == ">" and hi == value and lo == hi:
-            return False
-        if op in ("<", "<=") and lo > value:
-            return False
-        if op == "<" and lo == value and lo == hi:
-            return False
+        try:
+            lo, hi = _coerce_stat_bounds(mins[col], maxs[col], value)
+            if op == "==" and not (lo <= value <= hi):
+                return False
+            if op in (">", ">=") and hi < value:
+                return False
+            if op == ">" and hi == value and lo == hi:
+                return False
+            if op in ("<", "<=") and lo > value:
+                return False
+            if op == "<" and lo == value and lo == hi:
+                return False
+        except (TypeError, ValueError):
+            continue  # can't prove anything from these stats: keep
     return True
 
 

@@ -1,0 +1,230 @@
+"""Delta generated columns (sources/delta_gen.py): declaration with
+delta.generationExpression metadata, write-side compute/validate,
+UPDATE/MERGE recompute, and hidden partition pruning through the
+generation expression."""
+
+import datetime as dt
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from emr_on_eks_hudi_iceberg_delta_spark.sources.delta_log import (
+    DeltaLogTable,
+)
+from emr_on_eks_hudi_iceberg_delta_spark.sources import delta_gen  # noqa: F401
+from emr_on_eks_hudi_iceberg_delta_spark.sources import delta_dml  # noqa: F401
+from emr_on_eks_hudi_iceberg_delta_spark.sources.delta_gen import (
+    GEN_KEY,
+    generated_exprs,
+)
+
+
+def _rows(df, cols=None):
+    if cols:
+        df = df.select(*cols)
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture()
+def ts_df(spark):
+    rows = [
+        (
+            i,
+            dt.datetime(2024, 1, 1 + (i % 20), 6 + (i % 12), 30, 0),
+            float(i) * 1.5,
+        )
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "id bigint, ts timestamp, v double")
+
+
+def test_declare_compute_and_protocol(spark, tmp_path, ts_df):
+    t = DeltaLogTable(spark, str(tmp_path / "g1"))
+    t.overwrite_generated(
+        ts_df,
+        generated={"event_date": "CAST(ts AS DATE)"},
+        partition_by=["event_date"],
+    )
+    got = t.read()
+    assert "event_date" in got.columns
+    assert (
+        got.filter(
+            F.col("event_date") != F.col("ts").cast("date")
+        ).count()
+        == 0
+    )
+    assert got.count() == 200
+    # declaration is in the schema metadata; protocol is writer v4
+    _, meta, _ = t._replay()
+    assert generated_exprs(meta) == {"event_date": "CAST(ts AS DATE)"}
+    assert t.current_protocol()["minWriterVersion"] >= 4
+    # partition dirs carry the derived value
+    assert any(
+        "event_date=2024-01-05" in p for p in t.read().inputFiles()
+    )
+
+
+def test_append_computes_validates_and_refuses(spark, tmp_path, ts_df):
+    t = DeltaLogTable(spark, str(tmp_path / "g2"))
+    t.overwrite_generated(
+        ts_df,
+        generated={"event_date": "CAST(ts AS DATE)"},
+        partition_by=["event_date"],
+    )
+    more = spark.createDataFrame(
+        [(1000, dt.datetime(2024, 2, 2, 9, 0, 0), 1.0)],
+        "id bigint, ts timestamp, v double",
+    )
+    t.append(more)  # omitted generated column -> computed
+    assert t.read().filter("event_date = DATE'2024-02-02'").count() == 1
+    ok = more.selectExpr(
+        "id + 1 AS id", "ts", "v", "CAST(ts AS DATE) AS event_date"
+    )
+    t.append(ok)  # supplied-and-correct -> accepted
+    bad = more.selectExpr(
+        "id + 2 AS id", "ts", "v", "DATE'1999-01-01' AS event_date"
+    )
+    with pytest.raises(ValueError, match="generationExpression"):
+        t.append(bad)
+    # overwrite keeps declarations (and still computes)
+    t.overwrite(ts_df, partition_by=["event_date"])
+    _, meta, _ = t._replay()
+    assert GEN_KEY in meta["schemaString"]
+    assert t.read().count() == 200
+
+
+def test_hidden_pruning_through_generated_partition(spark, tmp_path, ts_df):
+    t = DeltaLogTable(spark, str(tmp_path / "g3"))
+    t.overwrite_generated(
+        ts_df,
+        generated={"event_date": "CAST(ts AS DATE)"},
+        partition_by=["event_date"],
+    )
+    all_files = t.files_matching([])
+    lo = dt.datetime(2024, 1, 5, 0, 0, 0)
+    hi = dt.datetime(2024, 1, 8, 23, 0, 0)
+    flt = [("ts", ">=", lo), ("ts", "<=", hi)]
+    pruned_files = t.files_matching_generated(flt)
+    assert 0 < len(pruned_files) < len(all_files)
+    got = t.read_generated(flt)
+    want = t.read().filter(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+    )
+    assert want.count() > 0
+    assert _rows(got) == _rows(want)
+
+
+def test_year_substring_and_cyclic_recognizers(spark, tmp_path):
+    rows = [
+        (i, dt.datetime(2020 + (i % 5), 1 + (i % 12), 3, 12, 0, 0),
+         f"cat-{i % 4}-{i}")
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, ts timestamp, code string")
+    t = DeltaLogTable(spark, str(tmp_path / "g4"))
+    t.overwrite_generated(
+        df,
+        generated={
+            "y": "year(ts)",
+            "m": "month(ts)",
+            "c4": "substring(code, 1, 5)",
+        },
+        partition_by=["y", "c4"],
+    )
+    total = len(t.files_matching([]))
+    # year: range prunes (order-preserving, numeric partition compare)
+    f1 = [("ts", ">=", dt.datetime(2023, 1, 1))]
+    assert 0 < len(t.files_matching_generated(f1)) < total
+    assert _rows(t.read_generated(f1)) == _rows(
+        t.read().filter(F.col("ts") >= F.lit(dt.datetime(2023, 1, 1)))
+    )
+    # substring prefix: equality prunes
+    f2 = [("code", "==", "cat-2-50")]
+    assert 0 < len(t.files_matching_generated(f2)) < total
+    assert _rows(t.read_generated(f2)) == _rows(
+        t.read().filter(F.col("code") == "cat-2-50")
+    )
+    # month is NOT a partition column here, so nothing prunes on it,
+    # but the residual stays exact
+    f3 = [("ts", "==", dt.datetime(2022, 3, 3, 12, 0, 0))]
+    assert _rows(t.read_generated(f3)) == _rows(
+        t.read().filter(F.col("ts") == F.lit(dt.datetime(2022, 3, 3, 12, 0)))
+    )
+
+
+def test_update_recomputes_and_forbids_direct_set(spark, tmp_path, ts_df):
+    for mode in ("cow", "dv"):
+        t = DeltaLogTable(spark, str(tmp_path / f"g5_{mode}"))
+        t.overwrite_generated(
+            ts_df,
+            generated={"event_date": "CAST(ts AS DATE)"},
+            partition_by=["event_date"],
+        )
+        with pytest.raises(ValueError, match="generated column"):
+            t.update(
+                "id = 3", {"event_date": "DATE'2030-01-01'"}, mode=mode
+            )
+        # moving the base column moves the generated partition value
+        t.update(
+            "id < 10",
+            {"ts": "ts + INTERVAL 365 DAYS"},
+            mode=mode,
+        )
+        got = t.read()
+        assert (
+            got.filter(
+                F.col("event_date") != F.col("ts").cast("date")
+            ).count()
+            == 0
+        )
+        assert got.filter("event_date >= DATE'2024-12-31'").count() == 10
+        assert got.count() == 200
+
+
+def test_merge_computes_generated_for_inserts_and_updates(
+    spark, tmp_path, ts_df
+):
+    t = DeltaLogTable(spark, str(tmp_path / "g6"))
+    t.overwrite_generated(
+        ts_df,
+        generated={"event_date": "CAST(ts AS DATE)"},
+        partition_by=["event_date"],
+    )
+    src = spark.createDataFrame(
+        [
+            (5, dt.datetime(2025, 6, 1, 1, 0, 0), 9.9),   # matched
+            (9999, dt.datetime(2025, 7, 2, 2, 0, 0), 1.1),  # insert
+        ],
+        "id bigint, ts timestamp, v double",
+    )
+    with pytest.raises(ValueError, match="generated column"):
+        t.merge_into(
+            src, ["id"],
+            when_matched_update={"event_date": "DATE'2030-01-01'"},
+        )
+    rep = t.merge_into(
+        src, ["id"],
+        when_matched_update={"ts": "s.ts", "v": "s.v"},
+    )
+    assert rep["rows_updated"] == 1 and rep["rows_inserted"] == 1
+    got = t.read()
+    assert (
+        got.filter(
+            F.col("event_date") != F.col("ts").cast("date")
+        ).count()
+        == 0
+    )
+    assert got.filter("event_date = DATE'2025-06-01'").count() == 1
+    assert got.filter("event_date = DATE'2025-07-02'").count() == 1
+
+
+def test_declaration_refusals(spark, tmp_path, ts_df):
+    t = DeltaLogTable(spark, str(tmp_path / "g7"))
+    with pytest.raises(ValueError, match="reference itself"):
+        t.overwrite_generated(ts_df, generated={"v2": "v2 + 1"})
+    with pytest.raises(ValueError, match="already in the batch"):
+        t.overwrite_generated(ts_df, generated={"v": "id * 2"})
