@@ -14086,6 +14086,113 @@ def q_hudi_layout_upsert_roundtrip(spark, sf_dir):
 
 
 @register(
+    "hudi_savepoint_restore",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, CAST(1 AS INTEGER) AS ver
+    FROM customer
+    """,
+    tags=("lake", "S7", "extension"),
+)
+def q_hudi_savepoint_restore(spark, sf_dir):
+    """Hudi SAVEPOINT + RESTORE on the from-scratch layout
+    (sources/hudi_maintenance.py — the savepoint/restore procedures
+    the reference's Hudi runtime bundle provides,
+    hudi/hudi_submit.sh): the base bulk-insert is savepointed (its
+    file set pinned against the cleaner), two later upserts mutate and
+    grow the table, and restore(instant) rolls the TIMELINE back —
+    later instants removed, their files deleted — so the snapshot read
+    equals the original base exactly. Post-restore writability and
+    cleaner protection are pinned in tests/test_hudi_maintenance.py."""
+    import tempfile
+
+    from .sources.hudi_layout import HudiCowTable
+    from .sources import hudi_maintenance  # noqa: F401 — attaches
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", F.lit(1).alias("ver")
+    )
+    t = HudiCowTable(
+        spark, tempfile.mkdtemp(prefix="hudi_sp_"),
+        record_key="c_custkey", precombine_field="ver",
+    )
+    i0 = t.bulk_insert(cust)
+    t.savepoint(i0)
+    t.upsert(
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_mktsegment", F.lit("MUTATED"))
+        .withColumn("ver", F.lit(2))
+    )
+    t.upsert(
+        cust.filter(F.col("c_custkey") % 97 == 0).select(
+            (F.col("c_custkey") + 9000000).alias("c_custkey"),
+            "c_name", F.lit("NEW").alias("c_mktsegment"),
+            F.lit(3).alias("ver"),
+        )
+    )
+    assert len(t.instants()) == 3
+    t.restore(i0)
+    assert t.instants() == [i0]
+    return t.read().select(
+        "c_custkey", "c_name", "c_mktsegment", F.col("ver").cast("int")
+    )
+
+
+@register(
+    "hudi_clustering",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_name, c_mktsegment, 1 AS ver FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey, c_name, 'POSTCLUSTER' AS c_mktsegment, 2 AS ver
+      FROM customer WHERE c_custkey % 13 = 0
+    ),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+            ORDER BY ver DESC) AS rn FROM u)
+    SELECT c_custkey, c_name, c_mktsegment, CAST(ver AS INTEGER) AS ver
+    FROM r WHERE rn = 1
+    """,
+    tags=("lake", "S7", "extension"),
+)
+def q_hudi_clustering(spark, sf_dir):
+    """Hudi CLUSTERING as a REPLACECOMMIT
+    (sources/hudi_maintenance.py cluster()): the 6-group table
+    re-buckets into 2 sorted file groups in one replacecommit whose
+    ``replacedFileGroups`` retires every old group (replay drops them
+    — time travel before the instant still sees the old layout,
+    pinned in tests/test_hudi_maintenance.py), hoodie.properties
+    adopts the new group count, and a POST-cluster keyed upsert routes
+    by the new hashing — the snapshot read must equal the SQL
+    newest-version-per-key merge. In-gate: exactly 2 live groups after
+    clustering."""
+    import tempfile
+
+    from .sources.hudi_layout import HudiCowTable
+    from .sources import hudi_maintenance  # noqa: F401 — attaches
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", F.lit(1).alias("ver")
+    )
+    t = HudiCowTable(
+        spark, tempfile.mkdtemp(prefix="hudi_cluster_"),
+        record_key="c_custkey", precombine_field="ver",
+        n_file_groups=6,
+    )
+    t.bulk_insert(cust)
+    t.cluster(2, sort_by=["c_custkey"])
+    assert {fid for (_p, fid) in t._file_slices()} == {"fg-0", "fg-1"}
+    t.upsert(
+        cust.filter(F.col("c_custkey") % 13 == 0)
+        .withColumn("c_mktsegment", F.lit("POSTCLUSTER"))
+        .withColumn("ver", F.lit(2))
+    )
+    return t.read().select(
+        "c_custkey", "c_name", "c_mktsegment", F.col("ver").cast("int")
+    )
+
+
+@register(
     "hudi_layout_incremental_pull",
     oracle="""
     SELECT c_custkey, 'UPDATED' AS c_mktsegment, CAST(2 AS INTEGER) AS ver

@@ -6,6 +6,7 @@ from . import delta_cdf as _delta_cdf  # noqa: F401 — attaches CDF
 from . import delta_colmap as _delta_colmap  # noqa: F401 — attaches RENAME/DROP COLUMN
 from . import delta_gen as _delta_gen  # noqa: F401 — attaches generated columns
 from .hudi_layout import HudiCowTable, HudiMorTable
+from . import hudi_maintenance as _hudi_maintenance  # noqa: F401 — attaches savepoint/restore/cluster
 from .iceberg_layout import IcebergTable
 from . import iceberg_deletes as _iceberg_deletes  # noqa: F401 — attaches DELETE/rollback
 from . import iceberg_inspect as _iceberg_inspect  # noqa: F401 — attaches tbl.files/.snapshots

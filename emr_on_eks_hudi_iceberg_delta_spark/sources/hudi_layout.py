@@ -111,8 +111,9 @@ class HudiCowTable:
 
     # ----------------------------- timeline -----------------------------
 
-    #: timeline actions this table replays (MoR adds .deltacommit)
-    INSTANT_SUFFIXES = (".commit",)
+    #: timeline actions this table replays (MoR adds .deltacommit;
+    #: .replacecommit is clustering — hudi_maintenance.py)
+    INSTANT_SUFFIXES = (".commit", ".replacecommit")
 
     def instants(self) -> list[str]:
         out = []
@@ -148,6 +149,11 @@ class HudiCowTable:
             if instant is not None and t > instant:
                 break
             meta = self._commit_meta(t)
+            # clustering (replacecommit) retires whole file groups —
+            # drop them BEFORE applying the commit's own writes, so a
+            # re-bucketing that reuses a group id keeps the new file
+            for part, fid in meta.get("replacedFileGroups", []):
+                live.pop((part, fid), None)
             for part, stats in meta["partitionToWriteStats"].items():
                 for st in stats:
                     live[(part, st["fileId"])] = st["path"]
@@ -260,19 +266,26 @@ class HudiCowTable:
         instant: str,
         groups: list[int],
         namer=None,
+        sort_within: list[str] | None = None,
     ) -> list[dict]:
         """Write one base file per file group (repartition by the group
-        column so each parquet file holds exactly one group). Base-file
-        writes (default namer) also record the group's key-range +
-        bloom index metadata in the write stats."""
+        column so each parquet file holds exactly one group;
+        ``sort_within`` orders rows inside each group's file — sort
+        clustering). Base-file writes (default namer) also record the
+        group's key-range + bloom index metadata in the write stats."""
         key_stats = (
             self._group_key_stats(df) if namer is None else {}
         )
         stats = []
         staging = os.path.join(self.location, f"_staging_{uuid.uuid4().hex}")
+        w = df.repartition(len(groups) or 1, "__fg")
+        if sort_within:
+            # __fg must lead the sort: the partitioned-file writer
+            # requires ordering by partition columns and would insert
+            # its own (k-order-destroying) sort otherwise
+            w = w.sortWithinPartitions("__fg", *sort_within)
         (
-            df.repartition(len(groups) or 1, "__fg")
-            .write.mode("overwrite")
+            w.write.mode("overwrite")
             .partitionBy("__fg")
             .parquet(staging)
         )
@@ -331,11 +344,14 @@ class HudiCowTable:
         stats: list[dict],
         suffix: str = ".commit",
         operation: str = "UPSERT",
+        top_level: dict | None = None,
     ) -> None:
         meta = {
             "operationType": operation,
             "partitionToWriteStats": {"": stats},
         }
+        if top_level:
+            meta.update(top_level)  # e.g. replacedFileGroups (cluster)
         extra = getattr(self, "_extra_metadata", None)
         if extra:
             meta["extraMetadata"] = dict(extra)
@@ -622,7 +638,7 @@ class HudiMorTable(HudiCowTable):
     """
 
     TABLE_TYPE = "MERGE_ON_READ"
-    INSTANT_SUFFIXES = (".commit", ".deltacommit")
+    INSTANT_SUFFIXES = (".commit", ".deltacommit", ".replacecommit")
 
     # -------------------------- timeline replay --------------------------
 
@@ -636,6 +652,8 @@ class HudiMorTable(HudiCowTable):
             if instant is not None and t > instant:
                 break
             meta = self._commit_meta(t)
+            for part, fid in meta.get("replacedFileGroups", []):
+                slices.pop((part, fid), None)
             for part, stats in meta["partitionToWriteStats"].items():
                 for st in stats:
                     key = (part, st["fileId"])
@@ -857,10 +875,15 @@ def _clean(self, retain_slices: int = 1, dry_run: bool = False) -> list[str]:
     window knob. Dry run lists without deleting. Returns relative
     paths (deleted, or would-be)."""
     # replay the FULL timeline: per (partition, fileId), every base
-    # slice in commit order + the log files attached to each
+    # slice in commit order + the log files attached to each; a
+    # replacecommit retires a group entirely — ALL its prior slices
+    # become cleanable (reads of the current state never touch them)
     history: dict[tuple, list[dict]] = {}
+    retired: list[dict] = []
     for t in self.instants():
         meta = self._commit_meta(t)
+        for part, fid in meta.get("replacedFileGroups", []):
+            retired.extend(history.pop((part, fid), []))
         for part, stats in meta["partitionToWriteStats"].items():
             for st in stats:
                 key = (part, st["fileId"])
@@ -879,7 +902,17 @@ def _clean(self, retain_slices: int = 1, dry_run: bool = False) -> list[str]:
                 doomed.append(sl["base"])
             doomed.extend(sl["logs"])
         # retained slices keep their logs (still needed by _rt reads)
-    out = sorted(set(doomed))
+    for sl in retired:
+        if sl["base"]:
+            doomed.append(sl["base"])
+        doomed.extend(sl["logs"])
+    # savepoints pin their instant's whole file set (restore targets)
+    preserved: set[str] = set()
+    for sp in getattr(self, "savepoints", lambda: [])():
+        preserved.update(
+            self._savepoint_meta(sp).get("preservedFiles", [])
+        )
+    out = sorted(set(doomed) - preserved)
     if not dry_run:
         for rel in out:
             full = os.path.join(self.location, rel)

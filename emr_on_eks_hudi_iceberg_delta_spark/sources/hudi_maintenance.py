@@ -1,0 +1,229 @@
+"""Hudi SAVEPOINT / RESTORE and CLUSTERING on the from-scratch layout
+(hudi_layout.py) — the table services real Hudi runs via
+spark-submit'd procedures (the reference's Hudi leg ships the runtime
+bundle, hudi/hudi_submit.sh), re-derived here from Hudi's public
+timeline semantics:
+
+* ``savepoint(instant=None)`` writes ``<instant>.savepoint`` to the
+  timeline pinning the instant's full file set: the CLEANER skips
+  every pinned file (hudi_layout._clean consults it), so the instant
+  stays restorable no matter how far retention advances.
+* ``restore(instant)`` rolls the TABLE back: every later timeline
+  action is removed and the data files those commits wrote are
+  deleted (paths embed their writing instant, so later files are
+  disjoint from the restore target's). Restore requires a savepoint
+  at the target — Hudi's own contract, because without the pin the
+  cleaner may already have dropped the target's slices.
+* ``cluster(n_file_groups, sort_by=None)`` is Hudi clustering as a
+  REPLACECOMMIT: the whole table re-buckets into ``n_file_groups``
+  fresh base files (optionally sorted within each group — sort
+  clustering), the commit's ``replacedFileGroups`` retires every old
+  group, and the hash upsert routing follows the new group count
+  (hoodie.properties rewritten). Readers replay replacecommits like
+  any instant, so time travel BEFORE the clustering still sees the
+  old layout; MoR tables must compact first (log files cannot be
+  re-bucketed — refused loudly).
+
+Scale: savepoint/restore are timeline metadata plus O(files-to-drop)
+deletes; clustering is one full-table rewrite (that is its job) as a
+single repartition-by-group write — the shuffle IS the re-bucketing,
+nothing driver-side but the commit metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from .hudi_layout import HudiCowTable, HudiMorTable
+
+_META_COLS = (
+    "_hoodie_commit_time",
+    "_hoodie_record_key",
+    "_hoodie_partition_path",
+    "_hoodie_file_name",
+    "_hoodie_is_deleted",
+)
+
+
+def _savepoint_path(self, instant: str) -> str:
+    return os.path.join(self.hoodie, f"{instant}.savepoint")
+
+
+def _savepoint_meta(self, instant: str) -> dict:
+    with open(_savepoint_path(self, instant)) as f:
+        return json.load(f)
+
+
+def _savepoints(self) -> list[str]:
+    return sorted(
+        f[: -len(".savepoint")]
+        for f in os.listdir(self.hoodie)
+        if f.endswith(".savepoint")
+    )
+
+
+def _live_files_at(self, instant: str) -> list[str]:
+    """Every relative data path a snapshot read at ``instant`` can
+    touch (bases; plus logs on MoR)."""
+    if isinstance(self, HudiMorTable):
+        out: list[str] = []
+        for s in self._mor_slices(instant).values():
+            if s["base"]:
+                out.append(s["base"])
+            out.extend(s["logs"])
+        return sorted(set(out))
+    return sorted(set(self._file_slices(instant).values()))
+
+
+def _savepoint(self, instant: str | None = None) -> str:
+    """Pin an instant (default: the latest commit) against cleaning,
+    making it a RESTORE target. Idempotent per instant."""
+    instants = self.instants()
+    if not instants:
+        raise ValueError("empty timeline: nothing to savepoint")
+    instant = instant or instants[-1]
+    if instant not in instants:
+        raise ValueError(
+            f"instant {instant} not on the timeline (have {instants})"
+        )
+    path = _savepoint_path(self, instant)
+    if os.path.exists(path):
+        return instant
+    meta = {
+        "savepointedAt": int(time.time() * 1000),
+        "instant": instant,
+        "preservedFiles": _live_files_at(self, instant),
+    }
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, path)
+    return instant
+
+
+def _delete_savepoint(self, instant: str) -> None:
+    path = _savepoint_path(self, instant)
+    if not os.path.exists(path):
+        raise ValueError(f"no savepoint at {instant}")
+    os.remove(path)
+
+
+def _restore(self, instant: str) -> str:
+    """Roll the table back to a SAVEPOINTED instant: later timeline
+    actions are removed, their data files deleted, later savepoints
+    dropped; a ``.restore`` audit marker records the operation (it is
+    not a replayed action). Time travel to the removed instants fails
+    loudly afterwards — they no longer exist, the restore trade."""
+    if not os.path.exists(_savepoint_path(self, instant)):
+        raise ValueError(
+            f"restore target {instant} has no savepoint — the cleaner "
+            "may have dropped its files; savepoint() instants before "
+            "restoring to them"
+        )
+    later = [t for t in self.instants() if t > instant]
+    keep = set(_live_files_at(self, instant))
+    doomed: set[str] = set()
+    for t in later:
+        meta = self._commit_meta(t)
+        for _part, stats in meta["partitionToWriteStats"].items():
+            doomed.update(st["path"] for st in stats)
+    for rel in sorted(doomed - keep):
+        full = os.path.join(self.location, rel)
+        if os.path.exists(full):
+            os.remove(full)
+    for t in later:
+        for suf in self.INSTANT_SUFFIXES:
+            p = os.path.join(self.hoodie, f"{t}{suf}")
+            if os.path.exists(p):
+                os.remove(p)
+        sp = _savepoint_path(self, t)
+        if os.path.exists(sp):
+            os.remove(sp)
+    marker = {
+        "restoredTo": instant,
+        "removedInstants": later,
+        "restoredAt": int(time.time() * 1000),
+    }
+    mpath = os.path.join(self.hoodie, f"{self._next_instant()}.restore")
+    tmp = mpath + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(marker, f)
+    os.replace(tmp, mpath)
+    return instant
+
+
+def _rewrite_properties(self) -> None:
+    props = os.path.join(self.hoodie, "hoodie.properties")
+    tmp = props + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(f"hoodie.table.type={self.TABLE_TYPE}\n")
+        f.write(f"hoodie.table.recordkey.fields={self.record_key}\n")
+        f.write(
+            f"hoodie.table.precombine.field={self.precombine_field}\n"
+        )
+        f.write(f"n.file.groups={self.n_file_groups}\n")
+    os.replace(tmp, props)
+
+
+def _cluster(
+    self, n_file_groups: int, sort_by: list[str] | None = None
+) -> str:
+    """Re-bucket the table into ``n_file_groups`` file groups (one
+    REPLACECOMMIT), optionally sorting rows within each new base file.
+    Subsequent upserts hash into the new group count."""
+    if n_file_groups < 1:
+        raise ValueError("n_file_groups must be >= 1")
+    if isinstance(self, HudiMorTable):
+        if any(s["logs"] for s in self._mor_slices().values()):
+            raise ValueError(
+                "clustering a MoR table with unfolded log files is "
+                "not supported: run compact() first (log files merge "
+                "by record key; re-bucketing them would break the "
+                "key->group routing mid-slice)"
+            )
+        old_live = {
+            k: s["base"] for k, s in self._mor_slices().items()
+        }
+    else:
+        old_live = self._file_slices()
+    data = self.read().drop(*_META_COLS)
+    instant = self._next_instant()
+    self.n_file_groups = n_file_groups
+    _rewrite_properties(self)
+    prepared = self._with_meta(data, instant, self._file_group_expr())
+    sort_cols = list(sort_by or [self.record_key])
+    stats = self._write_groups(
+        prepared,
+        instant,
+        list(range(n_file_groups)),
+        sort_within=sort_cols,
+    )
+    self._commit(
+        instant,
+        stats,
+        suffix=".replacecommit",
+        operation="CLUSTER",
+        top_level={
+            "replacedFileGroups": [
+                [part, fid] for (part, fid) in sorted(old_live)
+            ],
+            "clusteringSortColumns": sort_cols,
+        },
+    )
+    return instant
+
+
+def attach() -> None:
+    for cls in (HudiCowTable, HudiMorTable):
+        cls.savepoint = _savepoint
+        cls.savepoints = _savepoints
+        cls.delete_savepoint = _delete_savepoint
+        cls._savepoint_meta = _savepoint_meta
+        cls.restore = _restore
+        cls.cluster = _cluster
+
+
+attach()
