@@ -14559,6 +14559,54 @@ def q_iceberg_layout_partition_prune(spark, sf_dir):
 
 
 @register(
+    "iceberg_wap_publish",
+    oracle="""
+    SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS bal
+    FROM supplier
+    UNION ALL
+    SELECT s_suppkey + 7000000 AS s_suppkey, s_name,
+           CAST(s_acctbal + 50 AS DOUBLE) AS bal
+    FROM supplier WHERE s_suppkey % 3 = 0
+    """,
+    tags=("lake", "S2", "extension"),
+)
+def q_iceberg_wap_publish(spark, sf_dir):
+    """Write-audit-publish through Iceberg REFS
+    (sources/iceberg_refs.py — the spec's snapshot-references model
+    the reference's runtime exposes as spark.wap.branch / CREATE
+    BRANCH): the staged batch commits to branch ``audit`` — a real
+    snapshot advancing ONLY the branch head (data + delete manifests
+    carried from the branch, parent-snapshot-id recorded) — while
+    main provably still reads the base (asserted in-gate); after the
+    audit read, ``fast_forward`` verifies main is an ancestor of the
+    branch head and publishes metadata-only. The returned read is
+    main AFTER publish and must equal base UNION staged."""
+    import tempfile
+
+    from .sources.iceberg_layout import IcebergTable
+    from .sources import iceberg_refs  # noqa: F401 — attaches refs
+
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name",
+        F.col("s_acctbal").cast("double").alias("bal"),
+    )
+    t = IcebergTable(spark, tempfile.mkdtemp(prefix="ice_wap_"))
+    t.append(s)
+    base_n = t.read().count()
+    t.create_branch("audit")
+    staged = s.filter(F.col("s_suppkey") % 3 == 0).select(
+        (F.col("s_suppkey") + 7000000).alias("s_suppkey"),
+        "s_name",
+        (F.col("bal") + 50).alias("bal"),
+    )
+    t.append_to_branch(staged, "audit")
+    assert t.read().count() == base_n  # WRITE: main is blind
+    assert t.read_ref("audit").count() > base_n  # AUDIT
+    t.fast_forward("audit")  # PUBLISH
+    return t.read().select("s_suppkey", "s_name", "bal")
+
+
+@register(
     "iceberg_hidden_partitioning",
     oracle="""
     SELECT event_id, ts, user_id, CAST(value AS DOUBLE) AS value

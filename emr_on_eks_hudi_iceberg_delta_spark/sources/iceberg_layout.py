@@ -1064,6 +1064,11 @@ class IcebergTable:
         if cur is not None:
             prior_md = self._metadata()
             snapshot["sequence-number"] = next_sequence_number(prior_md)
+            # spec: snapshots record their parent — the ancestry the
+            # refs/fast-forward machinery (iceberg_refs.py) walks
+            parent = prior_md.get("current-snapshot-id")
+            if parent is not None:
+                snapshot["parent-snapshot-id"] = parent
         else:
             snapshot["sequence-number"] = 1
         if cur is None:
@@ -1411,7 +1416,20 @@ def _expire_snapshots(self, keep_last: int = 1) -> dict:
         raise ValueError("keep_last must be >= 1")
     if len(snaps) <= keep_last:
         return {"snapshots": 0, "files": 0}
-    expired, retained = snaps[:-keep_last], snaps[-keep_last:]
+    # ref-named snapshots (tags, branch heads — iceberg_refs.py) are
+    # retention pins: expiring one would break its ref
+    pinned = {
+        r["snapshot-id"] for r in md.get("refs", {}).values()
+    }
+    expired = [
+        s
+        for s in snaps[:-keep_last]
+        if s["snapshot-id"] not in pinned
+    ]
+    if not expired:
+        return {"snapshots": 0, "files": 0}
+    exp_ids = {s["snapshot-id"] for s in expired}
+    retained = [s for s in snaps if s["snapshot-id"] not in exp_ids]
     keep_files: set[str] = set()
     keep_meta: set[str] = set()
     for s in retained:
