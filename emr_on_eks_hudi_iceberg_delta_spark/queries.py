@@ -14703,6 +14703,55 @@ def q_delta_generated_columns(spark, sf_dir):
 
 
 @register(
+    "delta_identity_columns",
+    oracle="""
+    WITH c AS (SELECT COUNT(*) AS n FROM customer),
+         m AS (SELECT COUNT(*) AS m FROM customer
+               WHERE c_custkey % 11 = 0)
+    SELECT CAST(c.n + m.m AS BIGINT) AS n_rows,
+           CAST(c.n + m.m AS BIGINT) AS n_distinct_ids,
+           CAST(1 AS BIGINT) AS min_rid,
+           CAST(c.n + m.m AS BIGINT) AS max_rid
+    FROM c, m
+    """,
+    tags=("lake", "S9", "extension"),
+)
+def q_delta_identity_columns(spark, sf_dir):
+    """Delta IDENTITY columns (sources/delta_gen.py —
+    GENERATED ALWAYS AS IDENTITY per PROTOCOL.md, writer version 6):
+    the table allocates a DENSE id block per write — one count pass
+    yields per-partition row counts, each partition numbers its rows
+    inside a contiguous block (no global sort, no single-task window,
+    the block-reservation shape real Delta writers use) — and the
+    high watermark rides the same commit's metaData, so a second
+    append continues strictly above it with zero reuse. The dense
+    contract IS the oracle: after base + append, ids are exactly
+    {1..N+M} — count, distinct count, min, max all pinned. Explicit
+    writes to the column refuse (tests/test_delta_gen.py)."""
+    import tempfile
+
+    from .sources.delta_log import DeltaLogTable
+    from .sources import delta_gen  # noqa: F401 — attaches identity
+
+    c = _t(spark, sf_dir, "customer").select("c_name", "c_mktsegment")
+    t = DeltaLogTable(spark, tempfile.mkdtemp(prefix="delta_id_"))
+    t.overwrite_identity(
+        c, identity={"rid": {"start": 1, "step": 1}}
+    )
+    t.append(
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 11 == 0)
+        .select("c_name", "c_mktsegment")
+    )
+    return t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("rid").alias("n_distinct_ids"),
+        F.min("rid").alias("min_rid"),
+        F.max("rid").alias("max_rid"),
+    )
+
+
+@register(
     "delta_dml_delete_update",
     oracle="""
     SELECT o_orderkey,

@@ -618,6 +618,16 @@ def _merge_into(
     from .delta_gen import apply_generated, forbid_generated_assignments
 
     forbid_generated_assignments(meta, when_matched_update or {})
+    from .delta_gen import identity_cols as _idcols
+
+    _id_in_src = sorted(set(_idcols(meta)) & set(source.columns))
+    if _id_in_src and insert_unmatched:
+        raise ValueError(
+            f"MERGE source supplies identity column(s) {_id_in_src} "
+            "with insert_unmatched=True — identity is GENERATED "
+            "ALWAYS (allowExplicitInsert false); drop the column from "
+            "the source or pass insert_unmatched=False"
+        )
     scan = _scan_with_pos(self, list(live.values()), meta)
     src = source.withColumn("__s_matched", F.lit(True)).alias("s")
     join_cond = None
@@ -786,10 +796,18 @@ def _merge_into(
         ]
         # inserted rows derive generated columns from their expression
         # (the name-mapped NULL a source without the column produces
-        # is never a legal generated value)
+        # is never a legal generated value); identity columns get
+        # fresh values above the watermark, which rides this commit
         ins = apply_generated(
             unmatched.select(*ins_cols), meta, recompute=True
         )
+        from .delta_gen import assign_identity, identity_cols
+
+        idc = identity_cols(meta)
+        if idc:
+            ins, id_meta = assign_identity(ins.drop(*idc), meta)
+            if id_meta is not None:
+                actions.append({"metaData": id_meta})
         from .delta_cdf import enforce_constraints
 
         enforce_constraints(ins, meta)

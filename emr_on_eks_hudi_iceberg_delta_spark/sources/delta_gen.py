@@ -117,7 +117,8 @@ def apply_generated(
 
 def forbid_generated_assignments(meta: dict, assignments) -> None:
     """UPDATE/MERGE may not SET a generated column directly — its
-    value is owned by the expression (recomputed after assignment)."""
+    value is owned by the expression (recomputed after assignment) —
+    nor an identity column (GENERATED ALWAYS AS IDENTITY)."""
     gens = generated_exprs(meta)
     hit = sorted(set(assignments) & set(gens))
     if hit:
@@ -125,6 +126,12 @@ def forbid_generated_assignments(meta: dict, assignments) -> None:
             f"cannot assign generated column(s) {hit}: their values "
             "derive from delta.generationExpression and are recomputed "
             "automatically"
+        )
+    idh = sorted(set(assignments) & set(identity_cols(meta)))
+    if idh:
+        raise ValueError(
+            f"cannot assign identity column(s) {idh}: GENERATED "
+            "ALWAYS AS IDENTITY values are allocated by the writer"
         )
 
 
@@ -206,6 +213,195 @@ def _overwrite_generated(
         # generatedColumns is a legacy writer-version-4 feature
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
         {"metaData": meta},
+    ]
+    for path in sorted(prior_live):
+        actions.append(
+            {
+                "remove": {
+                    "path": path,
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                }
+            }
+        )
+    actions.extend({"add": a} for a in adds)
+    self._commit(versions[-1] + 1 if versions else 0, actions)
+    return self
+
+
+# --------------------------- identity columns ---------------------------
+
+ID_START_KEY = "delta.identity.start"
+ID_STEP_KEY = "delta.identity.step"
+ID_HWM_KEY = "delta.identity.highWaterMark"
+ID_EXPLICIT_KEY = "delta.identity.allowExplicitInsert"
+
+
+def identity_cols(meta: dict) -> dict[str, dict]:
+    """{column: {'start','step','highWaterMark'}} for identity columns
+    declared in the schema metadata."""
+    if not meta or not meta.get("schemaString"):
+        return {}
+    schema = json.loads(meta["schemaString"])
+    out = {}
+    for f in schema.get("fields", []):
+        md = f.get("metadata") or {}
+        if ID_START_KEY in md:
+            out[f["name"]] = {
+                "start": int(md[ID_START_KEY]),
+                "step": int(md[ID_STEP_KEY]),
+                "highWaterMark": (
+                    int(md[ID_HWM_KEY]) if ID_HWM_KEY in md else None
+                ),
+            }
+    return out
+
+
+def assign_identity(df: DataFrame, meta: dict):
+    """Allocate identity values for a write batch.
+
+    Returns ``(df, new_meta | None)`` — new_meta carries the advanced
+    high watermarks and must ride the same commit as the data (Delta
+    stores the watermark in the column metadata, so the allocation is
+    transactional with the write).
+
+    Allocation is DENSE and distributed: one count pass computes
+    per-partition row counts (a driver list of O(partitions) ints),
+    each partition then gets a contiguous block and numbers its rows
+    by the within-partition order — no global sort, no single-task
+    window, the same block-reservation shape real Delta writers use.
+    Values are unique and strictly above the prior watermark; the
+    ROW↔VALUE pairing depends on partitioning (as in real Delta,
+    identity promises uniqueness + monotone watermark, not a
+    deterministic mapping). GENERATED ALWAYS semantics: a batch that
+    supplies the column refuses."""
+    ids = identity_cols(meta)
+    if not ids:
+        return df, None
+    present = [c for c in ids if c in df.columns]
+    if present:
+        raise ValueError(
+            f"identity column(s) {present} are GENERATED ALWAYS — "
+            "writes must omit them (allowExplicitInsert is false)"
+        )
+    pid, mid, rn = "__id_pid", "__id_mid", "__id_rn"
+    from pyspark.sql import Window
+
+    w = (
+        df.withColumn(pid, F.spark_partition_id())
+        .withColumn(mid, F.monotonically_increasing_id())
+    )
+    counts = {
+        r[pid]: r["n"]
+        for r in w.groupBy(pid).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    if total == 0:
+        return df, None
+    offsets, acc = {}, 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    off_expr = None
+    for p, o in offsets.items():
+        off_expr = (
+            F.when(F.col(pid) == p, F.lit(o))
+            if off_expr is None
+            else off_expr.when(F.col(pid) == p, F.lit(o))
+        )
+    win = Window.partitionBy(pid).orderBy(mid)
+    w = w.withColumn(rn, F.row_number().over(win) - 1)
+    schema = json.loads(meta["schemaString"])
+    by_name = {f["name"]: f for f in schema["fields"]}
+    for name, spec in ids.items():
+        hw = spec["highWaterMark"]
+        base = (
+            hw + spec["step"]
+            if hw is not None
+            else spec["start"]
+        )
+        w = w.withColumn(
+            name,
+            (
+                F.lit(base)
+                + (off_expr + F.col(rn)) * F.lit(spec["step"])
+            ).cast(by_name[name]["type"]),
+        )
+        by_name[name].setdefault("metadata", {})[ID_HWM_KEY] = (
+            base + (total - 1) * spec["step"]
+        )
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps(schema)
+    out_cols = [f["name"] for f in schema["fields"] if f["name"] in
+                set(df.columns) | set(ids)]
+    return w.drop(pid, mid, rn).select(*out_cols), new_meta
+
+
+def _overwrite_identity(
+    self,
+    df: DataFrame,
+    identity: dict[str, dict],
+    partition_by: list[str] | None = None,
+) -> "DeltaLogTable":  # noqa: F821
+    """Create the table with IDENTITY column declarations:
+    ``identity`` maps column name -> {"start": s, "step": k} (both
+    default sensibly). The column is appended to the schema as a
+    bigint GENERATED ALWAYS AS IDENTITY; this first write allocates
+    values for the batch and records the watermark."""
+    import time
+    import uuid as _uuid
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    for name in identity:
+        if name in df.columns:
+            raise ValueError(
+                f"identity column {name!r} is already in the batch "
+                "(GENERATED ALWAYS: writers never supply it)"
+            )
+    fields = list(df.schema.fields)
+    for name, spec in identity.items():
+        fields.append(
+            StructField(
+                name,
+                LongType(),
+                True,
+                {
+                    ID_START_KEY: int(spec.get("start", 1)),
+                    ID_STEP_KEY: int(spec.get("step", 1)),
+                    ID_EXPLICIT_KEY: False,
+                },
+            )
+        )
+    schema = StructType(fields)
+    meta = {
+        "id": _uuid.uuid4().hex,
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema.json(),
+        "partitionColumns": list(partition_by or []),
+        "configuration": {},
+        "createdTime": int(time.time() * 1000),
+    }
+    w, new_meta = assign_identity(df, meta)
+    versions = self._versions()
+    prior_live = {}
+    if versions:
+        prior_live, _pm, _ = self._replay()
+    adds = self._write_data_files(w, list(partition_by or []))
+    now = int(time.time() * 1000)
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "WRITE",
+                "operationParameters": {
+                    "mode": "Overwrite",
+                    "identityColumns": sorted(identity),
+                },
+            }
+        },
+        # identityColumns is a writer-version-6 legacy feature
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}},
+        {"metaData": new_meta or meta},
     ]
     for path in sorted(prior_live):
         actions.append(
@@ -379,6 +575,7 @@ def attach() -> None:
     from .delta_log import DeltaLogTable
 
     DeltaLogTable.overwrite_generated = _overwrite_generated
+    DeltaLogTable.overwrite_identity = _overwrite_identity
     DeltaLogTable.read_generated = _read_generated
     DeltaLogTable.files_matching_generated = _files_matching_generated
 

@@ -56,10 +56,14 @@ auto-rebased appends); and ``fsck`` integrity verification (fsck.py).
 Column mapping (name mode) lives in delta_colmap.py (r10):
 ``enable_column_mapping`` / ``rename_column`` / ``drop_column`` with
 physical-name scans, so renames/drops never rewrite data; DML, CDF,
-OPTIMIZE, and checkpoints all work on mapped tables. Still not
-implemented (documented contract, loud errors — not silent
-corruption): generated columns, identity columns, and overwrite of a
-column-mapped table.
+OPTIMIZE, and checkpoints all work on mapped tables. GENERATED
+columns (``delta.generationExpression``: write-side compute/validate,
+DML recompute, hidden partition pruning) and IDENTITY columns
+(``delta.identity.*``: dense distributed block allocation, watermark
+in the same commit) live in delta_gen.py (r10). Still not implemented
+(documented contract, loud errors — not silent corruption):
+schema-changing overwrite of a column-mapped table, and declaring
+generated/identity columns on one.
 """
 
 from __future__ import annotations
@@ -553,16 +557,25 @@ class DeltaLogTable:
                         f"{prior_meta.get('partitionColumns', [])}"
                     )
                 mapped_meta = prior_meta
-            from .delta_gen import apply_generated, generated_exprs
+            from .delta_gen import (
+                apply_generated,
+                assign_identity,
+                generated_exprs,
+                identity_cols,
+            )
 
-            if generated_exprs(prior_meta):
-                # generated declarations survive data overwrites: the
-                # batch gets missing generated columns computed (or
-                # supplied values validated), must keep the schema and
-                # partitioning, and the metaData action is reused
-                # verbatim so the generationExpression metadata rides
-                # along.
+            if generated_exprs(prior_meta) or identity_cols(prior_meta):
+                # generated/identity declarations survive data
+                # overwrites: the batch gets missing generated columns
+                # computed (or supplied values validated) and identity
+                # values allocated (watermark keeps advancing across
+                # overwrites — values never reuse), must keep the
+                # schema and partitioning, and the metaData action is
+                # reused so the declarations ride along.
                 df = apply_generated(df, prior_meta)
+                df, id_meta = assign_identity(df, prior_meta)
+                if id_meta is not None:
+                    prior_meta = id_meta
                 cur = StructType.fromJson(
                     json.loads(prior_meta["schemaString"])
                 )
@@ -634,9 +647,13 @@ class DeltaLogTable:
         if not versions:
             return self.overwrite(df)
         _, meta, _ = self._replay()
-        from .delta_gen import apply_generated
+        from .delta_gen import apply_generated, assign_identity
 
         df = apply_generated(df, meta)
+        df, id_meta = assign_identity(df, meta)
+        if id_meta is not None:
+            # the advanced identity watermark must ride THIS commit
+            meta = id_meta
         part_cols = meta.get("partitionColumns", [])
         existing = StructType.fromJson(json.loads(meta["schemaString"]))
         by_name = {f.name: f for f in existing.fields}
@@ -703,6 +720,8 @@ class DeltaLogTable:
             evolved["schemaString"] = merged.json()
             actions.append({"metaData": evolved})
             write_meta = evolved
+        elif id_meta is not None:
+            actions.append({"metaData": id_meta})
         if mapping_enabled(write_meta):
             from .delta_colmap import physical_names
 
@@ -722,10 +741,12 @@ class DeltaLogTable:
                 self._commit(head + 1, actions)
                 return self
             except ConcurrentCommitError:
-                if new_fields:
-                    # schema evolution raced another commit: the merged
-                    # schema was computed against a stale head — resolve
-                    # at the caller, don't auto-rebase a metadata change
+                if new_fields or id_meta is not None:
+                    # schema evolution / identity allocation raced
+                    # another commit: the merged schema or watermark
+                    # was computed against a stale head — resolve at
+                    # the caller, don't auto-rebase a metadata change
+                    # (rebasing an identity range could double-allocate)
                     raise
                 # blind appends commute with other appends: rebase onto
                 # the new head and retry (Delta's append conflict rule)

@@ -222,6 +222,76 @@ def test_merge_computes_generated_for_inserts_and_updates(
     assert got.filter("event_date = DATE'2025-07-02'").count() == 1
 
 
+def test_identity_allocation_dense_and_watermarked(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.delta_gen import (
+        identity_cols,
+    )
+
+    df = spark.createDataFrame(
+        [(f"u{i}", float(i)) for i in range(100)], "name string, v double"
+    ).repartition(6)
+    t = DeltaLogTable(spark, str(tmp_path / "i1"))
+    t.overwrite_identity(df, identity={"rid": {"start": 10, "step": 2}})
+    got = t.read()
+    ids = sorted(r["rid"] for r in got.select("rid").collect())
+    # dense block: start, start+step, ... unique, exactly N values
+    assert ids == list(range(10, 10 + 2 * 100, 2))
+    _, meta, _ = t._replay()
+    assert identity_cols(meta)["rid"]["highWaterMark"] == 10 + 2 * 99
+    assert t.current_protocol()["minWriterVersion"] >= 6
+    # append continues above the watermark, no reuse
+    t.append(
+        spark.createDataFrame([("x", 1.0), ("y", 2.0)], "name string, v double")
+    )
+    ids2 = sorted(r["rid"] for r in t.read().select("rid").collect())
+    assert len(ids2) == 102 and len(set(ids2)) == 102
+    assert ids2[-2:] == [210, 212]
+    # supplying the column refuses (GENERATED ALWAYS)
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.append(
+            spark.createDataFrame(
+                [("z", 3.0, 999)], "name string, v double, rid bigint"
+            )
+        )
+    # overwrite keeps the declaration and keeps advancing (no reuse)
+    t.overwrite(
+        spark.createDataFrame([("o", 9.0)], "name string, v double")
+    )
+    only = t.read().collect()
+    assert len(only) == 1 and only[0]["rid"] >= 214
+
+
+def test_identity_dml_contract(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(f"u{i}", float(i)) for i in range(30)], "name string, v double"
+    )
+    t = DeltaLogTable(spark, str(tmp_path / "i2"))
+    t.overwrite_identity(df, identity={"rid": {}})
+    with pytest.raises(ValueError, match="identity column"):
+        t.update("v = 1.0", {"rid": "999"})
+    t.update("v < 5.0", {"v": "v + 100"})
+    got = t.read()
+    assert got.count() == 30
+    assert got.select("rid").distinct().count() == 30  # ids stable
+    # merge: inserts allocate fresh ids above the watermark
+    src = spark.createDataFrame(
+        [("u3", 7.7), ("brand-new", 1.23)], "name string, v double"
+    )
+    rep = t.merge_into(src, ["name"], when_matched_update={"v": "s.v"})
+    assert rep["rows_inserted"] == 1
+    got2 = t.read()
+    assert got2.count() == 31
+    assert got2.select("rid").distinct().count() == 31
+    new_id = got2.filter("name = 'brand-new'").first()["rid"]
+    assert new_id == max(r["rid"] for r in got2.select("rid").collect())
+    # a source that SUPPLIES the identity column refuses inserts
+    bad = spark.createDataFrame(
+        [("q", 1.0, 5)], "name string, v double, rid bigint"
+    )
+    with pytest.raises(ValueError, match="allowExplicitInsert"):
+        t.merge_into(bad, ["name"])
+
+
 def test_declaration_refusals(spark, tmp_path, ts_df):
     t = DeltaLogTable(spark, str(tmp_path / "g7"))
     with pytest.raises(ValueError, match="reference itself"):
