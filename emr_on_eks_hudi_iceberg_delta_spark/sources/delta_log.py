@@ -1105,12 +1105,20 @@ def _append_idempotent(
         self._commit(0, actions)
         return True
     _, meta, _ = self._replay()
+    from .delta_gen import apply_generated, assign_identity
+
+    # streaming micro-batches honor the same generated/identity
+    # contract as batch appends (compute/validate + watermark-in-commit)
+    df = apply_generated(df, meta)
+    df, id_meta = assign_identity(df, meta)
     part_cols = meta.get("partitionColumns", [])
     adds = self._write_data_files(df, part_cols)
     actions = [
         {"commitInfo": {"operation": "STREAMING UPDATE"}},
         {"txn": {"appId": app_id, "version": txn_version}},
     ]
+    if id_meta is not None:
+        actions.append({"metaData": id_meta})
     actions.extend({"add": a} for a in adds)
     self._commit(versions[-1] + 1, actions)
     return True

@@ -142,8 +142,23 @@ def _inspect_history(self: IcebergTable) -> DataFrame:
     )
 
 
+def _inspect_refs(self: IcebergTable) -> DataFrame:
+    """One row per named reference plus the implicit ``main`` branch —
+    ``tbl.refs`` (name, type, snapshot_id)."""
+    md = self._metadata()
+    rows = [("main", "branch", md.get("current-snapshot-id"))]
+    rows += [
+        (name, r["type"], r["snapshot-id"])
+        for name, r in sorted(md.get("refs", {}).items())
+    ]
+    return self.spark.createDataFrame(
+        rows, "name string, type string, snapshot_id bigint"
+    )
+
+
 IcebergTable.inspect_snapshots = _inspect_snapshots
 IcebergTable.inspect_manifests = _inspect_manifests
 IcebergTable.inspect_files = _inspect_files
 IcebergTable.inspect_delete_files = _inspect_delete_files
 IcebergTable.inspect_history = _inspect_history
+IcebergTable.inspect_refs = _inspect_refs

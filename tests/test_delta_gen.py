@@ -292,6 +292,62 @@ def test_identity_dml_contract(spark, tmp_path):
         t.merge_into(bad, ["name"])
 
 
+def test_streaming_append_honors_generated_and_identity(spark, tmp_path, ts_df):
+    """foreachBatch micro-batches (append_idempotent) run the same
+    generated/identity contract as batch appends: the generated
+    partition column is computed per batch and identity ids keep
+    allocating above the watermark across batches."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.delta_log import (
+        stream_to_delta_log,
+    )
+
+    # generated table fed by a stream
+    t = DeltaLogTable(spark, str(tmp_path / "sg"))
+    t.overwrite_generated(
+        ts_df,
+        generated={"event_date": "CAST(ts AS DATE)"},
+        partition_by=["event_date"],
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(900 + i, dt.datetime(2025, 3, 1 + i, 1, 0, 0), 1.0) for i in range(3)],
+        "id bigint, ts timestamp, v double",
+    ).write.parquet(src)
+    q = stream_to_delta_log(
+        spark.readStream.schema("id bigint, ts timestamp, v double")
+        .parquet(src),
+        str(tmp_path / "sg"),
+        "genjob",
+        str(tmp_path / "ck1"),
+    )
+    q.awaitTermination(60)
+    got = t.read()
+    assert got.count() == 203
+    assert (
+        got.filter(F.col("event_date") != F.col("ts").cast("date")).count()
+        == 0
+    )
+    # identity table fed by a stream: dense ids continue per batch
+    t2 = DeltaLogTable(spark, str(tmp_path / "si"))
+    t2.overwrite_identity(
+        spark.createDataFrame([("a",), ("b",)], "name string"),
+        identity={"rid": {}},
+    )
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame(
+        [(f"s{i}",) for i in range(5)], "name string"
+    ).write.parquet(src2)
+    q2 = stream_to_delta_log(
+        spark.readStream.schema("name string").parquet(src2),
+        str(tmp_path / "si"),
+        "idjob",
+        str(tmp_path / "ck2"),
+    )
+    q2.awaitTermination(60)
+    ids = sorted(r["rid"] for r in t2.read().select("rid").collect())
+    assert ids == [1, 2, 3, 4, 5, 6, 7]
+
+
 def test_declaration_refusals(spark, tmp_path, ts_df):
     t = DeltaLogTable(spark, str(tmp_path / "g7"))
     with pytest.raises(ValueError, match="reference itself"):

@@ -46,6 +46,24 @@ def test_tags_pin_snapshots_and_expiration(spark, tmp_path):
     assert "v1.0" not in t.refs()
 
 
+def test_inspect_refs_table(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import (
+        iceberg_inspect,  # noqa: F401 — attaches inspect_*
+    )
+
+    t = IcebergTable(spark, str(tmp_path / "r5"))
+    s0 = t.append(_rng(spark, 0, 3))
+    t.create_tag("rel-1")
+    t.create_branch("dev")
+    rows = {
+        r["name"]: (r["type"], r["snapshot_id"])
+        for r in t.inspect_refs().collect()
+    }
+    assert rows["main"] == ("branch", s0)
+    assert rows["rel-1"] == ("tag", s0)
+    assert rows["dev"] == ("branch", s0)
+
+
 def test_wap_branch_write_audit_publish(spark, tmp_path):
     t = IcebergTable(spark, str(tmp_path / "r2"))
     t.append(_rng(spark, 0, 5))

@@ -163,6 +163,36 @@ def test_mm3_string_column_null_is_null(spark):
     assert None in got and len(got) == 2
 
 
+def test_transform_write_plan_stays_jvm(spark):
+    """The bucket/temporal write projections are pure JVM expressions:
+    no Python evaluation node anywhere in the physical plan (the
+    'stay JVM-side' contract for the murmur3 pipeline)."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.iceberg_transforms import (
+        add_transform_column,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abc", dt.datetime(2024, 1, 1, 2, 0, 0))],
+        "id bigint, s string, ts timestamp",
+    )
+    out = add_transform_column(
+        df, {"transform": "bucket[8]", "source": "id", "name": "b1"},
+        "b1", "bigint",
+    )
+    out = add_transform_column(
+        out, {"transform": "bucket[8]", "source": "s", "name": "b2"},
+        "b2", "string",
+    )
+    out = add_transform_column(
+        out, {"transform": "day", "source": "ts", "name": "d"},
+        "d", "timestamp",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF",
+                   "MapInPandas"):
+        assert marker not in plan, marker
+
+
 def test_ntz_transforms_match_literals(spark):
     """timestamp_ntz (what parquet scans of the testdata produce)
     transforms on the LOCAL value — day/hour ordinals and bucket

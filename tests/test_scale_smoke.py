@@ -872,3 +872,72 @@ def test_iceberg_streaming_upsert_scale_smoke(spark, tmp_path):
     read_sec = time.time() - t0
     assert t.read().filter("gen = 1").count() == 200_000
     print(f"ice_upsert={up_sec:.1f}s read={read_sec:.1f}s")
+
+
+def test_hidden_partition_million_rows(spark, tmp_path):
+    """r10 tranche 4: hidden partitioning at 10^6 rows — the murmur3
+    bucket + day-ordinal write projections run as JVM expressions
+    inside the write's own job, and a source-predicate read prunes to
+    a strict file subset before scheduling anything."""
+    import datetime as dt
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import IcebergTable
+
+    n = 1_000_000
+    df = spark.range(n).selectExpr(
+        "id",
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id % 864000) AS ts",
+        "CAST(id % 1000 AS BIGINT) AS uid",
+    )
+    t = IcebergTable(spark, str(tmp_path / "hidden1m"))
+    t0 = time.time()
+    t.append(df, partition_by=["day(ts)", "bucket(8, uid)"])
+    write_sec = time.time() - t0
+    total_files = len(t.read().inputFiles())
+    t0 = time.time()
+    pruned = t.read_hidden(
+        [
+            ("ts", ">=", dt.datetime(2024, 1, 3)),
+            ("ts", "<", dt.datetime(2024, 1, 5)),
+            ("uid", "=", 7),
+        ]
+    )
+    got = pruned.count()
+    read_sec = time.time() - t0
+    n_files = len(pruned.inputFiles())
+    # 2 of 10 days x 1 of 8 buckets: ~1/40 of the files
+    assert 0 < n_files <= total_files // 8
+    assert got == df.filter(
+        "ts >= timestamp'2024-01-03' AND ts < timestamp'2024-01-05' "
+        "AND uid = 7"
+    ).count()
+    print(
+        f"hidden_1M write={write_sec:.1f}s pruned_read={read_sec:.1f}s "
+        f"files={n_files}/{total_files}"
+    )
+
+
+def test_identity_allocation_million_rows(spark, tmp_path):
+    """r10 tranche 4: identity allocation at 10^6 rows across 32
+    partitions — the count pass collects O(partitions) ints, values
+    come out dense and unique, and the watermark lands in the same
+    commit."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import DeltaLogTable
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.delta_gen import (
+        identity_cols,
+    )
+
+    n = 1_000_000
+    df = spark.range(n).selectExpr("CAST(id AS STRING) AS name").repartition(32)
+    t = DeltaLogTable(spark, str(tmp_path / "id1m"))
+    t0 = time.time()
+    t.overwrite_identity(df, identity={"rid": {}})
+    write_sec = time.time() - t0
+    agg = t.read().selectExpr(
+        "count(*) AS n", "count(DISTINCT rid) AS d",
+        "min(rid) AS lo", "max(rid) AS hi",
+    ).first()
+    assert (agg["n"], agg["d"], agg["lo"], agg["hi"]) == (n, n, 1, n)
+    _, meta, _ = t._replay()
+    assert identity_cols(meta)["rid"]["highWaterMark"] == n
+    print(f"identity_1M write={write_sec:.1f}s")
