@@ -14559,6 +14559,61 @@ def q_iceberg_layout_partition_prune(spark, sf_dir):
 
 
 @register(
+    "iceberg_changelog_scan",
+    oracle="""
+    WITH appended AS (
+      SELECT c_custkey + 8000000 AS c_custkey, c_name, c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    state AS (
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      UNION ALL SELECT * FROM appended
+    )
+    SELECT c_custkey, c_name, c_mktsegment,
+           'insert' AS _change_type
+    FROM appended
+    UNION ALL
+    SELECT c_custkey, c_name, c_mktsegment, 'delete' AS _change_type
+    FROM state WHERE c_mktsegment = 'BUILDING'
+    """,
+    tags=("lake", "S2", "extension"),
+)
+def q_iceberg_changelog_scan(spark, sf_dir):
+    """Iceberg CHANGELOG scan (sources/iceberg_changelog.py — the
+    row-level change events the reference's runtime serves via CALL
+    system.create_changelog_view), completing the trio's CDC surface
+    beside Delta CDF and Hudi incremental pull: after base(s1) ->
+    append(s2) -> position-DELETE(s3), changes(s1) must report the
+    appended rows as inserts and the delete's rows as deletes —
+    derived entirely from MANIFEST deltas (added files scan
+    themselves; the delete events read only the files the delete
+    names via a pair semi-join), never a table diff. A compaction in
+    the middle is stamped maintenance and contributes zero events
+    (pinned in tests/test_iceberg_changelog.py)."""
+    import tempfile
+
+    from .sources.iceberg_layout import IcebergTable
+    from .sources import iceberg_changelog  # noqa: F401 — attaches
+    from .sources import iceberg_deletes  # noqa: F401 — attaches DML
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    t = IcebergTable(spark, tempfile.mkdtemp(prefix="ice_cdc_"))
+    s1 = t.overwrite(c.repartition(4))
+    t.append(
+        c.filter(F.col("c_custkey") % 7 == 0).select(
+            (F.col("c_custkey") + 8000000).alias("c_custkey"),
+            "c_name", "c_mktsegment",
+        )
+    )
+    t.delete("c_mktsegment = 'BUILDING'")
+    return t.changes(s1).select(
+        "c_custkey", "c_name", "c_mktsegment", "_change_type"
+    )
+
+
+@register(
     "iceberg_wap_publish",
     oracle="""
     SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS bal

@@ -11,6 +11,7 @@ from .iceberg_layout import IcebergTable
 from . import iceberg_deletes as _iceberg_deletes  # noqa: F401 — attaches DELETE/rollback
 from . import iceberg_inspect as _iceberg_inspect  # noqa: F401 — attaches tbl.files/.snapshots
 from . import iceberg_refs as _iceberg_refs  # noqa: F401 — attaches branches/tags/WAP
+from . import iceberg_changelog as _iceberg_changelog  # noqa: F401 — attaches changes()
 from . import fsck as _fsck  # noqa: F401 — attaches table verification
 from .convert import convert_delta_to_iceberg, convert_parquet_dir_to_delta
 from .delta_source import DeltaLogDataSource, register_deltalog_source

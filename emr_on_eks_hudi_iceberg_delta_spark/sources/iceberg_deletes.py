@@ -518,7 +518,13 @@ def _rewrite_data_files(self: IcebergTable, target_files: int | None = None):
     df = self.read()
     if target_files:
         df = df.repartition(target_files)
-    return self.overwrite(df, partition_by=part_cols or None)
+    # stamp the snapshot as maintenance: the rewrite changes no
+    # logical row, so changelog scans (iceberg_changelog.py) skip it
+    self._summary_extra = {"maintenance": "rewrite-data-files"}
+    try:
+        return self.overwrite(df, partition_by=part_cols or None)
+    finally:
+        self._summary_extra = None
 
 
 def _rollback(self: IcebergTable, snapshot_id: int) -> int:
