@@ -1530,9 +1530,15 @@ def _restore(self, version: int) -> "DeltaLogTable":
     restore itself is a version, so it can be time-traveled past or
     restored FROM, exactly Delta's RESTORE semantics. Requires the
     target version's files to still exist (VACUUM is the opposite
-    decision; a vacuumed target refuses at read)."""
-    target_live, _meta, _ = self._replay(version)
-    head_live, _, head_v = self._replay()
+    decision; a vacuumed target refuses at read).
+
+    METADATA restores too (schema evolution rolls back with the data)
+    with Delta's one special case: identity high watermarks never go
+    DOWN — lowering one would double-allocate ids after the next
+    write — so the head's watermark is grafted onto the restored
+    column metadata when it is higher."""
+    target_live, target_meta, _ = self._replay(version)
+    head_live, head_meta, head_v = self._replay()
     now = int(time.time() * 1000)
     actions: list[dict] = [
         {
@@ -1542,6 +1548,24 @@ def _restore(self, version: int) -> "DeltaLogTable":
             }
         }
     ]
+    if target_meta != head_meta:
+        from .delta_gen import ID_HWM_KEY, identity_cols
+
+        restored = dict(target_meta)
+        head_ids = identity_cols(head_meta)
+        if head_ids:
+            schema = json.loads(restored["schemaString"])
+            for f in schema.get("fields", []):
+                spec = head_ids.get(f["name"])
+                hwm = (spec or {}).get("highWaterMark")
+                if hwm is None:
+                    continue
+                md_ = dict(f.get("metadata") or {})
+                if md_.get(ID_HWM_KEY) is None or md_[ID_HWM_KEY] < hwm:
+                    md_[ID_HWM_KEY] = hwm
+                f["metadata"] = md_
+            restored["schemaString"] = json.dumps(schema)
+        actions.append({"metaData": restored})
     for path in sorted(set(head_live) - set(target_live)):
         actions.append(
             {

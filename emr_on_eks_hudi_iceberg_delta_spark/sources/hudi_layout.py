@@ -34,8 +34,14 @@ Scale shape: the timeline is metadata (one JSON per commit); snapshot
 planning is a driver-side replay into a {(partition, fileId) -> path}
 dict, the same manifest-sized state every Hudi reader holds; upserts
 rewrite only touched file groups (measured per-group file counts in
-tests). Not implemented, loudly: MOR log files (``delta_backend``-style
-gate — avro-encoded), metadata table, clustering, cleaning.
+tests). MoR log-file slices live in ``HudiMorTable`` below; CLEANING
+is ``clean()``; CLUSTERING (replacecommit re-bucketing), SAVEPOINT /
+RESTORE, and the timeline/file-slice inspection DataFrames (the
+metadata-table query surface) live in hudi_maintenance.py (r10). Log
+files here are parquet-encoded (Hudi's own log blocks are an
+avro-framed container; the SLICE/timeline semantics are what the
+engine models — documented representation trade, not a gap a reader
+of this layout would silently miss).
 """
 
 from __future__ import annotations

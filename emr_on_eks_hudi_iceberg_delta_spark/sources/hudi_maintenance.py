@@ -216,8 +216,63 @@ def _cluster(
     return instant
 
 
+def _timeline_df(self):
+    """The timeline as a DataFrame — Hudi's ``show commits`` /
+    timeline CLI surface: one row per action (commits, deltacommits,
+    replacecommits, savepoints, restores) with its operation and
+    write-stat volume. Metadata-sized (one JSON per action)."""
+    rows = []
+    for f in sorted(os.listdir(self.hoodie)):
+        for suf in (*self.INSTANT_SUFFIXES, ".savepoint", ".restore"):
+            if not f.endswith(suf):
+                continue
+            instant = f[: -len(suf)]
+            with open(os.path.join(self.hoodie, f)) as fh:
+                meta = json.load(fh)
+            n_files = sum(
+                len(v)
+                for v in meta.get("partitionToWriteStats", {}).values()
+            )
+            rows.append(
+                (
+                    instant,
+                    suf[1:],
+                    meta.get("operationType"),
+                    n_files,
+                )
+            )
+            break
+    return self.spark.createDataFrame(
+        rows,
+        "instant string, action string, operation string, n_files int",
+    )
+
+
+def _file_slices_df(self):
+    """Current live file slices as a DataFrame — the metadata-table
+    FILES view: (partition, file_id, base_path, log_paths)."""
+    if isinstance(self, HudiMorTable):
+        slices = self._mor_slices()
+        rows = [
+            (part, fid, s["base"], s["logs"])
+            for (part, fid), s in sorted(slices.items())
+        ]
+    else:
+        rows = [
+            (part, fid, path, [])
+            for (part, fid), path in sorted(self._file_slices().items())
+        ]
+    return self.spark.createDataFrame(
+        rows,
+        "partition string, file_id string, base_path string, "
+        "log_paths array<string>",
+    )
+
+
 def attach() -> None:
     for cls in (HudiCowTable, HudiMorTable):
+        cls.timeline_df = _timeline_df
+        cls.file_slices_df = _file_slices_df
         cls.savepoint = _savepoint
         cls.savepoints = _savepoints
         cls.delete_savepoint = _delete_savepoint

@@ -348,6 +348,36 @@ def test_streaming_append_honors_generated_and_identity(spark, tmp_path, ts_df):
     assert ids == [1, 2, 3, 4, 5, 6, 7]
 
 
+def test_restore_restores_schema_but_never_lowers_watermark(spark, tmp_path):
+    """RESTORE rolls metadata back with the data — except identity
+    high watermarks, which only ever go UP (lowering one would
+    double-allocate after the next write, Delta's special case)."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.delta_gen import (
+        identity_cols,
+    )
+
+    t = DeltaLogTable(spark, str(tmp_path / "r1"))
+    t.overwrite_identity(
+        spark.createDataFrame([("a",), ("b",)], "name string"),
+        identity={"rid": {}},
+    )  # v0: ids 1,2 ; hwm 2
+    t.append(spark.createDataFrame([("c",), ("d",)], "name string"))
+    # v1: ids 3,4 ; hwm 4
+    t.append(
+        spark.createDataFrame([("e", 1.5)], "name string, extra double"),
+        merge_schema=True,
+    )  # v2: schema gains `extra`; hwm 5
+    t.restore(0)
+    got = t.read()
+    assert "extra" not in got.columns  # schema rolled back
+    assert sorted(r["rid"] for r in got.collect()) == [1, 2]
+    _, meta, _ = t._replay()
+    assert identity_cols(meta)["rid"]["highWaterMark"] == 5  # never down
+    t.append(spark.createDataFrame([("z",)], "name string"))
+    ids = sorted(r["rid"] for r in t.read().select("rid").collect())
+    assert ids == [1, 2, 6]  # fresh id above the preserved watermark
+
+
 def test_declaration_refusals(spark, tmp_path, ts_df):
     t = DeltaLogTable(spark, str(tmp_path / "g7"))
     with pytest.raises(ValueError, match="reference itself"):

@@ -125,6 +125,21 @@ def test_cluster_mor_requires_compaction(spark, tmp_path, base):
     assert t.read().filter("k = 2").select("v").first()["v"] == "after"
 
 
+def test_timeline_and_file_slices_dataframes(spark, tmp_path, base):
+    t = HudiMorTable(spark, str(tmp_path / "h7"), "k", "seq")
+    t.bulk_insert(base)
+    t.upsert(_mk(spark, [(1, "log", 2)]))
+    t.savepoint()
+    tl = {(r["action"], r["operation"]) for r in t.timeline_df().collect()}
+    assert ("deltacommit", "BULK_INSERT") in tl
+    assert ("deltacommit", "UPSERT") in tl
+    assert any(a == "savepoint" for a, _o in tl)
+    fs = t.file_slices_df().collect()
+    assert len(fs) == 4  # n_file_groups
+    assert sum(len(r["log_paths"]) for r in fs) == 1
+    assert all(r["base_path"] for r in fs)
+
+
 def test_cleaner_drops_retired_groups_after_cluster(spark, tmp_path, base):
     t = HudiCowTable(
         spark, str(tmp_path / "h6"), "k", "seq", n_file_groups=4
