@@ -226,5 +226,98 @@ def _iceberg_fsck(self: IcebergTable) -> dict:
     return {"ok": not errors, "errors": errors, "files_checked": checked}
 
 
+def _hudi_fsck(self) -> dict:
+    """Verify the Hudi layout (CoW and MoR): hoodie.properties is
+    complete, every timeline action parses, every LIVE slice file
+    (bases + MoR logs) exists with its recorded size and a readable
+    footer, replacecommits retire only groups the timeline introduced,
+    and every savepoint's pinned file set is intact (a broken pin
+    means its restore target is gone). Metadata-sized: footers only,
+    never data pages."""
+    errors: list[str] = []
+    props = os.path.join(self.hoodie, "hoodie.properties")
+    try:
+        stored = dict(
+            line.strip().split("=", 1)
+            for line in open(props)
+            if "=" in line
+        )
+        for key in (
+            "hoodie.table.type",
+            "hoodie.table.recordkey.fields",
+            "hoodie.table.precombine.field",
+            "n.file.groups",
+        ):
+            if key not in stored:
+                errors.append(f"hoodie.properties missing {key}")
+    except Exception as e:
+        errors.append(f"hoodie.properties unreadable: {e}")
+    seen_groups: set[tuple] = set()
+    sizes: dict[str, int] = {}
+    for t in self.instants():
+        try:
+            meta = self._commit_meta(t)
+        except Exception as e:
+            errors.append(f"instant {t}: unparseable: {e}")
+            continue
+        for part, fid in meta.get("replacedFileGroups", []):
+            if (part, fid) not in seen_groups:
+                errors.append(
+                    f"instant {t}: replaces unknown file group "
+                    f"({part!r}, {fid})"
+                )
+        for part, stats in meta.get(
+            "partitionToWriteStats", {}
+        ).items():
+            for st in stats:
+                seen_groups.add((part, st["fileId"]))
+                if st.get("fileSizeInBytes") is not None:
+                    sizes[st["path"]] = st["fileSizeInBytes"]
+    if hasattr(self, "_mor_slices"):
+        live_paths = []
+        for s in self._mor_slices().values():
+            if s["base"]:
+                live_paths.append(s["base"])
+            live_paths.extend(s["logs"])
+    else:
+        live_paths = list(self._file_slices().values())
+    checked = 0
+    for rel in sorted(set(live_paths)):
+        full = os.path.join(self.location, rel)
+        checked += 1
+        if not os.path.exists(full):
+            errors.append(f"live slice file missing on disk: {rel}")
+            continue
+        if rel in sizes and os.path.getsize(full) != sizes[rel]:
+            errors.append(
+                f"{rel}: size {os.path.getsize(full)} != write "
+                f"stats' {sizes[rel]}"
+            )
+        if _footer_rows(full) is None:
+            errors.append(f"{rel}: parquet footer unreadable")
+    for sp in getattr(self, "savepoints", lambda: [])():
+        try:
+            pinned = self._savepoint_meta(sp).get("preservedFiles", [])
+        except Exception as e:
+            errors.append(f"savepoint {sp}: unparseable: {e}")
+            continue
+        for rel in pinned:
+            if not os.path.exists(os.path.join(self.location, rel)):
+                errors.append(
+                    f"savepoint {sp}: pinned file missing: {rel} "
+                    "(restore target is broken)"
+                )
+    return {"ok": not errors, "errors": errors, "files_checked": checked}
+
+
 DeltaLogTable.fsck = _delta_fsck
 IcebergTable.fsck = _iceberg_fsck
+
+
+def _attach_hudi_fsck() -> None:
+    from .hudi_layout import HudiCowTable
+
+    HudiCowTable.fsck = _hudi_fsck  # HudiMorTable inherits
+
+
+_attach_hudi_fsck()

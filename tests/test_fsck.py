@@ -86,3 +86,54 @@ def test_iceberg_fsck_catches_record_count_drift(spark, tmp_path):
     rep = t.fsck()
     assert not rep["ok"]
     assert any("record_count" in e for e in rep["errors"])
+
+
+def test_hudi_fsck_clean_and_tampered(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import (
+        HudiCowTable,
+        HudiMorTable,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import (  # noqa: F401
+        hudi_maintenance,
+    )
+
+    rows = [(i, f"v{i}", 1) for i in range(40)]
+    t = HudiCowTable(
+        spark, str(tmp_path / "hfsck"), "k", "seq", n_file_groups=3
+    )
+    t.bulk_insert(spark.createDataFrame(rows, "k bigint, v string, seq bigint"))
+    sp = t.savepoint()
+    t.cluster(2)
+    rep = t.fsck()
+    assert rep["ok"], rep["errors"]
+    assert rep["files_checked"] == 2  # the two clustered bases
+    # tamper 1: truncate a live base -> size + footer errors
+    live = sorted(t._file_slices().values())
+    victim = os.path.join(str(tmp_path / "hfsck"), live[0])
+    with open(victim, "wb") as f:
+        f.write(b"xx")
+    rep2 = t.fsck()
+    assert not rep2["ok"]
+    assert any("size" in e for e in rep2["errors"])
+    assert any("footer" in e for e in rep2["errors"])
+    # tamper 2: delete a savepoint-pinned file -> restore target broken
+    pinned = t._savepoint_meta(sp)["preservedFiles"]
+    os.remove(os.path.join(str(tmp_path / "hfsck"), pinned[0]))
+    rep3 = t.fsck()
+    assert any("restore target is broken" in e for e in rep3["errors"])
+    # MoR: log slices are checked too
+    m = HudiMorTable(
+        spark, str(tmp_path / "hfsck2"), "k", "seq", n_file_groups=2
+    )
+    m.bulk_insert(spark.createDataFrame(rows, "k bigint, v string, seq bigint"))
+    m.upsert(spark.createDataFrame([(1, "log", 2)], "k bigint, v string, seq bigint"))
+    repm = m.fsck()
+    assert repm["ok"], repm["errors"]
+    assert repm["files_checked"] == 3  # 2 bases + 1 log
+    logs = [
+        p for s in m._mor_slices().values() for p in s["logs"]
+    ]
+    os.remove(os.path.join(str(tmp_path / "hfsck2"), logs[0]))
+    assert any(
+        "missing on disk" in e for e in m.fsck()["errors"]
+    )
