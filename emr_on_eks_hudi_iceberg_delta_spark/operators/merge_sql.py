@@ -436,6 +436,10 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
         CALL system.expire_snapshots(table => 't', retain_last => n)
         CALL system.purge_rows(table => 't', where => '<pred>')
         CALL system.build_record_index(table => 't', key_cols => 'a,b')
+        CALL system.create_branch('t', branch => 'b')  -- WAP surface
+        CALL system.create_tag('t', tag => 'v1' [, version => n])
+        CALL system.fast_forward('t', branch => 'b')
+        CALL system.drop_branch('t', branch => 'b')
         SELECT ... FROM t VERSION AS OF n        -- time-travel reads,
         SELECT ... FROM t TIMESTAMP AS OF 'ts'   -- per-reference rewrite
         SELECT ... FROM table_changes('t', a, b) -- CDF rows per commit
@@ -774,6 +778,19 @@ def run_dml(spark: SparkSession, sql: str, tables: dict | None = None, catalog=N
                     "CALL system.build_record_index: missing key_cols"
                 )
             vt.build_record_index([c.strip() for c in cols.split(",")])
+            return
+        if proc == "create_branch":
+            vt.create_branch(_arg("branch"))
+            return
+        if proc == "create_tag":
+            v = named.get("version")
+            vt.tag(_arg("tag"), int(v) if v is not None else None)
+            return
+        if proc == "fast_forward":
+            vt.fast_forward(_arg("branch"))
+            return
+        if proc == "drop_branch":
+            vt.drop_branch(_arg("branch"))
             return
         if proc == "remove_orphan_files":
             # Iceberg maintenance-procedure parity; dry_run => 'true'

@@ -841,3 +841,26 @@ def test_call_procedure_args_with_commas_in_quotes(spark, tmp_path):
     assert sorted(r["id"] for r in vt.read().collect()) == [
         0, 2, 4, 6, 7, 8, 9,
     ]
+
+
+def test_call_branch_tag_procedures(spark, tmp_path):
+    """WAP surface through SQL: CALL system.create_branch /
+    create_tag / fast_forward / drop_branch against a catalog table."""
+    from emr_on_eks_hudi_iceberg_delta_spark.operators.merge_sql import (
+        run_dml,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "wap_sql"))
+    vt.overwrite(spark.range(4).selectExpr("id AS k", "id AS v"))
+    t = {"t": vt}
+    run_dml(spark, "CALL system.create_tag('t', tag => 'v1')", tables=t)
+    run_dml(spark, "CALL system.create_branch('t', branch => 'b')", tables=t)
+    vt.branch("b").append(spark.range(10, 12).selectExpr("id AS k", "id AS v"))
+    assert vt.read().count() == 4  # main blind to the branch write
+    run_dml(spark, "CALL system.fast_forward('t', branch => 'b')", tables=t)
+    assert vt.read().count() == 6
+    assert vt.read_tag("v1").count() == 4
+    run_dml(spark, "CALL system.drop_branch('t', branch => 'b')", tables=t)
+    with pytest.raises(Exception):
+        vt.branch("b")
