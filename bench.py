@@ -13,6 +13,10 @@ and prints ONE JSON line:
 ``value`` = legacy + ext (the r9-and-later baseline);
 ``legacy13_total_sec`` is methodology-identical to BENCH_r1..r8 and
 BASELINE.json, so cross-round regression calls keep a stable ruler.
+Round-10 adds ``lake_total_sec`` (tag "bench_lake"): five lake-DML
+representatives timed WITH their table builds (write+DML+read
+throughput, deliberately uncached) — a separate ruler, never part of
+``value``.
 
 Each query is fully materialized through the ``noop`` sink (computes every
 output column — ``count()`` would let Catalyst prune the work away).
@@ -72,6 +76,12 @@ ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
 # stays comparable across every round artifact.
 ITERS_EXT = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS_EXT", "3"))
 WARMUPS_EXT = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS_EXT", "2"))
+#: round-10: the LAKE ruler — representative lake-DML queries (each
+#: call builds its temp table from scratch, so the timing IS
+#: write+DML+read throughput, deliberately uncached). Separate total;
+#: ``value`` stays legacy+ext for cross-round comparability.
+ITERS_LAKE = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS_LAKE", "2"))
+WARMUPS_LAKE = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS_LAKE", "1"))
 
 # Self-certification knobs (round-6): the round-5 artifact was recorded at
 # loadavg 4.03 with a 111% noise band — numbers that cannot support a
@@ -136,6 +146,9 @@ def main() -> None:
     ]
     ext_queries = [
         n for n, s in sorted(REGISTRY.items()) if "bench_ext" in s.tags
+    ]
+    lake_queries = [
+        n for n, s in sorted(REGISTRY.items()) if "bench_lake" in s.tags
     ]
     bench_queries = legacy_queries
 
@@ -228,13 +241,30 @@ def main() -> None:
             ext_best = retry
     ext_samples, ext_round_totals, _ = ext_best
 
+    # Lake-DML phase (round-10): wall-budget-guarded first, since each
+    # timed call rebuilds its lake table from scratch (that cost IS
+    # the measurement — lake write/DML throughput, never cached).
+    lake_timings: dict[str, float] = {}
+    lake_round_totals: list[float] = []
+    if lake_queries and time.monotonic() - _T0 < MAX_SEC:
+        for _ in range(WARMUPS_LAKE):
+            for name in lake_queries:
+                materialize(REGISTRY[name].fn(spark, SF_DIR))
+        lake_samples, lake_round_totals, _ = timed_phase(
+            lake_queries, ITERS_LAKE
+        )
+        lake_timings = {
+            n: round(median(ts), 3) for n, ts in lake_samples.items()
+        }
+
     timings = {n: round(median(ts), 3) for n, ts in samples.items()}
     ext_timings = {
         n: round(median(ts), 3) for n, ts in ext_samples.items()
     }
     legacy13_total = round(sum(timings.values()), 3)
     ext_total = round(sum(ext_timings.values()), 3)
-    timings = {**timings, **ext_timings}
+    lake_total = round(sum(lake_timings.values()), 3)
+    timings = {**timings, **ext_timings, **lake_timings}
     total = round(legacy13_total + ext_total, 3)
     noise_band_pct = band(round_totals)
     print(
@@ -253,6 +283,16 @@ def main() -> None:
                 "ext_noise_band_pct": band(ext_round_totals),
                 "legacy_queries": legacy_queries,
                 "ext_queries": ext_queries,
+                # the lake-DML ruler (r10): NOT in `value` — each call
+                # rebuilds its table, so this measures write+DML+read
+                # throughput; first-round baseline for r11 calls
+                "lake_total_sec": lake_total,
+                "lake_queries": lake_queries,
+                "lake_iters": ITERS_LAKE,
+                "lake_round_totals": lake_round_totals,
+                "lake_noise_band_pct": (
+                    band(lake_round_totals) if lake_round_totals else None
+                ),
                 "queries": timings,
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                 "iters": ITERS,

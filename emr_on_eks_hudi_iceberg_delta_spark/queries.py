@@ -14045,7 +14045,7 @@ def q_delta_log_partitioned_prune(spark, sf_dir):
            CAST(ver AS INTEGER) AS ver
     FROM r WHERE rn = 1
     """,
-    tags=("lake", "S7", "extension"),
+    tags=("lake", "S7", "extension", "bench_lake"),
 )
 def q_hudi_layout_upsert_roundtrip(spark, sf_dir):
     """Hudi copy-on-write in Hudi's OWN storage layout
@@ -14669,7 +14669,7 @@ def q_iceberg_wap_publish(spark, sf_dir):
     WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
       AND user_id = 7
     """,
-    tags=("lake", "S2", "extension"),
+    tags=("lake", "S2", "extension", "bench_lake"),
 )
 def q_iceberg_hidden_partitioning(spark, sf_dir):
     """HIDDEN partitioning on the Iceberg layout
@@ -14817,7 +14817,7 @@ def q_delta_identity_columns(spark, sf_dir):
     FROM orders
     WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
     """,
-    tags=("lake", "S11", "extension"),
+    tags=("lake", "S11", "extension", "bench_lake"),
 )
 def q_delta_dml_delete_update(spark, sf_dir):
     """DELETE + UPDATE DML on the Delta-protocol table
@@ -14859,7 +14859,7 @@ def q_delta_dml_delete_update(spark, sf_dir):
     WHERE NOT (o_orderstatus = 'O' AND o_orderkey % 5 = 0)
       AND NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)
     """,
-    tags=("lake", "S11", "extension"),
+    tags=("lake", "S11", "extension", "bench_lake"),
 )
 def q_delta_deletion_vectors(spark, sf_dir):
     """Merge-on-read DELETE via real deletion vectors
@@ -15107,7 +15107,7 @@ def q_delta_schema_evolution(spark, sf_dir):
     WHERE NOT (o_orderstatus = 'O' AND o_orderkey % 4 = 0)
       AND NOT (o_orderstatus = 'F' AND o_orderkey % 9 = 0)
     """,
-    tags=("lake", "S10", "extension"),
+    tags=("lake", "S10", "extension", "bench_lake"),
 )
 def q_iceberg_position_deletes(spark, sf_dir):
     """Iceberg v2 merge-on-read DELETE (sources/iceberg_deletes.py —
