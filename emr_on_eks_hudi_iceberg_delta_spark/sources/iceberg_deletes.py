@@ -625,25 +625,33 @@ def _ice_drop_column(self: IcebergTable, col: str) -> int:
 def _evolve_partition_spec(
     self: IcebergTable, partition_by: list[str] | None
 ) -> int:
-    """Partition-spec EVOLUTION (identity fields): append a new spec
-    version and make it the default — metadata-only, no file touched.
-    Files already written keep their old layout and partition values
-    (manifests carry the union of all specs' fields); only NEW writes
-    use the new spec. ``read_where`` predicates should ``.get`` keys,
-    since old-spec entries lack the new fields — exactly Iceberg's
-    contract for evolved specs."""
+    """Partition-spec EVOLUTION: append a new spec version and make it
+    the default — metadata-only, no file touched. Elements may be
+    identity columns OR transform specs (``day(ts)``,
+    ``bucket(8, id)`` — r10, via iceberg_transforms). Files already
+    written keep their old layout and partition values (manifests
+    carry the union of all specs' fields); only NEW writes use the new
+    spec. ``read_where`` predicates should ``.get`` keys, since
+    old-spec entries lack the new fields — exactly Iceberg's contract
+    for evolved specs; ``read_hidden`` prunes source predicates
+    against every era's fields."""
     md = self._metadata()
-    cols = list(partition_by or [])
     names = {f["name"]: f for f in md["schema"]["fields"]}
     from .iceberg_layout import _ICE2SPARK, _PART_AVRO
+    from .iceberg_transforms import parse_partition_spec
 
-    for c in cols:
-        if c not in names:
-            raise ValueError(f"partition column {c!r} not in schema")
-        if _ICE2SPARK[names[c]["type"]] not in _PART_AVRO:
+    fields = [parse_partition_spec(c) for c in (partition_by or [])]
+    for fld in fields:
+        src = fld["source"]
+        if src not in names:
+            raise ValueError(f"partition column {src!r} not in schema")
+        if (
+            fld["transform"] == "identity"
+            and _ICE2SPARK[names[src]["type"]] not in _PART_AVRO
+        ):
             raise ValueError(
-                f"partition column {c!r}: type {names[c]['type']} not "
-                "supported for identity partitioning"
+                f"partition column {src!r}: type {names[src]['type']} "
+                "not supported for identity partitioning"
             )
     new_id = len(md.get("partition-specs", []))
     md.setdefault("partition-specs", []).append(
@@ -651,12 +659,12 @@ def _evolve_partition_spec(
             "spec-id": new_id,
             "fields": [
                 {
-                    "name": c,
-                    "transform": "identity",
-                    "source-id": names[c]["id"],
+                    "name": fld["name"],
+                    "transform": fld["transform"],
+                    "source-id": names[fld["source"]]["id"],
                     "field-id": 1000 + new_id * 100 + i,
                 }
-                for i, c in enumerate(cols)
+                for i, fld in enumerate(fields)
             ],
         }
     )

@@ -345,6 +345,32 @@ def test_hidden_spec_survives_appends_and_dml(spark, tmp_path, ts_events):
     assert pruned.count() == 0
 
 
+def test_spec_evolution_to_transform(spark, tmp_path, ts_events):
+    """evolve_partition_spec accepts transform specs: old identity-era
+    files keep their values, new writes land day-partitioned, and
+    read_hidden prunes against BOTH eras' fields."""
+    t = IcebergTable(spark, str(tmp_path / "hidden6"))
+    half = ts_events.filter("event_id < 200")
+    rest = ts_events.filter("event_id >= 200")
+    t.append(half, partition_by=["tag"])  # identity era
+    t.evolve_partition_spec(["day(ts)", "bucket(4, user_id)"])
+    t.append(rest)  # transform era
+    assert _rows(t.read()) == _rows(ts_events)
+    # entries carry the union of both eras' fields
+    kinds = {frozenset(
+        k for k, v in e["data_file"]["partition"].items() if v is not None
+    ) for e in t._entries()}
+    assert frozenset({"tag"}) in kinds
+    assert frozenset({"ts_day", "user_id_bucket"}) in kinds
+    # hidden pruning on the NEW era's source predicates stays exact
+    # (old-era files lack ts_day -> kept conservatively)
+    lo = dt.datetime(2024, 1, 12)
+    got = t.read_hidden([("ts", ">=", lo)])
+    assert _rows(got) == _rows(ts_events.filter(F.col("ts") >= F.lit(lo)))
+    n_all = len(t.read().inputFiles())
+    assert 0 < len(got.inputFiles()) < n_all
+
+
 def test_identity_still_refuses_unsupported_and_date_hour_invalid(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, dt.date(2024, 1, 1))], "id bigint, d date"
