@@ -14614,6 +14614,45 @@ def q_iceberg_changelog_scan(spark, sf_dir):
 
 
 @register(
+    "iceberg_bounds_skipping",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderkey >= (
+        SELECT CAST(MAX(o_orderkey) * 0.9 AS BIGINT) FROM orders
+    )
+    """,
+    tags=("lake", "S2", "extension"),
+)
+def q_iceberg_bounds_skipping(spark, sf_dir):
+    """Iceberg manifest COLUMN BOUNDS (sources/iceberg_bounds.py —
+    the spec's lower_bounds/upper_bounds maps, single-value binary
+    serialization keyed by field id): an UNPARTITIONED table whose
+    files are range-laid-out on o_orderkey records per-file min/max
+    from parquet footers at write time, and read_hidden's driver pass
+    proves most files out on the key predicate before Spark lists
+    anything (in-gate file-count assert) — min/max skipping on any
+    column, Delta-stats-skipping parity for the Iceberg layout. The
+    exact predicate re-applies as the residual, so the result equals
+    the plain filter."""
+    import tempfile
+
+    from .sources.iceberg_layout import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    t = IcebergTable(spark, tempfile.mkdtemp(prefix="ice_bounds_"))
+    t.append(o.repartitionByRange(8, "o_orderkey"))
+    # SF-relative threshold (orderkeys scale with SF): top decile
+    thr = int(o.agg(F.max("o_orderkey")).first()[0] * 0.9)
+    got = t.read_hidden([("o_orderkey", ">=", thr)])
+    assert 0 < len(got.inputFiles()) < 8
+    return got.select("o_orderkey", "o_orderstatus", "price")
+
+
+@register(
     "iceberg_wap_publish",
     oracle="""
     SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS bal

@@ -30,6 +30,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every Python<->JVM columnar hop (pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Write instants as INT64 micros, not the deprecated INT96: Spark's
+    # own type is micros (lossless), and INT96 columns carry NO usable
+    # parquet footer statistics — with micros, timestamp min/max feed
+    # the Delta stats-skipping and Iceberg manifest-bounds paths.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # Local test data ships as one ~10 MB parquet per table; the 128 MB
     # default split maps whole tables to single tasks and idles 31 of 32
     # cores. 8 MB splits restore scan parallelism here. On a real cluster

@@ -84,6 +84,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .avro_io import read_ocf, write_ocf
+from .iceberg_bounds import bounds_avro as _bounds_avro
 from .iceberg_transforms import parse_partition_spec as _parse_pspec
 
 _TYPE_MAP = {
@@ -151,6 +152,21 @@ def manifest_entry_schema(part_fields: list[tuple[str, str]]) -> dict:
                          "field-id": 104},
                         {"name": "block_size_in_bytes", "type": "long",
                          "field-id": 105},
+                        # spec 125/128: per-column min/max in the
+                        # single-value binary serialization, keyed by
+                        # field id (iceberg_bounds.py) — entries from
+                        # pre-bounds manifests read back without the
+                        # keys and are simply never skipped
+                        {
+                            "name": "lower_bounds",
+                            "type": ["null", _bounds_avro("lower", 125)],
+                            "field-id": 125,
+                        },
+                        {
+                            "name": "upper_bounds",
+                            "type": ["null", _bounds_avro("upper", 128)],
+                            "field-id": 128,
+                        },
                     ],
                 },
             },
@@ -818,6 +834,7 @@ class IcebergTable:
 
         import pyarrow.parquet as pq
 
+        from .iceberg_bounds import collect_bounds
         from .iceberg_transforms import (
             add_transform_column,
             result_spark_type,
@@ -829,6 +846,30 @@ class IcebergTable:
         types = {
             f.name: f.dataType.simpleString() for f in df.schema.fields
         }
+        # per-column iceberg types + field ids for footer bounds
+        # (iceberg_bounds): existing tables resolve through the stored
+        # schema (ids are rename-stable); a table being created uses
+        # positional ids, matching _iceberg_schema's assignment. A
+        # batch column not yet in the schema (mergeSchema append) just
+        # records no bounds this commit.
+        if self._current_version() is not None:
+            sch = self._metadata()["schema"]
+            bound_ids = {f["name"]: f["id"] for f in sch["fields"]}
+            bound_types = {
+                f["name"]: f["type"]
+                for f in sch["fields"]
+                if isinstance(f["type"], str)
+            }
+        else:
+            bound_ids = {
+                f.name: i + 1 for i, f in enumerate(df.schema.fields)
+            }
+            bound_types = {
+                f.name: _TYPE_MAP[f.dataType.simpleString()]
+                for f in df.schema.fields
+                if f.dataType.simpleString() in _TYPE_MAP
+            }
+
         fields = self._part_fields_of(part_cols, df)
         result_types: dict[str, str] = {}
         w = df
@@ -886,16 +927,27 @@ class IcebergTable:
                     self.data_dir, f"{uuid.uuid4().hex}.parquet"
                 )
                 os.replace(src, dst)
-                files.append(
-                    {
-                        "file_path": dst,
-                        "file_format": "PARQUET",
-                        "partition": dict(pvals),
-                        "record_count": n_rows,
-                        "file_size_in_bytes": os.path.getsize(dst),
-                        "block_size_in_bytes": 64 * 1024 * 1024,
-                    }
-                )
+                entry = {
+                    "file_path": dst,
+                    "file_format": "PARQUET",
+                    "partition": dict(pvals),
+                    "record_count": n_rows,
+                    "file_size_in_bytes": os.path.getsize(dst),
+                    "block_size_in_bytes": 64 * 1024 * 1024,
+                }
+                lo_b, hi_b = collect_bounds(dst, bound_types)
+                if lo_b:
+                    entry["lower_bounds"] = [
+                        {"key": bound_ids[c], "value": b}
+                        for c, b in sorted(lo_b.items())
+                        if c in bound_ids
+                    ]
+                    entry["upper_bounds"] = [
+                        {"key": bound_ids[c], "value": b}
+                        for c, b in sorted(hi_b.items())
+                        if c in bound_ids
+                    ]
+                files.append(entry)
         for root, dirs, fnames in os.walk(staging, topdown=False):
             for fname in fnames:
                 os.remove(os.path.join(root, fname))
@@ -1365,9 +1417,13 @@ class IcebergTable:
         the caller ever naming them. Bucket fields prune equality/IN
         (hashing destroys order); truncate/temporal fields prune
         ranges too (order-preserving); unprovable combinations keep
-        the file. The exact predicate is then applied as a residual
-        row filter on the pruned scan, so results are always exact —
-        pruning is IO elision, never semantics."""
+        the file. The SAME driver pass also consults each file's
+        manifest COLUMN BOUNDS (iceberg_bounds — min/max skipping on
+        ANY column, the Delta stats-skipping twin, so unpartitioned
+        predicates prune too). The exact predicate is then applied as
+        a residual row filter on the pruned scan, so results are
+        always exact — pruning is IO elision, never semantics."""
+        from .iceberg_bounds import bounds_may_match
         from .iceberg_transforms import (
             prune_predicate,
             residual_column,
@@ -1389,11 +1445,40 @@ class IcebergTable:
                 fn = prune_predicate(fld, op, lit, src_types[col])
                 if fn is not None:
                     checks.append((fld["name"], fn))
+        ids_by_col = {
+            f["name"]: f["id"] for f in md["schema"]["fields"]
+        }
+        types_by_id = _ice_types_by_id(md)
 
-        def keep(pv: dict) -> bool:
-            return all(fn(pv.get(name)) for name, fn in checks)
+        def keep(e: dict) -> bool:
+            pv = e["data_file"]["partition"]
+            if not all(fn(pv.get(name)) for name, fn in checks):
+                return False
+            return bounds_may_match(
+                e["data_file"], ids_by_col, types_by_id, filters
+            )
 
-        out = self.read_where(keep, snapshot_id)
+        entries = [
+            e
+            for e in self._entries(snapshot_id)
+            if e["status"] != STATUS_DELETED and keep(e)
+        ]
+        if not entries:
+            out = self.read(snapshot_id).filter("1 = 0")
+        else:
+            target_sid = self._target_schema_id(md, snapshot_id)
+            pos_dels = self._live_delete_files(snapshot_id)
+            eq_entries = self._live_eq_delete_entries(snapshot_id)
+            if eq_entries:
+                # equality deletes are partition-global: the pruned
+                # scan must still apply every applicable one
+                out = self._scan_with_eq_deletes(
+                    entries, pos_dels, eq_entries, target_sid
+                )
+            else:
+                out = self._aligned_scan(
+                    md, entries, pos_dels, target_sid
+                )
         for col, op, lit in filters:
             out = out.filter(residual_column(col, op, lit))
         return out
