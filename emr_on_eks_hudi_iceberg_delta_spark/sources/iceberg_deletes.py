@@ -502,12 +502,66 @@ def _equality_delete(self: IcebergTable, keys: DataFrame) -> dict:
     }
 
 
-def _rewrite_data_files(self: IcebergTable, target_files: int | None = None):
+def _set_sort_order(self: IcebergTable, sort_by: list[str]) -> int:
+    """Declare the table's SORT ORDER (spec ``sort-orders`` /
+    ``default-sort-order-id``) — metadata-only; writers that honor it
+    (``rewrite_data_files`` here) lay rows out so the manifest column
+    bounds become tight and disjoint, which is what makes min/max
+    skipping effective on a non-partition column."""
+    md = self._metadata()
+    by_name = {f["name"]: f for f in md["schema"]["fields"]}
+    bad = [c for c in sort_by if c not in by_name]
+    if bad:
+        raise ValueError(f"sort columns not in schema: {bad}")
+    order_id = len(md.get("sort-orders", [])) + 1
+    md.setdefault("sort-orders", []).append(
+        {
+            "order-id": order_id,
+            "fields": [
+                {
+                    "transform": "identity",
+                    "source-id": by_name[c]["id"],
+                    "direction": "asc",
+                    "null-order": "nulls-first",
+                }
+                for c in sort_by
+            ],
+        }
+    )
+    md["default-sort-order-id"] = order_id
+    return _advance_metadata(self, md)
+
+
+def _default_sort_cols(self: IcebergTable, md: dict) -> list[str]:
+    oid = md.get("default-sort-order-id")
+    if not oid:
+        return []
+    by_id = {f["id"]: f["name"] for f in md["schema"]["fields"]}
+    for o in md.get("sort-orders", []):
+        if o["order-id"] == oid:
+            return [
+                by_id[f["source-id"]]
+                for f in o["fields"]
+                if f.get("source-id") in by_id
+            ]
+    return []
+
+
+def _rewrite_data_files(
+    self: IcebergTable,
+    target_files: int | None = None,
+    sort_by: list[str] | None = None,
+):
     """Compaction: rewrite the CURRENT logical state as fresh data
     files in one overwrite snapshot — position deletes are materialized
     (the new snapshot's manifests list neither the old data files nor
     any delete manifest), Iceberg's rewriteDataFiles maintenance. Old
-    snapshots stay time-travelable until expire_snapshots."""
+    snapshots stay time-travelable until expire_snapshots.
+
+    ``sort_by`` (or the table's declared default sort order) makes
+    this a SORT rewrite: rows range-partition across the new files and
+    sort within each, so every file's manifest bounds are tight and
+    disjoint — binpack-vs-sort, Iceberg's two rewrite strategies."""
     md = self._metadata()
     part_cols = [
         f["name"]
@@ -515,16 +569,22 @@ def _rewrite_data_files(self: IcebergTable, target_files: int | None = None):
             "fields"
         ]
     ]
+    sort_cols = list(sort_by or _default_sort_cols(self, md))
     df = self.read()
-    if target_files:
+    if sort_cols:
+        n = target_files or self.spark.sparkContext.defaultParallelism
+        df = df.repartitionByRange(n, *sort_cols)
+    elif target_files:
         df = df.repartition(target_files)
     # stamp the snapshot as maintenance: the rewrite changes no
     # logical row, so changelog scans (iceberg_changelog.py) skip it
     self._summary_extra = {"maintenance": "rewrite-data-files"}
+    self._write_sort = sort_cols or None
     try:
         return self.overwrite(df, partition_by=part_cols or None)
     finally:
         self._summary_extra = None
+        self._write_sort = None
 
 
 def _rollback(self: IcebergTable, snapshot_id: int) -> int:
@@ -680,6 +740,7 @@ IcebergTable.drop_column = _ice_drop_column
 IcebergTable.delete = _delete
 IcebergTable.equality_delete = _equality_delete
 IcebergTable.rewrite_data_files = _rewrite_data_files
+IcebergTable.set_sort_order = _set_sort_order
 IcebergTable.rollback = _rollback
 
 

@@ -886,6 +886,16 @@ class IcebergTable:
             result_types[fld["name"]] = result_spark_type(
                 fld["transform"], src_t
             )
+        sort_cols = list(getattr(self, "_write_sort", None) or [])
+        if sort_cols:
+            # sort INSIDE each task, partition-layout columns leading —
+            # the partitioned-file writer requires ordering by its
+            # partition columns and would otherwise insert its own
+            # sort, destroying the data order (and the tight bounds
+            # sorted files exist for)
+            w = w.sortWithinPartitions(
+                *[f"__p_{f['name']}" for f in fields], *sort_cols
+            )
         writer = w.write.mode("overwrite")
         if fields:
             writer = writer.partitionBy(

@@ -103,6 +103,44 @@ def test_bounds_skip_timestamps_and_compose_with_deletes(spark, tmp_path):
     assert len(got.inputFiles()) < 4
 
 
+def test_sort_rewrite_makes_skipping_effective(spark, tmp_path):
+    """The binpack-vs-sort story: hash-scattered files have overlapping
+    bounds (no pruning); a SORT rewrite under the declared sort order
+    lays files out range-disjoint, so the same predicate prunes — and
+    the changelog stays silent through the rewrite."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import (  # noqa: F401
+        iceberg_changelog,
+    )
+
+    t = IcebergTable(spark, str(tmp_path / "b4"))
+    df = spark.range(8_000).selectExpr(
+        "id", "CAST(hash(id) AS BIGINT) AS scatter"
+    )
+    # scatter the sort key across files: every file's id bounds overlap
+    t.append(df.repartition(6, "scatter"))
+    s0 = t.history()[-1]["snapshot_id"]
+    before = t.read_hidden([("id", ">=", 7_000)])
+    n_before = len(before.inputFiles())
+    t.set_sort_order(["id"])
+    md = t._metadata()
+    assert md["default-sort-order-id"] == 1
+    t.rewrite_data_files(target_files=6)  # uses the declared order
+    after = t.read_hidden([("id", ">=", 7_000)])
+    assert len(after.inputFiles()) < n_before
+    assert _rows(after) == _rows(df.filter("id >= 7000"))
+    assert _rows(t.read()) == _rows(df)
+    # rows are sorted inside each rewritten file (tight bounds proof)
+    import pyarrow.parquet as pq
+
+    for e in t._entries():
+        ks = pq.read_table(
+            e["data_file"]["file_path"], columns=["id"]
+        )["id"].to_pylist()
+        assert ks == sorted(ks)
+    # the sort rewrite is maintenance: zero changelog events
+    assert t.changes(s0).count() == 0
+
+
 def test_bounds_survive_carry_and_widening(spark, tmp_path):
     t = IcebergTable(spark, str(tmp_path / "b3"))
     t.append(
