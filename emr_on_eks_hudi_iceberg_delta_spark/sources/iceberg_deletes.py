@@ -53,7 +53,7 @@ import uuid
 
 from pyspark.sql import DataFrame, functions as F
 
-from .avro_io import write_ocf
+from .avro_io import read_ocf, write_ocf
 from .iceberg_layout import (
     CONTENT_DATA,
     CONTENT_EQ_DELETES,
@@ -739,8 +739,46 @@ IcebergTable.drop_column = _ice_drop_column
 
 IcebergTable.delete = _delete
 IcebergTable.equality_delete = _equality_delete
+def _remove_orphan_files(
+    self: IcebergTable,
+    older_than_seconds: float = 86_400.0,
+    dry_run: bool = False,
+) -> list[str]:
+    """Iceberg's remove_orphan_files maintenance: delete files under
+    ``data/`` that NO snapshot references (failed/retried write
+    leftovers — commits are mv-in + metadata swap, so a crash between
+    the two strands a file). Age-gated like the real procedure, so a
+    concurrent writer's staged-but-uncommitted files are never
+    touched. Referenced-set construction walks every snapshot's
+    manifests (data + delete files) — metadata-sized."""
+    import time as _time
+
+    md = self._metadata()
+    referenced: set[str] = set()
+    for s in md["snapshots"]:
+        _, manifests = read_ocf(s["manifest-list"])
+        for m in manifests:
+            _, es = read_ocf(m["manifest_path"])
+            referenced.update(
+                os.path.abspath(e["data_file"]["file_path"]) for e in es
+            )
+    cutoff = _time.time() - older_than_seconds
+    doomed = []
+    for fname in sorted(os.listdir(self.data_dir)):
+        full = os.path.abspath(os.path.join(self.data_dir, fname))
+        if full in referenced:
+            continue
+        if os.path.getmtime(full) > cutoff:
+            continue
+        doomed.append(full)
+        if not dry_run:
+            os.remove(full)
+    return doomed
+
+
 IcebergTable.rewrite_data_files = _rewrite_data_files
 IcebergTable.set_sort_order = _set_sort_order
+IcebergTable.remove_orphan_files = _remove_orphan_files
 IcebergTable.rollback = _rollback
 
 

@@ -827,3 +827,34 @@ def test_partition_spec_evolution(spark, tmp_path):
     # DML still exact across mixed specs
     t.delete("k = 1")
     assert sorted(r["k"] for r in t.read().collect()) == [2, 3]
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    """Unreferenced data/ files (crashed-write leftovers) are removed
+    after the age gate; every referenced file — current OR historical
+    snapshot — survives."""
+    import os
+    import time as _t
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "orph"))
+    t.overwrite(spark.range(10).selectExpr("id"))
+    t.append(spark.range(10, 15).selectExpr("id"))
+    rogue = os.path.join(t.data_dir, "stranded.parquet")
+    with open(rogue, "wb") as f:
+        f.write(b"not really parquet")
+    # too young: age gate protects a possibly-in-flight writer
+    assert t.remove_orphan_files(older_than_seconds=3600) == []
+    old = _t.time() - 7200
+    os.utime(rogue, (old, old))
+    listed = t.remove_orphan_files(older_than_seconds=3600, dry_run=True)
+    assert listed == [os.path.abspath(rogue)]
+    assert os.path.exists(rogue)  # dry run never deletes
+    removed = t.remove_orphan_files(older_than_seconds=3600)
+    assert removed == [os.path.abspath(rogue)]
+    assert not os.path.exists(rogue)
+    # table fully intact, history too
+    assert t.read().count() == 15
+    first = t.history()[0]["snapshot_id"]
+    assert t.read(snapshot_id=first).count() == 10
