@@ -97,7 +97,11 @@ ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
 # hard wall-clock budget for the whole bench process: quiet-wait and
 # band-retries stop once exceeded, so an external harness timeout can
 # never kill the run before it prints its JSON line
-MAX_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_SEC", "480"))
+#: 480 -> 720 in round 10: the lake-DML phase runs LAST under this
+#: wall budget, and a retry-heavy legacy/ext phase on a stolen-round
+#: day could exhaust 480 s and silently skip it (observed — the
+#: phase's own cost is ~60-100 s at sf0.1)
+MAX_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_SEC", "720"))
 _T0 = time.monotonic()
 
 # Fixed-size heap for the bench JVM: with the default growable heap, GC
