@@ -35,7 +35,8 @@ def main() -> None:
     names = sorted(
         n
         for n, spec in REGISTRY.items()
-        if {"bench", "bench_ext"} & set(getattr(spec, "tags", ()))
+        if {"bench", "bench_ext", "bench_lake"}
+        & set(getattr(spec, "tags", ()))
     )
     out = {}
     import re
