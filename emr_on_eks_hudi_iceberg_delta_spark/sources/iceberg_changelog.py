@@ -260,7 +260,20 @@ def _changes(
                 <= POS_DELETE_BROADCAST_MAX_PAIRS
             ):
                 keys = F.broadcast(keys)
-            parent_state = self.read(snapshot_id=parent).alias("__clt")
+            # parent state aligned to the CURRENT schema (read() would
+            # surface the parent snapshot's own names — a later rename
+            # would then break the event union; _eq_cols_of already
+            # resolves key names through the current schema)
+            pos_p = self._live_delete_files(parent)
+            eq_p = self._live_eq_delete_entries(parent)
+            if eq_p:
+                parent_state = self._scan_with_eq_deletes(
+                    par_entries, pos_p, eq_p, target_sid
+                ).alias("__clt")
+            else:
+                parent_state = self._aligned_scan(
+                    md, par_entries, pos_p, target_sid
+                ).alias("__clt")
             cond = None
             for c in cols:
                 piece = F.col(f"__clt.{c}").eqNullSafe(

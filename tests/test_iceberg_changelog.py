@@ -105,6 +105,26 @@ def test_compaction_emits_nothing(spark, tmp_path):
         t.changes(s1, s0)
 
 
+def test_changelog_eq_delete_events_after_rename(spark, tmp_path):
+    """Equality-delete events align to the CURRENT schema even when a
+    rename happened after the parent snapshot (the parent-state scan
+    resolves by field id, and the delete's key columns resolve through
+    the current schema)."""
+    t = IcebergTable(spark, str(tmp_path / "c6"))
+    s0 = t.overwrite(_rng(spark, 0, 6).repartition(2))
+    t.rename_column("v", "val")
+    t.equality_delete(
+        spark.createDataFrame([(2,), (4,)], "id bigint")
+    )
+    got = sorted(
+        map(
+            tuple,
+            t.changes(s0).select("id", "val", "_change_type").collect(),
+        )
+    )
+    assert got == [(2, 4, "delete"), (4, 8, "delete")]
+
+
 def test_changelog_aligns_renamed_schema(spark, tmp_path):
     """Events surface under the CURRENT schema even for files written
     before a rename (field-id alignment)."""
