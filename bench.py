@@ -80,7 +80,9 @@ WARMUPS_EXT = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS_EXT", "2"))
 #: call builds its temp table from scratch, so the timing IS
 #: write+DML+read throughput, deliberately uncached). Separate total;
 #: ``value`` stays legacy+ext for cross-round comparability.
-ITERS_LAKE = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS_LAKE", "2"))
+#: 2 -> 3 in round 11 (r10 verdict: 2 iters at up to 38% band cannot
+#: call a regression; 3 gives a median that survives one stolen round)
+ITERS_LAKE = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS_LAKE", "3"))
 WARMUPS_LAKE = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS_LAKE", "1"))
 
 # Self-certification knobs (round-6): the round-5 artifact was recorded at
@@ -254,9 +256,17 @@ def main() -> None:
         for _ in range(WARMUPS_LAKE):
             for name in lake_queries:
                 materialize(REGISTRY[name].fn(spark, SF_DIR))
-        lake_samples, lake_round_totals, _ = timed_phase(
-            lake_queries, ITERS_LAKE
-        )
+        lake_best = timed_phase(lake_queries, ITERS_LAKE)
+        # r11: same one-retry-on-blown-band discipline as the ext
+        # phase — 2 iterations with no retry gave r10 bands up to 38%
+        if (
+            trimmed_band(lake_best[1]) > BAND_MAX
+            and time.monotonic() - _T0 < MAX_SEC
+        ):
+            retry = timed_phase(lake_queries, ITERS_LAKE)
+            if trimmed_band(retry[1]) < trimmed_band(lake_best[1]):
+                lake_best = retry
+        lake_samples, lake_round_totals, _ = lake_best
         lake_timings = {
             n: round(median(ts), 3) for n, ts in lake_samples.items()
         }
@@ -271,9 +281,7 @@ def main() -> None:
     timings = {**timings, **ext_timings, **lake_timings}
     total = round(legacy13_total + ext_total, 3)
     noise_band_pct = band(round_totals)
-    print(
-        json.dumps(
-            {
+    payload = {
                 "metric": "bench_total_sec",
                 "value": total,
                 "unit": "sec",
@@ -297,6 +305,11 @@ def main() -> None:
                 "lake_noise_band_pct": (
                     band(lake_round_totals) if lake_round_totals else None
                 ),
+                "lake_noise_band_trimmed_pct": (
+                    trimmed_band(lake_round_totals)
+                    if lake_round_totals
+                    else None
+                ),
                 "queries": timings,
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                 "iters": ITERS,
@@ -319,10 +332,36 @@ def main() -> None:
                     and trimmed_band(round_totals) <= BAND_MAX
                     and trimmed_band(ext_round_totals) <= BAND_MAX
                 ),
-            }
-        )
-    )
+    }
+    # ---- driver-proof emission (r11; BENCH_r10 was parsed:null) ----
+    # 1. self-verify the serialized line round-trips BEFORE publishing
+    line = json.dumps(payload)
+    assert json.loads(line) == payload
+    # 2. stop Spark BEFORE printing so no JVM shutdown output can land
+    #    near the JSON line (console progress itself is disabled in
+    #    session.py: spark.ui.showConsoleProgress=false)
     spark.stop()
+    # 3. durable copies: $SPARK_GRAFT_BENCH_OUT if set, plus
+    #    BENCH_LAST.json beside this script — a harness whose stdout
+    #    capture was corrupted can always recover the artifact
+    copies = [
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_LAST.json"),
+    ]
+    if os.environ.get("SPARK_GRAFT_BENCH_OUT"):
+        copies.append(os.environ["SPARK_GRAFT_BENCH_OUT"])
+    for p in copies:
+        try:
+            with open(p, "w") as f:
+                f.write(line + "\n")
+        except OSError:
+            pass
+    # 4. a sentinel line, then the bare JSON line LAST on a flushed
+    #    stdout — greppable even if something else interleaved earlier
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print("=== BENCH_JSON ===", flush=True)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

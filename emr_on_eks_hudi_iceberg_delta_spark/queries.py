@@ -15021,6 +15021,83 @@ def q_delta_column_mapping_rename(spark, sf_dir):
 
 
 @register(
+    "delta_colmap_evolved_overwrite",
+    oracle="""
+    SELECT c_custkey AS cust_id, c_name AS customer_name,
+           c_custkey % 10 AS bucket
+    FROM customer
+    UNION ALL
+    SELECT c_custkey + 10000000 AS cust_id,
+           'POST' AS customer_name,
+           (c_custkey + 10000000) % 10 AS bucket
+    FROM customer
+    WHERE c_custkey % 100 = 0
+    """,
+    tags=("lake", "S9", "extension"),
+)
+def q_delta_colmap_evolved_overwrite(spark, sf_dir):
+    """Round-11 mapped-table completions (both were r10 refusals —
+    sources/delta_colmap.py reconcile_mapped_schema + delta_gen.py):
+    a SCHEMA-CHANGING overwrite of a column-mapped table reconciles
+    by logical name (retained columns keep their ids/physical names,
+    new ones mint fresh ids), and GENERATED columns can then be
+    declared on the mapped table (protocol features union — the
+    columnMapping feature is never downgraded). The gate exercises
+    the full lifecycle: map → rename → schema-changing overwrite →
+    rename again → declare generated → post-declaration append."""
+    import json as _json
+    import tempfile
+
+    from .sources import DeltaLogTable
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_name"
+    )
+    dt = DeltaLogTable(spark, tempfile.mkdtemp(prefix="delta_cmo_"))
+    dt.overwrite(c.repartition(4))
+    dt.enable_column_mapping()
+    dt.rename_column("c_mktsegment", "segment")
+    _, meta0, _ = dt._replay()
+    phys0 = {
+        f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
+        for f in _json.loads(meta0["schemaString"])["fields"]
+    }
+    # SCHEMA-CHANGING overwrite: drops segment/c_name, adds cust_id
+    dt.overwrite(
+        _t(spark, sf_dir, "customer").selectExpr(
+            "c_custkey", "c_name AS customer_name"
+        )
+    )
+    _, meta1, _ = dt._replay()
+    phys1 = {
+        f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
+        for f in _json.loads(meta1["schemaString"])["fields"]
+    }
+    assert phys1["c_custkey"] == phys0["c_custkey"]  # id retained
+    assert phys1["customer_name"].startswith("col-")  # fresh mint
+    dt.rename_column("c_custkey", "cust_id")  # mapping still alive
+    # GENERATED column declared on the mapped table
+    dt.overwrite_generated(
+        _t(spark, sf_dir, "customer").selectExpr(
+            "c_custkey AS cust_id", "c_name AS customer_name"
+        ),
+        generated={"bucket": "cust_id % 10"},
+    )
+    proto = dt.current_protocol()
+    assert "generatedColumns" in proto["writerFeatures"]
+    assert "columnMapping" in proto["writerFeatures"]
+    dt.append(
+        _t(spark, sf_dir, "customer")
+        .filter("c_custkey % 100 = 0")
+        .selectExpr(
+            "c_custkey + 10000000 AS cust_id",
+            "'POST' AS customer_name",
+        )
+    )
+    return dt.read()
+
+
+@register(
     "delta_update_dv",
     oracle="""
     SELECT o_orderkey, o_orderstatus,

@@ -84,6 +84,10 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", ""),
         )
         .config("spark.ui.enabled", "false")
+        # the console progress bar interleaves control characters with
+        # process output — BENCH_r10's JSON line was corrupted by it
+        # (parsed: null); no harness consumer ever wants it
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         # fresh managed-table warehouse per session: saveAsTable/bucketBy
         # tests never collide with a previous run's directories

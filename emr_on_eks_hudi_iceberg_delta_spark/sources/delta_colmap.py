@@ -29,11 +29,13 @@ Scope: reads (snapshot + time travel + filtered + pruned), appends
 (including mergeSchema evolution — new columns get fresh ids),
 row-level DML (DELETE cow/dv, UPDATE cow/dv, MERGE INTO — scans go
 physical-to-logical, rewrites and CDC files write physical names),
-OPTIMIZE/compaction, VACUUM, CDF, checkpoints, and matching-schema
-DATA overwrites (the mapped schema — ids and physical names — is kept
-verbatim) all work on mapped tables. Only a schema-CHANGING overwrite
-refuses (honest contract): replacing the schema must reconcile column
-ids/physical names, which this layer does not do silently.
+OPTIMIZE/compaction, VACUUM, CDF, checkpoints, matching-schema DATA
+overwrites (the mapped schema — ids and physical names — kept
+verbatim), schema-CHANGING overwrites (r11: ``reconcile_mapped_
+schema`` keeps retained columns' ids/physical names, mints fresh ones
+for new columns, never reuses departed ids), and generated/identity
+column declarations (delta_gen.py reconciles the same way and unions
+the protocol features) all work on mapped tables.
 """
 
 from __future__ import annotations
@@ -221,6 +223,43 @@ def _drop_column(self: DeltaLogTable, col: str) -> "DeltaLogTable":
         ],
     )
     return self
+
+
+def reconcile_mapped_schema(meta: dict, new_schema) -> dict:
+    """metaData for a schema-CHANGING overwrite of a mapped table
+    (real Delta's ``overwriteSchema`` with columnMapping active):
+    columns retained BY LOGICAL NAME keep their id and physical name
+    — time travel and CDF across the overwrite keep resolving by id —
+    new columns get fresh ids + ``col-<uuid>`` physical names, and
+    departed columns simply leave (their ids are never reused;
+    maxColumnId only grows). Every data file is replaced by the
+    overwrite, so no historical file needs the departed physical
+    names."""
+    old = json.loads(meta["schemaString"])
+    by_name = {f["name"]: f for f in old["fields"]}
+    cfg = dict(meta.get("configuration") or {})
+    max_id = int(cfg.get(MAXID_KEY, "0"))
+    fields = []
+    for f in json.loads(new_schema.json())["fields"]:
+        prev = by_name.get(f["name"])
+        md = dict(f.get("metadata") or {})
+        pmd = (prev.get("metadata") or {}) if prev else {}
+        if _ID_META in pmd and _PHYS_META in pmd:
+            md[_ID_META] = pmd[_ID_META]
+            md[_PHYS_META] = pmd[_PHYS_META]
+        else:
+            max_id += 1
+            md[_ID_META] = max_id
+            md[_PHYS_META] = f"col-{uuid.uuid4()}"
+        f["metadata"] = md
+        fields.append(f)
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps(
+        {"type": "struct", "fields": fields}
+    )
+    cfg[MAXID_KEY] = str(max_id)
+    new_meta["configuration"] = cfg
+    return new_meta
 
 
 def fresh_field_metadata(meta: dict) -> tuple[dict, int]:

@@ -189,16 +189,28 @@ def _overwrite_generated(
     }
     versions = self._versions()
     prior_live = {}
+    # generatedColumns is a legacy writer-version-4 feature
+    proto = {"minReaderVersion": 1, "minWriterVersion": 4}
     if versions:
         prior_live, prior_meta, _ = self._replay()
-        from .delta_colmap import mapping_enabled
+        from .delta_colmap import (
+            mapping_enabled,
+            reconcile_mapped_schema,
+        )
 
         if mapping_enabled(prior_meta):
-            raise NotImplementedError(
-                "declaring generated columns on a column-mapped table "
-                "is not supported"
+            # r11 (was a refusal): declaring generated columns on a
+            # MAPPED table — physical names decouple the declaration
+            # from the files, so reconcile the new schema by logical
+            # name (GEN_KEY field metadata rides along), keep the
+            # mapping configuration, and UNION the protocol feature
+            # instead of downgrading the (3,7) feature protocol
+            meta = reconcile_mapped_schema(prior_meta, schema)
+            meta["partitionColumns"] = part_cols
+            proto = _feature_union_protocol(
+                self.current_protocol(), 4, "generatedColumns"
             )
-    adds = self._write_data_files(w, part_cols)
+    adds = self._write_data_files(w, part_cols, meta=meta)
     now = int(time.time() * 1000)
     actions = [
         {
@@ -210,8 +222,7 @@ def _overwrite_generated(
                 },
             }
         },
-        # generatedColumns is a legacy writer-version-4 feature
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+        {"protocol": proto},
         {"metaData": meta},
     ]
     for path in sorted(prior_live):
@@ -227,6 +238,36 @@ def _overwrite_generated(
     actions.extend({"add": a} for a in adds)
     self._commit(versions[-1] + 1 if versions else 0, actions)
     return self
+
+
+def _feature_union_protocol(
+    proto: dict, want_writer: int, feature: str
+) -> dict:
+    """Protocol action declaring a legacy writer feature WITHOUT
+    downgrading anything active (r10 rule: feature-union, never
+    wholesale replace): a table-features protocol (v7) gets the
+    feature unioned into writerFeatures; a legacy protocol just maxes
+    the writer version (the spec's implication table then covers the
+    feature)."""
+    mrv = proto.get("minReaderVersion", 1)
+    mwv = proto.get("minWriterVersion", 2)
+    if mwv >= 7 or proto.get("writerFeatures") is not None:
+        w = set(proto.get("writerFeatures") or [])
+        w.add(feature)
+        out = {
+            "minReaderVersion": mrv,
+            "minWriterVersion": max(mwv, 7),
+            "writerFeatures": sorted(w),
+        }
+        if proto.get("readerFeatures") is not None:
+            out["readerFeatures"] = sorted(
+                set(proto["readerFeatures"])
+            )
+        return out
+    return {
+        "minReaderVersion": mrv,
+        "minWriterVersion": max(mwv, want_writer),
+    }
 
 
 # --------------------------- identity columns ---------------------------
@@ -287,6 +328,16 @@ def assign_identity(df: DataFrame, meta: dict):
     pid, mid, rn = "__id_pid", "__id_mid", "__id_rn"
     from pyspark.sql import Window
 
+    # pin the batch's partition layout BEFORE counting (r10 advisor
+    # finding): the offset map is keyed by spark_partition_id, and
+    # without a materialization barrier the write job re-evaluates the
+    # plan — a non-deterministic source (shuffle order, sampling, rand)
+    # could land a DIFFERENT layout, silently yielding NULL ids for
+    # unseen partition ids or double-allocating blocks. localCheckpoint
+    # makes the count job and the write job read the SAME partitions;
+    # cost is one materialization of the batch, the price real block-
+    # reserving writers pay too.
+    df = df.localCheckpoint(eager=True)
     w = (
         df.withColumn(pid, F.spark_partition_id())
         .withColumn(mid, F.monotonically_increasing_id())
@@ -382,12 +433,32 @@ def _overwrite_identity(
         "configuration": {},
         "createdTime": int(time.time() * 1000),
     }
-    w, new_meta = assign_identity(df, meta)
     versions = self._versions()
     prior_live = {}
+    # identityColumns is a writer-version-6 legacy feature
+    proto = {"minReaderVersion": 1, "minWriterVersion": 6}
     if versions:
-        prior_live, _pm, _ = self._replay()
-    adds = self._write_data_files(w, list(partition_by or []))
+        prior_live, prior_meta, _ = self._replay()
+        from .delta_colmap import (
+            mapping_enabled,
+            reconcile_mapped_schema,
+        )
+
+        if mapping_enabled(prior_meta):
+            # r11 (was silently clobbering the mapping): declaring an
+            # identity column on a MAPPED table — reconcile by logical
+            # name (the ID_* field metadata rides along, the new
+            # identity column gets a fresh id + physical name) and
+            # union the protocol feature instead of downgrading
+            meta = reconcile_mapped_schema(prior_meta, schema)
+            meta["partitionColumns"] = list(partition_by or [])
+            proto = _feature_union_protocol(
+                self.current_protocol(), 6, "identityColumns"
+            )
+    w, new_meta = assign_identity(df, meta)
+    adds = self._write_data_files(
+        w, list(partition_by or []), meta=new_meta or meta
+    )
     now = int(time.time() * 1000)
     actions = [
         {
@@ -399,8 +470,7 @@ def _overwrite_identity(
                 },
             }
         },
-        # identityColumns is a writer-version-6 legacy feature
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}},
+        {"protocol": proto},
         {"metaData": new_meta or meta},
     ]
     for path in sorted(prior_live):

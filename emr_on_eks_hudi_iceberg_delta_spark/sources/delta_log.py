@@ -60,10 +60,12 @@ OPTIMIZE, and checkpoints all work on mapped tables. GENERATED
 columns (``delta.generationExpression``: write-side compute/validate,
 DML recompute, hidden partition pruning) and IDENTITY columns
 (``delta.identity.*``: dense distributed block allocation, watermark
-in the same commit) live in delta_gen.py (r10). Still not implemented
-(documented contract, loud errors — not silent corruption):
-schema-changing overwrite of a column-mapped table, and declaring
-generated/identity columns on one.
+in the same commit) live in delta_gen.py (r10). Round 11 closes the
+two remaining mapped-table gaps: schema-CHANGING overwrites reconcile
+column ids/physical names by logical name (delta_colmap.py
+``reconcile_mapped_schema``), and generated/identity columns can be
+declared on a mapped table (feature-union protocol upgrades, never a
+downgrade).
 """
 
 from __future__ import annotations
@@ -543,20 +545,26 @@ class DeltaLogTable:
                     (f.name, f.dataType) for f in df.schema.fields
                 ]
                 if not same:
-                    raise NotImplementedError(
-                        "schema-changing overwrite of a column-mapped "
-                        "table is not supported (ids/physical names "
-                        "would need reconciliation); matching-schema "
-                        "data overwrites, append, DML, rename/drop "
-                        "column, OPTIMIZE and reads all work"
+                    # schema-CHANGING overwrite (r11; was a refusal):
+                    # reconcile by LOGICAL name — retained columns
+                    # keep id + physical name, new ones get fresh
+                    # ids, departed ids never come back
+                    from .delta_colmap import reconcile_mapped_schema
+
+                    mapped_meta = reconcile_mapped_schema(
+                        prior_meta, df.schema
                     )
-                if part_cols != prior_meta.get("partitionColumns", []):
-                    raise ValueError(
-                        "overwrite of a mapped table must keep its "
-                        "partition columns "
-                        f"{prior_meta.get('partitionColumns', [])}"
-                    )
-                mapped_meta = prior_meta
+                    mapped_meta["partitionColumns"] = part_cols
+                else:
+                    if part_cols != prior_meta.get(
+                        "partitionColumns", []
+                    ):
+                        raise ValueError(
+                            "matching-schema overwrite of a mapped "
+                            "table must keep its partition columns "
+                            f"{prior_meta.get('partitionColumns', [])}"
+                        )
+                    mapped_meta = prior_meta
             from .delta_gen import (
                 apply_generated,
                 assign_identity,

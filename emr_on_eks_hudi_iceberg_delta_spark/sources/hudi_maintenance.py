@@ -130,18 +130,11 @@ def _restore(self, instant: str) -> str:
         meta = self._commit_meta(t)
         for _part, stats in meta["partitionToWriteStats"].items():
             doomed.update(st["path"] for st in stats)
-    for rel in sorted(doomed - keep):
-        full = os.path.join(self.location, rel)
-        if os.path.exists(full):
-            os.remove(full)
-    for t in later:
-        for suf in self.INSTANT_SUFFIXES:
-            p = os.path.join(self.hoodie, f"{t}{suf}")
-            if os.path.exists(p):
-                os.remove(p)
-        sp = _savepoint_path(self, t)
-        if os.path.exists(sp):
-            os.remove(sp)
+    # plan-then-execute ordering (Hudi's restore protocol; r10 advisor:
+    # deleting data files BEFORE their timeline instants left a crash
+    # window where the head still referenced deleted files):
+    # 1. the restore marker/plan lands first (atomic rename) — a crash
+    #    after this point leaves a recoverable record of intent;
     marker = {
         "restoredTo": instant,
         "removedInstants": later,
@@ -152,6 +145,22 @@ def _restore(self, instant: str) -> str:
     with open(tmp, "w") as f:
         json.dump(marker, f)
     os.replace(tmp, mpath)
+    # 2. remove the later timeline actions — from here on the head IS
+    #    the restore target and every read is consistent;
+    for t in later:
+        for suf in self.INSTANT_SUFFIXES:
+            p = os.path.join(self.hoodie, f"{t}{suf}")
+            if os.path.exists(p):
+                os.remove(p)
+        sp = _savepoint_path(self, t)
+        if os.path.exists(sp):
+            os.remove(sp)
+    # 3. only then delete the now-UNREFERENCED data files — a crash
+    #    here orphans files (fsck/cleaner territory), never breaks reads
+    for rel in sorted(doomed - keep):
+        full = os.path.join(self.location, rel)
+        if os.path.exists(full):
+            os.remove(full)
     return instant
 
 
@@ -191,28 +200,40 @@ def _cluster(
         old_live = self._file_slices()
     data = self.read().drop(*_META_COLS)
     instant = self._next_instant()
+    # the data write and the atomic .replacecommit land FIRST; only a
+    # successful commit republishes hoodie.properties (r10 advisor: the
+    # old order rewrote the routing count before the write, so a
+    # mid-cluster failure left upserts hashing into groups that do not
+    # exist — a key could land in a second file group and duplicate)
+    old_n = self.n_file_groups
     self.n_file_groups = n_file_groups
+    try:
+        prepared = self._with_meta(
+            data, instant, self._file_group_expr()
+        )
+        sort_cols = list(sort_by or [self.record_key])
+        stats = self._write_groups(
+            prepared,
+            instant,
+            list(range(n_file_groups)),
+            sort_within=sort_cols,
+        )
+        self._commit(
+            instant,
+            stats,
+            suffix=".replacecommit",
+            operation="CLUSTER",
+            top_level={
+                "replacedFileGroups": [
+                    [part, fid] for (part, fid) in sorted(old_live)
+                ],
+                "clusteringSortColumns": sort_cols,
+            },
+        )
+    except BaseException:
+        self.n_file_groups = old_n  # routing stays on the live groups
+        raise
     _rewrite_properties(self)
-    prepared = self._with_meta(data, instant, self._file_group_expr())
-    sort_cols = list(sort_by or [self.record_key])
-    stats = self._write_groups(
-        prepared,
-        instant,
-        list(range(n_file_groups)),
-        sort_within=sort_cols,
-    )
-    self._commit(
-        instant,
-        stats,
-        suffix=".replacecommit",
-        operation="CLUSTER",
-        top_level={
-            "replacedFileGroups": [
-                [part, fid] for (part, fid) in sorted(old_live)
-            ],
-            "clusteringSortColumns": sort_cols,
-        },
-    )
     return instant
 
 

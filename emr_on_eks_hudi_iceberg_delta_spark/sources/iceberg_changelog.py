@@ -124,18 +124,37 @@ def _changes(
     """Row-level change events for snapshots AFTER ``from`` up to and
     including ``to`` (default: the current head). See module doc."""
     md = self._metadata()
-    ordered = [s["snapshot-id"] for s in md["snapshots"]]
-    if from_snapshot_id not in ordered:
+    by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
+    if from_snapshot_id not in by_id:
         raise ValueError(f"unknown snapshot {from_snapshot_id}")
     if to_snapshot_id is None:
         to_snapshot_id = md["current-snapshot-id"]
-    if to_snapshot_id not in ordered:
+    if to_snapshot_id not in by_id:
         raise ValueError(f"unknown snapshot {to_snapshot_id}")
-    lo = ordered.index(from_snapshot_id)
-    hi = ordered.index(to_snapshot_id)
-    if hi < lo:
-        raise ValueError("to_snapshot precedes from_snapshot")
-    by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
+    # walk PARENT-SNAPSHOT ANCESTRY from `to` back to `from`, never
+    # metadata-list position: an unpublished branch snapshot
+    # (append_to_branch) sits in the snapshot list inside the range
+    # but is NOT on main's lineage — positional iteration leaked its
+    # rows as 'insert' events to CDC consumers (r10 advisor finding)
+    chain: list[int] = []
+    cur = to_snapshot_id
+    seen: set[int] = set()
+    while (
+        cur is not None
+        and cur != from_snapshot_id
+        and cur not in seen
+    ):
+        chain.append(cur)
+        seen.add(cur)
+        cur = by_id.get(cur, {}).get("parent-snapshot-id")
+    if cur != from_snapshot_id:
+        raise ValueError(
+            f"snapshot {from_snapshot_id} is not an ancestor of "
+            f"{to_snapshot_id} — changelog ranges must follow one "
+            "lineage (branch snapshots surface on main only after "
+            "publish/fast_forward)"
+        )
+    chain.reverse()  # oldest -> newest, exclusive of `from`
     # events surface under the CURRENT schema (not the head snapshot's
     # write-time schema — metadata-only renames add no snapshot)
     target_sid = md.get(
@@ -150,12 +169,13 @@ def _changes(
             COMMIT_SNAPSHOT, F.lit(sid)
         )
 
-    for i in range(lo + 1, hi + 1):
-        sid = ordered[i]
+    prev = from_snapshot_id
+    for sid in chain:
         snap = by_id[sid]
+        parent = snap.get("parent-snapshot-id", prev)
+        prev = sid
         if snap.get("summary", {}).get("maintenance"):
             continue  # rewrites change no logical row
-        parent = snap.get("parent-snapshot-id", ordered[i - 1])
         cur_entries = [
             e
             for e in self._entries(sid)

@@ -290,13 +290,22 @@ def _scan_with_pos_ice(
                 (e["data_file"], seq_of_snapshot(md, e["snapshot_id"]))
             )
         for cols, dfs in by_cols.items():
-            keys = None
+            # key files store WRITE-TIME column names (fixed
+            # equality_ids order): group by (footer schema, delete
+            # seq) so each group rides ONE multi-path read — plan
+            # pieces O(distinct schema×seq), not O(key files)
+            import pyarrow.parquet as pq
+
+            by_grp: dict[tuple, list[str]] = {}
             for d, dseq in dfs:
-                # per-file read + positional rename: the key file
-                # stores its WRITE-TIME column names (the equality_ids
-                # order is fixed), so renames never break it
+                names = tuple(pq.read_schema(d["file_path"]).names)
+                by_grp.setdefault((names, dseq), []).append(
+                    d["file_path"]
+                )
+            keys = None
+            for (_names, dseq), fps in sorted(by_grp.items()):
                 k = (
-                    self.spark.read.parquet(d["file_path"])
+                    self.spark.read.parquet(*fps)
                     .toDF(*cols)
                     .withColumn("__dseq", F.lit(dseq).cast("bigint"))
                 )
@@ -1067,18 +1076,21 @@ def _commit_mor_snapshot(
     summary.update(getattr(self, "_summary_extra", None) or {})
     md["format-version"] = 2
     md["last-sequence-number"] = seq
-    md["snapshots"] = md["snapshots"] + [
-        {
-            "snapshot-id": snapshot_id,
-            "timestamp-ms": now,
-            "manifest-list": mlist_path,
-            "summary": summary,
-            "sequence-number": seq,
-            "schema-id": md.get(
-                "current-schema-id", md["schema"].get("schema-id", 0)
-            ),
-        }
-    ]
+    new_snap = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now,
+        "manifest-list": mlist_path,
+        "summary": summary,
+        "sequence-number": seq,
+        "schema-id": md.get(
+            "current-schema-id", md["schema"].get("schema-id", 0)
+        ),
+    }
+    # spec: snapshots record their parent — the ancestry refs
+    # fast-forward and the changelog's lineage walk depend on
+    if md.get("current-snapshot-id") is not None:
+        new_snap["parent-snapshot-id"] = md["current-snapshot-id"]
+    md["snapshots"] = md["snapshots"] + [new_snap]
     md["snapshot-log"] = md.get("snapshot-log", []) + [
         {"timestamp-ms": now, "snapshot-id": snapshot_id}
     ]

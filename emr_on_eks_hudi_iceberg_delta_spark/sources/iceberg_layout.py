@@ -543,9 +543,18 @@ class IcebergTable:
     ) -> DataFrame:
         """Scan data files applying v2 position-delete files: the
         delete parquet's (file_path, pos) pairs drop rows via
-        ``_metadata.row_index`` and ONE broadcast anti-join — only the
-        files a delete actually names pay the per-file read; the rest
-        take the multi-path fast scan."""
+        ``_metadata.row_index`` and ONE anti-join keyed on
+        (file BASENAME, position). Basenames are fresh writer UUIDs
+        (the same contract the DML scans rely on), so joining on them
+        needs no path-normalization map AND lets the delete-touched
+        files ride ONE multi-path scan instead of O(files) per-file
+        plan pieces; untouched files take the plain fast scan. The
+        anti-join broadcasts the pair set only while the manifests'
+        summed ``record_count`` stays under
+        POS_DELETE_BROADCAST_MAX_PAIRS — a heavily-deleted table
+        falls back to a shuffled anti-join instead of shipping every
+        pair to every executor (r10 verdict: this threshold guarded
+        the DML and eq-delete paths but not plain ``read()``)."""
         from pyspark.sql import functions as F
 
         if not paths:
@@ -557,34 +566,48 @@ class IcebergTable:
         pairs = self.spark.read.parquet(
             *[d["file_path"] for d in delete_files]
         ).select(
-            F.col("file_path").alias("__ice_file"),
+            F.element_at(
+                F.split(F.col("file_path"), "/"), -1
+            ).alias("__ice_name"),
             F.col("pos").alias("__ice_pos"),
         )
+        # O(touched files) driver metadata — which data files any
+        # delete names; the rest never pay the join
         hit = {
-            r["__ice_file"]
-            for r in pairs.select("__ice_file").distinct().collect()
+            r["__ice_name"]
+            for r in pairs.select("__ice_name").distinct().collect()
         }
         parts = []
-        plain = [p for p in paths if p not in hit]
+        plain = [p for p in paths if os.path.basename(p) not in hit]
         if plain:
             parts.append(self.spark.read.schema(schema).parquet(*plain))
-        pieces = []
-        for p in paths:
-            if p not in hit:
-                continue
-            pieces.append(
-                self.spark.read.schema(schema).parquet(p)
-                .withColumn("__ice_file", F.lit(p))
+        touched = [p for p in paths if os.path.basename(p) in hit]
+        if touched:
+            u = (
+                self.spark.read.schema(schema).parquet(*touched)
+                .withColumn(
+                    "__ice_name",
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ),
+                )
                 .withColumn("__ice_pos", F.col("_metadata.row_index"))
             )
-        if pieces:
-            u = pieces[0]
-            for piece in pieces[1:]:
-                u = u.unionByName(piece)
+            from .iceberg_deletes import POS_DELETE_BROADCAST_MAX_PAIRS
+
+            total = sum(
+                d.get("record_count", 0) for d in delete_files
+            )
+            if total <= POS_DELETE_BROADCAST_MAX_PAIRS:
+                pairs = F.broadcast(pairs)
+            else:
+                # the manifests DECLARE the pair cardinality — force a
+                # shuffled join rather than letting file-size stats
+                # auto-broadcast a set the threshold says is too big
+                pairs = pairs.hint("shuffle_hash")
             u = u.join(
-                F.broadcast(pairs), ["__ice_file", "__ice_pos"],
-                "left_anti",
-            ).drop("__ice_file", "__ice_pos")
+                pairs, ["__ice_name", "__ice_pos"], "left_anti"
+            ).drop("__ice_name", "__ice_pos")
             parts.append(u)
         out = parts[0]
         for p in parts[1:]:
@@ -708,14 +731,25 @@ class IcebergTable:
                     self._eq_cols_of(md, eq_with_seq[i][0]), []
                 ).append(d)
             for cols, dfiles in by_cols.items():
-                # per-file read + positional rename: key files store
-                # their WRITE-TIME column names (fixed equality_ids
-                # order), so renames never break the anti-join
-                keys = None
+                # key files store their WRITE-TIME column names (fixed
+                # equality_ids order), so each distinct write schema
+                # rides ONE multi-path read positional-renamed to the
+                # current names — plan pieces O(distinct schemas), not
+                # O(key files); grouping needs only footer reads
+                # (O(files) driver metadata, no data scanned)
+                import pyarrow.parquet as pq
+
+                by_names: dict[tuple, list[str]] = {}
                 for d in dfiles:
-                    k = self.spark.read.parquet(
+                    names = tuple(
+                        pq.read_schema(d["file_path"]).names
+                    )
+                    by_names.setdefault(names, []).append(
                         d["file_path"]
-                    ).toDF(*cols)
+                    )
+                keys = None
+                for _names, fps in sorted(by_names.items()):
+                    k = self.spark.read.parquet(*fps).toDF(*cols)
                     keys = k if keys is None else keys.unionByName(k)
                 keys = keys.dropDuplicates().alias("__eqk")
                 total = sum(d.get("record_count", 0) for d in dfiles)

@@ -166,8 +166,12 @@ def test_optimize_on_mapped_table_keeps_physical_names(spark, tmp_path):
 
 def test_overwrite_on_mapped_tables(spark, tmp_path):
     """r10: matching-schema DATA overwrite keeps the mapped schema
-    (ids/physical names survive, rename still serves); a
-    schema-CHANGING overwrite refuses."""
+    (ids/physical names survive, rename still serves). r11: a
+    schema-CHANGING overwrite reconciles by logical name — retained
+    columns keep their ids/physical names, new columns get fresh
+    ones, and the mapping machinery keeps working afterwards."""
+    import json as _json
+
     dt = _table(spark, tmp_path, "refu2", n=10, files=1)
     dt.enable_column_mapping()
     dt.rename_column("label", "txt")
@@ -181,10 +185,117 @@ def test_overwrite_on_mapped_tables(spark, tmp_path):
     # mapping survived: a further rename is still metadata-only
     dt.rename_column("txt", "txt2")
     assert dt.read().columns == ["k", "g", "txt2"]
-    with pytest.raises(NotImplementedError, match="schema-changing"):
-        dt.overwrite(spark.range(3).selectExpr("id AS k"))
+    _, meta_before, _ = dt._replay()
+    phys_before = {
+        f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
+        for f in _json.loads(meta_before["schemaString"])["fields"]
+    }
+    # r11: SCHEMA-CHANGING overwrite — drops g/txt2, adds extra
+    dt.overwrite(
+        spark.createDataFrame(
+            [(7, "new")], "k bigint, extra string"
+        )
+    )
+    assert dt.read().columns == ["k", "extra"]
+    assert dt.read().collect()[0]["extra"] == "new"
+    _, meta_after, _ = dt._replay()
+    fields = {
+        f["name"]: f["metadata"]
+        for f in _json.loads(meta_after["schemaString"])["fields"]
+    }
+    # retained column kept its physical name; new column got col-<uuid>
+    assert (
+        fields["k"]["delta.columnMapping.physicalName"]
+        == phys_before["k"]
+    )
+    assert fields["extra"][
+        "delta.columnMapping.physicalName"
+    ].startswith("col-")
+    # the mapping machinery still works on the new shape
+    dt.rename_column("extra", "extra2")
+    assert dt.read().columns == ["k", "extra2"]
+    assert dt.read().count() == 1
     with pytest.raises(ValueError, match="enable_column_mapping"):
         dt.set_table_properties({"delta.columnMapping.mode": "name"})
+
+
+def test_generated_and_identity_on_mapped_tables(spark, tmp_path):
+    """r11 (both were refusals): declaring generated / identity
+    columns on a column-mapped table works — the declarations ride
+    reconciled field metadata, files store physical names, the
+    protocol unions features instead of downgrading, and rename
+    keeps serving afterwards."""
+    import json as _json
+
+    dt = _table(spark, tmp_path, "genmap", n=20, files=2)
+    dt.enable_column_mapping()
+    dt.rename_column("label", "txt")
+    proto_mapped = dt.current_protocol()
+    assert "columnMapping" in proto_mapped["writerFeatures"]
+    dt.overwrite_generated(
+        spark.createDataFrame(
+            [(i, i % 3, f"v{i}") for i in range(12)],
+            "k bigint, g bigint, txt string",
+        ),
+        generated={"gbucket": "g % 2"},
+    )
+    got = dt.read()
+    assert sorted(got.columns) == ["g", "gbucket", "k", "txt"]
+    assert all(
+        r["gbucket"] == r["g"] % 2 for r in got.collect()
+    )
+    proto = dt.current_protocol()
+    assert "generatedColumns" in proto["writerFeatures"]
+    assert "columnMapping" in proto["writerFeatures"]  # not downgraded
+    _, meta, _ = dt._replay()
+    fmd = {
+        f["name"]: f["metadata"]
+        for f in _json.loads(meta["schemaString"])["fields"]
+    }
+    assert fmd["gbucket"][
+        "delta.columnMapping.physicalName"
+    ].startswith("col-")
+    # appends keep computing the generated column; rename still works
+    dt.append(
+        spark.createDataFrame(
+            [(100, 5, "x")], "k bigint, g bigint, txt string"
+        )
+    )
+    assert dt.read().filter("k = 100").collect()[0]["gbucket"] == 1
+    dt.rename_column("gbucket", "gb2")
+    assert "gb2" in dt.read().columns
+
+    # identity declaration on a mapped table
+    di = _table(spark, tmp_path, "idmap", n=10, files=1)
+    di.enable_column_mapping()
+    di.rename_column("label", "txt")
+    di.overwrite_identity(
+        spark.createDataFrame(
+            [(i, 0, f"v{i}") for i in range(10)],
+            "k bigint, g bigint, txt string",
+        ),
+        identity={"rid": {"start": 5, "step": 3}},
+    )
+    ids = sorted(r["rid"] for r in di.read().select("rid").collect())
+    assert ids == list(range(5, 5 + 3 * 10, 3))
+    proto = di.current_protocol()
+    assert "identityColumns" in proto["writerFeatures"]
+    assert "columnMapping" in proto["writerFeatures"]
+    # append allocates above the watermark, mapping intact
+    di.append(
+        spark.createDataFrame([(99, 1, "y")], "k bigint, g bigint, txt string")
+    )
+    ids2 = sorted(r["rid"] for r in di.read().select("rid").collect())
+    assert len(ids2) == 11 and len(set(ids2)) == 11 and ids2[-1] == 35
+    di.rename_column("rid", "row_id")
+    assert "row_id" in di.read().columns
+    # checkpoint carries the combined state (mapping + identity)
+    di.write_checkpoint()
+    assert di.read().count() == 11
+    ids3 = sorted(
+        r["row_id"] for r in di.read().select("row_id").collect()
+    )
+    assert ids3 == ids2
 
 
 def test_dml_works_on_mapped_tables(spark, tmp_path):

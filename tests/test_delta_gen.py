@@ -384,3 +384,24 @@ def test_declaration_refusals(spark, tmp_path, ts_df):
         t.overwrite_generated(ts_df, generated={"v2": "v2 + 1"})
     with pytest.raises(ValueError, match="already in the batch"):
         t.overwrite_generated(ts_df, generated={"v": "id * 2"})
+
+
+def test_identity_nondeterministic_source_unique_nonnull(spark, tmp_path):
+    """r11 advisor fix: the identity offset map is keyed by
+    spark_partition_id over a source the write job re-evaluates —
+    assign_identity now pins the layout (localCheckpoint) before
+    counting, so a NON-DETERMINISTIC source (rand-keyed repartition)
+    still allocates unique, non-null ids."""
+    df = (
+        spark.range(500)
+        .withColumn("r", F.rand(seed=None))
+        .repartition(11, "r")
+        .selectExpr("CAST(id AS STRING) AS name", "r AS v")
+    )
+    t = DeltaLogTable(spark, str(tmp_path / "indet"))
+    t.overwrite_identity(df, identity={"rid": {"start": 1, "step": 1}})
+    got = t.read().select("rid").collect()
+    ids = [r["rid"] for r in got]
+    assert all(i is not None for i in ids)
+    assert len(ids) == 500 and len(set(ids)) == 500
+    assert sorted(ids) == list(range(1, 501))

@@ -101,7 +101,8 @@ def test_compaction_emits_nothing(spark, tmp_path):
     )
     # to_snapshot slicing works
     assert t.changes(s0, s1).count() == 2
-    with pytest.raises(ValueError, match="precedes"):
+    # reversed ranges fail the ancestry walk (r11: lineage-based)
+    with pytest.raises(ValueError, match="not an ancestor"):
         t.changes(s1, s0)
 
 
@@ -136,3 +137,24 @@ def test_changelog_aligns_renamed_schema(spark, tmp_path):
         map(tuple, t.changes(s0).select("id", "val", "_change_type").collect())
     )
     assert got == [(10, 20, "insert"), (11, 22, "insert")]
+
+
+def test_branch_snapshot_not_leaked_into_main_changelog(spark, tmp_path):
+    """r11 advisor fix: changes() walks PARENT ancestry, so an
+    unpublished branch snapshot inside the metadata-list range never
+    emits events on main's changelog."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import iceberg_refs  # noqa: F401
+
+    t = IcebergTable(spark, str(tmp_path / "cbr"))
+    s0 = t.overwrite(_rng(spark, 0, 4))
+    t.create_branch("audit")
+    s_br = t.append_to_branch(_rng(spark, 100, 103), "audit")
+    s2 = t.append(_rng(spark, 10, 12))  # a real main commit AFTER the branch write
+    got = _ev(t.changes(s0))
+    # only main's own commit surfaces; the staged 100-102 rows do not
+    assert got == sorted((i, i * 2, "insert") for i in (10, 11))
+    # and a range that crosses lineages refuses loudly
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.changes(s_br, s2)
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.changes(s2, s_br)
