@@ -14086,6 +14086,71 @@ def q_hudi_layout_upsert_roundtrip(spark, sf_dir):
 
 
 @register(
+    "hudi_cdc_scan",
+    oracle="""
+    SELECT c_custkey AS cust_id, CAST(c_acctbal AS DOUBLE) AS balance,
+           'update_before' AS change_type, 2 AS commit_seq
+    FROM customer WHERE c_custkey % 10 = 3
+    UNION ALL
+    SELECT c_custkey, CAST(c_acctbal AS DOUBLE) + 1000.0,
+           'update_after', 2
+    FROM customer WHERE c_custkey % 10 = 3
+    UNION ALL
+    SELECT c_custkey + 10000000, 0.0, 'insert', 2
+    FROM customer WHERE c_custkey % 100 = 0
+    UNION ALL
+    SELECT c_custkey, CAST(c_acctbal AS DOUBLE), 'delete', 3
+    FROM customer WHERE c_custkey % 10 = 7
+    """,
+    tags=("lake", "S7", "extension"),
+)
+def q_hudi_cdc_scan(spark, sf_dir):
+    """Hudi CHANGE DATA CAPTURE (r11, sources/hudi_cdc.py — Hudi
+    0.13's CDC feature re-derived from the timeline + file slices, the
+    data_before_after inference shape): cdc_scan emits one row per
+    image — an UPDATE yields its old version as ``update_before`` and
+    the new one as ``update_after``, a DELETE yields the before image
+    — per commit, bounded by the file groups each commit touched.
+    Matches Delta CDF / Iceberg changelog semantics, completing the
+    trio's CDC surface. The gate replays bulk-insert → upsert
+    (update + insert mix) → DELETE and checks the exact event rows;
+    timeline instants map to deterministic commit ordinals."""
+    import tempfile
+
+    from .sources import hudi_cdc  # noqa: F401  (attaches cdc_scan)
+    from .sources.hudi_layout import HudiCowTable
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_acctbal").cast("double").alias("balance"),
+    )
+    t = HudiCowTable(
+        spark, tempfile.mkdtemp(prefix="hudi_cdc_"),
+        record_key="cust_id", precombine_field="balance",
+    )
+    i1 = t.bulk_insert(cust)
+    upd = cust.filter("cust_id % 10 = 3").withColumn(
+        "balance", F.col("balance") + 1000.0
+    )
+    new = cust.filter("cust_id % 100 = 0").select(
+        (F.col("cust_id") + 10000000).alias("cust_id"),
+        F.lit(0.0).alias("balance"),
+    )
+    i2 = t.upsert(upd.unionByName(new))
+    i3 = t.delete("cust_id % 10 = 7")
+    ev = t.cdc_scan(i1)
+    return ev.select(
+        "cust_id",
+        "balance",
+        F.col(hudi_cdc.CHANGE_TYPE).alias("change_type"),
+        F.when(F.col(hudi_cdc.COMMIT_INSTANT) == i2, F.lit(2))
+        .when(F.col(hudi_cdc.COMMIT_INSTANT) == i3, F.lit(3))
+        .cast("int")
+        .alias("commit_seq"),
+    )
+
+
+@register(
     "hudi_savepoint_restore",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment, CAST(1 AS INTEGER) AS ver

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import struct
 import uuid
 import zlib
@@ -280,3 +281,40 @@ def read_ocf(path: str) -> tuple[dict, list[dict]]:
         if buf.read(16) != sync:
             raise ValueError(f"{path}: sync marker mismatch")
     return schema, records
+
+
+# --------------------------- planning cache ---------------------------
+
+#: (abspath, size, mtime_ns) -> (schema, records). Iceberg manifests
+#: and manifest lists are IMMUTABLE (uuid/snapshot-named, written once,
+#: atomically published), so a stat-keyed cache is sound; the key's
+#: size+mtime guard covers the paranoid case of an overwritten path.
+#: Measured need (tools/manifest_planning_bench.py, r11): pure-python
+#: OCF decode costs ~30 us/entry — ~30 s for a 10^6-file manifest —
+#: and every read/DML re-plans through _entries, so repeated planning
+#: re-paid it. CONTRACT: callers must treat returned records as
+#: READ-ONLY (the carried-forward commit paths build fresh wrapper
+#: dicts and never mutate decoded ones).
+_OCF_CACHE: dict[tuple, tuple] = {}
+_OCF_CACHE_MAX_FILES = 32
+_OCF_CACHE_MAX_RECORDS = 4_000_000
+
+
+def read_ocf_cached(path: str) -> tuple[dict, list[dict]]:
+    """``read_ocf`` behind the immutability-keyed planning cache."""
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_size, st.st_mtime_ns)
+    hit = _OCF_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = read_ocf(path)
+    total = sum(len(v[1]) for v in _OCF_CACHE.values())
+    while _OCF_CACHE and (
+        len(_OCF_CACHE) >= _OCF_CACHE_MAX_FILES
+        or total + len(out[1]) > _OCF_CACHE_MAX_RECORDS
+    ):
+        oldest = next(iter(_OCF_CACHE))  # FIFO eviction
+        total -= len(_OCF_CACHE.pop(oldest)[1])
+    if len(out[1]) <= _OCF_CACHE_MAX_RECORDS:
+        _OCF_CACHE[key] = out
+    return out

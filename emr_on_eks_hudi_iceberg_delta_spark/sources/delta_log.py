@@ -332,18 +332,45 @@ class DeltaLogTable:
         if dvd:
             from . import dv as dv_io
 
-            pieces = []
+            # r11: DV-bearing files ride ONE multi-path scan per
+            # partition tuple (was one plan piece per file — the same
+            # O(files) planning bottleneck the DML scans fixed in
+            # r10); both join sides key on the file BASENAME (fresh
+            # writer UUIDs), so no path-normalization map is needed
+            by_part_dv: dict[tuple, list[dict]] = {}
             for a in dvd:
+                key = tuple(
+                    a["partitionValues"].get(phys[c])
+                    for c in part_cols
+                )
+                by_part_dv.setdefault(key, []).append(a)
+            pieces = []
+            for key, alist in sorted(
+                by_part_dv.items(),
+                key=lambda kv: tuple(
+                    (x is not None, x or "") for x in kv[0]
+                ),
+            ):
                 df = _to_logical(
                     self.spark.read.schema(scan_struct)
-                    .parquet(os.path.join(self.location, a["path"]))
-                    .withColumn("__dv_file", F.lit(a["path"]))
+                    .parquet(
+                        *[
+                            os.path.join(self.location, a["path"])
+                            for a in alist
+                        ]
+                    )
+                    .withColumn(
+                        "__dv_file",
+                        F.element_at(
+                            F.split(F.col("_metadata.file_path"), "/"),
+                            -1,
+                        ),
+                    )
                     .withColumn(
                         "__dv_pos", F.col("_metadata.row_index")
                     )
                 )
-                for c in part_cols:
-                    val = a["partitionValues"].get(phys[c])
+                for c, val in zip(part_cols, key):
                     lit = (
                         F.lit(None) if val is None else F.lit(val)
                     ).cast(types[c])
@@ -360,6 +387,12 @@ class DeltaLogTable:
             # back to a shuffled anti-join for heavily-deleted tables
             pdf = dv_io.dv_pairs_df(self.spark, self.location, dvd)
             if pdf is not None:
+                pdf = pdf.select(
+                    F.element_at(
+                        F.split(F.col("__dv_file"), "/"), -1
+                    ).alias("__dv_file"),
+                    "__dv_pos",
+                )
                 total_card = sum(
                     a["deletionVector"].get("cardinality", 0)
                     for a in dvd

@@ -83,7 +83,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .avro_io import read_ocf, write_ocf
+from .avro_io import read_ocf, read_ocf_cached, write_ocf
 from .iceberg_bounds import bounds_avro as _bounds_avro
 from .iceberg_transforms import parse_partition_spec as _parse_pspec
 
@@ -497,12 +497,17 @@ class IcebergTable:
                 f"snapshot {sid} not found (have "
                 f"{[s['snapshot-id'] for s in md['snapshots']]})"
             )
-        _, manifests = read_ocf(snap["manifest-list"])
+        # manifests are immutable — the stat-keyed decode cache makes
+        # repeated planning O(1) after the first decode (measured
+        # ~30 us/entry pure-python decode; tools/
+        # manifest_planning_bench.py). Decoded records are READ-ONLY
+        # by contract: commit paths build fresh wrapper dicts.
+        _, manifests = read_ocf_cached(snap["manifest-list"])
         entries: list[dict] = []
         for m in manifests:
             if m.get("content", CONTENT_DATA) != content:
                 continue
-            _, es = read_ocf(m["manifest_path"])
+            _, es = read_ocf_cached(m["manifest_path"])
             entries.extend(es)
         return entries
 

@@ -129,3 +129,34 @@ def test_read_refuses_non_avro_and_bad_sync(tmp_path):
     open(bad2, "wb").write(bytes(blob))
     with pytest.raises(ValueError, match="sync"):
         read_ocf(bad2)
+
+
+def test_read_ocf_cached_immutability_key(tmp_path):
+    """r11 planning cache: a second read of an unchanged file is a
+    cache hit (same object), a REWRITE at the same path (new
+    size/mtime) invalidates, and results always equal the uncached
+    decode."""
+    import time as _time
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.avro_io import (
+        read_ocf,
+        read_ocf_cached,
+        write_ocf,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    p = str(tmp_path / "c.avro")
+    write_ocf(p, schema, [{"x": i} for i in range(100)])
+    s1, r1 = read_ocf_cached(p)
+    s2, r2 = read_ocf_cached(p)
+    assert r1 is r2  # hit
+    assert r1 == read_ocf(p)[1]
+    _time.sleep(0.01)  # distinct mtime_ns even on coarse clocks
+    write_ocf(p, schema, [{"x": i} for i in range(7)])
+    _, r3 = read_ocf_cached(p)
+    assert len(r3) == 7  # rewrite invalidated the old entry
+    assert r3 == read_ocf(p)[1]

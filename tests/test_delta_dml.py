@@ -706,3 +706,19 @@ def test_dv_mode_update_cdf_images(spark, tmp_path):
     kinds = {r["_change_type"] for r in ch.collect()}
     assert kinds == {"update_preimage", "update_postimage"}
     assert ch.count() == 10
+
+
+def test_dv_read_plans_bounded_scans_many_files(spark, tmp_path):
+    """r11 pin: a read over MANY DV-bearing files plans one multi-path
+    scan per partition tuple (+ the executor-side pair expansion), not
+    O(files) per-file plan pieces — mirroring the r10 DML-scan fix."""
+    from emr_on_eks_hudi_iceberg_delta_spark.plans import file_scan_count
+
+    dt = _table(spark, tmp_path, "manydv", files=40, n=4000)
+    dt.delete("k % 2 = 0", mode="dv")  # every file gets a DV
+    live, _, _ = dt._replay()
+    assert sum(1 for a in live.values() if a.get("deletionVector")) == 40
+    df = dt.read()
+    assert file_scan_count(df) <= 2  # one data scan (+ pair expansion)
+    assert df.count() == 2000
+    assert df.filter("k % 2 = 0").count() == 0

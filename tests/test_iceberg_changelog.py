@@ -158,3 +158,20 @@ def test_branch_snapshot_not_leaked_into_main_changelog(spark, tmp_path):
         t.changes(s_br, s2)
     with pytest.raises(ValueError, match="not an ancestor"):
         t.changes(s2, s_br)
+
+
+def test_branch_scoped_changelog_for_wap_audit(spark, tmp_path):
+    """r11: the ancestry walk makes a BRANCH-scoped range legal —
+    changes(base, branch_head) audits staged rows through the
+    changelog BEFORE publish, the write-audit-publish reviewer's
+    view."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import iceberg_refs  # noqa: F401
+
+    t = IcebergTable(spark, str(tmp_path / "cwap"))
+    s0 = t.overwrite(_rng(spark, 0, 4))
+    t.create_branch("audit")
+    s_br = t.append_to_branch(_rng(spark, 100, 102), "audit")
+    got = _ev(t.changes(s0, s_br))
+    assert got == sorted((i, i * 2, "insert") for i in (100, 101))
+    # main's own changelog stays blind to the staged rows
+    assert t.changes(s0).count() == 0
