@@ -15163,6 +15163,58 @@ def q_delta_colmap_evolved_overwrite(spark, sf_dir):
 
 
 @register(
+    "delta_uniform_iceberg_mirror",
+    oracle="""
+    SELECT c_custkey AS cust_id, c_mktsegment AS segment
+    FROM customer
+    WHERE NOT c_custkey % 10 = 4
+    UNION ALL
+    SELECT c_custkey + 10000000 AS cust_id, 'NEW' AS segment
+    FROM customer
+    WHERE c_custkey % 100 = 0
+    """,
+    tags=("lake", "S9", "extension"),
+)
+def q_delta_uniform_iceberg_mirror(spark, sf_dir):
+    """Delta UniForm (r11, sources/uniform.py — real Delta's
+    ``delta.universalFormat.enabledFormats=iceberg`` re-derived over
+    the repo's own protocol layers): a continuously synced ICEBERG
+    metadata mirror in the Delta table's own directory, referencing
+    the same parquet files — zero bytes copied, each sync one
+    metadata-only commit with O(changed files) footer reads (carried
+    files reuse recorded record counts). The gate runs the full
+    lifecycle — enable → append+sync → CoW DELETE+sync — and returns
+    the ICEBERG read, which must equal the Delta state; the mirror's
+    history time-travels across the Delta versions."""
+    import tempfile
+
+    from .sources import uniform  # noqa: F401  (attaches the methods)
+    from .sources.delta_log import DeltaLogTable
+    from .sources.iceberg_layout import IcebergTable
+
+    c = _t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS cust_id", "c_mktsegment AS segment"
+    )
+    dt = DeltaLogTable(spark, tempfile.mkdtemp(prefix="delta_uf_"))
+    dt.overwrite(c.repartition(4))
+    dt.enable_uniform()
+    dt.append(
+        _t(spark, sf_dir, "customer")
+        .filter("c_custkey % 100 = 0")
+        .selectExpr(
+            "c_custkey + 10000000 AS cust_id", "'NEW' AS segment"
+        )
+    )
+    dt.sync_uniform()
+    dt.delete("cust_id % 10 = 4")
+    dt.sync_uniform()
+    assert dt.sync_uniform() is None  # idempotent at head
+    ice = IcebergTable(spark, dt.location)
+    assert len(ice.history()) >= 3  # the mirror carries the lifecycle
+    return ice.read()
+
+
+@register(
     "delta_update_dv",
     oracle="""
     SELECT o_orderkey, o_orderstatus,

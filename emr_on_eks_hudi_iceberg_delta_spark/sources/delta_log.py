@@ -657,7 +657,22 @@ class DeltaLogTable:
             # keep the mapped schema (ids/physical names) verbatim
             actions.append({"metaData": dict(mapped_meta)})
         else:
-            actions.append(self._meta_action(df, part_cols))
+            ma = self._meta_action(df, part_cols)
+            if versions:
+                # real Delta: an overwrite (even schema-changing)
+                # keeps the table's IDENTITY and PROPERTIES —
+                # tblproperties (CDF, appendOnly, retention, UniForm)
+                # persist across data replacement; r11 fix, the fresh
+                # metaData was silently dropping them
+                ma["metaData"]["id"] = prior_meta["id"]
+                ma["metaData"]["configuration"] = dict(
+                    prior_meta.get("configuration") or {}
+                )
+                if prior_meta.get("createdTime") is not None:
+                    ma["metaData"]["createdTime"] = prior_meta[
+                        "createdTime"
+                    ]
+            actions.append(ma)
         now = int(time.time() * 1000)
         for path in sorted(prior_live):
             actions.append(

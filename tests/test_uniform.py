@@ -1,0 +1,116 @@
+"""Delta UniForm (sources/uniform.py): a continuously synced Iceberg
+metadata mirror over the Delta table's own parquet files — zero-copy
+(inode-pinned), incremental, idempotent, loud refusals."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from emr_on_eks_hudi_iceberg_delta_spark.sources import uniform  # noqa: F401
+from emr_on_eks_hudi_iceberg_delta_spark.sources import delta_dml  # noqa: F401
+from emr_on_eks_hudi_iceberg_delta_spark.sources.delta_log import (
+    DeltaLogTable,
+)
+from emr_on_eks_hudi_iceberg_delta_spark.sources.iceberg_layout import (
+    IcebergTable,
+)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _inodes(root):
+    return {
+        os.stat(os.path.join(r, f)).st_ino
+        for r, _, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".parquet")
+        and "_delta_log" not in r
+        and os.sep + "metadata" not in r
+    }
+
+
+def _table(spark, tmp_path, name="u"):
+    dt = DeltaLogTable(spark, str(tmp_path / name))
+    dt.overwrite(
+        spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+        .repartition(4)
+    )
+    return dt
+
+
+def test_enable_and_incremental_sync(spark, tmp_path):
+    dt = _table(spark, tmp_path)
+    inodes0 = _inodes(dt.location)
+    dt.enable_uniform()
+    ice = IcebergTable(spark, dt.location)
+    assert _rows(ice.read()) == _rows(dt.read())
+    assert _inodes(dt.location) == inodes0  # zero bytes copied
+    # idempotent: already at head
+    assert dt.sync_uniform() is None
+    # append + sync: the mirror catches up, again zero-copy
+    dt.append(spark.range(100, 120).selectExpr("id AS k", "id * 2 AS v"))
+    assert dt.sync_uniform() is not None
+    assert _rows(ice.read()) == _rows(dt.read())
+    assert ice.read().count() == 120
+    # CoW delete + sync
+    dt.delete("k < 10")
+    dt.sync_uniform()
+    assert _rows(ice.read()) == _rows(dt.read())
+    assert ice.read().count() == 110
+    # the mirror's history time-travels across delta states
+    snaps = [s["snapshot_id"] for s in ice.history()]
+    assert len(snaps) >= 3
+    assert ice.read(snaps[0]).count() == 100
+
+
+def test_sync_is_metadata_only_and_carries_counts(spark, tmp_path):
+    dt = _table(spark, tmp_path, "meta")
+    dt.enable_uniform()
+    ice = IcebergTable(spark, dt.location)
+    n_data0 = len(_inodes(dt.location))
+    dt.append(spark.range(100, 105).selectExpr("id AS k", "id * 2 AS v"))
+    dt.sync_uniform()
+    # data files: only the append's new ones; record counts correct
+    assert len(_inodes(dt.location)) > n_data0
+    ents = {
+        e["data_file"]["file_path"]: e["data_file"]["record_count"]
+        for e in ice._entries()
+    }
+    assert sum(ents.values()) == 105
+
+
+def test_uniform_refusals(spark, tmp_path):
+    # DV-bearing table refuses
+    dt = _table(spark, tmp_path, "dv")
+    dt.enable_uniform()
+    dt.delete("k % 2 = 0", mode="dv")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        dt.sync_uniform()
+    # partitioned table refuses at enable
+    dp = DeltaLogTable(spark, str(tmp_path / "part"))
+    dp.overwrite(
+        spark.range(20).selectExpr("id AS k", "id % 3 AS g"),
+        partition_by=["g"],
+    )
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        dp.enable_uniform()
+    # sync without enable refuses
+    d2 = _table(spark, tmp_path, "noen")
+    with pytest.raises(ValueError, match="not enabled"):
+        d2.sync_uniform()
+    # schema drift after enable refuses loudly at sync
+    d3 = _table(spark, tmp_path, "drift")
+    d3.enable_uniform()
+    d3.overwrite(
+        spark.range(5).selectExpr(
+            "id AS k", "id * 2 AS v", "'x' AS extra"
+        )
+    )
+    with pytest.raises(ValueError, match="schema changed"):
+        d3.sync_uniform()
