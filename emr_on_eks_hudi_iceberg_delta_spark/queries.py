@@ -14549,6 +14549,43 @@ def q_convert_parquet_to_delta_in_place(spark, sf_dir):
 
 
 @register(
+    "convert_iceberg_to_delta_in_place",
+    oracle="""
+    SELECT p_partkey, p_type, CAST(p_retailprice AS DOUBLE) AS price
+    FROM part
+    WHERE NOT p_partkey % 7 = 0
+    """,
+    tags=("lake", "S6", "extension"),
+)
+def q_convert_iceberg_to_delta_in_place(spark, sf_dir):
+    """Reverse adoption (r11, sources/convert.convert_iceberg_to_delta
+    — completing the conversion matrix): an Iceberg table gains a
+    ``_delta_log`` beside its ``metadata/`` in ONE metadata commit,
+    add actions referencing the SAME live data files by relative path
+    with manifest record counts carried as Delta ``stats`` (zero
+    footer reads, zero bytes copied). The adopted table is a normal
+    Delta table — the gate proves it by running a CoW DELETE through
+    the Delta layer after adoption."""
+    import tempfile
+
+    from .sources.convert import convert_iceberg_to_delta
+    from .sources.iceberg_layout import IcebergTable
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_type",
+        F.col("p_retailprice").cast("double").alias("price"),
+    )
+    loc = tempfile.mkdtemp(prefix="ice2delta_")
+    t = IcebergTable(spark, loc)
+    t.overwrite(part.repartition(4))
+    dt = convert_iceberg_to_delta(spark, loc)
+    assert dt.history()[0]["operation"] == "CONVERT"
+    dt.delete("p_partkey % 7 = 0")  # DML through the adopting layer
+    return dt.read()
+
+
+@register(
     "deltalog_stream_tail",
     oracle="""
     SELECT c_custkey, c_mktsegment FROM customer

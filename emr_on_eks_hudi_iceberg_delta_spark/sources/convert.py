@@ -133,3 +133,105 @@ def convert_delta_to_iceberg(
         )
     t._commit(df, files, "append")
     return t
+
+
+def convert_iceberg_to_delta(
+    spark: SparkSession, location: str
+) -> DeltaLogTable:
+    """Adopt an Iceberg table into Delta IN PLACE (r11 — the reverse
+    of ``convert_delta_to_iceberg``, completing the conversion
+    matrix): lay a ``_delta_log`` beside the Iceberg ``metadata/``
+    whose v0 add actions reference the LIVE data files by relative
+    path, record counts carried from the manifests as Delta ``stats``
+    (skipping-compatible, zero footer reads). Identity-partitioned
+    Iceberg tables adopt as unpartitioned Delta — their data files
+    CONTAIN the partition columns (the Iceberg contract), so nothing
+    is lost except hive-dir pruning.
+
+    Refusals (loud, never silent): live position/equality delete
+    files (Delta adds cannot express them — rewrite_data_files()
+    first), and historical schema versions whose COLUMN NAMES differ
+    from the current schema (Iceberg reads resolve renames by field
+    id; Delta resolves by name, so adopted old-name files would
+    silently serve NULLs)."""
+    import json as _json
+    import time
+
+    from .iceberg_layout import (
+        STATUS_DELETED,
+        IcebergTable,
+        entry_schema_id,
+        ice_schema_by_id,
+    )
+
+    if os.path.isdir(os.path.join(location, "_delta_log")):
+        raise ValueError(f"{location} already has a _delta_log")
+    t = IcebergTable(spark, location)
+    if t._live_delete_files() or t._live_eq_delete_entries():
+        raise ValueError(
+            "cannot adopt an Iceberg table with live delete files "
+            "into Delta (add actions cannot express them) — run "
+            "rewrite_data_files() first"
+        )
+    md = t._metadata()
+    entries = [
+        e for e in t._entries() if e["status"] != STATUS_DELETED
+    ]
+    if not entries:
+        raise ValueError(f"no live data files under {location}")
+    cur_sid = md.get(
+        "current-schema-id", md["schema"].get("schema-id", 0)
+    )
+    cur_names = [
+        f["name"] for f in ice_schema_by_id(md, cur_sid)["fields"]
+    ]
+    for sid in {entry_schema_id(md, e) for e in entries}:
+        names = [
+            f["name"] for f in ice_schema_by_id(md, sid)["fields"]
+        ]
+        if names != cur_names:
+            raise ValueError(
+                "cannot adopt: data files were written under a "
+                f"schema whose column names {names} differ from the "
+                f"current {cur_names} — Delta resolves by NAME, so "
+                "renamed files would silently serve NULLs; run "
+                "rewrite_data_files() first"
+            )
+    adds = []
+    for e in entries:
+        d = e["data_file"]
+        full = d["file_path"]
+        rel = os.path.relpath(full, location)
+        if rel.startswith(".."):
+            raise ValueError(
+                f"data file {full} lies outside the table root — "
+                "Delta paths are table-relative"
+            )
+        adds.append(
+            {
+                "path": rel.replace(os.sep, "/"),
+                "partitionValues": {},
+                "size": d.get("file_size_in_bytes")
+                or os.path.getsize(full),
+                "modificationTime": int(os.path.getmtime(full) * 1000),
+                "dataChange": True,
+                "stats": _json.dumps(
+                    {"numRecords": d["record_count"]}
+                ),
+            }
+        )
+    df = t.read()
+    dt = DeltaLogTable(spark, location)
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "CONVERT",
+                "operationParameters": {"sourceFormat": "iceberg"},
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        dt._meta_action(df, []),
+    ]
+    actions.extend({"add": a} for a in adds)
+    dt._commit(0, actions)
+    return dt

@@ -92,3 +92,56 @@ def test_convert_partitioned_delta_to_iceberg_refuses(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="partitioned"):
         convert_delta_to_iceberg(spark, dloc, str(tmp_path / "x"))
+
+
+def test_convert_iceberg_to_delta(spark, tmp_path):
+    """r11: the reverse adoption — Iceberg table gains a _delta_log
+    over the same files (inode-pinned), manifest record counts ride
+    as Delta stats, delete-bearing and renamed tables refuse."""
+    import pytest
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.convert import (
+        convert_iceberg_to_delta,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import iceberg_deletes  # noqa: F401
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.iceberg_layout import (
+        IcebergTable,
+    )
+
+    loc = str(tmp_path / "ice2d")
+    t = IcebergTable(spark, loc)
+    df = spark.range(80).selectExpr("id AS k", "id * 3 AS v")
+    t.overwrite(df.repartition(4))
+    t.append(spark.range(80, 100).selectExpr("id AS k", "id * 3 AS v"))
+    inodes = _parquet_inodes(loc)
+    dt = convert_iceberg_to_delta(spark, loc)
+    assert _rows(dt.read()) == _rows(
+        spark.range(100).selectExpr("id AS k", "id * 3 AS v")
+    )
+    assert _parquet_inodes(loc) == inodes  # zero bytes copied
+    assert dt.history()[0]["operation"] == "CONVERT"
+    # manifest record counts rode in as Delta stats
+    live, _, _ = dt._replay()
+    import json as _json
+
+    assert sum(
+        _json.loads(a["stats"])["numRecords"] for a in live.values()
+    ) == 100
+    # the adopted table is a normal Delta table: DML works
+    dt.delete("k < 10")
+    assert dt.read().count() == 90
+
+    # delete-bearing iceberg refuses
+    t2 = IcebergTable(spark, str(tmp_path / "icedel"))
+    t2.overwrite(df.repartition(2))
+    t2.delete("k % 2 = 0")
+    with pytest.raises(ValueError, match="delete files"):
+        convert_iceberg_to_delta(spark, str(tmp_path / "icedel"))
+
+    # renamed-history iceberg refuses (Delta resolves by name)
+    t3 = IcebergTable(spark, str(tmp_path / "iceren"))
+    t3.overwrite(df.repartition(2))
+    t3.rename_column("v", "val")
+    t3.append(spark.range(100, 110).selectExpr("id AS k", "id * 3 AS val"))
+    with pytest.raises(ValueError, match="resolves by NAME"):
+        convert_iceberg_to_delta(spark, str(tmp_path / "iceren"))
