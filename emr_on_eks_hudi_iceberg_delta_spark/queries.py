@@ -14086,6 +14086,59 @@ def q_hudi_layout_upsert_roundtrip(spark, sf_dir):
 
 
 @register(
+    "convert_hudi_to_delta_in_place",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg, 1 AS ver
+      FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey, 'UPDATED', 2 FROM customer
+      WHERE c_custkey % 10 = 0
+    ),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+            ORDER BY ver DESC) AS rn FROM u)
+    SELECT k, seg, CAST(ver AS INTEGER) AS ver
+    FROM r WHERE rn = 1 AND NOT k % 9 = 0
+    """,
+    tags=("lake", "S6", "extension"),
+)
+def q_convert_hudi_to_delta_in_place(spark, sf_dir):
+    """Migrate-off-Hudi adoption (r11, sources/convert.
+    convert_hudi_to_delta): one metadata commit lays a ``_delta_log``
+    beside ``.hoodie/`` over the SAME live file slices — the
+    ``_hoodie_*`` meta columns stay in the files but never
+    deserialize (Delta scans with the declared schema; parquet
+    resolves columns by name). The gate proves the adopted table is a
+    normal Delta table by running a CoW DELETE through the Delta
+    layer after a Hudi bulk-insert + upsert lifecycle."""
+    import tempfile
+
+    from .sources.convert import convert_hudi_to_delta
+    from .sources.hudi_layout import HudiCowTable
+
+    cust = _t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS k", "c_mktsegment AS seg", "1 AS ver"
+    )
+    t = HudiCowTable(
+        spark, tempfile.mkdtemp(prefix="hudi2delta_"),
+        record_key="k", precombine_field="ver",
+    )
+    t.bulk_insert(cust)
+    t.upsert(
+        cust.filter("k % 10 = 0").selectExpr(
+            "k", "'UPDATED' AS seg", "2 AS ver"
+        )
+    )
+    dt = convert_hudi_to_delta(spark, t.location)
+    dt.delete("k % 9 = 0")
+    return dt.read().select(
+        "k", "seg", F.col("ver").cast("int").alias("ver")
+    )
+
+
+@register(
     "hudi_cdc_scan",
     oracle="""
     SELECT c_custkey AS cust_id, CAST(c_acctbal AS DOUBLE) AS balance,

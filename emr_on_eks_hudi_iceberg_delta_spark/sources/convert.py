@@ -235,3 +235,86 @@ def convert_iceberg_to_delta(
     actions.extend({"add": a} for a in adds)
     dt._commit(0, actions)
     return dt
+
+
+def convert_hudi_to_delta(
+    spark: SparkSession, location: str
+) -> DeltaLogTable:
+    """Adopt a Hudi table into Delta IN PLACE (r11 — the
+    migrate-off-Hudi story, zero bytes copied): a ``_delta_log`` lands
+    beside ``.hoodie/`` whose v0 add actions reference the LIVE file
+    slices by relative path. The ``_hoodie_*`` meta columns stay in
+    the files but UNREAD — Delta scans with the declared schema and
+    parquet resolves columns by name, so the extra columns simply
+    never deserialize. Record counts come from one footer read per
+    live file (the Hudi write stats don't always carry them) and ride
+    as Delta ``stats``.
+
+    CoW adopts directly; MoR adopts only when every file group is
+    log-free (run ``compact()`` first — log files merge by record key
+    at read time, which an add-action list cannot express)."""
+    import json as _json
+    import time
+
+    import pyarrow.parquet as pq
+
+    from .hudi_layout import HudiCowTable, HudiMorTable
+    from .hudi_maintenance import _META_COLS
+
+    if os.path.isdir(os.path.join(location, "_delta_log")):
+        raise ValueError(f"{location} already has a _delta_log")
+    props = os.path.join(location, ".hoodie", "hoodie.properties")
+    if not os.path.exists(props):
+        raise ValueError(f"{location} is not a Hudi table")
+    stored = dict(
+        line.strip().split("=", 1)
+        for line in open(props)
+        if "=" in line
+    )
+    if stored.get("hoodie.table.type") == "MERGE_ON_READ":
+        t = HudiMorTable(spark, location)
+        slices = t._mor_slices()
+        hot = [k for k, s in slices.items() if s["logs"]]
+        if hot:
+            raise ValueError(
+                f"MoR file groups {hot[:3]} have unfolded log files "
+                "an add-action list cannot express — run compact() "
+                "first"
+            )
+        live = {
+            k: s["base"] for k, s in slices.items() if s["base"]
+        }
+    else:
+        t = HudiCowTable(spark, location)
+        live = t._file_slices()
+    if not live:
+        raise ValueError(f"no live file slices under {location}")
+    adds = []
+    for rel in sorted(live.values()):
+        full = os.path.join(location, rel)
+        n = pq.read_metadata(full).num_rows
+        adds.append(
+            {
+                "path": rel.replace(os.sep, "/"),
+                "partitionValues": {},
+                "size": os.path.getsize(full),
+                "modificationTime": int(os.path.getmtime(full) * 1000),
+                "dataChange": True,
+                "stats": _json.dumps({"numRecords": n}),
+            }
+        )
+    df = t.read().drop(*_META_COLS)
+    dt = DeltaLogTable(spark, location)
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "CONVERT",
+                "operationParameters": {"sourceFormat": "hudi"},
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        dt._meta_action(df, []),
+    ]
+    actions.extend({"add": a} for a in adds)
+    dt._commit(0, actions)
+    return dt

@@ -145,3 +145,59 @@ def test_convert_iceberg_to_delta(spark, tmp_path):
     t3.append(spark.range(100, 110).selectExpr("id AS k", "id * 3 AS val"))
     with pytest.raises(ValueError, match="resolves by NAME"):
         convert_iceberg_to_delta(spark, str(tmp_path / "iceren"))
+
+
+def test_convert_hudi_to_delta(spark, tmp_path):
+    """r11: migrate-off-Hudi adoption — _delta_log beside .hoodie over
+    the same live slices (inode-pinned); _hoodie_* meta columns stay
+    in the files unread; MoR with unfolded logs refuses until
+    compact()."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.convert import (
+        convert_hudi_to_delta,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.hudi_layout import (
+        HudiCowTable,
+        HudiMorTable,
+    )
+
+    loc = str(tmp_path / "hudi2d")
+    t = HudiCowTable(
+        spark, loc, record_key="k", precombine_field="ver",
+    )
+    base = spark.range(60).selectExpr(
+        "id AS k", "id % 5 AS g", "1 AS ver"
+    )
+    t.bulk_insert(base)
+    t.upsert(
+        spark.range(10).selectExpr("id AS k", "99 AS g", "2 AS ver")
+    )
+    want = _rows(
+        t.read().select("k", "g", "ver")
+    )
+    inodes = _parquet_inodes(loc)
+    dt = convert_hudi_to_delta(spark, loc)
+    assert sorted(dt.read().columns) == ["g", "k", "ver"]  # no _hoodie_*
+    assert _rows(dt.read().select("k", "g", "ver")) == want
+    assert _parquet_inodes(loc) == inodes  # zero bytes copied
+    # post-adoption DML through the Delta layer
+    dt.delete("g = 99")
+    assert dt.read().count() == 50
+
+    # MoR with unfolded logs refuses; after compact() it adopts
+    mloc = str(tmp_path / "mor2d")
+    m = HudiMorTable(
+        spark, mloc, record_key="k", precombine_field="ver",
+    )
+    m.bulk_insert(base)
+    m.upsert(
+        spark.range(5).selectExpr("id AS k", "77 AS g", "2 AS ver")
+    )
+    with pytest.raises(ValueError, match="compact"):
+        convert_hudi_to_delta(spark, mloc)
+    m.compact()
+    dm = convert_hudi_to_delta(spark, mloc)
+    assert dm.read().count() == 60
+    assert dm.read().filter("g = 77").count() == 5
