@@ -308,6 +308,8 @@ def read_ocf_cached(path: str) -> tuple[dict, list[dict]]:
     if hit is not None:
         return hit
     out = read_ocf(path)
+    if len(out[1]) > _OCF_CACHE_MAX_RECORDS:
+        return out  # uncacheable: never evict the warm state for it
     total = sum(len(v[1]) for v in _OCF_CACHE.values())
     while _OCF_CACHE and (
         len(_OCF_CACHE) >= _OCF_CACHE_MAX_FILES
@@ -315,6 +317,5 @@ def read_ocf_cached(path: str) -> tuple[dict, list[dict]]:
     ):
         oldest = next(iter(_OCF_CACHE))  # FIFO eviction
         total -= len(_OCF_CACHE.pop(oldest)[1])
-    if len(out[1]) <= _OCF_CACHE_MAX_RECORDS:
-        _OCF_CACHE[key] = out
+    _OCF_CACHE[key] = out
     return out

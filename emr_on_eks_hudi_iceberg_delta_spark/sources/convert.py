@@ -40,8 +40,6 @@ from .iceberg_layout import IcebergTable
 def convert_parquet_dir_to_delta(
     spark: SparkSession, location: str
 ) -> DeltaLogTable:
-    import time
-    import uuid
     from urllib.parse import unquote
 
     if os.path.isdir(os.path.join(location, "_delta_log")):
@@ -155,7 +153,6 @@ def convert_iceberg_to_delta(
     id; Delta resolves by name, so adopted old-name files would
     silently serve NULLs)."""
     import json as _json
-    import time
 
     from .iceberg_layout import (
         STATUS_DELETED,
@@ -254,7 +251,6 @@ def convert_hudi_to_delta(
     log-free (run ``compact()`` first — log files merge by record key
     at read time, which an add-action list cannot express)."""
     import json as _json
-    import time
 
     import pyarrow.parquet as pq
 

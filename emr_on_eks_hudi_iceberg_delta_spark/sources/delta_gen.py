@@ -207,9 +207,20 @@ def _overwrite_generated(
             # instead of downgrading the (3,7) feature protocol
             meta = reconcile_mapped_schema(prior_meta, schema)
             meta["partitionColumns"] = part_cols
-            proto = _feature_union_protocol(
-                self.current_protocol(), 4, "generatedColumns"
+        else:
+            # existing NON-mapped table: keep its identity and
+            # tblproperties too (real Delta — a declaration commit
+            # must not reset CDF/UniForm/constraints config)
+            meta["id"] = prior_meta["id"]
+            meta["configuration"] = dict(
+                prior_meta.get("configuration") or {}
             )
+            if prior_meta.get("createdTime") is not None:
+                meta["createdTime"] = prior_meta["createdTime"]
+        # and never downgrade an active feature protocol
+        proto = _feature_union_protocol(
+            self.current_protocol(), 4, "generatedColumns"
+        )
     adds = self._write_data_files(w, part_cols, meta=meta)
     now = int(time.time() * 1000)
     actions = [
@@ -452,9 +463,17 @@ def _overwrite_identity(
             # union the protocol feature instead of downgrading
             meta = reconcile_mapped_schema(prior_meta, schema)
             meta["partitionColumns"] = list(partition_by or [])
-            proto = _feature_union_protocol(
-                self.current_protocol(), 6, "identityColumns"
+        else:
+            # existing NON-mapped table: keep identity + tblproperties
+            meta["id"] = prior_meta["id"]
+            meta["configuration"] = dict(
+                prior_meta.get("configuration") or {}
             )
+            if prior_meta.get("createdTime") is not None:
+                meta["createdTime"] = prior_meta["createdTime"]
+        proto = _feature_union_protocol(
+            self.current_protocol(), 6, "identityColumns"
+        )
     w, new_meta = assign_identity(df, meta)
     adds = self._write_data_files(
         w, list(partition_by or []), meta=new_meta or meta

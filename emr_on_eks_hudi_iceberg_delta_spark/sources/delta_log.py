@@ -1424,15 +1424,28 @@ def _collect_file_stats(path: str) -> str | None:
             col = g.column(ci)
             name = col.path_in_schema
             st = col.statistics
-            if (
-                "." in name  # nested: out of the stats contract
-                or st is None
-                or not st.has_min_max
-                or isinstance(st.min, bytes)  # binary: not comparable
-            ):
+            import decimal
+
+            try:
+                if (
+                    "." in name  # nested: out of the stats contract
+                    or st is None
+                    or not st.has_min_max
+                    # binary: not comparable; decimal: not JSON-exact
+                    # (a rounded min/max could wrongly exclude a file
+                    # — omission is the only always-safe encoding);
+                    # r11: decimal columns used to crash the whole
+                    # stats dump (json.dumps on Decimal, and pyarrow
+                    # raises on fixed-len-byte-array decimal stats at
+                    # ACCESS time — hence the try)
+                    or isinstance(st.min, (bytes, decimal.Decimal))
+                ):
+                    dropped.add(name)
+                    continue
+                lo, hi = st.min, st.max
+            except Exception:
                 dropped.add(name)
                 continue
-            lo, hi = st.min, st.max
             mins[name] = lo if name not in mins else min(mins[name], lo)
             maxs[name] = hi if name not in maxs else max(maxs[name], hi)
             nulls[name] = nulls.get(name, 0) + (st.null_count or 0)

@@ -84,16 +84,17 @@ def _mor_group_state(
     self: HudiMorTable, instant: str, fgs: set[int]
 ) -> DataFrame | None:
     """Snapshot rows of the given file groups at ``instant`` for MoR:
-    the regular snapshot merge (base ∪ logs, tombstones folded),
-    restricted to the touched groups by the file-group expression —
-    the same shape read_incremental uses."""
-    slices = self._mor_slices(instant)
-    if not any(self._fg_of(k[1]) in fgs for k in slices):
+    the regular snapshot merge (base ∪ logs, tombstones folded) run
+    over ONLY the touched groups' slices — untouched groups' base and
+    log files never enter the plan (the module's scale contract)."""
+    slices = {
+        k: s
+        for k, s in self._mor_slices(instant).items()
+        if self._fg_of(k[1]) in fgs
+    }
+    if not slices:
         return None
-    snap = self.read(instant).withColumn(
-        "__fg", self._file_group_expr()
-    )
-    return snap.filter(F.col("__fg").isin(sorted(fgs))).drop("__fg")
+    return self._merged_read(slices)
 
 
 def _group_state(self, instant, fgs):

@@ -99,6 +99,23 @@ class HudiCowTable:
             self.record_key = stored["hoodie.table.recordkey.fields"]
             self.precombine_field = stored["hoodie.table.precombine.field"]
             self.n_file_groups = int(stored["n.file.groups"])
+            # self-heal the routing count (r11): cluster() records
+            # newFileGroupCount IN the replacecommit, so a crash
+            # between that atomic commit and the properties rewrite
+            # can never leave a stale count — the timeline is the
+            # truth; a mismatch repairs hoodie.properties here
+            try:
+                committed = self._committed_group_count()
+                if (
+                    committed is not None
+                    and committed != self.n_file_groups
+                ):
+                    self.n_file_groups = committed
+                    from .hudi_maintenance import _rewrite_properties
+
+                    _rewrite_properties(self)
+            except Exception:
+                pass  # unparseable timeline: fsck's territory
         else:
             if record_key is None or precombine_field is None:
                 raise ValueError(
@@ -120,6 +137,21 @@ class HudiCowTable:
     #: timeline actions this table replays (MoR adds .deltacommit;
     #: .replacecommit is clustering — hudi_maintenance.py)
     INSTANT_SUFFIXES = (".commit", ".replacecommit")
+
+    def _committed_group_count(self) -> int | None:
+        """The routing count the LATEST clustering replacecommit
+        recorded (newFileGroupCount), or None when no clustering ever
+        ran — the timeline-side truth hoodie.properties mirrors."""
+        for t in reversed(self.instants()):
+            p = os.path.join(self.hoodie, f"{t}.replacecommit")
+            if not os.path.exists(p):
+                continue
+            with open(p) as f:
+                meta = json.load(f)
+            n = meta.get("newFileGroupCount")
+            if n is not None:
+                return int(n)
+        return None
 
     def instants(self) -> list[str]:
         out = []
@@ -749,9 +781,15 @@ class HudiMorTable(HudiCowTable):
         merge — log-less groups' base files pass through untouched
         (real Hudi's per-file-group realtime merge), so the read
         shuffle is O(hot groups), not O(table)."""
+        return self._merged_read(self._mor_slices(instant))
+
+    def _merged_read(self, slices: dict) -> DataFrame:
+        """The snapshot merge over an arbitrary slices dict — read()
+        passes the full table; scoped consumers (hudi_cdc's per-commit
+        group state) pass only the touched groups, so their scans are
+        bounded by what the commit touched."""
         from ..operators.merge import upsert_by_key
 
-        slices = self._mor_slices(instant)
         bases = {k: s["base"] for k, s in slices.items() if s["base"]}
         logs = [p for s in slices.values() for p in s["logs"]]
         if not bases and not logs:

@@ -228,6 +228,11 @@ def _cluster(
                     [part, fid] for (part, fid) in sorted(old_live)
                 ],
                 "clusteringSortColumns": sort_cols,
+                # the routing count rides the ATOMIC commit (r11):
+                # table open reconciles hoodie.properties against it,
+                # closing the commit-then-crash-before-properties
+                # window entirely
+                "newFileGroupCount": n_file_groups,
             },
         )
     except BaseException:

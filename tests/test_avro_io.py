@@ -160,3 +160,27 @@ def test_read_ocf_cached_immutability_key(tmp_path):
     _, r3 = read_ocf_cached(p)
     assert len(r3) == 7  # rewrite invalidated the old entry
     assert r3 == read_ocf(p)[1]
+
+
+def test_read_ocf_cached_oversized_file_does_not_wipe_cache(tmp_path, monkeypatch):
+    """r11 self-review fix: a manifest too big to cache must be served
+    WITHOUT evicting the warm planning state."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import avro_io
+
+    monkeypatch.setattr(avro_io, "_OCF_CACHE", {})
+    monkeypatch.setattr(avro_io, "_OCF_CACHE_MAX_RECORDS", 100)
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    small = str(tmp_path / "small.avro")
+    avro_io.write_ocf(small, schema, [{"x": i} for i in range(50)])
+    _, warm = avro_io.read_ocf_cached(small)
+    big = str(tmp_path / "big.avro")
+    avro_io.write_ocf(big, schema, [{"x": i} for i in range(500)])
+    _, huge = avro_io.read_ocf_cached(big)
+    assert len(huge) == 500
+    # the warm entry survived and still hits
+    _, again = avro_io.read_ocf_cached(small)
+    assert again is warm

@@ -405,3 +405,39 @@ def test_identity_nondeterministic_source_unique_nonnull(spark, tmp_path):
     assert all(i is not None for i in ids)
     assert len(ids) == 500 and len(set(ids)) == 500
     assert sorted(ids) == list(range(1, 501))
+
+
+def test_declarations_preserve_tblproperties_and_protocol(spark, tmp_path):
+    """r11 self-review fix: declaring generated/identity columns on an
+    existing NON-mapped table keeps the table id, tblproperties
+    (CDF/UniForm/constraints config), and never downgrades an active
+    feature protocol."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import uniform  # noqa: F401
+
+    dt = DeltaLogTable(spark, str(tmp_path / "keepcfg"))
+    dt.overwrite(
+        spark.range(20).selectExpr("id AS k", "id * 2.0 AS v")
+    )
+    dt.enable_uniform()
+    _, meta0, _ = dt._replay()
+    dt.delete("k = 0", mode="dv")  # activates the (3,7) DV protocol
+    proto0 = dt.current_protocol()
+    assert "deletionVectors" in proto0["writerFeatures"]
+    dt.optimize()  # purge DVs so the declaration overwrite is clean
+    dt.overwrite_generated(
+        spark.range(20).selectExpr("id AS k", "id * 2.0 AS v"),
+        generated={"b": "k % 10"},
+    )
+    _, meta1, _ = dt._replay()
+    assert meta1["id"] == meta0["id"]
+    assert (meta1["configuration"] or {}).get(
+        "delta.universalFormat.enabledFormats"
+    ) == "iceberg"
+    proto1 = dt.current_protocol()
+    assert "generatedColumns" in proto1["writerFeatures"]
+    assert "deletionVectors" in proto1["writerFeatures"]  # kept
+    # the UniForm config survived: sync now refuses with the
+    # documented SCHEMA-DRIFT error (the declaration added a column),
+    # not the pre-fix "not enabled" (config silently dropped)
+    with pytest.raises(ValueError, match="schema changed"):
+        dt.sync_uniform()

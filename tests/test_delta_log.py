@@ -385,3 +385,24 @@ def test_restore_rolls_back_without_rewriting_history(spark, tmp_path):
     # restore is itself restorable-from
     dt.restore(2)
     assert _rows(dt.read()) == [(100,), (101,), (102,)]
+
+
+def test_decimal_column_write_and_stats_safe(spark, tmp_path):
+    """r11 self-review fix: a DECIMAL column used to crash the whole
+    stats dump (json.dumps on decimal.Decimal) — the write now
+    succeeds, decimal min/max are OMITTED (omission is the only
+    always-safe stats encoding), and other columns keep theirs."""
+    import json as _json
+
+    dt = DeltaLogTable(spark, str(tmp_path / "dec"))
+    dt.overwrite(
+        spark.range(50).selectExpr(
+            "id AS k", "CAST(id AS DECIMAL(10,2)) * 1.5 AS amount"
+        )
+    )
+    assert dt.read().count() == 50
+    live, _, _ = dt._replay()
+    stats = [_json.loads(a["stats"]) for a in live.values() if a.get("stats")]
+    assert stats and all(s["numRecords"] > 0 for s in stats)
+    assert all("amount" not in s["minValues"] for s in stats)
+    assert any("k" in s["minValues"] for s in stats)

@@ -150,3 +150,45 @@ def test_cleaner_drops_retired_groups_after_cluster(spark, tmp_path, base):
     deleted = set(t.clean(retain_slices=1))
     assert old_files <= deleted  # retired groups are cleanable
     assert t.read().count() == 20  # current state untouched
+
+
+def test_cluster_crash_before_properties_self_heals(spark, tmp_path):
+    """r11: the routing count rides the atomic replacecommit; a crash
+    between that commit and the hoodie.properties rewrite leaves a
+    stale count that table OPEN reconciles from the timeline — a
+    later upsert must not route an existing key into a second file
+    group (the duplication the r10 advisor described)."""
+    import os
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.hudi_layout import (
+        HudiCowTable,
+    )
+
+    loc = str(tmp_path / "clcrash")
+    t = HudiCowTable(
+        spark, loc, record_key="k", precombine_field="ver",
+        n_file_groups=4,
+    )
+    t.bulk_insert(
+        spark.range(100).selectExpr(
+            "id AS k", "id % 5 AS g", "CAST(1 AS LONG) AS ver"
+        )
+    )
+    t.cluster(2)
+    # simulate the crash: properties regress to the PRE-cluster count
+    props = os.path.join(loc, ".hoodie", "hoodie.properties")
+    txt = open(props).read().replace(
+        "n.file.groups=2", "n.file.groups=4"
+    )
+    open(props, "w").write(txt)
+    # a FRESH handle self-heals from the replacecommit
+    t2 = HudiCowTable(spark, loc)
+    assert t2.n_file_groups == 2
+    assert "n.file.groups=2" in open(props).read()  # repaired on disk
+    # and the upsert of an existing key does not duplicate it
+    t2.upsert(
+        spark.createDataFrame([(7, 0, 2)], "k long, g long, ver long")
+    )
+    got = t2.read().filter("k = 7").collect()
+    assert len(got) == 1 and got[0]["ver"] == 2
+    assert t2.read().count() == 100
