@@ -27,9 +27,11 @@ Honest contract (same refusals as ``convert_delta_to_iceberg``, which
 stay true under continuous sync): no live deletion vectors (adopted
 manifests cannot express them — PURGE first), no hive partitioning
 (Delta data files lack the partition columns Iceberg readers expect in
-the files), no column mapping (files store physical names). A Delta
-schema change after enable refuses loudly at sync — drop the
-``metadata/`` dir and re-enable to regenerate (metadata-only, cheap).
+the files), no column mapping (files store physical names). Delta
+SCHEMA EVOLUTION syncs through (``_evolved_schema_update``): retained
+(name, type) columns keep their Iceberg field ids, new or re-typed
+columns mint fresh ids, files lacking a later-added column serve typed
+NULLs — real UniForm's schema sync.
 
 Scale: each sync is one manifest write of O(live files) entries with
 O(changed files) footer reads; the mirror never rewrites a data file.
@@ -82,6 +84,51 @@ def _record_count(delta_location: str, add: dict) -> int:
     ).num_rows
 
 
+def _evolved_schema_update(md: dict, delta_schema) -> dict:
+    """An Iceberg ``schema_update`` matching the NEW Delta schema by
+    NAME against the mirror's current schema: retained (name, type)
+    pairs keep their field ids (old files keep resolving), new or
+    re-typed columns mint fresh ids (Iceberg's never-reuse contract),
+    departed columns simply leave."""
+    from .iceberg_layout import _TYPE_MAP, ice_schema_by_id
+
+    cur_sid = md.get(
+        "current-schema-id", md["schema"].get("schema-id", 0)
+    )
+    cur = ice_schema_by_id(md, cur_sid)
+    by_name = {f["name"]: f for f in cur["fields"]}
+    next_id = md.get("last-column-id", len(cur["fields"]))
+    fields = []
+    for f in delta_schema.fields:
+        t = f.dataType.simpleString()
+        ice = (
+            t.replace(",", ", ")
+            if t.startswith("decimal")
+            else _TYPE_MAP[t]
+        )
+        prev = by_name.get(f.name)
+        if prev is not None and prev["type"] == ice:
+            fields.append(dict(prev))
+        else:
+            next_id += 1
+            fields.append(
+                {
+                    "id": next_id,
+                    "name": f.name,
+                    "required": False,
+                    "type": ice,
+                }
+            )
+    return {
+        "schema": {
+            "type": "struct",
+            "schema-id": cur.get("schema-id", 0) + 1,
+            "fields": fields,
+        },
+        "last_column_id": next_id,
+    }
+
+
 def _sync_uniform(self: DeltaLogTable) -> int | None:
     """Catch the Iceberg mirror up to the Delta head; returns the new
     Iceberg snapshot id, or None when already in sync."""
@@ -94,6 +141,7 @@ def _sync_uniform(self: DeltaLogTable) -> int | None:
     _validate(live, meta)
     ice = IcebergTable(self.spark, self.location)
     prior_counts: dict[str, int] = {}
+    schema_update = None
     cur = ice._current_version()
     if cur is not None:
         md = ice._metadata()
@@ -115,10 +163,17 @@ def _sync_uniform(self: DeltaLogTable) -> int | None:
             if [(f.name, f.dataType) for f in ice_schema.fields] != [
                 (f.name, f.dataType) for f in delta_schema.fields
             ]:
-                raise ValueError(
-                    "Delta schema changed since UniForm was enabled — "
-                    "drop the table's metadata/ dir and re-enable to "
-                    "regenerate the mirror (metadata-only)"
+                # the Delta schema evolved (append mergeSchema / a
+                # schema-changing overwrite): evolve the MIRROR schema
+                # by NAME — retained (name, type) keep their field
+                # ids, new or re-typed columns mint fresh ids (never
+                # reused — a Delta type change implies full file
+                # replacement, so no old file serves the old id), and
+                # files lacking a later-added column serve typed NULLs
+                # through the explicit-schema scan. Real UniForm's
+                # schema sync.
+                schema_update = _evolved_schema_update(
+                    md, delta_schema
                 )
             prior_counts = {
                 e["data_file"]["file_path"]: e["data_file"][
@@ -146,7 +201,10 @@ def _sync_uniform(self: DeltaLogTable) -> int | None:
         )
     ice._summary_extra = {"delta-version": str(head), "uniform": "true"}
     try:
-        sid = ice._commit(self.read(), files, "overwrite")
+        sid = ice._commit(
+            self.read(), files, "overwrite",
+            schema_update=schema_update,
+        )
     finally:
         ice._summary_extra = None
     return sid

@@ -436,8 +436,14 @@ def test_declarations_preserve_tblproperties_and_protocol(spark, tmp_path):
     proto1 = dt.current_protocol()
     assert "generatedColumns" in proto1["writerFeatures"]
     assert "deletionVectors" in proto1["writerFeatures"]  # kept
-    # the UniForm config survived: sync now refuses with the
-    # documented SCHEMA-DRIFT error (the declaration added a column),
-    # not the pre-fix "not enabled" (config silently dropped)
-    with pytest.raises(ValueError, match="schema changed"):
-        dt.sync_uniform()
+    # the UniForm config survived the declaration commit (pre-fix it
+    # was silently dropped and sync raised "not enabled"), and the
+    # mirror evolves through the added generated column
+    assert dt.sync_uniform() is not None
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.iceberg_layout import (
+        IcebergTable,
+    )
+
+    ice = IcebergTable(spark, dt.location)
+    assert sorted(ice.read().columns) == ["b", "k", "v"]
+    assert ice.read().count() == 20

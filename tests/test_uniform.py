@@ -104,13 +104,44 @@ def test_uniform_refusals(spark, tmp_path):
     d2 = _table(spark, tmp_path, "noen")
     with pytest.raises(ValueError, match="not enabled"):
         d2.sync_uniform()
-    # schema drift after enable refuses loudly at sync
+    # schema drift after enable SYNCS THROUGH (r11: field-id-safe
+    # evolution — retained names keep ids, new columns mint fresh)
     d3 = _table(spark, tmp_path, "drift")
     d3.enable_uniform()
+    ice3 = IcebergTable(spark, d3.location)
+    ids_before = {
+        f["name"]: f["id"]
+        for f in ice3._metadata()["schema"]["fields"]
+    }
     d3.overwrite(
         spark.range(5).selectExpr(
             "id AS k", "id * 2 AS v", "'x' AS extra"
         )
     )
-    with pytest.raises(ValueError, match="schema changed"):
-        d3.sync_uniform()
+    assert d3.sync_uniform() is not None
+    got = _rows(ice3.read())
+    assert got == _rows(d3.read())
+    md3 = ice3._metadata()
+    ids_after = {
+        f["name"]: f["id"]
+        for f in next(
+            s
+            for s in md3["schemas"]
+            if s["schema-id"] == md3["current-schema-id"]
+        )["fields"]
+    }
+    assert ids_after["k"] == ids_before["k"]  # retained id
+    assert ids_after["v"] == ids_before["v"]
+    assert ids_after["extra"] > max(ids_before.values())  # fresh id
+    # append a column via mergeSchema: old files serve typed NULLs
+    d3.append(
+        spark.createDataFrame(
+            [(100, 200, "y", 7.5)],
+            "k long, v long, extra string, w double",
+        ),
+        merge_schema=True,
+    )
+    assert d3.sync_uniform() is not None
+    rows = {r["k"]: r["w"] for r in ice3.read().collect()}
+    assert rows[100] == 7.5
+    assert all(v is None for k, v in rows.items() if k != 100)
