@@ -14681,6 +14681,78 @@ def q_deltalog_stream_tail(spark, sf_dir):
 
 
 @register(
+    "delta_cdf_stream_tail",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, 'insert' AS change_type,
+           0 AS commit_version
+    FROM customer WHERE c_custkey % 3 = 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, 'insert', 2
+    FROM customer WHERE c_custkey % 3 = 1
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, 'delete', 3
+    FROM customer
+    WHERE c_custkey % 3 IN (0, 1) AND c_custkey % 5 = 0
+    """,
+    tags=("lake", "streaming", "S2", "extension"),
+)
+def q_delta_cdf_stream_tail(spark, sf_dir):
+    """STREAMING Change Data Feed (r11, sources/delta_cdf_source.py —
+    ``spark.readStream.format('deltacdf')``, Delta's
+    readChangeFeed=true stream re-derived for the log-native table):
+    offsets are commit versions, each micro-batch serves the commits'
+    row-level change events with the batch table_changes attribution
+    (appends as inserts, cdc-backed DML rows carrying their own
+    _change_type), Arrow-batched per file, exactly-once through the
+    checkpoint. The gate replays overwrite → enable-CDF → append →
+    CoW DELETE and checks the full collected change history."""
+    import tempfile
+
+    from .sources import delta_dml  # noqa: F401
+    from .sources import delta_cdf  # noqa: F401
+    from .sources.delta_cdf_source import register_deltacdf_source
+    from .sources.delta_log import DeltaLogTable
+
+    register_deltacdf_source(spark)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    dt = DeltaLogTable(spark, tempfile.mkdtemp(prefix="cdf_stream_"))
+    dt.overwrite(cust.filter(F.col("c_custkey") % 3 == 0))
+    dt.set_table_properties({"delta.enableChangeDataFeed": "true"})
+    dt.append(cust.filter(F.col("c_custkey") % 3 == 1))
+    dt.delete("c_custkey % 5 = 0")
+    out = tempfile.mkdtemp(prefix="cdf_sink_")
+    q = (
+        spark.readStream.format("deltacdf")
+        .option("location", dt.location)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="cdf_ck_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.schema(
+            "c_custkey bigint, c_mktsegment string, "
+            "_change_type string, _commit_version bigint, "
+            "_commit_timestamp bigint"
+        )
+        .parquet(out)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").cast("int").alias("commit_version"),
+        )
+    )
+
+
+@register(
     "iceberg_layout_partition_prune",
     oracle="""
     SELECT o_orderkey, o_orderpriority,

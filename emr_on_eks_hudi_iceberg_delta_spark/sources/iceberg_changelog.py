@@ -90,20 +90,22 @@ def _aligned_raw_scan(
                 .select(*cols)
             )
             continue
-        # pair joins key on the MANIFEST's path spelling, so read
-        # per-file with the literal path (the _scan_files idiom —
-        # _metadata.file_path would surface a file: URI instead);
-        # only delete-named files pay this, bounded per commit
-        for p in paths:
-            parts.append(
-                self.spark.read.schema(_spark_struct_of(ice))
-                .parquet(p)
-                .select(
-                    *cols,
-                    F.lit(p).alias("__cl_file"),
-                    F.col("_metadata.row_index").alias("__cl_pos"),
-                )
+        # r11: pair joins key on the file BASENAME (fresh writer
+        # UUIDs — the same contract as _scan_files), so even the
+        # delete-named files ride ONE multi-path scan per schema
+        # group instead of O(files) plan pieces; the pairs side
+        # reduces its stored path to a basename too
+        parts.append(
+            self.spark.read.schema(_spark_struct_of(ice))
+            .parquet(*paths)
+            .select(
+                *cols,
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__cl_file"),
+                F.col("_metadata.row_index").alias("__cl_pos"),
             )
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -232,20 +234,28 @@ def _changes(
             == CONTENT_POS_DELETES
         ]
         if new_pos:
+            # both join sides key on BASENAME (r11 — see
+            # _aligned_raw_scan): one multi-path scan, no per-file
+            # plan pieces, no path-spelling sensitivity
             pairs = self.spark.read.parquet(
                 *[d["file_path"] for d in new_pos]
             ).select(
-                F.col("file_path").alias("__cl_file"),
+                F.element_at(
+                    F.split(F.col("file_path"), "/"), -1
+                ).alias("__cl_file"),
                 F.col("pos").alias("__cl_pos"),
             )
-            hit_paths = {
+            hit_names = {
                 r["__cl_file"]
                 for r in pairs.select("__cl_file").distinct().collect()
             }
+            import os as _os
+
             hit_entries = [
                 e
                 for e in par_entries
-                if e["data_file"]["file_path"] in hit_paths
+                if _os.path.basename(e["data_file"]["file_path"])
+                in hit_names
             ]
             if hit_entries:
                 rows = _aligned_raw_scan(
