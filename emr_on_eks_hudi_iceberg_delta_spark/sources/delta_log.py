@@ -1072,31 +1072,55 @@ def _vacuum(
                 keep_dv.add(
                     os.path.relpath(p, self.location).replace(os.sep, "/")
                 )
-    deleted = []
+    doomed: list[tuple[str, str]] = []
     for root, _dirs, files in os.walk(self.location):
         # cdc/ holds change-data files referenced by commit actions,
         # not by the live snapshot — CDF retention is clean_log's
-        # concern, never vacuum's
-        if "_delta_log" in root or os.sep + "cdc" in root:
+        # concern, never vacuum's; metadata/ is the UniForm mirror's
+        # (avro-only, but stay out of it on principle)
+        if (
+            "_delta_log" in root
+            or os.sep + "cdc" in root
+            or root.startswith(
+                os.path.join(self.location, "metadata")
+            )
+        ):
             continue
         for fname in files:
             full = os.path.join(root, fname)
             rel = os.path.relpath(full, self.location).replace(os.sep, "/")
             if fname.endswith(".parquet"):
                 if rel not in keep and os.path.getmtime(full) <= cutoff:
-                    if not dry_run:
-                        os.remove(full)
-                    deleted.append(rel)
+                    doomed.append((full, rel))
             elif (
                 fname.startswith("deletion_vector_")
                 and fname.endswith(".bin")
                 and rel not in keep_dv
                 and os.path.getmtime(full) <= cutoff
             ):
-                if not dry_run:
-                    os.remove(full)
-                deleted.append(rel)
-    return sorted(deleted)
+                doomed.append((full, rel))
+    if dry_run or not doomed:
+        return sorted(rel for _, rel in doomed)
+    # UniForm (r11): the ICEBERG MIRROR must stop referencing the
+    # doomed files BEFORE they go — sync it to the Delta head, then
+    # expire older mirror snapshots METADATA-ONLY (Delta owns the
+    # data-file lifecycle; the mirror must never delete data). A
+    # mirror that cannot sync (e.g. live DVs appeared) aborts the
+    # vacuum loudly with nothing deleted.
+    _, meta, _ = self._replay()
+    if (meta.get("configuration") or {}).get(
+        "delta.universalFormat.enabledFormats"
+    ) == "iceberg":
+        from .iceberg_layout import IcebergTable
+        from .uniform import _sync_uniform
+
+        _sync_uniform(self)
+        IcebergTable(self.spark, self.location).expire_snapshots(
+            keep_last=1, delete_data=False
+        )
+    for full, _rel in doomed:
+        os.remove(full)
+    return sorted(rel for _, rel in doomed)
 
 
 DeltaLogTable.optimize = _optimize

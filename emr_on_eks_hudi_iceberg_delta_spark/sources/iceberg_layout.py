@@ -1533,7 +1533,9 @@ class IcebergTable:
         return out
 
 
-def _expire_snapshots(self, keep_last: int = 1) -> dict:
+def _expire_snapshots(
+    self, keep_last: int = 1, delete_data: bool = True
+) -> dict:
     """Iceberg's expireSnapshots maintenance: drop all but the newest
     ``keep_last`` snapshots from table metadata (one new metadata
     version — the expiration is itself a commit via the version-hint
@@ -1541,7 +1543,11 @@ def _expire_snapshots(self, keep_last: int = 1) -> dict:
     and any DATA FILES no retained snapshot references. Time travel to
     an expired snapshot id fails loudly afterwards (its metadata is
     gone — the same trade real expiration makes); retained snapshots
-    are untouched. Returns {'snapshots': n, 'files': n} deleted."""
+    are untouched. Returns {'snapshots': n, 'files': n} deleted.
+
+    ``delete_data=False`` makes the expiration METADATA-ONLY — the
+    UniForm mirror passes it because the data files belong to the
+    DELTA table, whose vacuum retention owns their lifecycle."""
     import time as _time
 
     md = self._metadata()
@@ -1620,10 +1626,11 @@ def _expire_snapshots(self, keep_last: int = 1) -> dict:
         hint_tmp, os.path.join(self.meta_dir, "version-hint.text")
     )
     n_files = 0
-    for p in sorted(drop_files - keep_files):
-        if os.path.exists(p):
-            os.remove(p)
-            n_files += 1
+    if delete_data:
+        for p in sorted(drop_files - keep_files):
+            if os.path.exists(p):
+                os.remove(p)
+                n_files += 1
     for p in sorted(drop_meta - keep_meta):
         if os.path.exists(p):
             os.remove(p)

@@ -145,3 +145,29 @@ def test_uniform_refusals(spark, tmp_path):
     rows = {r["k"]: r["w"] for r in ice3.read().collect()}
     assert rows[100] == 7.5
     assert all(v is None for k, v in rows.items() if k != 100)
+
+
+def test_vacuum_maintains_the_mirror(spark, tmp_path):
+    """r11: VACUUM on a UniForm table first syncs the mirror to the
+    Delta head and expires older mirror snapshots METADATA-ONLY —
+    Iceberg readers never chase vacuumed files, and the mirror never
+    deletes data it does not own."""
+    dt = _table(spark, tmp_path, "vac")
+    dt.enable_uniform()
+    ice = IcebergTable(spark, dt.location)
+    dt.overwrite(
+        spark.range(50).selectExpr("id AS k", "id * 3 AS v")
+    )  # supersedes every v0 file
+    # mirror is deliberately STALE (no sync since the overwrite)
+    removed = dt.vacuum()
+    assert removed  # the old files actually went
+    # the mirror was synced + expired: its head serves the new state
+    assert sorted(r["k"] for r in ice.read().collect()) == list(range(50))
+    assert len(ice.history()) == 1  # older mirror snapshots expired
+    # and the DELTA side is untouched and correct
+    assert dt.read().count() == 50
+    # dry-run never touches the mirror
+    dt.append(spark.range(50, 60).selectExpr("id AS k", "id * 3 AS v"))
+    before = len(ice.history())
+    assert dt.vacuum(dry_run=True) == []
+    assert len(ice.history()) == before
