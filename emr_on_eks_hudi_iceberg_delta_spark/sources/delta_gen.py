@@ -607,10 +607,16 @@ def _surviving_adds(
             elif order_ok and op in ("<", "<="):
                 checks.append((gname, numeric, lambda pv, w=w: pv <= w))
 
+    # mapped tables key partitionValues by PHYSICAL name (r11): the
+    # logical lookup would silently skip pruning (safe but slow)
+    from .delta_colmap import mapping_enabled, physical_names
+
+    pn = physical_names(meta) if mapping_enabled(meta) else {}
+
     def keep(a: dict) -> bool:
         pv = a.get("partitionValues") or {}
         for gname, numeric, fn in checks:
-            raw = pv.get(gname)
+            raw = pv.get(pn.get(gname, gname))
             if raw is None:
                 continue  # null partition: never prune
             if not fn(int(raw) if numeric else raw):

@@ -402,3 +402,38 @@ def test_partitioned_mapped_table_roundtrip(spark, tmp_path):
             lambda pv: pv.get("segment") == "a"
         ).collect()
     ) == [1, 2]
+
+
+def test_generated_pruning_on_mapped_table(spark, tmp_path):
+    """r11: hidden-partition pruning through generated columns works
+    on a MAPPED table — partitionValues carry PHYSICAL keys, and the
+    pruning decision resolves them (it used to silently keep every
+    file: safe, but no skipping)."""
+    import datetime as _dt
+
+    dt = DeltaLogTable(spark, str(tmp_path / "genprune"))
+    df = spark.createDataFrame(
+        [
+            (i, _dt.datetime(2020 + (i % 4), 1 + (i % 12), 5))
+            for i in range(40)
+        ],
+        "k long, ts timestamp",
+    )
+    dt.overwrite(df)
+    dt.enable_column_mapping()
+    dt.rename_column("k", "key")
+    dt.overwrite_generated(
+        df.selectExpr("k AS key", "ts"),
+        generated={"y": "year(ts)"},
+        partition_by=["y"],
+    )
+    all_files = set(dt._replay()[0])
+    kept = dt.files_matching_generated(
+        [("ts", ">=", _dt.datetime(2023, 1, 1))]
+    )
+    assert 0 < len(kept) < len(all_files)  # skipping engaged
+    got = dt.read_generated([("ts", ">=", _dt.datetime(2023, 1, 1))])
+    want = dt.read().filter(F.col("ts") >= F.lit(_dt.datetime(2023, 1, 1)))
+    assert sorted(map(tuple, got.select("key", "ts", "y").collect())) == sorted(
+        map(tuple, want.select("key", "ts", "y").collect())
+    )
