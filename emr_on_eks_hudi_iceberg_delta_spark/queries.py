@@ -14204,6 +14204,73 @@ def q_hudi_cdc_scan(spark, sf_dir):
 
 
 @register(
+    "hudi_cdc_scan_persisted",
+    oracle="""
+    SELECT c_custkey AS cust_id, CAST(c_acctbal AS DOUBLE) AS balance,
+           'update_before' AS change_type, 2 AS commit_seq
+    FROM customer WHERE c_custkey % 10 = 3
+    UNION ALL
+    SELECT c_custkey, CAST(c_acctbal AS DOUBLE) + 1000.0,
+           'update_after', 2
+    FROM customer WHERE c_custkey % 10 = 3
+    UNION ALL
+    SELECT c_custkey + 10000000, 0.0, 'insert', 2
+    FROM customer WHERE c_custkey % 100 = 0
+    UNION ALL
+    SELECT c_custkey, CAST(c_acctbal AS DOUBLE), 'delete', 3
+    FROM customer WHERE c_custkey % 10 = 7
+    """,
+    tags=("lake", "S7", "extension"),
+)
+def q_hudi_cdc_scan_persisted(spark, sf_dir):
+    """Hudi PERSISTED CDC (r12, sources/hudi_cdc.py — Hudi 0.13's
+    ``hoodie.table.cdc.enabled`` supplemental-logging mode, the table
+    config the reference's runtime ships, hudi/hudi_scd_script.py:33):
+    the table is created with ``cdc_enabled=True``, so every
+    row-changing commit materializes its change records ONCE at commit
+    time into ``cdc/<instant>/``; the scan then reads those files
+    directly — no per-commit before-state re-derivation, linear in
+    changed rows over any range length. Same replay and oracle as
+    ``hudi_cdc_scan`` (inference mode); the two modes share one
+    derivation, and tests/test_hudi_cdc.py pins persisted == inferred
+    plus the reads-only-cdc-files plan."""
+    import tempfile
+
+    from .sources import hudi_cdc  # noqa: F401  (attaches cdc_scan)
+    from .sources.hudi_layout import HudiCowTable
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_acctbal").cast("double").alias("balance"),
+    )
+    t = HudiCowTable(
+        spark, tempfile.mkdtemp(prefix="hudi_cdcp_"),
+        record_key="cust_id", precombine_field="balance",
+        cdc_enabled=True,
+    )
+    i1 = t.bulk_insert(cust)
+    upd = cust.filter("cust_id % 10 = 3").withColumn(
+        "balance", F.col("balance") + 1000.0
+    )
+    new = cust.filter("cust_id % 100 = 0").select(
+        (F.col("cust_id") + 10000000).alias("cust_id"),
+        F.lit(0.0).alias("balance"),
+    )
+    i2 = t.upsert(upd.unionByName(new))
+    i3 = t.delete("cust_id % 10 = 7")
+    ev = t.cdc_scan(i1)
+    return ev.select(
+        "cust_id",
+        "balance",
+        F.col(hudi_cdc.CHANGE_TYPE).alias("change_type"),
+        F.when(F.col(hudi_cdc.COMMIT_INSTANT) == i2, F.lit(2))
+        .when(F.col(hudi_cdc.COMMIT_INSTANT) == i3, F.lit(3))
+        .cast("int")
+        .alias("commit_seq"),
+    )
+
+
+@register(
     "hudi_savepoint_restore",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment, CAST(1 AS INTEGER) AS ver

@@ -77,6 +77,7 @@ class HudiCowTable:
         record_key: str | None = None,
         precombine_field: str | None = None,
         n_file_groups: int = 4,
+        cdc_enabled: bool = False,
     ):
         self.spark = spark
         self.location = location
@@ -99,6 +100,12 @@ class HudiCowTable:
             self.record_key = stored["hoodie.table.recordkey.fields"]
             self.precombine_field = stored["hoodie.table.precombine.field"]
             self.n_file_groups = int(stored["n.file.groups"])
+            # table config, like real Hudi: the stored flag wins over
+            # the constructor arg — CDC is a property of the TABLE
+            # (every writer must honor it), not of one writer session
+            self.cdc_enabled = (
+                stored.get("hoodie.table.cdc.enabled", "false") == "true"
+            )
             # self-heal the routing count (r11): cluster() records
             # newFileGroupCount IN the replacecommit, so a crash
             # between that atomic commit and the properties rewrite
@@ -124,6 +131,7 @@ class HudiCowTable:
             self.record_key = record_key
             self.precombine_field = precombine_field
             self.n_file_groups = n_file_groups
+            self.cdc_enabled = bool(cdc_enabled)
             with open(props, "w") as f:
                 f.write(f"hoodie.table.type={self.TABLE_TYPE}\n")
                 f.write(f"hoodie.table.recordkey.fields={record_key}\n")
@@ -131,6 +139,12 @@ class HudiCowTable:
                     f"hoodie.table.precombine.field={precombine_field}\n"
                 )
                 f.write(f"n.file.groups={n_file_groups}\n")
+                if cdc_enabled:
+                    f.write("hoodie.table.cdc.enabled=true\n")
+                    f.write(
+                        "hoodie.table.cdc.supplemental.logging.mode="
+                        "data_before_after\n"
+                    )
 
     # ----------------------------- timeline -----------------------------
 

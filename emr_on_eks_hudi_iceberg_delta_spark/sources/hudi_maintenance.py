@@ -174,6 +174,12 @@ def _rewrite_properties(self) -> None:
             f"hoodie.table.precombine.field={self.precombine_field}\n"
         )
         f.write(f"n.file.groups={self.n_file_groups}\n")
+        if getattr(self, "cdc_enabled", False):
+            f.write("hoodie.table.cdc.enabled=true\n")
+            f.write(
+                "hoodie.table.cdc.supplemental.logging.mode="
+                "data_before_after\n"
+            )
     os.replace(tmp, props)
 
 

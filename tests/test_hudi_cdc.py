@@ -143,3 +143,130 @@ def test_cow_cdc_reads_only_touched_groups(spark, tmp_path):
     # the plan touches a strict subset of the table's slice files
     assert files < all_files
     assert len(files) <= 4  # old+new slice of ONE group (+name variants)
+
+
+# ---------------------- persisted supplemental CDC (r12) ----------------------
+
+
+def _cdc_table(spark, path, cls=HudiCowTable, **kw):
+    t = cls(
+        spark, str(path),
+        record_key="k", precombine_field="v", cdc_enabled=True, **kw
+    )
+    i1 = t.bulk_insert(_base(spark))
+    upd = _base(spark).filter("k % 10 = 3").withColumn(
+        "v", F.col("v") + 100.0
+    )
+    new = spark.createDataFrame([(1000, 0, 1.0)], "k long, g long, v double")
+    i2 = t.upsert(upd.unionByName(new))
+    i3 = t.delete("k % 10 = 7")
+    return t, i1, i2, i3
+
+
+def test_persisted_cdc_equals_inference(spark, tmp_path):
+    """Persisted supplemental files and timeline inference share one
+    derivation — the scan answers are literally equal."""
+    t, i1, i2, i3 = _cdc_table(spark, tmp_path / "pers")
+    for inst in (i1, i2, i3):
+        assert os.path.exists(
+            os.path.join(t.location, "cdc", inst, "_SUCCESS")
+        )
+    persisted = _ev(t.cdc_scan(i1))
+    inferred = _ev(t.cdc_scan(i1, use_persisted=False))
+    assert persisted == inferred
+    want = sorted(
+        [(k, float(k), "update_before") for k in range(3, 40, 10)]
+        + [(k, k + 100.0, "update_after") for k in range(3, 40, 10)]
+        + [(1000, 1.0, "insert")]
+        + [(k, float(k), "delete") for k in range(7, 40, 10)]
+    )
+    assert persisted == want
+
+
+def test_persisted_cdc_scan_reads_only_cdc_files(spark, tmp_path):
+    """Plan pin (the r12 contract): a multi-commit range over a
+    CDC-enabled table is answered ENTIRELY from cdc/ supplemental
+    files — no base or log slice enters the plan."""
+    t = HudiCowTable(
+        spark, str(tmp_path / "only"),
+        record_key="k", precombine_field="v", cdc_enabled=True,
+    )
+    i1 = t.bulk_insert(_base(spark, 100))
+    for step in range(10):
+        t.upsert(
+            spark.createDataFrame(
+                [(step * 7 % 100, 0, 1000.0 + step)],
+                "k long, g long, v double",
+            )
+        )
+    ev = t.cdc_scan(i1)
+    files = ev.inputFiles()
+    assert files, "scan planned no files"
+    assert all(f"{os.sep}cdc{os.sep}" in f for f in files), files
+    # 10 upserts of an existing key: before+after per commit
+    assert ev.count() == 20
+
+
+def test_persisted_cdc_fallback_for_missing_supplemental(spark, tmp_path):
+    """A commit whose supplemental file is absent (pre-CDC history, or
+    a crash between commit and persist) falls back to inference — the
+    mixed-mode scan still equals full inference."""
+    import shutil
+
+    t, i1, i2, i3 = _cdc_table(spark, tmp_path / "mixed")
+    shutil.rmtree(os.path.join(t.location, "cdc", i2))
+    assert _ev(t.cdc_scan(i1)) == _ev(t.cdc_scan(i1, use_persisted=False))
+
+
+def test_cdc_flag_is_table_config(spark, tmp_path):
+    """cdc_enabled round-trips through hoodie.properties: a reopen
+    WITHOUT the kwarg keeps persisting (every writer honors the table
+    config), and cluster()'s properties republish preserves the flag."""
+    t, i1, _, _ = _cdc_table(spark, tmp_path / "flag")
+    t2 = HudiCowTable(spark, t.location)
+    assert t2.cdc_enabled
+    t2.cluster(2)  # republishes hoodie.properties; no logical change
+    t3 = HudiCowTable(spark, t.location)
+    assert t3.cdc_enabled
+    i4 = t3.upsert(
+        spark.createDataFrame([(4, 4, 444.0)], "k long, g long, v double")
+    )
+    assert os.path.exists(
+        os.path.join(t.location, "cdc", i4, "_SUCCESS")
+    )
+    # maintenance instants persist nothing (they change no logical row)
+    cdc_dirs = set(os.listdir(os.path.join(t.location, "cdc")))
+    assert all(d in t3.instants() for d in cdc_dirs)
+    assert t3.cdc_scan(i1).filter("k = 4").count() == 2  # before+after
+
+
+def test_mor_persisted_cdc_tombstone(spark, tmp_path):
+    t = HudiMorTable(
+        spark, str(tmp_path / "morp"),
+        record_key="k", precombine_field="v", cdc_enabled=True,
+    )
+    i1 = t.bulk_insert(_base(spark, 30))
+    i2 = t.delete("k = 5")
+    assert os.path.exists(
+        os.path.join(t.location, "cdc", i2, "_SUCCESS")
+    )
+    ev = t.cdc_scan(i1, end_instant=i2)
+    assert _ev(ev) == [(5, 5.0, "delete")]
+    assert all(f"{os.sep}cdc{os.sep}" in f for f in ev.inputFiles())
+    t.compact()
+    assert sorted(os.listdir(os.path.join(t.location, "cdc"))) == sorted(
+        [i1, i2]
+    )
+
+
+def test_persisted_cdc_survives_cleaner(spark, tmp_path):
+    """Inference needs the PREVIOUS slice of every touched group; the
+    cleaner retires old slices. Persisted change files make history
+    scans independent of slice retention."""
+    t, i1, i2, i3 = _cdc_table(spark, tmp_path / "clean")
+    expected = _ev(t.cdc_scan(i1))
+    removed = t.clean(retain_slices=1)
+    assert removed  # the old slices really went away
+    got = t.cdc_scan(i1)
+    assert _ev(got) == expected
+    assert all(f"{os.sep}cdc{os.sep}" in f for f in got.inputFiles())
