@@ -191,8 +191,80 @@ MANIFEST_FILE_SCHEMA = {
         # Manifest lists written before this field existed read back
         # without the key; every consumer defaults it to 0.
         {"name": "content", "type": "int", "field-id": 517},
+        # spec field 507: per-partition-field summaries letting readers
+        # prune WHOLE MANIFESTS before decoding them (field_summary:
+        # contains_null 509, lower_bound 510, upper_bound 511). Bounds
+        # are JSON single-value encoded (this codec's documented
+        # metadata-plane representation; real Iceberg uses the binary
+        # single-value serialization). Nullable union: manifest lists
+        # written before this field — and writers that don't compute
+        # summaries — read back as null and are simply never pruned.
+        {
+            "name": "partitions",
+            "field-id": 507,
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            # spec summaries are POSITIONAL per spec_id;
+                            # carrying the field name instead keeps
+                            # pruning correct across partition-spec
+                            # evolution without a spec_id->layout
+                            # resolution table (documented deviation,
+                            # same class as the JSON bound encoding)
+                            {"name": "name", "type": "string"},
+                            {"name": "contains_null", "type": "boolean",
+                             "field-id": 509},
+                            {"name": "lower_bound",
+                             "type": ["null", "string"],
+                             "field-id": 510},
+                            {"name": "upper_bound",
+                             "type": ["null", "string"],
+                             "field-id": 511},
+                        ],
+                    },
+                },
+            ],
+        },
     ],
 }
+
+
+def partition_summaries(
+    entries: list[dict], part_fields: list[tuple[str, str]]
+) -> list[dict] | None:
+    """spec-507 field summaries for the entries going into ONE
+    manifest: per partition field, contains_null plus JSON-encoded
+    min/max over the live entries' partition values. None for
+    unpartitioned tables (nothing to prune on)."""
+    if not part_fields:
+        return None
+    out = []
+    for name, _t in part_fields:
+        lo = hi = None
+        has_null = False
+        for e in entries:
+            if e["status"] == STATUS_DELETED:
+                continue
+            v = e["data_file"]["partition"].get(name)
+            if v is None:
+                has_null = True
+                continue
+            lo = v if lo is None or v < lo else lo
+            hi = v if hi is None or v > hi else hi
+        out.append(
+            {
+                "name": name,
+                "contains_null": has_null,
+                "lower_bound": None if lo is None else json.dumps(lo),
+                "upper_bound": None if hi is None else json.dumps(hi),
+            }
+        )
+    return out
 
 STATUS_EXISTING, STATUS_ADDED, STATUS_DELETED = 0, 1, 2
 CONTENT_DATA, CONTENT_POS_DELETES, CONTENT_EQ_DELETES = 0, 1, 2
@@ -478,11 +550,20 @@ class IcebergTable:
     # ------------------------------ reading ------------------------------
 
     def _entries(
-        self, snapshot_id: int | None = None, content: int = CONTENT_DATA
+        self,
+        snapshot_id: int | None = None,
+        content: int = CONTENT_DATA,
+        manifest_pred=None,
     ) -> list[dict]:
         """Manifest entries of the requested ``content`` kind (0 data,
         1 position deletes); manifest lists written before the content
-        field default to data."""
+        field default to data. ``manifest_pred`` (r12) is a driver
+        predicate over the manifest-list row — ``read_hidden`` passes
+        one built from the spec-507 partition summaries, so manifests
+        whose partition range provably misses the query are SKIPPED
+        BEFORE DECODE: on a sharded table the first-plan decode cost is
+        O(matching manifests), not O(table). Rows without summaries
+        (pre-r12 lists, delete manifests) are never pruned."""
         md = self._metadata()
         sid = (
             snapshot_id
@@ -506,6 +587,8 @@ class IcebergTable:
         entries: list[dict] = []
         for m in manifests:
             if m.get("content", CONTENT_DATA) != content:
+                continue
+            if manifest_pred is not None and not manifest_pred(m):
                 continue
             _, es = read_ocf_cached(m["manifest_path"])
             entries.extend(es)
@@ -1043,18 +1126,62 @@ class IcebergTable:
         cur = self._current_version()
         snapshot_id = int(uuid.uuid4().int % (1 << 62))
         now = int(time.time() * 1000)
-        carried: list[dict] = []
+        # MANIFEST REUSE (r12, how real Iceberg appends work): carry
+        # the parent snapshot's manifest-list rows VERBATIM — manifests
+        # are immutable, so referencing them costs nothing — and write
+        # ONE new manifest holding only this commit's added files.
+        # Append cost becomes O(added), not O(table); snapshots
+        # accumulate naturally SHARDED manifests (one per commit) whose
+        # spec-507 partition summaries let readers prune whole
+        # manifests before decoding. Entries in reused manifests keep
+        # their original status/snapshot_id, which is exactly what
+        # added_files/changelog attribution (status==ADDED and
+        # snapshot_id==sid) and eq-delete sequence resolution key on;
+        # DELETED entries riding along are filtered by every reader.
+        # This also subsumes the old delete-manifest carry: content=1
+        # rows ride the same reuse.
+        carried_mrows: list[dict] = []
         if operation == "append" and cur is not None:
-            carried = [
-                {
-                    "status": STATUS_EXISTING,
-                    "snapshot_id": e["snapshot_id"],
-                    "data_file": e["data_file"],
-                }
-                for e in self._entries()
-                if e["status"] != STATUS_DELETED
-            ]
-        entries = carried + [
+            md0 = self._metadata()
+            cur_sid = md0.get("current-snapshot-id")
+            snap0 = next(
+                (
+                    s
+                    for s in md0["snapshots"]
+                    if s["snapshot-id"] == cur_sid
+                ),
+                None,
+            )
+            if snap0 is not None:
+                _, prior = read_ocf_cached(snap0["manifest-list"])
+                carried_mrows = [
+                    {
+                        **{
+                            k: m.get(k)
+                            for k in (
+                                "manifest_path",
+                                "manifest_length",
+                                "added_snapshot_id",
+                            )
+                        },
+                        "partition_spec_id": m.get(
+                            "partition_spec_id", 0
+                        ),
+                        "added_data_files_count": m.get(
+                            "added_data_files_count", 0
+                        ),
+                        "existing_data_files_count": m.get(
+                            "existing_data_files_count", 0
+                        ),
+                        "deleted_data_files_count": m.get(
+                            "deleted_data_files_count", 0
+                        ),
+                        "content": m.get("content", CONTENT_DATA),
+                        "partitions": m.get("partitions"),
+                    }
+                    for m in prior
+                ]
+        entries = [
             {
                 "status": STATUS_ADDED,
                 "snapshot_id": snapshot_id,
@@ -1104,52 +1231,22 @@ class IcebergTable:
             if cur is not None
             else 0
         )
-        mrows = [
+        # carried rows FIRST (timeline order), then this commit's own
+        # manifest. Live position-delete manifests ride the carry —
+        # the pre-r12 decode-and-re-encode delete carry is subsumed.
+        mrows = carried_mrows + [
             {
                 "manifest_path": manifest_path,
                 "manifest_length": os.path.getsize(manifest_path),
                 "partition_spec_id": spec_id,
                 "added_snapshot_id": snapshot_id,
                 "added_data_files_count": len(new_files),
-                "existing_data_files_count": len(carried),
+                "existing_data_files_count": 0,
                 "deleted_data_files_count": 0,
                 "content": CONTENT_DATA,
+                "partitions": partition_summaries(entries, part_fields),
             }
         ]
-        # appends must CARRY the live position-delete files forward —
-        # dropping the delete manifest would resurrect deleted rows;
-        # overwrites replace the whole state, so deletes fall away.
-        if operation == "append" and cur is not None:
-            del_carried = [
-                {
-                    "status": STATUS_EXISTING,
-                    "snapshot_id": e["snapshot_id"],
-                    "data_file": e["data_file"],
-                }
-                for e in self._entries(content=CONTENT_POS_DELETES)
-                if e["status"] != STATUS_DELETED
-            ]
-            if del_carried:
-                from .iceberg_deletes import DELETE_MANIFEST_ENTRY_SCHEMA
-
-                dm_path = os.path.join(
-                    self.meta_dir, f"snap-{snapshot_id}-m1-deletes.avro"
-                )
-                write_ocf(
-                    dm_path, DELETE_MANIFEST_ENTRY_SCHEMA, del_carried
-                )
-                mrows.append(
-                    {
-                        "manifest_path": dm_path,
-                        "manifest_length": os.path.getsize(dm_path),
-                        "partition_spec_id": 0,
-                        "added_snapshot_id": snapshot_id,
-                        "added_data_files_count": 0,
-                        "existing_data_files_count": len(del_carried),
-                        "deleted_data_files_count": 0,
-                        "content": CONTENT_POS_DELETES,
-                    }
-                )
         mlist_path = os.path.join(
             self.meta_dir, f"snap-{snapshot_id}.avro"
         )
@@ -1474,6 +1571,7 @@ class IcebergTable:
         always exact — pruning is IO elision, never semantics."""
         from .iceberg_bounds import bounds_may_match
         from .iceberg_transforms import (
+            prune_interval,
             prune_predicate,
             residual_column,
         )
@@ -1485,6 +1583,7 @@ class IcebergTable:
             for f in md["schema"]["fields"]
         }
         checks = []  # (field name, partition-value predicate)
+        ichecks = []  # (field name, summary-interval predicate)
         for col, op, lit in filters:
             for fld in fields:
                 if fld["source"] != col:
@@ -1494,6 +1593,32 @@ class IcebergTable:
                 fn = prune_predicate(fld, op, lit, src_types[col])
                 if fn is not None:
                     checks.append((fld["name"], fn))
+                ifn = prune_interval(fld, op, lit, src_types[col])
+                if ifn is not None:
+                    ichecks.append((fld["name"], ifn))
+
+        def manifest_pred(m: dict) -> bool:
+            """spec-507 LIST-LEVEL pruning: drop a whole manifest —
+            before decoding it — when some partition field's summary
+            interval provably misses the query. Manifests without
+            summaries are kept; a contains_null summary keeps (null
+            partition values are never pruned, matching the
+            entry-level rule)."""
+            summ = m.get("partitions")
+            if not summ:
+                return True
+            by_name = {s.get("name"): s for s in summ}
+            for name, ifn in ichecks:
+                s = by_name.get(name)
+                if s is None or s.get("contains_null"):
+                    continue
+                lo, hi = s.get("lower_bound"), s.get("upper_bound")
+                if not ifn(
+                    None if lo is None else json.loads(lo),
+                    None if hi is None else json.loads(hi),
+                ):
+                    return False
+            return True
         ids_by_col = {
             f["name"]: f["id"] for f in md["schema"]["fields"]
         }
@@ -1509,7 +1634,9 @@ class IcebergTable:
 
         entries = [
             e
-            for e in self._entries(snapshot_id)
+            for e in self._entries(
+                snapshot_id, manifest_pred=manifest_pred
+            )
             if e["status"] != STATUS_DELETED and keep(e)
         ]
         if not entries:

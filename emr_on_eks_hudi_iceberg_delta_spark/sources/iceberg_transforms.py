@@ -575,6 +575,43 @@ def prune_predicate(
     return lambda pv: pv is None or pv <= w
 
 
+def prune_interval(field: dict, op: str, literal, source_type: str):
+    """MANIFEST-LIST-level twin of ``prune_predicate``: a predicate
+    over a manifest's per-field summary interval ``(lower, upper)``
+    (spec field_summary 510/511) proving a WHOLE MANIFEST out before
+    its entries are decoded, or None when the transform cannot prove
+    anything. Same lifting rules: equality/IN survive every transform
+    (bucket included — equal sources hash equal); ranges survive only
+    the order-preserving transforms, with floor-inclusive boundaries.
+    Unknown bounds (None — pre-summary manifests) always keep."""
+    name, _param = parse_transform(field["transform"])
+    t = field["transform"]
+
+    def lift(v):
+        return transform_literal(t, v, source_type)
+
+    if op == "in":
+        wanted = {lift(v) for v in literal}
+        return lambda lo, hi: (
+            lo is None
+            or hi is None
+            or any(lo <= w <= hi for w in wanted)
+        )
+    if op == "=":
+        w = lift(literal)
+        return lambda lo, hi: (
+            lo is None or hi is None or lo <= w <= hi
+        )
+    if name == "bucket":
+        return None  # ranges don't survive hashing
+    if op not in _RANGE_OPS:
+        return None
+    w = lift(literal)
+    if op in (">", ">="):
+        return lambda lo, hi: hi is None or hi >= w
+    return lambda lo, hi: lo is None or lo <= w
+
+
 def residual_column(col: str, op: str, literal) -> Column:
     """The exact query predicate, applied on the pruned scan — pruning
     selects files, the residual selects rows."""

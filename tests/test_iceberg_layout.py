@@ -175,3 +175,157 @@ def test_expire_snapshots_retention(spark, tmp_path):
     st = t2.expire_snapshots(keep_last=1)
     assert st["snapshots"] == 1 and st["files"] == 0  # all files shared
     assert _rows(t2.read()) == [(i,) for i in range(6)]
+
+
+# ------------------- manifest reuse + list-level pruning (r12) -------------------
+
+
+def _mlist(t, sid=None):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.avro_io import read_ocf
+
+    md = t._metadata()
+    sid = sid if sid is not None else md["current-snapshot-id"]
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+    _, rows = read_ocf(snap["manifest-list"])
+    return rows
+
+
+def test_append_reuses_parent_manifests(spark, tmp_path):
+    """r12: an append references the parent snapshot's manifests
+    VERBATIM and writes one new manifest holding only its added files —
+    write cost O(added), manifests naturally sharded one-per-commit."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.avro_io import read_ocf
+
+    t = IcebergTable(spark, str(tmp_path / "reuse"))
+    s1 = t.append(spark.range(10).selectExpr("id"))
+    s2 = t.append(spark.range(10, 15).selectExpr("id"))
+    s3 = t.append(spark.range(15, 18).selectExpr("id"))
+    rows3 = [m for m in _mlist(t, s3) if m.get("content", 0) == 0]
+    assert len(rows3) == 3  # one data manifest per append
+    # the first two rows are the parent's rows, same paths (reuse)
+    rows2 = [m for m in _mlist(t, s2) if m.get("content", 0) == 0]
+    assert [m["manifest_path"] for m in rows3[:2]] == [
+        m["manifest_path"] for m in rows2
+    ]
+    # the new manifest holds ONLY files this commit added — nothing
+    # carried, every entry ADDED under s3
+    _, es = read_ocf(rows3[-1]["manifest_path"])
+    assert len(es) == rows3[-1]["added_data_files_count"]
+    assert all(e["status"] == 1 and e["snapshot_id"] == s3 for e in es)
+    assert _rows(t.read()) == [(i,) for i in range(18)]
+    # incremental attribution still exact under reuse
+    assert sorted(
+        r[0]
+        for r in t.read_appended_since(s1).select("id").collect()
+    ) == list(range(10, 18))
+
+
+def test_append_carries_delete_manifests_by_reference(spark, tmp_path):
+    """Appends after a MoR DELETE keep the delete manifest applied —
+    now carried by reference instead of decode-and-re-encode."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import iceberg_deletes  # noqa: F401
+
+    t = IcebergTable(spark, str(tmp_path / "delcarry"))
+    t.append(spark.range(10).selectExpr("id", "id * 2 AS v"))
+    t.delete("id = 3")
+    del_rows_before = [
+        m for m in _mlist(t) if m.get("content", 0) == 1
+    ]
+    assert del_rows_before
+    t.append(spark.range(10, 12).selectExpr("id", "id * 2 AS v"))
+    del_rows_after = [
+        m for m in _mlist(t) if m.get("content", 0) == 1
+    ]
+    assert [m["manifest_path"] for m in del_rows_after] == [
+        m["manifest_path"] for m in del_rows_before
+    ]
+    got = sorted(r[0] for r in t.read().select("id").collect())
+    assert got == [0, 1, 2, 4, 5, 6, 7, 8, 9, 10, 11]
+
+
+def test_partition_summaries_recorded(spark, tmp_path):
+    t = IcebergTable(spark, str(tmp_path / "summ"))
+    t.append(
+        spark.range(20).selectExpr("id", "CAST(id % 4 AS INT) AS b"),
+        partition_by=["b"],
+    )
+    t.append(
+        spark.range(20, 30).selectExpr("id", "CAST(7 AS INT) AS b"),
+    )
+    import json as _json
+
+    rows = [m for m in _mlist(t) if m.get("content", 0) == 0]
+    assert len(rows) == 2
+    s0 = rows[0]["partitions"][0]
+    assert s0["name"] == "b" and not s0["contains_null"]
+    assert _json.loads(s0["lower_bound"]) == 0
+    assert _json.loads(s0["upper_bound"]) == 3
+    s1 = rows[1]["partitions"][0]
+    assert _json.loads(s1["lower_bound"]) == 7
+    assert _json.loads(s1["upper_bound"]) == 7
+
+
+def test_read_hidden_prunes_manifests_before_decode(spark, tmp_path, monkeypatch):
+    """List-level pruning: a day-filtered read over a table whose
+    appends landed on different days DECODES only the matching
+    commits' manifests — the others are proven out by their spec-507
+    summaries before any entry decode."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import iceberg_layout as il
+
+    t = IcebergTable(spark, str(tmp_path / "prune"))
+    for day in ("2024-01-01", "2024-03-01", "2024-06-01"):
+        t.append(
+            spark.range(50).selectExpr(
+                "id",
+                f"CAST('{day} 10:00:00' AS TIMESTAMP_NTZ) AS ts",
+            ),
+            partition_by=["day(ts)"],
+        )
+    decoded = []
+    real = il.read_ocf_cached
+
+    def spy(path):
+        decoded.append(os.path.basename(path))
+        return real(path)
+
+    monkeypatch.setattr(il, "read_ocf_cached", spy)
+    import datetime
+
+    out = t.read_hidden(
+        [("ts", ">=", datetime.datetime(2024, 5, 1))]
+    )
+    assert out.count() == 50
+    # one manifest list + ONE data manifest decoded (the June one);
+    # January and March manifests were pruned before decode
+    manifests = [p for p in decoded if "-m0" in p]
+    assert len(manifests) == 1, decoded
+    # exactness: the residual filter keeps semantics
+    assert out.select("id").distinct().count() == 50
+
+
+def test_prune_interval_unit():
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.iceberg_transforms import (
+        prune_interval,
+    )
+
+    day = {"name": "ts_day", "transform": "day", "source": "ts"}
+    bucket = {"name": "id_bucket", "transform": "bucket[8]", "source": "id"}
+    ident = {"name": "g", "transform": "identity", "source": "g"}
+    import datetime
+
+    d = datetime.datetime(2024, 6, 1)
+    ge = prune_interval(day, ">=", d, "timestamp_ntz")
+    lift = ge  # keep iff hi >= t(lit)
+    import math
+
+    # day ordinal of 2024-06-01 vs intervals
+    assert ge(None, None)  # unknown bounds keep
+    assert not ge(19700, 19750)  # both way before 2024
+    eq = prune_interval(ident, "=", 5, "int")
+    assert eq(0, 9) and not eq(6, 9) and eq(None, 4)
+    inp = prune_interval(ident, "in", [2, 11], "int")
+    assert inp(10, 12) and not inp(3, 9)
+    beq = prune_interval(bucket, "=", 42, "bigint")
+    assert beq is not None  # equality survives bucketing
+    brange = prune_interval(bucket, ">=", 42, "bigint")
+    assert brange is None  # ranges don't survive hashing

@@ -1,17 +1,22 @@
 """Measure DRIVER-side Iceberg planning cost at large file counts.
 
-The layout writes ONE full-state manifest per snapshot (appends carry
-prior files forward as EXISTING), so planning a read decodes one Avro
-manifest with O(total files) entries and builds the live-path list —
-all driver-side, the same boundary real single-node readers have.
-This benchmark synthesizes manifests at 10^4 .. 10^6 entries with the
-production schema (bounds populated) and times the decode + live-set
-build, answering the r10 verdict's "quantify the planning cost and
-document the measured boundary" item. Results land in SCALE.md.
+Monolithic scenario (pre-r12 layout): ONE full-state manifest per
+snapshot means planning decodes O(total files) Avro entries on the
+first plan — the measured ~30 us/entry boundary (36 s at 10^6 files)
+the r11 verdict documented.
+
+Sharded scenario (r12 layout): appends REUSE parent manifests and add
+one manifest per commit, each carrying spec-507 partition summaries in
+the manifest list. A partition-filtered first plan prunes whole
+manifests BEFORE decode, so the decode cost is O(matching manifests) —
+sub-linear in table size. This benchmark shards the same 10^6 entries
+into 256 manifests and times a point-partition-filtered first plan
+end-to-end (list decode + summary pruning + matching-manifest decode),
+beside the monolithic numbers.
 
 Usage: python tools/manifest_planning_bench.py
 Prints one JSON line: {"rows": {n_entries: {"write_s", "decode_s",
-"liveset_s", "mb"}}, ...}
+"liveset_s", "mb"}}, "sharded": {...}}
 """
 
 import json
@@ -89,7 +94,98 @@ def main() -> None:
             "mb": round(os.path.getsize(path) / 1e6, 1),
         }
         os.remove(path)
-    print(json.dumps({"metric": "manifest_planning", "rows": out}))
+
+    # ---- sharded scenario (r12): 10^6 entries over 256 manifests ----
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.iceberg_layout import (
+        MANIFEST_FILE_SCHEMA,
+        partition_summaries,
+    )
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.iceberg_transforms import (
+        prune_interval,
+    )
+
+    n, shards = 1_000_000, 256
+    per = n // shards
+    d = tempfile.mkdtemp(prefix="mplan_shard_")
+    t0 = time.perf_counter()
+    mrows = []
+    for s in range(shards):
+        # contiguous partition range per shard: p in [s*4, s*4+3]
+        es = synth_entries(per)
+        for i, e in enumerate(es):
+            e["data_file"]["partition"] = {"p": s * 4 + (i % 4)}
+        mp = os.path.join(d, f"m{s:04d}.avro")
+        write_ocf(mp, schema, es)
+        mrows.append(
+            {
+                "manifest_path": mp,
+                "manifest_length": os.path.getsize(mp),
+                "partition_spec_id": 0,
+                "added_snapshot_id": 1,
+                "added_data_files_count": per,
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "content": 0,
+                "partitions": partition_summaries(
+                    es, [("p", "int")]
+                ),
+            }
+        )
+    mlist = os.path.join(d, "snap-1.avro")
+    write_ocf(mlist, MANIFEST_FILE_SCHEMA, mrows)
+    t_build = time.perf_counter() - t0
+
+    # first plan, partition-filtered: p = 777 -> exactly one shard
+    ifn = prune_interval(
+        {"name": "p", "transform": "identity", "source": "p"},
+        "=", 777, "int",
+    )
+    t0 = time.perf_counter()
+    _, manifests = read_ocf(mlist)
+    decoded_manifests = 0
+    live = []
+    for m in manifests:
+        summ = m.get("partitions")
+        if summ:
+            s0 = summ[0]
+            lo = s0.get("lower_bound")
+            hi = s0.get("upper_bound")
+            if not ifn(
+                None if lo is None else json.loads(lo),
+                None if hi is None else json.loads(hi),
+            ):
+                continue
+        _, es = read_ocf(m["manifest_path"])
+        decoded_manifests += 1
+        live.extend(
+            e["data_file"]["file_path"]
+            for e in es
+            if e["status"] != STATUS_DELETED
+            and e["data_file"]["partition"]["p"] == 777
+        )
+    t_pruned_plan = time.perf_counter() - t0
+    want = sum(1 for i in range(per) if 194 * 4 + (i % 4) == 777)
+    assert decoded_manifests == 1 and len(live) == want
+    for m in mrows:
+        os.remove(m["manifest_path"])
+    os.remove(mlist)
+    os.rmdir(d)
+    sharded = {
+        "entries": n,
+        "shards": shards,
+        "build_s": round(t_build, 3),
+        "pruned_first_plan_s": round(t_pruned_plan, 4),
+        "decoded_manifests": decoded_manifests,
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "manifest_planning",
+                "rows": out,
+                "sharded": sharded,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
