@@ -14820,6 +14820,94 @@ def q_delta_cdf_stream_tail(spark, sf_dir):
 
 
 @register(
+    "hudi_incremental_stream_tail",
+    oracle="""
+    SELECT c_custkey AS cust_id, CAST(c_acctbal AS DOUBLE) AS balance,
+           1 AS commit_seq
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, CAST(c_acctbal AS DOUBLE) + 1000.0, 2
+    FROM customer WHERE c_custkey % 10 = 3
+    UNION ALL
+    SELECT c_custkey + 10000000, 0.0, 3
+    FROM customer WHERE c_custkey % 100 = 0
+    """,
+    tags=("lake", "streaming", "S7", "extension"),
+)
+def q_hudi_incremental_stream_tail(spark, sf_dir):
+    """STREAMING Hudi incremental source (r12,
+    sources/hudi_incr_source.py — ``spark.readStream.format(
+    'hudiincr')``, hoodie.datasource.query.type=incremental as a
+    stream, the consumption mode the reference's Hudi upsert pipeline
+    feeds, hudi/hudi_scd_script.py:72-74): offsets are timeline
+    instants checkpointed exactly-once; each micro-batch plans only
+    the range's commits' file slices (latest per group) and filters
+    carried rows out by commit stamp, Arrow-batched per file. The gate
+    replays bulk-insert, streams it (full-history first batch), then
+    upserts an update wave and an insert wave and streams the TAIL
+    through the same checkpoint — the sink must hold each row exactly
+    once per commit that changed it."""
+    import tempfile
+
+    from .sources.hudi_incr_source import register_hudiincr_source
+    from .sources.hudi_layout import HudiCowTable
+
+    register_hudiincr_source(spark)
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_acctbal").cast("double").alias("balance"),
+    )
+    t = HudiCowTable(
+        spark, tempfile.mkdtemp(prefix="hudi_incr_"),
+        record_key="cust_id", precombine_field="balance",
+    )
+    i1 = t.bulk_insert(cust)
+    out = tempfile.mkdtemp(prefix="hincr_sink_")
+    ck = tempfile.mkdtemp(prefix="hincr_ck_")
+
+    def run():
+        q = (
+            spark.readStream.format("hudiincr")
+            .option("location", t.location)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()  # batch 1: the full history (everything stamped i1)
+    i2 = t.upsert(
+        cust.filter("cust_id % 10 = 3").withColumn(
+            "balance", F.col("balance") + 1000.0
+        )
+    )
+    i3 = t.upsert(
+        cust.filter("cust_id % 100 = 0").select(
+            (F.col("cust_id") + 10000000).alias("cust_id"),
+            F.lit(0.0).alias("balance"),
+        )
+    )
+    run()  # batch 2: the checkpointed tail — commits i2 + i3 only
+    sunk = spark.read.schema(
+        "_hoodie_commit_time string, _hoodie_record_key string, "
+        "_hoodie_partition_path string, cust_id bigint, "
+        "balance double, _hoodie_file_name string"
+    ).parquet(out)
+    return sunk.select(
+        "cust_id",
+        "balance",
+        F.when(F.col("_hoodie_commit_time") == i1, F.lit(1))
+        .when(F.col("_hoodie_commit_time") == i2, F.lit(2))
+        .when(F.col("_hoodie_commit_time") == i3, F.lit(3))
+        .cast("int")
+        .alias("commit_seq"),
+    )
+
+
+@register(
     "iceberg_layout_partition_prune",
     oracle="""
     SELECT o_orderkey, o_orderpriority,

@@ -23,6 +23,7 @@ from .convert import (
 from . import uniform as _uniform  # noqa: F401 — attaches enable/sync_uniform
 from .delta_source import DeltaLogDataSource, register_deltalog_source
 from .delta_cdf_source import DeltaCdfDataSource, register_deltacdf_source
+from .hudi_incr_source import HudiIncrDataSource, register_hudiincr_source
 from .datasource import (
     VersionedTableDataSource,
     register_vtable_source,
@@ -40,6 +41,8 @@ from .tables import (
 
 __all__ = [
     "ConcurrentCommitError",
+    "HudiIncrDataSource",
+    "register_hudiincr_source",
     "LakeCatalog",
     "VersionedTableDataSource",
     "register_vtable_source",

@@ -644,6 +644,11 @@ class HudiCowTable:
         slices: dict[tuple, str] = {}
         for t in later:
             meta = self._commit_meta(t)
+            # a clustering replacecommit in the range RETIRES groups:
+            # their in-range rows ride the new slices (original stamps
+            # kept), so keeping the old slice too would double-count
+            for part, fid in meta.get("replacedFileGroups", []):
+                slices.pop((part, fid), None)
             for part, stats in meta["partitionToWriteStats"].items():
                 for st in stats:
                     slices[(part, st["fileId"])] = st["path"]

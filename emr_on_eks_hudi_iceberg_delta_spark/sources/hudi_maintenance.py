@@ -204,7 +204,12 @@ def _cluster(
         }
     else:
         old_live = self._file_slices()
-    data = self.read().drop(*_META_COLS)
+    # clustering changes the LAYOUT, not the records: every row keeps
+    # its _hoodie_commit_time / record key (real Hudi's contract —
+    # incremental and CDC consumers must not see a rewrite-only
+    # replacecommit as table-wide change). Only the stale file-name
+    # column drops; __fg re-derives under the new group count below.
+    data = self.read().drop("_hoodie_file_name")
     instant = self._next_instant()
     # the data write and the atomic .replacecommit land FIRST; only a
     # successful commit republishes hoodie.properties (r10 advisor: the
@@ -214,9 +219,7 @@ def _cluster(
     old_n = self.n_file_groups
     self.n_file_groups = n_file_groups
     try:
-        prepared = self._with_meta(
-            data, instant, self._file_group_expr()
-        )
+        prepared = data.withColumn("__fg", self._file_group_expr())
         sort_cols = list(sort_by or [self.record_key])
         stats = self._write_groups(
             prepared,
