@@ -15532,6 +15532,58 @@ def q_delta_uniform_iceberg_mirror(spark, sf_dir):
 
 
 @register(
+    "delta_uniform_partitioned_mirror",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority AS prio,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND NOT o_orderkey % 7 = 0
+    """,
+    tags=("lake", "S9", "extension"),
+)
+def q_delta_uniform_partitioned_mirror(spark, sf_dir):
+    """UniForm over a HIVE-PARTITIONED + COLUMN-MAPPED Delta table
+    (r12, sources/uniform.py — the two shapes the r11 mirror refused):
+    manifest entries carry typed identity partition values parsed from
+    the add actions (spec-507 summaries included), reads serve the
+    file-absent partition columns as manifest constants (the spec's
+    identity-partition rule, property-gated), and files' PHYSICAL
+    column names resolve through Iceberg's own
+    ``schema.name-mapping.default`` property — a rename stays
+    metadata-only on both sides. The gate partitions orders by
+    priority, enables mapping + UniForm, renames a column, deletes,
+    syncs, and returns the ICEBERG mirror's PARTITION-PRUNED read —
+    which must equal the Delta state exactly."""
+    import tempfile
+
+    from .sources import delta_colmap  # noqa: F401  (attaches)
+    from .sources import delta_dml  # noqa: F401
+    from .sources import uniform  # noqa: F401
+    from .sources.delta_log import DeltaLogTable
+    from .sources.iceberg_layout import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "o_orderpriority",
+        "CAST(o_totalprice AS DOUBLE) AS price",
+    )
+    dt = DeltaLogTable(spark, tempfile.mkdtemp(prefix="delta_ufp_"))
+    dt.overwrite(o, partition_by=["o_orderpriority"])
+    dt.enable_column_mapping()
+    dt.enable_uniform()
+    dt.rename_column("o_orderpriority", "prio")  # metadata-only
+    dt.delete("o_orderkey % 7 = 0")
+    dt.sync_uniform()
+    assert dt.sync_uniform() is None  # idempotent at head
+    ice = IcebergTable(spark, dt.location)
+    pruned = ice.read_where(
+        lambda pv: pv["prio"] in ("1-URGENT", "2-HIGH")
+    )
+    return pruned.select("o_orderkey", "prio", "price")
+
+
+@register(
     "delta_update_dv",
     oracle="""
     SELECT o_orderkey, o_orderstatus,

@@ -649,8 +649,52 @@ class IcebergTable:
             raise ValueError("empty snapshot")
         if schema is None:
             schema = _spark_schema_from_md(self._metadata())
+
+        def _plain_scan(ps):
+            """One multi-path scan honoring the table's
+            ``schema.name-mapping.default`` property (spec name
+            mapping): files storing PHYSICAL column names — a
+            column-mapped Delta table under a UniForm mirror — scan
+            under their physical schema and alias back to the logical
+            names; tables without the property scan directly."""
+            nm_raw = (
+                self._metadata()
+                .get("properties", {})
+                .get("schema.name-mapping.default")
+            )
+            if not nm_raw:
+                return self.spark.read.schema(schema).parquet(*ps)
+            id2phys = {
+                m["field-id"]: m["names"][0] for m in json.loads(nm_raw)
+            }
+            name2id = {
+                f["name"]: f["id"]
+                for f in self._metadata()["schema"]["fields"]
+            }
+            from pyspark.sql.types import StructField, StructType as _ST
+
+            phys = {
+                f.name: id2phys.get(name2id.get(f.name), f.name)
+                for f in schema.fields
+            }
+            scan_struct = _ST(
+                [
+                    StructField(phys[f.name], f.dataType, True)
+                    for f in schema.fields
+                ]
+            )
+            return (
+                self.spark.read.schema(scan_struct).parquet(*ps)
+                .select(
+                    *[
+                        F.col(phys[f.name]).alias(f.name)
+                        for f in schema.fields
+                    ]
+                )
+            )
+
         if not delete_files:
-            return self.spark.read.schema(schema).parquet(*paths)
+            return _plain_scan(paths)
         pairs = self.spark.read.parquet(
             *[d["file_path"] for d in delete_files]
         ).select(
@@ -668,7 +712,7 @@ class IcebergTable:
         parts = []
         plain = [p for p in paths if os.path.basename(p) not in hit]
         if plain:
-            parts.append(self.spark.read.schema(schema).parquet(*plain))
+            parts.append(_plain_scan(plain))
         touched = [p for p in paths if os.path.basename(p) in hit]
         if touched:
             u = (
@@ -702,6 +746,51 @@ class IcebergTable:
             out = out.unionByName(p)
         return out
 
+    def _aligned_group_scan(
+        self, entries, pos_deletes, schema, part_consts: bool
+    ) -> DataFrame:
+        """One write-time-schema group's scan. Without partition
+        constants: one multi-path scan. With them: one scan per
+        distinct partition-value tuple, the tuple's values overwriting
+        the (file-absent) identity partition columns as typed
+        literals — the same plan shape as the Delta reader's own
+        partitioned scan (delta_log._read_adds), O(distinct tuples)
+        plan pieces."""
+        if not part_consts:
+            return self._scan_files(
+                [e["data_file"]["file_path"] for e in entries],
+                pos_deletes,
+                schema=schema,
+            )
+        types = {f.name: f.dataType.simpleString() for f in schema.fields}
+        by_part: dict[tuple, list[str]] = {}
+        for e in entries:
+            pv = e["data_file"]["partition"]
+            key = tuple(sorted(pv.items(), key=lambda kv: kv[0]))
+            by_part.setdefault(key, []).append(
+                e["data_file"]["file_path"]
+            )
+        parts = []
+        for key, ps in sorted(
+            by_part.items(),
+            key=lambda kv: tuple(
+                (k, v is not None, v) for k, v in kv[0]
+            ),
+        ):
+            df = self._scan_files(ps, pos_deletes, schema=schema)
+            for col, val in key:
+                if col not in types:
+                    continue
+                lit = (
+                    F.lit(None) if val is None else F.lit(val)
+                ).cast(types[col])
+                df = df.withColumn(col, lit)
+            parts.append(df.select(*[f.name for f in schema.fields]))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def _aligned_scan(
         self,
         md: dict,
@@ -717,19 +806,27 @@ class IcebergTable:
         as typed NULLs. The rename-safe read path Iceberg's field-id
         contract exists for."""
         target = ice_schema_by_id(md, target_sid)
+        # spec: identity partition fields ABSENT from the data files
+        # serve the manifest's partition value as a per-file constant
+        # (real readers apply this under name mapping — a UniForm
+        # mirror over a hive-partitioned Delta table is the case).
+        # Gated by the table property so native tables, which keep the
+        # source column IN the files, never pay the per-tuple grouping.
+        part_consts = (
+            md.get("properties", {}).get("uniform.partition-constants")
+            == "true"
+        )
         groups: dict[int, list[dict]] = {}
         for e in data_entries:
             groups.setdefault(entry_schema_id(md, e), []).append(e)
         parts = []
         for sid in sorted(groups):
             ice = ice_schema_by_id(md, sid)
-            df = self._scan_files(
-                [
-                    e["data_file"]["file_path"]
-                    for e in groups[sid]
-                ],
+            df = self._aligned_group_scan(
+                groups[sid],
                 pos_deletes,
-                schema=_spark_struct_of(ice),
+                _spark_struct_of(ice),
+                part_consts,
             )
             if sid != target_sid or ice is not target:
                 by_id = {
@@ -1189,7 +1286,13 @@ class IcebergTable:
             }
             for f in new_files
         ]
-        if cur is not None:
+        override_pf = getattr(self, "_part_fields_override", None)
+        if override_pf is not None:
+            # full-state writers that also evolve the spec (UniForm
+            # rename sync) declare the exact partition record shape —
+            # nothing is carried, so no old-spec names are needed
+            part_fields = list(override_pf)
+        elif cur is not None:
             # union of ALL spec versions' fields: carried entries keep
             # their old-spec partition values after spec evolution
             part_fields = all_spec_part_fields(self._metadata())
@@ -1331,6 +1434,18 @@ class IcebergTable:
             ]
             md["current-snapshot-id"] = snapshot_id
             next_v = cur + 1
+        extra_props = getattr(self, "_properties_extra", None)
+        if extra_props:
+            md["properties"] = {
+                **md.get("properties", {}),
+                **extra_props,
+            }
+        spec_override = getattr(
+            self, "_partition_specs_override", None
+        )
+        if spec_override is not None and cur is not None:
+            md["partition-specs"] = spec_override
+            md["default-spec-id"] = spec_override[-1]["spec-id"]
         mpath = os.path.join(self.meta_dir, f"v{next_v}.metadata.json")
         tmp = mpath + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:

@@ -23,15 +23,31 @@ adoption, upgraded to an INCREMENTAL lifecycle:
   manifest), so the sync cost is O(changed files) footer reads, never
   a data scan.
 
-Honest contract (same refusals as ``convert_delta_to_iceberg``, which
-stay true under continuous sync): no live deletion vectors (adopted
-manifests cannot express them — PURGE first), no hive partitioning
-(Delta data files lack the partition columns Iceberg readers expect in
-the files), no column mapping (files store physical names). Delta
-SCHEMA EVOLUTION syncs through (``_evolved_schema_update``): retained
-(name, type) columns keep their Iceberg field ids, new or re-typed
-columns mint fresh ids, files lacking a later-added column serve typed
-NULLs — real UniForm's schema sync.
+r12 widens the mirror to the two table shapes r11 refused:
+
+* **Hive-partitioned Delta** — manifest entries record TYPED identity
+  partition values parsed from the add actions' ``partitionValues``
+  (the partition spec is identity over the Delta partition columns,
+  summaries included); because the data files lack those columns, the
+  mirror sets ``uniform.partition-constants`` and Iceberg reads serve
+  them as manifest constants per partition tuple (the spec's
+  identity-partition-constant rule; same plan shape as the Delta
+  reader's own partitioned scan). Partition pruning (``read_where`` /
+  ``read_hidden``) works off the recorded values like any identity
+  table.
+* **Column-mapped Delta** — files store PHYSICAL names; the mirror
+  publishes Iceberg's own ``schema.name-mapping.default`` property
+  (field-id -> physical name) and scans resolve through it, logical
+  names out. Renames are metadata-only on both sides.
+
+Honest contract (remaining refusal, shared with
+``convert_delta_to_iceberg``): no live deletion vectors (adopted
+manifests cannot express them — PURGE first); non-scalar partition
+value types refuse loudly. Delta SCHEMA EVOLUTION syncs through
+(``_evolved_schema_update``): retained (name, type) columns keep their
+Iceberg field ids, new or re-typed columns mint fresh ids, files
+lacking a later-added column serve typed NULLs — real UniForm's
+schema sync.
 
 Scale: each sync is one manifest write of O(live files) entries with
 O(changed files) footer reads; the mirror never rewrites a data file.
@@ -48,9 +64,34 @@ from .iceberg_layout import IcebergTable
 UNIFORM_KEY = "delta.universalFormat.enabledFormats"
 
 
-def _validate(live: dict, meta: dict) -> None:
-    from .delta_colmap import mapping_enabled
+#: delta schemaString type -> parser turning the add action's
+#: partition-value STRING into the typed manifest partition value
+_PART_PARSERS = {
+    "long": int,
+    "integer": int,
+    "short": int,
+    "byte": int,
+    "double": float,
+    "float": float,
+    "string": str,
+    "boolean": lambda v: v == "true",
+}
 
+
+#: delta schemaString type -> avro type of the manifest partition field
+_AVRO_OF_DELTA = {
+    "long": "long",
+    "integer": "int",
+    "short": "int",
+    "byte": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+}
+
+
+def _validate(live: dict, meta: dict) -> None:
     dvd = [p for p, a in live.items() if a.get("deletionVector")]
     if dvd:
         raise ValueError(
@@ -58,16 +99,23 @@ def _validate(live: dict, meta: dict) -> None:
             f"{dvd[:3]} carry DVs adopted manifests cannot express) — "
             "run optimize() (PURGE) first"
         )
-    if meta.get("partitionColumns"):
+    import json as _json
+
+    schema_types = {
+        f["name"]: f["type"]
+        for f in _json.loads(meta["schemaString"])["fields"]
+        if isinstance(f.get("type"), str)
+    }
+    bad = [
+        c
+        for c in meta.get("partitionColumns", [])
+        if schema_types.get(c) not in _PART_PARSERS
+    ]
+    if bad:
         raise ValueError(
-            "UniForm cannot mirror a hive-partitioned Delta table: "
-            "its data files do not contain the partition columns "
-            "Iceberg readers expect in the files"
-        )
-    if mapping_enabled(meta):
-        raise ValueError(
-            "UniForm cannot mirror a column-mapped Delta table: its "
-            "files store physical column names"
+            f"UniForm cannot mirror partition columns {bad}: only "
+            "int/long/float/double/string/boolean identity partition "
+            "values are expressible in the mirror's manifests"
         )
 
 
@@ -84,12 +132,20 @@ def _record_count(delta_location: str, add: dict) -> int:
     ).num_rows
 
 
-def _evolved_schema_update(md: dict, delta_schema) -> dict:
-    """An Iceberg ``schema_update`` matching the NEW Delta schema by
-    NAME against the mirror's current schema: retained (name, type)
-    pairs keep their field ids (old files keep resolving), new or
-    re-typed columns mint fresh ids (Iceberg's never-reuse contract),
-    departed columns simply leave."""
+def _evolved_schema_update(
+    md: dict,
+    delta_schema,
+    phys_by_logical: dict | None = None,
+    prior_nm: list | None = None,
+) -> dict:
+    """An Iceberg ``schema_update`` matching the NEW Delta schema
+    against the mirror's current schema: retained columns keep their
+    field ids (old files keep resolving), new or re-typed columns mint
+    fresh ids (Iceberg's never-reuse contract), departed columns
+    simply leave. Matching is by NAME — except on column-mapped tables
+    (r12), where it is by PHYSICAL name through the mirror's prior
+    name mapping, so a Delta RENAME keeps its Iceberg field id
+    (metadata-only on both sides, real UniForm's id stability)."""
     from .iceberg_layout import _TYPE_MAP, ice_schema_by_id
 
     cur_sid = md.get(
@@ -97,6 +153,14 @@ def _evolved_schema_update(md: dict, delta_schema) -> dict:
     )
     cur = ice_schema_by_id(md, cur_sid)
     by_name = {f["name"]: f for f in cur["fields"]}
+    by_phys: dict[str, dict] = {}
+    if prior_nm:
+        id2phys = {m["field-id"]: m["names"][0] for m in prior_nm}
+        by_phys = {
+            id2phys[f["id"]]: f
+            for f in cur["fields"]
+            if f["id"] in id2phys
+        }
     next_id = md.get("last-column-id", len(cur["fields"]))
     fields = []
     for f in delta_schema.fields:
@@ -106,9 +170,14 @@ def _evolved_schema_update(md: dict, delta_schema) -> dict:
             if t.startswith("decimal")
             else _TYPE_MAP[t]
         )
-        prev = by_name.get(f.name)
+        prev = None
+        if phys_by_logical and by_phys:
+            prev = by_phys.get(phys_by_logical.get(f.name))
+        if prev is None:
+            prev = by_name.get(f.name)
         if prev is not None and prev["type"] == ice:
-            fields.append(dict(prev))
+            # keep the id; adopt the (possibly renamed) logical name
+            fields.append({**prev, "name": f.name})
         else:
             next_id += 1
             fields.append(
@@ -156,6 +225,10 @@ def _sync_uniform(self: DeltaLogTable) -> int | None:
         if snap is not None:
             if snap.get("summary", {}).get("delta-version") == str(head):
                 return None  # idempotent: mirror already at head
+            from .delta_colmap import (
+                mapping_enabled as _me,
+                physical_names as _pn,
+            )
             from .iceberg_layout import _spark_schema_from_md
 
             ice_schema = _spark_schema_from_md(md)
@@ -172,8 +245,20 @@ def _sync_uniform(self: DeltaLogTable) -> int | None:
                 # files lacking a later-added column serve typed NULLs
                 # through the explicit-schema scan. Real UniForm's
                 # schema sync.
+                prior_nm_raw = md.get("properties", {}).get(
+                    "schema.name-mapping.default"
+                )
                 schema_update = _evolved_schema_update(
-                    md, delta_schema
+                    md,
+                    delta_schema,
+                    phys_by_logical=(
+                        _pn(meta) if _me(meta) else None
+                    ),
+                    prior_nm=(
+                        json.loads(prior_nm_raw)
+                        if prior_nm_raw
+                        else None
+                    ),
                 )
             prior_counts = {
                 e["data_file"]["file_path"]: e["data_file"][
@@ -181,6 +266,76 @@ def _sync_uniform(self: DeltaLogTable) -> int | None:
                 ]
                 for e in ice._entries()
             }
+    from .delta_colmap import mapping_enabled, physical_names
+
+    part_cols = meta.get("partitionColumns", [])
+    phys = (
+        physical_names(meta)
+        if mapping_enabled(meta)
+        else {c: c for c in part_cols}
+    )
+    parsers = {
+        f["name"]: _PART_PARSERS[f["type"]]
+        for f in json.loads(meta["schemaString"])["fields"]
+        if f["name"] in part_cols
+    }
+    df = self.read()
+    if ice._current_version() is None:
+        # first sync: record the identity partition spec (field ids
+        # resolve against the mirror schema built from df)
+        ice._part_cols_new = list(part_cols)
+    elif part_cols:
+        # later syncs write full state, so the manifest partition
+        # record is exactly the CURRENT columns (no old-spec carry);
+        # a Delta partition-column RENAME evolves the mirror's spec
+        # (new spec version, same source field ids — metadata-only)
+        delta_types = {
+            f["name"]: f["type"]
+            for f in json.loads(meta["schemaString"])["fields"]
+        }
+        ice._part_fields_override = [
+            (c, _AVRO_OF_DELTA[delta_types[c]]) for c in part_cols
+        ]
+        from .iceberg_layout import stored_part_fields
+
+        mirror_md = ice._metadata()
+        stored = [
+            f["name"] for f in stored_part_fields(mirror_md)
+        ]
+        if stored != part_cols:
+            final_fields = (
+                schema_update["schema"]["fields"]
+                if schema_update is not None
+                else mirror_md["schema"]["fields"]
+            )
+            name2id = {f["name"]: f["id"] for f in final_fields}
+            old_specs = mirror_md.get("partition-specs", [])
+            ice._partition_specs_override = old_specs + [
+                {
+                    "spec-id": max(
+                        (s["spec-id"] for s in old_specs),
+                        default=-1,
+                    )
+                    + 1,
+                    "fields": [
+                        {
+                            "name": c,
+                            "transform": "identity",
+                            "source-id": name2id[c],
+                            "field-id": 1000 + i,
+                        }
+                        for i, c in enumerate(part_cols)
+                    ],
+                }
+            ]
+
+    def _typed_partition(add: dict) -> dict:
+        out = {}
+        for c in part_cols:
+            raw = (add.get("partitionValues") or {}).get(phys[c])
+            out[c] = None if raw is None else parsers[c](raw)
+        return out
+
     files = []
     for rel, add in live.items():
         full = os.path.join(self.location, rel)
@@ -188,7 +343,7 @@ def _sync_uniform(self: DeltaLogTable) -> int | None:
             {
                 "file_path": full,
                 "file_format": "PARQUET",
-                "partition": {},
+                "partition": _typed_partition(add),
                 "record_count": (
                     prior_counts[full]
                     if full in prior_counts
@@ -200,13 +355,50 @@ def _sync_uniform(self: DeltaLogTable) -> int | None:
             }
         )
     ice._summary_extra = {"delta-version": str(head), "uniform": "true"}
+    props: dict[str, str] = {}
+    if part_cols:
+        # hive-layout files lack the partition columns: the mirror's
+        # reads serve them as manifest constants (iceberg_layout's
+        # identity-partition-constant rule, property-gated)
+        props["uniform.partition-constants"] = "true"
+    if mapping_enabled(meta):
+        # files store PHYSICAL column names: publish the spec's name
+        # mapping so mirror scans resolve them (rebuilt per sync —
+        # renames change the logical side, the physical names and
+        # field ids are stable)
+        mirror_fields = (
+            schema_update["schema"]["fields"]
+            if schema_update is not None
+            else (
+                ice._metadata()["schema"]["fields"]
+                if ice._current_version() is not None
+                else [
+                    {"id": i + 1, "name": f.name}
+                    for i, f in enumerate(df.schema.fields)
+                ]
+            )
+        )
+        all_phys = physical_names(meta)
+        props["schema.name-mapping.default"] = json.dumps(
+            [
+                {
+                    "field-id": f["id"],
+                    "names": [all_phys.get(f["name"], f["name"])],
+                }
+                for f in mirror_fields
+            ]
+        )
+    ice._properties_extra = props or None
     try:
         sid = ice._commit(
-            self.read(), files, "overwrite",
+            df, files, "overwrite",
             schema_update=schema_update,
         )
     finally:
         ice._summary_extra = None
+        ice._properties_extra = None
+        ice._part_fields_override = None
+        ice._partition_specs_override = None
     return sid
 
 

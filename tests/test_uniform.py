@@ -92,14 +92,6 @@ def test_uniform_refusals(spark, tmp_path):
     dt.delete("k % 2 = 0", mode="dv")
     with pytest.raises(ValueError, match="deletion vectors"):
         dt.sync_uniform()
-    # partitioned table refuses at enable
-    dp = DeltaLogTable(spark, str(tmp_path / "part"))
-    dp.overwrite(
-        spark.range(20).selectExpr("id AS k", "id % 3 AS g"),
-        partition_by=["g"],
-    )
-    with pytest.raises(ValueError, match="hive-partitioned"):
-        dp.enable_uniform()
     # sync without enable refuses
     d2 = _table(spark, tmp_path, "noen")
     with pytest.raises(ValueError, match="not enabled"):
@@ -171,3 +163,98 @@ def test_vacuum_maintains_the_mirror(spark, tmp_path):
     before = len(ice.history())
     assert dt.vacuum(dry_run=True) == []
     assert len(ice.history()) == before
+
+
+def test_uniform_partitioned_mirror(spark, tmp_path):
+    """r12: a hive-partitioned Delta table mirrors — manifest entries
+    carry TYPED identity partition values, reads serve the file-absent
+    partition columns as manifest constants, and the mirror prunes on
+    them like any identity-partitioned Iceberg table."""
+    import json as _json
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.avro_io import read_ocf
+
+    dp = DeltaLogTable(spark, str(tmp_path / "pmirror"))
+    dp.overwrite(
+        spark.range(30).selectExpr("id AS k", "CAST(id % 3 AS INT) AS g"),
+        partition_by=["g"],
+    )
+    dp.enable_uniform()
+    ice = IcebergTable(spark, dp.location)
+    assert _rows(ice.read()) == _rows(dp.read())
+    # typed values in the manifest + spec-507 summaries
+    md = ice._metadata()
+    assert md["properties"]["uniform.partition-constants"] == "true"
+    snap = next(
+        s for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    _, mrows = read_ocf(snap["manifest-list"])
+    summ = mrows[-1]["partitions"][0]
+    assert summ["name"] == "g"
+    assert _json.loads(summ["lower_bound"]) == 0
+    assert _json.loads(summ["upper_bound"]) == 2
+    entry = ice._entries()[0]
+    assert isinstance(entry["data_file"]["partition"]["g"], int)
+    # manifest-level pruning serves exact rows
+    got = ice.read_where(lambda pv: pv["g"] == 1)
+    assert sorted(r["k"] for r in got.collect()) == [
+        i for i in range(30) if i % 3 == 1
+    ]
+    # incremental sync after an append keeps the mirror exact
+    dp.append(
+        spark.range(30, 36).selectExpr(
+            "id AS k", "CAST(id % 3 AS INT) AS g"
+        )
+    )
+    assert dp.sync_uniform() is not None
+    assert _rows(ice.read()) == _rows(dp.read())
+
+
+def test_uniform_column_mapped_mirror(spark, tmp_path):
+    """r12: a column-mapped Delta table mirrors — files store PHYSICAL
+    names; the mirror publishes schema.name-mapping.default and scans
+    resolve through it; a rename stays metadata-only on both sides."""
+    dm = DeltaLogTable(spark, str(tmp_path / "mmirror"))
+    dm.overwrite(
+        spark.range(12).selectExpr("id AS k", "id * 2 AS v")
+    )
+    dm.enable_column_mapping()
+    dm.enable_uniform()
+    ice = IcebergTable(spark, dm.location)
+    assert _rows(ice.read()) == _rows(dm.read())
+    import json as _json
+
+    nm = ice._metadata()["properties"]["schema.name-mapping.default"]
+    assert {m["names"][0] for m in _json.loads(nm)} == {"k", "v"}
+    # rename: logical name changes, files untouched, mirror follows —
+    # the mapping still points the new logical field at the OLD
+    # physical name inside the files
+    dm.rename_column("v", "val")
+    assert dm.sync_uniform() is not None
+    got = ice.read()
+    assert got.columns == ["k", "val"]
+    assert _rows(got) == _rows(dm.read())
+    md = ice._metadata()
+    nm2 = _json.loads(md["properties"]["schema.name-mapping.default"])
+    val_id = next(
+        f["id"] for f in md["schema"]["fields"] if f["name"] == "val"
+    )
+    assert next(
+        m["names"][0] for m in nm2 if m["field-id"] == val_id
+    ) == "v"
+
+
+def test_uniform_partitioned_and_mapped_mirror(spark, tmp_path):
+    """Both at once: physical-named partition dirs + name mapping."""
+    db = DeltaLogTable(spark, str(tmp_path / "both"))
+    db.overwrite(
+        spark.range(20).selectExpr("id AS k", "CAST(id % 2 AS INT) AS g"),
+        partition_by=["g"],
+    )
+    db.enable_column_mapping()
+    db.enable_uniform()
+    ice = IcebergTable(spark, db.location)
+    assert _rows(ice.read()) == _rows(db.read())
+    got = ice.read_where(lambda pv: pv["g"] == 0)
+    assert sorted(r["k"] for r in got.collect()) == list(range(0, 20, 2))
