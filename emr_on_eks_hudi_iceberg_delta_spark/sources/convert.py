@@ -38,14 +38,29 @@ from .iceberg_layout import IcebergTable
 
 
 def convert_parquet_dir_to_delta(
-    spark: SparkSession, location: str
+    spark: SparkSession,
+    location: str,
+    partition_by: list[str] | None = None,
 ) -> DeltaLogTable:
+    """Lay a ``_delta_log`` over a plain parquet directory.
+
+    ``partition_by`` is the EXPLICIT partition schema, like real
+    CONVERT TO DELTA's ``PARTITIONED BY`` clause: every file's hive
+    path must carry exactly those keys in that order, and a
+    mixed-depth or inconsistently-keyed layout refuses LOUDLY (r12 —
+    previously the first partitioned file's keys were inferred and a
+    mismatched layout produced inconsistent partitionValues silently).
+    Omitting it keeps inference, but inference now VALIDATES that
+    every file agrees with the first-seen layout instead of trusting
+    it."""
     from urllib.parse import unquote
 
     if os.path.isdir(os.path.join(location, "_delta_log")):
         raise ValueError(f"{location} already has a _delta_log")
     adds = []
-    part_cols: list[str] = []
+    part_cols: list[str] | None = (
+        list(partition_by) if partition_by is not None else None
+    )
     for root, _dirs, files in os.walk(location):
         for fname in files:
             if not fname.endswith(".parquet"):
@@ -62,8 +77,20 @@ def convert_parquet_dir_to_delta(
                         if raw == "__HIVE_DEFAULT_PARTITION__"
                         else unquote(raw)
                     )
-            if pvals and not part_cols:
-                part_cols = list(pvals)
+            if part_cols is None:
+                part_cols = list(pvals)  # inference: first-seen layout
+            if list(pvals) != part_cols:
+                raise ValueError(
+                    f"file {rel!r} has hive partition keys "
+                    f"{list(pvals)}, expected {part_cols} "
+                    + (
+                        "(explicit partition_by)"
+                        if partition_by is not None
+                        else "(inferred from the first file — pass "
+                        "partition_by=[...] to declare the layout)"
+                    )
+                    + "; a mixed layout cannot convert"
+                )
             adds.append(
                 {
                     "path": rel.replace(os.sep, "/"),
@@ -75,8 +102,17 @@ def convert_parquet_dir_to_delta(
             )
     if not adds:
         raise ValueError(f"no parquet files under {location}")
+    part_cols = part_cols or []
     # schema: Spark's inference read resolves data + partition columns
     inferred = spark.read.parquet(location)
+    missing = [
+        c for c in part_cols if c not in inferred.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"partition_by columns {missing} not present in the "
+            "directory layout (no such hive keys resolved)"
+        )
     dt = DeltaLogTable(spark, location)
     actions = [
         {

@@ -201,3 +201,54 @@ def test_convert_hudi_to_delta(spark, tmp_path):
     dm = convert_hudi_to_delta(spark, mloc)
     assert dm.read().count() == 60
     assert dm.read().filter("g = 77").count() == 5
+
+
+def test_convert_parquet_explicit_partition_schema(spark, tmp_path):
+    """r12: partition_by declares the layout like CONVERT TO DELTA's
+    PARTITIONED BY; a mixed or mismatched hive layout refuses LOUDLY
+    instead of silently producing inconsistent partitionValues."""
+    import pytest
+
+    src = str(tmp_path / "pq")
+    spark.range(20).selectExpr(
+        "id AS k", "CAST(id % 3 AS INT) AS g"
+    ).write.partitionBy("g").parquet(src)
+    dt = convert_parquet_dir_to_delta(spark, src, partition_by=["g"])
+    got = sorted(r["k"] for r in dt.read().filter("g = 1").collect())
+    assert got == [i for i in range(20) if i % 3 == 1]
+    # wrong declared keys refuse
+    src2 = str(tmp_path / "pq2")
+    spark.range(6).selectExpr(
+        "id AS k", "CAST(id % 2 AS INT) AS g"
+    ).write.partitionBy("g").parquet(src2)
+    with pytest.raises(ValueError, match="expected \\['h'\\]"):
+        convert_parquet_dir_to_delta(spark, src2, partition_by=["h"])
+    # declaring a partition on a FLAT directory refuses
+    src3 = str(tmp_path / "pq3")
+    spark.range(4).selectExpr("id AS k").write.parquet(src3)
+    with pytest.raises(ValueError, match="expected \\['g'\\]"):
+        convert_parquet_dir_to_delta(spark, src3, partition_by=["g"])
+
+
+def test_convert_parquet_mixed_layout_refuses(spark, tmp_path):
+    """Even under inference, a directory mixing partitioned and flat
+    files (or different key sets) refuses — the pre-r12 first-file-wins
+    hazard is closed."""
+    import os as _os
+    import shutil
+
+    import pytest
+
+    src = str(tmp_path / "mix")
+    spark.range(10).selectExpr(
+        "id AS k", "CAST(id % 2 AS INT) AS g"
+    ).write.partitionBy("g").parquet(src)
+    # drop a FLAT parquet file beside the hive dirs
+    flat = str(tmp_path / "flat")
+    spark.range(3).selectExpr("id AS k").coalesce(1).write.parquet(flat)
+    stray = [f for f in _os.listdir(flat) if f.endswith(".parquet")][0]
+    shutil.copy(
+        _os.path.join(flat, stray), _os.path.join(src, "stray.parquet")
+    )
+    with pytest.raises(ValueError, match="mixed layout"):
+        convert_parquet_dir_to_delta(spark, src)
