@@ -49,7 +49,15 @@ $SPARK_GRAFT_BENCH_MAX_LOAD BEFORE starting the JVM (``loadavg_pre`` /
 times when the noise band exceeds $SPARK_GRAFT_BENCH_BAND_MAX%
 (``attempts`` / ``discarded_bands``), and stamps ``certified`` =
 (quiet start AND band within limit) so a dirty artifact announces
-itself instead of masquerading as a regression."""
+itself instead of masquerading as a regression.
+
+Round-12 hardening (r11 verdict: a loadavg-1.26 run certified while
+its lake number was 1.4x off the judge's rerun): the quiet gate is
+MAX_LOAD=0.5 held over $SPARK_GRAFT_BENCH_QUIET_SAMPLES consecutive
+15-s samples, the LAKE trimmed band joins the certified conjunction,
+and ``lake_split`` records each lake query's build-vs-read median so
+a future lake regression localizes to the write or read path without
+a rerun."""
 
 from __future__ import annotations
 
@@ -92,7 +100,14 @@ WARMUPS_LAKE = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS_LAKE", "1"))
 # the timed phase when the band blows out (one stolen round poisons the
 # band even though per-query medians survive it), and (c) stamps the
 # artifact with `quiet`/`certified` so a dirty run is self-describing.
-MAX_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "1.5"))
+#: 1.5 -> 0.5 in round 12 (r11 verdict: a run started at loadavg 1.26
+#: was stamped certified yet judge reruns contradicted its lake number
+#: by 1.4x — 1.5 tolerated exactly the contention mode certification
+#: exists to flag)
+MAX_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "0.5"))
+#: consecutive quiet samples (15 s apart) required before the JVM
+#: starts — one instantaneous reading under-samples a sawtoothing box
+QUIET_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_QUIET_SAMPLES", "2"))
 WAIT_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_WAIT_SEC", "240"))
 BAND_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_BAND_MAX", "15"))
 ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
@@ -118,22 +133,28 @@ def materialize(df) -> None:
 
 
 def wait_for_quiet() -> tuple[float, int]:
-    """Block (bounded) until 1-minute loadavg drops to MAX_LOAD.
+    """Block (bounded) until 1-minute loadavg holds at or below
+    MAX_LOAD for QUIET_SAMPLES consecutive 15-s samples.
 
     Measured BEFORE the Spark JVM exists, so the reading is external
     load only — the round-5 artifact's 4.03 was taken after four warmup
-    passes and conflated our own ramp with machine contention."""
+    passes and conflated our own ramp with machine contention. The
+    consecutive-sample requirement (r12) stops a sawtoothing box from
+    certifying off one lucky instantaneous reading; the RETURNED value
+    is the max over the qualifying window, which is what `certified`
+    is judged against."""
     waited = 0
-    load = os.getloadavg()[0]
+    window: list[float] = [os.getloadavg()[0]]
     while (
-        load > MAX_LOAD
+        (len(window) < QUIET_SAMPLES or max(window) > MAX_LOAD)
         and waited < WAIT_SEC
         and time.monotonic() - _T0 < MAX_SEC / 3
     ):
         time.sleep(15)
         waited += 15
-        load = os.getloadavg()[0]
-    return round(load, 2), waited
+        window.append(os.getloadavg()[0])
+        window = window[-QUIET_SAMPLES:]
+    return round(max(window), 2), waited
 
 
 def main() -> None:
@@ -252,23 +273,56 @@ def main() -> None:
     # the measurement — lake write/DML throughput, never cached).
     lake_timings: dict[str, float] = {}
     lake_round_totals: list[float] = []
+    lake_split: dict[str, dict] = {}
+
+    def lake_phase(iters: int):
+        """timed_phase with a BUILD/READ split (r12): a lake query's
+        fn() eagerly writes its table + DML (build); materialize()
+        then times the snapshot read. Recording both medians lets a
+        future regression be attributed to the write path or the read
+        path without a rerun."""
+        samples = {n: [] for n in lake_queries}
+        splits = {n: {"build": [], "read": []} for n in lake_queries}
+        round_totals: list[float] = []
+        for _ in range(iters):
+            rt = 0.0
+            for name in lake_queries:
+                t0 = time.perf_counter()
+                df = REGISTRY[name].fn(spark, SF_DIR)
+                t1 = time.perf_counter()
+                materialize(df)
+                t2 = time.perf_counter()
+                samples[name].append(t2 - t0)
+                splits[name]["build"].append(t1 - t0)
+                splits[name]["read"].append(t2 - t1)
+                rt += t2 - t0
+            round_totals.append(round(rt, 3))
+        return samples, round_totals, splits
+
     if lake_queries and time.monotonic() - _T0 < MAX_SEC:
         for _ in range(WARMUPS_LAKE):
             for name in lake_queries:
                 materialize(REGISTRY[name].fn(spark, SF_DIR))
-        lake_best = timed_phase(lake_queries, ITERS_LAKE)
+        lake_best = lake_phase(ITERS_LAKE)
         # r11: same one-retry-on-blown-band discipline as the ext
         # phase — 2 iterations with no retry gave r10 bands up to 38%
         if (
             trimmed_band(lake_best[1]) > BAND_MAX
             and time.monotonic() - _T0 < MAX_SEC
         ):
-            retry = timed_phase(lake_queries, ITERS_LAKE)
+            retry = lake_phase(ITERS_LAKE)
             if trimmed_band(retry[1]) < trimmed_band(lake_best[1]):
                 lake_best = retry
-        lake_samples, lake_round_totals, _ = lake_best
+        lake_samples, lake_round_totals, splits = lake_best
         lake_timings = {
             n: round(median(ts), 3) for n, ts in lake_samples.items()
+        }
+        lake_split = {
+            n: {
+                "build_sec": round(median(sp["build"]), 3),
+                "read_sec": round(median(sp["read"]), 3),
+            }
+            for n, sp in splits.items()
         }
 
     timings = {n: round(median(ts), 3) for n, ts in samples.items()}
@@ -310,6 +364,9 @@ def main() -> None:
                     if lake_round_totals
                     else None
                 ),
+                # r12: per-query write-path/read-path attribution —
+                # future lake regressions localize without a rerun
+                "lake_split": lake_split,
                 "queries": timings,
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                 "iters": ITERS,
@@ -327,10 +384,21 @@ def main() -> None:
                 # worst-round-trimmed band is inside BAND_MAX — a False
                 # here means "do not use this artifact for regression
                 # calls"
+                # r12 hardening: the pre-JVM quiet gate is now 0.5
+                # over QUIET_SAMPLES consecutive readings, and the
+                # LAKE band joins the conjunction (the r11 artifact
+                # certified at loadavg 1.26 while its lake number was
+                # 1.4x off the judge's rerun)
+                "max_load": MAX_LOAD,
+                "quiet_samples": QUIET_SAMPLES,
                 "certified": bool(
                     loadavg_pre <= MAX_LOAD
                     and trimmed_band(round_totals) <= BAND_MAX
                     and trimmed_band(ext_round_totals) <= BAND_MAX
+                    and (
+                        not lake_round_totals
+                        or trimmed_band(lake_round_totals) <= BAND_MAX
+                    )
                 ),
     }
     # ---- driver-proof emission (r11; BENCH_r10 was parsed:null) ----
