@@ -14908,6 +14908,85 @@ def q_hudi_incremental_stream_tail(spark, sf_dir):
 
 
 @register(
+    "iceberg_changelog_stream_tail",
+    oracle="""
+    SELECT c_custkey AS cust_id, c_mktsegment AS segment,
+           'insert' AS change_type, 1 AS commit_seq
+    FROM customer WHERE c_custkey % 3 = 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, 'insert', 2
+    FROM customer WHERE c_custkey % 3 = 1
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, 'delete', 3
+    FROM customer
+    WHERE c_custkey % 3 IN (0, 1) AND c_custkey % 5 = 0
+    """,
+    tags=("lake", "streaming", "S2", "extension"),
+)
+def q_iceberg_changelog_stream_tail(spark, sf_dir):
+    """STREAMING Iceberg changelog (r12,
+    sources/iceberg_changelog_source.py —
+    ``spark.readStream.format('iceberglog')``, the streaming face of
+    create_changelog_view): offsets are snapshot ids ordered by
+    parent ancestry (WAP/branch snapshots off main's lineage never
+    leak — pinned in tests), each micro-batch plans the range's
+    manifest deltas driver-side and serves one Arrow partition per
+    changed file; position-delete events ride row-position masks;
+    field-id column maps keep renamed tables aligned. The gate
+    replays append → stream → append + MoR DELETE → checkpointed
+    stream tail and checks the full collected change history."""
+    import tempfile
+
+    from .sources import iceberg_deletes  # noqa: F401  (attaches)
+    from .sources.iceberg_changelog_source import (
+        register_iceberglog_source,
+    )
+    from .sources.iceberg_layout import IcebergTable
+
+    register_iceberglog_source(spark)
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    t = IcebergTable(spark, tempfile.mkdtemp(prefix="icl_stream_"))
+    s1 = t.append(cust.filter("cust_id % 3 = 0"))
+    out = tempfile.mkdtemp(prefix="icl_sink_")
+    ck = tempfile.mkdtemp(prefix="icl_ck_")
+
+    def run():
+        q = (
+            spark.readStream.format("iceberglog")
+            .option("location", t.location)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()  # batch 1: s1's inserts
+    s2 = t.append(cust.filter("cust_id % 3 = 1"))
+    s3 = t.delete("cust_id % 5 = 0")["snapshot_id"]
+    run()  # batch 2: the checkpointed tail — s2 + s3 only
+    sunk = spark.read.schema(
+        "cust_id bigint, segment string, _change_type string, "
+        "_commit_snapshot_id long"
+    ).parquet(out)
+    return sunk.select(
+        "cust_id",
+        "segment",
+        F.col("_change_type").alias("change_type"),
+        F.when(F.col("_commit_snapshot_id") == s1, F.lit(1))
+        .when(F.col("_commit_snapshot_id") == s2, F.lit(2))
+        .when(F.col("_commit_snapshot_id") == s3, F.lit(3))
+        .cast("int")
+        .alias("commit_seq"),
+    )
+
+
+@register(
     "iceberg_layout_partition_prune",
     oracle="""
     SELECT o_orderkey, o_orderpriority,

@@ -24,6 +24,10 @@ from . import uniform as _uniform  # noqa: F401 — attaches enable/sync_uniform
 from .delta_source import DeltaLogDataSource, register_deltalog_source
 from .delta_cdf_source import DeltaCdfDataSource, register_deltacdf_source
 from .hudi_incr_source import HudiIncrDataSource, register_hudiincr_source
+from .iceberg_changelog_source import (
+    IcebergLogDataSource,
+    register_iceberglog_source,
+)
 from .datasource import (
     VersionedTableDataSource,
     register_vtable_source,
@@ -43,6 +47,8 @@ __all__ = [
     "ConcurrentCommitError",
     "HudiIncrDataSource",
     "register_hudiincr_source",
+    "IcebergLogDataSource",
+    "register_iceberglog_source",
     "LakeCatalog",
     "VersionedTableDataSource",
     "register_vtable_source",
