@@ -14908,6 +14908,58 @@ def q_hudi_incremental_stream_tail(spark, sf_dir):
 
 
 @register(
+    "iceberg_rewrite_manifests",
+    oracle="""
+    SELECT n_nationkey AS nk, n_name, r_name AS region
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    """,
+    tags=("lake", "S14", "extension"),
+)
+def q_iceberg_rewrite_manifests(spark, sf_dir):
+    """Iceberg rewrite_manifests maintenance (r12,
+    iceberg_layout.py — the procedure the reference's Iceberg runtime
+    ships as CALL system.rewrite_manifests): after per-region appends
+    accumulate one manifest per commit (r12's manifest-reuse write
+    path), the rewrite re-bins entries partition-SORTED into
+    size-bounded manifests — metadata only, entry status/snapshot ids
+    preserved, delete manifests by reference, maintenance-stamped.
+    The gate appends region by region, compacts manifests, and
+    returns the partition-PRUNED read off the consolidated summaries;
+    in-gate pins: fewer manifests than appends, read identical."""
+    import tempfile
+
+    from .sources.iceberg_layout import IcebergTable
+
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    joined = nat.join(
+        reg, nat.n_regionkey == reg.r_regionkey
+    ).select(
+        F.col("n_nationkey").alias("nk"),
+        "n_name",
+        F.col("r_name").alias("region"),
+    )
+    t = IcebergTable(spark, tempfile.mkdtemp(prefix="ice_rwm_"))
+    regions = [r["region"] for r in joined.select("region").distinct().collect()]
+    for rname in sorted(regions):
+        t.append(
+            joined.filter(F.col("region") == rname).coalesce(1),
+            partition_by=["region"],
+        )
+    stats = t.rewrite_manifests()
+    assert stats["manifests_before"] == len(regions)
+    assert stats["manifests_after"] == 1
+    pruned = t.read_where(
+        lambda pv: pv["region"] in ("ASIA", "EUROPE")
+    )
+    assert pruned.count() == t.read().filter(
+        F.col("region").isin("ASIA", "EUROPE")
+    ).count()
+    return pruned
+
+
+@register(
     "iceberg_changelog_stream_tail",
     oracle="""
     SELECT c_custkey AS cust_id, c_mktsegment AS segment,

@@ -1775,6 +1775,162 @@ class IcebergTable:
         return out
 
 
+def _rewrite_manifests(
+    self, target_entries: int = 100_000
+) -> dict:
+    """Iceberg's ``rewrite_manifests`` maintenance procedure: compact
+    the head snapshot's DATA manifests into partition-sorted,
+    size-bounded ones — metadata only, no data file touched.
+
+    Pairs with r12's manifest REUSE: append chains accumulate one
+    manifest per commit, which is exactly what you want for O(added)
+    writes and summary pruning, but a long chain eventually makes the
+    manifest LIST itself the overhead. This op re-bins the entries
+    (sorted by partition tuple, so each new manifest covers a TIGHT
+    partition range — summary pruning gets sharper, not just fewer
+    files) while PRESERVING every entry's status and adding
+    snapshot_id, so incremental attribution (``added_files``,
+    changelog) survives verbatim. Delete manifests carry by
+    reference. The new snapshot is stamped ``maintenance`` (it changes
+    no logical row — the changelog skips it, like rewrite_data_files).
+    Returns {'manifests_before', 'manifests_after', 'entries'}."""
+    import time as _time
+
+    md = self._metadata()
+    head = md.get("current-snapshot-id")
+    if head is None:
+        raise ValueError("empty table: nothing to rewrite")
+    snap = next(
+        s for s in md["snapshots"] if s["snapshot-id"] == head
+    )
+    _, prior_rows = read_ocf_cached(snap["manifest-list"])
+    n_before = sum(
+        1
+        for m in prior_rows
+        if m.get("content", CONTENT_DATA) == CONTENT_DATA
+    )
+    live = [
+        e for e in self._entries() if e["status"] != STATUS_DELETED
+    ]
+    part_fields = all_spec_part_fields(md)
+
+    def part_key(e: dict):
+        pv = e["data_file"]["partition"]
+        return tuple(
+            (pv.get(n) is not None, pv.get(n))
+            for n, _t in part_fields
+        )
+
+    live.sort(key=part_key)
+    snapshot_id = int(uuid.uuid4().int % (1 << 62))
+    now = int(_time.time() * 1000)
+    bins = [
+        live[i : i + target_entries]
+        for i in range(0, len(live), max(1, target_entries))
+    ] or [[]]
+    spec_id = md.get("default-spec-id", 0)
+    mrows = []
+    for i, chunk in enumerate(bins):
+        mp = os.path.join(
+            self.meta_dir, f"snap-{snapshot_id}-m{i}.avro"
+        )
+        write_ocf(mp, manifest_entry_schema(part_fields), chunk)
+        mrows.append(
+            {
+                "manifest_path": mp,
+                "manifest_length": os.path.getsize(mp),
+                "partition_spec_id": spec_id,
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": 0,
+                "existing_data_files_count": len(chunk),
+                "deleted_data_files_count": 0,
+                "content": CONTENT_DATA,
+                "partitions": partition_summaries(
+                    chunk, part_fields
+                ),
+            }
+        )
+    # delete manifests ride by reference, untouched
+    for m in prior_rows:
+        if m.get("content", CONTENT_DATA) != CONTENT_DATA:
+            mrows.append(
+                {
+                    "manifest_path": m["manifest_path"],
+                    "manifest_length": m["manifest_length"],
+                    "partition_spec_id": m.get(
+                        "partition_spec_id", 0
+                    ),
+                    "added_snapshot_id": m["added_snapshot_id"],
+                    "added_data_files_count": m.get(
+                        "added_data_files_count", 0
+                    ),
+                    "existing_data_files_count": m.get(
+                        "existing_data_files_count", 0
+                    ),
+                    "deleted_data_files_count": m.get(
+                        "deleted_data_files_count", 0
+                    ),
+                    "content": m.get("content", CONTENT_DATA),
+                    "partitions": m.get("partitions"),
+                }
+            )
+    mlist_path = os.path.join(
+        self.meta_dir, f"snap-{snapshot_id}.avro"
+    )
+    write_ocf(mlist_path, MANIFEST_FILE_SCHEMA, mrows)
+    new_snap = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now,
+        "manifest-list": mlist_path,
+        "summary": {
+            "operation": "replace",
+            "maintenance": "rewrite-manifests",
+        },
+        "sequence-number": next_sequence_number(md),
+        "schema-id": md.get(
+            "current-schema-id", md["schema"].get("schema-id", 0)
+        ),
+        "parent-snapshot-id": head,
+    }
+    md["last-sequence-number"] = new_snap["sequence-number"]
+    md["last-updated-ms"] = now
+    md["snapshots"] = md["snapshots"] + [new_snap]
+    md["snapshot-log"] = md.get("snapshot-log", []) + [
+        {"timestamp-ms": now, "snapshot-id": snapshot_id}
+    ]
+    md["current-snapshot-id"] = snapshot_id
+    next_v = self._current_version() + 1
+    mpath = os.path.join(self.meta_dir, f"v{next_v}.metadata.json")
+    tmp = mpath + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(md, f)
+    try:
+        os.link(tmp, mpath)  # atomic put-if-absent: the commit
+    except FileExistsError:
+        from .tables import ConcurrentCommitError
+
+        raise ConcurrentCommitError(
+            f"metadata version {next_v} was committed by another "
+            "writer"
+        ) from None
+    finally:
+        os.remove(tmp)
+    hint_tmp = os.path.join(self.meta_dir, f"_hint-{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as f:
+        f.write(str(next_v))
+    os.replace(
+        hint_tmp, os.path.join(self.meta_dir, "version-hint.text")
+    )
+    return {
+        "manifests_before": n_before,
+        "manifests_after": len(bins),
+        "entries": len(live),
+    }
+
+
+IcebergTable.rewrite_manifests = _rewrite_manifests
+
+
 def _expire_snapshots(
     self, keep_last: int = 1, delete_data: bool = True
 ) -> dict:

@@ -329,3 +329,71 @@ def test_prune_interval_unit():
     assert beq is not None  # equality survives bucketing
     brange = prune_interval(bucket, ">=", 42, "bigint")
     assert brange is None  # ranges don't survive hashing
+
+
+def test_rewrite_manifests_compacts_preserves_and_prunes(
+    spark, tmp_path, monkeypatch
+):
+    """rewrite_manifests (r12): partition-sorted re-binning of the
+    head's data manifests — metadata only, entry status/snapshot_id
+    preserved (incremental attribution survives), delete manifests by
+    reference, maintenance-stamped (changelog silent), and the
+    consolidated summaries prune tighter."""
+    import datetime
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import iceberg_changelog  # noqa: F401
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import iceberg_deletes  # noqa: F401
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import iceberg_layout as il
+
+    t = IcebergTable(spark, str(tmp_path / "rwm"))
+    sids = []
+    for day in ("2024-01-01", "2024-03-01", "2024-06-01"):
+        sids.append(
+            t.append(
+                spark.range(20).repartition(2).selectExpr(
+                    "id",
+                    f"CAST('{day} 10:00:00' AS TIMESTAMP_NTZ) AS ts",
+                ),
+                partition_by=["day(ts)"],
+            )
+        )
+    before = _rows(t.read())
+    stats = t.rewrite_manifests(target_entries=2)
+    assert stats["manifests_before"] == 3
+    assert stats["manifests_after"] == 3  # 6 entries / 2 per bin
+    assert stats["entries"] == 6
+    assert _rows(t.read()) == before  # data identical
+    # attribution preserved: files added since the FIRST append are
+    # still exactly the later two appends' files
+    assert len(t.added_files(sids[0])) == 4
+    # the maintenance snapshot emits NO change events
+    assert t.changes(sids[-1]).count() == 0
+    # partition-sorted bins: a day-filtered read decodes ONE manifest
+    decoded = []
+    real = il.read_ocf_cached
+
+    def spy(path):
+        decoded.append(os.path.basename(path))
+        return real(path)
+
+    monkeypatch.setattr(il, "read_ocf_cached", spy)
+    out = t.read_hidden([("ts", ">=", datetime.datetime(2024, 5, 1))])
+    assert out.count() == 20
+    assert len([p for p in decoded if "-m" in p]) == 1, decoded
+
+
+def test_rewrite_manifests_carries_delete_manifests(spark, tmp_path):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import iceberg_deletes  # noqa: F401
+
+    t = IcebergTable(spark, str(tmp_path / "rwmd"))
+    t.append(spark.range(10).selectExpr("id AS k", "id AS v"))
+    t.append(spark.range(10, 16).selectExpr("id AS k", "id AS v"))
+    t.delete("k % 4 = 1")
+    want = sorted(r["k"] for r in t.read().collect())
+    stats = t.rewrite_manifests()
+    assert stats["manifests_after"] == 1
+    assert sorted(r["k"] for r in t.read().collect()) == want
+    # a post-rewrite append keeps reusing (now 1 compacted + 1 new)
+    t.append(spark.createDataFrame([(100, 0)], "k long, v long"))
+    rows = [m for m in _mlist(t) if m.get("content", 0) == 0]
+    assert len(rows) == 2
