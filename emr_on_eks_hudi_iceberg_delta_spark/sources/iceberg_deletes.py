@@ -988,10 +988,15 @@ def _commit_mor_snapshot(
     new_data_files: list[dict],
     operation: str,
 ) -> int:
-    """Shared commit tail for merge-on-read DML snapshots: one data
-    manifest (live files EXISTING + any new files ADDED), one delete
-    manifest (prior delete files EXISTING + the new one(s) ADDED),
-    format-version 2."""
+    """Shared commit tail for merge-on-read DML snapshots,
+    format-version 2. r12: MANIFEST REUSE — MoR DML removes no data
+    file (old rows mask through delete files), so the parent
+    snapshot's manifest-list rows carry VERBATIM (data and delete
+    manifests alike; ``data_entries`` / ``prior_deletes`` are the
+    parent's own live sets at every call site) and the commit writes
+    at most TWO new manifests: one for files this DML added, one for
+    the delete file(s) it wrote. DML metadata cost drops from
+    O(table) entry re-encode to O(this commit)."""
     if new_delete is None:
         new_delete_list: list[dict] = []
     elif isinstance(new_delete, dict):
@@ -1001,74 +1006,94 @@ def _commit_mor_snapshot(
     snapshot_id = int(uuid.uuid4().int % (1 << 62))
     now = int(time.time() * 1000)
     part_fields = _part_fields_from_md(md)
-    dm_path = os.path.join(self.meta_dir, f"snap-{snapshot_id}-m0.avro")
-    write_ocf(
-        dm_path,
-        manifest_entry_schema(part_fields),
-        [
+    from .iceberg_layout import partition_summaries
+    from .avro_io import read_ocf_cached
+
+    mrows: list[dict] = []
+    head = md.get("current-snapshot-id")
+    parent_snap = next(
+        (s for s in md["snapshots"] if s["snapshot-id"] == head),
+        None,
+    )
+    if parent_snap is not None:
+        _, prior_rows = read_ocf_cached(parent_snap["manifest-list"])
+        mrows.extend(
             {
-                "status": STATUS_EXISTING,
-                "snapshot_id": e["snapshot_id"],
-                "data_file": e["data_file"],
+                "manifest_path": m["manifest_path"],
+                "manifest_length": m["manifest_length"],
+                "partition_spec_id": m.get("partition_spec_id", 0),
+                "added_snapshot_id": m["added_snapshot_id"],
+                "added_data_files_count": m.get(
+                    "added_data_files_count", 0
+                ),
+                "existing_data_files_count": m.get(
+                    "existing_data_files_count", 0
+                ),
+                "deleted_data_files_count": m.get(
+                    "deleted_data_files_count", 0
+                ),
+                "content": m.get("content", CONTENT_DATA),
+                "partitions": m.get("partitions"),
             }
-            for e in data_entries
-        ]
-        + [
+            for m in prior_rows
+        )
+    if new_data_files:
+        new_entries = [
             {
                 "status": STATUS_ADDED,
                 "snapshot_id": snapshot_id,
                 "data_file": f,
             }
             for f in new_data_files
-        ],
-    )
-    del_entries = [
-        {
-            "status": STATUS_EXISTING,
-            "snapshot_id": e["snapshot_id"],
-            "data_file": e["data_file"],
-        }
-        for e in prior_deletes
-    ]
-    del_entries.extend(
-        {
-            "status": STATUS_ADDED,
-            "snapshot_id": snapshot_id,
-            "data_file": d,
-        }
-        for d in new_delete_list
-    )
-    del_path = os.path.join(
-        self.meta_dir, f"snap-{snapshot_id}-m1-deletes.avro"
-    )
-    write_ocf(del_path, DELETE_MANIFEST_ENTRY_SCHEMA, del_entries)
-    mlist_path = os.path.join(self.meta_dir, f"snap-{snapshot_id}.avro")
-    write_ocf(
-        mlist_path,
-        MANIFEST_FILE_SCHEMA,
-        [
+        ]
+        dm_path = os.path.join(
+            self.meta_dir, f"snap-{snapshot_id}-m0.avro"
+        )
+        write_ocf(
+            dm_path, manifest_entry_schema(part_fields), new_entries
+        )
+        mrows.append(
             {
                 "manifest_path": dm_path,
                 "manifest_length": os.path.getsize(dm_path),
-                "partition_spec_id": 0,
+                "partition_spec_id": md.get("default-spec-id", 0),
                 "added_snapshot_id": snapshot_id,
                 "added_data_files_count": len(new_data_files),
-                "existing_data_files_count": len(data_entries),
+                "existing_data_files_count": 0,
                 "deleted_data_files_count": 0,
                 "content": CONTENT_DATA,
-            },
+                "partitions": partition_summaries(
+                    new_entries, part_fields
+                ),
+            }
+        )
+    if new_delete_list:
+        del_entries = [
+            {
+                "status": STATUS_ADDED,
+                "snapshot_id": snapshot_id,
+                "data_file": d,
+            }
+            for d in new_delete_list
+        ]
+        del_path = os.path.join(
+            self.meta_dir, f"snap-{snapshot_id}-m1-deletes.avro"
+        )
+        write_ocf(del_path, DELETE_MANIFEST_ENTRY_SCHEMA, del_entries)
+        mrows.append(
             {
                 "manifest_path": del_path,
                 "manifest_length": os.path.getsize(del_path),
                 "partition_spec_id": 0,
                 "added_snapshot_id": snapshot_id,
                 "added_data_files_count": len(new_delete_list),
-                "existing_data_files_count": len(prior_deletes),
+                "existing_data_files_count": 0,
                 "deleted_data_files_count": 0,
                 "content": CONTENT_POS_DELETES,
-            },
-        ],
-    )
+            }
+        )
+    mlist_path = os.path.join(self.meta_dir, f"snap-{snapshot_id}.avro")
+    write_ocf(mlist_path, MANIFEST_FILE_SCHEMA, mrows)
     from .iceberg_layout import next_sequence_number
 
     seq = next_sequence_number(md)

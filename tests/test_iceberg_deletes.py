@@ -910,3 +910,48 @@ def test_remove_orphan_files(spark, tmp_path):
     assert t.read().count() == 15
     first = t.history()[0]["snapshot_id"]
     assert t.read(snapshot_id=first).count() == 10
+
+
+def test_dml_reuses_parent_manifests(spark, tmp_path):
+    """r12: a MoR DML commit carries the parent's manifest-list rows
+    VERBATIM and writes at most two new manifests (added files, new
+    delete files) — DML metadata cost is O(this commit), not an
+    O(table) entry re-encode."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.avro_io import read_ocf
+
+    t = IcebergTable(spark, str(tmp_path / "dmlreuse"))
+    t.append(spark.range(20).selectExpr("id AS k", "id AS v"))
+    t.append(spark.range(20, 30).selectExpr("id AS k", "id AS v"))
+
+    def mlist_rows():
+        md = t._metadata()
+        snap = next(
+            s
+            for s in md["snapshots"]
+            if s["snapshot-id"] == md["current-snapshot-id"]
+        )
+        _, rows = read_ocf(snap["manifest-list"])
+        return rows
+
+    before = mlist_rows()
+    t.delete("k % 7 = 0")
+    after = mlist_rows()
+    # every pre-DML row carried verbatim (same manifest paths) + ONE
+    # new delete manifest; no data manifest rewritten
+    assert [m["manifest_path"] for m in after[: len(before)]] == [
+        m["manifest_path"] for m in before
+    ]
+    new = after[len(before):]
+    assert len(new) == 1 and new[0]["content"] == 1
+    got = sorted(r["k"] for r in t.read().collect())
+    assert got == [i for i in range(30) if i % 7 != 0]
+    # an UPDATE adds one data + one delete manifest, carries the rest
+    before2 = mlist_rows()
+    t.update("k = 1", {"v": "999"})
+    after2 = mlist_rows()
+    assert [m["manifest_path"] for m in after2[: len(before2)]] == [
+        m["manifest_path"] for m in before2
+    ]
+    new2 = after2[len(before2):]
+    assert sorted(m["content"] for m in new2) == [0, 1]
+    assert t.read().filter("k = 1").first()["v"] == 999
