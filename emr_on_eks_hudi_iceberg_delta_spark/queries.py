@@ -14908,6 +14908,85 @@ def q_hudi_incremental_stream_tail(spark, sf_dir):
 
 
 @register(
+    "hudi_mor_incremental_stream_tail",
+    oracle="""
+    SELECT c_custkey AS cust_id, CAST(c_acctbal AS DOUBLE) AS balance,
+           1 AS commit_seq
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, CAST(c_acctbal AS DOUBLE) + 1000.0, 2
+    FROM customer
+    WHERE c_custkey % 10 = 3 AND NOT c_custkey % 20 = 3
+    """,
+    tags=("lake", "streaming", "S7", "extension"),
+)
+def q_hudi_mor_incremental_stream_tail(spark, sf_dir):
+    """STREAMING MoR incremental (r12 second half,
+    sources/hudi_incr_source.py): each micro-batch plans one task per
+    file group the range's deltacommits touched and merges that
+    group's base + log stack executor-side (max-precombine winner,
+    commit-time tiebreak, winning tombstones dropped) — Hudi's
+    realtime-reader shape as a stream. The gate streams the
+    bulk-insert, then upserts an update wave AND tombstones a subset
+    of the updated keys in a later deltacommit; the checkpointed tail
+    must serve exactly the surviving updated rows (tombstone beats
+    the earlier upsert — latest writer wins) and the deleted keys
+    must not appear."""
+    import tempfile
+
+    from .sources.hudi_incr_source import register_hudiincr_source
+    from .sources.hudi_layout import HudiMorTable
+
+    register_hudiincr_source(spark)
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_acctbal").cast("double").alias("balance"),
+    )
+    t = HudiMorTable(
+        spark, tempfile.mkdtemp(prefix="hudi_mor_incr_"),
+        record_key="cust_id", precombine_field="balance",
+    )
+    i1 = t.bulk_insert(cust)
+    out = tempfile.mkdtemp(prefix="morincr_sink_")
+    ck = tempfile.mkdtemp(prefix="morincr_ck_")
+
+    def run():
+        q = (
+            spark.readStream.format("hudiincr")
+            .option("location", t.location)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()  # batch 1: the bulk-insert state
+    t.upsert(
+        cust.filter("cust_id % 10 = 3").withColumn(
+            "balance", F.col("balance") + 1000.0
+        )
+    )
+    t.delete("cust_id % 20 = 3")  # tombstones beat the upsert
+    run()  # batch 2: the checkpointed tail
+    sunk = spark.read.schema(
+        "cust_id bigint, balance double, _hoodie_commit_time string, "
+        "_hoodie_record_key string, _hoodie_partition_path string, "
+        "_hoodie_file_name string"
+    ).parquet(out)
+    return sunk.select(
+        "cust_id",
+        "balance",
+        F.when(F.col("_hoodie_commit_time") == i1, F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("int")
+        .alias("commit_seq"),
+    )
+
+
+@register(
     "iceberg_rewrite_manifests",
     oracle="""
     SELECT n_nationkey AS nk, n_name, r_name AS region

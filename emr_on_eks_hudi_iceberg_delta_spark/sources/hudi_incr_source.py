@@ -29,10 +29,13 @@ live IN the base files) plus ``_hoodie_file_name`` as a per-partition
 constant. One input partition per file slice; Arrow-batched end to
 end, no per-row Python.
 
-Honest scoping: COPY_ON_WRITE only — MoR incremental needs the
-base∪log merge (a Spark-level key shuffle, not a per-file scan);
-``HudiMorTable.read_incremental`` serves it batch-side, and a MoR
-location refuses loudly here.
+MERGE_ON_READ tables stream too (r12 second half): the per-batch
+plan emits ONE task per file group the range's deltacommits touched,
+and the task merges that group's base + log stack executor-side by
+record key — max-precombine winner, commit-time tiebreak, winning
+tombstones dropped — exactly the engine's realtime-merge rule, in the
+shape Hudi's own realtime reader uses (per-group merge, memory
+bounded by one file group). Untouched groups never enter the plan.
 
 Scale: offset resolution lists the timeline (one JSON per commit);
 planning touches only the range's commit metadata, so a micro-batch
@@ -60,6 +63,28 @@ class _HudiIncrPartition(InputPartition):
         self.begin = begin
 
 
+class _HudiMorIncrPartition(InputPartition):
+    """One HOT file group's merge task (MoR): base + stacked logs at
+    the batch's end instant, merged executor-side by record key —
+    Hudi's own realtime-reader shape, one group per task."""
+
+    def __init__(
+        self,
+        base: str | None,
+        logs: list[str],
+        schema_json: str,
+        begin: str,
+        record_key: str,
+        precombine: str,
+    ):
+        self.base = base
+        self.logs = logs
+        self.schema_json = schema_json
+        self.begin = begin
+        self.record_key = record_key
+        self.precombine = precombine
+
+
 def _location(options: dict) -> str:
     location = options.get("location", "").rstrip("/")
     if not location:
@@ -67,24 +92,25 @@ def _location(options: dict) -> str:
     props = os.path.join(location, ".hoodie", "hoodie.properties")
     if not os.path.exists(props):
         raise FileNotFoundError(f"no hudi table at {location}")
-    stored = dict(
-        line.strip().split("=", 1) for line in open(props) if "=" in line
-    )
-    if stored.get("hoodie.table.type") != "COPY_ON_WRITE":
-        raise ValueError(
-            "hudiincr serves COPY_ON_WRITE tables only — MoR "
-            "incremental needs the base/log merge; use "
-            "HudiMorTable.read_incremental (batch) instead"
-        )
     return location
 
 
 def _timeline(location: str) -> "object":
     """A driver-side table handle for timeline replay (pure file IO —
-    no executor work, so no live SparkSession needed)."""
-    from .hudi_layout import HudiCowTable
+    no executor work, so no live SparkSession needed). Opens with the
+    matching class so MoR slice replay is available."""
+    from .hudi_layout import HudiCowTable, HudiMorTable
 
-    return HudiCowTable(None, location)
+    props = os.path.join(location, ".hoodie", "hoodie.properties")
+    stored = dict(
+        line.strip().split("=", 1) for line in open(props) if "=" in line
+    )
+    cls = (
+        HudiMorTable
+        if stored.get("hoodie.table.type") == "MERGE_ON_READ"
+        else HudiCowTable
+    )
+    return cls(None, location)
 
 
 def _schema_json(location: str) -> str:
@@ -96,20 +122,72 @@ def _schema_json(location: str) -> str:
 
     from pyspark.sql.pandas.types import from_arrow_schema
 
+    from .hudi_layout import HudiMorTable
+    from pyspark.sql.types import StructType as _ST
+
     t = _timeline(location)
-    slices = t._file_slices()
-    if not slices:
+    if isinstance(t, HudiMorTable):
+        ms = t._mor_slices()
+        cands = [s["base"] for s in ms.values() if s["base"]] or [
+            p for s in ms.values() for p in s["logs"]
+        ]
+    else:
+        cands = list(t._file_slices().values())
+    if not cands:
         raise ValueError(f"empty hudi table at {location}")
-    newest = max(slices.values())
+    newest = max(cands)
     arrow = pq.read_schema(os.path.join(location, newest))
     schema = from_arrow_schema(arrow)
     # upsert-written slices MATERIALIZE _hoodie_file_name (the merge
     # input carried it); bulk-insert slices don't. Either way the
     # column is recomputed per partition (the stored value names the
-    # slice the row was merged FROM, not the file serving it).
+    # slice the row was merged FROM, not the file serving it). The
+    # MoR tombstone marker never leaves the read path.
+    schema = _ST(
+        [f for f in schema.fields if f.name != "_hoodie_is_deleted"]
+    )
     if "_hoodie_file_name" not in schema.fieldNames():
         schema = schema.add("_hoodie_file_name", StringType())
     return schema.json()
+
+
+def _mor_range_partitions(
+    t, start: str, end: str, schema_json: str
+) -> list:
+    """MoR planning: file groups TOUCHED by the range's delta/commits
+    merge executor-side (base + the group's full log stack at ``end``
+    — winners need total slice state), then filter to stamps in range;
+    untouched groups cost nothing. One task per hot group — memory is
+    bounded by a file group, the same bound Hudi's realtime reader
+    has."""
+    insts = [i for i in t.instants() if start < i <= end]
+    if not insts:
+        return []
+    fids: set[str] = set()
+    for ti in insts:
+        meta = t._commit_meta(ti)
+        for _part, stats in meta["partitionToWriteStats"].items():
+            fids.update(st["fileId"] for st in stats)
+    # raw log-stack fileIds name their group's base id (fg-N); slices
+    # at the END instant bound what the merge may see
+    slices = t._mor_slices(end)
+    out = []
+    for (part, fid), s in sorted(slices.items()):
+        if fid not in fids:
+            continue
+        out.append(
+            _HudiMorIncrPartition(
+                os.path.join(t.location, s["base"])
+                if s["base"]
+                else None,
+                [os.path.join(t.location, p) for p in s["logs"]],
+                schema_json,
+                start,
+                t.record_key,
+                t.precombine_field,
+            )
+        )
+    return out
 
 
 def _range_partitions(
@@ -117,8 +195,13 @@ def _range_partitions(
 ) -> list:
     """Partition descriptors for the commits in (start, end]: latest
     slice per file group among the range's commits, clustering-retired
-    groups dropped — planned driver-side from commit metadata only."""
+    groups dropped — planned driver-side from commit metadata only.
+    MoR tables route to the per-group merge planning."""
+    from .hudi_layout import HudiMorTable
+
     t = _timeline(location)
+    if isinstance(t, HudiMorTable):
+        return _mor_range_partitions(t, start, end, schema_json)
     insts = [i for i in t.instants() if start < i <= end]
     slices: dict[tuple, str] = {}
     for ti in insts:
@@ -181,6 +264,66 @@ def _read_incr_batches(partition):
         )
 
 
+def _read_mor_incr_batches(partition):
+    """Executor path for one MoR file group: read base + logs
+    (pyarrow), pick each key's winner by (precombine, commit time) —
+    exactly ``upsert_by_key`` with ``_hoodie_commit_time`` priority,
+    the engine's realtime-merge rule — drop winning tombstones, keep
+    rows stamped after the batch start, align to the declared
+    schema. Pandas group-merge over ONE file group per task."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    schema = StructType.fromJson(json.loads(partition.schema_json))
+    names = [f.name for f in schema.fields]
+    types = {f.name: to_arrow_type(f.dataType) for f in schema.fields}
+    frames = []
+    for p in ([partition.base] if partition.base else []) + list(
+        partition.logs
+    ):
+        pdf = pq.read_table(p).to_pandas()
+        pdf["_hoodie_file_name"] = os.path.basename(p)
+        if "_hoodie_is_deleted" not in pdf.columns:
+            pdf["_hoodie_is_deleted"] = False
+        frames.append(pdf)
+    if not frames:
+        return
+    df = pd.concat(frames, ignore_index=True, sort=False)
+    df["_hoodie_is_deleted"] = (
+        df["_hoodie_is_deleted"].fillna(False).astype(bool)
+    )
+    df = df.sort_values(
+        [partition.precombine, "_hoodie_commit_time"],
+        ascending=False,
+        kind="mergesort",
+    ).drop_duplicates(partition.record_key, keep="first")
+    df = df[~df["_hoodie_is_deleted"]]
+    if partition.begin:
+        df = df[df["_hoodie_commit_time"] > partition.begin]
+    if df.empty:
+        return
+    arrays = []
+    n = len(df)
+    for name in names:
+        if name in df.columns:
+            arrays.append(
+                pa.Array.from_pandas(df[name], type=types[name])
+            )
+        else:
+            arrays.append(pa.nulls(n, type=types[name]))
+    yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+def _read_dispatch(partition):
+    if isinstance(partition, _HudiMorIncrPartition):
+        yield from _read_mor_incr_batches(partition)
+    else:
+        yield from _read_incr_batches(partition)
+
+
 class HudiIncrReader(DataSourceReader):
     """Batch incremental pull through the datasource API: options
     ``startingInstant`` (exclusive, default "" = everything) /
@@ -202,7 +345,7 @@ class HudiIncrReader(DataSourceReader):
         return out or [_HudiIncrPartition("", self.schema_json, "")]
 
     def read(self, partition):
-        yield from _read_incr_batches(partition)
+        yield from _read_dispatch(partition)
 
 
 class HudiIncrStreamReader(DataSourceStreamReader):
@@ -229,7 +372,7 @@ class HudiIncrStreamReader(DataSourceStreamReader):
         return out or [_HudiIncrPartition("", self.schema_json, "")]
 
     def read(self, partition):
-        yield from _read_incr_batches(partition)
+        yield from _read_dispatch(partition)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable timeline instants

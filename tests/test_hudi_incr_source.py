@@ -144,16 +144,105 @@ def test_clustering_in_range_serves_rows_once(spark, tmp_path):
     assert _rows(got) == _rows(inc)
 
 
-def test_mor_refuses(spark, tmp_path):
+def test_mor_incremental_matches_batch(spark, tmp_path):
+    """MoR (r12 second half): per-file-group executor merge — the
+    source must equal batch read_incremental through upserts, a
+    tombstone delete, resurrection, and compaction."""
     m = HudiMorTable(
         spark, str(tmp_path / "mor"),
+        record_key="k", precombine_field="v", n_file_groups=3,
+    )
+    i1 = m.bulk_insert(
+        spark.range(30).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    )
+    m.upsert(
+        spark.range(6).selectExpr("id AS k", "CAST(id + 100 AS DOUBLE) AS v")
+    )
+    m.delete("k = 3")  # log tombstone
+    m.upsert(
+        spark.createDataFrame([(3, 999.0)], "k long, v double")
+    )  # resurrection
+    register_hudiincr_source(spark)
+    got = (
+        spark.read.format("hudiincr")
+        .option("location", m.location)
+        .option("startingInstant", i1)
+        .load()
+    )
+    assert _rows(got) == _rows(m.read_incremental(i1))
+    ks = {r["k"]: r["v"] for r in got.collect()}
+    assert ks[3] == 999.0 and ks[0] == 100.0
+    # untouched groups never enter the plan (cold-group scoping pin)
+    m2 = HudiMorTable(
+        spark, str(tmp_path / "mor2"),
+        record_key="k", precombine_field="v", n_file_groups=4,
+    )
+    j1 = m2.bulk_insert(
+        spark.range(40).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    )
+    m2.upsert(spark.createDataFrame([(7, 777.0)], "k long, v double"))
+    got2 = (
+        spark.read.format("hudiincr")
+        .option("location", m2.location)
+        .option("startingInstant", j1)
+        .load()
+    )
+    assert [(r["k"], r["v"]) for r in got2.collect()] == [(7, 777.0)]
+    fg7 = int(
+        m2._with_meta(
+            spark.createDataFrame([(7, 0.0)], "k long, v double"),
+            "x", m2._file_group_expr(),
+        ).select("__fg").first()[0]
+    )
+    assert all(f"fg-{fg7}_" in os.path.basename(f) for f in got2.inputFiles())
+
+
+def test_mor_stream_tails_exactly_once(spark, tmp_path):
+    m = HudiMorTable(
+        spark, str(tmp_path / "morstream"),
         record_key="k", precombine_field="v",
     )
-    m.bulk_insert(spark.range(5).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"))
+    m.bulk_insert(
+        spark.range(10).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    )
     register_hudiincr_source(spark)
-    with pytest.raises(Exception, match="COPY_ON_WRITE"):
-        (
-            spark.read.format("hudiincr")
+    out = tempfile.mkdtemp(prefix="morincr_sink_")
+    ck = tempfile.mkdtemp(prefix="morincr_ck_")
+
+    def run():
+        q = (
+            spark.readStream.format("hudiincr")
             .option("location", m.location)
             .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
         )
+        q.awaitTermination(300)
+
+    run()
+    schema = (
+        "k bigint, v double, _hoodie_commit_time string, "
+        "_hoodie_record_key string, _hoodie_partition_path string, "
+        "_hoodie_file_name string"
+    )
+    assert spark.read.schema(schema).parquet(out).count() == 10
+    i2 = m.delete("k = 4")
+    i3 = m.upsert(
+        spark.createDataFrame([(2, 222.0)], "k long, v double")
+    )
+    run()
+    got = spark.read.schema(schema).parquet(out)
+    # the tail serves the surviving changed row; the tombstoned key
+    # vanishes (MoR incremental = current values of changed keys)
+    assert got.count() == 11
+    assert [
+        (r["k"], r["v"])
+        for r in got.filter(
+            F.col("_hoodie_commit_time").isin(i2, i3)
+        ).collect()
+    ] == [(2, 222.0)]
+    run()
+    assert spark.read.schema(schema).parquet(out).count() == 11
