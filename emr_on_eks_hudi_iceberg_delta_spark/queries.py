@@ -16668,3 +16668,92 @@ def q_iceberg_merge_into_mor(spark, sf_dir):
     files1 = {e["data_file"]["file_path"] for e in t._entries()}
     assert files0 <= files1  # zero pre-merge rewrites
     return t.read()
+
+
+@register(
+    "iceberg_rewrite_partial",
+    oracle="""
+    SELECT n_nationkey AS nk, n_name, r_name AS region
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE n_nationkey % 7 <> 0
+    """,
+    tags=("lake", "S14", "extension"),
+)
+def q_iceberg_rewrite_partial(spark, sf_dir):
+    """PARTIAL binpack compaction (r12,
+    iceberg_deletes._rewrite_data_files_partial — Iceberg's actual
+    RewriteDataFiles contract: file-group selection by partition
+    filter + size threshold, never the whole table): per-region
+    append chains build small-file debt, a MoR DELETE layers a
+    position-delete on top, then
+    ``rewrite_data_files(where="region = 'ASIA'")`` rewrites ONLY
+    that partition's group with all deletes materialized. In-gate
+    pins: one group, every other region's manifest-list rows carried
+    verbatim (path-identical), other regions' data files untouched on
+    disk, the logical read byte-identical pre/post, the snapshot
+    maintenance-stamped (changelogs skip it)."""
+    import tempfile
+
+    from .sources import iceberg_deletes  # noqa: F401  (attaches)
+    from .sources.avro_io import read_ocf
+    from .sources.iceberg_layout import IcebergTable
+
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    joined = nat.join(
+        reg, nat.n_regionkey == reg.r_regionkey
+    ).select(
+        F.col("n_nationkey").alias("nk"),
+        "n_name",
+        F.col("r_name").alias("region"),
+    )
+    t = IcebergTable(spark, tempfile.mkdtemp(prefix="ice_rwp_"))
+    regions = sorted(
+        r["region"] for r in joined.select("region").distinct().collect()
+    )
+    for rname in regions:  # two small files of debt per region
+        part = joined.filter(F.col("region") == rname)
+        t.append(part.filter("nk % 2 = 0").coalesce(1),
+                 partition_by=["region"])
+        t.append(part.filter("nk % 2 = 1").coalesce(1),
+                 partition_by=["region"])
+    t.delete("nk % 7 = 0")  # MoR: pos-delete debt across partitions
+
+    def mlist(tbl):
+        md = tbl._metadata()
+        snap = next(
+            s for s in md["snapshots"]
+            if s["snapshot-id"] == md["current-snapshot-id"]
+        )
+        _, rows = read_ocf(snap["manifest-list"])
+        return rows
+
+    expect = t.read()
+    expect_rows = sorted(tuple(r) for r in expect.collect())
+    other_files = {
+        e["data_file"]["file_path"]
+        for e in t._entries()
+        if e["data_file"]["partition"].get("region") != "ASIA"
+    }
+    before = {m["manifest_path"] for m in mlist(t)}
+    rep = t.rewrite_data_files(where="region = 'ASIA'",
+                               min_input_files=2)
+    assert rep["groups"] == 1 and rep["rewritten_files"] >= 2
+    after_rows = mlist(t)
+    # every manifest that held no ASIA file carried verbatim
+    carried = before & {m["manifest_path"] for m in after_rows}
+    assert len(carried) >= 2 * (len(regions) - 1)
+    assert other_files == {
+        e["data_file"]["file_path"]
+        for e in t._entries()
+        if e["data_file"]["partition"].get("region") != "ASIA"
+    }
+    md = t._metadata()
+    head = next(
+        s for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    assert head["summary"]["maintenance"] == "rewrite-data-files"
+    got = t.read()
+    assert sorted(tuple(r) for r in got.collect()) == expect_rows
+    return got

