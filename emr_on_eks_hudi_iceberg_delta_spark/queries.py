@@ -16757,3 +16757,144 @@ def q_iceberg_rewrite_partial(spark, sf_dir):
     got = t.read()
     assert sorted(tuple(r) for r in got.collect()) == expect_rows
     return got
+
+
+@register(
+    "delta_uniform_dv_mirror",
+    oracle="""
+    SELECT c_custkey AS cust_id,
+           CAST(c_acctbal AS DOUBLE) AS balance,
+           c_mktsegment AS segment
+    FROM customer
+    WHERE c_custkey % 4 <> 1 AND c_custkey % 10 <> 6
+    """,
+    tags=("lake", "S9", "extension"),
+)
+def q_delta_uniform_dv_mirror(spark, sf_dir):
+    """UniForm mirrors LIVE deletion vectors (r12,
+    uniform._sync_dv_deletes): each sync translates changed Delta DVs
+    into Iceberg v2 position-delete parquets (roaring expansion runs
+    executor-side) committed in a delete manifest beside the data
+    manifest — the Iceberg read of the mirror equals the Delta read
+    with zero data files copied or rewritten. The gate layers TWO DV
+    delete waves (the second merges into existing per-file bitmaps),
+    syncs after each, and returns the ICEBERG-side read; in-gate pins:
+    mirror == Delta after both waves, the mirror head is
+    format-version 2 with real (file_path, pos) delete files, and no
+    Delta data file was rewritten by either wave."""
+    import tempfile
+
+    from .sources import delta_dml, uniform  # noqa: F401  (attach)
+    from .sources.delta_log import DeltaLogTable
+    from .sources.iceberg_layout import IcebergTable
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_acctbal").cast("double").alias("balance"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    dt = DeltaLogTable(spark, tempfile.mkdtemp(prefix="uni_dv_"))
+    dt.overwrite(cust.repartition(4))
+    dt.enable_uniform()
+    data_files0 = {
+        p for p, _ in dt._replay()[0].items()
+    }
+    dt.delete("cust_id % 4 = 1", mode="dv")
+    assert dt.sync_uniform() is not None
+    ice = IcebergTable(spark, dt.location)
+    assert sorted(map(tuple, ice.read().collect())) == sorted(
+        map(tuple, dt.read().collect())
+    )
+    dt.delete("cust_id % 10 = 6", mode="dv")
+    assert dt.sync_uniform() is not None
+    live1, _, _ = dt._replay()
+    assert data_files0 == set(live1)  # DV mode: zero files rewritten
+    md = ice._metadata()
+    assert md["format-version"] == 2
+    dels = ice._live_delete_files()
+    assert dels and all(d["content"] == 1 for d in dels)
+    got = ice.read()
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, dt.read().collect())
+    )
+    return got
+
+
+@register(
+    "iceberg_changelog_stream_eq_deletes",
+    oracle="""
+    SELECT c_custkey AS cust_id,
+           CAST(c_acctbal AS DOUBLE) AS balance,
+           'insert' AS change_type, 1 AS commit_seq
+    FROM customer WHERE c_custkey % 3 = 0
+    UNION ALL
+    SELECT c_custkey, CAST(c_acctbal AS DOUBLE), 'delete', 2
+    FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 5 = 0
+    UNION ALL
+    SELECT c_custkey, -1.0, 'insert', 2
+    FROM customer WHERE c_custkey % 5 = 0
+    """,
+    tags=("lake", "streaming", "S2", "extension"),
+)
+def q_iceberg_changelog_stream_eq_deletes(spark, sf_dir):
+    """STREAMING changelog over EQUALITY deletes (r12,
+    iceberg_changelog_source — the refusal this round removed): an
+    ``upsert_by_key`` commit (eq-delete + data files in ONE snapshot,
+    the streaming-CDC write shape real Flink/Iceberg sinks emit)
+    streams as delete events for the keys' PRIOR rows plus insert
+    events for the batch's own rows — key sets ride the partition
+    descriptors and apply as vectorized null-safe merges in the Arrow
+    path; the batch's own files are exempt by the sequence-number
+    rule. Checkpointed two-batch tail; events match batch
+    ``changes()`` by construction (pinned in
+    tests/test_iceberg_changelog_source.py)."""
+    import tempfile
+
+    from .sources import iceberg_deletes  # noqa: F401  (attaches)
+    from .sources.iceberg_changelog_source import (
+        register_iceberglog_source,
+    )
+    from .sources.iceberg_layout import IcebergTable
+
+    register_iceberglog_source(spark)
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_acctbal").cast("double").alias("balance"),
+    )
+    t = IcebergTable(spark, tempfile.mkdtemp(prefix="icl_eq_"))
+    s1 = t.append(cust.filter("cust_id % 3 = 0"))
+    out = tempfile.mkdtemp(prefix="icl_eq_sink_")
+    ck = tempfile.mkdtemp(prefix="icl_eq_ck_")
+
+    def run():
+        q = (
+            spark.readStream.format("iceberglog")
+            .option("location", t.location)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()  # batch 1: s1's inserts
+    up = cust.filter("cust_id % 5 = 0").withColumn(
+        "balance", F.lit(-1.0)
+    )
+    s2 = t.upsert_by_key(up, ["cust_id"])["snapshot_id"]
+    run()  # batch 2: the upsert's delete + insert events
+    sunk = spark.read.schema(
+        "cust_id bigint, balance double, _change_type string, "
+        "_commit_snapshot_id long"
+    ).parquet(out)
+    return sunk.select(
+        "cust_id",
+        "balance",
+        F.col("_change_type").alias("change_type"),
+        F.when(F.col("_commit_snapshot_id") == s1, F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("int")
+        .alias("commit_seq"),
+    )

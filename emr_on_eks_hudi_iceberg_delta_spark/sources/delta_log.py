@@ -1104,9 +1104,9 @@ def _vacuum(
     # UniForm (r11): the ICEBERG MIRROR must stop referencing the
     # doomed files BEFORE they go — sync it to the Delta head, then
     # expire older mirror snapshots METADATA-ONLY (Delta owns the
-    # data-file lifecycle; the mirror must never delete data). A
-    # mirror that cannot sync (e.g. live DVs appeared) aborts the
-    # vacuum loudly with nothing deleted.
+    # data-file lifecycle; the mirror must never delete data). Live
+    # DVs sync through since r12 (translated to position-delete
+    # files); a sync failure still aborts with nothing deleted.
     _, meta, _ = self._replay()
     if (meta.get("configuration") or {}).get(
         "delta.universalFormat.enabledFormats"

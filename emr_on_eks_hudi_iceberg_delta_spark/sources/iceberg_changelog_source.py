@@ -19,9 +19,16 @@ the range emits NOTHING until publish/fast_forward lands it on main
 * POSITION-delete files added -> exactly the named (file, pos) rows as
   ``delete`` events;
 * maintenance snapshots (rewrite_data_files) emit nothing;
-* EQUALITY deletes refuse loudly — applying a key predicate inside a
-  per-file Arrow partition would re-implement the join executor-side;
-  the batch ``changes()`` (Spark-planned) serves that shape.
+* EQUALITY deletes (r12): key sets read driver-side (bounded by the
+  key files' record counts, capped like every pair broadcast) ride
+  the partition descriptors; the Arrow path applies them as
+  vectorized null-safe pandas merges — new key files emit the parent
+  state's matching rows as ``delete`` events, and parent-live key
+  files mask already-deleted rows out of removed-file events with the
+  read path's sequence-number applicability. The streaming-upsert
+  table shape (``stream_to_iceberg_upsert``'s one-snapshot
+  eq-delete+data commits) streams end to end; ranges whose key sets
+  exceed the ship cap refuse loudly toward the batch ``changes()``.
 
 Events surface under the CURRENT schema: every partition carries a
 field-id-derived column-name map, so files written before a rename
@@ -63,6 +70,8 @@ class _IceLogPartition(InputPartition):
         colmap: dict,
         exclude: list | None = None,
         include: list | None = None,
+        eq_exclude: list | None = None,
+        eq_include: tuple | None = None,
     ):
         self.path = path
         self.schema_json = schema_json
@@ -74,6 +83,13 @@ class _IceLogPartition(InputPartition):
         self.exclude = exclude or []
         #: row positions kept EXCLUSIVELY (new pos-delete events)
         self.include = include
+        #: (cols, keys) masks of LIVE equality deletes already applied
+        #: to the parent state (seq-qualified by the planner): rows
+        #: matching any of them are dropped before emitting
+        self.eq_exclude = eq_exclude or []
+        #: (cols, keys) of ONE new equality-delete file: rows kept
+        #: EXCLUSIVELY when matching (the delete-event key semi-join)
+        self.eq_include = eq_include
 
 
 def _location(options: dict) -> str:
@@ -182,8 +198,30 @@ def _pair_positions(paths: list[str]) -> dict[str, list[int]]:
     return {k: sorted(v) for k, v in out.items()}
 
 
+def _eq_key_set(t, md: dict, entry: dict) -> tuple:
+    """(current-name key columns, deduped key tuples) of one
+    equality-delete file — driver-side pyarrow read, bounded by the
+    key file's record count (the same set every reader ships). Column
+    names resolve POSITIONALLY through equality_ids to the CURRENT
+    schema (the batch changes() ``.toDF(*cols)`` rule)."""
+    import pyarrow.parquet as pq
+
+    cols = t._eq_cols_of(md, entry)
+    tbl = pq.read_table(entry["data_file"]["file_path"])
+    keys = {
+        tuple(vals)
+        for vals in zip(
+            *[tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+        )
+    }
+    return (
+        tuple(cols),
+        sorted(keys, key=lambda x: tuple((v is not None, v) for v in x)),
+    )
+
+
 def _snapshot_partitions(
-    t, md: dict, sid: int, schema_json: str
+    t, md: dict, sid: int, schema_json: str, eq_cap: int | None = None
 ) -> list:
     """Partition descriptors for ONE snapshot's change events —
     the batch changes() attribution, planned from manifests only."""
@@ -252,15 +290,59 @@ def _snapshot_partitions(
     par_dels = (
         live_delete_entries(parent) if parent is not None else []
     )
-    if any(
-        e["data_file"].get("content") == CONTENT_EQ_DELETES
+    par_eq = [
+        e
         for e in par_dels
-    ) and removed:
+        if e["data_file"].get("content") == CONTENT_EQ_DELETES
+    ]
+    new_dels = [
+        e
+        for e in t._entries(sid, content=CONTENT_POS_DELETES)
+        if e["status"] == STATUS_ADDED and e["snapshot_id"] == sid
+    ]
+    new_eq = [
+        e
+        for e in new_dels
+        if e["data_file"].get("content") == CONTENT_EQ_DELETES
+    ]
+    # EQUALITY deletes (r12): key sets ride the partition descriptors
+    # (read driver-side like pos-delete pairs, bounded by the key
+    # files' own record counts) and the Arrow path applies them as
+    # vectorized null-safe merges — the same per-file semi-join the
+    # batch changes() plans, without a Spark job in the planner. Ship
+    # size is capped like every pair broadcast in this repo.
+    from .iceberg_deletes import POS_DELETE_BROADCAST_MAX_PAIRS
+    from .iceberg_layout import seq_of_snapshot
+
+    involved_eq = (par_eq if (removed or new_eq) else []) + new_eq
+    total_eq = sum(
+        e["data_file"].get("record_count", 0) for e in involved_eq
+    )
+    if total_eq > (
+        eq_cap if eq_cap is not None else POS_DELETE_BROADCAST_MAX_PAIRS
+    ):
         raise ValueError(
-            "iceberglog cannot stream delete events over live EQUALITY "
-            "deletes (a per-file Arrow partition cannot apply the key "
-            "join) — use the batch changes() for this range"
+            "iceberglog: the range's EQUALITY-delete key sets "
+            f"({total_eq} records) exceed the partition-descriptor "
+            "ship cap — use the batch changes() for this range"
         )
+    _eq_cache: dict[str, tuple] = {}
+
+    def eq_keys(entry) -> tuple:
+        fp = entry["data_file"]["file_path"]
+        if fp not in _eq_cache:
+            _eq_cache[fp] = _eq_key_set(t, md, entry)
+        return _eq_cache[fp]
+
+    def eq_masks_for(file_seq: int) -> list:
+        # equality deletes mask only files with a STRICTLY smaller
+        # data sequence number — the read path's applicability rule
+        return [
+            eq_keys(ee)
+            for ee in par_eq
+            if seq_of_snapshot(md, ee["snapshot_id"]) > file_seq
+        ]
+
     par_pos_paths = [
         e["data_file"]["file_path"]
         for e in par_dels
@@ -269,7 +351,7 @@ def _snapshot_partitions(
     ]
     par_masks = (
         _pair_positions(par_pos_paths)
-        if (par_pos_paths and removed)
+        if (par_pos_paths and (removed or new_eq))
         else {}
     )
     for e in removed:
@@ -282,23 +364,34 @@ def _snapshot_partitions(
                 sid,
                 _colmap_for(md, e, target),
                 exclude=par_masks.get(os.path.basename(fp)),
+                eq_exclude=eq_masks_for(
+                    seq_of_snapshot(md, e["snapshot_id"])
+                ),
             )
         )
-    # deletes from NEW position-delete files: exactly their pairs
-    new_dels = [
-        e
-        for e in t._entries(sid, content=CONTENT_POS_DELETES)
-        if e["status"] == STATUS_ADDED and e["snapshot_id"] == sid
-    ]
-    if any(
-        e["data_file"].get("content") == CONTENT_EQ_DELETES
-        for e in new_dels
-    ):
-        raise ValueError(
-            "iceberglog cannot stream EQUALITY-delete events (key "
-            "predicates need the Spark-planned join) — use the batch "
-            "changes() for this range"
-        )
+    # deletes from NEW equality-delete files: the parent STATE's rows
+    # matching the key set (the batch changes() shape — one event set
+    # per key file, parent pos/eq deletes applied first)
+    for de in new_eq:
+        cols, keys = eq_keys(de)
+        if not keys:
+            continue
+        for e in par_entries:
+            fp = e["data_file"]["file_path"]
+            parts.append(
+                _IceLogPartition(
+                    fp,
+                    schema_json,
+                    "delete",
+                    sid,
+                    _colmap_for(md, e, target),
+                    exclude=par_masks.get(os.path.basename(fp)),
+                    eq_exclude=eq_masks_for(
+                        seq_of_snapshot(md, e["snapshot_id"])
+                    ),
+                    eq_include=(cols, keys),
+                )
+            )
     new_pos_paths = [
         e["data_file"]["file_path"]
         for e in new_dels
@@ -372,6 +465,52 @@ def _read_icelog_batches(partition):
         offset += n_physical
         if batch.num_rows == 0:
             continue
+        if partition.eq_exclude or partition.eq_include is not None:
+            # equality-delete key masks: vectorized null-safe pandas
+            # merges against the shipped key sets (NaN/None keys match
+            # in pandas merges — the read path's eqNullSafe), columns
+            # resolved back to WRITE-TIME names through the colmap
+            import pandas as pd
+
+            inv = {v: k for k, v in partition.colmap.items()}
+            raw_names = list(batch.schema.names)
+
+            def key_mask(cols_keys):
+                kcols, keys = cols_keys
+                data = {}
+                for c in kcols:
+                    raw = inv.get(c, c)
+                    if raw in raw_names:
+                        data[c] = (
+                            batch.column(raw_names.index(raw))
+                            .to_pandas()
+                            .astype(object)
+                        )
+                    else:  # column added after this file: NULL keys
+                        data[c] = pd.Series(
+                            [None] * batch.num_rows, dtype=object
+                        )
+                left = pd.DataFrame(data)
+                right = pd.DataFrame(
+                    keys, columns=list(kcols), dtype=object
+                ).drop_duplicates()
+                merged = left.merge(
+                    right,
+                    on=list(kcols),
+                    how="left",
+                    indicator=True,
+                )
+                return (merged["_merge"] == "both").to_numpy()
+
+            keep = np.ones(batch.num_rows, dtype=bool)
+            for ck in partition.eq_exclude:
+                keep &= ~key_mask(ck)
+            if partition.eq_include is not None:
+                keep &= key_mask(partition.eq_include)
+            if not keep.all():
+                batch = batch.filter(pa.array(keep))
+            if batch.num_rows == 0:
+                continue
         n = batch.num_rows
         cols = {}
         for i, raw_name in enumerate(batch.schema.names):
@@ -393,6 +532,15 @@ def _read_icelog_batches(partition):
         )
 
 
+
+def _eq_cap_opt(options: dict) -> int | None:
+    """Optional ``eqShipCap`` option: overrides the default key-set
+    ship cap (POS_DELETE_BROADCAST_MAX_PAIRS) — mostly a test knob,
+    but a legitimate guard for memory-constrained executors."""
+    raw = options.get("eqshipcap")
+    return int(raw) if raw is not None else None
+
+
 class IcebergLogReader(DataSourceReader):
     """Batch changelog through the datasource API: options
     ``startingSnapshot`` (exclusive; default: the whole lineage) /
@@ -401,6 +549,9 @@ class IcebergLogReader(DataSourceReader):
     def __init__(self, options: dict, schema_json: str):
         self.options = dict(options)
         self.schema_json = schema_json
+
+    def _eq_cap(self):
+        return _eq_cap_opt(self.options)
 
     def partitions(self):
         location = _location(self.options)
@@ -417,7 +568,10 @@ class IcebergLogReader(DataSourceReader):
         out = []
         for sid in _chain(md, start, end):
             out.extend(
-                _snapshot_partitions(t, md, sid, self.schema_json)
+                _snapshot_partitions(
+                    t, md, sid, self.schema_json,
+                    eq_cap=self._eq_cap(),
+                )
             )
         return out or [
             _IceLogPartition("", self.schema_json, "insert", 0, {})
@@ -433,6 +587,9 @@ class IcebergLogStreamReader(DataSourceStreamReader):
         self.schema_json = schema_json
         self.location = _location(options)
 
+    def _eq_cap(self):
+        return _eq_cap_opt(self.options)
+
     def initialOffset(self) -> dict:
         # first batch replays the whole main lineage as its history
         return {"snapshot": None}
@@ -447,7 +604,10 @@ class IcebergLogStreamReader(DataSourceStreamReader):
         out = []
         for sid in _chain(md, start["snapshot"], end["snapshot"]):
             out.extend(
-                _snapshot_partitions(t, md, sid, self.schema_json)
+                _snapshot_partitions(
+                    t, md, sid, self.schema_json,
+                    eq_cap=self._eq_cap(),
+                )
             )
         return out or [
             _IceLogPartition("", self.schema_json, "insert", 0, {})

@@ -650,20 +650,26 @@ class IcebergTable:
         if schema is None:
             schema = _spark_schema_from_md(self._metadata())
 
-        def _plain_scan(ps):
+        def _mapped_scan(ps, extra_cols=()):
             """One multi-path scan honoring the table's
             ``schema.name-mapping.default`` property (spec name
             mapping): files storing PHYSICAL column names — a
             column-mapped Delta table under a UniForm mirror — scan
             under their physical schema and alias back to the logical
-            names; tables without the property scan directly."""
+            names; tables without the property scan directly.
+            ``extra_cols`` are (name, expr) pairs computed BEFORE the
+            aliasing select (the delete-touched branch's basename /
+            row-index columns — they must survive the mapping)."""
             nm_raw = (
                 self._metadata()
                 .get("properties", {})
                 .get("schema.name-mapping.default")
             )
             if not nm_raw:
-                return self.spark.read.schema(schema).parquet(*ps)
+                df = self.spark.read.schema(schema).parquet(*ps)
+                for nm, ex in extra_cols:
+                    df = df.withColumn(nm, ex)
+                return df
             id2phys = {
                 m["field-id"]: m["names"][0] for m in json.loads(nm_raw)
             }
@@ -683,15 +689,19 @@ class IcebergTable:
                     for f in schema.fields
                 ]
             )
-            return (
-                self.spark.read.schema(scan_struct).parquet(*ps)
-                .select(
-                    *[
-                        F.col(phys[f.name]).alias(f.name)
-                        for f in schema.fields
-                    ]
-                )
+            df = self.spark.read.schema(scan_struct).parquet(*ps)
+            for nm, ex in extra_cols:
+                df = df.withColumn(nm, ex)
+            return df.select(
+                *[
+                    F.col(phys[f.name]).alias(f.name)
+                    for f in schema.fields
+                ],
+                *[F.col(nm) for nm, _ in extra_cols],
             )
+
+        def _plain_scan(ps):
+            return _mapped_scan(ps)
 
         if not delete_files:
             return _plain_scan(paths)
@@ -715,15 +725,23 @@ class IcebergTable:
             parts.append(_plain_scan(plain))
         touched = [p for p in paths if os.path.basename(p) in hit]
         if touched:
-            u = (
-                self.spark.read.schema(schema).parquet(*touched)
-                .withColumn(
-                    "__ice_name",
-                    F.element_at(
-                        F.split(F.col("_metadata.file_path"), "/"), -1
+            # the mapped scan computes the join keys BEFORE aliasing so
+            # a column-mapped table (UniForm mirror with DVs) applies
+            # its deletes against the logical columns
+            u = _mapped_scan(
+                touched,
+                extra_cols=(
+                    (
+                        "__ice_name",
+                        F.element_at(
+                            F.split(
+                                F.col("_metadata.file_path"), "/"
+                            ),
+                            -1,
+                        ),
                     ),
-                )
-                .withColumn("__ice_pos", F.col("_metadata.row_index"))
+                    ("__ice_pos", F.col("_metadata.row_index")),
+                ),
             )
             from .iceberg_deletes import POS_DELETE_BROADCAST_MAX_PAIRS
 
@@ -1350,6 +1368,37 @@ class IcebergTable:
                 "partitions": partition_summaries(entries, part_fields),
             }
         ]
+        # hook for full-state writers that carry position-delete files
+        # (the UniForm mirror translating Delta deletion vectors): one
+        # delete manifest beside the data manifest, format-version 2
+        extra_dels = getattr(self, "_delete_files_extra", None)
+        if extra_dels:
+            from .iceberg_deletes import DELETE_MANIFEST_ENTRY_SCHEMA
+
+            del_entries = [
+                {
+                    "status": STATUS_ADDED,
+                    "snapshot_id": snapshot_id,
+                    "data_file": d,
+                }
+                for d in extra_dels
+            ]
+            dpath = os.path.join(
+                self.meta_dir, f"snap-{snapshot_id}-deletes.avro"
+            )
+            write_ocf(dpath, DELETE_MANIFEST_ENTRY_SCHEMA, del_entries)
+            mrows.append(
+                {
+                    "manifest_path": dpath,
+                    "manifest_length": os.path.getsize(dpath),
+                    "partition_spec_id": 0,
+                    "added_snapshot_id": snapshot_id,
+                    "added_data_files_count": len(extra_dels),
+                    "existing_data_files_count": 0,
+                    "deleted_data_files_count": 0,
+                    "content": CONTENT_POS_DELETES,
+                }
+            )
         mlist_path = os.path.join(
             self.meta_dir, f"snap-{snapshot_id}.avro"
         )
@@ -1434,6 +1483,8 @@ class IcebergTable:
             ]
             md["current-snapshot-id"] = snapshot_id
             next_v = cur + 1
+        if extra_dels:
+            md["format-version"] = 2  # delete files are a v2 construct
         extra_props = getattr(self, "_properties_extra", None)
         if extra_props:
             md["properties"] = {

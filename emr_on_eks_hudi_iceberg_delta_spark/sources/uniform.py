@@ -40,9 +40,22 @@ r12 widens the mirror to the two table shapes r11 refused:
   (field-id -> physical name) and scans resolve through it, logical
   names out. Renames are metadata-only on both sides.
 
+**Live deletion vectors mirror too (r12)**: each sync translates
+changed DVs into Iceberg v2 POSITION-DELETE parquet files (the same
+(file_path, pos) pairs, expanded executor-side through the roaring
+codec) under ``metadata/uniform-deletes/`` and commits them in a
+delete manifest beside the data manifest — the translation real
+UniForm performs for Iceberg readers. Reuse is batch-granular: a
+sync's delete file carries a digest ledger of the DV descriptors it
+encodes (``metadata/uniform-dv-state.json``, an advisory cache —
+losing it only forces a full re-translation); later syncs re-reference
+batches whose every member DV is unchanged and rewrite only the
+churned ones, so steady-state sync cost is O(changed DV pairs).
+Delta VACUUM never enters ``metadata/``; stale batch files are
+garbage-collected once no retained mirror snapshot references them.
+
 Honest contract (remaining refusal, shared with
-``convert_delta_to_iceberg``): no live deletion vectors (adopted
-manifests cannot express them — PURGE first); non-scalar partition
+``convert_delta_to_iceberg``): non-scalar partition
 value types refuse loudly. Delta SCHEMA EVOLUTION syncs through
 (``_evolved_schema_update``): retained (name, type) columns keep their
 Iceberg field ids, new or re-typed columns mint fresh ids, files
@@ -58,10 +71,18 @@ from __future__ import annotations
 import json
 import os
 
+from pyspark.sql import functions as F
+
 from .delta_log import DeltaLogTable
 from .iceberg_layout import IcebergTable
 
 UNIFORM_KEY = "delta.universalFormat.enabledFormats"
+
+#: advisory DV-translation ledger (cache: losing it only forces a full
+#: re-translation on the next sync) and the mirror's delete-file home —
+#: both under metadata/, which Delta VACUUM never enters
+_DV_STATE_REL = os.path.join("metadata", "uniform-dv-state.json")
+_DV_DIR_REL = os.path.join("metadata", "uniform-deletes")
 
 
 #: delta schemaString type -> parser turning the add action's
@@ -92,13 +113,6 @@ _AVRO_OF_DELTA = {
 
 
 def _validate(live: dict, meta: dict) -> None:
-    dvd = [p for p, a in live.items() if a.get("deletionVector")]
-    if dvd:
-        raise ValueError(
-            "UniForm cannot mirror live deletion vectors (files "
-            f"{dvd[:3]} carry DVs adopted manifests cannot express) — "
-            "run optimize() (PURGE) first"
-        )
     import json as _json
 
     schema_types = {
@@ -196,6 +210,177 @@ def _evolved_schema_update(
         },
         "last_column_id": next_id,
     }
+
+
+def _dv_digest(desc: dict) -> str:
+    import hashlib
+
+    return hashlib.sha256(
+        json.dumps(desc, sort_keys=True).encode()
+    ).hexdigest()[:16]
+
+
+def _sync_dv_deletes(
+    self: DeltaLogTable, live: dict
+) -> tuple[list[dict], dict]:
+    """Translate the live snapshot's deletion vectors into Iceberg v2
+    position-delete parquet files for the mirror commit.
+
+    Returns (delete-file descriptors, new ledger state). Batches from
+    prior syncs whose EVERY member DV digest is unchanged re-reference
+    their existing files (zero IO); everything else — new DVs, grown
+    DVs, and the unchanged co-members of a churned batch — expands
+    executor-side through ``dv.dv_pairs_df`` (the roaring codec runs in
+    the tasks, the driver ships O(files) descriptors) into one fresh
+    batch of spec-sorted (file_path, pos) parquets. Batch-granular
+    reuse is deliberately conservative: a batch is reused only if every
+    member matches, so a RESTORE that shrinks a DV can never leave a
+    stale over-masking pair file referenced."""
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    from . import dv as dv_io
+
+    dv_adds = {
+        rel: a for rel, a in live.items() if a.get("deletionVector")
+    }
+    state_path = os.path.join(self.location, _DV_STATE_REL)
+    state: dict = {"batches": []}
+    if os.path.exists(state_path):
+        try:
+            with open(state_path) as f:
+                state = json.load(f)
+        except (ValueError, OSError):
+            state = {"batches": []}
+    cur = {
+        rel: _dv_digest(a["deletionVector"])
+        for rel, a in dv_adds.items()
+    }
+
+    def _desc(path: str, n: int) -> dict:
+        return {
+            "content": 1,  # position deletes
+            "file_path": path,
+            "file_format": "PARQUET",
+            "record_count": int(n),
+            "file_size_in_bytes": os.path.getsize(path),
+            "equality_ids": None,
+        }
+
+    descs: list[dict] = []
+    kept: list[dict] = []
+    covered: set[str] = set()
+    for b in state.get("batches", []):
+        members = b.get("members") or {}
+        files = b.get("files") or {}
+        if (
+            members
+            and all(cur.get(r) == d for r, d in members.items())
+            and all(os.path.exists(p) for p in files)
+            and not (set(members) & covered)
+        ):
+            descs.extend(_desc(p, n) for p, n in files.items())
+            covered |= set(members)
+            kept.append(b)
+    to_write = [
+        dv_adds[rel] for rel in sorted(cur) if rel not in covered
+    ]
+    if to_write:
+        pairs = dv_io.dv_pairs_df(self.spark, self.location, to_write)
+        loc = self.location.rstrip("/") + "/"
+        hits = pairs.select(
+            F.concat(F.lit(loc), F.col("__dv_file")).alias(
+                "file_path"
+            ),
+            F.col("__dv_pos").cast("long").alias("pos"),
+        )
+        out_dir = os.path.join(
+            self.location,
+            "metadata",
+            f"uniform-dv-staging-{_uuid.uuid4().hex}",
+        )
+        (
+            hits.repartition("file_path")
+            .sortWithinPartitions("file_path", "pos")
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+        dv_dir = os.path.join(self.location, _DV_DIR_REL)
+        os.makedirs(dv_dir, exist_ok=True)
+        files: dict[str, int] = {}
+        try:
+            for fn in sorted(os.listdir(out_dir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                src = os.path.join(out_dir, fn)
+                n = pq.ParquetFile(src).metadata.num_rows
+                if n == 0:
+                    continue
+                dst = os.path.join(
+                    dv_dir, f"{_uuid.uuid4().hex}-deletes.parquet"
+                )
+                os.replace(src, dst)
+                files[dst] = n
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        descs.extend(_desc(p, n) for p, n in files.items())
+        kept.append(
+            {
+                "files": files,
+                "members": {
+                    a["path"]: cur[a["path"]] for a in to_write
+                },
+            }
+        )
+    return descs, {"batches": kept}
+
+
+def _write_dv_state(self: DeltaLogTable, state: dict) -> None:
+    import uuid as _uuid
+
+    path = os.path.join(self.location, _DV_STATE_REL)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp-{_uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, path)
+
+
+def _gc_uniform_deletes(self: DeltaLogTable, ice: IcebergTable) -> None:
+    """Best-effort reclaim of translated delete files no RETAINED
+    mirror snapshot references (mirror expiry is what retires old
+    snapshots — vacuum runs it)."""
+    dv_dir = os.path.join(self.location, _DV_DIR_REL)
+    if not os.path.isdir(dv_dir):
+        return
+    from .avro_io import read_ocf_cached
+
+    md = ice._metadata()
+    referenced: set[str] = set()
+    for s in md["snapshots"]:
+        try:
+            _, rows = read_ocf_cached(s["manifest-list"])
+        except OSError:
+            continue
+        for m in rows:
+            if m.get("content", 0) != 1:
+                continue
+            try:
+                _, es = read_ocf_cached(m["manifest_path"])
+            except OSError:
+                continue
+            referenced.update(
+                e["data_file"]["file_path"] for e in es
+            )
+    for fn in os.listdir(dv_dir):
+        p = os.path.join(dv_dir, fn)
+        if p not in referenced:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
 
 
 def _sync_uniform(self: DeltaLogTable) -> int | None:
@@ -354,6 +539,11 @@ def _sync_uniform(self: DeltaLogTable) -> int | None:
                 "block_size_in_bytes": 64 * 1024 * 1024,
             }
         )
+    # live deletion vectors translate to v2 position-delete files —
+    # the ledger is written only AFTER the commit publishes (a crash
+    # in between merely re-translates on the next sync)
+    del_descs, dv_state = _sync_dv_deletes(self, live)
+    ice._delete_files_extra = del_descs or None
     ice._summary_extra = {"delta-version": str(head), "uniform": "true"}
     props: dict[str, str] = {}
     if part_cols:
@@ -399,6 +589,9 @@ def _sync_uniform(self: DeltaLogTable) -> int | None:
         ice._properties_extra = None
         ice._part_fields_override = None
         ice._partition_specs_override = None
+        ice._delete_files_extra = None
+    _write_dv_state(self, dv_state)
+    _gc_uniform_deletes(self, ice)
     return sid
 
 

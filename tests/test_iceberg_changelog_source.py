@@ -170,15 +170,82 @@ def test_rename_alignment_in_stream(spark, tmp_path):
     )
 
 
-def test_equality_delete_refuses(spark, tmp_path):
+def test_equality_delete_events_match_batch_changes(spark, tmp_path):
+    """r12: EQUALITY-delete events stream — new key files emit the
+    parent state's matching rows as deletes (pos/earlier-eq masks
+    applied first), exactly the batch changes() attribution."""
     t = IcebergTable(spark, str(tmp_path / "eq"))
-    t.append(spark.range(6).selectExpr("id AS k", "id AS v"))
-    t.equality_delete(spark.createDataFrame([(2,)], "k long"))
+    s0 = t.append(spark.range(6).selectExpr("id AS k", "id AS v"))
+    t.delete("k = 5")  # pos-delete: masks the parent state
+    t.equality_delete(spark.createDataFrame([(2,), (5,)], "k long"))
+    # second eq wave: k=2 is ALREADY deleted (earlier eq mask), so
+    # only k=3 emits; null keys never match (null-safe semantics)
+    t.equality_delete(
+        spark.createDataFrame([(2,), (3,), (None,)], "k long")
+    )
     register_iceberglog_source(spark)
-    with pytest.raises(Exception, match="EQUALITY"):
+    got = (
+        spark.read.format("iceberglog")
+        .option("location", t.location)
+        .option("startingSnapshot", s0)
+        .load()
+    )
+    assert _ev(got) == _ev(t.changes(s0))
+    dels = sorted(
+        r["k"]
+        for r in got.filter("_change_type = 'delete'").collect()
+    )
+    assert dels == [2, 3, 5]
+
+
+def test_eq_delete_streaming_upsert_tails(spark, tmp_path):
+    """The streaming-CDC write shape streams end to end: upsert_by_key
+    commits (eq-delete + data in ONE snapshot) emit delete events for
+    the keys' PRIOR rows and insert events for the batch's own rows
+    (same-sequence exemption), matching batch changes()."""
+    t = IcebergTable(spark, str(tmp_path / "ups"))
+    s0 = t.append(spark.range(4).selectExpr("id AS k", "id * 10 AS v"))
+    t.upsert_by_key(
+        spark.createDataFrame([(1, 111), (9, 999)], "k long, v long"),
+        ["k"],
+    )
+    register_iceberglog_source(spark)
+    got = (
+        spark.read.format("iceberglog")
+        .option("location", t.location)
+        .option("startingSnapshot", s0)
+        .load()
+    )
+    assert _ev(got) == _ev(t.changes(s0))
+    assert _ev(got) == [
+        (1, 10, "delete"),  # the key's PRIOR row
+        (1, 111, "insert"),
+        (9, 999, "insert"),  # no prior row: insert only
+    ]
+    # removed-file events over live eq deletes: an overwrite after the
+    # upsert emits the POST-upsert state as deletes (eq masks applied)
+    s_up = t._metadata()["current-snapshot-id"]
+    t.overwrite(spark.createDataFrame([(100, 1)], "k long, v long"))
+    got2 = (
+        spark.read.format("iceberglog")
+        .option("location", t.location)
+        .option("startingSnapshot", s_up)
+        .load()
+    )
+    assert _ev(got2) == _ev(t.changes(s_up))
+    assert (1, 10, "delete") not in _ev(got2)  # masked: already gone
+
+
+def test_eq_delete_over_ship_cap_refuses(spark, tmp_path):
+    t = IcebergTable(spark, str(tmp_path / "eqcap"))
+    t.append(spark.range(6).selectExpr("id AS k", "id AS v"))
+    t.equality_delete(spark.createDataFrame([(2,), (4,)], "k long"))
+    register_iceberglog_source(spark)
+    with pytest.raises(Exception, match="ship cap"):
         (
             spark.read.format("iceberglog")
             .option("location", t.location)
+            .option("eqShipCap", "1")
             .load()
             .collect()
         )

@@ -86,12 +86,6 @@ def test_sync_is_metadata_only_and_carries_counts(spark, tmp_path):
 
 
 def test_uniform_refusals(spark, tmp_path):
-    # DV-bearing table refuses
-    dt = _table(spark, tmp_path, "dv")
-    dt.enable_uniform()
-    dt.delete("k % 2 = 0", mode="dv")
-    with pytest.raises(ValueError, match="deletion vectors"):
-        dt.sync_uniform()
     # sync without enable refuses
     d2 = _table(spark, tmp_path, "noen")
     with pytest.raises(ValueError, match="not enabled"):
@@ -258,3 +252,112 @@ def test_uniform_partitioned_and_mapped_mirror(spark, tmp_path):
     assert _rows(ice.read()) == _rows(db.read())
     got = ice.read_where(lambda pv: pv["g"] == 0)
     assert sorted(r["k"] for r in got.collect()) == list(range(0, 20, 2))
+
+
+def _dv_files(dt):
+    d = os.path.join(dt.location, "metadata", "uniform-deletes")
+    return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+
+def test_uniform_mirrors_live_deletion_vectors(spark, tmp_path):
+    """r12: live DVs translate into v2 position-delete files in the
+    mirror — the Iceberg read equals the Delta read, byte for byte,
+    and unchanged DV batches are re-referenced, not rewritten."""
+    dt = _table(spark, tmp_path, "dvm")
+    dt.enable_uniform()
+    dt.delete("k % 2 = 0", mode="dv")
+    assert dt.sync_uniform() is not None
+    ice = IcebergTable(spark, dt.location)
+    assert _rows(ice.read()) == _rows(dt.read())
+    # the mirror's delete manifest references a REAL pos-delete parquet
+    dels = ice._live_delete_files()
+    assert dels and all(d["content"] == 1 for d in dels)
+    import pyarrow.parquet as pq
+
+    assert pq.read_schema(dels[0]["file_path"]).names == [
+        "file_path",
+        "pos",
+    ]
+    assert ice._metadata()["format-version"] == 2
+    # unrelated append: the unchanged DV batch is REUSED (no new
+    # delete file written), and the read stays exact
+    before = _dv_files(dt)
+    dt.append(spark.createDataFrame([(9999, 1)], "k long, v long"))
+    assert dt.sync_uniform() is not None
+    assert _dv_files(dt) == before
+    assert _rows(ice.read()) == _rows(dt.read())
+    # a second DV delete churns the batch: rewritten, still exact
+    dt.delete("k % 3 = 0", mode="dv")
+    assert dt.sync_uniform() is not None
+    assert _rows(ice.read()) == _rows(dt.read())
+
+
+def test_uniform_dv_purge_drops_delete_files_and_gc(spark, tmp_path):
+    """PURGE (optimize) materializes the DVs away: the next sync's
+    mirror snapshot carries no delete manifest, and once expiry
+    retires the DV-era snapshots the translated files GC."""
+    dt = _table(spark, tmp_path, "dvpurge")
+    dt.enable_uniform()
+    dt.delete("k % 2 = 0", mode="dv")
+    dt.sync_uniform()
+    assert _dv_files(dt)
+    dt.optimize()  # PURGE: rewrites files, drops DVs
+    assert dt.sync_uniform() is not None
+    ice = IcebergTable(spark, dt.location)
+    assert not ice._live_delete_files()
+    assert _rows(ice.read()) == _rows(dt.read())
+    # old mirror snapshots still reference the translated files —
+    # expiry retires them, the next sync GCs the orphans
+    ice.expire_snapshots(keep_last=1, delete_data=False)
+    dt.append(spark.createDataFrame([(777, 1)], "k long, v long"))
+    dt.sync_uniform()
+    assert _dv_files(dt) == []
+
+
+def test_uniform_dv_on_partitioned_and_mapped_tables(spark, tmp_path):
+    """DVs compose with the r12 partitioned + column-mapped mirror
+    shapes (the delete anti-join must run against the PHYSICAL scan
+    before names map back)."""
+    # hive-partitioned
+    dp = DeltaLogTable(spark, str(tmp_path / "dvpart"))
+    dp.overwrite(
+        spark.range(40).selectExpr(
+            "id AS k", "CAST(id % 4 AS INT) AS p"
+        ),
+        partition_by=["p"],
+    )
+    dp.enable_uniform()
+    dp.delete("k % 5 = 0", mode="dv")
+    dp.sync_uniform()
+    icep = IcebergTable(spark, dp.location)
+    assert _rows(icep.read()) == _rows(dp.read())
+    pruned = icep.read_where(lambda pv: pv["p"] == 2)
+    assert sorted(r["k"] for r in pruned.collect()) == [
+        k for k in range(40) if k % 4 == 2 and k % 5 != 0
+    ]
+    # column-mapped
+    dm = DeltaLogTable(spark, str(tmp_path / "dvmap"))
+    dm.overwrite(spark.range(30).selectExpr("id AS k", "id * 2 AS v"))
+    dm.enable_column_mapping()
+    dm.rename_column("v", "val")  # physical names now diverge
+    dm.enable_uniform()
+    dm.delete("k % 3 = 1", mode="dv")
+    dm.sync_uniform()
+    icem = IcebergTable(spark, dm.location)
+    assert _rows(icem.read()) == _rows(dm.read())
+
+
+def test_vacuum_with_live_dvs_keeps_mirror_exact(spark, tmp_path):
+    """r12: VACUUM no longer aborts on live DVs — the mirror syncs
+    (translating the DVs) before files go."""
+    dt = _table(spark, tmp_path, "dvvac")
+    dt.enable_uniform()
+    dt.overwrite(
+        spark.range(10, 30).selectExpr("id AS k", "id AS v")
+    )  # strand the first files
+    dt.delete("k >= 25", mode="dv")
+    removed = dt.vacuum()
+    assert removed  # the stranded first-write files went
+    ice = IcebergTable(spark, dt.location)
+    assert _rows(ice.read()) == _rows(dt.read())
+    assert ice.read().count() == 15
