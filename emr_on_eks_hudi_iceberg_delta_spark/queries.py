@@ -16898,3 +16898,67 @@ def q_iceberg_changelog_stream_eq_deletes(spark, sf_dir):
         .cast("int")
         .alias("commit_seq"),
     )
+
+
+@register(
+    "iceberg_rewrite_position_deletes",
+    oracle="""
+    SELECT n_nationkey AS nk, n_name, r_name AS region
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE n_nationkey % 5 <> 0
+    """,
+    tags=("lake", "S14", "extension"),
+)
+def q_iceberg_rewrite_position_deletes(spark, sf_dir):
+    """rewrite_position_deletes maintenance (r12,
+    iceberg_deletes._rewrite_position_deletes — the spec's cleanup op
+    for position-delete debt): dangling pairs left by a partial
+    compaction drop, surviving pairs merge spec-sorted into fewer
+    files, provably-inapplicable equality-delete files drop whole,
+    and every DATA manifest-list row carries verbatim. In-gate pins:
+    pair counts shrink to exactly the surviving partition's, the
+    maintenance stamp is present, and the logical read is
+    byte-identical before and after both maintenance passes."""
+    import tempfile
+
+    from .sources import iceberg_deletes  # noqa: F401  (attaches)
+    from .sources.iceberg_layout import IcebergTable
+
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    joined = nat.join(
+        reg, nat.n_regionkey == reg.r_regionkey
+    ).select(
+        F.col("n_nationkey").alias("nk"),
+        "n_name",
+        F.col("r_name").alias("region"),
+    )
+    t = IcebergTable(spark, tempfile.mkdtemp(prefix="ice_rpd_"))
+    regions = sorted(
+        r["region"]
+        for r in joined.select("region").distinct().collect()
+    )
+    for rname in regions:
+        part = joined.filter(F.col("region") == rname)
+        t.append(part.filter("nk % 2 = 0").coalesce(1),
+                 partition_by=["region"])
+        t.append(part.filter("nk % 2 = 1").coalesce(1),
+                 partition_by=["region"])
+    t.delete("nk % 5 = 0")
+    expect_rows = sorted(tuple(r) for r in t.read().collect())
+    t.rewrite_data_files(where="region = 'ASIA'", min_input_files=2)
+    rep = t.rewrite_position_deletes()
+    # exactly ASIA's pairs dangle after the partial compaction
+    n_asia_deleted = joined.filter(
+        (F.col("region") == "ASIA") & (F.col("nk") % 5 == 0)
+    ).count()
+    assert rep["pairs_after"] == rep["pairs_before"] - n_asia_deleted
+    md = t._metadata()
+    head = next(
+        s for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    assert head["summary"]["maintenance"] == "rewrite-position-deletes"
+    got = t.read()
+    assert sorted(tuple(r) for r in got.collect()) == expect_rows
+    return got

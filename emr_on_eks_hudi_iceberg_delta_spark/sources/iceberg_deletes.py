@@ -895,6 +895,178 @@ def _rewrite_data_files_partial(
     }
 
 
+def _rewrite_position_deletes(self: IcebergTable) -> dict:
+    """Iceberg's ``rewrite_position_deletes`` maintenance: compact the
+    live position-delete files — DANGLING pairs (naming data files no
+    snapshot-live entry references, the debris partial compaction
+    leaves behind) drop, the surviving pairs re-land spec-sorted in
+    fewer files, and equality-delete files that can no longer mask
+    anything (no live data file has a STRICTLY smaller sequence
+    number) drop whole. Metadata tail: every DATA manifest-list row
+    carries verbatim; ONE new delete manifest replaces the old chain
+    (surviving eq entries keep their adding snapshot_id, so sequence
+    resolution is untouched). The snapshot is maintenance-stamped —
+    no logical row changes, changelogs skip it.
+
+    Scale: one scan of the pair files + one broadcast semi-join
+    against the live basename set + the executor-side sorted rewrite —
+    cost tracks DELETE metadata size, never table data."""
+    md = self._metadata()
+    head = md.get("current-snapshot-id")
+    if head is None:
+        raise ValueError("empty table: nothing to rewrite")
+    from .avro_io import read_ocf_cached
+    from .iceberg_layout import (
+        next_sequence_number,
+        seq_of_snapshot,
+    )
+
+    live = [
+        e for e in self._entries() if e["status"] != STATUS_DELETED
+    ]
+    live_bases = sorted(
+        os.path.basename(e["data_file"]["file_path"]) for e in live
+    )
+    min_live_seq = min(
+        (seq_of_snapshot(md, e["snapshot_id"]) for e in live),
+        default=0,
+    )
+    _all, pos_entries, eq_entries = _split_delete_entries(self)
+    pairs_before = sum(
+        e["data_file"].get("record_count", 0) for e in pos_entries
+    )
+    files_before = len(pos_entries) + len(eq_entries)
+    eq_kept = [
+        e
+        for e in eq_entries
+        if min_live_seq < seq_of_snapshot(md, e["snapshot_id"])
+    ]
+    new_pos: list[dict] = []
+    if pos_entries:
+        pairs = self.spark.read.parquet(
+            *[e["data_file"]["file_path"] for e in pos_entries]
+        ).select(
+            F.col("file_path").alias("__file"),
+            F.col("pos").cast("long").alias("__pos"),
+        )
+        base_df = F.broadcast(
+            self.spark.createDataFrame(
+                [(b,) for b in live_bases], "__base string"
+            )
+        )
+        surviving = pairs.join(
+            base_df,
+            F.element_at(F.split(F.col("__file"), "/"), -1)
+            == F.col("__base"),
+            "left_semi",
+        )
+        new_pos = _write_pos_delete_files_distributed(self, surviving)
+    if not pos_entries and not eq_entries:
+        return {
+            "pairs_before": 0,
+            "pairs_after": 0,
+            "delete_files_before": 0,
+            "delete_files_after": 0,
+            "eq_dropped": 0,
+            "snapshot_id": None,
+        }
+    snapshot_id = int(uuid.uuid4().int % (1 << 62))
+    now = int(time.time() * 1000)
+    snap = next(
+        s for s in md["snapshots"] if s["snapshot-id"] == head
+    )
+    _, prior_rows = read_ocf_cached(snap["manifest-list"])
+    mrows = [
+        {
+            "manifest_path": m["manifest_path"],
+            "manifest_length": m["manifest_length"],
+            "partition_spec_id": m.get("partition_spec_id", 0),
+            "added_snapshot_id": m["added_snapshot_id"],
+            "added_data_files_count": m.get(
+                "added_data_files_count", 0
+            ),
+            "existing_data_files_count": m.get(
+                "existing_data_files_count", 0
+            ),
+            "deleted_data_files_count": m.get(
+                "deleted_data_files_count", 0
+            ),
+            "content": m.get("content", CONTENT_DATA),
+            "partitions": m.get("partitions"),
+        }
+        for m in prior_rows
+        if m.get("content", CONTENT_DATA) == CONTENT_DATA
+    ]
+    del_entries = [
+        {
+            "status": STATUS_ADDED,
+            "snapshot_id": snapshot_id,
+            "data_file": d,
+        }
+        for d in new_pos
+    ] + [
+        # surviving eq files keep their ORIGINAL adding snapshot id —
+        # that id IS their data sequence number for applicability
+        {
+            "status": e["status"],
+            "snapshot_id": e["snapshot_id"],
+            "data_file": e["data_file"],
+        }
+        for e in eq_kept
+    ]
+    if del_entries:
+        dpath = os.path.join(
+            self.meta_dir, f"snap-{snapshot_id}-deletes.avro"
+        )
+        write_ocf(dpath, DELETE_MANIFEST_ENTRY_SCHEMA, del_entries)
+        mrows.append(
+            {
+                "manifest_path": dpath,
+                "manifest_length": os.path.getsize(dpath),
+                "partition_spec_id": 0,
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": len(del_entries),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "content": CONTENT_POS_DELETES,
+            }
+        )
+    mlist_path = os.path.join(
+        self.meta_dir, f"snap-{snapshot_id}.avro"
+    )
+    write_ocf(mlist_path, MANIFEST_FILE_SCHEMA, mrows)
+    seq = next_sequence_number(md)
+    new_snap = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now,
+        "manifest-list": mlist_path,
+        "summary": {
+            "operation": "replace",
+            "maintenance": "rewrite-position-deletes",
+        },
+        "sequence-number": seq,
+        "schema-id": md.get(
+            "current-schema-id", md["schema"].get("schema-id", 0)
+        ),
+        "parent-snapshot-id": head,
+    }
+    md["last-sequence-number"] = seq
+    md["snapshots"] = md["snapshots"] + [new_snap]
+    md["snapshot-log"] = md.get("snapshot-log", []) + [
+        {"timestamp-ms": now, "snapshot-id": snapshot_id}
+    ]
+    md["current-snapshot-id"] = snapshot_id
+    _advance_metadata(self, md)
+    return {
+        "pairs_before": pairs_before,
+        "pairs_after": sum(d["record_count"] for d in new_pos),
+        "delete_files_before": files_before,
+        "delete_files_after": len(del_entries),
+        "eq_dropped": len(eq_entries) - len(eq_kept),
+        "snapshot_id": snapshot_id,
+    }
+
+
 def _rollback(self: IcebergTable, snapshot_id: int) -> int:
     """rollback_to_snapshot: metadata-only commit re-pointing
     current-snapshot-id at a retained snapshot. All snapshots stay in
@@ -1085,6 +1257,7 @@ def _remove_orphan_files(
 
 
 IcebergTable.rewrite_data_files = _rewrite_data_files
+IcebergTable.rewrite_position_deletes = _rewrite_position_deletes
 IcebergTable.set_sort_order = _set_sort_order
 IcebergTable.remove_orphan_files = _remove_orphan_files
 IcebergTable.rollback = _rollback

@@ -1097,3 +1097,59 @@ def test_partial_rewrite_applies_and_respects_deletes(spark, tmp_path):
     assert sorted(r["k"] for r in a_read.collect()) == [
         k for k in expect if k < 100
     ]
+
+
+def test_rewrite_position_deletes_drops_danglers_and_dead_eq(
+    spark, tmp_path
+):
+    """r12 rewrite_position_deletes: dangling pairs (left by partial
+    compaction) drop, surviving pairs merge into fewer files, and an
+    equality-delete file no live data file can satisfy (every live
+    seq >= its seq) drops whole — reads identical throughout, data
+    manifests carried verbatim."""
+    t = IcebergTable(spark, str(tmp_path / "rpd"))
+    for lo in (0, 10):
+        t.append(
+            spark.range(lo, lo + 10).selectExpr("id AS k", "'a' AS p"),
+            partition_by=["p"],
+        )
+        t.append(
+            spark.range(lo + 100, lo + 110).selectExpr(
+                "id AS k", "'b' AS p"
+            ),
+            partition_by=["p"],
+        )
+    t.delete("k IN (1, 101)")
+    t.delete("k IN (2, 102)")  # two pos-delete files accumulate
+    t.equality_delete(spark.createDataFrame([(4,)], "k bigint"))
+    expect = sorted(r["k"] for r in t.read().collect())
+    # partial compact 'a': its pairs + the eq key now dangle
+    t.rewrite_data_files(where="p = 'a'", min_input_files=2)
+    assert sorted(r["k"] for r in t.read().collect()) == expect
+    _, pos0, eq0 = (
+        None,
+        t._live_delete_files(),
+        t._live_eq_delete_entries(),
+    )
+    assert len(pos0) == 2 and len(eq0) == 1
+    rep = t.rewrite_position_deletes()
+    assert rep["pairs_before"] == 4
+    assert rep["pairs_after"] == 2  # only partition-b pairs survive
+    assert rep["delete_files_after"] < rep["delete_files_before"]
+    assert sorted(r["k"] for r in t.read().collect()) == expect
+    # changelog-skip stamp
+    md = t._metadata()
+    head = next(
+        s for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    assert head["summary"]["maintenance"] == "rewrite-position-deletes"
+    # the eq file cannot yet drop (partition-b files predate it) —
+    # compact 'b' too, then the eq file is provably inapplicable
+    t.rewrite_data_files(where="p = 'b'", min_input_files=2)
+    rep2 = t.rewrite_position_deletes()
+    assert rep2["eq_dropped"] == 1
+    assert rep2["pairs_after"] == 0
+    assert not t._live_delete_files()
+    assert not t._live_eq_delete_entries()
+    assert sorted(r["k"] for r in t.read().collect()) == expect
