@@ -62,8 +62,13 @@ Iceberg field ids, new or re-typed columns mint fresh ids, files
 lacking a later-added column serve typed NULLs — real UniForm's
 schema sync.
 
-Scale: each sync is one manifest write of O(live files) entries with
-O(changed files) footer reads; the mirror never rewrites a data file.
+Scale: an APPEND-ONLY delta since the last sync (the streaming-ingest
+steady state) commits INCREMENTALLY — prior manifest-list rows carry
+verbatim and ONE manifest of the added files is written, so sync cost
+is O(added) (r12; real UniForm's incremental commit). Removals,
+schema changes, spec evolution, or DV churn fall back to one
+full-state manifest write of O(live files) entries. Footer reads are
+O(changed files) either way; the mirror never rewrites a data file.
 """
 
 from __future__ import annotations
@@ -543,7 +548,35 @@ def _sync_uniform(self: DeltaLogTable) -> int | None:
     # the ledger is written only AFTER the commit publishes (a crash
     # in between merely re-translates on the next sync)
     del_descs, dv_state = _sync_dv_deletes(self, live)
-    ice._delete_files_extra = del_descs or None
+    # INCREMENTAL sync (r12): when the Delta commit(s) since the last
+    # sync only ADDED files — the streaming-ingest steady state — the
+    # mirror commits an APPEND that carries the prior snapshot's
+    # manifest-list rows verbatim (data and delete manifests alike)
+    # and writes ONE manifest of the added files: sync cost O(added),
+    # real UniForm's incremental commit. Any removal, schema change,
+    # partition-spec evolution, or DV churn falls back to the
+    # full-state overwrite (which those cases need anyway).
+    cur_paths = {os.path.join(self.location, rel) for rel in live}
+    prior_paths = set(prior_counts)
+    prior_del_paths = (
+        {
+            e["data_file"]["file_path"]
+            for e in ice._entries(content=1)
+            if e["status"] != 2
+        }
+        if cur is not None
+        else set()
+    )
+    fast_append = (
+        cur is not None
+        and schema_update is None
+        and getattr(ice, "_partition_specs_override", None) is None
+        and prior_paths <= cur_paths  # nothing removed
+        and prior_del_paths == {d["file_path"] for d in del_descs}
+    )
+    ice._delete_files_extra = None if fast_append else (
+        del_descs or None
+    )
     ice._summary_extra = {"delta-version": str(head), "uniform": "true"}
     props: dict[str, str] = {}
     if part_cols:
@@ -580,10 +613,16 @@ def _sync_uniform(self: DeltaLogTable) -> int | None:
         )
     ice._properties_extra = props or None
     try:
-        sid = ice._commit(
-            df, files, "overwrite",
-            schema_update=schema_update,
-        )
+        if fast_append:
+            added = [
+                f for f in files if f["file_path"] not in prior_paths
+            ]
+            sid = ice._commit(df, added, "append")
+        else:
+            sid = ice._commit(
+                df, files, "overwrite",
+                schema_update=schema_update,
+            )
     finally:
         ice._summary_extra = None
         ice._properties_extra = None

@@ -361,3 +361,60 @@ def test_vacuum_with_live_dvs_keeps_mirror_exact(spark, tmp_path):
     ice = IcebergTable(spark, dt.location)
     assert _rows(ice.read()) == _rows(dt.read())
     assert ice.read().count() == 15
+
+
+def test_incremental_sync_appends_carry_manifests(spark, tmp_path):
+    """r12: an append-only Delta commit syncs as a mirror APPEND —
+    prior manifest-list rows carried verbatim plus ONE manifest of
+    exactly the added files (sync cost O(added), not O(live))."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.avro_io import (
+        read_ocf,
+    )
+
+    dt = _table(spark, tmp_path, "incr")
+    dt.enable_uniform()
+    ice = IcebergTable(spark, dt.location)
+
+    def mlist():
+        md = ice._metadata()
+        snap = next(
+            s for s in md["snapshots"]
+            if s["snapshot-id"] == md["current-snapshot-id"]
+        )
+        _, rows = read_ocf(snap["manifest-list"])
+        return rows
+
+    before = mlist()
+    n_live0 = len(dt._replay()[0])
+    dt.append(
+        spark.createDataFrame([(500, 1), (501, 2)], "k long, v long")
+    )
+    n_added = len(dt._replay()[0]) - n_live0
+    assert dt.sync_uniform() is not None
+    after = mlist()
+    # carried verbatim + exactly one new manifest of the added files
+    assert [m["manifest_path"] for m in after[: len(before)]] == [
+        m["manifest_path"] for m in before
+    ]
+    new = after[len(before):]
+    assert len(new) == 1 and new[0]["added_data_files_count"] >= 1
+    _, entries = read_ocf(new[0]["manifest_path"])
+    assert len(entries) == n_added  # O(added), never the live set
+    assert _rows(ice.read()) == _rows(dt.read())
+    # a REMOVAL (CoW delete) falls back to full state — still exact
+    dt.delete("k < 5")
+    assert dt.sync_uniform() is not None
+    assert _rows(ice.read()) == _rows(dt.read())
+    # DV churn also falls back (delete set changes) — still exact
+    dt.delete("k % 7 = 0", mode="dv")
+    assert dt.sync_uniform() is not None
+    assert _rows(ice.read()) == _rows(dt.read())
+    # and a DV-stable append after that rides the fast path again
+    b2 = mlist()
+    dt.append(spark.createDataFrame([(600, 3)], "k long, v long"))
+    assert dt.sync_uniform() is not None
+    a2 = mlist()
+    assert [m["manifest_path"] for m in a2[: len(b2)]] == [
+        m["manifest_path"] for m in b2
+    ]
+    assert _rows(ice.read()) == _rows(dt.read())
