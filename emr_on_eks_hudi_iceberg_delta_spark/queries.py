@@ -16962,3 +16962,61 @@ def q_iceberg_rewrite_position_deletes(spark, sf_dir):
     got = t.read()
     assert sorted(tuple(r) for r in got.collect()) == expect_rows
     return got
+
+
+@register(
+    "iceberg_add_files",
+    oracle="""
+    SELECT o_orderkey AS k,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           o_orderstatus AS status
+    FROM orders
+    """,
+    tags=("lake", "S12", "extension"),
+)
+def q_iceberg_add_files(spark, sf_dir):
+    """CALL system.add_files (r12, iceberg_layout._add_files): adopt
+    foreign parquet files into an existing Iceberg table BY REFERENCE
+    — zero bytes copied, one manifest-reuse append commit, footer
+    column bounds collected so data skipping works on adopted files.
+    The gate seeds the table with the even order keys, writes the odd
+    keys as a plain parquet directory, adopts it, and returns the
+    merged read; in-gate pins: adopted entries reference the foreign
+    inodes in place, duplicate adoption refuses."""
+    import tempfile
+
+    from .sources.iceberg_layout import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    t = IcebergTable(spark, tempfile.mkdtemp(prefix="ice_addf_"))
+    t.overwrite(o.filter("k % 2 = 0").repartition(4))
+    foreign = tempfile.mkdtemp(prefix="ice_foreign_")
+    o.filter("k % 2 = 1").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(foreign)
+    rep = t.add_files(foreign)
+    assert rep["added_files"] >= 1
+    import os as _os
+
+    foreign_inodes = {
+        _os.stat(_os.path.join(r, f)).st_ino
+        for r, _, fs in _os.walk(foreign)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    adopted = {
+        _os.stat(e["data_file"]["file_path"]).st_ino
+        for e in t._entries()
+        if foreign in e["data_file"]["file_path"]
+    }
+    assert adopted == foreign_inodes  # zero copy, in place
+    try:
+        t.add_files(foreign)
+        raise AssertionError("duplicate adoption must refuse")
+    except ValueError:
+        pass
+    return t.read()

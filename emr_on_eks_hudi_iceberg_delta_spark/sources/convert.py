@@ -141,14 +141,18 @@ def convert_delta_to_iceberg(
         raise ValueError(
             "cannot adopt a Delta table with live deletion vectors "
             f"into Iceberg (files {dvd[:3]} carry DVs the adopted "
-            "manifests cannot express) — run optimize() (PURGE) first"
+            "manifests cannot express) — run optimize() (PURGE) "
+            "first, or enable_uniform(), the in-place mirror that "
+            "translates live DVs into position-delete files (r12)"
         )
     if meta.get("partitionColumns"):
         raise ValueError(
             "cannot adopt a hive-partitioned Delta table into Iceberg: "
             "its data files do not contain the partition columns "
             "(Iceberg stores them in the files) — rewrite via "
-            "IcebergTable.overwrite(delta.read()) instead"
+            "IcebergTable.overwrite(delta.read()), or "
+            "enable_uniform(), the in-place mirror that serves them "
+            "as manifest partition constants (r12)"
         )
     df = src.read()
     t = IcebergTable(spark, iceberg_location)

@@ -1982,6 +1982,167 @@ def _rewrite_manifests(
 IcebergTable.rewrite_manifests = _rewrite_manifests
 
 
+def _add_files(
+    self, source_dir: str, check_duplicates: bool = True
+) -> dict:
+    """Iceberg's ``CALL system.add_files`` procedure: adopt foreign
+    parquet files into THIS table by reference — zero bytes copied,
+    one append commit carrying the parent's manifests (r12 reuse) plus
+    ONE manifest of the adopted files, footer column bounds collected
+    so data skipping works on them like any native file.
+
+    Validation (loud, never silent): every file's arrow schema must
+    carry every table column under the same Spark type (extra file
+    columns are fine — the explicit-schema scan ignores them);
+    duplicate adoption refuses under ``check_duplicates`` (the real
+    procedure's check_duplicate_files). Identity-partitioned tables
+    adopt files that are PARTITION-PURE (footer min == max on every
+    partition column across all row groups — the value lands in the
+    manifest so pruning works); non-identity transforms refuse (the
+    ordinal cannot be derived from a foreign footer).
+
+    Scale: O(files) footer reads, no data read or moved; the commit is
+    the O(added) manifest-reuse append."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    from .iceberg_bounds import collect_bounds
+
+    if self._current_version() is None:
+        raise ValueError(
+            "add_files needs an existing table (create it with "
+            "append/overwrite first — the table schema is the "
+            "adoption contract)"
+        )
+    md = self._metadata()
+    schema = _spark_schema_from_md(md)
+    table_types = {
+        f.name: f.dataType.simpleString() for f in schema.fields
+    }
+    stored = stored_part_fields(md)
+    bad_tf = [
+        f["name"] for f in stored if f["transform"] != "identity"
+    ]
+    if bad_tf:
+        raise ValueError(
+            f"add_files cannot derive {bad_tf} partition ordinals "
+            "from foreign footers (non-identity transforms) — write "
+            "through append() instead"
+        )
+    part_srcs = {f["name"]: f["source"] for f in stored}
+    paths = []
+    for root, _dirs, fnames in os.walk(source_dir):
+        for fn in sorted(fnames):
+            if fn.endswith(".parquet") and not fn.startswith(
+                ("_", ".")
+            ):
+                paths.append(os.path.join(root, fn))
+    if not paths:
+        raise ValueError(f"no parquet files under {source_dir}")
+    live = {
+        e["data_file"]["file_path"]
+        for e in self._entries()
+        if e["status"] != STATUS_DELETED
+    }
+    dups = sorted(p for p in paths if p in live)
+    if dups and check_duplicates:
+        raise ValueError(
+            f"files already referenced by the table: {dups[:3]} — "
+            "pass check_duplicates=False to re-add deliberately"
+        )
+    sch_fields = {
+        f["name"]: f["id"] for f in md["schema"]["fields"]
+    }
+    bound_types = {
+        f["name"]: f["type"]
+        for f in md["schema"]["fields"]
+        if isinstance(f["type"], str)
+    }
+    files: list[dict] = []
+    for p in paths:
+        if p in live:
+            continue  # check_duplicates=False: silently keep one ref
+        pf = pq.ParquetFile(p)
+        arrow = pf.schema_arrow
+        got = {
+            nm: from_arrow_type(arrow.field(nm).type).simpleString()
+            for nm in arrow.names
+        }
+        missing = [c for c in table_types if c not in got]
+        mistyped = [
+            c
+            for c, t in table_types.items()
+            if c in got and got[c] != t
+        ]
+        if missing or mistyped:
+            raise ValueError(
+                f"{p}: schema incompatible with the table "
+                f"(missing columns {missing}, type mismatches "
+                f"{[(c, got[c], table_types[c]) for c in mistyped]})"
+            )
+        n_rows = pf.metadata.num_rows
+        if n_rows == 0:
+            continue
+        pvals: dict = {}
+        for pname, src_col in part_srcs.items():
+            idx = arrow.names.index(src_col)
+            los, his = set(), set()
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError(
+                        f"{p}: no usable footer stats on partition "
+                        f"column {src_col!r} — cannot prove the file "
+                        "partition-pure"
+                    )
+                los.add(st.min)
+                his.add(st.max)
+            vals = los | his
+            if len(vals) != 1:
+                raise ValueError(
+                    f"{p}: not partition-pure on {src_col!r} "
+                    f"(footer values {sorted(map(str, vals))[:4]}) — "
+                    "compact per partition before adopting"
+                )
+            pvals[pname] = vals.pop()
+        entry = {
+            "file_path": p,
+            "file_format": "PARQUET",
+            "partition": pvals,
+            "record_count": n_rows,
+            "file_size_in_bytes": os.path.getsize(p),
+            "block_size_in_bytes": 64 * 1024 * 1024,
+        }
+        lo_b, hi_b = collect_bounds(p, bound_types)
+        if lo_b:
+            entry["lower_bounds"] = [
+                {"key": sch_fields[c], "value": b}
+                for c, b in sorted(lo_b.items())
+                if c in sch_fields
+            ]
+            entry["upper_bounds"] = [
+                {"key": sch_fields[c], "value": b}
+                for c, b in sorted(hi_b.items())
+                if c in sch_fields
+            ]
+        files.append(entry)
+    if not files:
+        return {"added_files": 0, "snapshot_id": None}
+    self._summary_extra = {
+        **(getattr(self, "_summary_extra", None) or {}),
+        "added-files-procedure": "add_files",
+    }
+    try:
+        sid = self._commit(None, files, "append")
+    finally:
+        self._summary_extra = None
+    return {"added_files": len(files), "snapshot_id": sid}
+
+
+IcebergTable.add_files = _add_files
+
+
 def _expire_snapshots(
     self, keep_last: int = 1, delete_data: bool = True
 ) -> dict:

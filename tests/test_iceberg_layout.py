@@ -397,3 +397,84 @@ def test_rewrite_manifests_carries_delete_manifests(spark, tmp_path):
     t.append(spark.createDataFrame([(100, 0)], "k long, v long"))
     rows = [m for m in _mlist(t) if m.get("content", 0) == 0]
     assert len(rows) == 2
+
+
+def test_add_files_adopts_foreign_parquet_by_reference(
+    spark, tmp_path
+):
+    """r12 add_files: foreign parquet adopts zero-copy — one carried
+    append commit, footer bounds collected (skipping works), schema /
+    duplicate / purity refusals loud."""
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "foreign"
+    spark.range(50).selectExpr("id AS k", "id * 2 AS v").coalesce(
+        2
+    ).write.parquet(str(src))
+    t = IcebergTable(spark, str(tmp_path / "adopt"))
+    t.append(
+        spark.createDataFrame([(1000, 0)], "k bigint, v bigint")
+    )
+    inodes = {
+        os.stat(os.path.join(r, f)).st_ino
+        for r, _, fs in os.walk(src)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    rep = t.add_files(str(src))
+    assert rep["added_files"] == 2
+    assert t.read().count() == 51
+    # zero copy: the adopted files are the source inodes, in place
+    adopted = {
+        os.stat(e["data_file"]["file_path"]).st_ino
+        for e in t._entries()
+        if str(src) in e["data_file"]["file_path"]
+    }
+    assert adopted == inodes
+    # footer bounds landed: a point read prunes to one adopted file
+    hits = t.read_hidden([("k", "=", 7)])
+    assert [r["k"] for r in hits.collect()] == [7]
+    # duplicate adoption refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already referenced"):
+        t.add_files(str(src))
+    # schema mismatch refuses
+    bad = tmp_path / "bad"
+    spark.range(3).selectExpr("id AS k").write.parquet(str(bad))
+    with _pytest.raises(ValueError, match="missing columns"):
+        t.add_files(str(bad))
+
+
+def test_add_files_partitioned_purity(spark, tmp_path):
+    """Identity-partitioned adoption: partition values derive from
+    footer min==max; impure files refuse; pruning works on adopted
+    files."""
+    import pytest as _pytest
+
+    t = IcebergTable(spark, str(tmp_path / "padopt"))
+    t.append(
+        spark.createDataFrame([(0, "a")], "k bigint, p string"),
+        partition_by=["p"],
+    )
+    pure = tmp_path / "pure"
+    (
+        spark.range(1, 9)
+        .selectExpr("id AS k", "CASE WHEN id < 5 THEN 'a' ELSE 'b' END AS p")
+        .repartition(2, "p")
+        .write.parquet(str(pure))
+    )
+    rep = t.add_files(str(pure))
+    assert rep["added_files"] >= 1
+    got = t.read_where(lambda pv: pv["p"] == "b")
+    assert sorted(r["k"] for r in got.collect()) == [5, 6, 7, 8]
+    assert t.read().count() == 9
+    impure = tmp_path / "impure"
+    (
+        spark.range(20, 26)
+        .selectExpr("id AS k", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS p")
+        .coalesce(1)
+        .write.parquet(str(impure))
+    )
+    with _pytest.raises(ValueError, match="partition-pure"):
+        t.add_files(str(impure))
