@@ -17020,3 +17020,64 @@ def q_iceberg_add_files(spark, sf_dir):
     except ValueError:
         pass
     return t.read()
+
+
+@register(
+    "delta_v2_checkpoint",
+    oracle="""
+    SELECT c_custkey AS cust_id,
+           CAST(c_acctbal AS DOUBLE) AS balance
+    FROM customer
+    WHERE c_custkey % 6 <> 2
+    """,
+    tags=("lake", "S9", "extension"),
+)
+def q_delta_v2_checkpoint(spark, sf_dir):
+    """V2 CHECKPOINTS (r12, delta_log._write_v2_checkpoint — the
+    protocol's v2Checkpoint table feature): the checkpoint's add
+    actions shard into content-addressed SIDECAR parquets under
+    _delta_log/_sidecars/, the top file carries protocol/metaData/txn
+    plus sidecar pointers, and re-checkpointing after a small commit
+    rewrites only the churned buckets (bucket-count hysteresis keeps
+    the path-hash sharding stable) — O(changed) checkpoint writes
+    instead of the classic single file's O(live) rewrite. The gate
+    checkpoints, EXPIRES the JSON log (clean_log), layers a DV delete
+    on top, re-checkpoints and expires again; the returned read can
+    only come from v2-checkpoint-seeded replay. In-gate pins: the
+    bucket sharding held across checkpoints (hysteresis), the reader
+    feature is stamped, replay after each clean is exact; per-bucket
+    sidecar REUSE is pinned in tests/test_delta_log.py where the
+    commit is bucket-local."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from .sources import delta_dml  # noqa: F401  (attaches delete)
+    from .sources.delta_log import DeltaLogTable
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_acctbal").cast("double").alias("balance"),
+    )
+    t = DeltaLogTable(spark, tempfile.mkdtemp(prefix="v2ckpt_"))
+    t.overwrite(cust.repartition(8))
+    t.write_checkpoint(v2=True, sidecar_target_adds=2)
+    lc1 = _json.load(
+        open(_os.path.join(t.location, "_delta_log",
+                           "_last_checkpoint"))
+    )
+    assert lc1["v2"] and lc1["sidecars"] >= 2
+    t.clean_log()
+    assert t.read().count() == cust.count()  # v2-seeded replay
+    t.delete("cust_id % 6 = 2", mode="dv")
+    t.write_checkpoint(v2=True, sidecar_target_adds=2)
+    lc2 = _json.load(
+        open(_os.path.join(t.location, "_delta_log",
+                           "_last_checkpoint"))
+    )
+    assert lc2["buckets"] == lc1["buckets"]
+    t.clean_log()
+    assert "v2Checkpoint" in (
+        t.current_protocol().get("readerFeatures") or []
+    )
+    return t.read()

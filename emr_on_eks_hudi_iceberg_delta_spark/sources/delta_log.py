@@ -166,7 +166,7 @@ class DeltaLogTable:
     #: reader table features this implementation actually supports —
     #: anything else refuses loudly rather than mis-reading.
     SUPPORTED_READER_FEATURES = frozenset(
-        {"deletionVectors", "columnMapping"}
+        {"deletionVectors", "columnMapping", "v2Checkpoint"}
     )
 
     @classmethod
@@ -194,7 +194,17 @@ class DeltaLogTable:
         )
 
     def _load_checkpoint(self, ckpt: int):
-        """Seed state from a classic single-file parquet checkpoint."""
+        """Seed state from a parquet checkpoint — classic single-file,
+        or a V2 checkpoint (top file + add-only SIDECARS) when
+        ``_last_checkpoint`` says so."""
+        lc_path = os.path.join(
+            self.location, "_delta_log", "_last_checkpoint"
+        )
+        if os.path.exists(lc_path):
+            with open(lc_path) as f:
+                lc = json.load(f)
+            if lc.get("v2") and int(lc["version"]) == ckpt:
+                return _load_v2_checkpoint(self, lc)
         path = os.path.join(
             self.location, "_delta_log",
             f"{ckpt:020d}.checkpoint.parquet",
@@ -1135,12 +1145,11 @@ def _txn_versions(self) -> dict[str, int]:
     seen: dict[str, int] = {}
     ckpt = self.last_checkpoint_version()
     if ckpt is not None:
-        path = os.path.join(
-            self.location, "_delta_log",
-            f"{ckpt:020d}.checkpoint.parquet",
-        )
-        if os.path.exists(path):
-            for r in self.spark.read.parquet(path).collect():
+        top = self._checkpoint_top_file(ckpt)
+        if top is not None:
+            # classic file and v2 top file both hold the txn rows
+            # (v2 sidecars are add-only by construction)
+            for r in self.spark.read.parquet(top[0]).collect():
                 if r["txn"] is not None:
                     t = r["txn"]
                     seen[t["appId"]] = max(
@@ -1257,13 +1266,29 @@ def _logdir(self) -> str:
     return os.path.join(self.location, "_delta_log")
 
 
-def _write_checkpoint(self) -> int:
-    """Write a classic (single-file) parquet checkpoint of the CURRENT
-    state — protocol, metaData, every live add, and the latest txn row
-    per appId — plus the ``_last_checkpoint`` pointer. This is what
-    lets the log's old JSON files expire (``clean_log``) without
-    breaking readers: replay becomes checkpoint + JSON suffix, exactly
-    the real Delta mechanism. Returns the checkpointed version."""
+def _write_checkpoint(
+    self, v2: bool = False, sidecar_target_adds: int = 50_000
+) -> int:
+    """Write a parquet checkpoint of the CURRENT state — protocol,
+    metaData, every live add, and the latest txn row per appId — plus
+    the ``_last_checkpoint`` pointer. This is what lets the log's old
+    JSON files expire (``clean_log``) without breaking readers: replay
+    becomes checkpoint + JSON suffix, exactly the real Delta
+    mechanism. Returns the checkpointed version.
+
+    ``v2=True`` writes a V2 CHECKPOINT (the protocol's v2Checkpoint
+    table feature): a top-level ``<v>.checkpoint.<uuid>.parquet``
+    holding protocol/metaData/txn plus SIDECAR pointers, with the add
+    actions sharded into content-addressed sidecar parquets under
+    ``_delta_log/_sidecars/`` (~``sidecar_target_adds`` adds each,
+    stable path-hash bucketing). Sidecars whose member add-set is
+    unchanged since the last checkpoint REUSE the existing file
+    byte-for-byte (the digest IS the name), so re-checkpointing after
+    small commits writes O(changed buckets), not O(live files) — the
+    single-file checkpoint's rewrite-the-world cost is the thing v2
+    checkpoints exist to fix at 100 TB."""
+    if v2:
+        return _write_v2_checkpoint(self, sidecar_target_adds)
     live, meta, version = self._replay()
     rows = [
         (None, None, None, None, self.current_protocol()),
@@ -1332,12 +1357,279 @@ def _clean_log(self) -> list[str]:
             path = _commit_path(self.location, v)
             os.remove(path)
             removed.append(os.path.basename(path))
+    # sidecar GC: drop _sidecars/ files no remaining checkpoint top
+    # file references (old checkpoints keep theirs until deleted)
+    side_dir = os.path.join(self._logdir(), "_sidecars")
+    if os.path.isdir(side_dir):
+        referenced: set[str] = set()
+        for fn in os.listdir(self._logdir()):
+            if ".checkpoint." not in fn or not fn.endswith(".parquet"):
+                continue
+            top = os.path.join(self._logdir(), fn)
+            for r in (
+                self.spark.read.schema(_V2_TOP_SCHEMA)
+                .parquet(top)
+                .select("sidecar")
+                .collect()
+            ):
+                if r["sidecar"] is not None:
+                    referenced.add(
+                        os.path.basename(r["sidecar"]["path"])
+                    )
+        for fn in os.listdir(side_dir):
+            if fn not in referenced:
+                os.remove(os.path.join(side_dir, fn))
+                removed.append(f"_sidecars/{fn}")
     return removed
+
+
+#: V2 top-file schema: the classic action columns plus the sidecar
+#: pointer action (spec: file names relative to _delta_log/)
+_V2_TOP_SCHEMA = (
+    _CHECKPOINT_SCHEMA
+    + ", sidecar struct<path:string,sizeInBytes:bigint>"
+)
+
+
+def _checkpoint_top_file(self, ckpt: int) -> tuple[str, bool] | None:
+    """(path, is_v2) of the checkpoint file holding protocol/metaData/
+    txn rows for version ``ckpt`` — the classic single file, or the V2
+    top file named by ``_last_checkpoint``. None when neither exists."""
+    lc_path = os.path.join(self._logdir(), "_last_checkpoint")
+    if os.path.exists(lc_path):
+        with open(lc_path) as f:
+            lc = json.load(f)
+        if lc.get("v2") and int(lc["version"]) == ckpt:
+            top = os.path.join(self._logdir(), lc["checkpointFile"])
+            if os.path.exists(top):
+                return top, True
+    classic = os.path.join(
+        self._logdir(), f"{ckpt:020d}.checkpoint.parquet"
+    )
+    if os.path.exists(classic):
+        return classic, False
+    return None
+
+
+def _add_row(add: dict) -> tuple:
+    return (
+        None,
+        {
+            "path": add["path"],
+            "partitionValues": add.get("partitionValues", {}),
+            "size": add.get("size"),
+            "modificationTime": add.get("modificationTime"),
+            "dataChange": add.get("dataChange", True),
+            "stats": add.get("stats"),
+            "deletionVector": add.get("deletionVector"),
+        },
+        None, None, None,
+    )
+
+
+def _write_v2_checkpoint(self, sidecar_target_adds: int) -> int:
+    """The v2 path of ``write_checkpoint`` — see its docstring."""
+    import hashlib
+
+    from .delta_dml import _dv_upgraded_protocol
+
+    live, meta, version = self._replay()
+    # the feature gates the READER: stamp it before the first v2
+    # checkpoint exists (one protocol commit, real Delta's upgrade)
+    proto = self.current_protocol()
+    if "v2Checkpoint" not in (proto.get("readerFeatures") or []):
+        newp = _dv_upgraded_protocol(proto)
+        r = set(newp.get("readerFeatures") or [])
+        w = set(newp.get("writerFeatures") or [])
+        r.add("v2Checkpoint")
+        w.add("v2Checkpoint")
+        newp["readerFeatures"] = sorted(r)
+        newp["writerFeatures"] = sorted(w)
+        self._commit(
+            version + 1,
+            [
+                {
+                    "commitInfo": {
+                        "operation": "UPGRADE PROTOCOL",
+                        "operationParameters": {
+                            "feature": "v2Checkpoint"
+                        },
+                    }
+                },
+                {"protocol": newp},
+            ],
+        )
+        live, meta, version = self._replay()
+    logdir = self._logdir()
+    side_dir = os.path.join(logdir, "_sidecars")
+    os.makedirs(side_dir, exist_ok=True)
+    # bucket-count HYSTERESIS: reuse only works while the path-hash
+    # bucketing is stable, so keep the previous checkpoint's bucket
+    # count until the average bucket drifts outside [target/4, 2x
+    # target] — small commits then churn only their own buckets
+    # instead of re-sharding the world on every size change
+    target = max(1, sidecar_target_adds)
+    n_buckets = max(1, -(-len(live) // target))
+    lc_path = os.path.join(logdir, "_last_checkpoint")
+    if os.path.exists(lc_path):
+        with open(lc_path) as f:
+            prior_lc = json.load(f)
+        prior_n = prior_lc.get("buckets")
+        if prior_n:
+            avg = len(live) / prior_n
+            if target / 4 <= avg <= 2 * target:
+                n_buckets = prior_n
+    buckets: dict[int, list[dict]] = {}
+    for path in sorted(live):
+        b = (
+            int.from_bytes(
+                hashlib.md5(path.encode()).digest()[:8], "big"
+            )
+            % n_buckets
+        )
+        buckets.setdefault(b, []).append(live[path])
+    sidecar_rows: list[dict] = []
+    reused = written = 0
+    for b in sorted(buckets):
+        adds = buckets[b]
+        ident = json.dumps(
+            [
+                (
+                    a["path"],
+                    a.get("size"),
+                    a.get("stats"),
+                    a.get("deletionVector"),
+                    a.get("partitionValues") or {},
+                )
+                for a in adds
+            ],
+            sort_keys=True,
+        )
+        digest = hashlib.sha256(ident.encode()).hexdigest()[:24]
+        fname = f"{digest}.parquet"
+        fpath = os.path.join(side_dir, fname)
+        if os.path.exists(fpath):
+            reused += 1  # content-addressed: unchanged bucket reuses
+        else:
+            df = self.spark.createDataFrame(
+                [_add_row(a) for a in adds], _CHECKPOINT_SCHEMA
+            )
+            staging = os.path.join(
+                logdir, f"_sc_{uuid.uuid4().hex}"
+            )
+            df.coalesce(1).write.mode("overwrite").parquet(staging)
+            one = [
+                f for f in os.listdir(staging)
+                if f.endswith(".parquet")
+            ][0]
+            os.replace(os.path.join(staging, one), fpath)
+            for leftover in os.listdir(staging):
+                os.remove(os.path.join(staging, leftover))
+            os.rmdir(staging)
+            written += 1
+        sidecar_rows.append(
+            {
+                "path": f"_sidecars/{fname}",
+                "sizeInBytes": os.path.getsize(fpath),
+            }
+        )
+    rows = [
+        (
+            None, None, None, None,
+            self.current_protocol(), None,
+        ),
+        (
+            None, None, None,
+            {
+                "id": meta["id"],
+                "format": meta.get(
+                    "format", {"provider": "parquet", "options": {}}
+                ),
+                "schemaString": meta["schemaString"],
+                "partitionColumns": meta.get("partitionColumns", []),
+                "configuration": meta.get("configuration", {}),
+                "createdTime": meta.get("createdTime"),
+            },
+            None, None,
+        ),
+    ]
+    for app, v in self.txn_versions().items():
+        rows.append(
+            ({"appId": app, "version": v}, None, None, None, None,
+             None)
+        )
+    for s in sidecar_rows:
+        rows.append((None, None, None, None, None, s))
+    top_name = f"{version:020d}.checkpoint.{uuid.uuid4().hex}.parquet"
+    df = self.spark.createDataFrame(rows, _V2_TOP_SCHEMA)
+    staging = os.path.join(logdir, f"_ckpt_{uuid.uuid4().hex}")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    one = [f for f in os.listdir(staging) if f.endswith(".parquet")][0]
+    os.replace(
+        os.path.join(staging, one), os.path.join(logdir, top_name)
+    )
+    for leftover in os.listdir(staging):
+        os.remove(os.path.join(staging, leftover))
+    os.rmdir(staging)
+    lc_tmp = os.path.join(logdir, f"_lc_{uuid.uuid4().hex}")
+    with open(lc_tmp, "w") as f:
+        json.dump(
+            {
+                "version": version,
+                "size": len(rows) + len(live),
+                "v2": True,
+                "checkpointFile": top_name,
+                "sidecars": len(sidecar_rows),
+                "buckets": n_buckets,
+                "sidecarsReused": reused,
+                "sidecarsWritten": written,
+            },
+            f,
+        )
+    os.replace(lc_tmp, os.path.join(logdir, "_last_checkpoint"))
+    return version
+
+
+def _load_v2_checkpoint(self, lc: dict):
+    """Seed replay state from a V2 checkpoint: the top file names the
+    sidecars; ONE multi-path read collects their add actions."""
+    logdir = os.path.join(self.location, "_delta_log")
+    top = os.path.join(logdir, lc["checkpointFile"])
+    live: dict[str, dict] = {}
+    meta: dict = {}
+    sidecars: list[str] = []
+    for r in (
+        self.spark.read.schema(_V2_TOP_SCHEMA).parquet(top).collect()
+    ):
+        if r["protocol"] is not None:
+            self._check_protocol(r["protocol"].asDict())
+        if r["metaData"] is not None:
+            m = r["metaData"].asDict(recursive=True)
+            meta = {k: v for k, v in m.items() if v is not None}
+        if r["sidecar"] is not None:
+            sidecars.append(os.path.join(logdir, r["sidecar"]["path"]))
+        if r["add"] is not None:  # spec allows inline adds too
+            a = r["add"].asDict(recursive=True)
+            a["partitionValues"] = a.get("partitionValues") or {}
+            live[a["path"]] = a
+    if sidecars:
+        for r in (
+            self.spark.read.schema(_CHECKPOINT_SCHEMA)
+            .parquet(*sidecars)
+            .select("add")
+            .collect()
+        ):
+            if r["add"] is not None:
+                a = r["add"].asDict(recursive=True)
+                a["partitionValues"] = a.get("partitionValues") or {}
+                live[a["path"]] = a
+    return live, meta
 
 
 DeltaLogTable.write_checkpoint = _write_checkpoint
 DeltaLogTable.clean_log = _clean_log
 DeltaLogTable._logdir = _logdir
+DeltaLogTable._checkpoint_top_file = _checkpoint_top_file
 
 
 def _lcv(self) -> int | None:
@@ -1358,11 +1650,9 @@ def _current_protocol(self) -> dict:
     ckpt = self.last_checkpoint_version()
     versions = self._versions()
     if ckpt is not None and (not versions or min(versions) > 0):
-        path = os.path.join(
-            self._logdir(), f"{ckpt:020d}.checkpoint.parquet"
-        )
-        if os.path.exists(path):
-            for r in self.spark.read.parquet(path).collect():
+        top = self._checkpoint_top_file(ckpt)
+        if top is not None:
+            for r in self.spark.read.parquet(top[0]).collect():
                 if r["protocol"] is not None:
                     d = r["protocol"].asDict()
                     proto = {k: v for k, v in d.items() if v is not None}

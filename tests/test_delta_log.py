@@ -122,9 +122,9 @@ def test_reader_refuses_higher_protocol(spark, tmp_path):
     with open(log1, "w") as f:
         f.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["v2Checkpoint"],
+            "readerFeatures": ["typeWidening"],
         }}) + "\n")
-    with pytest.raises(ValueError, match="v2Checkpoint"):
+    with pytest.raises(ValueError, match="typeWidening"):
         dt.read()
     # reader v2 (legacy columnMapping era) → supported since r10
     with open(log1, "w") as f:
@@ -406,3 +406,91 @@ def test_decimal_column_write_and_stats_safe(spark, tmp_path):
     assert stats and all(s["numRecords"] > 0 for s in stats)
     assert all("amount" not in s["minValues"] for s in stats)
     assert any("k" in s["minValues"] for s in stats)
+
+
+def test_v2_checkpoint_sidecars_roundtrip_and_reuse(spark, tmp_path):
+    """r12 V2 checkpoints: add actions shard into content-addressed
+    sidecars; replay through the checkpoint after clean_log is exact
+    (adds, DVs, txns); re-checkpointing after a small commit rewrites
+    only the churned buckets (written <= new files) and reuses the
+    rest byte-for-byte; clean_log GCs unreferenced sidecars."""
+    import glob
+    import json as _json
+    import os as _os
+
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import (  # noqa
+        delta_dml,
+    )
+
+    loc = str(tmp_path / "v2")
+    t = DeltaLogTable(spark, loc)
+    t.overwrite(
+        spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+        .repartition(8)
+    )
+    v = t.write_checkpoint(v2=True, sidecar_target_adds=3)
+    lc = _json.load(
+        open(_os.path.join(loc, "_delta_log", "_last_checkpoint"))
+    )
+    assert lc["v2"] and lc["sidecars"] >= 2
+    assert "v2Checkpoint" in (
+        t.current_protocol().get("readerFeatures") or []
+    )
+    t.append(spark.createDataFrame([(999, 1)], "k bigint, v bigint"))
+    t.clean_log()
+    # replay MUST seed from the v2 checkpoint now
+    assert t.read().count() == 101
+    assert sorted(
+        r["k"] for r in t.read().filter("k > 500").collect()
+    ) == [999]
+    # small commit + re-checkpoint: bucket hysteresis keeps the
+    # sharding stable, so at most the touched buckets rewrite
+    t.append(spark.createDataFrame([(1000, 2)], "k bigint, v bigint"))
+    t.write_checkpoint(v2=True, sidecar_target_adds=3)
+    lc2 = _json.load(
+        open(_os.path.join(loc, "_delta_log", "_last_checkpoint"))
+    )
+    assert lc2["buckets"] == lc["buckets"]
+    assert lc2["sidecarsWritten"] <= 2  # the two appended files
+    assert lc2["sidecarsReused"] >= 1
+    removed = t.clean_log()
+    assert t.read().count() == 102
+    # DVs round-trip through the checkpoint
+    t.delete("k % 10 = 3", mode="dv")
+    assert t.read().count() == 102 - 10
+    t.write_checkpoint(v2=True, sidecar_target_adds=3)
+    t.clean_log()
+    assert t.read().count() == 92
+    assert t.read().filter("k = 13").count() == 0
+    # txn bookkeeping survives v2-checkpoint-seeded replay
+    assert t.append_idempotent(
+        spark.createDataFrame([(2000, 9)], "k bigint, v bigint"),
+        "appA",
+        1,
+    )
+    t.write_checkpoint(v2=True, sidecar_target_adds=3)
+    t.clean_log()
+    assert t.txn_versions().get("appA") == 1
+    assert not t.append_idempotent(
+        spark.createDataFrame([(2001, 9)], "k bigint, v bigint"),
+        "appA",
+        1,
+    )  # replayed epoch skipped — the txn row rode the v2 top file
+    # sidecar GC: only files referenced by remaining checkpoints live
+    side = _os.path.join(loc, "_delta_log", "_sidecars")
+    names = set(_os.listdir(side))
+    referenced = set()
+    for fn in _os.listdir(_os.path.join(loc, "_delta_log")):
+        if ".checkpoint." in fn and fn.endswith(".parquet"):
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(
+                _os.path.join(loc, "_delta_log", fn)
+            )
+            if "sidecar" in tbl.schema.names:
+                for s in tbl.column("sidecar").to_pylist():
+                    if s:
+                        referenced.add(
+                            _os.path.basename(s["path"])
+                        )
+    assert names <= referenced
