@@ -17081,3 +17081,91 @@ def q_delta_v2_checkpoint(spark, sf_dir):
         t.current_protocol().get("readerFeatures") or []
     )
     return t.read()
+
+
+@register(
+    "hudi_cdc_stream_tail",
+    oracle="""
+    SELECT c_custkey AS cust_id, CAST(c_acctbal AS DOUBLE) AS balance,
+           'insert' AS change_type, 1 AS commit_seq
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, CAST(c_acctbal AS DOUBLE),
+           'update_before', 2
+    FROM customer WHERE c_custkey % 10 = 3
+    UNION ALL
+    SELECT c_custkey, CAST(c_acctbal AS DOUBLE) + 1000.0,
+           'update_after', 2
+    FROM customer WHERE c_custkey % 10 = 3
+    UNION ALL
+    SELECT c_custkey, CAST(c_acctbal AS DOUBLE), 'delete', 2
+    FROM customer WHERE c_custkey % 10 = 7
+    """,
+    tags=("lake", "streaming", "S7", "extension"),
+)
+def q_hudi_cdc_stream_tail(spark, sf_dir):
+    """STREAMING Hudi persisted CDC (r12,
+    sources/hudi_cdc_source.py — ``readStream.format("hudicdc")``),
+    the third streaming change-feed leg completing the symmetric trio
+    beside "deltacdf" and "iceberglog": offsets are timeline instants
+    (exactly-once via the streaming offset log), each micro-batch is
+    a pure read of the commits' ``cdc/<instant>/`` files — one Arrow
+    partition per change parquet, zero state derivation. The gate
+    streams the bulk insert, then an upsert + DELETE wave through a
+    checkpointed second batch; parity with batch cdc_scan and the
+    unpersisted-commit refusal are pinned in
+    tests/test_hudi_cdc_source.py."""
+    import tempfile
+
+    from .sources import hudi_cdc  # noqa: F401  (attaches)
+    from .sources.hudi_cdc_source import register_hudicdc_source
+    from .sources.hudi_layout import HudiCowTable
+
+    register_hudicdc_source(spark)
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_acctbal").cast("double").alias("balance"),
+    )
+    t = HudiCowTable(
+        spark, tempfile.mkdtemp(prefix="hudi_cdcs_"),
+        record_key="cust_id", precombine_field="balance",
+        cdc_enabled=True,
+    )
+    i1 = t.bulk_insert(cust)
+    out = tempfile.mkdtemp(prefix="hcdc_sink_")
+    ck = tempfile.mkdtemp(prefix="hcdc_ck_")
+
+    def run():
+        q = (
+            spark.readStream.format("hudicdc")
+            .option("location", t.location)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()  # batch 1: the bulk insert's insert events
+    t.upsert(
+        cust.filter("cust_id % 10 = 3").withColumn(
+            "balance", F.col("balance") + 1000.0
+        )
+    )
+    t.delete("cust_id % 10 = 7")
+    run()  # batch 2: the checkpointed tail
+    sunk = spark.read.schema(
+        "cust_id bigint, balance double, _change_type string, "
+        "_commit_instant string"
+    ).parquet(out)
+    return sunk.select(
+        "cust_id",
+        "balance",
+        F.col("_change_type").alias("change_type"),
+        F.when(F.col("_commit_instant") == i1, F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("int")
+        .alias("commit_seq"),
+    )

@@ -24,6 +24,7 @@ from . import uniform as _uniform  # noqa: F401 — attaches enable/sync_uniform
 from .delta_source import DeltaLogDataSource, register_deltalog_source
 from .delta_cdf_source import DeltaCdfDataSource, register_deltacdf_source
 from .hudi_incr_source import HudiIncrDataSource, register_hudiincr_source
+from .hudi_cdc_source import HudiCdcDataSource, register_hudicdc_source
 from .iceberg_changelog_source import (
     IcebergLogDataSource,
     register_iceberglog_source,
@@ -47,6 +48,7 @@ __all__ = [
     "ConcurrentCommitError",
     "HudiIncrDataSource",
     "register_hudiincr_source",
+    "register_hudicdc_source",
     "IcebergLogDataSource",
     "register_iceberglog_source",
     "LakeCatalog",
