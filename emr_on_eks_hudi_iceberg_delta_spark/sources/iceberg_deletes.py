@@ -587,6 +587,7 @@ def _rewrite_data_files(
             min_file_size_bytes=min_file_size_bytes,
             min_input_files=min_input_files,
             target_files=target_files,
+            sort_by=sort_by,
         )
     md = self._metadata()
     part_cols = [
@@ -619,6 +620,7 @@ def _rewrite_data_files_partial(
     min_file_size_bytes: int | None,
     min_input_files: int,
     target_files: int | None,
+    sort_by: list[str] | None = None,
 ) -> dict:
     """PARTIAL binpack compaction (r12) — Iceberg's actual
     RewriteDataFiles contract at scale: select candidate data files
@@ -760,12 +762,25 @@ def _rewrite_data_files_partial(
     n_out = target_files or max(
         1, -(-sel_bytes // (128 * 1024 * 1024))
     )
-    df = (
-        df.repartition(n_out, *part_cols)
-        if part_cols
-        else df.repartition(n_out)
-    )
-    new_files = self._write_data(df, part_cols)
+    sort_cols = list(sort_by or _default_sort_cols(self, md))
+    if sort_cols:
+        # SORT strategy inside the selected groups: range-partition +
+        # in-file sort so the rewritten files carry tight, disjoint
+        # bounds (the same binpack-vs-sort choice the full rewrite
+        # offers); _write_data's task sort keeps the order through
+        # the partitioned writer
+        df = df.repartitionByRange(n_out, *sort_cols)
+        self._write_sort = sort_cols
+    else:
+        df = (
+            df.repartition(n_out, *part_cols)
+            if part_cols
+            else df.repartition(n_out)
+        )
+    try:
+        new_files = self._write_data(df, part_cols)
+    finally:
+        self._write_sort = None
 
     # ---- commit: carry / rewrite / add manifests ------------------
     snapshot_id = int(uuid.uuid4().int % (1 << 62))

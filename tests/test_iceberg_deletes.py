@@ -1153,3 +1153,62 @@ def test_rewrite_position_deletes_drops_danglers_and_dead_eq(
     assert not t._live_delete_files()
     assert not t._live_eq_delete_entries()
     assert sorted(r["k"] for r in t.read().collect()) == expect
+
+
+def test_partial_rewrite_sort_strategy_tightens_bounds(
+    spark, tmp_path
+):
+    """rewrite_data_files(where=..., sort_by=...) runs the SORT
+    strategy inside the selected group: rewritten files carry tight
+    disjoint bounds on the sort column (pinned via the manifest
+    lower/upper bounds), reads unchanged."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources.iceberg_bounds import (
+        decode_bound,
+    )
+
+    t = IcebergTable(spark, str(tmp_path / "psort"))
+    import random
+
+    rng = random.Random(7)
+    ks = list(range(60))
+    rng.shuffle(ks)
+    for i in range(3):  # three hash-scattered files in partition a
+        t.append(
+            spark.createDataFrame(
+                [(k, "a") for k in ks[i * 20:(i + 1) * 20]],
+                "k long, p string",
+            ).coalesce(1),
+            partition_by=["p"],
+        )
+    expect = sorted(r["k"] for r in t.read().collect())
+    rep = t.rewrite_data_files(
+        where="p = 'a'", min_input_files=2, sort_by=["k"],
+        target_files=3,
+    )
+    assert rep["rewritten_files"] == 3
+    md = t._metadata()
+    kid = next(
+        f["id"] for f in md["schema"]["fields"] if f["name"] == "k"
+    )
+    ranges = []
+    for e in t._entries():
+        if e["snapshot_id"] != rep["snapshot_id"]:
+            continue
+        lo = next(
+            b["value"]
+            for b in e["data_file"]["lower_bounds"]
+            if b["key"] == kid
+        )
+        hi = next(
+            b["value"]
+            for b in e["data_file"]["upper_bounds"]
+            if b["key"] == kid
+        )
+        ranges.append(
+            (decode_bound(lo, "long"), decode_bound(hi, "long"))
+        )
+    ranges.sort()
+    assert len(ranges) == 3
+    for (l1, h1), (l2, _h2) in zip(ranges, ranges[1:]):
+        assert h1 < l2  # disjoint: the sort rewrite did its job
+    assert sorted(r["k"] for r in t.read().collect()) == expect
