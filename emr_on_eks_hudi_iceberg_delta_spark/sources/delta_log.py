@@ -1488,10 +1488,9 @@ def _write_v2_checkpoint(self, sidecar_target_adds: int) -> int:
             % n_buckets
         )
         buckets.setdefault(b, []).append(live[path])
-    sidecar_rows: list[dict] = []
-    reused = written = 0
+    digests: dict[int, str] = {}
+    changed: list[int] = []
     for b in sorted(buckets):
-        adds = buckets[b]
         ident = json.dumps(
             [
                 (
@@ -1501,38 +1500,71 @@ def _write_v2_checkpoint(self, sidecar_target_adds: int) -> int:
                     a.get("deletionVector"),
                     a.get("partitionValues") or {},
                 )
-                for a in adds
+                for a in buckets[b]
             ],
             sort_keys=True,
         )
-        digest = hashlib.sha256(ident.encode()).hexdigest()[:24]
-        fname = f"{digest}.parquet"
-        fpath = os.path.join(side_dir, fname)
-        if os.path.exists(fpath):
-            reused += 1  # content-addressed: unchanged bucket reuses
-        else:
-            df = self.spark.createDataFrame(
-                [_add_row(a) for a in adds], _CHECKPOINT_SCHEMA
-            )
-            staging = os.path.join(
-                logdir, f"_sc_{uuid.uuid4().hex}"
-            )
-            df.coalesce(1).write.mode("overwrite").parquet(staging)
-            one = [
-                f for f in os.listdir(staging)
-                if f.endswith(".parquet")
-            ][0]
-            os.replace(os.path.join(staging, one), fpath)
-            for leftover in os.listdir(staging):
-                os.remove(os.path.join(staging, leftover))
-            os.rmdir(staging)
-            written += 1
-        sidecar_rows.append(
-            {
-                "path": f"_sidecars/{fname}",
-                "sizeInBytes": os.path.getsize(fpath),
-            }
+        digests[b] = hashlib.sha256(ident.encode()).hexdigest()[:24]
+        if not os.path.exists(
+            os.path.join(side_dir, f"{digests[b]}.parquet")
+        ):
+            changed.append(b)
+    if changed:
+        # ONE partitioned write job for every churned bucket (a
+        # per-bucket job would pay Spark job overhead O(buckets));
+        # partitionBy strips the bucket column from the files
+        rows = [
+            (b, *(_add_row(a)))
+            for b in changed
+            for a in buckets[b]
+        ]
+        df = self.spark.createDataFrame(
+            rows, "__bucket int, " + _CHECKPOINT_SCHEMA
         )
+        staging = os.path.join(logdir, f"_sc_{uuid.uuid4().hex}")
+        (
+            df.repartition("__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(staging)
+        )
+        for b in changed:
+            bdir = os.path.join(staging, f"__bucket={b}")
+            parts = [
+                f for f in os.listdir(bdir)
+                if f.endswith(".parquet")
+            ]
+            if len(parts) == 1:
+                os.replace(
+                    os.path.join(bdir, parts[0]),
+                    os.path.join(
+                        side_dir, f"{digests[b]}.parquet"
+                    ),
+                )
+            else:  # hash collision across tasks: concat driver-side
+                import pyarrow.parquet as _pq
+
+                tbl = _pq.read_table(bdir)
+                _pq.write_table(
+                    tbl,
+                    os.path.join(
+                        side_dir, f"{digests[b]}.parquet"
+                    ),
+                )
+        import shutil as _shutil
+
+        _shutil.rmtree(staging, ignore_errors=True)
+    reused = len(buckets) - len(changed)
+    written = len(changed)
+    sidecar_rows = [
+        {
+            "path": f"_sidecars/{digests[b]}.parquet",
+            "sizeInBytes": os.path.getsize(
+                os.path.join(side_dir, f"{digests[b]}.parquet")
+            ),
+        }
+        for b in sorted(buckets)
+    ]
     rows = [
         (
             None, None, None, None,
