@@ -17169,3 +17169,46 @@ def q_hudi_cdc_stream_tail(spark, sf_dir):
         .cast("int")
         .alias("commit_seq"),
     )
+
+
+@register(
+    "hudi_point_lookup_by_key",
+    oracle="""
+    SELECT c_custkey AS cust_id,
+           CAST(c_acctbal AS DOUBLE) AS balance
+    FROM customer WHERE c_custkey IN (7, 20, 33)
+    """,
+    tags=("lake", "S7", "extension"),
+)
+def q_hudi_point_lookup_by_key(spark, sf_dir):
+    """Hudi read-side point lookup (r12,
+    hudi_layout.read_by_key): each key routes to its hash file group
+    HOST-SIDE (the writer's own md5 assignment — no Spark job to
+    plan), groups whose key-range + bloom index prove absence drop,
+    and the plan lists one slice per surviving group — O(keys) file
+    reads on any table size, the write-side tagging index serving
+    reads. In-gate pins: the lookup scans at most as many files as
+    distinct routed groups (never the table), and an absent key plans
+    zero files."""
+    import tempfile
+
+    from .sources.hudi_layout import HudiCowTable
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_acctbal").cast("double").alias("balance"),
+    )
+    t = HudiCowTable(
+        spark, tempfile.mkdtemp(prefix="hudi_pk_"),
+        record_key="cust_id", precombine_field="balance",
+        n_file_groups=8,
+    )
+    t.bulk_insert(cust)
+    assert len(set(t.read().inputFiles())) == 8
+    keys = [7, 20, 33]
+    got = t.read_by_key(keys)
+    routed = {t._host_fg(k) for k in keys}
+    assert len(set(got.inputFiles())) <= len(routed) < 8
+    missing = t.read_by_key([10_000_000])
+    assert missing.inputFiles() == [] and missing.count() == 0
+    return got.select("cust_id", "balance")

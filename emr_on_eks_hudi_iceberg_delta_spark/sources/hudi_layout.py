@@ -381,6 +381,15 @@ class HudiCowTable:
             }
             if fg in key_stats:
                 entry["keyStats"] = key_stats[fg]
+            # per-file column min/max from the parquet footer — the
+            # metadata-table column_stats partition re-derived (one
+            # footer read per written file, beside the getsize above);
+            # read_pruned skips whole slices on these ranges
+            from .delta_log import _collect_file_stats
+
+            cs = _collect_file_stats(dst)
+            if cs is not None:
+                entry["columnStats"] = json.loads(cs)
             stats.append(entry)
         for root, dirs, files in os.walk(staging, topdown=False):
             for fname in files:
@@ -634,6 +643,166 @@ class HudiCowTable:
     def read(self, instant: str | None = None) -> DataFrame:
         return self._read_slices(self._file_slices(instant)).drop("__fg")
 
+    def _latest_column_stats(
+        self, instant: str | None = None
+    ) -> dict[str, dict]:
+        """{relative slice path -> footer column stats} from the
+        commit write stats (recorded at write since r12) — timeline
+        metadata only, no file touched."""
+        out: dict[str, dict] = {}
+        for t in self.instants():
+            if instant is not None and t > instant:
+                break
+            meta = self._commit_meta(t)
+            for _part, stats in meta["partitionToWriteStats"].items():
+                for st in stats:
+                    if "columnStats" in st:
+                        out[st["path"]] = st["columnStats"]
+        return out
+
+    @staticmethod
+    def _stats_miss(st: dict | None, filters: list) -> bool:
+        """True when the slice's [min,max] ranges PROVABLY miss every
+        row for the conjunction — missing stats (old commits, log
+        files, unreliable footer types) never prune."""
+        if not st:
+            return False
+        mins = st.get("minValues") or {}
+        maxs = st.get("maxValues") or {}
+        for col, op, lit in filters:
+            if col not in mins or col not in maxs:
+                continue
+            lo, hi = mins[col], maxs[col]
+            try:
+                if op == "=" and (lit < lo or lit > hi):
+                    return True
+                if op == "<" and lo >= lit:
+                    return True
+                if op == "<=" and lo > lit:
+                    return True
+                if op == ">" and hi <= lit:
+                    return True
+                if op == ">=" and hi < lit:
+                    return True
+            except TypeError:
+                continue  # incomparable literal/stat types: keep
+        return False
+
+    @staticmethod
+    def _residual_expr(filters: list):
+        ops = {
+            "=": lambda c, v: c == v,
+            "<": lambda c, v: c < v,
+            "<=": lambda c, v: c <= v,
+            ">": lambda c, v: c > v,
+            ">=": lambda c, v: c >= v,
+        }
+        cond = None
+        for col, op, lit in filters:
+            if op not in ops:
+                raise ValueError(f"unsupported pruning operator {op!r}")
+            piece = ops[op](F.col(col), F.lit(lit))
+            cond = piece if cond is None else (cond & piece)
+        return cond if cond is not None else F.lit(True)
+
+    def _host_fg(self, key) -> int:
+        """Host-side twin of ``_file_group_expr`` (md5 first 15 hex
+        digits mod group count over the key's string form) — a point
+        lookup can route to its group WITHOUT a Spark job."""
+        import hashlib
+
+        h = int(
+            hashlib.md5(str(key).encode()).hexdigest()[:15], 16
+        )
+        return h % self.n_file_groups
+
+    def _key_may_exist(self, st: dict, key: str) -> bool:
+        """Key-range + bloom membership against one group's recorded
+        index metadata (the upsert-tagging math, host-side; bloom has
+        no false negatives, so False PROVES absence)."""
+        import base64
+
+        import numpy as np
+        import pandas as pd
+
+        if not (st["minKey"] <= key <= st["maxKey"]):
+            return False
+        bits = np.frombuffer(
+            base64.b64decode(st["bloom"]), dtype=np.uint8
+        )
+        m = int(st["bloomM"])
+        keys = np.array([key], dtype=object)
+        h1 = pd.util.hash_array(keys, hash_key=self._BLOOM_SEED1)
+        h2 = pd.util.hash_array(keys, hash_key=self._BLOOM_SEED2) | 1
+        for i in range(self._BLOOM_K):
+            pos = int((h1 + np.uint64(i) * h2)[0] % np.uint64(m))
+            if not (bits[pos // 8] & (1 << (pos % 8))):
+                return False
+        return True
+
+    def _routed_groups(self, keys: list) -> set[int]:
+        """Distinct file groups the keys hash into, minus groups whose
+        key-range + bloom index PROVES hold none of them."""
+        ks = self._latest_key_stats()
+        out: set[int] = set()
+        for key in keys:
+            fg = self._host_fg(key)
+            st = ks.get(fg)
+            if st is not None and not self._key_may_exist(
+                st, str(key)
+            ):
+                continue
+            out.add(fg)
+        return out
+
+    def read_by_key(self, keys: list) -> DataFrame:
+        """POINT LOOKUPS at file-read cost O(distinct routed groups),
+        never a table scan: each key routes to its hash group
+        host-side (the writer's own md5 assignment), and a routed
+        group whose key-range + bloom metadata proves absence drops
+        too — Hudi's write-side tagging index serving reads. The plan
+        lists one slice per surviving group; the exact key filter
+        applies on top (bloom false positives resolve to zero rows,
+        never wrong rows)."""
+        fgs = self._routed_groups(keys)
+        slices = {
+            (part, fid): p
+            for (part, fid), p in self._file_slices().items()
+            if self._fg_of(fid) in fgs
+        }
+        if not slices:
+            return self.read().filter(F.lit(False))
+        return (
+            self._read_slices(slices)
+            .drop("__fg")
+            .filter(F.col(self.record_key).isin(list(keys)))
+        )
+
+    def read_pruned(
+        self, filters: list, instant: str | None = None
+    ) -> DataFrame:
+        """Snapshot read with FILE-LEVEL data skipping — Hudi's
+        metadata-table ``column_stats`` partition re-derived:
+        ``filters`` is a list of ``(column, op, literal)`` conjuncts
+        (op ∈ =, <, <=, >, >=); slices whose recorded footer ranges
+        provably miss every conjunct are never listed in the plan, and
+        the residual filter applies exactly on the survivors. Planning
+        is timeline metadata only; CoW slices refresh their stats on
+        every rewrite, so pruning is always against current state."""
+        slices = self._file_slices(instant)
+        cs = self._latest_column_stats(instant)
+        keep = {
+            k: p
+            for k, p in slices.items()
+            if not self._stats_miss(cs.get(p), filters)
+        }
+        residual = self._residual_expr(filters)
+        if not keep:
+            return self.read(instant).filter(F.lit(False))
+        return (
+            self._read_slices(keep).drop("__fg").filter(residual)
+        )
+
     def read_incremental(self, begin_instant: str) -> DataFrame:
         """Rows committed strictly AFTER ``begin_instant``: reads only
         the file slices written by later commits (the commit metadata
@@ -847,6 +1016,47 @@ class HudiMorTable(HudiCowTable):
                 merged, allowMissingColumns=True
             )
         return merged
+
+    def read_by_key(self, keys: list) -> DataFrame:
+        """MoR point lookups: keys route to their hash groups like
+        CoW; a routed group reads MERGED (its log stack may hold the
+        key even when the base's bloom does not — but log writes
+        already invalidate the group's index metadata, so bloom
+        skipping only ever fires on log-less groups)."""
+        fgs = self._routed_groups(keys)
+        slices = {
+            k: s
+            for k, s in self._mor_slices().items()
+            if self._fg_of(k[1]) in fgs
+        }
+        if not slices:
+            return self.read().filter(F.lit(False))
+        return self._merged_read(slices).filter(
+            F.col(self.record_key).isin(list(keys))
+        )
+
+    def read_pruned(
+        self, filters: list, instant: str | None = None
+    ) -> DataFrame:
+        """MoR data skipping: only LOG-LESS groups prune by their base
+        stats — a group with live log files can hold matching rows its
+        base footer knows nothing about, so it always pays the merge;
+        the residual filter applies exactly either way. Pruning power
+        returns as compaction retires log stacks (the MoR bargain)."""
+        slices = self._mor_slices(instant)
+        cs = self._latest_column_stats(instant)
+        keep = {
+            k: s
+            for k, s in slices.items()
+            if s["logs"]
+            or not self._stats_miss(
+                cs.get(s["base"]) if s["base"] else None, filters
+            )
+        }
+        residual = self._residual_expr(filters)
+        if not keep:
+            return self.read(instant).filter(F.lit(False))
+        return self._merged_read(keep).filter(residual)
 
     def read_incremental(self, begin_instant: str) -> DataFrame:
         """Changed records (current values) committed strictly after

@@ -9,7 +9,10 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from emr_on_eks_hudi_iceberg_delta_spark.sources.hudi_layout import HudiCowTable
+from emr_on_eks_hudi_iceberg_delta_spark.sources.hudi_layout import (
+    HudiCowTable,
+    HudiMorTable,
+)
 
 
 def _mk(spark, rows):
@@ -173,3 +176,114 @@ def test_bloom_index_skips_merge_join_for_new_keys(spark, tmp_path):
     t.upsert(_mk(spark, [(3, "upd3", 2), (777, "new", 1)]))
     got = {r["id"]: r["name"] for r in t.read().collect()}
     assert got[3] == "upd3" and got[777] == "new" and len(got) == 23
+
+
+def test_read_pruned_skips_files_by_column_stats(spark, tmp_path):
+    """r12 column-stats skipping (Hudi's metadata-table column_stats
+    re-derived): commit write stats carry per-file footer min/max;
+    read_pruned never lists slices whose ranges provably miss, and
+    stats refresh when CoW rewrites a slice. The fixture builds v
+    correlated with each key's HASH GROUP (the host router) so
+    per-file ranges are tight — the data shape skipping serves."""
+    t = HudiCowTable(
+        spark, str(tmp_path / "cs"), record_key="k",
+        precombine_field="v", n_file_groups=4,
+    )
+    rows = [
+        (k, float(t._host_fg(k) * 1000 + k)) for k in range(100)
+    ]
+    t.bulk_insert(spark.createDataFrame(rows, "k long, v double"))
+    full_files = set(t.read().inputFiles())
+    assert len(full_files) == 4
+    got = t.read_pruned([("v", ">=", 3000.0)])  # only group 3
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        k for k, v in rows if v >= 3000.0
+    )
+    assert len(set(got.inputFiles())) == 1  # three files skipped
+    # CoW upsert rewrites a slice: its stats refresh, result exact
+    some_k = next(k for k in range(100) if t._host_fg(k) == 0)
+    t.upsert(
+        spark.createDataFrame(
+            [(some_k, 7777.0)], "k long, v double"
+        )
+    )
+    hit = t.read_pruned([("v", ">=", 7000.0)])
+    assert [(r["k"], r["v"]) for r in hit.collect()] == [
+        (some_k, 7777.0)
+    ]
+    # conjunction that provably misses everything: empty, schema kept
+    none = t.read_pruned([("v", ">", 1e12)])
+    assert none.count() == 0
+    assert set(none.columns) == set(t.read().columns)
+
+
+def test_read_by_key_point_lookup_single_group(spark, tmp_path):
+    """r12 read_by_key: the host-side md5 router sends each key to
+    ITS hash group — a point lookup plans exactly one file; a key the
+    group's key-range + bloom PROVES absent plans zero files."""
+    t = HudiCowTable(
+        spark, str(tmp_path / "pk"), record_key="k",
+        precombine_field="v", n_file_groups=4,
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(0, 200, 2)],
+            "k long, v double",
+        )
+    )
+    got = t.read_by_key([10])
+    assert [(r["k"], r["v"]) for r in got.collect()] == [(10, 10.0)]
+    assert len(set(got.inputFiles())) == 1  # one group's file only
+    # two keys in different groups: at most two files
+    ks = [10, 14]
+    got2 = t.read_by_key(ks)
+    assert sorted(r["k"] for r in got2.collect()) == ks
+    assert len(set(got2.inputFiles())) <= 2
+    # an absent key outside every range/bloom: zero files planned
+    missing = t.read_by_key([99999])
+    assert missing.count() == 0
+    assert missing.inputFiles() == []
+
+
+def test_mor_read_pruned_and_point_lookup(spark, tmp_path):
+    """A MoR group with live log files can hold matching rows its
+    base footer never saw — it must survive pruning, and point
+    lookups on it read MERGED (log writes invalidate the group's
+    bloom, so skipping never fires on it)."""
+    t = HudiMorTable(
+        spark, str(tmp_path / "morcs"), record_key="k",
+        precombine_field="v", n_file_groups=2,
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(20)], "k long, v double"
+        )
+    )
+    # log-route a row whose v is far outside every base range
+    t.upsert(
+        spark.createDataFrame(
+            [(3, 1_000_000.0)], "k long, v double"
+        )
+    )
+    got = t.read_pruned([("v", ">=", 999_999.0)])
+    assert [(r["k"], r["v"]) for r in got.collect()] == [
+        (3, 1_000_000.0)
+    ]
+    # point lookup sees the LOG version (merged), not the base one
+    pk = t.read_by_key([3])
+    assert [(r["k"], r["v"]) for r in pk.collect()] == [
+        (3, 1_000_000.0)
+    ]
+    # a brand-new key that lives only in a log file is found
+    t.upsert(
+        spark.createDataFrame([(500, 5.0)], "k long, v double")
+    )
+    assert [(r["k"], r["v"]) for r in t.read_by_key([500]).collect()] \
+        == [(500, 5.0)]
+    # compaction folds logs into fresh bases with fresh stats
+    t.compact()
+    got2 = t.read_pruned([("v", ">=", 999_999.0)])
+    assert [(r["k"], r["v"]) for r in got2.collect()] == [
+        (3, 1_000_000.0)
+    ]
+    assert t.read_pruned([("v", "<", 0.0)]).count() == 0
