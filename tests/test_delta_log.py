@@ -436,7 +436,11 @@ def test_v2_checkpoint_sidecars_roundtrip_and_reuse(spark, tmp_path):
     assert "v2Checkpoint" in (
         t.current_protocol().get("readerFeatures") or []
     )
-    t.append(spark.createDataFrame([(999, 1)], "k bigint, v bigint"))
+    t.append(
+        spark.createDataFrame(
+            [(999, 1)], "k bigint, v bigint"
+        ).coalesce(1)
+    )
     t.clean_log()
     # replay MUST seed from the v2 checkpoint now
     assert t.read().count() == 101
@@ -445,14 +449,21 @@ def test_v2_checkpoint_sidecars_roundtrip_and_reuse(spark, tmp_path):
     ) == [999]
     # small commit + re-checkpoint: bucket hysteresis keeps the
     # sharding stable, so at most the touched buckets rewrite
-    t.append(spark.createDataFrame([(1000, 2)], "k bigint, v bigint"))
+    n_live0 = len(t._replay()[0])
+    t.append(
+        spark.createDataFrame(
+            [(1000, 2)], "k bigint, v bigint"
+        ).coalesce(1)
+    )
+    n_added = len(t._replay()[0]) - n_live0 + 1  # + the 999 append
     t.write_checkpoint(v2=True, sidecar_target_adds=3)
     lc2 = _json.load(
         open(_os.path.join(loc, "_delta_log", "_last_checkpoint"))
     )
     assert lc2["buckets"] == lc["buckets"]
-    assert lc2["sidecarsWritten"] <= 2  # the two appended files
-    assert lc2["sidecarsReused"] >= 1
+    # at most one churned bucket per appended file
+    assert lc2["sidecarsWritten"] <= n_added
+    assert lc2["sidecarsReused"] >= lc2["sidecars"] - n_added
     removed = t.clean_log()
     assert t.read().count() == 102
     # DVs round-trip through the checkpoint
