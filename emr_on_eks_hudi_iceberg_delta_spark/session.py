@@ -50,6 +50,31 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def write_dist_partitions(spark: SparkSession) -> int:
+    """Shuffle width for hash-distributed partitioned writes (the
+    write.distribution-mode=hash analog in the lake writers): enough
+    tasks that per-task sequential parquet-writer opens never dominate,
+    derived from the session's parallelism rather than a local constant
+    (4x leaves AQE-comparable headroom for value-hash collisions; a
+    cluster run overrides via SPARK_GRAFT_WRITE_DIST_PARTITIONS, e.g.
+    to match its AQE advisory partition sizing)."""
+    env = os.environ.get("SPARK_GRAFT_WRITE_DIST_PARTITIONS")
+    if env:
+        return int(env)
+    return spark.sparkContext.defaultParallelism * 4
+
+
+#: local-FS checksum sidecars: Hadoop's default LocalFileSystem writes
+#: (and renames, and deletes) a ``.crc`` twin for every file, doubling
+#: the metadata ops of every staging write — measured 2-3x on the
+#: many-small-file partitioned writes (240-file Iceberg staging: 4.0 s
+#: -> 1.3 s combined with hash distribution). Production tables live on
+#: object stores (s3a/abfs), which have no client-side crc sidecars, so
+#: raw local I/O is the faithful analog; opt back in with
+#: SPARK_GRAFT_LOCAL_FS_CHECKSUMS=1.
+_RAW_LOCAL_FS = os.environ.get("SPARK_GRAFT_LOCAL_FS_CHECKSUMS", "0") != "1"
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply RUNTIME_CONFS to an existing session (driver harness entry)."""
     for k, v in RUNTIME_CONFS.items():
@@ -57,6 +82,12 @@ def configure(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-modifiable in this deployment; proceed with defaults
+    if _RAW_LOCAL_FS:
+        try:
+            hconf = spark.sparkContext._jsc.hadoopConfiguration()
+            hconf.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+        except Exception:
+            pass  # non-JVM deployment surface; checksummed local FS is fine
     return spark
 
 
@@ -96,6 +127,14 @@ def get_spark(
             tempfile.mkdtemp(prefix="spark_warehouse_"),
         )
     )
+    if _RAW_LOCAL_FS:
+        # set at builder time too: Hadoop caches FileSystem instances
+        # per scheme, so the impl must be declared before the first
+        # file:// access or the checksummed instance sticks
+        builder = builder.config(
+            "spark.hadoop.fs.file.impl",
+            "org.apache.hadoop.fs.RawLocalFileSystem",
+        )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

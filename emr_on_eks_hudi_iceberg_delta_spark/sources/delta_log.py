@@ -472,6 +472,18 @@ class DeltaLogTable:
                 df = to_physical(df, meta)
                 part_cols = [phys.get(c, c) for c in part_cols]
         staging = os.path.join(self.location, f"_staging_{uuid.uuid4().hex}")
+        if part_cols:
+            # hash-distribute on the partition columns before a
+            # partitioned write (write.distribution-mode=hash, same
+            # rationale as iceberg_layout._write_data): without it every
+            # input task serially opens one parquet writer per partition
+            # value it holds, and values >> tasks makes the write
+            # writer-open-bound; one value -> one task -> one file
+            from ..session import write_dist_partitions
+
+            df = df.repartition(
+                write_dist_partitions(self.spark), *part_cols
+            )
         writer = df.write.mode("overwrite")
         if part_cols:
             writer = writer.partitionBy(*part_cols)

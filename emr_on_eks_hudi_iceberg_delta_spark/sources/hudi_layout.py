@@ -293,7 +293,12 @@ class HudiCowTable:
             )
 
         rows = (
-            df.groupBy("__fg")
+            # only the two columns the bloom builder reads cross the
+            # JVM->Python boundary (and the groupBy shuffle): shipping
+            # the full row width through Arrow was pure overhead (r12;
+            # guide: project before opaque functions)
+            df.select("__fg", key_col)
+            .groupBy("__fg")
             .applyInPandas(
                 build,
                 "fg int, min_key string, max_key string, "
@@ -551,10 +556,14 @@ class HudiCowTable:
 
         instant = self._next_instant()
         upd = self._with_meta(updates, instant, self._file_group_expr())
-        touched = sorted(
-            r["__fg"]
-            for r in upd.select("__fg").distinct().collect()
+        # ONE pass over the batch answers both tagging questions: the
+        # bloom-index probe emits a row per file group present in the
+        # batch, so the touched set IS its key set — the former
+        # separate distinct().collect() job is gone (r12)
+        may = self._consult_index(
+            upd, self._latest_key_stats()
         )
+        touched = sorted(may)
         slices = self._file_slices()
         touched_slices = {
             key: p
@@ -569,9 +578,6 @@ class HudiCowTable:
         existing_fgs = {
             self._fg_of(key[1]) for key in touched_slices
         }
-        may = self._consult_index(
-            upd, self._latest_key_stats()
-        )
         hit = [
             fg
             for fg in touched
@@ -611,7 +617,11 @@ class HudiCowTable:
         for p in parts[1:]:
             merged = merged.unionByName(p, allowMissingColumns=True)
         # rows kept from the old slice keep their original commit time;
-        # upsert_by_key picks the newest version per key by precombine
+        # upsert_by_key picks the newest version per key by precombine.
+        # _write_groups consumes the merge TWICE (key-stats pass +
+        # write); an eager localCheckpoint computes the merge join once
+        # and serves both passes from the block manager (r12)
+        merged = merged.localCheckpoint(eager=True)
         stats = self._write_groups(merged, instant, touched)
         self._commit(instant, stats)
         return instant

@@ -412,12 +412,35 @@ def _delete(self: IcebergTable, condition) -> dict:
     )
     if not new_deletes:
         return {"files_named": 0, "rows_deleted": 0, "snapshot_id": None}
-    files_named = (
-        self.spark.read.parquet(*[d["file_path"] for d in new_deletes])
-        .select("file_path")
-        .distinct()
-        .count()
-    )
+    # the report's distinct-data-file count: below the broadcast-grade
+    # pair threshold the driver derives it from the delete files
+    # directly via pyarrow (they carry only (file_path, pos) and the
+    # descriptors hold record_count, so the bound is known up front) —
+    # a whole Spark job (scan + distinct shuffle + count) for one
+    # report integer was pure overhead at bench scale (r12); a
+    # billion-row delete keeps the distributed count
+    total_pairs = sum(d["record_count"] for d in new_deletes)
+    if total_pairs <= POS_DELETE_BROADCAST_MAX_PAIRS:
+        import pyarrow.parquet as _pq
+
+        named: set = set()
+        for d in new_deletes:
+            named.update(
+                _pq.read_table(d["file_path"], columns=["file_path"])
+                .column("file_path")
+                .unique()
+                .to_pylist()
+            )
+        files_named = len(named)
+    else:
+        files_named = (
+            self.spark.read.parquet(
+                *[d["file_path"] for d in new_deletes]
+            )
+            .select("file_path")
+            .distinct()
+            .count()
+        )
     snapshot_id = _commit_mor_snapshot(
         self, md, data_entries, all_deletes, new_deletes, [], "delete"
     )
@@ -607,11 +630,16 @@ def _rewrite_data_files(
     # logical row, so changelog scans (iceberg_changelog.py) skip it
     self._summary_extra = {"maintenance": "rewrite-data-files"}
     self._write_sort = sort_cols or None
+    # the rewrite chose its own distribution (range partitioning for
+    # SORT, explicit target_files for binpack): _write_data must not
+    # re-shard it on the partition columns
+    self._write_presharded = bool(sort_cols or target_files)
     try:
         return self.overwrite(df, partition_by=part_cols or None)
     finally:
         self._summary_extra = None
         self._write_sort = None
+        self._write_presharded = False
 
 
 def _rewrite_data_files_partial(
@@ -777,10 +805,13 @@ def _rewrite_data_files_partial(
             if part_cols
             else df.repartition(n_out)
         )
+    # distribution chosen here — _write_data must not re-shard it
+    self._write_presharded = True
     try:
         new_files = self._write_data(df, part_cols)
     finally:
         self._write_sort = None
+        self._write_presharded = False
 
     # ---- commit: carry / rewrite / add manifests ------------------
     snapshot_id = int(uuid.uuid4().int % (1 << 62))

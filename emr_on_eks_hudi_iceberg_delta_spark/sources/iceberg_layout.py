@@ -1124,6 +1124,22 @@ class IcebergTable:
                 fld["transform"], src_t
             )
         sort_cols = list(getattr(self, "_write_sort", None) or [])
+        if fields and not getattr(self, "_write_presharded", False):
+            # hash-distribute on the partition layout columns before a
+            # partitioned write — Iceberg's write.distribution-mode=hash.
+            # Without it every input task opens one writer PER partition
+            # value it holds (sequentially, post the planned-write sort):
+            # values >> tasks turns the write into a serial
+            # open/close-parquet-writer loop (measured 4.0 s -> 1.3 s on
+            # the 240-partition day x bucket(8) events write at sf0.1,
+            # combined with raw local FS). One value lands in exactly one
+            # task, so each partition value emits exactly one file.
+            from ..session import write_dist_partitions
+
+            w = w.repartition(
+                write_dist_partitions(self.spark),
+                *[f"__p_{f['name']}" for f in fields],
+            )
         if sort_cols:
             # sort INSIDE each task, partition-layout columns leading —
             # the partitioned-file writer requires ordering by its

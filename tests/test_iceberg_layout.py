@@ -347,12 +347,17 @@ def test_rewrite_manifests_compacts_preserves_and_prunes(
 
     t = IcebergTable(spark, str(tmp_path / "rwm"))
     sids = []
+    # two partition values (consecutive days) per append -> two data
+    # files per append: hash-distributed partitioned writes emit
+    # exactly one file per partition value (r12 optimization), so file
+    # multiplicity comes from the partition values, not repartition()
     for day in ("2024-01-01", "2024-03-01", "2024-06-01"):
         sids.append(
             t.append(
-                spark.range(20).repartition(2).selectExpr(
+                spark.range(20).selectExpr(
                     "id",
-                    f"CAST('{day} 10:00:00' AS TIMESTAMP_NTZ) AS ts",
+                    f"timestampadd(DAY, CAST(id % 2 AS INT), "
+                    f"CAST('{day} 10:00:00' AS TIMESTAMP_NTZ)) AS ts",
                 ),
                 partition_by=["day(ts)"],
             )

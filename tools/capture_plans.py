@@ -1,0 +1,40 @@
+"""Capture .explain('formatted') output for named registry queries.
+
+Usage::
+
+    python tools/capture_plans.py <out_dir> <suffix> <query> [query ...]
+
+Writes ``<out_dir>/<query>_<suffix>.txt`` per query. Lake queries
+execute their table builds as a side effect of fn(); the captured plan
+is the returned (read-path) DataFrame's formatted physical plan.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from emr_on_eks_hudi_iceberg_delta_spark.queries import REGISTRY  # noqa: E402
+from emr_on_eks_hudi_iceberg_delta_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main() -> None:
+    out_dir, suffix, names = sys.argv[1], sys.argv[2], sys.argv[3:]
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("capture_plans", master="local[8]", shuffle_partitions=8)
+    for name in names:
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
