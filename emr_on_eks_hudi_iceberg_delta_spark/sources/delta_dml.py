@@ -142,13 +142,14 @@ def _scan_with_pos(
     u = u.join(F.broadcast(name_map), "__name").drop("__name")
     dvd = [a for a in adds if a.get("deletionVector")]
     if dvd:
-        pdf = dv_io.dv_pairs_df(dt.spark, dt.location, dvd).selectExpr(
-            "__dv_file AS __file", "__dv_pos AS __pos"
-        )
         total_card = sum(
             a["deletionVector"].get("cardinality", 0) for a in dvd
         )
-        if total_card <= DV_BROADCAST_MAX_PAIRS:
+        will_broadcast = total_card <= DV_BROADCAST_MAX_PAIRS
+        pdf = dv_io.dv_pairs_df(
+            dt.spark, dt.location, dvd, driver_ok=will_broadcast
+        ).selectExpr("__dv_file AS __file", "__dv_pos AS __pos")
+        if will_broadcast:
             pdf = F.broadcast(pdf)
         u = u.join(pdf, ["__file", "__pos"], "left_anti")
     return u

@@ -395,7 +395,17 @@ class DeltaLogTable:
             # driver); the anti-join broadcasts while the total
             # cardinality stays under DV_BROADCAST_MAX_PAIRS and falls
             # back to a shuffled anti-join for heavily-deleted tables
-            pdf = dv_io.dv_pairs_df(self.spark, self.location, dvd)
+            from .delta_dml import DV_BROADCAST_MAX_PAIRS
+
+            total_card = sum(
+                a["deletionVector"].get("cardinality", 0)
+                for a in dvd
+            )
+            will_broadcast = total_card <= DV_BROADCAST_MAX_PAIRS
+            pdf = dv_io.dv_pairs_df(
+                self.spark, self.location, dvd,
+                driver_ok=will_broadcast,
+            )
             if pdf is not None:
                 pdf = pdf.select(
                     F.element_at(
@@ -403,13 +413,7 @@ class DeltaLogTable:
                     ).alias("__dv_file"),
                     "__dv_pos",
                 )
-                total_card = sum(
-                    a["deletionVector"].get("cardinality", 0)
-                    for a in dvd
-                )
-                from .delta_dml import DV_BROADCAST_MAX_PAIRS
-
-                if total_card <= DV_BROADCAST_MAX_PAIRS:
+                if will_broadcast:
                     pdf = F.broadcast(pdf)
                 u = u.join(
                     pdf,

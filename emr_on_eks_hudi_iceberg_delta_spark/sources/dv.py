@@ -156,23 +156,64 @@ def write_dvs_grouped(
     )
 
 
-def dv_pairs_df(spark, location: str, dv_adds: list):
+#: at or below this many total recorded pairs the expansion happens on
+#: the DRIVER (mirrors delta_dml.DV_BROADCAST_MAX_PAIRS — under that
+#: threshold the anti-join broadcasts, and a BroadcastExchange pulls
+#: every pair to the driver anyway, so driver-side expansion adds no
+#: memory while skipping a whole Python-worker job: measured 0.9 s ->
+#: ~0.02 s for the 17k-pair sf0.1 DV read)
+DV_DRIVER_EXPAND_MAX_PAIRS = 2_000_000
+
+
+def dv_pairs_df(spark, location: str, dv_adds: list, driver_ok=None):
     """The (file, position) pairs a list of DV-bearing add actions
-    denotes, as a DataFrame built EXECUTOR-side: one descriptor row
-    per file goes in, ``mapInPandas`` expands it through the roaring
-    codec inside the task — the driver ships O(files) descriptors,
-    never a position list. Returns None when no add carries a DV."""
+    denotes. At broadcast-grade cardinality the roaring bitmaps are
+    decoded on the driver (see DV_DRIVER_EXPAND_MAX_PAIRS) and shipped
+    as one Arrow batch; above it the expansion stays EXECUTOR-side:
+    one descriptor row per file goes in, ``mapInPandas`` expands it
+    through the roaring codec inside the task — the driver ships
+    O(files) descriptors, never a position list. ``driver_ok`` lets
+    the caller couple this choice to its own broadcast decision (a
+    caller that will NOT broadcast the pairs must not get a driver-
+    built LocalRelation, which the planner would auto-broadcast).
+    Returns None when no add carries a DV."""
     import json as _json
 
     import pandas as pd
 
-    rows = [
-        (a["path"], _json.dumps(a["deletionVector"]))
-        for a in dv_adds
-        if a.get("deletionVector")
-    ]
-    if not rows:
+    dvd = [a for a in dv_adds if a.get("deletionVector")]
+    if not dvd:
         return None
+    total = sum(a["deletionVector"].get("cardinality", 0) for a in dvd)
+    if driver_ok is None:
+        driver_ok = total <= DV_DRIVER_EXPAND_MAX_PAIRS
+    if driver_ok:
+        import numpy as np
+
+        files: list = []
+        pos_parts: list = []
+        for a in dvd:
+            pos = read_dv(location, a["deletionVector"])
+            files.append(
+                np.full(len(pos), a["path"], dtype=object)
+            )
+            pos_parts.append(np.asarray(pos, dtype="int64"))
+        pdf = pd.DataFrame(
+            {
+                "__dv_file": pd.Series(
+                    np.concatenate(files) if files else [], dtype=object
+                ),
+                "__dv_pos": pd.Series(
+                    np.concatenate(pos_parts) if pos_parts else [],
+                    dtype="int64",
+                ),
+            }
+        )
+        return spark.createDataFrame(
+            pdf, "__dv_file string, __dv_pos bigint"
+        )
+
+    rows = [(a["path"], _json.dumps(a["deletionVector"])) for a in dvd]
 
     def expand(batches):
         for pdf in batches:

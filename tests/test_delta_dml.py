@@ -596,11 +596,20 @@ def test_dv_protocol_upgrade_preserves_active_features(spark, tmp_path):
 def test_dv_delete_builds_bitmaps_executor_side(
     spark, tmp_path, monkeypatch
 ):
-    """r10 pin: no position list crosses the driver. The roaring
-    build (write_dv) and prior-DV merge (read_dv) must run in Python
-    WORKER processes — a call from the driver's own PID fails the
-    delete (the poisoned wrappers ship to workers too, where the PID
-    check lets the real codec run)."""
+    """r10 pin, r12 scope: ABOVE broadcast-grade cardinality no
+    position list crosses the driver (below it the anti-join's own
+    BroadcastExchange materializes every pair on the driver anyway, so
+    dv_pairs_df expands there directly — equivalence pinned in
+    test_dv_pairs_driver_expansion_matches_executor). Thresholds are
+    forced to 0 here so the scale path is what executes: the roaring
+    build (write_dv) and prior-DV merge (read_dv) must then run in
+    Python WORKER processes — a call from the driver's own PID fails
+    the delete (the poisoned wrappers ship to workers too, where the
+    PID check lets the real codec run)."""
+    from emr_on_eks_hudi_iceberg_delta_spark.sources import delta_dml
+
+    monkeypatch.setattr(dv_io, "DV_DRIVER_EXPAND_MAX_PAIRS", 0)
+    monkeypatch.setattr(delta_dml, "DV_BROADCAST_MAX_PAIRS", 0)
     driver_pid = os.getpid()
     real_write, real_read = dv_io.write_dv, dv_io.read_dv
 
@@ -622,6 +631,26 @@ def test_dv_delete_builds_bitmaps_executor_side(
     rep2 = dt.delete("k < 150", mode="dv")  # merges prior DVs too
     assert rep2["rows_deleted"] == 50
     assert dt.read().count() == 150
+
+
+def test_dv_pairs_driver_expansion_matches_executor(
+    spark, tmp_path, monkeypatch
+):
+    """r12: the under-threshold driver-side DV pair expansion emits
+    exactly the pairs the executor-side mapInPandas path emits."""
+    dt = _table(spark, tmp_path, "dvpairs", files=3, n=300)
+    dt.delete("k % 3 = 0", mode="dv")
+    live, _meta, _ = dt._replay()
+    dvd = [a for a in live.values() if a.get("deletionVector")]
+    assert dvd
+    drv = sorted(
+        map(tuple, dv_io.dv_pairs_df(spark, dt.location, dvd).collect())
+    )
+    monkeypatch.setattr(dv_io, "DV_DRIVER_EXPAND_MAX_PAIRS", 0)
+    ex = sorted(
+        map(tuple, dv_io.dv_pairs_df(spark, dt.location, dvd).collect())
+    )
+    assert drv == ex and len(drv) == 100
 
 
 def test_dml_scan_plans_bounded_file_scans(spark, tmp_path):

@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BENCH_ENV = os.environ.get("SPARK_GRAFT_PLANS_BENCH_ENV", "0") == "1"
 if BENCH_ENV:
-    os.environ["SPARK_GRAFT_SCAN_REPARTITION"] = "1"
+    os.environ.setdefault("SPARK_GRAFT_SCAN_REPARTITION", "1")
 
 from emr_on_eks_hudi_iceberg_delta_spark.queries import REGISTRY  # noqa: E402
 from emr_on_eks_hudi_iceberg_delta_spark.session import get_spark  # noqa: E402
