@@ -43,6 +43,16 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": os.environ.get(
         "SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"
     ),
+    # The generated-class cache defaults to 100 entries; a session running
+    # more than ~100 distinct codegen units (any real multi-query app —
+    # the bench's 26 queries alone exceed it) thrashes: evicted entries
+    # re-generate as FRESH classes that re-enter the JIT interpreter cold,
+    # so every query pays compile + warmup again on each run. Measured on
+    # the 8-query ext round-robin at sf0.1: phase total 14.0 s -> 9.3 s
+    # (triangle count 5.4 -> 2.9). Cost is classloader metadata only.
+    "spark.sql.codegen.cache.maxEntries": os.environ.get(
+        "SPARK_GRAFT_CODEGEN_CACHE_ENTRIES", "10000"
+    ),
 }
 
 
