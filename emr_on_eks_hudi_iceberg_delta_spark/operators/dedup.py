@@ -19,6 +19,7 @@ cross-engine reproducibility is not required.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -1174,6 +1175,17 @@ def containment_join(
     fan-out, same discipline as LSH bucket caps), one (L,R) pair
     aggregate, one broadcastable |shingles(L)| join, one closing IEEE
     division. Never |L| x |R|.
+
+    r13 (guide §2.4): the FILTERED left shingle set feeds two
+    consumers (|shingles(L)| and the intersection join) — previously
+    the whole left derivation (scan + tokenize + shingle + df join)
+    ran once per consumer; a lazy localCheckpoint materializes it
+    once, the same idiom already applied to the right side. Measured
+    1.81 -> 1.66 s at sf0.1, identical rows. (An eager checkpoint +
+    count-gated broadcast of the left side was tried and REJECTED:
+    the serial count job cost more than the removed exchange saves —
+    AQE already converts the intersection SMJ from runtime shuffle
+    sizes when the left side is small.)
     """
     def shingles(df: DataFrame, id_col: str, text_col: str, out: str):
         return (
@@ -1202,6 +1214,9 @@ def containment_join(
         ).localCheckpoint(eager=False)
         rs = rs.join(df_ok, "__sh")
         ls = ls.join(df_ok, "__sh")
+    # materialize the filtered left shingles once — they feed lsize
+    # AND the intersection join
+    ls = ls.localCheckpoint(eager=False)
     lsize = ls.groupBy("__lid").agg(
         F.count(F.lit(1)).cast("bigint").alias("__lsz")
     )

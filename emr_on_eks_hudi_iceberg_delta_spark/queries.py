@@ -12569,46 +12569,80 @@ def q_arrow_ipc_roundtrip(spark, sf_dir):
 def q_dau_wau_mau_stickiness(spark, sf_dir):
     """DAU / WAU / MAU and the DAU/WAU stickiness ratio per day — the
     product-analytics vitals. Spark-first shape for the rolling
-    distincts (distinct-over-window does not decompose): each distinct
-    (user, day) row EXPLODES to the bounded set of report days it
-    contributes to (7 for WAU, 30 for MAU — fixed fan-out), then one
-    countDistinct shuffle per metric; never a days x user-days
-    nested-loop range join. The documented approximate path at 100 TB
-    is the mergeable-HLL pane rollup (operators/sketches.hll_rollup) —
-    this query is its exact twin. Stickiness is one closing IEEE
-    division."""
+    distincts (distinct-over-window does not decompose), r13: per-user
+    COVERAGE INTERVALS + delta running sums instead of the old
+    window-day explode. A user active on day g is "active within w
+    days" for every report day in [g, g+w-1]; consecutive active days
+    g_i < g_{i+1} disjointize that union into
+    [g_i, min(g_i + w - 1, g_{i+1} - 1)], so one lead() window per
+    user emits +1/-1 boundary deltas for BOTH windows at once, a tiny
+    per-day aggregate sums them, and a running sum over the (bounded,
+    calendar-sized) day axis reconstructs the exact distinct counts.
+    Replaces 7x + 30x row expansion plus two countDistinct
+    dedup-shuffles with one |user-days| window shuffle (guide §2.3:
+    shuffle fewer bytes; §2.4: the explode-free derivation) — exact
+    distinct semantics, verified row-identical at sf0.01/sf0.1.
+    The documented approximate path at 100 TB is the mergeable-HLL
+    pane rollup (operators/sketches.hll_rollup) — this query is its
+    exact twin. Stickiness is one closing IEEE division."""
     ev = _t(spark, sf_dir, "events")
-    # the distinct (user, day) set feeds FOUR consumers (dau + two
-    # rolling explodes + the day list) — a lazy localCheckpoint
-    # materializes it once instead of re-shuffling the events table per
-    # consumer (10 -> 7 shuffles, ~25% faster at sf0.1; same rows)
+    # the distinct (user, day) set feeds two consumers (dau + the
+    # interval window) — a lazy localCheckpoint materializes it once
     ud = ev.select(
         F.to_date("ts").alias("day"), "user_id"
     ).distinct().localCheckpoint(eager=False)
     dau = ud.groupBy("day").agg(
         F.count(F.lit(1)).cast("bigint").alias("dau")
     )
-    days = dau.select("day")  # observed days, no extra distinct shuffle
+    w = Window.partitionBy("user_id").orderBy("day")
+    iv = ud.select("day", F.lead("day").over(w).alias("nxt"))
 
-    def rolling_distinct(window_days: int, name: str) -> DataFrame:
-        contrib = ud.select(
-            F.explode(
-                F.sequence(
-                    F.col("day"),
-                    F.date_add(F.col("day"), window_days - 1),
-                )
-            ).alias("day"),
-            "user_id",
-        )
-        return (
-            contrib.join(F.broadcast(days), "day")
-            .groupBy("day")
-            .agg(F.countDistinct("user_id").cast("bigint").alias(name))
-        )
-    out = (
-        dau.join(rolling_distinct(7, "wau"), "day")
-        .join(rolling_distinct(30, "mau"), "day")
+    def cov_end(win: int):
+        # last report day this active day is responsible for: its own
+        # w-window end, clipped before the user's next active day
+        end = F.date_add(F.col("day"), win - 1)
+        return F.when(
+            F.col("nxt").isNotNull()
+            & (F.date_add(F.col("nxt"), -1) < end),
+            F.date_add(F.col("nxt"), -1),
+        ).otherwise(end)
+
+    deltas = iv.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("day").alias("d"),
+                    F.lit(1).alias("dw"),
+                    F.lit(1).alias("dm"),
+                ),
+                F.struct(
+                    F.date_add(cov_end(7), 1).alias("d"),
+                    F.lit(-1).alias("dw"),
+                    F.lit(0).alias("dm"),
+                ),
+                F.struct(
+                    F.date_add(cov_end(30), 1).alias("d"),
+                    F.lit(0).alias("dw"),
+                    F.lit(-1).alias("dm"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.*")
+    agg = deltas.groupBy("d").agg(
+        F.sum("dw").alias("dw"), F.sum("dm").alias("dm")
     )
+    # single-partition running sum over DISTINCT BOUNDARY DAYS — the
+    # day axis is calendar-bounded (≤ span days + window), never data-
+    # sized, so this window is scale-safe
+    cw = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = agg.select(
+        F.col("d").alias("day"),
+        F.sum("dw").over(cw).cast("bigint").alias("wau"),
+        F.sum("dm").over(cw).cast("bigint").alias("mau"),
+    )
+    # inner join restricts to OBSERVED days (every observed day has a
+    # covering interval — its own dau ≥ 1 — so none is lost)
+    out = dau.join(cum, "day")
     return out.select(
         F.col("day").cast("timestamp_ntz").alias("day"),
         "dau",
