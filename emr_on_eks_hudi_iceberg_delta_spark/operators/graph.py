@@ -156,6 +156,12 @@ def triangle_count(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     # lineage-truncation idiom as the module's iterative loops
     oriented = oriented.localCheckpoint(eager=False)
     adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    # NOT checkpointed (r13, measured): the adjacency feeds both sides of
+    # the edge-adjacency join, but a localCheckpoint here SLOWED the query
+    # (3.4 -> 4.9 s median at sf0.1) — serializing the per-node arrays
+    # through the block manager costs more than recomputing the aggregate
+    # from the (already checkpointed) oriented edges, and both builds run
+    # concurrently as independent broadcast stages anyway
     a_side = adj.select(F.col("src"), F.col("nbrs").alias("na"))
     b_side = adj.select(
         F.col("src").alias("dst"), F.col("nbrs").alias("nb")

@@ -100,10 +100,21 @@ def _scan_with_pos(
             a["partitionValues"].get(phys[c]) for c in part_cols
         )
         by_part.setdefault(key, []).append(a)
-    name_map = dt.spark.createDataFrame(
-        [(os.path.basename(a["path"]), a["path"]) for a in adds],
-        "__name string, __file string",
-    )
+    # r13 fast path: when every add lives at the table root (no
+    # partition directory in its path), the log-relative path IS the
+    # basename — no basename→path map is needed at all. The broadcast
+    # join it replaces is small but NOT free: one broadcast build per
+    # scan consumer, measured ~0.4 s per DML job at sf0.1 (hit job
+    # 0.82 -> 0.41 s). Partitioned tables keep the exact-map join
+    # (their rel paths carry hive-escaped dirs the file URI
+    # percent-encodes).
+    flat_paths = all("/" not in a["path"] for a in adds)
+    name_map = None
+    if not flat_paths:
+        name_map = dt.spark.createDataFrame(
+            [(os.path.basename(a["path"]), a["path"]) for a in adds],
+            "__name string, __file string",
+        )
     pieces = []
     for key, group in sorted(
         by_part.items(),
@@ -139,7 +150,10 @@ def _scan_with_pos(
     u = pieces[0]
     for p in pieces[1:]:
         u = u.unionByName(p)
-    u = u.join(F.broadcast(name_map), "__name").drop("__name")
+    if name_map is None:
+        u = u.withColumnRenamed("__name", "__file")
+    else:
+        u = u.join(F.broadcast(name_map), "__name").drop("__name")
     dvd = [a for a in adds if a.get("deletionVector")]
     if dvd:
         total_card = sum(
